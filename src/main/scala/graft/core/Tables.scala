@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided star-schema testdata
+  * (`/root/testdata/sf*&#47;<table>.parquet`, see TESTDATA.md).
+  *
+  * One parquet file per table at test scale; at production scale each of
+  * these would be a partitioned directory — `spark.read.parquet(dir)` is
+  * unchanged, and every query below relies on Catalyst pushdown (filters,
+  * column pruning, partition pruning) rather than path gymnastics.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table is written with parquet TIMESTAMP(NANOS), which the
+    * Spark 4 vectorized reader rejects. Read `ts` as raw nanos (legacy
+    * conf) and convert to a microsecond TimestampType column — lossless
+    * here (generator emits µs-precision values) and matches what DuckDB
+    * sees modulo sub-µs zeros.
+    */
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame     = eventsRaw(s, d)
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Scans, projections, filters, sorts, set ops, splits.
+  * Covers SURVEY §2.1 S1, §2.2 P1–P9, §2.8 O1–O5, §2.4 D2, §2.9 V3/V4/V6.
+  *
+  * Scale notes: every filter here is a plain Column predicate on a parquet
+  * scan — Catalyst pushes it to row-group min/max pruning. The only
+  * global-window query (time split) is oracle parity for the reference's
+  * positional split (eval/splits.py:38-76); the scalable variant used by
+  * the pipeline library thresholds on timestamp quantiles instead
+  * (see graft.ops.Splits).
+  */
+object CoreQueries {
+
+  def all: Seq[OracleQuery] = Seq(
+    // S1 + A1 flagship: pricing-summary aggregate (the daily-Tmax shape —
+    // grouped max/sum/count — on the star schema).
+    OracleQuery(
+      "q1_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 4).as("sum_qty"),
+            round(sum($"l_extendedprice"), 4).as("sum_base"),
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            round(max($"l_quantity"), 4).as("max_qty"),
+            count(lit(1)).as("cnt"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 4) AS sum_qty,
+             |  round(sum(l_extendedprice), 4) AS sum_base,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(max(l_quantity), 4) AS max_qty,
+             |  count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // P1: column select + canonical reorder; O1 sort; O5 limit (total order
+    // with tiebreak so LIMIT is deterministic).
+    OracleQuery(
+      "s1_scan_project",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber")
+          .limit(100)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)
+    ),
+
+    // P2: half-open timestamp range [start, end) — pushed to parquet stats.
+    OracleQuery(
+      "p2_time_range",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .filter($"ts" >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+            $"ts" < lit("2024-01-22 00:00:00").cast("timestamp"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // P3: inclusive date range on orders.
+    OracleQuery(
+      "p3_date_between",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .filter($"o_orderdate".between(
+            lit("1996-01-01 00:00:00").cast("timestamp"),
+            lit("1997-12-31 23:59:59").cast("timestamp")))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(avg($"o_totalprice"), 4).as("avg_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt, round(avg(o_totalprice), 4) AS avg_price
+             |FROM orders
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 23:59:59'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // P4: membership predicate.
+    OracleQuery(
+      "p4_membership",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_returnflag".isin("A", "R"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS cnt FROM lineitem
+             |WHERE l_returnflag IN ('A', 'R')
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // P5 + P6: threshold gate and null-drop (coverage_hours >= 18 analogue).
+    OracleQuery(
+      "p5_threshold_nulldrop",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .na.drop(Seq("c_acctbal"))
+          .filter($"c_acctbal" >= 5000.0)
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), round(sum($"c_acctbal"), 4).as("sum_bal"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS cnt, round(sum(c_acctbal), 4) AS sum_bal
+             |FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal >= 5000.0
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
+    // P7: bitmask predicate ((flags & bit) == 0 eligibility gate).
+    OracleQuery(
+      "p7_bitmask_pred",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter(($"l_linenumber".bitwiseAND(lit(3)) === 1) && $"l_quantity".isNotNull)
+          .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("sum_qty"))
+      },
+      Some("""SELECT count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+             |FROM lineitem WHERE (l_linenumber & 3) = 1 AND l_quantity IS NOT NULL""".stripMargin)
+    ),
+
+    // D2: distinct projection before a join (eval/data.py:142).
+    OracleQuery(
+      "d2_distinct_projection",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .select($"c_nationkey", $"c_mktsegment")
+          .distinct()
+          .orderBy($"c_nationkey", $"c_mktsegment")
+      },
+      Some("""SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
+    ),
+
+    // O2: unionByName of per-source frames, then aggregate.
+    OracleQuery(
+      "o2_union_sources",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val a = ev.filter($"event_type" === "purchase").select($"user_id", $"value")
+        val b = ev.filter($"event_type" === "error").select($"user_id", $"value")
+        a.unionByName(b)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, value FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, value FROM events WHERE event_type = 'error'
+             |)
+             |SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS sum_value
+             |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // O3/W6: positional 70/15/15 time split (eval/splits.py:38-76) —
+    // row_number over the time-sorted frame, thresholds at 0.7/0.85·n.
+    OracleQuery(
+      "o3_time_split",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("split",
+            when($"rn" <= floor($"n" * 0.7), "train")
+              .when($"rn" <= floor($"n" * 0.85), "val")
+              .otherwise("test"))
+          .groupBy($"split")
+          .agg(count(lit(1)).as("cnt"),
+            min($"ts").as("min_ts"), max($"ts").as("max_ts"))
+          .orderBy($"split")
+      },
+      Some("""WITH pos AS (
+             |  SELECT ts, event_id,
+             |    row_number() OVER (ORDER BY ts, event_id) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM events
+             |), lab AS (
+             |  SELECT ts,
+             |    CASE WHEN rn <= floor(n * 0.7) THEN 'train'
+             |         WHEN rn <= floor(n * 0.85) THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM pos
+             |)
+             |SELECT split, count(*) AS cnt, min(ts) AS min_ts, max(ts) AS max_ts
+             |FROM lab GROUP BY split ORDER BY split""".stripMargin)
+    ),
+
+    // O5: top-k with deterministic tiebreak.
+    OracleQuery(
+      "o5_topk",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+
+    // V3/V4/V6: the validator library as one aggregation pass — null
+    // counts, duplicate-key count, out-of-range count (schemas/validate.py).
+    OracleQuery(
+      "v_quality_checks",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val dups = li.groupBy($"l_orderkey", $"l_linenumber")
+          .agg(count(lit(1)).as("c")).filter($"c" > 1)
+          .agg(coalesce(sum($"c" - 1), lit(0)).cast("long").as("dup_rows"))
+        val checks = li.agg(
+          sum(when($"l_quantity".isNull, 1).otherwise(0)).cast("long").as("null_qty"),
+          sum(when($"l_discount" < 0.0 || $"l_discount" > 1.0, 1).otherwise(0)).cast("long").as("oor_discount"),
+          sum(when($"l_extendedprice" < 0.0, 1).otherwise(0)).cast("long").as("neg_price"))
+        checks.crossJoin(dups)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS null_qty,
+             |  (SELECT count(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0) AS oor_discount,
+             |  (SELECT count(*) FROM lineitem WHERE l_extendedprice < 0.0) AS neg_price,
+             |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+             |     (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+             |  ) AS dup_rows""".stripMargin)
+    )
+  )
+}

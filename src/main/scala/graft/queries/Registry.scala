@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One oracle-checked query: a Spark DataFrame program plus (optionally)
+  * the equivalent ANSI SQL the driver runs in DuckDB over the same
+  * parquet tables. Column names/aliases MUST match between the two —
+  * the driver sorts columns by name and hashes values.
+  *
+  * Determinism rules for hash-matching:
+  *  - every query ends in a total ORDER BY (stable tiebreak included);
+  *  - floating-point aggregates are rounded to 4 decimals on BOTH sides
+  *    so parallel-summation ulp drift cannot flip the hash.
+  */
+final case class OracleQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+object Registry {
+  /** All oracle-checked queries, keyed by name. Sub-registries group the
+    * SURVEY §2 operator families. */
+  def all: Seq[OracleQuery] =
+    CoreQueries.all ++
+      ExprQueries.all ++
+      JoinQueries.all ++
+      AggQueries.all ++
+      WindowQueries.all ++
+      DedupQueries.all ++
+      TextQueries.all ++
+      SimilarityQueries.all ++
+      PipelineQueries.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
