@@ -23,9 +23,11 @@ object Tables {
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet")
+    // integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's 53-bit
+    // mantissa, so floating division would round the microsecond.
     df.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

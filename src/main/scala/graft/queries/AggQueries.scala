@@ -1,5 +1,246 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Aggregation operators — SURVEY §2.6 A2–A11.
+  *
+  * Scale notes: every aggregate here is a hash aggregate with map-side
+  * partial combine; none require a sort. Exact percentile is the one
+  * exception (sort-based) — kept for oracle parity; the scale path is
+  * percentile_approx, exposed in graft.ops as well.
+  */
 object AggQueries {
-  def all: Seq[OracleQuery] = Seq()
+
+  def all: Seq[OracleQuery] = Seq(
+    // A2: bitwise-OR aggregate — the QC-flag propagation aggregate
+    // (build_daily_tmax.py:34-36). Built-in bit_or, no UDAF needed.
+    OracleQuery(
+      "a2_bit_or_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("flag",
+            when($"value" > 150.0, 4).when($"value" > 100.0, 2)
+              .when($"value" > 50.0, 1).otherwise(0))
+          .groupBy($"user_id")
+          .agg(
+            expr("bit_or(flag)").cast("int").as("flags_or"),
+            expr("bit_and(flag)").cast("int").as("flags_and"),
+            count(lit(1)).as("cnt"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id,
+             |    CASE WHEN value > 150.0 THEN 4 WHEN value > 100.0 THEN 2
+             |         WHEN value > 50.0 THEN 1 ELSE 0 END AS flag
+             |  FROM events
+             |)
+             |SELECT user_id, CAST(bit_or(flag) AS INT) AS flags_or,
+             |  CAST(bit_and(flag) AS INT) AS flags_and, count(*) AS cnt
+             |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // A3: exact count-distinct (coverage-hours counting,
+    // build_daily_tmax.py:82-95) + A10 min/max stats.
+    OracleQuery(
+      "a3_count_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(
+            countDistinct($"user_id").as("n_users"),
+            countDistinct(hour($"ts")).as("n_hours"),
+            count(lit(1)).as("cnt"),
+            min($"ts").as("min_ts"),
+            max($"ts").as("max_ts"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             |  count(DISTINCT hour(ts)) AS n_hours, count(*) AS cnt,
+             |  min(ts) AS min_ts, max(ts) AS max_ts
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // A4: global moment metrics — n, MAE, RMSE, bias, std, R²
+    // (eval/metrics.py:108-138; std_error is population std per
+    // metrics.py:136). Residual e = value − 100 as the synthetic pred.
+    OracleQuery(
+      "a4_moment_metrics",
+      (s, d) => {
+        import s.implicits._
+        val e = $"value" - 100.0
+        Tables.events(s, d)
+          .select($"value", e.as("e"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(abs($"e")), 4).as("mae"),
+            round(sqrt(avg($"e" * $"e")), 4).as("rmse"),
+            round(avg($"e"), 4).as("bias"),
+            round(stddev_pop($"e"), 4).as("std_error"),
+            round(lit(1.0) - avg($"e" * $"e") / var_pop($"value"), 4).as("r2"))
+      },
+      Some("""WITH r AS (SELECT value, value - 100.0 AS e FROM events)
+             |SELECT count(*) AS n,
+             |  round(avg(abs(e)), 4) AS mae,
+             |  round(sqrt(avg(e * e)), 4) AS rmse,
+             |  round(avg(e), 4) AS bias,
+             |  round(stddev_pop(e), 4) AS std_error,
+             |  round(1.0 - avg(e * e) / var_pop(value), 4) AS r2
+             |FROM r""".stripMargin)
+    ),
+
+    // A5: interval coverage + sharpness at z ∈ {0.6745, 1.2816, 1.6449}
+    // (eval/metrics.py:141-197; z-scores are compile-time constants).
+    OracleQuery(
+      "a5_coverage_sharpness",
+      (s, d) => {
+        import s.implicits._
+        val e = abs($"value" - 100.0)
+        val sigma = lit(40.0)
+        def cov(z: Double) = round(avg(when(e <= lit(z) * sigma, 1.0).otherwise(0.0)), 4)
+        def sharp(z: Double) = round(avg(lit(2.0 * z) * sigma), 4)
+        Tables.events(s, d)
+          .agg(
+            cov(0.6745).as("coverage_50"),
+            cov(1.2816).as("coverage_80"),
+            cov(1.6449).as("coverage_90"),
+            sharp(0.6745).as("sharpness_50"),
+            sharp(1.2816).as("sharpness_80"),
+            sharp(1.6449).as("sharpness_90"))
+      },
+      Some("""SELECT
+             |  round(avg(CASE WHEN abs(value - 100.0) <= 0.6745 * 40.0 THEN 1.0 ELSE 0.0 END), 4) AS coverage_50,
+             |  round(avg(CASE WHEN abs(value - 100.0) <= 1.2816 * 40.0 THEN 1.0 ELSE 0.0 END), 4) AS coverage_80,
+             |  round(avg(CASE WHEN abs(value - 100.0) <= 1.6449 * 40.0 THEN 1.0 ELSE 0.0 END), 4) AS coverage_90,
+             |  round(avg(2.0 * 0.6745 * 40.0), 4) AS sharpness_50,
+             |  round(avg(2.0 * 1.2816 * 40.0), 4) AS sharpness_80,
+             |  round(avg(2.0 * 1.6449 * 40.0), 4) AS sharpness_90
+             |FROM events""".stripMargin)
+    ),
+
+    // A6: pinball (quantile) loss at q ∈ {0.1, 0.5, 0.9}
+    // (eval/metrics.py:200-236): e = y − ŷ_q; mean(q·e if e≥0 else (q−1)·e).
+    OracleQuery(
+      "a6_pinball_loss",
+      (s, d) => {
+        import s.implicits._
+        def pinball(q: Double) = {
+          val e = $"value" - 100.0
+          round(avg(when(e >= 0, lit(q) * e).otherwise(lit(q - 1) * e)), 4)
+        }
+        Tables.events(s, d)
+          .agg(
+            pinball(0.1).as("pinball_q10"),
+            pinball(0.5).as("pinball_q50"),
+            pinball(0.9).as("pinball_q90"))
+      },
+      Some("""SELECT
+             |  round(avg(CASE WHEN value - 100.0 >= 0 THEN 0.1 * (value - 100.0) ELSE -0.9 * (value - 100.0) END), 4) AS pinball_q10,
+             |  round(avg(CASE WHEN value - 100.0 >= 0 THEN 0.5 * (value - 100.0) ELSE -0.5 * (value - 100.0) END), 4) AS pinball_q50,
+             |  round(avg(CASE WHEN value - 100.0 >= 0 THEN 0.9 * (value - 100.0) ELSE -0.1 * (value - 100.0) END), 4) AS pinball_q90
+             |FROM events""".stripMargin)
+    ),
+
+    // A7: grouped sample-std with min-count gate and floor
+    // (eval/uncertainty.py:120-142): σ per bucket, n≥10, max(σ, floor).
+    OracleQuery(
+      "a7_grouped_sigma",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(stddev_samp($"value").as("sd"), count(lit(1)).as("n"))
+          .filter($"n" >= 10)
+          .select(
+            $"event_type",
+            round(greatest($"sd", lit(1.0)), 4).as("sigma"),
+            $"n")
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, round(greatest(stddev_samp(value), 1.0), 4) AS sigma,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type HAVING count(*) >= 10
+             |ORDER BY event_type""".stripMargin)
+    ),
+
+    // A8: exact quantile split points (np.percentile [25,75] regimes;
+    // eval/slicing.py:146). Exact linear-interpolation percentile on both
+    // sides; percentile_approx is the 100 TB path (see graft.ops).
+    OracleQuery(
+      "a8_percentile_regimes",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .agg(
+            round(expr("percentile(value, 0.25)"), 4).as("p25"),
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.75)"), 4).as("p75"))
+      },
+      Some("""SELECT round(quantile_cont(value, 0.25), 4) AS p25,
+             |  round(quantile_cont(value, 0.5), 4) AS p50,
+             |  round(quantile_cont(value, 0.75), 4) AS p75
+             |FROM events""".stripMargin)
+    ),
+
+    // A9: sliced metric fan-out as GROUPING SETS (eval/slicing.py:22-168
+    // recomputes A4 per slice dimension; min-10 rule applied). Group keys
+    // coalesced to 'ALL' so null-ordering differences cannot bite.
+    OracleQuery(
+      "a9_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .withColumn("dow", (weekday($"ts") + 1).cast("int"))
+        ev.createOrReplaceTempView("events_gs")
+        s.sql("""
+          SELECT coalesce(event_type, 'ALL') AS slice_type,
+                 coalesce(CAST(dow AS STRING), 'ALL') AS slice_dow,
+                 count(*) AS n,
+                 round(avg(abs(value - 100.0)), 4) AS mae,
+                 round(sqrt(avg((value - 100.0) * (value - 100.0))), 4) AS rmse
+          FROM events_gs
+          GROUP BY GROUPING SETS ((event_type), (dow), ())
+          HAVING count(*) >= 10
+          ORDER BY slice_type, slice_dow
+        """)
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(isodow(ts) AS INT) AS dow, value FROM events)
+             |SELECT coalesce(event_type, 'ALL') AS slice_type,
+             |  coalesce(CAST(dow AS VARCHAR), 'ALL') AS slice_dow,
+             |  count(*) AS n,
+             |  round(avg(abs(value - 100.0)), 4) AS mae,
+             |  round(sqrt(avg((value - 100.0) * (value - 100.0))), 4) AS rmse
+             |FROM e
+             |GROUP BY GROUPING SETS ((event_type), (dow), ())
+             |HAVING count(*) >= 10
+             |ORDER BY slice_type, slice_dow""".stripMargin)
+    ),
+
+    // A11: model comparison + ranking (eval/report.py:239-283) — per-group
+    // metric then rank ascending by MAE with deterministic tiebreak.
+    OracleQuery(
+      "a11_metric_ranking",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy($"mae", $"event_type")
+        Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(round(avg(abs($"value" - 100.0)), 4).as("mae"),
+            round(avg($"value" - 100.0), 4).as("bias"))
+          .withColumn("rank", row_number().over(w))
+          .orderBy($"rank")
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type, round(avg(abs(value - 100.0)), 4) AS mae,
+             |    round(avg(value - 100.0), 4) AS bias
+             |  FROM events GROUP BY event_type
+             |)
+             |SELECT event_type, mae, bias,
+             |  CAST(row_number() OVER (ORDER BY mae, event_type) AS INT) AS rank
+             |FROM m ORDER BY rank""".stripMargin)
+    )
+  )
 }

@@ -1,5 +1,163 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Join operators — SURVEY §2.5 J1–J4, plus the semi/anti/outer shapes a
+  * complete engine needs.
+  *
+  * Scale notes: dimension joins (nation/region/supplier) carry explicit
+  * broadcast() hints — at 100 TB the fact side never shuffles for them.
+  * Fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE handles
+  * skew. Aggregations after joins keep partial (map-side) combine.
+  */
 object JoinQueries {
-  def all: Seq[OracleQuery] = Seq()
+
+  def all: Seq[OracleQuery] = Seq(
+    // J1/J2: the forecast↔truth inner equi-join shape
+    // (features/build_train_daily_tmax.py:27-94) — fact⋈fact on key,
+    // residual-style derived column, aggregate.
+    OracleQuery(
+      "j1_inner_equijoin",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        ord.join(cust, $"o_custkey" === $"c_custkey", "inner")
+          .groupBy($"c_mktsegment")
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(sum($"o_totalprice"), 4).as("sum_price"),
+            round(avg($"o_totalprice" - $"c_acctbal"), 4).as("avg_residual"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS cnt,
+             |  round(sum(o_totalprice), 4) AS sum_price,
+             |  round(avg(o_totalprice - c_acctbal), 4) AS avg_residual
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
+    // J3: dimension lookup via explicit broadcast (stations.csv dict →
+    // broadcast join; noaa_hourly.py:60-87).
+    OracleQuery(
+      "j3_dim_broadcast",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val nat = broadcast(Tables.nation(s, d))
+        val reg = broadcast(Tables.region(s, d))
+        cust
+          .join(nat, $"c_nationkey" === $"n_nationkey")
+          .join(reg, $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("cnt"), round(avg($"c_acctbal"), 4).as("avg_bal"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    ),
+
+    // J4: range-bucket assignment (lead_hours → sigma bucket [lo,hi);
+    // eval/uncertainty.py:160-165) as a small when-chain.
+    OracleQuery(
+      "j4_range_bucket",
+      (s, d) => {
+        import s.implicits._
+        val q = $"l_quantity"
+        Tables.lineitem(s, d)
+          .withColumn("bucket",
+            when(q >= 0 && q < 10, "[0,10)")
+              .when(q >= 10 && q < 25, "[10,25)")
+              .when(q >= 25 && q < 40, "[25,40)")
+              .otherwise("[40,inf)"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("cnt"), round(avg($"l_extendedprice"), 4).as("avg_price"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT CASE WHEN l_quantity >= 0 AND l_quantity < 10 THEN '[0,10)'
+             |            WHEN l_quantity >= 10 AND l_quantity < 25 THEN '[10,25)'
+             |            WHEN l_quantity >= 25 AND l_quantity < 40 THEN '[25,40)'
+             |            ELSE '[40,inf)' END AS bucket,
+             |  count(*) AS cnt, round(avg(l_extendedprice), 4) AS avg_price
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
+    ),
+
+    // Multi-way fact join (TPC-H Q3 shape): filter → join → join → agg →
+    // top-k. Exercises join reordering + pushdown through joins.
+    OracleQuery(
+      "j5_multiway_topk",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        val ord = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        cust.join(ord, $"c_custkey" === $"o_custkey")
+          .join(li, $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderkey", $"o_orderdate")
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+
+    // Left semi + anti join: customers with / without orders.
+    OracleQuery(
+      "j6_semi_anti",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d).select($"o_custkey")
+        val withOrders = cust.join(ord, $"c_custkey" === $"o_custkey", "left_semi")
+          .agg(count(lit(1)).as("c")).select($"c".as("n_with_orders"))
+        val withoutOrders = cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+          .agg(count(lit(1)).as("c")).select($"c".as("n_without_orders"))
+        withOrders.crossJoin(withoutOrders)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM customer WHERE EXISTS
+             |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+             |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+             |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin)
+    ),
+
+    // Left outer join with null-aware aggregation: order count per
+    // customer including zero-order customers.
+    OracleQuery(
+      "j7_left_outer",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+        cust.join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+          .groupBy($"c_custkey")
+          .agg(
+            count($"o_orderkey").as("n_orders"),
+            round(coalesce(sum($"o_totalprice"), lit(0.0)), 4).as("sum_price"))
+          .groupBy($"n_orders")
+          .agg(count(lit(1)).as("n_customers"), round(sum($"sum_price"), 4).as("total_price"))
+          .orderBy($"n_orders")
+      },
+      Some("""WITH per_cust AS (
+             |  SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |    round(coalesce(sum(o_totalprice), 0.0), 4) AS sum_price
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey
+             |)
+             |SELECT n_orders, count(*) AS n_customers,
+             |  round(sum(sum_price), 4) AS total_price
+             |FROM per_cust GROUP BY n_orders ORDER BY n_orders""".stripMargin)
+    )
+  )
 }

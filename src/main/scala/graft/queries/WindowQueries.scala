@@ -1,5 +1,173 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Window / time-series operators — SURVEY §2.7 W1–W6.
+  *
+  * All trailing frames end at -1 (shift(1) semantics): the current row
+  * never contributes to its own feature — the reference's strict
+  * causality contract (features/rolling_stats.py:1-8).
+  *
+  * Scale notes: every window here partitions by user_id — no global
+  * window, so state is bounded per key and the shuffle is one exchange
+  * on the partition key reused by all the frame functions over it.
+  */
 object WindowQueries {
-  def all: Seq[OracleQuery] = Seq()
+
+  def all: Seq[OracleQuery] = {
+    // Shared partition/order: (user_id) ordered by (ts, event_id) — the
+    // event_id tiebreak makes frames deterministic under equal timestamps.
+    def w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    Seq(
+      // W1: trailing mean over 7 prior rows (rolling_stats.py:16-53) —
+      // avg over an empty frame is null, matching min_periods=1 + shift(1).
+      OracleQuery(
+        "w1_trailing_mean",
+        (s, d) => {
+          import s.implicits._
+          Tables.events(s, d)
+            .withColumn("bias_7", round(avg($"value").over(w.rowsBetween(-7, -1)), 4))
+            .select($"event_id", $"user_id", $"bias_7")
+            .orderBy($"user_id", $"event_id")
+        },
+        Some("""SELECT event_id, user_id,
+               |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4) AS bias_7
+               |FROM events ORDER BY user_id, event_id""".stripMargin)
+      ),
+
+      // W2: trailing RMSE over 14 prior rows (rolling_stats.py:56-99).
+      OracleQuery(
+        "w2_trailing_rmse",
+        (s, d) => {
+          import s.implicits._
+          Tables.events(s, d)
+            .withColumn("rmse_14",
+              round(sqrt(avg($"value" * $"value").over(w.rowsBetween(-14, -1))), 4))
+            .select($"event_id", $"user_id", $"rmse_14")
+            .orderBy($"user_id", $"event_id")
+        },
+        Some("""SELECT event_id, user_id,
+               |  round(sqrt(avg(value * value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |    ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)), 4) AS rmse_14
+               |FROM events ORDER BY user_id, event_id""".stripMargin)
+      ),
+
+      // W3: expanding sample-std of all prior rows (rolling_stats.py:102-135;
+      // ddof=1 — stddev_samp of <2 rows is null, matching min_periods=2).
+      OracleQuery(
+        "w3_expanding_std",
+        (s, d) => {
+          import s.implicits._
+          Tables.events(s, d)
+            .withColumn("sigma_exp",
+              round(stddev_samp($"value").over(w.rowsBetween(Window.unboundedPreceding, -1)), 4))
+            .select($"event_id", $"user_id", $"sigma_exp")
+            .orderBy($"user_id", $"event_id")
+        },
+        Some("""SELECT event_id, user_id,
+               |  round(stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 4) AS sigma_exp
+               |FROM events ORDER BY user_id, event_id""".stripMargin)
+      ),
+
+      // W4: lag-1 persistence feature (eval/data.py:230-236) + lead.
+      OracleQuery(
+        "w4_lag_lead",
+        (s, d) => {
+          import s.implicits._
+          Tables.events(s, d)
+            .withColumn("value_lag1", round(lag($"value", 1).over(w), 4))
+            .withColumn("value_lead1", round(lead($"value", 1).over(w), 4))
+            .withColumn("persistence", round(coalesce(lag($"value", 1).over(w), lit(0.0)), 4))
+            .select($"event_id", $"user_id", $"value_lag1", $"value_lead1", $"persistence")
+            .orderBy($"user_id", $"event_id")
+        },
+        Some("""SELECT event_id, user_id,
+               |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS value_lag1,
+               |  round(lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS value_lead1,
+               |  round(coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS persistence
+               |FROM events ORDER BY user_id, event_id""".stripMargin)
+      ),
+
+      // W5: first-difference spike detection (clean_hourly.py:117-142),
+      // generalized with per-station partitioning as SURVEY §4 notes.
+      OracleQuery(
+        "w5_spike_detect",
+        (s, d) => {
+          import s.implicits._
+          Tables.events(s, d)
+            .withColumn("diff", abs($"value" - lag($"value", 1).over(w)))
+            .withColumn("is_spike", when($"diff" > 100.0, 1).otherwise(0))
+            .groupBy($"user_id")
+            .agg(
+              sum($"is_spike").cast("long").as("n_spikes"),
+              round(max($"diff"), 4).as("max_jump"),
+              count(lit(1)).as("n"))
+            .orderBy($"user_id")
+        },
+        Some("""WITH diffs AS (
+               |  SELECT user_id,
+               |    abs(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS diff
+               |  FROM events
+               |)
+               |SELECT user_id,
+               |  CAST(sum(CASE WHEN diff > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes,
+               |  round(max(diff), 4) AS max_jump, count(*) AS n
+               |FROM diffs GROUP BY user_id ORDER BY user_id""".stripMargin)
+      ),
+
+      // W6 extras: ranking family over per-user value ordering.
+      OracleQuery(
+        "w6_ranking_family",
+        (s, d) => {
+          import s.implicits._
+          val wv = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+          Tables.events(s, d)
+            .withColumn("rn", row_number().over(wv))
+            .withColumn("rk", rank().over(wv))
+            .withColumn("drk", dense_rank().over(wv))
+            .withColumn("quartile", ntile(4).over(wv))
+            .filter($"rn" <= 3)
+            .select($"user_id", $"rn", $"rk", $"drk", $"quartile", round($"value", 4).as("value"))
+            .orderBy($"user_id", $"rn")
+        },
+        Some("""WITH ranked AS (
+               |  SELECT user_id, value,
+               |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rn,
+               |    CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rk,
+               |    CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS drk,
+               |    CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS quartile
+               |  FROM events
+               |)
+               |SELECT user_id, rn, rk, drk, quartile, round(value, 4) AS value
+               |FROM ranked WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin)
+      ),
+
+      // D1: keyed dedup keep-first (clean_hourly.py:40-62) — row_number
+      // over (key) ordered by arrival with explicit tiebreak, keep rn=1.
+      OracleQuery(
+        "d1_dedup_keepfirst",
+        (s, d) => {
+          import s.implicits._
+          val wk = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+          Tables.events(s, d)
+            .withColumn("rn", row_number().over(wk))
+            .filter($"rn" === 1)
+            .select($"user_id", $"event_type", $"event_id", round($"value", 4).as("value"))
+            .orderBy($"user_id", $"event_type")
+        },
+        Some("""WITH ranked AS (
+               |  SELECT user_id, event_type, event_id, value,
+               |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+               |  FROM events
+               |)
+               |SELECT user_id, event_type, event_id, round(value, 4) AS value
+               |FROM ranked WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+      )
+    )
+  }
 }
