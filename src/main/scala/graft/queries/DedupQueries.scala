@@ -1,5 +1,198 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Document deduplication — the LLM-training-pipeline operators: exact
+  * (hash-groupBy), word-n-gram Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * Cross-engine determinism trick: both Spark and DuckDB ship md5(), so
+  * every hash is derived from `int(md5(token)[0:15], 16)` (60 bits, fits
+  * BIGINT). The MinHash "permutations" are XOR with per-seed constants —
+  * a bijection over the universe, cheap, overflow-free in DuckDB's
+  * checked BIGINT arithmetic, and identical in both engines.
+  *
+  * Scale notes: every stage is explode → hash-aggregate → equi-join on
+  * gram/bucket — all shuffle-parallel, no driver loops, no cross join.
+  * The LSH band join is the 100 TB path (candidate pairs only); the
+  * n-gram Jaccard join is gram-partitioned; hot grams would be salted
+  * or frequency-capped (stop-gram filtering) at scale.
+  */
 object DedupQueries {
-  def all: Seq[OracleQuery] = Seq()
+
+  /** 60-bit integer from the md5 hex digest — same value in DuckDB via
+    * ('0x' || substr(md5(x),1,15))::BIGINT. */
+  private def h60(c: String): String = s"CAST(conv(substr(md5($c), 1, 15), 16, 10) AS BIGINT)"
+
+  def all: Seq[OracleQuery] = Seq(
+    // Exact dedup by content hash: fingerprint = md5(text), keep the
+    // smallest doc_id per fingerprint (deterministic keep-first).
+    OracleQuery(
+      "dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).withColumn("fp", md5($"text"))
+        val survivors = docs.groupBy($"fp")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        survivors
+          .agg(
+            count(lit(1)).as("n_unique"),
+            sum($"n_copies").cast("long").as("n_docs"),
+            sum(when($"n_copies" > 1, $"n_copies" - 1).otherwise(0)).cast("long").as("n_removed"))
+      },
+      Some("""WITH fps AS (
+             |  SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+             |  FROM documents GROUP BY md5(text)
+             |)
+             |SELECT count(*) AS n_unique,
+             |  CAST(sum(n_copies) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_removed
+             |FROM fps""".stripMargin)
+    ),
+
+    // Word-3-gram Jaccard near-dup pairs: shingle → distinct-gram
+    // equi-join → |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.5. The join is on gram, so
+    // it parallelizes by gram at scale (no all-pairs comparison).
+    OracleQuery(
+      "dedup_ngram_jaccard",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("words", split($"text", " "))
+          .filter(size($"words") >= 3)
+          .select($"doc_id",
+            expr("transform(sequence(0, size(words) - 3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))").as("grams"))
+        val grams = docs.select($"doc_id", explode($"grams").as("gram")).distinct()
+        val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+        val shared = grams.as("a")
+          .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+          .withColumn("jaccard", round($"shared" / ($"na" + $"nb" - $"shared"), 4))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH grams AS (
+             |  SELECT DISTINCT doc_id, gram FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |      generate_series(1, len(string_split(text, ' ')) - 2),
+             |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+             |    )) AS gram
+             |    FROM documents WHERE len(string_split(text, ' ')) >= 3
+             |  )
+             |), sizes AS (
+             |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+             |), shared AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+             |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id
+             |)
+             |SELECT doc_a, doc_b,
+             |  round(shared / (sa.n_grams + sb.n_grams - shared), 4) AS jaccard
+             |FROM shared
+             |JOIN sizes sa ON sa.doc_id = doc_a
+             |JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE round(shared / (sa.n_grams + sb.n_grams - shared), 4) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // MinHash signatures + LSH banding: 8 hashes (XOR permutations of the
+    // md5-derived gram id), 2 bands × 4 rows; docs sharing a band bucket
+    // are candidate pairs. Fully oracle-checked — both engines compute
+    // identical signatures.
+    OracleQuery(
+      "dedup_minhash_lsh",
+      (s, d) => {
+        import s.implicits._
+        val seeds = Seq(
+          0x9E3779B97F4A7C1L, 0x6A09E667F3BCC90L, 0xBB67AE8584CAA73L, 0x3C6EF372FE94F82L,
+          0xA54FF53A5F1D36FL, 0x510E527FADE682DL, 0x9B05688C2B3E6C1L, 0x1F83D9ABFB41BD6L)
+        val docs = Tables.documents(s, d)
+          .withColumn("words", split($"text", " "))
+          .filter(size($"words") >= 3)
+          .select($"doc_id",
+            expr("transform(sequence(0, size(words) - 3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))").as("grams"))
+        val exploded = docs.select($"doc_id", explode($"grams").as("gram"))
+          .withColumn("g", expr(h60("gram")))
+        val hashCols = seeds.zipWithIndex.map { case (k, i) =>
+          min(expr(s"g ^ ${k}L")).as(s"h$i")
+        }
+        val sig = exploded.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
+        val bands = sig.select($"doc_id",
+          md5(concat_ws(",", $"h0", $"h1", $"h2", $"h3")).as("band0"),
+          md5(concat_ws(",", $"h4", $"h5", $"h6", $"h7")).as("band1"))
+        val b0 = bands.select($"doc_id", $"band0".as("bucket"))
+        val b1 = bands.select($"doc_id", $"band1".as("bucket"))
+        val buckets = b0.unionByName(b1)
+        buckets.as("a")
+          .join(buckets.as("b"), col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, len(string_split(text, ' ')) - 2),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+  )) AS gram
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g FROM grams
+), sig AS (
+  SELECT doc_id, min(xor(g, 712544676207699905)) AS h0, min(xor(g, 477555723559750800)) AS h1, min(xor(g, 843997118510967411)) AS h2, min(xor(g, 272167847808552834)) AS h3, min(xor(g, 744500573154431855)) AS h4, min(xor(g, 365043529692375085)) AS h5, min(xor(g, 698153087624537793)) AS h6, min(xor(g, 141931123112680406)) AS h7
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, md5(h0 || ',' || h1 || ',' || h2 || ',' || h3) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, md5(h4 || ',' || h5 || ',' || h6 || ',' || h7) AS bucket FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b""")
+    ),
+
+    // SimHash (16-bit) near-dup: per-word md5-derived bits, majority vote
+    // per bit position, pairs within Hamming distance ≤ 3.
+    OracleQuery(
+      "dedup_simhash",
+      (s, d) => {
+        import s.implicits._
+        val words = Tables.documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+          .withColumn("g", expr(h60("w")))
+        val bitCols = (0 until 32).map { j =>
+          sum(expr(s"2 * ((g >> $j) & 1) - 1")).as(s"s$j")
+        }
+        val sums = words.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+        val sim = sums.select($"doc_id",
+          (0 until 32).map(j => expr(s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"))
+            .reduce(_ + _).cast("long").as("simhash"))
+        sim.as("a")
+          .join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)").cast("int"))
+          .filter($"hamming" <= 3)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), $"hamming")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS g FROM words
+), sums AS (
+  SELECT doc_id, sum(2 * ((g >> 0) & 1) - 1) AS s0, sum(2 * ((g >> 1) & 1) - 1) AS s1, sum(2 * ((g >> 2) & 1) - 1) AS s2, sum(2 * ((g >> 3) & 1) - 1) AS s3, sum(2 * ((g >> 4) & 1) - 1) AS s4, sum(2 * ((g >> 5) & 1) - 1) AS s5, sum(2 * ((g >> 6) & 1) - 1) AS s6, sum(2 * ((g >> 7) & 1) - 1) AS s7, sum(2 * ((g >> 8) & 1) - 1) AS s8, sum(2 * ((g >> 9) & 1) - 1) AS s9, sum(2 * ((g >> 10) & 1) - 1) AS s10, sum(2 * ((g >> 11) & 1) - 1) AS s11, sum(2 * ((g >> 12) & 1) - 1) AS s12, sum(2 * ((g >> 13) & 1) - 1) AS s13, sum(2 * ((g >> 14) & 1) - 1) AS s14, sum(2 * ((g >> 15) & 1) - 1) AS s15, sum(2 * ((g >> 16) & 1) - 1) AS s16, sum(2 * ((g >> 17) & 1) - 1) AS s17, sum(2 * ((g >> 18) & 1) - 1) AS s18, sum(2 * ((g >> 19) & 1) - 1) AS s19, sum(2 * ((g >> 20) & 1) - 1) AS s20, sum(2 * ((g >> 21) & 1) - 1) AS s21, sum(2 * ((g >> 22) & 1) - 1) AS s22, sum(2 * ((g >> 23) & 1) - 1) AS s23, sum(2 * ((g >> 24) & 1) - 1) AS s24, sum(2 * ((g >> 25) & 1) - 1) AS s25, sum(2 * ((g >> 26) & 1) - 1) AS s26, sum(2 * ((g >> 27) & 1) - 1) AS s27, sum(2 * ((g >> 28) & 1) - 1) AS s28, sum(2 * ((g >> 29) & 1) - 1) AS s29, sum(2 * ((g >> 30) & 1) - 1) AS s30, sum(2 * ((g >> 31) & 1) - 1) AS s31
+  FROM hashed GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, CAST((CASE WHEN s0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN s5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN s6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN s7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN s8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN s9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN s10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN s11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN s12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN s13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN s14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN s15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN s16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN s17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN s18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN s19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN s20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN s21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN s22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN s23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN s24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN s25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN s26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN s27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN s28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN s29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN s30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN s31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS simhash FROM sums
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b""")
+    )
+  )
 }

@@ -1,5 +1,183 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity search over the embeddings table (Array[Float], 64-dim):
+  * brute-force cosine top-k as the exact baseline, sign-bit LSH bucketing
+  * as the scale path, threshold pair mining, and kNN label regression.
+  *
+  * Cosine is computed with codegen'd higher-order functions
+  * (zip_with + aggregate) after casting to double — identical
+  * left-to-right summation in DuckDB keeps results hash-comparable.
+  *
+  * Scale notes: brute-force is O(Q·N) — fine for a bounded query set
+  * against 100 TB when Q is small and the scan is columnar; the LSH
+  * variant buckets both sides first so the join only compares
+  * same-bucket candidates (axis-aligned random hyperplanes = sign bits
+  * of fixed dims; deterministic, no stored model).
+  */
 object SimilarityQueries {
-  def all: Seq[OracleQuery] = Seq()
+
+  /** dot(a, b) with elements cast to double. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def cosineCol: Column =
+    expr(s"${dot("a.embedding", "b.embedding")} / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")}))")
+
+  /** DuckDB: explicit dot/norm (list_reduce keeps the same summation
+    * order as Spark's aggregate). */
+  private def duckCos(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
+       | / (sqrt(list_reduce(list_transform($a::DOUBLE[], v -> v * v), (x, y) -> x + y))
+       |    * sqrt(list_reduce(list_transform($b::DOUBLE[], v -> v * v), (x, y) -> x + y))))""".stripMargin
+
+  def all: Seq[OracleQuery] = Seq(
+    // Brute-force cosine top-5 for a bounded query set (vec_id < 20).
+    OracleQuery(
+      "sim_cosine_topk",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter($"vec_id" < 20).as("a")
+        val corpus = emb.as("b")
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+        queries.join(corpus, col("a.vec_id") =!= col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("query_id"),
+            col("b.vec_id").as("neighbor_id"),
+            cosineCol.as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rn")
+          .orderBy($"query_id", $"rn")
+      },
+      Some(s"""WITH pairs AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    ${duckCos("a.embedding", "b.embedding")} AS cos
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+              |  WHERE a.vec_id < 20
+              |), ranked AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
+              |  FROM pairs
+              |)
+              |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rn
+              |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
+    ),
+
+    // Near-duplicate pair mining: all pairs above cosine 0.99 (the
+    // embedding-space analogue of dedup). Brute force here; the LSH
+    // variant below is the scale path.
+    OracleQuery(
+      "sim_threshold_pairs",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            cosineCol.as("cos"))
+          .filter($"cos" >= 0.38)
+          .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
+          .orderBy($"vec_a", $"vec_b")
+      },
+      Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
+              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.38
+              |ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+
+    // Sign-bit LSH bucketing: bucket = sign bits of dims 0..5 (axis-
+    // aligned hyperplanes). Same-bucket candidates only — the candidate
+    // join that replaces the N² compare at scale. Reports bucket sizes
+    // and intra-bucket mean cosine.
+    OracleQuery(
+      "sim_lsh_buckets",
+      (s, d) => {
+        import s.implicits._
+        def bucketExpr(col0: String) = (0 until 6)
+          .map(j => s"(CASE WHEN CAST(element_at($col0, ${j + 1}) AS DOUBLE) >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        val emb = Tables.embeddings(s, d)
+          .withColumn("bucket", expr(bucketExpr("embedding")).cast("int"))
+        val pairs = emb.as("a").join(emb.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.bucket").as("bucket"), cosineCol.as("cos"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_pairs"), round(avg($"cos"), 4).as("mean_cos"))
+        val sizes = emb.groupBy($"bucket").agg(count(lit(1)).as("n_vecs"))
+        sizes.join(pairs, Seq("bucket"), "left_outer")
+          .select($"bucket", $"n_vecs",
+            coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+            $"mean_cos")
+          .orderBy($"bucket")
+      },
+      Some(s"""WITH bucketed AS (
+              |  SELECT vec_id, embedding,
+              |    CAST(${(0 until 6).map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS INT) AS bucket
+              |  FROM embeddings
+              |), pairs AS (
+              |  SELECT a.bucket, count(*) AS n_pairs,
+              |    round(avg(${duckCos("a.embedding", "b.embedding")}), 4) AS mean_cos
+              |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  GROUP BY a.bucket
+              |), sizes AS (
+              |  SELECT bucket, count(*) AS n_vecs FROM bucketed GROUP BY bucket
+              |)
+              |SELECT s.bucket AS bucket, s.n_vecs, coalesce(p.n_pairs, 0) AS n_pairs, p.mean_cos
+              |FROM sizes s LEFT JOIN pairs p ON s.bucket = p.bucket
+              |ORDER BY bucket""".stripMargin)
+    ),
+
+    // kNN label regression (models.py:338-380 kNN shape): predicted label
+    // = mean of the 5 nearest neighbors' labels by cosine, excluding self;
+    // summarized as mean prediction per true label.
+    OracleQuery(
+      "sim_knn_label",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+        emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("query_id"),
+            col("a.label").as("true_label"),
+            col("b.vec_id").as("neighbor_id"),
+            col("b.label").as("n_label"),
+            cosineCol.as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .groupBy($"query_id", $"true_label")
+          .agg(round(avg($"n_label"), 4).as("pred_label"))
+          .groupBy($"true_label")
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg($"pred_label"), 4).as("mean_pred"),
+            round(avg(abs($"pred_label" - $"true_label")), 4).as("mae"))
+          .orderBy($"true_label")
+      },
+      Some(s"""WITH pairs AS (
+              |  SELECT a.vec_id AS query_id, a.label AS true_label, b.vec_id AS neighbor_id,
+              |    b.label AS n_label,
+              |    ${duckCos("a.embedding", "b.embedding")} AS cos
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+              |), ranked AS (
+              |  SELECT query_id, true_label, n_label,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+              |  FROM pairs
+              |), preds AS (
+              |  SELECT query_id, true_label, round(avg(n_label), 4) AS pred_label
+              |  FROM ranked WHERE rn <= 5 GROUP BY query_id, true_label
+              |)
+              |SELECT true_label, count(*) AS n, round(avg(pred_label), 4) AS mean_pred,
+              |  round(avg(abs(pred_label - true_label)), 4) AS mae
+              |FROM preds GROUP BY true_label ORDER BY true_label""".stripMargin)
+    )
+  )
 }

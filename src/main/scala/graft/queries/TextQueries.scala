@@ -1,5 +1,141 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text analysis for a training-data pipeline: token counting, quality
+  * scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All pure Column expressions — codegen-friendly, shuffle-free (row-local
+  * until the final aggregate), and oracle-checked against DuckDB.
+  */
 object TextQueries {
-  def all: Seq[OracleQuery] = Seq()
+
+  def all: Seq[OracleQuery] = Seq(
+    // Token counting: whitespace tokens + a regex word tokenizer (the
+    // "BPE-ish" pre-tokenizer split: letter runs vs non-space symbols).
+    OracleQuery(
+      "text_token_stats",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(
+            $"doc_id",
+            size(split($"text", " ")).as("n_ws_tokens"),
+            size(expr("regexp_extract_all(text, '[a-z]+|[^a-z ]', 0)")).as("n_re_tokens"),
+            length($"text").cast("long").as("n_chars"),
+            round(length($"text") / size(split($"text", " ")).cast("double"), 4)
+              .as("avg_token_span"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[^a-z ]')) AS INT) AS n_re_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  round(length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_span
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Quality scoring: length, stopword ratio, unique-token ratio,
+    // vowel ratio — the cheap heuristics a pretraining filter runs
+    // before anything expensive.
+    OracleQuery(
+      "text_quality_score",
+      (s, d) => {
+        import s.implicits._
+        val words = split($"text", " ")
+        val stop = expr(
+          "size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'to')))")
+        val uniq = expr("size(array_distinct(split(text, ' ')))")
+        val vowels = length(regexp_replace($"text", "[^aeiou]", ""))
+        Tables.documents(s, d)
+          .select(
+            $"doc_id",
+            size(words).as("n_tokens"),
+            round(stop / size(words).cast("double"), 4).as("stopword_ratio"),
+            round(uniq / size(words).cast("double"), 4).as("unique_ratio"),
+            round(vowels / length($"text").cast("double"), 4).as("vowel_ratio"))
+          .withColumn("quality",
+            round(
+              when($"n_tokens" < 5, 0.0).otherwise(
+                lit(1.0)
+                  - abs($"stopword_ratio" - 0.1) // too few or too many stopwords
+                  - when($"unique_ratio" < 0.3, lit(0.3) - $"unique_ratio").otherwise(0.0)),
+              4))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH feat AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |    round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'to')))
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio,
+             |    round(len(list_distinct(string_split(text, ' ')))
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS unique_ratio,
+             |    round(length(regexp_replace(text, '[^aeiou]', '', 'g'))
+             |      / CAST(length(text) AS DOUBLE), 4) AS vowel_ratio
+             |  FROM documents
+             |)
+             |SELECT doc_id, n_tokens, stopword_ratio, unique_ratio, vowel_ratio,
+             |  round(CASE WHEN n_tokens < 5 THEN 0.0
+             |        ELSE 1.0 - abs(stopword_ratio - 0.1)
+             |             - (CASE WHEN unique_ratio < 0.3 THEN 0.3 - unique_ratio ELSE 0.0 END)
+             |        END, 4) AS quality
+             |FROM feat ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Language-ID n-gram heuristic: score = frequency of high-English
+    // character bigrams ('th','he','er','in') per char; classify 'en'
+    // above a threshold. Accuracy vs the labeled lang column, per label.
+    OracleQuery(
+      "text_lang_id",
+      (s, d) => {
+        import s.implicits._
+        val hits = size(expr("regexp_extract_all(text, 'th|he|er|in', 0)"))
+        Tables.documents(s, d)
+          .withColumn("en_score", round(hits / length($"text").cast("double"), 4))
+          .withColumn("pred_lang", when($"en_score" >= 0.02, "en").otherwise("other"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg($"en_score"), 4).as("avg_en_score"),
+            sum(when($"pred_lang" === "en", 1).otherwise(0)).cast("long").as("n_pred_en"))
+          .orderBy($"lang")
+      },
+      Some("""WITH scored AS (
+             |  SELECT lang,
+             |    round(len(regexp_extract_all(text, 'th|he|er|in'))
+             |      / CAST(length(text) AS DOUBLE), 4) AS en_score
+             |  FROM documents
+             |)
+             |SELECT lang, count(*) AS n,
+             |  round(avg(en_score), 4) AS avg_en_score,
+             |  CAST(sum(CASE WHEN en_score >= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+             |FROM scored GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // Document fingerprinting: md5 of the normalized text (lower, collapse
+    // whitespace) — the canonical-form content key used for exact dedup
+    // across formatting variants.
+    OracleQuery(
+      "text_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("fp", md5(lower(regexp_replace(trim($"text"), " +", " "))))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct($"fp").as("n_unique"),
+            min($"fp").as("min_fp"))
+          .orderBy($"source")
+      },
+      Some("""WITH fps AS (
+             |  SELECT source, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+             |  FROM documents
+             |)
+             |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+             |  min(fp) AS min_fp
+             |FROM fps GROUP BY source ORDER BY source""".stripMargin)
+    )
+  )
 }
