@@ -1,5 +1,297 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** End-to-end composites of the reference's pipeline stages, shaped onto
+  * the testdata (events.user_id ≈ station, events.value ≈ temp reading):
+  * the full clean→aggregate daily-max flagship, leakage-free rolling
+  * features, closed-form ridge regression, bucketed sigma with global
+  * fallback, persistence-model evaluation, and walk-forward folds.
+  *
+  * These mirror graft.ops/graft.eval (the weather-schema library); here
+  * they run on the star schema so the DuckDB oracle can check them.
+  */
 object PipelineQueries {
-  def all: Seq[OracleQuery] = Seq()
+
+  private val NY = "America/New_York"
+
+  def all: Seq[OracleQuery] = Seq(
+    // §3.2 flagship composite: QC-clean (dedup keep-first, range
+    // flag+nullify) → tz-correct local day → grouped max / distinct-hour
+    // coverage / bit_or flag propagation → °C→°F — build_daily_tmax.py
+    // end-to-end on events.
+    OracleQuery(
+      "pipe_daily_max",
+      (s, d) => {
+        import s.implicits._
+        val wDedup = Window.partitionBy("user_id", "ts").orderBy("event_id")
+        val cleaned = Tables.events(s, d)
+          .withColumn("rn", row_number().over(wDedup))
+          .filter($"rn" === 1) // D1 keep-first on (user_id, ts)
+          .withColumn("qc_flags",
+            when($"value".isNull, 1).otherwise(0)
+              .bitwiseOR(when($"value" < 0.0 || $"value" > 180.0, 2).otherwise(0)))
+          .withColumn("value_valid",
+            when($"qc_flags".bitwiseAND(lit(2)) === 0, $"value")) // E11/E14
+        val local = cleaned
+          .withColumn("local_ts", from_utc_timestamp($"ts", NY))
+          .withColumn("date_local", date_trunc("DAY", $"local_ts"))
+          .withColumn("hour_valid", when($"value_valid".isNotNull, hour($"local_ts")))
+        local
+          .groupBy($"date_local", $"user_id")
+          .agg(
+            round(max($"value_valid"), 4).as("vmax"),
+            countDistinct($"hour_valid").as("coverage_hours"),
+            expr("bit_or(qc_flags)").cast("int").as("qc_flags"))
+          .filter($"vmax".isNotNull)
+          .withColumn("vmax_f", round($"vmax" * 9.0 / 5.0 + 32.0, 1))
+          .withColumn("low_coverage", ($"coverage_hours" < 18).cast("int"))
+          .orderBy($"date_local", $"user_id")
+      },
+      Some("""WITH dedup AS (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+             |  FROM events
+             |), cleaned AS (
+             |  SELECT user_id, ts,
+             |    (CASE WHEN value IS NULL THEN 1 ELSE 0 END) |
+             |    (CASE WHEN value < 0.0 OR value > 180.0 THEN 2 ELSE 0 END) AS qc_flags,
+             |    CASE WHEN ((CASE WHEN value < 0.0 OR value > 180.0 THEN 2 ELSE 0 END) & 2) = 0
+             |         THEN value END AS value_valid
+             |  FROM dedup WHERE rn = 1
+             |), local AS (
+             |  SELECT user_id, qc_flags, value_valid,
+             |    date_trunc('day', (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS date_local,
+             |    CASE WHEN value_valid IS NOT NULL
+             |         THEN hour((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') END AS hour_valid
+             |  FROM cleaned
+             |), daily AS (
+             |  SELECT date_local, user_id,
+             |    round(max(value_valid), 4) AS vmax,
+             |    count(DISTINCT hour_valid) AS coverage_hours,
+             |    CAST(bit_or(qc_flags) AS INT) AS qc_flags
+             |  FROM local GROUP BY date_local, user_id
+             |)
+             |SELECT date_local, user_id, vmax, coverage_hours, qc_flags,
+             |  round(vmax * 9.0 / 5.0 + 32.0, 1) AS vmax_f,
+             |  CAST(coverage_hours < 18 AS INT) AS low_coverage
+             |FROM daily WHERE vmax IS NOT NULL
+             |ORDER BY date_local, user_id""".stripMargin)
+    ),
+
+    // §2.7 leakage-free training features: trailing bias (7/14), trailing
+    // RMSE (14), expanding sigma, lag-1 persistence — all ending at -1 so
+    // the current row never sees itself; per-user metrics of the features.
+    OracleQuery(
+      "pipe_rolling_features",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val resid = $"value" - 100.0
+        Tables.events(s, d)
+          .withColumn("bias_7", avg(resid).over(w.rowsBetween(-7, -1)))
+          .withColumn("bias_14", avg(resid).over(w.rowsBetween(-14, -1)))
+          .withColumn("rmse_14", sqrt(avg(resid * resid).over(w.rowsBetween(-14, -1))))
+          .withColumn("sigma_exp",
+            stddev_samp(resid).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("lag1", lag($"value", 1).over(w))
+          .groupBy($"user_id")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when($"bias_7".isNull, 1).otherwise(0)).cast("long").as("n_warmup"),
+            round(avg($"bias_7"), 4).as("mean_bias7"),
+            round(avg($"bias_14"), 4).as("mean_bias14"),
+            round(avg($"rmse_14"), 4).as("mean_rmse14"),
+            round(avg($"sigma_exp"), 4).as("mean_sigma"),
+            // exact decimal sum → one double division: summation-order
+            // independent, so no ulp flip at a rounding boundary
+            round(sum(abs($"value" - $"lag1").cast("decimal(25,8)")).cast("double")
+              / count($"lag1"), 4).as("mean_abs_diff"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH feat AS (
+             |  SELECT user_id, value,
+             |    avg(value - 100.0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS bias_7,
+             |    avg(value - 100.0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS bias_14,
+             |    sqrt(avg((value - 100.0) * (value - 100.0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)) AS rmse_14,
+             |    stddev_samp(value - 100.0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sigma_exp,
+             |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag1
+             |  FROM events
+             |)
+             |SELECT user_id, count(*) AS n,
+             |  CAST(sum(CASE WHEN bias_7 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_warmup,
+             |  round(avg(bias_7), 4) AS mean_bias7,
+             |  round(avg(bias_14), 4) AS mean_bias14,
+             |  round(avg(rmse_14), 4) AS mean_rmse14,
+             |  round(avg(sigma_exp), 4) AS mean_sigma,
+             |  round(CAST(sum(CAST(abs(value - lag1) AS DECIMAL(25,8))) AS DOUBLE)
+             |    / count(lag1), 4) AS mean_abs_diff
+             |FROM feat GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // M2 ridge regression, closed form (models.py:82-174 semantics:
+    // sklearn objective ‖y−Xw‖² + α‖w‖², intercept unpenalized). One
+    // feature: slope = Σ(x−x̄)(y−ȳ) / (Σ(x−x̄)² + α), b = ȳ − w·x̄ —
+    // computed exactly via covariance aggregates, then train MAE/RMSE of
+    // the fitted model. No MLlib: deterministic and oracle-checkable.
+    OracleQuery(
+      "pipe_ridge_closed_form",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val stats = li.agg(
+          count(lit(1)).cast("double").as("n"),
+          avg($"l_quantity").as("xbar"),
+          avg($"l_extendedprice").as("ybar"),
+          covar_pop($"l_quantity", $"l_extendedprice").as("sxy_n"),
+          var_pop($"l_quantity").as("sxx_n"))
+          .select($"n", $"xbar", $"ybar",
+            ($"sxy_n" * $"n").as("sxy"), ($"sxx_n" * $"n").as("sxx"))
+          .select($"xbar", $"ybar",
+            ($"sxy" / ($"sxx" + 1.0)).as("w"))
+          .select($"w", ($"ybar" - $"w" * $"xbar").as("b"))
+        li.crossJoin(stats)
+          .select(($"w" * $"l_quantity" + $"b" - $"l_extendedprice").as("e"), $"w", $"b")
+          .groupBy($"w", $"b")
+          .agg(
+            round(avg(abs($"e")), 4).as("train_mae"),
+            round(sqrt(avg($"e" * $"e")), 4).as("train_rmse"))
+          .select(round($"w", 4).as("w"), round($"b", 4).as("b"),
+            $"train_mae", $"train_rmse")
+      },
+      Some("""WITH stats AS (
+             |  SELECT avg(l_quantity) AS xbar, avg(l_extendedprice) AS ybar,
+             |    (covar_pop(l_quantity, l_extendedprice) * count(*)) /
+             |      (var_pop(l_quantity) * count(*) + 1.0) AS w
+             |  FROM lineitem
+             |), model AS (
+             |  SELECT w, ybar - w * xbar AS b FROM stats
+             |), resid AS (
+             |  SELECT w, b, w * l_quantity + b - l_extendedprice AS e
+             |  FROM lineitem CROSS JOIN model
+             |)
+             |SELECT round(w, 4) AS w, round(b, 4) AS b,
+             |  round(avg(abs(e)), 4) AS train_mae,
+             |  round(sqrt(avg(e * e)), 4) AS train_rmse
+             |FROM resid GROUP BY w, b""".stripMargin)
+    ),
+
+    // M7 bucketed sigma with global fallback (uncertainty.py:95-174):
+    // stddev_samp per bucket where n≥10, else the global sigma; floor 1.0.
+    OracleQuery(
+      "pipe_bucketed_sigma",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .withColumn("e", $"value" - 100.0)
+          .withColumn("bucket",
+            when($"value" < 50, "[0,50)").when($"value" < 100, "[50,100)")
+              .when($"value" < 150, "[100,150)").otherwise("[150,inf)"))
+        val global = ev.agg(stddev_samp($"e").as("g_sigma"))
+        val buckets = ev.groupBy($"bucket")
+          .agg(stddev_samp($"e").as("b_sigma"), count(lit(1)).as("n"))
+        buckets.crossJoin(global)
+          .select(
+            $"bucket", $"n",
+            round(greatest(when($"n" >= 10, $"b_sigma").otherwise($"g_sigma"), lit(1.0)), 4)
+              .as("sigma"),
+            ($"n" < 10).cast("int").as("used_fallback"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH ev AS (
+             |  SELECT value - 100.0 AS e,
+             |    CASE WHEN value < 50 THEN '[0,50)' WHEN value < 100 THEN '[50,100)'
+             |         WHEN value < 150 THEN '[100,150)' ELSE '[150,inf)' END AS bucket
+             |  FROM events
+             |), g AS (SELECT stddev_samp(e) AS g_sigma FROM ev),
+             |b AS (
+             |  SELECT bucket, stddev_samp(e) AS b_sigma, count(*) AS n FROM ev GROUP BY bucket
+             |)
+             |SELECT bucket, n,
+             |  round(greatest(CASE WHEN n >= 10 THEN b_sigma ELSE g_sigma END, 1.0), 4) AS sigma,
+             |  CAST(n < 10 AS INT) AS used_fallback
+             |FROM b CROSS JOIN g ORDER BY bucket""".stripMargin)
+    ),
+
+    // M3 + A4: persistence model (ŷ = lag-1 value, zero-filled) evaluated
+    // on the last 15% of each user's series (time-ordered test split —
+    // eval/splits.py semantics, per-station).
+    OracleQuery(
+      "pipe_persistence_eval",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sized = Tables.events(s, d)
+          .withColumn("pred", coalesce(lag($"value", 1).over(w), lit(0.0)))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        sized
+          .filter($"rn" > floor($"n" * 0.85))
+          .withColumn("e", $"value" - $"pred")
+          .groupBy($"user_id")
+          .agg(
+            count(lit(1)).as("n_test"),
+            round(sum(abs($"e").cast("decimal(25,8)")).cast("double") / count($"e"), 4).as("mae"),
+            round(sqrt(sum(($"e" * $"e").cast("decimal(30,8)")).cast("double") / count($"e")), 4).as("rmse"),
+            round(sum($"e".cast("decimal(25,8)")).cast("double") / count($"e"), 4).as("bias"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, value,
+             |    coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS pred,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM events
+             |), test AS (
+             |  SELECT user_id, value - pred AS e FROM seq WHERE rn > floor(n * 0.85)
+             |)
+             |SELECT user_id, count(*) AS n_test,
+             |  round(CAST(sum(CAST(abs(e) AS DECIMAL(25,8))) AS DOUBLE) / count(e), 4) AS mae,
+             |  round(sqrt(CAST(sum(CAST(e * e AS DECIMAL(30,8))) AS DOUBLE) / count(e)), 4) AS rmse,
+             |  round(CAST(sum(CAST(e AS DECIMAL(25,8))) AS DOUBLE) / count(e), 4) AS bias
+             |FROM test GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // O4 walk-forward folds (eval/splits.py:79-157): 4 folds over the
+    // time-ordered frame, train = 60 prior rows, test = next 20; fold
+    // summary proves disjointness and ordering.
+    OracleQuery(
+      "pipe_walkforward_folds",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.orderBy("ts", "event_id")
+        val pos = Tables.events(s, d)
+          .filter($"user_id" < 5)
+          .withColumn("rn", row_number().over(w).cast("long"))
+        val folds = (0 until 4).map { k =>
+          val testStart = 200 + k * 20
+          pos.filter($"rn" > testStart && $"rn" <= testStart + 20)
+            .withColumn("fold", lit(k.toLong))
+            .withColumn("role", lit("test"))
+            .unionByName(
+              pos.filter($"rn" > testStart - 60 && $"rn" <= testStart)
+                .withColumn("fold", lit(k.toLong))
+                .withColumn("role", lit("train")))
+        }.reduce(_ unionByName _)
+        folds.groupBy($"fold", $"role")
+          .agg(count(lit(1)).as("n"), min($"rn").as("min_rn"), max($"rn").as("max_rn"))
+          .orderBy($"fold", $"role")
+      },
+      Some("""WITH pos AS (
+             |  SELECT row_number() OVER (ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE user_id < 5
+             |), folds AS (
+             |  SELECT CAST(f.fold AS BIGINT) AS fold, CASE WHEN pos.rn > 200 + f.fold * 20 THEN 'test' ELSE 'train' END AS role, pos.rn
+             |  FROM pos CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS fold) f
+             |  WHERE pos.rn > 200 + f.fold * 20 - 60 AND pos.rn <= 200 + f.fold * 20 + 20
+             |)
+             |SELECT fold, role, count(*) AS n, min(rn) AS min_rn, max(rn) AS max_rn
+             |FROM folds GROUP BY fold, role ORDER BY fold, role""".stripMargin)
+    )
+  )
 }
