@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.schemas.QcFlags
+
+/** Hourly → daily Tmax: the engine's flagship aggregate.
+  * Mirrors aggregate/build_daily_tmax.py:39-122.
+  *
+  * Timezone semantics: ts_utc is a UTC instant; the local calendar day is
+  * from_utc_timestamp(ts_utc, stationTz) truncated to a date — DST days
+  * of 23/25 local hours group correctly. coverage_hours counts DISTINCT
+  * valid local hours, so sub-hourly data can't inflate it
+  * (build_daily_tmax.py:80-95).
+  *
+  * Scale notes: a single hash aggregate keyed (date_local, station_id)
+  * with map-side partial aggregation; bit_or is the built-in aggregate.
+  * countDistinct over 0–23 is exact and cheap (the distinct expands to
+  * at most 24 values per group before merging).
+  */
+object DailyTmax {
+
+  def apply(
+      hourly: DataFrame,
+      stationTz: String,
+      minCoverageHours: Int = 18,
+      source: String = "noaa_isd",
+      clock: () => java.sql.Timestamp = () => new java.sql.Timestamp(System.currentTimeMillis())): DataFrame = {
+
+    // eligibility: temp present and not flagged out-of-range
+    // (build_daily_tmax.py:75-78)
+    val isValid = col("temp_c").isNotNull &&
+      (col("qc_flags").bitwiseAND(QcFlags.OutOfRange) === 0)
+
+    val localized = hourly
+      .withColumn("local_ts", from_utc_timestamp(col("ts_utc"), stationTz))
+      .withColumn("date_local", to_date(col("local_ts")))
+      .withColumn("temp_valid", when(isValid, col("temp_c")))
+      .withColumn("hour_valid", when(isValid, hour(col("local_ts"))))
+
+    val daily = localized
+      .groupBy(col("date_local"), col("station_id"))
+      .agg(
+        max(col("temp_valid")).as("tmax_c"),
+        countDistinct(col("hour_valid")).cast("int").as("coverage_hours"),
+        expr("bit_or(qc_flags)").as("qc_flags"))
+      .filter(col("tmax_c").isNotNull) // drop days with no valid obs (:115-117)
+
+    daily
+      .withColumn("tmax_f", round(col("tmax_c") * 9.0 / 5.0 + 32.0, 1)) // :102
+      .withColumn("qc_flags", // coverage flags (:108-113)
+        when(col("coverage_hours") < minCoverageHours,
+          col("qc_flags").bitwiseOR(QcFlags.LowCoverage).bitwiseOR(QcFlags.IncompleteDay))
+          .otherwise(col("qc_flags")))
+      .withColumn("source", lit(source))
+      .withColumn("updated_at_utc", lit(clock()))
+      .select("date_local", "station_id", "tmax_c", "tmax_f",
+        "coverage_hours", "source", "qc_flags", "updated_at_utc")
+  }
+}

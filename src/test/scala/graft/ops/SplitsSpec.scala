@@ -1,0 +1,48 @@
+package graft.ops
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Split exactness: 70/15/15 counts, disjointness, temporal ordering
+  * (tests/test_eval.py:73-124). */
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df100 = (0 until 100).map { i =>
+    (i.toLong, Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"))
+  }.toDF("id", "ts")
+
+  test("positional split yields exactly 70/15/15 on 100 rows, disjoint, time-ordered") {
+    val out = Splits.positional(df100, "ts", "id")
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("train" -> 70L, "val" -> 15L, "test" -> 15L))
+    val maxTrain = out.filter($"split" === "train").agg(max("ts")).collect()(0).getTimestamp(0)
+    val minVal = out.filter($"split" === "val").agg(min("ts")).collect()(0).getTimestamp(0)
+    val maxVal = out.filter($"split" === "val").agg(max("ts")).collect()(0).getTimestamp(0)
+    val minTest = out.filter($"split" === "test").agg(min("ts")).collect()(0).getTimestamp(0)
+    assert(maxTrain.before(minVal) && maxVal.before(minTest))
+    assert(out.select("id").distinct().count() == 100) // no dup/loss
+  }
+
+  test("walk-forward folds: trailing window train, disjoint consecutive tests") {
+    val folds = Splits.walkForward(df100, "ts", "id", windowSize = Some(30), stepSize = 10, nFolds = 3)
+    assert(folds.size == 3)
+    val (train0, test0) = folds(0) // last fold: test = rows 91..100
+    assert(test0.count() == 10 && train0.count() == 30)
+    val testIds = folds.flatMap(_._2.select("id").as[Long].collect())
+    assert(testIds.distinct.size == 30) // disjoint across folds
+    val maxTrain0 = train0.agg(max("id")).collect()(0).getLong(0)
+    val minTest0 = test0.agg(min("id")).collect()(0).getLong(0)
+    assert(maxTrain0 < minTest0)
+  }
+
+  test("quantile split approximates fractions without a global window") {
+    val out = Splits.byTimeQuantile(df100, "ts")
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 70L) <= 2)
+    assert(counts.values.sum == 100L)
+  }
+}
