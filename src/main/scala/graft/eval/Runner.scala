@@ -1,0 +1,124 @@
+package graft.eval
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Splits
+
+/** Evaluation runner: split → fit → predict (μ, σ) → metrics → sliced
+  * breakdowns → run artifacts. Mirrors eval/runner.py:64-403 and
+  * eval/report.py:51-287.
+  *
+  * Artifact layout kept identical to the reference:
+  *   runs/<run_id>/meta.json
+  *   runs/<run_id>/comparison.json
+  *   runs/<run_id>/models/<name>/{metrics.json, predictions/ (parquet),
+  *                                residuals/ (parquet)}
+  *
+  * Metrics are tiny (collected scalars); predictions/residuals stay
+  * distributed and are written as parquet directories.
+  */
+object Runner {
+
+  final case class EvalConfig(
+      labelCol: String = "tmax_actual_f",
+      predInputCol: String = "tmax_pred_f",
+      splitFractions: Splits.SplitFractions = Splits.SplitFractions(),
+      timeCol: String = "issue_time_utc",
+      tiebreakCol: String = "target_date_local",
+      sigmaBuckets: Seq[(Int, Int)] = Seq((0, 36), (36, 72), (72, 120)),
+      sigmaFloor: Double = 1.0,
+      minSliceCount: Int = 10)
+
+  final case class ModelResult(name: String, metrics: Metrics.ForecastMetrics,
+      calibration: Map[String, Double])
+
+  /** Evaluate one forecaster end-to-end on a pre-built train table. */
+  def evaluateModel(
+      data: DataFrame,
+      forecaster: Forecaster,
+      cfg: EvalConfig = EvalConfig()): (DataFrame, ModelResult) = {
+    val split = Splits.positional(data, cfg.timeCol, cfg.tiebreakCol, cfg.splitFractions)
+      .cache()
+    val train = split.filter(col("split") === "train")
+    val test = split.filter(col("split") === "test")
+
+    forecaster.fit(train)
+    // uncertainty fitted on TRAIN residuals (runner.py:194-196)
+    val trainResid = train.select(
+      (forecaster.predictMu - col(cfg.labelCol)).as("residual_f"),
+      col("lead_hours"))
+    val sigma = new Uncertainty.BucketedSigma(cfg.sigmaBuckets, floor = cfg.sigmaFloor)
+    sigma.fit(trainResid)
+
+    val predictions = test.select(
+      col("*") +: Seq(
+        forecaster.predictMu.as("y_pred_f"),
+        col(cfg.labelCol).as("y_true_f"),
+        sigma.predictSigma().as("y_pred_sigma_f"),
+        lit(forecaster.name).as("model")): _*)
+
+    val m = Metrics.forecastMetrics(predictions)
+    val cal = Metrics.calibrationMetrics(predictions)
+    (predictions, ModelResult(forecaster.name, m, cal))
+  }
+
+  /** Multi-model comparison: evaluate each, rank ascending by MAE
+    * (report.py:239-283), write artifacts. Returns results in rank order. */
+  def runMultiModel(
+      data: DataFrame,
+      forecasters: Seq[Forecaster],
+      runDir: String,
+      cfg: EvalConfig = EvalConfig()): Seq[ModelResult] = {
+    val results = forecasters.map { f =>
+      val (preds, res) = evaluateModel(data, f, cfg)
+      writeModelArtifacts(runDir, res, preds, cfg)
+      res
+    }
+    val ranked = results.sortBy(_.metrics.mae)
+    writeJson(s"$runDir/comparison.json", comparisonJson(ranked))
+    writeJson(s"$runDir/meta.json",
+      s"""{"models": [${ranked.map(r => q(r.name)).mkString(", ")}], "n_models": ${ranked.size}}""")
+    ranked
+  }
+
+  private def writeModelArtifacts(
+      runDir: String, res: ModelResult, predictions: DataFrame, cfg: EvalConfig): Unit = {
+    val dir = s"$runDir/models/${res.name.replaceAll("[^A-Za-z0-9_()= .-]", "_")}"
+    predictions.write.mode("overwrite").parquet(s"$dir/predictions")
+    predictions
+      .select(
+        (col("y_pred_f") - col("y_true_f")).as("residual_f"),
+        abs(col("y_pred_f") - col("y_true_f")).as("abs_error_f"),
+        pow(col("y_pred_f") - col("y_true_f"), 2).as("sq_error_f"))
+      .write.mode("overwrite").parquet(s"$dir/residuals")
+    writeJson(s"$dir/metrics.json", metricsJson(res))
+  }
+
+  private def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def metricsJson(r: ModelResult): String = {
+    val m = r.metrics
+    val cal = r.calibration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString(", ")
+    s"""{"model": ${q(r.name)}, "n": ${m.n}, "mae": ${m.mae}, "rmse": ${m.rmse},
+       | "bias": ${m.bias}, "std_error": ${m.stdError}, "r2": ${m.r2}, $cal}""".stripMargin
+  }
+
+  private def comparisonJson(ranked: Seq[ModelResult]): String =
+    ranked.zipWithIndex.map { case (r, i) =>
+      s"""{"rank": ${i + 1}, "model": ${q(r.name)}, "mae": ${r.metrics.mae},
+         | "rmse": ${r.metrics.rmse}, "bias": ${r.metrics.bias}, "r2": ${r.metrics.r2}}""".stripMargin
+    }.mkString("[", ",\n", "]")
+
+  private def writeJson(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** S10: load a run back (report.py:349-424). */
+  def loadRun(spark: SparkSession, runDir: String, model: String): DataFrame =
+    spark.read.parquet(s"$runDir/models/$model/predictions")
+}

@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion decoders — SURVEY §2.1 S2–S5, §2.3 E3–E5, E10.
+  *
+  * Each parser is a pure DataFrame transform from the raw text schema to
+  * canonical hourly_obs / daily_tmax_forecast — expression-only (no
+  * UDFs), so Catalyst keeps column pruning + pushdown through the scan
+  * and the whole decode stays in whole-stage codegen.
+  *
+  * Driver-side I/O (HTTP fetch + cache, S6) is intentionally out of the
+  * engine: callers hand paths to `spark.read`.
+  */
+object Ingest {
+
+  /** S2: NOAA ISD CSV — read only {DATE, TMP, LATITUDE, LONGITUDE}, all
+    * as string (noaa_hourly.py:193-207), then decode.
+    * TMP format "+0150,1" → value/10 °C; |raw| >= 9990 → null (E3,
+    * noaa_hourly.py:135-163). */
+  val isdSchema: StructType = StructType(Seq(
+    StructField("DATE", StringType),
+    StructField("TMP", StringType),
+    StructField("LATITUDE", StringType),
+    StructField("LONGITUDE", StringType)))
+
+  def readIsdCsv(spark: SparkSession, path: String, stationId: String): DataFrame =
+    decodeIsd(
+      spark.read.schema(isdSchema).option("header", "true").csv(path),
+      stationId)
+
+  def decodeIsd(raw: DataFrame, stationId: String): DataFrame = {
+    val tmpRaw = expr("try_cast(split(TMP, ',')[0] AS DOUBLE)")
+    raw.select(
+        expr("try_to_timestamp(DATE)").as("ts_utc"), // E5: null on parse failure (ANSI-safe)
+        lit(stationId).as("station_id"),
+        expr("try_cast(LATITUDE AS DOUBLE)").as("lat"), // E4: null-on-fail cast
+        expr("try_cast(LONGITUDE AS DOUBLE)").as("lon"),
+        when(abs(tmpRaw) >= 9990d, lit(null).cast(DoubleType))
+          .otherwise(tmpRaw / 10.0).as("temp_c"),
+        lit("isd").as("source"),
+        lit(0L).as("qc_flags"))
+      .filter(col("ts_utc").isNotNull) // drop unparseable timestamps (P6)
+  }
+
+  /** S3: GHCNh pipe-delimited — headers lowercased/trimmed; datetime and
+    * temperature columns discovered from candidate lists driver-side
+    * (noaa_hourly.py:235-307). Sentinel -9999/empty → null (E3 variant). */
+  val ghcnhDatetimeCandidates: Seq[String] = Seq("datetime", "date_time", "date", "obs_time")
+  val ghcnhTempCandidates: Seq[String] = Seq("temperature", "temp", "tmp", "air_temperature")
+
+  def readGhcnhPsv(spark: SparkSession, path: String, stationId: String): DataFrame = {
+    val raw = spark.read.option("sep", "|").option("header", "true").csv(path)
+    decodeGhcnh(raw, stationId)
+  }
+
+  def decodeGhcnh(raw0: DataFrame, stationId: String): DataFrame = {
+    // header normalization: trim + lowercase (driver-side rename, E17)
+    val raw = raw0.toDF(raw0.columns.map(_.trim.toLowerCase): _*)
+    val dtCol = ghcnhDatetimeCandidates.find(raw.columns.contains)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no datetime column among ${ghcnhDatetimeCandidates.mkString(",")} in ${raw.columns.mkString(",")}"))
+    val tCol = ghcnhTempCandidates.find(raw.columns.contains)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no temperature column among ${ghcnhTempCandidates.mkString(",")} in ${raw.columns.mkString(",")}"))
+    val tempRaw = trim(col(tCol))
+    val parsed = when(tempRaw === "" || tempRaw === "-9999", lit(null).cast(DoubleType))
+      .otherwise(expr(s"try_cast(trim($tCol) AS DOUBLE)"))
+    raw.select(
+        expr(s"try_to_timestamp(`$dtCol`)").as("ts_utc"),
+        lit(stationId).as("station_id"),
+        (if (raw.columns.contains("latitude")) expr("try_cast(latitude AS DOUBLE)") else lit(null).cast(DoubleType)).as("lat"),
+        (if (raw.columns.contains("longitude")) expr("try_cast(longitude AS DOUBLE)") else lit(null).cast(DoubleType)).as("lon"),
+        parsed.as("temp_c"),
+        lit("ghcnh").as("source"),
+        lit(0L).as("qc_flags"))
+      .filter(col("ts_utc").isNotNull)
+  }
+
+  /** S4: Open-Meteo JSON — zip daily.time[] × daily.temperature_2m_max[]
+    * into forecast rows, skipping null temps
+    * (openmeteo_daily_forecast.py:124-189); E10 lead-hours. */
+  def decodeOpenMeteo(
+      response: DataFrame, // schema: daily struct{time: array<string>, temperature_2m_max: array<double>}
+      stationId: String, lat: Double, lon: Double,
+      issueTimeUtc: java.sql.Timestamp, stationTz: String,
+      model: String = "openmeteo"): DataFrame = {
+    response
+      .select(explode(arrays_zip(
+        col("daily.time").as("time"),
+        col("daily.temperature_2m_max").as("tmax"))).as("z"))
+      .select(
+        to_date(col("z.time")).as("target_date_local"),
+        col("z.tmax").cast(DoubleType).as("tmax_pred_c"))
+      .filter(col("tmax_pred_c").isNotNull)
+      .select(
+        lit(stationId).as("station_id"),
+        lit(lat).as("lat"), lit(lon).as("lon"),
+        lit(issueTimeUtc).as("issue_time_utc"),
+        col("target_date_local"),
+        col("tmax_pred_c"),
+        round(col("tmax_pred_c") * 9.0 / 5.0 + 32.0, 1).as("tmax_pred_f"),
+        // E10: floor((local-midnight-in-UTC − issue)/3600), clamped ≥ 0
+        greatest(lit(0L), floor(
+          (unix_timestamp(to_utc_timestamp(col("target_date_local").cast(TimestampType), stationTz))
+            - unix_timestamp(lit(issueTimeUtc))) / 3600.0).cast(LongType)).cast(IntegerType)
+          .as("lead_hours"),
+        lit(model).as("model"),
+        lit("openmeteo").as("source"),
+        lit(issueTimeUtc).as("ingested_at_utc"))
+  }
+
+  /** S5: ERA5 NetCDF grid extract. No Spark NetCDF source offline — the
+    * driver-side extractor selects the nearest grid cell and yields
+    * (ts, kelvin) rows; this transform finishes the job (E2: K→°C).
+    * The extraction callback is injectable (stubbed in tests, real
+    * xarray/netCDF4 equivalent in production). */
+  def fromEra5Rows(
+      spark: SparkSession,
+      rows: Seq[(java.sql.Timestamp, Double)], // (ts_utc, t2m kelvin)
+      stationId: String, lat: Double, lon: Double): DataFrame = {
+    import spark.implicits._
+    rows.toDF("ts_utc", "t2m_k")
+      .select(
+        col("ts_utc"),
+        lit(stationId).as("station_id"),
+        lit(lat).as("lat"), lit(lon).as("lon"),
+        (col("t2m_k") - 273.15).as("temp_c"), // E2
+        lit("era5").as("source"),
+        lit(0L).as("qc_flags"))
+  }
+
+  /** S7: hybrid source routing — pick per-year source by cutoff date and
+    * union the per-source frames (noaa_hourly.py:369-385; ISD before the
+    * cutoff, GHCNh after). Pure path/branch logic + unionByName. */
+  def routeByCutoff(
+      before: DataFrame, after: DataFrame,
+      tsCol: String, cutoff: java.sql.Timestamp): DataFrame = {
+    before.filter(col(tsCol) < lit(cutoff))
+      .unionByName(after.filter(col(tsCol) >= lit(cutoff)))
+  }
+}

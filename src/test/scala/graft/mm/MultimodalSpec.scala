@@ -1,0 +1,54 @@
+package graft.mm
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media = {
+    val rows = Seq(
+      Row(1L, "image", "image/png", 64, 64, null, 100L, Array.tabulate(100)(i => i.toByte)),
+      Row(2L, "video", "video/mp4", 640, 480, 2500L, 1000L, Array.tabulate(50)(i => (i * 2).toByte)),
+      Row(3L, "audio", "audio/wav", null, null, 800L, 64L, Array.emptyByteArray))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r.toSeq: _*))),
+      Multimodal.mediaSchema)
+  }
+
+  test("feature extraction runs per-partition with the stub kernel, fixed dim") {
+    val out = Multimodal.extractFeatures(media, new Multimodal.StubKernel(8))
+      .orderBy("asset_id").collect()
+    assert(out.length == 3)
+    val f1 = out(0).getSeq[Float](2)
+    assert(f1.length == 8)
+    assert(f1.exists(_ != 0f)) // non-trivial features for non-empty payload
+    assert(out(2).getSeq[Float](2).forall(_ == 0f)) // empty payload
+    // determinism
+    val again = Multimodal.extractFeatures(media, new Multimodal.StubKernel(8))
+      .orderBy("asset_id").collect()
+    assert(out.map(_.getSeq[Float](2).toList).toSeq ==
+      again.map(_.getSeq[Float](2).toList).toSeq)
+  }
+
+  test("metadata-only parquet scans prune the payload column (ReadSchema)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir).select("asset_id", "kind", "n_bytes")
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse(plan)
+    assert(!readSchema.contains("payload"), s"payload not pruned: $readSchema")
+  }
+
+  test("frame sampling fans a video row out to per-frame work items without decode") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L).collect()
+    assert(frames.map(_.getLong(1)).toSeq.sorted == Seq(0L, 1000L, 2000L))
+    assert(frames.forall(_.getLong(0) == 2L))
+  }
+
+  test("byte-budget repartitioning bounds per-task payload") {
+    val out = Multimodal.repartitionByByteBudget(media, bytesPerTask = 500L)
+    assert(out.rdd.getNumPartitions >= 2) // 1164 bytes / 500 → ≥2 tasks
+    assert(out.count() == 3)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Streaming daily aggregate: file source → watermark → windowed agg,
+  * drained with AvailableNow; asserts parity with the batch operator. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming daily tmax over a file source matches the batch aggregate") {
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ck").toString
+    val rows = Seq(
+      ("2024-07-01 23:00:00", 30.0), // NY July 1 7pm
+      ("2024-07-02 03:00:00", 35.0), // NY July 1 11pm
+      ("2024-07-02 05:00:00", 25.0)) // NY July 2 1am
+      .map { case (ts, t) =>
+        (Timestamp.valueOf(ts), "KLGA", Option(40.78), Option(-73.87), Option(t), "isd", 0L)
+      }
+    rows.toDF("ts_utc", "station_id", "lat", "lon", "temp_c", "source", "qc_flags")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = Streams.hourlyObsStream(spark, dir)
+    assert(stream.isStreaming)
+    val daily = Streams.dailyTmaxStream(stream, "America/New_York")
+    Streams.runToMemory(daily, "daily_test", ckpt)
+
+    val got = spark.table("daily_test")
+      .orderBy("date_local")
+      .select("date_local", "tmax_c", "coverage_hours")
+      .collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Double]("tmax_c") == 35.0) // local July 1
+    assert(got(1).getAs[Double]("tmax_c") == 25.0) // local July 2
+    assert(got(0).getAs[Int]("coverage_hours") == 2)
+  }
+}
