@@ -1,23 +1,69 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line on stdout:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Headline queries cover every operator family (scan-agg, multiway
+  * join, tz expression, window, grouping sets, dedup/LSH, similarity,
+  * text, pipeline composites). Each query is evaluated through the noop
+  * sink so every output column is computed (count() would let Catalyst
+  * prune work). A warmup run (same plans at sf0.001) amortizes JIT +
+  * codegen compilation out of the measurement, leaving steady-state
+  * engine time — the number that scales to a real cluster.
+  *
+  * SPARK_GRAFT_BENCH_ALL=1 times the full registry instead.
+  */
 object Bench {
+
+  val headline: Seq[String] = Seq(
+    "q1_agg",              // grouped scan aggregate (flagship)
+    "j5_multiway_topk",    // 3-way join + agg + top-k
+    "j3_dim_broadcast",    // broadcast dimension join
+    "e6_tz_local_day",     // timezone-correct local-day grouping
+    "w1_trailing_mean",    // windowed trailing frame
+    "a9_grouping_sets",    // sliced metric fan-out
+    "d1_dedup_keepfirst",  // keyed dedup
+    "dedup_minhash_lsh",   // shingle → minhash → LSH banding
+    "dedup_exact",         // content-hash dedup
+    "sim_cosine_topk",     // brute-force ANN baseline
+    "text_quality_score",  // text heuristics
+    "pipe_daily_max",      // full clean→daily pipeline
+    "pipe_rolling_features", // leakage-free feature windows
+    "pipe_ridge_closed_form") // closed-form model fit
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
+      else headline.filter(SparkEntry.queries.contains)
+
+    def evalFully(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+
+    // warmup at the smallest sf: compiles codegen + JITs the operators
+    val warmupDir = "/root/testdata/sf0.001"
+    names.foreach { n =>
+      try evalFully(n, warmupDir)
+      catch { case _: Throwable => () }
+    }
+
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try evalFully(name, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
