@@ -136,6 +136,25 @@ object TextQueries {
              |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
              |  min(fp) AS min_fp
              |FROM fps GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // Rolling-hash fingerprint via the custom Catalyst expression
+    // graft.functions.RollingHash (native codegen'd byte loop; a Column
+    // combinator can't express it and a UDF would break codegen). The
+    // oracle reproduces the exact polynomial arithmetic in SQL.
+    OracleQuery(
+      "text_rolling_hash",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select($"doc_id", expr("rolling_hash(text)").as("rhash"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, list_reduce(
+             |  list_prepend(0::BIGINT, list_transform(range(1, length(text)+1), i -> ascii(text[i])::BIGINT)),
+             |  (a, c) -> (a * 31 + c) % 1000000007) AS rhash
+             |FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }
