@@ -204,6 +204,31 @@ object ExprQueries {
              |FROM cleaned GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // S4 analogue: JSON field extraction from a semi-structured string
+    // column (the Open-Meteo response shape, openmeteo_daily_forecast.py:
+    // 124-189) — get_json_object keeps the parse inside codegen.
+    OracleQuery(
+      "s4_json_extract",
+      (s, d) => {
+        import s.implicits._
+        val k = get_json_object($"props", "$.k").cast("int")
+        Tables.events(s, d)
+          .select($"event_id", k.as("k"))
+          .filter($"k".isNotNull)
+          .groupBy(($"k" % 10).as("k_mod"))
+          .agg(count(lit(1)).as("cnt"), avg($"k").as("avg_k"))
+          .select($"k_mod", $"cnt", round($"avg_k", 4).as("avg_k"))
+          .orderBy($"k_mod")
+      },
+      Some("""WITH parsed AS (
+             |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |  FROM events
+             |)
+             |SELECT k % 10 AS k_mod, count(*) AS cnt, round(avg(k), 4) AS avg_k
+             |FROM parsed WHERE k IS NOT NULL
+             |GROUP BY k % 10 ORDER BY k_mod""".stripMargin)
+    ),
+
     // E16: month → meteorological season label (eval/slicing.py:87-95).
     OracleQuery(
       "e16_season_label",

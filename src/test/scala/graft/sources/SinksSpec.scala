@@ -1,0 +1,40 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourly sink partitions by station/year and prunes on read") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val df = Seq(
+      (Timestamp.valueOf("2023-07-01 00:00:00"), "KLGA", 20.0),
+      (Timestamp.valueOf("2024-07-01 00:00:00"), "KLGA", 21.0),
+      (Timestamp.valueOf("2024-07-01 00:00:00"), "KJFK", 22.0))
+      .toDF("ts_utc", "station_id", "temp_c")
+    Sinks.writeHourlyObs(df, dir)
+    assert(Files.exists(Paths.get(s"$dir/station_id=KLGA/year=2023")))
+    assert(Files.exists(Paths.get(s"$dir/station_id=KJFK/year=2024")))
+    val read = spark.read.parquet(dir).filter($"station_id" === "KLGA" && $"year" === 2024)
+    assert(read.count() == 1)
+    val plan = read.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("station_id"), s"partition pruning missing: $scanLine")
+  }
+
+  test("forecast append overwrites only the re-ingested issue partition") {
+    val dir = Files.createTempDirectory("graft_fc").toString
+    def part(issue: String, v: Double) = Seq(("KLGA", Timestamp.valueOf(issue), v))
+      .toDF("station_id", "issue_time_utc", "tmax_pred_f")
+    Sinks.appendForecastPartition(part("2024-07-01 12:00:00", 86.0), dir)
+    Sinks.appendForecastPartition(part("2024-07-01 18:00:00", 88.0), dir)
+    // re-ingest the 12:00 issue with corrected data
+    Sinks.appendForecastPartition(part("2024-07-01 12:00:00", 87.0), dir)
+    val out = spark.read.parquet(dir).orderBy("issue_hour")
+      .select("tmax_pred_f").as[Double].collect()
+    assert(out.toSeq == Seq(87.0, 88.0)) // 12:00 replaced, 18:00 untouched
+  }
+}
