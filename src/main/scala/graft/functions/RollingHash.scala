@@ -77,6 +77,7 @@ object RollingHash {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.rollingHashDescriptor)
+    ext.injectFunction(VecDot.descriptor)
   }
 }
 
@@ -90,9 +91,10 @@ object GraftFunctions {
   /** Idempotent imperative registration for sessions built without the
     * extension (tests, Verify, Bench). */
   def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = rollingHashDescriptor
-    if (!spark.sessionState.functionRegistry.functionExists(ident)) {
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    Seq(rollingHashDescriptor, VecDot.descriptor).foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+      }
     }
   }
 

@@ -9,9 +9,9 @@ import graft.core.Tables
   * brute-force cosine top-k as the exact baseline, sign-bit LSH bucketing
   * as the scale path, threshold pair mining, and kNN label regression.
   *
-  * Cosine is computed with codegen'd higher-order functions
-  * (zip_with + aggregate) after casting to double — identical
-  * left-to-right summation in DuckDB keeps results hash-comparable.
+  * Cosine is computed with the native graft.functions.VecDot expression
+  * (double accumulation, left-to-right) — identical summation order in
+  * DuckDB keeps results hash-comparable.
   *
   * Scale notes: brute-force is O(Q·N) — fine for a bounded query set
   * against 100 TB when Q is small and the scan is columnar; the LSH
@@ -21,9 +21,11 @@ import graft.core.Tables
   */
 object SimilarityQueries {
 
-  /** dot(a, b) with elements cast to double. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** dot(a, b) via the native codegen'd graft.functions.VecDot — double
+    * accumulation left-to-right, bit-equal to the HOF spelling
+    * `aggregate(zip_with(...))` it replaces (HOF lambdas run interpreted;
+    * the custom expression is one fused loop). */
+  private def dot(a: String, b: String): String = s"vec_dot($a, $b)"
 
   private def cosineCol: Column =
     expr(s"${dot("a.embedding", "b.embedding")} / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")}))")
@@ -41,6 +43,7 @@ object SimilarityQueries {
       "sim_cosine_topk",
       (s, d) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter($"vec_id" < 20).as("a")
         val corpus = emb.as("b")
@@ -76,6 +79,7 @@ object SimilarityQueries {
       "sim_threshold_pairs",
       (s, d) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
         emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(
@@ -101,6 +105,7 @@ object SimilarityQueries {
       "sim_lsh_buckets",
       (s, d) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         def bucketExpr(col0: String) = (0 until 6)
           .map(j => s"(CASE WHEN CAST(element_at($col0, ${j + 1}) AS DOUBLE) >= 0 THEN ${1 << j} ELSE 0 END)")
           .mkString(" + ")
@@ -142,6 +147,7 @@ object SimilarityQueries {
       "sim_knn_label",
       (s, d) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
         val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
         emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
