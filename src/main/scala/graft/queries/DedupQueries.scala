@@ -74,22 +74,27 @@ object DedupQueries {
       "dedup_ngram_jaccard",
       (s, d) => {
         import s.implicits._
-        val grams = wordTrigrams(Tables.documents(s, d)).distinct()
-        val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-        val shared = grams.as("a")
+        import org.apache.spark.sql.expressions.Window
+        // join on the 60-bit gram hash, not the gram string (smaller
+        // shuffle payload; both engines hash identically), and carry each
+        // doc's gram count through the join via a window instead of two
+        // post-aggregation joins — 3 fewer exchanges.
+        val grams = wordTrigrams(Tables.documents(s, d))
+          .select($"doc_id", expr(h60("gram")).as("gram"))
+          .distinct()
+          .withColumn("n_grams", count(lit(1)).over(Window.partitionBy("doc_id")))
+        grams.as("a")
           .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("shared"))
-        shared
-          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+          .agg(count(lit(1)).as("shared"),
+            first(col("a.n_grams")).as("na"), first(col("b.n_grams")).as("nb"))
           .withColumn("jaccard", round($"shared" / ($"na" + $"nb" - $"shared"), 4))
           .filter($"jaccard" >= 0.5)
           .select($"doc_a", $"doc_b", $"jaccard")
           .orderBy($"doc_a", $"doc_b")
       },
       Some("""WITH grams AS (
-             |  SELECT DISTINCT doc_id, gram FROM (
+             |  SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram FROM (
              |    SELECT doc_id, unnest(list_transform(
              |      generate_series(1, len(string_split(text, ' ')) - 2),
              |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]

@@ -9,9 +9,11 @@ import graft.core.Tables
   * brute-force cosine top-k as the exact baseline, sign-bit LSH bucketing
   * as the scale path, threshold pair mining, and kNN label regression.
   *
-  * Cosine is computed with the native graft.functions.VecDot expression
-  * (double accumulation, left-to-right) — identical summation order in
-  * DuckDB keeps results hash-comparable.
+  * Cosine kernel: the native graft.functions.VecDot expression (fused
+  * codegen loop, double accumulation). Norms are precomputed ONCE per
+  * vector before any pairwise join — the O(N²·d) → O(N²·d/3) win that
+  * matters most at scale; the oracle mirrors the same normed-CTE shape,
+  * and left-to-right summation keeps results hash-comparable.
   *
   * Scale notes: brute-force is O(Q·N) — fine for a bounded query set
   * against 100 TB when Q is small and the scan is columnar; the LSH
@@ -21,21 +23,29 @@ import graft.core.Tables
   */
 object SimilarityQueries {
 
-  /** dot(a, b) via the native codegen'd graft.functions.VecDot — double
-    * accumulation left-to-right, bit-equal to the HOF spelling
-    * `aggregate(zip_with(...))` it replaces (HOF lambdas run interpreted;
-    * the custom expression is one fused loop). */
-  private def dot(a: String, b: String): String = s"vec_dot($a, $b)"
+  /** embeddings + precomputed L2 norm. */
+  private def normed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+  }
 
+  /** pairwise cosine from precomputed norms. */
   private def cosineCol: Column =
-    expr(s"${dot("a.embedding", "b.embedding")} / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")}))")
+    expr("vec_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm"))
 
-  /** DuckDB: explicit dot/norm (list_reduce keeps the same summation
-    * order as Spark's aggregate). */
-  private def duckCos(a: String, b: String): String =
-    s"""(list_reduce(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
-       | / (sqrt(list_reduce(list_transform($a::DOUBLE[], v -> v * v), (x, y) -> x + y))
-       |    * sqrt(list_reduce(list_transform($b::DOUBLE[], v -> v * v), (x, y) -> x + y))))""".stripMargin
+  private val duckDot =
+    "list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)"
+
+  /** DuckDB normed CTE — same precompute shape and summation order. */
+  private val duckNormed =
+    """normed AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], v -> v * v), (x, y) -> x + y)) AS norm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private val duckCosPair = s"($duckDot / (a.norm * b.norm))"
 
   def all: Seq[OracleQuery] = Seq(
     // Brute-force cosine top-5 for a bounded query set (vec_id < 20).
@@ -43,12 +53,10 @@ object SimilarityQueries {
       "sim_cosine_topk",
       (s, d) => {
         import s.implicits._
-        graft.functions.GraftFunctions.register(s)
-        val emb = Tables.embeddings(s, d)
-        val queries = emb.filter($"vec_id" < 20).as("a")
-        val corpus = emb.as("b")
+        val emb = normed(s, d)
         val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-        queries.join(corpus, col("a.vec_id") =!= col("b.vec_id"))
+        emb.filter($"vec_id" < 20).as("a")
+          .join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
           .select(
             col("a.vec_id").as("query_id"),
             col("b.vec_id").as("neighbor_id"),
@@ -58,10 +66,10 @@ object SimilarityQueries {
           .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rn")
           .orderBy($"query_id", $"rn")
       },
-      Some(s"""WITH pairs AS (
+      Some(s"""WITH $duckNormed, pairs AS (
               |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-              |    ${duckCos("a.embedding", "b.embedding")} AS cos
-              |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+              |    $duckCosPair AS cos
+              |  FROM normed a JOIN normed b ON a.vec_id != b.vec_id
               |  WHERE a.vec_id < 20
               |), ranked AS (
               |  SELECT query_id, neighbor_id, cos,
@@ -72,15 +80,14 @@ object SimilarityQueries {
               |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
     ),
 
-    // Near-duplicate pair mining: all pairs above cosine 0.99 (the
+    // Near-duplicate pair mining above a cosine threshold (the
     // embedding-space analogue of dedup). Brute force here; the LSH
     // variant below is the scale path.
     OracleQuery(
       "sim_threshold_pairs",
       (s, d) => {
         import s.implicits._
-        graft.functions.GraftFunctions.register(s)
-        val emb = Tables.embeddings(s, d)
+        val emb = normed(s, d)
         emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(
             col("a.vec_id").as("vec_a"),
@@ -90,10 +97,11 @@ object SimilarityQueries {
           .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
           .orderBy($"vec_a", $"vec_b")
       },
-      Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-              |  round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
-              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-              |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.38
+      Some(s"""WITH $duckNormed
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  round($duckCosPair, 4) AS cos
+              |FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+              |WHERE $duckCosPair >= 0.38
               |ORDER BY vec_a, vec_b""".stripMargin)
     ),
 
@@ -105,11 +113,10 @@ object SimilarityQueries {
       "sim_lsh_buckets",
       (s, d) => {
         import s.implicits._
-        graft.functions.GraftFunctions.register(s)
         def bucketExpr(col0: String) = (0 until 6)
           .map(j => s"(CASE WHEN CAST(element_at($col0, ${j + 1}) AS DOUBLE) >= 0 THEN ${1 << j} ELSE 0 END)")
           .mkString(" + ")
-        val emb = Tables.embeddings(s, d)
+        val emb = normed(s, d)
           .withColumn("bucket", expr(bucketExpr("embedding")).cast("int"))
         val pairs = emb.as("a").join(emb.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -123,13 +130,13 @@ object SimilarityQueries {
             $"mean_cos")
           .orderBy($"bucket")
       },
-      Some(s"""WITH bucketed AS (
-              |  SELECT vec_id, embedding,
+      Some(s"""WITH $duckNormed, bucketed AS (
+              |  SELECT vec_id, embedding, norm,
               |    CAST(${(0 until 6).map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS INT) AS bucket
-              |  FROM embeddings
+              |  FROM normed
               |), pairs AS (
               |  SELECT a.bucket, count(*) AS n_pairs,
-              |    round(avg(${duckCos("a.embedding", "b.embedding")}), 4) AS mean_cos
+              |    round(avg($duckCosPair), 4) AS mean_cos
               |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               |  GROUP BY a.bucket
               |), sizes AS (
@@ -147,8 +154,7 @@ object SimilarityQueries {
       "sim_knn_label",
       (s, d) => {
         import s.implicits._
-        graft.functions.GraftFunctions.register(s)
-        val emb = Tables.embeddings(s, d)
+        val emb = normed(s, d)
         val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
         emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
           .select(
@@ -168,11 +174,11 @@ object SimilarityQueries {
             round(avg(abs($"pred_label" - $"true_label")), 4).as("mae"))
           .orderBy($"true_label")
       },
-      Some(s"""WITH pairs AS (
+      Some(s"""WITH $duckNormed, pairs AS (
               |  SELECT a.vec_id AS query_id, a.label AS true_label, b.vec_id AS neighbor_id,
               |    b.label AS n_label,
-              |    ${duckCos("a.embedding", "b.embedding")} AS cos
-              |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+              |    $duckCosPair AS cos
+              |  FROM normed a JOIN normed b ON a.vec_id != b.vec_id
               |), ranked AS (
               |  SELECT query_id, true_label, n_label,
               |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
