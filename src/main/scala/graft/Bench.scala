@@ -36,8 +36,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Local-mode measurement knob: the sf0.1 tables are single small
+    // parquet files, so a 4 MB split target parallelizes the scans
+    // (a 128 MB default would read each table in one task).
     val spark = graft.core.GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
