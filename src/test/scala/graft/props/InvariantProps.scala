@@ -1,0 +1,85 @@
+package graft.props
+
+import java.sql.Timestamp
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.ops.{CleanHourly, DailyTmax, Splits}
+import graft.functions.RollingHash
+
+/** Property-based invariants over the core operators (small random
+  * frames; 10 cases per property to keep Spark-job count bounded). */
+object InvariantProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.SparkSpec.session
+  import spark.implicits._
+
+  private val tempGen = Gen.chooseNum(-120.0, 120.0) // includes out-of-range
+  private val obsGen = for {
+    n <- Gen.chooseNum(1, 40)
+    temps <- Gen.listOfN(n, tempGen)
+    dups <- Gen.chooseNum(0, 3)
+  } yield {
+    val base = temps.zipWithIndex.map { case (t, i) =>
+      (new Timestamp(1720000000000L + i * 3600000L), "KLGA",
+        Option(40.78), Option(-73.87), Option(t), "isd", 0L)
+    }
+    base ++ base.take(dups) // inject duplicate keys
+  }
+
+  property("dedup yields unique keys and never grows the frame") = forAll(obsGen) { rows =>
+    val df = rows.toDF("ts_utc", "station_id", "lat", "lon", "temp_c", "source", "qc_flags")
+    val out = CleanHourly.dedup(df)
+    val n = out.count()
+    n <= rows.size &&
+      out.select("station_id", "ts_utc").distinct().count() == n
+  }
+
+  property("daily tmax = max of in-range temps per local day; coverage ≤ 24") = forAll(obsGen) { rows =>
+    val df = rows.toDF("ts_utc", "station_id", "lat", "lon", "temp_c", "source", "qc_flags")
+    val cleaned = CleanHourly.flagOutOfRange(CleanHourly.dedup(df))
+    val daily = DailyTmax(cleaned, "America/New_York",
+      clock = () => Timestamp.valueOf("2024-07-15 00:00:00")).collect()
+    val inRange = rows.map(_._5.get).filter(t => t >= -90 && t <= 60)
+    daily.forall { r =>
+      val c = r.getAs[Int]("coverage_hours")
+      c >= 0 && c <= 24
+    } && (daily.isEmpty == inRange.isEmpty) &&
+      (daily.isEmpty || math.abs(daily.map(_.getAs[Double]("tmax_c")).max - inRange.max) < 1e-9)
+  }
+
+  private val splitGen = for {
+    n <- Gen.chooseNum(3, 60)
+  } yield (0 until n).map(i => (i.toLong, new Timestamp(1720000000000L + i * 60000L)))
+
+  property("positional split: exhaustive, disjoint, time-ordered") = forAll(splitGen) { rows =>
+    val df = rows.toDF("id", "ts")
+    val out = Splits.positional(df, "ts", "id").collect()
+    val byLabel = out.groupBy(_.getAs[String]("split"))
+    val n = rows.size
+    val trainN = byLabel.getOrElse("train", Array.empty).length
+    val sum = byLabel.values.map(_.length).sum
+    val maxTrainTs = byLabel.getOrElse("train", Array.empty)
+      .map(_.getAs[Timestamp]("ts").getTime).maxOption.getOrElse(Long.MinValue)
+    val minTestTs = byLabel.getOrElse("test", Array.empty)
+      .map(_.getAs[Timestamp]("ts").getTime).minOption.getOrElse(Long.MaxValue)
+    sum == n && trainN == math.floor(n * 0.7).toInt && maxTrainTs < minTestTs
+  }
+
+  property("rolling hash composes: h(a++b) = (h(a)*31^|b| + h(b)) mod p") =
+    forAll(Gen.alphaStr, Gen.alphaStr) { (a, b) =>
+      val p = RollingHash.Mod
+      def powMod(base: Long, e: Int): Long = {
+        var r = 1L; var i = 0
+        while (i < e) { r = r * base % p; i += 1 }
+        r
+      }
+      val ha = RollingHash.hash(a.getBytes)
+      val hb = RollingHash.hash(b.getBytes)
+      val expected = ((BigInt(ha) * BigInt(powMod(31, b.getBytes.length)) + BigInt(hb)) % BigInt(p)).toLong
+      RollingHash.hash((a + b).getBytes) == expected
+    }
+}
