@@ -132,6 +132,30 @@ object JoinQueries {
              |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin)
     ),
 
+    // As-of join (graft.ops.AsofJoin): each error event picks up the
+    // most recent purchase by the same user at or before its timestamp —
+    // union-and-carry window implementation (one shuffle, bounded state)
+    // vs DuckDB's native ASOF JOIN as the oracle.
+    OracleQuery(
+      "j8_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val errors = ev.filter($"event_type" === "error")
+        val purchases = ev.filter($"event_type" === "purchase")
+        graft.ops.AsofJoin(errors, purchases,
+            keyCols = Seq("user_id"), tsCol = "ts", payload = Seq("value"))
+          .select($"event_id", $"user_id", round($"asof_value", 4).as("asof_value"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH errors AS (SELECT * FROM events WHERE event_type = 'error'),
+             |purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+             |SELECT e.event_id, e.user_id, round(p.value, 4) AS asof_value
+             |FROM errors e ASOF LEFT JOIN purchases p
+             |  ON e.user_id = p.user_id AND e.ts >= p.ts
+             |ORDER BY e.event_id""".stripMargin)
+    ),
+
     // Left outer join with null-aware aggregation: order count per
     // customer including zero-order customers.
     OracleQuery(

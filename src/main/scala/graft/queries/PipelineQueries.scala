@@ -257,6 +257,40 @@ object PipelineQueries {
              |FROM test GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
+    // Sessionization: gap > 30 min starts a new session — the standard
+    // event-stream operator (lag → boundary flag → running sum), one
+    // shuffle on user_id, no state beyond the window.
+    OracleQuery(
+      "pipe_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val seq = Tables.events(s, d)
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_sess",
+            when($"prev_ts".isNull ||
+              (unix_timestamp($"ts") - unix_timestamp($"prev_ts")) > 1800, 1).otherwise(0))
+          .withColumn("session_id",
+            sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        seq.groupBy($"user_id")
+          .agg(max($"session_id").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+             |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |), s AS (
+             |  SELECT user_id,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM seq
+             |)
+             |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+             |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
     // O4 walk-forward folds (eval/splits.py:79-157): 4 folds over the
     // time-ordered frame, train = 60 prior rows, test = next 20; fold
     // summary proves disjointness and ordering.
