@@ -25,7 +25,10 @@ object CleanHourly {
     * order; we order by the tiebreak column — e.g. source or ingest
     * order — to make "first" well-defined under parallel reads). */
   def dedup(df: DataFrame, tiebreak: String = "source"): DataFrame = {
-    val w = Window.partitionBy("station_id", "ts_utc").orderBy(col(tiebreak))
+    // secondary order: prefer a non-null reading over a sentinel/null so
+    // ties on the tiebreak column stay deterministic under parallel reads
+    val w = Window.partitionBy("station_id", "ts_utc")
+      .orderBy(col(tiebreak), col("temp_c").asc_nulls_last)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
