@@ -218,6 +218,58 @@ object AggQueries {
              |ORDER BY slice_type, slice_dow""".stripMargin)
     ),
 
+    // A9b: hierarchical ROLLUP (region → nation subtotals → grand total).
+    OracleQuery(
+      "a12_rollup",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val nat = broadcast(Tables.nation(s, d))
+        val reg = broadcast(Tables.region(s, d))
+        cust.join(nat, $"c_nationkey" === $"n_nationkey")
+          .join(reg, $"n_regionkey" === $"r_regionkey")
+          .rollup($"r_name", $"n_name")
+          .agg(count(lit(1)).as("cnt"), round(sum($"c_acctbal"), 4).as("sum_bal"))
+          .select(
+            coalesce($"r_name", lit("ALL")).as("r_name"),
+            coalesce($"n_name", lit("ALL")).as("n_name"),
+            $"cnt", $"sum_bal")
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+             |  count(*) AS cnt, round(sum(c_acctbal), 4) AS sum_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY r_name, n_name""".stripMargin)
+    ),
+
+    // Set operations (beyond the reference: INTERSECT/EXCEPT breadth).
+    OracleQuery(
+      "o6_set_operations",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val buyers = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
+        val erroring = ev.filter($"event_type" === "error").select($"user_id").distinct()
+        val both = buyers.intersect(erroring).agg(count(lit(1)).as("c"))
+          .select($"c".as("n_both"))
+        val onlyBuy = buyers.except(erroring).agg(count(lit(1)).as("c"))
+          .select($"c".as("n_only_buyers"))
+        both.crossJoin(onlyBuy)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM (
+             |     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+             |     INTERSECT
+             |     SELECT DISTINCT user_id FROM events WHERE event_type = 'error')) AS n_both,
+             |  (SELECT count(*) FROM (
+             |     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+             |     EXCEPT
+             |     SELECT DISTINCT user_id FROM events WHERE event_type = 'error')) AS n_only_buyers""".stripMargin)
+    ),
+
     // A11: model comparison + ranking (eval/report.py:239-283) — per-group
     // metric then rank ascending by MAE with deterministic tiebreak.
     OracleQuery(

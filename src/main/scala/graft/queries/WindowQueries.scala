@@ -147,6 +147,30 @@ object WindowQueries {
                |FROM ranked WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin)
       ),
 
+      // Analytic family: first/last value frames, percent_rank, cume_dist.
+      OracleQuery(
+        "w7_analytic_family",
+        (s, d) => {
+          import s.implicits._
+          val wv = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          Tables.events(s, d)
+            .withColumn("first_v", round(first($"value").over(wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+            .withColumn("running_last", round(last($"value").over(wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+            .withColumn("pr", round(percent_rank().over(wv), 4))
+            .withColumn("cd", round(cume_dist().over(wv), 4))
+            .select($"event_id", $"user_id", $"first_v", $"running_last", $"pr", $"cd")
+            .orderBy($"user_id", $"event_id")
+        },
+        Some("""SELECT event_id, user_id,
+               |  round(first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS first_v,
+               |  round(last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_last,
+               |  round(percent_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS pr,
+               |  round(cume_dist() OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS cd
+               |FROM events ORDER BY user_id, event_id""".stripMargin)
+      ),
+
       // D1: keyed dedup keep-first (clean_hourly.py:40-62) — row_number
       // over (key) ordered by arrival with explicit tiebreak, keep rn=1.
       OracleQuery(
