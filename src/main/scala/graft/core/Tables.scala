@@ -31,6 +31,31 @@ object Tables {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  /** Time-range scan of events with parquet row-group pruning: the range
+    * predicate is applied to the RAW nanos column BEFORE the
+    * long→timestamp conversion (a filter on the converted column cannot
+    * push through the expression — SURVEY §4 / ARCHITECTURE scale notes).
+    */
+  def eventsInRange(
+      spark: SparkSession, sfDir: String,
+      startUtc: String, endUtcExclusive: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    // parse as UTC wall time explicitly (Timestamp.valueOf would use the
+    // JVM default zone)
+    def epochNanos(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+    val lo = epochNanos(startUtc)
+    val hi = epochNanos(endUtcExclusive)
+    df.filter(org.apache.spark.sql.functions.col("ts") >= lo &&
+        org.apache.spark.sql.functions.col("ts") < hi) // pushed: plain long predicate
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")

@@ -66,9 +66,7 @@ object CoreQueries {
       "p2_time_range",
       (s, d) => {
         import s.implicits._
-        Tables.events(s, d)
-          .filter($"ts" >= lit("2024-01-08 00:00:00").cast("timestamp") &&
-            $"ts" < lit("2024-01-22 00:00:00").cast("timestamp"))
+        Tables.eventsInRange(s, d, "2024-01-08 00:00:00", "2024-01-22 00:00:00")
           .groupBy($"event_type")
           .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
           .orderBy($"event_type")
