@@ -24,8 +24,12 @@ object Metrics {
       sqrt(avg(e * e)).as("rmse"),
       avg(e).as("bias"),
       stddev_pop(e).as("std"),
-      (lit(1.0) - avg(e * e) / var_pop(col(yTrue))).as("r2")).collect()(0)
-    def r(i: Int) = BigDecimal(row.getDouble(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // try_divide: R² undefined (→ NaN) for constant truth — a tiny or
+      // degenerate test split must not crash the run under ANSI mode
+      (lit(1.0) - try_divide(avg(e * e), var_pop(col(yTrue)))).as("r2")).collect()(0)
+    def r(i: Int) =
+      if (row.isNullAt(i)) Double.NaN
+      else BigDecimal(row.getDouble(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     ForecastMetrics(row.getLong(0), r(1), r(2), r(3), r(4), r(5))
   }
 

@@ -97,18 +97,22 @@ object Runner {
 
   private def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** NaN/Infinity are not valid JSON — serialize as null. */
+  private def num(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null" else v.toString
+
   private def metricsJson(r: ModelResult): String = {
     val m = r.metrics
     val cal = r.calibration.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${q(k)}: $v" }.mkString(", ")
-    s"""{"model": ${q(r.name)}, "n": ${m.n}, "mae": ${m.mae}, "rmse": ${m.rmse},
-       | "bias": ${m.bias}, "std_error": ${m.stdError}, "r2": ${m.r2}, $cal}""".stripMargin
+      .map { case (k, v) => s"${q(k)}: ${num(v)}" }.mkString(", ")
+    s"""{"model": ${q(r.name)}, "n": ${m.n}, "mae": ${num(m.mae)}, "rmse": ${num(m.rmse)},
+       | "bias": ${num(m.bias)}, "std_error": ${num(m.stdError)}, "r2": ${num(m.r2)}, $cal}""".stripMargin
   }
 
   private def comparisonJson(ranked: Seq[ModelResult]): String =
     ranked.zipWithIndex.map { case (r, i) =>
-      s"""{"rank": ${i + 1}, "model": ${q(r.name)}, "mae": ${r.metrics.mae},
-         | "rmse": ${r.metrics.rmse}, "bias": ${r.metrics.bias}, "r2": ${r.metrics.r2}}""".stripMargin
+      s"""{"rank": ${i + 1}, "model": ${q(r.name)}, "mae": ${num(r.metrics.mae)},
+         | "rmse": ${num(r.metrics.rmse)}, "bias": ${num(r.metrics.bias)}, "r2": ${num(r.metrics.r2)}}""".stripMargin
     }.mkString("[", ",\n", "]")
 
   private def writeJson(path: String, content: String): Unit = {

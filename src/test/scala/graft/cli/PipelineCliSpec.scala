@@ -1,0 +1,44 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+
+/** Drives the CLI subcommands end-to-end through their public entry
+  * (run with an injected session), chaining stage outputs like a
+  * reference user would. */
+class PipelineCliSpec extends SparkSpec {
+
+  test("ingest-clean → build-daily → build-train → eval chain") {
+    val work = Files.createTempDirectory("graft_cli").toString
+    // small raw CSV (10 days hourly)
+    val sb = new StringBuilder("DATE,TMP,LATITUDE,LONGITUDE\n")
+    for (d <- 1 to 10; h <- 0 until 24)
+      sb.append(f"2024-06-$d%02dT$h%02d:00:00,+0${200 + h}%03d,1,40.78,-73.87\n".replace(",1,", ",1,").replaceFirst("\\+0(\\d{3}),1", "+0$1,1"))
+    Files.writeString(Paths.get(s"$work/raw.csv"), sb.toString)
+
+    Pipeline.run(spark, List("ingest-clean", s"$work/raw.csv", "KLGA", s"$work/hourly"))
+    assert(spark.read.parquet(s"$work/hourly").count() == 240)
+
+    Pipeline.run(spark, List("build-daily", s"$work/hourly", "America/New_York", s"$work/daily"))
+    val daily = spark.read.parquet(s"$work/daily")
+    assert(daily.count() >= 10)
+
+    // forecasts = truth + 1.0, issued the prior day
+    import org.apache.spark.sql.functions._
+    daily.select(
+        col("station_id"),
+        (unix_timestamp(col("date_local").cast("timestamp")) - 86400L).cast("timestamp").as("issue_time_utc"),
+        col("date_local").as("target_date_local"),
+        (col("tmax_f") + 1.0).as("tmax_pred_f"),
+        lit(28).as("lead_hours"),
+        lit("openmeteo").as("source"))
+      .write.mode("overwrite").parquet(s"$work/forecast")
+
+    Pipeline.run(spark, List("build-train", s"$work/forecast", s"$work/daily", s"$work/train"))
+    assert(spark.read.parquet(s"$work/train").count() >= 8)
+
+    Pipeline.run(spark, List("eval", s"$work/train", s"$work/run", "passthrough"))
+    assert(Files.exists(Paths.get(s"$work/run/comparison.json")))
+    assert(Files.exists(Paths.get(s"$work/run/models/Passthrough/metrics.json")))
+  }
+}
