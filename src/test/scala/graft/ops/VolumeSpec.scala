@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Volume sanity: the clean→daily path over ~1M generated rows across
+  * 50 stations — no collect of data, one shuffle per stage, results
+  * spot-checked analytically. (Correctness at scale shape, not a
+  * wall-clock benchmark.) */
+class VolumeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clean + daily aggregate over 1M rows / 50 stations") {
+    // 50 stations × ~834 days × 24 h ≈ 1.0M rows, distributed generation
+    val hourly = spark.range(1000000)
+      .select(
+        (col("id") % 50).cast("string").as("station_id"),
+        timestamp_seconds(lit(1577836800L) + (col("id") / 50) * 3600).as("ts_utc"),
+        (lit(15.0) + (col("id") % 20)).as("temp_c"),
+        lit(40.0).as("lat"), lit(-73.0).as("lon"),
+        lit("isd").as("source"), lit(0L).as("qc_flags"))
+      .select("ts_utc", "station_id", "lat", "lon", "temp_c", "source", "qc_flags")
+
+    val daily = DailyTmax(CleanHourly.flagSpikes(CleanHourly.flagOutOfRange(hourly)),
+      "America/New_York",
+      clock = () => java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+
+    val agg = daily.agg(
+      count(lit(1)).as("n"),
+      countDistinct($"station_id").as("n_stations"),
+      max($"tmax_c").as("max_t"),
+      min($"coverage_hours").as("min_cov")).collect()(0)
+    assert(agg.getAs[Long]("n_stations") == 50)
+    // station s sees temps 15 + ((s + 50k) mod 20) = two residues
+    // {s mod 20, (s+10) mod 20} → per-station daily max is
+    // 15 + max of the two; every full-coverage day must hit it exactly
+    val expected = (0 until 50).map { s =>
+      (s.toString, 15.0 + math.max(s % 20, (s + 10) % 20))
+    }.toDF("station_id", "expected_max")
+    val mismatches = daily.filter($"coverage_hours" === 24)
+      .join(expected, "station_id")
+      .filter($"tmax_c" =!= $"expected_max")
+      .count()
+    assert(mismatches == 0)
+    assert(agg.getAs[Double]("max_t") == 34.0) // station 9/19/29/39/49 hits 15+19
+    // ~834 days per station (23/25h DST days shift edges slightly)
+    val n = agg.getAs[Long]("n")
+    assert(n >= 50 * 830 && n <= 50 * 840, s"n=$n")
+  }
+}
