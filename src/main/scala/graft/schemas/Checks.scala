@@ -99,7 +99,9 @@ final class Checks(dataset: String, df: DataFrame) {
         }
         val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         rules.zipWithIndex.flatMap { case ((name, _, _), i) =>
-          val n = row.getLong(2 * i)
+          // SUM over an empty frame is null — an empty dataset passes
+          // every data rule (schemas/validate.py:103-105)
+          val n = if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i)
           if (n > 0) {
             val sample = Option(row.getSeq[String](2 * i + 1)).getOrElse(Seq.empty).filter(_ != null)
             Some(CheckError(dataset, name, n, sample))
