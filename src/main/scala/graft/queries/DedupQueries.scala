@@ -168,6 +168,55 @@ FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b""")
     ),
 
+    // Near-dup CLUSTERING: candidate pairs (same LSH bucket, cosine ≥
+    // 0.3) → connected components via iterative min-label propagation
+    // (graft.ops.ConnectedComponents) — pairs become duplicate groups.
+    // Oracle: DuckDB recursive-CTE transitive closure.
+    OracleQuery(
+      "dedup_components",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        def bucketExpr = (0 until 6)
+          .map(j => s"(CASE WHEN CAST(element_at(embedding, ${j + 1}) AS DOUBLE) >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        val emb = Tables.embeddings(s, d)
+          .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+          .withColumn("bucket", expr(bucketExpr).cast("int"))
+        val edges = emb.as("a").join(emb.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .filter(expr("vec_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")) >= 0.3)
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        val comps = graft.ops.ConnectedComponents(
+          emb.select($"vec_id".as("id")), edges)
+        comps.groupBy($"component".as("comp"))
+          .agg(count(lit(1)).as("size"))
+          .orderBy($"comp")
+      },
+      Some("""WITH RECURSIVE normed AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], v -> v * v), (x, y) -> x + y)) AS norm,
+             |    CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+             |       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+             |       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS INT) AS bucket
+             |  FROM embeddings
+             |), edges AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst
+             |  FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |  WHERE (list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
+             |         / (a.norm * b.norm)) >= 0.3
+             |), undirected AS (
+             |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+             |), reach AS (
+             |  SELECT vec_id AS src, vec_id AS dst FROM normed
+             |  UNION
+             |  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src
+             |)
+             |SELECT comp, count(*) AS size FROM (
+             |  SELECT src, min(dst) AS comp FROM reach GROUP BY src
+             |) GROUP BY comp ORDER BY comp""".stripMargin)
+    ),
+
     // SimHash (16-bit) near-dup: per-word md5-derived bits, majority vote
     // per bit position, pairs within Hamming distance ≤ 3.
     OracleQuery(
