@@ -32,26 +32,31 @@ object AsofJoin {
       tsCol: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The whole right payload travels as ONE struct so a single
+    // last(ignoreNulls) picks the most recent right ROW: null payload
+    // fields of that row are preserved (not skipped for a staler non-null
+    // value), and multiple payload columns can never mix rows — matching
+    // DuckDB ASOF JOIN most-recent-row semantics.
+    val payloadStruct = struct(payload.map(c => col(c).as(c)): _*)
+    val payloadType = right.select(payloadStruct.as("__p")).schema.head.dataType
     // side tag 0 = right, 1 = left: at equal ts the right row sorts first,
     // so `<=` semantics (DuckDB ASOF ON left.ts >= right.ts) hold.
     val taggedRight = right.select(
-      (keyCols.map(col) :+ col(tsCol) :+ lit(0).as("__side")) ++
-        payload.map(c => col(c).as(s"__p_$c")) ++
+      (keyCols.map(col) :+ col(tsCol) :+ lit(0).as("__side") :+ payloadStruct.as("__p")) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
           .map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
-      (keyCols.map(col) :+ col(tsCol) :+ lit(1).as("__side")) ++
-        payload.map(c => lit(null).as(s"__p_$c")) ++
+      (keyCols.map(col) :+ col(tsCol) :+ lit(1).as("__side") :+
+        lit(null).cast(payloadType).as("__p")) ++
         leftCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*)
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) { (df, c) =>
-      df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__p_$c").as(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("__p").getField(c).as(s"asof_$c")): _*)
   }
 }

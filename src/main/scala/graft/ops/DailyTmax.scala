@@ -44,14 +44,18 @@ object DailyTmax {
         max(col("temp_valid")).as("tmax_c"),
         countDistinct(col("hour_valid")).cast("int").as("coverage_hours"),
         expr("bit_or(qc_flags)").as("qc_flags"))
-      .filter(col("tmax_c").isNotNull) // drop days with no valid obs (:115-117)
 
     daily
       .withColumn("tmax_f", round(col("tmax_c") * 9.0 / 5.0 + 32.0, 1)) // :102
-      .withColumn("qc_flags", // coverage flags (:108-113)
-        when(col("coverage_hours") < minCoverageHours,
-          col("qc_flags").bitwiseOR(QcFlags.LowCoverage).bitwiseOR(QcFlags.IncompleteDay))
+      // coverage flags (:107-114): IncompleteDay only when coverage == 0,
+      // LowCoverage alone for 0 < coverage < threshold
+      .withColumn("qc_flags",
+        when(col("coverage_hours") === 0,
+          col("qc_flags").bitwiseOR(QcFlags.IncompleteDay))
+          .when(col("coverage_hours") < minCoverageHours,
+            col("qc_flags").bitwiseOR(QcFlags.LowCoverage))
           .otherwise(col("qc_flags")))
+      .filter(col("tmax_c").isNotNull) // drop days with no valid obs (:115-117)
       .withColumn("source", lit(source))
       .withColumn("updated_at_utc", lit(clock()))
       .select("date_local", "station_id", "tmax_c", "tmax_f",

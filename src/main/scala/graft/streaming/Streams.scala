@@ -35,8 +35,13 @@ object Streams {
     val isValid = col("temp_c").isNotNull &&
       (col("qc_flags").bitwiseAND(graft.schemas.QcFlags.OutOfRange) === 0)
     hourly
-      .withWatermark("ts_utc", watermark)
+      // Derive local_ts FIRST, then watermark it: the windowed aggregation
+      // below groups on local_ts, and watermark metadata does not survive
+      // projection onto a derived column — watermarking ts_utc here would
+      // leave the aggregation unwatermarked (append mode rejected at start,
+      // unbounded state in update mode).
       .withColumn("local_ts", from_utc_timestamp(col("ts_utc"), stationTz))
+      .withWatermark("local_ts", watermark)
       .withColumn("temp_valid", when(isValid, col("temp_c")))
       .withColumn("hour_valid", when(isValid, hour(col("local_ts"))))
       // group by the local calendar day: a 1-day tumbling window over the

@@ -31,6 +31,25 @@ class VecDotSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("mismatched lengths yield null in both eval paths, never a truncated product") {
+    GraftFunctions.register(spark)
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    // codegen path
+    assert(df.select(expr("vec_dot(a, b)")).collect()(0).isNullAt(0))
+    // interpreted path (codegen disabled)
+    val conf = spark.conf
+    val prevWs = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(df.select(expr("vec_dot(a, b)")).collect()(0).isNullAt(0))
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWs)
+      conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
+  }
+
   test("type check rejects non-float arrays") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -35,4 +35,18 @@ class AsofJoinSpec extends SparkSpec {
     val out = AsofJoin(left, right, Seq("user_id"), "ts", Seq("value")).collect()
     assert(out(0).getAs[Double]("asof_value") == 42.0)
   }
+
+  test("carries the whole most-recent row: null payload fields preserved, no row mixing") {
+    val left = Seq((1L, ts("2024-07-01 12:00:00"), 1L)).toDF("user_id", "ts", "event_id")
+    // most recent right row (11:00) has amount=null, tag="new"; the older
+    // row (09:00) has amount=7.0, tag="old". ASOF must carry (null, "new"),
+    // never the staler amount and never a mix of the two rows.
+    val right = Seq(
+      (1L, ts("2024-07-01 09:00:00"), Option(7.0), Option("old")),
+      (1L, ts("2024-07-01 11:00:00"), None: Option[Double], Option("new")))
+      .toDF("user_id", "ts", "amount", "tag")
+    val out = AsofJoin(left, right, Seq("user_id"), "ts", Seq("amount", "tag")).collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_amount")))
+    assert(out(0).getAs[String]("asof_tag") == "new")
+  }
 }

@@ -58,7 +58,9 @@ class DailyTmaxSpec extends SparkSpec {
     assert((flags & QcFlags.SpikeDetected) != 0)
     assert((flags & QcFlags.DuplicateTs) != 0)
     assert((flags & QcFlags.LowCoverage) != 0)   // 2 < 18 hours
-    assert((flags & QcFlags.IncompleteDay) != 0)
+    // IncompleteDay is reserved for coverage == 0 days (which are dropped
+    // with the null-tmax filter) — build_daily_tmax.py:107-114
+    assert((flags & QcFlags.IncompleteDay) == 0)
   }
 
   test("sub-hourly observations do not inflate coverage_hours") {

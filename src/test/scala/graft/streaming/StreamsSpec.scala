@@ -37,4 +37,34 @@ class StreamsSpec extends SparkSpec {
     assert(got(1).getAs[Double]("tmax_c") == 25.0) // local July 2
     assert(got(0).getAs[Int]("coverage_hours") == 2)
   }
+
+  test("runAvailableNow drives the append-mode parquet sink end-to-end") {
+    val dir = Files.createTempDirectory("graft_stream_in2").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ck2").toString
+    val sink = Files.createTempDirectory("graft_stream_out2").toString
+    val rows = Seq(
+      ("2024-07-01 23:00:00", 30.0), // NY July 1 7pm
+      ("2024-07-02 03:00:00", 35.0), // NY July 1 11pm
+      ("2024-07-02 05:00:00", 25.0), // NY July 2 1am
+      ("2024-07-05 12:00:00", 20.0)) // sentinel: advances watermark past Jul 1–2
+      .map { case (ts, t) =>
+        (Timestamp.valueOf(ts), "KLGA", Option(40.78), Option(-73.87), Option(t), "isd", 0L)
+      }
+    rows.toDF("ts_utc", "station_id", "lat", "lon", "temp_c", "source", "qc_flags")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val daily = Streams.dailyTmaxStream(
+      Streams.hourlyObsStream(spark, dir), "America/New_York", watermark = "1 hour")
+    // append mode fails at query start if the aggregation lost its watermark
+    Streams.runAvailableNow(daily, ckpt, sink)
+
+    // append emits only watermark-closed windows: local July 1 and July 2
+    val got = spark.read.parquet(sink)
+      .orderBy("date_local")
+      .select("date_local", "tmax_c", "coverage_hours")
+      .collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Double]("tmax_c") == 35.0)
+    assert(got(1).getAs[Double]("tmax_c") == 25.0)
+  }
 }
