@@ -293,6 +293,39 @@ object AggQueries {
              |SELECT event_type, mae, bias,
              |  CAST(row_number() OVER (ORDER BY mae, event_type) AS INT) AS rank
              |FROM m ORDER BY rank""".stripMargin)
+    ),
+
+    // Salted two-phase aggregation — the skew-mitigation pattern:
+    // l_returnflag has only 3 values, so a single groupBy would funnel
+    // 600k rows (6B at 100 TB) into 3 reducers. Phase 1 aggregates on
+    // (key, salt) spreading each hot key over 8 partitions with map-side
+    // combine; phase 2 merges the 8 partials per key — shuffle volume is
+    // O(keys·salt), not O(rows). Decimal partial sums make the result
+    // independent of summation order, so it equals the oracle's plain
+    // GROUP BY exactly.
+    OracleQuery(
+      "a13_salted_agg",
+      (s, d) => {
+        import s.implicits._
+        val partial = Tables.lineitem(s, d)
+          .withColumn("salt", pmod($"l_orderkey", lit(8)))
+          .groupBy($"l_returnflag", $"salt")
+          .agg(
+            sum($"l_quantity".cast("decimal(25,8)")).as("p_qty"),
+            sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(30,8)")).as("p_rev"),
+            count(lit(1)).as("p_n"))
+        partial.groupBy($"l_returnflag")
+          .agg(
+            round(sum($"p_qty").cast("double"), 4).as("sum_qty"),
+            round(sum($"p_rev").cast("double"), 4).as("sum_revenue"),
+            sum($"p_n").cast("long").as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE), 4) AS sum_qty,
+             |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 4) AS sum_revenue,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     )
   )
 }

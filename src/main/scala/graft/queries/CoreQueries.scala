@@ -250,6 +250,38 @@ object CoreQueries {
              |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
              |     (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
              |  ) AS dup_rows""".stripMargin)
+    ),
+
+    // O6+: deterministic hash sampling — the reproducible subsetting a
+    // training-data pipeline needs (df.sample() is seed+partitioning
+    // dependent; a content-hash gate is stable across engines, runs, and
+    // cluster layouts). Keep ~30% of docs via a 60-bit md5 of doc_id mod
+    // 10 < 3; report per-language kept/total. Pure map-side filter — no
+    // shuffle before the tiny per-stratum aggregate, pushdown-friendly.
+    OracleQuery(
+      "o7_hash_sample",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("keep",
+            (expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)") % 10 < 3)
+              .cast("int"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum($"keep").cast("long").as("n_kept"),
+            round(sum($"keep") / count(lit(1)), 4).as("rate"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_total,
+             |  CAST(sum(keep) AS BIGINT) AS n_kept,
+             |  round(sum(keep) / count(*), 4) AS rate
+             |FROM (
+             |  SELECT lang,
+             |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 3
+             |         THEN 1 ELSE 0 END AS keep
+             |  FROM documents
+             |) GROUP BY lang ORDER BY lang""".stripMargin)
     )
   )
 }

@@ -26,10 +26,14 @@ object PipelineQueries {
       "pipe_daily_max",
       (s, d) => {
         import s.implicits._
-        val wDedup = Window.partitionBy("user_id", "ts").orderBy("event_id")
+        // D1 keep-first on (user_id, ts): min_by hash-aggregation, not a
+        // row_number window — partial (map-side) combine shrinks the
+        // shuffle by the duplicate factor and skips the per-partition
+        // sort, the pattern that wins at 100 TB. Same row survives
+        // (min event_id), so results match the oracle's row_number.
         val cleaned = Tables.events(s, d)
-          .withColumn("rn", row_number().over(wDedup))
-          .filter($"rn" === 1) // D1 keep-first on (user_id, ts)
+          .groupBy($"user_id", $"ts")
+          .agg(min_by($"value", $"event_id").as("value"))
           .withColumn("qc_flags",
             when($"value".isNull, 1).otherwise(0)
               .bitwiseOR(when($"value" < 0.0 || $"value" > 180.0, 2).otherwise(0)))

@@ -147,6 +147,75 @@ object SimilarityQueries {
               |ORDER BY bucket""".stripMargin)
     ),
 
+    // IVF (inverted-file) ANN — the index-structured scale path beyond
+    // flat LSH: 8 deterministic coarse centroids (vec_id 0..7; a k-means
+    // fit would replace them at scale, selection kept deterministic for
+    // the oracle), every vector assigned to its nearest centroid's cell,
+    // queries probe only their nprobe=2 closest cells and brute-force
+    // inside them. Work per query drops from O(N·d) to
+    // O(K·d + N·nprobe/K·d); the candidate join is cell-partitioned, so
+    // at 100 TB each cell's vectors are co-located and the probe never
+    // touches the other K−nprobe cells. Centroids are broadcast.
+    OracleQuery(
+      "sim_ivf_topk",
+      (s, d) => {
+        import s.implicits._
+        val emb = normed(s, d)
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"norm".as("c_norm"))
+        val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+        val assign = emb.select($"vec_id", $"embedding", $"norm")
+          .crossJoin(broadcast(cents))
+          .withColumn("ccos", expr("vec_dot(embedding, c_emb)") / ($"norm" * $"c_norm"))
+          .withColumn("crn", row_number().over(wAssign))
+        val cells = assign.filter($"crn" === 1).select($"vec_id".as("member_id"), $"cid")
+        val probes = assign.filter($"vec_id" < 10 && $"crn" <= 2)
+          .select($"vec_id".as("query_id"), $"cid")
+        val cands = probes.join(cells, "cid")
+          .filter($"member_id" =!= $"query_id")
+          .select($"query_id", $"member_id".as("neighbor_id"))
+        val scored = cands
+          .join(emb.select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"norm".as("q_norm")), "query_id")
+          .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"), $"norm".as("n_norm")), "neighbor_id")
+          .withColumn("cos", expr("vec_dot(q_emb, n_emb)") / ($"q_norm" * $"n_norm"))
+        val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        scored.withColumn("rn", row_number().over(wTop))
+          .filter($"rn" <= 3)
+          .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rn")
+          .orderBy($"query_id", $"rn")
+      },
+      Some(s"""WITH $duckNormed, cents AS (
+              |  SELECT vec_id AS cid, embedding, norm FROM normed WHERE vec_id < 8
+              |), assign AS (
+              |  SELECT v.vec_id, c.cid,
+              |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              |      (list_reduce(list_transform(list_zip(v.embedding::DOUBLE[], c.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
+              |       / (v.norm * c.norm)) DESC, c.cid) AS crn
+              |  FROM normed v CROSS JOIN cents c
+              |), cells AS (
+              |  SELECT vec_id AS member_id, cid FROM assign WHERE crn = 1
+              |), probes AS (
+              |  SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10 AND crn <= 2
+              |), cands AS (
+              |  SELECT p.query_id, m.member_id AS neighbor_id
+              |  FROM probes p JOIN cells m ON p.cid = m.cid
+              |  WHERE m.member_id != p.query_id
+              |), scored AS (
+              |  SELECT c.query_id, c.neighbor_id,
+              |    (list_reduce(list_transform(list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
+              |     / (q.norm * n.norm)) AS cos
+              |  FROM cands c
+              |  JOIN normed q ON q.vec_id = c.query_id
+              |  JOIN normed n ON n.vec_id = c.neighbor_id
+              |), ranked AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
+              |  FROM scored
+              |)
+              |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rn
+              |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin)
+    ),
+
     // kNN label regression (models.py:338-380 kNN shape): predicted label
     // = mean of the 5 nearest neighbors' labels by cosine, excluding self;
     // summarized as mean prediction per true label.

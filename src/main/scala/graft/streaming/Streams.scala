@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 /** Structured Streaming wrappers. The reference is strictly batch
@@ -63,6 +63,37 @@ object Streams {
         round(col("tmax_c") * 9.0 / 5.0 + 32.0, 1).as("tmax_f"),
         col("coverage_hours"),
         col("qc_flags"))
+  }
+
+  /** Streaming EXACT dedup on ingest — the stateful operator an LLM-data
+    * pipeline runs at the front door: emit each document the FIRST time
+    * its content fingerprint is seen, drop every later copy, across
+    * micro-batches and restarts (state lives in the checkpoint).
+    *
+    * flatMapGroupsWithState keyed by md5(text): state is one boolean per
+    * fingerprint, partitioned by key — at 100 TB the state store shards
+    * with the shuffle and never concentrates. Within a batch the
+    * min-doc_id copy survives (deterministic; iterator order isn't).
+    * No timeout: fingerprints are remembered forever, which is the
+    * dedup contract (bound state with a TTL timeout if the corpus has
+    * an expiry horizon). */
+  def dedupDocsStream(docs: DataFrame): Dataset[(Long, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(md5(col("text")).as("fp"), col("doc_id"), col("text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(_._2)
+            Iterator((first._2, first._3))
+          }
+      }
+      .toDF("doc_id", "text").as[(Long, String)]
   }
 
   /** Drain-available-and-stop runner (batch-first engine; streaming is

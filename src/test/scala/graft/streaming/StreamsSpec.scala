@@ -67,4 +67,33 @@ class StreamsSpec extends SparkSpec {
     assert(got(0).getAs[Double]("tmax_c") == 35.0)
     assert(got(1).getAs[Double]("tmax_c") == 25.0)
   }
+
+  test("stateful dedup stream drops duplicates across micro-batches and restarts") {
+    val in = Files.createTempDirectory("graft_dedup_in").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ck").toString
+    val sink = Files.createTempDirectory("graft_dedup_out").toString
+
+    def drain(): Unit = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(in)
+      Streams.runAvailableNow(Streams.dedupDocsStream(docs).toDF(), ckpt, sink)
+    }
+
+    // batch 1: "aaa" twice (doc 2 and 5 — min doc_id wins), "bbb" once
+    Seq((5L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    drain()
+    val first = spark.read.parquet(sink).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(first == Set((2L, "aaa"), (3L, "bbb")))
+
+    // batch 2 (separate query start, same checkpoint): "aaa" again must
+    // stay dropped — the fingerprint state survived in the checkpoint —
+    // and only the new "ccc" is emitted.
+    Seq((7L, "aaa"), (8L, "ccc")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    drain()
+    val all = spark.read.parquet(sink).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all == Set((2L, "aaa"), (3L, "bbb"), (8L, "ccc")))
+  }
 }
