@@ -326,6 +326,30 @@ object AggQueries {
              |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 4) AS sum_revenue,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Sketch-based distinct counting — the 100 TB cardinality path:
+    // HyperLogLog++ (approx_count_distinct) is one pass, fixed memory
+    // per group, mergeable across partitions; exact countDistinct
+    // expands every distinct value through the shuffle. Reported next
+    // to the exact count with the realized relative error. The sketch
+    // is engine-specific, so there is no DuckDB oracle (driver records
+    // the rows-only check); determinism across runs still holds — HLL
+    // register merge is a commutative max.
+    OracleQuery(
+      "a14_approx_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(
+            countDistinct($"user_id").as("exact_users"),
+            approx_count_distinct($"user_id", 0.05).as("approx_users"))
+          .withColumn("rel_err",
+            round(abs($"approx_users" - $"exact_users") / $"exact_users", 4))
+          .orderBy($"event_type")
+      },
+      None
     )
   )
 }

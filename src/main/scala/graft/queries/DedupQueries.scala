@@ -24,23 +24,8 @@ object DedupQueries {
     * ('0x' || substr(md5(x),1,15))::BIGINT. */
   private def h60(c: String): String = s"CAST(conv(substr(md5($c), 1, 15), 16, 10) AS BIGINT)"
 
-  /** Word 3-gram shingles as (doc_id, gram) rows. posexplode carries the
-    * split array alongside each position, so the gram is assembled with
-    * element_at(ws, pos+k) — pure codegen'd expressions, NO window and
-    * therefore no shuffle+sort (the earlier lead()-window variant paid
-    * one exchange here; a transform() HOF is ~5× slower again since HOF
-    * lambdas are interpreted). Docs with <3 words drop out via the pos
-    * bound. Gram strings are byte-identical to the oracle's
-    * list_transform formulation. */
-  private def wordTrigrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("ws"), posexplode(col("ws")).as(Seq("pos", "w")))
-      .filter(col("pos") <= size(col("ws")) - 3)
-      .select(col("doc_id"), concat_ws(" ",
-        col("w"),
-        element_at(col("ws"), col("pos") + 2),
-        element_at(col("ws"), col("pos") + 3)).as("gram"))
+  private def wordTrigrams(docs: org.apache.spark.sql.DataFrame) =
+    Shingles.wordTrigrams(docs)
 
   def all: Seq[OracleQuery] = Seq(
     // Exact dedup by content hash: fingerprint = md5(text), keep the

@@ -182,6 +182,50 @@ object JoinQueries {
              |SELECT n_orders, count(*) AS n_customers,
              |  round(sum(sum_price), 4) AS total_price
              |FROM per_cust GROUP BY n_orders ORDER BY n_orders""".stripMargin)
+    ),
+
+    // True range join: point-in-interval — each lineitem row lands in the
+    // calendar quarter whose [start, end) contains its ship timestamp.
+    // The interval side is tiny (28 rows) and BROADCAST, so the fact side
+    // never shuffles and each row scans the handful of intervals in the
+    // broadcast nested-loop — the right physical shape whenever the
+    // interval table fits in memory (at 100 TB the fact scan stays
+    // embarrassingly parallel). Decimal sums keep it order-independent.
+    OracleQuery(
+      "j9_range_join",
+      (s, d) => {
+        import s.implicits._
+        val quarters = (1995 to 2001).flatMap { y =>
+          (1 to 4).map { q =>
+            val startM = (q - 1) * 3 + 1
+            val (endY, endM) = if (q == 4) (y + 1, 1) else (y, q * 3 + 1)
+            (s"${y}Q$q",
+              java.sql.Timestamp.valueOf(f"$y-$startM%02d-01 00:00:00"),
+              java.sql.Timestamp.valueOf(f"$endY-$endM%02d-01 00:00:00"))
+          }
+        }.toDF("quarter", "q_start", "q_end")
+        Tables.lineitem(s, d)
+          .join(broadcast(quarters),
+            $"l_shipdate" >= $"q_start" && $"l_shipdate" < $"q_end")
+          .groupBy($"quarter")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum($"l_quantity".cast("decimal(25,8)")).cast("double"), 4).as("sum_qty"))
+          .orderBy($"quarter")
+      },
+      Some("""WITH quarters AS (
+             |  SELECT CAST(y AS VARCHAR) || 'Q' || CAST(q AS VARCHAR) AS quarter,
+             |    make_date(y, (q - 1) * 3 + 1, 1)::TIMESTAMP AS q_start,
+             |    (CASE WHEN q = 4 THEN make_date(y + 1, 1, 1)
+             |          ELSE make_date(y, q * 3 + 1, 1) END)::TIMESTAMP AS q_end
+             |  FROM (SELECT unnest(generate_series(1995, 2001)) AS y) ys
+             |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS q) qs
+             |)
+             |SELECT quarter, count(*) AS n,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE), 4) AS sum_qty
+             |FROM lineitem JOIN quarters
+             |  ON l_shipdate >= q_start AND l_shipdate < q_end
+             |GROUP BY quarter ORDER BY quarter""".stripMargin)
     )
   )
 }

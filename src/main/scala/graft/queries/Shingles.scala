@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared word-shingle builder for the dedup and text-quality queries. */
+private[queries] object Shingles {
+
+  /** Word 3-gram shingles as (doc_id, gram) rows. posexplode carries the
+    * split array alongside each position, so the gram is assembled with
+    * element_at(ws, pos+k) — pure codegen'd expressions, NO window and
+    * therefore no shuffle+sort (a lead()-window variant pays one
+    * exchange here; a transform() HOF is ~5× slower again since HOF
+    * lambdas are interpreted). Docs with <3 words drop out via the pos
+    * bound. Gram strings are byte-identical to the oracle's
+    * list_transform formulation. */
+  def wordTrigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .filter(col("pos") <= size(col("ws")) - 3)
+      .select(col("doc_id"), concat_ws(" ",
+        col("w"),
+        element_at(col("ws"), col("pos") + 2),
+        element_at(col("ws"), col("pos") + 3)).as("gram"))
+
+  /** The DuckDB spelling of the same trigrams (oracle-side CTE body). */
+  val duckTrigrams: String =
+    """SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+      |  )) AS gram
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3""".stripMargin
+}

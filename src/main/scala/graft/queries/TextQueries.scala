@@ -155,6 +155,33 @@ object TextQueries {
              |  list_prepend(0::BIGINT, list_transform(range(1, length(text)+1), i -> ascii(text[i])::BIGINT)),
              |  (a, c) -> (a * 31 + c) % 1000000007) AS rhash
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // In-document repetition (Gopher-style quality rule): fraction of
+    // word trigrams that are duplicates of an earlier trigram in the
+    // SAME document. Repetitive boilerplate scores high and gets
+    // filtered before training. One explode + one hash aggregate per
+    // doc — no joins, map-side partial combine, scales linearly.
+    OracleQuery(
+      "text_repetition",
+      (s, d) => {
+        import s.implicits._
+        Shingles.wordTrigrams(Tables.documents(s, d))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_grams"),
+            countDistinct($"gram").as("n_distinct"))
+          .withColumn("dup_frac", round(lit(1) - $"n_distinct" / $"n_grams", 4))
+          .withColumn("repetitive", ($"dup_frac" > 0.2).cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH grams AS (
+              |  ${Shingles.duckTrigrams}
+              |)
+              |SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+              |  round(1 - count(DISTINCT gram) / count(*), 4) AS dup_frac,
+              |  CAST(round(1 - count(DISTINCT gram) / count(*), 4) > 0.2 AS INT) AS repetitive
+              |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }
