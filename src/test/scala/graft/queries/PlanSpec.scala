@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the plan properties the 100 TB design
+  * depends on are pinned here so a regression fails a test, not a
+  * benchmark. (`executedPlan` under AQE prints the initial physical
+  * plan — join strategy, exchanges, scan pushdown are all visible.) */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("dimension joins are broadcast-hash, never sort-merge") {
+    val p = plan(Registry.queries("j3_dim_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("range join is a broadcast nested-loop over the interval table") {
+    val p = plan(Registry.queries("j9_range_join")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("time-range predicate and projection reach the parquet scan") {
+    import spark.implicits._
+    val df = graft.core.Tables.orders(spark, sf)
+      .filter($"o_orderdate" >= java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      .select($"o_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"))
+    val readSchema = p.substring(p.indexOf("ReadSchema"))
+    assert(readSchema.contains("o_orderkey") && !readSchema.contains("o_totalprice"))
+  }
+
+  test("trigram shingling is a single stage: no exchange, no sort") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val p = plan(Shingles.wordTrigrams(docs))
+    assert(!p.contains("Exchange"))
+    assert(!p.contains("Sort"))
+  }
+
+  test("flagship aggregate keeps map-side partial aggregation and codegen") {
+    val df = Registry.queries("q1_agg")(spark, sf)
+    assert("HashAggregate".r.findAllIn(plan(df)).size >= 2) // partial + final
+    // codegen is only visible in the FINAL adaptive plan, as *(n) stage
+    // markers on the operators inside each whole-stage-codegen region
+    df.collect()
+    val fin = plan(df)
+    assert(fin.contains("isFinalPlan=true"))
+    assert(fin.contains("*(1) HashAggregate") || fin.contains("WholeStageCodegen"))
+  }
+}
