@@ -203,8 +203,15 @@ ORDER BY doc_a, doc_b""")
              |) GROUP BY comp ORDER BY comp""".stripMargin)
     ),
 
-    // SimHash (16-bit) near-dup: per-word md5-derived bits, majority vote
-    // per bit position, pairs within Hamming distance ≤ 3.
+    // SimHash (32-bit) near-dup: per-word md5-derived bits, majority vote
+    // per bit position, pairs within Hamming distance ≤ 3. Candidate
+    // generation is BANDED, not all-pairs: split the hash into 4 bytes —
+    // two hashes within Hamming 3 differ in ≤3 bits, so by pigeonhole at
+    // least one byte matches exactly. Join on (band index, band value),
+    // dedup candidates, then verify exact Hamming. Identical result to
+    // the N² compare, but pair count scales with bucket occupancy — the
+    // same banding trade as MinHash-LSH, and the only shape that
+    // survives 100 TB. (The oracle stays brute-force N²: same answer.)
     OracleQuery(
       "dedup_simhash",
       (s, d) => {
@@ -219,11 +226,18 @@ ORDER BY doc_a, doc_b""")
         val sim = sums.select($"doc_id",
           (0 until 32).map(j => expr(s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"))
             .reduce(_ + _).cast("long").as("simhash"))
-        sim.as("a")
-          .join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)").cast("int"))
+        // band key packs (index, byte value) into one int: j*256 + byte_j
+        val bands = sim.select($"doc_id", $"simhash",
+          explode(array((0 until 4).map(j =>
+            (lit(j * 256) + shiftright($"simhash", 8 * j).bitwiseAND(255)).cast("int")): _*)).as("band"))
+        bands.as("a")
+          .join(bands.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+          .distinct() // a pair can collide in several bands
+          .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("int"))
           .filter($"hamming" <= 3)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), $"hamming")
+          .select($"doc_a", $"doc_b", $"hamming")
           .orderBy($"doc_a", $"doc_b")
       },
       Some("""WITH words AS (

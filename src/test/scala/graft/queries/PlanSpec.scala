@@ -19,10 +19,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("range join is a broadcast nested-loop over the interval table") {
+  test("range join is a broadcast HASH join on the bucket equi-prefix") {
+    // intervals bucketed by year ⇒ hash probe + residual range filter,
+    // not a nested-loop over every interval
     val p = plan(Registry.queries("j9_range_join")(spark, sf))
-    assert(p.contains("BroadcastNestedLoopJoin"))
-    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
   test("time-range predicate and projection reach the parquet scan") {
