@@ -26,6 +26,25 @@ object Sinks {
   def writeDaily(df: DataFrame, dir: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy("station_id").parquet(dir)
 
+  /** Bucketed layout for co-located joins: both sides of a recurring
+    * fact⋈fact join written with the SAME bucket count on the SAME key
+    * hash-place matching keys in matching buckets, so the join reads
+    * bucket i ⋈ bucket i with NO exchange on either side — the shuffle
+    * is paid once at write time, then amortized over every later join.
+    * This is the disk-layout analogue of the reference's per-station
+    * directory scheme, and the dominant cost lever for repeated joins at
+    * 100 TB. Requires saveAsTable (bucket metadata lives in the
+    * catalog). */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Forecast parts keyed by issue time (the reference's
     * part-YYYY-MM-DDTHH.parquet, openmeteo_daily_forecast.py:270-274):
     * dynamic-partition append — re-ingesting one issue hour overwrites

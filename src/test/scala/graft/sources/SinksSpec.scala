@@ -37,4 +37,26 @@ class SinksSpec extends SparkSpec {
       .select("tmax_pred_f").as[Double].collect()
     assert(out.toSeq == Seq(87.0, 88.0)) // 12:00 replaced, 18:00 untouched
   }
+
+  test("bucketed tables join co-located: no exchange on either side") {
+    val left = (1 to 200).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "rv")
+    Sinks.writeBucketed(left, "bkt_left", "k", 4, sortCols = Seq("k"))
+    Sinks.writeBucketed(right, "bkt_right", "k", 4, sortCols = Seq("k"))
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      assert(joined.count() == 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the write-time bucketing satisfies the join's distribution
+      // requirement on BOTH sides: shuffle paid once at write, never again
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
 }
