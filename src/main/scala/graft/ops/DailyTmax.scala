@@ -15,8 +15,12 @@ import graft.schemas.QcFlags
   *
   * Scale notes: a single hash aggregate keyed (date_local, station_id)
   * with map-side partial aggregation; bit_or is the built-in aggregate.
-  * countDistinct over 0–23 is exact and cheap (the distinct expands to
-  * at most 24 values per group before merging).
+  * coverage_hours is computed as bit_count(bit_or(1 << hour)) — hours
+  * are bounded 0–23, so the distinct-hour count collapses into a
+  * 24-bit set OR'd per group. Unlike countDistinct (which expands to a
+  * two-phase aggregate with an extra exchange), the bitset is a plain
+  * single-pass aggregate — one shuffle for the whole daily build — and
+  * it is exact, deterministic, and streaming-legal.
   */
 object DailyTmax {
 
@@ -42,7 +46,8 @@ object DailyTmax {
       .groupBy(col("date_local"), col("station_id"))
       .agg(
         max(col("temp_valid")).as("tmax_c"),
-        countDistinct(col("hour_valid")).cast("int").as("coverage_hours"),
+        coalesce(bit_count(expr("bit_or(shiftleft(1L, hour_valid))")), lit(0))
+          .cast("int").as("coverage_hours"),
         expr("bit_or(qc_flags)").as("qc_flags"))
 
     daily

@@ -47,7 +47,12 @@ object PipelineQueries {
           .groupBy($"date_local", $"user_id")
           .agg(
             round(max($"value_valid"), 4).as("vmax"),
-            countDistinct($"hour_valid").as("coverage_hours"),
+            // distinct hours via a 24-bit set: bit_count(bit_or(1<<hour))
+            // is a plain single-pass aggregate, where countDistinct
+            // expands into a second aggregate + exchange (oracle keeps
+            // count(DISTINCT) — identical value for hours 0..23)
+            coalesce(bit_count(expr("bit_or(shiftleft(1L, hour_valid))")), lit(0))
+              .cast("long").as("coverage_hours"),
             expr("bit_or(qc_flags)").cast("int").as("qc_flags"))
           .filter($"vmax".isNotNull)
           .withColumn("vmax_f", round($"vmax" * 9.0 / 5.0 + 32.0, 1))

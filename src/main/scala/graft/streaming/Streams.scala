@@ -51,10 +51,12 @@ object Streams {
         col("station_id"))
       .agg(
         max(col("temp_valid")).as("tmax_c"),
-        // approx_count_distinct instead of exact countDistinct: exact
-        // distinct isn't supported in streaming aggregates; hours are
-        // 0–23 so the sketch is effectively exact at rsd=0.01
-        approx_count_distinct(col("hour_valid"), 0.01).cast("int").as("coverage_hours"),
+        // exact distinct isn't supported in streaming aggregates, but
+        // hours are bounded 0–23, so the distinct-hour count is a 24-bit
+        // set: bit_or(1 << hour) merges per-batch partials exactly —
+        // EXACT coverage, same value as the batch operator
+        coalesce(bit_count(expr("bit_or(shiftleft(1L, hour_valid))")), lit(0))
+          .cast("int").as("coverage_hours"),
         expr("bit_or(qc_flags)").as("qc_flags"))
       .select(
         to_date(col("day.start")).as("date_local"),

@@ -46,6 +46,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort"))
   }
 
+  test("daily pipeline stays at two shuffles: dedup + daily aggregate") {
+    // coverage_hours uses the bit_or(1 << hour) bitset, not countDistinct
+    // (whose rewrite would add a third exchange for the distinct phase)
+    val p = plan(Registry.queries("pipe_daily_max")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("flagship aggregate keeps map-side partial aggregation and codegen") {
     val df = Registry.queries("q1_agg")(spark, sf)
     assert("HashAggregate".r.findAllIn(plan(df)).size >= 2) // partial + final
