@@ -86,6 +86,23 @@ object Multimodal {
     media.repartition(nParts)
   }
 
+  /** Resize plan for images: compute output dimensions that fit inside
+    * maxDim preserving aspect ratio — pure column expressions over the
+    * width/height metadata, so the planner sees which rows are no-ops
+    * (already small enough) BEFORE any payload byte is read; only
+    * needs_resize rows feed the (pluggable, stubbed) pixel kernel. The
+    * rounding is floor(dim * scale), never below 1. */
+  def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(
+      lit(1.0),
+      lit(maxDim.toDouble) / greatest(col("width"), col("height")))
+    media
+      .filter(col("kind") === "image" && col("width").isNotNull && col("height").isNotNull)
+      .withColumn("out_w", greatest(lit(1L), floor(col("width") * scale)).cast("long"))
+      .withColumn("out_h", greatest(lit(1L), floor(col("height") * scale)).cast("long"))
+      .withColumn("needs_resize", (col("out_w") =!= col("width")) || (col("out_h") =!= col("height")))
+  }
+
   /** Frame-sampling plan for video: rows (asset_id, frame_idx) for every
     * nth frame — the explode that fans a video row out to per-frame work
     * items WITHOUT decoding (duration-based), so the decode stage

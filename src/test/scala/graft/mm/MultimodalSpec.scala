@@ -40,6 +40,17 @@ class MultimodalSpec extends SparkSpec {
     assert(!readSchema.contains("payload"), s"payload not pruned: $readSchema")
   }
 
+  test("resize plan computes aspect-preserving dims from metadata only") {
+    val out = Multimodal.resizePlan(media, maxDim = 32).collect()
+    // only the image row (64x64) qualifies; 64x64 → 32x32, needs resize
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("out_w") == 32L && out(0).getAs[Long]("out_h") == 32L)
+    assert(out(0).getAs[Boolean]("needs_resize"))
+    // already within budget → no-op flagged, dims unchanged
+    val noop = Multimodal.resizePlan(media, maxDim = 100).collect()
+    assert(noop(0).getAs[Long]("out_w") == 64L && !noop(0).getAs[Boolean]("needs_resize"))
+  }
+
   test("frame sampling fans a video row out to per-frame work items without decode") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L).collect()
     assert(frames.map(_.getLong(1)).toSeq.sorted == Seq(0L, 1000L, 2000L))
