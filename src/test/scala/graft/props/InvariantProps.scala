@@ -69,6 +69,54 @@ object InvariantProps extends Properties("graft") {
     sum == n && trainN == math.floor(n * 0.7).toInt && maxTrainTs < minTestTs
   }
 
+  property("bitset coverage = exact distinct valid local hours per day") = forAll(obsGen) { rows =>
+    val df = rows.toDF("ts_utc", "station_id", "lat", "lon", "temp_c", "source", "qc_flags")
+    val daily = DailyTmax(df, "America/New_York",
+      clock = () => Timestamp.valueOf("2024-07-15 00:00:00")).collect()
+    val zone = java.time.ZoneId.of("America/New_York")
+    // independent reference: distinct local hours per local date (all rows
+    // here are flag-clean, so validity = temp present)
+    val expected = rows
+      .map(r => r._1.toInstant.atZone(zone))
+      .groupBy(_.toLocalDate)
+      .map { case (d, zs) => d.toString -> zs.map(_.getHour).distinct.size }
+    daily.forall { r =>
+      expected(r.getAs[java.sql.Date]("date_local").toString) ==
+        r.getAs[Int]("coverage_hours")
+    } && daily.length == expected.size
+  }
+
+  private val asofGen = for {
+    nl <- Gen.chooseNum(1, 15)
+    nr <- Gen.chooseNum(0, 15)
+    lrows <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0, 50)))
+    rkeys <- Gen.listOfN(nr, Gen.chooseNum(1L, 3L))
+  } yield {
+    val left = lrows.zipWithIndex.map { case ((k, t), i) =>
+      (k, new Timestamp(1720000000000L + t * 60000L), i.toLong)
+    }
+    // right (key, ts) pairs made unique: equal-ts duplicates within a key
+    // would make "the most recent row" ill-defined
+    val right = rkeys.zipWithIndex.map { case (k, i) =>
+      (k, new Timestamp(1720000000000L + (i * 7 % 50) * 60000L), i * 1.5)
+    }.distinctBy(r => (r._1, r._2))
+    (left, right)
+  }
+
+  property("asof join carries exactly the most recent right row per key") = forAll(asofGen) {
+    case (lrows, rrows) =>
+      val left = lrows.toDF("k", "ts", "event_id")
+      val right = rrows.toDF("k", "ts", "v")
+      val out = graft.ops.AsofJoin(left, right, Seq("k"), "ts", Seq("v"))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+      lrows.forall { case (k, lts, id) =>
+        val expected = rrows.filter(r => r._1 == k && !r._2.after(lts))
+          .sortBy(_._2.getTime).lastOption.map(_._3)
+        out(id) == expected
+      }
+  }
+
   property("rolling hash composes: h(a++b) = (h(a)*31^|b| + h(b)) mod p") =
     forAll(Gen.alphaStr, Gen.alphaStr) { (a, b) =>
       val p = RollingHash.Mod
