@@ -60,20 +60,22 @@ object DedupQueries {
       "dedup_ngram_jaccard",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         // join on the 60-bit gram hash, not the gram string (smaller
-        // shuffle payload; both engines hash identically), and carry each
-        // doc's gram count through the join via a window instead of two
-        // post-aggregation joins — 3 fewer exchanges.
+        // shuffle payload; both engines hash identically). Per-doc gram
+        // counts are a tiny O(docs) table BROADCAST onto the pair
+        // aggregate — the wide gram⋈gram join stays as narrow as
+        // possible (doc_id, gram only), which is what matters when the
+        // gram table is the 100 TB side.
         val grams = wordTrigrams(Tables.documents(s, d))
           .select($"doc_id", expr(h60("gram")).as("gram"))
           .distinct()
-          .withColumn("n_grams", count(lit(1)).over(Window.partitionBy("doc_id")))
+        val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
         grams.as("a")
           .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("shared"),
-            first(col("a.n_grams")).as("na"), first(col("b.n_grams")).as("nb"))
+          .agg(count(lit(1)).as("shared"))
+          .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na"))), "doc_a")
+          .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb"))), "doc_b")
           .withColumn("jaccard", round($"shared" / ($"na" + $"nb" - $"shared"), 4))
           .filter($"jaccard" >= 0.5)
           .select($"doc_a", $"doc_b", $"jaccard")
