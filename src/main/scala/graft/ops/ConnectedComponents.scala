@@ -37,9 +37,11 @@ object ConnectedComponents {
         .join(labels, both("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("component")).as("n_comp"))
+      // carry the pre-round label as `prev` so convergence is a filter
+      // over the checkpointed result — no extra join+shuffle per round
       val relaxed = labels
         .join(neighborMin, labels("id") === col("id2"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
       // path compression (pointer doubling): follow component → its
       // component, halving path lengths — convergence in O(log diameter)
@@ -47,12 +49,11 @@ object ConnectedComponents {
       val updated = relaxed.as("u")
         .join(relaxed.select(col("id").as("cid"), col("component").as("ccomp")).as("m"),
           col("u.component") === col("cid"), "left_outer")
-        .select(col("u.id").as("id"),
+        .select(col("u.id").as("id"), col("u.prev").as("prev"),
           least(col("u.component"), coalesce(col("ccomp"), col("u.component"))).as("component"))
         .localCheckpoint(eager = true)
-      val changed = updated.as("u").join(labels.as("l"), "id")
-        .filter(col("u.component") =!= col("l.component")).count()
-      labels = updated
+      val changed = updated.filter(col("component") =!= col("prev")).count()
+      labels = updated.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
