@@ -182,6 +182,46 @@ object TextQueries {
               |  round(1 - count(DISTINCT gram) / count(*), 4) AS dup_frac,
               |  CAST(round(1 - count(DISTINCT gram) / count(*), 4) > 0.2 AS INT) AS repetitive
               |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Sequence packing — the pretraining batch-prep step: greedily pack
+    // docs (in deterministic doc_id order, per source) into fixed
+    // token-capacity bins; bin id = floor(tokens-before-this-doc /
+    // capacity), i.e. a doc opens a new bin once the running total
+    // passes the boundary. One window cumsum + one aggregate; per-key
+    // parallel. Reports per-bin doc count, token total, and fill rate.
+    OracleQuery(
+      "text_pack_bins",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val cap = 2048
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+          .withColumn("cum", sum($"n_tokens").over(w))
+          .withColumn("bin", floor(($"cum" - $"n_tokens") / cap).cast("long"))
+          .groupBy($"source", $"bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tokens").cast("long").as("bin_tokens"))
+          .withColumn("fill_rate", round($"bin_tokens" / lit(cap.toDouble), 4))
+          .orderBy($"source", $"bin")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+             |      PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM documents
+             |)
+             |SELECT source, CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+             |  round(CAST(sum(n_tokens) AS BIGINT) / 2048.0, 4) AS fill_rate
+             |FROM toks GROUP BY source, bin ORDER BY source, bin""".stripMargin)
     )
   )
 }
