@@ -129,7 +129,7 @@ object Checks {
     * structure and types, but NOT temp_c range"). */
   def validateHourlyObsStructure(df: DataFrame): DataFrame =
     Checks("hourly_obs", df)
-      .requireColumns(Schemas.hourlyObs.fieldNames: _*)
+      .requireColumns(Schemas.hourlyObs.fieldNames.toIndexedSeq: _*)
       .requireTimestampUtc("ts_utc")
       .requireNoNulls("ts_utc", "station_id", "source", "qc_flags")
       .requireNonNegative("qc_flags")
@@ -138,7 +138,7 @@ object Checks {
   /** Full hourly_obs contract (schemas/hourly_obs.py:77-123). */
   def validateHourlyObs(df: DataFrame, requireUniqueKeys: Boolean = true): DataFrame = {
     val c = Checks("hourly_obs", df)
-      .requireColumns(Schemas.hourlyObs.fieldNames: _*)
+      .requireColumns(Schemas.hourlyObs.fieldNames.toIndexedSeq: _*)
       .requireTimestampUtc("ts_utc")
       .requireNoNulls("ts_utc", "station_id", "source", "qc_flags")
       .requireRange("temp_c", -90, 60)
@@ -157,7 +157,7 @@ object Checks {
   def validateDailyTmax(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     val out = Checks("daily_tmax", df)
-      .requireColumns(Schemas.dailyTmax.fieldNames: _*)
+      .requireColumns(Schemas.dailyTmax.fieldNames.toIndexedSeq: _*)
       .requireNoNulls("date_local", "station_id", "tmax_c", "tmax_f", "coverage_hours", "source", "qc_flags")
       .requireRange("tmax_c", -90, 60)
       .requireRange("tmax_f", -130, 140)

@@ -58,7 +58,7 @@ object Ingest {
 
   def decodeGhcnh(raw0: DataFrame, stationId: String): DataFrame = {
     // header normalization: trim + lowercase (driver-side rename, E17)
-    val raw = raw0.toDF(raw0.columns.map(_.trim.toLowerCase): _*)
+    val raw = raw0.toDF(raw0.columns.map(_.trim.toLowerCase).toIndexedSeq: _*)
     val dtCol = ghcnhDatetimeCandidates.find(raw.columns.contains)
       .getOrElse(throw new IllegalArgumentException(
         s"no datetime column among ${ghcnhDatetimeCandidates.mkString(",")} in ${raw.columns.mkString(",")}"))
