@@ -60,6 +60,17 @@ object Pipeline {
         println(f"[graft] #${i + 1} ${r.name}%-20s mae=${r.metrics.mae}%.4f rmse=${r.metrics.rmse}%.4f bias=${r.metrics.bias}%+.4f")
       }
 
+    case "dedup-docs" :: docsDir :: outDir :: Nil =>
+      val docs = spark.read.parquet(docsDir)
+      val labeled = graft.ops.DedupDocs(docs)
+      val survivors = docs.join(
+        labeled.filter(org.apache.spark.sql.functions.col("is_survivor"))
+          .select("doc_id"), "doc_id")
+      survivors.write.mode("overwrite").parquet(s"$outDir/docs")
+      labeled.write.mode("overwrite").parquet(s"$outDir/groups")
+      val total = docs.count(); val kept = spark.read.parquet(s"$outDir/docs").count()
+      println(s"[graft] dedup: kept $kept of $total docs (${total - kept} duplicates) → $outDir")
+
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
@@ -67,7 +78,8 @@ object Pipeline {
            |  Pipeline ingest-clean <isdCsv> <station> <outHourlyDir>
            |  Pipeline build-daily <hourlyDir> <tz> <outDailyDir>
            |  Pipeline build-train <forecastDir> <truthDir> <outTrainDir>
-           |  Pipeline eval <trainDir> <runDir> [passthrough|persistence|ridge ...]""".stripMargin)
+           |  Pipeline eval <trainDir> <runDir> [passthrough|persistence|ridge ...]
+           |  Pipeline dedup-docs <docsParquetDir> <outDir>""".stripMargin)
       sys.exit(2)
   }
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end document dedup — the front-door pipeline an LLM corpus
+  * runs before training: exact duplicates (content hash) plus near
+  * duplicates (MinHash-LSH banding over word trigrams) become candidate
+  * edges, connected components turn edges into duplicate GROUPS, and
+  * the smallest doc_id per group survives.
+  *
+  * Scale shape: shingle explode (no shuffle) → signature hash-agg (one
+  * shuffle) → band self-join (candidate pairs only, never all-pairs) →
+  * label propagation (bounded rounds). No driver loops over data; the
+  * only driver state is the convergence counter.
+  */
+object DedupDocs {
+
+  private val Seeds = Seq(
+    0x9E3779B97F4A7C1L, 0x6A09E667F3BCC90L, 0xBB67AE8584CAA73L, 0x3C6EF372FE94F82L,
+    0xA54FF53A5F1D36FL, 0x510E527FADE682DL, 0x9B05688C2B3E6C1L, 0x1F83D9ABFB41BD6L)
+
+  /** @param docs columns (doc_id: long, text: string)
+    * @return (doc_id, component, is_survivor) — component is the min
+    *         doc_id of the duplicate group (singletons are their own
+    *         component and survive)
+    */
+  def apply(docs: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // exact-duplicate edges: same content hash
+    val fps = docs.select($"doc_id", md5($"text").as("fp"))
+    val exactEdges = fps.as("a")
+      .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+
+    // near-duplicate candidate edges: MinHash signatures (XOR
+    // permutations of 60-bit gram ids) banded into buckets
+    val grams = graft.queries.Shingles.wordTrigrams(docs)
+      .select($"doc_id",
+        expr("CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("g"))
+    val hashCols = Seeds.zipWithIndex.map { case (k, i) =>
+      min(expr(s"g ^ ${k}L")).as(s"h$i")
+    }
+    val sig = grams.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
+    val nBands = Seeds.size / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+    }
+    val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bucket"))
+    val nearEdges = buckets.as("a")
+      .join(buckets.as("b"), col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+
+    val comps = ConnectedComponents(
+      docs.select($"doc_id".as("id")),
+      exactEdges.unionByName(nearEdges))
+    comps.select(
+      $"id".as("doc_id"),
+      $"component",
+      ($"id" === $"component").as("is_survivor"))
+  }
+}

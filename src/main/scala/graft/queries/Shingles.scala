@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Shared word-shingle builder for the dedup and text-quality queries. */
-private[queries] object Shingles {
+/** Shared word-shingle builder for the dedup and text-quality queries
+  * and the ops-level dedup pipeline. */
+private[graft] object Shingles {
 
   /** Word 3-gram shingles as (doc_id, gram) rows. posexplode carries the
     * split array alongside each position, so the gram is assembled with

@@ -41,4 +41,16 @@ class PipelineCliSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$work/run/comparison.json")))
     assert(Files.exists(Paths.get(s"$work/run/models/Passthrough/metrics.json")))
   }
+
+  test("dedup-docs writes survivors and the group map") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_dd_in").toString
+    val outDir = Files.createTempDirectory("graft_dd_out").toString
+    Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (9L, "x y z p q r s"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    Pipeline.run(spark, List("dedup-docs", in, outDir))
+    val kept = spark.read.parquet(s"$outDir/docs").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 9L))
+    assert(spark.read.parquet(s"$outDir/groups").count() == 3)
+  }
 }
