@@ -96,11 +96,18 @@ object Multimodal {
     val scale = least(
       lit(1.0),
       lit(maxDim.toDouble) / greatest(col("width"), col("height")))
+    val dimsKnown = col("width").isNotNull && col("height").isNotNull
     media
-      .filter(col("kind") === "image" && col("width").isNotNull && col("height").isNotNull)
-      .withColumn("out_w", greatest(lit(1L), floor(col("width") * scale)).cast("long"))
-      .withColumn("out_h", greatest(lit(1L), floor(col("height") * scale)).cast("long"))
-      .withColumn("needs_resize", (col("out_w") =!= col("width")) || (col("out_h") =!= col("height")))
+      .filter(col("kind") === "image")
+      .withColumn("out_w", when(dimsKnown,
+        greatest(lit(1L), floor(col("width") * scale)).cast("long")))
+      .withColumn("out_h", when(dimsKnown,
+        greatest(lit(1L), floor(col("height") * scale)).cast("long")))
+      // unknown-dimension images are NOT dropped: they flow to the kernel
+      // flagged needs_resize (it must probe the payload for dimensions) —
+      // silently losing assets from the pipeline is worse than one decode
+      .withColumn("needs_resize", !dimsKnown ||
+        (col("out_w") =!= col("width")) || (col("out_h") =!= col("height")))
   }
 
   /** Frame-sampling plan for video: rows (asset_id, frame_idx) for every

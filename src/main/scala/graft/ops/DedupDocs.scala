@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * the smallest doc_id per group survives.
   *
   * Scale shape: shingle explode (no shuffle) → signature hash-agg (one
-  * shuffle) → band self-join (candidate pairs only, never all-pairs) →
-  * label propagation (bounded rounds). No driver loops over data; the
-  * only driver state is the convergence counter.
+  * shuffle) → star edges per fingerprint/bucket (k−1 edges per
+  * k-duplicate group, never the C(k,2) clique) → label propagation
+  * (bounded rounds). No driver loops over data; the only driver state
+  * is the convergence counter.
   */
 object DedupDocs {
 
@@ -26,20 +27,31 @@ object DedupDocs {
     *         component and survive)
     */
   def apply(docs: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    require(rowsPerBand > 0 && Seeds.size % rowsPerBand == 0,
+      s"rowsPerBand must divide ${Seeds.size} (got $rowsPerBand) — a remainder would " +
+        "silently drop minhashes from the banding and weaken near-dup recall")
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // Edges are STAR-shaped, not pairwise: every doc in a group (same
+    // fingerprint / same LSH bucket) connects to the group's min doc_id.
+    // Connected components are identical to the clique formulation, but
+    // a k-duplicate boilerplate group emits k−1 edges instead of
+    // C(k,2) ≈ k²/2 — the difference between a shuffle and an OOM when
+    // one template appears a million times in a crawl.
+
     // exact-duplicate edges: same content hash
     val fps = docs.select($"doc_id", md5($"text").as("fp"))
-    val exactEdges = fps.as("a")
-      .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val exactEdges = fps
+      .withColumn("head", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .filter($"doc_id" =!= $"head")
+      .select($"head".as("src"), $"doc_id".as("dst"))
 
     // near-duplicate candidate edges: MinHash signatures (XOR
     // permutations of 60-bit gram ids) banded into buckets
     val grams = graft.queries.Shingles.wordTrigrams(docs)
-      .select($"doc_id",
-        expr("CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("g"))
+      .select($"doc_id", expr(graft.queries.Shingles.h60("gram")).as("g"))
     val hashCols = Seeds.zipWithIndex.map { case (k, i) =>
       min(expr(s"g ^ ${k}L")).as(s"h$i")
     }
@@ -49,9 +61,11 @@ object DedupDocs {
       md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
     }
     val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bucket"))
-    val nearEdges = buckets.as("a")
-      .join(buckets.as("b"), col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val nearEdges = buckets
+      .withColumn("head", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"bucket")))
+      .filter($"doc_id" =!= $"head")
+      .select($"head".as("src"), $"doc_id".as("dst"))
       .distinct()
 
     val comps = ConnectedComponents(

@@ -20,12 +20,7 @@ import graft.core.Tables
   */
 object DedupQueries {
 
-  /** 60-bit integer from the md5 hex digest — same value in DuckDB via
-    * ('0x' || substr(md5(x),1,15))::BIGINT. */
-  private def h60(c: String): String = s"CAST(conv(substr(md5($c), 1, 15), 16, 10) AS BIGINT)"
-
-  private def wordTrigrams(docs: org.apache.spark.sql.DataFrame) =
-    Shingles.wordTrigrams(docs)
+  private def h60(c: String): String = Shingles.h60(c)
 
   def all: Seq[OracleQuery] = Seq(
     // Exact dedup by content hash: fingerprint = md5(text), keep the
@@ -62,11 +57,13 @@ object DedupQueries {
         import s.implicits._
         // join on the 60-bit gram hash, not the gram string (smaller
         // shuffle payload; both engines hash identically). Per-doc gram
-        // counts are a tiny O(docs) table BROADCAST onto the pair
-        // aggregate — the wide gram⋈gram join stays as narrow as
-        // possible (doc_id, gram only), which is what matters when the
-        // gram table is the 100 TB side.
-        val grams = wordTrigrams(Tables.documents(s, d))
+        // counts join onto the pair AGGREGATE, not through the wide
+        // gram⋈gram join — that join stays as narrow as possible
+        // (doc_id, gram only), which is what matters when the gram table
+        // is the 100 TB side. No broadcast hint: AQE broadcasts the
+        // O(docs) sizes table when it actually fits and falls back to a
+        // shuffle join when the corpus is too large to broadcast.
+        val grams = Shingles.wordTrigrams(Tables.documents(s, d))
           .select($"doc_id", expr(h60("gram")).as("gram"))
           .distinct()
         val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
@@ -74,8 +71,8 @@ object DedupQueries {
           .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("shared"))
-          .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na"))), "doc_a")
-          .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb"))), "doc_b")
+          .join(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na")), "doc_a")
+          .join(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb")), "doc_b")
           .withColumn("jaccard", round($"shared" / ($"na" + $"nb" - $"shared"), 4))
           .filter($"jaccard" >= 0.5)
           .select($"doc_a", $"doc_b", $"jaccard")
@@ -116,7 +113,7 @@ object DedupQueries {
         val seeds = Seq(
           0x9E3779B97F4A7C1L, 0x6A09E667F3BCC90L, 0xBB67AE8584CAA73L, 0x3C6EF372FE94F82L,
           0xA54FF53A5F1D36FL, 0x510E527FADE682DL, 0x9B05688C2B3E6C1L, 0x1F83D9ABFB41BD6L)
-        val exploded = wordTrigrams(Tables.documents(s, d))
+        val exploded = Shingles.wordTrigrams(Tables.documents(s, d))
           .withColumn("g", expr(h60("gram")))
         val hashCols = seeds.zipWithIndex.map { case (k, i) =>
           min(expr(s"g ^ ${k}L")).as(s"h$i")

@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
   * and the ops-level dedup pipeline. */
 private[graft] object Shingles {
 
+  /** 60-bit integer from the md5 hex digest — same value in DuckDB via
+    * ('0x' || substr(md5(x),1,15))::BIGINT. ONE spelling shared by every
+    * caller: it must stay byte-identical to the oracle spelling for
+    * cross-engine determinism. */
+  def h60(c: String): String = s"CAST(conv(substr(md5($c), 1, 15), 16, 10) AS BIGINT)"
+
   /** Word 3-gram shingles as (doc_id, gram) rows. posexplode carries the
     * split array alongside each position, so the gram is assembled with
     * element_at(ws, pos+k) — pure codegen'd expressions, NO window and

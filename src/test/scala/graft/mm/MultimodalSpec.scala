@@ -49,6 +49,14 @@ class MultimodalSpec extends SparkSpec {
     // already within budget → no-op flagged, dims unchanged
     val noop = Multimodal.resizePlan(media, maxDim = 100).collect()
     assert(noop(0).getAs[Long]("out_w") == 64L && !noop(0).getAs[Boolean]("needs_resize"))
+    // unknown dimensions: the image is kept and flagged, never dropped
+    val unknown = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, "image", "image/png", null, null, null, 10L,
+        Array.tabulate(10)(_.toByte)))),
+      Multimodal.mediaSchema)
+    val probed = Multimodal.resizePlan(unknown, maxDim = 32).collect()
+    assert(probed.length == 1 && probed(0).getAs[Boolean]("needs_resize"))
+    assert(probed(0).isNullAt(probed(0).fieldIndex("out_w")))
   }
 
   test("frame sampling fans a video row out to per-frame work items without decode") {
