@@ -60,9 +60,11 @@ object DedupQueries {
         // counts join onto the pair AGGREGATE, not through the wide
         // gram⋈gram join — that join stays as narrow as possible
         // (doc_id, gram only), which is what matters when the gram table
-        // is the 100 TB side. No broadcast hint: AQE broadcasts the
-        // O(docs) sizes table when it actually fits and falls back to a
-        // shuffle join when the corpus is too large to broadcast.
+        // is the 100 TB side. The sizes table is O(docs) ≈ 16 B/doc and
+        // broadcast by hint — the hint (vs letting AQE convert) skips
+        // shuffling BOTH post-agg sides entirely (measured 1s at sf0.1);
+        // its envelope is ~100M docs per executor-GB of broadcast budget,
+        // beyond which drop the hint and AQE degrades to a shuffle join.
         val grams = Shingles.wordTrigrams(Tables.documents(s, d))
           .select($"doc_id", expr(h60("gram")).as("gram"))
           .distinct()
@@ -71,8 +73,8 @@ object DedupQueries {
           .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("shared"))
-          .join(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na")), "doc_a")
-          .join(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb")), "doc_b")
+          .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na"))), "doc_a")
+          .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb"))), "doc_b")
           .withColumn("jaccard", round($"shared" / ($"na" + $"nb" - $"shared"), 4))
           .filter($"jaccard" >= 0.5)
           .select($"doc_a", $"doc_b", $"jaccard")
