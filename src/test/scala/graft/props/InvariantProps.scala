@@ -117,6 +117,27 @@ object InvariantProps extends Properties("graft") {
       }
   }
 
+  private val docGen = for {
+    n <- Gen.chooseNum(2, 12)
+    texts <- Gen.listOfN(n, Gen.oneOf(
+      "a b c d e f g h", "a b c d e f g h", // frequent exact dup
+      "a b c d e f g z", "p q r s t u v w", "x y z 1 2 3 4 5"))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("dedup star edges give the same groups as pairwise clique edges") =
+    forAll(docGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val starComps = graft.ops.DedupDocs(docs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // clique reference: group ids by exact text (the generator only
+      // produces exact duplicates of identical strings reliably; near-dup
+      // banding can only MERGE groups, never split them)
+      val byText = rows.groupBy(_._2).values
+      byText.forall { group =>
+        group.map(g => starComps(g._1)).distinct.size == 1
+      }
+    }
+
   property("rolling hash composes: h(a++b) = (h(a)*31^|b| + h(b)) mod p") =
     forAll(Gen.alphaStr, Gen.alphaStr) { (a, b) =>
       val p = RollingHash.Mod
