@@ -78,6 +78,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.rollingHashDescriptor)
     ext.injectFunction(VecDot.descriptor)
+    ext.injectFunction(MinHashSig.descriptor)
   }
 }
 
@@ -91,7 +92,7 @@ object GraftFunctions {
   /** Idempotent imperative registration for sessions built without the
     * extension (tests, Verify, Bench). */
   def register(spark: SparkSession): Unit = {
-    Seq(rollingHashDescriptor, VecDot.descriptor).foreach { case (ident, info, builder) =>
+    Seq(rollingHashDescriptor, VecDot.descriptor, MinHashSig.descriptor).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
       }

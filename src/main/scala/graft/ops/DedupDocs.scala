@@ -17,9 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupDocs {
 
-  private val Seeds = Seq(
-    0x9E3779B97F4A7C1L, 0x6A09E667F3BCC90L, 0xBB67AE8584CAA73L, 0x3C6EF372FE94F82L,
-    0xA54FF53A5F1D36FL, 0x510E527FADE682DL, 0x9B05688C2B3E6C1L, 0x1F83D9ABFB41BD6L)
+  private def nSeeds = graft.functions.MinHashSigImpl.Seeds.length
 
   /** @param docs columns (doc_id: long, text: string)
     * @return (doc_id, component, is_survivor) — component is the min
@@ -27,11 +25,12 @@ object DedupDocs {
     *         component and survive)
     */
   def apply(docs: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    require(rowsPerBand > 0 && Seeds.size % rowsPerBand == 0,
-      s"rowsPerBand must divide ${Seeds.size} (got $rowsPerBand) — a remainder would " +
+    require(rowsPerBand > 0 && nSeeds % rowsPerBand == 0,
+      s"rowsPerBand must divide $nSeeds (got $rowsPerBand) — a remainder would " +
         "silently drop minhashes from the banding and weaken near-dup recall")
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
 
     // Edges are STAR-shaped, not pairwise: every doc in a group (same
     // fingerprint / same LSH bucket) connects to the group's min doc_id.
@@ -48,17 +47,15 @@ object DedupDocs {
       .filter($"doc_id" =!= $"head")
       .select($"head".as("src"), $"doc_id".as("dst"))
 
-    // near-duplicate candidate edges: MinHash signatures (XOR
-    // permutations of 60-bit gram ids) banded into buckets
-    val grams = graft.queries.Shingles.wordTrigrams(docs)
-      .select($"doc_id", expr(graft.queries.Shingles.h60("gram")).as("g"))
-    val hashCols = Seeds.zipWithIndex.map { case (k, i) =>
-      min(expr(s"g ^ ${k}L")).as(s"h$i")
-    }
-    val sig = grams.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
-    val nBands = Seeds.size / rowsPerBand
+    // near-duplicate candidate edges: fused per-row MinHash signatures
+    // (graft.functions.MinHashSig — no gram explode, no signature
+    // shuffle) banded into buckets
+    val sig = docs.select($"doc_id", expr("minhash_sig(text)").as("sig"))
+      .filter($"sig".isNotNull)
+    val nBands = nSeeds / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
-      md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+      md5(concat_ws(",",
+        (1 to rowsPerBand).map(r => element_at($"sig", b * rowsPerBand + r)): _*))
     }
     val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bucket"))
     val nearEdges = buckets

@@ -108,26 +108,29 @@ object DedupQueries {
     // md5-derived gram id), 2 bands × 4 rows; docs sharing a band bucket
     // are candidate pairs. Fully oracle-checked — both engines compute
     // identical signatures.
+    //
+    // Signatures come from the fused graft.functions.MinHashSig
+    // expression (one per-row loop: shingle → md5 → running min), NOT
+    // the explode+groupBy spelling — a document's signature is a scalar
+    // function of its text, so the signature stage is map-side only:
+    // zero shuffles before the band join (the composable spelling pays
+    // a gram explode plus a full exchange to reassemble signatures;
+    // MinHashSigSpec proves the two bit-equal).
     OracleQuery(
       "dedup_minhash_lsh",
       (s, d) => {
         import s.implicits._
-        val seeds = Seq(
-          0x9E3779B97F4A7C1L, 0x6A09E667F3BCC90L, 0xBB67AE8584CAA73L, 0x3C6EF372FE94F82L,
-          0xA54FF53A5F1D36FL, 0x510E527FADE682DL, 0x9B05688C2B3E6C1L, 0x1F83D9ABFB41BD6L)
-        val exploded = Shingles.wordTrigrams(Tables.documents(s, d))
-          .withColumn("g", expr(h60("gram")))
-        val hashCols = seeds.zipWithIndex.map { case (k, i) =>
-          min(expr(s"g ^ ${k}L")).as(s"h$i")
-        }
-        val sig = exploded.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
-        // single-lineage band explode (not a union of two selects): both
-        // sides of the self-join below then share an identical shuffle
-        // subplan, so ReuseExchange computes the signatures once.
+        graft.functions.GraftFunctions.register(s)
+        val sig = Tables.documents(s, d)
+          .select($"doc_id", expr("minhash_sig(text)").as("sig"))
+          .filter($"sig".isNotNull)
+        // single-lineage band explode: both sides of the self-join below
+        // share an identical subplan, so ReuseExchange computes the
+        // signatures once.
         val buckets = sig.select($"doc_id",
           explode(array(
-            md5(concat_ws(",", $"h0", $"h1", $"h2", $"h3")),
-            md5(concat_ws(",", $"h4", $"h5", $"h6", $"h7")))).as("bucket"))
+            md5(concat_ws(",", (1 to 4).map(i => element_at($"sig", i)): _*)),
+            md5(concat_ws(",", (5 to 8).map(i => element_at($"sig", i)): _*)))).as("bucket"))
         buckets.as("a")
           .join(buckets.as("b"), col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
