@@ -79,6 +79,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.rollingHashDescriptor)
     ext.injectFunction(VecDot.descriptor)
     ext.injectFunction(MinHashSig.descriptor)
+    ext.injectFunction(TrigramStats.descriptor)
   }
 }
 
@@ -92,7 +93,8 @@ object GraftFunctions {
   /** Idempotent imperative registration for sessions built without the
     * extension (tests, Verify, Bench). */
   def register(spark: SparkSession): Unit = {
-    Seq(rollingHashDescriptor, VecDot.descriptor, MinHashSig.descriptor).foreach { case (ident, info, builder) =>
+    Seq(rollingHashDescriptor, VecDot.descriptor, MinHashSig.descriptor,
+      TrigramStats.descriptor).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
       }

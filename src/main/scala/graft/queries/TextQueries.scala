@@ -160,17 +160,22 @@ object TextQueries {
     // In-document repetition (Gopher-style quality rule): fraction of
     // word trigrams that are duplicates of an earlier trigram in the
     // SAME document. Repetitive boilerplate scores high and gets
-    // filtered before training. One explode + one hash aggregate per
-    // doc — no joins, map-side partial combine, scales linearly.
+    // filtered before training. The counts come from the fused
+    // graft.functions.TrigramStats expression — a scalar per-row loop,
+    // so there is NO gram explode and NO countDistinct rewrite (which
+    // costs two aggregates + an exchange): the whole filter is
+    // map-side until the final ORDER BY.
     OracleQuery(
       "text_repetition",
       (s, d) => {
         import s.implicits._
-        Shingles.wordTrigrams(Tables.documents(s, d))
-          .groupBy($"doc_id")
-          .agg(
-            count(lit(1)).as("n_grams"),
-            countDistinct($"gram").as("n_distinct"))
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select($"doc_id", expr("trigram_stats(text)").as("st"))
+          .filter($"st".isNotNull)
+          .select($"doc_id",
+            element_at($"st", 1).as("n_grams"),
+            element_at($"st", 2).as("n_distinct"))
           .withColumn("dup_frac", round(lit(1) - $"n_distinct" / $"n_grams", 4))
           .withColumn("repetitive", ($"dup_frac" > 0.2).cast("int"))
           .orderBy($"doc_id")
