@@ -73,12 +73,17 @@ object MinHashSigImpl {
     0x9E3779B97F4A7C1L, 0x6A09E667F3BCC90L, 0xBB67AE8584CAA73L, 0x3C6EF372FE94F82L,
     0xA54FF53A5F1D36FL, 0x510E527FADE682DL, 0x9B05688C2B3E6C1L, 0x1F83D9ABFB41BD6L)
 
+  // one digest instance per task thread — a per-row getInstance() pays a
+  // JCA provider lookup + allocation on every document
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   def compute(text: UTF8String): ArrayData = {
     // split(text, ' ') semantics: limit -1 keeps trailing empty tokens
     val words = text.toString.split(" ", -1)
     if (words.length < 3) return null
     val mins = Array.fill(Seeds.length)(Long.MaxValue)
-    val md = MessageDigest.getInstance("MD5")
+    val md = digest.get()
     var i = 0
     while (i + 2 < words.length) {
       val gram = words(i) + " " + words(i + 1) + " " + words(i + 2)
@@ -107,5 +112,9 @@ object MinHashSig {
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("minhash_sig"),
     new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-    (children: Seq[Expression]) => MinHashSig(children.head))
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"minhash_sig expects exactly 1 argument, got ${children.size}")
+      MinHashSig(children.head)
+    })
 }

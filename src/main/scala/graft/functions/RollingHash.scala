@@ -88,7 +88,11 @@ object GraftFunctions {
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("rolling_hash"),
     new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-    (children: Seq[Expression]) => RollingHash(children.head))
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"rolling_hash expects exactly 1 argument, got ${children.size}")
+      RollingHash(children.head)
+    })
 
   /** Idempotent imperative registration for sessions built without the
     * extension (tests, Verify, Bench). */

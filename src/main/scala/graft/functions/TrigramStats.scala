@@ -18,6 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * gram STRINGS — identical semantics to `count(DISTINCT gram)` in
   * both engines, no hash-collision caveat. Documents with fewer than
   * 3 words → null.
+  *
+  * Memory envelope: the per-row gram set is O(distinct grams) ≈ a
+  * small multiple of the document length — the same order as the row
+  * itself, which is already resident in executor memory, but with no
+  * spill path (the explode+countDistinct spelling could spill). A
+  * corpus with multi-hundred-MB single documents should length-cap
+  * upstream (as every quality filter here does) or keep the
+  * aggregate spelling for that stage.
   */
 final case class TrigramStats(child: Expression) extends UnaryExpression {
 
@@ -74,5 +82,9 @@ object TrigramStats {
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("trigram_stats"),
     new ExpressionInfo(classOf[TrigramStats].getName, "trigram_stats"),
-    (children: Seq[Expression]) => TrigramStats(children.head))
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"trigram_stats expects exactly 1 argument, got ${children.size}")
+      TrigramStats(children.head)
+    })
 }

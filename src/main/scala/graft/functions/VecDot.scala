@@ -80,5 +80,9 @@ object VecDot {
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-    (children: Seq[Expression]) => VecDot(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"vec_dot expects exactly 2 arguments, got ${children.size}")
+      VecDot(children(0), children(1))
+    })
 }

@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
   * edges, connected components turn edges into duplicate GROUPS, and
   * the smallest doc_id per group survives.
   *
-  * Scale shape: shingle explode (no shuffle) → signature hash-agg (one
-  * shuffle) → star edges per fingerprint/bucket (k−1 edges per
-  * k-duplicate group, never the C(k,2) clique) → label propagation
-  * (bounded rounds). No driver loops over data; the only driver state
-  * is the convergence counter.
+  * Scale shape: per-row fused signatures (graft.functions.MinHashSig —
+  * no explode, no shuffle before the band join) → star edges per
+  * fingerprint/bucket (k−1 edges per k-duplicate group, never the
+  * C(k,2) clique) → label propagation (bounded rounds). No driver
+  * loops over data; the only driver state is the convergence counter.
   */
 object DedupDocs {
 

@@ -17,12 +17,10 @@ class MinHashSigSpec extends SparkSpec {
   test("minhash_sig equals the explode+groupBy spelling bit-for-bit") {
     GraftFunctions.register(spark)
     val seeds = MinHashSigImpl.Seeds
-    val viaAgg = docs
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")),
-        split($"text", " ").as("ws"))
-      .filter($"pos" <= size($"ws") - 3)
-      .select($"doc_id", concat_ws(" ", $"w",
-        element_at($"ws", $"pos" + 2), element_at($"ws", $"pos" + 3)).as("gram"))
+    // reference spelling built from the SAME production shingle helper —
+    // if Shingles.wordTrigrams tokenization changes, this proof must
+    // fail rather than keep passing against a stale inline copy
+    val viaAgg = graft.queries.Shingles.wordTrigrams(docs)
       .withColumn("g", expr(graft.queries.Shingles.h60("gram")))
       .groupBy($"doc_id")
       .agg(array(seeds.zipWithIndex.map { case (k, i) =>
@@ -42,12 +40,21 @@ class MinHashSigSpec extends SparkSpec {
     assert(!out(0).isNullAt(1) && !out(1).isNullAt(1))
     assert(out(2).isNullAt(1) && out(3).isNullAt(1))
     assert(!out(4).isNullAt(1)) // 5 tokens incl. empty → has trigrams
+    // interpreted path: factoryMode=NO_CODEGEN is what actually forces
+    // nullSafeEval (wholeStage=false alone still uses codegen'd
+    // projections) — this is the path production falls back to when
+    // generated code fails to compile
     val conf = spark.conf
-    val prev = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevWs = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     try {
       conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val interp = docs.select(expr("minhash_sig(text)").as("sig")).collect()
       assert(interp.count(!_.isNullAt(0)) == 3)
-    } finally conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWs)
+      conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
   }
 }

@@ -124,18 +124,26 @@ object InvariantProps extends Properties("graft") {
       "a b c d e f g z", "p q r s t u v w", "x y z 1 2 3 4 5"))
   } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
 
-  property("dedup star edges give the same groups as pairwise clique edges") =
+  property("dedup groups: same-text docs merge, disjoint-vocab docs never merge") =
     forAll(docGen) { rows =>
       val docs = rows.toDF("doc_id", "text")
       val starComps = graft.ops.DedupDocs(docs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // clique reference: group ids by exact text (the generator only
-      // produces exact duplicates of identical strings reliably; near-dup
-      // banding can only MERGE groups, never split them)
-      val byText = rows.groupBy(_._2).values
-      byText.forall { group =>
+      // under-merge bound: exact duplicates of one text share a component
+      // (near-dup banding can only MERGE groups, never split them)
+      val noSplit = rows.groupBy(_._2).values.forall { group =>
         group.map(g => starComps(g._1)).distinct.size == 1
       }
+      // over-merge bound: the generator's vocabularies "a b c …" /
+      // "p q r …" / "x y z …" share NO trigrams, so docs from different
+      // pools must stay in different components (a bucket-collision bug
+      // gluing unrelated docs together fails here)
+      def pool(t: String): Char = t.head
+      val byPool = rows.groupBy(r => pool(r._2)).view.mapValues(_.map(r => starComps(r._1)).toSet)
+      val noGlue = byPool.keys.toSeq.combinations(2).forall { case Seq(p1, p2) =>
+        byPool(p1).intersect(byPool(p2)).isEmpty
+      }
+      noSplit && noGlue
     }
 
   property("rolling hash composes: h(a++b) = (h(a)*31^|b| + h(b)) mod p") =
