@@ -96,7 +96,12 @@ object Multimodal {
     val scale = least(
       lit(1.0),
       lit(maxDim.toDouble) / greatest(col("width"), col("height")))
-    val dimsKnown = col("width").isNotNull && col("height").isNotNull
+    // non-positive dimensions are corrupt metadata, not a resize no-op:
+    // treat them like unknown dims (probe the payload, needs_resize=true)
+    // — otherwise maxDim/greatest(0,0) is NULL and the row would vanish
+    // from a filter(needs_resize), silently losing the asset
+    val dimsKnown = col("width").isNotNull && col("height").isNotNull &&
+      col("width") > 0 && col("height") > 0
     media
       .filter(col("kind") === "image")
       .withColumn("out_w", when(dimsKnown,
@@ -109,6 +114,46 @@ object Multimodal {
       .withColumn("needs_resize", !dimsKnown ||
         (col("out_w") =!= col("width")) || (col("out_h") =!= col("height")))
   }
+
+  /** Deterministic media-METADATA fixture derived from the documents
+    * table: every column is pure integer/length arithmetic on doc_id and
+    * text, so a SQL oracle (DuckDB) can mirror it exactly — this is what
+    * lets resize/frame-sample/byte-budget plans be oracle-checked without
+    * media codecs in the container. Payload stays absent (metadata-only
+    * planning never reads bytes anyway). The mix deliberately includes
+    * NULL dimensions (doc_id % 17) and corrupt zero dimensions
+    * (doc_id % 19) so the never-lose-an-asset paths are exercised.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(
+      id.as("asset_id"),
+      when(id % 3 === 0, "image").when(id % 3 === 1, "audio").otherwise("video").as("kind"),
+      when(id % 3 =!= 1 && id % 17 =!= 0,
+        when(id % 19 === 0, lit(0))
+          .otherwise((lit(320) + (id * 37) % 1600)).cast("int")).as("width"),
+      when(id % 3 =!= 1 && id % 17 =!= 0,
+        when(id % 19 === 0, lit(0))
+          .otherwise((lit(240) + (id * 53) % 900)).cast("int")).as("height"),
+      when(id % 3 =!= 0, (lit(500) + (id * 97) % 120000).cast("long")).as("duration_ms"),
+      (length(col("text")).cast("long") * 40 + 100).as("n_bytes"))
+  }
+
+  /** The DuckDB spelling of [[mediaFromDocuments]] — shared CTE for the
+    * mm_* oracle queries; MUST stay arithmetic-identical to the Spark
+    * fixture above. */
+  val mediaFixtureSql: String =
+    """media AS (
+      |  SELECT doc_id AS asset_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CASE WHEN doc_id % 3 != 1 AND doc_id % 17 != 0 THEN
+      |      CAST(CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 320 + (doc_id * 37) % 1600 END AS INTEGER) END AS width,
+      |    CASE WHEN doc_id % 3 != 1 AND doc_id % 17 != 0 THEN
+      |      CAST(CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 240 + (doc_id * 53) % 900 END AS INTEGER) END AS height,
+      |    CASE WHEN doc_id % 3 != 0 THEN CAST(500 + (doc_id * 97) % 120000 AS BIGINT) END AS duration_ms,
+      |    CAST(len(text) * 40 + 100 AS BIGINT) AS n_bytes
+      |  FROM documents
+      |)""".stripMargin
 
   /** Frame-sampling plan for video: rows (asset_id, frame_idx) for every
     * nth frame — the explode that fans a video row out to per-frame work

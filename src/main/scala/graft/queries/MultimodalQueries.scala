@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.mm.Multimodal
+
+/** Multimodal planning queries, oracle-checked: the decode kernels need
+  * codecs the container lacks, but everything Spark actually PLANS —
+  * aspect-preserving resize targets, per-frame work-item fan-out, byte-
+  * budget partition sizing — is pure metadata arithmetic, so it gets the
+  * same DuckDB hash-gate as every other operator. Metadata comes from
+  * [[Multimodal.mediaFromDocuments]], a deterministic fixture derived
+  * from the documents table (both engines rebuild it identically).
+  *
+  * Scale notes: all three queries are metadata-only — the payload column
+  * is never in the ReadSchema (pinned in MultimodalSpec), which is the
+  * property that makes planning 100 TB of media cost a few GB of scan.
+  */
+object MultimodalQueries {
+
+  private val mediaCte = Multimodal.mediaFixtureSql
+
+  def all: Seq[OracleQuery] = Seq(
+    // Resize plan (maxDim=512): output dims + needs_resize flags straight
+    // from Multimodal.resizePlan. Covers known dims (resize + no-op),
+    // NULL dims and corrupt 0×0 dims (both flow to the probing kernel
+    // with needs_resize=true — never silently dropped).
+    OracleQuery(
+      "mm_resize_plan",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        Multimodal.resizePlan(media, maxDim = 512)
+          .select($"asset_id", $"width", $"height", $"out_w", $"out_h", $"needs_resize")
+          .orderBy($"asset_id")
+      },
+      Some(s"""WITH $mediaCte, planned AS (
+              |  SELECT asset_id, width, height,
+              |    (width IS NOT NULL AND height IS NOT NULL AND width > 0 AND height > 0) AS dims_known,
+              |    CASE WHEN width IS NOT NULL AND height IS NOT NULL AND width > 0 AND height > 0 THEN
+              |      greatest(1, CAST(floor(width * least(1.0, 512.0 / greatest(width, height))) AS BIGINT)) END AS out_w,
+              |    CASE WHEN width IS NOT NULL AND height IS NOT NULL AND width > 0 AND height > 0 THEN
+              |      greatest(1, CAST(floor(height * least(1.0, 512.0 / greatest(width, height))) AS BIGINT)) END AS out_h
+              |  FROM media WHERE kind = 'image'
+              |)
+              |SELECT asset_id, width, height, out_w, out_h,
+              |  ((NOT dims_known) OR out_w != width OR out_h != height) AS needs_resize
+              |FROM planned ORDER BY asset_id""".stripMargin)
+    ),
+
+    // Frame-sampling plan (one work item per 7s of video): per-asset
+    // frame counts and range from Multimodal.sampleFrames ≡ DuckDB
+    // generate_series (both inclusive of the stop when it lands exactly).
+    OracleQuery(
+      "mm_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        Multimodal.sampleFrames(media, everyMs = 7000L)
+          .groupBy($"asset_id")
+          .agg(
+            count(lit(1)).as("n_frames"),
+            min($"frame_ms").as("first_ms"),
+            max($"frame_ms").as("last_ms"))
+          .orderBy($"asset_id")
+      },
+      Some(s"""WITH $mediaCte, frames AS (
+              |  SELECT asset_id, unnest(generate_series(0, duration_ms - 1, 7000)) AS frame_ms
+              |  FROM media WHERE kind = 'video' AND duration_ms IS NOT NULL
+              |)
+              |SELECT asset_id, count(*) AS n_frames,
+              |  min(frame_ms) AS first_ms, max(frame_ms) AS last_ms
+              |FROM frames GROUP BY asset_id ORDER BY asset_id""".stripMargin)
+    ),
+
+    // Byte-budget partition sizing (1 MiB per decode task): the
+    // per-kind partition-count arithmetic of
+    // Multimodal.repartitionByByteBudget — max(1, bytes DIV budget).
+    OracleQuery(
+      "mm_byte_budget",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        media.groupBy($"kind")
+          .agg(count(lit(1)).as("n_assets"), sum($"n_bytes").as("kind_bytes"))
+          .withColumn("n_parts", greatest(lit(1L), expr("kind_bytes DIV 1048576")))
+          .orderBy($"kind")
+      },
+      Some(s"""WITH $mediaCte, sized AS (
+              |  SELECT kind, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS kind_bytes
+              |  FROM media GROUP BY kind
+              |)
+              |SELECT kind, n_assets, kind_bytes,
+              |  CAST(greatest(1, kind_bytes // 1048576) AS BIGINT) AS n_parts
+              |FROM sized ORDER BY kind""".stripMargin)
+    )
+  )
+}

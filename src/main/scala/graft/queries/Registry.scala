@@ -30,6 +30,7 @@ object Registry {
       DedupQueries.all ++
       TextQueries.all ++
       SimilarityQueries.all ++
+      MultimodalQueries.all ++
       PipelineQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -59,6 +59,34 @@ class MultimodalSpec extends SparkSpec {
     assert(probed(0).isNullAt(probed(0).fieldIndex("out_w")))
   }
 
+  test("corrupt 0x0 dimensions are treated as unknown: flagged, never dropped") {
+    val degenerate = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(7L, "image", "image/png", 0, 0, null, 10L, Array.tabulate(10)(_.toByte)),
+        Row(8L, "image", "image/png", 64, 0, null, 10L, Array.tabulate(10)(_.toByte)))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.resizePlan(degenerate, maxDim = 32)
+    // needs_resize must be TRUE (not NULL): a filter(needs_resize) keeps both
+    assert(out.filter(col("needs_resize")).count() == 2)
+    assert(out.collect().forall(r => r.isNullAt(r.fieldIndex("out_w"))))
+  }
+
+  test("media fixture is deterministic, typed, and partition arithmetic matches the query") {
+    val docs = spark.range(1, 200).selectExpr("id AS doc_id",
+      "repeat('x', CAST(id % 50 + 1 AS INT)) AS text")
+    val fixture = Multimodal.mediaFromDocuments(docs)
+    assert(fixture.schema("width").dataType.typeName == "integer")
+    assert(fixture.schema("n_bytes").dataType.typeName == "long")
+    // every kind present; zero-dim and null-dim rows exist
+    assert(fixture.select("kind").distinct().count() == 3)
+    assert(fixture.filter(col("width") === 0).count() > 0)
+    assert(fixture.filter(col("kind") =!= "audio" && col("width").isNull).count() > 0)
+    // the mm_byte_budget arithmetic IS repartitionByByteBudget's partition count
+    val total = fixture.agg(sum(col("n_bytes"))).collect()(0).getLong(0)
+    val expected = math.max(1, (total / 4096L).toInt)
+    assert(Multimodal.repartitionByByteBudget(fixture, 4096L).rdd.getNumPartitions == expected)
+  }
+
   test("frame sampling fans a video row out to per-frame work items without decode") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L).collect()
     assert(frames.map(_.getLong(1)).toSeq.sorted == Seq(0L, 1000L, 2000L))
