@@ -15,12 +15,32 @@ import graft.core.Tables
   * Scale notes: every stage is explode → hash-aggregate → equi-join on
   * gram/bucket — all shuffle-parallel, no driver loops, no cross join.
   * The LSH band join is the 100 TB path (candidate pairs only); the
-  * n-gram Jaccard join is gram-partitioned; hot grams would be salted
-  * or frequency-capped (stop-gram filtering) at scale.
+  * n-gram Jaccard join is gram-partitioned AND document-frequency capped
+  * (stop-gram guard, [[cappedGrams]]) so one boilerplate gram cannot
+  * become a single-reducer skew bomb.
   */
 object DedupQueries {
 
   private def h60(c: String): String = Shingles.h60(c)
+
+  /** Stop-gram guard for the Jaccard candidate join: a gram appearing in
+    * more than dfCap documents contributes ≥ C(dfCap,2) candidate pairs
+    * on its own — on a real crawl one hot boilerplate trigram puts the
+    * whole corpus into one reducer. Such grams carry ~zero similarity
+    * signal (they are corpus-wide, not pair-specific), so they are
+    * dropped from the INTERSECTION side only; per-doc set sizes (the
+    * union denominator) stay uncapped. The df aggregate and the pair
+    * self-join share the gram hash-partitioning, so the guard costs no
+    * extra shuffle of the big side.
+    */
+  val JaccardDfCap = 5
+
+  /** (doc_id, gram) pairs with document frequency ≤ dfCap. */
+  def cappedGrams(grams: org.apache.spark.sql.DataFrame, dfCap: Int): org.apache.spark.sql.DataFrame = {
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(df.filter(col("df") <= dfCap), "gram")
+      .select(col("doc_id"), col("gram"))
+  }
 
   def all: Seq[OracleQuery] = Seq(
     // Exact dedup by content hash: fingerprint = md5(text), keep the
@@ -65,16 +85,25 @@ object DedupQueries {
         // shuffling BOTH post-agg sides entirely (measured 1s at sf0.1);
         // its envelope is ~100M docs per executor-GB of broadcast budget,
         // beyond which drop the hint and AQE degrades to a shuffle join.
-        val grams = Shingles.wordTrigrams(Tables.documents(s, d))
+        val docs = Tables.documents(s, d)
+        val grams = Shingles.wordTrigrams(docs)
           .select($"doc_id", expr(h60("gram")).as("gram"))
           .distinct()
         val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-        grams.as("a")
-          .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        // broadcast-envelope gate: hint only while the documents scan is
+        // small enough that sizes (~16 B/doc) is safely under executor
+        // broadcast budget; past it, no hint — AQE picks the strategy
+        // from runtime sizes instead of an OOM-on-faith broadcast
+        val hintOk = docs.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30)
+        def bc(df: org.apache.spark.sql.DataFrame) = if (hintOk) broadcast(df) else df
+        // stop-gram guard: intersection join runs over df-capped grams
+        val kept = cappedGrams(grams, JaccardDfCap)
+        kept.as("a")
+          .join(kept.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("shared"))
-          .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na"))), "doc_a")
-          .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb"))), "doc_b")
+          .join(bc(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na"))), "doc_a")
+          .join(bc(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb"))), "doc_b")
           .withColumn("jaccard", round($"shared" / ($"na" + $"nb" - $"shared"), 4))
           .filter($"jaccard" >= 0.5)
           .select($"doc_a", $"doc_b", $"jaccard")
@@ -90,9 +119,13 @@ object DedupQueries {
              |  )
              |), sizes AS (
              |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+             |), gram_df AS (
+             |  SELECT gram, count(*) AS df FROM grams GROUP BY gram
+             |), kept AS (
+             |  SELECT g.doc_id, g.gram FROM grams g JOIN gram_df d ON g.gram = d.gram AND d.df <= 5
              |), shared AS (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-             |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
              |  GROUP BY a.doc_id, b.doc_id
              |)
              |SELECT doc_a, doc_b,
