@@ -7,7 +7,8 @@ import graft.core.Tables
 
 /** Similarity search over the embeddings table (Array[Float], 64-dim):
   * brute-force cosine top-k as the exact baseline, sign-bit LSH bucketing
-  * as the scale path, threshold pair mining, and kNN label regression.
+  * and IVF (inverted-file) cells as the scale paths, threshold pair
+  * mining, and kNN label regression.
   *
   * Cosine kernel: the native graft.functions.VecDot expression (fused
   * codegen loop, double accumulation). Norms are precomputed ONCE per
@@ -15,11 +16,18 @@ import graft.core.Tables
   * matters most at scale; the oracle mirrors the same normed-CTE shape,
   * and left-to-right summation keeps results hash-comparable.
   *
-  * Scale notes: brute-force is O(Q·N) — fine for a bounded query set
-  * against 100 TB when Q is small and the scan is columnar; the LSH
-  * variant buckets both sides first so the join only compares
-  * same-bucket candidates (axis-aligned random hyperplanes = sign bits
-  * of fixed dims; deterministic, no stored model).
+  * Scale notes: NOTHING here does an unbounded all-pairs join
+  * (PlanSpec pins cartesian/nested-loop absence). Brute force only runs
+  * against a bounded query set (sim_cosine_topk, Q=20 — O(Q·N) columnar
+  * scan). Pair mining and corpus-wide kNN route through IVF cells:
+  * the 8 coarse centroids are a driver-collected model inlined as
+  * LITERAL arrays, so cell assignment is a pure map-side expression —
+  * no centroid join, no 8N-row window shuffle — and the candidate join
+  * is an equi-join on cell id whose per-cell work is bounded by cell
+  * size (at 100 TB, K grows with N to hold cells constant; cells are
+  * co-located by the shuffle). Multi-probe (each side visits its top-2
+  * cells) keeps recall high; SimilarityRecallSpec measures it against
+  * the exact answer and pins the floor.
   */
 object SimilarityQueries {
 
@@ -46,6 +54,85 @@ object SimilarityQueries {
       |)""".stripMargin
 
   private val duckCosPair = s"($duckDot / (a.norm * b.norm))"
+
+  // ----------------------------------------------------------------
+  // IVF coarse quantizer: 8 deterministic centroids (vec_id 0..7; a
+  // k-means fit would replace them at scale, selection kept
+  // deterministic for the oracle). The centroids ARE the model — tiny —
+  // so they are collected once and ride into the plan as literals,
+  // like Ridge's fitted coefficients. Assignment = argmax cosine,
+  // ties broken by centroid id, computed map-side per row.
+  // ----------------------------------------------------------------
+
+  private final case class Centroid(cid: Int, emb: Array[Float], norm: Double)
+
+  private def centroids(s: SparkSession, d: String): Seq[Centroid] = {
+    val rows = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+    rows.map { r =>
+      val e = r.getSeq[Float](1).toArray
+      var acc = 0.0 // left-to-right double accumulation ≡ vec_dot ≡ oracle
+      var i = 0
+      while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
+      Centroid(r.getLong(0).toInt, e, math.sqrt(acc))
+    }.sortBy(_.cid).toSeq
+  }
+
+  /** Top-2 cell ids by (cosine desc, cid asc) as a 2-element array —
+    * struct sort on (−cos, cid) reproduces the oracle's
+    * `row_number() OVER (ORDER BY ccos DESC, cid)` exactly. */
+  private def probeCells(cents: Seq[Centroid]): Column = {
+    val entries = cents.map { c =>
+      val cEmb = array(c.emb.toSeq.map(v => lit(v)): _*)
+      struct(
+        (-(call_function("vec_dot", col("embedding"), cEmb) / (col("norm") * lit(c.norm)))).as("negcos"),
+        lit(c.cid).as("cid"))
+    }
+    slice(array_sort(array(entries: _*)), 1, 2)
+  }
+
+  /** normed frame + `cell1` (home cell) and `cell2` (second probe). */
+  private def withCells(emb: DataFrame, cents: Seq[Centroid]): DataFrame =
+    emb.withColumn("__cells", probeCells(cents))
+      .withColumn("cell1", element_at(col("__cells"), 1).getField("cid"))
+      .withColumn("cell2", element_at(col("__cells"), 2).getField("cid"))
+      .drop("__cells")
+
+  /** The (query, neighbor) top-5 ranking underlying sim_knn_label —
+    * IVF candidates (multi-probe nprobe=2, self excluded) scored by
+    * exact cosine. Package-visible so SimilarityRecallSpec can measure
+    * recall on the identical candidate path the query aggregates over. */
+  private[queries] def ivfKnnTop5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = centroids(s, d)
+    val emb = withCells(normed(s, d), cents)
+    val members = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"),
+      $"cell1".as("cid"), $"embedding".as("n_emb"), $"norm".as("n_norm"))
+    val queries = emb.select($"vec_id".as("query_id"), $"label".as("true_label"),
+      $"embedding".as("q_emb"), $"norm".as("q_norm"),
+      explode(array($"cell1", $"cell2")).as("cid"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    queries.join(members, "cid")
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("cos", call_function("vec_dot", $"q_emb", $"n_emb") / ($"q_norm" * $"n_norm"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"true_label", $"neighbor_id", $"n_label", $"cos")
+  }
+
+  /** Shared oracle CTEs: centroid set + per-vector cell ranking. */
+  private val duckAssign =
+    """cents AS (
+      |  SELECT vec_id AS cid, embedding, norm FROM normed WHERE vec_id < 8
+      |), assign AS (
+      |  SELECT v.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      (list_reduce(list_transform(list_zip(v.embedding::DOUBLE[], c.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
+      |       / (v.norm * c.norm)) DESC, c.cid) AS crn
+      |  FROM normed v CROSS JOIN cents c
+      |)""".stripMargin
 
   def all: Seq[OracleQuery] = Seq(
     // Brute-force cosine top-5 for a bounded query set (vec_id < 20).
@@ -81,26 +168,42 @@ object SimilarityQueries {
     ),
 
     // Near-duplicate pair mining above a cosine threshold (the
-    // embedding-space analogue of dedup). Brute force here; the LSH
-    // variant below is the scale path.
+    // embedding-space analogue of dedup), IVF-bounded: each vector is
+    // assigned to its top-2 cells (multi-probe), candidates are pairs
+    // sharing a cell, and the exact cosine re-ranks candidates. The
+    // join is an equi-join on cell id — per-cell pair count is bounded
+    // by cell size, never O(N²). A pair sharing both probed cells is
+    // scored twice to the same value; distinct() collapses it.
     OracleQuery(
       "sim_threshold_pairs",
       (s, d) => {
         import s.implicits._
-        val emb = normed(s, d)
-        emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+        val cents = centroids(s, d)
+        val assigned = withCells(normed(s, d), cents)
+          .select($"vec_id", $"embedding", $"norm",
+            explode(array($"cell1", $"cell2")).as("cid"))
+        assigned.as("a").join(assigned.as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
           .select(
             col("a.vec_id").as("vec_a"),
             col("b.vec_id").as("vec_b"),
             cosineCol.as("cos"))
           .filter($"cos" >= 0.38)
           .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
+          .distinct()
           .orderBy($"vec_a", $"vec_b")
       },
-      Some(s"""WITH $duckNormed
-              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      Some(s"""WITH $duckNormed, $duckAssign, probed AS (
+              |  SELECT vec_id, cid FROM assign WHERE crn <= 2
+              |), cand AS (
+              |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+              |  FROM probed x JOIN probed y ON x.cid = y.cid AND x.vec_id < y.vec_id
+              |)
+              |SELECT c.va AS vec_a, c.vb AS vec_b,
               |  round($duckCosPair, 4) AS cos
-              |FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+              |FROM cand c
+              |JOIN normed a ON a.vec_id = c.va
+              |JOIN normed b ON b.vec_id = c.vb
               |WHERE $duckCosPair >= 0.38
               |ORDER BY vec_a, vec_b""".stripMargin)
     ),
@@ -148,51 +251,34 @@ object SimilarityQueries {
     ),
 
     // IVF (inverted-file) ANN — the index-structured scale path beyond
-    // flat LSH: 8 deterministic coarse centroids (vec_id 0..7; a k-means
-    // fit would replace them at scale, selection kept deterministic for
-    // the oracle), every vector assigned to its nearest centroid's cell,
+    // flat LSH: every vector lives in its nearest centroid's cell,
     // queries probe only their nprobe=2 closest cells and brute-force
     // inside them. Work per query drops from O(N·d) to
-    // O(K·d + N·nprobe/K·d); the candidate join is cell-partitioned, so
-    // at 100 TB each cell's vectors are co-located and the probe never
-    // touches the other K−nprobe cells. Centroids are broadcast.
+    // O(K·d + N·nprobe/K·d). Cell assignment is MAP-SIDE (literal
+    // centroids); the only join is broadcast(probes) ⋈ members on cell
+    // id, so at 100 TB the probe never touches the other K−nprobe
+    // cells and the fact side never shuffles twice.
     OracleQuery(
       "sim_ivf_topk",
       (s, d) => {
         import s.implicits._
-        val emb = normed(s, d)
-        val cents = emb.filter($"vec_id" < 8)
-          .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"norm".as("c_norm"))
-        val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-        val assign = emb.select($"vec_id", $"embedding", $"norm")
-          .crossJoin(broadcast(cents))
-          .withColumn("ccos", expr("vec_dot(embedding, c_emb)") / ($"norm" * $"c_norm"))
-          .withColumn("crn", row_number().over(wAssign))
-        val cells = assign.filter($"crn" === 1).select($"vec_id".as("member_id"), $"cid")
-        val probes = assign.filter($"vec_id" < 10 && $"crn" <= 2)
-          .select($"vec_id".as("query_id"), $"cid")
-        val cands = probes.join(cells, "cid")
-          .filter($"member_id" =!= $"query_id")
-          .select($"query_id", $"member_id".as("neighbor_id"))
-        val scored = cands
-          .join(emb.select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"norm".as("q_norm")), "query_id")
-          .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"), $"norm".as("n_norm")), "neighbor_id")
-          .withColumn("cos", expr("vec_dot(q_emb, n_emb)") / ($"q_norm" * $"n_norm"))
+        val cents = centroids(s, d)
+        val emb = withCells(normed(s, d), cents)
+        val members = emb.select($"vec_id".as("neighbor_id"), $"cell1".as("cid"),
+          $"embedding".as("n_emb"), $"norm".as("n_norm"))
+        val probes = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"norm".as("q_norm"),
+            explode(array($"cell1", $"cell2")).as("cid"))
+        val scored = broadcast(probes).join(members, "cid")
+          .filter($"neighbor_id" =!= $"query_id")
+          .withColumn("cos", call_function("vec_dot", $"q_emb", $"n_emb") / ($"q_norm" * $"n_norm"))
         val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
         scored.withColumn("rn", row_number().over(wTop))
           .filter($"rn" <= 3)
           .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rn")
           .orderBy($"query_id", $"rn")
       },
-      Some(s"""WITH $duckNormed, cents AS (
-              |  SELECT vec_id AS cid, embedding, norm FROM normed WHERE vec_id < 8
-              |), assign AS (
-              |  SELECT v.vec_id, c.cid,
-              |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-              |      (list_reduce(list_transform(list_zip(v.embedding::DOUBLE[], c.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
-              |       / (v.norm * c.norm)) DESC, c.cid) AS crn
-              |  FROM normed v CROSS JOIN cents c
-              |), cells AS (
+      Some(s"""WITH $duckNormed, $duckAssign, cells AS (
               |  SELECT vec_id AS member_id, cid FROM assign WHERE crn = 1
               |), probes AS (
               |  SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10 AND crn <= 2
@@ -216,24 +302,19 @@ object SimilarityQueries {
               |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin)
     ),
 
-    // kNN label regression (models.py:338-380 kNN shape): predicted label
-    // = mean of the 5 nearest neighbors' labels by cosine, excluding self;
-    // summarized as mean prediction per true label.
+    // kNN label regression (models.py:338-380 kNN shape), IVF-bounded:
+    // predicted label = mean label of the 5 nearest IVF-candidate
+    // neighbors by cosine (multi-probe nprobe=2, exact re-rank inside
+    // probed cells, self excluded); summarized as mean prediction per
+    // true label. A member lives in exactly one cell and a query probes
+    // two distinct cells, so each (query, member) candidate appears at
+    // most once — no dedup needed. The candidate join is an equi-join
+    // on cell id: corpus-wide kNN at O(N·nprobe·cellsize·d), not O(N²·d).
     OracleQuery(
       "sim_knn_label",
       (s, d) => {
         import s.implicits._
-        val emb = normed(s, d)
-        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-        emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-          .select(
-            col("a.vec_id").as("query_id"),
-            col("a.label").as("true_label"),
-            col("b.vec_id").as("neighbor_id"),
-            col("b.label").as("n_label"),
-            cosineCol.as("cos"))
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" <= 5)
+        ivfKnnTop5(s, d)
           .groupBy($"query_id", $"true_label")
           .agg(round(avg($"n_label"), 4).as("pred_label"))
           .groupBy($"true_label")
@@ -243,15 +324,24 @@ object SimilarityQueries {
             round(avg(abs($"pred_label" - $"true_label")), 4).as("mae"))
           .orderBy($"true_label")
       },
-      Some(s"""WITH $duckNormed, pairs AS (
-              |  SELECT a.vec_id AS query_id, a.label AS true_label, b.vec_id AS neighbor_id,
-              |    b.label AS n_label,
+      Some(s"""WITH $duckNormed, $duckAssign, members AS (
+              |  SELECT vec_id AS neighbor_id, cid FROM assign WHERE crn = 1
+              |), probes AS (
+              |  SELECT vec_id AS query_id, cid FROM assign WHERE crn <= 2
+              |), cand AS (
+              |  SELECT p.query_id, m.neighbor_id
+              |  FROM probes p JOIN members m ON p.cid = m.cid
+              |  WHERE m.neighbor_id != p.query_id
+              |), scored AS (
+              |  SELECT c.query_id, a.label AS true_label, c.neighbor_id, b.label AS n_label,
               |    $duckCosPair AS cos
-              |  FROM normed a JOIN normed b ON a.vec_id != b.vec_id
+              |  FROM cand c
+              |  JOIN normed a ON a.vec_id = c.query_id
+              |  JOIN normed b ON b.vec_id = c.neighbor_id
               |), ranked AS (
               |  SELECT query_id, true_label, n_label,
               |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
-              |  FROM pairs
+              |  FROM scored
               |), preds AS (
               |  SELECT query_id, true_label, round(avg(n_label), 4) AS pred_label
               |  FROM ranked WHERE rn <= 5 GROUP BY query_id, true_label

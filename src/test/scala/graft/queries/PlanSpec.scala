@@ -46,6 +46,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort"))
   }
 
+  test("similarity mining is cell-bounded: no cartesian or nested-loop join") {
+    // sim_threshold_pairs / sim_knn_label route through IVF cells
+    // (map-side literal-centroid assignment + equi-join on cell id);
+    // an unbounded all-pairs self-join would reappear here as a
+    // CartesianProduct or BroadcastNestedLoopJoin
+    for (q <- Seq("sim_threshold_pairs", "sim_knn_label", "sim_ivf_topk")) {
+      val p = plan(Registry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q has an unbounded join:\n$p")
+    }
+  }
+
+  test("rolling-features pipeline shares one hash exchange across all window frames") {
+    // all five rolling features use the same Window.partitionBy(user)
+    // .orderBy(ts) — one Exchange hashpartitioning, one sort; a second
+    // exchange means a frame drifted off the shared partitioning
+    val p = plan(Registry.queries("pipe_rolling_features")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("daily pipeline stays at two shuffles: dedup + daily aggregate") {
     // coverage_hours uses the bit_or(1 << hour) bitset, not countDistinct
     // (whose rewrite would add a third exchange for the distinct phase)
