@@ -118,7 +118,11 @@ final class KnnRegressor(features: Seq[String], label: String, k: Int = 50) {
   def fit(train: DataFrame): Unit = { trainDf = train }
 
   def predict(test: DataFrame, idCol: String): DataFrame = {
-    val kEff = k // capped against train size inside the window rank
+    // explicit k cap against the train size (models.py:361-363): the
+    // window rank can never exceed the train row count anyway, but the
+    // cap is part of the reference contract — kNN with k > n degrades
+    // to the train-label mean, and the effective k is knowable upfront
+    val kEff = math.max(1L, math.min(k.toLong, trainDf.count())).toInt
     def zf(df: DataFrame, prefix: String) = features.zipWithIndex.foldLeft(df) {
       case (d, (f, i)) => d.withColumn(s"$prefix$i", coalesce(col(f).cast("double"), lit(0.0)))
     }

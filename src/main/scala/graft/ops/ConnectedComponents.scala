@@ -17,19 +17,30 @@ object ConnectedComponents {
 
   /** @param vertices single column `id`
     * @param edges columns `src`, `dst` (undirected; both orders added here)
+    * @param checkpointDir when set, per-round state goes through a
+    *        reliable `checkpoint` into this directory (HDFS/object
+    *        store on a cluster) instead of `localCheckpoint`:
+    *        localCheckpoint stores blocks on executors, so losing one
+    *        executor mid-iteration kills the whole job. Local runs
+    *        keep the zero-I/O localCheckpoint default.
     * @return (id, component) where component = min id reachable
     */
-  def apply(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def apply(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = vertices.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val both = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
-    // localCheckpoint each round: iterative plans otherwise nest the
+    // checkpoint each round: iterative plans otherwise nest the
     // whole previous lineage (exponential logical-plan growth — the
     // standard iterative-Spark pitfall; the driver OOMs just printing
     // the plan long before the data is a problem).
-    var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint(eager = true)
+    var labels = pin(vertices.select(col("id"), col("id").as("component")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -51,9 +62,9 @@ object ConnectedComponents {
           col("u.component") === col("cid"), "left_outer")
         .select(col("u.id").as("id"), col("u.prev").as("prev"),
           least(col("u.component"), coalesce(col("ccomp"), col("u.component"))).as("component"))
-        .localCheckpoint(eager = true)
-      val changed = updated.filter(col("component") =!= col("prev")).count()
-      labels = updated.select(col("id"), col("component"))
+      val pinned = pin(updated)
+      val changed = pinned.filter(col("component") =!= col("prev")).count()
+      labels = pinned.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }

@@ -20,11 +20,23 @@ object DedupDocs {
   private def nSeeds = graft.functions.MinHashSigImpl.Seeds.length
 
   /** @param docs columns (doc_id: long, text: string)
+    * @param minJaccard LSH banding yields CANDIDATE edges; a single
+    *        band collision can be a false positive, and an unverified
+    *        merge permanently drops a unique document. When set
+    *        (default 0.5), every candidate edge is verified by EXACT
+    *        trigram Jaccard before clustering — the verification join
+    *        touches only candidate pairs, so its cost scales with the
+    *        candidate count, not the corpus. `None` restores raw
+    *        banding (recall over precision, the crawl-dedup trade).
+    * @param checkpointDir forwarded to ConnectedComponents: reliable
+    *        checkpoint dir for cluster runs.
     * @return (doc_id, component, is_survivor) — component is the min
     *         doc_id of the duplicate group (singletons are their own
     *         component and survive)
     */
-  def apply(docs: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+  def apply(docs: DataFrame, rowsPerBand: Int = 4,
+      minJaccard: Option[Double] = Some(0.5),
+      checkpointDir: Option[String] = None): DataFrame = {
     require(rowsPerBand > 0 && nSeeds % rowsPerBand == 0,
       s"rowsPerBand must divide $nSeeds (got $rowsPerBand) — a remainder would " +
         "silently drop minhashes from the banding and weaken near-dup recall")
@@ -65,9 +77,34 @@ object DedupDocs {
       .select($"head".as("src"), $"doc_id".as("dst"))
       .distinct()
 
+    // Verify candidates: exact trigram Jaccard per candidate edge. A
+    // verified-out doc can still join a group through any other band it
+    // genuinely shares; exact-duplicate (content-hash) edges are certain
+    // and never verified.
+    val verifiedNear = minJaccard match {
+      case None => nearEdges
+      case Some(j) =>
+        val grams = graft.queries.Shingles.wordTrigrams(docs)
+          .select($"doc_id", $"gram").distinct()
+        val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+        val inter = nearEdges
+          .join(grams.withColumnsRenamed(Map("doc_id" -> "src")), "src")
+          .join(grams.withColumnsRenamed(Map("doc_id" -> "dst")), Seq("dst", "gram"))
+          .groupBy($"src", $"dst").agg(count(lit(1)).as("n_inter"))
+        nearEdges
+          .join(inter, Seq("src", "dst"), "left_outer")
+          .join(sizes.select($"doc_id".as("src"), $"n_grams".as("n_src")), "src")
+          .join(sizes.select($"doc_id".as("dst"), $"n_grams".as("n_dst")), "dst")
+          .filter(
+            coalesce($"n_inter", lit(0L)).cast("double") /
+              ($"n_src" + $"n_dst" - coalesce($"n_inter", lit(0L))) >= j)
+          .select($"src", $"dst")
+    }
+
     val comps = ConnectedComponents(
       docs.select($"doc_id".as("id")),
-      exactEdges.unionByName(nearEdges))
+      exactEdges.unionByName(verifiedNear),
+      checkpointDir = checkpointDir)
     comps.select(
       $"id".as("doc_id"),
       $"component",

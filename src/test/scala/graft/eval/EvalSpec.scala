@@ -68,6 +68,11 @@ class EvalSpec extends SparkSpec {
     val knn3 = new KnnRegressor(Seq("x"), "y", k = 3)
     knn3.fit(train)
     assert(knn3.predict(test, "id").collect()(0).getAs[Double]("y_pred_f") == 20.0) // (10+20+30)/3
+    // k > n: explicit cap to the train size (models.py:361-363) —
+    // degrades to the mean of ALL train labels
+    val knn50 = new KnnRegressor(Seq("x"), "y", k = 50)
+    knn50.fit(train)
+    assert(knn50.predict(test, "id").collect()(0).getAs[Double]("y_pred_f") == 20.0) // (10+20+30)/3
   }
 
   test("bucketed sigma: per-bucket when n>=min, global fallback otherwise, floor applied") {

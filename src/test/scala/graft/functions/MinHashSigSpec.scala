@@ -43,15 +43,25 @@ class MinHashSigSpec extends SparkSpec {
     // interpreted path: factoryMode=NO_CODEGEN is what actually forces
     // nullSafeEval (wholeStage=false alone still uses codegen'd
     // projections) — this is the path production falls back to when
-    // generated code fails to compile
+    // generated code fails to compile. Assert VALUE equality against
+    // the codegen rows, not just null-ness: a divergence inside the
+    // hash computation itself must fail here.
     val conf = spark.conf
     val prevWs = conf.get("spark.sql.codegen.wholeStage", "true")
     val prevFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     try {
       conf.set("spark.sql.codegen.wholeStage", "false")
       conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      val interp = docs.select(expr("minhash_sig(text)").as("sig")).collect()
-      assert(interp.count(!_.isNullAt(0)) == 3)
+      val interp = docs.select($"doc_id", expr("minhash_sig(text)").as("sig"))
+        .orderBy("doc_id").collect()
+      assert(interp.length == out.length)
+      out.zip(interp).foreach { case (c, i) =>
+        assert(c.getLong(0) == i.getLong(0))
+        assert(c.isNullAt(1) == i.isNullAt(1), s"null-ness diverges for doc ${c.getLong(0)}")
+        if (!c.isNullAt(1))
+          assert(c.getSeq[Long](1) == i.getSeq[Long](1),
+            s"interpreted signature diverges from codegen for doc ${c.getLong(0)}")
+      }
     } finally {
       conf.set("spark.sql.codegen.wholeStage", prevWs)
       conf.set("spark.sql.codegen.factoryMode", prevFm)

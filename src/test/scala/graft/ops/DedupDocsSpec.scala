@@ -22,4 +22,25 @@ class DedupDocsSpec extends SparkSpec {
     assert(out(7L) == (7L, true))   // singleton untouched
   }
 
+  test("candidate verification: a band collision below the Jaccard floor never merges") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val docs = Seq((1L, base), (3L, near)).toDF("doc_id", "text")
+    // true trigram Jaccard of the pair is 10/12 ≈ 0.83: the default 0.5
+    // floor keeps the merge, a 0.9 floor rejects the candidate edge —
+    // proving the verification actually gates on EXACT similarity, not
+    // on the banding that proposed the pair
+    val merged = DedupDocs(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged(3L) == 1L)
+    val strict = DedupDocs(docs, minJaccard = Some(0.9))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(strict(1L) == 1L && strict(3L) == 3L,
+      "verification floor 0.9 must reject the 0.83-Jaccard candidate")
+    // exact duplicates merge regardless of the floor: content-hash
+    // edges are certain and bypass verification
+    val exact = DedupDocs(Seq((1L, base), (5L, base)).toDF("doc_id", "text"),
+      minJaccard = Some(0.99)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact(5L) == 1L)
+  }
+
 }

@@ -1,0 +1,25 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The driver can't oracle a sketch (HLL internals are engine-specific,
+  * so a14_approx_distinct is a rows-only gate there) — this spec is the
+  * accuracy proof instead: the realized relative error of
+  * approx_count_distinct(rsd=0.05) against the exact countDistinct must
+  * stay inside a 3×rsd envelope on real testdata. HLL++'s rsd is a
+  * standard deviation, so 3σ = 15% is a conservative deterministic
+  * bound (the sketch itself is deterministic for fixed input). */
+class SketchBoundSpec extends SparkSpec {
+
+  test("a14: HLL approx distinct within 3×rsd of exact, per group") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Registry.queries("a14_approx_distinct")(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val relErr = r.getAs[Double]("rel_err")
+        assert(relErr <= 0.15,
+          s"$sf ${r.getAs[String]("event_type")}: rel_err $relErr exceeds 3×rsd envelope 0.15")
+      }
+    }
+  }
+}
