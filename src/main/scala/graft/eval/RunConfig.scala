@@ -1,0 +1,198 @@
+package graft.eval
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.time.LocalDate
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Frozen run configuration with JSON round-trip and validation —
+  * parity with eval/config.py:20-202 (SplitConfig / ModelConfig /
+  * UncertaintyConfig / EvalConfig and the validation battery at
+  * config.py:126-161). The JSON layout (snake_case keys, ISO dates,
+  * nested objects) matches the reference's `to_dict`, so a config
+  * written by either side loads in the other.
+  *
+  * Jackson (on Spark's classpath) parses; serialization is hand-rolled
+  * like Runner's artifact JSON — no extra dependencies.
+  */
+final case class RunConfig(
+    runName: String,
+    stationIds: Seq[String],
+    startDateLocal: LocalDate,
+    endDateLocal: LocalDate,
+    minCoverageHours: Int = 18,
+    leadHoursAllowed: Option[Seq[Int]] = None,
+    split: RunConfig.SplitConfig = RunConfig.SplitConfig(),
+    model: RunConfig.ModelConfig = RunConfig.ModelConfig(),
+    uncertainty: RunConfig.UncertaintyConfig = RunConfig.UncertaintyConfig(),
+    randomSeed: Int = 42) {
+
+  /** The reference's `_validate` rules (config.py:126-161), collected
+    * rather than thrown so callers can render all failures at once. */
+  def validationErrors: Seq[String] = {
+    val errors = Seq.newBuilder[String]
+    if (stationIds.isEmpty)
+      errors += "station_ids must not be empty"
+    if (!startDateLocal.isBefore(endDateLocal))
+      errors += s"start_date_local ($startDateLocal) must be before end_date_local ($endDateLocal)"
+    if (minCoverageHours < 0 || minCoverageHours > 24)
+      errors += s"min_coverage_hours must be in [0, 24], got $minCoverageHours"
+    split.splitType match {
+      case "static" =>
+        val total = split.trainFrac + split.valFrac + split.testFrac
+        if (math.abs(total - 1.0) > 1e-6)
+          errors += s"Split fractions must sum to 1, got $total"
+      case "walk_forward" =>
+        if (!split.windowSize.exists(_ > 0))
+          errors += "walk_forward requires positive window_size"
+        if (!split.stepSize.exists(_ > 0))
+          errors += "walk_forward requires positive step_size"
+      case other =>
+        errors += s"unknown split type: $other"
+    }
+    if (!RunConfig.ModelTypes.contains(model.modelType))
+      errors += s"unknown model type: ${model.modelType}"
+    if (!RunConfig.UncertaintyTypes.contains(uncertainty.uncertaintyType))
+      errors += s"unknown uncertainty type: ${uncertainty.uncertaintyType}"
+    errors.result()
+  }
+
+  /** Throws with the reference's aggregate message when invalid. */
+  def validated: RunConfig = {
+    val errs = validationErrors
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException(
+        "EvalConfig validation failed:\n  - " + errs.mkString("\n  - "))
+    this
+  }
+
+  /** Bridge into the runner's operational config: split fractions,
+    * sigma buckets and floor carry over; column names keep the runner's
+    * defaults. */
+  def runnerConfig: Runner.EvalConfig = Runner.EvalConfig(
+    splitFractions = graft.ops.Splits.SplitFractions(split.trainFrac, split.valFrac),
+    sigmaBuckets = uncertainty.buckets.getOrElse(Seq((0, 36), (36, 72), (72, 120))),
+    sigmaFloor = uncertainty.sigmaFloor)
+
+  /** The forecaster named by model.type (config.py ModelConfig.type),
+    * wired to the configured features/alpha. */
+  def buildForecaster(labelCol: String = "tmax_actual_f"): Forecaster =
+    model.modelType match {
+      case "passthrough" => new Passthrough()
+      case "persistence" => new Persistence()
+      case "ridge"       => new Ridge(model.features, labelCol, model.alpha)
+      case other => throw new IllegalArgumentException(
+        s"model type '$other' has no Forecaster builder (knn/xgboost use their own predict API)")
+    }
+
+  def toJson: String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def arr(xs: Seq[String]) = xs.mkString("[", ", ", "]")
+    val lead = leadHoursAllowed.map(h => arr(h.map(_.toString))).getOrElse("null")
+    val win = split.windowSize.map(_.toString).getOrElse("null")
+    val step = split.stepSize.map(_.toString).getOrElse("null")
+    val buckets = uncertainty.buckets
+      .map(bs => arr(bs.map { case (lo, hi) => s"[$lo, $hi]" })).getOrElse("null")
+    s"""{
+       |  "run_name": ${q(runName)},
+       |  "station_ids": ${arr(stationIds.map(q))},
+       |  "start_date_local": ${q(startDateLocal.toString)},
+       |  "end_date_local": ${q(endDateLocal.toString)},
+       |  "min_coverage_hours": $minCoverageHours,
+       |  "lead_hours_allowed": $lead,
+       |  "split": {"type": ${q(split.splitType)}, "train_frac": ${split.trainFrac}, "val_frac": ${split.valFrac}, "test_frac": ${split.testFrac}, "window_size": $win, "step_size": $step},
+       |  "model": {"type": ${q(model.modelType)}, "alpha": ${model.alpha}, "features": ${arr(model.features.map(q))}},
+       |  "uncertainty": {"type": ${q(uncertainty.uncertaintyType)}, "buckets": $buckets, "sigma_floor": ${uncertainty.sigmaFloor}},
+       |  "random_seed": $randomSeed
+       |}""".stripMargin
+  }
+
+  def save(path: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.writeString(p, toJson,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+}
+
+object RunConfig {
+
+  val ModelTypes: Set[String] = Set("passthrough", "ridge", "persistence", "knn", "xgboost")
+  val UncertaintyTypes: Set[String] = Set("global", "bucketed", "rolling")
+
+  final case class SplitConfig(
+      splitType: String = "static",
+      trainFrac: Double = 0.70,
+      valFrac: Double = 0.15,
+      testFrac: Double = 0.15,
+      windowSize: Option[Int] = None,
+      stepSize: Option[Int] = None)
+
+  final case class ModelConfig(
+      modelType: String = "ridge",
+      alpha: Double = 1.0,
+      features: Seq[String] =
+        Seq("tmax_pred_f", "sin_doy", "cos_doy", "bias_7d", "bias_14d"))
+
+  final case class UncertaintyConfig(
+      uncertaintyType: String = "bucketed",
+      buckets: Option[Seq[(Int, Int)]] = None,
+      sigmaFloor: Double = 1.0)
+
+  /** Parse + validate (construction-time validation, matching the
+    * reference's `__post_init__`). Missing optional keys fall back to
+    * the dataclass defaults. */
+  def fromJson(json: String): RunConfig = {
+    val n = new ObjectMapper().readTree(json)
+    def strSeq(node: JsonNode): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      node.elements().asScala.map(_.asText()).toSeq
+    }
+    def optIntField(node: JsonNode, key: String): Option[Int] = {
+      val v = node.get(key)
+      if (v == null || v.isNull) None else Some(v.asInt())
+    }
+    def req(key: String): JsonNode = {
+      val v = n.get(key)
+      require(v != null && !v.isNull, s"missing required config field: $key")
+      v
+    }
+    val split = Option(n.get("split")).filterNot(_.isNull).map { s =>
+      SplitConfig(
+        splitType = Option(s.get("type")).map(_.asText()).getOrElse("static"),
+        trainFrac = Option(s.get("train_frac")).map(_.asDouble()).getOrElse(0.70),
+        valFrac = Option(s.get("val_frac")).map(_.asDouble()).getOrElse(0.15),
+        testFrac = Option(s.get("test_frac")).map(_.asDouble()).getOrElse(0.15),
+        windowSize = optIntField(s, "window_size"),
+        stepSize = optIntField(s, "step_size"))
+    }.getOrElse(SplitConfig())
+    val model = Option(n.get("model")).filterNot(_.isNull).map { m =>
+      ModelConfig(
+        modelType = Option(m.get("type")).map(_.asText()).getOrElse("ridge"),
+        alpha = Option(m.get("alpha")).map(_.asDouble()).getOrElse(1.0),
+        features = Option(m.get("features")).map(strSeq).getOrElse(ModelConfig().features))
+    }.getOrElse(ModelConfig())
+    val uncertainty = Option(n.get("uncertainty")).filterNot(_.isNull).map { u =>
+      import scala.jdk.CollectionConverters._
+      UncertaintyConfig(
+        uncertaintyType = Option(u.get("type")).map(_.asText()).getOrElse("bucketed"),
+        buckets = Option(u.get("buckets")).filterNot(_.isNull).map(bs =>
+          bs.elements().asScala.map(b => (b.get(0).asInt(), b.get(1).asInt())).toSeq),
+        sigmaFloor = Option(u.get("sigma_floor")).map(_.asDouble()).getOrElse(1.0))
+    }.getOrElse(UncertaintyConfig())
+    RunConfig(
+      runName = req("run_name").asText(),
+      stationIds = strSeq(req("station_ids")),
+      startDateLocal = LocalDate.parse(req("start_date_local").asText()),
+      endDateLocal = LocalDate.parse(req("end_date_local").asText()),
+      minCoverageHours = Option(n.get("min_coverage_hours")).map(_.asInt()).getOrElse(18),
+      leadHoursAllowed = Option(n.get("lead_hours_allowed")).filterNot(_.isNull).map(h => {
+        import scala.jdk.CollectionConverters._
+        h.elements().asScala.map(_.asInt()).toSeq
+      }),
+      split = split, model = model, uncertainty = uncertainty,
+      randomSeed = Option(n.get("random_seed")).map(_.asInt()).getOrElse(42)
+    ).validated
+  }
+
+  def load(path: String): RunConfig = fromJson(Files.readString(Paths.get(path)))
+}

@@ -77,8 +77,9 @@ object Runner {
     }
     val ranked = results.sortBy(_.metrics.mae)
     writeJson(s"$runDir/comparison.json", comparisonJson(ranked))
+    val runName = Paths.get(runDir).getFileName.toString
     writeJson(s"$runDir/meta.json",
-      s"""{"models": [${ranked.map(r => q(r.name)).mkString(", ")}], "n_models": ${ranked.size}}""")
+      s"""{"run_name": ${q(runName)}, "models": [${ranked.map(r => q(r.name)).mkString(", ")}], "n_models": ${ranked.size}}""")
     ranked
   }
 
@@ -125,4 +126,87 @@ object Runner {
   /** S10: load a run back (report.py:349-424). */
   def loadRun(spark: SparkSession, runDir: String, model: String): DataFrame =
     spark.read.parquet(s"$runDir/models/$model/predictions")
+
+  // ------------------------------------------------------------------
+  // Run enumeration + multi-model load-back (report.py:466-562) — the
+  // "what did my last two runs say" API. Metrics/meta/comparison are
+  // tiny JSON (parsed with Jackson, already on Spark's classpath);
+  // predictions/residuals stay distributed as lazy DataFrames.
+  // ------------------------------------------------------------------
+
+  final case class RunInfo(runId: String, isMultiModel: Boolean, modelNames: Seq[String])
+  final case class ComparisonEntry(rank: Int, model: String, mae: Double,
+      rmse: Double, bias: Double, r2: Double)
+  final case class LoadedModel(name: String, metrics: Map[String, Double],
+      predictions: DataFrame, residuals: DataFrame)
+  final case class LoadedRun(runId: String, modelNames: Seq[String],
+      comparison: Seq[ComparisonEntry], models: Map[String, LoadedModel])
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def readTree(p: java.nio.file.Path) = mapper.readTree(Files.readString(p))
+
+  private def numOrNaN(n: com.fasterxml.jackson.databind.JsonNode): Double =
+    if (n == null || n.isNull) Double.NaN else n.asDouble()
+
+  /** All runs under `rootDir`, newest run-id first (list_runs,
+    * report.py:523-562). A run is multi-model when it has a models/
+    * subtree; model names come from meta.json when present. */
+  def listRuns(rootDir: String): Seq[RunInfo] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(rootDir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val dirs = Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+    dirs.sortBy(_.getFileName.toString)(Ordering[String].reverse).map { runDir =>
+      val isMulti = Files.isDirectory(runDir.resolve("models"))
+      val meta = runDir.resolve("meta.json")
+      val names =
+        if (!Files.exists(meta)) Seq.empty[String]
+        else scala.util.Try {
+          readTree(meta).path("models").elements().asScala.map(_.asText()).toSeq
+        }.getOrElse(Seq.empty)
+      RunInfo(runDir.getFileName.toString, isMulti, names)
+    }
+  }
+
+  /** Load every model of a run: ranked comparison + per-model metrics
+    * and prediction/residual frames (load_multi_model_run,
+    * report.py:466-520). Fails fast when the run doesn't exist. */
+  def loadMultiModelRun(spark: SparkSession, rootDir: String, runId: String): LoadedRun = {
+    import scala.jdk.CollectionConverters._
+    val runDir = Paths.get(rootDir, runId)
+    require(Files.isDirectory(runDir), s"Run not found: $runDir")
+    val comparison = {
+      val p = runDir.resolve("comparison.json")
+      if (!Files.exists(p)) Seq.empty[ComparisonEntry]
+      else readTree(p).elements().asScala.map { e =>
+        ComparisonEntry(e.path("rank").asInt(), e.path("model").asText(),
+          numOrNaN(e.get("mae")), numOrNaN(e.get("rmse")),
+          numOrNaN(e.get("bias")), numOrNaN(e.get("r2")))
+      }.toSeq
+    }
+    val modelsDir = runDir.resolve("models")
+    val models =
+      if (!Files.isDirectory(modelsDir)) Map.empty[String, LoadedModel]
+      else Files.list(modelsDir).iterator().asScala.filter(Files.isDirectory(_)).map { mDir =>
+        val name = mDir.getFileName.toString
+        val metrics = {
+          val p = mDir.resolve("metrics.json")
+          if (!Files.exists(p)) Map.empty[String, Double]
+          else readTree(p).properties().asScala
+            .filter(e => e.getValue.isNumber || e.getValue.isNull)
+            .map(e => e.getKey -> numOrNaN(e.getValue)).toMap
+        }
+        name -> LoadedModel(name, metrics,
+          spark.read.parquet(mDir.resolve("predictions").toString),
+          spark.read.parquet(mDir.resolve("residuals").toString))
+      }.toMap
+    val names = {
+      val meta = runDir.resolve("meta.json")
+      if (Files.exists(meta))
+        readTree(meta).path("models").elements().asScala.map(_.asText()).toSeq
+      else models.keys.toSeq.sorted
+    }
+    LoadedRun(runId, names, comparison, models)
+  }
 }

@@ -43,4 +43,38 @@ class RunnerSpec extends SparkSpec {
     assert(ridge.metrics.mae < 1.0)
     assert(ranked.head.name.startsWith("Ridge"))
   }
+
+  test("run listing + multi-model load-back (report.py:466-562 parity)") {
+    val root = Files.createTempDirectory("graft_runs").toString
+    val models = Seq[Forecaster](
+      new Passthrough(),
+      new Ridge(Seq("tmax_pred_f"), "tmax_actual_f", alpha = 1.0))
+    Runner.runMultiModel(trainTable, models, s"$root/run_002")
+    Runner.runMultiModel(trainTable, Seq[Forecaster](new Passthrough()), s"$root/run_001")
+
+    // newest run-id first, multi-model flag and model names populated
+    val runs = Runner.listRuns(root)
+    assert(runs.map(_.runId) == Seq("run_002", "run_001"))
+    assert(runs.forall(_.isMultiModel))
+    assert(runs.head.modelNames.toSet == Set("Passthrough", "Ridge(alpha=1.0)"))
+    assert(Runner.listRuns(s"$root/nonexistent").isEmpty)
+
+    // full load-back: comparison ranking + per-model metrics and frames
+    val back = Runner.loadMultiModelRun(spark, root, "run_002")
+    assert(back.modelNames.size == 2 && back.models.size == 2)
+    assert(back.comparison.map(_.rank) == Seq(1, 2))
+    assert(back.comparison.head.model.startsWith("Ridge")) // rank 1 = lowest MAE
+    assert(back.comparison.head.mae <= back.comparison.last.mae)
+    val pass = back.models("Passthrough")
+    assert(pass.metrics("mae") == 1.5 && pass.metrics("bias") == 1.5)
+    assert(pass.predictions.count() > 0 && pass.residuals.count() > 0)
+    assert(pass.predictions.columns.contains("y_pred_sigma_f"))
+    // metrics.json round-trips what runMultiModel computed
+    val ridgeBack = back.models("Ridge(alpha=1.0)")
+    assert(math.abs(ridgeBack.metrics("mae") - back.comparison.head.mae) < 1e-12)
+    // unknown run fails fast, like the reference's FileNotFoundError
+    intercept[IllegalArgumentException] {
+      Runner.loadMultiModelRun(spark, root, "run_999")
+    }
+  }
 }
