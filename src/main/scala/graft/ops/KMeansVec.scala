@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd's algorithm) over an `array<float>`
+  * embedding column — the coarse-quantizer fit that replaces
+  * SimilarityQueries' deterministic vec_id<8 centroid choice at scale,
+  * and a corpus-curation primitive in its own right (domain clustering
+  * for training-data mixing).
+  *
+  * Spark shape per round: centroids are DRIVER state (k·d doubles —
+  * tiny), so assignment is a pure MAP-SIDE expression over literal
+  * centroid arrays (no join, no window), and the update is one
+  * (cell, dim) aggregation — exactly one shuffle per round, O(k·d)
+  * rows collected. Nothing else leaves the executors. At 1000
+  * executors the shuffle carries k·d partial sums per partition,
+  * independent of row count.
+  *
+  * Determinism (the oracle hash-matches a DuckDB mirror):
+  *  - init = embeddings of the k smallest ids (no RNG);
+  *  - distances accumulate left-to-right in double via the
+  *    zip_with/aggregate HOF shape, ties broken by lowest cell id;
+  *  - per-dim means use exact decimal(25,8) sums before the double
+  *    division, so summation order can't flip a low bit.
+  */
+object KMeansVec {
+
+  /** One Lloyd round's centroids after `iters` update steps.
+    * @param emb frame with `idCol` (orderable init key) and `embCol`
+    * @param k cluster count (init = k smallest ids)
+    * @param iters update rounds (assign → mean) after init
+    * @return centroids as doubles, index = cell id
+    */
+  def fit(emb: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): Array[Array[Double]] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got k=$k, iters=$iters)")
+    val init = emb.orderBy(col(idCol)).limit(k).select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(init.length == k, s"need at least $k rows to seed $k centroids, got ${init.length}")
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      cents = updateStep(emb, embCol, cents)
+      it += 1
+    }
+    cents
+  }
+
+  /** Map-side nearest-cell id for literal `cents`: argmin of squared
+    * L2 distance, ties to the lowest cell id. The distance is the
+    * left-to-right HOF accumulation, identical to the DuckDB
+    * list_reduce spelling. */
+  def cellExpr(embCol: String, cents: Array[Array[Double]]): Column = {
+    val entries = cents.zipWithIndex.map { case (c, cid) =>
+      // explicit cast names the fields: aliases inside struct() are
+      // dropped when the entry contains a higher-order-function lambda
+      struct(dist2(embCol, c), lit(cid)).cast("struct<d2:double,cid:int>")
+    }
+    element_at(array_sort(array(entries.toIndexedSeq: _*)), 1).getField("cid")
+  }
+
+  /** Squared L2 distance to one literal centroid, double left-to-right. */
+  def dist2(embCol: String, cent: Array[Double]): Column = {
+    val cArr = array(cent.toIndexedSeq.map(lit(_)): _*)
+    aggregate(
+      zip_with(col(embCol).cast("array<double>"), cArr, (x, c) => (x - c) * (x - c)),
+      lit(0.0),
+      (acc, v) => acc + v)
+  }
+
+  /** One Lloyd update: assign every row map-side, then per-(cell, dim)
+    * exact-decimal mean — the round's single shuffle. Cells that end up
+    * empty keep their previous centroid (standard Lloyd fallback). */
+  private def updateStep(emb: DataFrame, embCol: String,
+      cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = cents(0).length
+    val means = emb
+      .select(cellExpr(embCol, cents).as("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("v").cast("decimal(25,8)")).cast("double") / count(lit(1))).as("m"))
+      .collect()
+    val next = cents.map(_.clone())
+    means.foreach { r =>
+      next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    // rows for a cell appear either for all d dims or none; partial
+    // overwrite would mean a lost dim row, which the groupBy can't produce
+    require(means.length % d == 0, s"ragged mean rows: ${means.length} not a multiple of $d")
+    next
+  }
+}

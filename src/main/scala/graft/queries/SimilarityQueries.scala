@@ -302,6 +302,62 @@ object SimilarityQueries {
               |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin)
     ),
 
+    // Distributed k-means (Lloyd) over embeddings — the coarse-quantizer
+    // FIT that replaces the deterministic vec_id<8 centroid choice at
+    // scale, and a corpus-clustering primitive for training-data domain
+    // mixing. One update round, then the final assignment with per-cell
+    // inertia. Centroids are driver state: assignment is map-side over
+    // literal arrays, the update is one (cell, dim) shuffle; the DuckDB
+    // mirror replays init → assign → exact-decimal means → re-assign.
+    OracleQuery(
+      "sim_kmeans_cells",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val c1 = graft.ops.KMeansVec.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+        val dists = c1.toIndexedSeq.map(c => graft.ops.KMeansVec.dist2("embedding", c))
+        emb.select(
+            graft.ops.KMeansVec.cellExpr("embedding", c1).as("cell"),
+            least(dists: _*).as("d2"))
+          .groupBy($"cell")
+          .agg(
+            count(lit(1)).as("n_members"),
+            round(sum($"d2".cast("decimal(25,8)")).cast("double") / count(lit(1)), 4).as("avg_dist2"))
+          .orderBy($"cell")
+      },
+      Some {
+        def d2(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+        s"""WITH emb AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |), cents0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e
+           |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 4)
+           |), assign1 AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS rn
+           |    FROM emb v CROSS JOIN cents0 c) WHERE rn = 1
+           |), means AS (
+           |  SELECT a.cell, gs.i AS pos,
+           |    CAST(sum(CAST(v.e[gs.i] AS DECIMAL(25,8))) AS DOUBLE) / count(*) AS m
+           |  FROM assign1 a JOIN emb v USING (vec_id), generate_series(1, 64) AS gs(i)
+           |  GROUP BY a.cell, gs.i
+           |), cents1 AS (
+           |  SELECT cell, list(m ORDER BY pos) AS e FROM means GROUP BY cell
+           |), scored AS (
+           |  SELECT v.vec_id, c.cell, ${d2("v.e", "c.e")} AS d2,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS rn
+           |  FROM emb v CROSS JOIN cents1 c
+           |)
+           |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+           |  round(CAST(sum(CAST(d2 AS DECIMAL(25,8))) AS DOUBLE) / count(*), 4) AS avg_dist2
+           |FROM scored WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin
+      }
+    ),
+
     // kNN label regression (models.py:338-380 kNN shape), IVF-bounded:
     // predicted label = mean label of the 5 nearest IVF-candidate
     // neighbors by cosine (multi-probe nprobe=2, exact re-rank inside
