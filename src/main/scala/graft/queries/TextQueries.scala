@@ -227,6 +227,35 @@ object TextQueries {
              |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
              |  round(CAST(sum(n_tokens) AS BIGINT) / 2048.0, 4) AS fill_rate
              |FROM toks GROUP BY source, bin ORDER BY source, bin""".stripMargin)
+    ),
+
+    // Weighted domain mixing (ops/MixSampler): floor(weight·total) docs
+    // per weighted source, chosen by stable md5-hash order — the
+    // reproducible no-RNG corpus-mixing step. Unweighted sources are
+    // excluded; membership (not just counts) is oracle-checked.
+    OracleQuery(
+      "text_domain_mix",
+      (s, d) => {
+        import s.implicits._
+        val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+        graft.ops.MixSampler
+          .sample(Tables.documents(s, d), "source", "doc_id", weights, total = 60L)
+          .select($"doc_id", $"source", $"mix_rank")
+          .orderBy($"source", $"mix_rank")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+             |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS INT)
+             |      AS mix_rank
+             |  FROM documents
+             |)
+             |SELECT doc_id, source, mix_rank FROM ranked
+             |WHERE mix_rank <= CASE source
+             |  WHEN 'src0' THEN FLOOR(0.4 * 60) WHEN 'src1' THEN FLOOR(0.3 * 60)
+             |  WHEN 'src2' THEN FLOOR(0.2 * 60) WHEN 'src3' THEN FLOOR(0.1 * 60)
+             |  ELSE NULL END
+             |ORDER BY source, mix_rank""".stripMargin)
     )
   )
 }
