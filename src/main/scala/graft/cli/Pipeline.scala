@@ -60,6 +60,23 @@ object Pipeline {
         println(f"[graft] #${i + 1} ${r.name}%-20s mae=${r.metrics.mae}%.4f rmse=${r.metrics.rmse}%.4f bias=${r.metrics.bias}%+.4f")
       }
 
+    case "eval-config" :: trainDir :: runDir :: configPath :: Nil =>
+      // config-driven eval (eval/config.py contract): load + validate the
+      // frozen config, build the configured forecaster, and dump the
+      // config into the run dir for reproducibility
+      val cfg = graft.eval.RunConfig.load(configPath)
+      val ranked = Runner.runMultiModel(
+        spark.read.parquet(trainDir), Seq(cfg.buildForecaster()), runDir, cfg.runnerConfig)
+      cfg.save(s"$runDir/config.json")
+      ranked.foreach(r =>
+        println(f"[graft] ${r.name}%-20s mae=${r.metrics.mae}%.4f rmse=${r.metrics.rmse}%.4f"))
+
+    case "list-runs" :: rootDir :: Nil =>
+      val runs = Runner.listRuns(rootDir)
+      if (runs.isEmpty) println(s"[graft] no runs under $rootDir")
+      runs.foreach(r => println(
+        s"[graft] ${r.runId}  multi=${r.isMultiModel}  models=${r.modelNames.mkString(",")}"))
+
     case "dedup-docs" :: docsDir :: outDir :: Nil =>
       val docs = spark.read.parquet(docsDir)
       val labeled = graft.ops.DedupDocs(docs)
@@ -79,6 +96,8 @@ object Pipeline {
            |  Pipeline build-daily <hourlyDir> <tz> <outDailyDir>
            |  Pipeline build-train <forecastDir> <truthDir> <outTrainDir>
            |  Pipeline eval <trainDir> <runDir> [passthrough|persistence|ridge ...]
+           |  Pipeline eval-config <trainDir> <runDir> <configJson>
+           |  Pipeline list-runs <runsRootDir>
            |  Pipeline dedup-docs <docsParquetDir> <outDir>""".stripMargin)
       sys.exit(2)
   }

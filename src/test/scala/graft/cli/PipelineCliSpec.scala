@@ -42,6 +42,33 @@ class PipelineCliSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$work/run/models/Passthrough/metrics.json")))
   }
 
+  test("eval-config runs the configured model and freezes config.json; list-runs sees it") {
+    import java.sql.{Date, Timestamp}
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_cfg").toString
+    (1 to 40).map { i =>
+      val actual = 70.0 + (i % 7)
+      ("TEST", Timestamp.valueOf(f"2024-07-${(i % 28) + 1}%02d 12:00:00"),
+        Date.valueOf(f"2024-08-${(i % 28) + 1}%02d"), actual + 1.5, 28, actual)
+    }.toDF("station_id", "issue_time_utc", "target_date_local",
+        "tmax_pred_f", "lead_hours", "tmax_actual_f")
+      .write.mode("overwrite").parquet(s"$work/train")
+    graft.eval.RunConfig(
+      runName = "cli_run", stationIds = Seq("TEST"),
+      startDateLocal = java.time.LocalDate.parse("2024-07-01"),
+      endDateLocal = java.time.LocalDate.parse("2024-07-31"),
+      model = graft.eval.RunConfig.ModelConfig("passthrough"))
+      .save(s"$work/cfg.json")
+
+    Pipeline.run(spark, List("eval-config", s"$work/train", s"$work/runs/r1", s"$work/cfg.json"))
+    assert(Files.exists(Paths.get(s"$work/runs/r1/config.json")))
+    assert(graft.eval.RunConfig.load(s"$work/runs/r1/config.json").runName == "cli_run")
+    assert(Files.exists(Paths.get(s"$work/runs/r1/models/Passthrough/metrics.json")))
+    val listed = graft.eval.Runner.listRuns(s"$work/runs")
+    assert(listed.map(_.runId) == Seq("r1") && listed.head.modelNames == Seq("Passthrough"))
+    Pipeline.run(spark, List("list-runs", s"$work/runs")) // smoke: prints, no throw
+  }
+
   test("dedup-docs writes survivors and the group map") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_dd_in").toString
