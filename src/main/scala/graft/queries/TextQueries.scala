@@ -256,6 +256,54 @@ object TextQueries {
              |  WHEN 'src2' THEN FLOOR(0.2 * 60) WHEN 'src3' THEN FLOOR(0.1 * 60)
              |  ELSE NULL END
              |ORDER BY source, mix_rank""".stripMargin)
+    ),
+
+    // Benchmark decontamination: flag training docs sharing >= 10
+    // distinct word trigrams with the held-out benchmark set (sources
+    // src0/src1 stand in for eval benchmarks). Scale shape: the
+    // benchmark gram SET is tiny relative to the corpus and broadcast,
+    // so the check is one map-side-buildable join + per-doc count — the
+    // train corpus never self-joins and never shuffles its gram table
+    // against itself.
+    OracleQuery(
+      "text_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val grams = Shingles.wordTrigrams(docs)
+          .select($"doc_id", expr(Shingles.h60("gram")).as("gram"))
+          .distinct()
+        val bench = docs.filter($"source".isin("src0", "src1"))
+          .select($"doc_id".as("bench_id"))
+        val benchGrams = grams.join(bench, grams("doc_id") === bench("bench_id"))
+          .select($"gram").distinct()
+        grams.join(bench, grams("doc_id") === bench("bench_id"), "left_anti")
+          .join(broadcast(benchGrams), "gram")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_overlap"))
+          .filter($"n_overlap" >= 10)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH grams AS (
+             |  SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |      generate_series(1, len(string_split(text, ' ')) - 2),
+             |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+             |    )) AS gram
+             |    FROM documents WHERE len(string_split(text, ' ')) >= 3
+             |  )
+             |), bench AS (
+             |  SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')
+             |), bench_grams AS (
+             |  SELECT DISTINCT g.gram FROM grams g JOIN bench b USING (doc_id)
+             |), cand AS (
+             |  SELECT g.doc_id, g.gram FROM grams g
+             |  WHERE g.doc_id NOT IN (SELECT doc_id FROM bench)
+             |)
+             |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             |FROM cand c JOIN bench_grams bg USING (gram)
+             |GROUP BY c.doc_id HAVING count(*) >= 10
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }
