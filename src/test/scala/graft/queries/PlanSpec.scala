@@ -66,6 +66,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("k-means final pass is join-free: map-side assignment + one aggregate") {
+    // centroids are literals in the plan; only the per-cell aggregate
+    // shuffles (plus the output sort)
+    val p = plan(Registry.queries("sim_kmeans_cells")(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("domain mixing is one window shuffle, no global sort before ranking") {
+    val p = plan(Registry.queries("text_domain_mix")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("decontamination never self-joins the corpus gram table") {
+    val p = plan(Registry.queries("text_decontaminate")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // benchmark gram set broadcast
+  }
+
   test("daily pipeline stays at two shuffles: dedup + daily aggregate") {
     // coverage_hours uses the bit_or(1 << hour) bitset, not countDistinct
     // (whose rewrite would add a third exchange for the distinct phase)
