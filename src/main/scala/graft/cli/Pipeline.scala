@@ -61,12 +61,21 @@ object Pipeline {
       }
 
     case "eval-config" :: trainDir :: runDir :: configPath :: Nil =>
-      // config-driven eval (eval/config.py contract): load + validate the
-      // frozen config, build the configured forecaster, and dump the
-      // config into the run dir for reproducibility
+      // config-driven eval (eval/config.py contract): load + validate
+      // the frozen config, SCOPE the data to it (stations, date range,
+      // coverage, lead hours — eval/data.py:160-190), build the
+      // configured forecaster, and dump the config into the run dir so
+      // config.json describes the metrics actually computed
       val cfg = graft.eval.RunConfig.load(configPath)
-      val ranked = Runner.runMultiModel(
-        spark.read.parquet(trainDir), Seq(cfg.buildForecaster()), runDir, cfg.runnerConfig)
+      if (cfg.split.splitType == "walk_forward")
+        System.err.println("[graft] WARNING: walk_forward config accepted, but the multi-model " +
+          "runner evaluates the static split protocol (reference-runner parity); " +
+          "use ops.Splits.walkForward for fold-based evaluation")
+      val data = cfg.applyScope(spark.read.parquet(trainDir))
+      require(data.limit(1).count() > 0,
+        s"No data remaining after config filters (stations=${cfg.stationIds.mkString(",")}, " +
+          s"dates=${cfg.startDateLocal}..${cfg.endDateLocal})")
+      val ranked = Runner.runMultiModel(data, Seq(cfg.buildForecaster()), runDir, cfg.runnerConfig)
       cfg.save(s"$runDir/config.json")
       ranked.foreach(r =>
         println(f"[graft] ${r.name}%-20s mae=${r.metrics.mae}%.4f rmse=${r.metrics.rmse}%.4f"))

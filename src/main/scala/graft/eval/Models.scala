@@ -115,14 +115,19 @@ final class Persistence(lagCol: String = "tmax_actual_f_lag1") extends Forecaste
 final class KnnRegressor(features: Seq[String], label: String, k: Int = 50) {
   val name = s"kNN (k=$k)"
   private var trainDf: DataFrame = _
-  def fit(train: DataFrame): Unit = { trainDf = train }
+  private var kEff: Int = k
+
+  def fit(train: DataFrame): Unit = {
+    trainDf = train
+    // explicit k cap against the train size, at FIT time like the
+    // reference (models.py:361-363 caps n_neighbors in fit): the window
+    // rank could never exceed the train row count anyway, but the cap
+    // is part of the contract and paying the count once here keeps
+    // predict() from re-scanning the train table per call
+    kEff = math.max(1L, math.min(k.toLong, train.count())).toInt
+  }
 
   def predict(test: DataFrame, idCol: String): DataFrame = {
-    // explicit k cap against the train size (models.py:361-363): the
-    // window rank can never exceed the train row count anyway, but the
-    // cap is part of the reference contract — kNN with k > n degrades
-    // to the train-label mean, and the effective k is knowable upfront
-    val kEff = math.max(1L, math.min(k.toLong, trainDf.count())).toInt
     def zf(df: DataFrame, prefix: String) = features.zipWithIndex.foldLeft(df) {
       case (d, (f, i)) => d.withColumn(s"$prefix$i", coalesce(col(f).cast("double"), lit(0.0)))
     }

@@ -3,6 +3,8 @@ package graft.eval
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.time.LocalDate
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, isnan, lit}
 
 /** Frozen run configuration with JSON round-trip and validation —
   * parity with eval/config.py:20-202 (SplitConfig / ModelConfig /
@@ -65,9 +67,33 @@ final case class RunConfig(
     this
   }
 
+  /** Scope a train table to this config — apply_config_filters
+    * (eval/data.py:160-190): station membership, inclusive date range
+    * on target_date_local, coverage_hours floor when the column exists,
+    * lead_hours membership when configured, and the null/NaN drop on
+    * the key pred/actual columns. */
+  def applyScope(df: DataFrame): DataFrame = {
+    var out = df
+      .filter(col("station_id").isin(stationIds: _*))
+      .filter(col("target_date_local") >= lit(java.sql.Date.valueOf(startDateLocal)) &&
+        col("target_date_local") <= lit(java.sql.Date.valueOf(endDateLocal)))
+    if (out.columns.contains("coverage_hours"))
+      out = out.filter(col("coverage_hours") >= minCoverageHours)
+    leadHoursAllowed.filter(_.nonEmpty).foreach { lhs =>
+      if (out.columns.contains("lead_hours"))
+        out = out.filter(col("lead_hours").isin(lhs: _*))
+    }
+    Seq("tmax_pred_f", "tmax_actual_f").filter(out.columns.contains)
+      .foldLeft(out)((d, c) => d.filter(col(c).isNotNull && !isnan(col(c).cast("double"))))
+  }
+
   /** Bridge into the runner's operational config: split fractions,
     * sigma buckets and floor carry over; column names keep the runner's
-    * defaults. */
+    * defaults. NOTE: the multi-model runner evaluates the STATIC split
+    * protocol, matching the reference runner (runner.py never branches
+    * on split.type either) — a walk_forward config validates but its
+    * window/step only drive `ops.Splits.walkForward` when called
+    * directly; callers should surface that (the CLI warns). */
   def runnerConfig: Runner.EvalConfig = Runner.EvalConfig(
     splitFractions = graft.ops.Splits.SplitFractions(split.trainFrac, split.valFrac),
     sigmaBuckets = uncertainty.buckets.getOrElse(Seq((0, 36), (36, 72), (72, 120))),
@@ -85,7 +111,7 @@ final case class RunConfig(
     }
 
   def toJson: String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def q(s: String) = RunConfig.jsonQuote(s)
     def arr(xs: Seq[String]) = xs.mkString("[", ", ", "]")
     val lead = leadHoursAllowed.map(h => arr(h.map(_.toString))).getOrElse("null")
     val win = split.windowSize.map(_.toString).getOrElse("null")
@@ -119,6 +145,16 @@ object RunConfig {
   val ModelTypes: Set[String] = Set("passthrough", "ridge", "persistence", "knn", "xgboost")
   val UncertaintyTypes: Set[String] = Set("global", "bucketed", "rolling")
 
+  /** JSON string literal with control characters escaped — save() must
+    * never produce a file load() can't parse back. */
+  private[eval] def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
   final case class SplitConfig(
       splitType: String = "static",
       trainFrac: Double = 0.70,
@@ -143,54 +179,54 @@ object RunConfig {
     * the dataclass defaults. */
   def fromJson(json: String): RunConfig = {
     val n = new ObjectMapper().readTree(json)
+    // an explicit JSON null is the same as an absent key: fall back to
+    // the default rather than coercing NullNode (0.0 / "null")
+    def opt(node: JsonNode, key: String): Option[JsonNode] =
+      Option(node.get(key)).filterNot(_.isNull)
     def strSeq(node: JsonNode): Seq[String] = {
       import scala.jdk.CollectionConverters._
       node.elements().asScala.map(_.asText()).toSeq
-    }
-    def optIntField(node: JsonNode, key: String): Option[Int] = {
-      val v = node.get(key)
-      if (v == null || v.isNull) None else Some(v.asInt())
     }
     def req(key: String): JsonNode = {
       val v = n.get(key)
       require(v != null && !v.isNull, s"missing required config field: $key")
       v
     }
-    val split = Option(n.get("split")).filterNot(_.isNull).map { s =>
+    val split = opt(n, "split").map { s =>
       SplitConfig(
-        splitType = Option(s.get("type")).map(_.asText()).getOrElse("static"),
-        trainFrac = Option(s.get("train_frac")).map(_.asDouble()).getOrElse(0.70),
-        valFrac = Option(s.get("val_frac")).map(_.asDouble()).getOrElse(0.15),
-        testFrac = Option(s.get("test_frac")).map(_.asDouble()).getOrElse(0.15),
-        windowSize = optIntField(s, "window_size"),
-        stepSize = optIntField(s, "step_size"))
+        splitType = opt(s, "type").map(_.asText()).getOrElse("static"),
+        trainFrac = opt(s, "train_frac").map(_.asDouble()).getOrElse(0.70),
+        valFrac = opt(s, "val_frac").map(_.asDouble()).getOrElse(0.15),
+        testFrac = opt(s, "test_frac").map(_.asDouble()).getOrElse(0.15),
+        windowSize = opt(s, "window_size").map(_.asInt()),
+        stepSize = opt(s, "step_size").map(_.asInt()))
     }.getOrElse(SplitConfig())
-    val model = Option(n.get("model")).filterNot(_.isNull).map { m =>
+    val model = opt(n, "model").map { m =>
       ModelConfig(
-        modelType = Option(m.get("type")).map(_.asText()).getOrElse("ridge"),
-        alpha = Option(m.get("alpha")).map(_.asDouble()).getOrElse(1.0),
-        features = Option(m.get("features")).map(strSeq).getOrElse(ModelConfig().features))
+        modelType = opt(m, "type").map(_.asText()).getOrElse("ridge"),
+        alpha = opt(m, "alpha").map(_.asDouble()).getOrElse(1.0),
+        features = opt(m, "features").map(strSeq).getOrElse(ModelConfig().features))
     }.getOrElse(ModelConfig())
-    val uncertainty = Option(n.get("uncertainty")).filterNot(_.isNull).map { u =>
+    val uncertainty = opt(n, "uncertainty").map { u =>
       import scala.jdk.CollectionConverters._
       UncertaintyConfig(
-        uncertaintyType = Option(u.get("type")).map(_.asText()).getOrElse("bucketed"),
-        buckets = Option(u.get("buckets")).filterNot(_.isNull).map(bs =>
+        uncertaintyType = opt(u, "type").map(_.asText()).getOrElse("bucketed"),
+        buckets = opt(u, "buckets").map(bs =>
           bs.elements().asScala.map(b => (b.get(0).asInt(), b.get(1).asInt())).toSeq),
-        sigmaFloor = Option(u.get("sigma_floor")).map(_.asDouble()).getOrElse(1.0))
+        sigmaFloor = opt(u, "sigma_floor").map(_.asDouble()).getOrElse(1.0))
     }.getOrElse(UncertaintyConfig())
     RunConfig(
       runName = req("run_name").asText(),
       stationIds = strSeq(req("station_ids")),
       startDateLocal = LocalDate.parse(req("start_date_local").asText()),
       endDateLocal = LocalDate.parse(req("end_date_local").asText()),
-      minCoverageHours = Option(n.get("min_coverage_hours")).map(_.asInt()).getOrElse(18),
-      leadHoursAllowed = Option(n.get("lead_hours_allowed")).filterNot(_.isNull).map(h => {
+      minCoverageHours = opt(n, "min_coverage_hours").map(_.asInt()).getOrElse(18),
+      leadHoursAllowed = opt(n, "lead_hours_allowed").map(h => {
         import scala.jdk.CollectionConverters._
         h.elements().asScala.map(_.asInt()).toSeq
       }),
       split = split, model = model, uncertainty = uncertainty,
-      randomSeed = Option(n.get("random_seed")).map(_.asInt()).getOrElse(42)
+      randomSeed = opt(n, "random_seed").map(_.asInt()).getOrElse(42)
     ).validated
   }
 

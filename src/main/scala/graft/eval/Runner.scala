@@ -83,9 +83,14 @@ object Runner {
     ranked
   }
 
+  /** Model names become directory names; anything outside the safe
+    * class is replaced (shared with load-back, which reverses it). */
+  private[eval] def sanitizeModelName(name: String): String =
+    name.replaceAll("[^A-Za-z0-9_()= .-]", "_")
+
   private def writeModelArtifacts(
       runDir: String, res: ModelResult, predictions: DataFrame, cfg: EvalConfig): Unit = {
-    val dir = s"$runDir/models/${res.name.replaceAll("[^A-Za-z0-9_()= .-]", "_")}"
+    val dir = s"$runDir/models/${sanitizeModelName(res.name)}"
     predictions.write.mode("overwrite").parquet(s"$dir/predictions")
     predictions
       .select(
@@ -96,7 +101,7 @@ object Runner {
     writeJson(s"$dir/metrics.json", metricsJson(res))
   }
 
-  private def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def q(s: String): String = RunConfig.jsonQuote(s)
 
   /** NaN/Infinity are not valid JSON — serialize as null. */
   private def num(v: Double): String =
@@ -152,12 +157,19 @@ object Runner {
   /** All runs under `rootDir`, newest run-id first (list_runs,
     * report.py:523-562). A run is multi-model when it has a models/
     * subtree; model names come from meta.json when present. */
+  /** Subdirectories of `dir`, with the directory stream closed (the
+    * Files.list stream holds an fd until closed). */
+  private def subDirs(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(dir))(
+      _.iterator().asScala.filter(Files.isDirectory(_)).toSeq)
+  }
+
   def listRuns(rootDir: String): Seq[RunInfo] = {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(rootDir)
     if (!Files.isDirectory(root)) return Seq.empty
-    val dirs = Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).toSeq
-    dirs.sortBy(_.getFileName.toString)(Ordering[String].reverse).map { runDir =>
+    subDirs(root).sortBy(_.getFileName.toString)(Ordering[String].reverse).map { runDir =>
       val isMulti = Files.isDirectory(runDir.resolve("models"))
       val meta = runDir.resolve("meta.json")
       val names =
@@ -185,11 +197,20 @@ object Runner {
           numOrNaN(e.get("bias")), numOrNaN(e.get("r2")))
       }.toSeq
     }
+    val metaNames = {
+      val meta = runDir.resolve("meta.json")
+      if (Files.exists(meta))
+        readTree(meta).path("models").elements().asScala.map(_.asText()).toSeq
+      else Seq.empty
+    }
+    // directory names are sanitized; key the models map by the RAW name
+    // from meta.json whenever it round-trips to that directory
+    val rawByDir = metaNames.map(n => sanitizeModelName(n) -> n).toMap
     val modelsDir = runDir.resolve("models")
     val models =
       if (!Files.isDirectory(modelsDir)) Map.empty[String, LoadedModel]
-      else Files.list(modelsDir).iterator().asScala.filter(Files.isDirectory(_)).map { mDir =>
-        val name = mDir.getFileName.toString
+      else subDirs(modelsDir).map { mDir =>
+        val name = rawByDir.getOrElse(mDir.getFileName.toString, mDir.getFileName.toString)
         val metrics = {
           val p = mDir.resolve("metrics.json")
           if (!Files.exists(p)) Map.empty[String, Double]
@@ -201,12 +222,7 @@ object Runner {
           spark.read.parquet(mDir.resolve("predictions").toString),
           spark.read.parquet(mDir.resolve("residuals").toString))
       }.toMap
-    val names = {
-      val meta = runDir.resolve("meta.json")
-      if (Files.exists(meta))
-        readTree(meta).path("models").elements().asScala.map(_.asText()).toSeq
-      else models.keys.toSeq.sorted
-    }
+    val names = if (metaNames.nonEmpty) metaNames else models.keys.toSeq.sorted
     LoadedRun(runId, names, comparison, models)
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end document dedup — the front-door pipeline an LLM corpus
@@ -10,24 +11,31 @@ import org.apache.spark.sql.functions._
   * the smallest doc_id per group survives.
   *
   * Scale shape: per-row fused signatures (graft.functions.MinHashSig —
-  * no explode, no shuffle before the band join) → star edges per
-  * fingerprint/bucket (k−1 edges per k-duplicate group, never the
-  * C(k,2) clique) → label propagation (bounded rounds). No driver
-  * loops over data; the only driver state is the convergence counter.
+  * no explode, no shuffle before the band join); candidate generation
+  * is bucket-bounded (never corpus-wide); label propagation runs in
+  * bounded rounds. No driver loops over data; the only driver state is
+  * the convergence counter.
   */
 object DedupDocs {
 
   private def nSeeds = graft.functions.MinHashSigImpl.Seeds.length
 
   /** @param docs columns (doc_id: long, text: string)
-    * @param minJaccard LSH banding yields CANDIDATE edges; a single
-    *        band collision can be a false positive, and an unverified
-    *        merge permanently drops a unique document. When set
-    *        (default 0.5), every candidate edge is verified by EXACT
-    *        trigram Jaccard before clustering — the verification join
-    *        touches only candidate pairs, so its cost scales with the
-    *        candidate count, not the corpus. `None` restores raw
-    *        banding (recall over precision, the crawl-dedup trade).
+    * @param minJaccard verification floor for near-dup candidates.
+    *        LSH band collisions are CANDIDATES, not confirmations — an
+    *        unverified merge permanently drops a unique document. When
+    *        set (default 0.5), candidate pairs are verified by EXACT
+    *        trigram Jaccard before clustering. Verification must test
+    *        PAIRS, so verified mode proposes the bucket CLIQUE
+    *        (C(k,2) pairs — a star through the bucket head would never
+    *        test a (B,C) pair whose head A is dissimilar to both) for
+    *        ordinary buckets, and falls back to unverified star edges
+    *        for buckets larger than `maxVerifyBucket` (a million-copy
+    *        template: the clique is impossible and the bucket is
+    *        overwhelmingly true duplicates). `None` restores pure
+    *        star-edge banding everywhere (recall over precision, the
+    *        crawl-dedup trade; k−1 edges per bucket, never C(k,2)).
+    * @param maxVerifyBucket clique/star regime boundary (verified mode)
     * @param checkpointDir forwarded to ConnectedComponents: reliable
     *        checkpoint dir for cluster runs.
     * @return (doc_id, component, is_survivor) — component is the min
@@ -36,6 +44,7 @@ object DedupDocs {
     */
   def apply(docs: DataFrame, rowsPerBand: Int = 4,
       minJaccard: Option[Double] = Some(0.5),
+      maxVerifyBucket: Int = 32,
       checkpointDir: Option[String] = None): DataFrame = {
     require(rowsPerBand > 0 && nSeeds % rowsPerBand == 0,
       s"rowsPerBand must divide $nSeeds (got $rowsPerBand) — a remainder would " +
@@ -44,22 +53,12 @@ object DedupDocs {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
 
-    // Edges are STAR-shaped, not pairwise: every doc in a group (same
-    // fingerprint / same LSH bucket) connects to the group's min doc_id.
-    // Connected components are identical to the clique formulation, but
-    // a k-duplicate boilerplate group emits k−1 edges instead of
-    // C(k,2) ≈ k²/2 — the difference between a shuffle and an OOM when
-    // one template appears a million times in a crawl.
-
-    // exact-duplicate edges: same content hash
+    // exact-duplicate edges: same content hash. Star-shaped (k−1 edges
+    // per fingerprint group) and certain — never verified.
     val fps = docs.select($"doc_id", md5($"text").as("fp"))
-    val exactEdges = fps
-      .withColumn("head", min($"doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
-      .filter($"doc_id" =!= $"head")
-      .select($"head".as("src"), $"doc_id".as("dst"))
+    val exactEdges = starEdges(fps.select($"doc_id", $"fp".as("bucket")))
 
-    // near-duplicate candidate edges: fused per-row MinHash signatures
+    // near-duplicate candidates: fused per-row MinHash signatures
     // (graft.functions.MinHashSig — no gram explode, no signature
     // shuffle) banded into buckets
     val sig = docs.select($"doc_id", expr("minhash_sig(text)").as("sig"))
@@ -70,44 +69,63 @@ object DedupDocs {
         (1 to rowsPerBand).map(r => element_at($"sig", b * rowsPerBand + r)): _*))
     }
     val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bucket"))
-    val nearEdges = buckets
-      .withColumn("head", min($"doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"bucket")))
-      .filter($"doc_id" =!= $"head")
-      .select($"head".as("src"), $"doc_id".as("dst"))
-      .distinct()
 
-    // Verify candidates: exact trigram Jaccard per candidate edge. A
-    // verified-out doc can still join a group through any other band it
-    // genuinely shares; exact-duplicate (content-hash) edges are certain
-    // and never verified.
-    val verifiedNear = minJaccard match {
-      case None => nearEdges
+    val nearEdges = minJaccard match {
+      case None => starEdges(buckets)
       case Some(j) =>
-        val grams = graft.queries.Shingles.wordTrigrams(docs)
-          .select($"doc_id", $"gram").distinct()
-        val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-        val inter = nearEdges
-          .join(grams.withColumnsRenamed(Map("doc_id" -> "src")), "src")
-          .join(grams.withColumnsRenamed(Map("doc_id" -> "dst")), Seq("dst", "gram"))
-          .groupBy($"src", $"dst").agg(count(lit(1)).as("n_inter"))
-        nearEdges
-          .join(inter, Seq("src", "dst"), "left_outer")
-          .join(sizes.select($"doc_id".as("src"), $"n_grams".as("n_src")), "src")
-          .join(sizes.select($"doc_id".as("dst"), $"n_grams".as("n_dst")), "dst")
-          .filter(
-            coalesce($"n_inter", lit(0L)).cast("double") /
-              ($"n_src" + $"n_dst" - coalesce($"n_inter", lit(0L))) >= j)
-          .select($"src", $"dst")
+        val sized = buckets.withColumn("bsize",
+          count(lit(1)).over(Window.partitionBy($"bucket")))
+        val small = sized.filter($"bsize" <= maxVerifyBucket).select($"doc_id", $"bucket")
+        val cliquePairs = small.as("a")
+          .join(small.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+          .distinct()
+        val megaStar = starEdges(
+          sized.filter($"bsize" > maxVerifyBucket).select($"doc_id", $"bucket"))
+        verifyByJaccard(docs, cliquePairs, j).unionByName(megaStar)
     }
 
     val comps = ConnectedComponents(
       docs.select($"doc_id".as("id")),
-      exactEdges.unionByName(verifiedNear),
+      exactEdges.unionByName(nearEdges),
       checkpointDir = checkpointDir)
     comps.select(
       $"id".as("doc_id"),
       $"component",
       ($"id" === $"component").as("is_survivor"))
+  }
+
+  /** Star edges per bucket: every doc connects to the bucket's min
+    * doc_id — k−1 edges per k-doc bucket, never the C(k,2) clique;
+    * components are identical to the clique formulation when edges are
+    * taken as-is (the difference between a shuffle and an OOM when one
+    * template appears a million times in a crawl). */
+  private def starEdges(buckets: DataFrame): DataFrame =
+    buckets
+      .withColumn("head", min(col("doc_id")).over(Window.partitionBy(col("bucket"))))
+      .filter(col("doc_id") =!= col("head"))
+      .select(col("head").as("src"), col("doc_id").as("dst"))
+      .distinct()
+
+  /** Exact trigram-Jaccard gate over candidate (src, dst) pairs — the
+    * verification join touches only candidate pairs, so its cost scales
+    * with the candidate count, not the corpus. */
+  private def verifyByJaccard(docs: DataFrame, pairs: DataFrame, j: Double): DataFrame = {
+    val grams = graft.queries.Shingles.wordTrigrams(docs)
+      .select(col("doc_id"), col("gram")).distinct()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val inter = pairs
+      .join(grams.withColumnsRenamed(Map("doc_id" -> "src")), "src")
+      .join(grams.withColumnsRenamed(Map("doc_id" -> "dst")), Seq("dst", "gram"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("src", "dst"), "left_outer")
+      .join(sizes.select(col("doc_id").as("src"), col("n_grams").as("n_src")), "src")
+      .join(sizes.select(col("doc_id").as("dst"), col("n_grams").as("n_dst")), "dst")
+      .filter(
+        coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_src") + col("n_dst") - coalesce(col("n_inter"), lit(0L))) >= j)
+      .select(col("src"), col("dst"))
   }
 }

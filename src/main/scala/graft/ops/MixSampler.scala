@@ -27,9 +27,14 @@ object MixSampler {
     */
   def sample(df: DataFrame, domainCol: String, idCol: String,
       weights: Map[String, Double], total: Long): DataFrame = {
-    val quota: Column = weights.foldLeft(lit(null).cast("long")) {
-      case (acc, (dom, w)) =>
-        when(col(domainCol) === dom, floor(lit(w) * lit(total)).cast("long")).otherwise(acc)
+    // quotas resolve on the DRIVER and enter the plan as long literals:
+    // floor(w * total) in engine-side arithmetic is a cross-engine
+    // hazard (binary-double 0.29*100 floors to 28, decimal floors to
+    // 29) — one authoritative computation sidesteps the entire class
+    val quotas: Map[String, Long] =
+      weights.map { case (dom, w) => dom -> math.floor(w * total).toLong }
+    val quota: Column = quotas.foldLeft(lit(null).cast("long")) {
+      case (acc, (dom, q)) => when(col(domainCol) === dom, lit(q)).otherwise(acc)
     }
     val h = expr(graft.queries.Shingles.h60(s"CAST($idCol AS STRING)"))
     val w = Window.partitionBy(col(domainCol)).orderBy(h, col(idCol))

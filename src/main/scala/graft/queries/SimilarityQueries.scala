@@ -345,7 +345,12 @@ object SimilarityQueries {
            |  FROM assign1 a JOIN emb v USING (vec_id), generate_series(1, 64) AS gs(i)
            |  GROUP BY a.cell, gs.i
            |), cents1 AS (
-           |  SELECT cell, list(m ORDER BY pos) AS e FROM means GROUP BY cell
+           |  -- keep-previous on empty cells, mirroring KMeansVec: a
+           |  -- cell with no members retains its init centroid
+           |  SELECT c0.cell, coalesce(m.e, c0.e) AS e
+           |  FROM cents0 c0 LEFT JOIN (
+           |    SELECT cell, list(m ORDER BY pos) AS e FROM means GROUP BY cell
+           |  ) m ON c0.cell = m.cell
            |), scored AS (
            |  SELECT v.vec_id, c.cell, ${d2("v.e", "c.e")} AS d2,
            |    row_number() OVER (PARTITION BY v.vec_id

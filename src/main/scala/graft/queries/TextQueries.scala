@@ -251,9 +251,11 @@ object TextQueries {
              |  FROM documents
              |)
              |SELECT doc_id, source, mix_rank FROM ranked
+             |-- literal quotas = MixSampler's driver-computed floor(w*total):
+             |-- 0.4/0.3/0.2/0.1 x 60 -> 24/18/12/6
              |WHERE mix_rank <= CASE source
-             |  WHEN 'src0' THEN FLOOR(0.4 * 60) WHEN 'src1' THEN FLOOR(0.3 * 60)
-             |  WHEN 'src2' THEN FLOOR(0.2 * 60) WHEN 'src3' THEN FLOOR(0.1 * 60)
+             |  WHEN 'src0' THEN 24 WHEN 'src1' THEN 18
+             |  WHEN 'src2' THEN 12 WHEN 'src3' THEN 6
              |  ELSE NULL END
              |ORDER BY source, mix_rank""".stripMargin)
     ),

@@ -56,9 +56,21 @@ class PipelineCliSpec extends SparkSpec {
     graft.eval.RunConfig(
       runName = "cli_run", stationIds = Seq("TEST"),
       startDateLocal = java.time.LocalDate.parse("2024-07-01"),
-      endDateLocal = java.time.LocalDate.parse("2024-07-31"),
+      endDateLocal = java.time.LocalDate.parse("2024-09-30"), // covers the fixture's August dates
       model = graft.eval.RunConfig.ModelConfig("passthrough"))
       .save(s"$work/cfg.json")
+    // config scoping is applied: a config naming a different station
+    // filters everything out and fails fast instead of silently
+    // evaluating unscoped data
+    graft.eval.RunConfig(
+      runName = "wrong_station", stationIds = Seq("OTHER"),
+      startDateLocal = java.time.LocalDate.parse("2024-07-01"),
+      endDateLocal = java.time.LocalDate.parse("2024-09-30"),
+      model = graft.eval.RunConfig.ModelConfig("passthrough"))
+      .save(s"$work/bad_cfg.json")
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, List("eval-config", s"$work/train", s"$work/runs/bad", s"$work/bad_cfg.json"))
+    }
 
     Pipeline.run(spark, List("eval-config", s"$work/train", s"$work/runs/r1", s"$work/cfg.json"))
     assert(Files.exists(Paths.get(s"$work/runs/r1/config.json")))

@@ -32,6 +32,28 @@ class RunConfigSpec extends AnyFunSuite {
     assert(RunConfig.load(p) == base)
   }
 
+  test("explicit JSON nulls fall back to defaults like absent keys") {
+    val cfg = RunConfig.fromJson(
+      """{"run_name": "r", "station_ids": ["KLGA"],
+        |"start_date_local": "2024-07-01", "end_date_local": "2024-07-31",
+        |"min_coverage_hours": null, "lead_hours_allowed": null,
+        |"split": {"type": null, "train_frac": null, "val_frac": null, "test_frac": null},
+        |"model": {"type": null, "alpha": null, "features": null},
+        |"uncertainty": {"type": null, "buckets": null, "sigma_floor": null}}""".stripMargin)
+    assert(cfg.minCoverageHours == 18)
+    assert(cfg.split == RunConfig.SplitConfig())   // not train_frac=0.0
+    assert(cfg.model == RunConfig.ModelConfig())   // not type="null"
+    assert(cfg.uncertainty == RunConfig.UncertaintyConfig())
+  }
+
+  test("control characters in strings survive the JSON round-trip") {
+    val cfg = base.copy(runName = "july\nrun\t\"x\"", stationIds = Seq("K\\LGA"))
+    assert(RunConfig.fromJson(cfg.toJson) == cfg)
+    val p = Files.createTempDirectory("cfgq").resolve("c.json").toString
+    cfg.save(p)
+    assert(RunConfig.load(p) == cfg)
+  }
+
   test("missing optional keys fall back to defaults") {
     val cfg = RunConfig.fromJson(
       """{"run_name": "r", "station_ids": ["KLGA"],

@@ -43,4 +43,16 @@ class DedupDocsSpec extends SparkSpec {
     assert(exact(5L) == 1L)
   }
 
+  test("mega-buckets fall back to unverified star edges (clique impossible at that size)") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    // maxVerifyBucket=1 forces every 2-doc bucket into the mega regime:
+    // the 0.9 floor that rejects this 0.83-Jaccard pair in verified mode
+    // is bypassed, pinning that the fallback really is unverified
+    val out = DedupDocs(Seq((1L, base), (3L, near)).toDF("doc_id", "text"),
+      minJaccard = Some(0.9), maxVerifyBucket = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L) == 1L)
+  }
+
 }
