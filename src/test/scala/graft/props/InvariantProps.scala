@@ -146,6 +146,56 @@ object InvariantProps extends Properties("graft") {
       noSplit && noGlue
     }
 
+  private val mixGen = for {
+    nDomains <- Gen.chooseNum(1, 5)
+    nRows <- Gen.chooseNum(1, 60)
+    weights <- Gen.listOfN(nDomains, Gen.chooseNum(0.05, 1.5))
+    total <- Gen.chooseNum(1L, 80L)
+  } yield {
+    val rows = (0L until nRows).map(i => (i, s"d${i % nDomains}"))
+    val ws = weights.zipWithIndex.map { case (w, i) => s"d$i" -> w }.toMap
+    (rows, ws, total)
+  }
+
+  property("mix sampler: per-domain size = min(floor(w*total), domain size), exactly") =
+    forAll(mixGen) { case (rows, weights, total) =>
+      val df = rows.toDF("id", "dom")
+      val got = graft.ops.MixSampler.sample(df, "dom", "id", weights, total)
+        .groupBy("dom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val domSizes = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      weights.forall { case (dom, w) =>
+        val quota = math.floor(w * total).toLong
+        val expected = math.min(quota, domSizes.getOrElse(dom, 0L))
+        got.getOrElse(dom, 0L) == expected
+      } && got.keySet.subsetOf(weights.keySet)
+    }
+
+  private val kmeansGen = for {
+    d <- Gen.chooseNum(2, 6)
+    k <- Gen.chooseNum(2, 4)
+    n <- Gen.chooseNum(4, 20)
+    vals <- Gen.listOfN(n * d, Gen.chooseNum(-8.0f, 8.0f))
+  } yield (d, k, vals.grouped(d).toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) })
+
+  property("k-means cellExpr = driver-computed argmin with the same tie rule") =
+    forAll(kmeansGen) { case (d, k, rows) =>
+      val cents = rows.take(k).map(_._2.map(_.toDouble))
+      val df = rows.toDF("id", "emb")
+      val got = df.select($"id", graft.ops.KMeansVec.cellExpr("emb", cents.toArray).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      rows.forall { case (id, v) =>
+        // same left-to-right double accumulation as the expression
+        val dists = cents.map { c =>
+          var acc = 0.0; var i = 0
+          while (i < d) { acc += (v(i) - c(i)) * (v(i) - c(i)); i += 1 }
+          acc
+        }
+        val want = dists.zipWithIndex.minBy { case (dist, cid) => (dist, cid) }._2
+        got(id) == want
+      }
+    }
+
   property("rolling hash composes: h(a++b) = (h(a)*31^|b| + h(b)) mod p") =
     forAll(Gen.alphaStr, Gen.alphaStr) { (a, b) =>
       val p = RollingHash.Mod
