@@ -43,6 +43,23 @@ class DedupDocsSpec extends SparkSpec {
     assert(exact(5L) == 1L)
   }
 
+  test("boilerplate-heavy corpus: 4000-copy template dedups via star edges, not a 8M-pair clique") {
+    // verified mode must route the mega-bucket through the k−1-edge star
+    // fallback: a clique over 4000 copies would emit ~8M candidate pairs
+    // into the verification join; the star emits 3999 edges. The spec
+    // passing in seconds (not minutes) IS the regression guard, plus the
+    // exact group accounting below.
+    val template = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = ((0L until 4000L).map(i => (i, template)) ++
+      Seq((9000L, "completely different words about spark engines and parquet files here"),
+          (9001L, "another unique document mentioning window functions and broadcast joins")))
+      .toDF("doc_id", "text")
+    val out = DedupDocs(docs).cache()
+    assert(out.filter($"component" === 0L).count() == 4000L) // one group, head 0
+    assert(out.filter($"is_survivor").count() == 3L)         // head + 2 uniques
+    out.unpersist()
+  }
+
   test("mega-buckets fall back to unverified star edges (clique impossible at that size)") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = "the quick brown fox jumps over the lazy dog again and again tonight"
