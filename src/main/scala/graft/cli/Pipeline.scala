@@ -72,7 +72,7 @@ object Pipeline {
           "runner evaluates the static split protocol (reference-runner parity); " +
           "use ops.Splits.walkForward for fold-based evaluation")
       val data = cfg.applyScope(spark.read.parquet(trainDir))
-      require(data.limit(1).count() > 0,
+      require(!data.isEmpty,
         s"No data remaining after config filters (stations=${cfg.stationIds.mkString(",")}, " +
           s"dates=${cfg.startDateLocal}..${cfg.endDateLocal})")
       val ranked = Runner.runMultiModel(data, Seq(cfg.buildForecaster()), runDir, cfg.runnerConfig)

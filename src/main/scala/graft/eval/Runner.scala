@@ -147,7 +147,9 @@ object Runner {
   final case class LoadedRun(runId: String, modelNames: Seq[String],
       comparison: Seq[ComparisonEntry], models: Map[String, LoadedModel])
 
-  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // one shared mapper: construction is the expensive part, readTree is
+  // thread-safe
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def readTree(p: java.nio.file.Path) = mapper.readTree(Files.readString(p))
 

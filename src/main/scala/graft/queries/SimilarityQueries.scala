@@ -86,9 +86,11 @@ object SimilarityQueries {
   private def probeCells(cents: Seq[Centroid]): Column = {
     val entries = cents.map { c =>
       val cEmb = array(c.emb.toSeq.map(v => lit(v)): _*)
+      // explicit cast names the struct fields (same spelling as
+      // KMeansVec.cellExpr — aliases inside struct() are unreliable)
       struct(
-        (-(call_function("vec_dot", col("embedding"), cEmb) / (col("norm") * lit(c.norm)))).as("negcos"),
-        lit(c.cid).as("cid"))
+        -(call_function("vec_dot", col("embedding"), cEmb) / (col("norm") * lit(c.norm))),
+        lit(c.cid)).cast("struct<negcos:double,cid:int>")
     }
     slice(array_sort(array(entries: _*)), 1, 2)
   }

@@ -21,13 +21,19 @@ class SimilarityRecallSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def exactPairs(threshold: Double) = {
+  private def normedEmb = {
     graft.functions.GraftFunctions.register(spark)
-    val emb = graft.core.Tables.embeddings(spark, sf)
+    graft.core.Tables.embeddings(spark, sf)
       .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+  }
+
+  private def pairCos =
+    expr("vec_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm"))
+
+  private def exactPairs(threshold: Double) = {
+    val emb = normedEmb
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (expr("vec_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm"))).as("cos"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), pairCos.as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -46,15 +52,12 @@ class SimilarityRecallSpec extends SparkSpec {
   }
 
   test("kNN labeling: every scored neighbor shares a probed cell; top-5 overlap >= 0.35") {
-    graft.functions.GraftFunctions.register(spark)
-    val emb = graft.core.Tables.embeddings(spark, sf)
-      .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+    val emb = normedEmb
     // exact top-5 per query (brute force at spec scale)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q").orderBy(col("cos").desc, col("nb"))
     val exact5 = emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("q"), col("b.vec_id").as("nb"),
-        (expr("vec_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm"))).as("cos"))
+      .select(col("a.vec_id").as("q"), col("b.vec_id").as("nb"), pairCos.as("cos"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the query's own top-5: rebuild from the same IVF candidate path the
