@@ -307,18 +307,18 @@ object AggQueries {
       "a13_salted_agg",
       (s, d) => {
         import s.implicits._
-        val partial = Tables.lineitem(s, d)
-          .withColumn("salt", pmod($"l_orderkey", lit(8)))
-          .groupBy($"l_returnflag", $"salt")
-          .agg(
-            sum($"l_quantity".cast("decimal(25,8)")).as("p_qty"),
-            sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(30,8)")).as("p_rev"),
-            count(lit(1)).as("p_n"))
-        partial.groupBy($"l_returnflag")
-          .agg(
-            round(sum($"p_qty").cast("double"), 4).as("sum_qty"),
-            round(sum($"p_rev").cast("double"), 4).as("sum_revenue"),
-            sum($"p_n").cast("long").as("n"))
+        graft.ops.SaltedAgg.aggregate(
+          Tables.lineitem(s, d)
+            .withColumn("rev", $"l_extendedprice" * (lit(1) - $"l_discount")),
+          keys = Seq("l_returnflag"), saltKey = $"l_orderkey", salts = 8,
+          specs = Seq(
+            graft.ops.SaltedAgg.sumDecimal($"l_quantity", "qty"),
+            graft.ops.SaltedAgg.sumDecimal($"rev", "rev", precision = 30),
+            graft.ops.SaltedAgg.countRows("n")))
+          .select($"l_returnflag",
+            round($"qty".cast("double"), 4).as("sum_qty"),
+            round($"rev".cast("double"), 4).as("sum_revenue"),
+            $"n".cast("long").as("n"))
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
@@ -348,6 +348,32 @@ object AggQueries {
           .withColumn("rel_err",
             round(abs($"approx_users" - $"exact_users") / $"exact_users", 4))
           .orderBy($"event_type")
+      },
+      None
+    ),
+
+    // Quantile sketches — the other 100 TB sketch path: percentile_approx
+    // (Greenwald-Khanna style) is one pass, bounded memory, mergeable
+    // across partitions; exact percentile materializes every value per
+    // group through the shuffle. Reported side by side so the realized
+    // error is visible. Engine-specific sketch → no DuckDB oracle
+    // (rows-only at the driver); SketchBoundSpec pins the accuracy
+    // envelope locally.
+    OracleQuery(
+      "a15_approx_quantile",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact_q"),
+            expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_q"))
+          .select($"l_returnflag",
+            round(element_at($"exact_q", 1), 4).as("exact_p50"),
+            round(element_at($"approx_q", 1), 4).as("approx_p50"),
+            round(element_at($"exact_q", 2), 4).as("exact_p95"),
+            round(element_at($"approx_q", 2), 4).as("approx_p95"))
+          .orderBy($"l_returnflag")
       },
       None
     )

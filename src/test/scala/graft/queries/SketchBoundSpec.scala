@@ -11,6 +11,22 @@ import graft.SparkSpec
   * bound (the sketch itself is deterministic for fixed input). */
 class SketchBoundSpec extends SparkSpec {
 
+  test("a15: GK approx quantiles within 5% of exact, per group") {
+    // accuracy=1000 bounds the RANK error at n/1000; on these price
+    // distributions that translates to well under 5% in value space
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Registry.queries("a15_approx_quantile")(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        for ((e, a) <- Seq(("exact_p50", "approx_p50"), ("exact_p95", "approx_p95"))) {
+          val exact = r.getAs[Double](e); val approx = r.getAs[Double](a)
+          assert(math.abs(approx - exact) / exact <= 0.05,
+            s"$sf ${r.getAs[String]("l_returnflag")}: $a=$approx vs $e=$exact")
+        }
+      }
+    }
+  }
+
   test("a14: HLL approx distinct within 3×rsd of exact, per group") {
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = Registry.queries("a14_approx_distinct")(spark, sf).collect()
