@@ -97,6 +97,21 @@ object Pipeline {
       val total = docs.count(); val kept = spark.read.parquet(s"$outDir/docs").count()
       println(s"[graft] dedup: kept $kept of $total docs (${total - kept} duplicates) → $outDir")
 
+    case "dedup-batch" :: corpusDir :: batchDir :: outDir :: Nil =>
+      // steady-state ingest: admit a new batch against the kept corpus
+      val corpus = spark.read.parquet(corpusDir)
+      val batch = spark.read.parquet(batchDir)
+      val labeled = graft.ops.DedupDocs.incremental(corpus, batch)
+      val admitted = batch.join(
+        labeled.filter(org.apache.spark.sql.functions.col("status") === "admitted")
+          .select("doc_id"), "doc_id")
+      admitted.write.mode("overwrite").parquet(s"$outDir/docs")
+      labeled.write.mode("overwrite").parquet(s"$outDir/status")
+      val byStatus = spark.read.parquet(s"$outDir/status")
+        .groupBy("status").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"[graft] dedup-batch: $byStatus → $outDir")
+
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
@@ -107,7 +122,8 @@ object Pipeline {
            |  Pipeline eval <trainDir> <runDir> [passthrough|persistence|ridge ...]
            |  Pipeline eval-config <trainDir> <runDir> <configJson>
            |  Pipeline list-runs <runsRootDir>
-           |  Pipeline dedup-docs <docsParquetDir> <outDir>""".stripMargin)
+           |  Pipeline dedup-docs <docsParquetDir> <outDir>
+           |  Pipeline dedup-batch <corpusParquetDir> <batchParquetDir> <outDir>""".stripMargin)
       sys.exit(2)
   }
 }

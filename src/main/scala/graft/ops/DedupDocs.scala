@@ -58,17 +58,7 @@ object DedupDocs {
     val fps = docs.select($"doc_id", md5($"text").as("fp"))
     val exactEdges = starEdges(fps.select($"doc_id", $"fp".as("bucket")))
 
-    // near-duplicate candidates: fused per-row MinHash signatures
-    // (graft.functions.MinHashSig — no gram explode, no signature
-    // shuffle) banded into buckets
-    val sig = docs.select($"doc_id", expr("minhash_sig(text)").as("sig"))
-      .filter($"sig".isNotNull)
-    val nBands = nSeeds / rowsPerBand
-    val bandCols = (0 until nBands).map { b =>
-      md5(concat_ws(",",
-        (1 to rowsPerBand).map(r => element_at($"sig", b * rowsPerBand + r)): _*))
-    }
-    val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bucket"))
+    val buckets = bandBuckets(docs, rowsPerBand)
 
     val nearEdges = minJaccard match {
       case None => starEdges(buckets)
@@ -83,7 +73,11 @@ object DedupDocs {
           .distinct()
         val megaStar = starEdges(
           sized.filter($"bsize" > maxVerifyBucket).select($"doc_id", $"bucket"))
-        verifyByJaccard(docs, cliquePairs, j).unionByName(megaStar)
+        val grams = distinctGrams(docs)
+        verifiedPairs(cliquePairs,
+          grams.withColumnsRenamed(Map("doc_id" -> "src")),
+          grams.withColumnsRenamed(Map("doc_id" -> "dst")), j)
+          .unionByName(megaStar)
     }
 
     val comps = ConnectedComponents(
@@ -108,24 +102,106 @@ object DedupDocs {
       .select(col("head").as("src"), col("doc_id").as("dst"))
       .distinct()
 
-  /** Exact trigram-Jaccard gate over candidate (src, dst) pairs — the
-    * verification join touches only candidate pairs, so its cost scales
-    * with the candidate count, not the corpus. */
-  private def verifyByJaccard(docs: DataFrame, pairs: DataFrame, j: Double): DataFrame = {
-    val grams = graft.queries.Shingles.wordTrigrams(docs)
+  /** MinHash band buckets for a (doc_id, text) frame: fused per-row
+    * signatures → one bucket id per band. */
+  private def bandBuckets(docs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val sig = docs.select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+    val nBands = nSeeds / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      md5(concat_ws(",",
+        (1 to rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r)): _*))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+  }
+
+  private def distinctGrams(docs: DataFrame): DataFrame =
+    graft.queries.Shingles.wordTrigrams(docs)
       .select(col("doc_id"), col("gram")).distinct()
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+
+  /** Exact trigram-Jaccard gate over candidate (src, dst) pairs — the
+    * verification joins touch only candidate pairs, so cost scales with
+    * the candidate count, not the corpus. Gram sides are passed in
+    * separately so batch-vs-corpus verification (disjoint id spaces)
+    * reuses the same gate as within-corpus verification. */
+  private def verifiedPairs(pairs: DataFrame,
+      srcGrams: DataFrame, // (src, gram) distinct
+      dstGrams: DataFrame, // (dst, gram) distinct
+      j: Double): DataFrame = {
+    val srcSizes = srcGrams.groupBy(col("src")).agg(count(lit(1)).as("n_src"))
+    val dstSizes = dstGrams.groupBy(col("dst")).agg(count(lit(1)).as("n_dst"))
     val inter = pairs
-      .join(grams.withColumnsRenamed(Map("doc_id" -> "src")), "src")
-      .join(grams.withColumnsRenamed(Map("doc_id" -> "dst")), Seq("dst", "gram"))
+      .join(srcGrams, "src")
+      .join(dstGrams, Seq("dst", "gram"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_inter"))
     pairs
       .join(inter, Seq("src", "dst"), "left_outer")
-      .join(sizes.select(col("doc_id").as("src"), col("n_grams").as("n_src")), "src")
-      .join(sizes.select(col("doc_id").as("dst"), col("n_grams").as("n_dst")), "dst")
+      .join(srcSizes, "src")
+      .join(dstSizes, "dst")
       .filter(
         coalesce(col("n_inter"), lit(0L)).cast("double") /
           (col("n_src") + col("n_dst") - coalesce(col("n_inter"), lit(0L))) >= j)
       .select(col("src"), col("dst"))
+  }
+
+  /** Incremental dedup: admit a NEW batch against an existing kept
+    * corpus without re-clustering the corpus — the steady-state shape
+    * of a crawl pipeline (the full `apply` runs once; every later
+    * ingest runs this). A batch doc is rejected when it exactly
+    * duplicates a corpus doc (content hash), near-duplicates one
+    * (shared LSH band + exact-Jaccard verification when `minJaccard`
+    * is set), or loses batch-internal dedup among the remainder.
+    *
+    * At 100 TB the corpus side of both joins reads like an index:
+    * fingerprints and band buckets are derivable write-once columns
+    * (store them at admission), so each new batch joins against
+    * precomputed state instead of re-hashing the corpus;
+    * `streaming/Streams` has the row-at-a-time variant of the same
+    * idea with the fingerprint set as operator state.
+    *
+    * @return one row per batch doc: (doc_id, status, component) with
+    *         status ∈ corpus_exact | corpus_near | batch_dup | admitted
+    *         (precedence in that order) and component = the batch-
+    *         internal group for surviving/batch_dup docs (null for
+    *         corpus-rejected docs)
+    */
+  def incremental(corpus: DataFrame, batch: DataFrame,
+      rowsPerBand: Int = 4,
+      minJaccard: Option[Double] = Some(0.5),
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    val exactRej = batch.select($"doc_id", md5($"text").as("fp"))
+      .join(corpus.select(md5($"text").as("fp")).distinct(), "fp")
+      .select($"doc_id").distinct()
+
+    val nearCand = bandBuckets(batch, rowsPerBand)
+      .join(bandBuckets(corpus, rowsPerBand)
+        .select($"bucket", $"doc_id".as("corpus_id")), "bucket")
+      .select($"doc_id".as("src"), $"corpus_id".as("dst"))
+      .distinct()
+    val nearRej = (minJaccard match {
+      case None => nearCand
+      case Some(j) => verifiedPairs(nearCand,
+        distinctGrams(batch).withColumnsRenamed(Map("doc_id" -> "src")),
+        distinctGrams(corpus).withColumnsRenamed(Map("doc_id" -> "dst")), j)
+    }).select($"src".as("doc_id")).distinct()
+
+    val corpusRej = exactRej.withColumn("status", lit("corpus_exact"))
+      .unionByName(nearRej.withColumn("status", lit("corpus_near")))
+      .groupBy($"doc_id")
+      // precedence: exact beats near when both reject the same doc
+      .agg(min($"status").as("status")) // "corpus_exact" < "corpus_near"
+    val remainder = batch.join(corpusRej.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val internal = apply(remainder, rowsPerBand, minJaccard,
+      checkpointDir = checkpointDir)
+      .select($"doc_id", $"component",
+        when($"is_survivor", lit("admitted")).otherwise(lit("batch_dup")).as("status"))
+
+    corpusRej.withColumn("component", lit(null).cast("long"))
+      .select($"doc_id", $"status", $"component")
+      .unionByName(internal.select($"doc_id", $"status", $"component"))
   }
 }

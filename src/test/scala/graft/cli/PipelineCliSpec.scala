@@ -92,4 +92,22 @@ class PipelineCliSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 9L))
     assert(spark.read.parquet(s"$outDir/groups").count() == 3)
   }
+
+  test("dedup-batch admits only novel batch docs against the corpus") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_db").toString
+    Seq((1L, "a b c d e f g h i j k l m"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/corpus")
+    Seq((10L, "a b c d e f g h i j k l m"),      // exact corpus dup
+        (11L, "p q r s t u v w x y z a1 b1"),    // novel
+        (12L, "p q r s t u v w x y z a1 b1"))    // batch dup of 11
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/batch")
+    Pipeline.run(spark, List("dedup-batch", s"$work/corpus", s"$work/batch", s"$work/out"))
+    val admitted = spark.read.parquet(s"$work/out/docs")
+      .select("doc_id").as[Long].collect().sorted
+    assert(admitted.toSeq == Seq(11L))
+    val statuses = spark.read.parquet(s"$work/out/status")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(statuses == Map(10L -> "corpus_exact", 11L -> "admitted", 12L -> "batch_dup"))
+  }
 }

@@ -60,6 +60,36 @@ class DedupDocsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("incremental: batch docs classified against the corpus, then among themselves") {
+    val template = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val corpus = Seq(
+      (1L, template),
+      (2L, "completely different words about spark engines and parquet files here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, template),                                           // exact corpus dup
+      (11L, near),                                               // near corpus dup (jac 0.83)
+      (12L, "fresh content mentioning window functions and broadcast joins"),
+      (13L, "fresh content mentioning window functions and broadcast joins"), // batch dup of 12
+      (14L, "entirely novel text on bloom filters and shuffle partitions"))
+      .toDF("doc_id", "text")
+    val out = DedupDocs.incremental(corpus, batch)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      10L -> "corpus_exact",
+      11L -> "corpus_near",
+      12L -> "admitted",
+      13L -> "batch_dup",
+      14L -> "admitted"))
+    // strict floor: the 0.83-Jaccard near pair is no longer a corpus
+    // rejection; it must fall through to batch-internal processing
+    val strict = DedupDocs.incremental(corpus, batch, minJaccard = Some(0.9))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict(11L) == "admitted")
+    assert(strict(10L) == "corpus_exact") // content hash unaffected by the floor
+  }
+
   test("mega-buckets fall back to unverified star edges (clique impossible at that size)") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = "the quick brown fox jumps over the lazy dog again and again tonight"
