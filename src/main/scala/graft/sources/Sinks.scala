@@ -45,6 +45,26 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Sort-on-write for row-group pruning: order rows by the columns
+    * later queries filter on, so each parquet row group covers a NARROW
+    * min/max span of those columns and a selective predicate skips
+    * whole row groups from footer statistics alone — the sub-partition
+    * complement to directory partitioning (partitions prune at
+    * planning time, sorted row groups prune inside each file at scan
+    * time). At 100 TB this is the difference between reading a
+    * partition and reading the two row groups of it that matter.
+    * `repartitionByRange` first so files don't overlap either — a
+    * range scan then touches few FILES, not just few row groups. */
+  def writeSortedBy(df: DataFrame, dir: String, sortCols: Seq[String],
+      numFiles: Int = 0, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(sortCols.nonEmpty, "writeSortedBy needs at least one sort column")
+    val cols = sortCols.map(col)
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    ranged.sortWithinPartitions(cols: _*).write.mode(mode).parquet(dir)
+  }
+
   /** Forecast parts keyed by issue time (the reference's
     * part-YYYY-MM-DDTHH.parquet, openmeteo_daily_forecast.py:270-274):
     * dynamic-partition append — re-ingesting one issue hour overwrites

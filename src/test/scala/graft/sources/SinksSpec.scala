@@ -25,6 +25,34 @@ class SinksSpec extends SparkSpec {
     assert(scanLine.contains("station_id"), s"partition pruning missing: $scanLine")
   }
 
+  test("writeSortedBy: disjoint per-file key ranges, sorted within files") {
+    val dir = Files.createTempDirectory("graft_sorted").toString
+    // scrambled key so the layout is earned by the sink, not the input
+    val df = spark.range(10000)
+      .select($"id", pmod($"id" * 2654435761L, lit(10007L)).as("k"))
+    Sinks.writeSortedBy(df, dir, Seq("k"), numFiles = 4)
+    val files = Files.list(Paths.get(dir)).iterator()
+    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    assert(parts.size == 4)
+    // per-file min/max spans must not overlap: a range predicate then
+    // touches few FILES, and (via the within-file sort) few row groups
+    val spans = parts.map { f =>
+      val r = spark.read.parquet(f).agg(min($"k"), max($"k")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, prevMax), (nextMin, _)) =>
+        assert(prevMax <= nextMin, s"overlapping file ranges: $spans")
+      case _ =>
+    }
+    // rows inside a file are sorted — the property parquet row-group
+    // min/max stats need to be narrow
+    val ks = spark.read.parquet(parts.head).coalesce(1)
+      .select($"k").collect().map(_.getLong(0))
+    assert(ks.sameElements(ks.sorted), "rows within a file must be sorted by k")
+  }
+
   test("forecast append overwrites only the re-ingested issue partition") {
     val dir = Files.createTempDirectory("graft_fc").toString
     def part(issue: String, v: Double) = Seq(("KLGA", Timestamp.valueOf(issue), v))
