@@ -101,13 +101,17 @@ object Pipeline {
       // steady-state ingest: admit a new batch against the kept corpus
       val corpus = spark.read.parquet(corpusDir)
       val batch = spark.read.parquet(batchDir)
-      val labeled = graft.ops.DedupDocs.incremental(corpus, batch)
-      val admitted = batch.join(
-        labeled.filter(org.apache.spark.sql.functions.col("status") === "admitted")
-          .select("doc_id"), "doc_id")
-      admitted.write.mode("overwrite").parquet(s"$outDir/docs")
-      labeled.write.mode("overwrite").parquet(s"$outDir/status")
-      val byStatus = spark.read.parquet(s"$outDir/status")
+      // status is written FIRST and re-read to derive the admitted set:
+      // the labeling subtree (corpus-wide hash/band/Jaccard joins) is
+      // expensive and would otherwise recompute per downstream action
+      graft.ops.DedupDocs.incremental(corpus, batch)
+        .write.mode("overwrite").parquet(s"$outDir/status")
+      val labeled = spark.read.parquet(s"$outDir/status")
+      batch.join(
+          labeled.filter(org.apache.spark.sql.functions.col("status") === "admitted")
+            .select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(s"$outDir/docs")
+      val byStatus = labeled
         .groupBy("status").count().collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[graft] dedup-batch: $byStatus → $outDir")

@@ -156,9 +156,6 @@ object Runner {
   private def numOrNaN(n: com.fasterxml.jackson.databind.JsonNode): Double =
     if (n == null || n.isNull) Double.NaN else n.asDouble()
 
-  /** All runs under `rootDir`, newest run-id first (list_runs,
-    * report.py:523-562). A run is multi-model when it has a models/
-    * subtree; model names come from meta.json when present. */
   /** Subdirectories of `dir`, with the directory stream closed (the
     * Files.list stream holds an fd until closed). */
   private def subDirs(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
@@ -167,6 +164,9 @@ object Runner {
       _.iterator().asScala.filter(Files.isDirectory(_)).toSeq)
   }
 
+  /** All runs under `rootDir`, newest run-id first (list_runs,
+    * report.py:523-562). A run is multi-model when it has a models/
+    * subtree; model names come from meta.json when present. */
   def listRuns(rootDir: String): Seq[RunInfo] = {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(rootDir)

@@ -54,8 +54,12 @@ object DedupDocs {
     graft.functions.GraftFunctions.register(spark)
 
     // exact-duplicate edges: same content hash. Star-shaped (k−1 edges
-    // per fingerprint group) and certain — never verified.
+    // per fingerprint group) and certain — never verified. Null text
+    // (failed extraction) hashes to null: those docs have UNKNOWN
+    // content, not identical content, and must never merge — drop the
+    // null fingerprints before the bucket window groups them together.
     val fps = docs.select($"doc_id", md5($"text").as("fp"))
+      .filter($"fp".isNotNull)
     val exactEdges = starEdges(fps.select($"doc_id", $"fp".as("bucket")))
 
     val buckets = bandBuckets(docs, rowsPerBand)
@@ -168,26 +172,46 @@ object DedupDocs {
   def incremental(corpus: DataFrame, batch: DataFrame,
       rowsPerBand: Int = 4,
       minJaccard: Option[Double] = Some(0.5),
+      maxVerifyBucket: Int = 32,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
 
+    // equi-join on fp drops null fingerprints (null text) by itself
     val exactRej = batch.select($"doc_id", md5($"text").as("fp"))
       .join(corpus.select(md5($"text").as("fp")).distinct(), "fp")
       .select($"doc_id").distinct()
 
-    val nearCand = bandBuckets(batch, rowsPerBand)
-      .join(bandBuckets(corpus, rowsPerBand)
-        .select($"bucket", $"doc_id".as("corpus_id")), "bucket")
-      .select($"doc_id".as("src"), $"corpus_id".as("dst"))
-      .distinct()
+    // band candidates with the same mega-bucket regime as apply(): a
+    // shared band bucket that is huge on EITHER side (boilerplate
+    // template) would emit |batch∩bucket|·|corpus∩bucket| verification
+    // pairs — batch docs in such a bucket are rejected as near-dups
+    // UNVERIFIED instead (overwhelmingly true duplicates; the same
+    // recall-over-precision trade as apply's star fallback), so the
+    // verification join stays bounded by maxVerifyBucket² per bucket.
+    val bBuckets = bandBuckets(batch, rowsPerBand)
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy($"bucket")))
+    val cBuckets = bandBuckets(corpus, rowsPerBand)
+      .select($"bucket", $"doc_id".as("corpus_id"))
+      .withColumn("cn", count(lit(1)).over(Window.partitionBy($"bucket")))
+    val shared = bBuckets.join(cBuckets, "bucket")
     val nearRej = (minJaccard match {
-      case None => nearCand
-      case Some(j) => verifiedPairs(nearCand,
-        distinctGrams(batch).withColumnsRenamed(Map("doc_id" -> "src")),
-        distinctGrams(corpus).withColumnsRenamed(Map("doc_id" -> "dst")), j)
-    }).select($"src".as("doc_id")).distinct()
+      case None => shared.select($"doc_id")
+      case Some(j) =>
+        val mega = shared
+          .filter($"bn" > maxVerifyBucket || $"cn" > maxVerifyBucket)
+          .select($"doc_id")
+        val cand = shared
+          .filter($"bn" <= maxVerifyBucket && $"cn" <= maxVerifyBucket)
+          .select($"doc_id".as("src"), $"corpus_id".as("dst"))
+          .distinct()
+        verifiedPairs(cand,
+          distinctGrams(batch).withColumnsRenamed(Map("doc_id" -> "src")),
+          distinctGrams(corpus).withColumnsRenamed(Map("doc_id" -> "dst")), j)
+          .select($"src".as("doc_id"))
+          .unionByName(mega)
+    }).distinct()
 
     val corpusRej = exactRej.withColumn("status", lit("corpus_exact"))
       .unionByName(nearRej.withColumn("status", lit("corpus_near")))
@@ -195,7 +219,7 @@ object DedupDocs {
       // precedence: exact beats near when both reject the same doc
       .agg(min($"status").as("status")) // "corpus_exact" < "corpus_near"
     val remainder = batch.join(corpusRej.select($"doc_id"), Seq("doc_id"), "left_anti")
-    val internal = apply(remainder, rowsPerBand, minJaccard,
+    val internal = apply(remainder, rowsPerBand, minJaccard, maxVerifyBucket,
       checkpointDir = checkpointDir)
       .select($"doc_id", $"component",
         when($"is_survivor", lit("admitted")).otherwise(lit("batch_dup")).as("status"))

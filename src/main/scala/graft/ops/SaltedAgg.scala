@@ -43,6 +43,9 @@ object SaltedAgg {
       specs: Seq[Spec]): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
     require(specs.nonEmpty, "need at least one aggregate spec")
+    require(specs.map(_.out).distinct.size == specs.size,
+      s"duplicate output names in specs: ${specs.map(_.out).mkString(", ")} — " +
+        "each Spec needs a distinct out (the partial column is derived from it)")
     val pCols = specs.map(sp => sp.partial.as(s"__p_${sp.out}"))
     val partial = df
       .withColumn("__salt", pmod(saltKey, lit(salts)))

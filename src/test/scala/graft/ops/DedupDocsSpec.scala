@@ -60,6 +60,32 @@ class DedupDocsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("null-text docs never merge: unknown content is not identical content") {
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, "real words here today"))
+      .toDF("doc_id", "text")
+    val out = DedupDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (2L, true) && out(3L) == (3L, true),
+      s"every doc must survive as its own component, got $out")
+  }
+
+  test("incremental mega-buckets: huge shared band bucket rejects unverified") {
+    val template = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    // maxVerifyBucket=0 forces every shared bucket into the mega
+    // regime (per-side sizes here are 1): the 0.9 floor that would
+    // admit the 0.83-Jaccard near-dup in verified mode is bypassed —
+    // the batch doc is rejected unverified
+    val corpus = Seq((1L, template)).toDF("doc_id", "text")
+    val batch = Seq((10L, near)).toDF("doc_id", "text")
+    val strictVerified = DedupDocs.incremental(corpus, batch, minJaccard = Some(0.9))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strictVerified(10L) == "admitted")
+    val mega = DedupDocs.incremental(corpus, batch, minJaccard = Some(0.9), maxVerifyBucket = 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mega(10L) == "corpus_near")
+  }
+
   test("incremental: batch docs classified against the corpus, then among themselves") {
     val template = "the quick brown fox jumps over the lazy dog again and again today"
     val near = "the quick brown fox jumps over the lazy dog again and again tonight"
