@@ -78,6 +78,10 @@ object MinHashSigImpl {
   private val digest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  /** Shared per-thread digest for sibling md5-kernel expressions
+    * (SimHash32) — same rationale: no per-row getInstance(). */
+  private[functions] def borrowDigest(): MessageDigest = digest.get()
+
   def compute(text: UTF8String): ArrayData = {
     // split(text, ' ') semantics: limit -1 keeps trailing empty tokens
     val words = text.toString.split(" ", -1)

@@ -80,6 +80,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(VecDot.descriptor)
     ext.injectFunction(MinHashSig.descriptor)
     ext.injectFunction(TrigramStats.descriptor)
+    ext.injectFunction(SimHash32.descriptor)
   }
 }
 
@@ -98,7 +99,7 @@ object GraftFunctions {
     * extension (tests, Verify, Bench). */
   def register(spark: SparkSession): Unit = {
     Seq(rollingHashDescriptor, VecDot.descriptor, MinHashSig.descriptor,
-      TrigramStats.descriptor).foreach { case (ident, info, builder) =>
+      TrigramStats.descriptor, SimHash32.descriptor).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
       }

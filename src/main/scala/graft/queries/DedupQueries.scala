@@ -253,16 +253,13 @@ ORDER BY doc_a, doc_b""")
       "dedup_simhash",
       (s, d) => {
         import s.implicits._
-        val words = Tables.documents(s, d)
-          .select($"doc_id", explode(split($"text", " ")).as("w"))
-          .withColumn("g", expr(h60("w")))
-        val bitCols = (0 until 32).map { j =>
-          sum(expr(s"2 * ((g >> $j) & 1) - 1")).as(s"s$j")
-        }
-        val sums = words.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
-        val sim = sums.select($"doc_id",
-          (0 until 32).map(j => expr(s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"))
-            .reduce(_ + _).cast("long").as("simhash"))
+        graft.functions.GraftFunctions.register(s)
+        // fused per-row kernel (functions/SimHash32.scala): split → hash
+        // → bit-vote in one map-side pass, replacing the explode +
+        // 32-column groupBy and its full |words|-row shuffle;
+        // bit-equality with that spelling is pinned in SimHash32Spec
+        val sim = Tables.documents(s, d)
+          .select($"doc_id", expr("simhash32(text)").as("simhash"))
         // band key packs (index, byte value) into one int: j*256 + byte_j
         val bands = sim.select($"doc_id", $"simhash",
           explode(array((0 until 4).map(j =>
