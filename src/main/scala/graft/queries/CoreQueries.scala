@@ -52,13 +52,17 @@ object CoreQueries {
       "s1_scan_project",
       (s, d) => {
         import s.implicits._
+        // ORDER BY every projected column: (l_orderkey, l_linenumber) is
+        // NOT unique at sf0.1, and a LIMIT under a non-total order is
+        // engine-dependent; full-row ordering makes remaining ties exact
+        // duplicate rows, where either choice is the same multiset
         Tables.lineitem(s, d)
           .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
-          .orderBy($"l_orderkey", $"l_linenumber")
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
           .limit(100)
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag LIMIT 100""".stripMargin)
     ),
 
     // P2: half-open timestamp range [start, end) — pushed to parquet stats.

@@ -245,9 +245,15 @@ object PipelineQueries {
           .groupBy($"user_id")
           .agg(
             count(lit(1)).as("n_test"),
-            round(sum(abs($"e").cast("decimal(25,8)")).cast("double") / count($"e"), 4).as("mae"),
+            // mean-then-round-4 via scale-up BEFORE the division: an
+            // exact-tie quotient (sum/count landing on x.xxxx5) rounds
+            // differently across engines when divided first (Spark
+            // HALF_UPs BigDecimal.valueOf's shortest string, DuckDB
+            // rounds the binary double) — scaled by 1e4 the tie is an
+            // exact dyadic .5 double that both round away from zero
+            (round((sum(abs($"e").cast("decimal(25,8)")) * 10000).cast("double") / count($"e")) / 10000.0).as("mae"),
             round(sqrt(sum(($"e" * $"e").cast("decimal(30,8)")).cast("double") / count($"e")), 4).as("rmse"),
-            round(sum($"e".cast("decimal(25,8)")).cast("double") / count($"e"), 4).as("bias"))
+            (round((sum($"e".cast("decimal(25,8)")) * 10000).cast("double") / count($"e")) / 10000.0).as("bias"))
           .orderBy($"user_id")
       },
       Some("""WITH seq AS (
@@ -260,9 +266,9 @@ object PipelineQueries {
              |  SELECT user_id, value - pred AS e FROM seq WHERE rn > floor(n * 0.85)
              |)
              |SELECT user_id, count(*) AS n_test,
-             |  round(CAST(sum(CAST(abs(e) AS DECIMAL(25,8))) AS DOUBLE) / count(e), 4) AS mae,
+             |  round(CAST(sum(CAST(abs(e) AS DECIMAL(25,8))) * 10000 AS DOUBLE) / count(e)) / 10000.0 AS mae,
              |  round(sqrt(CAST(sum(CAST(e * e AS DECIMAL(30,8))) AS DOUBLE) / count(e)), 4) AS rmse,
-             |  round(CAST(sum(CAST(e AS DECIMAL(25,8))) AS DOUBLE) / count(e), 4) AS bias
+             |  round(CAST(sum(CAST(e AS DECIMAL(25,8))) * 10000 AS DOUBLE) / count(e)) / 10000.0 AS bias
              |FROM test GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
