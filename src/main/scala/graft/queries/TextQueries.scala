@@ -43,25 +43,11 @@ object TextQueries {
       "text_quality_score",
       (s, d) => {
         import s.implicits._
-        val words = split($"text", " ")
-        val stop = expr(
-          "size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'to')))")
-        val uniq = expr("size(array_distinct(split(text, ' ')))")
-        val vowels = length(regexp_replace($"text", "[^aeiou]", ""))
-        Tables.documents(s, d)
-          .select(
-            $"doc_id",
-            size(words).as("n_tokens"),
-            round(stop / size(words).cast("double"), 4).as("stopword_ratio"),
-            round(uniq / size(words).cast("double"), 4).as("unique_ratio"),
-            round(vowels / length($"text").cast("double"), 4).as("vowel_ratio"))
-          .withColumn("quality",
-            round(
-              when($"n_tokens" < 5, 0.0).otherwise(
-                lit(1.0)
-                  - abs($"stopword_ratio" - 0.1) // too few or too many stopwords
-                  - when($"unique_ratio" < 0.3, lit(0.3) - $"unique_ratio").otherwise(0.0)),
-              4))
+        // feature definitions shared with the streaming intake filter
+        // (TextFeatures) — batch and stream must score identically
+        TextFeatures.withQualityColumns(Tables.documents(s, d))
+          .select($"doc_id", $"n_tokens", $"stopword_ratio",
+            $"unique_ratio", $"vowel_ratio", $"quality")
           .orderBy($"doc_id")
       },
       Some("""WITH feat AS (

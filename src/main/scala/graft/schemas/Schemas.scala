@@ -35,6 +35,14 @@ object Schemas {
     StructField("source", StringType, nullable = false),
     StructField("qc_flags", LongType, nullable = false)))
 
+  /** LLM-corpus documents table (testdata documents.parquet shape). */
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   val dailyTmax: StructType = StructType(Seq(
     StructField("date_local", DateType, nullable = false),
     StructField("station_id", StringType, nullable = false),

@@ -98,6 +98,23 @@ object Streams {
       .toDF("doc_id", "text").as[(Long, String)]
   }
 
+  /** Streaming corpus intake with quality gating: new document files →
+    * map-side quality features (the SAME expressions as the batch
+    * text_quality_score query, via queries.TextFeatures — a doc scores
+    * identically in stream and batch) → threshold filter. Pure
+    * map-side: no watermark, no state; the checkpoint's file tracking
+    * gives exactly-once admission per input file, so re-running after
+    * new files land processes only the new files. */
+  def docQualityStream(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5, minTokens: Int = 5): DataFrame = {
+    val docs = spark.readStream
+      .schema(graft.schemas.Schemas.documents)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(dir)
+    graft.queries.TextFeatures.withQualityColumns(docs)
+      .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+  }
+
   /** Drain-available-and-stop runner (batch-first engine; streaming is
     * incremental ingestion, not an always-on service). */
   def runAvailableNow(

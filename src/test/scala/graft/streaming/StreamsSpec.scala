@@ -96,4 +96,40 @@ class StreamsSpec extends SparkSpec {
     val all = spark.read.parquet(sink).collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(all == Set((2L, "aaa"), (3L, "bbb"), (8L, "ccc")))
   }
+
+  test("doc quality stream admits exactly the batch-filtered set, once per file") {
+    val in = Files.createTempDirectory("graft_dq_in").toString
+    val ckpt = Files.createTempDirectory("graft_dq_ck").toString
+    val sink = Files.createTempDirectory("graft_dq_out").toString
+    def doc(id: Long, text: String) = (id, text, "en", "src0", text.length.toLong)
+    val rows = Seq(
+      doc(1L, "the cat sat on the mat and looked out of a window today"), // good
+      doc(2L, "too short"),                                                // < 5 tokens → quality 0
+      doc(3L, "spam spam spam spam spam spam spam spam"))                  // low diversity, no stopwords
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    rows.coalesce(1).write.mode("append").parquet(in)
+
+    def drain(): Unit =
+      Streams.runAvailableNow(Streams.docQualityStream(spark, in), ckpt, sink)
+    drain()
+    val admitted = spark.read.parquet(sink).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // parity: the batch spelling over the same data admits the same set
+    val batch = graft.queries.TextFeatures.withQualityColumns(rows)
+      .filter(col("quality") >= 0.5 && col("n_tokens") >= 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == batch)
+    assert(admitted.contains(1L) && !admitted.contains(2L))
+
+    // restart with the same checkpoint and no new files: nothing re-admitted
+    drain()
+    assert(spark.read.parquet(sink).count() == admitted.size)
+    // a new file is processed exactly once
+    Seq(doc(9L, "a fresh document with the usual mix of common and varied words in it"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(in)
+    drain()
+    assert(spark.read.parquet(sink).select("doc_id").collect().map(_.getLong(0)).toSet
+      == admitted + 9L)
+  }
 }
