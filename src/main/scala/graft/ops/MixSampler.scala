@@ -41,4 +41,24 @@ object MixSampler {
     df.withColumn("mix_rank", row_number().over(w))
       .filter(col("mix_rank") <= quota) // null quota (unweighted domain) drops
   }
+
+  /** Token-budget variant — the semantics a real mixture actually uses
+    * (training budgets are in TOKENS, not documents): per domain, admit
+    * the hash-ordered prefix whose cumulative token count stays within
+    * floor(weight · totalTokens). Once the running sum crosses the
+    * budget, every later row in the domain is out (monotone prefix —
+    * deterministic, no knapsack). Same single per-domain window as
+    * `sample`; budgets are driver-computed long literals. */
+  def sampleByTokens(df: DataFrame, domainCol: String, idCol: String,
+      tokenCol: String, weights: Map[String, Double], totalTokens: Long): DataFrame = {
+    val budgets: Map[String, Long] =
+      weights.map { case (dom, w) => dom -> math.floor(w * totalTokens).toLong }
+    val budget: Column = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (dom, b)) => when(col(domainCol) === dom, lit(b)).otherwise(acc)
+    }
+    val h = expr(graft.queries.Shingles.h60(s"CAST($idCol AS STRING)"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(h, col(idCol))
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

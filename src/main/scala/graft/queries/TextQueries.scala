@@ -246,6 +246,41 @@ object TextQueries {
              |ORDER BY source, mix_rank""".stripMargin)
     ),
 
+    // Token-budget domain mixing (MixSampler.sampleByTokens): per
+    // weighted source, admit the hash-ordered prefix of docs whose
+    // cumulative whitespace-token count stays within
+    // floor(weight·totalTokens) — training budgets are in TOKENS, not
+    // documents. Budgets are driver-computed literals (0.5/0.3/0.2 ×
+    // 2000 → 1000/600/400 — each cuts mid-domain: sources hold ~1300
+    // tokens); membership AND the running totals are oracle-checked.
+    OracleQuery(
+      "text_token_mix",
+      (s, d) => {
+        import s.implicits._
+        val weights = Map("src4" -> 0.5, "src5" -> 0.3, "src6" -> 0.2)
+        val docs = Tables.documents(s, d)
+          .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+        graft.ops.MixSampler
+          .sampleByTokens(docs, "source", "doc_id", "n_tokens", weights, totalTokens = 2000L)
+          .select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+          .orderBy($"source", $"cum_tokens")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+             |      PARTITION BY source
+             |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM documents
+             |)
+             |SELECT doc_id, source, n_tokens, cum_tokens FROM toks
+             |WHERE cum_tokens <= CASE source
+             |  WHEN 'src4' THEN 1000 WHEN 'src5' THEN 600 WHEN 'src6' THEN 400
+             |  ELSE NULL END
+             |ORDER BY source, cum_tokens""".stripMargin)
+    ),
+
     // Benchmark decontamination: flag training docs sharing >= 10
     // distinct word trigrams with the held-out benchmark set (sources
     // src0/src1 stand in for eval benchmarks). Scale shape: the
