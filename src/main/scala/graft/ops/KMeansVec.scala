@@ -46,18 +46,23 @@ object KMeansVec {
     cents
   }
 
-  /** Map-side nearest-cell id for literal `cents`: argmin of squared
-    * L2 distance, ties to the lowest cell id. The distance is the
-    * left-to-right HOF accumulation, identical to the DuckDB
+  /** Top-`nprobe` cell ids by (squared-L2 asc, cid asc) as an array of
+    * structs — multi-probe cell assignment for IVF-style indexes built
+    * on these centroids. Map-side over literal arrays; the distance is
+    * the left-to-right HOF accumulation, identical to the DuckDB
     * list_reduce spelling. */
-  def cellExpr(embCol: String, cents: Array[Array[Double]]): Column = {
+  def probeCellsExpr(embCol: String, cents: Array[Array[Double]], nprobe: Int): Column = {
     val entries = cents.zipWithIndex.map { case (c, cid) =>
       // explicit cast names the fields: aliases inside struct() are
       // dropped when the entry contains a higher-order-function lambda
       struct(dist2(embCol, c), lit(cid)).cast("struct<d2:double,cid:int>")
     }
-    element_at(array_sort(array(entries.toIndexedSeq: _*)), 1).getField("cid")
+    slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nprobe)
   }
+
+  /** Map-side nearest-cell id: argmin squared L2, ties to lowest cid. */
+  def cellExpr(embCol: String, cents: Array[Array[Double]]): Column =
+    element_at(probeCellsExpr(embCol, cents, 1), 1).getField("cid")
 
   /** Squared L2 distance to one literal centroid, double left-to-right. */
   def dist2(embCol: String, cent: Array[Double]): Column = {

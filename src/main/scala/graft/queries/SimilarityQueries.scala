@@ -365,6 +365,91 @@ object SimilarityQueries {
       }
     ),
 
+    // IVF with a LEARNED coarse quantizer: the index cells come from
+    // the in-repo k-means fit (ops/KMeansVec, k=8, one Lloyd round)
+    // instead of the fixed vec_id<8 choice — the full production shape:
+    // fit (driver-held centroids, one shuffle per round) → map-side
+    // multi-probe assignment over centroid literals → broadcast probes
+    // ⋈ cell-partitioned members → exact cosine re-rank. The oracle
+    // replays the Lloyd round and the probe pipeline end-to-end.
+    OracleQuery(
+      "sim_ivf_kmeans_topk",
+      (s, d) => {
+        import s.implicits._
+        val raw = Tables.embeddings(s, d)
+        val cents = graft.ops.KMeansVec.fit(raw, "vec_id", "embedding", k = 8, iters = 1)
+        val emb = normed(s, d)
+          .withColumn("__cells", graft.ops.KMeansVec.probeCellsExpr("embedding", cents, 2))
+          .withColumn("cell1", element_at($"__cells", 1).getField("cid"))
+          .withColumn("cell2", element_at($"__cells", 2).getField("cid"))
+        val members = emb.select($"vec_id".as("neighbor_id"), $"cell1".as("cid"),
+          $"embedding".as("n_emb"), $"norm".as("n_norm"))
+        val probes = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"norm".as("q_norm"),
+            explode(array($"cell1", $"cell2")).as("cid"))
+        val scored = broadcast(probes).join(members, "cid")
+          .filter($"neighbor_id" =!= $"query_id")
+          .withColumn("cos", call_function("vec_dot", $"q_emb", $"n_emb") / ($"q_norm" * $"n_norm"))
+        val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        scored.withColumn("rn", row_number().over(wTop))
+          .filter($"rn" <= 3)
+          .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rn")
+          .orderBy($"query_id", $"rn")
+      },
+      Some {
+        def d2(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+        s"""WITH $duckNormed, emb AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |), cents0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e
+           |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)
+           |), kassign1 AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS rn
+           |    FROM emb v CROSS JOIN cents0 c) WHERE rn = 1
+           |), means AS (
+           |  SELECT a.cell, gs.i AS pos,
+           |    CAST(sum(CAST(v.e[gs.i] AS DECIMAL(25,8))) AS DOUBLE) / count(*) AS m
+           |  FROM kassign1 a JOIN emb v USING (vec_id), generate_series(1, 64) AS gs(i)
+           |  GROUP BY a.cell, gs.i
+           |), cents1 AS (
+           |  SELECT c0.cell, coalesce(m.e, c0.e) AS e
+           |  FROM cents0 c0 LEFT JOIN (
+           |    SELECT cell, list(m ORDER BY pos) AS e FROM means GROUP BY cell
+           |  ) m ON c0.cell = m.cell
+           |), kassign2 AS (
+           |  SELECT v.vec_id, c.cell,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS crn
+           |  FROM emb v CROSS JOIN cents1 c
+           |), cells AS (
+           |  SELECT vec_id AS member_id, cell FROM kassign2 WHERE crn = 1
+           |), probes AS (
+           |  SELECT vec_id AS query_id, cell FROM kassign2 WHERE vec_id < 10 AND crn <= 2
+           |), cands AS (
+           |  SELECT p.query_id, m.member_id AS neighbor_id
+           |  FROM probes p JOIN cells m ON p.cell = m.cell
+           |  WHERE m.member_id != p.query_id
+           |), scored AS (
+           |  SELECT c.query_id, c.neighbor_id,
+           |    (list_reduce(list_transform(list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
+           |     / (q.norm * n.norm)) AS cos
+           |  FROM cands c
+           |  JOIN normed q ON q.vec_id = c.query_id
+           |  JOIN normed n ON n.vec_id = c.neighbor_id
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rn
+           |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+      }
+    ),
+
     // kNN label regression (models.py:338-380 kNN shape), IVF-bounded:
     // predicted label = mean label of the 5 nearest IVF-candidate
     // neighbors by cosine (multi-probe nprobe=2, exact re-rank inside
