@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact distributed prefix sums over (partition, order) — the running
+  * total behind sequence packing, budget cuts and fold assignment —
+  * WITHOUT a window partitioned by the grouping column alone (one
+  * reducer per group: a single "web" source at 100 TB would serialize
+  * through one task's sort).
+  *
+  * Shape: deterministically hash-sample the order column, pick up to
+  * `buckets` range boundaries driver-side, and tag every row with a
+  * bucket id that is monotone in the order column. A per-(part, bucket)
+  * sum histogram (tiny — |parts| × buckets rows) is collected and
+  * turned into cumulative "sum below this bucket" offsets that re-enter
+  * the plan via a broadcast join; the only window over the data is then
+  * partitioned by (part, bucket) — `buckets`-way parallel inside every
+  * group. Monotone bucket + within-bucket running sum + below-offset is
+  * EXACTLY the global per-group prefix sum (boundaries affect only
+  * parallelism, never values — pinned in PrefixSumSpec).
+  */
+object PrefixSum {
+
+  /** Adds `outCol` = running sum of `valueCol` per `partCol` in
+    * `orderCol` order (rows between unbounded preceding and current).
+    * Ties on `orderCol` follow window semantics (caller should make the
+    * order key unique per group for full determinism, as with any
+    * running-sum window). */
+  def withCumsum(df: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, outCol: String = "cum", buckets: Int = 64,
+      sampleTarget: Int = 20000): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count()
+    val mod = math.max(1L, n / math.max(1, sampleTarget))
+    val h = expr(graft.queries.Shingles.h60(s"CAST($orderCol AS STRING)"))
+    // deterministic hash sample of order values; Spark sorts them so the
+    // boundary order is the engine's own type ordering, not the JVM's
+    val sampled = df.filter(col(orderCol).isNotNull && pmod(h, lit(mod)) === 0)
+      .select(col(orderCol)).distinct().orderBy(col(orderCol))
+      .collect().map(_.get(0))
+    val k = math.min(buckets, math.max(1, sampled.length))
+    val bounds = (1 until k).map(i => sampled(i * sampled.length / k)).distinct
+    // bucket id = number of boundaries <= order value: monotone in the
+    // order column, so (bucket, order) sorts identically to (order)
+    val bucket: Column =
+      if (bounds.isEmpty) when(col(orderCol).isNull, lit(-1L)).otherwise(lit(0L))
+      else when(col(orderCol).isNull, lit(-1L)).otherwise(
+        bounds.map(b => (col(orderCol) >= lit(b)).cast("long")).reduce(_ + _))
+
+    val hist = df
+      .groupBy(col(partCol).as("ps_d"), bucket.as("ps_b"))
+      .agg(sum(col(valueCol).cast("long")).as("ps_c"))
+      .collect()
+    val offsetRows = hist
+      .map(r => (r.get(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, bs) =>
+        var below = 0L
+        bs.sortBy(_._2).map { case (d, b, c) =>
+          val row = Row(d, b, below); below += c; row
+        }
+      }
+    val schema = StructType(Seq(
+      StructField("ps_d", df.schema(partCol).dataType),
+      StructField("ps_b", LongType), StructField("ps_below", LongType)))
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), schema)
+
+    val w = Window.partitionBy(col(partCol), col("ps_b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-safe on the group key: PrefixSum must keep EVERY input row,
+    // including a null group (unlike MixSampler, where unweighted
+    // domains are dropped by design)
+    df.join(broadcast(offsets),
+        col(partCol) <=> col("ps_d") && bucket === col("ps_b"))
+      .withColumn(outCol, col("ps_below") + sum(col(valueCol)).over(w))
+      .drop("ps_d", "ps_b", "ps_below")
+  }
+}

@@ -179,19 +179,19 @@ object TextQueries {
     // docs (in deterministic doc_id order, per source) into fixed
     // token-capacity bins; bin id = floor(tokens-before-this-doc /
     // capacity), i.e. a doc opens a new bin once the running total
-    // passes the boundary. One window cumsum + one aggregate; per-key
-    // parallel. Reports per-bin doc count, token total, and fill rate.
+    // passes the boundary. The running total routes through
+    // ops/PrefixSum (range-bucketed two-pass cumsum): a window
+    // partitioned by source alone would be one reducer per source at
+    // corpus scale. Reports per-bin doc count, token total, fill rate.
     OracleQuery(
       "text_pack_bins",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val cap = 2048
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
           .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
-          .withColumn("cum", sum($"n_tokens").over(w))
+        graft.ops.PrefixSum
+          .withCumsum(docs, "source", "doc_id", "n_tokens", "cum", buckets = 16)
           .withColumn("bin", floor(($"cum" - $"n_tokens") / cap).cast("long"))
           .groupBy($"source", $"bin")
           .agg(
@@ -226,7 +226,9 @@ object TextQueries {
         val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
         graft.ops.MixSampler
           .sample(Tables.documents(s, d), "source", "doc_id", weights, total = 60L)
-          .select($"doc_id", $"source", $"mix_rank")
+          // rank is long in the sampler (quotas overflow int at corpus
+          // scale); the oracle's windowed spelling emits int
+          .select($"doc_id", $"source", $"mix_rank".cast("int").as("mix_rank"))
           .orderBy($"source", $"mix_rank")
       },
       Some("""WITH ranked AS (

@@ -25,6 +25,49 @@ class MixSamplerSpec extends SparkSpec {
     assert(out.count() == 10) // dom0 only has 10 docs
   }
 
+  test("bucketed decomposition equals the per-domain window on a one-hot fixture") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 95% of rows in one domain — the shape that made the old
+    // window-per-domain spelling a single reducer
+    val skewed = (0L until 400L)
+      .map(i => (i, if (i < 380) "web" else s"niche${i % 4}", 3L + i % 5))
+      .toDF("id", "dom", "toks")
+    val weights = Map("web" -> 0.6, "niche0" -> 0.2)
+    val h = expr(graft.queries.Shingles.h60("CAST(id AS STRING)"))
+
+    // reference spelling: global per-domain window (fine at spec scale)
+    val quota = when($"dom" === "web", lit(120L))
+      .when($"dom" === "niche0", lit(40L)).otherwise(lit(null).cast("long"))
+    val wRef = Window.partitionBy($"dom").orderBy(h, $"id")
+    val ref = skewed.withColumn("mix_rank", row_number().over(wRef).cast("long"))
+      .filter($"mix_rank" <= quota)
+      .select($"id", $"dom", $"mix_rank").collect().toSet
+    val got = MixSampler.sample(skewed, "dom", "id", weights, total = 200L)
+      .select($"id", $"dom", $"mix_rank").collect().toSet
+    assert(got == ref)
+
+    // token budgets: same equivalence for the running sum
+    val budget = when($"dom" === "web", lit(600L))
+      .when($"dom" === "niche0", lit(200L)).otherwise(lit(null).cast("long"))
+    val wCum = wRef.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val refTok = skewed.withColumn("cum_tokens", sum($"toks").over(wCum))
+      .filter($"cum_tokens" <= budget)
+      .select($"id", $"dom", $"cum_tokens").collect().toSet
+    val gotTok = MixSampler.sampleByTokens(skewed, "dom", "id", "toks",
+        weights, totalTokens = 1000L)
+      .select($"id", $"dom", $"cum_tokens").collect().toSet
+    assert(gotTok == refTok)
+  }
+
+  test("corpus window is partitioned by (domain, bucket), never domain alone") {
+    val out = MixSampler.sample(docs, "dom", "id", Map("dom0" -> 0.5), total = 20L)
+    val p = out.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty)
+    specs.foreach(s => assert(s.contains("mix_b"), s"window without bucket: $s"))
+  }
+
   test("token-budget sampling admits the monotone prefix within the budget") {
     import org.apache.spark.sql.functions._
     val withTokens = docs.withColumn("toks", lit(7L))

@@ -79,6 +79,21 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("mixing/packing windows are never partitioned by the domain column alone") {
+    // one window partition per domain = one reducer per domain; the
+    // samplers must sub-partition by the hash/range bucket so a single
+    // giant domain ("web" at 100 TB) still parallelizes
+    for (q <- Seq("text_domain_mix", "text_token_mix", "text_pack_bins")) {
+      val p = plan(Registry.queries(q)(spark, sf))
+      val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+      assert(specs.nonEmpty, s"$q: expected a window in\n$p")
+      specs.foreach { s =>
+        assert(s.contains("mix_b") || s.contains("ps_b"),
+          s"$q has a window partitioned without a bucket column: $s")
+      }
+    }
+  }
+
   test("decontamination never self-joins the corpus gram table") {
     val p = plan(Registry.queries("text_decontaminate")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
