@@ -191,27 +191,33 @@ FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b""")
     ),
 
-    // Near-dup CLUSTERING: candidate pairs (same LSH bucket, cosine ≥
-    // 0.3) → connected components via iterative min-label propagation
-    // (graft.ops.ConnectedComponents) — pairs become duplicate groups.
-    // Oracle: DuckDB recursive-CTE transitive closure.
+    // Near-dup CLUSTERING: candidate pairs (same sign-bit LSH bucket,
+    // cosine ≥ 0.3) → connected components via iterative min-label
+    // propagation (graft.ops.ConnectedComponents) — pairs become
+    // duplicate groups. Edge generation is regime-split by
+    // graft.ops.SignLsh: ordinary buckets emit cosine-verified clique
+    // pairs; a bucket above maxBucket (hot template) degrades to k−1
+    // unverified star edges — pair count stays linear per bucket
+    // instead of (N/B)², the DedupDocs trade applied to embeddings.
+    // The hyperplane count is a SignLsh parameter (B must scale with N;
+    // 6 planes here keeps the oracle enumerable). Oracle: DuckDB
+    // recursive-CTE transitive closure over the SAME regime split, so
+    // the guard semantics are hash-checked, not just spec'd.
     OracleQuery(
       "dedup_components",
       (s, d) => {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
-        def bucketExpr = (0 until 6)
-          .map(j => s"(CASE WHEN CAST(element_at(embedding, ${j + 1}) AS DOUBLE) >= 0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
+        val maxBucket = 12 // sf data has buckets on both sides of this
         val emb = Tables.embeddings(s, d)
           .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
-          .withColumn("bucket", expr(bucketExpr).cast("int"))
-        val edges = emb.as("a").join(emb.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        val stats = graft.ops.SignLsh.withBucketStats(emb, "embedding", "vec_id", nPlanes = 6)
+        val (clique, star) = graft.ops.SignLsh.cappedEdges(stats, "vec_id", maxBucket)
+        val cliqueEdges = clique
           .filter(expr("vec_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")) >= 0.3)
           .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
         val comps = graft.ops.ConnectedComponents(
-          emb.select($"vec_id".as("id")), edges)
+          emb.select($"vec_id".as("id")), cliqueEdges.unionByName(star))
         comps.groupBy($"component".as("comp"))
           .agg(count(lit(1)).as("size"))
           .orderBy($"comp")
@@ -221,13 +227,23 @@ ORDER BY doc_a, doc_b""")
              |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], v -> v * v), (x, y) -> x + y)) AS norm,
              |    CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
              |       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-             |       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS INT) AS bucket
+             |       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS BIGINT) AS bucket
              |  FROM embeddings
-             |), edges AS (
+             |), sized AS (
+             |  SELECT *, count(*) OVER (PARTITION BY bucket) AS bsize,
+             |    min(vec_id) OVER (PARTITION BY bucket) AS head
+             |  FROM normed
+             |), clique_edges AS (
              |  SELECT a.vec_id AS src, b.vec_id AS dst
-             |  FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-             |  WHERE (list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
+             |  FROM sized a JOIN sized b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |  WHERE a.bsize <= 12
+             |    AND (list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
              |         / (a.norm * b.norm)) >= 0.3
+             |), star_edges AS (
+             |  SELECT head AS src, vec_id AS dst FROM sized
+             |  WHERE bsize > 12 AND vec_id != head
+             |), edges AS (
+             |  SELECT src, dst FROM clique_edges UNION SELECT src, dst FROM star_edges
              |), undirected AS (
              |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
              |), reach AS (

@@ -211,44 +211,71 @@ object SimilarityQueries {
     ),
 
     // Sign-bit LSH bucketing: bucket = sign bits of dims 0..5 (axis-
-    // aligned hyperplanes). Same-bucket candidates only — the candidate
-    // join that replaces the N² compare at scale. Reports bucket sizes
-    // and intra-bucket mean cosine.
+    // aligned hyperplanes, graft.ops.SignLsh — hyperplane count is a
+    // parameter there: B must scale with N or per-bucket pairs grow
+    // (N/B)²). Same-bucket candidates only. The pair report is
+    // regime-split with the DedupDocs mega-bucket guard: buckets ≤
+    // maxBucket report exact clique-pair stats; hotter buckets degrade
+    // to head-star pairs (k−1, linear) and say so in `regime`. Both
+    // regimes are oracle-checked.
     OracleQuery(
       "sim_lsh_buckets",
       (s, d) => {
         import s.implicits._
-        def bucketExpr(col0: String) = (0 until 6)
-          .map(j => s"(CASE WHEN CAST(element_at($col0, ${j + 1}) AS DOUBLE) >= 0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
-        val emb = normed(s, d)
-          .withColumn("bucket", expr(bucketExpr("embedding")).cast("int"))
-        val pairs = emb.as("a").join(emb.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        val maxBucket = 12 // sf data has buckets on both sides of this
+        val stats = graft.ops.SignLsh
+          .withBucketStats(normed(s, d), "embedding", "vec_id", nPlanes = 6)
+        val (clique, _) = graft.ops.SignLsh.cappedEdges(stats, "vec_id", maxBucket)
+        val cliqueStats = clique
           .select(col("a.bucket").as("bucket"), cosineCol.as("cos"))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n_pairs"), round(avg($"cos"), 4).as("mean_cos"))
-        val sizes = emb.groupBy($"bucket").agg(count(lit(1)).as("n_vecs"))
-        sizes.join(pairs, Seq("bucket"), "left_outer")
+        // star pairs: head vs member — the head row re-joins on bucket
+        // so the cosine is computable without materializing edges twice
+        val mega = stats.filter($"bsize" > maxBucket)
+        val megaStats = mega.filter($"vec_id" === $"head").as("a")
+          .join(mega.filter($"vec_id" =!= $"head").as("b"),
+            col("a.bucket") === col("b.bucket"))
+          .select(col("a.bucket").as("bucket"), cosineCol.as("cos"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_pairs"), round(avg($"cos"), 4).as("mean_cos"))
+        val sizes = stats.groupBy($"bucket").agg(count(lit(1)).as("n_vecs"))
+        sizes.join(cliqueStats.unionByName(megaStats), Seq("bucket"), "left_outer")
           .select($"bucket", $"n_vecs",
             coalesce($"n_pairs", lit(0L)).as("n_pairs"),
-            $"mean_cos")
+            $"mean_cos",
+            when($"n_vecs" > maxBucket, lit("star")).otherwise(lit("clique")).as("regime"))
           .orderBy($"bucket")
       },
       Some(s"""WITH $duckNormed, bucketed AS (
               |  SELECT vec_id, embedding, norm,
-              |    CAST(${(0 until 6).map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS INT) AS bucket
+              |    CAST(${(0 until 6).map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS bucket
               |  FROM normed
-              |), pairs AS (
+              |), sized AS (
+              |  SELECT *, count(*) OVER (PARTITION BY bucket) AS bsize,
+              |    min(vec_id) OVER (PARTITION BY bucket) AS head
+              |  FROM bucketed
+              |), clique AS (
               |  SELECT a.bucket, count(*) AS n_pairs,
               |    round(avg($duckCosPair), 4) AS mean_cos
-              |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  FROM sized a JOIN sized b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  WHERE a.bsize <= 12
               |  GROUP BY a.bucket
+              |), star AS (
+              |  SELECT b.bucket, count(*) AS n_pairs,
+              |    round(avg($duckCosPair), 4) AS mean_cos
+              |  FROM (SELECT * FROM sized WHERE bsize > 12 AND vec_id = head) a
+              |  JOIN (SELECT * FROM sized WHERE bsize > 12 AND vec_id != head) b
+              |    ON a.bucket = b.bucket
+              |  GROUP BY b.bucket
               |), sizes AS (
               |  SELECT bucket, count(*) AS n_vecs FROM bucketed GROUP BY bucket
+              |), stats AS (
+              |  SELECT * FROM clique UNION ALL SELECT * FROM star
               |)
-              |SELECT s.bucket AS bucket, s.n_vecs, coalesce(p.n_pairs, 0) AS n_pairs, p.mean_cos
-              |FROM sizes s LEFT JOIN pairs p ON s.bucket = p.bucket
+              |SELECT s.bucket AS bucket, s.n_vecs, coalesce(p.n_pairs, 0) AS n_pairs, p.mean_cos,
+              |  CASE WHEN s.n_vecs > 12 THEN 'star' ELSE 'clique' END AS regime
+              |FROM sizes s LEFT JOIN stats p ON s.bucket = p.bucket
               |ORDER BY bucket""".stripMargin)
     ),
 
