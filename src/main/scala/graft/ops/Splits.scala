@@ -50,6 +50,82 @@ object Splits {
         .otherwise("test"))
   }
 
+  /** O4 as one labeled frame: every row that belongs to fold k gets a
+    * (fold, role ∈ train|test) row — rows in several folds appear once
+    * per fold. Dispatches on size: positional (exact row counts, global
+    * window, adds `rn`) up to `scaleRows`; above that, fold boundaries
+    * come from approximate time quantiles and every row is labeled
+    * MAP-SIDE against literal thresholds — no global window anywhere in
+    * the plan (pinned in SplitsSpec). With unique timestamps and a
+    * tight relErr the two paths produce identical folds. */
+  def walkForwardLabels(df: DataFrame, timeCol: String, tiebreak: String,
+      windowSize: Option[Int], stepSize: Int, nFolds: Int,
+      scaleRows: Long = 10000000L, relErr: Double = 1e-6): DataFrame = {
+    val total = df.count()
+    if (total <= scaleRows)
+      walkForwardLabelsPositional(df, timeCol, tiebreak, windowSize, stepSize, nFolds)
+    else
+      walkForwardLabelsByTime(df, timeCol, windowSize, stepSize, nFolds, total, relErr)
+  }
+
+  /** Exact spelling: one global row_number window (evaluation-table
+    * scale), folds via a broadcast cross join on the tiny fold list —
+    * single lineage, no per-fold union. */
+  def walkForwardLabelsPositional(df: DataFrame, timeCol: String,
+      tiebreak: String, windowSize: Option[Int], stepSize: Int,
+      nFolds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy(col(timeCol), col(tiebreak))
+    val pos = df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+    val folds = broadcast((0 until nFolds).map(_.toLong).toDF("fold"))
+    val testEnd = col("__n") - col("fold") * stepSize
+    val testStart = testEnd - stepSize
+    val trainStart = windowSize match {
+      case Some(ws) => testStart - ws
+      case None     => lit(0L)
+    }
+    pos.crossJoin(folds)
+      .filter(col("rn") > trainStart && col("rn") <= testEnd)
+      .withColumn("role", when(col("rn") <= testStart, "train").otherwise("test"))
+      .drop("__n")
+  }
+
+  /** Scale spelling: fold boundaries = time values at the positional
+    * boundary ranks (one approxQuantile pass over the time column);
+    * rows label themselves against the broadcast threshold list. Ties
+    * on the time column fall entirely on one side of a boundary. */
+  def walkForwardLabelsByTime(df: DataFrame, timeCol: String,
+      windowSize: Option[Int], stepSize: Int, nFolds: Int,
+      total: Long, relErr: Double = 1e-4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(total > 0, "walkForwardLabelsByTime needs a non-empty frame")
+    val timed = df.withColumn("__t", unix_timestamp(col(timeCol)).cast("double"))
+    // boundary ranks per fold: (trainStart, testStart, testEnd]
+    val ranks = (0 until nFolds).map { k =>
+      val testEnd = total - k.toLong * stepSize
+      val testStart = testEnd - stepSize
+      val trainStart = windowSize.map(ws => testStart - ws).getOrElse(0L)
+      (k.toLong, trainStart, testStart, testEnd)
+    }
+    val posRanks = ranks.flatMap { case (_, a, b, c) => Seq(a, b, c) }
+      .filter(r => r > 0 && r <= total).distinct.sorted
+    val qs = timed.stat.approxQuantile("__t",
+      posRanks.map(_.toDouble / total).toArray, relErr)
+    val thr: Map[Long, Double] =
+      posRanks.zip(qs).toMap.withDefaultValue(Double.NegativeInfinity)
+    val bounds = broadcast(ranks
+      .map { case (k, a, b, c) => (k, thr(a), thr(b), thr(c)) }
+      .toDF("fold", "__t_train", "__t_test_start", "__t_test_end"))
+    timed.crossJoin(bounds)
+      .filter(col("__t") > col("__t_train") && col("__t") <= col("__t_test_end"))
+      .withColumn("role",
+        when(col("__t") <= col("__t_test_start"), "train").otherwise("test"))
+      .drop("__t", "__t_train", "__t_test_start", "__t_test_end")
+  }
+
   /** O4: walk-forward folds — (train, test) frames per fold.
     * step = test size; window = trailing train size (or expanding when
     * None). Mirrors eval/splits.py:79-157. */

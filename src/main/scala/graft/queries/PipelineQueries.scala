@@ -306,38 +306,35 @@ object PipelineQueries {
              |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
-    // O4 walk-forward folds (eval/splits.py:79-157): 4 folds over the
-    // time-ordered frame, train = 60 prior rows, test = next 20; fold
-    // summary proves disjointness and ordering.
+    // O4 walk-forward folds (eval/splits.py:79-157): 4 backward-counted
+    // folds over the time-ordered frame, train = trailing 60 rows, test
+    // = next 20; fold summary proves disjointness and ordering. Routed
+    // through ops/Splits.walkForwardLabels — the size-dispatching fold
+    // generator whose scale path labels rows against approx-quantile
+    // time thresholds with NO global window (SplitsSpec pins path
+    // equivalence and the window-free scale plan; at oracle scale the
+    // positional path runs, which this SQL mirrors exactly).
     OracleQuery(
       "pipe_walkforward_folds",
       (s, d) => {
         import s.implicits._
-        val w = Window.orderBy("ts", "event_id")
-        val pos = Tables.events(s, d)
-          .filter($"user_id" < 5)
-          .withColumn("rn", row_number().over(w).cast("long"))
-        val folds = (0 until 4).map { k =>
-          val testStart = 200 + k * 20
-          pos.filter($"rn" > testStart && $"rn" <= testStart + 20)
-            .withColumn("fold", lit(k.toLong))
-            .withColumn("role", lit("test"))
-            .unionByName(
-              pos.filter($"rn" > testStart - 60 && $"rn" <= testStart)
-                .withColumn("fold", lit(k.toLong))
-                .withColumn("role", lit("train")))
-        }.reduce(_ unionByName _)
-        folds.groupBy($"fold", $"role")
+        val labeled = graft.ops.Splits.walkForwardLabels(
+          Tables.events(s, d).filter($"user_id" < 5),
+          "ts", "event_id", windowSize = Some(60), stepSize = 20, nFolds = 4)
+        labeled.groupBy($"fold", $"role")
           .agg(count(lit(1)).as("n"), min($"rn").as("min_rn"), max($"rn").as("max_rn"))
           .orderBy($"fold", $"role")
       },
       Some("""WITH pos AS (
-             |  SELECT row_number() OVER (ORDER BY ts, event_id) AS rn
+             |  SELECT row_number() OVER (ORDER BY ts, event_id) AS rn,
+             |    count(*) OVER () AS n
              |  FROM events WHERE user_id < 5
              |), folds AS (
-             |  SELECT CAST(f.fold AS BIGINT) AS fold, CASE WHEN pos.rn > 200 + f.fold * 20 THEN 'test' ELSE 'train' END AS role, pos.rn
+             |  SELECT CAST(f.fold AS BIGINT) AS fold,
+             |    CASE WHEN pos.rn <= pos.n - (f.fold + 1) * 20 THEN 'train' ELSE 'test' END AS role,
+             |    pos.rn
              |  FROM pos CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS fold) f
-             |  WHERE pos.rn > 200 + f.fold * 20 - 60 AND pos.rn <= 200 + f.fold * 20 + 20
+             |  WHERE pos.rn > pos.n - (f.fold + 1) * 20 - 60 AND pos.rn <= pos.n - f.fold * 20
              |)
              |SELECT fold, role, count(*) AS n, min(rn) AS min_rn, max(rn) AS max_rn
              |FROM folds GROUP BY fold, role ORDER BY fold, role""".stripMargin)

@@ -38,6 +38,30 @@ class SplitsSpec extends SparkSpec {
     assert(maxTrain0 < minTest0)
   }
 
+  test("walk-forward label paths agree: quantile boundaries reproduce positional folds") {
+    // unique timestamps + tight relErr → the time at each boundary rank
+    // cuts exactly where the row_number does
+    val pos = Splits
+      .walkForwardLabelsPositional(df100, "ts", "id", Some(30), 10, 3)
+      .select($"id", $"fold", $"role").collect().toSet
+    val byTime = Splits
+      .walkForwardLabelsByTime(df100, "ts", Some(30), 10, 3, total = 100L, relErr = 1e-9)
+      .select($"id", $"fold", $"role").collect().toSet
+    assert(byTime == pos)
+    // the dispatcher picks positional below the threshold, byTime above
+    val viaDispatch = Splits
+      .walkForwardLabels(df100, "ts", "id", Some(30), 10, 3, scaleRows = 10L, relErr = 1e-9)
+      .select($"id", $"fold", $"role").collect().toSet
+    assert(viaDispatch == pos)
+  }
+
+  test("scale-path fold labeling has no window at all in the plan") {
+    val out = Splits.walkForwardLabelsByTime(df100, "ts", Some(30), 10, 3, total = 100L)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("quantile split approximates fractions without a global window") {
     val out = Splits.byTimeQuantile(df100, "ts")
     val counts = out.groupBy("split").count().collect()
