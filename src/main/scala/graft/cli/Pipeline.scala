@@ -75,8 +75,9 @@ object Pipeline {
       require(!data.isEmpty,
         s"No data remaining after config filters (stations=${cfg.stationIds.mkString(",")}, " +
           s"dates=${cfg.startDateLocal}..${cfg.endDateLocal})")
-      val ranked = Runner.runMultiModel(data, Seq(cfg.buildForecaster()), runDir, cfg.runnerConfig)
-      cfg.save(s"$runDir/config.json")
+      // the full RunConfig is the frozen config of record for this run
+      val ranked = Runner.runMultiModel(data, Seq(cfg.buildForecaster()), runDir,
+        cfg.runnerConfig, frozenConfigJson = Some(cfg.toJson))
       ranked.foreach(r =>
         println(f"[graft] ${r.name}%-20s mae=${r.metrics.mae}%.4f rmse=${r.metrics.rmse}%.4f"))
 

@@ -14,6 +14,14 @@ trait Forecaster {
   def fit(train: DataFrame): Unit
   /** Prediction expression over the feature columns. */
   def predictMu: Column
+  /** Frame-level prediction: attach `out` = ŷ. Expression-backed models
+    * inherit this default; models whose prediction is a whole-frame
+    * transform (kNN's neighbor join, GBT's spark.ml transform) override
+    * it — the runner only ever calls withMu, so every model type flows
+    * through the same evaluate path (create_forecaster parity,
+    * eval/models.py:262-290). */
+  def withMu(df: DataFrame, out: String = "y_pred_f"): DataFrame =
+    df.withColumn(out, predictMu)
 }
 
 /** M1: ŷ = tmax_pred_f (models.py:51-79). */
@@ -112,10 +120,23 @@ final class Persistence(lagCol: String = "tmax_actual_f_lag1") extends Forecaste
   * rows. At 100 TB one would pre-bucket with LSH (see
   * SimilarityQueries.sim_lsh_buckets) to bound candidates.
   */
-final class KnnRegressor(features: Seq[String], label: String, k: Int = 50) {
+final class KnnRegressor(features: Seq[String], label: String, k: Int = 50)
+    extends Forecaster {
   val name = s"kNN (k=$k)"
   private var trainDf: DataFrame = _
   private var kEff: Int = k
+
+  def predictMu: Column = throw new UnsupportedOperationException(
+    s"$name predicts frame-level (neighbor join); use withMu")
+
+  /** Forecaster surface: tag rows with a synthetic id, run the
+    * neighbor join, attach the mean-label prediction back. The id
+    * column is cached so both sides of the join see the same ids. */
+  override def withMu(df: DataFrame, out: String): DataFrame = {
+    val withId = df.withColumn("__knn_id", monotonically_increasing_id()).cache()
+    val preds = predict(withId, "__knn_id").withColumnRenamed("y_pred_f", out)
+    withId.join(preds, "__knn_id").drop("__knn_id")
+  }
 
   def fit(train: DataFrame): Unit = {
     trainDf = train
@@ -153,9 +174,16 @@ final class KnnRegressor(features: Seq[String], label: String, k: Int = 50) {
   * Kept behind a thin wrapper so the eval runner treats it like any
   * Forecaster. */
 final class GbtForecaster(features: Seq[String], label: String,
-    maxIter: Int = 100, maxDepth: Int = 3, stepSize: Double = 0.1) {
+    maxIter: Int = 100, maxDepth: Int = 3, stepSize: Double = 0.1)
+    extends Forecaster {
   val name = "GBT"
   private var model: org.apache.spark.ml.regression.GBTRegressionModel = _
+
+  def predictMu: Column = throw new UnsupportedOperationException(
+    s"$name predicts frame-level (spark.ml transform); use withMu")
+
+  override def withMu(df: DataFrame, out: String): DataFrame =
+    predict(df).withColumnRenamed("y_pred_f", out)
 
   def fit(train: DataFrame): Unit = {
     val assembler = new org.apache.spark.ml.feature.VectorAssembler()
@@ -170,12 +198,18 @@ final class GbtForecaster(features: Seq[String], label: String,
   }
 
   def predict(test: DataFrame): DataFrame = {
+    // zero-fill into TEMP columns so the caller's feature columns come
+    // through untouched (only the model input is nan_to_num'd, like the
+    // reference); the assembler reads the temps — the model only sees
+    // the assembled vector, never the column names
+    val tmps = features.indices.map(i => s"__gbt$i")
     val assembler = new org.apache.spark.ml.feature.VectorAssembler()
-      .setInputCols(features.toArray).setOutputCol("__features").setHandleInvalid("keep")
-    val zf = features.foldLeft(test) { (d, f) =>
-      d.withColumn(f, coalesce(col(f).cast("double"), lit(0.0)))
+      .setInputCols(tmps.toArray).setOutputCol("__features").setHandleInvalid("keep")
+    val zf = features.zipWithIndex.foldLeft(test) { case (d, (f, i)) =>
+      d.withColumn(s"__gbt$i", coalesce(col(f).cast("double"), lit(0.0)))
     }
     model.transform(assembler.transform(zf))
-      .withColumnRenamed("prediction", "y_pred_f").drop("__features")
+      .withColumnRenamed("prediction", "y_pred_f")
+      .drop("__features").drop(tmps: _*)
   }
 }

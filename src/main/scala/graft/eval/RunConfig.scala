@@ -99,16 +99,28 @@ final case class RunConfig(
     sigmaBuckets = uncertainty.buckets.getOrElse(Seq((0, 36), (36, 72), (72, 120))),
     sigmaFloor = uncertainty.sigmaFloor)
 
-  /** The forecaster named by model.type (config.py ModelConfig.type),
-    * wired to the configured features/alpha. */
-  def buildForecaster(labelCol: String = "tmax_actual_f"): Forecaster =
+  /** The forecaster named by model.type — all five types, matching
+    * create_forecaster (eval/models.py:262-290). knn reads n_neighbors
+    * from hyperparams (KNNForecaster default 50, models.py:346);
+    * xgboost reads n_estimators/max_depth/learning_rate (the GBT
+    * stand-in's knobs; XGBoost defaults at models.py:198-203). */
+  def buildForecaster(labelCol: String = "tmax_actual_f"): Forecaster = {
+    def hp(key: String, default: Double): Double =
+      model.hyperparams.getOrElse(key, default)
     model.modelType match {
       case "passthrough" => new Passthrough()
       case "persistence" => new Persistence()
       case "ridge"       => new Ridge(model.features, labelCol, model.alpha)
-      case other => throw new IllegalArgumentException(
-        s"model type '$other' has no Forecaster builder (knn/xgboost use their own predict API)")
+      case "knn" =>
+        new KnnRegressor(model.features, labelCol, k = hp("n_neighbors", 50.0).toInt)
+      case "xgboost" =>
+        new GbtForecaster(model.features, labelCol,
+          maxIter = hp("n_estimators", 100.0).toInt,
+          maxDepth = hp("max_depth", 3.0).toInt,
+          stepSize = hp("learning_rate", 0.1))
+      case other => throw new IllegalArgumentException(s"unknown model type: $other")
     }
+  }
 
   def toJson: String = {
     def q(s: String) = RunConfig.jsonQuote(s)
@@ -126,7 +138,10 @@ final case class RunConfig(
        |  "min_coverage_hours": $minCoverageHours,
        |  "lead_hours_allowed": $lead,
        |  "split": {"type": ${q(split.splitType)}, "train_frac": ${split.trainFrac}, "val_frac": ${split.valFrac}, "test_frac": ${split.testFrac}, "window_size": $win, "step_size": $step},
-       |  "model": {"type": ${q(model.modelType)}, "alpha": ${model.alpha}, "features": ${arr(model.features.map(q))}},
+       |  "model": {"type": ${q(model.modelType)}, "alpha": ${model.alpha}, "hyperparams": ${
+           model.hyperparams.toSeq.sortBy(_._1)
+             .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
+         }, "features": ${arr(model.features.map(q))}},
        |  "uncertainty": {"type": ${q(uncertainty.uncertaintyType)}, "buckets": $buckets, "sigma_floor": ${uncertainty.sigmaFloor}},
        |  "random_seed": $randomSeed
        |}""".stripMargin
@@ -166,6 +181,9 @@ object RunConfig {
   final case class ModelConfig(
       modelType: String = "ridge",
       alpha: Double = 1.0,
+      // numeric model hyperparameters (config.py ModelConfig.hyperparams;
+      // knn: n_neighbors, xgboost: n_estimators/max_depth/learning_rate)
+      hyperparams: Map[String, Double] = Map.empty,
       features: Seq[String] =
         Seq("tmax_pred_f", "sin_doy", "cos_doy", "bias_7d", "bias_14d"))
 
@@ -202,9 +220,14 @@ object RunConfig {
         stepSize = opt(s, "step_size").map(_.asInt()))
     }.getOrElse(SplitConfig())
     val model = opt(n, "model").map { m =>
+      import scala.jdk.CollectionConverters._
       ModelConfig(
         modelType = opt(m, "type").map(_.asText()).getOrElse("ridge"),
         alpha = opt(m, "alpha").map(_.asDouble()).getOrElse(1.0),
+        hyperparams = opt(m, "hyperparams").map(_.properties().asScala
+          .filter(_.getValue.isNumber)
+          .map(kv => kv.getKey -> kv.getValue.asDouble()).toMap)
+          .getOrElse(Map.empty),
         features = opt(m, "features").map(strSeq).getOrElse(ModelConfig().features))
     }.getOrElse(ModelConfig())
     val uncertainty = opt(n, "uncertainty").map { u =>

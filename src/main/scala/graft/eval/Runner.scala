@@ -28,7 +28,31 @@ object Runner {
       tiebreakCol: String = "target_date_local",
       sigmaBuckets: Seq[(Int, Int)] = Seq((0, 36), (36, 72), (72, 120)),
       sigmaFloor: Double = 1.0,
-      minSliceCount: Int = 10)
+      minSliceCount: Int = 10,
+      // per-dimension slice breakdowns persisted per model (slices.json,
+      // report.py:51-106 + slicing.py:22-53); columns absent from the
+      // prediction frame are skipped
+      sliceCols: Seq[String] = Seq("station_id", "lead_hours")) {
+
+    /** The runner's own frozen-config JSON — written to config.json when
+      * no richer RunConfig is supplied, so every run dir is reproducible
+      * from its artifacts alone (report.py:51-106). */
+    def toJson: String = {
+      def q(s: String) = RunConfig.jsonQuote(s)
+      val buckets = sigmaBuckets.map { case (lo, hi) => s"[$lo, $hi]" }.mkString("[", ", ", "]")
+      s"""{
+         |  "label_col": ${q(labelCol)},
+         |  "pred_input_col": ${q(predInputCol)},
+         |  "split": {"train_frac": ${splitFractions.train}, "val_frac": ${splitFractions.validation}},
+         |  "time_col": ${q(timeCol)},
+         |  "tiebreak_col": ${q(tiebreakCol)},
+         |  "sigma_buckets": $buckets,
+         |  "sigma_floor": $sigmaFloor,
+         |  "min_slice_count": $minSliceCount,
+         |  "slice_cols": ${sliceCols.map(q).mkString("[", ", ", "]")}
+         |}""".stripMargin
+    }
+  }
 
   final case class ModelResult(name: String, metrics: Metrics.ForecastMetrics,
       calibration: Map[String, Double])
@@ -44,19 +68,19 @@ object Runner {
     val test = split.filter(col("split") === "test")
 
     forecaster.fit(train)
-    // uncertainty fitted on TRAIN residuals (runner.py:194-196)
-    val trainResid = train.select(
-      (forecaster.predictMu - col(cfg.labelCol)).as("residual_f"),
+    // uncertainty fitted on TRAIN residuals (runner.py:194-196).
+    // withMu (not predictMu directly) so frame-level models — kNN's
+    // neighbor join, GBT's spark.ml transform — run the same path
+    val trainResid = forecaster.withMu(train, "__mu_f").select(
+      (col("__mu_f") - col(cfg.labelCol)).as("residual_f"),
       col("lead_hours"))
     val sigma = new Uncertainty.BucketedSigma(cfg.sigmaBuckets, floor = cfg.sigmaFloor)
     sigma.fit(trainResid)
 
-    val predictions = test.select(
-      col("*") +: Seq(
-        forecaster.predictMu.as("y_pred_f"),
-        col(cfg.labelCol).as("y_true_f"),
-        sigma.predictSigma().as("y_pred_sigma_f"),
-        lit(forecaster.name).as("model")): _*)
+    val predictions = forecaster.withMu(test, "y_pred_f")
+      .withColumn("y_true_f", col(cfg.labelCol))
+      .withColumn("y_pred_sigma_f", sigma.predictSigma())
+      .withColumn("model", lit(forecaster.name))
 
     val m = Metrics.forecastMetrics(predictions)
     val cal = Metrics.calibrationMetrics(predictions)
@@ -65,11 +89,17 @@ object Runner {
 
   /** Multi-model comparison: evaluate each, rank ascending by MAE
     * (report.py:239-283), write artifacts. Returns results in rank order. */
+  /** @param frozenConfigJson richer config to persist as config.json
+    *        (the CLI passes its full RunConfig); defaults to the
+    *        runner's own EvalConfig JSON so EVERY run — programmatic or
+    *        CLI — is reproducible from its artifacts (report.py:51-106)
+    */
   def runMultiModel(
       data: DataFrame,
       forecasters: Seq[Forecaster],
       runDir: String,
-      cfg: EvalConfig = EvalConfig()): Seq[ModelResult] = {
+      cfg: EvalConfig = EvalConfig(),
+      frozenConfigJson: Option[String] = None): Seq[ModelResult] = {
     val results = forecasters.map { f =>
       val (preds, res) = evaluateModel(data, f, cfg)
       writeModelArtifacts(runDir, res, preds, cfg)
@@ -77,6 +107,7 @@ object Runner {
     }
     val ranked = results.sortBy(_.metrics.mae)
     writeJson(s"$runDir/comparison.json", comparisonJson(ranked))
+    writeJson(s"$runDir/config.json", frozenConfigJson.getOrElse(cfg.toJson))
     val runName = Paths.get(runDir).getFileName.toString
     writeJson(s"$runDir/meta.json",
       s"""{"run_name": ${q(runName)}, "models": [${ranked.map(r => q(r.name)).mkString(", ")}], "n_models": ${ranked.size}}""")
@@ -99,6 +130,35 @@ object Runner {
         pow(col("y_pred_f") - col("y_true_f"), 2).as("sq_error_f"))
       .write.mode("overwrite").parquet(s"$dir/residuals")
     writeJson(s"$dir/metrics.json", metricsJson(res))
+    writeJson(s"$dir/slices.json", slicesJson(predictions, cfg))
+  }
+
+  /** Per-dimension slice breakdowns as a JSON array (write_all_artifacts
+    * persists sliced metrics per model, report.py:51-106; slices built
+    * at slicing.py:22-53). Slice labels are strings ('ALL' marks the
+    * dimensions a row is not sliced by); n/mae/rmse/bias are numbers.
+    * Slice counts are small by construction (HAVING n >= minSliceCount),
+    * so the collect is a metrics-sized fetch. */
+  private def slicesJson(predictions: DataFrame, cfg: EvalConfig): String = {
+    val present = cfg.sliceCols.filter(predictions.columns.contains)
+    if (present.isEmpty) return "[]"
+    val sliced = Metrics.metricsBySlices(
+      predictions, present, minCount = cfg.minSliceCount)
+    val labelIdx = present.indices
+    sliced.collect().map { row =>
+      val labels = present.zip(labelIdx)
+        .map { case (c, i) => s"${q(c)}: ${q(row.getString(i))}" }
+      val stats = Seq("n", "mae", "rmse", "bias").map { c =>
+        val i = row.fieldIndex(c)
+        val v = if (row.isNullAt(i)) "null"
+          else row.get(i) match {
+            case d: Double => num(d)
+            case other     => other.toString
+          }
+        s"${q(c)}: $v"
+      }
+      (labels ++ stats).mkString("{", ", ", "}")
+    }.mkString("[", ",\n", "]")
   }
 
   private def q(s: String): String = RunConfig.jsonQuote(s)
@@ -142,10 +202,15 @@ object Runner {
   final case class RunInfo(runId: String, isMultiModel: Boolean, modelNames: Seq[String])
   final case class ComparisonEntry(rank: Int, model: String, mae: Double,
       rmse: Double, bias: Double, r2: Double)
+  /** One persisted slice row: dimension labels ('ALL' where not sliced)
+    * + the slice's metrics. */
+  final case class SliceMetric(labels: Map[String, String], n: Long,
+      mae: Double, rmse: Double, bias: Double)
   final case class LoadedModel(name: String, metrics: Map[String, Double],
-      predictions: DataFrame, residuals: DataFrame)
+      slices: Seq[SliceMetric], predictions: DataFrame, residuals: DataFrame)
   final case class LoadedRun(runId: String, modelNames: Seq[String],
-      comparison: Seq[ComparisonEntry], models: Map[String, LoadedModel])
+      comparison: Seq[ComparisonEntry], models: Map[String, LoadedModel],
+      configJson: Option[String])
 
   // one shared mapper: construction is the expensive part, readTree is
   // thread-safe
@@ -220,11 +285,27 @@ object Runner {
             .filter(e => e.getValue.isNumber || e.getValue.isNull)
             .map(e => e.getKey -> numOrNaN(e.getValue)).toMap
         }
-        name -> LoadedModel(name, metrics,
+        val slices = {
+          val p = mDir.resolve("slices.json")
+          if (!Files.exists(p)) Seq.empty[SliceMetric]
+          else readTree(p).elements().asScala.map { e =>
+            val labels = e.properties().asScala
+              .filter(_.getValue.isTextual)
+              .map(kv => kv.getKey -> kv.getValue.asText()).toMap
+            SliceMetric(labels, e.path("n").asLong(),
+              numOrNaN(e.get("mae")), numOrNaN(e.get("rmse")),
+              numOrNaN(e.get("bias")))
+          }.toSeq
+        }
+        name -> LoadedModel(name, metrics, slices,
           spark.read.parquet(mDir.resolve("predictions").toString),
           spark.read.parquet(mDir.resolve("residuals").toString))
       }.toMap
     val names = if (metaNames.nonEmpty) metaNames else models.keys.toSeq.sorted
-    LoadedRun(runId, names, comparison, models)
+    val configJson = {
+      val p = runDir.resolve("config.json")
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    LoadedRun(runId, names, comparison, models, configJson)
   }
 }

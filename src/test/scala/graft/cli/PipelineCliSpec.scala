@@ -76,9 +76,27 @@ class PipelineCliSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$work/runs/r1/config.json")))
     assert(graft.eval.RunConfig.load(s"$work/runs/r1/config.json").runName == "cli_run")
     assert(Files.exists(Paths.get(s"$work/runs/r1/models/Passthrough/metrics.json")))
+    assert(Files.exists(Paths.get(s"$work/runs/r1/models/Passthrough/slices.json")))
     val listed = graft.eval.Runner.listRuns(s"$work/runs")
     assert(listed.map(_.runId) == Seq("r1") && listed.head.modelNames == Seq("Passthrough"))
     Pipeline.run(spark, List("list-runs", s"$work/runs")) // smoke: prints, no throw
+
+    // a knn config runs end-to-end through the same path
+    // (create_forecaster parity: every config model type is runnable)
+    graft.eval.RunConfig(
+      runName = "cli_knn", stationIds = Seq("TEST"),
+      startDateLocal = java.time.LocalDate.parse("2024-07-01"),
+      endDateLocal = java.time.LocalDate.parse("2024-09-30"),
+      model = graft.eval.RunConfig.ModelConfig("knn",
+        hyperparams = Map("n_neighbors" -> 3.0), features = Seq("tmax_pred_f")))
+      .save(s"$work/knn_cfg.json")
+    Pipeline.run(spark, List("eval-config", s"$work/train", s"$work/runs/r2", s"$work/knn_cfg.json"))
+    val knnCfg = graft.eval.RunConfig.load(s"$work/runs/r2/config.json")
+    assert(knnCfg.model.modelType == "knn" &&
+      knnCfg.model.hyperparams == Map("n_neighbors" -> 3.0))
+    val back = graft.eval.Runner.loadMultiModelRun(spark, s"$work/runs", "r2")
+    assert(back.models.keySet == Set("kNN (k=3)"))
+    assert(!back.models("kNN (k=3)").metrics("mae").isNaN)
   }
 
   test("dedup-docs writes survivors and the group map") {

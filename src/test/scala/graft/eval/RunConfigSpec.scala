@@ -20,7 +20,8 @@ class RunConfigSpec extends AnyFunSuite {
       minCoverageHours = 20,
       leadHoursAllowed = Some(Seq(24, 48)),
       split = RunConfig.SplitConfig("walk_forward", 0.7, 0.15, 0.15, Some(30), Some(7)),
-      model = RunConfig.ModelConfig("persistence", 0.5, Seq("tmax_pred_f")),
+      model = RunConfig.ModelConfig("persistence", 0.5,
+        Map("n_neighbors" -> 25.0), Seq("tmax_pred_f")),
       uncertainty = RunConfig.UncertaintyConfig("bucketed", Some(Seq((0, 36), (36, 72))), 2.0),
       randomSeed = 7)
     assert(RunConfig.fromJson(cfg.toJson) == cfg)
@@ -110,6 +111,26 @@ class RunConfigSpec extends AnyFunSuite {
     val bad = base.copy(minCoverageHours = 99).toJson
     assert(intercept[IllegalArgumentException](RunConfig.fromJson(bad))
       .getMessage.contains("min_coverage_hours"))
+  }
+
+  test("buildForecaster constructs all five model types (create_forecaster parity)") {
+    def withModel(m: RunConfig.ModelConfig) = base.copy(model = m)
+    assert(withModel(RunConfig.ModelConfig("passthrough")).buildForecaster().name == "Passthrough")
+    assert(withModel(RunConfig.ModelConfig("persistence")).buildForecaster().name == "Persistence")
+    assert(withModel(RunConfig.ModelConfig("ridge", alpha = 2.0)).buildForecaster().name == "Ridge(alpha=2.0)")
+    // knn: n_neighbors from hyperparams, default 50 (models.py:346)
+    assert(withModel(RunConfig.ModelConfig("knn")).buildForecaster().name == "kNN (k=50)")
+    assert(withModel(RunConfig.ModelConfig("knn",
+      hyperparams = Map("n_neighbors" -> 10.0))).buildForecaster().name == "kNN (k=10)")
+    assert(withModel(RunConfig.ModelConfig("xgboost",
+      hyperparams = Map("n_estimators" -> 20.0, "max_depth" -> 2.0)))
+      .buildForecaster().name == "GBT")
+  }
+
+  test("hyperparams survive the JSON round-trip") {
+    val cfg = base.copy(model = RunConfig.ModelConfig("knn",
+      hyperparams = Map("n_neighbors" -> 10.0, "weights_like" -> 1.5)))
+    assert(RunConfig.fromJson(cfg.toJson) == cfg)
   }
 
   test("bridge into the runner config carries split fractions and sigma settings") {

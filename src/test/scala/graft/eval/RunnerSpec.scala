@@ -44,6 +44,48 @@ class RunnerSpec extends SparkSpec {
     assert(ranked.head.name.startsWith("Ridge"))
   }
 
+  test("run artifacts include per-model slices.json and the frozen config.json") {
+    val runDir = Files.createTempDirectory("graft_run_sl").toString
+    val cfg = Runner.EvalConfig(minSliceCount = 1) // spec split is tiny
+    Runner.runMultiModel(trainTable, Seq[Forecaster](new Passthrough()), runDir, cfg)
+    assert(Files.exists(Paths.get(s"$runDir/config.json")))
+    assert(Files.exists(Paths.get(s"$runDir/models/Passthrough/slices.json")))
+    // load-back surfaces both (report.py:51-106 parity)
+    val back = Runner.loadMultiModelRun(spark,
+      Paths.get(runDir).getParent.toString, Paths.get(runDir).getFileName.toString)
+    assert(back.configJson.exists(_.contains("\"slice_cols\"")))
+    val slices = back.models("Passthrough").slices
+    assert(slices.nonEmpty)
+    // per-dimension slicing: each row is sliced by exactly one dimension,
+    // the other label reads ALL; metrics carry through numerically
+    assert(slices.forall(s => s.labels.keySet == Set("station_id", "lead_hours")))
+    assert(slices.exists(s => s.labels("station_id") == "TEST" && s.labels("lead_hours") == "ALL"))
+    assert(slices.exists(s => s.labels("lead_hours") == "28" && s.labels("station_id") == "ALL"))
+    val overall = slices.find(_.labels("station_id") == "TEST").get
+    assert(overall.mae == 1.5 && overall.n > 0)
+    // the CLI's richer RunConfig takes precedence when supplied
+    val runDir2 = Files.createTempDirectory("graft_run_cfg").toString
+    Runner.runMultiModel(trainTable, Seq[Forecaster](new Passthrough()), runDir2,
+      cfg, frozenConfigJson = Some("""{"run_name": "frozen"}"""))
+    assert(Files.readString(Paths.get(s"$runDir2/config.json")).contains("frozen"))
+  }
+
+  test("frame-level forecasters (kNN, GBT) run the same multi-model path") {
+    val runDir = Files.createTempDirectory("graft_run_fl").toString
+    val models = Seq[Forecaster](
+      new KnnRegressor(Seq("tmax_pred_f"), "tmax_actual_f", k = 3),
+      new GbtForecaster(Seq("tmax_pred_f"), "tmax_actual_f", maxIter = 5))
+    val ranked = Runner.runMultiModel(trainTable, models, runDir)
+    assert(ranked.size == 2)
+    ranked.foreach(r => assert(!r.metrics.mae.isNaN && r.metrics.n > 0))
+    // artifacts written under the sanitized names, predictions loadable
+    for (m <- Seq("kNN (k=3)", "GBT")) {
+      val back = Runner.loadRun(spark, runDir, Runner.sanitizeModelName(m))
+      assert(back.count() > 0)
+      assert(back.columns.contains("y_pred_f") && back.columns.contains("y_pred_sigma_f"))
+    }
+  }
+
   test("run listing + multi-model load-back (report.py:466-562 parity)") {
     val root = Files.createTempDirectory("graft_runs").toString
     val models = Seq[Forecaster](
