@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * Spark-side plumbing (schema, batching, partition sizing) for decode /
   * feature-extract stages.
   *
-  * The decode kernels themselves are STUBS — the image/audio libraries
-  * are not in this container — implemented as deterministic fakes behind
-  * `MediaKernel` so the distributed plumbing (schema contract, batch
-  * shape, partition-level execution, row-group pruning on metadata) is
-  * real and tested. Swapping in a real decoder touches ONLY the kernel.
+  * Image decode is REAL — [[Multimodal.ImageIoKernel]] and
+  * [[Multimodal.resizeImages]] run actual pixel work through the JDK's
+  * javax.imageio (PNG/JPEG/BMP/GIF, no extra dependencies). Audio/video
+  * kernels remain STUBS (those codecs are not in this container),
+  * implemented as deterministic fakes behind `MediaKernel` so the
+  * distributed plumbing (schema contract, batch shape, partition-level
+  * execution, row-group pruning on metadata) is real and tested either
+  * way. Swapping in a real audio/video decoder touches ONLY the kernel.
   *
   * Scale notes: media tables are stored with payloads in their own
   * parquet column (columnar ⇒ metadata-only queries never read bytes);
@@ -59,6 +62,104 @@ object Multimodal {
       while (j < dim) { out(j) /= math.max(1, payload.length / dim).toFloat; j += 1 }
       out
     }
+  }
+
+  /** REAL image kernel — the JDK ships javax.imageio (PNG/JPEG/BMP/GIF),
+    * so kind=image decodes actual pixels with zero new dependencies.
+    * Features (dim=8): [width, height, aspect, meanR, meanG, meanB,
+    * meanLuma, stdLuma] — channel means in [0,1], sampled on a bounded
+    * deterministic stride (≤ 64×64 probe pixels per image, so feature
+    * cost is constant per asset regardless of resolution). Non-image
+    * kinds and undecodable payloads fall back to the byte-stat stub:
+    * the stub boundary is now ONLY audio/video codecs. */
+  final class ImageIoKernel(fallback: MediaKernel = new StubKernel(8)) extends MediaKernel {
+    val dim = 8
+    require(fallback.dim == dim, "fallback kernel must emit the same dim")
+    def features(kind: String, payload: Array[Byte]): Array[Float] = {
+      if (kind != "image") return fallback.features(kind, payload)
+      decodeImage(payload) match {
+        case None => fallback.features(kind, payload)
+        case Some(img) =>
+          val w = img.getWidth; val h = img.getHeight
+          val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+          var sr = 0.0; var sg = 0.0; var sb = 0.0
+          var sl = 0.0; var sl2 = 0.0; var n = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              val luma = 0.299 * r + 0.587 * g + 0.114 * b
+              sr += r; sg += g; sb += b; sl += luma; sl2 += luma * luma; n += 1
+              x += sx
+            }
+            y += sy
+          }
+          val ml = sl / n
+          Array(w.toFloat, h.toFloat, w.toFloat / h,
+            (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+            (ml / 255.0).toFloat,
+            (math.sqrt(math.max(0.0, sl2 / n - ml * ml)) / 255.0).toFloat)
+      }
+    }
+  }
+
+  private[mm] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+  /** Decode → bilinear scale to fit maxDim → PNG re-encode. Returns
+    * (bytes, w, h, resized): already-fitting payloads pass through
+    * byte-identical with their probed dims; None = undecodable. */
+  private[mm] def resizeToFit(payload: Array[Byte], maxDim: Int)
+      : Option[(Array[Byte], Int, Int, Boolean)] =
+    decodeImage(payload).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      if (math.max(w, h) <= maxDim) (payload, w, h, false)
+      else {
+        val scale = maxDim.toDouble / math.max(w, h)
+        val ow = math.max(1, math.floor(w * scale).toInt)
+        val oh = math.max(1, math.floor(h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, ow, oh, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        (baos.toByteArray, ow, oh, true)
+      }
+    }
+
+  /** Execute the resize for [[resizePlan]]'s needs_resize rows: REAL
+    * pixel work via javax.imageio, per-partition, payload read only
+    * here. Unknown/corrupt-dimension rows are probed from the payload
+    * (the plan routes them here with needs_resize=true). Never drops an
+    * asset: undecodable payloads pass through with resized=false and
+    * null output dims. */
+  def resizeImages(planned: DataFrame, maxDim: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("payload", BinaryType),
+      StructField("resized", BooleanType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    planned.select("asset_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        resizeToFit(payload, maxDim) match {
+          case Some((bytes, w, h, resized)) => Row(r.getLong(0), w, h, bytes, resized)
+          case None => Row(r.getLong(0), null, null, payload, false)
+        }
+      }
+    }(enc)
   }
 
   /** Decode/feature-extract stage: binary payload → feature vector,
