@@ -66,9 +66,53 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = (results ++ sortedScanBench(spark, sfDir))
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Layout benchmark: the same events data written through the
+    * production sorted sink (sources/Sinks.writeSortedBy — range-
+    * partitioned files, sorted row groups) vs an unsorted layout with
+    * the same file count, then read back with a selective time-range
+    * predicate (one day of a 30-day span). Events are replicated ×16
+    * and written with 1 MB row groups so each file carries MANY groups
+    * — the shape where footer min/max pruning decides the read (at
+    * production scale the 128 MB default gives the same multi-group
+    * files without the replication). Setup (the writes) is not timed,
+    * and the pair is NOT part of `total` — it is a layout A/B, not an
+    * operator timing. */
+  private def sortedScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_layout").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    // INT96 timestamps don't support predicate pushdown; micros do
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      hc.setInt("parquet.block.size", 1 << 20)
+      val events = graft.core.Tables.events(spark, sfDir)
+        .withColumn("rep", explode(expr("sequence(0, 15)")))
+      graft.sources.Sinks.writeSortedBy(events, s"$tmp/sorted", Seq("ts"), numFiles = 8)
+      events.repartition(8).write.mode("overwrite").parquet(s"$tmp/unsorted")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    def timeRead(dir: String): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(dir)
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeRead(s"$tmp/sorted") // warm both paths once
+    timeRead(s"$tmp/unsorted")
+    Seq(
+      "scan_range_sorted_layout" -> timeRead(s"$tmp/sorted"),
+      "scan_range_unsorted_layout" -> timeRead(s"$tmp/unsorted"))
   }
 }

@@ -26,7 +26,7 @@ object Pipeline {
     finally spark.stop()
   }
 
-  private[cli] def run(spark: SparkSession, args: List[String]): Unit = args match {
+  private[graft] def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "ingest-clean" :: isdCsv :: station :: outDir :: Nil =>
       val cleaned = CleanHourly(Ingest.readIsdCsv(spark, isdCsv, station))
       Sinks.writeHourlyObs(cleaned, outDir)
@@ -93,8 +93,10 @@ object Pipeline {
       val survivors = docs.join(
         labeled.filter(org.apache.spark.sql.functions.col("is_survivor"))
           .select("doc_id"), "doc_id")
-      survivors.write.mode("overwrite").parquet(s"$outDir/docs")
-      labeled.write.mode("overwrite").parquet(s"$outDir/groups")
+      // sorted production layout: doc_id range scans (incremental batch
+      // joins, spot lookups) prune files and row groups from footer stats
+      Sinks.writeSortedBy(survivors, s"$outDir/docs", Seq("doc_id"))
+      Sinks.writeSortedBy(labeled, s"$outDir/groups", Seq("doc_id"))
       val total = docs.count(); val kept = spark.read.parquet(s"$outDir/docs").count()
       println(s"[graft] dedup: kept $kept of $total docs (${total - kept} duplicates) → $outDir")
 

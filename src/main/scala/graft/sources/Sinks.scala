@@ -22,9 +22,15 @@ object Sinks {
       .parquet(dir)
 
   /** Daily tables: partitioned by station only (small per-station files;
-    * a year split would fragment 365-row partitions). */
+    * a year split would fragment 365-row partitions). Rows are sorted by
+    * date WITHIN each station file so date-range predicates prune row
+    * groups from footer min/max stats — the [[writeSortedBy]] property
+    * applied to the production daily layout (this is the CLI's default
+    * build-daily sink). */
   def writeDaily(df: DataFrame, dir: String, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).partitionBy("station_id").parquet(dir)
+    df.repartition(col("station_id"))
+      .sortWithinPartitions(col("station_id"), col("date_local"))
+      .write.mode(mode).partitionBy("station_id").parquet(dir)
 
   /** Bucketed layout for co-located joins: both sides of a recurring
     * fact⋈fact join written with the SAME bucket count on the SAME key

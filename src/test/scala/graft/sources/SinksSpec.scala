@@ -53,6 +53,61 @@ class SinksSpec extends SparkSpec {
     assert(ks.sameElements(ks.sorted), "rows within a file must be sorted by k")
   }
 
+  test("CLI dedup-docs output is the sorted pruning layout") {
+    val in = Files.createTempDirectory("graft_cli_sorted_in").toString
+    val outDir = Files.createTempDirectory("graft_cli_sorted_out").toString
+    (1 to 400).map(i => (i.toLong, s"unique doc body number $i with words w${i}a w${i}b"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    // AQE rightly coalesces this tiny shuffle to one file at spec scale;
+    // disable coalescing here so the range layout is observable
+    val prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      graft.cli.Pipeline.run(spark, List("dedup-docs", in, outDir))
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    // per-file doc_id spans disjoint (range partitioning was applied)
+    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.list(Paths.get(s"$outDir/docs")).iterator()).asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    assert(parts.size > 1, "expected multiple range-partitioned files")
+    val spans = parts.map { f =>
+      val r = spark.read.parquet(f).agg(min($"doc_id"), max($"doc_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, prevMax), (nextMin, _)) => assert(prevMax <= nextMin)
+      case _ =>
+    }
+    // rows inside a file sorted → narrow row-group stats; and the range
+    // predicate reaches the scan as a pushed filter
+    val ids = spark.read.parquet(parts.head).coalesce(1)
+      .select($"doc_id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted))
+    val plan = spark.read.parquet(s"$outDir/docs")
+      .filter($"doc_id" >= 100L && $"doc_id" < 120L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"))
+  }
+
+  test("writeDaily sorts by date within each station partition") {
+    val dir = Files.createTempDirectory("graft_daily_sorted").toString
+    val df = (1 to 300).map { i =>
+      (java.sql.Date.valueOf(f"2024-${i % 12 + 1}%02d-${i % 28 + 1}%02d"),
+        if (i % 2 == 0) "KLGA" else "KJFK", 20.0 + i % 15)
+    }.toDF("date_local", "station_id", "tmax_c")
+    Sinks.writeDaily(df, dir)
+    for (st <- Seq("KLGA", "KJFK")) {
+      val files = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          Files.list(Paths.get(s"$dir/station_id=$st")).iterator()).asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+      files.foreach { f =>
+        val ds = spark.read.parquet(f).coalesce(1)
+          .select($"date_local").collect().map(_.getDate(0).toString)
+        assert(ds.sameElements(ds.sorted), s"dates not sorted within $f")
+      }
+    }
+  }
+
   test("forecast append overwrites only the re-ingested issue partition") {
     val dir = Files.createTempDirectory("graft_fc").toString
     def part(issue: String, v: Double) = Seq(("KLGA", Timestamp.valueOf(issue), v))
