@@ -191,6 +191,52 @@ FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b""")
     ),
 
+    // Passage-level (sub-document) dedup — the finer-grained pass a
+    // training corpus runs after whole-document dedup: split each doc
+    // into consecutive 20-token passages, fingerprint each, and measure
+    // corpus-wide passage duplication (boilerplate headers, repeated
+    // template blocks survive document-level dedup because the rest of
+    // the doc differs). Scale shape: chunking is a map-side transform
+    // over the already-split token array (one expression, no second
+    // split, no window); the only shuffle is the hash-aggregate on the
+    // passage fingerprint — identical to exact dedup, just at passage
+    // granularity.
+    OracleQuery(
+      "dedup_passage",
+      (s, d) => {
+        import s.implicits._
+        val W = 20
+        val chunks = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .select($"doc_id", explode(expr(
+            s"transform(sequence(0, CAST(ceil(size(ws) / $W.0) AS INT) - 1), " +
+              s"i -> md5(array_join(slice(ws, i * $W + 1, $W), ' ')))")).as("fp"))
+        val perFp = chunks.groupBy($"fp")
+          .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("nd"))
+        perFp.agg(
+          count(lit(1)).as("n_unique"),
+          sum($"n_occ").cast("long").as("n_passages"),
+          sum(when($"n_occ" > 1, $"n_occ" - 1).otherwise(0)).cast("long").as("n_removable"),
+          sum(when($"nd" > 1, 1).otherwise(0)).cast("long").as("n_cross_doc"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |), chunks AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    generate_series(0, CAST(ceil(len(ws) / 20.0) AS INT) - 1),
+             |    i -> md5(array_to_string(ws[(i*20+1):(i*20+20)], ' ')))) AS fp
+             |  FROM toks
+             |), per_fp AS (
+             |  SELECT fp, count(*) AS n_occ, count(DISTINCT doc_id) AS nd
+             |  FROM chunks GROUP BY fp
+             |)
+             |SELECT count(*) AS n_unique,
+             |  CAST(sum(n_occ) AS BIGINT) AS n_passages,
+             |  CAST(sum(CASE WHEN n_occ > 1 THEN n_occ - 1 ELSE 0 END) AS BIGINT) AS n_removable,
+             |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc
+             |FROM per_fp""".stripMargin)
+    ),
+
     // Near-dup CLUSTERING: candidate pairs (same sign-bit LSH bucket,
     // cosine ≥ 0.3) → connected components via iterative min-label
     // propagation (graft.ops.ConnectedComponents) — pairs become

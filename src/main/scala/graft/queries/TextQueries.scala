@@ -283,6 +283,40 @@ object TextQueries {
              |ORDER BY source, cum_tokens""".stripMargin)
     ),
 
+    // Heavy-hitter grams: the corpus-wide top-10 word trigrams by
+    // occurrence, with document frequency — the boilerplate detector
+    // that motivates the Jaccard stop-gram cap ([[DedupQueries
+    // .JaccardDfCap]]): the grams this surfaces are exactly the ones the
+    // dedup join must not key on. Scale shape: a hot gram IS the skewed
+    // key, so the count routes through ops/SaltedAgg (two-phase: per-
+    // (gram, salt) partials spread a boilerplate gram over 8 reducers,
+    // then merge O(grams·salts) rows); top-10 is TakeOrdered, no global
+    // sort.
+    OracleQuery(
+      "text_hot_grams",
+      (s, d) => {
+        import s.implicits._
+        val grams = Shingles.wordTrigrams(Tables.documents(s, d))
+        def salted(g: org.apache.spark.sql.DataFrame, out: String) =
+          graft.ops.SaltedAgg.aggregate(g, keys = Seq("gram"),
+            saltKey = col("doc_id"), salts = 8,
+            specs = Seq(graft.ops.SaltedAgg.countRows(out)))
+        salted(grams, "n_occ")
+          .join(salted(grams.distinct(), "df"), "gram")
+          .select($"gram", $"n_occ".cast("long").as("n_occ"), $"df".cast("long").as("df"))
+          .orderBy($"n_occ".desc, $"gram")
+          .limit(10)
+      },
+      Some(s"""WITH grams AS (
+              |  ${Shingles.duckTrigrams}
+              |), occ AS (
+              |  SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS df
+              |  FROM grams GROUP BY gram
+              |)
+              |SELECT gram, CAST(n_occ AS BIGINT) AS n_occ, CAST(df AS BIGINT) AS df
+              |FROM occ ORDER BY n_occ DESC, gram LIMIT 10""".stripMargin)
+    ),
+
     // Benchmark decontamination: flag training docs sharing >= 10
     // distinct word trigrams with the held-out benchmark set (sources
     // src0/src1 stand in for eval benchmarks). Scale shape: the
