@@ -112,8 +112,12 @@ object Splits {
     }
     val posRanks = ranks.flatMap { case (_, a, b, c) => Seq(a, b, c) }
       .filter(r => r > 0 && r <= total).distinct.sorted
+    // probability targets (r − 0.5)/n, not r/n: the sketch ceils p·n to
+    // a target rank, and r/n in binary can land a hair ABOVE r/n so
+    // p·n = r + ulp ceils to r+1 (observed: n=60, r=31 → rank 32).
+    // Backing off half a rank makes the ceil land on r for every r ≥ 1.
     val qs = timed.stat.approxQuantile("__t",
-      posRanks.map(_.toDouble / total).toArray, relErr)
+      posRanks.map(r => (r - 0.5) / total).toArray, relErr)
     val thr: Map[Long, Double] =
       posRanks.zip(qs).toMap.withDefaultValue(Double.NegativeInfinity)
     val bounds = broadcast(ranks

@@ -196,6 +196,52 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  private val prefixGen = for {
+    n <- Gen.chooseNum(1, 80)
+    groups <- Gen.chooseNum(1, 4)
+    buckets <- Gen.oneOf(1, 2, 7, 64)
+    vals <- Gen.listOfN(n, Gen.chooseNum(0L, 50L))
+  } yield (vals.zipWithIndex.map { case (v, i) => (s"g${i % groups}", f"k$i%04d", v) }, buckets)
+
+  property("prefix sum: bucketed two-pass == per-group window, any bucket count") =
+    forAll(prefixGen) { case (rows, buckets) =>
+      import org.apache.spark.sql.expressions.Window
+      val df = rows.toDF("grp", "k", "v")
+      val w = Window.partitionBy($"grp").orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ref = df.withColumn("cum", sum($"v").over(w))
+        .select("grp", "k", "cum").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val got = graft.ops.PrefixSum.withCumsum(df, "grp", "k", "v", buckets = buckets)
+        .select("grp", "k", "cum").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      got == ref
+    }
+
+  private val wfGen = for {
+    n <- Gen.chooseNum(5, 60)
+    step <- Gen.chooseNum(1, 10)
+    folds <- Gen.chooseNum(1, 4)
+    win <- Gen.option(Gen.chooseNum(1, 20))
+  } yield (n, step, folds, win)
+
+  property("walk-forward: quantile thresholds reproduce positional folds on unique times") =
+    forAll(wfGen) { case (n, step, folds, win) =>
+      // ScalaCheck shrinking ignores generator bounds; skip invalid args
+      (n < 1 || step < 1 || folds < 1 || win.exists(_ < 1)) || {
+      val df = (0 until n)
+        .map(i => (i.toLong, new Timestamp(1720000000000L + i * 60000L)))
+        .toDF("id", "ts")
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val pos = Splits.walkForwardLabelsPositional(df, "ts", "id", win, step, folds)
+        .select($"id", $"fold", $"role").collect().map(key).toSet
+      val byTime = Splits.walkForwardLabelsByTime(df, "ts", win, step, folds,
+          total = n.toLong, relErr = 1e-9)
+        .select($"id", $"fold", $"role").collect().map(key).toSet
+      byTime == pos
+      }
+    }
+
   property("rolling hash composes: h(a++b) = (h(a)*31^|b| + h(b)) mod p") =
     forAll(Gen.alphaStr, Gen.alphaStr) { (a, b) =>
       val p = RollingHash.Mod
