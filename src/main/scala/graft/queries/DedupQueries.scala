@@ -351,6 +351,66 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY doc_a, doc_b""")
+    ),
+
+    // Embedding-cosine near-dup: the semantic-dedup variant — two
+    // records are near-duplicates when their embedding cosine ≥ τ,
+    // regardless of surface text. Candidates come from sign-bit LSH
+    // buckets (graft.ops.SignLsh — hyperplane count is a parameter so
+    // bucket count scales with N), then every candidate pair is
+    // VERIFIED with the exact cosine (fused vec_dot expression over
+    // precomputed norms) before it is reported. Mega buckets degrade
+    // to head-star pairs under the DedupDocs cap — pair work stays
+    // linear in bucket size, never (N/B)². Cosine-verified star edges
+    // keep connectivity for a downstream ConnectedComponents pass
+    // without materializing a hot bucket's clique.
+    OracleQuery(
+      "dedup_embedding_cosine",
+      (s, d) => {
+        import s.implicits._
+        val maxBucket = 12
+        val tau = 0.38
+        val stats = graft.ops.SignLsh
+          .withBucketStats(SimilarityQueries.normed(s, d), "embedding", "vec_id", nPlanes = 6)
+        val (clique, _) = graft.ops.SignLsh.cappedEdges(stats, "vec_id", maxBucket)
+        val cliquePairs = clique.select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          SimilarityQueries.cosineCol.as("cos"), lit("clique").as("regime"))
+        val mega = stats.filter($"bsize" > maxBucket)
+        val starPairs = mega.filter($"vec_id" === $"head").as("a")
+          .join(mega.filter($"vec_id" =!= $"head").as("b"),
+            col("a.bucket") === col("b.bucket"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            SimilarityQueries.cosineCol.as("cos"), lit("star").as("regime"))
+        cliquePairs.unionByName(starPairs)
+          .filter($"cos" >= tau)
+          .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"), $"regime")
+          .orderBy($"vec_a", $"vec_b")
+      },
+      Some(s"""WITH ${SimilarityQueries.duckNormed}, sized AS (
+              |  SELECT vec_id, embedding, norm,
+              |    CAST(${(0 until 6).map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS bucket
+              |  FROM normed
+              |), stats AS (
+              |  SELECT *, count(*) OVER (PARTITION BY bucket) AS bsize,
+              |    min(vec_id) OVER (PARTITION BY bucket) AS head
+              |  FROM sized
+              |), pairs AS (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    ${SimilarityQueries.duckCosPair} AS cos, 'clique' AS regime
+              |  FROM stats a JOIN stats b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  WHERE a.bsize <= 12
+              |  UNION ALL
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    ${SimilarityQueries.duckCosPair} AS cos, 'star' AS regime
+              |  FROM (SELECT * FROM stats WHERE bsize > 12 AND vec_id = head) a
+              |  JOIN (SELECT * FROM stats WHERE bsize > 12 AND vec_id != head) b
+              |    ON a.bucket = b.bucket
+              |)
+              |SELECT vec_a, vec_b, round(cos, 4) AS cos, regime
+              |FROM pairs WHERE cos >= 0.38
+              |ORDER BY vec_a, vec_b""".stripMargin)
     )
   )
 }

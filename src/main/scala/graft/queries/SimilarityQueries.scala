@@ -32,28 +32,28 @@ import graft.core.Tables
 object SimilarityQueries {
 
   /** embeddings + precomputed L2 norm. */
-  private def normed(s: SparkSession, d: String): DataFrame = {
+  private[queries] def normed(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
   }
 
   /** pairwise cosine from precomputed norms. */
-  private def cosineCol: Column =
+  private[queries] def cosineCol: Column =
     expr("vec_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm"))
 
   private val duckDot =
     "list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)"
 
   /** DuckDB normed CTE — same precompute shape and summation order. */
-  private val duckNormed =
+  private[queries] val duckNormed =
     """normed AS (
       |  SELECT vec_id, label, embedding,
       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], v -> v * v), (x, y) -> x + y)) AS norm
       |  FROM embeddings
       |)""".stripMargin
 
-  private val duckCosPair = s"($duckDot / (a.norm * b.norm))"
+  private[queries] val duckCosPair = s"($duckDot / (a.norm * b.norm))"
 
   // ----------------------------------------------------------------
   // IVF coarse quantizer: 8 deterministic centroids (vec_id 0..7; a
