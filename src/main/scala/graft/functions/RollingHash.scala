@@ -81,6 +81,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(MinHashSig.descriptor)
     ext.injectFunction(TrigramStats.descriptor)
     ext.injectFunction(SimHash32.descriptor)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

@@ -156,6 +156,33 @@ object JoinQueries {
              |ORDER BY e.event_id""".stripMargin)
     ),
 
+    // Native as-of join (graft.plans.AsofJoinNative): the same
+    // most-recent-purchase alignment as j8, but through the custom
+    // whole-operator path — AsofJoinPlan logical node, planner strategy,
+    // AsofJoinExec sort-merge with O(1) per-key state — instead of the
+    // union-and-carry window. Same oracle (DuckDB native ASOF LEFT
+    // JOIN); AsofJoinNativeSpec additionally pins equivalence with the
+    // composed spelling and the two-exchange physical plan.
+    OracleQuery(
+      "j10_asof_native",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val errors = ev.filter($"event_type" === "error")
+        val purchases = ev.filter($"event_type" === "purchase")
+        graft.plans.AsofJoinNative(errors, purchases,
+            keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts")
+          .select($"event_id", $"user_id", round($"value_r", 4).as("asof_value"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH errors AS (SELECT * FROM events WHERE event_type = 'error'),
+             |purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+             |SELECT e.event_id, e.user_id, round(p.value, 4) AS asof_value
+             |FROM errors e ASOF LEFT JOIN purchases p
+             |  ON e.user_id = p.user_id AND e.ts >= p.ts
+             |ORDER BY e.event_id""".stripMargin)
+    ),
+
     // Left outer join with null-aware aggregation: order count per
     // customer including zero-order customers.
     OracleQuery(

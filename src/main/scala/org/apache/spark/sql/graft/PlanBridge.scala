@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bridge into Spark's `private[sql]` plan-construction API, the same
+  * mechanism third-party Spark libraries use to expose custom logical
+  * operators as DataFrames. Lives under `org.apache.spark.sql` solely
+  * for access to `Dataset.ofRows`; contains no logic of its own.
+  */
+object PlanBridge {
+
+  /** Wrap a (resolved) logical plan as a DataFrame on this session. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame — resolved attributes,
+    * stable expression ids. */
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+}
