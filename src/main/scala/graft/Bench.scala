@@ -66,11 +66,27 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = (results ++ sortedScanBench(spark, sfDir))
+    val qs = (results ++ asofBench(spark, sfDir) ++ sortedScanBench(spark, sfDir))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Operator A/B: the same as-of alignment through the composed
+    * union-and-carry window (j8) vs the native AsofJoinExec sort-merge
+    * (j10 — graft.plans). Same oracle-checked answer; the native path
+    * drops the unioned frame + window buffer, so the delta is pure
+    * operator overhead. Not part of `total` (j8's cost would be counted
+    * twice); warmed by a prior evaluation of each. */
+  private def asofBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    def timeOf(name: String): Double = {
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq("asof_composed" -> timeOf("j8_asof_join"), "asof_native" -> timeOf("j10_asof_native"))
   }
 
   /** Layout benchmark: the same events data written through the
