@@ -242,6 +242,38 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  private val nativeAsofGen = for {
+    nL <- Gen.chooseNum(0, 30)
+    nR <- Gen.chooseNum(0, 30)
+    lRows <- Gen.listOfN(nL, Gen.zip(
+      Gen.option(Gen.chooseNum(0L, 4L)), Gen.option(Gen.chooseNum(0, 500))))
+    rKeys <- Gen.listOfN(nR, Gen.option(Gen.chooseNum(0L, 4L)))
+    rTimes <- Gen.pick(nR, 0 until 1000) // unique right times: no tie ambiguity
+  } yield (lRows, rKeys.zip(rTimes.map(Option(_))))
+
+  property("native as-of matches an in-memory reference, nulls included") =
+    forAll(nativeAsofGen) { case (lRows, rRows) =>
+      val left = lRows.zipWithIndex.map { case ((k, t), i) =>
+        (k, t.map(m => new Timestamp(1720000000000L + m * 60000L)), i.toLong)
+      }.toDF("k", "ts", "id")
+      val right = rRows.zipWithIndex.map { case ((k, t), i) =>
+        (k, t.map(m => new Timestamp(1720000000000L + m * 60000L)), i.toDouble)
+      }.toDF("k", "ts", "v")
+      val out = graft.plans.AsofJoinNative(left, right, Seq("k"), "ts", "ts")
+        .select($"id", $"v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val expected = lRows.zipWithIndex.map { case ((k, t), i) =>
+        val m = for {
+          kk <- k; tt <- t
+          best <- rRows.zipWithIndex
+            .collect { case ((Some(rk), Some(rt)), j) if rk == kk && rt <= tt => (rt, j) }
+            .sortBy(_._1).lastOption
+        } yield best._2.toDouble
+        i.toLong -> m
+      }.toMap
+      out == expected
+    }
+
   property("rolling hash composes: h(a++b) = (h(a)*31^|b| + h(b)) mod p") =
     forAll(Gen.alphaStr, Gen.alphaStr) { (a, b) =>
       val p = RollingHash.Mod
