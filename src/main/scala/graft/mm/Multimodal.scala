@@ -12,12 +12,15 @@ import org.apache.spark.sql.types._
   *
   * Image decode is REAL — [[Multimodal.ImageIoKernel]] and
   * [[Multimodal.resizeImages]] run actual pixel work through the JDK's
-  * javax.imageio (PNG/JPEG/BMP/GIF, no extra dependencies). Audio/video
-  * kernels remain STUBS (those codecs are not in this container),
-  * implemented as deterministic fakes behind `MediaKernel` so the
-  * distributed plumbing (schema contract, batch shape, partition-level
-  * execution, row-group pruning on metadata) is real and tested either
-  * way. Swapping in a real audio/video decoder touches ONLY the kernel.
+  * javax.imageio (PNG/JPEG/BMP/GIF, no extra dependencies). Audio
+  * decode is REAL too — [[Multimodal.AudioWavKernel]] parses
+  * WAV/AIFF/AU PCM through the JDK's javax.sound.sampled. Only the
+  * VIDEO kernel remains a STUB (no video codec ships with the JDK and
+  * none is in this container), implemented as a deterministic fake
+  * behind `MediaKernel` so the distributed plumbing (schema contract,
+  * batch shape, partition-level execution, row-group pruning on
+  * metadata) is real and tested either way. Swapping in a real video
+  * decoder touches ONLY the kernel.
   *
   * Scale notes: media tables are stored with payloads in their own
   * parquet column (columnar ⇒ metadata-only queries never read bytes);
@@ -102,6 +105,103 @@ object Multimodal {
             (ml / 255.0).toFloat,
             (math.sqrt(math.max(0.0, sl2 / n - ml * ml)) / 255.0).toFloat)
       }
+    }
+  }
+
+  /** REAL audio kernel — the JDK ships javax.sound.sampled (WAV/AIFF/AU
+    * containers, PCM 8/16/24/32-bit), so kind=audio decodes actual
+    * samples with zero new dependencies. Features (dim=8):
+    * [sampleRateHz, channels, durationSec, rms, peak, zeroCrossRate,
+    * meanAbs, stdAmp] over the mono mix, amplitudes normalized to
+    * [-1,1]; frames are probed on a bounded deterministic stride
+    * (≤ 65536 frames per asset) so feature cost is constant regardless
+    * of clip length. The default fallback chains through
+    * [[ImageIoKernel]]: `new AudioWavKernel()` decodes audio AND images
+    * for real, leaving ONLY video on the byte-stat stub. */
+  final class AudioWavKernel(fallback: MediaKernel = new ImageIoKernel()) extends MediaKernel {
+    val dim = 8
+    require(fallback.dim == dim, "fallback kernel must emit the same dim")
+    def features(kind: String, payload: Array[Byte]): Array[Float] = {
+      if (kind != "audio") return fallback.features(kind, payload)
+      decodeAudioStats(payload) match {
+        case None => fallback.features(kind, payload)
+        case Some(a) => Array(a.sampleRate, a.channels.toFloat, a.durationSec,
+          a.rms, a.peak, a.zeroCrossRate, a.meanAbs, a.stdAmp)
+      }
+    }
+  }
+
+  private[mm] final case class AudioStats(
+      sampleRate: Float, channels: Int, durationSec: Float, rms: Float,
+      peak: Float, zeroCrossRate: Float, meanAbs: Float, stdAmp: Float)
+
+  /** Decode a PCM audio payload to mono-mix amplitude statistics.
+    * Supported: whatever the JDK parses (WAV/AIFF/AU) with PCM signed
+    * 8/16/24/32-bit or unsigned 8-bit samples, either endianness.
+    * None = not audio / unsupported encoding (caller falls back). */
+  private[mm] def decodeAudioStats(
+      payload: Array[Byte], maxProbeFrames: Int = 1 << 16): Option[AudioStats] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned8 =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+        if (!(signed && (bits % 8 == 0) && bits <= 32) && !unsigned8) return None
+        val channels = fmt.getChannels
+        val bytesPerSample = bits / 8
+        val frameSize =
+          if (fmt.getFrameSize > 0) fmt.getFrameSize else bytesPerSample * channels
+        val data = ais.readAllBytes()
+        val frames = data.length / frameSize
+        if (frames == 0) return None
+        val big = fmt.isBigEndian
+        val full = 1L << (bits - 1) // normalizer: max magnitude of a sample
+        def sampleAt(off: Int): Double = {
+          var v = 0L
+          if (big) { var i = 0; while (i < bytesPerSample) { v = (v << 8) | (data(off + i) & 0xffL); i += 1 } }
+          else { var i = bytesPerSample - 1; while (i >= 0) { v = (v << 8) | (data(off + i) & 0xffL); i -= 1 } }
+          if (signed) {
+            val shift = 64 - bits
+            ((v << shift) >> shift).toDouble / full
+          } else (v - 128.0) / 128.0
+        }
+        val stride = math.max(1, frames / maxProbeFrames)
+        var s = 0.0; var s2 = 0.0; var sAbs = 0.0; var peak = 0.0
+        var crossings = 0L; var n = 0L; var prev = 0.0; var havePrev = false
+        var f = 0
+        while (f < frames) {
+          val base = f * frameSize
+          var mono = 0.0
+          var c = 0
+          while (c < channels) { mono += sampleAt(base + c * bytesPerSample); c += 1 }
+          mono /= channels
+          s += mono; s2 += mono * mono; sAbs += math.abs(mono)
+          if (math.abs(mono) > peak) peak = math.abs(mono)
+          if (havePrev && ((prev < 0 && mono >= 0) || (prev >= 0 && mono < 0))) crossings += 1
+          prev = mono; havePrev = true; n += 1
+          f += stride
+        }
+        val mean = s / n
+        val frameRate = if (fmt.getFrameRate > 0) fmt.getFrameRate else fmt.getSampleRate
+        Some(AudioStats(
+          sampleRate = fmt.getSampleRate,
+          channels = channels,
+          durationSec = (frames / frameRate.toDouble).toFloat,
+          rms = math.sqrt(s2 / n).toFloat,
+          peak = peak.toFloat,
+          zeroCrossRate = (crossings.toDouble / math.max(1L, n - 1)).toFloat,
+          meanAbs = (sAbs / n).toFloat,
+          stdAmp = math.sqrt(math.max(0.0, s2 / n - mean * mean)).toFloat))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
     }
   }
 

@@ -168,4 +168,74 @@ class MultimodalSpec extends SparkSpec {
     val fit = Multimodal.resizeToFit(png(20, 20, 0xffffff), maxDim = 64).get
     assert(fit._2 == 20 && fit._3 == 20 && !fit._4)
   }
+
+  // ---- real audio decode via javax.sound.sampled ----
+
+  /** In-test WAV: 16-bit mono PCM sine at `freqHz`, amplitude in [0,1]. */
+  private def wav(sampleRate: Float, seconds: Double, freqHz: Double,
+      amplitude: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate) * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("AudioWavKernel decodes real PCM: rate, duration, rms, zero-cross rate") {
+    val sine = wav(sampleRate = 8000f, seconds = 0.5, freqHz = 440, amplitude = 0.6)
+    val rows = Seq(
+      Row(1L, "audio", "audio/wav", null, null, 500L, sine.length.toLong, sine),
+      Row(2L, "audio", "audio/wav", null, null, 100L, 20L, Array.tabulate(20)(_.toByte)), // corrupt
+      Row(3L, "image", "image/png", 10, 10, null, 100L, png(10, 10, 0xff0000))) // routes to imageio
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r.toSeq: _*))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.extractFeatures(media, new Multimodal.AudioWavKernel())
+      .orderBy("asset_id").collect()
+    val f = out(0).getSeq[Float](2)
+    assert(f(0) == 8000f && f(1) == 1f) // sample rate, channels
+    assert(math.abs(f(2) - 0.5f) < 1e-3) // duration
+    assert(math.abs(f(3) - 0.6 / math.sqrt(2)) < 0.01) // sine rms = A/√2
+    assert(math.abs(f(4) - 0.6f) < 0.01) // peak = A
+    // a 440 Hz sine crosses zero 2·440 times/sec → rate 2·440/8000 = 0.11
+    assert(math.abs(f(5) - 2 * 440 / 8000.0) < 0.005)
+    // corrupt payload falls back to byte statistics, never throws
+    assert(out(1).getSeq[Float](2) == new Multimodal.StubKernel(8)
+      .features("audio", Array.tabulate(20)(_.toByte)).toSeq)
+    // image kind chains through the real image kernel
+    val red = out(2).getSeq[Float](2)
+    assert(red(0) == 10f && math.abs(red(3) - 1f) < 0.01)
+  }
+
+  test("decodeAudioStats handles stereo and big-endian AIFF") {
+    // stereo: left = sine, right = silence → mono mix halves the amplitude
+    val sr = 4000f; val n = 2000
+    val pcm = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val v = (0.8 * math.sin(2 * math.Pi * 200 * i / sr) * 32767).toInt
+      pcm(4 * i) = ((v >> 8) & 0xff).toByte // big-endian left
+      pcm(4 * i + 1) = (v & 0xff).toByte
+      pcm(4 * i + 2) = 0; pcm(4 * i + 3) = 0 // silent right
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 2, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, baos)
+    val a = Multimodal.decodeAudioStats(baos.toByteArray).get
+    assert(a.channels == 2 && a.sampleRate == 4000f)
+    assert(math.abs(a.durationSec - 0.5f) < 1e-3)
+    assert(math.abs(a.peak - 0.4) < 0.01) // mono mix of (0.8, 0)
+    assert(math.abs(a.rms - 0.4 / math.sqrt(2)) < 0.01)
+  }
 }
