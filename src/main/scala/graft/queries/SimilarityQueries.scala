@@ -524,6 +524,146 @@ object SimilarityQueries {
               |SELECT true_label, count(*) AS n, round(avg(pred_label), 4) AS mean_pred,
               |  round(avg(abs(pred_label - true_label)), 4) AS mae
               |FROM preds GROUP BY true_label ORDER BY true_label""".stripMargin)
+    ),
+
+    // Product quantization (PQ) + ADC top-k: the compressed-scan ANN
+    // shape production vector search runs at 100 TB. The 64-dim
+    // embedding splits into M=8 contiguous blocks; each block gets a
+    // K=16 codebook (deterministic: block slices of vec_id 0..15 — a
+    // per-block k-means fit would replace them, exactly as
+    // sim_ivf_kmeans_topk demonstrates for the coarse quantizer). The
+    // codebooks are the MODEL — 8×16×8 floats, driver-held, inlined as
+    // literals — so ENCODING is pure map-side arithmetic: per block,
+    // argmin_k of ||s−c_k||² (spelled cc−2·s·c, dropping the constant
+    // s·s; ties → lowest k via the struct-sort rule). A vector stores as
+    // 8 code bytes instead of 256 float bytes — 32× less scan IO.
+    // Asymmetric distance (ADC) is spelled through the codebook
+    // RECONSTRUCTION r(x): ||q−r||² = q·q − 2·q·r + r·r, every dot a
+    // single fused vec_dot, which keeps the arithmetic bit-identical in
+    // both engines (production replaces the q·r dot with per-query
+    // 8×16 lookup tables — same values for L2, fewer multiplies). The
+    // Q=5 query rows broadcast; the corpus side never shuffles before
+    // the per-query top-5 window.
+    OracleQuery(
+      "sim_pq_adc_topk",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val cbs = pqCodebooks(s, d)
+        val emb = Tables.embeddings(s, d)
+        val recon = emb
+          .select(Seq($"vec_id", $"embedding") ++ pqCodeCols(cbs): _*)
+          .withColumn("r", pqReconCol(cbs))
+          .select($"vec_id".as("neighbor_id"), $"r")
+        val queries = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"embedding".as("q"))
+        val w = Window.partitionBy("query_id").orderBy($"d2".asc, $"neighbor_id".asc)
+        recon.crossJoin(broadcast(queries))
+          .filter($"neighbor_id" =!= $"query_id")
+          .withColumn("d2",
+            call_function("vec_dot", $"q", $"q")
+              - lit(2.0) * call_function("vec_dot", $"q", $"r")
+              + call_function("vec_dot", $"r", $"r"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"query_id", $"neighbor_id", round($"d2", 4).as("adc"), $"rn")
+          .orderBy($"query_id", $"rn")
+      },
+      Some {
+        val dotQR =
+          "list_reduce(list_transform(list_zip(q.q::DOUBLE[], n.r::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)"
+        def selfDot(c: String) =
+          s"list_reduce(list_transform($c::DOUBLE[], x -> x * x), (x, y) -> x + y)"
+        s"""WITH cents AS (
+           |  SELECT vec_id AS k, embedding FROM embeddings WHERE vec_id < 16
+           |), blocks AS (SELECT unnest(range(8)) AS m),
+           |bdist AS (
+           |  -- per (vector, block, centroid): cc − 2·s·c, the argmin objective
+           |  SELECT v.vec_id, b.m, c.k,
+           |    (${selfDot("c.embedding[b.m*8+1 : b.m*8+8]")}
+           |     - 2 * list_reduce(list_transform(list_zip(v.embedding[b.m*8+1 : b.m*8+8]::DOUBLE[], c.embedding[b.m*8+1 : b.m*8+8]::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)) AS dd
+           |  FROM embeddings v CROSS JOIN blocks b CROSS JOIN cents c
+           |), codes AS (
+           |  SELECT vec_id, m, k FROM (
+           |    SELECT vec_id, m, k,
+           |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) AS crn
+           |    FROM bdist
+           |  ) WHERE crn = 1
+           |), recon AS (
+           |  SELECT co.vec_id AS neighbor_id,
+           |    flatten(list(c.embedding[co.m*8+1 : co.m*8+8] ORDER BY co.m)) AS r
+           |  FROM codes co JOIN cents c ON c.k = co.k
+           |  GROUP BY co.vec_id
+           |), adc AS (
+           |  SELECT q.vec_id AS query_id, n.neighbor_id,
+           |    (${selfDot("q.embedding")}) AS qq,
+           |    $dotQR AS qr, (${selfDot("n.r")}) AS rr
+           |  FROM (SELECT vec_id, embedding, embedding AS q FROM embeddings WHERE vec_id < 5) q
+           |  CROSS JOIN recon n
+           |  WHERE n.neighbor_id != q.vec_id
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, (qq - 2 * qr + rr) AS d2,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY (qq - 2 * qr + rr), neighbor_id) AS rn
+           |  FROM adc
+           |)
+           |SELECT query_id, neighbor_id, round(d2, 4) AS adc, rn
+           |FROM ranked WHERE rn <= 5
+           |ORDER BY query_id, rn""".stripMargin
+      }
     )
   )
+
+  // ----------------------------------------------------------------
+  // Product quantization: per-block codebooks as a driver-held model.
+  // ----------------------------------------------------------------
+
+  /** (k, sub-vector, Σ sub²) per centroid, per block — Σ accumulated
+    * left-to-right in double, same order as vec_dot and the oracle's
+    * list_reduce, so the argmin objective is bit-identical. */
+  private[queries] final case class BlockCodebook(
+      m: Int, cents: Seq[(Int, Array[Float], Double)])
+
+  private val PqBlocks = 8
+  private val PqSub = 8 // dims per block (8×8 = 64)
+
+  private[queries] def pqCodebooks(s: SparkSession, d: String): Seq[BlockCodebook] = {
+    val rows = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    (0 until PqBlocks).map { m =>
+      BlockCodebook(m, rows.map { case (k, e) =>
+        val sub = java.util.Arrays.copyOfRange(e, m * PqSub, (m + 1) * PqSub)
+        var cc = 0.0
+        var i = 0
+        while (i < PqSub) { cc += sub(i).toDouble * sub(i).toDouble; i += 1 }
+        (k, sub, cc)
+      })
+    }
+  }
+
+  /** Map-side PQ encoding: one `code_m` column per block —
+    * argmin_k (cc_k − 2·s·c_k) with ties to the lowest k (struct sort,
+    * the same rule as KMeansVec.cellExpr and the oracle's row_number). */
+  private[queries] def pqCodeCols(cbs: Seq[BlockCodebook]): Seq[Column] = cbs.map { cb =>
+    val s = slice(col("embedding"), cb.m * PqSub + 1, PqSub)
+    val entries = cb.cents.map { case (k, sub, cc) =>
+      val cLit = array(sub.toSeq.map(v => lit(v)): _*)
+      struct(lit(cc) - lit(2.0) * call_function("vec_dot", s, cLit), lit(k))
+        .cast("struct<d:double,k:int>")
+    }
+    element_at(array_sort(array(entries: _*)), 1).getField("k").as(s"code_${cb.m}")
+  }
+
+  /** Codebook reconstruction r(x): per block, the centroid sub-vector
+    * selected by `code_m`, concatenated back to 64 dims. */
+  private[queries] def pqReconCol(cbs: Seq[BlockCodebook]): Column =
+    flatten(array(cbs.map { cb =>
+      val cbArr = array(cb.cents.map { case (_, sub, _) =>
+        array(sub.toSeq.map(v => lit(v)): _*)
+      }: _*)
+      element_at(cbArr, col(s"code_${cb.m}") + 1)
+    }: _*))
 }

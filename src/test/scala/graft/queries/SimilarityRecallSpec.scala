@@ -72,4 +72,51 @@ class SimilarityRecallSpec extends SparkSpec {
     // (~0.43 measured); floor guards the mechanism staying multi-probe
     assert(overlap >= 0.35, f"kNN candidate overlap $overlap%.3f under floor 0.35")
   }
+
+  test("PQ encoding is argmin-optimal per block; ADC top-5 overlap >= 0.2") {
+    import spark.implicits._
+    val cbs = SimilarityQueries.pqCodebooks(spark, sf)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val coded = emb
+      .select(Seq($"vec_id", $"embedding") ++ SimilarityQueries.pqCodeCols(cbs): _*)
+      .collect()
+    // argmin optimality: the chosen centroid's block distance is <= every
+    // other centroid's, for every (vector, block) — checked exhaustively
+    coded.foreach { r =>
+      val e = r.getSeq[Float](1).toArray
+      cbs.foreach { cb =>
+        val s = e.slice(cb.m * 8, cb.m * 8 + 8)
+        def d2(c: Array[Float]): Double =
+          s.zip(c).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+        val chosen = r.getInt(r.fieldIndex(s"code_${cb.m}"))
+        val dChosen = d2(cb.cents.find(_._1 == chosen).get._2)
+        cb.cents.foreach { case (_, c, _) =>
+          assert(dChosen <= d2(c) + 1e-9,
+            s"vec ${r.getLong(0)} block ${cb.m}: code $chosen is not the argmin")
+        }
+      }
+    }
+    // ADC ranking quality: overlap of ADC top-5 with exact L2 top-5 for
+    // the query set. 16 centroids/block on UNCLUSTERED synthetic data is
+    // the worst case for PQ (quantization error ~ signal); the floor
+    // guards the mechanism, not a real-corpus recall claim (measured
+    // 0.28 on this fixture; Q=5 queries -> 25 exact pairs).
+    val adc5 = Registry.queries("sim_pq_adc_topk")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val embN = normedEmb
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(col("l2").asc, col("nb"))
+    val exact5 = embN.as("a").filter(col("a.vec_id") < 5)
+      .join(embN.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q"), col("b.vec_id").as("nb"),
+        (expr("vec_dot(a.embedding, a.embedding)")
+          - lit(2.0) * expr("vec_dot(a.embedding, b.embedding)")
+          + expr("vec_dot(b.embedding, b.embedding)")).as("l2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (adc5 & exact5).size.toDouble / exact5.size
+    info(f"PQ ADC top-5 overlap = $overlap%.3f")
+    assert(overlap >= 0.2, f"ADC overlap $overlap%.3f under floor 0.2")
+  }
 }
