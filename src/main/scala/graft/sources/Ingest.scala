@@ -132,6 +132,59 @@ object Ingest {
         lit(0L).as("qc_flags"))
   }
 
+  /** S5 (real parse): ERA5 grid extract from NetCDF classic bytes —
+    * the pure-JVM [[NetCdf3]] reader plus the reference's exact
+    * nearest-cell semantics (fetch/era5_hourly.py:309-347
+    * `_parse_with_netcdf4`): argmin |coord − station| per axis (first
+    * index on ties, like np.argmin), CF time decode from the `units`
+    * attribute, packed-short unpacking via scale/offset, fill → NaN,
+    * then the shared K→°C transform. Dim order of the temperature
+    * variable is honored via stride arithmetic (ERA5 ships
+    * (time, latitude, longitude) but nothing here assumes it).
+    * NetCDF-4/HDF5 files are rejected with a clear error — classic
+    * CDF-1/CDF-2 only (the documented boundary). */
+  def fromEra5NetCdf(
+      spark: SparkSession,
+      bytes: Array[Byte],
+      stationId: String, lat: Double, lon: Double): DataFrame = {
+    val f = NetCdf3.parse(bytes)
+    val latVar = f.variable("latitude", "lat")
+    val lonVar = f.variable("longitude", "lon")
+    val timeVar = f.variable("time", "valid_time")
+    val tempVar = f.variable("t2m", "2m_temperature")
+    val lats = NetCdf3.readVar(f, latVar.name)._2
+    val lons = NetCdf3.readVar(f, lonVar.name)._2
+    def nearest(arr: Array[Double], x: Double): Int =
+      arr.zipWithIndex.minBy { case (v, _) => math.abs(v - x) }._2
+    val latIdx = nearest(lats, lat)
+    val lonIdx = nearest(lons, lon)
+    val units = timeVar.attrs.get("units") match {
+      case Some(s: String) => s
+      case _ => throw new IllegalArgumentException(
+        s"time variable ${timeVar.name} has no units attribute")
+    }
+    val micros = NetCdf3.decodeTime(units, NetCdf3.readVar(f, timeVar.name)._2)
+    val (shp, temps) = NetCdf3.readVar(f, tempVar.name)
+    // row-major strides; index each dim by its role (time/lat/lon)
+    val strides = shp.foldRight(List(1L)) { (d, acc) => (d * acc.head) :: acc }.tail
+    val latDim = latVar.dimIds.headOption.getOrElse(-1)
+    val lonDim = lonVar.dimIds.headOption.getOrElse(-1)
+    val timeDim = timeVar.dimIds.headOption.getOrElse(-1)
+    val rows = micros.indices.map { t =>
+      val flat = tempVar.dimIds.zip(strides).map { case (dimId, stride) =>
+        val idx =
+          if (dimId == timeDim) t
+          else if (dimId == latDim) latIdx
+          else if (dimId == lonDim) lonIdx
+          else 0
+        idx * stride
+      }.sum
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros(t), 1000L))
+      (ts, temps(flat.toInt))
+    }
+    fromEra5Rows(spark, rows, stationId, lat, lon)
+  }
+
   /** S7: hybrid source routing — pick per-year source by cutoff date and
     * union the per-source frames (noaa_hourly.py:369-385; ISD before the
     * cutoff, GHCNh after). Pure path/branch logic + unionByName. */

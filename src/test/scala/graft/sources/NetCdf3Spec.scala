@@ -1,0 +1,216 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** NetCDF3 classic reader spec. The fixtures are built BY HAND from the
+  * public CDF-1 on-disk layout (big-endian header, 4-byte padding,
+  * record interleaving) in this file, independently of the reader code —
+  * a shared misreading of the spec would have to be made twice.
+  */
+class NetCdf3Spec extends SparkSpec {
+
+  // ---- hand-rolled CDF-1 writer (test-local, spec-literal) ----
+
+  private case class FDim(name: String, len: Int) // len 0 = record dim
+  private case class FAttr(name: String, ncType: Int, value: Any) // String | Seq[Double]
+  private case class FVar(name: String, dimIds: Seq[Int], attrs: Seq[FAttr],
+      ncType: Int, data: Seq[Double])
+
+  private def typeSize(t: Int) = t match {
+    case 1 | 2 => 1; case 3 => 2; case 4 | 5 => 4; case 6 => 8
+  }
+
+  private class W {
+    val o = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = { o.write(v >>> 24); o.write(v >>> 16); o.write(v >>> 8); o.write(v) }
+    def raw(b: Array[Byte]): Unit = o.write(b)
+    def padTo4(): Unit = while (o.size % 4 != 0) o.write(0)
+    def name(s: String): Unit = { val b = s.getBytes("UTF-8"); i32(b.length); raw(b); padTo4() }
+    def value(t: Int, v: Double): Unit = t match {
+      case 1 => o.write(v.toInt)
+      case 3 => { val s = v.toInt; o.write(s >>> 8); o.write(s) }
+      case 4 => i32(v.toInt)
+      case 5 => i32(java.lang.Float.floatToIntBits(v.toFloat))
+      case 6 => { val l = java.lang.Double.doubleToLongBits(v); i32((l >>> 32).toInt); i32(l.toInt) }
+    }
+    def attrs(as: Seq[FAttr]): Unit = {
+      if (as.isEmpty) { i32(0); i32(0) }
+      else {
+        i32(0x0c); i32(as.size)
+        as.foreach { a =>
+          name(a.name); i32(a.ncType)
+          a.value match {
+            case s: String => val b = s.getBytes("UTF-8"); i32(b.length); raw(b); padTo4()
+            case vs: Seq[_] =>
+              i32(vs.size)
+              vs.foreach(v => value(a.ncType, v.asInstanceOf[Double]))
+              padTo4()
+          }
+        }
+      }
+    }
+  }
+
+  /** Two-pass build: header length is independent of begin values
+    * (4 bytes each in CDF-1), so pass 1 uses zeros and pass 2 patches. */
+  private def build(dims: Seq[FDim], vars: Seq[FVar], numRecs: Int): Array[Byte] = {
+    def isRec(v: FVar) = v.dimIds.headOption.exists(dims(_).len == 0)
+    def recBytes(v: FVar): Int =
+      v.dimIds.drop(1).map(dims(_).len).product * typeSize(v.ncType)
+    def fixedBytes(v: FVar): Int =
+      v.dimIds.map(dims(_).len).product * typeSize(v.ncType)
+    def pad4(n: Int) = (n + 3) & ~3
+
+    def header(begins: Map[String, Int]): Array[Byte] = {
+      val w = new W
+      w.raw(Array('C'.toByte, 'D'.toByte, 'F'.toByte, 1.toByte))
+      w.i32(numRecs)
+      if (dims.isEmpty) { w.i32(0); w.i32(0) }
+      else { w.i32(0x0a); w.i32(dims.size); dims.foreach { d => w.name(d.name); w.i32(d.len) } }
+      w.i32(0); w.i32(0) // no global attrs
+      if (vars.isEmpty) { w.i32(0); w.i32(0) }
+      else {
+        w.i32(0x0b); w.i32(vars.size)
+        vars.foreach { v =>
+          w.name(v.name); w.i32(v.dimIds.size); v.dimIds.foreach(w.i32)
+          w.attrs(v.attrs); w.i32(v.ncType)
+          w.i32(if (isRec(v)) pad4(recBytes(v)) else pad4(fixedBytes(v))) // vsize
+          w.i32(begins.getOrElse(v.name, 0))
+        }
+      }
+      w.o.toByteArray
+    }
+
+    val headerLen = header(Map.empty).length
+    // lay out data: fixed vars in order (padded), then the record section
+    var off = headerLen
+    val begins = scala.collection.mutable.Map[String, Int]()
+    vars.filterNot(isRec).foreach { v => begins(v.name) = off; off += pad4(fixedBytes(v)) }
+    val recVars = vars.filter(isRec)
+    val single = recVars.size == 1
+    var inRec = 0
+    recVars.foreach { v =>
+      begins(v.name) = off + inRec
+      inRec += (if (single) recBytes(v) else pad4(recBytes(v)))
+    }
+    val w = new W
+    w.raw(header(begins.toMap))
+    vars.filterNot(isRec).foreach { v =>
+      v.data.foreach(x => w.value(v.ncType, x)); w.padTo4()
+    }
+    for (r <- 0 until numRecs; v <- recVars) {
+      val per = recBytes(v) / typeSize(v.ncType)
+      v.data.slice(r * per, (r + 1) * per).foreach(x => w.value(v.ncType, x))
+      if (!single) w.padTo4()
+    }
+    w.o.toByteArray
+  }
+
+  // ---- fixtures ----
+
+  private val era5Attrs = Seq(
+    FAttr("scale_factor", 6, Seq(0.01)),
+    FAttr("add_offset", 6, Seq(280.0)),
+    FAttr("_FillValue", 3, Seq(-32767.0)))
+
+  /** ERA5-shaped fixed-dim file: t2m(time=3, latitude=2, longitude=2),
+    * packed shorts, one fill value at (t=2, cell 0,0). */
+  private def fixtureA: Array[Byte] = build(
+    dims = Seq(FDim("time", 3), FDim("latitude", 2), FDim("longitude", 2)),
+    vars = Seq(
+      FVar("latitude", Seq(1), Nil, 5, Seq(40.5, 41.0)),
+      FVar("longitude", Seq(2), Nil, 5, Seq(-74.0, -73.5)),
+      FVar("time", Seq(0),
+        Seq(FAttr("units", 2, "hours since 1900-01-01 00:00:00.0")), 4,
+        Seq(1000000.0, 1000001.0, 1000002.0)),
+      FVar("t2m", Seq(0, 1, 2), era5Attrs, 3,
+        // row-major (time, lat, lon); cell (0,0) carries 100+t, others junk
+        Seq(100, 1, 2, 3, /*t=1*/ 101, 4, 5, 6, /*t=2*/ -32767, 7, 8, 9).map(_.toDouble))),
+    numRecs = 0)
+
+  test("fixed-dim ERA5 extract: nearest cell, packed shorts, CF time, fill→NaN") {
+    val out = Ingest.fromEra5NetCdf(spark, fixtureA, "KLGA", 40.7, -73.9)
+      .orderBy("ts_utc").collect()
+    assert(out.length == 3)
+    // station (40.7, -73.9) → lat 40.5 (|0.2|<|0.3|), lon -74.0 (|0.1|<|0.4|)
+    // t2m K = 280 + 0.01·(100+t) → °C = 280 + 1.00 − 273.15 + 0.01t
+    assert(math.abs(out(0).getAs[Double]("temp_c") - (280 + 1.00 - 273.15)) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("temp_c") - (280 + 1.01 - 273.15)) < 1e-9)
+    assert(out(2).getAs[Double]("temp_c").isNaN) // fill value
+    // 1,000,000 hours since 1900-01-01, via an independent java.time path
+    val expect0 = java.time.LocalDateTime.of(1900, 1, 1, 0, 0)
+      .plusHours(1000000L).toEpochSecond(java.time.ZoneOffset.UTC) * 1000L
+    assert(out(0).getAs[java.sql.Timestamp]("ts_utc").getTime == expect0)
+    assert(out(0).getAs[String]("source") == "era5" && out(0).getAs[String]("station_id") == "KLGA")
+  }
+
+  /** Record-dim file with TWO record variables — exercises per-record
+    * slab padding (t2m is 2 bytes/record → padded to 4 in the stride). */
+  private def fixtureB: Array[Byte] = build(
+    dims = Seq(FDim("time", 0), FDim("latitude", 1), FDim("longitude", 1)),
+    vars = Seq(
+      FVar("latitude", Seq(1), Nil, 5, Seq(40.5)),
+      FVar("longitude", Seq(2), Nil, 5, Seq(-74.0)),
+      FVar("time", Seq(0),
+        Seq(FAttr("units", 2, "seconds since 1970-01-01")), 4, Seq(3600.0, 7200.0)),
+      FVar("t2m", Seq(0, 1, 2),
+        Seq(FAttr("scale_factor", 6, Seq(0.1)), FAttr("add_offset", 6, Seq(250.0))), 3,
+        Seq(123.0, 456.0))),
+    numRecs = 2)
+
+  test("record-dim file: interleaved record slabs with padding decode correctly") {
+    val out = Ingest.fromEra5NetCdf(spark, fixtureB, "KLGA", 40.7, -73.9)
+      .orderBy("ts_utc").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[java.sql.Timestamp]("ts_utc").getTime == 3600L * 1000)
+    assert(out(1).getAs[java.sql.Timestamp]("ts_utc").getTime == 7200L * 1000)
+    assert(math.abs(out(0).getAs[Double]("temp_c") - (250 + 12.3 - 273.15)) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("temp_c") - (250 + 45.6 - 273.15)) < 1e-9)
+  }
+
+  test("single record variable packs unpadded (the spec's special case)") {
+    val bytes = build(
+      dims = Seq(FDim("time", 0)),
+      vars = Seq(FVar("x", Seq(0), Nil, 3, Seq(7.0, 8.0, 9.0))),
+      numRecs = 3)
+    val f = NetCdf3.parse(bytes)
+    val (shp, vals) = NetCdf3.readVar(f, "x")
+    assert(shp == Seq(3) && vals.toSeq == Seq(7.0, 8.0, 9.0))
+  }
+
+  test("temperature dim order is honored via strides, not assumed") {
+    // same data as fixtureA's t=0/1 cells but t2m laid out (lat, lon, time)
+    val bytes = build(
+      dims = Seq(FDim("time", 2), FDim("latitude", 2), FDim("longitude", 2)),
+      vars = Seq(
+        FVar("latitude", Seq(1), Nil, 5, Seq(40.5, 41.0)),
+        FVar("longitude", Seq(2), Nil, 5, Seq(-74.0, -73.5)),
+        FVar("time", Seq(0),
+          Seq(FAttr("units", 2, "seconds since 1970-01-01")), 4, Seq(0.0, 3600.0)),
+        FVar("t2m", Seq(1, 2, 0), // (lat, lon, time)!
+          Seq(FAttr("scale_factor", 6, Seq(0.01)), FAttr("add_offset", 6, Seq(280.0))), 3,
+          // row-major (lat, lon, time): cell (0,0) times are the FIRST pair
+          Seq(100, 101, /*lon1*/ 1, 2, /*lat1*/ 3, 4, 5, 6).map(_.toDouble))),
+      numRecs = 0)
+    val out = Ingest.fromEra5NetCdf(spark, bytes, "KLGA", 40.7, -73.9)
+      .orderBy("ts_utc").collect()
+    assert(math.abs(out(0).getAs[Double]("temp_c") - (280 + 1.00 - 273.15)) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("temp_c") - (280 + 1.01 - 273.15)) < 1e-9)
+  }
+
+  test("NetCDF-4 (HDF5) files are rejected with a clear error") {
+    val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a)
+    val e = intercept[IllegalArgumentException] { NetCdf3.parse(hdf5) }
+    assert(e.getMessage.contains("HDF5"))
+  }
+
+  test("CF time base parsing covers the spellings ERA5 ships") {
+    import NetCdf3.parseBase
+    assert(parseBase("1900-01-01 00:00:00.0") == parseBase("1900-01-01"))
+    assert(parseBase("1970-01-01T00:00:00Z") == 0L)
+    assert(parseBase("1970-01-01 01:00:00") == 3600L * 1000000)
+    assert(parseBase("2024-7-1 6:30") ==
+      java.time.LocalDateTime.of(2024, 7, 1, 6, 30)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+  }
+}
