@@ -107,6 +107,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
+  test("PQ ADC top-k: partial group-limit runs map-side before the one shuffle") {
+    // a per-query window over the whole corpus would be one reducer per
+    // query at scale; Spark's rank-limit pushdown must split it into a
+    // Partial WindowGroupLimit (each task keeps 5 rows per query) below
+    // the exchange and a Final above — pin both halves
+    val p = plan(Registry.queries("sim_pq_adc_topk")(spark, sf))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(p.contains("Final"), p)
+    // the Q=5 query side broadcasts; the corpus side never shuffles
+    // before the group-limit exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("flagship aggregate keeps map-side partial aggregation and codegen") {
     val df = Registry.queries("q1_agg")(spark, sf)
     assert("HashAggregate".r.findAllIn(plan(df)).size >= 2) // partial + final
