@@ -32,6 +32,15 @@ object Pipeline {
       Sinks.writeHourlyObs(cleaned, outDir)
       println(s"[graft] wrote ${spark.read.parquet(outDir).count()} clean hourly rows to $outDir")
 
+    case "ingest-era5" :: ncPath :: station :: lat :: lon :: outDir :: Nil =>
+      // real NetCDF classic parse (sources.NetCdf3) + nearest-cell
+      // extract, then the same clean/sink path as the ISD route
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(ncPath))
+      val hourly = Ingest.fromEra5NetCdf(spark, bytes, station, lat.toDouble, lon.toDouble)
+      val cleaned = CleanHourly(hourly)
+      Sinks.writeHourlyObs(cleaned, outDir)
+      println(s"[graft] wrote ${spark.read.parquet(outDir).count()} clean hourly rows to $outDir")
+
     case "build-daily" :: hourlyDir :: tz :: outDir :: Nil =>
       val daily = graft.schemas.Checks.validateDailyTmax(
         DailyTmax(spark.read.parquet(hourlyDir), tz))
@@ -124,6 +133,7 @@ object Pipeline {
         s"""Unknown command: ${other.mkString(" ")}
            |Usage:
            |  Pipeline ingest-clean <isdCsv> <station> <outHourlyDir>
+           |  Pipeline ingest-era5 <ncFile> <station> <lat> <lon> <outHourlyDir>
            |  Pipeline build-daily <hourlyDir> <tz> <outDailyDir>
            |  Pipeline build-train <forecastDir> <truthDir> <outTrainDir>
            |  Pipeline eval <trainDir> <runDir> [passthrough|persistence|ridge ...]

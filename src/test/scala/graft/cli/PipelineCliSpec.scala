@@ -42,6 +42,36 @@ class PipelineCliSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$work/run/models/Passthrough/metrics.json")))
   }
 
+  test("ingest-era5 parses a real NetCDF file from disk through the clean path") {
+    import graft.sources.NcFixture.{FAttr, FDim, FVar, build}
+    val work = Files.createTempDirectory("graft_cli_nc").toString
+    // 48 hourly records, packed shorts: K = 280 + 0.01·(150 + t)
+    val bytes = build(
+      dims = Seq(FDim("time", 48), FDim("latitude", 2), FDim("longitude", 1)),
+      vars = Seq(
+        FVar("latitude", Seq(1), Nil, 5, Seq(40.5, 41.0)),
+        FVar("longitude", Seq(2), Nil, 5, Seq(-74.0)),
+        FVar("time", Seq(0),
+          Seq(FAttr("units", 2, "hours since 2024-06-01 00:00:00")), 4,
+          (0 until 48).map(_.toDouble)),
+        FVar("t2m", Seq(0, 1, 2),
+          Seq(FAttr("scale_factor", 6, Seq(0.01)), FAttr("add_offset", 6, Seq(280.0))), 3,
+          (0 until 48).flatMap(t => Seq((150 + t).toDouble, 999.0)))),
+      numRecs = 0)
+    Files.write(Paths.get(s"$work/era5.nc"), bytes)
+
+    Pipeline.run(spark, List("ingest-era5", s"$work/era5.nc", "KLGA", "40.7", "-73.9", s"$work/hourly"))
+    val hourly = spark.read.parquet(s"$work/hourly")
+    assert(hourly.count() == 48)
+    import org.apache.spark.sql.functions._
+    val first = hourly.orderBy("ts_utc").collect()(0)
+    assert(math.abs(first.getAs[Double]("temp_c") - (280 + 1.50 - 273.15)) < 1e-9)
+    assert(first.getAs[String]("source") == "era5")
+    // the clean output chains into build-daily like any other source
+    Pipeline.run(spark, List("build-daily", s"$work/hourly", "America/New_York", s"$work/daily"))
+    assert(spark.read.parquet(s"$work/daily").count() >= 2)
+  }
+
   test("eval-config runs the configured model and freezes config.json; list-runs sees it") {
     import java.sql.{Date, Timestamp}
     import spark.implicits._
