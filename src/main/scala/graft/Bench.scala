@@ -81,10 +81,19 @@ object Bench {
     * twice); warmed by a prior evaluation of each. */
   private def asofBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     def timeOf(name: String): Double = {
-      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // same failure contract as the main loop: a regression prints a
+      // line and records the elapsed time; it never kills the bench JSON
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t1 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t1) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (System.nanoTime() - t0) / 1e9
+      }
     }
     Seq("asof_composed" -> timeOf("j8_asof_join"), "asof_native" -> timeOf("j10_asof_native"))
   }

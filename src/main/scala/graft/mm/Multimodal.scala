@@ -157,36 +157,56 @@ object Multimodal {
         val bytesPerSample = bits / 8
         val frameSize =
           if (fmt.getFrameSize > 0) fmt.getFrameSize else bytesPerSample * channels
-        val data = ais.readAllBytes()
-        val frames = data.length / frameSize
-        if (frames == 0) return None
+        val totalFrames = ais.getFrameLength
+        if (totalFrames <= 0) return None
+        require(totalFrames <= Int.MaxValue, "audio stream too long")
+        val frames = totalFrames.toInt
         val big = fmt.isBigEndian
         val full = 1L << (bits - 1) // normalizer: max magnitude of a sample
+        // probed frames are READ one at a time with skips in between —
+        // the stream is never buffered whole (the payload byte array is
+        // already the second copy in memory; a third would double peak
+        // usage for nothing, the probe touches ≤ maxProbeFrames frames)
+        val frameBuf = new Array[Byte](frameSize)
         def sampleAt(off: Int): Double = {
           var v = 0L
-          if (big) { var i = 0; while (i < bytesPerSample) { v = (v << 8) | (data(off + i) & 0xffL); i += 1 } }
-          else { var i = bytesPerSample - 1; while (i >= 0) { v = (v << 8) | (data(off + i) & 0xffL); i -= 1 } }
+          if (big) { var i = 0; while (i < bytesPerSample) { v = (v << 8) | (frameBuf(off + i) & 0xffL); i += 1 } }
+          else { var i = bytesPerSample - 1; while (i >= 0) { v = (v << 8) | (frameBuf(off + i) & 0xffL); i -= 1 } }
           if (signed) {
             val shift = 64 - bits
             ((v << shift) >> shift).toDouble / full
           } else (v - 128.0) / 128.0
         }
+        def skipFully(bytes: Long): Boolean = {
+          var left = bytes
+          while (left > 0) {
+            val sk = ais.skip(left)
+            if (sk <= 0) return false
+            left -= sk
+          }
+          true
+        }
         val stride = math.max(1, frames / maxProbeFrames)
         var s = 0.0; var s2 = 0.0; var sAbs = 0.0; var peak = 0.0
         var crossings = 0L; var n = 0L; var prev = 0.0; var havePrev = false
         var f = 0
-        while (f < frames) {
-          val base = f * frameSize
-          var mono = 0.0
-          var c = 0
-          while (c < channels) { mono += sampleAt(base + c * bytesPerSample); c += 1 }
-          mono /= channels
-          s += mono; s2 += mono * mono; sAbs += math.abs(mono)
-          if (math.abs(mono) > peak) peak = math.abs(mono)
-          if (havePrev && ((prev < 0 && mono >= 0) || (prev >= 0 && mono < 0))) crossings += 1
-          prev = mono; havePrev = true; n += 1
-          f += stride
+        var eof = false
+        while (f < frames && !eof) {
+          if (ais.readNBytes(frameBuf, 0, frameSize) < frameSize) eof = true
+          else {
+            var mono = 0.0
+            var c = 0
+            while (c < channels) { mono += sampleAt(c * bytesPerSample); c += 1 }
+            mono /= channels
+            s += mono; s2 += mono * mono; sAbs += math.abs(mono)
+            if (math.abs(mono) > peak) peak = math.abs(mono)
+            if (havePrev && ((prev < 0 && mono >= 0) || (prev >= 0 && mono < 0))) crossings += 1
+            prev = mono; havePrev = true; n += 1
+            f += stride
+            if (stride > 1 && f < frames) eof = !skipFully((stride - 1).toLong * frameSize)
+          }
         }
+        if (n == 0) return None
         val mean = s / n
         val frameRate = if (fmt.getFrameRate > 0) fmt.getFrameRate else fmt.getSampleRate
         Some(AudioStats(

@@ -52,6 +52,19 @@ object SignLsh {
       .withColumn("head", min(col(idCol)).over(w))
   }
 
+  /** Mega-bucket star pair join with FULL columns on both sides: the
+    * bucket's head row (alias "a") against every non-head member (alias
+    * "b") — the linear-pair regime shared by the LSH bucket report and
+    * embedding-cosine dedup; callers score/select what they need. Kept
+    * here so the guard has ONE spelling (head tie-breaking, bsize
+    * threshold) across every query that degrades hot buckets. */
+  def megaStarJoin(stats: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+    val mega = stats.filter(col("bsize") > maxBucket)
+    mega.filter(col(idCol) === col("head")).as("a")
+      .join(mega.filter(col(idCol) =!= col("head")).as("b"),
+        col("a.bucket") === col("b.bucket"))
+  }
+
   /** Regime-split candidate edges for connected components: verified
     * clique pairs for ordinary buckets (caller applies its own pair
     * filter, e.g. a cosine floor, on the returned clique side), star

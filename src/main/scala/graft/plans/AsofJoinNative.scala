@@ -128,15 +128,9 @@ case class AsofJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
 
-  /** Physical-value extractor for the supported time types; sort order
-    * of the extracted Long matches the column's sort order. */
-  private def timeGetter(dt: DataType): InternalRow => Long = dt match {
-    case TimestampType | TimestampNTZType | LongType => (r: InternalRow) => r.getLong(0)
-    case DateType | IntegerType => (r: InternalRow) => r.getInt(0).toLong
-    case ShortType => (r: InternalRow) => r.getShort(0).toLong
-    case other =>
-      throw new IllegalArgumentException(s"unsupported as-of time type: $other")
-  }
+  // fail fast at plan construction, not per-task after the shuffle
+  require(AsofJoinExec.supportedTimeType(leftTime.dataType),
+    s"unsupported as-of time type: ${leftTime.dataType}")
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
@@ -148,9 +142,11 @@ case class AsofJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val keyTypes = leftKeys.map(_.dataType)
-    val timeType = leftTime.dataType
     val tol = tolerance
     val outAttrs = output
+    // resolved OUTSIDE the task closure: the closure must capture only
+    // locals, never `this` (the whole plan subtree)
+    val getTime = AsofJoinExec.timeGetter(leftTime.dataType)
 
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
@@ -158,7 +154,6 @@ case class AsofJoinExec(
         val rKeyProj = UnsafeProjection.create(rKeyExprs, rOutput)
         val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOutput)
         val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOutput)
-        val getTime = timeGetter(timeType)
         val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
         val joined = new JoinedRow
         val nullRight = new GenericInternalRow(rOutput.length)
@@ -241,6 +236,26 @@ case class AsofJoinExec(
           }
         }
     }
+  }
+}
+
+object AsofJoinExec {
+  private[plans] def supportedTimeType(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | LongType |
+         DateType | IntegerType | ShortType => true
+    case _ => false
+  }
+
+  /** Physical-value extractor for the supported time types; sort order
+    * of the extracted Long matches the column's sort order. Lives on
+    * the companion so task closures capture a plain function, not the
+    * exec node. */
+  private[plans] def timeGetter(dt: DataType): InternalRow => Long = dt match {
+    case TimestampType | TimestampNTZType | LongType => (r: InternalRow) => r.getLong(0)
+    case DateType | IntegerType => (r: InternalRow) => r.getInt(0).toLong
+    case ShortType => (r: InternalRow) => r.getShort(0).toLong
+    case other =>
+      throw new IllegalArgumentException(s"unsupported as-of time type: $other")
   }
 }
 

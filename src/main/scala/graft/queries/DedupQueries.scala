@@ -376,10 +376,7 @@ ORDER BY doc_a, doc_b""")
         val cliquePairs = clique.select(
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           SimilarityQueries.cosineCol.as("cos"), lit("clique").as("regime"))
-        val mega = stats.filter($"bsize" > maxBucket)
-        val starPairs = mega.filter($"vec_id" === $"head").as("a")
-          .join(mega.filter($"vec_id" =!= $"head").as("b"),
-            col("a.bucket") === col("b.bucket"))
+        val starPairs = graft.ops.SignLsh.megaStarJoin(stats, "vec_id", maxBucket)
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             SimilarityQueries.cosineCol.as("cos"), lit("star").as("regime"))
         cliquePairs.unionByName(starPairs)

@@ -230,12 +230,9 @@ object SimilarityQueries {
           .select(col("a.bucket").as("bucket"), cosineCol.as("cos"))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n_pairs"), round(avg($"cos"), 4).as("mean_cos"))
-        // star pairs: head vs member — the head row re-joins on bucket
-        // so the cosine is computable without materializing edges twice
-        val mega = stats.filter($"bsize" > maxBucket)
-        val megaStats = mega.filter($"vec_id" === $"head").as("a")
-          .join(mega.filter($"vec_id" =!= $"head").as("b"),
-            col("a.bucket") === col("b.bucket"))
+        // star pairs: head vs member — the shared megaStarJoin guard,
+        // with the cosine computable because both sides keep full columns
+        val megaStats = graft.ops.SignLsh.megaStarJoin(stats, "vec_id", maxBucket)
           .select(col("a.bucket").as("bucket"), cosineCol.as("cos"))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n_pairs"), round(avg($"cos"), 4).as("mean_cos"))

@@ -163,25 +163,23 @@ object Ingest {
       case _ => throw new IllegalArgumentException(
         s"time variable ${timeVar.name} has no units attribute")
     }
-    val micros = NetCdf3.decodeTime(units, NetCdf3.readVar(f, timeVar.name)._2)
-    val (shp, temps) = NetCdf3.readVar(f, tempVar.name)
-    // row-major strides; index each dim by its role (time/lat/lon)
-    val strides = shp.foldRight(List(1L)) { (d, acc) => (d * acc.head) :: acc }.tail
+    val timeRaw = NetCdf3.readVar(f, timeVar.name)._2
+    val micros = NetCdf3.decodeTime(units, timeRaw)
     val latDim = latVar.dimIds.headOption.getOrElse(-1)
     val lonDim = lonVar.dimIds.headOption.getOrElse(-1)
     val timeDim = timeVar.dimIds.headOption.getOrElse(-1)
-    val rows = micros.indices.map { t =>
-      val flat = tempVar.dimIds.zip(strides).map { case (dimId, stride) =>
-        val idx =
-          if (dimId == timeDim) t
-          else if (dimId == latDim) latIdx
-          else if (dimId == lonDim) lonIdx
-          else 0
-        idx * stride
-      }.sum
-      val ts = new java.sql.Timestamp(Math.floorDiv(micros(t), 1000L))
-      (ts, temps(flat.toInt))
-    }
+    // point reads along the time axis — the full grid is never
+    // materialized (0.25° global ERA5 would be GBs as doubles)
+    val temps = NetCdf3.readCellSeries(f, tempVar.name, timeDim,
+      Map(latDim -> latIdx, lonDim -> lonIdx))
+    val rows = micros.indices
+      // a fill-masked time coordinate has no timestamp: drop the row
+      // rather than aliasing it onto the units base epoch
+      .filterNot(t => timeRaw(t).isNaN)
+      .map { t =>
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros(t), 1000L))
+        (ts, temps(t))
+      }
     fromEra5Rows(spark, rows, stationId, lat, lon)
   }
 

@@ -95,6 +95,7 @@ object NetCdf3 {
             b.position(b.position() + (pad4(nelems) - nelems).toInt)
             new String(s, StandardCharsets.UTF_8)
           case _ =>
+            typeSize(t) // rejects unknown nc_types with a clear message
             val out = new Array[Double](nelems)
             var i = 0
             while (i < nelems) {
@@ -129,7 +130,20 @@ object NetCdf3 {
       val begin = if (version == 1) b.getInt().toLong else b.getLong()
       Var(name, dimIds, attrs, t, begin)
     }
-    NcFile(dims, globalAttrs, vars, numRecs, bytes)
+    val f = NcFile(dims, globalAttrs, vars, numRecs, bytes)
+    if (numRecs != -1) f
+    else {
+      // STREAMING sentinel (0xFFFFFFFF): the record count is derived
+      // from the byte length past the first record slab, per the spec's
+      // guidance for indeterminate-length writers
+      val recVars = vars.filter(v => v.dimIds.headOption.exists(dims(_).isRecord))
+      if (recVars.isEmpty) f.copy(numRecs = 0)
+      else {
+        val stride = recordStride(f.copy(numRecs = 0))
+        val start = recVars.map(_.begin).min
+        f.copy(numRecs = ((bytes.length - start) / stride).toInt)
+      }
+    }
   }
 
   /** Shape of a variable with the record dimension resolved to numRecs. */
@@ -156,10 +170,33 @@ object NetCdf3 {
     else recVars.map(v => pad4(recordBytes(f, v))).sum
   }
 
-  /** Read a whole variable, row-major, as doubles — with `scale_factor`
-    * / `add_offset` applied and `_FillValue`/`missing_value` mapped to
-    * NaN (the netCDF4-python masked-array behavior the reference
-    * parser relies on). Returns (shape, values). */
+  private def rawAt(f: NcFile, v: Var, off: Long): Double = {
+    val bb = ByteBuffer.wrap(f.bytes, off.toInt, typeSize(v.ncType))
+    v.ncType match {
+      case 1 => bb.get().toDouble
+      case 2 => (bb.get() & 0xff).toDouble
+      case 3 => bb.getShort().toDouble
+      case 4 => bb.getInt().toDouble
+      case 5 => bb.getFloat().toDouble
+      case 6 => bb.getDouble()
+    }
+  }
+
+  /** fill → NaN (checked against the PACKED value), then scale/offset —
+    * the netCDF4-python masked-array behavior the reference relies on. */
+  private def unpacker(v: Var): Double => Double = {
+    def numAttr(names: String*): Option[Double] =
+      names.flatMap(v.attrs.get).collectFirst { case a: Array[Double] if a.nonEmpty => a(0) }
+    val fill = numAttr("_FillValue", "missing_value")
+    val scale = numAttr("scale_factor").getOrElse(1.0)
+    val offset = numAttr("add_offset").getOrElse(0.0)
+    x => if (fill.exists(_ == x)) Double.NaN else x * scale + offset
+  }
+
+  /** Read a whole variable, row-major, as doubles (unpacked). Returns
+    * (shape, values). Sized for coordinate/sample variables — grid
+    * extracts should use [[readCellSeries]] instead, which never
+    * materializes the full grid. */
   def readVar(f: NcFile, name: String): (Seq[Int], Array[Double]) = {
     val v = f.variable(name)
     val shp = shape(f, v)
@@ -168,21 +205,9 @@ object NetCdf3 {
     val out = new Array[Double](n.toInt)
     val ts = typeSize(v.ncType)
 
-    def readAt(off: Long): Double = {
-      val bb = ByteBuffer.wrap(f.bytes, off.toInt, ts)
-      v.ncType match {
-        case 1 => bb.get().toDouble
-        case 2 => (bb.get() & 0xff).toDouble
-        case 3 => bb.getShort().toDouble
-        case 4 => bb.getInt().toDouble
-        case 5 => bb.getFloat().toDouble
-        case 6 => bb.getDouble()
-      }
-    }
-
     if (!isRecordVar(f, v)) {
       var i = 0L
-      while (i < n) { out(i.toInt) = readAt(v.begin + i * ts); i += 1 }
+      while (i < n) { out(i.toInt) = rawAt(f, v, v.begin + i * ts); i += 1 }
     } else {
       val perRec = (n / math.max(1, f.numRecs)).toInt
       val stride = recordStride(f)
@@ -190,26 +215,50 @@ object NetCdf3 {
       while (r < f.numRecs) {
         var i = 0
         while (i < perRec) {
-          out(r * perRec + i) = readAt(v.begin + r * stride + i.toLong * ts)
+          out(r * perRec + i) = rawAt(f, v, v.begin + r * stride + i.toLong * ts)
           i += 1
         }
         r += 1
       }
     }
-
-    // fill → NaN BEFORE scale/offset (fill matches the PACKED value)
-    def numAttr(names: String*): Option[Double] =
-      names.flatMap(v.attrs.get).collectFirst { case a: Array[Double] if a.nonEmpty => a(0) }
-    val fill = numAttr("_FillValue", "missing_value")
-    val scale = numAttr("scale_factor").getOrElse(1.0)
-    val offset = numAttr("add_offset").getOrElse(0.0)
+    val unpack = unpacker(v)
     var i = 0
-    while (i < out.length) {
-      if (fill.exists(_ == out(i))) out(i) = Double.NaN
-      else out(i) = out(i) * scale + offset
-      i += 1
-    }
+    while (i < out.length) { out(i) = unpack(out(i)); i += 1 }
     (shp, out)
+  }
+
+  /** Read a 1-D series along `seriesDimId` with every other dimension
+    * held at `fixedIdx` (default 0) — the nearest-cell extract path:
+    * O(series length) point reads, the full grid is NEVER materialized
+    * (a month of 0.25° global ERA5 is ~6 GB as doubles; the extracted
+    * cell is a few KB). For record variables the series dim must be the
+    * record (unlimited) dim — the only axis the classic layout streams. */
+  def readCellSeries(
+      f: NcFile, name: String, seriesDimId: Int,
+      fixedIdx: Map[Int, Int]): Array[Double] = {
+    val v = f.variable(name)
+    val ts = typeSize(v.ncType)
+    val shp = shape(f, v)
+    val strides = shp.foldRight(List(1L)) { (d, acc) => (d * acc.head) :: acc }.tail
+    val seriesPos = v.dimIds.indexOf(seriesDimId)
+    require(seriesPos >= 0, s"variable $name has no dimension id $seriesDimId")
+    val isRec = isRecordVar(f, v)
+    require(!isRec || seriesPos == 0,
+      s"record variable $name: the series dim must be the record dim")
+    val inner = v.dimIds.indices.filterNot(_ == seriesPos).map { i =>
+      val idx = fixedIdx.getOrElse(v.dimIds(i), 0)
+      require(idx >= 0 && idx < shp(i),
+        s"index $idx out of range for dim ${f.dims(v.dimIds(i)).name} of $name")
+      idx.toLong * strides(i)
+    }.sum
+    val recStride = if (isRec) recordStride(f) else 0L
+    val unpack = unpacker(v)
+    Array.tabulate(shp(seriesPos)) { t =>
+      val off =
+        if (isRec) v.begin + t * recStride + inner * ts
+        else v.begin + (t * strides(seriesPos) + inner) * ts
+      unpack(rawAt(f, v, off))
+    }
   }
 
   /** CF time decode: `<unit> since <base>` with unit in

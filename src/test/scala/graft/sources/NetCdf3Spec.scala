@@ -102,6 +102,47 @@ class NetCdf3Spec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("temp_c") - (280 + 1.01 - 273.15)) < 1e-9)
   }
 
+  test("STREAMING numrecs sentinel (0xFFFFFFFF) derives the count from the byte length") {
+    val bytes = build(
+      dims = Seq(FDim("time", 0), FDim("latitude", 1), FDim("longitude", 1)),
+      vars = Seq(
+        FVar("latitude", Seq(1), Nil, 5, Seq(40.5)),
+        FVar("longitude", Seq(2), Nil, 5, Seq(-74.0)),
+        FVar("time", Seq(0),
+          Seq(FAttr("units", 2, "seconds since 1970-01-01")), 4, Seq(3600.0, 7200.0)),
+        FVar("t2m", Seq(0, 1, 2), Nil, 3, Seq(280.0, 281.0))),
+      numRecs = 2)
+    // overwrite the numrecs header field with the streaming sentinel
+    bytes(4) = 0xff.toByte; bytes(5) = 0xff.toByte
+    bytes(6) = 0xff.toByte; bytes(7) = 0xff.toByte
+    val f = NetCdf3.parse(bytes)
+    assert(f.numRecs == 2)
+    val out = Ingest.fromEra5NetCdf(spark, bytes, "KLGA", 40.7, -73.9)
+      .orderBy("ts_utc").collect()
+    assert(out.length == 2)
+    assert(math.abs(out(1).getAs[Double]("temp_c") - (281.0 - 273.15)) < 1e-9)
+  }
+
+  test("fill-masked time coordinates drop the row instead of aliasing to the base epoch") {
+    val bytes = build(
+      dims = Seq(FDim("time", 3), FDim("latitude", 1), FDim("longitude", 1)),
+      vars = Seq(
+        FVar("latitude", Seq(1), Nil, 5, Seq(40.5)),
+        FVar("longitude", Seq(2), Nil, 5, Seq(-74.0)),
+        FVar("time", Seq(0),
+          Seq(FAttr("units", 2, "seconds since 1970-01-01"),
+            FAttr("_FillValue", 4, Seq(-2147483647.0))), 4,
+          Seq(3600.0, -2147483647.0, 7200.0)), // middle entry is fill
+        FVar("t2m", Seq(0, 1, 2), Nil, 3, Seq(280.0, 281.0, 282.0))),
+      numRecs = 0)
+    val out = Ingest.fromEra5NetCdf(spark, bytes, "KLGA", 40.7, -73.9)
+      .orderBy("ts_utc").collect()
+    assert(out.length == 2) // the fill-timed row is gone, not at 1970-01-01
+    assert(out.map(_.getAs[java.sql.Timestamp]("ts_utc").getTime).toSeq ==
+      Seq(3600000L, 7200000L))
+    assert(math.abs(out(1).getAs[Double]("temp_c") - (282.0 - 273.15)) < 1e-9)
+  }
+
   test("NetCDF-4 (HDF5) files are rejected with a clear error") {
     val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a)
     val e = intercept[IllegalArgumentException] { NetCdf3.parse(hdf5) }
