@@ -18,4 +18,19 @@ object PlanBridge {
   /** The analyzed logical plan of a DataFrame — resolved attributes,
     * stable expression ids. */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** What a `spark.sql.extensions` entry would register: the function
+    * names injected into a fresh registry. Lets specs verify the
+    * extension wiring without building a second SparkSession. */
+  def injectedFunctionNames(ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
+
+  /** The planner strategies an extensions entry point injects. */
+  def injectedStrategies(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
 }
