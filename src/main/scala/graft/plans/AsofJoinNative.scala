@@ -39,6 +39,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `outputPartitioning`/`outputOrdering` advertise it, so a following
   * per-key window or aggregation plans with zero additional exchange.
   *
+  * Directions (pandas merge_asof parity): `backward` (default, most
+  * recent right row at or before the left time), `forward` (earliest at
+  * or after), `nearest` (closer of the two; exact ties prefer
+  * backward) — all three run in the same single merge pass with the
+  * same O(1) state.
+  *
   * Semantics details:
   *  - null keys never match (SQL equality), on either side;
   *  - null left time never matches; null right times are skipped;
@@ -49,6 +55,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `tolerance` is in the column's physical unit (µs for timestamps,
   *    days for dates, the raw value for integer times).
   */
+sealed trait AsofDirection extends Serializable
+object AsofDirection {
+  /** most recent right row with time <= left time (the default). */
+  case object Backward extends AsofDirection
+  /** earliest right row with time >= left time. */
+  case object Forward extends AsofDirection
+  /** whichever of the two is closer; exact ties prefer backward. */
+  case object Nearest extends AsofDirection
+
+  def parse(s: String): AsofDirection = s.toLowerCase match {
+    case "backward" => Backward
+    case "forward" => Forward
+    case "nearest" => Nearest
+    case other => throw new IllegalArgumentException(
+      s"unknown as-of direction: $other (backward|forward|nearest)")
+  }
+}
+
 case class AsofJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -56,7 +80,8 @@ case class AsofJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    tolerance: Option[Long])
+    tolerance: Option[Long],
+    direction: AsofDirection = AsofDirection.Backward)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -72,8 +97,8 @@ case class AsofJoinPlan(
   * imperatively with [[AsofJoinNative.register]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, tol) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tol, dir) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, dir) :: Nil
     case _ => Nil
   }
 }
@@ -91,7 +116,8 @@ case class AsofJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    tolerance: Option[Long])
+    tolerance: Option[Long],
+    direction: AsofDirection = AsofDirection.Backward)
   extends BinaryExecNode {
 
   require(leftKeys.length == rightKeys.length &&
@@ -143,6 +169,7 @@ case class AsofJoinExec(
     val rTimeExpr = rightTime
     val keyTypes = leftKeys.map(_.dataType)
     val tol = tolerance
+    val dir = direction
     val outAttrs = output
     // resolved OUTSIDE the task closure: the closure must capture only
     // locals, never `this` (the whole plan subtree)
@@ -220,9 +247,31 @@ case class AsofJoinExec(
                     }
                   }
                 }
-                if (matchRow != null && keyOrd.compare(matchKey, lKey) == 0 &&
-                    tol.forall(t => lTimeVal - matchTime <= t)) {
-                  matched = matchRow
+                // backward candidate: the last consumed row of this key
+                // with time <= lt (an exact-tie row lands here with d = 0)
+                val backOk = matchRow != null &&
+                  keyOrd.compare(matchKey, lKey) == 0 &&
+                  tol.forall(t => lTimeVal - matchTime <= t)
+                // forward candidate: the UNCONSUMED current right row —
+                // same key, time strictly > lt after the advance
+                val fwdOk = rCur != null && !rKey.anyNull && !rTimeIsNull &&
+                  keyOrd.compare(rKey, lKey) == 0 &&
+                  tol.forall(t => rTimeVal - lTimeVal <= t)
+                matched = dir match {
+                  case AsofDirection.Backward =>
+                    if (backOk) matchRow else null
+                  case AsofDirection.Forward =>
+                    // earliest time >= lt: an exact tie (consumed into the
+                    // backward slot with d = 0) beats any strictly-later row
+                    if (backOk && matchTime == lTimeVal) matchRow
+                    else if (fwdOk) rCur
+                    else null
+                  case AsofDirection.Nearest =>
+                    val db = if (backOk) lTimeVal - matchTime else Long.MaxValue
+                    val df = if (fwdOk) rTimeVal - lTimeVal else Long.MaxValue
+                    if (db == Long.MaxValue && df == Long.MaxValue) null
+                    else if (db <= df) matchRow // ties prefer backward
+                    else rCur
                 }
               }
             }
@@ -282,7 +331,8 @@ object AsofJoinNative {
       keyCols: Seq[String],
       leftTsCol: String,
       rightTsCol: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = PlanBridge.analyzed(left)
@@ -312,7 +362,7 @@ object AsofJoinNative {
       lPlan, rPlan,
       keyCols.map(resolveL), keyCols.map(resolveR),
       resolveL(leftTsCol), resolveR(rightTsCol),
-      tolerance)
+      tolerance, AsofDirection.parse(direction))
     PlanBridge.ofRows(spark, plan)
   }
 }

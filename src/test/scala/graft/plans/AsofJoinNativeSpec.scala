@@ -114,6 +114,37 @@ class AsofJoinNativeSpec extends SparkSpec {
     c.zip(n).foreach { case (a, b) => assert(a == b, s"composed $a != native $b") }
   }
 
+  test("forward and nearest directions") {
+    val left = Seq(
+      (1L, ts("2024-07-01 10:00:00"), 1L),  // between 09 and 12: nearer 09
+      (1L, ts("2024-07-01 11:30:00"), 2L),  // between 09 and 12: nearer 12
+      (1L, ts("2024-07-01 13:00:00"), 3L))  // after the last right row
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-07-01 09:00:00"), 9.0),
+      (1L, ts("2024-07-01 12:00:00"), 12.0))
+      .toDF("user_id", "ts", "value")
+    def run(dir: String) = AsofJoinNative(left, right, Seq("user_id"), "ts", "ts",
+        direction = dir)
+      .orderBy("event_id").collect()
+      .map(r => if (r.isNullAt(r.fieldIndex("value"))) None
+        else Some(r.getAs[Double]("value")))
+    assert(run("backward").toSeq == Seq(Some(9.0), Some(9.0), Some(12.0)))
+    assert(run("forward").toSeq == Seq(Some(12.0), Some(12.0), None))
+    assert(run("nearest").toSeq == Seq(Some(9.0), Some(12.0), Some(12.0)))
+    // exact tie prefers backward: a right row AT the left ts wins for all
+    val tied = AsofJoinNative(
+      Seq((1L, ts("2024-07-01 09:00:00"), 1L)).toDF("user_id", "ts", "event_id"),
+      right, Seq("user_id"), "ts", "ts", direction = "nearest").collect()
+    assert(tied(0).getAs[Double]("value") == 9.0)
+    // forward honors its own tolerance side
+    val farFwd = AsofJoinNative(left, right, Seq("user_id"), "ts", "ts",
+      tolerance = Some(3600L * 1000000L), direction = "forward")
+      .orderBy("event_id").collect()
+    assert(farFwd(0).isNullAt(farFwd(0).fieldIndex("value"))) // 2h gap > 1h tol
+    assert(farFwd(1).getAs[Double]("value") == 12.0) // 30min gap
+  }
+
   test("plan: AsofJoinExec, no window, two exchanges; downstream per-key agg reuses the partitioning") {
     val left = Seq((1L, ts("2024-07-01 10:00:00"), 1L)).toDF("user_id", "ts", "event_id")
     val right = Seq((1L, ts("2024-07-01 09:00:00"), 5.0)).toDF("user_id", "ts", "value")

@@ -251,7 +251,7 @@ object InvariantProps extends Properties("graft") {
     rTimes <- Gen.pick(nR, 0 until 1000) // unique right times: no tie ambiguity
   } yield (lRows, rKeys.zip(rTimes.map(Option(_))))
 
-  property("native as-of matches an in-memory reference, nulls included") =
+  property("native as-of matches an in-memory reference, nulls included, all directions") =
     forAll(nativeAsofGen) { case (lRows, rRows) =>
       val left = lRows.zipWithIndex.map { case ((k, t), i) =>
         (k, t.map(m => new Timestamp(1720000000000L + m * 60000L)), i.toLong)
@@ -259,19 +259,37 @@ object InvariantProps extends Properties("graft") {
       val right = rRows.zipWithIndex.map { case ((k, t), i) =>
         (k, t.map(m => new Timestamp(1720000000000L + m * 60000L)), i.toDouble)
       }.toDF("k", "ts", "v")
-      val out = graft.plans.AsofJoinNative(left, right, Seq("k"), "ts", "ts")
-        .select($"id", $"v").collect()
-        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
-      val expected = lRows.zipWithIndex.map { case ((k, t), i) =>
-        val m = for {
-          kk <- k; tt <- t
-          best <- rRows.zipWithIndex
-            .collect { case ((Some(rk), Some(rt)), j) if rk == kk && rt <= tt => (rt, j) }
-            .sortBy(_._1).lastOption
-        } yield best._2.toDouble
-        i.toLong -> m
-      }.toMap
-      out == expected
+      def run(direction: String): Map[Long, Option[Double]] =
+        graft.plans.AsofJoinNative(left, right, Seq("k"), "ts", "ts",
+            direction = direction)
+          .select($"id", $"v").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      def expect(pick: (Long, Seq[(Long, Int)]) => Option[Int]): Map[Long, Option[Double]] =
+        lRows.zipWithIndex.map { case ((k, t), i) =>
+          val m = for {
+            kk <- k; tt <- t
+            sameKey = rRows.zipWithIndex
+              .collect { case ((Some(rk), Some(rt)), j) if rk == kk => (rt.toLong, j) }
+            j <- pick(tt.toLong, sameKey)
+          } yield j.toDouble
+          i.toLong -> m
+        }.toMap
+      val back = expect((lt, rs) =>
+        rs.filter(_._1 <= lt).sortBy(_._1).lastOption.map(_._2))
+      val fwd = expect((lt, rs) =>
+        rs.filter(_._1 >= lt).sortBy(_._1).headOption.map(_._2))
+      val near = expect { (lt, rs) =>
+        val b = rs.filter(_._1 <= lt).sortBy(_._1).lastOption
+        val f = rs.filter(_._1 >= lt).sortBy(_._1).headOption
+        (b, f) match {
+          case (Some((bt, bj)), Some((ft, fj))) =>
+            Some(if (lt - bt <= ft - lt) bj else fj) // ties prefer backward
+          case (Some((_, bj)), None) => Some(bj)
+          case (None, Some((_, fj))) => Some(fj)
+          case _ => None
+        }
+      }
+      run("backward") == back && run("forward") == fwd && run("nearest") == near
     }
 
   property("rolling hash composes: h(a++b) = (h(a)*31^|b| + h(b)) mod p") =
