@@ -82,6 +82,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(TrigramStats.descriptor)
     ext.injectFunction(SimHash32.descriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinOptimizations)
   }
 }
 

@@ -34,16 +34,22 @@ object KMeansVec {
     */
   def fit(emb: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): Array[Array[Double]] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got k=$k, iters=$iters)")
-    val init = emb.orderBy(col(idCol)).limit(k).select(col(embCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(init.length == k, s"need at least $k rows to seed $k centroids, got ${init.length}")
-    var cents = init
-    var it = 0
-    while (it < iters) {
-      cents = updateStep(emb, embCol, cents)
-      it += 1
-    }
-    cents
+    // every Lloyd round re-reads the input: cache the two needed columns
+    // once instead of re-scanning (and re-decoding) the source per round
+    val cached = emb.select(col(idCol), col(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = cached.orderBy(col(idCol)).limit(k).select(col(embCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(init.length == k, s"need at least $k rows to seed $k centroids, got ${init.length}")
+      var cents = init
+      var it = 0
+      while (it < iters) {
+        cents = updateStep(cached, embCol, cents)
+        it += 1
+      }
+      cents
+    } finally cached.unpersist(false)
   }
 
   /** Top-`nprobe` cell ids by (squared-L2 asc, cid asc) as an array of

@@ -318,6 +318,9 @@ object AsofJoinNative {
     val cur = spark.experimental.extraStrategies
     if (!cur.exists(_.isInstanceOf[AsofJoinStrategy.type]))
       spark.experimental.extraStrategies = cur :+ AsofJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.exists(_.isInstanceOf[AsofJoinOptimizations.type]))
+      spark.experimental.extraOptimizations = opts :+ AsofJoinOptimizations
   }
 
   /** Most-recent-row-per-key join: left-outer as-of on `keyCols` with

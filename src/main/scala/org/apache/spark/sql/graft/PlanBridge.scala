@@ -33,4 +33,10 @@ object PlanBridge {
       ext: org.apache.spark.sql.SparkSessionExtensions,
       spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark)
+
+  /** The optimizer rules an extensions entry point injects. */
+  def injectedOptimizerRules(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

@@ -27,4 +27,9 @@ class GraftExtensionsSpec extends SparkSpec {
     val strategies = PlanBridge.injectedStrategies(applied, spark)
     assert(strategies.exists(_ eq graft.plans.AsofJoinStrategy), strategies.toString)
   }
+
+  test("the as-of optimizer rule registers through the extension") {
+    val rules = PlanBridge.injectedOptimizerRules(applied, spark)
+    assert(rules.exists(_ eq graft.plans.AsofJoinOptimizations), rules.toString)
+  }
 }

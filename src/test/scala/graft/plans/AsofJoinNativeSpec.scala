@@ -145,6 +145,51 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(farFwd(1).getAs[Double]("value") == 12.0) // 30min gap
   }
 
+  test("optimizer: left-only filters push below the join; right-side filters do not") {
+    val left = Seq(
+      (1L, ts("2024-07-01 10:00:00"), 1L),
+      (2L, ts("2024-07-01 10:00:00"), 2L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-07-01 09:00:00"), 5.0),
+      (1L, ts("2024-07-01 08:00:00"), 99.0))
+      .toDF("user_id", "ts", "value")
+
+    def asofPlanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst { case a: AsofJoinPlan => a }.get
+
+    // left-only predicate: lands inside the join's left child
+    val pushed = AsofJoinNative(left, right, Seq("user_id"), "ts", "ts")
+      .filter($"event_id" === 1L)
+    val aj = asofPlanOf(pushed)
+    assert(aj.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.nonEmpty,
+      pushed.queryExecution.optimizedPlan.toString)
+    assert(pushed.queryExecution.optimizedPlan.collectFirst {
+      case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(_, _: AsofJoinPlan) => f
+    }.isEmpty, "left-only filter must not remain above the join")
+    assert(pushed.collect().map(_.getAs[Long]("event_id")).toSeq == Seq(1L))
+
+    // right-side predicate: must stay ABOVE the join — pushing it down
+    // would change which right row matches
+    val keptAbove = AsofJoinNative(left, right, Seq("user_id"), "ts", "ts")
+      .filter($"value" > 50.0)
+    val aj2 = asofPlanOf(keptAbove)
+    assert(aj2.right.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.isEmpty,
+      "right-side filter must never push into the right child")
+    // semantics check: the 09:00 row (value 5.0) is the match; the filter
+    // rejects it post-join — NOT falls back to the 08:00 row
+    assert(keptAbove.count() == 0)
+
+    // projection prunes unused columns out of both children
+    val pruned = AsofJoinNative(left, right, Seq("user_id"), "ts", "ts")
+      .select($"event_id")
+    val aj3 = asofPlanOf(pruned)
+    assert(!aj3.right.output.map(_.name).contains("value_r"),
+      aj3.right.output.map(_.name).mkString(","))
+  }
+
   test("plan: AsofJoinExec, no window, two exchanges; downstream per-key agg reuses the partitioning") {
     val left = Seq((1L, ts("2024-07-01 10:00:00"), 1L)).toDF("user_id", "ts", "event_id")
     val right = Seq((1L, ts("2024-07-01 09:00:00"), 5.0)).toDF("user_id", "ts", "value")
