@@ -247,16 +247,23 @@ case class AsofJoinExec(
                     }
                   }
                 }
+                // hi - lo is mathematically >= 0 on each side; a negative
+                // result is Long overflow (extreme LongType times) and
+                // saturates, so the far candidate can never win on wrap
+                def gapOrMax(hi: Long, lo: Long): Long = {
+                  val d = hi - lo
+                  if (d < 0) Long.MaxValue else d
+                }
                 // backward candidate: the last consumed row of this key
                 // with time <= lt (an exact-tie row lands here with d = 0)
                 val backOk = matchRow != null &&
                   keyOrd.compare(matchKey, lKey) == 0 &&
-                  tol.forall(t => lTimeVal - matchTime <= t)
+                  tol.forall(t => gapOrMax(lTimeVal, matchTime) <= t)
                 // forward candidate: the UNCONSUMED current right row —
                 // same key, time strictly > lt after the advance
                 val fwdOk = rCur != null && !rKey.anyNull && !rTimeIsNull &&
                   keyOrd.compare(rKey, lKey) == 0 &&
-                  tol.forall(t => rTimeVal - lTimeVal <= t)
+                  tol.forall(t => gapOrMax(rTimeVal, lTimeVal) <= t)
                 matched = dir match {
                   case AsofDirection.Backward =>
                     if (backOk) matchRow else null
@@ -267,8 +274,8 @@ case class AsofJoinExec(
                     else if (fwdOk) rCur
                     else null
                   case AsofDirection.Nearest =>
-                    val db = if (backOk) lTimeVal - matchTime else Long.MaxValue
-                    val df = if (fwdOk) rTimeVal - lTimeVal else Long.MaxValue
+                    val db = if (backOk) gapOrMax(lTimeVal, matchTime) else Long.MaxValue
+                    val df = if (fwdOk) gapOrMax(rTimeVal, lTimeVal) else Long.MaxValue
                     if (db == Long.MaxValue && df == Long.MaxValue) null
                     else if (db <= df) matchRow // ties prefer backward
                     else rCur
@@ -311,9 +318,10 @@ object AsofJoinExec {
 /** DataFrame-level entry point for the native as-of join. */
 object AsofJoinNative {
 
-  /** Register the planner strategy on an existing session (idempotent).
-    * Sessions built with `spark.sql.extensions=graft.functions.
-    * GraftExtensions` get it automatically. */
+  /** Register the planner strategy and the pushdown/pruning optimizer
+    * rule on an existing session (idempotent). Sessions built with
+    * `spark.sql.extensions=graft.functions.GraftExtensions` get both
+    * automatically. */
   def register(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.exists(_.isInstanceOf[AsofJoinStrategy.type]))
@@ -323,11 +331,14 @@ object AsofJoinNative {
       spark.experimental.extraOptimizations = opts :+ AsofJoinOptimizations
   }
 
-  /** Most-recent-row-per-key join: left-outer as-of on `keyCols` with
-    * `right(rightTsCol) <= left(leftTsCol)` (within `tolerance`, in the
-    * time column's physical unit — µs for timestamps). Output columns:
-    * all of `left`'s, then all of `right`'s (nullable). Right-side
-    * columns whose names collide with left ones are suffixed `_r`. */
+  /** Per-key as-of join, left-outer: each left row picks up the right
+    * row selected by `direction` — "backward" (default: most recent
+    * with right time <= left time), "forward" (earliest at-or-after),
+    * or "nearest" (closer of the two, ties backward) — within
+    * `tolerance`, in the time column's physical unit (µs for
+    * timestamps). Output columns: all of `left`'s, then all of
+    * `right`'s (nullable). Right-side columns whose names collide with
+    * left ones are suffixed `_r`. */
   def apply(
       left: DataFrame,
       right: DataFrame,

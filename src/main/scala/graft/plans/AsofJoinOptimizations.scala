@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -24,18 +24,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  - Column pruning inserts Projects under both children keeping only
   *    referenced output columns plus each side's keys and time column.
   */
-object AsofJoinOptimizations extends Rule[LogicalPlan] {
-
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
-    case other => Seq(other)
-  }
+object AsofJoinOptimizations extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // ---- left-only filter pushdown ----
     case f @ Filter(cond, aj: AsofJoinPlan) =>
       val leftSet = aj.left.outputSet
-      val (push, keep) = splitConjuncts(cond)
+      val (push, keep) = splitConjunctivePredicates(cond)
         .partition(p => p.deterministic && p.references.subsetOf(leftSet))
       if (push.isEmpty) f
       else {
@@ -45,22 +40,24 @@ object AsofJoinOptimizations extends Rule[LogicalPlan] {
 
     // ---- column pruning through the join ----
     case p @ Project(list, aj: AsofJoinPlan) if canPrune(list, aj) =>
-      val needed = AttributeSet(list.flatMap(_.references)) ++
-        AttributeSet(aj.leftKeys.flatMap(_.references)) ++
-        AttributeSet(aj.rightKeys.flatMap(_.references)) ++
-        aj.leftTime.references ++ aj.rightTime.references
+      val keep = needed(list, aj)
       def prune(child: LogicalPlan): LogicalPlan = {
-        val kept = child.output.filter(needed.contains)
+        val kept = child.output.filter(keep.contains)
         if (kept.length == child.output.length) child else Project(kept, child)
       }
       p.copy(child = aj.copy(left = prune(aj.left), right = prune(aj.right)))
   }
 
-  private def canPrune(list: Seq[NamedExpression], aj: AsofJoinPlan): Boolean = {
-    val needed = AttributeSet(list.flatMap(_.references)) ++
+  /** Everything the join itself consumes plus everything `list` needs —
+    * the single definition both the guard and the rewrite use. */
+  private def needed(list: Seq[NamedExpression], aj: AsofJoinPlan): AttributeSet =
+    AttributeSet(list.flatMap(_.references)) ++
       AttributeSet(aj.leftKeys.flatMap(_.references)) ++
       AttributeSet(aj.rightKeys.flatMap(_.references)) ++
       aj.leftTime.references ++ aj.rightTime.references
-    (aj.left.output ++ aj.right.output).exists(a => !needed.contains(a))
+
+  private def canPrune(list: Seq[NamedExpression], aj: AsofJoinPlan): Boolean = {
+    val keep = needed(list, aj)
+    (aj.left.output ++ aj.right.output).exists(a => !keep.contains(a))
   }
 }

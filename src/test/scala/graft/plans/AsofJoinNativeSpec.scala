@@ -186,8 +186,12 @@ class AsofJoinNativeSpec extends SparkSpec {
     val pruned = AsofJoinNative(left, right, Seq("user_id"), "ts", "ts")
       .select($"event_id")
     val aj3 = asofPlanOf(pruned)
-    assert(!aj3.right.output.map(_.name).contains("value_r"),
+    // right columns here are (user_id_r, ts_r, value) — only colliding
+    // names get the suffix; the unused payload column is "value"
+    assert(!aj3.right.output.map(_.name).contains("value"),
       aj3.right.output.map(_.name).mkString(","))
+    assert(!aj3.left.output.map(_.name).contains("ts") ||
+      aj3.left.output.map(_.name).toSet == Set("user_id", "ts", "event_id"))
   }
 
   test("plan: AsofJoinExec, no window, two exchanges; downstream per-key agg reuses the partitioning") {
