@@ -47,4 +47,28 @@ class VolumeSpec extends SparkSpec {
     val n = agg.getAs[Long]("n")
     assert(n >= 50 * 830 && n <= 50 * 840, s"n=$n")
   }
+
+  test("native as-of join over 1M x 100k rows, analytically checked") {
+    // right: per key (1000 keys), one row at each exact hour 0..99 whose
+    // value IS its epoch second → the expected as-of match for any left
+    // time t is floor(t to the hour)
+    val right = spark.range(100000)
+      .select(
+        (col("id") % 1000).as("k"),
+        timestamp_seconds(expr("id DIV 1000") * 3600).as("ts"),
+        (expr("id DIV 1000") * 3600).as("v"))
+    // left: 1M rows, times spread over the same 100-hour span
+    val left = spark.range(1000000)
+      .select(
+        (col("id") % 1000).as("k"),
+        timestamp_seconds((col("id") % 356400)).as("ts"),
+        col("id").as("event_id"))
+    val out = graft.plans.AsofJoinNative(left, right, Seq("k"), "ts", "ts")
+    val bad = out
+      .withColumn("t", unix_timestamp(col("ts")))
+      .filter(col("v").isNull || col("v") =!= (col("t") - col("t") % 3600))
+      .count()
+    assert(bad == 0)
+    assert(out.count() == 1000000)
+  }
 }
