@@ -70,13 +70,17 @@ object KMeansVec {
   def cellExpr(embCol: String, cents: Array[Array[Double]]): Column =
     element_at(probeCellsExpr(embCol, cents, 1), 1).getField("cid")
 
-  /** Squared L2 distance to one literal centroid, double left-to-right. */
+  /** Squared L2 distance to one literal centroid, double left-to-right —
+    * the fused vec_l2sq expression (codegen loop; VecL2SqSpec pins
+    * bit-equality with the HOF `aggregate(zip_with(...))` spelling this
+    * replaced, so oracle results are unchanged). Built directly as an
+    * expression: no function-registry dependency for library callers. */
   def dist2(embCol: String, cent: Array[Double]): Column = {
     val cArr = array(cent.toIndexedSeq.map(lit(_)): _*)
-    aggregate(
-      zip_with(col(embCol).cast("array<double>"), cArr, (x, c) => (x - c) * (x - c)),
-      lit(0.0),
-      (acc, v) => acc + v)
+    org.apache.spark.sql.graft.PlanBridge.column(
+      graft.functions.VecL2Sq(
+        org.apache.spark.sql.graft.PlanBridge.expression(col(embCol)),
+        org.apache.spark.sql.graft.PlanBridge.expression(cArr)))
   }
 
   /** One Lloyd update: assign every row map-side, then per-(cell, dim)

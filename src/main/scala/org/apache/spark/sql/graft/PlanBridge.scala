@@ -34,6 +34,15 @@ object PlanBridge {
       spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark)
 
+  /** Wrap a raw Catalyst expression as a Column (and back) — lets
+    * library code use custom expressions without a function-registry
+    * round trip on sessions that never registered them. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** The optimizer rules an extensions entry point injects. */
   def injectedOptimizerRules(
       ext: org.apache.spark.sql.SparkSessionExtensions,

@@ -17,10 +17,10 @@ class GraftExtensionsSpec extends SparkSpec {
     ext
   }
 
-  test("all five custom expressions register through the extension") {
+  test("all six custom expressions register through the extension") {
     val names = PlanBridge.injectedFunctionNames(applied).toSet
-    assert(Set("rolling_hash", "vec_dot", "minhash_sig", "trigram_stats", "simhash32")
-      .subsetOf(names), names.toString)
+    assert(Set("rolling_hash", "vec_dot", "minhash_sig", "trigram_stats",
+      "simhash32", "vec_l2sq").subsetOf(names), names.toString)
   }
 
   test("the as-of planner strategy registers through the extension") {
