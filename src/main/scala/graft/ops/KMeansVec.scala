@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism (the oracle hash-matches a DuckDB mirror):
   *  - init = embeddings of the k smallest ids (no RNG);
-  *  - distances accumulate left-to-right in double via the
-  *    zip_with/aggregate HOF shape, ties broken by lowest cell id;
+  *  - distances accumulate left-to-right in double via the fused
+  *    vec_l2sq expression (bit-equal with the zip_with/aggregate HOF
+  *    shape it replaced), ties broken by lowest cell id;
   *  - per-dim means use exact decimal(25,8) sums before the double
   *    division, so summation order can't flip a low bit.
   */
@@ -55,7 +56,7 @@ object KMeansVec {
   /** Top-`nprobe` cell ids by (squared-L2 asc, cid asc) as an array of
     * structs — multi-probe cell assignment for IVF-style indexes built
     * on these centroids. Map-side over literal arrays; the distance is
-    * the left-to-right HOF accumulation, identical to the DuckDB
+    * the left-to-right vec_l2sq accumulation, identical to the DuckDB
     * list_reduce spelling. */
   def probeCellsExpr(embCol: String, cents: Array[Array[Double]], nprobe: Int): Column = {
     val entries = cents.zipWithIndex.map { case (c, cid) =>
