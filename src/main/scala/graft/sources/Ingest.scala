@@ -146,7 +146,14 @@ object Ingest {
   def fromEra5NetCdf(
       spark: SparkSession,
       bytes: Array[Byte],
-      stationId: String, lat: Double, lon: Double): DataFrame = {
+      stationId: String, lat: Double, lon: Double): DataFrame =
+    fromEra5Rows(spark, era5CellSeries(bytes, lat, lon), stationId, lat, lon)
+
+  /** The pure per-file kernel behind [[fromEra5NetCdf]] /
+    * [[fromEra5NetCdfDir]]: (ts, kelvin) for the nearest grid cell.
+    * Driver- or executor-side; no Spark dependency. */
+  private[sources] def era5CellSeries(
+      bytes: Array[Byte], lat: Double, lon: Double): Seq[(java.sql.Timestamp, Double)] = {
     val f = NetCdf3.parse(bytes)
     val latVar = f.variable("latitude", "lat")
     val lonVar = f.variable("longitude", "lon")
@@ -180,7 +187,36 @@ object Ingest {
         val ts = new java.sql.Timestamp(Math.floorDiv(micros(t), 1000L))
         (ts, temps(t))
       }
-    fromEra5Rows(spark, rows, stationId, lat, lon)
+    rows
+  }
+
+  /** Distributed ERA5 ingest: every `.nc` file under `dir` is parsed ON
+    * AN EXECUTOR (binaryFile source → per-file [[era5CellSeries]]), so a
+    * decade of monthly grids fans out across the cluster instead of
+    * serializing through the driver — the 100 TB shape for an archive
+    * of NetCDF files. Per-file parse state is O(one cell series), never
+    * the grid; task memory is bounded by the largest single file's
+    * BYTES (binaryFile materializes each file's content), so shard huge
+    * archives into per-month files as ERA5 distribution already does. */
+  def fromEra5NetCdfDir(
+      spark: SparkSession,
+      dir: String,
+      stationId: String, lat: Double, lon: Double): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.nc")
+      .load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(bytes => era5CellSeries(bytes, lat, lon)))
+      .toDF("ts_utc", "t2m_k")
+    rows.select(
+      col("ts_utc"),
+      lit(stationId).as("station_id"),
+      lit(lat).as("lat"), lit(lon).as("lon"),
+      (col("t2m_k") - 273.15).as("temp_c"), // E2
+      lit("era5").as("source"),
+      lit(0L).as("qc_flags"))
   }
 
   /** S7: hybrid source routing — pick per-year source by cutoff date and

@@ -143,6 +143,31 @@ class NetCdf3Spec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("temp_c") - (282.0 - 273.15)) < 1e-9)
   }
 
+  test("fromEra5NetCdfDir parses every .nc file on executors and unions the rows") {
+    val work = java.nio.file.Files.createTempDirectory("graft_nc_dir")
+    def monthFile(baseHour: Int, n: Int): Array[Byte] = build(
+      dims = Seq(FDim("time", n), FDim("latitude", 1), FDim("longitude", 1)),
+      vars = Seq(
+        FVar("latitude", Seq(1), Nil, 5, Seq(40.5)),
+        FVar("longitude", Seq(2), Nil, 5, Seq(-74.0)),
+        FVar("time", Seq(0),
+          Seq(FAttr("units", 2, "hours since 2024-06-01 00:00:00")), 4,
+          (0 until n).map(i => (baseHour + i).toDouble)),
+        FVar("t2m", Seq(0, 1, 2), Nil, 3,
+          (0 until n).map(i => (280 + baseHour + i).toDouble))),
+      numRecs = 0)
+    java.nio.file.Files.write(work.resolve("m1.nc"), monthFile(0, 5))
+    java.nio.file.Files.write(work.resolve("m2.nc"), monthFile(5, 7))
+    java.nio.file.Files.write(work.resolve("ignored.txt"), Array[Byte](1, 2, 3))
+    val out = Ingest.fromEra5NetCdfDir(spark, work.toString, "KLGA", 40.7, -73.9)
+      .orderBy("ts_utc").collect()
+    assert(out.length == 12) // 5 + 7, the .txt filtered by the glob
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getAs[Double]("temp_c") - (280 + i - 273.15)) < 1e-9)
+    }
+    assert(out(0).getAs[String]("source") == "era5")
+  }
+
   test("NetCDF-4 (HDF5) files are rejected with a clear error") {
     val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a)
     val e = intercept[IllegalArgumentException] { NetCdf3.parse(hdf5) }
