@@ -286,6 +286,39 @@ object CoreQueries {
              |         THEN 1 ELSE 0 END AS keep
              |  FROM documents
              |) GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // O8: stratified sampling — per-stratum FRACTIONS (vs o7's one global
+    // rate and MixSampler's count quotas): each stratum keeps rows whose
+    // 60-bit doc_id hash, reduced mod 2^20, falls under floor(frac·2^20).
+    // Thresholds are driver-side integer literals (the fractions here are
+    // exact binary, so floor is exact), membership is a pure map-side
+    // predicate — no shuffle, no window, no per-stratum reducer; the
+    // sample of a 100 TB stratum costs a scan, and re-running it
+    // anywhere reproduces the same rows (content-hash, not RNG).
+    OracleQuery(
+      "o8_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        // fractions: src2 1/2, src3 1/4, src4 1/8 — unlisted strata drop
+        val thresholds = Map("src2" -> 524288L, "src3" -> 262144L, "src4" -> 131072L)
+        val th = thresholds.foldLeft(lit(null).cast("long")) { case (acc, (src, t)) =>
+          when($"source" === src, lit(t)).otherwise(acc)
+        }
+        Tables.documents(s, d)
+          .withColumn("hmod",
+            expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1048576"))
+          .filter($"hmod" < th)
+          .select($"doc_id", $"source", $"hmod")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source,
+             |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 AS hmod
+             |FROM documents
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 <
+             |  CASE source WHEN 'src2' THEN 524288 WHEN 'src3' THEN 262144
+             |              WHEN 'src4' THEN 131072 ELSE NULL END
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -363,6 +363,140 @@ object TextQueries {
              |FROM cand c JOIN bench_grams bg USING (gram)
              |GROUP BY c.doc_id HAVING count(*) >= 10
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Bloom-filter decontamination — text_decontaminate's 100 TB shape.
+    // That query broadcasts the benchmark gram SET; past ~10⁸ grams the
+    // set blows the broadcast budget, but its Bloom image (ops/Bloom,
+    // ~1 byte/gram) still fits. Two phases: (1) map-side Bloom prefilter
+    // drops most corpus grams with zero shuffle; (2) the EXACT gram join
+    // runs only over the survivors, so false positives cost one joined
+    // row each and false negatives cannot happen (recall is exact).
+    // The filter words, the candidate counts, AND the verified counts
+    // are all oracle-checked: DuckDB rebuilds the identical bit array.
+    // m = 2^14 bits on 2.7k bench grams → ~8% fpp, deliberately lossy
+    // so the verification stage is exercised (n_bloom_hits > n_overlap).
+    OracleQuery(
+      "text_decontaminate_bloom",
+      (s, d) => {
+        import s.implicits._
+        val mBits = 1 << 14
+        val docs = Tables.documents(s, d)
+        val grams = Shingles.wordTrigrams(docs)
+          .select($"doc_id", expr(Shingles.h60("gram")).as("gram"))
+          .distinct()
+        val bench = docs.filter($"source".isin("src0", "src1"))
+          .select($"doc_id".as("bench_id"))
+        val benchGrams = grams.join(bench, grams("doc_id") === bench("bench_id"))
+          .select($"gram").distinct()
+        val words = graft.ops.Bloom.build(benchGrams, "gram", mBits)
+        val train = grams.join(bench, grams("doc_id") === bench("bench_id"), "left_anti")
+        // phase 1: map-side Bloom gate; phase 2: exact verify — NO
+        // broadcast hint on purpose (at scale the bench set is the thing
+        // that did not fit; the join input is already Bloom-pruned)
+        train.filter(graft.ops.Bloom.mightContain(words, mBits, $"gram"))
+          .join(benchGrams.withColumn("hit", lit(1)), Seq("gram"), "left_outer")
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_bloom_hits"),
+            sum(coalesce($"hit", lit(0))).cast("long").as("n_overlap"))
+          .filter($"n_bloom_hits" >= 10)
+          .withColumn("contaminated", ($"n_overlap" >= 10).cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH grams AS (
+             |  SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |      generate_series(1, len(string_split(text, ' ')) - 2),
+             |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+             |    )) AS gram
+             |    FROM documents WHERE len(string_split(text, ' ')) >= 3
+             |  )
+             |), bench AS (
+             |  SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')
+             |), bench_grams AS (
+             |  SELECT DISTINCT g.gram FROM grams g JOIN bench b USING (doc_id)
+             |), words AS (
+             |  SELECT (pos >> 5) AS w, bit_or(1::BIGINT << CAST(pos & 31 AS INT)) AS bits FROM (
+             |    SELECT gram & 16383 AS pos FROM bench_grams
+             |    UNION ALL
+             |    SELECT (gram >> 14) & 16383 AS pos FROM bench_grams
+             |  ) GROUP BY 1
+             |), train AS (
+             |  SELECT g.doc_id, g.gram FROM grams g
+             |  WHERE g.doc_id NOT IN (SELECT doc_id FROM bench)
+             |), cand AS (
+             |  SELECT t.doc_id, t.gram FROM train t
+             |  JOIN words w1 ON w1.w = ((t.gram & 16383) >> 5)
+             |    AND ((w1.bits >> CAST(t.gram & 31 AS INT)) & 1) = 1
+             |  JOIN words w2 ON w2.w = (((t.gram >> 14) & 16383) >> 5)
+             |    AND ((w2.bits >> CAST((t.gram >> 14) & 31 AS INT)) & 1) = 1
+             |), bg AS (
+             |  SELECT gram, 1 AS hit FROM bench_grams
+             |)
+             |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits,
+             |  CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_overlap,
+             |  CAST(sum(coalesce(hit, 0)) >= 10 AS INT) AS contaminated
+             |FROM cand c LEFT JOIN bg USING (gram)
+             |GROUP BY c.doc_id HAVING count(*) >= 10
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Count-Min heavy hitters — text_hot_grams' 100 TB shape. That query
+    // counts EVERY gram exactly (salted against skew); this one builds a
+    // fixed-memory d×w sketch (ops/CountMin, 256 KB here) in one pass,
+    // then the exact groupBy runs ONLY over occurrences the sketch scores
+    // ≥ T — a few percent of the corpus — so no full-width gram shuffle
+    // ever happens. CMS never undercounts, so every true heavy hitter
+    // survives the gate (exact recall); collision-inflated candidates are
+    // discarded by the exact counts. Sketch cells are oracle-checked:
+    // DuckDB rebuilds the identical matrix from the same md5 bit slices.
+    OracleQuery(
+      "text_cms_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val w = 8192
+        val dRows = 4
+        val minOcc = 6
+        val grams = Shingles.wordTrigrams(Tables.documents(s, d))
+          .select($"gram", expr(Shingles.h60("gram")).as("g"))
+        val matrix = graft.ops.CountMin.build(grams, "g", w, dRows)
+        def est = graft.ops.CountMin.estimate(matrix, w, $"g")
+        grams
+          .filter(est >= minOcc) // map-side gate: only candidates shuffle
+          .groupBy($"gram", $"g")
+          .agg(count(lit(1)).as("n_occ"))
+          .filter($"n_occ" >= minOcc)
+          .select($"gram", $"n_occ", est.as("cms_est"))
+          .orderBy($"n_occ".desc, $"gram")
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, len(string_split(text, ' ')) - 2),
+             |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+             |  )) AS gram
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+             |), hg AS (
+             |  SELECT gram, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g FROM grams
+             |), cells AS (
+             |  SELECT row, pos, count(*) AS c FROM (
+             |    SELECT 0 AS row, (g >> 0) & 8191 AS pos FROM hg
+             |    UNION ALL SELECT 1 AS row, (g >> 13) & 8191 AS pos FROM hg
+             |    UNION ALL SELECT 2 AS row, (g >> 26) & 8191 AS pos FROM hg
+             |    UNION ALL SELECT 3 AS row, (g >> 39) & 8191 AS pos FROM hg
+             |  ) GROUP BY 1, 2
+             |), occ AS (
+             |  SELECT gram, g, count(*) AS n_occ FROM hg GROUP BY 1, 2
+             |)
+             |SELECT o.gram, CAST(o.n_occ AS BIGINT) AS n_occ,
+             |  CAST(least(c0.c, c1.c, c2.c, c3.c) AS BIGINT) AS cms_est
+             |FROM occ o
+             |JOIN cells c0 ON c0.row = 0 AND c0.pos = ((o.g >> 0) & 8191)
+             |JOIN cells c1 ON c1.row = 1 AND c1.pos = ((o.g >> 13) & 8191)
+             |JOIN cells c2 ON c2.row = 2 AND c2.pos = ((o.g >> 26) & 8191)
+             |JOIN cells c3 ON c3.row = 3 AND c3.pos = ((o.g >> 39) & 8191)
+             |WHERE least(c0.c, c1.c, c2.c, c3.c) >= 6 AND o.n_occ >= 6
+             |ORDER BY n_occ DESC, gram""".stripMargin)
     )
   )
 }
