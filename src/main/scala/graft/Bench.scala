@@ -66,7 +66,8 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = (results ++ asofBench(spark, sfDir) ++ sortedScanBench(spark, sfDir))
+    val qs = (results ++ asofBench(spark, sfDir) ++ sortedScanBench(spark, sfDir)
+      ++ zorderScanBench(spark, sfDir))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
@@ -139,5 +140,48 @@ object Bench {
     Seq(
       "scan_range_sorted_layout" -> timeRead(s"$tmp/sorted"),
       "scan_range_unsorted_layout" -> timeRead(s"$tmp/unsorted"))
+  }
+
+  /** Layout A/B #2: linear time-sort vs z-order (ops/ZOrder) on the same
+    * ×16-replicated events, read back with (a) a 1-day time predicate
+    * and (b) a narrow user predicate (~1% of ids). The linear layout
+    * wins (a) outright and loses (b) completely — every row group spans
+    * every user; the z layout prunes BOTH. Same 1 MB row groups as
+    * [[sortedScanBench]]; writes untimed; not part of `total`. */
+  private def zorderScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_zorder").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      hc.setInt("parquet.block.size", 1 << 20)
+      val events = graft.core.Tables.events(spark, sfDir)
+        .withColumn("rep", explode(expr("sequence(0, 15)")))
+        .withColumn("t", unix_timestamp(col("ts")))
+      graft.sources.Sinks.writeSortedBy(events, s"$tmp/linear", Seq("t"), numFiles = 8)
+      graft.ops.ZOrder.writeZOrderedBy(events, s"$tmp/zorder", "t", "user_id", numFiles = 8)
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    def timeRead(dir: String, pred: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(dir).filter(pred)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tPred = col("t").between(
+      java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime / 1000,
+      java.sql.Timestamp.valueOf("2024-01-11 00:00:00").getTime / 1000)
+    val uPred = col("user_id").between(100, 115)
+    Seq(s"$tmp/linear" -> tPred, s"$tmp/zorder" -> tPred,
+      s"$tmp/linear" -> uPred, s"$tmp/zorder" -> uPred)
+      .foreach { case (d, p) => timeRead(d, p) } // warm all four paths
+    Seq(
+      "scan_time_linear_layout" -> timeRead(s"$tmp/linear", tPred),
+      "scan_time_zorder_layout" -> timeRead(s"$tmp/zorder", tPred),
+      "scan_user_linear_layout" -> timeRead(s"$tmp/linear", uPred),
+      "scan_user_zorder_layout" -> timeRead(s"$tmp/zorder", uPred))
   }
 }

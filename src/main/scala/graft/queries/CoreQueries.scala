@@ -319,6 +319,59 @@ object CoreQueries {
              |  CASE source WHEN 'src2' THEN 524288 WHEN 'src3' THEN 262144
              |              WHEN 'src4' THEN 131072 ELSE NULL END
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // O9: z-order clustering key (ops/ZOrder) — Morton-interleave the
+    // bucketized (time, user) dims so one sort key gives row-group
+    // locality in BOTH; this query materializes the exact key the
+    // writeZOrderedBy sink sorts by (bounds from one broadcast agg, all
+    // integer arithmetic, bit-reproducible in the oracle). Ordering by
+    // zkey here IS the on-disk layout order, so the oracle checks the
+    // curve itself, not just the arithmetic.
+    OracleQuery(
+      "o9_zorder_key",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.events(s, d)
+          .select($"event_id", unix_timestamp($"ts").as("t"), $"user_id")
+        val bounds = base.agg(
+          min($"t").as("tmin"), max($"t").as("tmax"),
+          min($"user_id").as("umin"), max($"user_id").as("umax"))
+        base.crossJoin(broadcast(bounds))
+          .select($"event_id",
+            graft.ops.ZOrder.interleave16(
+              floor(($"t" - $"tmin") * 65536 / ($"tmax" - $"tmin" + 1)).cast("long"),
+              floor(($"user_id" - $"umin") * 65536 / ($"umax" - $"umin" + 1)).cast("long"))
+              .as("zkey"))
+          .orderBy($"zkey", $"event_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_id, user_id,
+             |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS t
+             |  FROM events
+             |), bounds AS (
+             |  SELECT min(t) AS tmin, max(t) AS tmax,
+             |    min(user_id) AS umin, max(user_id) AS umax FROM base
+             |), bk AS (
+             |  SELECT event_id,
+             |    CAST(floor((t - tmin) * 65536 / (tmax - tmin + 1)) AS BIGINT) AS bx,
+             |    CAST(floor((user_id - umin) * 65536 / (umax - umin + 1)) AS BIGINT) AS by
+             |  FROM base CROSS JOIN bounds
+             |), s1 AS (
+             |  SELECT event_id, ((bx | (bx << 8)) & 16711935) AS x1,
+             |    ((by | (by << 8)) & 16711935) AS y1 FROM bk
+             |), s2 AS (
+             |  SELECT event_id, ((x1 | (x1 << 4)) & 252645135) AS x2,
+             |    ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1
+             |), s3 AS (
+             |  SELECT event_id, ((x2 | (x2 << 2)) & 858993459) AS x3,
+             |    ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2
+             |), s4 AS (
+             |  SELECT event_id, ((x3 | (x3 << 1)) & 1431655765) AS x4,
+             |    ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3
+             |)
+             |SELECT event_id, (x4 | (y4 << 1)) AS zkey FROM s4
+             |ORDER BY zkey, event_id""".stripMargin)
     )
   )
 }
