@@ -505,6 +505,40 @@ object TextQueries {
              |JOIN cells c3 ON c3.row = 3 AND c3.pos = ((o.g >> 39) & 8191)
              |WHERE least(c0.c, c1.c, c2.c, c3.c) >= 6 AND o.n_occ >= 6
              |ORDER BY n_occ DESC, gram""".stripMargin)
+    ),
+
+    // BPE tokenization end-to-end (ops/BpeTrain + functions/BpeEncode):
+    // learn 40 merges from distributed word counts (one corpus shuffle,
+    // driver merge loop over the compact word-TYPE table), then encode
+    // every document map-side with the codegen'd kernel and report the
+    // per-source compression. 40 merges puts the testdata's 31-word
+    // vocabulary in the real subword regime — the most frequent words
+    // collapse to single tokens, rarer ones stay split — so
+    // chars_per_token lands strictly between character- and word-level.
+    // No DuckDB oracle — greedy rank-ordered merging is not expressible
+    // in SQL; BpeSpec pins the semantics (hand-computed merges,
+    // losslessness, codegen/interpreted parity) the way SketchBoundSpec
+    // covers the HLL/GK entries.
+    OracleQuery(
+      "text_bpe_tokens",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val merges = graft.ops.BpeTrain.train(docs, "text", nMerges = 40)
+        docs
+          .select($"source", $"text",
+            size(split($"text", " ")).cast("long").as("ws_tokens"),
+            size(graft.functions.BpeEncode.tokens($"text", merges)).cast("long").as("bpe_tokens"),
+            length(regexp_replace($"text", " ", "")).cast("long").as("n_chars"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"ws_tokens").cast("long").as("ws_tokens"),
+            sum($"bpe_tokens").cast("long").as("bpe_tokens"),
+            round(sum($"n_chars") / sum($"bpe_tokens").cast("double"), 4).as("chars_per_token"))
+          .orderBy($"source")
+      },
+      None
     )
   )
 }
