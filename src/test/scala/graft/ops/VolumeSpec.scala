@@ -71,4 +71,39 @@ class VolumeSpec extends SparkSpec {
     assert(bad == 0)
     assert(out.count() == 1000000)
   }
+
+  test("end-to-end corpus dedup over 1M docs with planted duplicate structure") {
+    // 800k unique docs (id-stamped words → disjoint trigram sets, so
+    // LSH bands cannot collide across docs) + 200k exact copies: doc
+    // 800000+b and 900000+b copy doc b for b < 100000. Expected
+    // components are fully analytic: 100k triples labeled by their base
+    // id, 700k singletons — and the WHOLE pipeline runs at volume
+    // (fused signatures, band buckets, bucket-size window, clique
+    // verification, connected components), not a subsample.
+    val docs = spark.range(1000000)
+      .select(col("id").as("doc_id"),
+        expr("""concat('a', CAST(CASE WHEN id >= 800000 THEN id % 100000 ELSE id END AS STRING),
+                       ' b', CAST(CASE WHEN id >= 800000 THEN id % 100000 ELSE id END AS STRING),
+                       ' c', CAST(CASE WHEN id >= 800000 THEN id % 100000 ELSE id END AS STRING),
+                       ' d', CAST(CASE WHEN id >= 800000 THEN id % 100000 ELSE id END AS STRING),
+                       ' e', CAST(CASE WHEN id >= 800000 THEN id % 100000 ELSE id END AS STRING))""")
+          .as("text"))
+
+    val labeled = DedupDocs(docs).cache()
+    assert(labeled.count() == 1000000)
+    assert(labeled.filter(col("is_survivor")).count() == 800000)
+
+    val sizes = labeled.groupBy(col("component")).agg(count(lit(1)).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("groups"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 700000L, 3L -> 100000L),
+      s"component size histogram $sizes")
+
+    // copies are labeled by their base doc, which survives
+    val wrongLabel = labeled
+      .filter(col("doc_id") >= 800000 && col("component") =!= col("doc_id") % 100000)
+      .count()
+    assert(wrongLabel == 0)
+    labeled.unpersist()
+  }
 }
