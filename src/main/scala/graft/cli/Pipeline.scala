@@ -128,6 +128,30 @@ object Pipeline {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[graft] dedup-batch: $byStatus → $outDir")
 
+    case "bpe-train" :: docsDir :: nMerges :: outDir :: Nil =>
+      // tokenizer artifact build: one corpus word-count shuffle, driver
+      // merge loop, then the merge list persists as the model of record
+      // (rank order IS the model — encode replays it by rank)
+      import org.apache.spark.sql.functions.{col, size, sum}
+      val docs = spark.read.parquet(docsDir)
+      val merges = graft.ops.BpeTrain.train(docs, "text", nMerges.toInt)
+      import spark.implicits._
+      merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+        .toDF("rank", "left", "right")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/merges")
+      val toks = docs.select(
+        size(graft.functions.BpeEncode.tokens(col("text"), merges)).cast("long").as("n"))
+        .agg(sum(col("n"))).head.getLong(0)
+      println(s"[graft] bpe-train: ${merges.size} merges, $toks corpus tokens → $outDir/merges")
+
+    case "write-zorder" :: inDir :: xCol :: yCol :: outDir :: Nil =>
+      // production 2-D layout: one sort key, row-group pruning on BOTH
+      // query dimensions (ops/ZOrder; the multi-column complement of
+      // the sorted layouts the other sinks default to)
+      val df = spark.read.parquet(inDir)
+      graft.ops.ZOrder.writeZOrderedBy(df, outDir, xCol, yCol)
+      println(s"[graft] wrote z-ordered ($xCol, $yCol) layout → $outDir")
+
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
@@ -140,7 +164,9 @@ object Pipeline {
            |  Pipeline eval-config <trainDir> <runDir> <configJson>
            |  Pipeline list-runs <runsRootDir>
            |  Pipeline dedup-docs <docsParquetDir> <outDir>
-           |  Pipeline dedup-batch <corpusParquetDir> <batchParquetDir> <outDir>""".stripMargin)
+           |  Pipeline dedup-batch <corpusParquetDir> <batchParquetDir> <outDir>
+           |  Pipeline bpe-train <docsParquetDir> <nMerges> <outDir>
+           |  Pipeline write-zorder <inParquetDir> <xCol> <yCol> <outDir>""".stripMargin)
       sys.exit(2)
   }
 }

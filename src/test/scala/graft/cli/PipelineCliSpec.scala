@@ -158,4 +158,27 @@ class PipelineCliSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
     assert(statuses == Map(10L -> "corpus_exact", 11L -> "admitted", 12L -> "batch_dup"))
   }
+
+  test("bpe-train persists the ranked merge list") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_bpe").toString
+    Seq((1L, "abc abc abc abc abc abd abd abd"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/docs")
+    Pipeline.run(spark, List("bpe-train", s"$work/docs", "10", s"$work/tok"))
+    val merges = spark.read.parquet(s"$work/tok/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    assert(merges.toSeq == Seq(("a", "b"), ("ab", "c"), ("ab", "d")))
+  }
+
+  test("write-zorder lays the table out by the 2-D curve and round-trips rows") {
+    val work = Files.createTempDirectory("graft_zo").toString
+    spark.range(5000)
+      .selectExpr("id", "id * 104729 % 86400 AS t", "id * 7919 % 500 AS u")
+      .write.mode("overwrite").parquet(s"$work/in")
+    Pipeline.run(spark, List("write-zorder", s"$work/in", "t", "u", s"$work/out"))
+    val back = spark.read.parquet(s"$work/out")
+    assert(back.count() == 5000)
+    assert(back.columns.sorted.toSeq == Seq("id", "t", "u"), "layout key must not leak")
+  }
 }
