@@ -60,11 +60,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // steady-state timing: two measured evaluations, keep the faster —
+    // the sf0.001 warmup compiles codegen but does not warm the target
+    // scale's file listings, footer reads, or shuffle buffers, and a
+    // single local-mode evaluation carries ±20% scheduler noise that
+    // would read as phantom round-over-round regressions
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try evalFully(name, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try evalFully(name, sfDir)
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = (results ++ asofBench(spark, sfDir) ++ sortedScanBench(spark, sfDir)
       ++ zorderScanBench(spark, sfDir))
@@ -165,23 +173,42 @@ object Bench {
       if (prevBlock == null) hc.unset("parquet.block.size")
       else hc.set("parquet.block.size", prevBlock)
     }
-    def timeRead(dir: String, pred: org.apache.spark.sql.Column): Double = {
+    // At local scale 32 cores decode this whole table in ~0.15s and the
+    // page cache is warm right after the writes, so WALL TIME cannot
+    // separate the layouts — the quantity row-group pruning actually
+    // changes, and the one that matters at 100 TB, is BYTES READ
+    // (pruned groups are never fetched). Each read therefore reports a
+    // (seconds, scanned-MB) pair; the *_mb entries carry the layout
+    // signal.
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    def measuredRead(dir: String, pred: org.apache.spark.sql.Column): (Double, Double) = {
+      spark.sparkContext.addSparkListener(listener)
+      bytesRead.set(0L)
       val t0 = System.nanoTime()
       spark.read.parquet(dir).filter(pred)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+      (secs, bytesRead.get() / 1e6)
     }
     val tPred = col("t").between(
       java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime / 1000,
       java.sql.Timestamp.valueOf("2024-01-11 00:00:00").getTime / 1000)
     val uPred = col("user_id").between(100, 115)
-    Seq(s"$tmp/linear" -> tPred, s"$tmp/zorder" -> tPred,
-      s"$tmp/linear" -> uPred, s"$tmp/zorder" -> uPred)
-      .foreach { case (d, p) => timeRead(d, p) } // warm all four paths
-    Seq(
-      "scan_time_linear_layout" -> timeRead(s"$tmp/linear", tPred),
-      "scan_time_zorder_layout" -> timeRead(s"$tmp/zorder", tPred),
-      "scan_user_linear_layout" -> timeRead(s"$tmp/linear", uPred),
-      "scan_user_zorder_layout" -> timeRead(s"$tmp/zorder", uPred))
+    val cases = Seq(
+      ("scan_time_linear_layout", s"$tmp/linear", tPred),
+      ("scan_time_zorder_layout", s"$tmp/zorder", tPred),
+      ("scan_user_linear_layout", s"$tmp/linear", uPred),
+      ("scan_user_zorder_layout", s"$tmp/zorder", uPred))
+    cases.foreach { case (_, d, p) => measuredRead(d, p) } // warm all four paths
+    cases.flatMap { case (name, d, p) =>
+      val (secs, mb) = measuredRead(d, p)
+      Seq(name -> secs, s"${name}_mb" -> mb)
+    }
   }
 }

@@ -305,4 +305,72 @@ object InvariantProps extends Properties("graft") {
       val expected = ((BigInt(ha) * BigInt(powMod(31, b.getBytes.length)) + BigInt(hb)) % BigInt(p)).toLong
       RollingHash.hash((a + b).getBytes) == expected
     }
+
+  private val hashSetGen = for {
+    nIn <- Gen.chooseNum(1, 60)
+    nOut <- Gen.chooseNum(1, 60)
+    mBits <- Gen.oneOf(1 << 10, 1 << 12, 1 << 14)
+    members <- Gen.listOfN(nIn, Gen.chooseNum(0L, (1L << 60) - 1))
+    others <- Gen.listOfN(nOut, Gen.chooseNum(0L, (1L << 60) - 1))
+  } yield (members.distinct, others.distinct.filterNot(members.toSet), mBits)
+
+  property("bloom: every member passes, whatever the hashes and size") =
+    forAll(hashSetGen) { case (members, _, mBits) =>
+      val df = members.toDF("h")
+      val words = graft.ops.Bloom.build(df, "h", mBits)
+      df.filter(!graft.ops.Bloom.mightContain(words, mBits, $"h")).count() == 0L
+    }
+
+  private val cmsGen = for {
+    nDistinct <- Gen.chooseNum(1, 30)
+    reps <- Gen.listOfN(nDistinct, Gen.chooseNum(1, 8))
+    keys <- Gen.listOfN(nDistinct, Gen.chooseNum(0L, (1L << 60) - 1))
+    w <- Gen.oneOf(1 << 8, 1 << 10)
+    d <- Gen.chooseNum(1, 4)
+  } yield (keys.distinct.zip(reps), w, d)
+
+  property("count-min: estimate >= true count for every key") =
+    forAll(cmsGen) { case (keyed, w, d) =>
+      val items = keyed.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("h")
+      val m = graft.ops.CountMin.build(items, "h", w, d)
+      val est = items.groupBy($"h").agg(count(lit(1)).as("n"))
+        .withColumn("e", graft.ops.CountMin.estimate(m, w, $"h"))
+        .collect()
+      est.forall(r => r.getLong(2) >= r.getLong(1))
+    }
+
+  private val mortonGen = Gen.listOfN(8,
+    Gen.zip(Gen.chooseNum(0, 65535), Gen.chooseNum(0, 65535)))
+
+  property("morton interleave: bijective (deinterleave round-trips)") =
+    forAll(mortonGen) { pts =>
+      val out = pts.toDF("x", "y")
+        .select($"x", $"y",
+          graft.ops.ZOrder.interleave16($"x".cast("long"), $"y".cast("long")).as("z"))
+        .collect()
+      def unspread(z: Long): Int = {
+        var v = 0; var i = 0
+        while (i < 16) { v |= (((z >> (2 * i)) & 1L) << i).toInt; i += 1 }
+        v
+      }
+      out.forall(r => unspread(r.getLong(2)) == r.getInt(0) &&
+        unspread(r.getLong(2) >> 1) == r.getInt(1))
+    }
+
+  private val bpeGen = for {
+    n <- Gen.chooseNum(1, 12)
+    words <- Gen.listOfN(n, Gen.listOfN(5, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    merges <- Gen.chooseNum(0, 8)
+  } yield (words.mkString(" "), merges)
+
+  property("bpe: tokenization is lossless and never longer than characters") =
+    forAll(bpeGen) { case (text, nMerges) =>
+      val docs = Seq(text).toDF("text")
+      val merges = graft.ops.BpeTrain.train(docs, "text", nMerges)
+      val r = docs.select(
+        concat_ws("", graft.functions.BpeEncode.tokens($"text", merges)).as("glued"),
+        size(graft.functions.BpeEncode.tokens($"text", merges)).as("n"))
+        .head
+      r.getString(0) == text.replace(" ", "") && r.getInt(1) <= text.replace(" ", "").length
+    }
 }
