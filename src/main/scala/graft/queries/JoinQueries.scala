@@ -258,6 +258,39 @@ object JoinQueries {
              |FROM lineitem JOIN quarters
              |  ON l_shipdate >= q_start AND l_shipdate < q_end
              |GROUP BY quarter ORDER BY quarter""".stripMargin)
+    ),
+
+    // Sketch-driven skew join (ops/SkewJoin): a synthetic hot key (every
+    // user below 30 collapses to key 0 — ~2% of users, ~2% of rows on
+    // one key) joins a derived dimension. A Count-Min pass over the
+    // fact finds the hot keys, the dimension's HOT SLICE broadcasts,
+    // cold keys take the ordinary shuffle join — physically split,
+    // semantically the plain inner join, which is exactly what the
+    // oracle states (regime equality is the checked property; the
+    // broadcast+shuffle plan split is pinned in SkewJoinSpec).
+    OracleQuery(
+      "j11_skew_join",
+      (s, d) => {
+        import s.implicits._
+        val fact = Tables.events(s, d)
+          .withColumn("k", when($"user_id" < 30, 0L).otherwise($"user_id"))
+        val dim = fact.select($"k").distinct()
+          .withColumn("label", concat(lit("u"), $"k"))
+        graft.ops.SkewJoin.inner(fact, dim, "k", hotThreshold = 500)
+          .groupBy($"k", $"label")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"value"), 4).as("sum_value"))
+          .orderBy($"k")
+      },
+      Some("""WITH fact AS (
+             |  SELECT CASE WHEN user_id < 30 THEN 0 ELSE user_id END AS k, value
+             |  FROM events
+             |), dim AS (
+             |  SELECT DISTINCT k, 'u' || CAST(k AS VARCHAR) AS label FROM fact
+             |)
+             |SELECT f.k, d.label, count(*) AS n, round(sum(f.value), 4) AS sum_value
+             |FROM fact f JOIN dim d ON f.k = d.k
+             |GROUP BY f.k, d.label ORDER BY f.k""".stripMargin)
     )
   )
 }

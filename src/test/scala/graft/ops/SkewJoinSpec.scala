@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skewedFact(n: Int) =
+    spark.range(n.toLong).select(
+      // key 7 takes 60% of rows; the rest spread over 200 cold keys
+      when($"id" % 10 < 6, 7L).otherwise($"id" % 200 + 100).as("k"),
+      ($"id" * 3 % 97).cast("double").as("v"))
+
+  private def dimOf(fact: org.apache.spark.sql.DataFrame) =
+    fact.select($"k").distinct().withColumn("label", concat(lit("n"), $"k"))
+
+  test("result equals the plain inner join exactly") {
+    val fact = skewedFact(20000)
+    val dim = dimOf(fact)
+    val got = SkewJoin.inner(fact, dim, "k", hotThreshold = 1000)
+      .groupBy($"k", $"label").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val ref = fact.join(dim, Seq("k"))
+      .groupBy($"k", $"label").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == ref)
+  }
+
+  test("hot slice broadcasts, cold remainder shuffles — both regimes in one plan") {
+    val fact = skewedFact(20000)
+    val out = SkewJoin.inner(fact, dimOf(fact), "k", hotThreshold = 1000)
+    // force execution so AQE finalizes strategies, then read the final plan
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"hot slice must broadcast:\n$plan")
+    // the cold remainder keeps a SEPARATE join (AQE may broadcast the
+    // small cold dim here too — the split itself is what is pinned)
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins >= 2, s"expected two join regimes in one plan:\n$plan")
+  }
+
+  test("no hot keys → single plain join; threshold bounds driver state") {
+    val uniform = spark.range(5000).select(($"id" % 500).as("k"), $"id".cast("double").as("v"))
+    val dim = dimOf(uniform)
+    val out = SkewJoin.inner(uniform, dim, "k", hotThreshold = 1000)
+    assert(out.count() == 5000)
+    // every key ~10 rows << 1000: the fast path is the plain join with
+    // no broadcast split (one join node in the analyzed plan)
+    val joins = out.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, "uniform data must not split regimes")
+  }
+}
