@@ -115,6 +115,44 @@ object Streams {
       .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
   }
 
+  /** Streaming decontamination gate: admit only documents whose trigram
+    * overlap with a benchmark Bloom filter (ops/Bloom, built offline
+    * from the held-out set) stays below `maxOverlap`. Entirely
+    * STATELESS — the filter words ride into the plan as a literal and
+    * the overlap count is one Column expression (trigrams via a
+    * transform HOF, membership via the same bit tests as the batch
+    * query), so the stream needs no watermark, no state store, and no
+    * shuffle; each micro-batch is a map-side pass. Bloom false
+    * positives can only over-count overlap (reject a clean doc, never
+    * admit a contaminated one) — the conservative direction for an
+    * intake gate; route rejects to the exact batch check if recall of
+    * clean docs matters.
+    */
+  def decontaminationStream(spark: SparkSession, dir: String,
+      bloomWords: Array[Long], mBits: Int, maxOverlap: Int = 10): DataFrame = {
+    val docs = spark.readStream
+      .schema(graft.schemas.Schemas.documents)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(dir)
+    docs.filter(bloomOverlap(col("text"), bloomWords, mBits) < maxOverlap)
+  }
+
+  /** Per-row count of DISTINCT text trigrams that hit the Bloom filter
+    * (distinct to match the batch query's per-doc gram de-dup). */
+  private[graft] def bloomOverlap(text: org.apache.spark.sql.Column,
+      bloomWords: Array[Long], mBits: Int): org.apache.spark.sql.Column = {
+    val ws = split(text, " ")
+    val gramHashes = transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+      i => {
+        val gram = concat_ws(" ",
+          element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))
+        conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+      })
+    size(filter(array_distinct(gramHashes),
+      g => graft.ops.Bloom.mightContain(bloomWords, mBits, g)))
+  }
+
   /** Drain-available-and-stop runner (batch-first engine; streaming is
     * incremental ingestion, not an always-on service). */
   def runAvailableNow(

@@ -132,4 +132,40 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(sink).select("doc_id").collect().map(_.getLong(0)).toSet
       == admitted + 9L)
   }
+
+  test("decontamination stream rejects bloom-overlapping docs, stateless, batch parity") {
+    val in = Files.createTempDirectory("graft_dc_in").toString
+    val ckpt = Files.createTempDirectory("graft_dc_ck").toString
+    val sink = Files.createTempDirectory("graft_dc_out").toString
+    def doc(id: Long, text: String) = (id, text, "en", "src9", text.length.toLong)
+
+    // benchmark set: one held-out document; its bloom is built OFFLINE
+    // (batch) exactly like text_decontaminate_bloom's filter
+    val benchText = (1 to 40).map(i => s"bench$i").mkString(" ")
+    val mBits = 1 << 14
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val benchGrams = graft.queries.Shingles.wordTrigrams(bench)
+      .select(expr(graft.queries.Shingles.h60("gram")).as("gram")).distinct()
+    val words = graft.ops.Bloom.build(benchGrams, "gram", mBits)
+
+    // contaminated = copies 20 bench trigrams; clean = disjoint vocab
+    val contaminated = (5 to 27).map(i => s"bench$i").mkString(" ")
+    val clean = (1 to 30).map(i => s"own$i").mkString(" ")
+    val rows = Seq(doc(1L, contaminated), doc(2L, clean))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    rows.coalesce(1).write.mode("append").parquet(in)
+
+    Streams.runAvailableNow(
+      Streams.decontaminationStream(spark, in, words, mBits, maxOverlap = 10),
+      ckpt, sink)
+    val admitted = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(2L), "contaminated doc must be rejected, clean admitted")
+
+    // parity with the batch spelling of the same per-row expression
+    val batch = rows
+      .filter(Streams.bloomOverlap(col("text"), words, mBits) < 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == admitted)
+  }
 }
