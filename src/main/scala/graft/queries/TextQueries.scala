@@ -507,6 +507,99 @@ object TextQueries {
              |ORDER BY n_occ DESC, gram""".stripMargin)
     ),
 
+    // Overlapping-window chunking — the context-window prep step that
+    // dedup_passage's disjoint windows don't cover: 64-token chunks on a
+    // 48-token stride (16 tokens of overlap carry context across chunk
+    // boundaries), each fingerprinted for downstream chunk-level dedup.
+    // Pure map-side work: the chunk fan-out is an explode over a
+    // per-row sequence + slice of the already-split token array — no
+    // window, no shuffle until the final ORDER BY.
+    OracleQuery(
+      "text_chunk_overlap",
+      (s, d) => {
+        import s.implicits._
+        val W = 64
+        val S = 48
+        Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .withColumn("n", size($"ws"))
+          .select($"doc_id", $"ws",
+            explode(sequence(lit(0),
+              when($"n" <= W, lit(0))
+                .otherwise(ceil(($"n" - W) / lit(S.toDouble))).cast("int"))).as("chunk_idx"))
+          .select($"doc_id", $"chunk_idx",
+            expr(s"slice(ws, chunk_idx * $S + 1, $W)").as("chunk"))
+          .select($"doc_id", $"chunk_idx",
+            size($"chunk").as("chunk_tokens"),
+            md5(concat_ws(" ", $"chunk")).as("fp"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws,
+             |    len(string_split(text, ' ')) AS n
+             |  FROM documents
+             |), chunks AS (
+             |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             |    ws[(i*48+1):(i*48+64)] AS chunk
+             |  FROM toks, unnest(generate_series(0,
+             |    CAST(CASE WHEN n <= 64 THEN 0 ELSE ceil((n - 64) / 48.0) END AS INT))) AS t(i)
+             |)
+             |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS chunk_tokens,
+             |  md5(array_to_string(chunk, ' ')) AS fp
+             |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
+    // TF-IDF top terms per document — the classic relevance scoring a
+    // corpus pipeline uses for keyword extraction and quality signals.
+    // Scale shape: term frequencies and document frequencies are two
+    // map-side-combined aggregates (a boilerplate-hot word is the
+    // SaltedAgg case; at this vocabulary it is unnecessary), the corpus
+    // size joins in as one broadcast scalar, and the top-3 window
+    // partitions by doc_id — millions of tiny partitions, never one
+    // reducer. Scores round to 4 BEFORE ranking so ties break
+    // identically in both engines.
+    OracleQuery(
+      "text_tfidf_topterms",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val words = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+        val tf = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+        val df = words.select($"doc_id", $"w").distinct()
+          .groupBy($"w").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val ranked = tf.join(df, "w")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            round($"tf" * (log(($"n" + 1) / ($"df" + 1.0)) + 1), 4))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"doc_id").orderBy($"score".desc, $"w")))
+          .filter($"rnk" <= 3)
+        ranked.select($"doc_id", $"w", $"score", $"rnk".cast("int").as("rnk"))
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+             |), tf AS (
+             |  SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2
+             |), df AS (
+             |  SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1
+             |), n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.w,
+             |    round(tf.tf * (ln((n.n + 1) / (df.df + 1.0)) + 1), 4) AS score
+             |  FROM tf JOIN df USING (w) CROSS JOIN n
+             |), ranked AS (
+             |  SELECT doc_id, w, score,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+             |  FROM scored
+             |)
+             |SELECT doc_id, w, score, CAST(rnk AS INT) AS rnk
+             |FROM ranked WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin)
+    ),
+
     // BPE tokenization end-to-end (ops/BpeTrain + functions/BpeEncode):
     // learn 40 merges from distributed word counts (one corpus shuffle,
     // driver merge loop over the compact word-TYPE table), then encode
