@@ -130,4 +130,43 @@ class PlanSpec extends SparkSpec {
     assert(fin.contains("isFinalPlan=true"))
     assert(fin.contains("*(1) HashAggregate") || fin.contains("WholeStageCodegen"))
   }
+
+  test("CMS heavy hitters: the sketch gate filters BELOW the gram exchange") {
+    // the whole point of the sketch is that the full-width gram shuffle
+    // never runs: the estimate>=T filter must sit on the scan side of
+    // the aggregate exchange, so only candidate occurrences shuffle
+    val p = plan(Registry.queries("text_cms_heavy_hitters")(spark, sf))
+    val lines = p.linesIterator.toIndexedSeq
+    val firstExchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val gateFilter = lines.indexWhere(l => l.contains("Filter") && l.contains("least("))
+    assert(firstExchange >= 0 && gateFilter >= 0,
+      s"expected both an exchange and the CMS gate filter in:\n$p")
+    assert(gateFilter > firstExchange,
+      "printed plans are top-down: the gate (deeper) must print AFTER " +
+        s"the exchange that consumes it — gate line $gateFilter, exchange line $firstExchange:\n$p")
+  }
+
+  test("bloom decontamination: membership test is a scan-side filter, not a join") {
+    val p = plan(Registry.queries("text_decontaminate_bloom")(spark, sf))
+    // probing the literal word array shows up as shiftright over an
+    // element_at inside a Filter — before any join consumes the grams
+    assert(p.contains("shiftright"), s"bloom probe missing from plan:\n$p")
+    // exactly one verification join path against the bench grams (plus
+    // the left-anti-free structure: no join before the bloom filter)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("z-order key query: no window operator, bounds broadcast once") {
+    val p = plan(Registry.queries("o9_zorder_key")(spark, sf))
+    assert(!p.contains("Window"), s"zkey must not need a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row bounds should broadcast:\n$p")
+  }
+
+  test("stratified sample is a pure map-side filter: zero exchanges before the sort") {
+    val p = plan(Registry.queries("o8_stratified_sample")(spark, sf))
+    // the only exchange allowed is the final ORDER BY rangepartitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"stratified sampling must not shuffle:\n$p")
+  }
 }
