@@ -75,6 +75,10 @@ object ZOrder {
     val Array(b) = df.agg(
       min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).collect()
+    if (b.isNullAt(0)) { // empty input: nothing to cluster, keep the write
+      df.write.mode("overwrite").parquet(dir)
+      return
+    }
     val z = zkey(col(xCol).cast("long"), b.getLong(0), b.getLong(1),
       col(yCol).cast("long"), b.getLong(2), b.getLong(3))
     val keyed = df.withColumn("__z", z)

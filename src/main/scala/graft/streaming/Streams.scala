@@ -142,8 +142,11 @@ object Streams {
   private[graft] def bloomOverlap(text: org.apache.spark.sql.Column,
       bloomWords: Array[Long], mBits: Int): org.apache.spark.sql.Column = {
     val ws = split(text, " ")
-    val gramHashes = transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+    // guard the short-doc case explicitly: sequence(1, 0) is Spark's
+    // DESCENDING [1, 0], whose i=0 would crash element_at under ANSI
+    val idx = when(size(ws) >= 3, sequence(lit(1), size(ws) - 2))
+      .otherwise(array().cast("array<int>"))
+    val gramHashes = transform(idx,
       i => {
         val gram = concat_ws(" ",
           element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))

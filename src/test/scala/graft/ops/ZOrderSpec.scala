@@ -30,6 +30,13 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrderedBy on an empty frame writes an empty table, no NPE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_empty").toString
+    ZOrder.writeZOrderedBy(Seq.empty[(Long, Long)].toDF("t", "u"), dir, "t", "u")
+    assert(spark.read.parquet(dir).count() == 0)
+  }
+
   test("bucket is exact at the bounds and monotone") {
     import spark.implicits._
     val min = 1700000000L

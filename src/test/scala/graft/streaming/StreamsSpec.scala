@@ -151,7 +151,10 @@ class StreamsSpec extends SparkSpec {
     // contaminated = copies 20 bench trigrams; clean = disjoint vocab
     val contaminated = (5 to 27).map(i => s"bench$i").mkString(" ")
     val clean = (1 to 30).map(i => s"own$i").mkString(" ")
-    val rows = Seq(doc(1L, contaminated), doc(2L, clean))
+    // docs below trigram length have zero overlap by definition and must
+    // not crash the index arithmetic (sequence(1,0) is DESCENDING)
+    val rows = Seq(doc(1L, contaminated), doc(2L, clean),
+        doc(3L, "two words"), doc(4L, ""))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     rows.coalesce(1).write.mode("append").parquet(in)
 
@@ -160,7 +163,8 @@ class StreamsSpec extends SparkSpec {
       ckpt, sink)
     val admitted = spark.read.parquet(sink).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    assert(admitted == Set(2L), "contaminated doc must be rejected, clean admitted")
+    assert(admitted == Set(2L, 3L, 4L),
+      "contaminated doc must be rejected; clean and sub-trigram docs admitted")
 
     // parity with the batch spelling of the same per-row expression
     val batch = rows
