@@ -372,6 +372,30 @@ object CoreQueries {
              |)
              |SELECT event_id, (x4 | (y4 << 1)) AS zkey FROM s4
              |ORDER BY zkey, event_id""".stripMargin)
+    ),
+
+    // O10: dense global row ids — the DataFrame-world zipWithIndex.
+    // A new corpus batch needs contiguous stable ids in a deterministic
+    // order, and row_number() over a GLOBAL window is one reducer
+    // sorting the world. Routes through ops/PrefixSum with a constant
+    // group and unit weights: range-bucketed two-pass offsets, the only
+    // window partitioned by (group, bucket) — 64-way parallel — while
+    // the assigned ids equal the global row_number exactly (which is
+    // precisely what the oracle states).
+    OracleQuery(
+      "o10_global_index",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("g", lit(0)).withColumn("one", lit(1L))
+        graft.ops.PrefixSum
+          .withCumsum(docs, "g", "doc_id", "one", outCol = "global_id", buckets = 64)
+          .select($"doc_id", $"source", $"global_id")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source,
+             |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS global_id
+             |FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }
