@@ -118,22 +118,34 @@ object Bench {
     * files without the replication). Setup (the writes) is not timed,
     * and the pair is NOT part of `total` — it is a layout A/B, not an
     * operator timing. */
-  private def sortedScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+  /** Shared layout-bench setup: the ×16-replicated events frame written
+    * through `writes` with 1 MB row groups (many groups per file — the
+    * shape where footer min/max pruning decides the read; at production
+    * scale the 128 MB default gives the same multi-group files without
+    * the replication) and micros timestamps (INT96 blocks predicate
+    * pushdown). Block size restored afterwards. */
+  private def withReplicatedEvents(spark: SparkSession, sfDir: String)(
+      writes: org.apache.spark.sql.DataFrame => Unit): Unit = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_layout").toString
     val hc = spark.sparkContext.hadoopConfiguration
     val prevBlock = hc.get("parquet.block.size")
-    // INT96 timestamps don't support predicate pushdown; micros do
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try {
       hc.setInt("parquet.block.size", 1 << 20)
-      val events = graft.core.Tables.events(spark, sfDir)
-        .withColumn("rep", explode(expr("sequence(0, 15)")))
-      graft.sources.Sinks.writeSortedBy(events, s"$tmp/sorted", Seq("ts"), numFiles = 8)
-      events.repartition(8).write.mode("overwrite").parquet(s"$tmp/unsorted")
+      writes(graft.core.Tables.events(spark, sfDir)
+        .withColumn("rep", explode(expr("sequence(0, 15)"))))
     } finally {
       if (prevBlock == null) hc.unset("parquet.block.size")
       else hc.set("parquet.block.size", prevBlock)
+    }
+  }
+
+  private def sortedScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_layout").toString
+    withReplicatedEvents(spark, sfDir) { events =>
+      graft.sources.Sinks.writeSortedBy(events, s"$tmp/sorted", Seq("ts"), numFiles = 8)
+      events.repartition(8).write.mode("overwrite").parquet(s"$tmp/unsorted")
     }
     def timeRead(dir: String): Double = {
       val t0 = System.nanoTime()
@@ -159,19 +171,10 @@ object Bench {
   private def zorderScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench_zorder").toString
-    val hc = spark.sparkContext.hadoopConfiguration
-    val prevBlock = hc.get("parquet.block.size")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try {
-      hc.setInt("parquet.block.size", 1 << 20)
-      val events = graft.core.Tables.events(spark, sfDir)
-        .withColumn("rep", explode(expr("sequence(0, 15)")))
-        .withColumn("t", unix_timestamp(col("ts")))
+    withReplicatedEvents(spark, sfDir) { base =>
+      val events = base.withColumn("t", unix_timestamp(col("ts")))
       graft.sources.Sinks.writeSortedBy(events, s"$tmp/linear", Seq("t"), numFiles = 8)
       graft.ops.ZOrder.writeZOrderedBy(events, s"$tmp/zorder", "t", "user_id", numFiles = 8)
-    } finally {
-      if (prevBlock == null) hc.unset("parquet.block.size")
-      else hc.set("parquet.block.size", prevBlock)
     }
     // At local scale 32 cores decode this whole table in ~0.15s and the
     // page cache is warm right after the writes, so WALL TIME cannot

@@ -132,17 +132,16 @@ object Pipeline {
       // tokenizer artifact build: one corpus word-count shuffle, driver
       // merge loop, then the merge list persists as the model of record
       // (rank order IS the model — encode replays it by rank)
-      import org.apache.spark.sql.functions.{col, size, sum}
       val docs = spark.read.parquet(docsDir)
       val merges = graft.ops.BpeTrain.train(docs, "text", nMerges.toInt)
       import spark.implicits._
       merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
         .toDF("rank", "left", "right")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/merges")
-      val toks = docs.select(
-        size(graft.functions.BpeEncode.tokens(col("text"), merges)).cast("long").as("n"))
-        .agg(sum(col("n"))).head.getLong(0)
-      println(s"[graft] bpe-train: ${merges.size} merges, $toks corpus tokens → $outDir/merges")
+      // no corpus re-scan here: encoding every doc just to log a token
+      // count would double the job; token stats are a query
+      // (text_bpe_tokens), not a training side effect
+      println(s"[graft] bpe-train: ${merges.size} merges → $outDir/merges")
 
     case "write-zorder" :: inDir :: xCol :: yCol :: outDir :: Nil =>
       // production 2-D layout: one sort key, row-group pruning on BOTH

@@ -36,15 +36,19 @@ object SkewJoin {
       hotThreshold: Long, w: Int = 4096, d: Int = 4): DataFrame = {
     require(hotThreshold > 0, "hotThreshold must be positive")
     // 60-bit md5-derived hash (not xxhash64: CountMin's bit-sliced rows
-    // need uniform independent bits, and this spelling is the library's
-    // one shared hash contract)
-    val h = expr(s"CAST(conv(substr(md5(CAST($key AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-    val cms = CountMin.build(fact.select(h.as("h")), "h", w, d)
+    // need uniform independent bits) — the library's one shared hash
+    // spelling, so the sketch and every oracle query stay on one contract
+    val h = expr(graft.queries.Shingles.h60(s"CAST($key AS STRING)"))
+    // null keys never match an inner join; they must also never reach
+    // the sketch (a null hash would explode to null cells and NPE the
+    // matrix densify)
+    val cms = CountMin.build(
+      fact.filter(col(key).isNotNull).select(h.as("h")), "h", w, d)
     val est = CountMin.estimate(cms, w, h)
 
     // the hot-key SET: bounded driver state (≤ count/threshold true-hot
     // keys; sketch overshoot admits at most the same order again)
-    val hotKeys = fact.filter(est >= hotThreshold)
+    val hotKeys = fact.filter(col(key).isNotNull && est >= hotThreshold)
       .select(col(key)).distinct().collect().map(_.get(0))
 
     if (hotKeys.isEmpty) fact.join(dim, Seq(key))

@@ -49,15 +49,17 @@ object ZOrder {
     * inclusive driver-known bounds of v. */
   def bucket(v: Column, min: Long, max: Long): Column = {
     require(max >= min, s"empty bucket range [$min, $max]")
-    val span = max - min + 1
-    require(span.toDouble * (1L << DimBits) < (1L << 53).toDouble,
+    // overflow-proof guard: a near-full-range long column would wrap
+    // `max - min + 1` and sail past a naive long-arithmetic check
+    val span = BigInt(max) - BigInt(min) + 1
+    require(span * (1L << DimBits) < (BigInt(1) << 53),
       s"range $span too wide for exact bucket math at 2^$DimBits buckets")
     // Divide is double-typed in both engines; floor is EXACT here because
     // the numerator stays under 2^53 and the true quotient is at least
     // 1/span away from the next integer when not integral — far wider
     // than the quotient's ulp. Both engines round identically, so the
     // oracle can reproduce the bucket bit-for-bit with the same spelling.
-    floor((v - lit(min)) * lit(1L << DimBits) / lit(span)).cast("long")
+    floor((v - lit(min)) * lit(1L << DimBits) / lit(span.toLong)).cast("long")
   }
 
   /** The z key for two long-valued columns with driver-known bounds. */
@@ -75,7 +77,10 @@ object ZOrder {
     val Array(b) = df.agg(
       min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).collect()
-    if (b.isNullAt(0)) { // empty input: nothing to cluster, keep the write
+    // no usable bounds on EITHER dim (empty input, or a dim that is
+    // all-null / not castable to long): nothing to cluster, keep the
+    // write — and treat both dims the same way
+    if ((0 to 3).exists(b.isNullAt)) {
       df.write.mode("overwrite").parquet(dir)
       return
     }

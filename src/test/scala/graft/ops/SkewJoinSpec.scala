@@ -8,8 +8,11 @@ class SkewJoinSpec extends SparkSpec {
 
   private def skewedFact(n: Int) =
     spark.range(n.toLong).select(
-      // key 7 takes 60% of rows; the rest spread over 200 cold keys
-      when($"id" % 10 < 6, 7L).otherwise($"id" % 200 + 100).as("k"),
+      // key 7 takes 60% of rows; the rest spread over 200 cold keys;
+      // every 97th row has a NULL key (must not NPE the sketch build —
+      // inner-join semantics drop them regardless)
+      when($"id" % 97 === 0, lit(null).cast("long"))
+        .when($"id" % 10 < 6, 7L).otherwise($"id" % 200 + 100).as("k"),
       ($"id" * 3 % 97).cast("double").as("v"))
 
   private def dimOf(fact: org.apache.spark.sql.DataFrame) =
@@ -30,8 +33,10 @@ class SkewJoinSpec extends SparkSpec {
   test("hot slice broadcasts, cold remainder shuffles — both regimes in one plan") {
     val fact = skewedFact(20000)
     val out = SkewJoin.inner(fact, dimOf(fact), "k", hotThreshold = 1000)
-    // force execution so AQE finalizes strategies, then read the final plan
-    out.write.format("noop").mode("overwrite").save()
+    // the INITIAL plan is the right thing to pin here: the hot side's
+    // strategy comes from the explicit broadcast() hint, fixed before
+    // AQE ever runs (a noop write would execute a separate
+    // QueryExecution and leave this one un-finalized anyway)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"hot slice must broadcast:\n$plan")
     // the cold remainder keeps a SEPARATE join (AQE may broadcast the
