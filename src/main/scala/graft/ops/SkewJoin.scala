@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Skew-robust inner equi-join, driven by the Count-Min sketch: one
+/** Skew-robust equi-join (inner or left-outer), driven by the
+  * Count-Min sketch: one
   * fixed-memory sketch pass over the fact side finds the hot keys, the
   * dimension rows for JUST those keys broadcast (the hot slice of a
   * dimension is tiny even when the whole dimension is not
@@ -33,15 +34,27 @@ object SkewJoin {
     * @return exactly `fact.join(dim, Seq(key))`, skew-split physically
     */
   def inner(fact: DataFrame, dim: DataFrame, key: String,
-      hotThreshold: Long, w: Int = 4096, d: Int = 4): DataFrame = {
+      hotThreshold: Long, w: Int = 4096, d: Int = 4): DataFrame =
+    split(fact, dim, key, hotThreshold, w, d, "inner")
+
+  /** Left-outer variant: unmatched fact rows (including null keys)
+    * survive with null dim columns, exactly as in the plain left join —
+    * both the hot and cold regimes preserve their left side, so the
+    * union is the full fact. */
+  def leftOuter(fact: DataFrame, dim: DataFrame, key: String,
+      hotThreshold: Long, w: Int = 4096, d: Int = 4): DataFrame =
+    split(fact, dim, key, hotThreshold, w, d, "left_outer")
+
+  private def split(fact: DataFrame, dim: DataFrame, key: String,
+      hotThreshold: Long, w: Int, d: Int, joinType: String): DataFrame = {
     require(hotThreshold > 0, "hotThreshold must be positive")
     // 60-bit md5-derived hash (not xxhash64: CountMin's bit-sliced rows
     // need uniform independent bits) — the library's one shared hash
     // spelling, so the sketch and every oracle query stay on one contract
     val h = expr(graft.queries.Shingles.h60(s"CAST($key AS STRING)"))
-    // null keys never match an inner join; they must also never reach
-    // the sketch (a null hash would explode to null cells and NPE the
-    // matrix densify)
+    // null keys match nothing in either join type; they must also never
+    // reach the sketch (a null hash would explode to null cells and NPE
+    // the matrix densify). In left_outer they re-enter via the cold side.
     val cms = CountMin.build(
       fact.filter(col(key).isNotNull).select(h.as("h")), "h", w, d)
     val est = CountMin.estimate(cms, w, h)
@@ -51,13 +64,13 @@ object SkewJoin {
     val hotKeys = fact.filter(col(key).isNotNull && est >= hotThreshold)
       .select(col(key)).distinct().collect().map(_.get(0))
 
-    if (hotKeys.isEmpty) fact.join(dim, Seq(key))
+    if (hotKeys.isEmpty) fact.join(dim, Seq(key), joinType)
     else {
       val isHot = col(key).isin(hotKeys.toIndexedSeq: _*)
       val hotSide = fact.filter(isHot)
-        .join(broadcast(dim.filter(isHot)), Seq(key))
+        .join(broadcast(dim.filter(isHot)), Seq(key), joinType)
       val coldSide = fact.filter(!isHot || col(key).isNull)
-        .join(dim, Seq(key))
+        .join(dim, Seq(key), joinType)
       hotSide.unionByName(coldSide)
     }
   }

@@ -46,6 +46,21 @@ class SkewJoinSpec extends SparkSpec {
     assert(joins >= 2, s"expected two join regimes in one plan:\n$plan")
   }
 
+  test("left-outer equals the plain left join: unmatched facts and null keys survive") {
+    val fact = skewedFact(20000)
+    // dim missing a third of the keys → real unmatched-left rows
+    val dim = dimOf(fact).filter($"k" % 3 =!= 0)
+    def summarize(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"k", $"label").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getDouble(3))).toSet
+    val got = summarize(SkewJoin.leftOuter(fact, dim, "k", hotThreshold = 1000))
+    val ref = summarize(fact.join(dim, Seq("k"), "left_outer"))
+    assert(got == ref)
+    // the full fact survives — nothing dropped by the regime split
+    assert(SkewJoin.leftOuter(fact, dim, "k", 1000).count() == fact.count())
+  }
+
   test("no hot keys → single plain join; threshold bounds driver state") {
     val uniform = spark.range(5000).select(($"id" % 500).as("k"), $"id".cast("double").as("v"))
     val dim = dimOf(uniform)
