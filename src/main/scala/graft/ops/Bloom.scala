@@ -66,7 +66,10 @@ object Bloom {
       k: Int = DefaultK): Array[Long] = {
     checkParams(mBits, k)
     val h = col(hashCol)
-    val probes = hashes.select(explode(array(positions(h, mBits, k): _*)).as("pos"))
+    // null hashes carry no membership information and would densify as
+    // null word indices — drop them here so every caller is safe
+    val probes = hashes.filter(h.isNotNull)
+      .select(explode(array(positions(h, mBits, k): _*)).as("pos"))
     val words = probes
       .select(shiftright(col("pos"), 5).cast("int").as("w"),
         call_function("shiftleft", lit(1L), col("pos").bitwiseAND(lit(31L)).cast("int")).as("bit"))

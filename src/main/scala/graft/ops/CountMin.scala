@@ -49,7 +49,9 @@ object CountMin {
     * aggregate; absent cells densify to 0. */
   def build(items: DataFrame, hashCol: String, w: Int, d: Int): Array[Array[Long]] = {
     val h = col(hashCol)
-    val cells = items
+    // null hashes count nothing and would densify as null cells — drop
+    // them here so every caller is safe
+    val cells = items.filter(h.isNotNull)
       .select(posexplode(array(positions(h, w, d): _*)).as(Seq("row", "pos")))
       .groupBy(col("row"), col("pos")).agg(count(lit(1)).as("c"))
       .collect()

@@ -66,6 +66,17 @@ class SketchGateSpec extends SparkSpec {
     }
   }
 
+  test("null hashes are ignored by both builders, not NPEs") {
+    import spark.implicits._
+    val withNulls = Seq(Some(42L), None, Some(7L), None).toDF("h")
+    val words = Bloom.build(withNulls, "h", 1 << 10)
+    assert(words.exists(_ != 0L), "non-null members still inserted")
+    val m = CountMin.build(withNulls, "h", 1 << 8, d = 2)
+    val est = Seq(42L).toDF("h")
+      .select(CountMin.estimate(m, 1 << 8, col("h"))).head.getLong(0)
+    assert(est >= 1L)
+  }
+
   test("count-min: xor-seeded rows would be degenerate, bit-sliced rows are not") {
     // Regression pin for the row-hash design choice: XOR with a constant
     // preserves equality mod 2^k, so colliding keys collide in EVERY
