@@ -46,7 +46,11 @@ object ZOrder {
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
   /** Exact-integer bucketization of v into [0, 2^DimBits): requires the
-    * inclusive driver-known bounds of v. */
+    * inclusive driver-known bounds of v. The span·2^16 < 2^53 guard is
+    * the price of bit-exact cross-engine floor math — a column wider
+    * than ~2^37 (epoch MICROS over hours, raw 64-bit hashes) should be
+    * pre-scaled to a coarser unit (seconds, a prefix) first; clustering
+    * quality is unchanged, only the bucket resolution moves. */
   def bucket(v: Column, min: Long, max: Long): Column = {
     require(max >= min, s"empty bucket range [$min, $max]")
     // overflow-proof guard: a near-full-range long column would wrap
