@@ -129,7 +129,12 @@ object Bench {
     import org.apache.spark.sql.functions._
     val hc = spark.sparkContext.hadoopConfiguration
     val prevBlock = hc.get("parquet.block.size")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // both knobs are session/config-global: capture and restore BOTH in
+    // the same finally, so later writes in this session don't silently
+    // inherit micros timestamps or 1 MB row groups
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     try {
       hc.setInt("parquet.block.size", 1 << 20)
       writes(graft.core.Tables.events(spark, sfDir)
@@ -137,6 +142,10 @@ object Bench {
     } finally {
       if (prevBlock == null) hc.unset("parquet.block.size")
       else hc.set("parquet.block.size", prevBlock)
+      prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None    => spark.conf.unset(tsKey)
+      }
     }
   }
 

@@ -131,11 +131,17 @@ final class KnnRegressor(features: Seq[String], label: String, k: Int = 50)
 
   /** Forecaster surface: tag rows with a synthetic id, run the
     * neighbor join, attach the mean-label prediction back. The id
-    * column is cached so both sides of the join see the same ids. */
+    * column is cached so both sides of the join see the same ids; the
+    * join result is pinned with an eager localCheckpoint (lineage
+    * truncated, blocks freed by the ContextCleaner when the frame is
+    * dropped) so the id cache can be released HERE instead of leaking
+    * storage memory across repeated evals in a long-lived session. */
   override def withMu(df: DataFrame, out: String): DataFrame = {
     val withId = df.withColumn("__knn_id", monotonically_increasing_id()).cache()
-    val preds = predict(withId, "__knn_id").withColumnRenamed("y_pred_f", out)
-    withId.join(preds, "__knn_id").drop("__knn_id")
+    try {
+      val preds = predict(withId, "__knn_id").withColumnRenamed("y_pred_f", out)
+      withId.join(preds, "__knn_id").drop("__knn_id").localCheckpoint(true)
+    } finally withId.unpersist(false)
   }
 
   def fit(train: DataFrame): Unit = {

@@ -28,12 +28,19 @@ object PrefixSum {
     * `orderCol` order (rows between unbounded preceding and current).
     * Ties on `orderCol` follow window semantics (caller should make the
     * order key unique per group for full determinism, as with any
-    * running-sum window). */
+    * running-sum window).
+    *
+    * `knownCount`: the row count is used ONLY to pick the sampling
+    * modulus for boundary selection — pass it when the caller already
+    * knows it (a prior stage counted, or the sink's commit metadata
+    * has it) and the separate count pass disappears; the boundaries it
+    * tunes affect parallelism, never values, so a stale or approximate
+    * count is safe. */
   def withCumsum(df: DataFrame, partCol: String, orderCol: String,
       valueCol: String, outCol: String = "cum", buckets: Int = 64,
-      sampleTarget: Int = 20000): DataFrame = {
+      sampleTarget: Int = 20000, knownCount: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
-    val n = df.count()
+    val n = knownCount.getOrElse(df.count())
     val mod = math.max(1L, n / math.max(1, sampleTarget))
     val h = expr(graft.queries.Shingles.h60(s"CAST($orderCol AS STRING)"))
     // deterministic hash sample of order values; Spark sorts them so the

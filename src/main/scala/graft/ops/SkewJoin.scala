@@ -1,77 +1,161 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-robust equi-join (inner or left-outer), driven by the
-  * Count-Min sketch: one
-  * fixed-memory sketch pass over the fact side finds the hot keys, the
-  * dimension rows for JUST those keys broadcast (the hot slice of a
-  * dimension is tiny even when the whole dimension is not
-  * broadcastable), and the cold remainder takes the ordinary shuffle
-  * join. The result is exactly the plain inner join — the regime split
-  * is physical, not semantic.
+  * Count-Min sketch: a fixed-memory sketch over the fact side's key
+  * frequencies turns "is this key hot?" into a MAP-SIDE predicate
+  * (`estimate(key) >= hotThreshold` over the literal sketch matrix),
+  * so both sides split into hot/cold regimes consistently with NO
+  * driver-side key collect at all — the driver holds only the d×w
+  * sketch. The dimension rows for the hot regime broadcast (the hot
+  * slice of a dimension is tiny even when the whole dimension is not
+  * broadcastable), the cold remainder takes the ordinary shuffle
+  * join. The result is exactly the plain join — the regime split is
+  * physical, not semantic.
   *
   * This is AQE's skew-join mitigation as an explicit, composable
   * operator, for the cases AQE cannot see: skew known ahead of a
   * multi-stage pipeline, a right side above the broadcast budget whose
-  * hot slice is not, or an engine run with AQE disabled. It composes
-  * the round's sketch machinery the way [[SaltedAgg]] composes
-  * two-phase aggregation: detection costs O(d·w) memory regardless of
-  * fact size, and the hot-key COLLECT is provably bounded — at most
-  * count/threshold true-hot keys exist, and CMS over-candidates are
-  * capped the same way because estimates only ever overshoot by the
-  * shared-cell load.
+  * hot slice is not, or an engine run with AQE disabled.
   *
-  * At 100 TB: the fact side is scanned twice (sketch + join) — cheap
-  * relative to the shuffle it avoids on the hot keys, and the sketch
-  * pass is a natural piggyback on any preceding stage that already
-  * scans the fact.
+  * Saturation guard: when the sketch is overloaded (fact count / w
+  * approaches hotThreshold) nearly every cell reads hot and the "hot
+  * dim slice" stops being tiny. The hot dim row count is checked
+  * first (a cheap aggregate over the SMALL side) and the operator
+  * falls back to the plain join above `maxHotDimRows` — the broadcast
+  * can never OOM on a saturated sketch.
+  *
+  * Scan economics at 100 TB: the fact is read by the sketch build
+  * plus the join's two regime branches. Pass a pre-built sketch
+  * (`cms` — from any preceding stage that already scanned the fact,
+  * e.g. a heavy-hitter pass) and the sketch read disappears; use the
+  * salted variants and the join itself reads the fact EXACTLY once.
   */
 object SkewJoin {
 
+  /** The canonical fact-side key sketch — build it in (or alongside)
+    * any earlier stage that scans the fact, then hand it to the join
+    * via `cms` so the join adds no extra fact pass. Same hash
+    * spelling as the join's probes. */
+  def sketch(fact: DataFrame, key: String, w: Int = 4096, d: Int = 4): Array[Array[Long]] =
+    CountMin.build(
+      fact.filter(col(key).isNotNull).select(keyHash(key).as("h")), "h", w, d)
+
   /** @param hotThreshold fact-row count above which a key is "hot"
+    * @param cms pre-built fact-key sketch from [[sketch]] (same w, d)
+    * @param maxHotDimRows broadcast budget for the hot dim slice;
+    *        above it (saturated sketch / genuinely huge hot slice)
+    *        the operator degrades to the plain join
     * @return exactly `fact.join(dim, Seq(key))`, skew-split physically
     */
   def inner(fact: DataFrame, dim: DataFrame, key: String,
-      hotThreshold: Long, w: Int = 4096, d: Int = 4): DataFrame =
-    split(fact, dim, key, hotThreshold, w, d, "inner")
+      hotThreshold: Long, w: Int = 4096, d: Int = 4,
+      cms: Option[Array[Array[Long]]] = None,
+      maxHotDimRows: Long = 100000L): DataFrame =
+    split(fact, dim, key, hotThreshold, w, d, "inner", cms, maxHotDimRows)
 
   /** Left-outer variant: unmatched fact rows (including null keys)
     * survive with null dim columns, exactly as in the plain left join —
     * both the hot and cold regimes preserve their left side, so the
     * union is the full fact. */
   def leftOuter(fact: DataFrame, dim: DataFrame, key: String,
-      hotThreshold: Long, w: Int = 4096, d: Int = 4): DataFrame =
-    split(fact, dim, key, hotThreshold, w, d, "left_outer")
+      hotThreshold: Long, w: Int = 4096, d: Int = 4,
+      cms: Option[Array[Array[Long]]] = None,
+      maxHotDimRows: Long = 100000L): DataFrame =
+    split(fact, dim, key, hotThreshold, w, d, "left_outer", cms, maxHotDimRows)
+
+  /** Salted spelling, inner: ONE scan and ONE shuffle of the fact.
+    * Hot fact rows get a content-derived salt in [0, nSalts); hot dim
+    * rows are replicated once per salt; cold rows on both sides carry
+    * salt 0; the join runs on (key, salt). Each hot key spreads over
+    * nSalts reducers instead of one, and the fact never splits into
+    * two scan branches — the spelling to use when the fact SCAN
+    * dominates (the usual 100 TB case). `inner` wins only when the
+    * hot slice is so large that not shuffling it at all (broadcast)
+    * beats spreading it. Replication cost is bounded by
+    * nSalts × |hot dim rows|, on the small side; a saturated sketch
+    * degrades to salting most of the dim — heavier, never wrong. */
+  def innerSalted(fact: DataFrame, dim: DataFrame, key: String,
+      hotThreshold: Long, nSalts: Int = 32, w: Int = 4096, d: Int = 4,
+      cms: Option[Array[Array[Long]]] = None): DataFrame =
+    salted(fact, dim, key, hotThreshold, nSalts, w, d, "inner", cms)
+
+  /** Salted spelling, left-outer — same one-scan/one-shuffle shape;
+    * null and unmatched fact keys ride the salt-0 lane and null-extend. */
+  def leftOuterSalted(fact: DataFrame, dim: DataFrame, key: String,
+      hotThreshold: Long, nSalts: Int = 32, w: Int = 4096, d: Int = 4,
+      cms: Option[Array[Array[Long]]] = None): DataFrame =
+    salted(fact, dim, key, hotThreshold, nSalts, w, d, "left_outer", cms)
+
+  // 60-bit md5-derived hash (not xxhash64: CountMin's bit-sliced rows
+  // need uniform independent bits) — the library's one shared hash
+  // spelling, so the sketch and every oracle query stay on one contract
+  private def keyHash(key: String): Column =
+    expr(graft.queries.Shingles.h60(s"CAST($key AS STRING)"))
+
+  /** Map-side hot predicate: null-safe (null keys are never hot — they
+    * match nothing in either join type and must not reach the sketch
+    * probe), deterministic (the sketch matrix is a fixed literal), and
+    * IDENTICAL on both sides — which is what makes the regime split
+    * consistent without any collected key set. */
+  private def isHotCol(matrix: Array[Array[Long]], w: Int, key: String,
+      hotThreshold: Long): Column =
+    col(key).isNotNull && CountMin.estimate(matrix, w, keyHash(key)) >= hotThreshold
+
+  private def resolve(fact: DataFrame, key: String, w: Int, d: Int,
+      cms: Option[Array[Array[Long]]]): Array[Array[Long]] = {
+    cms.foreach { m =>
+      require(m.length == d && m.forall(_.length == w),
+        s"pre-built sketch is ${m.length}×${m.headOption.fold(0)(_.length)}, expected $d×$w")
+    }
+    cms.getOrElse(sketch(fact, key, w, d))
+  }
 
   private def split(fact: DataFrame, dim: DataFrame, key: String,
-      hotThreshold: Long, w: Int, d: Int, joinType: String): DataFrame = {
+      hotThreshold: Long, w: Int, d: Int, joinType: String,
+      cms: Option[Array[Array[Long]]], maxHotDimRows: Long): DataFrame = {
     require(hotThreshold > 0, "hotThreshold must be positive")
-    // 60-bit md5-derived hash (not xxhash64: CountMin's bit-sliced rows
-    // need uniform independent bits) — the library's one shared hash
-    // spelling, so the sketch and every oracle query stay on one contract
-    val h = expr(graft.queries.Shingles.h60(s"CAST($key AS STRING)"))
-    // null keys match nothing in either join type; they must also never
-    // reach the sketch (a null hash would explode to null cells and NPE
-    // the matrix densify). In left_outer they re-enter via the cold side.
-    val cms = CountMin.build(
-      fact.filter(col(key).isNotNull).select(h.as("h")), "h", w, d)
-    val est = CountMin.estimate(cms, w, h)
-
-    // the hot-key SET: bounded driver state (≤ count/threshold true-hot
-    // keys; sketch overshoot admits at most the same order again)
-    val hotKeys = fact.filter(col(key).isNotNull && est >= hotThreshold)
-      .select(col(key)).distinct().collect().map(_.get(0))
-
-    if (hotKeys.isEmpty) fact.join(dim, Seq(key), joinType)
+    val matrix = resolve(fact, key, w, d, cms)
+    val isHot = isHotCol(matrix, w, key, hotThreshold)
+    // the guard aggregate runs over the SMALL side only; zero hot dim
+    // rows (uniform data, or every hot fact key unmatched) and a
+    // saturated sketch both take the plain join
+    val nHotDim = dim.filter(isHot).count()
+    if (nHotDim == 0 || nHotDim > maxHotDimRows) fact.join(dim, Seq(key), joinType)
     else {
-      val isHot = col(key).isin(hotKeys.toIndexedSeq: _*)
       val hotSide = fact.filter(isHot)
         .join(broadcast(dim.filter(isHot)), Seq(key), joinType)
-      val coldSide = fact.filter(!isHot || col(key).isNull)
-        .join(dim, Seq(key), joinType)
+      // !isHot is true for null keys (three-valued: !(false && null) = true),
+      // so nulls ride the cold lane and null-extend under left_outer
+      val coldSide = fact.filter(!isHot)
+        .join(dim.filter(!isHot), Seq(key), joinType)
       hotSide.unionByName(coldSide)
     }
+  }
+
+  private def salted(fact: DataFrame, dim: DataFrame, key: String,
+      hotThreshold: Long, nSalts: Int, w: Int, d: Int, joinType: String,
+      cms: Option[Array[Array[Long]]]): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    require(nSalts >= 1, s"nSalts must be >= 1 (got $nSalts)")
+    val matrix = resolve(fact, key, w, d, cms)
+    val isHot = isHotCol(matrix, w, key, hotThreshold)
+    // fact salt: a content hash of the whole row — deterministic under
+    // task retry, varies WITHIN a hot key so its rows spread; the salt
+    // only routes rows, it never appears in the output
+    val rowHash = hash(fact.columns.map(col).toIndexedSeq: _*)
+    val saltedFact = fact.withColumn("__salt",
+      when(isHot, pmod(rowHash.cast("long"), lit(nSalts.toLong))).otherwise(lit(0L)))
+    // dim side: hot rows exist at EVERY salt (each fact row meets each
+    // matching dim row exactly once, at its own salt), cold rows only
+    // at salt 0
+    val saltedDim = dim
+      .withColumn("__salts",
+        when(isHot, sequence(lit(0L), lit(nSalts.toLong - 1))).otherwise(array(lit(0L))))
+      .withColumn("__salt", explode(col("__salts")))
+      .drop("__salts")
+    saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
 }

@@ -324,25 +324,27 @@ object CoreQueries {
     // O9: z-order clustering key (ops/ZOrder) — Morton-interleave the
     // bucketized (time, user) dims so one sort key gives row-group
     // locality in BOTH; this query materializes the exact key the
-    // writeZOrderedBy sink sorts by (bounds from one broadcast agg, all
+    // writeZOrderedBy sink sorts by (bounds from one driver scalar
+    // fetch, exactly like the sink's own commit-metadata agg, all
     // integer arithmetic, bit-reproducible in the oracle). Ordering by
     // zkey here IS the on-disk layout order, so the oracle checks the
-    // curve itself, not just the arithmetic.
+    // curve itself, not just the arithmetic. Routing through
+    // ZOrder.zkey (not inline math) keeps the BigInt overflow guard on
+    // the bucket span — a near-full-range long dim refuses loudly
+    // instead of silently wrapping.
     OracleQuery(
       "o9_zorder_key",
       (s, d) => {
         import s.implicits._
         val base = Tables.events(s, d)
           .select($"event_id", unix_timestamp($"ts").as("t"), $"user_id")
-        val bounds = base.agg(
-          min($"t").as("tmin"), max($"t").as("tmax"),
-          min($"user_id").as("umin"), max($"user_id").as("umax"))
-        base.crossJoin(broadcast(bounds))
-          .select($"event_id",
-            graft.ops.ZOrder.interleave16(
-              floor(($"t" - $"tmin") * 65536 / ($"tmax" - $"tmin" + 1)).cast("long"),
-              floor(($"user_id" - $"umin") * 65536 / ($"umax" - $"umin" + 1)).cast("long"))
-              .as("zkey"))
+        val Array(b) = base.agg(
+          min($"t").cast("long"), max($"t").cast("long"),
+          min($"user_id").cast("long"), max($"user_id").cast("long")).collect()
+        base.select($"event_id",
+            graft.ops.ZOrder.zkey(
+              $"t", b.getLong(0), b.getLong(1),
+              $"user_id", b.getLong(2), b.getLong(3)).as("zkey"))
           .orderBy($"zkey", $"event_id")
       },
       Some("""WITH base AS (

@@ -291,6 +291,46 @@ object JoinQueries {
              |SELECT f.k, d.label, count(*) AS n, round(sum(f.value), 4) AS sum_value
              |FROM fact f JOIN dim d ON f.k = d.k
              |GROUP BY f.k, d.label ORDER BY f.k""".stripMargin)
+    ),
+
+    // Salted skew join, left-outer, with a PRE-BUILT sketch: the
+    // one-scan/one-shuffle spelling of j11 — the fact-key Count-Min
+    // rides in from a prior stage (built once here, as that stage
+    // would), hot keys spread across 8 salted reducers while hot dim
+    // rows replicate 8×, and the fact source appears in the plan
+    // exactly once (pinned in SkewJoinSpec). The dimension drops every
+    // fifth key so the left-outer's null-extension is hash-checked
+    // (labels coalesce to 'none' — Spark and DuckDB order nulls
+    // differently, values must not rely on null ordering).
+    OracleQuery(
+      "j12_skew_join_salted",
+      (s, d) => {
+        import s.implicits._
+        val fact = Tables.events(s, d)
+          .withColumn("k", when($"user_id" < 30, 0L).otherwise($"user_id"))
+        val dim = fact.select($"k").distinct()
+          .filter($"k" % 5 =!= 3)
+          .withColumn("label", concat(lit("u"), $"k"))
+        val cms = graft.ops.SkewJoin.sketch(fact, "k")
+        graft.ops.SkewJoin
+          .leftOuterSalted(fact, dim, "k", hotThreshold = 500, nSalts = 8,
+            cms = Some(cms))
+          .groupBy($"k", coalesce($"label", lit("none")).as("label"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"value"), 4).as("sum_value"))
+          .orderBy($"k")
+      },
+      Some("""WITH fact AS (
+             |  SELECT CASE WHEN user_id < 30 THEN 0 ELSE user_id END AS k, value
+             |  FROM events
+             |), dim AS (
+             |  SELECT DISTINCT k, 'u' || CAST(k AS VARCHAR) AS label FROM fact
+             |  WHERE k % 5 != 3
+             |)
+             |SELECT f.k, coalesce(d.label, 'none') AS label,
+             |  count(*) AS n, round(sum(f.value), 4) AS sum_value
+             |FROM fact f LEFT JOIN dim d ON f.k = d.k
+             |GROUP BY f.k, coalesce(d.label, 'none') ORDER BY f.k""".stripMargin)
     )
   )
 }

@@ -461,13 +461,14 @@ object TextQueries {
         val w = 8192
         val dRows = 4
         val minOcc = 6
-        // persist the hashed gram table: the sketch pass and the gated
-        // exact pass share the shingle scan (at corpus scale this is the
-        // hashed-gram table a pipeline keeps on disk anyway; evicted by
-        // LRU here)
+        // the sketch pass and the gated exact pass each scan the
+        // shingles once (two map-side passes total). Deliberately NOT
+        // persisted: a query-registry entry can't unpersist after its
+        // caller evaluates it, so a cache here would accumulate across
+        // the suite; at corpus scale the pipeline keeps the hashed-gram
+        // table on disk instead and both passes read that
         val grams = Shingles.wordTrigrams(Tables.documents(s, d))
           .select($"gram", expr(Shingles.h60("gram")).as("g"))
-          .persist()
         val matrix = graft.ops.CountMin.build(grams, "g", w, dRows)
         def est = graft.ops.CountMin.estimate(matrix, w, $"g")
         grams
