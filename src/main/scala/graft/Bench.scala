@@ -171,19 +171,28 @@ object Bench {
       "scan_range_unsorted_layout" -> timeRead(s"$tmp/unsorted"))
   }
 
-  /** Layout A/B #2: linear time-sort vs z-order (ops/ZOrder) on the same
-    * ×16-replicated events, read back with (a) a 1-day time predicate
-    * and (b) a narrow user predicate (~1% of ids). The linear layout
-    * wins (a) outright and loses (b) completely — every row group spans
-    * every user; the z layout prunes BOTH. Same 1 MB row groups as
-    * [[sortedScanBench]]; writes untimed; not part of `total`. */
+  /** Layout A/B #2: linear time-sort vs 2-D z-order vs 3-D z-order
+    * (ops/ZOrder) on the same ×16-replicated events, read back with
+    * (a) a 1-day time predicate, (b) a narrow user predicate (~1% of
+    * ids), and (c) an event-type predicate (the 3rd clustered dim).
+    * The linear layout wins (a) outright and prunes NOTHING on (b) or
+    * (c); the 2-D z layout prunes (a)+(b) at √selectivity each and
+    * nothing on (c); the 3-D layout prunes all three at ∛ — the
+    * documented trade, measured in scanned bytes. Same 1 MB row groups
+    * as [[sortedScanBench]]; writes untimed; not part of `total`. */
   private def zorderScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench_zorder").toString
     withReplicatedEvents(spark, sfDir) { base =>
       val events = base.withColumn("t", unix_timestamp(col("ts")))
+        // domain dim: 60-bit md5 of event_type mod 1024 (ZOrder.bucket's
+        // pre-scaling contract) — clusters by type, so the min/max stats
+        // of the event_type STRING column prune too
+        .withColumn("dh", expr(graft.queries.Shingles.h60("event_type")) % 1024)
       graft.sources.Sinks.writeSortedBy(events, s"$tmp/linear", Seq("t"), numFiles = 8)
       graft.ops.ZOrder.writeZOrderedBy(events, s"$tmp/zorder", "t", "user_id", numFiles = 8)
+      graft.ops.ZOrder.writeZOrdered3By(events, s"$tmp/zorder3", "t", "user_id", "dh",
+        numFiles = 8)
     }
     // At local scale 32 cores decode this whole table in ~0.15s and the
     // page cache is warm right after the writes, so WALL TIME cannot
@@ -212,11 +221,17 @@ object Bench {
       java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime / 1000,
       java.sql.Timestamp.valueOf("2024-01-11 00:00:00").getTime / 1000)
     val uPred = col("user_id").between(100, 115)
+    val ePred = col("event_type") === "purchase"
     val cases = Seq(
       ("scan_time_linear_layout", s"$tmp/linear", tPred),
       ("scan_time_zorder_layout", s"$tmp/zorder", tPred),
+      ("scan_time_zorder3_layout", s"$tmp/zorder3", tPred),
       ("scan_user_linear_layout", s"$tmp/linear", uPred),
-      ("scan_user_zorder_layout", s"$tmp/zorder", uPred))
+      ("scan_user_zorder_layout", s"$tmp/zorder", uPred),
+      ("scan_user_zorder3_layout", s"$tmp/zorder3", uPred),
+      ("scan_etype_linear_layout", s"$tmp/linear", ePred),
+      ("scan_etype_zorder_layout", s"$tmp/zorder", ePred),
+      ("scan_etype_zorder3_layout", s"$tmp/zorder3", ePred))
     cases.foreach { case (_, d, p) => measuredRead(d, p) } // warm all four paths
     cases.flatMap { case (name, d, p) =>
       val (secs, mb) = measuredRead(d, p)

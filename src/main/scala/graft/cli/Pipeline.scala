@@ -151,6 +151,13 @@ object Pipeline {
       graft.ops.ZOrder.writeZOrderedBy(df, outDir, xCol, yCol)
       println(s"[graft] wrote z-ordered ($xCol, $yCol) layout → $outDir")
 
+    case "write-zorder3" :: inDir :: xCol :: yCol :: zCol :: outDir :: Nil =>
+      // 3-D layout for (time, entity, domain) fact tables — ∛-selectivity
+      // pruning on each of the three dims
+      val df = spark.read.parquet(inDir)
+      graft.ops.ZOrder.writeZOrdered3By(df, outDir, xCol, yCol, zCol)
+      println(s"[graft] wrote z-ordered ($xCol, $yCol, $zCol) layout → $outDir")
+
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
@@ -165,7 +172,8 @@ object Pipeline {
            |  Pipeline dedup-docs <docsParquetDir> <outDir>
            |  Pipeline dedup-batch <corpusParquetDir> <batchParquetDir> <outDir>
            |  Pipeline bpe-train <docsParquetDir> <nMerges> <outDir>
-           |  Pipeline write-zorder <inParquetDir> <xCol> <yCol> <outDir>""".stripMargin)
+           |  Pipeline write-zorder <inParquetDir> <xCol> <yCol> <outDir>
+           |  Pipeline write-zorder3 <inParquetDir> <xCol> <yCol> <zCol> <outDir>""".stripMargin)
       sys.exit(2)
   }
 }

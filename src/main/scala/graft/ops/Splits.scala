@@ -36,6 +36,45 @@ object Splits {
       .drop("__rn", "__n")
   }
 
+  /** Scale path with EXACT positional parity: label by thresholds at
+    * the positional boundary RANKS (floor(n·train), floor(n·(train+
+    * val))) of a numeric order expression — no global window, no
+    * global sort, each row labels itself map-side against two literal
+    * thresholds. When `orderCol` is ties-free (make it so: pack a
+    * tiebreak into the low bits), `split` equals [[positional]]'s
+    * exactly, row for row — the spelling that replaces the registry's
+    * one remaining single-reducer window at scale.
+    *
+    * Rank → probability uses (r − 0.5)/n, not r/n: the quantile sketch
+    * ceils p·n to a target rank, and r/n in binary can land a hair
+    * above r/n so the ceil overshoots to r+1 (same trap as
+    * [[walkForwardLabelsByTime]]); backing off half a rank lands on r
+    * for every r ≥ 1. relErr·n must stay below 0.5 for the rank to be
+    * exact — the default covers n up to 5·10⁶ per mille of error
+    * budget; tighten relErr when n grows. */
+  def byOrderQuantile(df: DataFrame, orderCol: org.apache.spark.sql.Column,
+      f: SplitFractions = SplitFractions(), relErr: Double = 1e-7,
+      knownCount: Option[Long] = None): DataFrame = {
+    val tagged = df.withColumn("__o", orderCol.cast("double"))
+    val n = knownCount.getOrElse(tagged.count())
+    require(n > 0, "byOrderQuantile needs a non-empty frame")
+    val ranks = Seq(
+      math.floor(n * f.train).toLong,
+      math.floor(n * (f.train + f.validation)).toLong)
+    // rank 0 (a fraction below 1/n) means an empty bucket: -inf threshold
+    val probed = ranks.filter(_ >= 1)
+    val qs = if (probed.isEmpty) Array.empty[Double]
+      else tagged.stat.approxQuantile("__o", probed.map(r => (r - 0.5) / n).toArray, relErr)
+    val thr = ranks.map(r =>
+      if (r >= 1) qs(probed.indexOf(r)) else Double.NegativeInfinity)
+    tagged
+      .withColumn("split",
+        when(col("__o") <= thr(0), "train")
+          .when(col("__o") <= thr(1), "val")
+          .otherwise("test"))
+      .drop("__o")
+  }
+
   /** Scale path: label by time thresholds from approx quantiles —
     * single pass, no global window. */
   def byTimeQuantile(df: DataFrame, timeCol: String,

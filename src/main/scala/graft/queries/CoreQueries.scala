@@ -217,6 +217,44 @@ object CoreQueries {
              |FROM lab GROUP BY split ORDER BY split""".stripMargin)
     ),
 
+    // O3 scale spelling: the SAME 70/15/15 split labeled by quantile
+    // thresholds (ops/Splits.byOrderQuantile) instead of a global
+    // row_number window — no single-reducer sort anywhere (pinned in
+    // PlanSpec); each row labels itself against two literal thresholds.
+    // The order value packs (epoch seconds, event_id) into one exact
+    // double (t·2²² + id stays under 2⁵³ while event ids < 4.2M), so
+    // it is ties-free and the by-rank thresholds reproduce the
+    // positional split row for row — which is exactly what the oracle
+    // states: the ORACLE is the positional spelling.
+    OracleQuery(
+      "o3_time_split_bytime",
+      (s, d) => {
+        import s.implicits._
+        val o = unix_timestamp($"ts") * lit(4194304L) + $"event_id"
+        graft.ops.Splits
+          .byOrderQuantile(Tables.events(s, d), o)
+          .groupBy($"split")
+          .agg(count(lit(1)).as("cnt"),
+            min($"ts").as("min_ts"), max($"ts").as("max_ts"))
+          .orderBy($"split")
+      },
+      Some("""WITH pos AS (
+             |  SELECT ts,
+             |    row_number() OVER (ORDER BY
+             |      date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) * 4194304 + event_id) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM events
+             |), lab AS (
+             |  SELECT ts,
+             |    CASE WHEN rn <= floor(n * 0.7) THEN 'train'
+             |         WHEN rn <= floor(n * 0.85) THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM pos
+             |)
+             |SELECT split, count(*) AS cnt, min(ts) AS min_ts, max(ts) AS max_ts
+             |FROM lab GROUP BY split ORDER BY split""".stripMargin)
+    ),
+
     // O5: top-k with deterministic tiebreak.
     OracleQuery(
       "o5_topk",
@@ -374,6 +412,71 @@ object CoreQueries {
              |)
              |SELECT event_id, (x4 | (y4 << 1)) AS zkey FROM s4
              |ORDER BY zkey, event_id""".stripMargin)
+    ),
+
+    // O9b: 3-D z-order key (ops/ZOrder.zkey3) — the (time, entity,
+    // domain) fact layout: 21 bits per dim, bits of dim j at positions
+    // ≡ j (mod 3). The domain dim is the 60-bit md5 hash of event_type
+    // reduced mod 1024 — the pre-scaling contract from ZOrder.bucket
+    // (a raw 60-bit hash dim would blow the exact-math budget; the mod
+    // moves only bucket resolution). The DuckDB mirror replays the
+    // identical 5-step mask ladder per dim; mask constants are
+    // interpolated from the same Scala values the Spark expression
+    // uses, so the two spellings cannot drift.
+    OracleQuery(
+      "o9b_zorder3_key",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.events(s, d)
+          .select($"event_id", unix_timestamp($"ts").as("t"), $"user_id",
+            (expr(Shingles.h60("event_type")) % 1024).as("dh"))
+        val Array(b) = base.agg(
+          min($"t").cast("long"), max($"t").cast("long"),
+          min($"user_id").cast("long"), max($"user_id").cast("long"),
+          min($"dh").cast("long"), max($"dh").cast("long")).collect()
+        base.select($"event_id",
+            graft.ops.ZOrder.zkey3(
+              $"t", b.getLong(0), b.getLong(1),
+              $"user_id", b.getLong(2), b.getLong(3),
+              $"dh", b.getLong(4), b.getLong(5)).as("zkey3"))
+          .orderBy($"zkey3", $"event_id")
+      },
+      Some {
+        val n = 1L << graft.ops.ZOrder.DimBits3
+        val ladder = graft.ops.ZOrder.Spread3Masks.zipWithIndex
+          .map { case ((sh, mask), i) =>
+            val (px, py, pz) =
+              if (i == 0) ("bx", "by", "bz")
+              else (s"x$i", s"y$i", s"z$i")
+            val j = i + 1
+            val lo = mask >> sh // mask-before-shift: no checked-<<-overflow
+            s"""s$j AS (
+               |  SELECT event_id,
+               |    ((($px & $mask) | (($px & $lo) << $sh))) AS x$j,
+               |    ((($py & $mask) | (($py & $lo) << $sh))) AS y$j,
+               |    ((($pz & $mask) | (($pz & $lo) << $sh))) AS z$j
+               |  FROM ${if (i == 0) "bk" else s"s$i"}
+               |)""".stripMargin
+          }.mkString(", ")
+        s"""WITH base AS (
+           |  SELECT event_id, user_id,
+           |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS t,
+           |    ('0x' || substr(md5(event_type), 1, 15))::BIGINT % 1024 AS dh
+           |  FROM events
+           |), bounds AS (
+           |  SELECT min(t) AS tmin, max(t) AS tmax,
+           |    min(user_id) AS umin, max(user_id) AS umax,
+           |    min(dh) AS dmin, max(dh) AS dmax FROM base
+           |), bk AS (
+           |  SELECT event_id,
+           |    CAST(floor((t - tmin) * $n / (tmax - tmin + 1)) AS BIGINT) AS bx,
+           |    CAST(floor((user_id - umin) * $n / (umax - umin + 1)) AS BIGINT) AS by,
+           |    CAST(floor((dh - dmin) * $n / (dmax - dmin + 1)) AS BIGINT) AS bz
+           |  FROM base CROSS JOIN bounds
+           |), $ladder
+           |SELECT event_id, (x5 | (y5 << 1) | (z5 << 2)) AS zkey3 FROM s5
+           |ORDER BY zkey3, event_id""".stripMargin
+      }
     ),
 
     // O10: dense global row ids — the DataFrame-world zipWithIndex.

@@ -62,6 +62,32 @@ class SplitsSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("by-order quantile split reproduces the positional split row for row") {
+    // ties-free order value (unique timestamps here) → exact parity,
+    // including on n=100 where floor(n·0.7) must not ceil to 71
+    val pos = Splits.positional(df100, "ts", "id")
+      .select($"id", $"split").collect().toSet
+    val byOrder = Splits.byOrderQuantile(df100, unix_timestamp($"ts"))
+      .select($"id", $"split").collect().toSet
+    assert(byOrder == pos)
+    // and a caller-supplied count skips the count pass without changing labels
+    val withCount = Splits
+      .byOrderQuantile(df100, unix_timestamp($"ts"), knownCount = Some(100L))
+      .select($"id", $"split").collect().toSet
+    assert(withCount == pos)
+  }
+
+  test("degenerate fractions: a train bucket below one row stays empty, nothing crashes") {
+    val tiny = df100.limit(3)
+    val out = Splits.byOrderQuantile(tiny,
+      unix_timestamp($"ts"), Splits.SplitFractions(train = 0.1, validation = 0.3))
+    // floor(3·0.1)=0 → no train rows; floor(3·0.4)=1 → one val row
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("train", 0L) == 0L)
+    assert(counts("val") == 1L && counts("test") == 2L)
+  }
+
   test("quantile split approximates fractions without a global window") {
     val out = Splits.byTimeQuantile(df100, "ts")
     val counts = out.groupBy("split").count().collect()

@@ -156,11 +156,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("z-order key query: no window operator, bounds broadcast once") {
+  test("z-order key query: no window operator, bounds are plan literals") {
     val p = plan(Registry.queries("o9_zorder_key")(spark, sf))
     assert(!p.contains("Window"), s"zkey must not need a window:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"1-row bounds should broadcast:\n$p")
+    // bounds come from a driver scalar fetch (like the sink's commit
+    // metadata) and ride into the plan as literals — the key compute is
+    // join-free map-side arithmetic
+    assert(!p.contains("Join"), s"zkey compute must be join-free:\n$p")
+  }
+
+  test("by-order split: no window at all — thresholds are literals, labeling is map-side") {
+    // o3_time_split pins the reference's positional semantics through a
+    // global window (parity); this is the scale spelling of the SAME
+    // split, and it must carry no window operator and no global sort
+    // before the 3-row output aggregate
+    val p = plan(Registry.queries("o3_time_split_bytime")(spark, sf))
+    assert(!p.contains("Window"), s"by-order split must not need a window:\n$p")
   }
 
   test("stratified sample is a pure map-side filter: zero exchanges before the sort") {
