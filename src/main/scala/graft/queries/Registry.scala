@@ -31,7 +31,8 @@ object Registry {
       TextQueries.all ++
       SimilarityQueries.all ++
       MultimodalQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++
+      StreamQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -607,6 +607,105 @@ object SimilarityQueries {
            |FROM ranked WHERE rn <= 5
            |ORDER BY query_id, rn""".stripMargin
       }
+    ),
+
+    // PQ with LEARNED codebooks: the per-block k-means fit that
+    // replaces sim_pq_adc_topk's deterministic vec_id<16 codebooks —
+    // completing the same graduation the coarse quantizer made in
+    // sim_ivf_kmeans_topk. Each of the 8 blocks runs its own
+    // KMeansVec fit (k=16, one Lloyd round; init = the block slices of
+    // the 16 smallest vec_ids, i.e. the deterministic codebooks ARE
+    // this fit's init state), so codebooks train where the data lives:
+    // one (cell, dim) shuffle per block, centroids as driver model.
+    // Encoding stays pure map-side arithmetic (argmin vec_l2sq over
+    // centroid literals, ties → lowest k); ADC is the fused
+    // vec_l2sq(q, r) against the double-precision reconstruction. The
+    // oracle replays all 8 per-block Lloyd rounds end-to-end.
+    OracleQuery(
+      "sim_pq_kmeans_topk",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val cbs = pqKmeansCodebooks(s, d)
+        val sliced = emb.select(
+          Seq($"vec_id", $"embedding") ++ (0 until PqBlocks).map(m =>
+            slice($"embedding", m * PqSub + 1, PqSub).as(s"__sub_$m")): _*)
+        val coded = (0 until PqBlocks).foldLeft(sliced) { case (df, m) =>
+          df.withColumn(s"code_$m", graft.ops.KMeansVec.cellExpr(s"__sub_$m", cbs(m)))
+        }
+        val recon = coded
+          .withColumn("r", flatten(array((0 until PqBlocks).map { m =>
+            val cbArr = array(cbs(m).toIndexedSeq
+              .map(c => array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+            element_at(cbArr, col(s"code_$m") + 1)
+          }: _*)))
+          .select($"vec_id".as("neighbor_id"), $"r")
+        val queries = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"embedding".as("q"))
+        val w = Window.partitionBy("query_id").orderBy($"d2".asc, $"neighbor_id".asc)
+        recon.crossJoin(broadcast(queries))
+          .filter($"neighbor_id" =!= $"query_id")
+          .withColumn("d2", expr("vec_l2sq(q, r)"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"query_id", $"neighbor_id", round($"d2", 4).as("adc"), $"rn")
+          .orderBy($"query_id", $"rn")
+      },
+      Some {
+        def d2(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+        s"""WITH emb AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |), blocks AS (SELECT unnest(range(8)) AS m),
+           |subs AS (
+           |  SELECT vec_id, m, e[m*8+1 : m*8+8] AS s FROM emb CROSS JOIN blocks
+           |), cents0 AS (
+           |  SELECT m, CAST(vec_id AS INT) AS k, s AS c FROM subs WHERE vec_id < 16
+           |), passign AS (
+           |  SELECT vec_id, m, k FROM (
+           |    SELECT v.vec_id, v.m, c.k,
+           |      row_number() OVER (PARTITION BY v.vec_id, v.m
+           |        ORDER BY ${d2("v.s", "c.c")} ASC, c.k) AS rn
+           |    FROM subs v JOIN cents0 c ON v.m = c.m) WHERE rn = 1
+           |), means AS (
+           |  SELECT a.m, a.k, gs.i AS pos,
+           |    CAST(sum(CAST(v.s[gs.i] AS DECIMAL(25,8))) AS DOUBLE) / count(*) AS mu
+           |  FROM passign a JOIN subs v ON v.vec_id = a.vec_id AND v.m = a.m,
+           |    generate_series(1, 8) AS gs(i)
+           |  GROUP BY a.m, a.k, gs.i
+           |), cents1 AS (
+           |  -- keep-previous on empty cells, mirroring KMeansVec
+           |  SELECT c0.m, c0.k, coalesce(mm.c, c0.c) AS c
+           |  FROM cents0 c0 LEFT JOIN (
+           |    SELECT m, k, list(mu ORDER BY pos) AS c FROM means GROUP BY m, k
+           |  ) mm ON c0.m = mm.m AND c0.k = mm.k
+           |), codes AS (
+           |  SELECT vec_id, m, k FROM (
+           |    SELECT v.vec_id, v.m, c.k,
+           |      row_number() OVER (PARTITION BY v.vec_id, v.m
+           |        ORDER BY ${d2("v.s", "c.c")} ASC, c.k) AS crn
+           |    FROM subs v JOIN cents1 c ON v.m = c.m) WHERE crn = 1
+           |), recon AS (
+           |  SELECT co.vec_id AS neighbor_id,
+           |    flatten(list(c.c ORDER BY co.m)) AS r
+           |  FROM codes co JOIN cents1 c ON c.m = co.m AND c.k = co.k
+           |  GROUP BY co.vec_id
+           |), adc AS (
+           |  SELECT q.vec_id AS query_id, n.neighbor_id,
+           |    ${d2("q.e", "n.r")} AS d2
+           |  FROM (SELECT vec_id, e FROM emb WHERE vec_id < 5) q
+           |  CROSS JOIN recon n
+           |  WHERE n.neighbor_id != q.vec_id
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, d2,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS INT) AS rn
+           |  FROM adc
+           |)
+           |SELECT query_id, neighbor_id, round(d2, 4) AS adc, rn
+           |FROM ranked WHERE rn <= 5
+           |ORDER BY query_id, rn""".stripMargin
+      }
     )
   )
 
@@ -622,6 +721,21 @@ object SimilarityQueries {
 
   private val PqBlocks = 8
   private val PqSub = 8 // dims per block (8×8 = 64)
+
+  /** Learned per-block codebooks: one KMeansVec fit per block (k=16,
+    * one Lloyd round) over that block's slices. Init = the slices of
+    * the 16 smallest vec_ids — i.e. the deterministic [[pqCodebooks]]
+    * are exactly this fit's init state, so one Lloyd round can only
+    * reduce total quantization error (pinned in SimilarityRecallSpec). */
+  private[queries] def pqKmeansCodebooks(s: SparkSession, d: String): Seq[Array[Array[Double]]] = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    (0 until PqBlocks).map { m =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), m * PqSub + 1, PqSub).as("sub"))
+      graft.ops.KMeansVec.fit(sub, "vec_id", "sub", k = 16, iters = 1)
+    }
+  }
 
   private[queries] def pqCodebooks(s: SparkSession, d: String): Seq[BlockCodebook] = {
     val rows = Tables.embeddings(s, d)

@@ -119,4 +119,49 @@ class SimilarityRecallSpec extends SparkSpec {
     info(f"PQ ADC top-5 overlap = $overlap%.3f")
     assert(overlap >= 0.2, f"ADC overlap $overlap%.3f under floor 0.2")
   }
+
+  test("learned PQ codebooks: quantization error <= deterministic init; overlap >= 0.2") {
+    import spark.implicits._
+    // Lloyd monotonicity made testable: the deterministic codebooks ARE
+    // the k-means init, so the one update round must not increase the
+    // total (argmin) reconstruction error — checked exhaustively over
+    // every vector and block
+    val det = SimilarityQueries.pqCodebooks(spark, sf)
+    val learned = SimilarityQueries.pqKmeansCodebooks(spark, sf)
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def blockErr(s: Array[Float], c: Array[Double]): Double =
+      s.zip(c).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+    var errDet = 0.0
+    var errLearned = 0.0
+    vecs.foreach { e =>
+      (0 until 8).foreach { m =>
+        val s = e.slice(m * 8, m * 8 + 8)
+        errDet += det(m).cents.map(c => blockErr(s, c._2.map(_.toDouble))).min
+        errLearned += learned(m).map(c => blockErr(s, c)).min
+      }
+    }
+    info(f"PQ quantization error: learned=$errLearned%.4f det=$errDet%.4f")
+    assert(errLearned <= errDet + 1e-6,
+      "one Lloyd round from the deterministic init must not increase quantization error")
+    // same ranking-quality floor as the deterministic variant
+    val adc5 = Registry.queries("sim_pq_kmeans_topk")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val embN = normedEmb
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(col("l2").asc, col("nb"))
+    val exact5 = embN.as("a").filter(col("a.vec_id") < 5)
+      .join(embN.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q"), col("b.vec_id").as("nb"),
+        (expr("vec_dot(a.embedding, a.embedding)")
+          - lit(2.0) * expr("vec_dot(a.embedding, b.embedding)")
+          + expr("vec_dot(b.embedding, b.embedding)")).as("l2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (adc5 & exact5).size.toDouble / exact5.size
+    info(f"learned-PQ ADC top-5 overlap = $overlap%.3f")
+    assert(overlap >= 0.2, f"learned-PQ overlap $overlap%.3f under floor 0.2")
+  }
 }

@@ -172,4 +172,19 @@ class StreamsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batch == admitted)
   }
+
+  test("stream_daily_tmax registry entry equals pipe_daily_max row for row") {
+    // the harness entry runs the REAL stream (multi-batch AvailableNow)
+    // and must reproduce the batch pipeline exactly — rows, schema, and
+    // values; the driver hash-checks the same equality against DuckDB
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.queries.Registry.queries("stream_daily_tmax")(spark, sf)
+    val batch = graft.queries.Registry.queries("pipe_daily_max")(spark, sf)
+    assert(streamed.schema.map(f => (f.name, f.dataType)) ==
+      batch.schema.map(f => (f.name, f.dataType)))
+    val a = streamed.collect().map(_.toSeq).toSeq
+    val b = batch.collect().map(_.toSeq).toSeq
+    assert(a.size == b.size && a.size > 0)
+    assert(a == b)
+  }
 }
