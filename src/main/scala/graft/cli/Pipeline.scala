@@ -128,6 +128,32 @@ object Pipeline {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[graft] dedup-batch: $byStatus → $outDir")
 
+    case "dedup-index" :: corpusDir :: indexDir :: Nil =>
+      // one-time (or compaction) index build for a kept corpus: the
+      // write-once derivable columns every future batch admission joins
+      graft.ops.DedupIndex.write(spark.read.parquet(corpusDir), indexDir)
+      val n = spark.read.parquet(s"$indexDir/fps").count()
+      println(s"[graft] dedup-index: indexed $n corpus docs → $indexDir")
+
+    case "dedup-admit" :: indexDir :: batchDir :: outDir :: Nil =>
+      // steady-state ingest against the STORED index: the corpus text is
+      // never touched — admission joins fps/bands/grams tables, then the
+      // admitted docs' index rows are APPENDED so the next batch sees them
+      val batch = spark.read.parquet(batchDir)
+      val idx = graft.ops.DedupIndex.read(spark, indexDir)
+      graft.ops.DedupDocs.incrementalIndexed(idx, batch)
+        .write.mode("overwrite").parquet(s"$outDir/status")
+      val labeled = spark.read.parquet(s"$outDir/status")
+      batch.join(
+          labeled.filter(org.apache.spark.sql.functions.col("status") === "admitted")
+            .select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(s"$outDir/docs")
+      graft.ops.DedupIndex.append(spark.read.parquet(s"$outDir/docs"), indexDir)
+      val byStatus = labeled
+        .groupBy("status").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"[graft] dedup-admit: $byStatus → $outDir (index updated)")
+
     case "bpe-train" :: docsDir :: nMerges :: outDir :: Nil =>
       // tokenizer artifact build: one corpus word-count shuffle, driver
       // merge loop, then the merge list persists as the model of record
@@ -171,6 +197,8 @@ object Pipeline {
            |  Pipeline list-runs <runsRootDir>
            |  Pipeline dedup-docs <docsParquetDir> <outDir>
            |  Pipeline dedup-batch <corpusParquetDir> <batchParquetDir> <outDir>
+           |  Pipeline dedup-index <corpusParquetDir> <indexDir>
+           |  Pipeline dedup-admit <indexDir> <batchParquetDir> <outDir>
            |  Pipeline bpe-train <docsParquetDir> <nMerges> <outDir>
            |  Pipeline write-zorder <inParquetDir> <xCol> <yCol> <outDir>
            |  Pipeline write-zorder3 <inParquetDir> <xCol> <yCol> <zCol> <outDir>""".stripMargin)

@@ -107,8 +107,10 @@ object DedupDocs {
       .distinct()
 
   /** MinHash band buckets for a (doc_id, text) frame: fused per-row
-    * signatures → one bucket id per band. */
-  private def bandBuckets(docs: DataFrame, rowsPerBand: Int): DataFrame = {
+    * signatures → one bucket id per band. Package-visible: these are
+    * the derivable write-once columns [[DedupIndex]] persists at
+    * admission. */
+  private[ops] def bandBuckets(docs: DataFrame, rowsPerBand: Int): DataFrame = {
     val sig = docs.select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(col("sig").isNotNull)
     val nBands = nSeeds / rowsPerBand
@@ -122,6 +124,17 @@ object DedupDocs {
   private def distinctGrams(docs: DataFrame): DataFrame =
     graft.queries.Shingles.wordTrigrams(docs)
       .select(col("doc_id"), col("gram")).distinct()
+
+  /** Distinct 60-bit gram hashes per doc — the compact (8 B/gram) gram
+    * spelling [[DedupIndex]] stores and [[incrementalIndexed]] verifies
+    * against (the dedup_ngram_jaccard contract: Jaccard over hashed
+    * gram sets equals Jaccard over string sets absent 60-bit
+    * collisions). */
+  private[ops] def hashedGrams(docs: DataFrame): DataFrame =
+    graft.queries.Shingles.wordTrigrams(docs)
+      .select(col("doc_id"),
+        expr(graft.queries.Shingles.h60("gram")).as("gram"))
+      .distinct()
 
   /** Exact trigram-Jaccard gate over candidate (src, dst) pairs — the
     * verification joins touch only candidate pairs, so cost scales with
@@ -213,6 +226,70 @@ object DedupDocs {
           .unionByName(mega)
     }).distinct()
 
+    admitStatuses(batch, exactRej, nearRej, rowsPerBand, minJaccard,
+      maxVerifyBucket, checkpointDir)
+  }
+
+  /** Incremental admission against a PERSISTED index
+    * ([[DedupIndex]]): the same semantics and output contract as
+    * [[incremental]], but every corpus-side input — fingerprints, band
+    * buckets, hashed distinct grams — comes from index tables written
+    * at admission time, so the corpus TEXT is never scanned again
+    * (pinned in DedupIndexSpec: the corpus parquet appears nowhere in
+    * the plan). Each batch costs one scan of ITSELF plus joins against
+    * precomputed state — the steady-state shape of a crawl pipeline at
+    * 100 TB, where re-hashing the corpus per batch is the difference
+    * between an hourly ingest and a daily one. */
+  def incrementalIndexed(index: DedupIndex.Frames, batch: DataFrame,
+      rowsPerBand: Int = 4,
+      minJaccard: Option[Double] = Some(0.5),
+      maxVerifyBucket: Int = 32,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    val exactRej = batch.select($"doc_id", md5($"text").as("fp"))
+      .join(index.fps.select($"fp").distinct(), "fp")
+      .select($"doc_id").distinct()
+
+    val bBuckets = bandBuckets(batch, rowsPerBand)
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy($"bucket")))
+    val cBuckets = index.bands
+      .select($"bucket", $"doc_id".as("corpus_id"))
+      .withColumn("cn", count(lit(1)).over(Window.partitionBy($"bucket")))
+    val shared = bBuckets.join(cBuckets, "bucket")
+    val nearRej = (minJaccard match {
+      case None => shared.select($"doc_id")
+      case Some(j) =>
+        val mega = shared
+          .filter($"bn" > maxVerifyBucket || $"cn" > maxVerifyBucket)
+          .select($"doc_id")
+        val cand = shared
+          .filter($"bn" <= maxVerifyBucket && $"cn" <= maxVerifyBucket)
+          .select($"doc_id".as("src"), $"corpus_id".as("dst"))
+          .distinct()
+        // batch grams hashed with the index's own spelling; the corpus
+        // gram sets read straight from the index
+        verifiedPairs(cand,
+          hashedGrams(batch).withColumnsRenamed(Map("doc_id" -> "src")),
+          index.grams.withColumnsRenamed(Map("doc_id" -> "dst")), j)
+          .select($"src".as("doc_id"))
+          .unionByName(mega)
+    }).distinct()
+
+    admitStatuses(batch, exactRej, nearRej, rowsPerBand, minJaccard,
+      maxVerifyBucket, checkpointDir)
+  }
+
+  /** Shared admission tail: fold the two rejection sets into statuses
+    * (exact beats near), then run full within-batch dedup on the
+    * remainder. */
+  private def admitStatuses(batch: DataFrame, exactRej: DataFrame,
+      nearRej: DataFrame, rowsPerBand: Int, minJaccard: Option[Double],
+      maxVerifyBucket: Int, checkpointDir: Option[String]): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
     val corpusRej = exactRej.withColumn("status", lit("corpus_exact"))
       .unionByName(nearRej.withColumn("status", lit("corpus_near")))
       .groupBy($"doc_id")

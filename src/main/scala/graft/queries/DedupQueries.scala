@@ -408,6 +408,160 @@ ORDER BY doc_a, doc_b""")
               |SELECT vec_a, vec_b, round(cos, 4) AS cos, regime
               |FROM pairs WHERE cos >= 0.38
               |ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+
+    // Incremental admission against the PERSISTED index
+    // (ops/DedupIndex + DedupDocs.incrementalIndexed): the documents
+    // table splits by doc_id hash into a kept corpus (~80%) and an
+    // incoming batch; the corpus's fingerprints, band buckets and
+    // hashed gram sets are WRITTEN to disk and read back, and
+    // admission runs entirely against the stored tables — the corpus
+    // text column is never scanned (DedupIndexSpec pins its absence
+    // from the plan). The oracle replays the full admission protocol:
+    // exact fingerprint rejection, shared-band candidates with the
+    // mega-bucket regime on either side, exact-Jaccard verification
+    // over hashed gram sets, then complete within-remainder dedup
+    // (content-hash edges + verified LSH cliques + mega stars +
+    // transitive closure).
+    OracleQuery(
+      "dedup_incremental_indexed",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val hmod = expr(h60("CAST(doc_id AS STRING)")) % 10
+        val corpus = docs.filter(hmod < 8).select($"doc_id", $"text")
+        val batch = docs.filter(hmod >= 8).select($"doc_id", $"text")
+        // real disk round-trip: the query proves the STORED-index path,
+        // not just the column derivation
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dedup_index").toString
+        graft.ops.DedupIndex.write(corpus, tmp)
+        graft.ops.DedupDocs
+          .incrementalIndexed(graft.ops.DedupIndex.read(s, tmp), batch)
+          .orderBy($"doc_id")
+      },
+      Some {
+        val mins = graft.functions.MinHashSigImpl.Seeds.zipWithIndex
+          .map { case (sd, i) => s"min(xor(g, $sd)) AS h$i" }.mkString(", ")
+        s"""WITH RECURSIVE split AS (
+           |  SELECT doc_id, text,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS hmod
+           |  FROM documents
+           |), corpus AS (
+           |  SELECT doc_id, text FROM split WHERE hmod < 8
+           |), batch AS (
+           |  SELECT doc_id, text FROM split WHERE hmod >= 8
+           |), exact_rej AS (
+           |  SELECT DISTINCT b.doc_id
+           |  FROM (SELECT doc_id, md5(text) AS fp FROM batch) b
+           |  JOIN (SELECT DISTINCT md5(text) AS fp FROM corpus) c ON b.fp = c.fp
+           |), grams AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, len(string_split(text, ' ')) - 2),
+           |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+           |  )) AS gram
+           |  FROM split WHERE len(string_split(text, ' ')) >= 3
+           |), hg AS (
+           |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g FROM grams
+           |), sig AS (
+           |  SELECT doc_id, $mins FROM hg GROUP BY doc_id
+           |), bands AS (
+           |  SELECT doc_id, md5(h0 || ',' || h1 || ',' || h2 || ',' || h3) AS bucket FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, md5(h4 || ',' || h5 || ',' || h6 || ',' || h7) AS bucket FROM sig
+           |), b_sized AS (
+           |  SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS bn
+           |  FROM bands WHERE doc_id IN (SELECT doc_id FROM batch)
+           |), c_sized AS (
+           |  SELECT doc_id AS corpus_id, bucket, count(*) OVER (PARTITION BY bucket) AS cn
+           |  FROM bands WHERE doc_id IN (SELECT doc_id FROM corpus)
+           |), shared AS (
+           |  SELECT b.doc_id, b.bn, c.corpus_id, c.cn
+           |  FROM b_sized b JOIN c_sized c USING (bucket)
+           |), dg AS (
+           |  SELECT DISTINCT doc_id, g FROM hg
+           |), dsz AS (
+           |  SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id
+           |), cand AS (
+           |  SELECT DISTINCT doc_id AS src, corpus_id AS dst
+           |  FROM shared WHERE bn <= 32 AND cn <= 32
+           |), inter AS (
+           |  SELECT c.src, c.dst, count(*) AS ni
+           |  FROM cand c
+           |  JOIN dg ga ON ga.doc_id = c.src
+           |  JOIN dg gb ON gb.doc_id = c.dst AND gb.g = ga.g
+           |  GROUP BY c.src, c.dst
+           |), near_rej AS (
+           |  SELECT DISTINCT doc_id FROM shared WHERE bn > 32 OR cn > 32
+           |  UNION
+           |  SELECT c.src AS doc_id
+           |  FROM cand c
+           |  JOIN dsz sa ON sa.doc_id = c.src
+           |  JOIN dsz sb ON sb.doc_id = c.dst
+           |  LEFT JOIN inter i ON i.src = c.src AND i.dst = c.dst
+           |  WHERE CAST(coalesce(i.ni, 0) AS DOUBLE)
+           |    / (sa.n + sb.n - coalesce(i.ni, 0)) >= 0.5
+           |), corpus_rej AS (
+           |  SELECT doc_id, min(status) AS status FROM (
+           |    SELECT doc_id, 'corpus_exact' AS status FROM exact_rej
+           |    UNION ALL
+           |    SELECT doc_id, 'corpus_near' AS status FROM near_rej
+           |  ) GROUP BY doc_id
+           |), remainder AS (
+           |  SELECT doc_id, text FROM batch
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM corpus_rej)
+           |), r_fp AS (
+           |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS head
+           |  FROM remainder WHERE text IS NOT NULL
+           |), r_exact_edges AS (
+           |  SELECT head AS src, doc_id AS dst FROM r_fp WHERE doc_id != head
+           |), r_sized AS (
+           |  SELECT doc_id, bucket,
+           |    count(*) OVER (PARTITION BY bucket) AS bs,
+           |    min(doc_id) OVER (PARTITION BY bucket) AS bhead
+           |  FROM bands WHERE doc_id IN (SELECT doc_id FROM remainder)
+           |), r_cand AS (
+           |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |  FROM r_sized a JOIN r_sized b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |  WHERE a.bs <= 32
+           |), r_inter AS (
+           |  SELECT c.src, c.dst, count(*) AS ni
+           |  FROM r_cand c
+           |  JOIN dg ga ON ga.doc_id = c.src
+           |  JOIN dg gb ON gb.doc_id = c.dst AND gb.g = ga.g
+           |  GROUP BY c.src, c.dst
+           |), r_ver AS (
+           |  SELECT c.src, c.dst
+           |  FROM r_cand c
+           |  JOIN dsz sa ON sa.doc_id = c.src
+           |  JOIN dsz sb ON sb.doc_id = c.dst
+           |  LEFT JOIN r_inter i ON i.src = c.src AND i.dst = c.dst
+           |  WHERE CAST(coalesce(i.ni, 0) AS DOUBLE)
+           |    / (sa.n + sb.n - coalesce(i.ni, 0)) >= 0.5
+           |), r_star AS (
+           |  SELECT bhead AS src, doc_id AS dst FROM r_sized
+           |  WHERE bs > 32 AND doc_id != bhead
+           |), edges AS (
+           |  SELECT src, dst FROM r_exact_edges
+           |  UNION SELECT src, dst FROM r_ver
+           |  UNION SELECT src, dst FROM r_star
+           |), undirected AS (
+           |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+           |), reach AS (
+           |  SELECT doc_id AS src, doc_id AS dst FROM remainder
+           |  UNION
+           |  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src
+           |), comp AS (
+           |  SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+           |)
+           |SELECT doc_id, status, CAST(NULL AS BIGINT) AS component FROM corpus_rej
+           |UNION ALL
+           |SELECT doc_id,
+           |  CASE WHEN doc_id = component THEN 'admitted' ELSE 'batch_dup' END AS status,
+           |  component
+           |FROM comp
+           |ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }
