@@ -131,9 +131,11 @@ object Pipeline {
     case "dedup-index" :: corpusDir :: indexDir :: Nil =>
       // one-time (or compaction) index build for a kept corpus: the
       // write-once derivable columns every future batch admission joins
-      graft.ops.DedupIndex.write(spark.read.parquet(corpusDir), indexDir)
-      val n = spark.read.parquet(s"$indexDir/fps").count()
-      println(s"[graft] dedup-index: indexed $n corpus docs → $indexDir")
+      val corpus = spark.read.parquet(corpusDir)
+      graft.ops.DedupIndex.write(corpus, indexDir)
+      val n = corpus.count()
+      val fps = spark.read.parquet(s"$indexDir/fps").count()
+      println(s"[graft] dedup-index: indexed $n corpus docs ($fps fingerprints) → $indexDir")
 
     case "dedup-admit" :: indexDir :: batchDir :: outDir :: Nil =>
       // steady-state ingest against the STORED index: the corpus text is
@@ -141,6 +143,17 @@ object Pipeline {
       // admitted docs' index rows are APPENDED so the next batch sees them
       val batch = spark.read.parquet(batchDir)
       val idx = graft.ops.DedupIndex.read(spark, indexDir)
+      // re-run guard: doc_ids already in the index mean this batch (or
+      // part of it) was admitted before — a silent re-run would
+      // reclassify those docs corpus_exact and overwrite the previous
+      // run's admitted output with an empty set. (A crash BETWEEN the
+      // writes below is safe to re-run: the index append is last, so an
+      // incomplete run never trips this and recomputes identically.)
+      val readmitted = batch.select("doc_id")
+        .join(idx.fps.select("doc_id"), "doc_id").count()
+      require(readmitted == 0,
+        s"$readmitted batch doc_ids already indexed at $indexDir — batch was " +
+          "admitted before; use a fresh batch/outDir or rebuild with dedup-index")
       graft.ops.DedupDocs.incrementalIndexed(idx, batch)
         .write.mode("overwrite").parquet(s"$outDir/status")
       val labeled = spark.read.parquet(s"$outDir/status")

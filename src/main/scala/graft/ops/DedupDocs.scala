@@ -186,62 +186,40 @@ object DedupDocs {
       rowsPerBand: Int = 4,
       minJaccard: Option[Double] = Some(0.5),
       maxVerifyBucket: Int = 32,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
-
-    // equi-join on fp drops null fingerprints (null text) by itself
-    val exactRej = batch.select($"doc_id", md5($"text").as("fp"))
-      .join(corpus.select(md5($"text").as("fp")).distinct(), "fp")
-      .select($"doc_id").distinct()
-
-    // band candidates with the same mega-bucket regime as apply(): a
-    // shared band bucket that is huge on EITHER side (boilerplate
-    // template) would emit |batch∩bucket|·|corpus∩bucket| verification
-    // pairs — batch docs in such a bucket are rejected as near-dups
-    // UNVERIFIED instead (overwhelmingly true duplicates; the same
-    // recall-over-precision trade as apply's star fallback), so the
-    // verification join stays bounded by maxVerifyBucket² per bucket.
-    val bBuckets = bandBuckets(batch, rowsPerBand)
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy($"bucket")))
-    val cBuckets = bandBuckets(corpus, rowsPerBand)
-      .select($"bucket", $"doc_id".as("corpus_id"))
-      .withColumn("cn", count(lit(1)).over(Window.partitionBy($"bucket")))
-    val shared = bBuckets.join(cBuckets, "bucket")
-    val nearRej = (minJaccard match {
-      case None => shared.select($"doc_id")
-      case Some(j) =>
-        val mega = shared
-          .filter($"bn" > maxVerifyBucket || $"cn" > maxVerifyBucket)
-          .select($"doc_id")
-        val cand = shared
-          .filter($"bn" <= maxVerifyBucket && $"cn" <= maxVerifyBucket)
-          .select($"doc_id".as("src"), $"corpus_id".as("dst"))
-          .distinct()
-        verifiedPairs(cand,
-          distinctGrams(batch).withColumnsRenamed(Map("doc_id" -> "src")),
-          distinctGrams(corpus).withColumnsRenamed(Map("doc_id" -> "dst")), j)
-          .select($"src".as("doc_id"))
-          .unionByName(mega)
-    }).distinct()
-
-    admitStatuses(batch, exactRej, nearRej, rowsPerBand, minJaccard,
-      maxVerifyBucket, checkpointDir)
-  }
+      checkpointDir: Option[String] = None): DataFrame =
+    // ONE admission protocol: the direct spelling just derives the
+    // index frames in-flight instead of reading stored ones — any
+    // regime change lands in both paths by construction
+    incrementalIndexed(DedupIndex.build(corpus, rowsPerBand), batch,
+      minJaccard, maxVerifyBucket, checkpointDir)
 
   /** Incremental admission against a PERSISTED index
-    * ([[DedupIndex]]): the same semantics and output contract as
-    * [[incremental]], but every corpus-side input — fingerprints, band
-    * buckets, hashed distinct grams — comes from index tables written
+    * ([[DedupIndex]]): the corpus-side inputs — fingerprints, band
+    * buckets, hashed distinct grams — come from index tables written
     * at admission time, so the corpus TEXT is never scanned again
     * (pinned in DedupIndexSpec: the corpus parquet appears nowhere in
     * the plan). Each batch costs one scan of ITSELF plus joins against
     * precomputed state — the steady-state shape of a crawl pipeline at
     * 100 TB, where re-hashing the corpus per batch is the difference
-    * between an hourly ingest and a daily one. */
+    * between an hourly ingest and a daily one.
+    *
+    * Every index-side input is FILTERED BY THE BATCH before any
+    * shuffle: fingerprints join the batch's fp set directly, corpus
+    * band rows semi-join the batch's bucket set BEFORE the per-bucket
+    * count window (per-bucket counts are complete for every retained
+    * bucket, so `cn` is unchanged), and corpus gram sets are restricted
+    * to candidate dst docs before sizing. A batch therefore touches
+    * O(batch footprint) of the index, not O(index) — with the
+    * sorted-by-key layout, the untouched remainder is never even read.
+    *
+    * Band candidates use the same mega-bucket regime as apply(): a
+    * shared band bucket that is huge on EITHER side (boilerplate
+    * template) would emit |batch∩bucket|·|corpus∩bucket| verification
+    * pairs — batch docs in such a bucket are rejected as near-dups
+    * UNVERIFIED instead (overwhelmingly true duplicates; the same
+    * recall-over-precision trade as apply's star fallback), so the
+    * verification join stays bounded by maxVerifyBucket² per bucket. */
   def incrementalIndexed(index: DedupIndex.Frames, batch: DataFrame,
-      rowsPerBand: Int = 4,
       minJaccard: Option[Double] = Some(0.5),
       maxVerifyBucket: Int = 32,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -249,13 +227,20 @@ object DedupDocs {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
 
+    // equi-join on fp drops null fingerprints (null text) by itself;
+    // no distinct() on the index side — the doc_id distinct below
+    // absorbs fp multiplicity, and the raw join lets the small batch
+    // side broadcast against the index scan
     val exactRej = batch.select($"doc_id", md5($"text").as("fp"))
-      .join(index.fps.select($"fp").distinct(), "fp")
+      .join(index.fps.select($"fp"), "fp")
       .select($"doc_id").distinct()
 
-    val bBuckets = bandBuckets(batch, rowsPerBand)
+    val bBuckets = bandBuckets(batch, index.rowsPerBand)
       .withColumn("bn", count(lit(1)).over(Window.partitionBy($"bucket")))
+    // restrict the index to the batch's buckets BEFORE the count
+    // window: the window then shuffles only the shared slice
     val cBuckets = index.bands
+      .join(bBuckets.select($"bucket").distinct(), "bucket")
       .select($"bucket", $"doc_id".as("corpus_id"))
       .withColumn("cn", count(lit(1)).over(Window.partitionBy($"bucket")))
     val shared = bBuckets.join(cBuckets, "bucket")
@@ -269,16 +254,19 @@ object DedupDocs {
           .filter($"bn" <= maxVerifyBucket && $"cn" <= maxVerifyBucket)
           .select($"doc_id".as("src"), $"corpus_id".as("dst"))
           .distinct()
-        // batch grams hashed with the index's own spelling; the corpus
-        // gram sets read straight from the index
+        // batch grams hashed with the index's own spelling; corpus
+        // gram sets from the index, restricted to candidate docs
+        // before the size aggregate ever runs
+        val dstGrams = index.grams.withColumnsRenamed(Map("doc_id" -> "dst"))
+          .join(cand.select($"dst").distinct(), "dst")
         verifiedPairs(cand,
           hashedGrams(batch).withColumnsRenamed(Map("doc_id" -> "src")),
-          index.grams.withColumnsRenamed(Map("doc_id" -> "dst")), j)
+          dstGrams, j)
           .select($"src".as("doc_id"))
           .unionByName(mega)
     }).distinct()
 
-    admitStatuses(batch, exactRej, nearRej, rowsPerBand, minJaccard,
+    admitStatuses(batch, exactRej, nearRej, index.rowsPerBand, minJaccard,
       maxVerifyBucket, checkpointDir)
   }
 

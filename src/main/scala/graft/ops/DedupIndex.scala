@@ -35,8 +35,13 @@ object DedupIndex {
 
   /** The index as DataFrames — what [[DedupDocs.incrementalIndexed]]
     * consumes; produced by [[build]] (fresh derivation) or [[read]]
-    * (stored index). */
-  final case class Frames(fps: DataFrame, bands: DataFrame, grams: DataFrame)
+    * (stored index). `rowsPerBand` travels WITH the frames: band
+    * buckets hashed with a different banding are a disjoint value
+    * space, so a write/probe mismatch would silently disable every
+    * near-dup rejection — the parameter is index state, not a
+    * call-site default. */
+  final case class Frames(fps: DataFrame, bands: DataFrame, grams: DataFrame,
+      rowsPerBand: Int)
 
   /** Derive the three index tables from (doc_id, text) docs. Null-text
     * docs index nothing (unknown content must never match anything —
@@ -47,17 +52,29 @@ object DedupIndex {
       fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
         .filter(col("fp").isNotNull),
       bands = DedupDocs.bandBuckets(docs, rowsPerBand),
-      grams = DedupDocs.hashedGrams(docs))
+      grams = DedupDocs.hashedGrams(docs),
+      rowsPerBand = rowsPerBand)
   }
 
-  /** Write a fresh index for a kept corpus (overwrites `dir`). */
-  def write(docs: DataFrame, dir: String, rowsPerBand: Int = 4): Unit =
+  /** Write a fresh index for a kept corpus (overwrites `dir`).
+    * `rowsPerBand` persists in `dir/meta`; [[append]] and [[read]]
+    * take it from there, never from a caller. */
+  def write(docs: DataFrame, dir: String, rowsPerBand: Int = 4): Unit = {
     writeFrames(build(docs, rowsPerBand), dir, SaveMode.Overwrite)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(rowsPerBand).toDF("rows_per_band")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
 
   /** Append the index rows of newly ADMITTED docs — the per-batch
-    * maintenance op; the existing index files are untouched. */
-  def append(admitted: DataFrame, dir: String, rowsPerBand: Int = 4): Unit =
-    writeFrames(build(admitted, rowsPerBand), dir, SaveMode.Append)
+    * maintenance op; existing index files are untouched and the new
+    * rows are banded with the STORED rowsPerBand (a caller cannot
+    * desynchronize generations). */
+  def append(admitted: DataFrame, dir: String): Unit = {
+    val rpb = storedRowsPerBand(admitted.sparkSession, dir)
+    writeFrames(build(admitted, rpb), dir, SaveMode.Append)
+  }
 
   private def writeFrames(f: Frames, dir: String, mode: SaveMode): Unit = {
     graft.sources.Sinks.writeSortedBy(f.fps, s"$dir/fps", Seq("fp"), mode = mode)
@@ -65,9 +82,13 @@ object DedupIndex {
     graft.sources.Sinks.writeSortedBy(f.grams, s"$dir/grams", Seq("doc_id", "gram"), mode = mode)
   }
 
-  /** Open a stored index. */
+  private def storedRowsPerBand(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/meta").head.getInt(0)
+
+  /** Open a stored index (banding parameter from the stored meta). */
   def read(spark: SparkSession, dir: String): Frames = Frames(
     fps = spark.read.parquet(s"$dir/fps"),
     bands = spark.read.parquet(s"$dir/bands"),
-    grams = spark.read.parquet(s"$dir/grams"))
+    grams = spark.read.parquet(s"$dir/grams"),
+    rowsPerBand = storedRowsPerBand(spark, dir))
 }

@@ -159,6 +159,32 @@ class PipelineCliSpec extends SparkSpec {
     assert(statuses == Map(10L -> "corpus_exact", 11L -> "admitted", 12L -> "batch_dup"))
   }
 
+  test("dedup-index + dedup-admit: stored-index admission, index grows, re-run refused") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_da").toString
+    Seq((1L, "a b c d e f g h i j k l m"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/corpus")
+    Seq((10L, "a b c d e f g h i j k l m"),      // exact corpus dup
+        (11L, "p q r s t u v w x y z a1 b1"))    // novel → admitted + indexed
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/batch1")
+    Pipeline.run(spark, List("dedup-index", s"$work/corpus", s"$work/idx"))
+    Pipeline.run(spark, List("dedup-admit", s"$work/idx", s"$work/batch1", s"$work/out1"))
+    assert(spark.read.parquet(s"$work/out1/docs")
+      .select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // the appended generation rejects batch 2's copy of doc 11
+    Seq((20L, "p q r s t u v w x y z a1 b1"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/batch2")
+    Pipeline.run(spark, List("dedup-admit", s"$work/idx", s"$work/batch2", s"$work/out2"))
+    val st2 = spark.read.parquet(s"$work/out2/status")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(st2 == Map(20L -> "corpus_exact"))
+    // re-running an already-admitted batch must refuse, not destroy out1
+    assertThrows[IllegalArgumentException] {
+      Pipeline.run(spark, List("dedup-admit", s"$work/idx", s"$work/batch1", s"$work/out1b"))
+    }
+    assert(spark.read.parquet(s"$work/out1/docs").count() == 1)
+  }
+
   test("bpe-train persists the ranked merge list") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_bpe").toString

@@ -68,6 +68,21 @@ class DedupIndexSpec extends SparkSpec {
       collectStatuses(DedupDocs.incremental(corpusDocs, batchDocs)))
   }
 
+  test("banding parameter is index state: a non-default write still band-matches probes") {
+    // rowsPerBand=2 → 4 bands of 2: written to dir/meta and picked up by
+    // read() and append(), so the probe hashes batch bands identically —
+    // a mismatch would make the bucket value spaces disjoint and
+    // silently admit every near-duplicate
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_didx_rpb").toString
+    DedupIndex.write(corpusDocs, indexDir, rowsPerBand = 2)
+    val idx = DedupIndex.read(spark, indexDir)
+    assert(idx.rowsPerBand == 2)
+    val out = collectStatuses(DedupDocs.incrementalIndexed(idx,
+      Seq((11L, near)).toDF("doc_id", "text")))
+    assert(out == Set((11L, "corpus_near", -1L)),
+      "near-dup must still be caught under the stored non-default banding")
+  }
+
   test("append generation: docs admitted in batch N reject their dups in batch N+1") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft_didx_gen").toString
     // corpus does NOT contain `base`, so batch 1 admits it; batch 2's
