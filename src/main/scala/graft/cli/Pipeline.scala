@@ -167,6 +167,12 @@ object Pipeline {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[graft] dedup-admit: $byStatus → $outDir (index updated)")
 
+    case "dedup-compact" :: indexDir :: Nil =>
+      // offline maintenance: merge append generations back into
+      // fully-sorted tables so footer pruning holds index-wide again
+      graft.ops.DedupIndex.compact(spark, indexDir)
+      println(s"[graft] dedup-compact: re-sorted index tables at $indexDir")
+
     case "bpe-train" :: docsDir :: nMerges :: outDir :: Nil =>
       // tokenizer artifact build: one corpus word-count shuffle, driver
       // merge loop, then the merge list persists as the model of record
@@ -212,6 +218,7 @@ object Pipeline {
            |  Pipeline dedup-batch <corpusParquetDir> <batchParquetDir> <outDir>
            |  Pipeline dedup-index <corpusParquetDir> <indexDir>
            |  Pipeline dedup-admit <indexDir> <batchParquetDir> <outDir>
+           |  Pipeline dedup-compact <indexDir>
            |  Pipeline bpe-train <docsParquetDir> <nMerges> <outDir>
            |  Pipeline write-zorder <inParquetDir> <xCol> <yCol> <outDir>
            |  Pipeline write-zorder3 <inParquetDir> <xCol> <yCol> <zCol> <outDir>""".stripMargin)

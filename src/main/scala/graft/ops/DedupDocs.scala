@@ -106,6 +106,20 @@ object DedupDocs {
       .select(col("head").as("src"), col("doc_id").as("dst"))
       .distinct()
 
+  /** Per-band bucket expressions over a `minhash_sig(text)` array —
+    * shared by [[bandBuckets]] (exploded, for joins) and the streaming
+    * admission gate (one column per band, so the stream can reject on
+    * ANY-band-match with sequential anti joins instead of an
+    * explode + aggregation it cannot run statelessly). */
+  private[graft] def bandCols(sigCol: org.apache.spark.sql.Column,
+      rowsPerBand: Int): Seq[org.apache.spark.sql.Column] = {
+    val nBands = nSeeds / rowsPerBand
+    (0 until nBands).map { b =>
+      md5(concat_ws(",",
+        (1 to rowsPerBand).map(r => element_at(sigCol, b * rowsPerBand + r)): _*))
+    }
+  }
+
   /** MinHash band buckets for a (doc_id, text) frame: fused per-row
     * signatures → one bucket id per band. Package-visible: these are
     * the derivable write-once columns [[DedupIndex]] persists at
@@ -113,12 +127,8 @@ object DedupDocs {
   private[ops] def bandBuckets(docs: DataFrame, rowsPerBand: Int): DataFrame = {
     val sig = docs.select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(col("sig").isNotNull)
-    val nBands = nSeeds / rowsPerBand
-    val bandCols = (0 until nBands).map { b =>
-      md5(concat_ws(",",
-        (1 to rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r)): _*))
-    }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+    sig.select(col("doc_id"),
+      explode(array(bandCols(col("sig"), rowsPerBand): _*)).as("bucket"))
   }
 
   private def distinctGrams(docs: DataFrame): DataFrame =

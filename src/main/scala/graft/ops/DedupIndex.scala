@@ -82,6 +82,34 @@ object DedupIndex {
     graft.sources.Sinks.writeSortedBy(f.grams, s"$dir/grams", Seq("doc_id", "gram"), mode = mode)
   }
 
+  /** Compact append generations: re-sort and rewrite each table by its
+    * join key so footer-stat pruning holds across the WHOLE index
+    * again, not just within each generation's files. Offline
+    * maintenance — run when the file count per table grows past what
+    * the probe's file-listing budget tolerates. Rewrites into a
+    * temporary sibling first so a crash mid-compaction leaves the live
+    * index untouched (the final directory swap is per-table). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val rpb = storedRowsPerBand(spark, dir)
+    Seq("fps" -> Seq("fp"), "bands" -> Seq("bucket"), "grams" -> Seq("doc_id", "gram"))
+      .foreach { case (t, keys) =>
+        val tmp = s"$dir/.compact_$t"
+        graft.sources.Sinks.writeSortedBy(
+          spark.read.parquet(s"$dir/$t"), tmp, keys)
+        // atomic-enough swap on a filesystem with cheap renames; object
+        // stores would stage generations behind a manifest instead
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$t"), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(s"$dir/$t"))
+      }
+    // meta is tiny and generation-free; rewrite for completeness
+    import spark.implicits._
+    Seq(rpb).toDF("rows_per_band")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
   private def storedRowsPerBand(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/meta").head.getInt(0)
 

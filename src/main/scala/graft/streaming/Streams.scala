@@ -156,6 +156,53 @@ object Streams {
       g => graft.ops.Bloom.mightContain(bloomWords, mBits, g)))
   }
 
+  /** Streaming admission front door against the PERSISTED dedup index
+    * (ops/DedupIndex): each micro-batch of incoming documents is
+    * stream-static joined with the index tables — LEFT ANTI on the
+    * content fingerprint (exact rejection), and with `bandGate` on,
+    * one LEFT ANTI per LSH band bucket (reject on ANY shared band:
+    * the `minJaccard=None` regime of the batch path — recall over
+    * precision, no verification; a stateless stream cannot run the
+    * exact-Jaccard aggregate cascade, and for an intake gate
+    * over-rejecting is the conservative direction — route rejects to
+    * the batch verifier when clean-doc recall matters).
+    *
+    * Entirely STATELESS: the index is a static side, every batch is
+    * map-side hashing (md5 + the fused minhash_sig expression) plus
+    * anti joins — no state store, no watermark; band buckets become
+    * COLUMNS (one per band, from the same expressions the index
+    * stores) so "any band matches" is sequential anti joins instead of
+    * an explode + per-doc aggregation. Batch-internal duplicates are
+    * [[dedupDocsStream]]'s job; the steady-state pipeline composes
+    * admissionStream → dedupDocsStream → DedupIndex.append. */
+  def admissionStream(spark: SparkSession, dir: String, indexDir: String,
+      bandGate: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = graft.ops.DedupIndex.read(spark, indexDir)
+    val docs = spark.readStream
+      .schema(graft.schemas.Schemas.documents)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(dir)
+    val cols = docs.columns.map(col).toIndexedSeq
+    val exactOk = docs.withColumn("__fp", md5(col("text")))
+      .join(idx.fps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    val out =
+      if (!bandGate) exactOk
+      else {
+        val withSig = exactOk.withColumn("__sig", expr("minhash_sig(text)"))
+        // null signature (short/null text) never matches a band — the
+        // doc passes the gate, exactly like the batch path's no-bands case
+        graft.ops.DedupDocs.bandCols(col("__sig"), idx.rowsPerBand)
+          .zipWithIndex.foldLeft(withSig) { case (df, (bc, i)) =>
+            df.withColumn(s"__band_$i", bc)
+              .join(idx.bands.select(col("bucket").as(s"__band_$i")).distinct(),
+                Seq(s"__band_$i"), "left_anti")
+              .drop(s"__band_$i")
+          }
+      }
+    out.select(cols: _*)
+  }
+
   /** Drain-available-and-stop runner (batch-first engine; streaming is
     * incremental ingestion, not an always-on service). */
   def runAvailableNow(

@@ -83,6 +83,25 @@ class DedupIndexSpec extends SparkSpec {
       "near-dup must still be caught under the stored non-default banding")
   }
 
+  test("compaction merges append generations; admission results are unchanged") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_didx_cp").toString
+    DedupIndex.write(corpusDocs, indexDir)
+    DedupIndex.append(Seq((12L, third)).toDF("doc_id", "text"), indexDir)
+    def admitted = collectStatuses(
+      DedupDocs.incrementalIndexed(DedupIndex.read(spark, indexDir),
+        Seq((20L, third), (22L, base + " extra")).toDF("doc_id", "text")))
+    val before = admitted
+    def dataFiles(t: String): Long =
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$indexDir/$t"))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+    val filesBefore = dataFiles("fps")
+    DedupIndex.compact(spark, indexDir)
+    assert(dataFiles("fps") < filesBefore,
+      "compaction must merge the write+append generations into fewer files")
+    assert(DedupIndex.read(spark, indexDir).rowsPerBand == 4)
+    assert(admitted == before, "compaction must not change admission results")
+  }
+
   test("append generation: docs admitted in batch N reject their dups in batch N+1") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft_didx_gen").toString
     // corpus does NOT contain `base`, so batch 1 admits it; batch 2's

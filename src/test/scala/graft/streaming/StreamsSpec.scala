@@ -173,6 +173,40 @@ class StreamsSpec extends SparkSpec {
     assert(batch == admitted)
   }
 
+  test("admission stream gates micro-batches against the stored dedup index, statelessly") {
+    import graft.ops.{DedupDocs, DedupIndex}
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val work = Files.createTempDirectory("graft_admit_stream").toString
+    DedupIndex.write(Seq((1L, base)).toDF("doc_id", "text"), s"$work/idx")
+    val batch = Seq(
+      (10L, base), // exact corpus dup → rejected in both modes
+      (11L, near), // shares a band → passes exact-only, rejected by the band gate
+      (12L, "completely different words about spark engines and parquet files here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$work/in")
+
+    def admitted(bandGate: Boolean, tag: String): Set[Long] = {
+      val out = Streams.admissionStream(spark, s"$work/in", s"$work/idx", bandGate)
+      assert(out.isStreaming)
+      Streams.runAvailableNow(out, s"$work/ck_$tag", s"$work/out_$tag")
+      spark.read.parquet(s"$work/out_$tag").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(admitted(bandGate = false, "exact") == Set(11L, 12L))
+    assert(admitted(bandGate = true, "band") == Set(12L))
+    // the band gate is exactly the batch path's minJaccard=None regime:
+    // stream-admitted == docs NOT corpus-rejected by incrementalIndexed
+    val batchStatuses = DedupDocs.incrementalIndexed(
+        DedupIndex.read(spark, s"$work/idx"), batch, minJaccard = None)
+      .filter(!col("status").startsWith("corpus"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchStatuses == Set(12L))
+  }
+
   test("stream_daily_tmax registry entry equals pipe_daily_max row for row") {
     // the harness entry runs the REAL stream (multi-batch AvailableNow)
     // and must reproduce the batch pipeline exactly — rows, schema, and
