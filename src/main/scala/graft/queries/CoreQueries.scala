@@ -501,6 +501,44 @@ object CoreQueries {
       Some("""SELECT doc_id, source,
              |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS global_id
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // O11: CDC keep-latest upsert merge — fold a change feed into a keyed
+    // snapshot. Base = events before Jan 20, updates = events from Jan 20
+    // on; identity is (user_id, event_type), recency (ts, event_id) with
+    // the update side winning full ties. Routed through ops/Upsert: ONE
+    // max_by aggregation whose map-side partial keeps the shuffle at
+    // O(distinct keys) — the oracle spells the same semantics with a
+    // row_number window, which is correct but the 100 TB-wrong plan
+    // (every change-log row shuffles).
+    OracleQuery(
+      "o11_upsert_merge",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val cut = "2024-01-20"
+        val base = ev.filter($"ts" < lit(cut).cast("timestamp"))
+        val updates = ev.filter($"ts" >= lit(cut).cast("timestamp"))
+        graft.ops.Upsert
+          .mergeLatest(base, updates,
+            keys = Seq("user_id", "event_type"),
+            orderBy = Seq("ts", "event_id"))
+          .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""WITH tagged AS (
+             |  SELECT user_id, event_type, event_id, ts, value,
+             |    CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END AS side
+             |  FROM events
+             |), ranked AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY user_id, event_type
+             |    ORDER BY ts DESC, event_id DESC, side DESC) AS rn
+             |  FROM tagged
+             |)
+             |SELECT user_id, event_type, event_id, ts, value
+             |FROM ranked WHERE rn = 1
+             |ORDER BY user_id, event_type""".stripMargin)
     )
   )
 }

@@ -331,6 +331,45 @@ object JoinQueries {
              |  count(*) AS n, round(sum(f.value), 4) AS sum_value
              |FROM fact f LEFT JOIN dim d ON f.k = d.k
              |GROUP BY f.k, coalesce(d.label, 'none') ORDER BY f.k""".stripMargin)
+    ),
+
+    // J13: full-outer reconciliation — both sides filtered so each has
+    // keys the other lacks (the ledger-diff shape: which snapshot rows
+    // vanished, which feed rows are new). Shuffles on the join key like
+    // any fact⋈fact equi-join; the three-way disposition then collapses
+    // map-side into a 1-row aggregate. At scale full outer preserves the
+    // shuffle partitioning, so the disposition agg adds no extra
+    // exchange.
+    OracleQuery(
+      "j13_full_outer",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+          .filter($"c_acctbal" > 5000).select($"c_custkey", $"c_acctbal")
+        val big = Tables.orders(s, d)
+          .filter($"o_totalprice" > 150000)
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_big"), sum($"o_totalprice").as("sum_big"))
+        cust.join(big, $"c_custkey" === $"o_custkey", "full_outer")
+          .agg(
+            sum(when($"c_custkey".isNotNull && $"o_custkey".isNotNull, 1).otherwise(0))
+              .cast("long").as("n_both"),
+            sum(when($"o_custkey".isNull, 1).otherwise(0)).cast("long").as("n_cust_only"),
+            sum(when($"c_custkey".isNull, 1).otherwise(0)).cast("long").as("n_orders_only"),
+            round(sum(when($"c_custkey".isNull, $"sum_big")), 4).as("unmatched_value"))
+      },
+      Some("""WITH cust AS (
+             |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000
+             |), big AS (
+             |  SELECT o_custkey, count(*) AS n_big, sum(o_totalprice) AS sum_big
+             |  FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey
+             |)
+             |SELECT
+             |  CAST(sum(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cust_only,
+             |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_only,
+             |  round(sum(CASE WHEN c_custkey IS NULL THEN sum_big END), 4) AS unmatched_value
+             |FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey""".stripMargin)
     )
   )
 }

@@ -338,6 +338,59 @@ object PipelineQueries {
              |)
              |SELECT fold, role, count(*) AS n, min(rn) AS min_rn, max(rn) AS max_rn
              |FROM folds GROUP BY fold, role ORDER BY fold, role""".stripMargin)
+    ),
+
+    // Ordered-event funnel (view → click-after-view → purchase-after-
+    // click) — the product-analytics shape a general engine must cover.
+    // ONE window pass per user carries running minima of each completed
+    // stage's timestamp, so the whole funnel costs a single shuffle+sort
+    // on user_id regardless of funnel depth; per-user flags then collapse
+    // through an ordinary hash aggregation. No per-user collect_list, no
+    // event-sequence blowup — at 100 TB the plan is exactly one sort per
+    // user partition plus one global 1-row agg.
+    OracleQuery(
+      "pipe_funnel",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val staged = Tables.events(s, d)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          // earliest view seen so far (running min within the user)
+          .withColumn("v_ts",
+            min(when($"event_type" === "view", $"ts")).over(w))
+          // earliest click that happened strictly after that view
+          .withColumn("c_ts",
+            min(when($"event_type" === "click" && $"ts" > $"v_ts", $"ts")).over(w))
+        val perUser = staged.groupBy($"user_id").agg(
+          max(when($"event_type" === "view", 1).otherwise(0)).as("s_view"),
+          max(when($"event_type" === "click" && $"ts" > $"v_ts", 1).otherwise(0)).as("s_click"),
+          max(when($"event_type" === "purchase" && $"ts" > $"c_ts", 1).otherwise(0)).as("s_purchase"))
+        perUser.agg(
+          sum($"s_view").cast("long").as("n_view"),
+          sum($"s_click").cast("long").as("n_click_after_view"),
+          sum($"s_purchase").cast("long").as("n_purchase_after_click"))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS v_ts
+             |  FROM events
+             |), staged AS (
+             |  SELECT user_id, ts, event_type, v_ts,
+             |    min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS c_ts
+             |  FROM s1
+             |), per_user AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s_view,
+             |    max(CASE WHEN event_type = 'click' AND ts > v_ts THEN 1 ELSE 0 END) AS s_click,
+             |    max(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN 1 ELSE 0 END) AS s_purchase
+             |  FROM staged GROUP BY user_id
+             |)
+             |SELECT CAST(sum(s_view) AS BIGINT) AS n_view,
+             |  CAST(sum(s_click) AS BIGINT) AS n_click_after_view,
+             |  CAST(sum(s_purchase) AS BIGINT) AS n_purchase_after_click
+             |FROM per_user""".stripMargin)
     )
   )
 }

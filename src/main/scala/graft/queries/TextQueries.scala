@@ -633,6 +633,98 @@ object TextQueries {
           .orderBy($"source")
       },
       None
+    ),
+
+    // Bigram language-model quality scoring — the KenLM-style perplexity
+    // filter of LLM data pipelines, as pure dataflow. The LM is NOT
+    // driver state: bigram counts live in a DataFrame keyed by (w1,w2),
+    // context counts derive from them by re-aggregation (no second
+    // corpus scan), and scoring is a shuffle join of the token stream
+    // against the probability table. At 100 TB the vocab table shuffles
+    // on word keys like any fact⋈fact join — nothing is collected, so an
+    // arbitrarily large vocabulary still fits. MLE probs (train = score
+    // corpus ⇒ every bigram is seen; no smoothing needed for ranking).
+    OracleQuery(
+      "text_bigram_lm_score",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .select($"doc_id", $"ws", posexplode($"ws").as(Seq("pos", "w1")))
+          .filter($"pos" <= size($"ws") - 2)
+          .select($"doc_id", $"w1", element_at($"ws", $"pos" + 2).as("w2"))
+        val bc = toks.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val uc = bc.groupBy($"w1").agg(sum($"c12").as("c1"))
+        val pt = bc.join(uc, "w1")
+          .select($"w1", $"w2", log($"c12" / $"c1").as("lp"))
+        toks.join(pt, Seq("w1", "w2"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), round(avg($"lp"), 4).as("avg_logprob"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |), idx AS (
+             |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM base
+             |), toks AS (
+             |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM idx
+             |), bc AS (
+             |  SELECT w1, w2, count(*) AS c12 FROM toks GROUP BY 1, 2
+             |), uc AS (
+             |  SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1
+             |), pt AS (
+             |  SELECT b.w1, b.w2, ln(b.c12 / u.c1) AS lp
+             |  FROM bc b JOIN uc u USING (w1)
+             |)
+             |SELECT t.doc_id, count(*) AS n_bigrams, round(avg(pt.lp), 4) AS avg_logprob
+             |FROM toks t JOIN pt ON t.w1 = pt.w1 AND t.w2 = pt.w2
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+    ),
+
+    // Per-source distribution drift: KL(source unigram dist ‖ corpus
+    // dist) — the mixture-monitoring stat that catches a domain's token
+    // distribution wandering from the blend. One tokenize pass; every
+    // other input (per-source totals, per-word corpus counts, grand
+    // total) derives from the (source, word) count table by
+    // re-aggregation, so the corpus text is scanned exactly once. All
+    // joins are on already-aggregated count tables.
+    OracleQuery(
+      "text_kl_drift",
+      (s, d) => {
+        import s.implicits._
+        val sc = Tables.documents(s, d)
+          .select($"source", explode(split($"text", " ")).as("w"))
+          .groupBy($"source", $"w").agg(count(lit(1)).as("c_sw"))
+        val srcTot = sc.groupBy($"source").agg(sum($"c_sw").as("n_s"))
+        val wordTot = sc.groupBy($"w").agg(sum($"c_sw").as("c_w"))
+        val grand = srcTot.agg(sum($"n_s").as("n_total"))
+        sc.join(wordTot, "w")
+          .join(srcTot, "source")
+          .crossJoin(broadcast(grand))
+          .select($"source", $"n_s",
+            (($"c_sw" / $"n_s") * log(($"c_sw" / $"n_s") / ($"c_w" / $"n_total"))).as("term"))
+          .groupBy($"source")
+          .agg(max($"n_s").cast("long").as("n_tokens"), round(sum($"term"), 4).as("kl_vs_corpus"))
+          .orderBy($"source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+             |), sc AS (
+             |  SELECT source, w, count(*) AS c_sw FROM toks GROUP BY 1, 2
+             |), src_tot AS (
+             |  SELECT source, sum(c_sw) AS n_s FROM sc GROUP BY 1
+             |), word_tot AS (
+             |  SELECT w, sum(c_sw) AS c_w FROM sc GROUP BY 1
+             |), grand AS (
+             |  SELECT sum(n_s) AS n_total FROM src_tot
+             |)
+             |SELECT sc.source, CAST(max(st.n_s) AS BIGINT) AS n_tokens,
+             |  round(sum((sc.c_sw / st.n_s) * ln((sc.c_sw / st.n_s) / (wt.c_w / g.n_total))), 4) AS kl_vs_corpus
+             |FROM sc
+             |JOIN word_tot wt ON sc.w = wt.w
+             |JOIN src_tot st ON sc.source = st.source
+             |CROSS JOIN grand g
+             |GROUP BY sc.source ORDER BY sc.source""".stripMargin)
     )
   )
 }

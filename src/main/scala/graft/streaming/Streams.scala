@@ -203,6 +203,94 @@ object Streams {
     out.select(cols: _*)
   }
 
+  /** Open per-user session carried in the state store between
+    * micro-batches (epoch millis — the state row stays 32 bytes no
+    * matter how long the session runs). */
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long, sumValue: Double)
+
+  /** A gap-closed session as emitted downstream. */
+  final case class ClosedSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based streaming sessionization — the stateful dual of the batch
+    * `pipe_sessionize` window query: events keyed by user, a session
+    * closes when `gapSec` of EVENT time passes with nothing from that
+    * user, and closed sessions are emitted exactly once (Append mode).
+    *
+    * flatMapGroupsWithState with EventTimeTimeout: state is ONE open
+    * session per active user (bounded — not the event history), sharded
+    * with the shuffle at scale; the watermark both drops late input and
+    * drives the timeout that flushes a session nobody extended. Within a
+    * micro-batch rows are folded in event-time order, closing and
+    * emitting intermediate sessions inline, so a batch spanning several
+    * gaps yields all of them at once. If a session's deadline already
+    * lies behind the current watermark it is closed immediately
+    * (setTimeoutTimestamp refuses past deadlines).
+    *
+    * The last open session per user only flushes once the watermark
+    * passes its deadline IN A LATER BATCH — an AvailableNow drain of a
+    * finite directory keeps the final sessions in state (correct: more
+    * files may land), which is why the spec feeds sentinel batches to
+    * close them. */
+  def sessionizeStream(
+      events: DataFrame, gapSec: Int = 1800,
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSec * 1000L
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[OpenSession]) =>
+          def close(s: OpenSession): ClosedSession =
+            ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.n, s.sumValue)
+          if (state.hasTimedOut) {
+            val out = close(state.get)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            // micro-batch iterator order is not defined — fold in event
+            // time so intra-batch gap detection is deterministic
+            val sorted = rows.toIndexedSeq.sortBy(_._2.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            for ((_, ts, v) <- sorted) {
+              val t = ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1, s.sumValue + v))
+                case Some(s) =>
+                  closed ::= close(s)
+                  Some(OpenSession(t, t, 1L, v))
+                case None =>
+                  Some(OpenSession(t, t, 1L, v))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                val deadline = s.lastMs + gapMs
+                if (deadline <= state.getCurrentWatermarkMs()) {
+                  // gap already elapsed in event time — close inline,
+                  // a timeout this old would be rejected
+                  closed ::= close(s)
+                  state.remove()
+                } else {
+                  state.update(s)
+                  state.setTimeoutTimestamp(deadline)
+                }
+              case None => state.remove()
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Drain-available-and-stop runner (batch-first engine; streaming is
     * incremental ingestion, not an always-on service). */
   def runAvailableNow(
