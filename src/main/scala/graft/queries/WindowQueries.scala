@@ -191,6 +191,38 @@ object WindowQueries {
                |)
                |SELECT user_id, event_type, event_id, round(value, 4) AS value
                |FROM ranked WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+      ),
+
+      // W8: per-key recursive EWMA (pandas ewm(alpha, adjust=False)) —
+      // routed through ops/Ewma: key-clustered repartition + local sort
+      // + one linear mapPartitions pass, the right plan for a linear
+      // recurrence no window sum can weight. The oracle replays the
+      // recurrence in closed form (y_i = (1-α)^(i-1)·x_1 +
+      // α·Σ_{j=2..i} (1-α)^(i-j)·x_j) via a bounded positional
+      // self-join — O(n²) per user, fine at oracle scale, which is why
+      // the Spark side, not this SQL, is the production spelling.
+      OracleQuery(
+        "w8_ewma",
+        (s, d) => {
+          import s.implicits._
+          val ev = Tables.events(s, d).filter($"user_id" < 8)
+            .select($"user_id", $"ts", $"event_id", $"value")
+          graft.ops.Ewma
+            .perKey(ev, "user_id", Seq("ts", "event_id"), "value", alpha = 0.3)
+            .select($"user_id", $"event_id", round($"ewma", 4).as("ewma"))
+            .orderBy($"user_id", $"event_id")
+        },
+        Some("""WITH pos AS (
+               |  SELECT user_id, event_id, value,
+               |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               |  FROM events WHERE user_id < 8
+               |)
+               |SELECT a.user_id, a.event_id,
+               |  round(sum(CASE WHEN b.rn = 1 THEN power(0.7, a.rn - 1) * b.value
+               |                 ELSE 0.3 * power(0.7, a.rn - b.rn) * b.value END), 4) AS ewma
+               |FROM pos a JOIN pos b ON a.user_id = b.user_id AND b.rn <= a.rn
+               |GROUP BY a.user_id, a.event_id
+               |ORDER BY a.user_id, a.event_id""".stripMargin)
       )
     )
   }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class EwmaSpec extends SparkSpec {
+
+  private def frame(rows: Seq[(Long, Long, java.lang.Double)]) = {
+    import spark.implicits._
+    rows.map { case (k, o, v) => (k, o, Option(v).map(_.doubleValue)) }
+      .toDF("k", "o", "v")
+  }
+
+  test("recursive EWMA matches the hand-computed fold per key") {
+    val df = frame(Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 10.0),
+      (2L, 1L, 4.0), (2L, 2L, 8.0)))
+    val got = Ewma.perKey(df, "k", Seq("o"), "v", alpha = 0.5)
+      .orderBy("k", "o").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // k=1: 10, 0.5*20+0.5*10=15, 0.5*10+0.5*15=12.5 ; k=2: 4, 6
+    assert(got.toSeq == Seq(
+      (1L, 1L, 10.0), (1L, 2L, 15.0), (1L, 3L, 12.5),
+      (2L, 1L, 4.0), (2L, 2L, 6.0)))
+  }
+
+  test("the accumulator resets at key boundaries even within one partition") {
+    val df = frame(Seq((5L, 1L, 100.0), (6L, 1L, 1.0), (6L, 2L, 1.0)))
+      .coalesce(1) // force both keys into one partition
+    val got = Ewma.perKey(df, "k", Seq("o"), "v", alpha = 0.3)
+      .orderBy("k", "o").collect().map(_.getDouble(3))
+    assert(got.toSeq == Seq(100.0, 1.0, 1.0),
+      "key 6 must not inherit key 5's accumulator")
+  }
+
+  test("nulls emit null and leave the accumulator untouched") {
+    val df = frame(Seq((1L, 1L, 10.0), (1L, 2L, null), (1L, 3L, 10.0)))
+    val got = Ewma.perKey(df, "k", Seq("o"), "v", alpha = 0.5)
+      .orderBy("o").collect()
+    assert(got(1).isNullAt(3))
+    assert(got(2).getDouble(3) == 10.0, "null must not perturb the fold")
+  }
+
+  test("leading nulls start the fold at the first non-null value") {
+    val df = frame(Seq((1L, 1L, null), (1L, 2L, 7.0)))
+    val got = Ewma.perKey(df, "k", Seq("o"), "v", alpha = 0.2)
+      .orderBy("o").collect()
+    assert(got(0).isNullAt(3))
+    assert(got(1).getDouble(3) == 7.0)
+  }
+
+  test("adversarially shuffled multi-partition input still folds in order") {
+    // Catalyst once deleted the sortWithinPartitions under the fold
+    // (EliminateSorts treats object consumers as order-agnostic); this
+    // pins the fix. Rows arrive reverse-ordered across 7 partitions.
+    val n = 500
+    val rows = (1 to n).reverse.map(i =>
+      (i % 5L, i.toLong, java.lang.Double.valueOf(if (i % 7 == 0) 50.0 else 1.0)))
+    val df = frame(rows).repartition(7)
+    val got = Ewma.perKey(df, "k", Seq("o"), "v", alpha = 0.3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // reference: driver-side fold in (k, o) order
+    val expect = rows.sortBy(t => (t._1, t._2)).groupBy(_._1).flatMap { case (_, rs) =>
+      var acc = Double.NaN
+      rs.map { case (k, o, v) =>
+        acc = if (acc.isNaN) v.doubleValue else 0.3 * v.doubleValue + 0.7 * acc
+        ((k, o), acc)
+      }
+    }
+    assert(got.size == n)
+    for ((ko, y) <- expect)
+      assert(math.abs(got(ko) - y) < 1e-12, s"mismatch at $ko: ${got(ko)} vs $y")
+  }
+
+  test("invalid arguments are rejected") {
+    val df = frame(Seq((1L, 1L, 1.0)))
+    intercept[IllegalArgumentException](Ewma.perKey(df, "k", Seq("o"), "v", alpha = 0.0))
+    intercept[IllegalArgumentException](Ewma.perKey(df, "k", Seq("o"), "nope", alpha = 0.5))
+  }
+}
