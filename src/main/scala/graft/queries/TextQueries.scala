@@ -638,21 +638,31 @@ object TextQueries {
     // Bigram language-model quality scoring — the KenLM-style perplexity
     // filter of LLM data pipelines, as pure dataflow. The LM is NOT
     // driver state: bigram counts live in a DataFrame keyed by (w1,w2),
-    // context counts derive from them by re-aggregation (no second
-    // corpus scan), and scoring is a shuffle join of the token stream
-    // against the probability table. At 100 TB the vocab table shuffles
-    // on word keys like any fact⋈fact join — nothing is collected, so an
-    // arbitrarily large vocabulary still fits. MLE probs (train = score
-    // corpus ⇒ every bigram is seen; no smoothing needed for ranking).
+    // context counts derive from them by re-aggregation (AQE reuses the
+    // bigram-count exchange — PlanSpec pins it), and scoring joins the
+    // token stream against the probability table. Exactly TWO corpus
+    // scans — one training pass (doc_id pruned), one scoring pass — the
+    // structural floor without materializing the token table. At 100 TB
+    // the vocab table shuffles on word keys like any fact⋈fact join —
+    // nothing is collected, so an arbitrarily large vocabulary still
+    // fits. MLE probs (train = score corpus ⇒ every bigram is seen; no
+    // smoothing needed for ranking).
     OracleQuery(
       "text_bigram_lm_score",
       (s, d) => {
         import s.implicits._
+        // the explicit not-null filters are semantic no-ops (split never
+        // yields null elements) but make every reuse of `toks`/`bc` a
+        // byte-identical subtree: without them each join branch gets a
+        // DIFFERENT inferred isnotnull() set, the subtrees stop matching,
+        // and AQE stage reuse can't collapse them — the corpus would be
+        // scanned once per branch instead of once per query
         val toks = Tables.documents(s, d)
           .select($"doc_id", split($"text", " ").as("ws"))
           .select($"doc_id", $"ws", posexplode($"ws").as(Seq("pos", "w1")))
           .filter($"pos" <= size($"ws") - 2)
           .select($"doc_id", $"w1", element_at($"ws", $"pos" + 2).as("w2"))
+          .filter($"w1".isNotNull && $"w2".isNotNull)
         val bc = toks.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
         val uc = bc.groupBy($"w1").agg(sum($"c12").as("c1"))
         val pt = bc.join(uc, "w1")
@@ -692,8 +702,13 @@ object TextQueries {
       "text_kl_drift",
       (s, d) => {
         import s.implicits._
+        // explicit not-null filters for subtree-identical reuse — same
+        // rationale as text_bigram_lm_score: all four consumers of `sc`
+        // must be byte-identical plans so the corpus scan runs once
         val sc = Tables.documents(s, d)
+          .filter($"source".isNotNull)
           .select($"source", explode(split($"text", " ")).as("w"))
+          .filter($"w".isNotNull)
           .groupBy($"source", $"w").agg(count(lit(1)).as("c_sw"))
         val srcTot = sc.groupBy($"source").agg(sum($"c_sw").as("n_s"))
         val wordTot = sc.groupBy($"w").agg(sum($"c_sw").as("c_w"))

@@ -180,4 +180,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"stratified sampling must not shuffle:\n$p")
   }
+
+  test("LM scoring and KL drift scan the corpus exactly once (AQE stage reuse)") {
+    // every branch that re-derives counts from the token table must be a
+    // byte-identical subtree (explicit not-null filters make inferred
+    // join constraints match), so AQE collapses them into ReusedExchange
+    // instead of re-reading the corpus once per branch — at 100 TB the
+    // difference between one scan and three
+    // bigram LM: 2 scans is the structural floor — the scoring pass
+    // carries doc_id while the training pass prunes it, so those
+    // subtrees can never unify; what MUST reuse is the bigram-count
+    // exchange feeding both the prob table and the context totals
+    for ((q, maxScans) <- Seq("text_bigram_lm_score" -> 2, "text_kl_drift" -> 1)) {
+      val df = Registry.queries(q)(spark, sf)
+      df.collect() // finalize the adaptive plan
+      val full = df.queryExecution.executedPlan.toString
+      val finalPlan = full.split("== Initial Plan ==").head
+      val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+      assert(scans <= maxScans,
+        s"$q reads the corpus $scans times (max $maxScans) in the final plan:\n$finalPlan")
+      assert(finalPlan.contains("ReusedExchange"),
+        s"$q should reuse the token-count exchange:\n$finalPlan")
+    }
+  }
 }
