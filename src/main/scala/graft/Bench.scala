@@ -31,7 +31,9 @@ object Bench {
     "text_quality_score",  // text heuristics
     "pipe_daily_max",      // full clean→daily pipeline
     "pipe_rolling_features", // leakage-free feature windows
-    "pipe_ridge_closed_form") // closed-form model fit
+    "pipe_ridge_closed_form", // closed-form model fit
+    "o11_upsert_merge",    // CDC keep-latest snapshot merge
+    "text_bigram_lm_score") // corpus-trained LM quality scoring
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
