@@ -54,4 +54,18 @@ object Upsert {
       .select(col("__row.*"))
     winner
   }
+
+  /** Collapse one frame to its latest row per key — the single-side
+    * case of [[mergeLatest]] (same one-aggregation plan), used to
+    * seed a snapshot from the first change batch. */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(orderBy.nonEmpty, "need at least one recency column")
+    val cols = df.columns.toSeq
+    val missing = (keys ++ orderBy).filterNot(cols.contains)
+    require(missing.isEmpty, s"unknown columns: ${missing.mkString(",")}")
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), struct(orderBy.map(col): _*)).as("__row"))
+      .select(col("__row.*"))
+  }
 }

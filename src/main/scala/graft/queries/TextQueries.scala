@@ -740,6 +740,58 @@ object TextQueries {
              |JOIN src_tot st ON sc.source = st.source
              |CROSS JOIN grand g
              |GROUP BY sc.source ORDER BY sc.source""".stripMargin)
+    ),
+
+    // Cross-source duplication matrix: for every source pair, how many
+    // distinct trigram fingerprints they share and the Jaccard overlap —
+    // the observability stat behind "which feeds are mirroring each
+    // other". The self-join is on the 60-bit gram hash and can only fan
+    // out to C(|sources|, 2) pairs per gram (sources is a small constant),
+    // so candidate volume is bounded by #distinct grams, never by corpus
+    // row counts. `sg` (distinct source×gram) backs all three consumers
+    // via byte-identical subtrees (explicit not-null filters, same
+    // mechanism as text_kl_drift).
+    OracleQuery(
+      "text_source_overlap",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val sg = Shingles.wordTrigrams(docs)
+          .join(docs.select($"doc_id", $"source"), "doc_id")
+          .select($"source", expr(Shingles.h60("gram")).as("g"))
+          .filter($"source".isNotNull && $"g".isNotNull)
+          .distinct()
+        val ns = sg.groupBy($"source").agg(count(lit(1)).as("n"))
+        val shared = sg.as("a").join(sg.as("b"),
+            $"a.g" === $"b.g" && $"a.source" < $"b.source")
+          .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(ns.select($"source".as("src_a"), $"n".as("n_a")), "src_a")
+          .join(ns.select($"source".as("src_b"), $"n".as("n_b")), "src_b")
+          .select($"src_a", $"src_b", $"n_shared",
+            round($"n_shared" / ($"n_a" + $"n_b" - $"n_shared"), 4).as("jaccard"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some(s"""WITH grams AS (
+             |  ${Shingles.duckTrigrams}
+             |), sg AS (
+             |  SELECT DISTINCT d.source,
+             |    ('0x' || substr(md5(g.gram), 1, 15))::BIGINT AS g
+             |  FROM grams g JOIN documents d USING (doc_id)
+             |), ns AS (
+             |  SELECT source, count(*) AS n FROM sg GROUP BY 1
+             |), shared AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+             |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+             |  GROUP BY 1, 2
+             |)
+             |SELECT src_a, src_b, n_shared,
+             |  round(n_shared / (na.n + nb.n - n_shared), 4) AS jaccard
+             |FROM shared
+             |JOIN ns na ON na.source = shared.src_a
+             |JOIN ns nb ON nb.source = shared.src_b
+             |ORDER BY src_a, src_b""".stripMargin)
     )
   )
 }
