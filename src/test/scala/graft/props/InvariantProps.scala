@@ -373,4 +373,43 @@ object InvariantProps extends Properties("graft") {
         .head
       r.getString(0) == text.replace(" ", "") && r.getInt(1) <= text.replace(" ", "").length
     }
+
+  // CDC upsert: folding change batches one at a time equals one merge of
+  // everything — the invariant snapshotMergeStream relies on. Batch
+  // index is the recency tiebreak, mirroring "later batch wins ties".
+  private val upsertGen = for {
+    nBatches <- Gen.chooseNum(1, 4)
+    batches <- Gen.listOfN(nBatches, Gen.listOf(for {
+      k <- Gen.chooseNum(0L, 6L)
+      ver <- Gen.chooseNum(0L, 5L)
+      payload <- Gen.alphaStr.map(_.take(4))
+    } yield (k, ver, payload)))
+  } yield batches
+    // unique (k, ver) within a batch: a same-batch tie has no defined
+    // winner in either spelling (max_by on an equal ordering tuple)
+    .map(_.distinctBy(t => (t._1, t._2)))
+    .filter(_.nonEmpty)
+
+  property("upsert: incremental fold over batches == one latest-per-key pass") =
+    // NoShrink: shrinking synthesizes inputs that bypass the generator's
+    // per-batch (k, ver) dedup and fail for tie-nondeterminism, not for
+    // a real fold defect
+    org.scalacheck.Prop.forAllNoShrink(upsertGen) { batches =>
+      batches.isEmpty || {
+        import graft.ops.Upsert
+        def df(rows: List[(Long, Long, String)], b: Int) =
+          rows.map { case (k, v, p) => (k, v, p, b.toLong) }.toDF("k", "ver", "payload", "b")
+        val keys = Seq("k"); val ord = Seq("ver", "b")
+        val dfs = batches.zipWithIndex.map { case (r, i) => df(r, i) }
+        // the snapshotMergeStream shape: seed = latestPerKey(first batch),
+        // then one mergeLatest per later batch
+        val folded = dfs.tail.foldLeft(Upsert.latestPerKey(dfs.head, keys, ord)) {
+          (snap, batch) => Upsert.mergeLatest(snap, batch, keys, ord)
+        }
+        val oneShot = Upsert.latestPerKey(dfs.reduceLeft(_ unionByName _), keys, ord)
+        val f = folded.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+        val o = oneShot.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+        f == o
+      }
+    }
 }
