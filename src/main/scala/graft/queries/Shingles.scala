@@ -22,14 +22,22 @@ private[graft] object Shingles {
     * bound. Gram strings are byte-identical to the oracle's
     * list_transform formulation. */
   def wordTrigrams(docs: DataFrame): DataFrame =
+    wordTrigramsWith(docs, Nil)
+
+  /** [[wordTrigrams]] carrying extra doc-level columns through the
+    * explode — one corpus scan where a gram⋈docs join-back would pay a
+    * second scan plus a doc_id shuffle. */
+  def wordTrigramsWith(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val carryCols = carry.map(col)
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("ws"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .select((col("doc_id") +: split(col("text"), " ").as("ws") +: carryCols): _*)
+      .select((col("doc_id") +: col("ws") +: posexplode(col("ws")).as(Seq("pos", "w")) +: carryCols): _*)
       .filter(col("pos") <= size(col("ws")) - 3)
-      .select(col("doc_id"), concat_ws(" ",
+      .select((col("doc_id") +: concat_ws(" ",
         col("w"),
         element_at(col("ws"), col("pos") + 2),
-        element_at(col("ws"), col("pos") + 3)).as("gram"))
+        element_at(col("ws"), col("pos") + 3)).as("gram") +: carryCols): _*)
+  }
 
   /** The DuckDB spelling of the same trigrams (oracle-side CTE body). */
   val duckTrigrams: String =

@@ -755,9 +755,10 @@ object TextQueries {
       "text_source_overlap",
       (s, d) => {
         import s.implicits._
-        val docs = Tables.documents(s, d)
-        val sg = Shingles.wordTrigrams(docs)
-          .join(docs.select($"doc_id", $"source"), "doc_id")
+        // source rides through the explode (wordTrigramsWith) — ONE
+        // corpus scan; a gram⋈docs join-back would scan twice and pay a
+        // doc_id shuffle
+        val sg = Shingles.wordTrigramsWith(Tables.documents(s, d), Seq("source"))
           .select($"source", expr(Shingles.h60("gram")).as("g"))
           .filter($"source".isNotNull && $"g".isNotNull)
           .distinct()

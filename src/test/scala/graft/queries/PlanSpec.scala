@@ -191,7 +191,11 @@ class PlanSpec extends SparkSpec {
     // carries doc_id while the training pass prunes it, so those
     // subtrees can never unify; what MUST reuse is the bigram-count
     // exchange feeding both the prob table and the context totals
-    for ((q, maxScans) <- Seq("text_bigram_lm_score" -> 2, "text_kl_drift" -> 1)) {
+    for ((q, maxScans) <- Seq(
+        "text_bigram_lm_score" -> 2, "text_kl_drift" -> 1,
+        // source rides through the explode; the distinct source×gram
+        // table backs the pair self-join and the per-source totals
+        "text_source_overlap" -> 1)) {
       val df = Registry.queries(q)(spark, sf)
       df.collect() // finalize the adaptive plan
       val full = df.queryExecution.executedPlan.toString
