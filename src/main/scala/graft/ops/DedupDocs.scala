@@ -288,11 +288,18 @@ object DedupDocs {
       maxVerifyBucket: Int, checkpointDir: Option[String]): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val corpusRej = exactRej.withColumn("status", lit("corpus_exact"))
+    val corpusRejLazy = exactRej.withColumn("status", lit("corpus_exact"))
       .unionByName(nearRej.withColumn("status", lit("corpus_near")))
       .groupBy($"doc_id")
       // precedence: exact beats near when both reject the same doc
       .agg(min($"status").as("status")) // "corpus_exact" < "corpus_near"
+    // Evaluate the rejection set ONCE and truncate its DAG: it is tiny
+    // (O(batch) ids) but its lineage is the whole LSH-verification
+    // cascade, and it has several downstream consumers (the anti join,
+    // the final union) ON TOP of the within-batch apply()'s iterative
+    // jobs — without the cut, each consumer re-runs the cascade end to
+    // end (measured 19 s → 4 s on the sf0.1 oracle split at local[4]).
+    val corpusRej = corpusRejLazy.localCheckpoint(true)
     val remainder = batch.join(corpusRej.select($"doc_id"), Seq("doc_id"), "left_anti")
     val internal = apply(remainder, rowsPerBand, minJaccard, maxVerifyBucket,
       checkpointDir = checkpointDir)

@@ -77,9 +77,20 @@ object DedupIndex {
   }
 
   private def writeFrames(f: Frames, dir: String, mode: SaveMode): Unit = {
-    graft.sources.Sinks.writeSortedBy(f.fps, s"$dir/fps", Seq("fp"), mode = mode)
-    graft.sources.Sinks.writeSortedBy(f.bands, s"$dir/bands", Seq("bucket"), mode = mode)
-    graft.sources.Sinks.writeSortedBy(f.grams, s"$dir/grams", Seq("doc_id", "gram"), mode = mode)
+    // writeSortedBy's repartitionByRange runs a range-SAMPLING pass that
+    // re-executes the frame's lineage before the write pass re-executes
+    // it again — and these lineages carry the minhash-signature and
+    // shingle computations, the expensive part of index derivation.
+    // Cache each frame across its sample+write pair (lifecycle contained
+    // here: unpersist before return), so derivation runs once per table.
+    def sortedCached(df: DataFrame, sub: String, keys: Seq[String]): Unit = {
+      val cached = df.persist()
+      try graft.sources.Sinks.writeSortedBy(cached, s"$dir/$sub", keys, mode = mode)
+      finally cached.unpersist(false)
+    }
+    sortedCached(f.fps, "fps", Seq("fp"))
+    sortedCached(f.bands, "bands", Seq("bucket"))
+    sortedCached(f.grams, "grams", Seq("doc_id", "gram"))
   }
 
   /** Compact append generations: re-sort and rewrite each table by its
