@@ -203,6 +203,22 @@ object Pipeline {
       graft.ops.ZOrder.writeZOrdered3By(df, outDir, xCol, yCol, zCol)
       println(s"[graft] wrote z-ordered ($xCol, $yCol, $zCol) layout → $outDir")
 
+    case "snapshot-merge" :: changesDir :: snapshotDir :: ckptDir :: keyCsv :: ordCsv :: Nil =>
+      // streaming CDC maintenance: drain whatever change files landed in
+      // changesDir and fold them into the keyed snapshot (one upsert
+      // merge per micro-batch, versioned dirs + atomic pointer swap);
+      // re-runs pick up only new files via the checkpoint
+      val schema = spark.read.parquet(changesDir).schema
+      val changes = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64).parquet(changesDir)
+      graft.streaming.Streams.snapshotMergeStream(
+          changes, snapshotDir, ckptDir,
+          keyCsv.split(',').toSeq, ordCsv.split(',').toSeq)
+        .awaitTermination()
+      val n = graft.streaming.Streams.readSnapshot(spark, snapshotDir)
+        .map(_.count()).getOrElse(0L)
+      println(s"[graft] snapshot-merge: snapshot at $snapshotDir now holds $n keys")
+
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
@@ -221,7 +237,8 @@ object Pipeline {
            |  Pipeline dedup-compact <indexDir>
            |  Pipeline bpe-train <docsParquetDir> <nMerges> <outDir>
            |  Pipeline write-zorder <inParquetDir> <xCol> <yCol> <outDir>
-           |  Pipeline write-zorder3 <inParquetDir> <xCol> <yCol> <zCol> <outDir>""".stripMargin)
+           |  Pipeline write-zorder3 <inParquetDir> <xCol> <yCol> <zCol> <outDir>
+           |  Pipeline snapshot-merge <changesDir> <snapshotDir> <checkpointDir> <keyCols,csv> <orderCols,csv>""".stripMargin)
       sys.exit(2)
   }
 }

@@ -207,4 +207,25 @@ class PipelineCliSpec extends SparkSpec {
     assert(back.count() == 5000)
     assert(back.columns.sorted.toSeq == Seq("id", "t", "u"), "layout key must not leak")
   }
+
+  test("snapshot-merge folds new change files into the snapshot across runs") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_snapcli").toString
+    Seq((1L, 1L, "a1"), (2L, 1L, "b1"))
+      .toDF("k", "ver", "payload").write.parquet(s"$work/changes/f0")
+    Pipeline.run(spark, List("snapshot-merge",
+      s"$work/changes/*", s"$work/snap", s"$work/ck", "k", "ver,k"))
+    val s0 = graft.streaming.Streams.readSnapshot(spark, s"$work/snap").get
+    assert(s0.count() == 2)
+
+    // second run: only the NEW file is processed (checkpoint), stale
+    // change for k=1 loses, k=3 inserts
+    Seq((1L, 0L, "stale"), (3L, 1L, "c1"))
+      .toDF("k", "ver", "payload").write.parquet(s"$work/changes/f1")
+    Pipeline.run(spark, List("snapshot-merge",
+      s"$work/changes/*", s"$work/snap", s"$work/ck", "k", "ver,k"))
+    val s1 = graft.streaming.Streams.readSnapshot(spark, s"$work/snap").get
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
+  }
 }
