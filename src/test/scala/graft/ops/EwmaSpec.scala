@@ -77,4 +77,32 @@ class EwmaSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ewma.perKey(df, "k", Seq("o"), "v", alpha = 0.0))
     intercept[IllegalArgumentException](Ewma.perKey(df, "k", Seq("o"), "nope", alpha = 0.5))
   }
+
+  test("blocked decomposition equals the sequential fold, any bucket count") {
+    // giant-key spelling: per-(key, block) local folds + carry resolution
+    // must reproduce perKey exactly (up to regrouping ulp), including
+    // nulls, leading nulls, and blocks that contain no values
+    val rows = (1 to 400).map { i =>
+      (i % 3L, i.toLong,
+        if (i % 11 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf((i * 37 % 19).toDouble))
+    }
+    val df = frame(rows).repartition(5)
+    val seq = Ewma.perKey(df, "k", Seq("o"), "v", alpha = 0.25)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))).toMap
+    for (buckets <- Seq(1, 3, 16)) {
+      val blk = Ewma.perKeyBlocked(df, "k", Seq("o"), "v", alpha = 0.25,
+        buckets = buckets, sampleTarget = 100)
+      val got = blk.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))).toMap
+      assert(got.size == seq.size, s"buckets=$buckets row count")
+      for ((ko, y) <- seq) {
+        val g = got(ko)
+        if (y == null) assert(g == null, s"buckets=$buckets $ko null mismatch")
+        else assert(math.abs(g.doubleValue - y.doubleValue) < 1e-9,
+          s"buckets=$buckets $ko: $g vs $y")
+      }
+    }
+  }
 }
