@@ -57,11 +57,26 @@ object Runner {
   final case class ModelResult(name: String, metrics: Metrics.ForecastMetrics,
       calibration: Map[String, Double])
 
-  /** Evaluate one forecaster end-to-end on a pre-built train table. */
+  /** Evaluate one forecaster end-to-end on a pre-built train table.
+    * The split cache is released before returning — the metrics in
+    * ModelResult are already collected, and a caller that re-evaluates
+    * the returned predictions pays one split recompute instead of
+    * leaking a cached frame per model in a long-lived session (the
+    * KnnRegressor lesson). [[runMultiModel]] uses the keep-variant so
+    * the artifact writes reuse the cache first. */
   def evaluateModel(
       data: DataFrame,
       forecaster: Forecaster,
       cfg: EvalConfig = EvalConfig()): (DataFrame, ModelResult) = {
+    val (preds, res, cached) = evaluateModelKeepingCache(data, forecaster, cfg)
+    cached.unpersist(false)
+    (preds, res)
+  }
+
+  private[eval] def evaluateModelKeepingCache(
+      data: DataFrame,
+      forecaster: Forecaster,
+      cfg: EvalConfig = EvalConfig()): (DataFrame, ModelResult, DataFrame) = {
     val split = Splits.positional(data, cfg.timeCol, cfg.tiebreakCol, cfg.splitFractions)
       .cache()
     val train = split.filter(col("split") === "train")
@@ -84,7 +99,7 @@ object Runner {
 
     val m = Metrics.forecastMetrics(predictions)
     val cal = Metrics.calibrationMetrics(predictions)
-    (predictions, ModelResult(forecaster.name, m, cal))
+    (predictions, ModelResult(forecaster.name, m, cal), split)
   }
 
   /** Multi-model comparison: evaluate each, rank ascending by MAE
@@ -101,8 +116,9 @@ object Runner {
       cfg: EvalConfig = EvalConfig(),
       frozenConfigJson: Option[String] = None): Seq[ModelResult] = {
     val results = forecasters.map { f =>
-      val (preds, res) = evaluateModel(data, f, cfg)
-      writeModelArtifacts(runDir, res, preds, cfg)
+      val (preds, res, cached) = evaluateModelKeepingCache(data, f, cfg)
+      try writeModelArtifacts(runDir, res, preds, cfg)
+      finally cached.unpersist(false)
       res
     }
     val ranked = results.sortBy(_.metrics.mae)
