@@ -74,6 +74,46 @@ class SessionizeStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("open-session state survives a query restart on the same checkpoint") {
+    val ckpt = Files.createTempDirectory("graft_sess_ck3").toString
+    val sink = Files.createTempDirectory("graft_sess_sink3").toString
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    def sessions = Streams.sessionizeStream(
+      input.toDF().toDF("user_id", "ts", "value"), gapSec = 1800)
+    // memory sink cannot recover a checkpoint; the durable parquet sink
+    // is the restart-capable path
+    def start() = sessions.writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData((5L, ts("2024-05-01 08:00:00"), 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart: the open session must come back from the state store and
+    // merge with the next event (10-min gap), then flush via sentinels
+    val q2 = start()
+    try {
+      input.addData((5L, ts("2024-05-01 08:10:00"), 2.0))
+      q2.processAllAvailable()
+      input.addData((99L, ts("2024-05-02 08:00:00"), 0.0))
+      q2.processAllAvailable()
+      input.addData((99L, ts("2024-05-03 08:00:00"), 0.0))
+      q2.processAllAvailable()
+      val out = spark.read.parquet(sink).as[Streams.ClosedSession]
+        .collect().filter(_.user_id == 5L)
+      assert(out.map(s => (s.n_events, s.sum_value)).toSeq == Seq((2L, 3.0)),
+        s"restarted session must merge pre-restart state, got ${out.toSeq}")
+      assert(out.head.session_start == ts("2024-05-01 08:00:00"))
+      assert(out.head.session_end == ts("2024-05-01 08:10:00"))
+    } finally q2.stop()
+  }
+
   test("a session spanning micro-batches accumulates in state before closing") {
     val ckpt = Files.createTempDirectory("graft_sess_ck2").toString
     implicit val sq = spark.sqlContext
