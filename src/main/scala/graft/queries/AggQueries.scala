@@ -376,6 +376,59 @@ object AggQueries {
           .orderBy($"l_returnflag")
       },
       None
+    ),
+
+    // A16: per-group winsorization — clip a value column to its group's
+    // [p05, p95] band, the outlier-taming step before any scale-
+    // sensitive model fit. Exact percentiles here (linear-interpolation
+    // parity with DuckDB quantile_cont, like a8/a15); at 100 TB swap in
+    // percentile_approx — the tiny per-group stats table broadcasts
+    // either way, so the fact side stays map-side for the clip and
+    // keeps partial aggregation for the summary.
+    OracleQuery(
+      "a16_winsorize_clip",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val stats = ev.groupBy($"event_type").agg(
+          expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+        ev.join(broadcast(stats), "event_type")
+          .select($"event_type", $"value",
+            when($"value" < $"p05", $"p05")
+              .when($"value" > $"p95", $"p95")
+              .otherwise($"value").as("clipped"),
+            ($"value" < $"p05" || $"value" > $"p95").cast("long").as("was_clipped"))
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"was_clipped").cast("long").as("n_clipped"),
+            round(avg($"value"), 4).as("raw_mean"),
+            round(avg($"clipped"), 4).as("winsor_mean"),
+            round(min($"clipped"), 4).as("lo"),
+            round(max($"clipped"), 4).as("hi"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH stats AS (
+             |  SELECT event_type,
+             |    quantile_cont(value, 0.05) AS p05,
+             |    quantile_cont(value, 0.95) AS p95
+             |  FROM events GROUP BY event_type
+             |), clip AS (
+             |  SELECT e.event_type, e.value,
+             |    CASE WHEN e.value < s.p05 THEN s.p05
+             |         WHEN e.value > s.p95 THEN s.p95
+             |         ELSE e.value END AS clipped,
+             |    CASE WHEN e.value < s.p05 OR e.value > s.p95 THEN 1 ELSE 0 END AS was_clipped
+             |  FROM events e JOIN stats s USING (event_type)
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(was_clipped) AS BIGINT) AS n_clipped,
+             |  round(avg(value), 4) AS raw_mean,
+             |  round(avg(clipped), 4) AS winsor_mean,
+             |  round(min(clipped), 4) AS lo,
+             |  round(max(clipped), 4) AS hi
+             |FROM clip GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }
