@@ -429,6 +429,51 @@ object AggQueries {
              |  round(min(clipped), 4) AS lo,
              |  round(max(clipped), 4) AS hi
              |FROM clip GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // A17: robust z-score outlier detection (Iglewicz–Hoaglin: 0.6745 ·
+    // (x − median) / MAD, flag |z| > 3.5) — the outlier scorer that
+    // survives the outliers themselves, unlike mean/σ. Two aggregate
+    // passes by construction (median, then median absolute deviation);
+    // both per-group stats tables broadcast, so the flagging stays
+    // map-side on the fact.
+    OracleQuery(
+      "a17_robust_zscore",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val med = ev.groupBy($"event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val mad = ev.join(broadcast(med), "event_type")
+          .groupBy($"event_type")
+          .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        ev.join(broadcast(med), "event_type")
+          .join(broadcast(mad), "event_type")
+          .select($"event_type",
+            (lit(0.6745) * ($"value" - $"med") / $"mad").as("rz"))
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum((abs($"rz") > 3.5).cast("long")).cast("long").as("n_outliers"),
+            round(max(abs($"rz")), 4).as("max_abs_rz"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH med AS (
+             |  SELECT event_type, quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY event_type
+             |), mad AS (
+             |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+             |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+             |), rz AS (
+             |  SELECT e.event_type, 0.6745 * (e.value - m.med) / d.mad AS rz
+             |  FROM events e
+             |  JOIN med m USING (event_type)
+             |  JOIN mad d USING (event_type)
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  round(max(abs(rz)), 4) AS max_abs_rz
+             |FROM rz GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }
