@@ -539,6 +539,53 @@ object CoreQueries {
              |SELECT user_id, event_type, event_id, ts, value
              |FROM ranked WHERE rn = 1
              |ORDER BY user_id, event_type""".stripMargin)
+    ),
+
+    // O12: pivot — long→wide reshape (per-user metric matrix from the
+    // event log). The pivot values are EXPLICIT, which is the 100 TB
+    // contract: with a value list Spark skips the extra distinct-scan
+    // job it otherwise runs to discover columns, and the pivot compiles
+    // to ONE hash aggregate with a conditional-agg column per value —
+    // same plan class as a9's GROUPING SETS, no extra shuffle.
+    OracleQuery(
+      "o12_pivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(round(sum($"value"), 4))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+             |  round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+             |  round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+             |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+             |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+             |  round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // O13: unpivot — wide→long reshape via stack() (a generator
+    // expression: pure map-side row explosion, no shuffle until the
+    // summary aggregate), the inverse contract of o12.
+    OracleQuery(
+      "o13_unpivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .selectExpr("stack(3, 'discount', l_discount, 'price', l_extendedprice, 'quantity', l_quantity) AS (metric, val)")
+          .groupBy($"metric")
+          .agg(count(lit(1)).as("n"), round(sum($"val"), 4).as("total"))
+          .orderBy($"metric")
+      },
+      Some("""WITH long AS (
+             |  SELECT 'discount' AS metric, l_discount AS val FROM lineitem
+             |  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT 'quantity', l_quantity FROM lineitem
+             |)
+             |SELECT metric, count(*) AS n, round(sum(val), 4) AS total
+             |FROM long GROUP BY metric ORDER BY metric""".stripMargin)
     )
   )
 }
