@@ -474,6 +474,30 @@ object AggQueries {
              |  CAST(sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
              |  round(max(abs(rz)), 4) AS max_abs_rz
              |FROM rz GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // A18: CUBE — the all-subsets companion to a9's GROUPING SETS and
+    // a12's ROLLUP (2^k groupings in ONE expand+aggregate pass, same
+    // single-shuffle plan class).
+    OracleQuery(
+      "a18_cube",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("sum_qty"))
+          .select(
+            coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+            coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
+            $"cnt", $"sum_qty")
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+             |  count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     )
   )
 }

@@ -223,6 +223,34 @@ object WindowQueries {
                |FROM pos a JOIN pos b ON a.user_id = b.user_id AND b.rn <= a.rn
                |GROUP BY a.user_id, a.event_id
                |ORDER BY a.user_id, a.event_id""".stripMargin)
+      ),
+
+      // W9: ntile — positional quartiles per user (train-time binning /
+      // per-entity cohorting). Same single (user) exchange+sort as any
+      // ranking window; both engines assign the extra rows of an uneven
+      // split to the earlier tiles, so the unique (ts, event_id) order
+      // makes assignment deterministic.
+      OracleQuery(
+        "w9_ntile_quartiles",
+        (s, d) => {
+          import s.implicits._
+          val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          Tables.events(s, d)
+            .withColumn("q", ntile(4).over(w))
+            .groupBy($"user_id", $"q")
+            // sum, not avg: the inputs sit on a 0.01 grid, so the sum
+            // never lands near a 4-decimal round boundary — an avg
+            // (sum/16 = …375 exactly) flips on cross-engine ulp drift
+            .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+            .orderBy($"user_id", $"q")
+        },
+        Some("""WITH t AS (
+               |  SELECT user_id, value,
+               |    ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS q
+               |  FROM events
+               |)
+               |SELECT user_id, q, count(*) AS n, round(sum(value), 4) AS sum_value
+               |FROM t GROUP BY user_id, q ORDER BY user_id, q""".stripMargin)
       )
     )
   }
