@@ -47,9 +47,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
-      else headline.filter(SparkEntry.queries.contains)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_NAMES") match {
+      // explicit comma-separated list for targeted timing runs
+      case Some(csv) => csv.split(',').toSeq.map(_.trim).filter(SparkEntry.queries.contains)
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
+        else headline.filter(SparkEntry.queries.contains)
+    }
 
     def evalFully(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
