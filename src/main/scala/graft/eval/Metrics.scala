@@ -34,9 +34,11 @@ object Metrics {
   }
 
   /** z-scores for central-interval levels 50/80/90% — compile-time
-    * constants (the reference computes them via scipy norm.ppf,
-    * metrics.py:173-187). */
-  val ZScores: Map[Int, Double] = Map(50 -> 0.6745, 80 -> 1.2816, 90 -> 1.6449)
+    * constants at full double precision (the reference computes them via
+    * scipy norm.ppf, metrics.py:173-187; rounded constants shift the
+    * coverage threshold by ~1e-5·σ, enough to flip a borderline row). */
+  val ZScores: Map[Int, Double] = Map(
+    50 -> 0.6744897501960817, 80 -> 1.2815515655446004, 90 -> 1.6448536269514722)
 
   /** A5: interval coverage (fraction of |y−μ| ≤ z·σ) and sharpness
     * (mean interval width 2zσ) per level. */
@@ -49,7 +51,7 @@ object Metrics {
       Seq(
         avg(when(e <= lit(z) * col(sigma), 1.0).otherwise(0.0)).as(s"coverage_$lvl"),
         avg(lit(2.0 * z) * col(sigma)).as(s"sharpness_$lvl"))
-    }
+    } :+ avg(col(sigma)).as("mean_sigma") // metrics.py:193
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
       f -> BigDecimal(row.getDouble(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -28,6 +28,9 @@ object Runner {
       tiebreakCol: String = "target_date_local",
       sigmaBuckets: Seq[(Int, Int)] = Seq((0, 36), (36, 72), (72, 120)),
       sigmaFloor: Double = 1.0,
+      // false → population std (np.std ddof=0) for exact reference-run
+      // replay; true keeps the library's oracle-pinned sample-std
+      sigmaSampleStd: Boolean = true,
       minSliceCount: Int = 10,
       // per-dimension slice breakdowns persisted per model (slices.json,
       // report.py:51-106 + slicing.py:22-53); columns absent from the
@@ -89,7 +92,8 @@ object Runner {
     val trainResid = forecaster.withMu(train, "__mu_f").select(
       (col("__mu_f") - col(cfg.labelCol)).as("residual_f"),
       col("lead_hours"))
-    val sigma = new Uncertainty.BucketedSigma(cfg.sigmaBuckets, floor = cfg.sigmaFloor)
+    val sigma = new Uncertainty.BucketedSigma(cfg.sigmaBuckets,
+      floor = cfg.sigmaFloor, sampleStd = cfg.sigmaSampleStd)
     sigma.fit(trainResid)
 
     val predictions = forecaster.withMu(test, "y_pred_f")

@@ -26,11 +26,18 @@ object Uncertainty {
 
   /** M7: BucketedSigma — σ per lead_hours bucket [lo,hi), min 10 samples
     * per bucket else global fallback; floor applied after
-    * (uncertainty.py:95-174; config buckets [[0,36],[36,72],[72,120]]). */
+    * (uncertainty.py:95-174; config buckets [[0,36],[36,72],[72,120]]).
+    *
+    * `sampleStd = false` selects population std (ddof=0) — the
+    * reference's np.std spelling (uncertainty.py:138), needed for exact
+    * replay of its committed runs; the default keeps this library's
+    * original sample-std choice that existing oracles pin. */
   final class BucketedSigma(
       buckets: Seq[(Int, Int)] = Seq((0, 36), (36, 72), (72, 120)),
       minSamples: Int = 10,
-      floor: Double = 1.0) {
+      floor: Double = 1.0,
+      sampleStd: Boolean = true) {
+    private val sd: Column => Column = if (sampleStd) stddev_samp else stddev_pop
     private var bucketSigmas: Map[Int, Double] = Map.empty // index -> sigma
     private var globalSigma: Double = Double.NaN
     def fitted: (Map[Int, Double], Double) = (bucketSigmas, globalSigma)
@@ -41,12 +48,12 @@ object Uncertainty {
       }
 
     def fit(residuals: DataFrame, residCol: String = "residual_f", leadCol: String = "lead_hours"): Unit = {
-      globalSigma = residuals.agg(stddev_samp(col(residCol))).collect()(0).getDouble(0)
+      globalSigma = residuals.agg(sd(col(residCol))).collect()(0).getDouble(0)
       val rows = residuals
         .withColumn("__b", bucketIdx(col(leadCol)))
         .filter(col("__b") >= 0)
         .groupBy(col("__b"))
-        .agg(stddev_samp(col(residCol)).as("sd"), count(lit(1)).as("n"))
+        .agg(sd(col(residCol)).as("sd"), count(lit(1)).as("n"))
         .filter(col("n") >= minSamples)
         .collect()
       bucketSigmas = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap

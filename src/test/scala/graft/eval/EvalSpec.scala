@@ -21,7 +21,9 @@ class EvalSpec extends SparkSpec {
       .toDF("y_pred_f", "y_true_f", "y_pred_sigma_f")
     val cal = Metrics.calibrationMetrics(df)
     assert(cal("coverage_50") == 1.0 && cal("coverage_80") == 1.0 && cal("coverage_90") == 1.0)
-    assert(cal("sharpness_50") == 2 * 0.6745 * 3.0)
+    assert(cal("sharpness_50") ==
+      BigDecimal(2 * Metrics.ZScores(50) * 3.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(cal("mean_sigma") == 3.0)
   }
 
   test("ridge closed form recovers y = 2x + 1 exactly as alpha → 0") {
