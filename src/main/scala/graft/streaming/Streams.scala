@@ -296,15 +296,23 @@ object Streams {
     * micro-batch (the MERGE INTO loop of a table format, on plain
     * parquet):
     *
-    *  - each batch writes a NEW versioned directory `v<batchId>` (never
-    *    overwrites the one being read — read-your-own-input corruption
-    *    is structurally impossible), then repoints the `_CURRENT`
-    *    pointer file via write-temp + atomic rename;
+    *  - each batch writes a NEW versioned directory `v<batchId>`, then
+    *    repoints the `_CURRENT` pointer file via write-temp + atomic
+    *    replace (FileContext rename-with-OVERWRITE where the FS
+    *    supports it);
     *  - a reader either sees the old snapshot or the new one, never a
     *    half-written mix, and old versions stay readable (time travel /
     *    caller-driven retention);
-    *  - the checkpoint makes replays idempotent: a re-run batch rewrites
-    *    the same version directory and re-points to it.
+    *  - replays are idempotent BOTH ways round the pointer commit: a
+    *    batch replayed after a crash *before* commitPointer rewrites
+    *    `v<batchId>` from the previous version; one replayed *after*
+    *    commitPointer (pointer committed, checkpoint not) finds
+    *    `_CURRENT` already at its own version and only re-asserts the
+    *    pointer — it must NOT re-merge, since that would read `v<N>`
+    *    while overwriting `v<N>`;
+    *  - a pointer lost mid-swap (exotic FS without atomic replace)
+    *    heals: [[currentVersion]] falls back to the highest version
+    *    directory that carries a `_SUCCESS` marker.
     *
     * At scale each merge shuffles O(snapshot keys ∪ batch keys) — the
     * map-side max_by partial collapses batch change history before the
@@ -317,43 +325,93 @@ object Streams {
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val merged = readSnapshot(spark, snapshotDir) match {
-          case Some(snap) => graft.ops.Upsert.mergeLatest(snap, batch.toDF(), keys, orderBy)
-          case None => graft.ops.Upsert.latestPerKey(batch.toDF(), keys, orderBy)
-        }
-        val versionDir = s"$snapshotDir/v$batchId"
-        merged.write.mode("overwrite").parquet(versionDir)
-        commitPointer(spark, snapshotDir, s"v$batchId")
+        applySnapshotBatch(spark, snapshotDir, batch.toDF(), batchId, keys, orderBy)
       }
       .trigger(Trigger.AvailableNow())
       .start()
   }
 
-  /** Current snapshot per the `_CURRENT` pointer; None before the first
-    * commit. */
-  def readSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] = {
-    val fs = hadoopFs(spark, snapshotDir)
-    val ptr = new org.apache.hadoop.fs.Path(snapshotDir, "_CURRENT")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      val version = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      Some(spark.read.parquet(s"$snapshotDir/$version"))
+  /** One micro-batch of [[snapshotMergeStream]], exposed so crash
+    * replay (same batchId twice) is directly testable. */
+  def applySnapshotBatch(
+      spark: SparkSession, snapshotDir: String, batch: DataFrame,
+      batchId: Long, keys: Seq[String], orderBy: Seq[String]): Unit = {
+    val version = s"v$batchId"
+    val cur = currentVersion(spark, snapshotDir)
+    if (cur.contains(version)) {
+      // crash landed between commitPointer and the streaming
+      // checkpoint's own commit: the batch output is already live.
+      // Re-merging would read v<N> while overwriting v<N> (Spark
+      // rejects the self-overwrite and the stream would wedge on every
+      // restart) — re-assert the pointer and move on
+      commitPointer(spark, snapshotDir, version)
+    } else {
+      val merged = cur.map(v => spark.read.parquet(s"$snapshotDir/$v")) match {
+        case Some(snap) => graft.ops.Upsert.mergeLatest(snap, batch, keys, orderBy)
+        case None => graft.ops.Upsert.latestPerKey(batch, keys, orderBy)
+      }
+      merged.write.mode("overwrite").parquet(s"$snapshotDir/$version")
+      commitPointer(spark, snapshotDir, version)
     }
   }
 
-  /** Point `_CURRENT` at `version`: write `_CURRENT.tmp`, fsync-close,
-    * rename over the pointer (atomic on HDFS and local FS). */
+  /** Current snapshot version: the `_CURRENT` pointer, or — when the
+    * pointer is missing (crash inside a non-atomic swap, or manual
+    * damage) — the highest `v<N>` directory whose parquet write
+    * completed (`_SUCCESS` present). None before the first commit. */
+  private[streaming] def currentVersion(
+      spark: SparkSession, snapshotDir: String): Option[String] = {
+    val fs = hadoopFs(spark, snapshotDir)
+    val ptr = new org.apache.hadoop.fs.Path(snapshotDir, "_CURRENT")
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(v)
+    } else {
+      val dir = new org.apache.hadoop.fs.Path(snapshotDir)
+      if (!fs.exists(dir)) None
+      else {
+        val complete = fs.listStatus(dir).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(_.matches("v\\d+"))
+          .filter(n => fs.exists(new org.apache.hadoop.fs.Path(dir, s"$n/_SUCCESS")))
+        if (complete.isEmpty) None
+        else Some(complete.maxBy(_.drop(1).toLong))
+      }
+    }
+  }
+
+  /** Current snapshot per [[currentVersion]]; None before the first
+    * commit. */
+  def readSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] =
+    currentVersion(spark, snapshotDir)
+      .map(version => spark.read.parquet(s"$snapshotDir/$version"))
+
+  /** Point `_CURRENT` at `version`: write `_CURRENT.tmp`, close, then
+    * atomically replace the pointer (FileContext rename with OVERWRITE
+    * — atomic on HDFS and local FS). On file systems without rename
+    * semantics the delete+rename fallback leaves a pointer-less window;
+    * [[currentVersion]]'s highest-complete-version fallback covers a
+    * crash inside it. */
   private def commitPointer(spark: SparkSession, snapshotDir: String, version: String): Unit = {
     val fs = hadoopFs(spark, snapshotDir)
     val tmp = new org.apache.hadoop.fs.Path(snapshotDir, "_CURRENT.tmp")
     val ptr = new org.apache.hadoop.fs.Path(snapshotDir, "_CURRENT")
     val out = fs.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    if (!fs.rename(tmp, ptr))
-      throw new java.io.IOException(s"pointer swap failed for $snapshotDir -> $version")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        ptr.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(ptr),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(ptr)) fs.delete(ptr, false)
+        if (!fs.rename(tmp, ptr))
+          throw new java.io.IOException(s"pointer swap failed for $snapshotDir -> $version")
+    }
   }
 
   private def hadoopFs(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =

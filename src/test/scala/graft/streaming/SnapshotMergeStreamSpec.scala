@@ -43,4 +43,47 @@ class SnapshotMergeStreamSpec extends SparkSpec {
     val v1 = spark.read.parquet(s"$snap/v1").count()
     assert(v0 == 2 && v1 == 3, "old snapshot version must stay readable")
   }
+
+  test("crash replay of an already-committed batch is a pointer re-assert, not a self-overwrite") {
+    val snap = Files.createTempDirectory("graft_snap_replay").toString
+    val b0 = Seq((1L, 1L, "one-v1"), (2L, 1L, "two-v1")).toDF("k", "ver", "payload")
+    Streams.applySnapshotBatch(spark, snap, b0, 0L, Seq("k"), Seq("ver"))
+    val b1 = Seq((2L, 5L, "two-v5"), (3L, 1L, "three-v1")).toDF("k", "ver", "payload")
+    Streams.applySnapshotBatch(spark, snap, b1, 1L, Seq("k"), Seq("ver"))
+
+    // crash between commitPointer(v1) and the checkpoint commit →
+    // restart replays batch 1 with _CURRENT already at v1. Before the
+    // fix this read v1 while overwriting v1 (AnalysisException, stream
+    // permanently wedged); now it must be a no-op re-assert
+    Streams.applySnapshotBatch(spark, snap, b1, 1L, Seq("k"), Seq("ver"))
+    val after = Streams.readSnapshot(spark, snap).get
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(after == Map(1L -> (1L, "one-v1"), 2L -> (5L, "two-v5"), 3L -> (1L, "three-v1")))
+
+    // and the stream continues past the replayed batch
+    val b2 = Seq((1L, 9L, "one-v9")).toDF("k", "ver", "payload")
+    Streams.applySnapshotBatch(spark, snap, b2, 2L, Seq("k"), Seq("ver"))
+    val s2 = Streams.readSnapshot(spark, snap).get
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s2(1L) == "one-v9" && s2.size == 3)
+  }
+
+  test("missing pointer heals from the highest complete version") {
+    val snap = Files.createTempDirectory("graft_snap_heal").toString
+    val b0 = Seq((1L, 1L, "a")).toDF("k", "ver", "payload")
+    val b1 = Seq((1L, 2L, "b")).toDF("k", "ver", "payload")
+    Streams.applySnapshotBatch(spark, snap, b0, 0L, Seq("k"), Seq("ver"))
+    Streams.applySnapshotBatch(spark, snap, b1, 1L, Seq("k"), Seq("ver"))
+
+    // simulate a crash inside a non-atomic pointer swap: _CURRENT gone
+    Files.delete(java.nio.file.Paths.get(snap, "_CURRENT"))
+    val healed = Streams.readSnapshot(spark, snap).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(healed.toSeq == Seq((1L, 2L, "b")), "reader must fall back to v1, not v0 or None")
+
+    // a replayed batch 1 with the pointer missing re-commits it
+    Streams.applySnapshotBatch(spark, snap, b1, 1L, Seq("k"), Seq("ver"))
+    assert(Files.exists(java.nio.file.Paths.get(snap, "_CURRENT")))
+    assert(Streams.readSnapshot(spark, snap).get.collect().map(_.getString(2)).toSeq == Seq("b"))
+  }
 }
