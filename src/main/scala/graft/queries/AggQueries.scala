@@ -380,35 +380,15 @@ object AggQueries {
 
     // A16: per-group winsorization — clip a value column to its group's
     // [p05, p95] band, the outlier-taming step before any scale-
-    // sensitive model fit. Exact percentiles here (linear-interpolation
-    // parity with DuckDB quantile_cont, like a8/a15); at 100 TB swap in
-    // percentile_approx — the tiny per-group stats table broadcasts
-    // either way, so the fact side stays map-side for the clip and
-    // keeps partial aggregation for the summary.
+    // sensitive model fit. This entry is the EXACT spelling (linear-
+    // interpolation parity with DuckDB quantile_cont, like a8/a15) and
+    // is oracle-pinned; its aggregation buffer holds every value per
+    // group, so it is sf-scale only — a16b below is the fixed-memory
+    // production twin. Body shared via ops.RobustStats.
     OracleQuery(
       "a16_winsorize_clip",
-      (s, d) => {
-        import s.implicits._
-        val ev = Tables.events(s, d)
-        val stats = ev.groupBy($"event_type").agg(
-          expr("percentile(value, 0.05)").as("p05"),
-          expr("percentile(value, 0.95)").as("p95"))
-        ev.join(broadcast(stats), "event_type")
-          .select($"event_type", $"value",
-            when($"value" < $"p05", $"p05")
-              .when($"value" > $"p95", $"p95")
-              .otherwise($"value").as("clipped"),
-            ($"value" < $"p05" || $"value" > $"p95").cast("long").as("was_clipped"))
-          .groupBy($"event_type")
-          .agg(
-            count(lit(1)).as("n"),
-            sum($"was_clipped").cast("long").as("n_clipped"),
-            round(avg($"value"), 4).as("raw_mean"),
-            round(avg($"clipped"), 4).as("winsor_mean"),
-            round(min($"clipped"), 4).as("lo"),
-            round(max($"clipped"), 4).as("hi"))
-          .orderBy($"event_type")
-      },
+      (s, d) => graft.ops.RobustStats.winsorizeSummary(
+        Tables.events(s, d), "event_type", "value", exact = true),
       Some("""WITH stats AS (
              |  SELECT event_type,
              |    quantile_cont(value, 0.05) AS p05,
@@ -431,33 +411,29 @@ object AggQueries {
              |FROM clip GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // A16b: the 100 TB winsorize — percentile_approx (GK sketch, fixed
+    // memory per group) in place of exact percentile. Oracle-free like
+    // a15 (DuckDB cannot replay Spark's sketch); drift vs the exact
+    // spelling is rank-bounded in RobustStatsSpec.
+    OracleQuery(
+      "a16b_winsorize_approx",
+      (s, d) => graft.ops.RobustStats.winsorizeSummary(
+        Tables.events(s, d), "event_type", "value", exact = false),
+      None
+    ),
+
     // A17: robust z-score outlier detection (Iglewicz–Hoaglin: 0.6745 ·
     // (x − median) / MAD, flag |z| > 3.5) — the outlier scorer that
     // survives the outliers themselves, unlike mean/σ. Two aggregate
     // passes by construction (median, then median absolute deviation);
     // both per-group stats tables broadcast, so the flagging stays
-    // map-side on the fact.
+    // map-side on the fact. Exact-percentile spelling, oracle-pinned;
+    // a17b is the fixed-memory twin. MAD=0 groups yield NULL z-scores
+    // on BOTH sides (nullif in the oracle) — see RobustStats.
     OracleQuery(
       "a17_robust_zscore",
-      (s, d) => {
-        import s.implicits._
-        val ev = Tables.events(s, d)
-        val med = ev.groupBy($"event_type")
-          .agg(expr("percentile(value, 0.5)").as("med"))
-        val mad = ev.join(broadcast(med), "event_type")
-          .groupBy($"event_type")
-          .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
-        ev.join(broadcast(med), "event_type")
-          .join(broadcast(mad), "event_type")
-          .select($"event_type",
-            (lit(0.6745) * ($"value" - $"med") / $"mad").as("rz"))
-          .groupBy($"event_type")
-          .agg(
-            count(lit(1)).as("n"),
-            sum((abs($"rz") > 3.5).cast("long")).cast("long").as("n_outliers"),
-            round(max(abs($"rz")), 4).as("max_abs_rz"))
-          .orderBy($"event_type")
-      },
+      (s, d) => graft.ops.RobustStats.robustZscoreSummary(
+        Tables.events(s, d), "event_type", "value", exact = true),
       Some("""WITH med AS (
              |  SELECT event_type, quantile_cont(value, 0.5) AS med
              |  FROM events GROUP BY event_type
@@ -465,7 +441,7 @@ object AggQueries {
              |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
              |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
              |), rz AS (
-             |  SELECT e.event_type, 0.6745 * (e.value - m.med) / d.mad AS rz
+             |  SELECT e.event_type, 0.6745 * (e.value - m.med) / nullif(d.mad, 0) AS rz
              |  FROM events e
              |  JOIN med m USING (event_type)
              |  JOIN mad d USING (event_type)
@@ -474,6 +450,15 @@ object AggQueries {
              |  CAST(sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
              |  round(max(abs(rz)), 4) AS max_abs_rz
              |FROM rz GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // A17b: robust z-score on percentile_approx — same plan shape,
+    // fixed memory; oracle-free, drift bounded in RobustStatsSpec.
+    OracleQuery(
+      "a17b_robust_zscore_approx",
+      (s, d) => graft.ops.RobustStats.robustZscoreSummary(
+        Tables.events(s, d), "event_type", "value", exact = false),
+      None
     ),
 
     // A18: CUBE — the all-subsets companion to a9's GROUPING SETS and
