@@ -53,14 +53,18 @@ object Ewma {
     val folded = clustered.rdd.mapPartitions { rows =>
       var curKey: Any = null
       var started = false
+      // started-ness is an explicit flag, NOT a NaN sentinel: a genuine
+      // NaN input must set acc=NaN and poison the rest of the series
+      // (α·x + (1−α)·NaN = NaN), never restart it
+      var accStarted = false
       var acc = 0.0
       rows.map { r =>
         val k = r.get(keyIdx)
-        if (!started || k != curKey) { curKey = k; started = true; acc = Double.NaN }
+        if (!started || k != curKey) { curKey = k; started = true; accStarted = false; acc = 0.0 }
         val vs = if (r.isNullAt(valIdx)) null
         else {
           val x = r.getAs[Number](valIdx).doubleValue()
-          acc = if (acc.isNaN) x else alpha * x + (1 - alpha) * acc
+          acc = if (!accStarted) { accStarted = true; x } else alpha * x + (1 - alpha) * acc
           java.lang.Double.valueOf(acc)
         }
         Row.fromSeq(r.toSeq :+ vs)
@@ -96,7 +100,8 @@ object Ewma {
   def perKeyBlocked(
       df: DataFrame, key: String, orderCols: Seq[String],
       valueCol: String, alpha: Double, out: String = "ewma",
-      buckets: Int = 64, sampleTarget: Int = 20000): DataFrame = {
+      buckets: Int = 64, sampleTarget: Int = 20000,
+      knownCount: Option[Long] = None): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     require(orderCols.nonEmpty, "need at least one order column")
     val missing = (key +: valueCol +: orderCols).filterNot(df.columns.contains)
@@ -107,7 +112,9 @@ object Ewma {
     // share a bucket, nulls take -1 and sort first, matching the plain
     // sort's nulls-first order)
     val ord = orderCols.head
-    val n = df.count()
+    // the count only picks the sampling modulus — callers that already
+    // know the size skip the extra pass (PrefixSum.globalIndex pattern)
+    val n = knownCount.getOrElse(df.count())
     val mod = math.max(1L, n / math.max(1, sampleTarget))
     val h = expr(graft.queries.Shingles.h60(s"CAST($ord AS STRING)"))
     val sampled = df.filter(col(ord).isNotNull && pmod(h, lit(mod)) === 0)
@@ -135,28 +142,35 @@ object Ewma {
     val clustered = tagged
       .repartition(col(key), col("__eb"))
       .sortWithinPartitions((key +: "__eb" +: orderCols).map(col): _*)
+    // localCheckpoint (eager) pins the expensive repartition+sort+fold
+    // lineage: phase 2's summaries collect and phase 3's join both read
+    // it, and without the pin the whole fold would execute twice (the
+    // DedupDocs lesson); blocks are freed by the ContextCleaner when
+    // the returned frame is dropped
     val local = spark.createDataFrame(
       clustered.rdd.mapPartitions { rows =>
         var curKey: Any = null; var curB = Long.MinValue; var started = false
-        var l = 0.0; var lf = Double.NaN; var d = 1.0
+        // explicit started-ness for lf, like perKey's accStarted: a NaN
+        // input must poison the block fold, not restart it
+        var l = 0.0; var lf = 0.0; var lfStarted = false; var d = 1.0
         rows.map { r =>
           val rk = r.get(kIdx); val rb = r.getLong(bIdx)
           if (!started || rk != curKey || rb != curB) {
-            curKey = rk; curB = rb; started = true; l = 0.0; lf = Double.NaN; d = 1.0
+            curKey = rk; curB = rb; started = true; l = 0.0; lf = 0.0; lfStarted = false; d = 1.0
           }
           var lo: java.lang.Double = null
           var lfo: java.lang.Double = null
           if (!r.isNullAt(vIdx)) { // nulls emit null and leave state untouched
             val x = r.getAs[Number](vIdx).doubleValue()
             l = alpha * x + (1 - alpha) * l
-            lf = if (lf.isNaN) x else alpha * x + (1 - alpha) * lf
+            lf = if (!lfStarted) { lfStarted = true; x } else alpha * x + (1 - alpha) * lf
             d = (1 - alpha) * d
             lo = java.lang.Double.valueOf(l)
             lfo = java.lang.Double.valueOf(lf)
           }
           Row.fromSeq(r.toSeq ++ Seq(lo, lfo, java.lang.Double.valueOf(d)))
         }
-      }, foldSchema)
+      }, foldSchema).localCheckpoint(true)
 
     // phase 2: block-end summaries → per-key sequential carry resolution
     // (≤ buckets steps per key, |keys|×buckets driver rows — the same

@@ -133,4 +133,38 @@ class EwmaSpec extends SparkSpec {
       }
     }
   }
+
+  test("a NaN input poisons the series; it must NOT restart it") {
+    // NaN is a value, not a missing marker (nulls are the missing
+    // marker here): acc = α·x + (1−α)·NaN stays NaN for the rest of the
+    // key. The old NaN-sentinel started-ness conflated the two and
+    // silently restarted the series at the next value.
+    val df = frame(Seq(
+      (1L, 1L, 4.0), (1L, 2L, Double.NaN), (1L, 3L, 8.0), (1L, 4L, null),
+      (2L, 1L, 6.0))) // a later key still starts cleanly
+    def check(got: Array[org.apache.spark.sql.Row]): Unit = {
+      val byKo = got.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+      assert(byKo((1L, 1L)).getDouble(3) == 4.0)
+      assert(byKo((1L, 2L)).getDouble(3).isNaN, "NaN row carries NaN")
+      assert(byKo((1L, 3L)).getDouble(3).isNaN, "series stays poisoned")
+      assert(byKo((1L, 4L)).isNullAt(3), "null still emits null")
+      assert(byKo((2L, 1L)).getDouble(3) == 6.0, "next key unaffected")
+    }
+    check(Ewma.perKey(df, "k", Seq("o"), "v", alpha = 0.5).collect())
+    check(Ewma.perKeyBlocked(df, "k", Seq("o"), "v", alpha = 0.5,
+      buckets = 3, sampleTarget = 2).collect())
+  }
+
+  test("knownCount skips the sizing pass and changes nothing else") {
+    val rows = (1 to 120).map(i =>
+      (1L, i.toLong, java.lang.Double.valueOf((i % 7).toDouble)))
+    val df = frame(rows)
+    val base = Ewma.perKeyBlocked(df, "k", Seq("o"), "v", alpha = 0.3,
+      buckets = 4, sampleTarget = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val withCount = Ewma.perKeyBlocked(df, "k", Seq("o"), "v", alpha = 0.3,
+      buckets = 4, sampleTarget = 10, knownCount = Some(120L))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(base == withCount)
+  }
 }
