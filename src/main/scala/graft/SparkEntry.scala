@@ -24,4 +24,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Registry.oracleSql
+
+  /** [[oracleSql]] plus data-dependent oracles rendered against `dir`
+    * (the BPE entry embeds its learned merge table — deterministic for
+    * a given corpus, so the dump-time rendering and the query-time
+    * training always agree). Verify dumps THIS map. */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    Registry.oracleSqlFor(spark, dir)
 }

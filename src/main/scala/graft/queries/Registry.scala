@@ -15,7 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class OracleQuery(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String]
+    oracle: Option[String],
+    /** Data-dependent oracle: evaluated by Verify with the actual data
+      * dir when the SQL must embed learned model state (e.g. the BPE
+      * merge table, deterministic for a given corpus). Takes precedence
+      * over [[oracle]] in the dumped oracle_sql.json. */
+    oracleGen: Option[(SparkSession, String) => String] = None
 )
 
 object Registry {
@@ -39,4 +44,9 @@ object Registry {
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Static oracles plus the data-dependent ones rendered against the
+    * given dir — what Verify dumps for the driver's DuckDB compare. */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSql ++ all.flatMap(q => q.oracleGen.map(g => q.name -> g(spark, dir)))
 }

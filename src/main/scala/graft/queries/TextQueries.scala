@@ -609,10 +609,20 @@ object TextQueries {
     // vocabulary in the real subword regime — the most frequent words
     // collapse to single tokens, rarer ones stay split — so
     // chars_per_token lands strictly between character- and word-level.
-    // No DuckDB oracle — greedy rank-ordered merging is not expressible
-    // in SQL; BpeSpec pins the semantics (hand-computed merges,
-    // losslessness, codegen/interpreted parity) the way SketchBoundSpec
-    // covers the HLL/GK entries.
+    // DuckDB oracle (data-dependent): the learned merge table is embedded
+    // as a VALUES list and REPLAYED by a recursive CTE over the rank
+    // axis. Replaying merges sequentially in rank order is equivalent to
+    // the kernel's lowest-rank-first loop for a LEARNED merge list:
+    // merging two symbols can never create a new adjacency of older
+    // symbols, so a later merge can never enable an earlier one — after
+    // the sequential pass no merge is applicable, the same fixpoint the
+    // kernel reaches. Each symbol sequence is carried as a chr(1)-WRAPPED
+    // string ("␁sym␁␁sym␁…"): wrapping (not joining) makes every
+    // occurrence of "␁a␁␁b␁" an exact symbol-boundary match — a bare
+    // separator join would false-match symbol suffixes/prefixes (e.g.
+    // pair (a,b) inside ["xa","b"]) and share boundary separators
+    // between adjacent matches. BpeSpec still pins the kernel semantics
+    // locally (hand-computed merges, losslessness, codegen parity).
     OracleQuery(
       "text_bpe_tokens",
       (s, d) => {
@@ -632,7 +642,11 @@ object TextQueries {
             round(sum($"n_chars") / sum($"bpe_tokens").cast("double"), 4).as("chars_per_token"))
           .orderBy($"source")
       },
-      None
+      None,
+      oracleGen = Some { (s, d) =>
+        val merges = graft.ops.BpeTrain.train(Tables.documents(s, d), "text", nMerges = 40)
+        bpeReplayOracle(merges)
+      }
     ),
 
     // Bigram language-model quality scoring — the KenLM-style perplexity
@@ -795,4 +809,59 @@ object TextQueries {
              |ORDER BY src_a, src_b""".stripMargin)
     )
   )
+
+  /** Render the DuckDB replay of a learned BPE merge list (see the
+    * text_bpe_tokens entry for the equivalence argument). The recursive
+    * CTE steps the rank axis: iteration i applies merge rank i+1 to every
+    * word type's wrapped-symbol string via one left-to-right
+    * non-overlapping `replace` — exactly the BPE application rule. */
+  private[graft] def bpeReplayOracle(merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    // rank 0 never joins (ranks are 1-based) — keeps VALUES non-empty on
+    // a degenerate corpus that learns no merges
+    val values =
+      if (merges.isEmpty) "(0, '', '')"
+      else merges.zipWithIndex
+        .map { case ((a, b), i) => s"(${i + 1}, '${esc(a)}', '${esc(b)}')" }
+        .mkString(", ")
+    val n = merges.length
+    s"""WITH RECURSIVE merges(rank, a, b) AS (VALUES $values),
+       |wc AS (
+       |  SELECT source, w, count(*) AS n
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1, 2
+       |),
+       |types AS (SELECT DISTINCT w FROM wc),
+       |enc(w, s, i) AS (
+       |  SELECT w, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g'), 0 FROM types
+       |  UNION ALL
+       |  SELECT e.w,
+       |    CASE WHEN m.a IS NULL THEN e.s
+       |         ELSE replace(e.s, chr(1) || m.a || chr(1) || chr(1) || m.b || chr(1),
+       |                      chr(1) || m.a || m.b || chr(1)) END,
+       |    e.i + 1
+       |  FROM enc e LEFT JOIN merges m ON m.rank = e.i + 1
+       |  WHERE e.i < $n
+       |),
+       |ntok AS (
+       |  SELECT w, (len(s) - len(replace(s, chr(1), ''))) // 2 AS ntok
+       |  FROM enc WHERE i = $n
+       |),
+       |persrc AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(len(string_split(text, ' '))) AS ws_tokens,
+       |    sum(len(replace(text, ' ', ''))) AS n_chars
+       |  FROM documents GROUP BY 1
+       |),
+       |bpe AS (
+       |  SELECT wc.source, sum(wc.n * ntok.ntok) AS bpe_tokens
+       |  FROM wc JOIN ntok USING (w) GROUP BY 1
+       |)
+       |SELECT p.source, p.n_docs,
+       |  CAST(p.ws_tokens AS BIGINT) AS ws_tokens,
+       |  CAST(b.bpe_tokens AS BIGINT) AS bpe_tokens,
+       |  round(p.n_chars / CAST(b.bpe_tokens AS DOUBLE), 4) AS chars_per_token
+       |FROM persrc p JOIN bpe b USING (source)
+       |ORDER BY p.source""".stripMargin
+  }
 }

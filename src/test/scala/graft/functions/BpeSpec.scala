@@ -61,6 +61,37 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("sequential rank-order replay (the DuckDB oracle strategy) matches the kernel") {
+    import spark.implicits._
+    // The text_bpe_tokens oracle replays the learned merge list in a
+    // recursive CTE: one boundary-wrapped left-to-right `replace` per
+    // rank, in rank order. Mirror that exactly here (java String.replace
+    // is the same left-to-right non-overlapping literal scan) and pin it
+    // against the kernel's lowest-rank-first loop on every word type of
+    // the real corpus — the learned-list equivalence the oracle relies on.
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = BpeTrain.train(docs, "text", 40)
+    val words = docs.select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0).distinct().as[String].collect()
+    val table = BpeEncodeImpl.buildTable(merges)
+    val SEP = "\u0001"
+    words.foreach { w =>
+      val replayed = merges.foldLeft(w.map(c => SEP + c + SEP).mkString) {
+        case (s, (a, b)) => s.replace(SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP)
+      }
+      val replayedN = replayed.count(_ == '\u0001') / 2
+      val enc = BpeEncodeImpl.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), table)
+      assert(replayedN == enc.numElements(),
+        s"word '$w': sequential replay gives $replayedN tokens, kernel ${enc.numElements()}")
+    }
+    // the rendered SQL is deterministic for a fixed corpus
+    val r1 = graft.queries.TextQueries.bpeReplayOracle(merges)
+    val r2 = graft.queries.TextQueries.bpeReplayOracle(BpeTrain.train(docs, "text", 40))
+    assert(r1 == r2)
+    assert(r1.contains("WITH RECURSIVE"))
+  }
+
   test("train + encode on real docs: lossless, and more merges never add tokens") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
