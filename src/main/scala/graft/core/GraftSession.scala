@@ -25,6 +25,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // index-probe lookups push bounded key SETS into sorted parquet
+      // scans (DedupDocs.incrementalIndexed); the default threshold (10)
+      // would degrade a >10-key In to a min/max range filter, which
+      // prunes nothing for uniformly-hashed keys — raise it to the
+      // probe's own pushdown cap so each key prunes by its own stats
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]"): SparkSession = {

@@ -228,28 +228,64 @@ object DedupDocs {
     * pairs — batch docs in such a bucket are rejected as near-dups
     * UNVERIFIED instead (overwhelmingly true duplicates; the same
     * recall-over-precision trade as apply's star fallback), so the
-    * verification join stays bounded by maxVerifyBucket² per bucket. */
+    * verification join stays bounded by maxVerifyBucket² per bucket.
+    *
+    * Probe PUSHDOWN: equi-joining a small batch against the index
+    * restricts ROWS but still scans every index byte — a join key set
+    * is invisible to the parquet reader. So when the batch's key sets
+    * are small (≤ `maxPushdownKeys` distinct values — the steady-state
+    * batch regime), they are collected and pushed into the index scans
+    * as literal In predicates: a semantic no-op (the joins keep only
+    * matching keys anyway), but against [[DedupIndex]]'s sorted-by-key
+    * layout it turns each probe into an index LOOKUP — every parquet
+    * row group whose min/max span contains none of the batch's keys is
+    * never read, so probe scanned-bytes is O(keys × row-group size) per
+    * file generation, not O(index). Grams get the same treatment keyed
+    * by the candidate dst set (materialized first — it is bounded by
+    * maxVerifyBucket per shared bucket). Oversized batches skip the
+    * pushdown and fall back to the plain joins (a batch that large is
+    * re-clustering territory anyway). Collecting the key sets makes
+    * this op EAGER (three driver-bounded jobs at call time); the
+    * admission tail already materializes eagerly, so nothing new
+    * escapes. VolumeSpec pins the scanned-bytes bound across append
+    * generations and after compaction. */
   def incrementalIndexed(index: DedupIndex.Frames, batch: DataFrame,
       minJaccard: Option[Double] = Some(0.5),
       maxVerifyBucket: Int = 32,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxPushdownKeys: Int = 1024): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
+
+    // collect a bounded key set, or None when it exceeds the cap (the
+    // limit stops the driver transfer at cap+1 rows — never O(batch))
+    def boundedKeys(df: DataFrame): Option[Array[Any]] = {
+      val ks = df.limit(maxPushdownKeys + 1).collect().map(_.get(0))
+      if (ks.length > maxPushdownKeys) None else Some(ks)
+    }
+    def pushed(idx: DataFrame, key: String, keys: Option[Array[Any]]): DataFrame =
+      keys.fold(idx)(ks => idx.filter(col(key).isin(ks.toIndexedSeq: _*)))
+
+    val fpKeys = boundedKeys(
+      batch.select(md5($"text").as("fp")).filter($"fp".isNotNull).distinct())
 
     // equi-join on fp drops null fingerprints (null text) by itself;
     // no distinct() on the index side — the doc_id distinct below
     // absorbs fp multiplicity, and the raw join lets the small batch
     // side broadcast against the index scan
     val exactRej = batch.select($"doc_id", md5($"text").as("fp"))
-      .join(index.fps.select($"fp"), "fp")
+      .join(pushed(index.fps, "fp", fpKeys).select($"fp"), "fp")
       .select($"doc_id").distinct()
+
+    val bucketKeys = boundedKeys(
+      bandBuckets(batch, index.rowsPerBand).select($"bucket").distinct())
 
     val bBuckets = bandBuckets(batch, index.rowsPerBand)
       .withColumn("bn", count(lit(1)).over(Window.partitionBy($"bucket")))
     // restrict the index to the batch's buckets BEFORE the count
     // window: the window then shuffles only the shared slice
-    val cBuckets = index.bands
+    val cBuckets = pushed(index.bands, "bucket", bucketKeys)
       .join(bBuckets.select($"bucket").distinct(), "bucket")
       .select($"bucket", $"doc_id".as("corpus_id"))
       .withColumn("cn", count(lit(1)).over(Window.partitionBy($"bucket")))
@@ -260,14 +296,23 @@ object DedupDocs {
         val mega = shared
           .filter($"bn" > maxVerifyBucket || $"cn" > maxVerifyBucket)
           .select($"doc_id")
+        // materialize the candidate pairs once: they are bounded
+        // (≤ maxVerifyBucket² per shared bucket), feed several
+        // verification consumers, and their dst set keys the grams
+        // pushdown below
         val cand = shared
           .filter($"bn" <= maxVerifyBucket && $"cn" <= maxVerifyBucket)
           .select($"doc_id".as("src"), $"corpus_id".as("dst"))
           .distinct()
+          .localCheckpoint(true)
+        val dstKeys = boundedKeys(cand.select($"dst").distinct())
         // batch grams hashed with the index's own spelling; corpus
         // gram sets from the index, restricted to candidate docs
-        // before the size aggregate ever runs
-        val dstGrams = index.grams.withColumnsRenamed(Map("doc_id" -> "dst"))
+        // before the size aggregate ever runs — and, when the dst set
+        // is bounded, pushed into the sorted-by-doc_id grams scan so
+        // non-candidate row groups are never read
+        val dstGrams = pushed(index.grams, "doc_id", dstKeys)
+          .withColumnsRenamed(Map("doc_id" -> "dst"))
           .join(cand.select($"dst").distinct(), "dst")
         verifiedPairs(cand,
           hashedGrams(batch).withColumnsRenamed(Map("doc_id" -> "src")),

@@ -72,6 +72,108 @@ class VolumeSpec extends SparkSpec {
     assert(out.count() == 1000000)
   }
 
+  test("dedup-index probe: decoded rows stay bounded across append generations, compaction restores the file budget") {
+    // 200k-doc corpus index + 8 append generations, probed by a 6-doc
+    // batch. The claims under test, each measured in ROWS EMITTED BY THE
+    // PARQUET READER (recordsRead): rows in pruned row groups are never
+    // decoded, so this is exactly the quantity footer-stats pruning
+    // changes — and the one that stays measurable on a local fs, where
+    // parquet's positioned/vectored data-page reads bypass the Hadoop
+    // FS statistics that back bytesRead:
+    //  (1) key-set pushdown + sorted-by-key layout bound the probe at
+    //      O(keys) row groups, nowhere near O(index);
+    //  (2) the bound survives generation growth (each appended file is
+    //      itself sorted, so pruning holds per generation);
+    //  (3) compaction collapses the file count and keeps the bound;
+    //  (4) without pushdown the same probe scans the whole index — the
+    //      delta IS the pushdown's contribution.
+    val dir = java.nio.file.Files.createTempDirectory("graft_didx_vol").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    def docsFor(ids: org.apache.spark.sql.DataFrame) = ids.select(
+      col("id").as("doc_id"),
+      expr("""concat('a', CAST(id AS STRING), ' b', CAST(id AS STRING),
+                     ' c', CAST(id AS STRING), ' d', CAST(id AS STRING),
+                     ' e', CAST(id AS STRING))""").as("text"))
+    try {
+      // 128 KB row groups: many groups per file, the shape where footer
+      // pruning decides the read (at production scale the 128 MB default
+      // gives the same multi-group files without the shrink)
+      hc.setInt("parquet.block.size", 128 * 1024)
+      DedupIndex.write(docsFor(spark.range(200000).toDF()), dir)
+      (0 until 8).foreach { g =>
+        DedupIndex.append(
+          docsFor(spark.range(1000000L + g * 2000, 1000000L + (g + 1) * 2000).toDF()), dir)
+      }
+
+      val batch = docsFor(Seq(123L, 45678L, 1000001L).toDF("id")) // exact dups
+        .unionByName(docsFor(Seq(9000000L, 9000001L, 9000002L).toDF("id"))) // novel
+        .withColumn("doc_id", col("doc_id") + 10000000L) // distinct batch ids
+      val expected = Set(
+        (10000123L, "corpus_exact"), (10045678L, "corpus_exact"),
+        (11000001L, "corpus_exact"), (19000000L, "admitted"),
+        (19000001L, "admitted"), (19000002L, "admitted"))
+
+      val rowsRead = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          rowsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      def probe(maxPushdownKeys: Int): Long = {
+        // broadcast-hash builds read the index ON THE DRIVER, outside
+        // task metrics — disable broadcasts for the measurement so every
+        // index scan runs in tasks and its reads are counted. (At 100 TB
+        // the index side is never broadcastable anyway; the pushdown
+        // filters are plan-identical either way.)
+        val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+        val prevBc = spark.conf.get(bcKey)
+        spark.conf.set(bcKey, "-1")
+        try {
+          spark.sparkContext.addSparkListener(listener)
+          rowsRead.set(0L)
+          val out = DedupDocs.incrementalIndexed(
+            DedupIndex.read(spark, dir), batch, maxPushdownKeys = maxPushdownKeys)
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+          org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(listener)
+          assert(out == expected, s"probe statuses diverged: $out")
+          rowsRead.get()
+        } finally spark.conf.set(bcKey, prevBc)
+      }
+      // metadata-only counts (no data pages decoded)
+      def indexRows: Long = Seq("fps", "bands", "grams")
+        .map(t => spark.read.parquet(s"$dir/$t").count()).sum
+      def dataFiles(t: String): Long = {
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$t"))
+        try ls.filter(_.toString.endsWith(".parquet")).count()
+        finally ls.close()
+      }
+
+      val total = indexRows
+      val grown = probe(maxPushdownKeys = 1024)
+      assert(grown < total / 4,
+        s"probe decoded $grown of $total index rows across 9 generations — pruning is not bounding the probe")
+
+      val filesBefore = dataFiles("fps") + dataFiles("bands") + dataFiles("grams")
+      DedupIndex.compact(spark, dir)
+      val filesAfter = dataFiles("fps") + dataFiles("bands") + dataFiles("grams")
+      assert(filesAfter < filesBefore,
+        s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+      val compacted = probe(maxPushdownKeys = 1024)
+      assert(compacted < total / 4,
+        s"post-compaction probe decoded $compacted of $total rows")
+
+      // pushdown off → the joins still answer correctly but decode the
+      // index end to end; the measured gap is the pushdown's win
+      val unpushed = probe(maxPushdownKeys = 0)
+      assert(unpushed > compacted * 2,
+        s"pushdown should cut decoded rows well below the full-scan probe ($compacted vs $unpushed)")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+  }
+
   test("end-to-end corpus dedup over 1M docs with planted duplicate structure") {
     // 800k unique docs (id-stamped words → disjoint trigram sets, so
     // LSH bands cannot collide across docs) + 200k exact copies: doc
