@@ -29,6 +29,20 @@ object DailyTmax {
       stationTz: String,
       minCoverageHours: Int = 18,
       source: String = "noaa_isd",
+      clock: () => java.sql.Timestamp = () => new java.sql.Timestamp(System.currentTimeMillis())): DataFrame =
+    perStationTz(hourly, lit(stationTz), minCoverageHours, source, clock)
+
+  /** Multi-timezone spelling: the zone is a per-row COLUMN (join a
+    * station→tz dimension in), so one frame can carry stations across
+    * timezones and still group on each station's own local calendar —
+    * the multi-station generalization the single-station reference never
+    * needs. Same single hash aggregate; `from_utc_timestamp` takes the
+    * zone as a column, so nothing about the plan changes shape. */
+  def perStationTz(
+      hourly: DataFrame,
+      stationTz: org.apache.spark.sql.Column,
+      minCoverageHours: Int = 18,
+      source: String = "noaa_isd",
       clock: () => java.sql.Timestamp = () => new java.sql.Timestamp(System.currentTimeMillis())): DataFrame = {
 
     // eligibility: temp present and not flagged out-of-range

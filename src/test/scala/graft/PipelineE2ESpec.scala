@@ -83,4 +83,60 @@ class PipelineE2ESpec extends SparkSpec {
     val back = Runner.loadRun(spark, runDir, "Passthrough")
     assert(back.count() > 0)
   }
+
+  test("two stations in two timezones, one frame, across a DST fall-back boundary") {
+    // The reference is single-station; the engine generalizes: a
+    // station→timezone dimension joins in and DailyTmax.perStationTz
+    // groups every station on ITS OWN local calendar in one aggregate.
+    // Span 2024-11-01 .. 2024-11-06 UTC — the US fall-back (Nov 3,
+    // 02:00 local) lands mid-frame for both zones.
+    val clock = () => Timestamp.valueOf("2024-12-01 00:00:00")
+    def hourlyFor(station: String, tempBase: Double) = {
+      val start = Timestamp.valueOf("2024-11-01 00:00:00").getTime / 1000
+      spark.range(6 * 24)
+        .select(
+          timestamp_seconds(lit(start) + $"id" * 3600).as("ts_utc"),
+          lit(station).as("station_id"),
+          lit(40.0).as("lat"), lit(-75.0).as("lon"),
+          (lit(tempBase) + ($"id" % 24)).as("temp_c"),
+          lit("isd").as("source"), lit(0L).as("qc_flags"))
+    }
+    val ny = hourlyFor("KLGA", 5.0)
+    val chi = hourlyFor("KORD", 3.0)
+    val tzDim = Seq(("KLGA", "America/New_York"), ("KORD", "America/Chicago"))
+      .toDF("station_id", "tz")
+
+    val combined = DailyTmax.perStationTz(
+      ny.unionByName(chi).join(broadcast(tzDim), "station_id"), $"tz",
+      clock = clock)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("station_id", "date_local", "tmax_c", "tmax_f",
+        "coverage_hours", "qc_flags")
+        .collect().map(_.toSeq).toSet
+
+    // per-station runs through the single-tz spelling are the oracle
+    val singles = rows(DailyTmax(ny, "America/New_York", clock = clock)) ++
+      rows(DailyTmax(chi, "America/Chicago", clock = clock))
+    assert(rows(combined) == singles,
+      "combined multi-tz run must equal the per-station single-tz runs")
+
+    // DST sanity: the 25-hour local day groups correctly — the repeated
+    // 01:00 hour collapses in the DISTINCT-hour coverage bitset, so
+    // coverage stays ≤ 24 while the day absorbs 25 UTC hours of data
+    val dst = combined
+      .filter($"date_local" === Date.valueOf("2024-11-03"))
+      .select($"station_id", $"coverage_hours").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dst.keySet == Set("KLGA", "KORD"))
+    assert(dst.values.forall(_ == 24), s"DST-day coverage: $dst")
+    // and the two zones disagree on which UTC hours belong to Nov 3:
+    // Chicago's local day lags New York's by an hour, so its Nov 3 max
+    // over base+((utcHour+offset)%24) differs — both must match their
+    // own single-tz oracle (already asserted), not each other's shape
+    val nyNov3 = rows(combined.filter($"station_id" === "KLGA" &&
+      $"date_local" === Date.valueOf("2024-11-03")))
+    val chiNov3 = rows(combined.filter($"station_id" === "KORD" &&
+      $"date_local" === Date.valueOf("2024-11-03")))
+    assert(nyNov3.nonEmpty && chiNov3.nonEmpty)
+  }
 }
