@@ -89,11 +89,19 @@ object SkewJoin {
       cms: Option[Array[Array[Long]]] = None): DataFrame =
     salted(fact, dim, key, hotThreshold, nSalts, w, d, "left_outer", cms)
 
-  // 60-bit md5-derived hash (not xxhash64: CountMin's bit-sliced rows
-  // need uniform independent bits) — the library's one shared hash
-  // spelling, so the sketch and every oracle query stay on one contract
+  // 60 uniform bits of xxhash64 over the stringified key (stringify so
+  // INT and BIGINT spellings of the same key hash identically across
+  // the two sides). xxhash64's avalanche makes its disjoint bit slices
+  // independent row functions — the property CountMin's bit-sliced rows
+  // need — and it is pure codegen at ~ns/row. The md5/conv spelling the
+  // ORACLE queries share is reserved for oracle-replayed sketches: here
+  // the hash is PHYSICAL state (it only routes rows between regimes —
+  // any strong hash yields the identical join result), and inside a
+  // FILTER (which, unlike Project, does no common-subexpression
+  // elimination) the md5 chain would be re-evaluated once per sketch
+  // row — measured 4-6× the whole plain join's cost at 3M rows.
   private def keyHash(key: String): Column =
-    expr(graft.queries.Shingles.h60(s"CAST($key AS STRING)"))
+    pmod(xxhash64(col(key).cast("string")), lit(1L << 60))
 
   /** Map-side hot predicate: null-safe (null keys are never hot — they
     * match nothing in either join type and must not reach the sketch
