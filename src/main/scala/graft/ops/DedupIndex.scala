@@ -64,7 +64,7 @@ object DedupIndex {
     val spark = docs.sparkSession
     import spark.implicits._
     Seq(rowsPerBand).toDF("rows_per_band")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+      .repartition(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
   }
 
   /** Append the index rows of newly ADMITTED docs — the per-batch
@@ -118,7 +118,7 @@ object DedupIndex {
     // meta is tiny and generation-free; rewrite for completeness
     import spark.implicits._
     Seq(rpb).toDF("rows_per_band")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+      .repartition(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
   }
 
   private def storedRowsPerBand(spark: SparkSession, dir: String): Int =

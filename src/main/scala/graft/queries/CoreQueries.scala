@@ -183,18 +183,33 @@ object CoreQueries {
     ),
 
     // O3/W6: positional 70/15/15 time split (eval/splits.py:38-76) —
-    // row_number over the time-sorted frame, thresholds at 0.7/0.85·n.
+    // EXACT row-position semantics (the oracle's row_number over the
+    // time-sorted frame), but the Spark spelling is distributed: the
+    // global rank comes from the bucketed prefix sum (ops/PrefixSum —
+    // 64-way parallel window, no single-reducer sort anywhere), and the
+    // order key packs (ts, event_id) losslessly as a zero-padded string
+    // (micros-precision ts; lexicographic == the oracle's ORDER BY ts,
+    // event_id for non-negative values at ANY id magnitude — unlike the
+    // 2²²-packed long of the bytime entry, which trades id headroom for
+    // a numeric key). The row count enters as two driver literals, not
+    // a count() window over the whole frame.
     OracleQuery(
       "o3_time_split",
       (s, d) => {
         import s.implicits._
-        val w = Window.orderBy($"ts", $"event_id")
-        Tables.events(s, d)
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        val ev = Tables.events(s, d)
+          .withColumn("__g", lit(0))
+          .withColumn("__one", lit(1L))
+          .withColumn("__o", concat(
+            lpad(unix_micros($"ts").cast("string"), 20, "0"),
+            lpad($"event_id".cast("string"), 12, "0")))
+        val n = ev.count()
+        graft.ops.PrefixSum
+          .withCumsum(ev, "__g", "__o", "__one", outCol = "rn",
+            buckets = 64, knownCount = Some(n))
           .withColumn("split",
-            when($"rn" <= floor($"n" * 0.7), "train")
-              .when($"rn" <= floor($"n" * 0.85), "val")
+            when($"rn" <= lit(math.floor(n * 0.7).toLong), "train")
+              .when($"rn" <= lit(math.floor(n * 0.85).toLong), "val")
               .otherwise("test"))
           .groupBy($"split")
           .agg(count(lit(1)).as("cnt"),

@@ -165,6 +165,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"zkey compute must be join-free:\n$p")
   }
 
+  test("positional split: the exact global rank is bucket-parallel, not a single-reducer window") {
+    // o3_time_split keeps the reference's row-position semantics (the
+    // oracle is row_number over the time-sorted frame) but the Spark
+    // plan must derive the rank from the bucketed prefix sum: its only
+    // window is partitioned by (group, bucket) — 64-way parallel — and
+    // no global row_number/empty-partition window appears anywhere
+    val p = plan(Registry.queries("o3_time_split")(spark, sf))
+    assert(!p.contains("row_number"),
+      s"positional split must not use a global row_number window:\n$p")
+    assert(p.contains("ps_b"),
+      s"the rank must come from the bucketed prefix sum:\n$p")
+  }
+
   test("by-order split: no window at all — thresholds are literals, labeling is map-side") {
     // o3_time_split pins the reference's positional semantics through a
     // global window (parity); this is the scale spelling of the SAME
