@@ -173,6 +173,28 @@ object Pipeline {
       graft.ops.DedupIndex.compact(spark, indexDir)
       println(s"[graft] dedup-compact: re-sorted index tables at $indexDir")
 
+    case "ivf-index" :: embDir :: k :: indexDir :: Nil =>
+      // ANN index build: fit the coarse quantizer, store centroids +
+      // cell-sorted members (the DedupIndex pattern for similarity)
+      val emb = spark.read.parquet(embDir)
+      graft.ops.IvfIndex.write(emb, indexDir, k = k.toInt)
+      println(s"[graft] ivf-index: ${emb.count()} vectors in $k cells → $indexDir")
+
+    case "ivf-append" :: indexDir :: embDir :: Nil =>
+      // per-batch maintenance: new vectors assigned with the STORED
+      // centroids (cell space is index state; refit = rebuild)
+      val emb = spark.read.parquet(embDir)
+      graft.ops.IvfIndex.append(emb, indexDir)
+      println(s"[graft] ivf-append: +${emb.count()} vectors → $indexDir")
+
+    case "ivf-topk" :: indexDir :: queriesDir :: k :: outDir :: Nil =>
+      // probe from disk: (query_id, embedding) frame in, per-query
+      // exact-cosine top-k out; only probed cells are decoded
+      graft.ops.IvfIndex
+        .topk(spark, indexDir, spark.read.parquet(queriesDir), topK = k.toInt)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] ivf-topk: top-$k neighbors → $outDir")
+
     case "bpe-train" :: docsDir :: nMerges :: outDir :: Nil =>
       // tokenizer artifact build: one corpus word-count shuffle, driver
       // merge loop, then the merge list persists as the model of record

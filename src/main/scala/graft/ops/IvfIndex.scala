@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted IVF (inverted-file) ANN index — the similarity-search
+  * sibling of [[DedupIndex]]: the write-once derivable columns of an
+  * embedding corpus stored AT INDEX TIME so that every later query
+  * batch probes precomputed state instead of re-assigning (or worse,
+  * re-fitting) the corpus:
+  *
+  *   dir/centroids  (cell, emb)                 the learned coarse quantizer
+  *   dir/members    (vec_id, cell, embedding, norm)  one row per vector
+  *   dir/meta       (k)                         quantizer arity
+  *
+  * `members` is written range-partitioned and row-group-sorted by
+  * `cell` ([[graft.sources.Sinks.writeSortedBy]]), and [[topk]] pushes
+  * the probed cell set into the scan as a literal In predicate — the
+  * set is bounded by k BY CONSTRUCTION (there are only k cells), so
+  * unlike [[DedupDocs.incrementalIndexed]]'s key pushdown it needs no
+  * size cap: a probe decodes only the row groups of its nProbe cells
+  * per query batch, never the other k−nProbe cells' bytes.
+  *
+  * The centroids are INDEX STATE, exactly like DedupIndex's banding
+  * parameter: [[append]] assigns new vectors with the STORED centroids
+  * (never refits — a refit would silently re-partition the cell space
+  * and orphan every existing member row), so generations stay mutually
+  * probeable. Re-fit = rebuild ([[write]]), an explicit offline choice.
+  *
+  * Cosine contract: member norms are stored (write-once derivable),
+  * query norms are computed at probe time; scoring is the fused
+  * vec_dot expression — identical numerics to the in-flight IVF
+  * queries (sim_ivf_kmeans_topk), which is what lets the two spellings
+  * share one oracle.
+  */
+object IvfIndex {
+
+  /** Fit the coarse quantizer on the corpus (KMeansVec: deterministic
+    * init from the k lowest ids, `iters` Lloyd rounds) and write the
+    * index. Overwrites `dir`. */
+  def write(emb: DataFrame, dir: String, k: Int = 8, iters: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    val cents = KMeansVec.fit(emb, "vec_id", "embedding", k, iters)
+    val centRows = cents.zipWithIndex.map { case (e, i) =>
+      Row(i, e.toSeq)
+    }
+    val centSchema = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("emb", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(centRows.toIndexedSeq, 1), centSchema)
+      .repartition(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    writeMembers(emb, cents, dir, SaveMode.Overwrite)
+    import spark.implicits._
+    Seq(k).toDF("k")
+      .repartition(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
+  /** Append new vectors, assigned with the STORED centroids. Existing
+    * member files are untouched; appended files carry the same
+    * per-file cell sort, so cell pruning holds within every
+    * generation. */
+  def append(emb: DataFrame, dir: String): Unit =
+    writeMembers(emb, readCentroids(emb.sparkSession, dir), dir, SaveMode.Append)
+
+  private def writeMembers(emb: DataFrame, cents: Array[Array[Double]],
+      dir: String, mode: SaveMode): Unit = {
+    val rows = emb.select(
+      col("vec_id"),
+      KMeansVec.cellExpr("embedding", cents).as("cell"),
+      col("embedding"),
+      sqrt(vecDot(col("embedding"), col("embedding"))).as("norm"))
+    // cache across writeSortedBy's range-sample + write pair (same
+    // lifecycle containment as DedupIndex.writeFrames)
+    val cached = rows.persist()
+    try graft.sources.Sinks.writeSortedBy(cached, s"$dir/members", Seq("cell"), mode = mode)
+    finally cached.unpersist(false)
+  }
+
+  /** Compact append generations: rewrite `members` fully cell-sorted so
+    * footer pruning holds across the WHOLE index again (same offline
+    * maintenance contract as [[DedupIndex.compact]]; centroids and meta
+    * are generation-free). Rewrites into a temp sibling first — a crash
+    * mid-compaction leaves the live index untouched. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/.compact_members"
+    graft.sources.Sinks.writeSortedBy(
+      spark.read.parquet(s"$dir/members"), tmp, Seq("cell"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/members"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/members"))
+  }
+
+  /** The stored coarse quantizer, ordered by cell id. */
+  def readCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids").orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  def storedK(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/meta").head.getInt(0)
+
+  /** Exact-cosine top-k over the index for a (query_id, embedding)
+    * frame: map-side probe-cell assignment against the stored centroid
+    * literals, cell-set pushdown into the sorted members scan,
+    * broadcast probes ⋈ members on cell, fused-vec_dot scoring, one
+    * per-query window. Self-matches (a query id that is also a member
+    * id) are excluded, mirroring the in-flight IVF queries. */
+  def topk(spark: SparkSession, dir: String, queries: DataFrame,
+      topK: Int = 3, nProbe: Int = 2): DataFrame = {
+    val cents = readCentroids(spark, dir)
+    require(cents.nonEmpty, s"no centroids at $dir")
+    val probeN = math.min(nProbe, cents.length)
+
+    val probes = queries.select(
+        col("query_id"),
+        col("embedding").as("q_emb"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("q_norm"),
+        KMeansVec.probeCellsExpr("embedding", cents, probeN).as("__cells"))
+      .withColumn("cell", explode(transform(col("__cells"), c => c.getField("cid"))))
+      .drop("__cells")
+
+    // bounded by construction: there are only |cents| distinct cells,
+    // so the collect is ≤ k rows no matter how many queries probe
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val members = spark.read.parquet(s"$dir/members")
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+
+    val scored = broadcast(probes)
+      .join(members, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        vecDot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rn").cast("int").as("rn"))
+  }
+
+  /** Fused dot product without a function-registry round trip. */
+  private def vecDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.PlanBridge.column(
+      graft.functions.VecDot(
+        org.apache.spark.sql.graft.PlanBridge.expression(a),
+        org.apache.spark.sql.graft.PlanBridge.expression(b)))
+}

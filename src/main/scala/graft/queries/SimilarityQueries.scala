@@ -420,59 +420,33 @@ object SimilarityQueries {
           .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rn")
           .orderBy($"query_id", $"rn")
       },
-      Some {
-        def d2(a: String, b: String) =
-          s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
-        s"""WITH $duckNormed, emb AS (
-           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-           |), cents0 AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e
-           |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)
-           |), kassign1 AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT v.vec_id, c.cell,
-           |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS rn
-           |    FROM emb v CROSS JOIN cents0 c) WHERE rn = 1
-           |), means AS (
-           |  SELECT a.cell, gs.i AS pos,
-           |    CAST(sum(CAST(v.e[gs.i] AS DECIMAL(25,8))) AS DOUBLE) / count(*) AS m
-           |  FROM kassign1 a JOIN emb v USING (vec_id), generate_series(1, 64) AS gs(i)
-           |  GROUP BY a.cell, gs.i
-           |), cents1 AS (
-           |  SELECT c0.cell, coalesce(m.e, c0.e) AS e
-           |  FROM cents0 c0 LEFT JOIN (
-           |    SELECT cell, list(m ORDER BY pos) AS e FROM means GROUP BY cell
-           |  ) m ON c0.cell = m.cell
-           |), kassign2 AS (
-           |  SELECT v.vec_id, c.cell,
-           |    row_number() OVER (PARTITION BY v.vec_id
-           |      ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS crn
-           |  FROM emb v CROSS JOIN cents1 c
-           |), cells AS (
-           |  SELECT vec_id AS member_id, cell FROM kassign2 WHERE crn = 1
-           |), probes AS (
-           |  SELECT vec_id AS query_id, cell FROM kassign2 WHERE vec_id < 10 AND crn <= 2
-           |), cands AS (
-           |  SELECT p.query_id, m.member_id AS neighbor_id
-           |  FROM probes p JOIN cells m ON p.cell = m.cell
-           |  WHERE m.member_id != p.query_id
-           |), scored AS (
-           |  SELECT c.query_id, c.neighbor_id,
-           |    (list_reduce(list_transform(list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
-           |     / (q.norm * n.norm)) AS cos
-           |  FROM cands c
-           |  JOIN normed q ON q.vec_id = c.query_id
-           |  JOIN normed n ON n.vec_id = c.neighbor_id
-           |), ranked AS (
-           |  SELECT query_id, neighbor_id, cos,
-           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
-           |  FROM scored
-           |)
-           |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rn
-           |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
-      }
+      Some(duckIvfKmeansTopk)
     ),
+
+    // The SAME learned-IVF top-k through the PERSISTED index
+    // (ops/IvfIndex): fit → write (centroids + cell-sorted members +
+    // stored norms) → probe from disk with cell-set pushdown into the
+    // members scan. A real disk round-trip inside the query, exactly
+    // like dedup_incremental_indexed — and the oracle is shared
+    // verbatim with sim_ivf_kmeans_topk because the round-trip is
+    // semantically invisible: stored centroids are exact doubles, so
+    // assignment, candidates and scores reproduce bit-for-bit.
+    OracleQuery(
+      "sim_ivf_indexed_topk",
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivfq").toString
+        graft.ops.IvfIndex.write(Tables.embeddings(s, d), dir, k = 8, iters = 1)
+        graft.ops.IvfIndex.topk(s, dir,
+            Tables.embeddings(s, d).filter($"vec_id" < 10)
+              .select($"vec_id".as("query_id"), $"embedding"),
+            topK = 3, nProbe = 2)
+          .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rn")
+          .orderBy($"query_id", $"rn")
+      },
+      Some(duckIvfKmeansTopk)
+    ),
+
 
     // kNN label regression (models.py:338-380 kNN shape), IVF-bounded:
     // predicted label = mean label of the 5 nearest IVF-candidate
@@ -777,4 +751,59 @@ object SimilarityQueries {
       }: _*)
       element_at(cbArr, col(s"code_${cb.m}") + 1)
     }: _*))
+
+  /** Shared oracle for the learned-IVF top-k pair (in-flight and
+    * persisted-index spellings — identical semantics). */
+  private val duckIvfKmeansTopk: String = {
+        def d2(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+        s"""WITH $duckNormed, emb AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |), cents0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e
+           |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)
+           |), kassign1 AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS rn
+           |    FROM emb v CROSS JOIN cents0 c) WHERE rn = 1
+           |), means AS (
+           |  SELECT a.cell, gs.i AS pos,
+           |    CAST(sum(CAST(v.e[gs.i] AS DECIMAL(25,8))) AS DOUBLE) / count(*) AS m
+           |  FROM kassign1 a JOIN emb v USING (vec_id), generate_series(1, 64) AS gs(i)
+           |  GROUP BY a.cell, gs.i
+           |), cents1 AS (
+           |  SELECT c0.cell, coalesce(m.e, c0.e) AS e
+           |  FROM cents0 c0 LEFT JOIN (
+           |    SELECT cell, list(m ORDER BY pos) AS e FROM means GROUP BY cell
+           |  ) m ON c0.cell = m.cell
+           |), kassign2 AS (
+           |  SELECT v.vec_id, c.cell,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS crn
+           |  FROM emb v CROSS JOIN cents1 c
+           |), cells AS (
+           |  SELECT vec_id AS member_id, cell FROM kassign2 WHERE crn = 1
+           |), probes AS (
+           |  SELECT vec_id AS query_id, cell FROM kassign2 WHERE vec_id < 10 AND crn <= 2
+           |), cands AS (
+           |  SELECT p.query_id, m.member_id AS neighbor_id
+           |  FROM probes p JOIN cells m ON p.cell = m.cell
+           |  WHERE m.member_id != p.query_id
+           |), scored AS (
+           |  SELECT c.query_id, c.neighbor_id,
+           |    (list_reduce(list_transform(list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
+           |     / (q.norm * n.norm)) AS cos
+           |  FROM cands c
+           |  JOIN normed q ON q.vec_id = c.query_id
+           |  JOIN normed n ON n.vec_id = c.neighbor_id
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rn
+           |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+  }
 }

@@ -185,6 +185,35 @@ class PipelineCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/out1/docs").count() == 1)
   }
 
+  test("ivf-index + ivf-append + ivf-topk: stored ANN index round trip") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_ivfcli").toString
+    // 40 corpus vectors in two well-separated clusters along dim 0
+    def vec(sign: Double, jit: Double) =
+      Array.tabulate(8)(i => (if (i == 0) sign * 10.0 + jit else jit).toFloat)
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, vec(if (i % 2 == 0) 1.0 else -1.0, i / 100.0).toSeq)
+    }
+    corpus.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/emb")
+    Pipeline.run(spark, List("ivf-index", s"$work/emb", "2", s"$work/idx"))
+    assert(graft.ops.IvfIndex.storedK(spark, s"$work/idx") == 2)
+
+    // append a twin of vector 0 with a fresh id; the stored quantizer
+    // must place it in vector 0's cell so a probe of v0 finds it first
+    Seq((900L, corpus(0)._2)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/emb2")
+    Pipeline.run(spark, List("ivf-append", s"$work/idx", s"$work/emb2"))
+
+    Seq((0L, corpus(0)._2)).toDF("query_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/q")
+    Pipeline.run(spark, List("ivf-topk", s"$work/idx", s"$work/q", "1", s"$work/nn"))
+    val nn = spark.read.parquet(s"$work/nn").collect()
+    assert(nn.length == 1)
+    assert(nn(0).getAs[Long]("neighbor_id") == 900L)
+    assert(math.abs(nn(0).getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
   test("bpe-train persists the ranked merge list") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_bpe").toString
