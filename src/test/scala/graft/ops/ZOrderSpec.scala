@@ -99,10 +99,14 @@ class ZOrderSpec extends SparkSpec {
         .select(input_file_name()).distinct().count()
     // ∛-selectivity boxing: a quarter-range predicate on EACH dim pins
     // its two top bucket bits → ~16 of 64 files plus range-boundary
-    // straddle (a linear layout smears two of the three across all 64)
-    assert(filesTouched($"t".between(86400, 172800)) <= 28)
-    assert(filesTouched($"u".between(200, 260)) <= 28)
-    assert(filesTouched($"dom" === 3) <= 28)
+    // straddle (a linear layout smears two of the three across all 64).
+    // The bound carries slack for repartitionByRange's sampled file
+    // boundaries, which jitter by a file or two across runs (the range
+    // sampler's seed folds in the RDD id) — 30 of 64 still separates
+    // the curve from a linear layout's 64 on two of the three dims.
+    assert(filesTouched($"t".between(86400, 172800)) <= 30)
+    assert(filesTouched($"u".between(200, 260)) <= 30)
+    assert(filesTouched($"dom" === 3) <= 30)
   }
 
   test("writeZOrderedBy on an empty frame writes an empty table, no NPE") {
