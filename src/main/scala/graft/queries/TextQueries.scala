@@ -807,6 +807,118 @@ object TextQueries {
              |JOIN ns na ON na.source = shared.src_a
              |JOIN ns nb ON nb.source = shared.src_b
              |ORDER BY src_a, src_b""".stripMargin)
+    ),
+
+    // Gopher-rule quality cascade (Rae et al. 2021 §A1.1, the standard
+    // pretraining-corpus document filter): word-count bounds, mean word
+    // length window, alphabetic-word floor, stopword floor, duplication
+    // ceiling. Per-doc signals + the pass verdict so a dashboard can
+    // attribute every rejection to its rule. All row-local expressions —
+    // map-side only, codegen, no shuffle until the final sort.
+    OracleQuery(
+      "text_gopher_quality",
+      (s, d) => {
+        import s.implicits._
+        val words = split($"text", " ")
+        val nWords = size(words)
+        val meanLen = round(
+          length(regexp_replace($"text", " ", "")) / nWords.cast("double"), 4)
+        val alphaFrac = round(
+          expr("size(filter(split(text, ' '), w -> w rlike '^[a-z]+$'))")
+            / nWords.cast("double"), 4)
+        val stopCount = expr(
+          "size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'to')))")
+        val dupFrac = round(
+          lit(1.0) - expr("size(array_distinct(split(text, ' ')))")
+            / nWords.cast("double"), 4)
+        Tables.documents(s, d)
+          .select($"doc_id",
+            nWords.as("n_words"), meanLen.as("mean_word_len"),
+            alphaFrac.as("alpha_frac"), stopCount.as("stop_count"),
+            dupFrac.as("dup_frac"))
+          .withColumn("pass",
+            ($"n_words".between(50, 100000) &&
+              $"mean_word_len".between(3.0, 10.0) &&
+              $"alpha_frac" >= 0.8 && $"stop_count" >= 2 &&
+              $"dup_frac" <= 0.7).cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH feat AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+             |    round(length(replace(text, ' ', ''))
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len,
+             |    round(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[a-z]+$')))
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS alpha_frac,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS stop_count,
+             |    round(1.0 - len(list_distinct(string_split(text, ' ')))
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS dup_frac
+             |  FROM documents
+             |)
+             |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_count, dup_frac,
+             |  CAST(n_words BETWEEN 50 AND 100000
+             |    AND mean_word_len BETWEEN 3.0 AND 10.0
+             |    AND alpha_frac >= 0.8 AND stop_count >= 2
+             |    AND dup_frac <= 0.7 AS INT) AS pass
+             |FROM feat ORDER BY doc_id""".stripMargin)
+    ),
+
+    // PII redaction: regex scrub of emails / IPv4s / phone numbers with
+    // per-doc redaction counts — the compliance pass every corpus runs
+    // before training. The synthetic corpus is bare lowercase words, so
+    // the PII-bearing text is derived deterministically from (doc_id,
+    // text) on BOTH sides; the oracle therefore verifies the actual
+    // redaction regexes on non-trivial strings, not a no-op. Regex
+    // subset chosen to mean the same thing in Java (Spark codegen) and
+    // RE2 (DuckDB): no backreferences, no lookaround.
+    OracleQuery(
+      "text_pii_redact",
+      (s, d) => {
+        import s.implicits._
+        val withPii = Tables.documents(s, d)
+          .withColumn("raw", concat(
+            substring($"text", 1, 20),
+            lit(" contact user"), $"doc_id".cast("string"),
+            lit("@mail.example.com via 10.0."),
+            ($"doc_id" % 256).cast("string"), lit("."),
+            (($"doc_id" * 7) % 256).cast("string"),
+            lit(" or 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            when($"doc_id" % 3 === 0, lit(" cc admin@example.org")).otherwise(lit("")),
+            when($"doc_id" % 5 === 0, lit(" peer 192.168.1.77")).otherwise(lit(""))))
+        // lit() patterns, not expr(): Spark SQL string literals eat
+        // backslashes, so '\d' embedded in SQL text would parse as 'd'
+        val email = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+        val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+        val phone = "555-\\d{4}"
+        withPii
+          .select($"doc_id",
+            regexp_count($"raw", lit(email)).cast("int").as("n_emails"),
+            regexp_count($"raw", lit(ip)).cast("int").as("n_ips"),
+            regexp_count($"raw", lit(phone)).cast("int").as("n_phones"),
+            regexp_replace(regexp_replace(regexp_replace($"raw",
+              email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH pii AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 20) || ' contact user' || doc_id
+             |      || '@mail.example.com via 10.0.' || (doc_id % 256) || '.'
+             |      || ((doc_id * 7) % 256)
+             |      || ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END
+             |      || CASE WHEN doc_id % 5 = 0 THEN ' peer 192.168.1.77' ELSE '' END AS raw
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(raw, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INT) AS n_ips,
+             |  CAST(len(regexp_extract_all(raw, '555-\d{4}')) AS INT) AS n_phones,
+             |  regexp_replace(regexp_replace(regexp_replace(raw,
+             |    '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+             |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+             |    '555-\d{4}', '<PHONE>', 'g') AS redacted
+             |FROM pii ORDER BY doc_id""".stripMargin)
     )
   )
 

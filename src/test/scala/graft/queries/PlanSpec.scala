@@ -194,6 +194,18 @@ class PlanSpec extends SparkSpec {
       s"stratified sampling must not shuffle:\n$p")
   }
 
+  test("quality cascade and PII redaction are map-side only: no hash exchange") {
+    // row-local expression pipelines — the only exchange allowed is the
+    // final ORDER BY rangepartitioning; a hash exchange here means a
+    // rule accidentally grew a join or aggregate
+    for (q <- Seq("text_gopher_quality", "text_pii_redact")) {
+      val p = plan(Registry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q must be join-free:\n$p")
+    }
+  }
+
   test("LM scoring and KL drift scan the corpus exactly once (AQE stage reuse)") {
     // every branch that re-derives counts from the token table must be a
     // byte-identical subtree (explicit not-null filters make inferred
