@@ -33,7 +33,8 @@ object Bench {
     "pipe_rolling_features", // leakage-free feature windows
     "pipe_ridge_closed_form", // closed-form model fit
     "o11_upsert_merge",    // CDC keep-latest snapshot merge
-    "text_bigram_lm_score") // corpus-trained LM quality scoring
+    "text_bigram_lm_score", // corpus-trained LM quality scoring
+    "pipe_curation")       // quality→dedup→canonical curation funnel
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

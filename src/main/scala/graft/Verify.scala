@@ -21,7 +21,14 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_NAMES=a,b,c restricts the dump (and the oracle
+    // json) to the named queries — targeted runs while iterating; the
+    // driver never sets it, so its gate always covers the full registry
+    val nameFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_VERIFY_NAMES")
+        .map(_.split(',').map(_.trim).toSet)
+        .fold((_: String) => true)(ns => ns.contains _)
+    val futures = SparkEntry.queries.toSeq.filter(t => nameFilter(t._1)).map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -47,6 +54,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSqlFor(spark, sfDir)
+      .filter(t => nameFilter(t._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

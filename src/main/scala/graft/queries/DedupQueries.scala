@@ -42,6 +42,70 @@ object DedupQueries {
       .select(col("doc_id"), col("gram"))
   }
 
+  /** Word-3-gram Jaccard near-dup pairs (doc_a, doc_b, jaccard ≥ minJ):
+    * the candidate pipeline behind `dedup_ngram_jaccard` (which reports
+    * the pairs) and `dedup_canonical` (which clusters them and picks a
+    * representative). Gram-partitioned equi-join, df-capped intersection,
+    * broadcast-gated size lookup — see the dedup_ngram_jaccard entry for
+    * the scale commentary.
+    */
+  private[queries] def jaccardPairs(docs: org.apache.spark.sql.DataFrame,
+      minJ: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = Shingles.wordTrigrams(docs)
+      .select($"doc_id", expr(h60("gram")).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    // broadcast-envelope gate: hint only while the documents scan is
+    // small enough that sizes (~16 B/doc) is safely under executor
+    // broadcast budget; past it, no hint — AQE picks the strategy
+    // from runtime sizes instead of an OOM-on-faith broadcast
+    val hintOk = docs.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30)
+    def bc(df: org.apache.spark.sql.DataFrame) = if (hintOk) broadcast(df) else df
+    // stop-gram guard: intersection join runs over df-capped grams
+    val kept = cappedGrams(grams, JaccardDfCap)
+    kept.as("a")
+      .join(kept.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(bc(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na"))), "doc_a")
+      .join(bc(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb"))), "doc_b")
+      .withColumn("jaccard", round($"shared" / ($"na" + $"nb" - $"shared"), 4))
+      .filter($"jaccard" >= minJ)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** DuckDB CTE bodies for [[jaccardPairs]] over relation `rel` —
+    * `pairs(src, dst)` is the final table; compose after a
+    * WITH [RECURSIVE] opener. */
+  private[queries] def jaccardPairsSql(rel: String = "documents"): String =
+    s"""grams AS (
+      |  SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+      |    )) AS gram
+      |    FROM $rel WHERE len(string_split(text, ' ')) >= 3
+      |  )
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+      |), gram_df AS (
+      |  SELECT gram, count(*) AS df FROM grams GROUP BY gram
+      |), kept AS (
+      |  SELECT g.doc_id, g.gram FROM grams g JOIN gram_df d ON g.gram = d.gram AND d.df <= 5
+      |), shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), pairs AS (
+      |  SELECT doc_a AS src, doc_b AS dst
+      |  FROM shared
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE round(shared / (sa.n_grams + sb.n_grams - shared), 4) >= 0.5
+      |)""".stripMargin
+
   def all: Seq[OracleQuery] = Seq(
     // Exact dedup by content hash: fingerprint = md5(text), keep the
     // smallest doc_id per fingerprint (deterministic keep-first).
@@ -85,29 +149,8 @@ object DedupQueries {
         // shuffling BOTH post-agg sides entirely (measured 1s at sf0.1);
         // its envelope is ~100M docs per executor-GB of broadcast budget,
         // beyond which drop the hint and AQE degrades to a shuffle join.
-        val docs = Tables.documents(s, d)
-        val grams = Shingles.wordTrigrams(docs)
-          .select($"doc_id", expr(h60("gram")).as("gram"))
-          .distinct()
-        val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-        // broadcast-envelope gate: hint only while the documents scan is
-        // small enough that sizes (~16 B/doc) is safely under executor
-        // broadcast budget; past it, no hint — AQE picks the strategy
-        // from runtime sizes instead of an OOM-on-faith broadcast
-        val hintOk = docs.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30)
-        def bc(df: org.apache.spark.sql.DataFrame) = if (hintOk) broadcast(df) else df
-        // stop-gram guard: intersection join runs over df-capped grams
-        val kept = cappedGrams(grams, JaccardDfCap)
-        kept.as("a")
-          .join(kept.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("shared"))
-          .join(bc(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na"))), "doc_a")
-          .join(bc(sizes.select($"doc_id".as("doc_b"), $"n_grams".as("nb"))), "doc_b")
-          .withColumn("jaccard", round($"shared" / ($"na" + $"nb" - $"shared"), 4))
-          .filter($"jaccard" >= 0.5)
-          .select($"doc_a", $"doc_b", $"jaccard")
-          .orderBy($"doc_a", $"doc_b")
+        // Pipeline shared with dedup_canonical via [[jaccardPairs]].
+        jaccardPairs(Tables.documents(s, d)).orderBy($"doc_a", $"doc_b")
       },
       Some("""WITH grams AS (
              |  SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram FROM (
@@ -135,6 +178,63 @@ object DedupQueries {
              |JOIN sizes sb ON sb.doc_id = doc_b
              |WHERE round(shared / (sa.n_grams + sb.n_grams - shared), 4) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // CANONICALIZATION — the step a real dedup pipeline runs after
+    // clustering: Jaccard near-dup pairs ([[jaccardPairs]]) → connected
+    // components (min-label propagation) → one representative per
+    // duplicate cluster. Representative = longest document (n_chars),
+    // ties to the smallest doc_id — the usual "keep the most complete
+    // copy" policy. Output is one row per non-trivial cluster:
+    // (cluster, size, canonical_id, chars_removed). Scale shape: the
+    // pair stage is gram-partitioned + df-capped (see
+    // dedup_ngram_jaccard); components is bounded-round pointer-doubling
+    // label propagation over the PAIRS only (edges ≪ corpus); the
+    // argmax is one struct-max hash aggregate — no window, no sort, one
+    // candidate per (mapper, key) in the shuffle. The oracle replays the
+    // same closure as a DuckDB recursive CTE and the same argmax via a
+    // lexicographic list-max, so the representative policy is
+    // hash-checked, not just spec'd.
+    OracleQuery(
+      "dedup_canonical",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val edges = jaccardPairs(Tables.documents(s, d))
+          .select($"doc_a".as("src"), $"doc_b".as("dst"))
+        val comps = graft.ops.ConnectedComponents(
+          docs.select($"doc_id".as("id")), edges)
+        comps.join(docs.select($"doc_id".as("id"), $"n_chars"), "id")
+          .groupBy($"component".as("cluster"))
+          .agg(
+            count(lit(1)).as("size"),
+            max(struct($"n_chars", (-$"id").as("neg_id"))).as("best"),
+            sum($"n_chars").as("total"))
+          .filter($"size" > 1)
+          .select($"cluster", $"size",
+            (-$"best.neg_id").as("canonical_id"),
+            ($"total" - $"best.n_chars").cast("long").as("chars_removed"))
+          .orderBy($"cluster")
+      },
+      Some(s"""WITH RECURSIVE ${jaccardPairsSql()}, undirected AS (
+             |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+             |), reach AS (
+             |  SELECT doc_id AS src, doc_id AS dst FROM documents
+             |  UNION
+             |  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src
+             |), labels AS (
+             |  SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+             |), per AS (
+             |  SELECT l.component AS cluster, count(*) AS size,
+             |    max([d.n_chars, -d.doc_id]) AS best,
+             |    sum(d.n_chars) AS total
+             |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+             |  GROUP BY l.component
+             |)
+             |SELECT cluster, CAST(size AS BIGINT) AS size,
+             |  CAST(-best[2] AS BIGINT) AS canonical_id,
+             |  CAST(total - best[1] AS BIGINT) AS chars_removed
+             |FROM per WHERE size > 1 ORDER BY cluster""".stripMargin)
     ),
 
     // MinHash signatures + LSH banding: 8 hashes (XOR permutations of the

@@ -391,6 +391,103 @@ object PipelineQueries {
              |  CAST(sum(s_click) AS BIGINT) AS n_click_after_view,
              |  CAST(sum(s_purchase) AS BIGINT) AS n_purchase_after_click
              |FROM per_user""".stripMargin)
+    ),
+
+    // END-TO-END CURATION FUNNEL — the canonical LLM-pretraining intake
+    // chained as ONE query: Gopher quality gate (TextQueries.
+    // gopherSignals) → exact content-hash dedup keep-first → n-gram
+    // Jaccard near-dup clustering with keep-longest canonicalization
+    // (DedupQueries.jaccardPairs + ConnectedComponents) → per-source
+    // funnel report (docs surviving each stage + final chars). Every
+    // stage is the already-oracle-checked operator; this entry checks
+    // their COMPOSITION — the stage ordering, the survivor handoffs,
+    // and the funnel accounting — against DuckDB replaying the same
+    // chain in one WITH RECURSIVE.
+    //
+    // Scale shape: quality is a map-side filter fused into the scan;
+    // exact dedup is one hash-agg + semi-join on the fingerprint;
+    // near-dup runs on the (smaller) exact survivors only; the final
+    // counts are four partial-agg rollups over a handful of sources.
+    // The survivor frame is localCheckpoint'd before fanning out into
+    // the edge build + three downstream consumers, so the shingle
+    // explode and the dedup shuffle run once, not four times (the
+    // EWMA/DedupDocs lineage-reuse rule).
+    OracleQuery(
+      "pipe_curation",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val quality = TextQueries.gopherSignals(docs).filter($"pass" === 1)
+          .select(docs.columns.map(col).toIndexedSeq: _*)
+        val keepIds = quality.withColumn("fp", md5($"text"))
+          .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+        val exact = quality.join(keepIds.select($"doc_id"), Seq("doc_id"), "left_semi")
+          .localCheckpoint(eager = true)
+        val edges = DedupQueries.jaccardPairs(exact)
+          .select($"doc_a".as("src"), $"doc_b".as("dst"))
+        val comps = graft.ops.ConnectedComponents(
+          exact.select($"doc_id".as("id")), edges)
+        val reps = comps.join(exact.select($"doc_id".as("id"), $"n_chars"), "id")
+          .groupBy($"component")
+          .agg(max(struct($"n_chars", (-$"id").as("neg_id"))).as("best"))
+          .select((-$"best.neg_id").as("doc_id"))
+        val fin = exact.join(reps, Seq("doc_id"), "left_semi")
+        val rawC = docs.groupBy($"source").agg(count(lit(1)).as("n_raw"))
+        val qC = quality.groupBy($"source").agg(count(lit(1)).as("n_quality"))
+        val eC = exact.groupBy($"source").agg(count(lit(1)).as("n_exact"))
+        val fC = fin.groupBy($"source").agg(
+          count(lit(1)).as("n_final"), sum($"n_chars").cast("long").as("chars_final"))
+        rawC
+          .join(qC, Seq("source"), "left_outer")
+          .join(eC, Seq("source"), "left_outer")
+          .join(fC, Seq("source"), "left_outer")
+          .select($"source", $"n_raw",
+            coalesce($"n_quality", lit(0L)).as("n_quality"),
+            coalesce($"n_exact", lit(0L)).as("n_exact"),
+            coalesce($"n_final", lit(0L)).as("n_final"),
+            coalesce($"chars_final", lit(0L)).as("chars_final"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH RECURSIVE ${TextQueries.gopherFeatSql()}, quality AS (
+             |  SELECT doc_id, text, lang, source, n_chars FROM gopher WHERE pass = 1
+             |), keep AS (
+             |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+             |), exact AS (
+             |  SELECT q.* FROM quality q JOIN keep k ON q.doc_id = k.doc_id
+             |), ${DedupQueries.jaccardPairsSql("exact")}, undirected AS (
+             |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+             |), reach AS (
+             |  SELECT doc_id AS src, doc_id AS dst FROM exact
+             |  UNION
+             |  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src
+             |), labels AS (
+             |  SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+             |), reps AS (
+             |  SELECT -max([e.n_chars, -e.doc_id])[2] AS doc_id
+             |  FROM labels l JOIN exact e ON l.doc_id = e.doc_id
+             |  GROUP BY l.component
+             |), fin AS (
+             |  SELECT e.* FROM exact e JOIN reps r ON e.doc_id = r.doc_id
+             |), raw_c AS (
+             |  SELECT source, count(*) AS n_raw FROM documents GROUP BY source
+             |), q_c AS (
+             |  SELECT source, count(*) AS n_quality FROM quality GROUP BY source
+             |), e_c AS (
+             |  SELECT source, count(*) AS n_exact FROM exact GROUP BY source
+             |), f_c AS (
+             |  SELECT source, count(*) AS n_final, CAST(sum(n_chars) AS BIGINT) AS chars_final
+             |  FROM fin GROUP BY source
+             |)
+             |SELECT r.source, r.n_raw,
+             |  coalesce(q.n_quality, 0) AS n_quality,
+             |  coalesce(e.n_exact, 0) AS n_exact,
+             |  coalesce(f.n_final, 0) AS n_final,
+             |  coalesce(f.chars_final, 0) AS chars_final
+             |FROM raw_c r
+             |LEFT JOIN q_c q ON r.source = q.source
+             |LEFT JOIN e_c e ON r.source = e.source
+             |LEFT JOIN f_c f ON r.source = f.source
+             |ORDER BY r.source""".stripMargin)
     )
   )
 }

@@ -11,6 +11,56 @@ import graft.core.Tables
   */
 object TextQueries {
 
+  /** Gopher-rule quality signals (Rae et al. 2021 §A1.1) + `pass`
+    * verdict, appended to `docs` (which must carry `doc_id`, `text`).
+    * Row-local codegen expressions only — shared by
+    * `text_gopher_quality` and `pipe_curation`. */
+  private[queries] def gopherSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nWords = size(split(col("text"), " "))
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", round(
+        length(regexp_replace(col("text"), " ", "")) / nWords.cast("double"), 4))
+      .withColumn("alpha_frac", round(
+        expr("size(filter(split(text, ' '), w -> w rlike '^[a-z]+$'))")
+          / nWords.cast("double"), 4))
+      .withColumn("stop_count", expr(
+        "size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'to')))"))
+      .withColumn("dup_frac", round(
+        lit(1.0) - expr("size(array_distinct(split(text, ' ')))")
+          / nWords.cast("double"), 4))
+      .withColumn("pass",
+        (col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_frac") >= 0.8 && col("stop_count") >= 2 &&
+          col("dup_frac") <= 0.7).cast("int"))
+  }
+
+  /** DuckDB CTE body mirroring [[gopherSignals]] over relation `rel` —
+    * `gopher` is the produced table (all `rel` columns + signals +
+    * `pass`); compose after a WITH opener. */
+  private[queries] def gopherFeatSql(rel: String = "documents"): String =
+    s"""gopher AS (
+      |  SELECT *,
+      |    CAST(n_words BETWEEN 50 AND 100000
+      |      AND mean_word_len BETWEEN 3.0 AND 10.0
+      |      AND alpha_frac >= 0.8 AND stop_count >= 2
+      |      AND dup_frac <= 0.7 AS INT) AS pass
+      |  FROM (
+      |    SELECT *,
+      |      CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |      round(length(replace(text, ' ', ''))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len,
+      |      round(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[a-z]+$$')))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS alpha_frac,
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS stop_count,
+      |      round(1.0 - len(list_distinct(string_split(text, ' ')))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS dup_frac
+      |    FROM $rel
+      |  )
+      |)""".stripMargin
+
   def all: Seq[OracleQuery] = Seq(
     // Token counting: whitespace tokens + a regex word tokenizer (the
     // "BPE-ish" pre-tokenizer split: letter runs vs non-space symbols).
@@ -815,53 +865,19 @@ object TextQueries {
     // ceiling. Per-doc signals + the pass verdict so a dashboard can
     // attribute every rejection to its rule. All row-local expressions —
     // map-side only, codegen, no shuffle until the final sort.
+    // (Signals shared with pipe_curation via [[gopherSignals]].)
     OracleQuery(
       "text_gopher_quality",
       (s, d) => {
         import s.implicits._
-        val words = split($"text", " ")
-        val nWords = size(words)
-        val meanLen = round(
-          length(regexp_replace($"text", " ", "")) / nWords.cast("double"), 4)
-        val alphaFrac = round(
-          expr("size(filter(split(text, ' '), w -> w rlike '^[a-z]+$'))")
-            / nWords.cast("double"), 4)
-        val stopCount = expr(
-          "size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'to')))")
-        val dupFrac = round(
-          lit(1.0) - expr("size(array_distinct(split(text, ' ')))")
-            / nWords.cast("double"), 4)
-        Tables.documents(s, d)
-          .select($"doc_id",
-            nWords.as("n_words"), meanLen.as("mean_word_len"),
-            alphaFrac.as("alpha_frac"), stopCount.as("stop_count"),
-            dupFrac.as("dup_frac"))
-          .withColumn("pass",
-            ($"n_words".between(50, 100000) &&
-              $"mean_word_len".between(3.0, 10.0) &&
-              $"alpha_frac" >= 0.8 && $"stop_count" >= 2 &&
-              $"dup_frac" <= 0.7).cast("int"))
+        gopherSignals(Tables.documents(s, d))
+          .select($"doc_id", $"n_words", $"mean_word_len", $"alpha_frac",
+            $"stop_count", $"dup_frac", $"pass")
           .orderBy($"doc_id")
       },
-      Some("""WITH feat AS (
-             |  SELECT doc_id,
-             |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-             |    round(length(replace(text, ' ', ''))
-             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len,
-             |    round(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[a-z]+$')))
-             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS alpha_frac,
-             |    CAST(len(list_filter(string_split(text, ' '),
-             |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS stop_count,
-             |    round(1.0 - len(list_distinct(string_split(text, ' ')))
-             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS dup_frac
-             |  FROM documents
-             |)
-             |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_count, dup_frac,
-             |  CAST(n_words BETWEEN 50 AND 100000
-             |    AND mean_word_len BETWEEN 3.0 AND 10.0
-             |    AND alpha_frac >= 0.8 AND stop_count >= 2
-             |    AND dup_frac <= 0.7 AS INT) AS pass
-             |FROM feat ORDER BY doc_id""".stripMargin)
+      Some(s"""WITH ${gopherFeatSql()}
+             |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_count, dup_frac, pass
+             |FROM gopher ORDER BY doc_id""".stripMargin)
     ),
 
     // PII redaction: regex scrub of emails / IPv4s / phone numbers with
