@@ -545,27 +545,7 @@ object SimilarityQueries {
           "list_reduce(list_transform(list_zip(q.q::DOUBLE[], n.r::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)"
         def selfDot(c: String) =
           s"list_reduce(list_transform($c::DOUBLE[], x -> x * x), (x, y) -> x + y)"
-        s"""WITH cents AS (
-           |  SELECT vec_id AS k, embedding FROM embeddings WHERE vec_id < 16
-           |), blocks AS (SELECT unnest(range(8)) AS m),
-           |bdist AS (
-           |  -- per (vector, block, centroid): cc − 2·s·c, the argmin objective
-           |  SELECT v.vec_id, b.m, c.k,
-           |    (${selfDot("c.embedding[b.m*8+1 : b.m*8+8]")}
-           |     - 2 * list_reduce(list_transform(list_zip(v.embedding[b.m*8+1 : b.m*8+8]::DOUBLE[], c.embedding[b.m*8+1 : b.m*8+8]::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)) AS dd
-           |  FROM embeddings v CROSS JOIN blocks b CROSS JOIN cents c
-           |), codes AS (
-           |  SELECT vec_id, m, k FROM (
-           |    SELECT vec_id, m, k,
-           |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) AS crn
-           |    FROM bdist
-           |  ) WHERE crn = 1
-           |), recon AS (
-           |  SELECT co.vec_id AS neighbor_id,
-           |    flatten(list(c.embedding[co.m*8+1 : co.m*8+8] ORDER BY co.m)) AS r
-           |  FROM codes co JOIN cents c ON c.k = co.k
-           |  GROUP BY co.vec_id
-           |), adc AS (
+        s"""WITH $duckPqReconCtes, adc AS (
            |  SELECT q.vec_id AS query_id, n.neighbor_id,
            |    (${selfDot("q.embedding")}) AS qq,
            |    $dotQR AS qr, (${selfDot("n.r")}) AS rr
@@ -680,6 +660,71 @@ object SimilarityQueries {
            |FROM ranked WHERE rn <= 5
            |ORDER BY query_id, rn""".stripMargin
       }
+    ),
+
+    // IVF + PQ combined — the production vector-search shape (FAISS
+    // IVFPQ): the learned coarse quantizer bounds WHICH vectors are
+    // scored (probe 2 of 8 cells — sim_ivf_kmeans_topk's candidate
+    // stage) and PQ bounds WHAT is read per vector (8 code bytes →
+    // codebook reconstruction — sim_pq_adc_topk's ADC stage). At 100 TB
+    // the two cuts multiply: candidates drop to nprobe/k of the corpus,
+    // and the scan of those candidates reads 32× fewer bytes; the
+    // members side carries only (cell, reconstruction) through the
+    // cell equi-join — never the raw embedding — and the broadcast
+    // probe side is Q×nprobe rows. Scoring is ADC with the exact query
+    // (qq − 2·q·r + r·r, each a fused vec_dot). Oracle = the shared
+    // coarse-quantizer CTEs composed with the shared PQ recon CTEs —
+    // both stages replay end-to-end, bit-identically.
+    OracleQuery(
+      "sim_ivfpq_topk",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val raw = Tables.embeddings(s, d)
+        val cents = graft.ops.KMeansVec.fit(raw, "vec_id", "embedding", k = 8, iters = 1)
+        val cbs = pqCodebooks(s, d)
+        val emb = raw
+          .withColumn("__cells", graft.ops.KMeansVec.probeCellsExpr("embedding", cents, 2))
+          .withColumn("cell1", element_at($"__cells", 1).getField("cid"))
+          .withColumn("cell2", element_at($"__cells", 2).getField("cid"))
+        val members = emb
+          .select(Seq($"vec_id", $"embedding", $"cell1") ++ pqCodeCols(cbs): _*)
+          .withColumn("r", pqReconCol(cbs))
+          .select($"vec_id".as("neighbor_id"), $"cell1".as("cid"), $"r")
+        val probes = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"embedding".as("q"),
+            explode(array($"cell1", $"cell2")).as("cid"))
+        val wTop = Window.partitionBy("query_id").orderBy($"d2".asc, $"neighbor_id".asc)
+        broadcast(probes).join(members, "cid")
+          .filter($"neighbor_id" =!= $"query_id")
+          .withColumn("d2",
+            call_function("vec_dot", $"q", $"q")
+              - lit(2.0) * call_function("vec_dot", $"q", $"r")
+              + call_function("vec_dot", $"r", $"r"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter($"rn" <= 3)
+          .select($"query_id", $"neighbor_id", round($"d2", 4).as("adc"), $"rn")
+          .orderBy($"query_id", $"rn")
+      },
+      Some {
+        def selfDot(c: String) =
+          s"list_reduce(list_transform($c::DOUBLE[], x -> x * x), (x, y) -> x + y)"
+        val dotQR =
+          "list_reduce(list_transform(list_zip(q.embedding::DOUBLE[], n.r::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)"
+        s"""WITH $duckIvfCandsCtes, $duckPqReconCtes, adc AS (
+           |  SELECT c.query_id, c.neighbor_id,
+           |    ((${selfDot("q.embedding")}) - 2 * $dotQR + (${selfDot("n.r")})) AS d2
+           |  FROM cands c
+           |  JOIN embeddings q ON q.vec_id = c.query_id
+           |  JOIN recon n ON n.neighbor_id = c.neighbor_id
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, d2,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS INT) AS rn
+           |  FROM adc
+           |)
+           |SELECT query_id, neighbor_id, round(d2, 4) AS adc, rn
+           |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+      }
     )
   )
 
@@ -695,6 +740,38 @@ object SimilarityQueries {
 
   private val PqBlocks = 8
   private val PqSub = 8 // dims per block (8×8 = 64)
+
+  /** CTE chain replaying deterministic-codebook PQ encoding +
+    * reconstruction: `recon(neighbor_id, r)` with r the 64-dim codebook
+    * reconstruction of each corpus vector. Codebooks = block slices of
+    * vec_id 0..15, argmin objective cc − 2·s·c with ties to lowest k —
+    * exactly [[pqCodebooks]]/[[pqCodeCols]]. Shared by sim_pq_adc_topk
+    * (linear ADC scan) and sim_ivfpq_topk (cell-bounded ADC). */
+  private val duckPqReconCtes: String = {
+    def selfDot(c: String) =
+      s"list_reduce(list_transform($c::DOUBLE[], x -> x * x), (x, y) -> x + y)"
+    s"""pq_cents AS (
+       |  SELECT vec_id AS k, embedding FROM embeddings WHERE vec_id < 16
+       |), blocks AS (SELECT unnest(range(8)) AS m),
+       |bdist AS (
+       |  -- per (vector, block, centroid): cc − 2·s·c, the argmin objective
+       |  SELECT v.vec_id, b.m, c.k,
+       |    (${selfDot("c.embedding[b.m*8+1 : b.m*8+8]")}
+       |     - 2 * list_reduce(list_transform(list_zip(v.embedding[b.m*8+1 : b.m*8+8]::DOUBLE[], c.embedding[b.m*8+1 : b.m*8+8]::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)) AS dd
+       |  FROM embeddings v CROSS JOIN blocks b CROSS JOIN pq_cents c
+       |), codes AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) AS crn
+       |    FROM bdist
+       |  ) WHERE crn = 1
+       |), recon AS (
+       |  SELECT co.vec_id AS neighbor_id,
+       |    flatten(list(c.embedding[co.m*8+1 : co.m*8+8] ORDER BY co.m)) AS r
+       |  FROM codes co JOIN pq_cents c ON c.k = co.k
+       |  GROUP BY co.vec_id
+       |)""".stripMargin
+  }
 
   /** Learned per-block codebooks: one KMeansVec fit per block (k=16,
     * one Lloyd round) over that block's slices. Init = the slices of
@@ -752,12 +829,15 @@ object SimilarityQueries {
       element_at(cbArr, col(s"code_${cb.m}") + 1)
     }: _*))
 
-  /** Shared oracle for the learned-IVF top-k pair (in-flight and
-    * persisted-index spellings — identical semantics). */
-  private val duckIvfKmeansTopk: String = {
+  /** CTE chain replaying the learned coarse quantizer (k=8, one Lloyd
+    * round) through candidate generation: `cells(member_id, cell)`,
+    * `probes(query_id, cell)` (vec_id < 10, nprobe 2), and
+    * `cands(query_id, neighbor_id)`. Shared by the learned-IVF top-k
+    * oracles (exact re-rank) and the IVFPQ oracle (ADC re-rank). */
+  private val duckIvfCandsCtes: String = {
         def d2(a: String, b: String) =
           s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
-        s"""WITH $duckNormed, emb AS (
+        s"""$duckNormed, emb AS (
            |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
            |), cents0 AS (
            |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e
@@ -791,7 +871,13 @@ object SimilarityQueries {
            |  SELECT p.query_id, m.member_id AS neighbor_id
            |  FROM probes p JOIN cells m ON p.cell = m.cell
            |  WHERE m.member_id != p.query_id
-           |), scored AS (
+           |)""".stripMargin
+  }
+
+  /** Shared oracle for the learned-IVF top-k pair (in-flight and
+    * persisted-index spellings — identical semantics). */
+  private val duckIvfKmeansTopk: String =
+        s"""WITH $duckIvfCandsCtes, scored AS (
            |  SELECT c.query_id, c.neighbor_id,
            |    (list_reduce(list_transform(list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
            |     / (q.norm * n.norm)) AS cos
@@ -805,5 +891,4 @@ object SimilarityQueries {
            |)
            |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rn
            |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
-  }
 }

@@ -58,6 +58,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVFPQ is cell-bounded with broadcast probes: no cartesian, no corpus-side nested loop") {
+    val p = plan(Registry.queries("sim_ivfpq_topk")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("rolling-features pipeline shares one hash exchange across all window frames") {
     // all five rolling features use the same Window.partitionBy(user)
     // .orderBy(ts) — one Exchange hashpartitioning, one sort; a second
