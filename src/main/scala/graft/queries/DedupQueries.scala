@@ -662,6 +662,97 @@ ORDER BY doc_a, doc_b""")
            |FROM comp
            |ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    // Semantic dedup over embeddings, SemDeDup-shaped (Abbas et al.
+    // 2023, arXiv:2303.09540): partition the corpus into LEARNED
+    // k-means cells (the semantic clusters), then prune near-duplicates
+    // WITHIN each cell only — two vectors in different cells are never
+    // compared, so the pair space is Σ|cell|², not N². Keep rule:
+    // rank each cell by distance-to-centroid (prototypes first, id
+    // tiebreak) and drop any vector with an earlier-ranked neighbor at
+    // cosine ≥ τ — the same greedy earlier-duplicate rule as the
+    // keep-first dedup family (D1, dedup_passage). The paper's
+    // keep-farthest variant is the same pipeline with the rank order
+    // reversed.
+    //
+    // 100 TB shape: the k-means fit is the KMeansVec protocol (driver
+    // centroids, map-side literal-array assignment, one (cell, dim)
+    // exchange per round); cell assignment and ranking are one hash
+    // exchange on cell; the pair stage is a cell equi-join — candidate
+    // work is bounded by the cell size, and k is the knob that holds
+    // |cell| constant as N grows (SemDeDup runs k ≈ N/5000 at LAION
+    // scale; k=8 here only because the sf corpus is 500 vectors).
+    // No driver loop, no crossJoin, no O(N²) anywhere.
+    OracleQuery(
+      "dedup_semantic",
+      (s, d) => {
+        import s.implicits._
+        val tau = 0.33
+        val raw = Tables.embeddings(s, d)
+        val cents = graft.ops.KMeansVec.fit(raw, "vec_id", "embedding", k = 8, iters = 1)
+        val assigned = SimilarityQueries.normed(s, d)
+          .withColumn("__a",
+            element_at(graft.ops.KMeansVec.probeCellsExpr("embedding", cents, 1), 1))
+          .withColumn("cell", col("__a").getField("cid"))
+          .withColumn("d2", col("__a").getField("d2"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cell").orderBy($"d2".asc, $"vec_id".asc)
+        val ranked = assigned.withColumn("rk", row_number().over(wr))
+          .select($"vec_id", $"embedding", $"norm", $"cell", $"rk")
+        val dropped = ranked.as("a")
+          .join(ranked.as("b"),
+            col("a.cell") === col("b.cell") && col("a.rk") < col("b.rk"))
+          .filter(SimilarityQueries.cosineCol >= tau)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+        ranked.join(dropped, Seq("vec_id"), "left_anti")
+          .select($"vec_id", $"cell", $"rk")
+          .orderBy($"vec_id")
+      },
+      Some {
+        def d2(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+        s"""WITH ${SimilarityQueries.duckNormed}, emb AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |), cents0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e
+           |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)
+           |), kassign1 AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS rn
+           |    FROM emb v CROSS JOIN cents0 c) WHERE rn = 1
+           |), means AS (
+           |  SELECT a.cell, gs.i AS pos,
+           |    CAST(sum(CAST(v.e[gs.i] AS DECIMAL(25,8))) AS DOUBLE) / count(*) AS m
+           |  FROM kassign1 a JOIN emb v USING (vec_id), generate_series(1, 64) AS gs(i)
+           |  GROUP BY a.cell, gs.i
+           |), cents1 AS (
+           |  SELECT c0.cell, coalesce(m.e, c0.e) AS e
+           |  FROM cents0 c0 LEFT JOIN (
+           |    SELECT cell, list(m ORDER BY pos) AS e FROM means GROUP BY cell
+           |  ) m ON c0.cell = m.cell
+           |), kassign2 AS (
+           |  SELECT v.vec_id, c.cell, ${d2("v.e", "c.e")} AS d2,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS crn
+           |  FROM emb v CROSS JOIN cents1 c
+           |), kcells AS (
+           |  SELECT vec_id, cell, d2 FROM kassign2 WHERE crn = 1
+           |), ranked AS (
+           |  SELECT n.vec_id, n.embedding, n.norm, c.cell,
+           |    CAST(row_number() OVER (PARTITION BY c.cell ORDER BY c.d2, n.vec_id) AS INT) AS rk
+           |  FROM kcells c JOIN normed n USING (vec_id)
+           |), dropped AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.rk < b.rk
+           |  WHERE ${SimilarityQueries.duckCosPair} >= 0.33
+           |)
+           |SELECT r.vec_id, r.cell, r.rk FROM ranked r
+           |WHERE r.vec_id NOT IN (SELECT vec_id FROM dropped)
+           |ORDER BY r.vec_id""".stripMargin
+      }
     )
   )
 }

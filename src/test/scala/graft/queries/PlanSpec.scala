@@ -58,6 +58,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup pair stage is a cell equi-join: no cartesian, no nested loop") {
+    val p = plan(Registry.queries("dedup_semantic")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("IVFPQ is cell-bounded with broadcast probes: no cartesian, no corpus-side nested loop") {
     val p = plan(Registry.queries("sim_ivfpq_topk")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
