@@ -370,6 +370,87 @@ object JoinQueries {
              |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_only,
              |  round(sum(CASE WHEN c_custkey IS NULL THEN sum_big END), 4) AS unmatched_value
              |FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey""".stripMargin)
+    ),
+
+    // TPC-H Q5 shape (local supplier volume): a SIX-way join where the
+    // two dim chains (customer→nation→region and supplier→nation) must
+    // agree on the nation — the classic join-order stress test. The
+    // year filter is pushed to the orders scan; nation/region (25 and
+    // 5 rows at any sf) broadcast so the fact side never shuffles for
+    // them; the c_nationkey = s_nationkey condition rides the
+    // lineitem⋈supplier equi-join rather than a post-join filter of a
+    // wider intermediate. One hash aggregate on n_name ends the plan.
+    OracleQuery(
+      "j14_tpch_q5",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("date") &&
+            $"o_orderdate" < lit("1997-01-01").cast("date"))
+        val li = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d)
+        val nat = Tables.nation(s, d)
+        val reg = Tables.region(s, d).filter($"r_name" === "ASIA")
+        cust.join(ord, $"c_custkey" === $"o_custkey")
+          .join(li, $"o_orderkey" === $"l_orderkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= DATE '1996-01-01'
+             |  AND o_orderdate < DATE '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)
+    ),
+
+    // TPC-H Q10 shape (returned-item reporting): fact⋈fact⋈dim⋈dim with
+    // a selective lineitem-side predicate (returnflag = 'R'), grouped by
+    // the full customer tuple, top-20 by lost revenue. The returnflag
+    // filter reaches the lineitem scan (PushedFilters), nation
+    // broadcasts, and the final top-k is TakeOrderedAndProject — no
+    // global sort materializes.
+    OracleQuery(
+      "j15_tpch_q10",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-10-01").cast("date") &&
+            $"o_orderdate" < lit("1997-01-01").cast("date"))
+        val li = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+        val nat = Tables.nation(s, d)
+        cust.join(ord, $"c_custkey" === $"o_custkey")
+          .join(li, $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= DATE '1996-10-01'
+             |  AND o_orderdate < DATE '1997-01-01'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
     )
   )
 }

@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H Q5: nation/region broadcast; Q10: returnflag pushed, top-k is TakeOrdered") {
+    val q5 = plan(Registry.queries("j14_tpch_q5")(spark, sf))
+    assert(q5.contains("BroadcastHashJoin"), q5)
+    assert(!q5.contains("CartesianProduct") && !q5.contains("BroadcastNestedLoopJoin"), q5)
+    val q10 = plan(Registry.queries("j15_tpch_q10")(spark, sf))
+    assert(q10.contains("TakeOrderedAndProject"), q10)
+    assert(q10.contains("l_returnflag") && q10.contains("PushedFilters"), q10)
+  }
+
   test("semantic dedup pair stage is a cell equi-join: no cartesian, no nested loop") {
     val p = plan(Registry.queries("dedup_semantic")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
