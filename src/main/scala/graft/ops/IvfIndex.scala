@@ -64,8 +64,23 @@ object IvfIndex {
   def append(emb: DataFrame, dir: String): Unit =
     writeMembers(emb, readCentroids(emb.sparkSession, dir), dir, SaveMode.Append)
 
+  /** One micro-batch of streaming index maintenance: assign with the
+    * stored centroids and (over)write generation directory
+    * `gens/<batchId>` — replaying a batch after a crash rewrites ITS
+    * OWN directory and no other, so the append is idempotent per
+    * batch id (the [[graft.streaming.Streams]] snapshot-merge
+    * contract, minus the pointer: generations are disjoint by
+    * construction, nothing needs a commit point). */
+  def applyAppendBatch(batch: DataFrame, dir: String, batchId: Long): Unit =
+    writeMembersInto(batch, readCentroids(batch.sparkSession, dir),
+      s"$dir/gens/$batchId", SaveMode.Overwrite)
+
   private def writeMembers(emb: DataFrame, cents: Array[Array[Double]],
-      dir: String, mode: SaveMode): Unit = {
+      dir: String, mode: SaveMode): Unit =
+    writeMembersInto(emb, cents, s"$dir/members", mode)
+
+  private def writeMembersInto(emb: DataFrame, cents: Array[Array[Double]],
+      path: String, mode: SaveMode): Unit = {
     val rows = emb.select(
       col("vec_id"),
       KMeansVec.cellExpr("embedding", cents).as("cell"),
@@ -74,9 +89,29 @@ object IvfIndex {
     // cache across writeSortedBy's range-sample + write pair (same
     // lifecycle containment as DedupIndex.writeFrames)
     val cached = rows.persist()
-    try graft.sources.Sinks.writeSortedBy(cached, s"$dir/members", Seq("cell"), mode = mode)
+    try graft.sources.Sinks.writeSortedBy(cached, path, Seq("cell"), mode = mode)
     finally cached.unpersist(false)
   }
+
+  /** Every member path of the index: the base `members` table plus any
+    * streaming generations under `gens/`. Each generation is a
+    * complete, cell-sorted parquet directory, so footer pruning holds
+    * per-path. */
+  private[graft] def memberPaths(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gensDir = new org.apache.hadoop.fs.Path(s"$dir/gens")
+    val gens =
+      if (fs.exists(gensDir))
+        fs.listStatus(gensDir).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName.toLong).sorted
+          .map(g => s"$dir/gens/$g")
+      else Seq.empty
+    s"$dir/members" +: gens
+  }
+
+  private def readMembers(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(memberPaths(spark, dir): _*)
 
   /** Compact append generations: rewrite `members` fully cell-sorted so
     * footer pruning holds across the WHOLE index again (same offline
@@ -86,10 +121,12 @@ object IvfIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     val tmp = s"$dir/.compact_members"
     graft.sources.Sinks.writeSortedBy(
-      spark.read.parquet(s"$dir/members"), tmp, Seq("cell"))
+      readMembers(spark, dir), tmp, Seq("cell"))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/members"), true)
+    // streaming generations are folded into the rewritten base table
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gens"), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(s"$dir/members"))
   }
@@ -126,7 +163,7 @@ object IvfIndex {
     // so the collect is ≤ k rows no matter how many queries probe
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
-    val members = spark.read.parquet(s"$dir/members")
+    val members = readMembers(spark, dir)
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
 
     val scored = broadcast(probes)

@@ -331,6 +331,27 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a persisted IVF ANN index
+    * ([[graft.ops.IvfIndex]]): each micro-batch of new (vec_id,
+    * embedding) rows is assigned with the STORED coarse quantizer and
+    * written as its own generation directory — the index stays
+    * probeable mid-stream, replay of a batch rewrites only its own
+    * generation (idempotent, no commit pointer needed because
+    * generations are disjoint by construction), and compaction folds
+    * generations back into the base table offline. The quantizer is
+    * never refit on-stream: the cell space is index state, exactly as
+    * in batch [[graft.ops.IvfIndex.append]]. */
+  def ivfAppendStream(
+      newVectors: DataFrame, indexDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.IvfIndex.applyAppendBatch(batch.toDF(), indexDir, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One micro-batch of [[snapshotMergeStream]], exposed so crash
     * replay (same batchId twice) is directly testable. */
   def applySnapshotBatch(
