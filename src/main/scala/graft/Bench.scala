@@ -220,8 +220,10 @@ object Bench {
       def timeOf(f: => org.apache.spark.sql.DataFrame): Double = {
         def once(): Double = {
           val t0 = System.nanoTime()
-          try f.write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] skew variant failed: ${e.getMessage}") }
+          // a failed variant must FAIL the bench run — swallowing the
+          // error would publish the time-to-failure as a plausible
+          // measurement in BENCH_*.json
+          f.write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         once() // warm

@@ -94,20 +94,44 @@ object IvfIndex {
   }
 
   /** Every member path of the index: the base `members` table plus any
-    * streaming generations under `gens/`. Each generation is a
+    * COMMITTED streaming generations under `gens/`. A generation counts
+    * only when its parquet job committed (`_SUCCESS` present) — a
+    * half-written generation from a crashed micro-batch is invisible to
+    * probes until its replay rewrites it; non-numeric stray directories
+    * are ignored rather than fatal. Each committed generation is a
     * complete, cell-sorted parquet directory, so footer pruning holds
-    * per-path. */
+    * per-path. When the base table is missing (crash inside
+    * [[compact]]'s swap) the staged `members_old` stands in for it —
+    * together with the gens/gens_old rule below, every crash window
+    * reads exactly one copy of every row. */
   private[graft] def memberPaths(spark: SparkSession, dir: String): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gensDir = new org.apache.hadoop.fs.Path(s"$dir/gens")
-    val gens =
-      if (fs.exists(gensDir))
+    def committedGens(name: String): Seq[String] = {
+      val gensDir = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (!fs.exists(gensDir)) Seq.empty
+      else
         fs.listStatus(gensDir).toSeq.filter(_.isDirectory)
-          .map(_.getPath.getName.toLong).sorted
-          .map(g => s"$dir/gens/$g")
-      else Seq.empty
-    s"$dir/members" +: gens
+          .map(_.getPath.getName)
+          .filter(_.forall(_.isDigit))
+          .filter(g => fs.exists(new org.apache.hadoop.fs.Path(gensDir, s"$g/_SUCCESS")))
+          .map(_.toLong).sorted
+          .map(g => s"$dir/$name/$g")
+    }
+    // compact stages members→gens away before the swap. Which copies to
+    // read follows from which base is live: a LIVE members next to a
+    // gens_old means the swap completed (the compacted base already
+    // CONTAINS the generations — reading gens_old too would double-
+    // count), so staged gens are only consulted when the base itself is
+    // the staged members_old (i.e. we crashed mid-swap).
+    val membersLive = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/members"))
+    val gens =
+      if (membersLive) committedGens("gens")
+      else {
+        val live = committedGens("gens")
+        if (live.nonEmpty) live else committedGens("gens_old")
+      }
+    (if (membersLive) s"$dir/members" else s"$dir/members_old") +: gens
   }
 
   private def readMembers(spark: SparkSession, dir: String): DataFrame =
@@ -116,19 +140,57 @@ object IvfIndex {
   /** Compact append generations: rewrite `members` fully cell-sorted so
     * footer pruning holds across the WHOLE index again (same offline
     * maintenance contract as [[DedupIndex.compact]]; centroids and meta
-    * are generation-free). Rewrites into a temp sibling first — a crash
-    * mid-compaction leaves the live index untouched. */
+    * are generation-free).
+    *
+    * Crash-safe swap: the compacted table is fully written to a temp
+    * sibling first; the live `members`/`gens` are then STAGED AWAY
+    * (renamed to `members_old`/`gens_old`), the temp renamed in, and
+    * the staged copies deleted last. [[memberPaths]] prefers live over
+    * staged for each of the two kinds independently, so every crash
+    * window — before the stage, between the stages, before the swap,
+    * before the cleanup — still reads exactly one copy of every row.
+    * A second compact (or a probe) after a crash heals by the same
+    * preference rule; re-running compact completes the fold.
+    *
+    * Single-writer contract: compaction must not run concurrently with
+    * [[applyAppendBatch]] — a new generation landing between the gens
+    * stage and the swap would be invisible to the staged-fallback rule.
+    * Pause the maintenance stream (or fence on batch ids) around
+    * compaction, exactly as with [[DedupIndex.compact]]. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val tmp = s"$dir/.compact_members"
-    graft.sources.Sinks.writeSortedBy(
-      readMembers(spark, dir), tmp, Seq("cell"))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/members"), true)
-    // streaming generations are folded into the rewritten base table
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gens"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$dir/members"))
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // Finish a previously crashed swap before starting a new one. The
+    // staged GENERATIONS are restored FIRST: a missing base means the
+    // swap-in never happened, so gens_old is live data, not a stale
+    // duplicate — deleting it here would lose every staged generation.
+    // Restoring gens before members keeps every heal window readable by
+    // [[memberPaths]] (members_old + live gens is the W2 shape).
+    if (!fs.exists(p(s"$dir/members")) && fs.exists(p(s"$dir/members_old"))) {
+      if (!fs.exists(p(s"$dir/gens")) && fs.exists(p(s"$dir/gens_old")))
+        require(fs.rename(p(s"$dir/gens_old"), p(s"$dir/gens")),
+          s"could not heal staged generations at $dir")
+      require(fs.rename(p(s"$dir/members_old"), p(s"$dir/members")),
+        s"could not heal staged members at $dir")
+    }
+    // with a live base, any remaining staged copies ARE stale duplicates
+    fs.delete(p(s"$dir/members_old"), true)
+    fs.delete(p(s"$dir/gens_old"), true)
+
+    val tmp = s"$dir/.compact_members"
+    fs.delete(p(tmp), true)
+    graft.sources.Sinks.writeSortedBy(
+      readMembers(spark, dir), tmp, Seq("cell"))
+    require(fs.rename(p(s"$dir/members"), p(s"$dir/members_old")),
+      s"could not stage members at $dir")
+    if (fs.exists(p(s"$dir/gens")))
+      require(fs.rename(p(s"$dir/gens"), p(s"$dir/gens_old")),
+        s"could not stage generations at $dir")
+    require(fs.rename(p(tmp), p(s"$dir/members")),
+      s"compaction swap failed at $dir — staged copies left for healing")
+    fs.delete(p(s"$dir/members_old"), true)
+    fs.delete(p(s"$dir/gens_old"), true)
   }
 
   /** The stored coarse quantizer, ordered by cell id. */

@@ -28,10 +28,17 @@ import org.apache.spark.sql.functions._
   * can never OOM on a saturated sketch.
   *
   * Scan economics at 100 TB: the fact is read by the sketch build
-  * plus the join's two regime branches. Pass a pre-built sketch
-  * (`cms` — from any preceding stage that already scanned the fact,
-  * e.g. a heavy-hitter pass) and the sketch read disappears; use the
-  * salted variants and the join itself reads the fact EXACTLY once.
+  * plus the join's two regime branches. Pass a pre-built sketch via
+  * `cms` and the sketch read disappears; use the salted variants and
+  * the join itself reads the fact EXACTLY once.
+  *
+  * `cms` contract: the sketch MUST come from [[sketch]] — call it in
+  * (or alongside) an earlier stage that already scans the fact. A
+  * Count-Min matrix built by any other pipeline (e.g. the md5-hashed
+  * text_cms_heavy_hitters sketch) uses a different hash family; it
+  * would pass the dimension check but probe garbage positions here,
+  * silently disabling the skew mitigation. [[resolve]] can only
+  * validate dimensions — the hash family is the caller's obligation.
   */
 object SkewJoin {
 

@@ -78,8 +78,11 @@ object DedupQueries {
 
   /** DuckDB CTE bodies for [[jaccardPairs]] over relation `rel` —
     * `pairs(src, dst)` is the final table; compose after a
-    * WITH [RECURSIVE] opener. */
-  private[queries] def jaccardPairsSql(rel: String = "documents"): String =
+    * WITH [RECURSIVE] opener. `minJ` must match the Spark call it is
+    * paired with; the df cap interpolates [[JaccardDfCap]] so the two
+    * halves of the pipeline cannot drift apart. */
+  private[queries] def jaccardPairsSql(rel: String = "documents",
+      minJ: Double = 0.5): String =
     s"""grams AS (
       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram FROM (
       |    SELECT doc_id, unnest(list_transform(
@@ -93,7 +96,7 @@ object DedupQueries {
       |), gram_df AS (
       |  SELECT gram, count(*) AS df FROM grams GROUP BY gram
       |), kept AS (
-      |  SELECT g.doc_id, g.gram FROM grams g JOIN gram_df d ON g.gram = d.gram AND d.df <= 5
+      |  SELECT g.doc_id, g.gram FROM grams g JOIN gram_df d ON g.gram = d.gram AND d.df <= $JaccardDfCap
       |), shared AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
       |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -532,9 +535,11 @@ ORDER BY doc_a, doc_b""")
         val corpus = docs.filter(hmod < 8).select($"doc_id", $"text")
         val batch = docs.filter(hmod >= 8).select($"doc_id", $"text")
         // real disk round-trip: the query proves the STORED-index path,
-        // not just the column derivation
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_dedup_index").toString
+        // not just the column derivation. Deterministic per-sf scratch
+        // path, overwritten per invocation — repeated verify/bench
+        // cycles reuse ONE index copy instead of accumulating tempdirs
+        val tmp =
+          s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index_${math.abs(d.hashCode)}"
         graft.ops.DedupIndex.write(corpus, tmp)
         graft.ops.DedupDocs
           .incrementalIndexed(graft.ops.DedupIndex.read(s, tmp), batch)

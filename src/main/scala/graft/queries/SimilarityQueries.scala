@@ -435,7 +435,10 @@ object SimilarityQueries {
       "sim_ivf_indexed_topk",
       (s, d) => {
         import s.implicits._
-        val dir = java.nio.file.Files.createTempDirectory("graft_ivfq").toString
+        // deterministic per-sf scratch path, overwritten on every
+        // invocation — repeated verify/bench cycles reuse ONE index
+        // copy instead of accumulating temp directories
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfq_${math.abs(d.hashCode)}"
         graft.ops.IvfIndex.write(Tables.embeddings(s, d), dir, k = 8, iters = 1)
         graft.ops.IvfIndex.topk(s, dir,
             Tables.embeddings(s, d).filter($"vec_id" < 10)

@@ -58,6 +58,47 @@ class IvfIndexSpec extends SparkSpec {
       "compaction must not change probe results")
   }
 
+  test("every compaction crash window reads exactly one copy of every member") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    IvfIndex.write(emb.filter($"vec_id" < 400), dir, k = 4, iters = 1)
+    // streaming generation — the kind compact folds in and stages away
+    IvfIndex.applyAppendBatch(
+      emb.filter($"vec_id" >= 400 && $"vec_id" < 450), dir, batchId = 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    def memberCount: Long = {
+      val paths = IvfIndex.memberPaths(spark, dir)
+      spark.read.parquet(paths: _*).count()
+    }
+    val want = memberCount
+    assert(want == 450L, s"baseline index should hold 450 members, saw $want")
+
+    // W2: crashed after staging members, before staging gens
+    assert(fs.rename(p("members"), p("members_old")))
+    assert(memberCount == want, "members_old + live gens must cover the index once")
+    // W3: crashed after staging gens, before the swap-in
+    assert(fs.rename(p("gens"), p("gens_old")))
+    assert(memberCount == want, "members_old + gens_old must cover the index once")
+    // healing compact from W3 completes the fold and drops staged copies
+    IvfIndex.compact(spark, dir)
+    assert(memberCount == want, "healed compact must preserve every member exactly once")
+    assert(!fs.exists(p("members_old")) && !fs.exists(p("gens_old")) && !fs.exists(p("gens")),
+      "compact must clean up staged state")
+
+    // W4: crashed after the swap-in, before cleanup — staged copies are
+    // stale duplicates and must be IGNORED while members is live
+    IvfIndex.applyAppendBatch(
+      emb.filter($"vec_id" >= 450 && $"vec_id" < 460), dir, batchId = 1L)
+    fs.mkdirs(p("members_old"))
+    assert(fs.rename(p("gens"), p("gens_old"))) // stage a stale gens copy
+    // live members + (no gens) with stale members_old/gens_old present
+    assert(memberCount == want, "stale staged copies must not double-count")
+    IvfIndex.compact(spark, dir)
+    assert(memberCount == want)
+  }
+
   test("probe pushes the cell set into the members scan and decodes only probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_push").toString
     val emb = graft.core.Tables.embeddings(spark, sf)
