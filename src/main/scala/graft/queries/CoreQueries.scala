@@ -601,6 +601,39 @@ object CoreQueries {
              |)
              |SELECT metric, count(*) AS n, round(sum(val), 4) AS total
              |FROM long GROUP BY metric ORDER BY metric""".stripMargin)
+    ),
+
+    // O14: weighted sampling without replacement (Efraimidis–Spirakis):
+    // each row draws key = ln(u)/w and the k LARGEST keys are the
+    // sample — one pass, exactly k rows, inclusion probability ∝ weight.
+    // u is a content-hash uniform (md5 of the row key, the o7/o8
+    // spelling), NOT an RNG: the sample is reproducible anywhere, and
+    // the oracle can replay it bit-for-bit. The key is rounded to 10
+    // decimals with an o_orderkey tiebreak so a cross-libm ulp in ln()
+    // can never flip the selection boundary.
+    // Scale: orderBy+limit collapses to TakeOrderedAndProject — each
+    // partition keeps its local top-k and only k·partitions candidate
+    // rows reach the driver-side merge; no global sort, no full
+    // shuffle. This is THE way to draw a weighted sample from a 100 TB
+    // fact: a scan plus a bounded merge.
+    OracleQuery(
+      "o14_weighted_sample",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .withColumn("hmod",
+            expr("CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1048576"))
+          .withColumn("skey",
+            round(log(($"hmod" + 1) / lit(1048577.0)) / $"o_totalprice", 10))
+          .select($"o_orderkey", $"o_totalprice", $"skey")
+          .orderBy($"skey".desc, $"o_orderkey")
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  round(ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1048576 + 1)
+             |    / 1048577.0) / o_totalprice, 10) AS skey
+             |FROM orders
+             |ORDER BY skey DESC, o_orderkey LIMIT 100""".stripMargin)
     )
   )
 }

@@ -451,6 +451,40 @@ object JoinQueries {
              |  AND o_orderdate < DATE '1997-01-01'
              |GROUP BY c_custkey, c_name, c_acctbal, n_name
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+    ),
+
+    // J16: TPC-H Q17 shape — a CORRELATED scalar subquery ("lineitems
+    // below 20% of this part's average quantity"), decorrelated by hand
+    // into a grouped aggregate + equi-join: the per-part avg is computed
+    // ONCE over the semi-joined lineitem subset, then broadcast back.
+    // Spark's own subquery decorrelation produces the same two-scan
+    // plan from the SQL spelling; writing the decorrelated form in the
+    // DataFrame API keeps the join explicitly broadcast (the per-part
+    // aggregate is |parts-in-brand| rows — tiny — while lineitem is the
+    // 100 TB side, which must never be the build side).
+    OracleQuery(
+      "j16_tpch_q17",
+      (s, d) => {
+        import s.implicits._
+        val parts = Tables.part(s, d)
+          .filter($"p_brand" === "Brand#23" && $"p_size" <= 15)
+          .select($"p_partkey")
+        val li = Tables.lineitem(s, d)
+          .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+        val avgQty = li.groupBy($"l_partkey".as("ap_partkey"))
+          .agg((avg($"l_quantity") * 0.2).as("qty_cut"))
+        li.join(broadcast(avgQty), $"l_partkey" === $"ap_partkey")
+          .filter($"l_quantity" < $"qty_cut")
+          .agg(round(sum($"l_extendedprice") / 7.0, 4).as("avg_yearly"))
+          .select(coalesce($"avg_yearly", lit(0.0)).as("avg_yearly"))
+      },
+      Some("""SELECT coalesce(round(sum(l_extendedprice) / 7.0, 4), 0.0) AS avg_yearly
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#23' AND p_size <= 15
+             |  AND l_quantity < (
+             |    SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = p_partkey
+             |  )""".stripMargin)
     )
   )
 }

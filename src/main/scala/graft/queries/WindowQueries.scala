@@ -251,6 +251,39 @@ object WindowQueries {
                |)
                |SELECT user_id, q, count(*) AS n, round(sum(value), 4) AS sum_value
                |FROM t GROUP BY user_id, q ORDER BY user_id, q""".stripMargin)
+      ),
+
+      // W10: TIME-range trailing window — the frame is "everything in
+      // the 24 h before this event", not "the N prior rows": RANGE
+      // frames are the only correct spelling when event cadence is
+      // irregular (rolling('24h') in the reference's pandas idiom).
+      // Ordered on unix_micros(ts) so the frame arithmetic is exact
+      // integer microseconds on both engines (the events carry
+      // sub-second timestamps; epoch-SECOND ordering would disagree
+      // with DuckDB's INTERVAL arithmetic at the boundary).
+      // Scale: same single exchange on user_id as every other frame
+      // here; RANGE state is bounded by rows-in-24h per key, not by
+      // total history.
+      OracleQuery(
+        "w10_time_range_window",
+        (s, d) => {
+          import s.implicits._
+          val wr = Window.partitionBy("user_id")
+            .orderBy(unix_micros($"ts"))
+            .rangeBetween(-86400000000L, 0L) // 24 h in microseconds
+          Tables.events(s, d)
+            .withColumn("n_24h", count(lit(1)).over(wr))
+            .withColumn("sum_24h", round(sum($"value").over(wr), 4))
+            .select($"event_id", $"user_id", $"n_24h", $"sum_24h")
+            .orderBy($"user_id", $"event_id")
+        },
+        Some("""SELECT event_id, user_id,
+               |  count(*) OVER w AS n_24h,
+               |  round(sum(value) OVER w, 4) AS sum_24h
+               |FROM events
+               |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               |  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+               |ORDER BY user_id, event_id""".stripMargin)
       )
     )
   }
