@@ -81,8 +81,22 @@ object Bench {
       }
       name -> math.min(once(), once())
     }
-    val qs = (results ++ asofBench(spark, sfDir) ++ sortedScanBench(spark, sfDir)
-      ++ zorderScanBench(spark, sfDir) ++ skewJoinBench(spark, sfDir))
+    // Each A/B section is fenced: a section that cannot even set up (e.g.
+    // a testdata layout drift) logs and contributes NO rows — publishing a
+    // time-to-failure as a plausible measurement is worse than a gap, and
+    // one broken section must not take down the round's other numbers
+    // (round 8 lost its entire bench file to exactly that).
+    def section(name: String)(rows: => Seq[(String, Double)]): Seq[(String, Double)] =
+      try rows
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] section $name failed: ${e.getMessage}")
+          Seq.empty
+      }
+    val qs = (results ++ section("asof")(asofBench(spark, sfDir))
+      ++ section("sortedScan")(sortedScanBench(spark, sfDir))
+      ++ section("zorderScan")(zorderScanBench(spark, sfDir))
+      ++ section("skewJoin")(skewJoinBench(spark, sfDir)))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

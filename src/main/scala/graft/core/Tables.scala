@@ -14,21 +14,28 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table is written with parquet TIMESTAMP(NANOS), which the
-    * Spark 4 vectorized reader rejects. Read `ts` as raw nanos (legacy
-    * conf) and convert to a microsecond TimestampType column — lossless
-    * here (generator emits µs-precision values) and matches what DuckDB
-    * sees modulo sub-µs zeros.
+  /** The events table's `ts` physical type varies by generator version:
+    * parquet TIMESTAMP(NANOS) (which the Spark 4 vectorized reader only
+    * accepts as a raw long under the legacy conf) or TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Normalize both
+    * to a microsecond TimestampType column — lossless (the generator
+    * emits µs-precision UTC values and the session zone is pinned UTC),
+    * and identical to what DuckDB sees.
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet")
-    // integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's 53-bit
-    // mantissa, so floating division would round the microsecond.
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val norm = df.schema("ts").dataType match {
+      // integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's
+      // 53-bit mantissa, so floating division would round the microsecond.
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // wall time == UTC instant under the pinned-UTC session zone
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+    norm.select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
   /** Time-range scan of events with parquet row-group pruning: the range
@@ -39,21 +46,31 @@ object Tables {
   def eventsInRange(
       spark: SparkSession, sfDir: String,
       startUtc: String, endUtcExclusive: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     // parse as UTC wall time explicitly (Timestamp.valueOf would use the
     // JVM default zone)
-    def epochNanos(s: String): Long =
+    def wall(s: String): java.time.LocalDateTime =
       java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
-    val lo = epochNanos(startUtc)
-    val hi = epochNanos(endUtcExclusive)
-    df.filter(org.apache.spark.sql.functions.col("ts") >= lo &&
-        org.apache.spark.sql.functions.col("ts") < hi) // pushed: plain long predicate
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.schema("ts").dataType match {
+      case LongType =>
+        def epochNanos(s: String): Long =
+          wall(s).toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+        df.filter(col("ts") >= epochNanos(startUtc) &&
+            col("ts") < epochNanos(endUtcExclusive)) // pushed: plain long predicate
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      case _ =>
+        // timestamp column (NTZ or TZ): a LocalDateTime literal compares as
+        // wall time and pushes to footer stats directly, no conversion in
+        // the way of the scan predicate
+        df.filter(col("ts") >= lit(wall(startUtc)) &&
+            col("ts") < lit(wall(endUtcExclusive)))
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")

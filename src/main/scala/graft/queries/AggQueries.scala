@@ -483,6 +483,90 @@ object AggQueries {
              |FROM lineitem
              |GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // A19 / V: per-segment distribution-drift profile between two
+    // snapshots of the same table (here: first vs second half of the
+    // month) — the data-validation shape (TFDV-style) a production
+    // training pipeline runs before every ingest is admitted. Per
+    // event_type: row counts, means, and a PSI (population stability
+    // index) over 10 fixed-width value bins with additive smoothing.
+    // ONE scan of the table: the slice label and bin id are row-local
+    // expressions, the (event_type, bin, slice) counts are a hash
+    // aggregate with map-side partials, and the per-type re-aggregation
+    // runs over ≤|types|×10×2 rows — driver-free, bounded state, and at
+    // 100 TB exactly one exchange of sketch-sized partials. Smoothed
+    // proportions make PSI total (no empty-bin ±∞): p = (n + 0.5) /
+    // (N + 5).
+    OracleQuery(
+      "a19_profile_drift",
+      (s, d) => {
+        import s.implicits._
+        val binned = Tables.events(s, d)
+          .select($"event_type", $"value",
+            when(to_date($"ts") < lit("2024-01-16"), lit("a")).otherwise(lit("b")).as("slice"),
+            least(lit(9), floor($"value" / 50.0)).cast("int").as("bin"))
+        val cells = binned.groupBy($"event_type", $"slice", $"bin")
+          .agg(count(lit(1)).as("n"))
+        val totals = binned.groupBy($"event_type", $"slice")
+          .agg(count(lit(1)).as("tot"), avg($"value").as("mean"))
+        // dense bin grid (10 bins × 2 slices per type) so both slices
+        // contribute a smoothed term even where one slice is empty
+        val grid = totals.select($"event_type", $"slice", $"tot", $"mean")
+          .crossJoin(s.range(10).select($"id".cast("int").as("bin")))
+        val p = grid.join(cells, Seq("event_type", "slice", "bin"), "left")
+          .select($"event_type", $"slice", $"bin", $"tot", $"mean",
+            ((coalesce($"n", lit(0L)) + 0.5) / ($"tot" + 5.0)).as("p"))
+        val byBin = p.groupBy($"event_type", $"bin").agg(
+          max(when($"slice" === "a", $"p")).as("pa"),
+          max(when($"slice" === "b", $"p")).as("pb"))
+        val psi = byBin.groupBy($"event_type")
+          .agg(round(sum(($"pa" - $"pb") * log($"pa" / $"pb")), 6).as("psi"))
+        val wide = totals.groupBy($"event_type").agg(
+          max(when($"slice" === "a", $"tot")).as("n_a"),
+          max(when($"slice" === "b", $"tot")).as("n_b"),
+          round(max(when($"slice" === "a", $"mean")), 4).as("mean_a"),
+          round(max(when($"slice" === "b", $"mean")), 4).as("mean_b"))
+        wide.join(psi, Seq("event_type")).orderBy($"event_type")
+      },
+      Some("""WITH binned AS (
+             |  SELECT event_type, value,
+             |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'a' ELSE 'b' END AS slice,
+             |    CAST(least(9, floor(value / 50.0)) AS INT) AS bin
+             |  FROM events
+             |), totals AS (
+             |  SELECT event_type, slice, count(*) AS tot, avg(value) AS mean
+             |  FROM binned GROUP BY event_type, slice
+             |), cells AS (
+             |  SELECT event_type, slice, bin, count(*) AS n
+             |  FROM binned GROUP BY event_type, slice, bin
+             |), grid AS (
+             |  SELECT t.event_type, t.slice, t.tot, b.bin
+             |  FROM totals t CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b
+             |), p AS (
+             |  SELECT g.event_type, g.slice, g.bin,
+             |    (coalesce(c.n, 0) + 0.5) / (g.tot + 5.0) AS p
+             |  FROM grid g LEFT JOIN cells c
+             |    ON g.event_type = c.event_type AND g.slice = c.slice AND g.bin = c.bin
+             |), by_bin AS (
+             |  SELECT event_type, bin,
+             |    max(CASE WHEN slice = 'a' THEN p END) AS pa,
+             |    max(CASE WHEN slice = 'b' THEN p END) AS pb
+             |  FROM p GROUP BY event_type, bin
+             |), psi AS (
+             |  SELECT event_type, round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+             |  FROM by_bin GROUP BY event_type
+             |), wide AS (
+             |  SELECT event_type,
+             |    max(CASE WHEN slice = 'a' THEN tot END) AS n_a,
+             |    max(CASE WHEN slice = 'b' THEN tot END) AS n_b,
+             |    round(max(CASE WHEN slice = 'a' THEN mean END), 4) AS mean_a,
+             |    round(max(CASE WHEN slice = 'b' THEN mean END), 4) AS mean_b
+             |  FROM totals GROUP BY event_type
+             |)
+             |SELECT w.event_type, w.n_a, w.n_b, w.mean_a, w.mean_b, s.psi
+             |FROM wide w JOIN psi s ON w.event_type = s.event_type
+             |ORDER BY w.event_type""".stripMargin)
     )
   )
 }

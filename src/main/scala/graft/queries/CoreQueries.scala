@@ -634,6 +634,63 @@ object CoreQueries {
              |    / 1048577.0) / o_totalprice, 10) AS skey
              |FROM orders
              |ORDER BY skey DESC, o_orderkey LIMIT 100""".stripMargin)
+    ),
+
+    // O16: snapshot diff (CDC extraction) via ops/SnapshotDiff — what
+    // changed between two dumps of a keyed table. The "new" snapshot is
+    // derived from orders deterministically (drop every 17th key, bump
+    // totalprice on every 5th surviving key, re-key every 23rd as an
+    // insert) so the oracle can rebuild the identical pair. The operator
+    // itself: map-side xxhash64 payload digests, ONE co-partitioned
+    // full-outer join, unchanged rows dropped pre-materialization — at
+    // 100 TB the exchange carries (key, 8-byte hash), not row width. The
+    // oracle spells equality by value (DuckDB has no xxhash64), which is
+    // exactly the operator's audit-mode contract.
+    OracleQuery(
+      "o16_snapshot_diff",
+      (s, d) => {
+        import s.implicits._
+        val old = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val survived = old.filter($"o_orderkey" % 17 =!= 0)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 5 === 0, round($"o_totalprice" * 1.05, 2))
+              .otherwise($"o_totalprice"))
+        val inserts = old.filter($"o_orderkey" % 23 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 1000000000L)
+        val feed = graft.ops.SnapshotDiff.changes(
+          old, survived.unionByName(inserts),
+          keys = Seq("o_orderkey"), compareCols = Seq("o_orderstatus", "o_totalprice"))
+        feed.groupBy($"change_type")
+          .agg(count(lit(1)).as("n"),
+            min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+          .orderBy($"change_type")
+      },
+      Some("""WITH old AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |), survived AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice * 1.05, 2)
+             |         ELSE o_totalprice END AS o_totalprice
+             |  FROM old WHERE o_orderkey % 17 <> 0
+             |), new_snap AS (
+             |  SELECT * FROM survived
+             |  UNION ALL
+             |  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+             |  FROM old WHERE o_orderkey % 23 = 0
+             |), feed AS (
+             |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+             |         WHEN n.o_orderkey IS NULL THEN 'delete'
+             |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+             |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+             |    END AS change_type
+             |  FROM old o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+             |)
+             |SELECT change_type, count(*) AS n,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM feed WHERE change_type IS NOT NULL
+             |GROUP BY change_type ORDER BY change_type""".stripMargin)
     )
   )
 }

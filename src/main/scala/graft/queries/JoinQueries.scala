@@ -485,6 +485,46 @@ object JoinQueries {
              |  AND l_quantity < (
              |    SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = p_partkey
              |  )""".stripMargin)
+    ),
+
+    // TPC-H Q18 (large-volume customers): the HAVING-filtered aggregate
+    // becomes the driver of the whole plan. The per-order quantity sum is
+    // ONE hash aggregation over lineitem (map-side partial — the shuffle
+    // carries one row per (mapper, orderkey)); the >300 filter leaves
+    // ~0.1% of orders, so the surviving aggregate — which already carries
+    // sum_qty, making a second lineitem pass unnecessary — is broadcast
+    // into orders, and that tiny join result is broadcast again into
+    // customer. At 100 TB: lineitem is scanned exactly once, and neither
+    // orders nor customer ever shuffles. The canonical SQL's
+    // `o_orderkey IN (subquery)` + re-join-lineitem spelling would scan
+    // lineitem twice; the DataFrame spelling fuses the semi-join and the
+    // final sum into the same aggregate.
+    OracleQuery(
+      "j17_tpch_q18",
+      (s, d) => {
+        import s.implicits._
+        val bigOrders = Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
+          .agg(sum($"l_quantity").as("sum_qty"))
+          .filter($"sum_qty" > 300)
+        val hotOrders = Tables.orders(s, d)
+          .join(broadcast(bigOrders), $"o_orderkey" === $"l_orderkey")
+        Tables.customer(s, d)
+          .join(broadcast(hotOrders), $"o_custkey" === $"c_custkey")
+          .select($"c_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+            round($"sum_qty", 4).as("sum_qty"))
+          .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |  round(sum(l_quantity), 4) AS sum_qty
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+             |HAVING sum(l_quantity) > 300
+             |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+             |LIMIT 100""".stripMargin)
     )
   )
 }

@@ -488,6 +488,52 @@ object PipelineQueries {
              |LEFT JOIN e_c e ON r.source = e.source
              |LEFT JOIN f_c f ON r.source = f.source
              |ORDER BY r.source""".stripMargin)
+    ),
+
+    // Weekly retention cohorts — the product-analytics matrix (cohort =
+    // week of first PURCHASE, so cohorts actually differ; cell = distinct
+    // users with any activity k weeks after conversion; pre-conversion
+    // activity excluded). Three keyed exchanges, all with map-side
+    // partials: the per-user first-purchase aggregate (keyed user_id —
+    // the purchase filter is pushed to the scan), the co-partitioned join
+    // of activity back to cohorts (both sides hash on user_id — one
+    // shuffle each, no broadcast because BOTH sides are the 100 TB user
+    // domain), and the final count-distinct (keyed cohort×offset, partial
+    // distinct map-side). No window functions, no per-user sequence
+    // materialization — at 100 TB the whole matrix is three hash
+    // exchanges.
+    OracleQuery(
+      "pipe_retention_cohorts",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        // week boundaries stay TIMESTAMP end to end (DATE never appears in
+        // a result schema anywhere in the registry — the driver's pandas
+        // compare reads date32 as object and dtype-mismatches)
+        val activity = ev.select($"user_id", date_trunc("week", $"ts").as("wk"))
+        val cohorts = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(min(date_trunc("week", $"ts")).as("cohort_wk"))
+        activity.join(cohorts, "user_id")
+          .filter($"wk" >= $"cohort_wk")
+          .select($"user_id", $"cohort_wk",
+            expr("datediff(wk, cohort_wk) div 7").as("week_offset"))
+          .groupBy($"cohort_wk", $"week_offset")
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_wk", $"week_offset")
+      },
+      Some("""WITH activity AS (
+             |  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+             |), cohorts AS (
+             |  SELECT user_id, min(date_trunc('week', ts)) AS cohort_wk
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+             |)
+             |SELECT c.cohort_wk,
+             |  date_diff('day', c.cohort_wk, a.wk) // 7 AS week_offset,
+             |  count(DISTINCT a.user_id) AS n_users
+             |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+             |WHERE a.wk >= c.cohort_wk
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }
