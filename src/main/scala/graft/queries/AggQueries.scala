@@ -503,13 +503,27 @@ object AggQueries {
       (s, d) => {
         import s.implicits._
         val binned = Tables.events(s, d)
+          // explicit not-null: the inner joins downstream infer
+          // isnotnull(event_type) into SOME branches' scans — spelling it
+          // here makes every cell-aggregate subtree byte-identical, so
+          // AQE collapses them into one ReusedExchange (one corpus scan)
+          .filter($"event_type".isNotNull)
           .select($"event_type", $"value",
             when(to_date($"ts") < lit("2024-01-16"), lit("a")).otherwise(lit("b")).as("slice"),
             least(lit(9), floor($"value" / 50.0)).cast("int").as("bin"))
+        // ONE corpus scan: every downstream total derives from the cell
+        // aggregate (mean = Σsv/Σn). The cell table is sketch-sized
+        // (≤ |types|×20 rows), so it is CHECKPOINTED — column pruning
+        // would otherwise specialize each consumer's copy of the
+        // aggregate subtree (one keeps sv, one drops it) and re-scan the
+        // 100 TB table per branch; materializing the sketch severs that
+        // lineage for the cost of a few hundred bytes. Pinned in
+        // PlanSpec: the drift query's own plan contains NO events scan.
         val cells = binned.groupBy($"event_type", $"slice", $"bin")
-          .agg(count(lit(1)).as("n"))
-        val totals = binned.groupBy($"event_type", $"slice")
-          .agg(count(lit(1)).as("tot"), avg($"value").as("mean"))
+          .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+          .localCheckpoint()
+        val totals = cells.groupBy($"event_type", $"slice")
+          .agg(sum($"n").as("tot"), (sum($"sv") / sum($"n")).as("mean"))
         // dense bin grid (10 bins × 2 slices per type) so both slices
         // contribute a smoothed term even where one slice is empty
         val grid = totals.select($"event_type", $"slice", $"tot", $"mean")
@@ -534,12 +548,13 @@ object AggQueries {
              |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'a' ELSE 'b' END AS slice,
              |    CAST(least(9, floor(value / 50.0)) AS INT) AS bin
              |  FROM events
-             |), totals AS (
-             |  SELECT event_type, slice, count(*) AS tot, avg(value) AS mean
-             |  FROM binned GROUP BY event_type, slice
              |), cells AS (
-             |  SELECT event_type, slice, bin, count(*) AS n
+             |  SELECT event_type, slice, bin, count(*) AS n, sum(value) AS sv
              |  FROM binned GROUP BY event_type, slice, bin
+             |), totals AS (
+             |  SELECT event_type, slice, CAST(sum(n) AS BIGINT) AS tot,
+             |    sum(sv) / sum(n) AS mean
+             |  FROM cells GROUP BY event_type, slice
              |), grid AS (
              |  SELECT t.event_type, t.slice, t.tot, b.bin
              |  FROM totals t CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b

@@ -758,6 +758,53 @@ ORDER BY doc_a, doc_b""")
            |WHERE r.vec_id NOT IN (SELECT vec_id FROM dropped)
            |ORDER BY r.vec_id""".stripMargin
       }
+    ),
+
+    // Edit-distance similarity join (record linkage / fuzzy key matching
+    // over part names, threshold k=2). The Spark side is the SSJoin
+    // candidate-generation shape (Gravano et al.): explode each distinct
+    // name into its bigram MULTISET (gram, count), equi-join on gram,
+    // and keep pairs passing the q-gram count filter — multiset overlap
+    // ≥ max(|a|,|b|) − 1 − q·k (each edit destroys at most q grams; a
+    // sound lower bound, so candidate generation can never drop a true
+    // pair) plus the |len diff| ≤ k filter — then verify survivors with
+    // one levenshtein call per candidate. At 100 TB the string domain
+    // never cross-joins: fan-out is bounded by per-gram frequency (a
+    // hot-gram cap or the CMS skew split composes here exactly as in
+    // j11), and verification cost is |candidates|, not |pairs|. The
+    // oracle is the EXHAUSTIVE O(n²) cross join — any unsoundness in
+    // the filter shows up as a missing-row hash mismatch.
+    OracleQuery(
+      "dedup_editdist_fuzzy",
+      (s, d) => {
+        import s.implicits._
+        val k = 2
+        val names = Tables.part(s, d).select($"p_name").distinct()
+          .withColumn("len", length($"p_name"))
+        val grams = names
+          .select($"p_name", $"len", explode(expr(
+            "transform(sequence(1, len - 1), i -> substring(p_name, i, 2))")).as("gram"))
+          .groupBy($"p_name", $"len", $"gram").agg(count(lit(1)).as("cnt"))
+        val cand = grams.as("a")
+          .join(grams.as("b"),
+            col("a.gram") === col("b.gram") && col("a.p_name") < col("b.p_name"))
+          .groupBy(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+            col("a.len").as("la"), col("b.len").as("lb"))
+          .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("shared"))
+          .filter(abs($"la" - $"lb") <= k &&
+            $"shared" >= greatest(lit(1L), greatest($"la", $"lb") - 1 - 2 * k))
+        cand
+          .withColumn("dist", levenshtein($"name_a", $"name_b"))
+          .filter($"dist" <= k)
+          .select($"name_a", $"name_b", $"dist")
+          .orderBy($"name_a", $"name_b")
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part)
+             |SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |  levenshtein(a.p_name, b.p_name) AS dist
+             |FROM n a JOIN n b ON a.p_name < b.p_name
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |ORDER BY name_a, name_b""".stripMargin)
     )
   )
 }

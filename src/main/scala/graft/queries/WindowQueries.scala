@@ -284,6 +284,48 @@ object WindowQueries {
                |WINDOW w AS (PARTITION BY user_id ORDER BY ts
                |  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
                |ORDER BY user_id, event_id""".stripMargin)
+      ),
+
+      // W11: time-weighted average (TWAP) — the irregular-sampling mean
+      // a plain avg() gets wrong: each event's value holds until the
+      // next event (step interpolation), the day's last value holds to
+      // midnight, so sparse-but-long-lived readings carry their true
+      // duration. ONE window pass per (user, day) computes each step's
+      // holding time in exact integer microseconds (lead − ts; no fp
+      // until the final ratio); the weighted sum collapses through a
+      // hash agg on the same (user, day) key — one shuffle+sort total,
+      // state bounded per key, same plan class as W1.
+      OracleQuery(
+        "w11_time_weighted_avg",
+        (s, d) => {
+          import s.implicits._
+          val wd = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+          Tables.events(s, d)
+            .filter($"user_id" < 40) // partition-key predicate: reaches the scan
+            .withColumn("day", date_trunc("day", $"ts"))
+            .withColumn("hold_us",
+              coalesce(unix_micros(lead($"ts", 1).over(wd)),
+                unix_micros($"day" + expr("INTERVAL 1 DAY"))) - unix_micros($"ts"))
+            .groupBy($"user_id", $"day")
+            .agg(
+              count(lit(1)).as("n_events"),
+              round(avg($"value"), 4).as("naive_avg"),
+              round(sum($"value" * $"hold_us") / sum($"hold_us"), 4).as("twap"))
+            .orderBy($"user_id", $"day")
+        },
+        Some("""WITH stepped AS (
+               |  SELECT user_id, date_trunc('day', ts) AS day, value,
+               |    coalesce(
+               |      epoch_us(lead(ts, 1) OVER (PARTITION BY user_id, date_trunc('day', ts)
+               |        ORDER BY ts, event_id)),
+               |      epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY)) - epoch_us(ts) AS hold_us
+               |  FROM events
+               |)
+               |SELECT user_id, day, count(*) AS n_events,
+               |  round(avg(value), 4) AS naive_avg,
+               |  round(sum(value * hold_us) / sum(hold_us), 4) AS twap
+               |FROM stepped WHERE user_id < 40
+               |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin)
       )
     )
   }

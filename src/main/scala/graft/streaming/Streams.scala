@@ -352,6 +352,56 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming distribution-drift monitor: per micro-batch, profile the
+    * batch with [[graft.ops.Profile.cells]] and score it against a
+    * REFERENCE profile (built offline — e.g. from last month's admitted
+    * data) with [[graft.ops.Profile.psi]], appending one row per
+    * (batch, segment) to `monitorDir`: (batch_id, seg, n_ref, n_cur,
+    * psi, drifted). The pipeline reads the monitor table to quarantine
+    * drifted batches BEFORE admission — the streaming form of the
+    * `a19_profile_drift` pre-admission check.
+    *
+    * Scale/correctness notes:
+    *  - the reference profile is a sketch (≤ |segments|×bins rows); it
+    *    rides into each micro-batch as a static side, so per batch the
+    *    work is one map-side-partial hash agg over the batch plus
+    *    sketch arithmetic — no state store, no watermark.
+    *  - each batch writes its OWN partition directory (batch=N), so
+    *    crash replay of a batch overwrites only itself — idempotent,
+    *    the same generation discipline as [[ivfAppendStream]].
+    *  - PSI is asymmetric-safe here: smoothing keeps empty bins
+    *    finite, and a segment unseen in the reference scores maximal
+    *    finite drift rather than NaN (Profile.psi contract). */
+  def driftMonitorStream(
+      docs: DataFrame, refCells: DataFrame, monitorDir: String,
+      checkpoint: String, segCol: String, valCol: String,
+      bins: Int, lo: Double, width: Double, threshold: Double = 0.2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyDriftBatch(batch.toDF(), refCells, monitorDir, batchId,
+          segCol, valCol, bins, lo, width, threshold)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One micro-batch of [[driftMonitorStream]], exposed so replay
+    * (same batchId twice) is directly testable. */
+  def applyDriftBatch(
+      batch: DataFrame, refCells: DataFrame, monitorDir: String,
+      batchId: Long, segCol: String, valCol: String,
+      bins: Int, lo: Double, width: Double, threshold: Double): Unit = {
+    val cur = graft.ops.Profile.cells(batch, segCol, valCol, bins, lo, width)
+    graft.ops.Profile.psi(refCells, cur, bins)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("drifted", col("psi") > threshold)
+      .select(col("batch_id"), col("seg"), col("n_ref"), col("n_cur"),
+        col("psi"), col("drifted"))
+      .write.mode("overwrite")
+      .parquet(s"$monitorDir/batch=$batchId")
+  }
+
   /** One micro-batch of [[snapshotMergeStream]], exposed so crash
     * replay (same batchId twice) is directly testable. */
   def applySnapshotBatch(

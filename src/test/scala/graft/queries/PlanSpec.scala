@@ -67,6 +67,44 @@ class PlanSpec extends SparkSpec {
     assert(q10.contains("l_returnflag") && q10.contains("PushedFilters"), q10)
   }
 
+  test("TPC-H Q18: one lineitem scan; orders and customer join by broadcast, never shuffle") {
+    val p = plan(Registry.queries("j17_tpch_q18")(spark, sf))
+    // the HAVING-filtered aggregate carries sum_qty forward — a second
+    // lineitem scan would mean the canonical IN-subquery shape came back
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("retention cohorts: no window operator, count-distinct keeps partial aggregation") {
+    val p = plan(Registry.queries("pipe_retention_cohorts")(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count(distinct "), p)
+  }
+
+  test("profile drift: ONE events scan — all totals derive from the checkpointed cell sketch") {
+    // slice/bin are row-local and every total is Σ over cell rows; the
+    // sketch-sized cell aggregate is checkpointed (column pruning would
+    // otherwise specialize each consumer's subtree and re-scan events
+    // per branch), so the drift query's own plan reads NO parquet at all.
+    val p = plan(Registry.queries("a19_profile_drift")(spark, sf))
+    assert(!p.contains("FileScan parquet"),
+      s"every branch must derive from the checkpointed cells:\n$p")
+  }
+
+  test("snapshot diff: co-partitioned full-outer join, digests computed below the exchange") {
+    val p = plan(Registry.queries("o16_snapshot_diff")(spark, sf))
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("fuzzy edit-distance join: gram equi-join candidates, never a name cross join") {
+    val p = plan(Registry.queries("dedup_editdist_fuzzy")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("semantic dedup pair stage is a cell equi-join: no cartesian, no nested loop") {
     val p = plan(Registry.queries("dedup_semantic")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
