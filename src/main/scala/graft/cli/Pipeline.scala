@@ -195,6 +195,26 @@ object Pipeline {
         .write.mode("overwrite").parquet(outDir)
       println(s"[graft] ivf-topk: top-$k neighbors → $outDir")
 
+    case "profile-build" :: srcDir :: segCol :: valCol :: bins :: lo :: width :: outDir :: Nil =>
+      // reference-profile build for the drift gate: one scan, a
+      // sketch-sized (seg, bin, n) table out; fold later batches in
+      // with Profile.mergeCells instead of re-reading history
+      val cells = graft.ops.Profile.cells(
+        spark.read.parquet(srcDir), segCol, valCol, bins.toInt, lo.toDouble, width.toDouble)
+      cells.coalesce(1).write.mode("overwrite").parquet(outDir)
+      println(s"[graft] profile-build: ${cells.count()} cells → $outDir")
+
+    case "drift-check" :: refDir :: curDir :: segCol :: valCol :: bins :: lo :: width :: Nil =>
+      // batch-mode drift check: profile the candidate table and score
+      // it against the stored reference (the streaming gate's batch
+      // twin); prints one line per segment
+      val cur = graft.ops.Profile.cells(
+        spark.read.parquet(curDir), segCol, valCol, bins.toInt, lo.toDouble, width.toDouble)
+      graft.ops.Profile.psi(spark.read.parquet(refDir), cur, bins.toInt)
+        .orderBy("seg").collect()
+        .foreach(r => println(s"[graft] drift ${r.get(0)}: n_ref=${r.get(1)} " +
+          s"n_cur=${r.get(2)} psi=${"%.6f".format(r.getDouble(3))}"))
+
     case "bpe-train" :: docsDir :: nMerges :: outDir :: Nil =>
       // tokenizer artifact build: one corpus word-count shuffle, driver
       // merge loop, then the merge list persists as the model of record

@@ -32,6 +32,14 @@ object Profile {
       .groupBy(col("seg"), col("bin")).agg(count(lit(1)).as("n"))
   }
 
+  /** Merge cell sketches — e.g. fold an admitted batch's profile into
+    * the reference the drift gate scores against, or combine per-shard
+    * profiles built independently. The sketch is mergeable by
+    * construction (counts add), so reference maintenance never
+    * re-reads history: union + one re-aggregate over sketch rows. */
+  def mergeCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("seg"), col("bin")).agg(sum(col("n")).as("n"))
+
   /** Population stability index of `cur` against `ref`, per segment:
     * (seg, n_ref, n_cur, psi). Proportions are additively smoothed —
     * p = (n + 0.5) / (N + bins/2) — so bins empty on one side stay

@@ -760,6 +760,49 @@ ORDER BY doc_a, doc_b""")
       }
     ),
 
+    // Directed containment dedup — doc-inside-doc detection (a snippet
+    // quoted whole inside a larger page), the asymmetric relation
+    // Jaccard misses: a short doc fully contained in a long one has
+    // tiny J (union is the long doc) but containment |G(A)∩G(B)|/|G(A)|
+    // ≈ 1. Same bounded machinery as the Jaccard pipeline (distinct
+    // trigram hashes, df-capped intersection join — fan-out bounded by
+    // per-gram document frequency, never corpus²), one extra sizes join
+    // on the CONTAINED side only. Direction matters: (doc_a ⊂ doc_b)
+    // and its reverse are different facts.
+    OracleQuery(
+      "dedup_containment",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val grams = Shingles.wordTrigrams(docs)
+          .select($"doc_id", expr(h60("gram")).as("gram"))
+          .distinct()
+        val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+        val kept = cappedGrams(grams, JaccardDfCap)
+        kept.as("a")
+          .join(kept.as("b"),
+            col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n_grams".as("na"))), "doc_a")
+          .withColumn("containment", round($"shared" / $"na", 4))
+          .filter($"containment" >= 0.9)
+          .select($"doc_a", $"doc_b", $"containment")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH ${jaccardPairsSql("documents")}
+             |SELECT a_kept.doc_a, a_kept.doc_b,
+             |  round(a_kept.shared / sa.n_grams, 4) AS containment
+             |FROM (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+             |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2
+             |) a_kept
+             |JOIN sizes sa ON sa.doc_id = a_kept.doc_a
+             |WHERE round(a_kept.shared / sa.n_grams, 4) >= 0.9
+             |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     // Edit-distance similarity join (record linkage / fuzzy key matching
     // over part names, threshold k=2). The Spark side is the SSJoin
     // candidate-generation shape (Gravano et al.): explode each distinct

@@ -326,6 +326,66 @@ object WindowQueries {
                |  round(sum(value * hold_us) / sum(hold_us), 4) AS twap
                |FROM stepped WHERE user_id < 40
                |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin)
+      ),
+
+      // W12: gaps-and-islands — merge each user's 5-minute activity
+      // intervals into maximal overlapping runs (the classic "merge
+      // overlapping intervals" at scale: uptime stitching, session
+      // coverage, sensor-online spans). The island boundary is a
+      // running-max-of-end over one per-user window (strictly prior
+      // rows, so a row starting inside ANY earlier interval — not just
+      // its neighbor — continues the island; the tie goes to "merge"
+      // via >=); the island id is the running sum of boundary flags
+      // over the SAME window spec, so both functions share one
+      // shuffle+sort. Exact integer microseconds throughout; the final
+      // per-user rollup is an ordinary hash agg.
+      OracleQuery(
+        "w12_interval_islands",
+        (s, d) => {
+          import s.implicits._
+          val wu = Window.partitionBy($"user_id").orderBy($"start_us", $"event_id")
+          val iv = Tables.events(s, d)
+            .select($"user_id", $"event_id", unix_micros($"ts").as("start_us"),
+              (unix_micros($"ts") + 300000000L).as("end_us"))
+          val islands = iv
+            .withColumn("prior_max_end",
+              max($"end_us").over(wu.rowsBetween(Window.unboundedPreceding, -1)))
+            .withColumn("boundary",
+              when($"prior_max_end".isNull || $"start_us" > $"prior_max_end", 1L)
+                .otherwise(0L))
+            .withColumn("island", sum($"boundary").over(wu))
+          islands.groupBy($"user_id", $"island")
+            .agg(min($"start_us").as("s_us"), max($"end_us").as("e_us"))
+            .groupBy($"user_id")
+            .agg(count(lit(1)).as("n_intervals"),
+              // integer DIV: exact floor, no double rounding in the way
+              expr("sum(e_us - s_us) DIV 1000000").as("covered_sec"))
+            .orderBy($"user_id")
+        },
+        Some("""WITH iv AS (
+               |  SELECT user_id, event_id, epoch_us(ts) AS start_us,
+               |    epoch_us(ts) + 300000000 AS end_us
+               |  FROM events
+               |), flagged AS (
+               |  SELECT user_id, event_id, start_us, end_us,
+               |    CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, event_id
+               |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               |         OR start_us > max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, event_id
+               |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               |      THEN 1 ELSE 0 END AS boundary
+               |  FROM iv
+               |), isl AS (
+               |  SELECT user_id, start_us, end_us,
+               |    sum(boundary) OVER (PARTITION BY user_id ORDER BY start_us, event_id
+               |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               |  FROM flagged
+               |), merged AS (
+               |  SELECT user_id, island, min(start_us) AS s_us, max(end_us) AS e_us
+               |  FROM isl GROUP BY user_id, island
+               |)
+               |SELECT user_id, count(*) AS n_intervals,
+               |  CAST(sum(e_us - s_us) // 1000000 AS BIGINT) AS covered_sec
+               |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin)
       )
     )
   }

@@ -257,4 +257,27 @@ class PipelineCliSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(s1 == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
   }
+
+  test("profile-build persists the cell sketch; drift-check scores a shifted table against it") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_profcli").toString
+    (0 until 600).map(i => ("s", (i % 100).toDouble)).toDF("seg", "v")
+      .write.parquet(s"$work/ref_src")
+    (0 until 300).map(i => ("s", (i % 10).toDouble)).toDF("seg", "v")
+      .write.parquet(s"$work/cur_src")
+
+    Pipeline.run(spark, List("profile-build", s"$work/ref_src",
+      "seg", "v", "10", "0.0", "10.0", s"$work/profile"))
+    val cells = spark.read.parquet(s"$work/profile")
+    assert(cells.count() == 10) // uniform over 10 bins
+    assert(cells.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 600L)
+
+    // batch twin of the streaming gate: collapsed distribution → large psi
+    Pipeline.run(spark, List("drift-check", s"$work/profile", s"$work/cur_src",
+      "seg", "v", "10", "0.0", "10.0"))
+    val psi = graft.ops.Profile.psi(cells,
+      graft.ops.Profile.cells(spark.read.parquet(s"$work/cur_src"), "seg", "v", 10, 0.0, 10.0),
+      bins = 10).head.getDouble(3)
+    assert(psi > 0.5)
+  }
 }

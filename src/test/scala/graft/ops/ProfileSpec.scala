@@ -34,6 +34,16 @@ class ProfileSpec extends SparkSpec {
     assert(b("w")._2 === 0L && b("w")._3 === 7L && !b("w")._4.isInfinite)
   }
 
+  test("mergeCells: profile of the whole == merged profiles of disjoint halves") {
+    val rows = (0 until 400).map(i => (s"s${i % 3}", (i % 97).toDouble))
+    val whole = Profile.cells(rows.toDF("seg", "v"), "seg", "v", 10, 0.0, 10.0)
+    val h1 = Profile.cells(rows.take(150).toDF("seg", "v"), "seg", "v", 10, 0.0, 10.0)
+    val h2 = Profile.cells(rows.drop(150).toDF("seg", "v"), "seg", "v", 10, 0.0, 10.0)
+    val merged = Profile.mergeCells(h1, h2)
+    assert(merged.orderBy("seg", "bin").collect().toSeq ===
+      whole.orderBy("seg", "bin").collect().toSeq)
+  }
+
   test("psi matches the oracle-pinned a19 spelling on the real events slices") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.core.Tables.events(spark, sf)

@@ -100,6 +100,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("interval islands: both window passes share one exchange and one sort") {
+    val p = plan(Registry.queries("w12_interval_islands")(spark, sf))
+    // island's running sum consumes the boundary flag, so two stacked
+    // Window operators are structural — but they carry the SAME
+    // partition spec + order, so the plan must pay exactly one
+    // user_id hash exchange and one (user_id, start_us, event_id)
+    // sort; a second sort means the window specs drifted apart
+    assert("Window \\[".r.findAllIn(p).size == 2, p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert("Sort \\[user_id[^\\]]*start_us".r.findAllIn(p).size == 1, p)
+  }
+
   test("fuzzy edit-distance join: gram equi-join candidates, never a name cross join") {
     val p = plan(Registry.queries("dedup_editdist_fuzzy")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
