@@ -582,6 +582,104 @@ object AggQueries {
              |SELECT w.event_type, w.n_a, w.n_b, w.mean_a, w.mean_b, s.psi
              |FROM wide w JOIN psi s ON w.event_type = s.event_type
              |ORDER BY w.event_type""".stripMargin)
+    ),
+
+    // A20: exact AUC via the Mann–Whitney rank-sum — the model-eval
+    // metric ("do purchases score higher?") that naive spellings
+    // compute with a GLOBAL row_number over the full fact (one-reducer
+    // sort, dead at 100 TB). Scale spelling: collapse to DISTINCT
+    // scores first (hash agg with map-side partials — ties handled
+    // EXACTLY by construction: each distinct score carries its
+    // pos/neg counts, contributing cum_neg_below + ½·n_neg, the
+    // midrank correction), then the cumulative negative count comes
+    // from ops/PrefixSum's bucketed prefix sum — the only window is
+    // (group, bucket)-partitioned, 64-way parallel. Every term is an
+    // integer or half-integer, so the sum is EXACT in double
+    // regardless of partition order — no fp-drift hazard behind the
+    // rounding.
+    OracleQuery(
+      "a20_auc_ranksum",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.events(s, d).select($"value".as("score"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+        val perScore = scored.groupBy($"score").agg(
+          sum($"pos").as("n_pos"), (count(lit(1)) - sum($"pos")).as("n_neg"))
+          .withColumn("g", lit("all"))
+        val cum = graft.ops.PrefixSum.withCumsum(
+          perScore, "g", "score", "n_neg", "cum_neg")
+        cum.agg(
+            sum($"n_pos" * ($"cum_neg" - $"n_neg" * 0.5)).as("num"),
+            sum($"n_pos").as("np"), sum($"n_neg").as("nn"))
+          .select(
+            round($"num" / ($"np" * $"nn"), 6).as("auc"),
+            $"np".cast("long").as("n_pos"), $"nn".cast("long").as("n_neg"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT value AS score,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+             |  FROM events
+             |), per_score AS (
+             |  SELECT score, sum(pos) AS n_pos, count(*) - sum(pos) AS n_neg
+             |  FROM scored GROUP BY score
+             |), cum AS (
+             |  SELECT n_pos, n_neg,
+             |    sum(n_neg) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg
+             |  FROM per_score
+             |)
+             |SELECT round(sum(n_pos * (cum_neg - 0.5 * n_neg))
+             |         / (sum(n_pos) * sum(n_neg)), 6) AS auc,
+             |  CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             |  CAST(sum(n_neg) AS BIGINT) AS n_neg
+             |FROM cum""".stripMargin)
+    ),
+
+    // A21: calibration / reliability bins + ECE — AUC's companion
+    // (a20 asks "does the score rank positives first?", this asks "does
+    // a score of 0.7 mean 70%?"). Score = value scaled to [0,1], label
+    // = purchase; 10 score deciles → per-bin mean predicted vs observed
+    // rate, plus the one-row expected calibration error
+    // Σ (n_b/N)·|acc_b − conf_b|. ONE scan, one hash agg keyed by bin
+    // (map-side partials), ECE folds the ≤10 bin rows through a second
+    // tiny agg broadcast back — nothing here is ever wider than the
+    // bin table. The per-bin means round to 4 (fp sums), but n and the
+    // bin ids are exact.
+    OracleQuery(
+      "a21_calibration_bins",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.events(s, d).select(
+          least(lit(9), floor($"value" / 50.0)).cast("int").as("bin"),
+          ($"value" / 500.0).as("conf"),
+          when($"event_type" === "purchase", 1.0).otherwise(0.0).as("y"))
+        val bins = scored.groupBy($"bin").agg(
+          count(lit(1)).as("n"),
+          avg($"conf").as("mean_conf"),
+          avg($"y").as("obs_rate"))
+        val ece = bins.agg(
+          (sum($"n" * abs($"obs_rate" - $"mean_conf")) / sum($"n")).as("ece"))
+        bins.crossJoin(broadcast(ece)) // 1-row scalar join (sanctioned)
+          .select($"bin", $"n",
+            round($"mean_conf", 4).as("mean_conf"),
+            round($"obs_rate", 4).as("obs_rate"),
+            round($"ece", 4).as("ece"))
+          .orderBy($"bin")
+      },
+      Some("""WITH scored AS (
+             |  SELECT CAST(least(9, floor(value / 50.0)) AS INT) AS bin,
+             |    value / 500.0 AS conf,
+             |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+             |  FROM events
+             |), bins AS (
+             |  SELECT bin, count(*) AS n, avg(conf) AS mean_conf, avg(y) AS obs_rate
+             |  FROM scored GROUP BY bin
+             |), e AS (
+             |  SELECT sum(n * abs(obs_rate - mean_conf)) / sum(n) AS ece FROM bins
+             |)
+             |SELECT bin, n, round(mean_conf, 4) AS mean_conf,
+             |  round(obs_rate, 4) AS obs_rate, round(e.ece, 4) AS ece
+             |FROM bins CROSS JOIN e ORDER BY bin""".stripMargin)
     )
   )
 }

@@ -112,6 +112,16 @@ class PlanSpec extends SparkSpec {
     assert("Sort \\[user_id[^\\]]*start_us".r.findAllIn(p).size == 1, p)
   }
 
+  test("AUC rank-sum: the cumulative comes from the bucketed prefix sum, no global window") {
+    // the naive AUC spelling is row_number over the whole fact (one
+    // reducer); this plan must collapse to distinct scores first and
+    // take its running negative count from ops/PrefixSum — the only
+    // window partitioned by (group, bucket)
+    val p = plan(Registry.queries("a20_auc_ranksum")(spark, sf))
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("ps_b"), s"cumulative must come from the bucketed prefix sum:\n$p")
+  }
+
   test("fuzzy edit-distance join: gram equi-join candidates, never a name cross join") {
     val p = plan(Registry.queries("dedup_editdist_fuzzy")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
