@@ -691,6 +691,99 @@ object CoreQueries {
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
              |FROM feed WHERE change_type IS NOT NULL
              |GROUP BY change_type ORDER BY change_type""".stripMargin)
+    ),
+
+    // O18: SCD Type-2 interval reconstruction — turn a keyed change log
+    // into a versioned dimension with validity intervals
+    // [valid_from, valid_to), current row open-ended (NULL valid_to).
+    // The change log here is each user's event stream treated as
+    // attribute changes (event_type = the tracked attribute), with
+    // consecutive DUPLICATE values collapsed first — real change
+    // capture emits heartbeats, and a version that "changes" to itself
+    // is no version. Plan: everything is per-key windows over ONE
+    // (user_id)-keyed exchange+sort — dedup-consecutive (lag), then
+    // valid_to (lead) and version number (row_number) reuse the same
+    // partitioning; no self-joins, no global window. The output keeps
+    // one summary row per (user, version-parity) to stay bounded.
+    OracleQuery(
+      "o18_scd2_intervals",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val changes = Tables.events(s, d)
+          .filter($"user_id" < 50)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+        val w2 = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val versioned = changes
+          .withColumn("valid_from", $"ts")
+          .withColumn("valid_to", lead($"ts", 1).over(w2))
+          .withColumn("version", row_number().over(w2))
+        versioned.groupBy($"user_id").agg(
+            count(lit(1)).as("n_versions"),
+            sum(when($"valid_to".isNull, 1L).otherwise(0L)).as("n_open"),
+            max($"version").as("last_version"),
+            // total closed-interval dwell seconds: exact integer µs
+            expr("sum(CASE WHEN valid_to IS NOT NULL THEN unix_micros(valid_to) - unix_micros(valid_from) END) DIV 1000000")
+              .as("closed_dwell_sec"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ordered AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events WHERE user_id < 50
+             |), changes AS (
+             |  SELECT user_id, ts, event_id, event_type FROM ordered
+             |  WHERE prev_type IS NULL OR prev_type <> event_type
+             |), versioned AS (
+             |  SELECT user_id, ts AS valid_from,
+             |    lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+             |  FROM changes
+             |)
+             |SELECT user_id, count(*) AS n_versions,
+             |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+             |  CAST(max(version) AS BIGINT) AS last_version,
+             |  CAST(sum(CASE WHEN valid_to IS NOT NULL
+             |        THEN epoch_us(valid_to) - epoch_us(valid_from) END) // 1000000 AS BIGINT)
+             |    AS closed_dwell_sec
+             |FROM versioned GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // V: referential-integrity audit — orphan counts across the star
+    // schema's FK edges (lineitem→orders, lineitem→part, orders→
+    // customer) in one report. Each edge is a LEFT ANTI join: the fact
+    // side streams through a hash probe of the key side and only
+    // orphans survive to the count — no row wider than a key ever
+    // shuffles, and the three audits share nothing so they parallelize
+    // as independent stages. The dim key-sets are dropped to key-only
+    // projections BEFORE the join (ReadSchema prunes to one column).
+    OracleQuery(
+      "v3_fk_orphans",
+      (s, d) => {
+        import s.implicits._
+        def orphans(fact: org.apache.spark.sql.DataFrame, fk: String,
+            dim: org.apache.spark.sql.DataFrame, pk: String, edge: String) =
+          fact.select(col(fk)).join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+            .agg(lit(edge).as("edge"), count(lit(1)).as("n_orphans"))
+        orphans(Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey", "lineitem_orders")
+          .unionByName(orphans(Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey", "lineitem_part"))
+          .unionByName(orphans(Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey", "orders_customer"))
+          .orderBy($"edge")
+      },
+      Some("""SELECT 'lineitem_orders' AS edge, count(*) AS n_orphans
+             |FROM lineitem l
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+             |UNION ALL
+             |SELECT 'lineitem_part', count(*)
+             |FROM lineitem l
+             |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+             |UNION ALL
+             |SELECT 'orders_customer', count(*)
+             |FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+             |ORDER BY edge""".stripMargin)
     )
   )
 }
