@@ -352,6 +352,33 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Watermarked STREAM-STREAM inner join — click attribution: each
+    * click joins the view (same user) it followed within
+    * `windowMinutes`. The state-store contract is what makes this
+    * 100 TB-viable: both sides carry a watermark and the join condition
+    * bounds click.ts to [view.ts, view.ts + window], so Spark derives a
+    * state eviction horizon for BOTH sides — a view older than
+    * watermark + window can never match a future click and is dropped;
+    * state is O(traffic within the window), not O(stream history).
+    * Without the time-range predicate the state would grow forever —
+    * that is the failure mode this operator exists to avoid, and
+    * StreamJoinSpec pins result-equivalence against the batch join.
+    *
+    * Both inputs must carry (user_id, event_id, ts). */
+  def clickAttributionStream(
+      views: DataFrame, clicks: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val wm = s"$windowMinutes minutes"
+    val v = views.withWatermark("ts", wm).alias("v")
+    val c = clicks.withWatermark("ts", wm).alias("c")
+    v.join(c, expr(
+        s"""v.user_id = c.user_id AND
+           |c.ts >= v.ts AND
+           |c.ts <= v.ts + INTERVAL $windowMinutes MINUTES""".stripMargin))
+      .select(col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"), col("c.event_id").as("click_id"),
+        col("v.ts").as("view_ts"), col("c.ts").as("click_ts"))
+  }
+
   /** Streaming distribution-drift monitor: per micro-batch, profile the
     * batch with [[graft.ops.Profile.cells]] and score it against a
     * REFERENCE profile (built offline — e.g. from last month's admitted
