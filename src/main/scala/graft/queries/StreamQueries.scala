@@ -69,6 +69,72 @@ object StreamQueries {
       },
       // pipe_daily_max's oracle, verbatim — THE equivalence statement
       PipelineQueries.all.find(_.name == "pipe_daily_max").get.oracle
+    ),
+
+    // Stream-stream join, oracle-gated: the watermarked click-attribution
+    // join (streaming/Streams.clickAttributionStream) runs FOR REAL over
+    // view/click slices of the events table (file sources, several
+    // micro-batches, parquet sink) and its output must hash-match the
+    // plain batch join DuckDB computes over the same slices — the
+    // cross-micro-batch state handoff is exactly what's on trial. The
+    // output aggregates to per-user counts + first/last click ids so the
+    // checked frame stays bounded while still pinning the full match set
+    // (count + min + max over click_id/view_id pairs detects any
+    // missing/extra match).
+    OracleQuery(
+      "stream_click_attribution",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).filter($"user_id" < 200)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_join").toString
+        // Arrival order is part of stream-stream join SEMANTICS: the
+        // watermark evicts views past (wm − window), so files must
+        // arrive roughly in event-time order — exactly how a real
+        // ingest lands hourly/daily drops. Each side is written as
+        // sequential week-ranged files (ascending modification times →
+        // the file source replays them in order; per-source lateness is
+        // zero, so no valid match is ever evicted early, while matches
+        // still span micro-batch boundaries at every week seam).
+        val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
+        for ((side, typ) <- Seq("views" -> "view", "clicks" -> "click");
+             i <- 0 until 4) {
+          ev.filter($"event_type" === typ &&
+              $"ts" >= lit(weeks(i)).cast("timestamp") &&
+              $"ts" < lit(weeks(i + 1)).cast("timestamp"))
+            .select($"user_id", $"event_id", $"ts")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$side/w$i")
+        }
+        def src(dir: String) = s.readStream
+          .schema("user_id LONG, event_id LONG, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$dir/*")
+        graft.streaming.Streams.runAvailableNow(
+          graft.streaming.Streams.clickAttributionStream(
+            src(s"$tmp/views"), src(s"$tmp/clicks"), windowMinutes = 240),
+          s"$tmp/ckpt", s"$tmp/out")
+        s.read.parquet(s"$tmp/out")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            min($"view_id").as("min_view"), max($"view_id").as("max_view"),
+            min($"click_id").as("min_click"), max($"click_id").as("max_click"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id, ts FROM events
+             |  WHERE event_type = 'view' AND user_id < 200
+             |), c AS (
+             |  SELECT user_id, event_id, ts FROM events
+             |  WHERE event_type = 'click' AND user_id < 200
+             |), pairs AS (
+             |  SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+             |  FROM v JOIN c ON v.user_id = c.user_id
+             |    AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+             |)
+             |SELECT user_id, count(*) AS n_pairs,
+             |  min(view_id) AS min_view, max(view_id) AS max_view,
+             |  min(click_id) AS min_click, max(click_id) AS max_click
+             |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin)
     )
   )
 }
