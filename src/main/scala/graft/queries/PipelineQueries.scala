@@ -417,8 +417,15 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
+        // checkpointed like `exact` below: quality feeds three consumers
+        // (the fingerprint agg, the exact semi-join lineage, and the
+        // per-source survivor counts) — without the cut, each one
+        // re-runs the full gopher-signal expression pass over the
+        // corpus. A real curation pipeline materializes every funnel
+        // stage anyway; this is that design, in-query.
         val quality = TextQueries.gopherSignals(docs).filter($"pass" === 1)
           .select(docs.columns.map(col).toIndexedSeq: _*)
+          .localCheckpoint(eager = true)
         val keepIds = quality.withColumn("fp", md5($"text"))
           .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
         val exact = quality.join(keepIds.select($"doc_id"), Seq("doc_id"), "left_semi")
