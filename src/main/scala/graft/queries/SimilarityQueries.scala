@@ -328,6 +328,64 @@ object SimilarityQueries {
               |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin)
     ),
 
+    // FILTERED ANN — top-k under a metadata predicate (label = 1), the
+    // vector-search staple ("nearest docs in English", "same tenant").
+    // This is the PRE-FILTER strategy: the predicate restricts the
+    // member set BEFORE ranking, so the query returns the true top-k
+    // of the filtered corpus within the probed cells — post-filtering
+    // (rank, then drop) can silently return fewer than k when the
+    // predicate is selective, which is the bug this spelling avoids.
+    // Cost shape is unchanged from sim_ivf_topk: the filter is a
+    // map-side predicate on the cell-bounded member stream (at 100 TB,
+    // pushed into the cell-sorted index scan exactly like the
+    // dedup-index key pushdown), never a second pass.
+    OracleQuery(
+      "sim_ivf_filtered_topk",
+      (s, d) => {
+        import s.implicits._
+        val cents = centroids(s, d)
+        val emb = withCells(normed(s, d), cents)
+        val members = emb.filter($"label" === 1)
+          .select($"vec_id".as("neighbor_id"), $"cell1".as("cid"),
+            $"embedding".as("n_emb"), $"norm".as("n_norm"))
+        val probes = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"norm".as("q_norm"),
+            explode(array($"cell1", $"cell2")).as("cid"))
+        val scored = broadcast(probes).join(members, "cid")
+          .filter($"neighbor_id" =!= $"query_id")
+          .withColumn("cos", call_function("vec_dot", $"q_emb", $"n_emb") / ($"q_norm" * $"n_norm"))
+        val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        scored.withColumn("rn", row_number().over(wTop))
+          .filter($"rn" <= 3)
+          .select($"query_id", $"neighbor_id", round($"cos", 4).as("cos"), $"rn")
+          .orderBy($"query_id", $"rn")
+      },
+      Some(s"""WITH $duckNormed, $duckAssign, cells AS (
+              |  SELECT a.vec_id AS member_id, a.cid FROM assign a
+              |  JOIN normed e ON e.vec_id = a.vec_id
+              |  WHERE a.crn = 1 AND e.label = 1
+              |), probes AS (
+              |  SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10 AND crn <= 2
+              |), cands AS (
+              |  SELECT p.query_id, m.member_id AS neighbor_id
+              |  FROM probes p JOIN cells m ON p.cid = m.cid
+              |  WHERE m.member_id != p.query_id
+              |), scored AS (
+              |  SELECT c.query_id, c.neighbor_id,
+              |    (list_reduce(list_transform(list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
+              |     / (q.norm * n.norm)) AS cos
+              |  FROM cands c
+              |  JOIN normed q ON q.vec_id = c.query_id
+              |  JOIN normed n ON n.vec_id = c.neighbor_id
+              |), ranked AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rn
+              |  FROM scored
+              |)
+              |SELECT query_id, neighbor_id, round(cos, 4) AS cos, rn
+              |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin)
+    ),
+
     // Distributed k-means (Lloyd) over embeddings — the coarse-quantizer
     // FIT that replaces the deterministic vec_id<8 centroid choice at
     // scale, and a corpus-clustering primitive for training-data domain
