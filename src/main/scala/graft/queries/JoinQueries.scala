@@ -525,6 +525,66 @@ object JoinQueries {
              |HAVING sum(l_quantity) > 300
              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
              |LIMIT 100""".stripMargin)
+    ),
+
+    // TPC-H Q6 (forecast revenue change): the degenerate-but-diagnostic
+    // shape — a single scan whose THREE selective predicates must ALL
+    // reach the parquet reader (shipdate year, discount band, quantity
+    // cap) and whose projection must prune to the two arithmetic
+    // columns. No joins, no window: if this query reads more than
+    // (l_shipdate, l_discount, l_quantity, l_extendedprice) or scans a
+    // row group outside 1996, the pushdown layer regressed — PlanSpec
+    // asserts both.
+    OracleQuery(
+      "j19_tpch_q6",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+            $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+          .agg(round(sum($"l_extendedprice" * $"l_discount"), 4).as("revenue"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)
+    ),
+
+    // TPC-H Q14 (promotion effect): conditional aggregation over a
+    // broadcast dimension join — the month's promo revenue share. The
+    // part dimension broadcasts (it is the small side even at TPC-H
+    // scale ratios), the shipdate month prunes the fact scan, and the
+    // CASE folds into the same single hash aggregate — one scan, zero
+    // fact shuffles.
+    OracleQuery(
+      "j20_tpch_q14",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        li.join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+          .agg(round(
+            sum(when($"p_type" === "PROMO", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .otherwise(0.0)) * 100.0 /
+              sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+            .as("promo_revenue_pct"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT round(
+             |    100.0 * sum(CASE WHEN p_type = 'PROMO'
+             |                     THEN l_extendedprice * (1.0 - l_discount)
+             |                     ELSE 0.0 END)
+             |    / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct,
+             |  count(*) AS n_rows
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
     )
   )
 }

@@ -208,4 +208,27 @@ class VolumeSpec extends SparkSpec {
     assert(wrongLabel == 0)
     labeled.unpersist()
   }
+
+  test("snapshot diff over 1M keys with planted change structure") {
+    // old = 1M keyed rows; new = drop every 97th key, bump every 13th
+    // surviving payload, insert 10k fresh keys — analytic counts known
+    // exactly. One co-partitioned full-outer join; the change feed is
+    // aggregated without ever materializing unchanged rows.
+    val old = spark.range(1000000)
+      .select(col("id").as("k"), (col("id") % 1000).cast("double").as("v"))
+    val neu = spark.range(1000000).filter(col("id") % 97 =!= 0)
+      .select(col("id").as("k"),
+        when(col("id") % 13 === 0, (col("id") % 1000).cast("double") + 1.0)
+          .otherwise((col("id") % 1000).cast("double")).as("v"))
+      .unionByName(spark.range(2000000, 2010000)
+        .select(col("id").as("k"), lit(0.0).as("v")))
+    val feed = SnapshotDiff.changes(old, neu, keys = Seq("k"), compareCols = Seq("v"))
+    val counts = feed.groupBy(col("change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val deletes = (0 until 1000000).count(_ % 97 == 0)
+    val updates = (0 until 1000000).count(i => i % 13 == 0 && i % 97 != 0)
+    assert(counts("delete") === deletes.toLong)
+    assert(counts("update") === updates.toLong)
+    assert(counts("insert") === 10000L)
+  }
 }

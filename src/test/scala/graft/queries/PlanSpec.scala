@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("TPC-H Q6: all three predicates pushed to the scan, projection pruned to 4 columns") {
+    val p = plan(Registry.queries("j19_tpch_q6")(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate") &&
+      p.contains("l_discount") && p.contains("l_quantity"), p)
+    val readSchema = p.substring(p.indexOf("ReadSchema"))
+    assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_returnflag"), p)
+  }
+
   test("retention cohorts: no window operator, count-distinct keeps partial aggregation") {
     val p = plan(Registry.queries("pipe_retention_cohorts")(spark, sf))
     assert(!p.contains("Window"), p)
