@@ -34,7 +34,11 @@ object Bench {
     "pipe_ridge_closed_form", // closed-form model fit
     "o11_upsert_merge",    // CDC keep-latest snapshot merge
     "text_bigram_lm_score", // corpus-trained LM quality scoring
-    "pipe_curation")       // quality→dedup→canonical curation funnel
+    "pipe_curation",       // quality→dedup→canonical curation funnel
+    "j17_tpch_q18",        // HAVING-driven join, one lineitem scan
+    "pipe_retention_cohorts", // window-free retention matrix
+    "a20_auc_ranksum",     // prefix-sum rank-sum AUC
+    "w12_interval_islands") // gaps-and-islands interval merge
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -635,6 +635,52 @@ object AggQueries {
              |FROM cum""".stripMargin)
     ),
 
+    // A22: SEGMENTED AUC — a20 per cohort (user_id mod 4), the "is the
+    // model equally good for every segment" fairness/debugging cut.
+    // Identical machinery, but the prefix sum now runs with a REAL
+    // partition column: ops/PrefixSum's bucketed cumsum is per-group by
+    // construction (the only window is (segment, bucket)-partitioned),
+    // so segments never serialize through one reducer the way a
+    // PARTITION BY segment window would for a hot segment.
+    OracleQuery(
+      "a22_auc_by_segment",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.events(s, d).select(
+          ($"user_id" % 4).cast("int").as("seg"), $"value".as("score"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+        val perScore = scored.groupBy($"seg", $"score").agg(
+          sum($"pos").as("n_pos"), (count(lit(1)) - sum($"pos")).as("n_neg"))
+        val cum = graft.ops.PrefixSum.withCumsum(
+          perScore, "seg", "score", "n_neg", "cum_neg")
+        cum.groupBy($"seg").agg(
+            sum($"n_pos" * ($"cum_neg" - $"n_neg" * 0.5)).as("num"),
+            sum($"n_pos").as("np"), sum($"n_neg").as("nn"))
+          .select($"seg",
+            round($"num" / ($"np" * $"nn"), 6).as("auc"),
+            $"np".cast("long").as("n_pos"), $"nn".cast("long").as("n_neg"))
+          .orderBy($"seg")
+      },
+      Some("""WITH scored AS (
+             |  SELECT CAST(user_id % 4 AS INT) AS seg, value AS score,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+             |  FROM events
+             |), per_score AS (
+             |  SELECT seg, score, sum(pos) AS n_pos, count(*) - sum(pos) AS n_neg
+             |  FROM scored GROUP BY seg, score
+             |), cum AS (
+             |  SELECT seg, n_pos, n_neg,
+             |    sum(n_neg) OVER (PARTITION BY seg ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg
+             |  FROM per_score
+             |)
+             |SELECT seg,
+             |  round(sum(n_pos * (cum_neg - 0.5 * n_neg)) / (sum(n_pos) * sum(n_neg)), 6) AS auc,
+             |  CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             |  CAST(sum(n_neg) AS BIGINT) AS n_neg
+             |FROM cum GROUP BY seg ORDER BY seg""".stripMargin)
+    ),
+
     // A21: calibration / reliability bins + ECE — AUC's companion
     // (a20 asks "does the score rank positives first?", this asks "does
     // a score of 0.7 mean 70%?"). Score = value scaled to [0,1], label
