@@ -585,6 +585,175 @@ object JoinQueries {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+    ),
+
+    // J18: runtime Bloom-filter join pruning — the semi-join-reduction
+    // pattern for fact⋈dim joins where the dim's key set is too big to
+    // broadcast as a hash set but its Bloom image (~1 byte/key,
+    // ops/Bloom) still fits. The fact side is pruned MAP-SIDE before
+    // its shuffle: only lineitems whose order key might match ship to
+    // the exchange, so at 100 TB the join's shuffle volume tracks the
+    // dim's selectivity instead of the fact's size. False positives
+    // cost one shuffled row each and are cleared by the exact join;
+    // false negatives cannot happen, so the result is IDENTICAL to the
+    // plain join — which is exactly what the oracle runs. (Spark's own
+    // spark.sql.optimizer.runtimeFilter does this adaptively; spelling
+    // it explicitly keeps the filter size and hash under test and
+    // makes the pattern available to CLI pipelines on any plan.)
+    OracleQuery(
+      "j18_bloom_pruned_join",
+      (s, d) => {
+        import s.implicits._
+        val mBits = 1 << 14
+        val keyH = Shingles.h60("CAST(o_orderkey AS STRING)")
+        val sel = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 150000.0)
+          .select($"o_orderkey", $"o_orderdate")
+        val words = graft.ops.Bloom.build(
+          sel.select(expr(keyH).as("kh")), "kh", mBits)
+        val li = Tables.lineitem(s, d)
+          .filter(graft.ops.Bloom.mightContain(
+            words, mBits, expr(Shingles.h60("CAST(l_orderkey AS STRING)"))))
+        li.join(sel, $"l_orderkey" === $"o_orderkey")
+          .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+          .orderBy($"month")
+      },
+      Some("""SELECT date_trunc('month', o_orderdate) AS month,
+             |  count(*) AS n_items,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // TPC-H Q13 shape (customer order-count distribution): the LEFT
+    // OUTER fact join whose aggregate feeds a SECOND aggregate — the
+    // histogram-of-group-sizes pattern. The orders-side predicate must
+    // stay in the JOIN CONDITION (not a WHERE), or customers whose only
+    // orders are filtered out silently leave the zero bucket. The first
+    // aggregate shuffles on c_custkey; the second is tiny (|distinct
+    // counts| rows) and hash-aggregates with map-side combine.
+    OracleQuery(
+      "j21_tpch_q13",
+      (s, d) => {
+        import s.implicits._
+        val ords = Tables.orders(s, d)
+          .filter($"o_orderpriority" =!= "3-MEDIUM")
+          .select($"o_custkey", $"o_orderkey")
+        Tables.customer(s, d)
+          .join(ords, $"c_custkey" === $"o_custkey", "left_outer")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+             |  GROUP BY c_custkey
+             |)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    ),
+
+    // TPC-H Q22 shape (dormant high-balance customers): ANTI join
+    // against a filtered fact subset ("no urgent order since 1999" —
+    // the testdata has no phone column, so the country code comes from
+    // the customer-name digits) plus a 1-row scalar-stat gate (balance
+    // above the global positive-balance mean). The scalar aggregate
+    // broadcasts as a 1-row crossJoin — the sanctioned scalar-subquery
+    // spelling — and the anti join is a shuffled left_anti on the
+    // customer key (the filtered orders side carries only o_custkey,
+    // so AQE typically converts it to a broadcast anti join).
+    OracleQuery(
+      "j22_tpch_q22",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+          .withColumn("cntrycode", expr("right(c_name, 2)"))
+        val avgBal = cust.filter($"c_acctbal" > 0.0)
+          .agg(avg($"c_acctbal").as("avg_bal"))
+        val recent = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT" &&
+            $"o_orderdate" >= lit("1999-01-01").cast("date"))
+          .select($"o_custkey")
+        cust
+          .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+          .crossJoin(broadcast(avgBal))
+          .filter($"c_acctbal" > $"avg_bal")
+          .groupBy($"cntrycode")
+          .agg(count(lit(1)).as("numcust"),
+            round(sum($"c_acctbal"), 4).as("totacctbal"))
+          .orderBy($"cntrycode")
+      },
+      Some("""WITH avgbal AS (
+             |  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+             |)
+             |SELECT right(c_name, 2) AS cntrycode,
+             |  count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+             |FROM customer, avgbal
+             |WHERE c_acctbal > avg_bal
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_orderpriority = '1-URGENT'
+             |      AND o_orderdate >= DATE '1999-01-01')
+             |GROUP BY cntrycode
+             |ORDER BY cntrycode""".stripMargin)
+    ),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // EXISTS + NOT-EXISTS double correlation — "another supplier on the
+    // same order, but no OTHER supplier shipped late" — decorrelated
+    // into ONE grouped aggregate per order: count distinct suppliers,
+    // count distinct LATE suppliers, and when exactly one supplier is
+    // late, max() recovers which one. That single hash aggregate
+    // replaces Q21's textbook two extra lineitem self-joins — at 100 TB
+    // two fewer scans and shuffles of the fact. "Late" is adapted to
+    // this schema as shipping >60 days after the order date (the
+    // testdata carries no commit/receipt dates). Supplier names attach
+    // by broadcast at the end, on the tiny blamed-supplier aggregate.
+    OracleQuery(
+      "j23_tpch_q21",
+      (s, d) => {
+        import s.implicits._
+        val isLate = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")
+        val per = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_orderkey")
+          .agg(
+            countDistinct($"l_suppkey").as("n_supp"),
+            countDistinct(when(isLate, $"l_suppkey")).as("n_late"),
+            max(when(isLate, $"l_suppkey")).as("late_supp"))
+          .filter($"n_supp" >= 2 && $"n_late" === 1)
+        per.groupBy($"late_supp")
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(Tables.supplier(s, d)), $"late_supp" === $"s_suppkey")
+          .select($"s_name", $"numwait")
+          .orderBy($"numwait".desc, $"s_name")
+          .limit(20)
+      },
+      Some("""WITH per AS (
+             |  SELECT l_orderkey,
+             |    count(DISTINCT l_suppkey) AS n_supp,
+             |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |                        THEN l_suppkey END) AS n_late,
+             |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |             THEN l_suppkey END) AS late_supp
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY l_orderkey
+             |)
+             |SELECT s_name, count(*) AS numwait
+             |FROM per JOIN supplier ON late_supp = s_suppkey
+             |WHERE n_supp >= 2 AND n_late = 1
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 20""".stripMargin)
     )
   )
 }

@@ -86,6 +86,35 @@ class PlanSpec extends SparkSpec {
       !readSchema.contains("l_returnflag"), p)
   }
 
+  test("bloom-pruned join: the Bloom gate filters lineitem BELOW its exchange") {
+    val p = plan(Registry.queries("j18_bloom_pruned_join")(spark, sf))
+    // the probe is a pure Column predicate (shiftright over the literal
+    // word array) — it must sit in lineitem's Filter before any join
+    // exchange, or the pruning pays the shuffle it exists to avoid
+    val filterIdx = p.indexOf("shiftright")
+    assert(filterIdx >= 0, s"Bloom probe not found in plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly one lineitem scan: the gate and the exact join share it
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("TPC-H Q13: outer-join aggregate feeds tiny second aggregate, predicate stays in join") {
+    val p = plan(Registry.queries("j21_tpch_q13")(spark, sf))
+    // the priority filter must prune the orders SCAN (it lives in the
+    // join condition semantically, but Catalyst pushes it to the
+    // outer side's scan since it references only that side)
+    assert(p.contains("PushedFilters") && p.contains("o_orderpriority"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("TPC-H Q21: single lineitem scan — the double correlation folds into one aggregate") {
+    val p = plan(Registry.queries("j23_tpch_q21")(spark, sf))
+    // the textbook EXISTS + NOT EXISTS spelling re-scans lineitem twice;
+    // the decorrelated grouped-aggregate spelling must not
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("retention cohorts: no window operator, count-distinct keeps partial aggregation") {
     val p = plan(Registry.queries("pipe_retention_cohorts")(spark, sf))
     assert(!p.contains("Window"), p)
