@@ -784,6 +784,87 @@ object CoreQueries {
              |FROM orders o
              |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
              |ORDER BY edge""".stripMargin)
+    ),
+
+    // O19: incremental aggregate maintenance with retractions — keep a
+    // per-(event_type, day) stats table current against a CDC feed
+    // WITHOUT recomputing it from the fact. The change feed is derived
+    // deterministically (inserts = events after the cutoff; deletes =
+    // every 997th base row) so the oracle can rebuild the identical
+    // updated table and aggregate it from scratch — the equivalence
+    // the maintenance plan must reproduce.
+    //
+    // The 100 TB design splits state by mergeability:
+    //  - count/sum are ABELIAN-GROUP state: deletes retract as weight
+    //    −1, and the stored aggregate merges with the (tiny) signed
+    //    delta aggregate in one full-outer join keyed by group — the
+    //    fact table is NEVER rescanned for them;
+    //  - min/max are only SEMIGROUP state (a delete can remove the
+    //    current extremum), so they are recomputed — but ONLY for the
+    //    groups the delta touched, via a semi join that at scale is
+    //    partition pruning on day. Untouched groups keep their stored
+    //    row byte-for-byte.
+    // Groups whose rows are all deleted drop out (n=0); brand-new
+    // groups enter through the merge's full-outer side.
+    OracleQuery(
+      "o19_incremental_agg",
+      (s, d) => {
+        import s.implicits._
+        val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+        val ev = Tables.events(s, d)
+        val base = ev.filter($"ts" < cutoff)
+        val inserts = ev.filter($"ts" >= cutoff)
+        val deletes = base.filter($"event_id" % 997 === 0)
+        def keyed(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("day", date_trunc("day", $"ts"))
+        // the stored aggregate (stand-in for the materialized table)
+        val baseAgg = keyed(base).groupBy($"event_type", $"day")
+          .agg(count(lit(1)).as("bn"), sum($"value").as("bsum"),
+            min($"value").as("bmin"), max($"value").as("bmax"))
+        // signed delta: one pass over the (small) change feed
+        val deltaAgg = keyed(inserts.withColumn("w", lit(1L))
+            .unionByName(deletes.withColumn("w", lit(-1L))))
+          .groupBy($"event_type", $"day")
+          .agg(sum($"w").as("dn"), sum($"w" * $"value").as("dsum"))
+        val keys = Seq("event_type", "day")
+        // group-state merge: no fact scan
+        val merged = baseAgg.join(deltaAgg, keys, "full_outer")
+          .select($"event_type", $"day",
+            (coalesce($"bn", lit(0L)) + coalesce($"dn", lit(0L))).as("n"),
+            (coalesce($"bsum", lit(0.0)) + coalesce($"dsum", lit(0.0))).as("sum_value"))
+          .filter($"n" > 0)
+        // min/max rescan, key-pruned to the touched groups only
+        val affected = deltaAgg.select($"event_type", $"day")
+        val updated = base.filter($"event_id" % 997 =!= 0).unionByName(inserts)
+        val mm = keyed(updated)
+          .join(affected, keys, "left_semi")
+          .groupBy($"event_type", $"day")
+          .agg(min($"value").as("min_value"), max($"value").as("max_value"))
+        val untouched = baseAgg.join(affected, keys, "left_anti")
+          .select($"event_type", $"day", $"bn".as("n"), $"bsum".as("sum_value"),
+            $"bmin".as("min_value"), $"bmax".as("max_value"))
+        merged.join(mm, keys)
+          .unionByName(untouched)
+          .select($"event_type", $"day", $"n", round($"sum_value", 4).as("sum_value"),
+            round($"min_value", 4).as("min_value"), round($"max_value", 4).as("max_value"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH base AS (
+             |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+             |), ins AS (
+             |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+             |), updated AS (
+             |  SELECT * FROM base WHERE event_id % 997 <> 0
+             |  UNION ALL SELECT * FROM ins
+             |)
+             |SELECT event_type, date_trunc('day', ts) AS day,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 4) AS sum_value,
+             |  round(min(value), 4) AS min_value,
+             |  round(max(value), 4) AS max_value
+             |FROM updated
+             |GROUP BY event_type, day
+             |ORDER BY event_type, day""".stripMargin)
     )
   )
 }

@@ -115,6 +115,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("incremental agg: min/max rescan is semi-join-pruned, merge is full-outer") {
+    val p = plan(Registry.queries("o19_incremental_agg")(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("retention cohorts: no window operator, count-distinct keeps partial aggregation") {
     val p = plan(Registry.queries("pipe_retention_cohorts")(spark, sf))
     assert(!p.contains("Window"), p)
