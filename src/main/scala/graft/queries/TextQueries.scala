@@ -935,6 +935,96 @@ object TextQueries {
              |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
              |    '555-\d{4}', '<PHONE>', 'g') AS redacted
              |FROM pii ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Classifier-based quality filtering — the CCNet/GPT-3-style learned
+    // document filter: a logistic regression over bag-of-token counts,
+    // TRAINED DISTRIBUTED by full-batch gradient descent (3 unrolled
+    // epochs, lr 0.5, zero init). The label here is a deterministic
+    // source-parity rule so the DuckDB oracle can replay the exact same
+    // training run as a CTE chain and match the learned weights to 4
+    // decimals — the point under test is the TRAINING ALGEBRA, not the
+    // label semantics.
+    //
+    // 100 TB shape: each epoch is (a) one broadcast join of the weight
+    // vector onto the feature matrix + a doc-keyed aggregate for
+    // scores, and (b) one tok-keyed aggregate with map-side combine for
+    // the gradient — NO driver-side data, no per-row model updates; the
+    // weight state is itself a DataFrame keyed by feature (swap the
+    // token key for hash(token) % 2^20 and nothing else changes — the
+    // token-keyed spelling is what the oracle can replay). The feature
+    // matrix is built once and cached across epochs; in a production
+    // pipeline it is materialized to parquet instead (same plan).
+    OracleQuery(
+      "text_quality_classifier",
+      (s, d) => {
+        import s.implicits._
+        val lr = 0.5
+        val docs = Tables.documents(s, d)
+          .select($"doc_id",
+            split($"text", " ").as("ws"),
+            (substring($"source", 4, 10).cast("int") % 2).cast("double").as("y"))
+        val nDocs = docs.count().toDouble // model-fit dimension constant
+        val feats = docs
+          .select($"doc_id", explode($"ws").as("tok"))
+          .groupBy($"doc_id", $"tok")
+          .agg(count(lit(1)).cast("double").as("x"))
+          .unionByName(docs.select($"doc_id", lit("__bias__").as("tok"), lit(1.0).as("x")))
+          .cache()
+        val labels = docs.select($"doc_id", $"y")
+        var w: org.apache.spark.sql.DataFrame = null
+        // sigmoid(0) = 0.5 everywhere at zero init — no join needed
+        var probs = labels.select($"doc_id", lit(0.5).as("p"))
+        for (t <- 1 to 3) {
+          val grad = feats
+            .join(labels, "doc_id").join(probs, "doc_id")
+            .groupBy($"tok")
+            .agg((sum($"x" * ($"p" - $"y")) / lit(nDocs)).as("g"))
+          w = if (w == null) grad.select($"tok", (lit(-lr) * $"g").as("w"))
+              else w.join(grad, "tok").select($"tok", ($"w" - lit(lr) * $"g").as("w"))
+          if (t < 3) {
+            val scores = feats.join(broadcast(w), "tok")
+              .groupBy($"doc_id").agg(sum($"x" * $"w").as("score"))
+            probs = scores.select($"doc_id",
+              (lit(1.0) / (lit(1.0) + exp(-$"score"))).as("p"))
+          }
+        }
+        w.select($"tok", round($"w", 4).as("weight")).orderBy($"tok")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, text, CAST(CAST(substr(source, 4, 10) AS INT) % 2 AS DOUBLE) AS y
+             |  FROM documents
+             |), nn AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n FROM docs
+             |), feats AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS x FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs
+             |  ) GROUP BY doc_id, tok
+             |  UNION ALL
+             |  SELECT doc_id, '__bias__', 1.0 FROM docs
+             |), g1 AS (
+             |  SELECT tok, sum(x * (0.5 - y)) / (SELECT n FROM nn) AS g
+             |  FROM feats JOIN docs USING (doc_id) GROUP BY tok
+             |), w1 AS (
+             |  SELECT tok, -0.5 * g AS w FROM g1
+             |), p2 AS (
+             |  SELECT doc_id, 1.0 / (1.0 + exp(-sum(feats.x * w1.w))) AS p
+             |  FROM feats JOIN w1 USING (tok) GROUP BY doc_id
+             |), g2 AS (
+             |  SELECT tok, sum(x * (p - y)) / (SELECT n FROM nn) AS g
+             |  FROM feats JOIN docs USING (doc_id) JOIN p2 USING (doc_id) GROUP BY tok
+             |), w2 AS (
+             |  SELECT w1.tok, w1.w - 0.5 * g2.g AS w FROM w1 JOIN g2 ON w1.tok = g2.tok
+             |), p3 AS (
+             |  SELECT doc_id, 1.0 / (1.0 + exp(-sum(feats.x * w2.w))) AS p
+             |  FROM feats JOIN w2 USING (tok) GROUP BY doc_id
+             |), g3 AS (
+             |  SELECT tok, sum(x * (p - y)) / (SELECT n FROM nn) AS g
+             |  FROM feats JOIN docs USING (doc_id) JOIN p3 USING (doc_id) GROUP BY tok
+             |), w3 AS (
+             |  SELECT w2.tok, w2.w - 0.5 * g3.g AS w FROM w2 JOIN g3 ON w2.tok = g3.tok
+             |)
+             |SELECT tok, round(w, 4) AS weight FROM w3 ORDER BY tok""".stripMargin)
     )
   )
 
