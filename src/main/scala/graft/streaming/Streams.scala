@@ -98,6 +98,31 @@ object Streams {
       .toDF("doc_id", "text").as[(Long, String)]
   }
 
+  /** Streaming dedup with a BOUNDED retention horizon — the TTL variant
+    * of [[dedupDocsStream]] for feeds where duplicates only ever arrive
+    * close together (retried ingests, at-least-once upstream queues):
+    * a key's fingerprint is remembered only until the event-time
+    * watermark passes its arrival time plus `horizon`, then evicted.
+    * State is O(keys-per-horizon) instead of O(all keys ever) — the
+    * difference between a state store that grows forever and one that
+    * plateaus at (ingest rate × horizon).
+    *
+    * Spark-first: this is exactly `dropDuplicatesWithinWatermark`, the
+    * built-in watermark-evicted dedup operator (its state eviction and
+    * exactly-once-per-horizon guarantees come with the platform; a
+    * flatMapGroupsWithState + EventTimeTimeout re-implementation would
+    * carry the same semantics at more code). The contract is one-sided
+    * like every gate here: duplicates WITHIN the horizon are dropped
+    * with certainty; a duplicate arriving after its predecessor's state
+    * was evicted re-admits — callers needing forever-dedup run the
+    * admitted stream through the batch [[graft.ops.DedupIndex]] probe.
+    */
+  def dedupWithinHorizonStream(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming corpus intake with quality gating: new document files →
     * map-side quality features (the SAME expressions as the batch
     * text_quality_score query, via queries.TextFeatures — a doc scores
