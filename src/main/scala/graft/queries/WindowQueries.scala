@@ -386,6 +386,38 @@ object WindowQueries {
                |SELECT user_id, count(*) AS n_intervals,
                |  CAST(sum(e_us - s_us) // 1000000 AS BIGINT) AS covered_sec
                |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin)
+      ),
+
+      // W13: rolling median / p90 over a bounded row frame — the
+      // robust-trend twin of W1's trailing mean (spike-resistant
+      // monitoring thresholds, robust feature windows). The frame is
+      // the point: an exact percentile over ROWS BETWEEN 29 PRECEDING
+      // buffers at most 30 values per row — O(frame) memory, safe at
+      // any scale — unlike the whole-group exact percentile family
+      // (a8/a16/a17), which buffers the entire group and is sf-pinned
+      // with percentile_approx twins. Both quantiles ride the same
+      // window spec: one (user_id) exchange, one sort.
+      OracleQuery(
+        "w13_rolling_median",
+        (s, d) => {
+          import s.implicits._
+          val wf = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+            .rowsBetween(-29, Window.currentRow)
+          Tables.events(s, d)
+            .filter($"user_id" < 40)
+            .select($"user_id", $"event_id", $"ts", $"value")
+            .withColumn("med30", round(expr("percentile(value, 0.5)").over(wf), 4))
+            .withColumn("p90_30", round(expr("percentile(value, 0.9)").over(wf), 4))
+            .select($"user_id", $"event_id", $"med30", $"p90_30")
+            .orderBy($"user_id", $"event_id")
+        },
+        Some("""SELECT user_id, event_id,
+               |  round(quantile_cont(value, 0.5) OVER w, 4) AS med30,
+               |  round(quantile_cont(value, 0.9) OVER w, 4) AS p90_30
+               |FROM events WHERE user_id < 40
+               |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               |  ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+               |ORDER BY user_id, event_id""".stripMargin)
       )
     )
   }

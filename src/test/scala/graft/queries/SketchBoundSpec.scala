@@ -27,6 +27,30 @@ class SketchBoundSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketches re-aggregate: daily sketch union equals the direct estimate") {
+    // The property that makes 100 TB distinct-count dashboards possible:
+    // persist one sketch per (slice, day) and answer ANY date-range
+    // distinct-count by merging sketches — never rescanning the fact.
+    // Union of same-lgK HLL sketches is register-wise max, i.e. exactly
+    // the sketch the direct pass builds, so the reaggregated estimate
+    // must EQUAL the direct one (not just approximate it); both stay
+    // inside the usual error envelope of the exact count.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.01")
+    val daily = ev.groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val merged = daily.agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+      .first().getLong(0)
+    val direct = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .first().getLong(0)
+    val exact = ev.select(countDistinct($"user_id")).first().getLong(0)
+    assert(merged == direct,
+      s"sketch reaggregation diverged: merged=$merged direct=$direct")
+    assert(math.abs(merged - exact).toDouble / exact <= 0.15,
+      s"estimate $merged outside 3-sigma envelope of exact $exact")
+  }
+
   test("a14: HLL approx distinct within 3×rsd of exact, per group") {
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = Registry.queries("a14_approx_distinct")(spark, sf).collect()
