@@ -726,6 +726,41 @@ object AggQueries {
              |SELECT bin, n, round(mean_conf, 4) AS mean_conf,
              |  round(obs_rate, 4) AS obs_rate, round(e.ece, 4) AS ece
              |FROM bins CROSS JOIN e ORDER BY bin""".stripMargin)
+    ),
+
+    // A23: grouped top-k through the BOUNDED mergeable aggregate
+    // (functions/BoundedTopK) instead of the row_number window. The
+    // window spelling — which the ORACLE deliberately uses — shuffles
+    // and sorts EVERY order of every priority group to keep 3; the
+    // aggregate's map-side partial caps each buffer at 2k candidates,
+    // so the exchange carries ≤ k rows per (mapper, group) and a hot
+    // group never serializes its history through one task's sort.
+    // Equality of the two spellings under the (score DESC, id ASC)
+    // total order is exactly what the hash compare proves.
+    OracleQuery(
+      "a23_grouped_topk",
+      (s, d) => {
+        import s.implicits._
+        val topk = graft.functions.BoundedTopK.udaf(3)
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(topk($"o_totalprice", $"o_orderkey").as("tk"))
+          .select($"o_orderpriority", posexplode($"tk"))
+          .select($"o_orderpriority",
+            ($"pos" + 1).cast("long").as("rank"),
+            round($"col._1", 4).as("o_totalprice"),
+            $"col._2".as("o_orderkey"))
+          .orderBy($"o_orderpriority", $"rank")
+      },
+      Some("""SELECT o_orderpriority, rank, round(o_totalprice, 4) AS o_totalprice, o_orderkey
+             |FROM (
+             |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |  FROM orders
+             |)
+             |WHERE rank <= 3
+             |ORDER BY o_orderpriority, rank""".stripMargin)
     )
   )
 }
