@@ -38,7 +38,12 @@ object Bench {
     "j17_tpch_q18",        // HAVING-driven join, one lineitem scan
     "pipe_retention_cohorts", // window-free retention matrix
     "a20_auc_ranksum",     // prefix-sum rank-sum AUC
-    "w12_interval_islands") // gaps-and-islands interval merge
+    "w12_interval_islands", // gaps-and-islands interval merge
+    "j18_bloom_pruned_join", // runtime Bloom semi-join reduction
+    "o19_incremental_agg", // CDC aggregate maintenance w/ retractions
+    "text_quality_classifier", // distributed LR training (3 epochs)
+    "a23_grouped_topk",    // bounded mergeable per-group top-k
+    "w13_rolling_median")  // frame-bounded rolling quantiles
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

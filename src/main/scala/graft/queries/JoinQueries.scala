@@ -605,15 +605,19 @@ object JoinQueries {
       (s, d) => {
         import s.implicits._
         val mBits = 1 << 14
-        val keyH = Shingles.h60("CAST(o_orderkey AS STRING)")
+        // the Bloom image is PHYSICAL state — the oracle runs the plain
+        // join, so any strong hash yields the identical result; 60 bits
+        // of xxhash64 whole-stage-codegens where an md5-conv chain costs
+        // more than the join it prunes (the ops/SkewJoin lesson)
+        def h60(c: org.apache.spark.sql.Column) =
+          xxhash64(c).bitwiseAND(lit(0x0FFFFFFFFFFFFFFFL))
         val sel = Tables.orders(s, d)
           .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 150000.0)
           .select($"o_orderkey", $"o_orderdate")
         val words = graft.ops.Bloom.build(
-          sel.select(expr(keyH).as("kh")), "kh", mBits)
+          sel.select(h60($"o_orderkey").as("kh")), "kh", mBits)
         val li = Tables.lineitem(s, d)
-          .filter(graft.ops.Bloom.mightContain(
-            words, mBits, expr(Shingles.h60("CAST(l_orderkey AS STRING)"))))
+          .filter(graft.ops.Bloom.mightContain(words, mBits, h60($"l_orderkey")))
         li.join(sel, $"l_orderkey" === $"o_orderkey")
           .groupBy(date_trunc("month", $"o_orderdate").as("month"))
           .agg(count(lit(1)).as("n_items"),
