@@ -788,7 +788,8 @@ object CoreQueries {
 
     // O19: incremental aggregate maintenance with retractions — keep a
     // per-(event_type, day) stats table current against a CDC feed
-    // WITHOUT recomputing it from the fact. The change feed is derived
+    // WITHOUT recomputing it from the fact (library operator:
+    // ops/IncrementalAgg; this entry is its oracle-checked instance). The change feed is derived
     // deterministically (inserts = events after the cutoff; deletes =
     // every 997th base row) so the oracle can rebuild the identical
     // updated table and aggregate it from scratch — the equivalence
@@ -811,42 +812,25 @@ object CoreQueries {
       (s, d) => {
         import s.implicits._
         val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
-        val ev = Tables.events(s, d)
+        def keyed(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("day", date_trunc("day", $"ts"))
+        val ev = keyed(Tables.events(s, d))
         val base = ev.filter($"ts" < cutoff)
         val inserts = ev.filter($"ts" >= cutoff)
         val deletes = base.filter($"event_id" % 997 === 0)
-        def keyed(df: org.apache.spark.sql.DataFrame) =
-          df.withColumn("day", date_trunc("day", $"ts"))
+        val spec = graft.ops.IncrementalAgg.Spec(
+          keys = Seq("event_type", "day"), sumCols = Seq("value"), minMaxCols = Seq("value"))
         // the stored aggregate (stand-in for the materialized table)
-        val baseAgg = keyed(base).groupBy($"event_type", $"day")
-          .agg(count(lit(1)).as("bn"), sum($"value").as("bsum"),
-            min($"value").as("bmin"), max($"value").as("bmax"))
-        // signed delta: one pass over the (small) change feed
-        val deltaAgg = keyed(inserts.withColumn("w", lit(1L))
-            .unionByName(deletes.withColumn("w", lit(-1L))))
-          .groupBy($"event_type", $"day")
-          .agg(sum($"w").as("dn"), sum($"w" * $"value").as("dsum"))
-        val keys = Seq("event_type", "day")
-        // group-state merge: no fact scan
-        val merged = baseAgg.join(deltaAgg, keys, "full_outer")
-          .select($"event_type", $"day",
-            (coalesce($"bn", lit(0L)) + coalesce($"dn", lit(0L))).as("n"),
-            (coalesce($"bsum", lit(0.0)) + coalesce($"dsum", lit(0.0))).as("sum_value"))
-          .filter($"n" > 0)
-        // min/max rescan, key-pruned to the touched groups only
-        val affected = deltaAgg.select($"event_type", $"day")
-        val updated = base.filter($"event_id" % 997 =!= 0).unionByName(inserts)
-        val mm = keyed(updated)
-          .join(affected, keys, "left_semi")
-          .groupBy($"event_type", $"day")
-          .agg(min($"value").as("min_value"), max($"value").as("max_value"))
-        val untouched = baseAgg.join(affected, keys, "left_anti")
-          .select($"event_type", $"day", $"bn".as("n"), $"bsum".as("sum_value"),
-            $"bmin".as("min_value"), $"bmax".as("max_value"))
-        merged.join(mm, keys)
-          .unionByName(untouched)
-          .select($"event_type", $"day", $"n", round($"sum_value", 4).as("sum_value"),
-            round($"min_value", 4).as("min_value"), round($"max_value", 4).as("max_value"))
+        val stored = graft.ops.IncrementalAgg.storedAggregate(base, spec)
+        val changes = inserts.withColumn("w", lit(1L))
+          .unionByName(deletes.withColumn("w", lit(-1L)))
+        // post-change logical table as ONE pruned scan, not a union
+        val updated = ev.filter(!($"ts" < cutoff && $"event_id" % 997 === 0))
+        graft.ops.IncrementalAgg.maintain(stored, changes, updated, spec)
+          .select($"event_type", $"day", $"n",
+            round($"sum_value", 4).as("sum_value"),
+            round($"min_value", 4).as("min_value"),
+            round($"max_value", 4).as("max_value"))
           .orderBy($"event_type", $"day")
       },
       Some("""WITH base AS (
