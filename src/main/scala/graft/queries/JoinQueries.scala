@@ -767,6 +767,242 @@ object JoinQueries {
              |GROUP BY s_name
              |ORDER BY numwait DESC, s_name
              |LIMIT 20""".stripMargin)
+    ),
+
+    // TPC-H Q4 shape (order priority checking): EXISTS as a LEFT SEMI
+    // join with a compound condition — the correlated predicate
+    // (shipped >30 days after THIS order's date; the testdata carries
+    // no commit/receipt dates) rides the join, so lineitem contributes
+    // at most one match probe per order and never widens the output.
+    // The orders date filter prunes the scan; the aggregate is tiny.
+    OracleQuery(
+      "j24_tpch_q4",
+      (s, d) => {
+        import s.implicits._
+        val ords = Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-07-01").cast("date") &&
+            $"o_orderdate" < lit("1996-10-01").cast("date"))
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+        ords.join(li,
+            $"l_orderkey" === $"o_orderkey" &&
+              $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // TPC-H Q7 shape (volume shipping between a nation pair): the same
+    // 25-row nation dim joins TWICE under different roles (supplier's
+    // vs customer's), with the pair predicate as an OR of the two
+    // directions. Both nation joins broadcast; the pair filter applies
+    // to the joined roles, and supplier — small at TPC-H ratios —
+    // broadcasts too, so only orders⋈lineitem shuffles. Grouped by the
+    // (direction, shipment year) tuple.
+    OracleQuery(
+      "j25_tpch_q7",
+      (s, d) => {
+        import s.implicits._
+        val n1 = Tables.nation(s, d).select($"n_nationkey".as("nk1"), $"n_name".as("supp_nation"))
+        val n2 = Tables.nation(s, d).select($"n_nationkey".as("nk2"), $"n_name".as("cust_nation"))
+        Tables.supplier(s, d)
+          .join(Tables.lineitem(s, d), $"s_suppkey" === $"l_suppkey")
+          .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+            $"o_orderkey" === $"l_orderkey")
+          .join(Tables.customer(s, d), $"c_custkey" === $"o_custkey")
+          .join(broadcast(n1), $"s_nationkey" === $"nk1")
+          .join(broadcast(n2), $"c_nationkey" === $"nk2")
+          .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+            ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+          .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    year(l_shipdate) AS l_year,
+             |    l_extendedprice * (1 - l_discount) AS volume
+             |  FROM supplier
+             |  JOIN lineitem ON s_suppkey = l_suppkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |)
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    ),
+
+    // TPC-H Q8 shape (national market share): the deepest standard-form
+    // join tree expressible on this schema — part⋈lineitem⋈orders⋈
+    // customer⋈nation⋈region on the demand side, supplier⋈nation on the
+    // supply side — with the share computed as a conditional-over-total
+    // ratio inside ONE hash aggregate per year. Every dimension
+    // broadcasts; the part p_type filter prunes the fact via the join;
+    // only orders⋈lineitem exchanges.
+    OracleQuery(
+      "j26_tpch_q8",
+      (s, d) => {
+        import s.implicits._
+        val n1 = Tables.nation(s, d).select($"n_nationkey".as("nk1"), $"n_regionkey".as("rk1"))
+        val n2 = Tables.nation(s, d).select($"n_nationkey".as("nk2"), $"n_name".as("nation"))
+        val reg = Tables.region(s, d).filter($"r_name" === "AMERICA")
+        Tables.part(s, d).filter($"p_type" === "ECONOMY")
+          .join(Tables.lineitem(s, d), $"p_partkey" === $"l_partkey")
+          .join(Tables.orders(s, d)
+              .filter($"o_orderdate" >= lit("1996-01-01").cast("date") &&
+                $"o_orderdate" < lit("1998-01-01").cast("date")),
+            $"l_orderkey" === $"o_orderkey")
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n1), $"c_nationkey" === $"nk1")
+          .join(broadcast(reg), $"rk1" === $"r_regionkey")
+          .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(n2), $"s_nationkey" === $"nk2")
+          .groupBy(year($"o_orderdate").as("o_year"))
+          .agg(round(
+            sum(when($"nation" === "NATION_5", $"l_extendedprice" * (lit(1) - $"l_discount"))
+              .otherwise(0.0)) /
+              sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("mkt_share"))
+          .orderBy($"o_year")
+      },
+      Some("""WITH all_nations AS (
+             |  SELECT year(o_orderdate) AS o_year,
+             |    l_extendedprice * (1 - l_discount) AS volume,
+             |    n2.n_name AS nation
+             |  FROM part
+             |  JOIN lineitem ON p_partkey = l_partkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region ON n1.n_regionkey = r_regionkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+             |    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+             |)
+             |SELECT o_year,
+             |  round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             |    / sum(volume), 4) AS mkt_share
+             |FROM all_nations GROUP BY o_year ORDER BY o_year""".stripMargin)
+    ),
+
+    // TPC-H Q12 shape (shipping-priority audit): fact⋈fact join whose
+    // aggregate is a pair of conditional counts — both CASE branches
+    // fold into the same hash aggregate, one pass, no second scan.
+    // Lateness is the row-local shipdate-vs-orderdate comparison
+    // (adapted: no receipt/commit dates), the mode axis is returnflag.
+    OracleQuery(
+      "j27_tpch_q12",
+      (s, d) => {
+        import s.implicits._
+        val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+        Tables.orders(s, d).select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+          .join(Tables.lineitem(s, d)
+              .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1997-01-01").cast("timestamp")),
+            $"o_orderkey" === $"l_orderkey")
+          .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+          .groupBy($"l_returnflag")
+          .agg(
+            sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // TPC-H Q15 shape (top supplier): an aggregate VIEW consumed twice —
+    // once for the per-supplier revenue, once for its max. The view is
+    // MATERIALIZED (cache — |suppliers| rows, the thing a real pipeline
+    // would write out) so lineitem is scanned exactly once; the max
+    // then broadcasts back as a 1-row scalar join, and supplier
+    // attaches by broadcast at the end. Without the materialization
+    // Catalyst plans two full fact scans — AQE's exchange reuse does
+    // NOT unify them here because the broadcast side's exchange sits
+    // inside a separate broadcast stage. The revenue is rounded BEFORE
+    // the max/equality so the winner set is decided on the same
+    // 4-decimal values in both engines.
+    OracleQuery(
+      "j28_tpch_q15",
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.lineitem(s, d)
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+          .groupBy($"l_suppkey".as("supplier_no"))
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("total_revenue"))
+          .cache()
+        val top = rev.agg(max($"total_revenue").as("max_revenue"))
+        rev.crossJoin(broadcast(top))
+          .filter($"total_revenue" === $"max_revenue")
+          .join(broadcast(Tables.supplier(s, d)), $"supplier_no" === $"s_suppkey")
+          .select($"s_suppkey", $"s_name", $"total_revenue")
+          .orderBy($"s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY l_suppkey
+             |)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM supplier JOIN rev ON s_suppkey = supplier_no
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)
+    ),
+
+    // TPC-H Q19 shape (discounted revenue): the OR-of-ANDs predicate
+    // diagnostic — three conjunctive branches over mixed part/lineitem
+    // columns. The optimizer must factor the lineitem-only bounds out
+    // of the disjunction far enough to keep the join a plain equi-join
+    // (no nested loop), and the part dim broadcasts; the residual OR
+    // evaluates post-join as one codegen'd predicate.
+    OracleQuery(
+      "j29_tpch_q19",
+      (s, d) => {
+        import s.implicits._
+        def branch(brand: String, sizeHi: Int, qLo: Double, qHi: Double) =
+          $"p_brand" === brand && $"p_size".between(1, sizeHi) &&
+            $"l_quantity".between(qLo, qHi)
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), $"p_partkey" === $"l_partkey")
+          .filter(branch("Brand#12", 15, 1, 11) ||
+            branch("Brand#23", 20, 10, 20) ||
+            branch("Brand#15", 25, 20, 30))
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
     )
   )
 }

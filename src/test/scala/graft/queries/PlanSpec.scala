@@ -122,6 +122,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("TPC-H Q8: every dimension broadcasts — the fact never shuffles for a dim") {
+    val p = plan(Registry.queries("j26_tpch_q8")(spark, sf))
+    // nation (×2), region, supplier, and filtered part all ride
+    // BroadcastHashJoins; a SortMergeJoin against any of them means a
+    // dim dragged the 100 TB side through an exchange
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("TPC-H Q19: OR-of-ANDs stays an equi-join, single lineitem scan; Q15: one scan") {
+    val q19 = plan(Registry.queries("j29_tpch_q19")(spark, sf))
+    assert(!q19.contains("CartesianProduct") && !q19.contains("BroadcastNestedLoopJoin"), q19)
+    assert("lineitem\\.parquet".r.findAllIn(q19).length == 1, q19)
+    // Q15's aggregate view feeds both the revenue rows and their max —
+    // it must be materialized (InMemoryTableScan on both consumers) so
+    // the fact is scanned once; two independent lineitem subtrees here
+    // would mean the view lost its cache
+    val q15 = plan(Registry.queries("j28_tpch_q15")(spark, sf))
+    assert("InMemoryTableScan".r.findAllIn(q15).length == 2, q15)
+  }
+
   test("retention cohorts: no window operator, count-distinct keeps partial aggregation") {
     val p = plan(Registry.queries("pipe_retention_cohorts")(spark, sf))
     assert(!p.contains("Window"), p)
