@@ -61,6 +61,86 @@ object TextQueries {
       |  )
       |)""".stripMargin
 
+  /** Shared trainer for the two `text_quality_classifier*` entries:
+    * logistic regression over bag-of-token counts, three unrolled
+    * full-batch gradient epochs (lr 0.5, zero init), label = source
+    * parity. Returns (features, labels, learned weights); the feature
+    * matrix is cached — it is read twice per epoch. See the
+    * text_quality_classifier entry for the design commentary. */
+  private def lrQualityTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val lr = 0.5
+    val docs = Tables.documents(s, d)
+      .select($"doc_id",
+        split($"text", " ").as("ws"),
+        (substring($"source", 4, 10).cast("int") % 2).cast("double").as("y"))
+    val nDocs = docs.count().toDouble // model-fit dimension constant
+    val feats = docs
+      .select($"doc_id", explode($"ws").as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).cast("double").as("x"))
+      .unionByName(docs.select($"doc_id", lit("__bias__").as("tok"), lit(1.0).as("x")))
+      .cache()
+    val labels = docs.select($"doc_id", $"y")
+    var w: org.apache.spark.sql.DataFrame = null
+    // sigmoid(0) = 0.5 everywhere at zero init — no join needed
+    var probs = labels.select($"doc_id", lit(0.5).as("p"))
+    for (t <- 1 to 3) {
+      val grad = feats
+        .join(labels, "doc_id").join(probs, "doc_id")
+        .groupBy($"tok")
+        .agg((sum($"x" * ($"p" - $"y")) / lit(nDocs)).as("g"))
+      w = if (w == null) grad.select($"tok", (lit(-lr) * $"g").as("w"))
+          else w.join(grad, "tok").select($"tok", ($"w" - lit(lr) * $"g").as("w"))
+      if (t < 3) {
+        val scores = feats.join(broadcast(w), "tok")
+          .groupBy($"doc_id").agg(sum($"x" * $"w").as("score"))
+        probs = scores.select($"doc_id",
+          (lit(1.0) / (lit(1.0) + exp(-$"score"))).as("p"))
+      }
+    }
+    (feats, labels, w)
+  }
+
+  /** The unrolled-training CTE chain shared by both classifier oracles
+    * (w3 = the learned weights after epoch 3). */
+  private val lrOraclePrefix: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text, CAST(CAST(substr(source, 4, 10) AS INT) % 2 AS DOUBLE) AS y
+      |  FROM documents
+      |), nn AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n FROM docs
+      |), feats AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS x FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs
+      |  ) GROUP BY doc_id, tok
+      |  UNION ALL
+      |  SELECT doc_id, '__bias__', 1.0 FROM docs
+      |), g1 AS (
+      |  SELECT tok, sum(x * (0.5 - y)) / (SELECT n FROM nn) AS g
+      |  FROM feats JOIN docs USING (doc_id) GROUP BY tok
+      |), w1 AS (
+      |  SELECT tok, -0.5 * g AS w FROM g1
+      |), p2 AS (
+      |  SELECT doc_id, 1.0 / (1.0 + exp(-sum(feats.x * w1.w))) AS p
+      |  FROM feats JOIN w1 USING (tok) GROUP BY doc_id
+      |), g2 AS (
+      |  SELECT tok, sum(x * (p - y)) / (SELECT n FROM nn) AS g
+      |  FROM feats JOIN docs USING (doc_id) JOIN p2 USING (doc_id) GROUP BY tok
+      |), w2 AS (
+      |  SELECT w1.tok, w1.w - 0.5 * g2.g AS w FROM w1 JOIN g2 ON w1.tok = g2.tok
+      |), p3 AS (
+      |  SELECT doc_id, 1.0 / (1.0 + exp(-sum(feats.x * w2.w))) AS p
+      |  FROM feats JOIN w2 USING (tok) GROUP BY doc_id
+      |), g3 AS (
+      |  SELECT tok, sum(x * (p - y)) / (SELECT n FROM nn) AS g
+      |  FROM feats JOIN docs USING (doc_id) JOIN p3 USING (doc_id) GROUP BY tok
+      |), w3 AS (
+      |  SELECT w2.tok, w2.w - 0.5 * g3.g AS w FROM w2 JOIN g3 ON w2.tok = g3.tok
+      |)""".stripMargin
+
   def all: Seq[OracleQuery] = Seq(
     // Token counting: whitespace tokens + a regex word tokenizer (the
     // "BPE-ish" pre-tokenizer split: letter runs vs non-space symbols).
@@ -959,72 +1039,39 @@ object TextQueries {
       "text_quality_classifier",
       (s, d) => {
         import s.implicits._
-        val lr = 0.5
-        val docs = Tables.documents(s, d)
-          .select($"doc_id",
-            split($"text", " ").as("ws"),
-            (substring($"source", 4, 10).cast("int") % 2).cast("double").as("y"))
-        val nDocs = docs.count().toDouble // model-fit dimension constant
-        val feats = docs
-          .select($"doc_id", explode($"ws").as("tok"))
-          .groupBy($"doc_id", $"tok")
-          .agg(count(lit(1)).cast("double").as("x"))
-          .unionByName(docs.select($"doc_id", lit("__bias__").as("tok"), lit(1.0).as("x")))
-          .cache()
-        val labels = docs.select($"doc_id", $"y")
-        var w: org.apache.spark.sql.DataFrame = null
-        // sigmoid(0) = 0.5 everywhere at zero init — no join needed
-        var probs = labels.select($"doc_id", lit(0.5).as("p"))
-        for (t <- 1 to 3) {
-          val grad = feats
-            .join(labels, "doc_id").join(probs, "doc_id")
-            .groupBy($"tok")
-            .agg((sum($"x" * ($"p" - $"y")) / lit(nDocs)).as("g"))
-          w = if (w == null) grad.select($"tok", (lit(-lr) * $"g").as("w"))
-              else w.join(grad, "tok").select($"tok", ($"w" - lit(lr) * $"g").as("w"))
-          if (t < 3) {
-            val scores = feats.join(broadcast(w), "tok")
-              .groupBy($"doc_id").agg(sum($"x" * $"w").as("score"))
-            probs = scores.select($"doc_id",
-              (lit(1.0) / (lit(1.0) + exp(-$"score"))).as("p"))
-          }
-        }
+        val (_, _, w) = lrQualityTrain(s, d)
         w.select($"tok", round($"w", 4).as("weight")).orderBy($"tok")
       },
-      Some("""WITH docs AS (
-             |  SELECT doc_id, text, CAST(CAST(substr(source, 4, 10) AS INT) % 2 AS DOUBLE) AS y
-             |  FROM documents
-             |), nn AS (
-             |  SELECT CAST(count(*) AS DOUBLE) AS n FROM docs
-             |), feats AS (
-             |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS x FROM (
-             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs
-             |  ) GROUP BY doc_id, tok
-             |  UNION ALL
-             |  SELECT doc_id, '__bias__', 1.0 FROM docs
-             |), g1 AS (
-             |  SELECT tok, sum(x * (0.5 - y)) / (SELECT n FROM nn) AS g
-             |  FROM feats JOIN docs USING (doc_id) GROUP BY tok
-             |), w1 AS (
-             |  SELECT tok, -0.5 * g AS w FROM g1
-             |), p2 AS (
-             |  SELECT doc_id, 1.0 / (1.0 + exp(-sum(feats.x * w1.w))) AS p
-             |  FROM feats JOIN w1 USING (tok) GROUP BY doc_id
-             |), g2 AS (
-             |  SELECT tok, sum(x * (p - y)) / (SELECT n FROM nn) AS g
-             |  FROM feats JOIN docs USING (doc_id) JOIN p2 USING (doc_id) GROUP BY tok
-             |), w2 AS (
-             |  SELECT w1.tok, w1.w - 0.5 * g2.g AS w FROM w1 JOIN g2 ON w1.tok = g2.tok
-             |), p3 AS (
-             |  SELECT doc_id, 1.0 / (1.0 + exp(-sum(feats.x * w2.w))) AS p
-             |  FROM feats JOIN w2 USING (tok) GROUP BY doc_id
-             |), g3 AS (
-             |  SELECT tok, sum(x * (p - y)) / (SELECT n FROM nn) AS g
-             |  FROM feats JOIN docs USING (doc_id) JOIN p3 USING (doc_id) GROUP BY tok
-             |), w3 AS (
-             |  SELECT w2.tok, w2.w - 0.5 * g3.g AS w FROM w2 JOIN g3 ON w2.tok = g3.tok
-             |)
-             |SELECT tok, round(w, 4) AS weight FROM w3 ORDER BY tok""".stripMargin)
+      Some(lrOraclePrefix +
+        "\nSELECT tok, round(w, 4) AS weight FROM w3 ORDER BY tok")
+    ),
+
+    // The inference half of the classifier: score EVERY document with
+    // the learned weights (one broadcast weight join + a doc-keyed
+    // aggregate — the map-side-cheap pass a curation pipeline runs over
+    // the full corpus) and emit (doc, label, score). The oracle replays
+    // training AND scoring, so train→inference is checked end to end;
+    // thresholding the score column is the actual quality gate.
+    OracleQuery(
+      "text_quality_classifier_scored",
+      (s, d) => {
+        import s.implicits._
+        val (feats, labels, w) = lrQualityTrain(s, d)
+        feats.join(broadcast(w), "tok")
+          .groupBy($"doc_id").agg(sum($"x" * $"w").as("score"))
+          .join(labels, "doc_id")
+          .select($"doc_id", $"y".cast("long").as("label"),
+            round(lit(1.0) / (lit(1.0) + exp(-$"score")), 4).as("score"))
+          .orderBy($"doc_id")
+      },
+      Some(lrOraclePrefix + """
+        |, p4 AS (
+        |  SELECT doc_id, 1.0 / (1.0 + exp(-sum(feats.x * w3.w))) AS p
+        |  FROM feats JOIN w3 USING (tok) GROUP BY doc_id
+        |)
+        |SELECT docs.doc_id, CAST(docs.y AS BIGINT) AS label,
+        |  round(p4.p, 4) AS score
+        |FROM docs JOIN p4 USING (doc_id) ORDER BY docs.doc_id""".stripMargin)
     )
   )
 
