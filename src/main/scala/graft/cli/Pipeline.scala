@@ -261,6 +261,31 @@ object Pipeline {
         .map(_.count()).getOrElse(0L)
       println(s"[graft] snapshot-merge: snapshot at $snapshotDir now holds $n keys")
 
+    case "agg-build" :: factDir :: keysCsv :: sumsCsv :: mmCsv :: outDir :: Nil =>
+      // materialize the stored aggregate ops/IncrementalAgg maintains;
+      // empty-string csv → none of that column class
+      val spec = graft.ops.IncrementalAgg.Spec(
+        keysCsv.split(',').toSeq.filter(_.nonEmpty),
+        sumsCsv.split(',').toSeq.filter(_.nonEmpty),
+        mmCsv.split(',').toSeq.filter(_.nonEmpty))
+      graft.ops.IncrementalAgg.storedAggregate(spark.read.parquet(factDir), spec)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] agg-build: ${spark.read.parquet(outDir).count()} group rows at $outDir")
+
+    case "agg-maintain" :: aggDir :: changesDir :: factDir :: keysCsv :: sumsCsv :: mmCsv :: outDir :: Nil =>
+      // fold a signed change feed (+1/-1 in column `w`) into the stored
+      // aggregate; the post-change fact is read ONLY for min/max of
+      // delta-touched groups (key-pruned semi join)
+      val spec = graft.ops.IncrementalAgg.Spec(
+        keysCsv.split(',').toSeq.filter(_.nonEmpty),
+        sumsCsv.split(',').toSeq.filter(_.nonEmpty),
+        mmCsv.split(',').toSeq.filter(_.nonEmpty))
+      graft.ops.IncrementalAgg.maintain(
+          spark.read.parquet(aggDir), spark.read.parquet(changesDir),
+          spark.read.parquet(factDir), spec)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[graft] agg-maintain: ${spark.read.parquet(outDir).count()} group rows at $outDir")
+
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
@@ -280,7 +305,9 @@ object Pipeline {
            |  Pipeline bpe-train <docsParquetDir> <nMerges> <outDir>
            |  Pipeline write-zorder <inParquetDir> <xCol> <yCol> <outDir>
            |  Pipeline write-zorder3 <inParquetDir> <xCol> <yCol> <zCol> <outDir>
-           |  Pipeline snapshot-merge <changesDir> <snapshotDir> <checkpointDir> <keyCols,csv> <orderCols,csv>""".stripMargin)
+           |  Pipeline snapshot-merge <changesDir> <snapshotDir> <checkpointDir> <keyCols,csv> <orderCols,csv>
+           |  Pipeline agg-build <factDir> <keyCols,csv> <sumCols,csv> <minMaxCols,csv> <outAggDir>
+           |  Pipeline agg-maintain <aggDir> <signedChangesDir> <factDir> <keyCols,csv> <sumCols,csv> <minMaxCols,csv> <outAggDir>""".stripMargin)
       sys.exit(2)
   }
 }

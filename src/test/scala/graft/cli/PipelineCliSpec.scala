@@ -280,4 +280,31 @@ class PipelineCliSpec extends SparkSpec {
       bins = 10).head.getDouble(3)
     assert(psi > 0.5)
   }
+
+  test("agg-build + agg-maintain: maintained table equals a fresh agg-build of the fact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = Files.createTempDirectory("graft_aggcli").toString
+    val base = (1L to 2000L).map(i => (i, (i % 7).toString, ((i * 3) % 53).toDouble))
+      .toDF("id", "g", "v")
+    base.write.parquet(s"$work/fact_v1")
+    Pipeline.run(spark, List("agg-build", s"$work/fact_v1", "g", "v", "v", s"$work/agg_v1"))
+
+    // change feed: delete every 41st row, insert 100 new rows
+    val dels = base.filter($"id" % 41 === 0)
+    val ins = (2001L to 2100L).map(i => (i, (i % 7).toString, ((i * 5) % 53).toDouble))
+      .toDF("id", "g", "v")
+    ins.withColumn("w", lit(1L)).unionByName(dels.withColumn("w", lit(-1L)))
+      .write.parquet(s"$work/changes")
+    base.join(dels.select("id"), Seq("id"), "left_anti").unionByName(ins)
+      .write.parquet(s"$work/fact_v2")
+
+    Pipeline.run(spark, List("agg-maintain", s"$work/agg_v1", s"$work/changes",
+      s"$work/fact_v2", "g", "v", "v", s"$work/agg_v2"))
+    Pipeline.run(spark, List("agg-build", s"$work/fact_v2", "g", "v", "v", s"$work/agg_scratch"))
+
+    def canon(dir: String) = spark.read.parquet(dir)
+      .withColumn("sum_v", round($"sum_v", 6)).orderBy("g").collect().toSeq
+    assert(canon(s"$work/agg_v2") == canon(s"$work/agg_scratch"))
+  }
 }
