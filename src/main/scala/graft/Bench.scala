@@ -105,7 +105,8 @@ object Bench {
     val qs = (results ++ section("asof")(asofBench(spark, sfDir))
       ++ section("sortedScan")(sortedScanBench(spark, sfDir))
       ++ section("zorderScan")(zorderScanBench(spark, sfDir))
-      ++ section("skewJoin")(skewJoinBench(spark, sfDir)))
+      ++ section("skewJoin")(skewJoinBench(spark, sfDir))
+      ++ section("bloomScan")(bloomScanBench(spark, sfDir)))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
@@ -265,6 +266,61 @@ object Bench {
           graft.ops.SkewJoin.innerSalted(fact, dim, "k", hotThreshold = 1000,
             cms = Some(prebuilt))))
     } finally spark.conf.set(bcKey, prevBc)
+  }
+
+  /** Layout A/B #3: point lookup on a high-cardinality key — parquet
+    * split-block bloom filters (sources/Sinks.writeWithBloom) vs the
+    * same unsorted layout without them. The key (md5 of event id) spans
+    * every row group's min/max, so footer stats prune nothing; the
+    * bloom answers definite-absence per group from the footer alone.
+    * Dictionary encoding off for both (the bloom's regime is "the
+    * dictionary does not fit"). Signal = rows the parquet reader
+    * decodes (`*_rows`, recordsRead — positioned reads bypass local-fs
+    * bytesRead); wall time included for completeness. Writes untimed;
+    * not part of `total`. */
+  private def bloomScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_bloom").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    val prevDict = hc.get("parquet.enable.dictionary")
+    val keyed = graft.core.Tables.events(spark, sfDir)
+      .withColumn("rep", explode(expr("sequence(0, 15)")))
+      .select(md5(concat_ws(":", col("event_id"), col("rep"))).as("key"),
+        col("user_id"), col("value"))
+    try {
+      hc.setInt("parquet.block.size", 1 << 20)
+      hc.set("parquet.enable.dictionary", "false")
+      graft.sources.Sinks.writeWithBloom(keyed, s"$tmp/bloom",
+        Map("key" -> 50000L), numFiles = 8)
+      keyed.repartition(8).write.mode("overwrite").parquet(s"$tmp/plain")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prevBlock)
+      if (prevDict == null) hc.unset("parquet.enable.dictionary") else hc.set("parquet.enable.dictionary", prevDict)
+    }
+    val rowsRead = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        rowsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    val needle = md5(concat_ws(":", lit("777"), lit("3")))
+    def measuredLookup(dir: String): (Double, Double) = {
+      spark.sparkContext.addSparkListener(listener)
+      rowsRead.set(0L)
+      val t0 = System.nanoTime()
+      spark.read.parquet(dir).filter(col("key") === needle)
+        .write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+      (secs, rowsRead.get() / 1e6)
+    }
+    measuredLookup(s"$tmp/bloom"); measuredLookup(s"$tmp/plain") // warm
+    Seq("lookup_bloom_layout", "lookup_plain_layout").map { name =>
+      val dir = if (name.contains("bloom")) s"$tmp/bloom" else s"$tmp/plain"
+      val (secs, mrows) = measuredLookup(dir)
+      Seq(name -> secs, s"${name}_mrows" -> mrows)
+    }.flatten
   }
 
   /** Layout A/B #2: linear time-sort vs 2-D z-order vs 3-D z-order

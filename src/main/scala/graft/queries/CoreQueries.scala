@@ -849,6 +849,96 @@ object CoreQueries {
              |FROM updated
              |GROUP BY event_type, day
              |ORDER BY event_type, day""".stripMargin)
+    ),
+
+    // O20: EXACT order statistics without a global sort — the third
+    // point of the quantile trade-off next to a15 (approx sketch) and
+    // a8 (exact-but-sorting). ops/Selection descends a fixed-width
+    // histogram: each pass shuffles a 1024-row histogram, never data
+    // rows, and the surviving range's filter prunes row groups on a
+    // range-sorted layout. k = ceil(q*n), 1-based — the same discrete
+    // quantile the oracle reads off a row_number() axis.
+    OracleQuery(
+      "o20_exact_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val n = li.filter($"l_extendedprice".isNotNull).count()
+        val Seq(p50, p90, p99) =
+          graft.ops.Selection.quantilesDisc(li, "l_extendedprice", Seq(0.5, 0.9, 0.99))
+        Seq((n, bd4(p50), bd4(p90), bd4(p99))).toDF("n", "p50", "p90", "p99")
+          .select($"n", $"p50".cast("double"), $"p90".cast("double"), $"p99".cast("double"))
+      },
+      Some("""WITH s AS (
+             |  SELECT l_extendedprice AS v,
+             |    row_number() OVER (ORDER BY l_extendedprice) AS r
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+             |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+             |-- q * n is computed in DOUBLE on both sides: a DECIMAL 0.90
+             |-- would be exact where IEEE 0.90 is not, and a near-integer
+             |-- product could ceil() to a different k than the engine's
+             |SELECT (SELECT n FROM n) AS n,
+             |  round(max(CASE WHEN r = CAST(ceil(CAST(0.50 AS DOUBLE) * (SELECT n FROM n)) AS BIGINT) THEN v END), 4) AS p50,
+             |  round(max(CASE WHEN r = CAST(ceil(CAST(0.90 AS DOUBLE) * (SELECT n FROM n)) AS BIGINT) THEN v END), 4) AS p90,
+             |  round(max(CASE WHEN r = CAST(ceil(CAST(0.99 AS DOUBLE) * (SELECT n FROM n)) AS BIGINT) THEN v END), 4) AS p99
+             |FROM s""".stripMargin)
+    ),
+
+    // O21: deterministic corpus shuffle + split assignment — the last
+    // mile of dataset assembly before training. Assignment is a pure
+    // content-hash function of doc_id (NOT df.sample/rand: stable
+    // across engines, reruns, and cluster layouts — the property that
+    // makes a 100 TB split reproducible and incrementally extensible:
+    // a new batch's docs land in the same splits without touching old
+    // ones). The same hash mod 2^20 doubles as the within-split
+    // shuffle ORDER — a seeded global permutation that needs only a
+    // range exchange on an integer key, no RNG state. Reported here as
+    // per-split composition plus an order fingerprint (sum of
+    // rank-weighted ids over the first 1000 shuffled train docs) so
+    // the oracle pins the ORDER, not just the membership.
+    OracleQuery(
+      "o21_hash_split_shuffle",
+      (s, d) => {
+        import s.implicits._
+        val h = expr(Shingles.h60("CAST(doc_id AS STRING)"))
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket", pmod(h, lit(100)))
+          .withColumn("split",
+            when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+          .withColumn("ord", pmod(h, lit(1048576L)))
+        val comp = docs.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+        val fp = docs.filter($"split" === "train")
+          .orderBy($"ord", $"doc_id").limit(1000)
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy($"ord", $"doc_id")))
+          .agg(sum($"r" * $"doc_id").as("order_fp"))
+        comp.crossJoin(fp).orderBy($"split")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, n_chars,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 AS ord
+             |  FROM documents
+             |), tagged AS (
+             |  SELECT *, CASE WHEN bucket < 80 THEN 'train'
+             |                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+             |  FROM h
+             |), fp AS (
+             |  SELECT CAST(sum(r * doc_id) AS BIGINT) AS order_fp FROM (
+             |    SELECT doc_id, row_number() OVER (ORDER BY ord, doc_id) AS r
+             |    FROM tagged WHERE split = 'train' ORDER BY ord, doc_id LIMIT 1000
+             |  )
+             |)
+             |SELECT split, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars, (SELECT order_fp FROM fp) AS order_fp
+             |FROM tagged GROUP BY split ORDER BY split""".stripMargin)
     )
   )
+
+  /** Round a driver-side double to 4 decimals the way `round(col, 4)`
+    * does (HALF_UP on the decimal representation) so driver-computed
+    * scalars hash-match the oracle's round(). */
+  private def bd4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

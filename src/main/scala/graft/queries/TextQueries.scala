@@ -92,8 +92,15 @@ object TextQueries {
         .join(labels, "doc_id").join(probs, "doc_id")
         .groupBy($"tok")
         .agg((sum($"x" * ($"p" - $"y")) / lit(nDocs)).as("g"))
-      w = if (w == null) grad.select($"tok", (lit(-lr) * $"g").as("w"))
-          else w.join(grad, "tok").select($"tok", ($"w" - lit(lr) * $"g").as("w"))
+      // each epoch's weights are PERSISTED: w(t) references w(t-1), so
+      // an unpersisted chain re-executes every earlier epoch's gradient
+      // join inside every later epoch — quadratic in epochs (measured
+      // ~2x on the 3-epoch bench entry). Persisting makes training cost
+      // linear in epochs, exactly like checkpointed iterative solvers.
+      // Values are unchanged — persistence is a replay cut, not math.
+      w = (if (w == null) grad.select($"tok", (lit(-lr) * $"g").as("w"))
+           else w.join(grad, "tok").select($"tok", ($"w" - lit(lr) * $"g").as("w")))
+        .persist()
       if (t < 3) {
         val scores = feats.join(broadcast(w), "tok")
           .groupBy($"doc_id").agg(sum($"x" * $"w").as("score"))

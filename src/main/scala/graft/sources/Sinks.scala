@@ -51,6 +51,34 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Parquet bloom filters for point-lookup keys that sorting cannot
+    * serve: writeSortedBy/z-order give min/max pruning on the CLUSTERED
+    * dims, but an equality probe on a high-cardinality unclustered key
+    * (doc UUID, content hash, user id in a time-sorted log) matches
+    * every row group's min/max span and reads the whole table. A
+    * split-block bloom filter per row group answers "key definitely
+    * absent" from the footer, so the reader skips groups without
+    * decoding a page — at 100 TB a needle lookup touches the handful
+    * of groups whose filter fires instead of every file.
+    *
+    * Dictionary encoding gives the same skip for free on LOW-cardinality
+    * columns (the reader probes the dictionary page); blooms are for
+    * keys whose dictionary would not fit (parquet falls back to plain
+    * encoding past parquet.dictionary.page.size) — exactly the
+    * UUID/hash shape. `ndv` sizes the filter (~1.2 KB per 1k NDV per
+    * group at the default 1% FPP); overshooting wastes footer bytes,
+    * undershooting inflates FPP, neither breaks correctness. */
+  def writeWithBloom(
+      df: DataFrame, dir: String, bloomNdv: Map[String, Long],
+      numFiles: Int = 0, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bloomNdv.nonEmpty, "writeWithBloom needs at least one bloom column")
+    val base = (if (numFiles > 0) df.repartition(numFiles) else df).write.mode(mode)
+    bloomNdv.foldLeft(base) { case (w, (c, ndv)) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(dir)
+  }
+
   /** Sort-on-write for row-group pruning: order rows by the columns
     * later queries filter on, so each parquet row group covers a NARROW
     * min/max span of those columns and a selective predicate skips
