@@ -245,6 +245,24 @@ object Pipeline {
       graft.ops.ZOrder.writeZOrdered3By(df, outDir, xCol, yCol, zCol)
       println(s"[graft] wrote z-ordered ($xCol, $yCol, $zCol) layout → $outDir")
 
+    case "write-bloom" :: inDir :: colNdvCsv :: outDir :: Nil =>
+      // bloom-filtered layout for point lookups on high-cardinality
+      // unclustered keys (sorting/z-order can't serve them): col:ndv
+      // pairs, e.g. "doc_hash:5000000,user_id:200000"
+      val ndv = colNdvCsv.split(',').map { kv =>
+        val Array(c, n) = kv.split(':'); c -> n.toLong
+      }.toMap
+      Sinks.writeWithBloom(spark.read.parquet(inDir), outDir, ndv)
+      println(s"[graft] wrote bloom-filtered layout (${ndv.keys.mkString(", ")}) → $outDir")
+
+    case "quantiles" :: inDir :: valCol :: qsCsv :: Nil =>
+      // exact order statistics by histogram descent (ops/Selection) —
+      // no global sort, no sketch error
+      val qs = qsCsv.split(',').toIndexedSeq.map(_.toDouble)
+      val vs = graft.ops.Selection.quantilesDisc(spark.read.parquet(inDir), valCol, qs)
+      val body = qs.zip(vs).map { case (q, v) => s""""p${(q * 100).round}":$v""" }
+      println(s"""{"column":"$valCol",${body.mkString(",")}}""")
+
     case "snapshot-merge" :: changesDir :: snapshotDir :: ckptDir :: keyCsv :: ordCsv :: Nil =>
       // streaming CDC maintenance: drain whatever change files landed in
       // changesDir and fold them into the keyed snapshot (one upsert
@@ -305,6 +323,8 @@ object Pipeline {
            |  Pipeline bpe-train <docsParquetDir> <nMerges> <outDir>
            |  Pipeline write-zorder <inParquetDir> <xCol> <yCol> <outDir>
            |  Pipeline write-zorder3 <inParquetDir> <xCol> <yCol> <zCol> <outDir>
+           |  Pipeline write-bloom <inParquetDir> <col:ndv,csv> <outDir>
+           |  Pipeline quantiles <inParquetDir> <valueCol> <qs,csv e.g. 0.5,0.99>
            |  Pipeline snapshot-merge <changesDir> <snapshotDir> <checkpointDir> <keyCols,csv> <orderCols,csv>
            |  Pipeline agg-build <factDir> <keyCols,csv> <sumCols,csv> <minMaxCols,csv> <outAggDir>
            |  Pipeline agg-maintain <aggDir> <signedChangesDir> <factDir> <keyCols,csv> <sumCols,csv> <minMaxCols,csv> <outAggDir>""".stripMargin)

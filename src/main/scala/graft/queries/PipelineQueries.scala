@@ -190,6 +190,64 @@ object PipelineQueries {
              |FROM resid GROUP BY w, b""".stripMargin)
     ),
 
+    // Hyperparameter sweep from ONE pass: every ridge λ shares the same
+    // five data moments (E[x], E[y], E[x²], E[y²], E[xy]), and train
+    // RMSE is itself moment-expressible — E[(wx+b−y)²] expands to a
+    // polynomial in (w, b, moments) — so scoring k lambdas costs ONE
+    // O(1)-state aggregate scan plus k rows of driver-scale algebra.
+    // The naive spelling (re-fit + re-score per λ) scans the fact 2k
+    // times; at 100 TB the moment trick is the difference between a
+    // sweep and a week. (MAE is deliberately absent: it is NOT
+    // moment-expressible — that's pipe_ridge_closed_form's per-row
+    // residual pass.) Both engines replay the identical algebra tree
+    // on identically-aggregated moments.
+    OracleQuery(
+      "pipe_ridge_lambda_sweep",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val m = li.agg(
+          avg($"l_quantity").as("ex"),
+          avg($"l_extendedprice").as("ey"),
+          avg($"l_quantity" * $"l_quantity").as("exx"),
+          avg($"l_extendedprice" * $"l_extendedprice").as("eyy"),
+          avg($"l_quantity" * $"l_extendedprice").as("exy"),
+          count(lit(1)).cast("double").as("n"))
+        val lambdas = Seq(0.1, 1.0, 10.0, 100.0).toDF("lambda")
+        lambdas.crossJoin(m)
+          .withColumn("sxx", ($"exx" - $"ex" * $"ex") * $"n")
+          .withColumn("sxy", ($"exy" - $"ex" * $"ey") * $"n")
+          .withColumn("w", $"sxy" / ($"sxx" + $"lambda"))
+          .withColumn("b", $"ey" - $"w" * $"ex")
+          .withColumn("mse",
+            $"w" * $"w" * $"exx" + $"b" * $"b" + $"eyy" + lit(2.0) * $"w" * $"b" * $"ex"
+              - lit(2.0) * $"w" * $"exy" - lit(2.0) * $"b" * $"ey")
+          .select($"lambda", round($"w", 4).as("w"), round($"b", 4).as("b"),
+            round(sqrt($"mse"), 4).as("train_rmse"))
+          .orderBy($"lambda")
+      },
+      Some("""WITH m AS (
+             |  SELECT avg(l_quantity) AS ex, avg(l_extendedprice) AS ey,
+             |    avg(l_quantity * l_quantity) AS exx,
+             |    avg(l_extendedprice * l_extendedprice) AS eyy,
+             |    avg(l_quantity * l_extendedprice) AS exy,
+             |    CAST(count(*) AS DOUBLE) AS n
+             |  FROM lineitem
+             |), ls AS (
+             |  SELECT CAST(l AS DOUBLE) AS lambda FROM (VALUES (0.1), (1.0), (10.0), (100.0)) t(l)
+             |), fit AS (
+             |  SELECT lambda, ex, ey, exx, eyy, exy,
+             |    ((exy - ex * ey) * n) / (((exx - ex * ex) * n) + lambda) AS w
+             |  FROM ls CROSS JOIN m
+             |), model AS (
+             |  SELECT lambda, ex, ey, exx, eyy, exy, w, ey - w * ex AS b FROM fit
+             |)
+             |SELECT lambda, round(w, 4) AS w, round(b, 4) AS b,
+             |  round(sqrt(w * w * exx + b * b + eyy + 2.0 * w * b * ex
+             |             - 2.0 * w * exy - 2.0 * b * ey), 4) AS train_rmse
+             |FROM model ORDER BY lambda""".stripMargin)
+    ),
+
     // M7 bucketed sigma with global fallback (uncertainty.py:95-174):
     // stddev_samp per bucket where n≥10, else the global sigma; floor 1.0.
     OracleQuery(

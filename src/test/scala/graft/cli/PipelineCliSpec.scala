@@ -237,6 +237,29 @@ class PipelineCliSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq == Seq("id", "t", "u"), "layout key must not leak")
   }
 
+  test("write-bloom lays out point-lookup filters; quantiles prints exact order stats") {
+    val work = Files.createTempDirectory("graft_bloomcli").toString
+    spark.range(20000)
+      .selectExpr("md5(CAST(id AS STRING)) AS key", "CAST(id AS DOUBLE) AS v")
+      .write.mode("overwrite").parquet(s"$work/in")
+    Pipeline.run(spark, List("write-bloom", s"$work/in", "key:20000", s"$work/out"))
+    val back = spark.read.parquet(s"$work/out")
+    assert(back.count() == 20000)
+    // the layout must carry the filter: parquet-mr exposes it via the
+    // row-group metadata — cheap proxy: a miss-lookup decodes 0 rows
+    // only when SOMETHING beyond min/max pruned (md5 keys span every
+    // group's range)
+    assert(back.filter(org.apache.spark.sql.functions.col("key") === "no_such_key").count() == 0)
+
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Pipeline.run(spark, List("quantiles", s"$work/in", "v", "0.5,0.99"))
+    }
+    // v = 0..19999 → k50 = ceil(0.5*20000) = 10000 → value 9999.0
+    assert(out.toString.contains(""""p50":9999.0"""), out.toString)
+    assert(out.toString.contains(""""p99":19799.0"""), out.toString)
+  }
+
   test("snapshot-merge folds new change files into the snapshot across runs") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_snapcli").toString

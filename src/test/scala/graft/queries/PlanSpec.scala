@@ -378,4 +378,12 @@ class PlanSpec extends SparkSpec {
         s"$q should reuse the token-count exchange:\n$finalPlan")
     }
   }
+
+  test("ridge lambda sweep: ONE lineitem scan scores every lambda — moments, not re-fits") {
+    val p = plan(Registry.queries("pipe_ridge_lambda_sweep")(spark, sf))
+    // the naive spelling re-scans the fact 2x per lambda (fit + score);
+    // the moment spelling aggregates once and every λ derives algebraically
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
