@@ -43,7 +43,11 @@ object Bench {
     "o19_incremental_agg", // CDC aggregate maintenance w/ retractions
     "text_quality_classifier", // distributed LR training (3 epochs)
     "a23_grouped_topk",    // bounded mergeable per-group top-k
-    "w13_rolling_median")  // frame-bounded rolling quantiles
+    "w13_rolling_median",  // frame-bounded rolling quantiles
+    "j30_interval_overlap", // binned interval-interval join
+    "w14_gap_fill",        // calendar spine + linear interpolation
+    "a24_grouped_regression", // per-group closed-form OLS
+    "pipe_feature_snapshot")  // point-in-time feature-store join
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

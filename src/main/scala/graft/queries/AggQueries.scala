@@ -761,6 +761,80 @@ object AggQueries {
              |)
              |WHERE rank <= 3
              |ORDER BY o_orderpriority, rank""".stripMargin)
+    ),
+
+    // A24: per-group closed-form OLS — slope/intercept/R² of
+    // extendedprice on quantity within each returnflag, via the SQL
+    // regression aggregates (regr_slope/regr_intercept/regr_r2). These
+    // are moment aggregates (Σx, Σy, Σxy, Σx², n) with map-side partial
+    // combine — ONE hash-agg pass, fixed memory per group, no per-group
+    // driver loop: fitting a million per-key models costs the same
+    // shuffle as counting them. The grouped generalization of
+    // pipe_ridge_closed_form's global fit (eval/models.py:118-141 fits
+    // one model on the driver; here the GROUP BY is the model axis).
+    OracleQuery(
+      "a24_grouped_regression",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("regr_slope(l_extendedprice, l_quantity)").as("slope_raw"),
+            expr("regr_intercept(l_extendedprice, l_quantity)").as("icept_raw"),
+            expr("regr_r2(l_extendedprice, l_quantity)").as("r2_raw"),
+            expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+          .select($"l_returnflag",
+            round($"slope_raw", 4).as("slope"),
+            round($"icept_raw", 4).as("intercept"),
+            round($"r2_raw", 6).as("r2"),
+            $"n".cast("long").as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+             |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // A25: equi-width histogram — 20 bins of extendedprice per
+    // returnflag. Two passes: a 1-row global min/max aggregate
+    // broadcast back (the sanctioned scalar-stat join), then a hash agg
+    // keyed by (group, bin). Shuffle volume is O(groups × bins), never
+    // O(rows) — the profiling primitive behind o20's histogram-descent
+    // quantiles, exposed as a query. Bin arithmetic is explicit floor()
+    // on doubles (not width_bucket) so Spark and DuckDB evaluate the
+    // IDENTICAL IEEE expression — bucket ids are exact, no rounding
+    // tolerance needed on the keys.
+    OracleQuery(
+      "a25_histogram",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val bounds = li.agg(
+          min($"l_extendedprice").as("mn"), max($"l_extendedprice").as("mx"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("bin",
+            least(lit(19), floor(($"l_extendedprice" - $"mn") * 20.0 / ($"mx" - $"mn")))
+              .cast("int"))
+          .groupBy($"l_returnflag", $"bin")
+          .agg(count(lit(1)).as("n"),
+            round(min($"l_extendedprice"), 4).as("bin_min"),
+            round(max($"l_extendedprice"), 4).as("bin_max"))
+          .orderBy($"l_returnflag", $"bin")
+      },
+      Some("""WITH b AS (
+             |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+             |  FROM lineitem
+             |)
+             |SELECT l_returnflag,
+             |  CAST(least(19, floor((l_extendedprice - mn) * 20.0 / (mx - mn))) AS INT) AS bin,
+             |  count(*) AS n,
+             |  round(min(l_extendedprice), 4) AS bin_min,
+             |  round(max(l_extendedprice), 4) AS bin_max
+             |FROM lineitem CROSS JOIN b
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }

@@ -1003,6 +1003,55 @@ object JoinQueries {
              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
              |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
              |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+    ),
+
+    // J30: interval-overlap join — which urgent-order service windows
+    // does each shipment interval intersect? The interval-interval
+    // generalization of j9's point-in-range join, and a shape Spark
+    // would otherwise plan as a cartesian theta-join. Routed through
+    // ops.IntervalJoin: both sides explode into the fixed-width
+    // (7-day) time bins they cover — an interval of length L lands in
+    // O(L/7 + 1) bins, map-side — then a plain hash equi-join ON the
+    // bin brings together only temporally-close candidates and a
+    // residual predicate keeps true overlaps. Pairs meeting in several
+    // bins survive exactly once via the first-overlap-bin guard (no
+    // distinct, no dedup exchange). Candidate volume is Σ overlaps +
+    // bin collisions, NEVER |ships|×|windows|: the same plan at 100 TB
+    // shuffles each row a handful of times regardless of table sizes.
+    // The oracle states the semantics directly as the non-equi join.
+    OracleQuery(
+      "j30_interval_overlap",
+      (s, d) => {
+        import s.implicits._
+        val ships = Tables.lineitem(s, d)
+          .filter($"l_returnflag" === "R" && $"l_quantity" <= 2.0)
+          .select($"l_orderkey", $"l_linenumber",
+            to_date($"l_shipdate").as("s0"),
+            date_add(to_date($"l_shipdate"), ($"l_quantity" * 7).cast("int")).as("s1"))
+        val wins = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey",
+            to_date($"o_orderdate").as("w0"),
+            date_add(to_date($"o_orderdate"), 6).as("w1"))
+        graft.ops.IntervalJoin.overlap(ships, wins, "s0", "s1", "w0", "w1", binDays = 7)
+          .groupBy($"l_orderkey", $"l_linenumber")
+          .agg(count(lit(1)).as("n_overlaps"),
+            min($"w0").cast("timestamp").as("first_window"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""WITH ships AS (
+             |  SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS s0,
+             |    CAST(l_shipdate AS DATE) + CAST(l_quantity * 7 AS INT) AS s1
+             |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity <= 2.0
+             |), wins AS (
+             |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS w0,
+             |    CAST(o_orderdate AS DATE) + 6 AS w1
+             |  FROM orders WHERE o_orderpriority = '1-URGENT'
+             |)
+             |SELECT s.l_orderkey, s.l_linenumber,
+             |  count(*) AS n_overlaps, min(w.w0) AS first_window
+             |FROM ships s JOIN wins w ON s.s0 <= w.w1 AND w.w0 <= s.s1
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }

@@ -599,6 +599,74 @@ object PipelineQueries {
              |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
              |WHERE a.wk >= c.cohort_wk
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Feature-store point-in-time join: enrich each label event
+    // (purchase) with features AS OF the label's timestamp — the
+    // last-known error value and the user's running click count/mean —
+    // with zero leakage from the future. This is the composite every
+    // training-set builder needs: N feature tables, each as-of joined
+    // on (key, time). Both joins are ops.AsofJoin's union-and-carry
+    // window (one exchange per feature table, O(1) carry state per
+    // key, no theta-join candidate blowup); the running click stats
+    // are themselves one expanding window over the same key exchange.
+    // The oracle states the semantics as two chained DuckDB ASOF LEFT
+    // JOINs over the identical feature frames.
+    OracleQuery(
+      "pipe_feature_snapshot",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val labels = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"value")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts", $"value".as("err_value"))
+        val wRun = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // running click spend as a DECIMAL running sum — exact digit-
+        // for-digit parity with the oracle regardless of partial-sum
+        // order (the a13 pattern); a double running MEAN can land on a
+        // round-half boundary and flip the 4th decimal between engines
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id",
+            $"value".cast("decimal(18,4)").as("v"))
+          .withColumn("click_cnt", count(lit(1)).over(wRun))
+          .withColumn("click_sum", sum($"v").over(wRun))
+          .select($"user_id", $"ts", $"click_cnt", $"click_sum")
+        val withErr = graft.ops.AsofJoin(labels, errors,
+          keyCols = Seq("user_id"), tsCol = "ts", payload = Seq("err_value"))
+        graft.ops.AsofJoin(withErr, clicks,
+            keyCols = Seq("user_id"), tsCol = "ts",
+            payload = Seq("click_cnt", "click_sum"))
+          .select($"event_id", $"user_id",
+            round($"value", 4).as("label_value"),
+            round($"asof_err_value", 4).as("err_value"),
+            $"asof_click_cnt".cast("long").as("click_cnt"),
+            round($"asof_click_sum".cast("double"), 4).as("click_sum"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH labels AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE event_type = 'purchase'
+             |), errors AS (
+             |  SELECT user_id, ts, value AS err_value FROM events
+             |  WHERE event_type = 'error'
+             |), clicks AS (
+             |  SELECT user_id, ts,
+             |    count(*) OVER w AS click_cnt,
+             |    sum(CAST(value AS DECIMAL(18,4))) OVER w AS click_sum
+             |  FROM events WHERE event_type = 'click'
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT l.event_id, l.user_id, round(l.value, 4) AS label_value,
+             |  round(e.err_value, 4) AS err_value,
+             |  CAST(c.click_cnt AS BIGINT) AS click_cnt,
+             |  round(CAST(c.click_sum AS DOUBLE), 4) AS click_sum
+             |FROM labels l
+             |ASOF LEFT JOIN errors e ON l.user_id = e.user_id AND l.ts >= e.ts
+             |ASOF LEFT JOIN clicks c ON l.user_id = c.user_id AND l.ts >= c.ts
+             |ORDER BY l.event_id""".stripMargin)
     )
   )
 }

@@ -418,6 +418,119 @@ object WindowQueries {
                |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                |  ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
                |ORDER BY user_id, event_id""".stripMargin)
+      ),
+
+      // W14: gap-fill / resample — the time-series regularization step
+      // every downstream window op assumes: project a sparse daily
+      // series onto a dense per-key calendar spine and linearly
+      // interpolate interior gaps (edges carry the nearest observation).
+      // Spine = sequence(min_day, max_day) per key, exploded map-side —
+      // no generator shuffle; the carry columns are two IGNORE NULLS
+      // window passes (last-before / first-after) over ONE (key)
+      // exchange. Interpolation is pure row-local arithmetic on the
+      // carried (day, value) pairs. Spine size is O(keys × span-days),
+      // independent of the observation count — at 100 TB the spine is
+      // the SMALL side of this plan.
+      OracleQuery(
+        "w14_gap_fill",
+        (s, d) => {
+          import s.implicits._
+          val ev = Tables.events(s, d)
+          // sparse series: daily mean, but the "sensor" only reports
+          // every third calendar day — structural gaps at every sf
+          val daily = ev
+            .groupBy($"event_type", to_date($"ts").as("day"))
+            .agg(avg($"value").as("v"))
+            .filter(dayofmonth($"day") % 3 === 0)
+          // dense spine: every key's full [min_day, max_day] calendar
+          // (from the unfiltered table, so the fill covers edge gaps too)
+          val spine = ev.groupBy($"event_type")
+            .agg(min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1"))
+            .select($"event_type",
+              explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+          graft.ops.Resample.dailyLinear(daily,
+              "event_type", "day", "v", spine = Some(spine))
+            .select($"event_type", $"day".cast("timestamp").as("day"),
+              round($"filled", 4).as("filled"), $"observed")
+            .orderBy($"event_type", $"day")
+        },
+        Some("""WITH daily AS (
+               |  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
+               |  FROM events GROUP BY 1, 2
+               |  HAVING CAST(date_part('day', day) AS INT) % 3 = 0
+               |), spine AS (
+               |  SELECT event_type,
+               |    CAST(unnest(generate_series(min(CAST(ts AS DATE)),
+               |      max(CAST(ts AS DATE)), INTERVAL 1 DAY)) AS DATE) AS day
+               |  FROM events GROUP BY event_type
+               |), joined AS (
+               |  SELECT s.event_type, s.day, d.v,
+               |    last_value(d.v IGNORE NULLS) OVER wp AS pv,
+               |    last_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS) OVER wp AS pd,
+               |    first_value(d.v IGNORE NULLS) OVER wn AS nv,
+               |    first_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS) OVER wn AS nd
+               |  FROM spine s LEFT JOIN daily d
+               |    ON s.event_type = d.event_type AND s.day = d.day
+               |  WINDOW wp AS (PARTITION BY s.event_type ORDER BY s.day
+               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               |  wn AS (PARTITION BY s.event_type ORDER BY s.day
+               |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               |)
+               |SELECT event_type, day,
+               |  round(CASE WHEN v IS NOT NULL THEN v
+               |    WHEN pv IS NULL THEN nv
+               |    WHEN nv IS NULL THEN pv
+               |    ELSE pv + (nv - pv) * date_diff('day', pd, day)
+               |      / date_diff('day', pd, nd) END, 4) AS filled,
+               |  v IS NOT NULL AS observed
+               |FROM joined ORDER BY event_type, day""".stripMargin)
+      ),
+
+      // W15: rolling correlation — corr(value, arrival-position) over a
+      // trailing 20-row frame per event_type: the local-trend-strength
+      // detector (|corr| near 1 = monotone drift, near 0 = noise).
+      // corr is a moment aggregate, so each frame is O(1) state in one
+      // ordered pass — the row_number and the frame corr share ONE
+      // (event_type) exchange. The x-axis is the row position, not raw
+      // epoch time: position is a small exact integer, so the stable
+      // central-moment update loses nothing to cancellation (epoch-
+      // micros at ~1.7e15 would burn half the mantissa before the
+      // 20-row variance even forms — same answer in spirit, far worse
+      // conditioning). Spark returns NaN on a zero-variance frame where
+      // DuckDB returns NULL, so NaN is normalized before rounding;
+      // emitted only once the frame is full (rn ≥ 20) — partial-frame
+      // correlations would differ by min_periods convention anyway.
+      OracleQuery(
+        "w15_rolling_corr",
+        (s, d) => {
+          import s.implicits._
+          val wf = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+          val frame = Window.partitionBy($"event_type").orderBy($"rn")
+            .rowsBetween(-19, Window.currentRow)
+          val c = corr($"value", $"rn".cast("double")).over(frame)
+          Tables.events(s, d)
+            .withColumn("rn", row_number().over(wf))
+            .withColumn("c", c)
+            .filter($"rn" >= 20)
+            .select($"event_type", $"event_id",
+              round(when(isnan($"c"), lit(null)).otherwise($"c"), 4).as("trend_corr"))
+            .orderBy($"event_type", $"event_id")
+        },
+        Some("""SELECT event_type, event_id, round(c, 4) AS trend_corr
+               |FROM (
+               |  SELECT event_type, event_id, rn,
+               |    corr(value, CAST(rn AS DOUBLE)) OVER
+               |      (PARTITION BY event_type ORDER BY rn
+               |       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS c
+               |  FROM (
+               |    SELECT event_type, event_id, value,
+               |      row_number() OVER (PARTITION BY event_type
+               |        ORDER BY ts, event_id) AS rn
+               |    FROM events
+               |  )
+               |)
+               |WHERE rn >= 20
+               |ORDER BY event_type, event_id""".stripMargin)
       )
     )
   }

@@ -386,4 +386,36 @@ class PlanSpec extends SparkSpec {
     assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("interval-overlap join is a HASH join on the time bin, never a theta-join") {
+    // the naive `s0 <= w1 AND w0 <= s1` spelling plans as a nested-loop
+    // over |ships|×|windows|; the binned spelling must stay an equi-join
+    val p = plan(Registry.queries("j30_interval_overlap")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("gap-fill and rolling corr: all window passes ride the aggregates' exchanges") {
+    // w14: the only hash exchanges are the two tiny daily/spine
+    // aggregates — the four carry windows sort locally on the spine
+    // side's existing (event_type) distribution, adding NO exchange
+    val p14 = plan(Registry.queries("w14_gap_fill")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p14).length <= 2, p14)
+    assert("(?m)^[^\\n]*\\bSort ".r.findAllIn(p14).length <= 2, p14)
+    // w15: the row_number pass and the frame-corr pass partition on the
+    // same key — one hash exchange total for the window work
+    val p15 = plan(Registry.queries("w15_rolling_corr")(spark, sf))
+    assert("hashpartitioning\\(event_type".r.findAllIn(p15).length <= 1, p15)
+  }
+
+  test("grouped regression and histogram stay hash aggregates with map-side partials") {
+    val p24 = plan(Registry.queries("a24_grouped_regression")(spark, sf))
+    assert(p24.contains("HashAggregate"), p24)
+    assert(!p24.contains("SortAggregate"), p24)
+    val p25 = plan(Registry.queries("a25_histogram")(spark, sf))
+    assert(p25.contains("HashAggregate"), p25)
+    // the min/max bounds join must be a broadcast of the 1-row side
+    assert(p25.contains("BroadcastNestedLoopJoin") || p25.contains("BroadcastHashJoin"), p25)
+    assert(!p25.contains("SortMergeJoin"), p25)
+  }
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the round-9 operators, beyond the DuckDB oracle:
+  * equivalence of the binned interval join with the naive theta-join,
+  * the piecewise-linear envelope of the gap filler, leakage-freedom of
+  * the point-in-time feature join, and closed-form agreement of the
+  * grouped regression.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("j30: binned interval join ≡ naive theta-join (small-data ground truth)") {
+    import spark.implicits._
+    val binned = Registry.queries("j30_interval_overlap")(spark, sf)
+      .select("l_orderkey", "l_linenumber", "n_overlaps")
+    // ground truth: the plan we must NEVER run at scale — fine at sf0.001
+    val ships = Tables.lineitem(spark, sf)
+      .filter($"l_returnflag" === "R" && $"l_quantity" <= 2.0)
+      .select($"l_orderkey", $"l_linenumber",
+        to_date($"l_shipdate").as("s0"),
+        date_add(to_date($"l_shipdate"), ($"l_quantity" * 7).cast("int")).as("s1"))
+    val wins = Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey",
+        to_date($"o_orderdate").as("w0"), date_add(to_date($"o_orderdate"), 6).as("w1"))
+    val naive = ships.join(wins, $"s0" <= $"w1" && $"w0" <= $"s1")
+      .groupBy($"l_orderkey", $"l_linenumber")
+      .agg(count(lit(1)).as("n_overlaps"))
+    assert(binned.count() > 0)
+    assert(binned.except(naive).isEmpty && naive.except(binned).isEmpty)
+  }
+
+  test("w14: spine is dense per key; observed rows keep their value; fills obey the linear envelope") {
+    import spark.implicits._
+    val out = Registry.queries("w14_gap_fill")(spark, sf).cache()
+    try {
+      // dense: per event_type, row count == span in days (inclusive)
+      val spans = out.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          (datediff(max($"day"), min($"day")) + 1).cast("long").as("span"))
+        .collect()
+      spans.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+      // every row is filled (no key has zero observations in testdata)
+      assert(out.filter($"filled".isNull).isEmpty)
+      // interpolated values sit inside the [prev, next] observation band
+      val wAll = Window.partitionBy($"event_type").orderBy($"day")
+      val obs = out.withColumn("pv",
+          last(when($"observed", $"filled"), ignoreNulls = true)
+            .over(wAll.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("nv",
+          first(when($"observed", $"filled"), ignoreNulls = true)
+            .over(wAll.rowsBetween(1, Window.unboundedFollowing)))
+        .filter(!$"observed" && $"pv".isNotNull && $"nv".isNotNull)
+        .filter($"filled" < least($"pv", $"nv") - 1e-9 ||
+                $"filled" > greatest($"pv", $"nv") + 1e-9)
+      assert(obs.isEmpty, "interpolation left the neighbor envelope")
+    } finally out.unpersist()
+  }
+
+  test("w15: rolling corr is in [-1, 1] and only emitted on full frames") {
+    import spark.implicits._
+    val out = Registry.queries("w15_rolling_corr")(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(abs($"trend_corr") > 1.0 + 1e-9).isEmpty)
+      // emitted count: per event_type with n rows, exactly max(0, n-19)
+      val ev = Tables.events(spark, sf).groupBy($"event_type").count()
+      val expected = ev.select(sum(greatest(lit(0L), $"count" - 19))).as[Long].head()
+      assert(out.count() == expected)
+    } finally out.unpersist()
+  }
+
+  test("pipe_feature_snapshot: features never leak from after the label timestamp") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val out = Registry.queries("pipe_feature_snapshot")(spark, sf)
+    // recompute the as-of error feature naively per label row
+    val labels = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id".as("eu"), $"ts".as("ets"), $"value")
+    val naive = labels.join(errors, $"user_id" === $"eu" && $"ets" <= $"ts", "left_outer")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_id").orderBy($"ets".desc_nulls_last)))
+      .filter($"rk" === 1)
+      .select($"event_id", round($"value", 4).as("err_naive"))
+    val joined = out.join(naive, Seq("event_id"))
+    assert(joined.count() == out.count())
+    assert(joined.filter(!($"err_value" <=> $"err_naive")).isEmpty)
+  }
+
+  test("a24: regr aggregates agree with the explicit moment formulas") {
+    import spark.implicits._
+    val out = Registry.queries("a24_grouped_regression")(spark, sf)
+    val manual = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"l_quantity").as("sx"), sum($"l_extendedprice").as("sy"),
+        sum($"l_quantity" * $"l_extendedprice").as("sxy"),
+        sum($"l_quantity" * $"l_quantity").as("sxx"))
+      .select($"l_returnflag",
+        (($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")).as("m_slope"))
+    val j = out.join(manual, Seq("l_returnflag"))
+    assert(j.count() == out.count())
+    assert(j.filter(abs($"slope" - $"m_slope") > 1e-3).isEmpty)
+  }
+
+  test("a25: histogram counts sum to the table count and bins nest in global bounds") {
+    import spark.implicits._
+    val out = Registry.queries("a25_histogram")(spark, sf).cache()
+    try {
+      val total = out.agg(sum($"n")).as[Long].head()
+      assert(total == Tables.lineitem(spark, sf).count())
+      val b = Tables.lineitem(spark, sf)
+        .agg(min($"l_extendedprice").as("mn"), max($"l_extendedprice").as("mx")).head()
+      val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+      assert(out.filter($"bin_min" < mn - 1e-6 || $"bin_max" > mx + 1e-6).isEmpty)
+      assert(out.filter($"bin" < 0 || $"bin" > 19).isEmpty)
+    } finally out.unpersist()
+  }
+}
