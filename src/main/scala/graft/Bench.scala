@@ -110,7 +110,8 @@ object Bench {
       ++ section("sortedScan")(sortedScanBench(spark, sfDir))
       ++ section("zorderScan")(zorderScanBench(spark, sfDir))
       ++ section("skewJoin")(skewJoinBench(spark, sfDir))
-      ++ section("bloomScan")(bloomScanBench(spark, sfDir)))
+      ++ section("bloomScan")(bloomScanBench(spark, sfDir))
+      ++ section("intervalJoin")(intervalJoinBench(spark, sfDir)))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
@@ -270,6 +271,43 @@ object Bench {
           graft.ops.SkewJoin.innerSalted(fact, dim, "k", hotThreshold = 1000,
             cms = Some(prebuilt))))
     } finally spark.conf.set(bcKey, prevBc)
+  }
+
+  /** Strategy A/B: the j30 interval-overlap aggregate through
+    * ops.IntervalJoin's binned equi-join vs the naive theta-join Spark
+    * plans for the raw overlap predicate (BroadcastNestedLoopJoin —
+    * |ships|×|windows| comparisons). Same answer; the delta is the
+    * candidate-generation strategy. The naive row is the one that
+    * blows up quadratically with sf while the binned row tracks
+    * overlap density. Not part of `total` (j30 already times the
+    * binned spelling end-to-end). */
+  private def intervalJoinBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def ships = graft.core.Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") <= 2.0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("s0"),
+        date_add(to_date(col("l_shipdate")), (col("l_quantity") * 7).cast("int")).as("s1"))
+    def wins = graft.core.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("w0"), date_add(to_date(col("o_orderdate")), 6).as("w1"))
+    def agg(pairs: org.apache.spark.sql.DataFrame) =
+      pairs.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n_overlaps"))
+    def timeOf(f: => org.apache.spark.sql.DataFrame): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); once()
+    }
+    Seq(
+      "interval_join_binned" -> timeOf(agg(
+        graft.ops.IntervalJoin.overlap(ships, wins, "s0", "s1", "w0", "w1", binDays = 7))),
+      "interval_join_naive" -> timeOf(agg(
+        ships.join(wins, col("s0") <= col("w1") && col("w0") <= col("s1")))))
   }
 
   /** Layout A/B #3: point lookup on a high-cardinality key — parquet
