@@ -84,6 +84,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(VecL2Sq.descriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinOptimizations)
+    // opt-in: rewrites interval-overlap theta-joins to the binned
+    // equi-join (spark.graft.intervalJoin.enabled=true to activate)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
   }
 }
 
