@@ -835,6 +835,83 @@ object AggQueries {
              |  round(max(l_extendedprice), 4) AS bin_max
              |FROM lineitem CROSS JOIN b
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // A26: grouped closed-form RIDGE with two features — the million-
+    // models-in-one-pass generalization of a24: per returnflag, fit
+    // price ~ b0 + b1·quantity + b2·discount with an L2 penalty on the
+    // slopes, entirely from ONE moment aggregate (n, Σx, Σx², Σxy per
+    // feature pair) followed by row-local 2×2 normal-equation algebra
+    // (explicit determinant inversion). No per-group driver loop, no
+    // matrix library: the shuffle carries 10 doubles per group
+    // whatever the fact size. Centered second moments are derived
+    // algebraically (Sxx = Σx² − (Σx)²/n) — fine here because the
+    // regressor scales (1–50, 0–0.1) keep the cancellation benign.
+    OracleQuery(
+      "a26_grouped_ridge",
+      (s, d) => {
+        import s.implicits._
+        val lam = 1000.0
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum($"l_quantity").as("s1"), sum($"l_discount").as("s2"),
+            sum($"l_extendedprice").as("sy"),
+            sum($"l_quantity" * $"l_quantity").as("s11"),
+            sum($"l_discount" * $"l_discount").as("s22"),
+            sum($"l_quantity" * $"l_discount").as("s12"),
+            sum($"l_quantity" * $"l_extendedprice").as("s1y"),
+            sum($"l_discount" * $"l_extendedprice").as("s2y"))
+          .withColumn("cxx1", $"s11" - $"s1" * $"s1" / $"n")
+          .withColumn("cxx2", $"s22" - $"s2" * $"s2" / $"n")
+          .withColumn("cx12", $"s12" - $"s1" * $"s2" / $"n")
+          .withColumn("cx1y", $"s1y" - $"s1" * $"sy" / $"n")
+          .withColumn("cx2y", $"s2y" - $"s2" * $"sy" / $"n")
+          .withColumn("det",
+            ($"cxx1" + lam) * ($"cxx2" + lam) - $"cx12" * $"cx12")
+          .withColumn("b1", ($"cx1y" * ($"cxx2" + lam) - $"cx2y" * $"cx12") / $"det")
+          .withColumn("b2", ($"cx2y" * ($"cxx1" + lam) - $"cx1y" * $"cx12") / $"det")
+          .withColumn("b0", ($"sy" - $"b1" * $"s1" - $"b2" * $"s2") / $"n")
+          .select($"l_returnflag",
+            round($"b0", 4).as("b0"), round($"b1", 4).as("b1"),
+            round($"b2", 4).as("b2"), $"n".cast("long").as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag,
+             |    CAST(count(*) AS DOUBLE) AS n,
+             |    sum(l_quantity) AS s1, sum(l_discount) AS s2,
+             |    sum(l_extendedprice) AS sy,
+             |    sum(l_quantity * l_quantity) AS s11,
+             |    sum(l_discount * l_discount) AS s22,
+             |    sum(l_quantity * l_discount) AS s12,
+             |    sum(l_quantity * l_extendedprice) AS s1y,
+             |    sum(l_discount * l_extendedprice) AS s2y
+             |  FROM lineitem GROUP BY l_returnflag
+             |), c AS (
+             |  SELECT l_returnflag, n, s1, s2, sy,
+             |    s11 - s1 * s1 / n AS cxx1,
+             |    s22 - s2 * s2 / n AS cxx2,
+             |    s12 - s1 * s2 / n AS cx12,
+             |    s1y - s1 * sy / n AS cx1y,
+             |    s2y - s2 * sy / n AS cx2y
+             |  FROM m
+             |), f AS (
+             |  SELECT l_returnflag, n, s1, s2, sy, cx12, cx1y, cx2y,
+             |    (cxx1 + 1000.0) * (cxx2 + 1000.0) - cx12 * cx12 AS det,
+             |    cxx1, cxx2
+             |  FROM c
+             |), b AS (
+             |  SELECT l_returnflag, n, s1, s2, sy,
+             |    (cx1y * (cxx2 + 1000.0) - cx2y * cx12) / det AS b1,
+             |    (cx2y * (cxx1 + 1000.0) - cx1y * cx12) / det AS b2
+             |  FROM f
+             |)
+             |SELECT l_returnflag, round((sy - b1 * s1 - b2 * s2) / n, 4) AS b0,
+             |  round(b1, 4) AS b1, round(b2, 4) AS b2,
+             |  CAST(n AS BIGINT) AS n
+             |FROM b ORDER BY l_returnflag""".stripMargin)
     )
   )
 }

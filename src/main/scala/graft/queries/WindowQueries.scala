@@ -531,6 +531,52 @@ object WindowQueries {
                |)
                |WHERE rn >= 20
                |ORDER BY event_type, event_id""".stripMargin)
+      ),
+
+      // W16: seasonal-naive backtest with MASE — the forecasting-eval
+      // primitive: score the "same value as 7 days ago" baseline on
+      // each key's daily series, scaled by the naive one-step error
+      // (MASE = mean|v − v[t−7]| / mean|v[t] − v[t−1]|, Hyndman &
+      // Koehler 2006). One daily hash agg, then lag(1)/lag(7) sharing
+      // one per-key window spec, then a per-key reduce — the whole
+      // backtest is two exchanges regardless of fact size, and adding
+      // horizons means adding lag columns, not passes. Scored only on
+      // rows where both lags exist, so numerator and denominator cover
+      // the same evaluation span.
+      OracleQuery(
+        "w16_seasonal_mase",
+        (s, d) => {
+          import s.implicits._
+          val daily = Tables.events(s, d)
+            .groupBy($"event_type", to_date($"ts").as("day"))
+            .agg(avg($"value").as("v"))
+          val wd = Window.partitionBy($"event_type").orderBy($"day")
+          daily
+            .withColumn("l1", lag($"v", 1).over(wd))
+            .withColumn("l7", lag($"v", 7).over(wd))
+            .filter($"l1".isNotNull && $"l7".isNotNull)
+            .groupBy($"event_type")
+            .agg(
+              round(avg(abs($"v" - $"l7")), 4).as("mae_seasonal"),
+              round(avg(abs($"v" - $"l7")) / avg(abs($"v" - $"l1")), 4).as("mase"),
+              count(lit(1)).as("n_days"))
+            .orderBy($"event_type")
+        },
+        Some("""WITH daily AS (
+               |  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
+               |  FROM events GROUP BY 1, 2
+               |), lagged AS (
+               |  SELECT event_type, v,
+               |    lag(v, 1) OVER w AS l1, lag(v, 7) OVER w AS l7
+               |  FROM daily
+               |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+               |)
+               |SELECT event_type,
+               |  round(avg(abs(v - l7)), 4) AS mae_seasonal,
+               |  round(avg(abs(v - l7)) / avg(abs(v - l1)), 4) AS mase,
+               |  count(*) AS n_days
+               |FROM lagged WHERE l1 IS NOT NULL AND l7 IS NOT NULL
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
       )
     )
   }

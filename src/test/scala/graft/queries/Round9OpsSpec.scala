@@ -111,6 +111,57 @@ class Round9OpsSpec extends SparkSpec {
     assert(j.filter(abs($"slope" - $"m_slope") > 1e-3).isEmpty)
   }
 
+  test("a26: ridge shrinks both slopes toward zero relative to the λ=0 OLS fit") {
+    import spark.implicits._
+    // re-derive the closed form at λ=0 from the same moments and check
+    // the published λ=1000 coefficients are strictly smaller in |·|
+    def fit(lam: Double) = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"l_quantity").as("s1"), sum($"l_discount").as("s2"),
+        sum($"l_extendedprice").as("sy"),
+        sum($"l_quantity" * $"l_quantity").as("s11"),
+        sum($"l_discount" * $"l_discount").as("s22"),
+        sum($"l_quantity" * $"l_discount").as("s12"),
+        sum($"l_quantity" * $"l_extendedprice").as("s1y"),
+        sum($"l_discount" * $"l_extendedprice").as("s2y"))
+      .withColumn("cxx1", $"s11" - $"s1" * $"s1" / $"n")
+      .withColumn("cxx2", $"s22" - $"s2" * $"s2" / $"n")
+      .withColumn("cx12", $"s12" - $"s1" * $"s2" / $"n")
+      .withColumn("cx1y", $"s1y" - $"s1" * $"sy" / $"n")
+      .withColumn("cx2y", $"s2y" - $"s2" * $"sy" / $"n")
+      .withColumn("det", ($"cxx1" + lam) * ($"cxx2" + lam) - $"cx12" * $"cx12")
+      .select($"l_returnflag",
+        (($"cx1y" * ($"cxx2" + lam) - $"cx2y" * $"cx12") / $"det").as("b1"),
+        (($"cx2y" * ($"cxx1" + lam) - $"cx1y" * $"cx12") / $"det").as("b2"))
+    val ols = fit(0.0).withColumnRenamed("b1", "o1").withColumnRenamed("b2", "o2")
+    val ridge = Registry.queries("a26_grouped_ridge")(spark, sf)
+    val j = ridge.join(ols, Seq("l_returnflag"))
+    assert(j.count() == 3)
+    assert(j.filter(abs($"b1") > abs($"o1") + 1e-9 ||
+      abs($"b2") > abs($"o2") + 1e-9).isEmpty)
+  }
+
+  test("w16: scoring the scale forecast against itself pins MASE at exactly 1") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(avg($"value").as("v"))
+    val wd = Window.partitionBy($"event_type").orderBy($"day")
+    val selfScored = daily
+      .withColumn("l1", lag($"v", 1).over(wd))
+      .filter($"l1".isNotNull)
+      .groupBy($"event_type")
+      .agg((avg(abs($"v" - $"l1")) / avg(abs($"v" - $"l1"))).as("mase_self"))
+    assert(selfScored.filter(abs($"mase_self" - 1.0) > 1e-12).isEmpty)
+    // and the real entry evaluates on exactly (series length − 7) rows
+    val out = Registry.queries("w16_seasonal_mase")(spark, sf)
+    val spans = daily.groupBy($"event_type")
+      .agg((count(lit(1)) - 7).as("expect"))
+    val j = out.join(spans, Seq("event_type"))
+    assert(j.count() == out.count() && j.filter($"n_days" =!= $"expect").isEmpty)
+  }
+
   test("a25: histogram counts sum to the table count and bins nest in global bounds") {
     import spark.implicits._
     val out = Registry.queries("a25_histogram")(spark, sf).cache()
