@@ -1052,6 +1052,42 @@ object JoinQueries {
              |  count(*) AS n_overlaps, min(w.w0) AS first_window
              |FROM ships s JOIN wins w ON s.s0 <= w.w1 AND w.w0 <= s.s1
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // J31: numeric band join — for each purchase, how many click
+    // events landed within ±0.25 of its value (value-similarity
+    // matching, the 1-D numeric sibling of j30). ops.BandJoin buckets
+    // both sides at the band width; the left side explodes into
+    // bucket ± 1 (exactly 3 rows), the right keeps one bucket, and the
+    // hash equi-join on the bucket plus the exact |Δ| residual
+    // replaces the O(|L|·|R|) nested loop. The oracle states the
+    // semantics as the direct inequality join.
+    OracleQuery(
+      "j31_band_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("pid"), $"value".as("pv"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id".as("cid"), $"value".as("cv"))
+        graft.ops.BandJoin.band(purchases, clicks, "pv", "cv", delta = 0.25)
+          .groupBy($"pid")
+          .agg(count(lit(1)).as("n_close"),
+            round(min(abs($"pv" - $"cv")), 4).as("min_gap"))
+          .orderBy($"pid")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id AS pid, value AS pv FROM events
+             |  WHERE event_type = 'purchase'
+             |), c AS (
+             |  SELECT event_id AS cid, value AS cv FROM events
+             |  WHERE event_type = 'click'
+             |)
+             |SELECT pid, count(*) AS n_close,
+             |  round(min(abs(pv - cv)), 4) AS min_gap
+             |FROM p JOIN c ON abs(pv - cv) <= 0.25
+             |GROUP BY pid ORDER BY pid""".stripMargin)
     )
   )
 }
