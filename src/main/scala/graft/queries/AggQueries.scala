@@ -912,6 +912,59 @@ object AggQueries {
              |  round(b1, 4) AS b1, round(b2, 4) AS b2,
              |  CAST(n AS BIGINT) AS n
              |FROM b ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // A27: daily conversion rate with a Wilson 95% interval — the
+    // uncertainty-aware twin of a plain rate: at 100 TB some slices
+    // still have 50 rows, and reporting p̂ without its interval invites
+    // bad decisions on thin cells. One (day) hash agg (conversions are
+    // a conditional sum), then the Wilson score bounds as row-local
+    // arithmetic — identical IEEE formula text on both engines, z
+    // pinned at the literal 1.96. The Wilson form (not normal approx)
+    // stays inside [0,1] on extreme cells.
+    OracleQuery(
+      "a27_wilson_ci",
+      (s, d) => {
+        import s.implicits._
+        val z = 1.96
+        Tables.events(s, d)
+          .groupBy(to_date($"ts").as("day"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(when($"event_type" === "purchase", 1.0).otherwise(0.0)).as("k"))
+          .withColumn("p", $"k" / $"n")
+          .withColumn("den", lit(1.0) + lit(z * z) / $"n")
+          .withColumn("ctr", ($"p" + lit(z * z) / (lit(2.0) * $"n")) / $"den")
+          .withColumn("hw",
+            lit(z) * sqrt($"p" * (lit(1.0) - $"p") / $"n" +
+              lit(z * z) / (lit(4.0) * $"n" * $"n")) / $"den")
+          .select($"day".cast("timestamp").as("day"),
+            $"n".cast("long").as("n"),
+            round($"p", 4).as("conv"),
+            round($"ctr" - $"hw", 4).as("ci_lo"),
+            round($"ctr" + $"hw", 4).as("ci_hi"))
+          .orderBy($"day")
+      },
+      Some("""WITH agg AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS DOUBLE) AS n,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS k
+             |  FROM events GROUP BY 1
+             |), w AS (
+             |  SELECT day, n, k / n AS p,
+             |    1.0 + (1.96 * 1.96) / n AS den
+             |  FROM agg
+             |), c AS (
+             |  SELECT day, n, p, den,
+             |    (p + (1.96 * 1.96) / (2.0 * n)) / den AS ctr,
+             |    1.96 * sqrt(p * (1.0 - p) / n +
+             |      (1.96 * 1.96) / (4.0 * n * n)) / den AS hw
+             |  FROM w
+             |)
+             |SELECT CAST(day AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n,
+             |  round(p, 4) AS conv,
+             |  round(ctr - hw, 4) AS ci_lo, round(ctr + hw, 4) AS ci_hi
+             |FROM c ORDER BY day""".stripMargin)
     )
   )
 }

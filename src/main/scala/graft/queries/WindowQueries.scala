@@ -577,6 +577,54 @@ object WindowQueries {
                |  count(*) AS n_days
                |FROM lagged WHERE l1 IS NOT NULL AND l7 IS NOT NULL
                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      ),
+
+      // W17: rolling 7-day distinct users per day — the WAU/MAU
+      // pattern. COUNT(DISTINCT) is not a window function in either
+      // engine, and the naive per-day self-join re-scans the fact once
+      // per day. Spark-first spelling: each event explodes map-side
+      // into the ≤7 report days its activity covers (the interval-join
+      // bin trick pointed at a sliding window), then ONE (day, user)
+      // distinct + ONE per-day count — two exchanges total for the
+      // whole rolling series, shuffle volume O(events × window/step),
+      // independent of the day count. Report days clamp to the
+      // observed span so no partial-window edge days are emitted with
+      // inflated-looking zeros. The oracle spells the semantics as the
+      // day-spine range join.
+      OracleQuery(
+        "w17_rolling_distinct",
+        (s, d) => {
+          import s.implicits._
+          val ev = Tables.events(s, d)
+            .select(to_date($"ts").as("day"), $"user_id")
+          val bounds = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+          ev.crossJoin(broadcast(bounds))
+            // full windows only (a span under 7 days has no report day,
+            // and the guard keeps the clamped sequence ascending)
+            .filter(date_add($"d0", 6) <= $"d1")
+            // event on day D is visible to report days D .. D+6,
+            // clamped to the observed span
+            .withColumn("rday", explode(sequence(
+              greatest($"day", date_add($"d0", 6)),
+              least(date_add($"day", 6), $"d1"))))
+            .select($"rday", $"user_id").distinct()
+            .groupBy($"rday")
+            .agg(countDistinct($"user_id").as("wau"))
+            .select($"rday".cast("timestamp").as("rday"), $"wau")
+            .orderBy($"rday")
+        },
+        Some("""WITH ev AS (
+               |  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+               |), b AS (
+               |  SELECT min(day) AS d0, max(day) AS d1 FROM ev
+               |), spine AS (
+               |  SELECT CAST(unnest(generate_series(d0 + 6, d1, INTERVAL 1 DAY)) AS DATE) AS rday
+               |  FROM b
+               |)
+               |SELECT s.rday, count(DISTINCT e.user_id) AS wau
+               |FROM spine s JOIN ev e
+               |  ON e.day BETWEEN s.rday - 6 AND s.rday
+               |GROUP BY s.rday ORDER BY s.rday""".stripMargin)
       )
     )
   }

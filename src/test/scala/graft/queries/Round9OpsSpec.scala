@@ -162,6 +162,31 @@ class Round9OpsSpec extends SparkSpec {
     assert(j.count() == out.count() && j.filter($"n_days" =!= $"expect").isEmpty)
   }
 
+  test("w17: explode-spelling equals the naive day-spine range join; wau bounded by user count") {
+    import spark.implicits._
+    val out = Registry.queries("w17_rolling_distinct")(spark, sf)
+    val ev = Tables.events(spark, sf).select(to_date($"ts").as("day"), $"user_id")
+    val b = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = b.select(explode(sequence(date_add($"d0", 6), $"d1",
+      expr("interval 1 day"))).as("rday"))
+    val naive = spine.join(ev,
+        $"day".between(date_add($"rday", -6), $"rday"))
+      .groupBy($"rday").agg(countDistinct($"user_id").as("wau"))
+      .select($"rday".cast("timestamp").as("rday"), $"wau")
+    assert(out.count() > 0)
+    assert(out.except(naive).isEmpty && naive.except(out).isEmpty)
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(out.filter($"wau" > users).isEmpty)
+  }
+
+  test("a27: the Wilson interval contains the point rate and stays inside [0, 1]") {
+    import spark.implicits._
+    val out = Registry.queries("a27_wilson_ci")(spark, sf)
+    assert(out.count() > 0)
+    assert(out.filter($"ci_lo" > $"conv" || $"ci_hi" < $"conv").isEmpty)
+    assert(out.filter($"ci_lo" < -1e-9 || $"ci_hi" > 1.0 + 1e-9).isEmpty)
+  }
+
   test("a25: histogram counts sum to the table count and bins nest in global bounds") {
     import spark.implicits._
     val out = Registry.queries("a25_histogram")(spark, sf).cache()
