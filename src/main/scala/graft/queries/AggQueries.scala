@@ -965,6 +965,51 @@ object AggQueries {
              |  round(p, 4) AS conv,
              |  round(ctr - hw, 4) AS ci_lo, round(ctr + hw, 4) AS ci_hi
              |FROM c ORDER BY day""".stripMargin)
+    ),
+
+    // A28: lead–lag cross-correlation — corr(purchase value_t,
+    // click value_{t+k}) for k ∈ [−3, 3] on the daily series: does one
+    // series LEAD the other, and by how many days? One daily hash agg
+    // builds both series as conditional means in a single pass; the
+    // lag axis is a 7-element explode joined back on shifted day (an
+    // equi-join on a date expression, never a cross product of days);
+    // one corr aggregate per lag. The whole sweep is O(days × lags)
+    // intermediate rows — adding lags widens the explode, not the
+    // number of passes.
+    OracleQuery(
+      "a28_crosscorr_lags",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .groupBy(to_date($"ts").as("day"))
+          .agg(
+            avg(when($"event_type" === "purchase", $"value")).as("x"),
+            avg(when($"event_type" === "click", $"value")).as("y"))
+        val a = daily.select($"day", $"x")
+          .withColumn("lag", explode(array((-3 to 3).map(lit): _*)))
+        val b = daily.select($"day".as("bday"), $"y")
+        val c = corr($"x", $"y")
+        a.join(b, $"bday" === date_add($"day", $"lag"))
+          .groupBy($"lag")
+          .agg(
+            round(when(isnan(c), lit(null)).otherwise(c), 4).as("xcorr"),
+            count(lit(1)).as("n_days"))
+          .orderBy($"lag")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    avg(CASE WHEN event_type = 'purchase' THEN value END) AS x,
+             |    avg(CASE WHEN event_type = 'click' THEN value END) AS y
+             |  FROM events GROUP BY 1
+             |), lags AS (
+             |  SELECT CAST(unnest(generate_series(-3, 3)) AS INT) AS lag
+             |)
+             |SELECT l.lag, round(corr(a.x, b.y), 4) AS xcorr,
+             |  count(*) AS n_days
+             |FROM lags l
+             |JOIN daily a ON true
+             |JOIN daily b ON b.day = a.day + l.lag
+             |GROUP BY l.lag ORDER BY l.lag""".stripMargin)
     )
   )
 }

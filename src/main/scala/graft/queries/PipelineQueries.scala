@@ -667,6 +667,56 @@ object PipelineQueries {
              |ASOF LEFT JOIN errors e ON l.user_id = e.user_id AND l.ts >= e.ts
              |ASOF LEFT JOIN clicks c ON l.user_id = c.user_id AND l.ts >= c.ts
              |ORDER BY l.event_id""".stripMargin)
+    ),
+
+    // Time-to-convert funnel latency: per user, hours from first signup
+    // to the first purchase at-or-after it, summarized as conversion
+    // rate + exact median/p90 latency. Two keyed hash aggs (first
+    // signup; first qualifying purchase, the signup table broadcast
+    // into the purchase scan) and one final reduce over the |users|-
+    // grain frame — the exact percentile is safe here because the
+    // aggregation grain is users, already collapsed, not raw events.
+    OracleQuery(
+      "pipe_time_to_convert",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val signups = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+        val conv = ev.filter($"event_type" === "purchase")
+          .join(broadcast(signups), Seq("user_id"))
+          .filter($"ts" >= $"s_ts")
+          .groupBy($"user_id").agg(min($"ts").as("p_ts"), min($"s_ts").as("s_ts"))
+          .withColumn("hours",
+            (unix_micros($"p_ts") - unix_micros($"s_ts")) / lit(3600e6))
+        signups.join(conv.select($"user_id", $"hours"), Seq("user_id"), "left_outer")
+          .agg(
+            count(lit(1)).as("n_signup"),
+            count($"hours").as("n_converted"),
+            round(count($"hours") / count(lit(1)).cast("double"), 4).as("conv_rate"),
+            round(expr("percentile(hours, 0.5)"), 4).as("median_hours"),
+            round(expr("percentile(hours, 0.9)"), 4).as("p90_hours"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, min(ts) AS s_ts FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id
+             |), c AS (
+             |  SELECT e.user_id, min(e.ts) AS p_ts, min(s.s_ts) AS s_ts
+             |  FROM events e JOIN s ON e.user_id = s.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+             |  GROUP BY e.user_id
+             |), lat AS (
+             |  SELECT s.user_id,
+             |    CASE WHEN c.p_ts IS NOT NULL THEN
+             |      (epoch_us(c.p_ts) - epoch_us(c.s_ts)) / 3600000000.0 END AS hours
+             |  FROM s LEFT JOIN c ON s.user_id = c.user_id
+             |)
+             |SELECT count(*) AS n_signup,
+             |  count(hours) AS n_converted,
+             |  round(count(hours) / CAST(count(*) AS DOUBLE), 4) AS conv_rate,
+             |  round(quantile_cont(hours, 0.5), 4) AS median_hours,
+             |  round(quantile_cont(hours, 0.9), 4) AS p90_hours
+             |FROM lat""".stripMargin)
     )
   )
 }

@@ -625,6 +625,47 @@ object WindowQueries {
                |FROM spine s JOIN ev e
                |  ON e.day BETWEEN s.rday - 6 AND s.rday
                |GROUP BY s.rday ORDER BY s.rday""".stripMargin)
+      ),
+
+      // W18: behavioral transition matrix — P(next event type | current)
+      // per user stream: ONE lead() pass over the (user) exchange pairs
+      // each event with its successor, a (from, to) hash agg counts
+      // transitions, and the row-normalization joins back the ≤|types|
+      // per-source totals (broadcast — the matrix side is tiny however
+      // large the fact is). The Markov-chain summary every product-
+      // analytics and session-modeling pipeline wants, at two
+      // exchanges + one broadcast.
+      OracleQuery(
+        "w18_event_transitions",
+        (s, d) => {
+          import s.implicits._
+          val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          val pairs = Tables.events(s, d)
+            .withColumn("next_type", lead($"event_type", 1).over(wu))
+            .filter($"next_type".isNotNull)
+            .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+            .agg(count(lit(1)).as("n"))
+          val totals = pairs.groupBy($"from_type")
+            .agg(sum($"n").as("tot"))
+          pairs.join(broadcast(totals), Seq("from_type"))
+            .select($"from_type", $"to_type", $"n",
+              round($"n" / $"tot", 4).as("p"))
+            .orderBy($"from_type", $"to_type")
+        },
+        Some("""WITH pairs AS (
+               |  SELECT event_type AS from_type,
+               |    lead(event_type, 1) OVER
+               |      (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+               |  FROM events
+               |), counted AS (
+               |  SELECT from_type, to_type, count(*) AS n
+               |  FROM pairs WHERE to_type IS NOT NULL
+               |  GROUP BY 1, 2
+               |)
+               |SELECT from_type, to_type, n,
+               |  round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+               |FROM counted
+               |ORDER BY from_type, to_type""".stripMargin)
       )
     )
   }

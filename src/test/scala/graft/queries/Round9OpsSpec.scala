@@ -187,6 +187,39 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.filter($"ci_lo" < -1e-9 || $"ci_hi" > 1.0 + 1e-9).isEmpty)
   }
 
+  test("w18: transition probabilities sum to 1 per source; transition count = events − active users") {
+    import spark.implicits._
+    val out = Registry.queries("w18_event_transitions")(spark, sf).cache()
+    try {
+      val sums = out.groupBy($"from_type").agg(sum($"p").as("sp"))
+      // rounding each cell to 4 decimals can drift the row sum by ≤ |types|·5e-5
+      assert(sums.filter(abs($"sp" - 1.0) > 3e-4).isEmpty)
+      val ev = Tables.events(spark, sf)
+      val expected = ev.count() - ev.select($"user_id").distinct().count()
+      assert(out.agg(sum($"n")).as[Long].head() == expected)
+    } finally out.unpersist()
+  }
+
+  test("time-to-convert: converted ⊆ signups, latency quantiles ordered and non-negative") {
+    import spark.implicits._
+    val r = Registry.queries("pipe_time_to_convert")(spark, sf).head()
+    val (nS, nC) = (r.getAs[Long]("n_signup"), r.getAs[Long]("n_converted"))
+    assert(nC <= nS && nS > 0)
+    val (med, p90) = (r.getAs[Double]("median_hours"), r.getAs[Double]("p90_hours"))
+    assert(med >= 0.0 && p90 >= med)
+  }
+
+  test("a28: cross-correlations bounded, lag 0 covers at least as many days as any shift") {
+    import spark.implicits._
+    val out = Registry.queries("a28_crosscorr_lags")(spark, sf).cache()
+    try {
+      assert(out.count() == 7)
+      assert(out.filter(abs($"xcorr") > 1.0 + 1e-9).isEmpty)
+      val n0 = out.filter($"lag" === 0).select($"n_days").as[Long].head()
+      assert(out.filter($"n_days" > n0).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("a25: histogram counts sum to the table count and bins nest in global bounds") {
     import spark.implicits._
     val out = Registry.queries("a25_histogram")(spark, sf).cache()
