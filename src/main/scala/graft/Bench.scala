@@ -47,7 +47,9 @@ object Bench {
     "j30_interval_overlap", // binned interval-interval join
     "w14_gap_fill",        // calendar spine + linear interpolation
     "a24_grouped_regression", // per-group closed-form OLS
-    "pipe_feature_snapshot")  // point-in-time feature-store join
+    "pipe_feature_snapshot",  // point-in-time feature-store join
+    "w17_rolling_distinct", // rolling 7-day WAU via window explosion
+    "j31_band_join")       // delta-width bucketed numeric band join
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

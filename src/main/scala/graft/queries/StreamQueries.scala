@@ -135,6 +135,49 @@ object StreamQueries {
              |  min(view_id) AS min_view, max(view_id) AS max_view,
              |  min(click_id) AS min_click, max(click_id) AS max_click
              |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // Streaming sliding-window distinct users, oracle-gated against the
+    // batch spelling: the 7-day/1-day-slide WAU series computed AS A
+    // STREAM — sliding `window()` fan-out, stateful dropDuplicates on
+    // (window, user), then the per-window count — over several forced
+    // micro-batches must hash-match w17's day-spine oracle. What's on
+    // trial is the cross-micro-batch dedup state: a user seen in batch
+    // 1 must not recount in batch 3 for the same window. (Streaming
+    // distinct-count aggregations don't exist in any engine; the
+    // dedup-then-count decomposition is THE scalable spelling, batch or
+    // stream.) Report day = window.end − 1 day; UTC session, epoch-
+    // aligned slides → calendar days align with the batch spine, which
+    // clamps to full windows inside the observed span.
+    OracleQuery(
+      "stream_wau",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"ts", $"user_id")
+        val b = ev.agg(min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1")).head()
+        val (d0, d1) = (b.getDate(0), b.getDate(1))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_wau").toString
+        ev.write.mode("overwrite").parquet(s"$tmp/events")
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2) // several micro-batches: the
+          // cross-batch dedup state merge is the thing being checked
+          .parquet(s"$tmp/events")
+        val windowed = src
+          .select(window($"ts", "7 days", "1 day").as("w"), $"user_id")
+          .dropDuplicates("w", "user_id")
+          .groupBy($"w").agg(count(lit(1)).as("wau"))
+        val name = s"stream_wau_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        graft.streaming.Streams.runToMemory(windowed, name, s"$tmp/ckpt")
+        s.table(name)
+          .select(date_add($"w.end".cast("date"), -1).as("rday"), $"wau")
+          .filter($"rday".between(
+            java.sql.Date.valueOf(d0.toLocalDate.plusDays(6)), d1))
+          .select($"rday".cast("timestamp").as("rday"), $"wau")
+          .orderBy($"rday")
+      },
+      // w17's oracle, verbatim — THE equivalence statement
+      WindowQueries.all.find(_.name == "w17_rolling_distinct").get.oracle
     )
   )
 }
