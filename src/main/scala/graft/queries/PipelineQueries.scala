@@ -717,6 +717,94 @@ object PipelineQueries {
              |  round(quantile_cont(hours, 0.5), 4) AS median_hours,
              |  round(quantile_cont(hours, 0.9), 4) AS p90_hours
              |FROM lat""".stripMargin)
+    ),
+
+    // 5-fold cross-validation of the closed-form ridge in TWO fact
+    // scans total — not 5 × (fit + score) = 10. The trick: a fold's
+    // TRAINING moments are the totals minus its own moments, so one
+    // (fold) hash agg yields every leave-fold-out fit algebraically
+    // (moment subtraction), and one scoring pass joins the 5-row model
+    // table back by fold. Fold assignment is the engine-agnostic
+    // md5-prefix hash (the o7/o21 pattern) so DuckDB replays the exact
+    // same partition. This is THE shape for hyperparameter search at
+    // 100 TB: folds × lambdas all derive from one moments pass.
+    OracleQuery(
+      "pipe_kfold_cv",
+      (s, d) => {
+        import s.implicits._
+        val lam = 1000.0
+        val fact = Tables.lineitem(s, d).select(
+          expr("CAST(conv(substr(md5(concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT) % 5")
+            .cast("int").as("fold"),
+          $"l_quantity".as("x"), $"l_extendedprice".as("y"))
+        val perFold = fact.groupBy($"fold").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        // totals via a whole-frame window over the 5-row fold table — a
+        // second aggregate would duplicate the fact-scanning subtree in
+        // the plan (3 scans); the window keeps the moments pass single
+        val wAll = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val models = perFold
+          .withColumn("tn", sum($"n").over(wAll))
+          .withColumn("tsx", sum($"sx").over(wAll))
+          .withColumn("tsy", sum($"sy").over(wAll))
+          .withColumn("tsxx", sum($"sxx").over(wAll))
+          .withColumn("tsxy", sum($"sxy").over(wAll))
+          .withColumn("cn", $"tn" - $"n")
+          .withColumn("csx", $"tsx" - $"sx")
+          .withColumn("csy", $"tsy" - $"sy")
+          .withColumn("cxx", ($"tsxx" - $"sxx") - $"csx" * $"csx" / $"cn")
+          .withColumn("cxy", ($"tsxy" - $"sxy") - $"csx" * $"csy" / $"cn")
+          .withColumn("b1", $"cxy" / ($"cxx" + lam))
+          .withColumn("b0", ($"csy" - $"b1" * $"csx") / $"cn")
+          .select($"fold", $"b0", $"b1")
+        fact.join(broadcast(models), Seq("fold"))
+          .withColumn("err", $"y" - ($"b0" + $"b1" * $"x"))
+          .groupBy($"fold")
+          .agg(
+            round(sqrt(avg($"err" * $"err")), 4).as("rmse"),
+            round(avg(abs($"err")), 4).as("mae"),
+            count(lit(1)).as("n_test"))
+          .orderBy($"fold")
+      },
+      Some("""WITH fact AS (
+             |  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+             |      CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT) AS fold,
+             |    l_quantity AS x, l_extendedprice AS y
+             |  FROM lineitem
+             |), per_fold AS (
+             |  SELECT fold, CAST(count(*) AS DOUBLE) AS n,
+             |    sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy
+             |  FROM fact GROUP BY fold
+             |), tot AS (
+             |  SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+             |    sum(sxx) AS tsxx, sum(sxy) AS tsxy
+             |  FROM per_fold
+             |), m0 AS (
+             |  SELECT fold, tn - n AS cn, tsx - sx AS csx, tsy - sy AS csy,
+             |    (tsxx - sxx) AS csxx, (tsxy - sxy) AS csxy
+             |  FROM per_fold CROSS JOIN tot
+             |), m1 AS (
+             |  SELECT fold, cn, csx, csy,
+             |    csxx - csx * csx / cn AS cxx,
+             |    csxy - csx * csy / cn AS cxy
+             |  FROM m0
+             |), models AS (
+             |  SELECT fold, cn, csx, csy, cxy / (cxx + 1000.0) AS b1
+             |  FROM m1
+             |), mb AS (
+             |  SELECT fold, b1, (csy - b1 * csx) / cn AS b0 FROM models
+             |)
+             |SELECT f.fold,
+             |  round(sqrt(avg((f.y - (mb.b0 + mb.b1 * f.x)) *
+             |                 (f.y - (mb.b0 + mb.b1 * f.x)))), 4) AS rmse,
+             |  round(avg(abs(f.y - (mb.b0 + mb.b1 * f.x))), 4) AS mae,
+             |  count(*) AS n_test
+             |FROM fact f JOIN mb ON f.fold = mb.fold
+             |GROUP BY f.fold ORDER BY f.fold""".stripMargin)
     )
   )
 }

@@ -408,6 +408,12 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(event_type".r.findAllIn(p15).length <= 1, p15)
   }
 
+  test("k-fold CV: exactly two fact scans — moments once, scoring once, never per fold") {
+    val p = plan(Registry.queries("pipe_kfold_cv")(spark, sf))
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("grouped regression and histogram stay hash aggregates with map-side partials") {
     val p24 = plan(Registry.queries("a24_grouped_regression")(spark, sf))
     assert(p24.contains("HashAggregate"), p24)

@@ -220,6 +220,35 @@ class Round9OpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("k-fold CV: moment-subtraction fit equals the fit trained directly on the complement") {
+    import spark.implicits._
+    // fold 0's model from the query path must match a ridge fit computed
+    // the slow way: aggregate moments over the OTHER four folds directly
+    val lam = 1000.0
+    val fact = Tables.lineitem(spark, sf).select(
+      expr("CAST(conv(substr(md5(concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT) % 5")
+        .cast("int").as("fold"),
+      $"l_quantity".as("x"), $"l_extendedprice".as("y"))
+    def ridgeOn(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(count(lit(1)).cast("double").as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy")).head()
+      val (n, sx, sy, sxx, sxy) =
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val b1 = (sxy - sx * sy / n) / ((sxx - sx * sx / n) + lam)
+      (b1, (sy - b1 * sx) / n)
+    }
+    val (b1Direct, b0Direct) = ridgeOn(fact.filter($"fold" =!= 0))
+    // reproduce the query's fold-0 rmse from the direct fit
+    val direct = fact.filter($"fold" === 0)
+      .withColumn("err", $"y" - (lit(b0Direct) + lit(b1Direct) * $"x"))
+      .agg(round(sqrt(avg($"err" * $"err")), 4)).as[Double].head()
+    val fromQuery = Registry.queries("pipe_kfold_cv")(spark, sf)
+      .filter($"fold" === 0).select($"rmse").as[Double].head()
+    assert(math.abs(direct - fromQuery) <= 1e-4,
+      s"direct=$direct query=$fromQuery")
+  }
+
   test("a25: histogram counts sum to the table count and bins nest in global bounds") {
     import spark.implicits._
     val out = Registry.queries("a25_histogram")(spark, sf).cache()
