@@ -49,7 +49,8 @@ object Bench {
     "a24_grouped_regression", // per-group closed-form OLS
     "pipe_feature_snapshot",  // point-in-time feature-store join
     "w17_rolling_distinct", // rolling 7-day WAU via window explosion
-    "j31_band_join")       // delta-width bucketed numeric band join
+    "j31_band_join",       // delta-width bucketed numeric band join
+    "pipe_kfold_cv")       // 2-scan 5-fold CV via moment subtraction
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

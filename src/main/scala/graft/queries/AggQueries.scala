@@ -1010,6 +1010,82 @@ object AggQueries {
              |JOIN daily a ON true
              |JOIN daily b ON b.day = a.day + l.lag
              |GROUP BY l.lag ORDER BY l.lag""".stripMargin)
+    ),
+
+    // A29: A/B uplift with a pooled two-proportion z-test — the
+    // experimentation readout: users split into arms by the engine-
+    // agnostic md5-prefix hash (the o7/o21 pattern, so the oracle
+    // replays the identical assignment), per-arm conversion from one
+    // (arm) hash agg over the per-user collapse, then uplift and the
+    // pooled z statistic as row-local arithmetic on the 2-row arm
+    // table. Two keyed exchanges however large the event log; the
+    // statistics cost nothing beyond the rates.
+    OracleQuery(
+      "a29_ab_uplift",
+      (s, d) => {
+        import s.implicits._
+        val perUser = Tables.events(s, d)
+          .groupBy($"user_id")
+          // "converted" = any HIGH-VALUE purchase: rare enough that
+          // 0 < pooled p < 1 (an every-user event would zero the
+          // pooled variance — and be a pointless experiment anyway)
+          .agg(max(when($"event_type" === "purchase" && $"value" > 300.0, 1.0)
+            .otherwise(0.0)).as("converted"))
+          .withColumn("arm",
+            expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2")
+              .cast("int"))
+        val arms = perUser.groupBy($"arm")
+          .agg(count(lit(1)).cast("double").as("n"), sum($"converted").as("k"))
+          .withColumn("p", $"k" / $"n")
+        val a = arms.filter($"arm" === 0)
+          .select($"n".as("n_a"), $"k".as("k_a"), $"p".as("p_a"))
+        val b = arms.filter($"arm" === 1)
+          .select($"n".as("n_b"), $"k".as("k_b"), $"p".as("p_b"))
+        a.crossJoin(b)
+          .withColumn("pp", ($"k_a" + $"k_b") / ($"n_a" + $"n_b"))
+          .withColumn("se", sqrt($"pp" * (lit(1.0) - $"pp") *
+            (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))
+          .select(
+            $"n_a".cast("long").as("n_a"), round($"p_a", 4).as("conv_a"),
+            $"n_b".cast("long").as("n_b"), round($"p_b", 4).as("conv_b"),
+            round($"p_b" - $"p_a", 4).as("uplift"),
+            // degenerate pooled variance (all or none converted) → no
+            // test statistic; ANSI double-division would throw, DuckDB
+            // would return ±inf — both sides agree on NULL instead
+            round(when($"se" > 0.0, ($"p_b" - $"p_a") / $"se"), 4).as("z"))
+      },
+      Some("""WITH per_user AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' AND value > 300.0
+             |             THEN 1.0 ELSE 0.0 END) AS converted
+             |  FROM events GROUP BY user_id
+             |), armed AS (
+             |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS INT) AS arm,
+             |    converted
+             |  FROM per_user
+             |), arms AS (
+             |  SELECT arm, CAST(count(*) AS DOUBLE) AS n, sum(converted) AS k,
+             |    sum(converted) / CAST(count(*) AS DOUBLE) AS p
+             |  FROM armed GROUP BY arm
+             |), ab AS (
+             |  SELECT
+             |    (SELECT n FROM arms WHERE arm = 0) AS n_a,
+             |    (SELECT k FROM arms WHERE arm = 0) AS k_a,
+             |    (SELECT p FROM arms WHERE arm = 0) AS p_a,
+             |    (SELECT n FROM arms WHERE arm = 1) AS n_b,
+             |    (SELECT k FROM arms WHERE arm = 1) AS k_b,
+             |    (SELECT p FROM arms WHERE arm = 1) AS p_b
+             |), st AS (
+             |  SELECT n_a, p_a, n_b, p_b,
+             |    (k_a + k_b) / (n_a + n_b) AS pp
+             |  FROM ab
+             |)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, round(p_a, 4) AS conv_a,
+             |  CAST(n_b AS BIGINT) AS n_b, round(p_b, 4) AS conv_b,
+             |  round(p_b - p_a, 4) AS uplift,
+             |  round(CASE WHEN pp > 0.0 AND pp < 1.0 THEN (p_b - p_a) /
+             |    sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) END, 4) AS z
+             |FROM st""".stripMargin)
     )
   )
 }

@@ -249,6 +249,15 @@ class Round9OpsSpec extends SparkSpec {
       s"direct=$direct query=$fromQuery")
   }
 
+  test("a29: arm sizes partition the users; uplift consistent with the arm rates") {
+    import spark.implicits._
+    val r = Registry.queries("a29_ab_uplift")(spark, sf).head()
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+    val up = r.getAs[Double]("uplift")
+    assert(math.abs(up - (r.getAs[Double]("conv_b") - r.getAs[Double]("conv_a"))) <= 2e-4)
+  }
+
   test("a25: histogram counts sum to the table count and bins nest in global bounds") {
     import spark.implicits._
     val out = Registry.queries("a25_histogram")(spark, sf).cache()
