@@ -1086,6 +1086,95 @@ object AggQueries {
              |  round(CASE WHEN pp > 0.0 AND pp < 1.0 THEN (p_b - p_a) /
              |    sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) END, 4) AS z
              |FROM st""".stripMargin)
+    ),
+
+    // A30: weighted median — the robust location estimate when rows carry
+    // a mass (here: price weighted by quantity). Spelled as "lowest value
+    // whose cumulative weight reaches half the group total", with a RANGE
+    // frame so every tie of a value sees the same cumulative weight — the
+    // result is deterministic under any tie order. One exchange on the
+    // group key; the two window functions and the final min share it.
+    // l_quantity is integral, so the cumulative sums are exact in double
+    // and the >= half-total predicate cannot flip on summation order.
+    // 100 TB: per-group sort is the cost — for few fat groups route
+    // through o20_exact_quantiles' histogram descent instead.
+    OracleQuery(
+      "a30_weighted_median",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val byVal = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val whole = Window.partitionBy($"l_returnflag")
+        Tables.lineitem(s, d)
+          .withColumn("cumw", sum($"l_quantity").over(byVal))
+          .withColumn("totw", sum($"l_quantity").over(whole))
+          .filter($"cumw" >= $"totw" / 2.0)
+          .groupBy($"l_returnflag")
+          .agg(round(min($"l_extendedprice"), 4).as("wmedian"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(min(l_extendedprice), 4) AS wmedian
+             |FROM (
+             |  SELECT l_returnflag, l_extendedprice,
+             |    sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+             |  FROM lineitem
+             |)
+             |WHERE cumw >= totw / 2.0
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // A32: Gini coefficient of customer spend per nation — the standard
+    // inequality/concentration metric for "how skewed is revenue across
+    // accounts". Lorenz rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n on
+    // ascending spend. Ranks within a tie block of equal x contribute
+    // x·Σi regardless of permutation, so ties don't break determinism.
+    // Per-customer spends are rounded to 4 dp and decimal-cast BEFORE
+    // the rank products, so Σ(i·x) is exact integer-scaled arithmetic on
+    // both engines — no parallel-summation ulp can flip the 4-dp hash.
+    // Two keyed exchanges (customer collapse, nation window) at any SF.
+    OracleQuery(
+      "a32_gini_spend",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val spend = Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(round(sum($"o_totalprice"), 4).cast("decimal(18,4)").as("x"))
+          .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+        val byNation = Window.partitionBy($"c_nationkey").orderBy($"x", $"o_custkey")
+        spend
+          .withColumn("i", row_number().over(byNation).cast("decimal(18,0)"))
+          .groupBy($"c_nationkey")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum($"x").cast("double").as("sx"),
+            sum($"i" * $"x").cast("double").as("six"))
+          .select($"c_nationkey".as("nationkey"),
+            $"n".cast("bigint").as("n_customers"),
+            round(lit(2.0) * $"six" / ($"n" * $"sx") - ($"n" + 1.0) / $"n", 4).as("gini"))
+          .orderBy($"nationkey")
+      },
+      Some("""WITH spend AS (
+             |  SELECT o_custkey, CAST(round(sum(o_totalprice), 4) AS DECIMAL(18,4)) AS x
+             |  FROM orders GROUP BY o_custkey
+             |), ranked AS (
+             |  SELECT c_nationkey, x,
+             |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY x, o_custkey)
+             |      AS DECIMAL(18,0)) AS i
+             |  FROM spend JOIN customer ON o_custkey = c_custkey
+             |), g AS (
+             |  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(i * x) AS DOUBLE) AS six
+             |  FROM ranked GROUP BY c_nationkey
+             |)
+             |SELECT c_nationkey AS nationkey, CAST(n AS BIGINT) AS n_customers,
+             |  round(2.0 * six / (n * sx) - (n + 1.0) / n, 4) AS gini
+             |FROM g ORDER BY nationkey""".stripMargin)
     )
   )
 }

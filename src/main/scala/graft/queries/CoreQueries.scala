@@ -933,6 +933,76 @@ object CoreQueries {
              |SELECT split, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS n_chars, (SELECT order_fp FROM fp) AS order_fp
              |FROM tagged GROUP BY split ORDER BY split""".stripMargin)
+    ),
+
+    // O23: one-pass table profiling — the data-quality census every
+    // ingestion pipeline runs before admitting a source: per column,
+    // row/null/distinct counts plus min/max/mean, exploded to a long
+    // (column, metric) layout. ONE scan: all per-column aggregates live
+    // in a single global agg (the multi-distinct expands the scan
+    // map-side; at 100 TB swap count_distinct for approx_count_distinct
+    // — a14's sketch — and the expand disappears), and the long layout
+    // is a driver-free explode of that 1-row frame, not per-column
+    // passes. Profiling N columns costs one scan regardless of N.
+    OracleQuery(
+      "o23_table_profile",
+      (s, d) => {
+        import s.implicits._
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val li = Tables.lineitem(s, d)
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_distinct"),
+            min(col(c)).as(s"${c}_min"),
+            max(col(c)).as(s"${c}_max"),
+            round(avg(col(c)), 4).as(s"${c}_mean")))
+        val wide = li.agg(aggs.head, aggs.tail: _*)
+        val longRows = cols.map { c =>
+          wide.select(
+            lit(c).as("column_name"),
+            $"n_rows".cast("bigint").as("n_rows"),
+            col(s"${c}_nulls").cast("bigint").as("n_nulls"),
+            col(s"${c}_distinct").cast("bigint").as("n_distinct"),
+            col(s"${c}_min").cast("double").as("min_v"),
+            col(s"${c}_max").cast("double").as("max_v"),
+            col(s"${c}_mean").cast("double").as("mean_v"))
+        }
+        longRows.reduce(_ unionAll _).orderBy($"column_name")
+      },
+      Some("""WITH w AS (
+             |  SELECT count(*) AS n_rows,
+             |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+             |    count(DISTINCT l_quantity) AS q_distinct,
+             |    min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+             |    round(avg(l_quantity), 4) AS q_mean,
+             |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+             |    count(DISTINCT l_extendedprice) AS p_distinct,
+             |    min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max,
+             |    round(avg(l_extendedprice), 4) AS p_mean,
+             |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+             |    count(DISTINCT l_discount) AS d_distinct,
+             |    min(l_discount) AS d_min, max(l_discount) AS d_max,
+             |    round(avg(l_discount), 4) AS d_mean,
+             |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
+             |    count(DISTINCT l_tax) AS t_distinct,
+             |    min(l_tax) AS t_min, max(l_tax) AS t_max,
+             |    round(avg(l_tax), 4) AS t_mean
+             |  FROM lineitem
+             |)
+             |SELECT 'l_discount' AS column_name, n_rows, d_nulls AS n_nulls,
+             |  d_distinct AS n_distinct, CAST(d_min AS DOUBLE) AS min_v,
+             |  CAST(d_max AS DOUBLE) AS max_v, CAST(d_mean AS DOUBLE) AS mean_v FROM w
+             |UNION ALL
+             |SELECT 'l_extendedprice', n_rows, p_nulls, p_distinct,
+             |  CAST(p_min AS DOUBLE), CAST(p_max AS DOUBLE), CAST(p_mean AS DOUBLE) FROM w
+             |UNION ALL
+             |SELECT 'l_quantity', n_rows, q_nulls, q_distinct,
+             |  CAST(q_min AS DOUBLE), CAST(q_max AS DOUBLE), CAST(q_mean AS DOUBLE) FROM w
+             |UNION ALL
+             |SELECT 'l_tax', n_rows, t_nulls, t_distinct,
+             |  CAST(t_min AS DOUBLE), CAST(t_max AS DOUBLE), CAST(t_mean AS DOUBLE) FROM w
+             |ORDER BY column_name""".stripMargin)
     )
   )
 

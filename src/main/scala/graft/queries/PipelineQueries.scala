@@ -805,6 +805,202 @@ object PipelineQueries {
              |  count(*) AS n_test
              |FROM fact f JOIN mb ON f.fold = mb.fold
              |GROUP BY f.fold ORDER BY f.fold""".stripMargin)
+    ),
+
+    // Kaplan–Meier time-to-convert with right-censoring — the survival
+    // curve behind "how long until a signup purchases", done properly:
+    // users who never purchase are CENSORED at their last observed
+    // event, not dropped (dropping them biases conversion-time low —
+    // the same mistake pipe_time_to_convert deliberately avoids by
+    // reporting conversion share separately). Per duration day t:
+    // n_t = users still at risk, d_t = conversions at t, and
+    // S(t) = Π_{u≤t}(1 − d_u/n_u), spelled exp(Σ ln(·)) so the product
+    // is a window sum; the d=n full-conversion edge routes through an
+    // explicit zero flag instead of ln(0) (engines disagree on ln(0):
+    // null vs −inf). Scale: one keyed user collapse (map-side
+    // combinable min/max), then windows over |distinct durations| rows
+    // — day-grain state, corpus-size-independent.
+    OracleQuery(
+      "pipe_survival_km",
+      (s, d) => {
+        import s.implicits._
+        val users = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(
+            min($"ts").as("t0"),
+            max($"ts").as("tend"),
+            min(when($"event_type" === "purchase", $"ts")).as("tc"))
+          .select($"user_id",
+            when($"tc".isNotNull, datediff($"tc", $"t0"))
+              .otherwise(datediff($"tend", $"t0")).cast("long").as("dur"),
+            when($"tc".isNotNull, 1L).otherwise(0L).as("event"))
+        val perDur = users.groupBy($"dur")
+          .agg(sum($"event").as("dd"), sum(lit(1L) - $"event").as("cc"))
+        val byDur = Window.orderBy($"dur")
+        val run = byDur.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = users.agg(count(lit(1)).cast("double").as("tot"))
+        perDur.crossJoin(tot)
+          .withColumn("removed",
+            coalesce(sum($"dd" + $"cc").over(byDur.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .withColumn("n_risk", $"tot" - $"removed")
+          .withColumn("term",
+            when($"dd" > 0 && $"dd" < $"n_risk", log(lit(1.0) - $"dd" / $"n_risk"))
+              .otherwise(lit(0.0)))
+          .withColumn("hit_zero",
+            max(when($"dd" === $"n_risk", 1).otherwise(0)).over(run))
+          .withColumn("s",
+            when($"hit_zero" === 1, 0.0).otherwise(exp(sum($"term").over(run))))
+          .select($"dur", $"n_risk".cast("bigint").as("n_at_risk"),
+            $"dd".cast("bigint").as("n_converted"), $"cc".cast("bigint").as("n_censored"),
+            round($"s", 4).as("survival"))
+          .orderBy($"dur")
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id,
+             |    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+             |      THEN datediff('day', min(ts), min(CASE WHEN event_type = 'purchase' THEN ts END))
+             |      ELSE datediff('day', min(ts), max(ts)) END AS dur,
+             |    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+             |      THEN 1 ELSE 0 END AS event
+             |  FROM events GROUP BY user_id
+             |), per_dur AS (
+             |  SELECT dur, sum(event) AS dd, sum(1 - event) AS cc
+             |  FROM users GROUP BY dur
+             |), tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM users),
+             |risked AS (
+             |  SELECT dur, dd, cc, tot,
+             |    tot - coalesce(sum(dd + cc) OVER (ORDER BY dur
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+             |  FROM per_dur CROSS JOIN tot
+             |), terms AS (
+             |  SELECT dur, dd, cc, n_risk,
+             |    CASE WHEN dd > 0 AND dd < n_risk THEN ln(1.0 - dd / n_risk)
+             |      ELSE 0.0 END AS term,
+             |    CASE WHEN dd = n_risk THEN 1 ELSE 0 END AS z
+             |  FROM risked
+             |), curve AS (
+             |  SELECT dur, dd, cc, n_risk,
+             |    CASE WHEN max(z) OVER w = 1 THEN 0.0
+             |      ELSE exp(sum(term) OVER w) END AS s
+             |  FROM terms
+             |  WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT dur, CAST(n_risk AS BIGINT) AS n_at_risk,
+             |  CAST(dd AS BIGINT) AS n_converted, CAST(cc AS BIGINT) AS n_censored,
+             |  round(s, 4) AS survival
+             |FROM curve ORDER BY dur""".stripMargin)
+    ),
+
+    // Logistic regression by TWO exact Newton–Raphson steps, entirely
+    // in-plan — the second-order counterpart of the gradient-descent
+    // classifier (text_quality_classifier): each step aggregates the
+    // exact gradient AND 2×2 Hessian of the log-likelihood in one fact
+    // scan, then the matrix solve is closed-form row-local algebra on a
+    // 1-row frame. Feature is standardized from the same moments scan.
+    // k Newton steps = k+2 scans with O(1) state each — no driver loop,
+    // no collect; both engines replay the identical algebra tree.
+    // 100 TB: every scan is a map-side-combinable global agg; Newton's
+    // quadratic convergence means 2–3 scans replace GD's dozens.
+    OracleQuery(
+      "pipe_logistic_newton",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          $"value".cast("double").as("x"),
+          when($"event_type" === "purchase", 1.0).otherwise(0.0).as("y"))
+        val m = ev.agg(
+          count(lit(1)).cast("double").as("n"),
+          avg($"x").as("mx"),
+          stddev_pop($"x").as("sdx"))
+        // step 1 from (w,b) = (0,0): p = 0.5 exactly
+        val xs = ($"x" - $"mx") / $"sdx"
+        val s1 = ev.crossJoin(m).agg(
+          first($"n").as("n"), first($"mx").as("mx"), first($"sdx").as("sdx"),
+          sum((lit(0.5) - $"y") * xs).as("gw"),
+          sum(lit(0.5) - $"y").as("gb"),
+          sum(lit(0.25) * xs * xs).as("hww"),
+          sum(lit(0.25) * xs).as("hwb"),
+          sum(lit(0.25)).as("hbb"))
+          .withColumn("det", $"hww" * $"hbb" - $"hwb" * $"hwb")
+          .withColumn("w1", -($"hbb" * $"gw" - $"hwb" * $"gb") / $"det")
+          .withColumn("b1", -($"hww" * $"gb" - $"hwb" * $"gw") / $"det")
+          .select($"mx", $"sdx", $"w1", $"b1")
+        // step 2 at (w1, b1)
+        val p2 = lit(1.0) / (lit(1.0) + exp(-($"w1" * xs + $"b1")))
+        val s2 = ev.crossJoin(s1).agg(
+          first($"w1").as("w1"), first($"b1").as("b1"),
+          first($"mx").as("mx"), first($"sdx").as("sdx"),
+          sum((p2 - $"y") * xs).as("gw"),
+          sum(p2 - $"y").as("gb"),
+          sum(p2 * (lit(1.0) - p2) * xs * xs).as("hww"),
+          sum(p2 * (lit(1.0) - p2) * xs).as("hwb"),
+          sum(p2 * (lit(1.0) - p2)).as("hbb"))
+          .withColumn("det", $"hww" * $"hbb" - $"hwb" * $"hwb")
+          .withColumn("w2", $"w1" - ($"hbb" * $"gw" - $"hwb" * $"gb") / $"det")
+          .withColumn("b2", $"b1" - ($"hww" * $"gb" - $"hwb" * $"gw") / $"det")
+          .select($"mx", $"sdx", $"w2", $"b2")
+        // score: mean log-loss + accuracy at (w2, b2)
+        val pf = lit(1.0) / (lit(1.0) + exp(-($"w2" * xs + $"b2")))
+        ev.crossJoin(s2).agg(
+          first($"w2").as("w2f"), first($"b2").as("b2f"),
+          count(lit(1)).cast("bigint").as("n"),
+          avg(-($"y" * log(pf) + (lit(1.0) - $"y") * log(lit(1.0) - pf))).as("ll"),
+          avg(when((pf > 0.5) === ($"y" > 0.5), 1.0).otherwise(0.0)).as("acc"))
+          .select(round($"w2f", 4).as("w"), round($"b2f", 4).as("b"),
+            $"n", round($"ll", 4).as("logloss"), round($"acc", 4).as("accuracy"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(value AS DOUBLE) AS x,
+             |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+             |  FROM events
+             |), m AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(x) AS mx, stddev_pop(x) AS sdx
+             |  FROM ev
+             |), s1a AS (
+             |  SELECT
+             |    any_value(mx) AS mx, any_value(sdx) AS sdx,
+             |    sum((0.5 - y) * ((x - mx) / sdx)) AS gw,
+             |    sum(0.5 - y) AS gb,
+             |    sum(0.25 * ((x - mx) / sdx) * ((x - mx) / sdx)) AS hww,
+             |    sum(0.25 * ((x - mx) / sdx)) AS hwb,
+             |    sum(0.25) AS hbb
+             |  FROM ev CROSS JOIN m
+             |), s1 AS (
+             |  SELECT mx, sdx,
+             |    -(hbb * gw - hwb * gb) / (hww * hbb - hwb * hwb) AS w1,
+             |    -(hww * gb - hwb * gw) / (hww * hbb - hwb * hwb) AS b1
+             |  FROM s1a
+             |), s2a AS (
+             |  SELECT
+             |    any_value(w1) AS w1, any_value(b1) AS b1,
+             |    any_value(mx) AS mx, any_value(sdx) AS sdx,
+             |    sum((1.0 / (1.0 + exp(-(w1 * ((x - mx) / sdx) + b1))) - y)
+             |      * ((x - mx) / sdx)) AS gw,
+             |    sum(1.0 / (1.0 + exp(-(w1 * ((x - mx) / sdx) + b1))) - y) AS gb,
+             |    sum((1.0 / (1.0 + exp(-(w1 * ((x - mx) / sdx) + b1))))
+             |      * (1.0 - 1.0 / (1.0 + exp(-(w1 * ((x - mx) / sdx) + b1))))
+             |      * ((x - mx) / sdx) * ((x - mx) / sdx)) AS hww,
+             |    sum((1.0 / (1.0 + exp(-(w1 * ((x - mx) / sdx) + b1))))
+             |      * (1.0 - 1.0 / (1.0 + exp(-(w1 * ((x - mx) / sdx) + b1))))
+             |      * ((x - mx) / sdx)) AS hwb,
+             |    sum((1.0 / (1.0 + exp(-(w1 * ((x - mx) / sdx) + b1))))
+             |      * (1.0 - 1.0 / (1.0 + exp(-(w1 * ((x - mx) / sdx) + b1))))) AS hbb
+             |  FROM ev CROSS JOIN s1
+             |), s2 AS (
+             |  SELECT mx, sdx,
+             |    w1 - (hbb * gw - hwb * gb) / (hww * hbb - hwb * hwb) AS w2,
+             |    b1 - (hww * gb - hwb * gw) / (hww * hbb - hwb * hwb) AS b2
+             |  FROM s2a
+             |)
+             |SELECT round(any_value(w2), 4) AS w, round(any_value(b2), 4) AS b,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(avg(-(y * ln(1.0 / (1.0 + exp(-(w2 * ((x - mx) / sdx) + b2))))
+             |    + (1.0 - y) * ln(1.0 - 1.0 / (1.0 + exp(-(w2 * ((x - mx) / sdx) + b2)))))), 4)
+             |    AS logloss,
+             |  round(avg(CASE WHEN ((1.0 / (1.0 + exp(-(w2 * ((x - mx) / sdx) + b2)))) > 0.5)
+             |    = (y > 0.5) THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+             |FROM ev CROSS JOIN s2""".stripMargin)
     )
   )
 }

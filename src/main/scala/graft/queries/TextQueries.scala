@@ -1079,6 +1079,53 @@ object TextQueries {
         |SELECT docs.doc_id, CAST(docs.y AS BIGINT) AS label,
         |  round(p4.p, 4) AS score
         |FROM docs JOIN p4 USING (doc_id) ORDER BY docs.doc_id""".stripMargin)
+    ),
+
+    // Zipf's-law fit per source — a corpus-health diagnostic: natural
+    // text has token frequencies ~ rank^(-s) with s ≈ 1; a slope far
+    // from −1 (or a tiny r²) flags boilerplate, spam, or synthetic
+    // text. Fit is OLS on (ln rank, ln freq), spelled as
+    // covar_pop/var_pop so both engines replay identical algebra; ranks
+    // break frequency ties by token text, and tied frequencies within a
+    // block contribute symmetric rank sums, so the fit is deterministic.
+    // Scale: one word-count aggregate (map-side combined) then a
+    // per-source window over |vocab| rows — vocabulary-sized state, not
+    // corpus-sized; the fit itself is a per-source hash agg.
+    OracleQuery(
+      "text_zipf_slope",
+      (s, d) => {
+        import s.implicits._
+        val freq = Tables.documents(s, d)
+          .select($"source", explode(split($"text", " ")).as("w"))
+          .groupBy($"source", $"w").agg(count(lit(1)).as("f"))
+        val bySrc = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"f".desc, $"w")
+        freq
+          .withColumn("rnk", row_number().over(bySrc))
+          .select($"source",
+            log($"rnk".cast("double")).as("lx"), log($"f".cast("double")).as("ly"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).cast("bigint").as("n_types"),
+            round(covar_pop($"ly", $"lx") / var_pop($"lx"), 4).as("zipf_slope"),
+            round(pow(corr($"ly", $"lx"), 2), 4).as("r2"))
+          .orderBy($"source")
+      },
+      Some("""WITH freq AS (
+             |  SELECT source, w, count(*) AS f FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+             |  ) GROUP BY 1, 2
+             |), ranked AS (
+             |  SELECT source,
+             |    ln(CAST(row_number() OVER (PARTITION BY source ORDER BY f DESC, w)
+             |      AS DOUBLE)) AS lx,
+             |    ln(CAST(f AS DOUBLE)) AS ly
+             |  FROM freq
+             |)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+             |  round(covar_pop(ly, lx) / var_pop(lx), 4) AS zipf_slope,
+             |  round(pow(corr(ly, lx), 2), 4) AS r2
+             |FROM ranked GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 

@@ -666,6 +666,134 @@ object WindowQueries {
                |  round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
                |FROM counted
                |ORDER BY from_type, to_type""".stripMargin)
+      ),
+
+      // W19: CUSUM change-point detection on each key's daily metric —
+      // the classic drift alarm (Page 1954): standardize the series,
+      // then S⁺_t = max(0, S⁺_{t-1} + z_t − k). The recursion is NOT a
+      // plain window sum, but it has a closed window form:
+      //   S_t = P_t − min(0, min_{j≤t} P_j),  P = prefix sum of (z − k)
+      // so the whole detector is one exchange on the key and three
+      // window functions sharing the (key ORDER BY day) sort — no
+      // mapPartitions recurrence needed (contrast w8_ewma, where the
+      // multiplicative decay admits no such prefix trick). k=0.5σ drift
+      // allowance, h=4σ alarm threshold — the textbook ARL settings.
+      // 100 TB: state is one day-grain row per key — the daily collapse
+      // happens first, so the window sort sees |keys|×|days| rows only.
+      OracleQuery(
+        "w19_cusum_changepoint",
+        (s, d) => {
+          import s.implicits._
+          val daily = Tables.events(s, d)
+            .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+            .agg(round(avg($"value"), 4).as("v"))
+          val whole = Window.partitionBy($"event_type")
+          val run = Window.partitionBy($"event_type").orderBy($"day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          daily
+            .withColumn("z", ($"v" - avg($"v").over(whole)) / stddev_samp($"v").over(whole))
+            .withColumn("pu", sum($"z" - 0.5).over(run))
+            .withColumn("pd", sum(-$"z" - 0.5).over(run))
+            .withColumn("s_up", $"pu" - least(lit(0.0), min($"pu").over(run)))
+            .withColumn("s_dn", $"pd" - least(lit(0.0), min($"pd").over(run)))
+            .select($"event_type", $"day", $"v",
+              round($"z", 4).as("zscore"),
+              round($"s_up", 4).as("s_up"),
+              round($"s_dn", 4).as("s_dn"),
+              ($"s_up" > 4.0 || $"s_dn" > 4.0).as("alarm"))
+            .orderBy($"event_type", $"day")
+        },
+        Some("""WITH daily AS (
+               |  SELECT event_type, date_trunc('day', ts) AS day,
+               |    round(avg(value), 4) AS v
+               |  FROM events GROUP BY 1, 2
+               |), z AS (
+               |  SELECT event_type, day, v,
+               |    (v - avg(v) OVER (PARTITION BY event_type)) /
+               |      stddev_samp(v) OVER (PARTITION BY event_type) AS z
+               |  FROM daily
+               |), p AS (
+               |  SELECT event_type, day, v, z,
+               |    sum(z - 0.5) OVER w AS pu,
+               |    sum(-z - 0.5) OVER w AS pd
+               |  FROM z
+               |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               |), m AS (
+               |  SELECT event_type, day, v, z, pu, pd,
+               |    min(pu) OVER w AS mu, min(pd) OVER w AS md
+               |  FROM p
+               |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               |), su AS (
+               |  SELECT event_type, day, v, z,
+               |    pu - least(0.0, mu) AS s_up, pd - least(0.0, md) AS s_dn
+               |  FROM m
+               |)
+               |SELECT event_type, day, v, round(z, 4) AS zscore,
+               |  round(s_up, 4) AS s_up, round(s_dn, 4) AS s_dn,
+               |  (s_up > 4.0 OR s_dn > 4.0) AS alarm
+               |FROM su ORDER BY event_type, day""".stripMargin)
+      ),
+
+      // W20: STL-style seasonal decomposition + anomaly flag on each
+      // key's daily series: trend = centered 7-day moving average (only
+      // where the frame is full — edges stay null, like statsmodels'
+      // two-sided filter), seasonal = day-of-week mean of the detrended
+      // remainder, residual = detrended − seasonal, anomaly = |residual|
+      // beyond 2 sample-σ of the key's residuals. Everything after the
+      // daily collapse is windows over day-grain rows: the trend/rank
+      // windows share one (key, day) sort; the seasonal component is a
+      // second exchange on (key, dow). The day-of-week label is internal
+      // only, so the engines' dow numbering conventions never surface.
+      OracleQuery(
+        "w20_stl_anomaly",
+        (s, d) => {
+          import s.implicits._
+          val daily = Tables.events(s, d)
+            .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+            .agg(round(avg($"value"), 4).as("v"))
+          val byDay = Window.partitionBy($"event_type").orderBy($"day")
+          val frame = byDay.rowsBetween(-3, 3)
+          val season = Window.partitionBy($"event_type", dayofweek($"day"))
+          val whole = Window.partitionBy($"event_type")
+          daily
+            .withColumn("trend",
+              when(count($"v").over(frame) === 7, avg($"v").over(frame)))
+            .withColumn("detr", $"v" - $"trend")
+            .withColumn("seasonal", avg($"detr").over(season))
+            .withColumn("resid", $"detr" - $"seasonal")
+            .withColumn("sd", stddev_samp($"resid").over(whole))
+            .select($"event_type", $"day", $"v",
+              round($"trend", 4).as("trend"),
+              round($"seasonal", 4).as("seasonal"),
+              round($"resid", 4).as("resid"),
+              (abs($"resid") > lit(2.0) * $"sd").as("anomaly"))
+            .orderBy($"event_type", $"day")
+        },
+        Some("""WITH daily AS (
+               |  SELECT event_type, date_trunc('day', ts) AS day,
+               |    round(avg(value), 4) AS v
+               |  FROM events GROUP BY 1, 2
+               |), t AS (
+               |  SELECT event_type, day, v,
+               |    CASE WHEN count(v) OVER f = 7 THEN avg(v) OVER f END AS trend
+               |  FROM daily
+               |  WINDOW f AS (PARTITION BY event_type ORDER BY day
+               |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               |), se AS (
+               |  SELECT event_type, day, v, trend, v - trend AS detr,
+               |    avg(v - trend) OVER (PARTITION BY event_type, dayofweek(day)) AS seasonal
+               |  FROM t
+               |), r AS (
+               |  SELECT event_type, day, v, trend, seasonal, detr - seasonal AS resid
+               |  FROM se
+               |)
+               |SELECT event_type, day, v, round(trend, 4) AS trend,
+               |  round(seasonal, 4) AS seasonal, round(resid, 4) AS resid,
+               |  (abs(resid) > 2.0 * stddev_samp(resid) OVER (PARTITION BY event_type))
+               |    AS anomaly
+               |FROM r ORDER BY event_type, day""".stripMargin)
       )
     )
   }
