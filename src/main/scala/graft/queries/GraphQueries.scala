@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Graph analytics over relationship tables — the iterative-join family
+  * that complements graft.ops.ConnectedComponents' label propagation.
+  *
+  * The graph here is the customer↔supplier trading network implied by
+  * orders⋈lineitem: a bipartite edge per distinct (customer, supplier)
+  * pair, made bidirectional so every node has out-degree ≥ 1 (no
+  * dangling-mass correction needed — the rank total stays exactly 1).
+  *
+  * Scale shape: each PageRank iteration is one shuffle of the edge list
+  * joined against the node-sized rank frame, then a map-side-combinable
+  * sum per destination — the textbook distributed PageRank data flow.
+  * Ranks/degrees are node-cardinality frames (broadcastable below ~10M
+  * nodes; hash-joined co-partitioned above). Iterations here are
+  * unrolled (3 suffices for the oracle's fixed-iteration contract); a
+  * convergence-driven loop would checkpoint the rank frame every few
+  * rounds to truncate lineage, exactly as ConnectedComponents does.
+  *
+  * Numeric parity: per-edge contributions r/deg are double-divided
+  * (IEEE-identical on both engines) then CAST to DECIMAL(28,14) before
+  * the per-destination sum, so the reduction is exact integer-scaled
+  * arithmetic — summation order cannot drift the hash. Ranks are
+  * reported normalized (×N, average 1.0) and the top-k ordering keys on
+  * the ROUNDED rank so the cutoff is deterministic cross-engine.
+  */
+object GraphQueries {
+
+  def all: Seq[OracleQuery] = Seq(
+    OracleQuery(
+      "graph_pagerank",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .select(
+            concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+          .distinct()
+        val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        val nodes = deg.select($"src".as("node"), $"deg")
+        val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+
+        var ranks = nodes.crossJoin(nn)
+          .select($"node", $"deg", $"n", (lit(1.0) / $"n").as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(ranks.select($"node", ($"r" / $"deg").cast("decimal(28,14)").as("c")),
+              $"src" === $"node")
+            .groupBy($"dst").agg(sum($"c").as("sc"))
+          ranks = nodes.crossJoin(nn)
+            .join(contrib, $"node" === $"dst", "left")
+            .select($"node", $"deg", $"n",
+              (lit(0.15) / $"n" + lit(0.85) * coalesce($"sc".cast("double"), lit(0.0)))
+                .as("r"))
+        }
+        ranks
+          .select($"node", round($"r" * $"n", 4).as("rank_norm"))
+          .orderBy($"rank_norm".desc, $"node")
+          .limit(50)
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |), edges AS (
+             |  SELECT src, dst FROM pairs
+             |  UNION ALL
+             |  SELECT dst AS src, src AS dst FROM pairs
+             |), deg AS (
+             |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+             |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+             |r0 AS (
+             |  SELECT node, deg, n, 1.0 / n AS r FROM deg CROSS JOIN nn
+             |), c1 AS (
+             |  SELECT e.dst, sum(CAST(r.r / r.deg AS DECIMAL(28,14))) AS sc
+             |  FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+             |), r1 AS (
+             |  SELECT d.node, d.deg, nn.n,
+             |    0.15 / nn.n + 0.85 * coalesce(CAST(c1.sc AS DOUBLE), 0.0) AS r
+             |  FROM deg d CROSS JOIN nn LEFT JOIN c1 ON d.node = c1.dst
+             |), c2 AS (
+             |  SELECT e.dst, sum(CAST(r.r / r.deg AS DECIMAL(28,14))) AS sc
+             |  FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+             |), r2 AS (
+             |  SELECT d.node, d.deg, nn.n,
+             |    0.15 / nn.n + 0.85 * coalesce(CAST(c2.sc AS DOUBLE), 0.0) AS r
+             |  FROM deg d CROSS JOIN nn LEFT JOIN c2 ON d.node = c2.dst
+             |), c3 AS (
+             |  SELECT e.dst, sum(CAST(r.r / r.deg AS DECIMAL(28,14))) AS sc
+             |  FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+             |), r3 AS (
+             |  SELECT d.node, nn.n,
+             |    0.15 / nn.n + 0.85 * coalesce(CAST(c3.sc AS DOUBLE), 0.0) AS r
+             |  FROM deg d CROSS JOIN nn LEFT JOIN c3 ON d.node = c3.dst
+             |)
+             |SELECT node, round(r * n, 4) AS rank_norm
+             |FROM r3
+             |ORDER BY rank_norm DESC, node LIMIT 50""".stripMargin)
+    ),
+
+    // BFS reachability layers from the hub (highest-degree node, ties
+    // by name): how much of the trading network is within k hops — the
+    // "blast radius" question for supply-chain and fraud graphs. Each
+    // hop is one frontier⋈edges shuffle plus an anti-join against the
+    // visited set — the standard distributed BFS; the frontier/visited
+    // frames are node-sized. Unrolled to 3 hops; unreached nodes report
+    // as layer −1 so the curve always accounts for every node. On a
+    // bipartite graph layers alternate sides, which the spec pins.
+    OracleQuery(
+      "graph_bfs_layers",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .select(
+            concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+          .distinct()
+        val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        val seed = deg.orderBy($"deg".desc, $"src").limit(1)
+          .select($"src".as("node"), lit(0).as("layer"))
+
+        var visited = seed
+        for (k <- 1 to 3) {
+          val next = edges
+            .join(visited.filter($"layer" === k - 1).select($"node".as("f")),
+              $"src" === $"f")
+            .select($"dst".as("node")).distinct()
+            .join(visited.select($"node".as("v")), $"node" === $"v", "left_anti")
+            .select($"node", lit(k).as("layer"))
+          visited = visited.union(next)
+        }
+        val unreached = deg.select($"src".as("node"))
+          .join(visited.select($"node".as("v")), $"node" === $"v", "left_anti")
+          .select($"node", lit(-1).as("layer"))
+        visited.union(unreached)
+          .groupBy($"layer").agg(count(lit(1)).as("n_nodes"))
+          .orderBy($"layer")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |), edges AS (
+             |  SELECT src, dst FROM pairs
+             |  UNION ALL
+             |  SELECT dst AS src, src AS dst FROM pairs
+             |), deg AS (
+             |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+             |), l0 AS (
+             |  SELECT node, 0 AS layer FROM deg ORDER BY deg DESC, node LIMIT 1
+             |), l1 AS (
+             |  SELECT DISTINCT e.dst AS node, 1 AS layer
+             |  FROM edges e JOIN l0 ON e.src = l0.node
+             |  WHERE e.dst NOT IN (SELECT node FROM l0)
+             |), l2 AS (
+             |  SELECT DISTINCT e.dst AS node, 2 AS layer
+             |  FROM edges e JOIN l1 ON e.src = l1.node
+             |  WHERE e.dst NOT IN (SELECT node FROM l0 UNION ALL SELECT node FROM l1)
+             |), l3 AS (
+             |  SELECT DISTINCT e.dst AS node, 3 AS layer
+             |  FROM edges e JOIN l2 ON e.src = l2.node
+             |  WHERE e.dst NOT IN (SELECT node FROM l0 UNION ALL SELECT node FROM l1
+             |                      UNION ALL SELECT node FROM l2)
+             |), vis AS (
+             |  SELECT node, layer FROM l0 UNION ALL SELECT node, layer FROM l1
+             |  UNION ALL SELECT node, layer FROM l2 UNION ALL SELECT node, layer FROM l3
+             |), allv AS (
+             |  SELECT node, layer FROM vis
+             |  UNION ALL
+             |  SELECT d.node, -1 AS layer FROM deg d
+             |  WHERE d.node NOT IN (SELECT node FROM vis)
+             |)
+             |SELECT layer, count(*) AS n_nodes FROM allv
+             |GROUP BY layer ORDER BY layer""".stripMargin)
+    )
+  )
+}

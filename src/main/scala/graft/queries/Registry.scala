@@ -37,7 +37,8 @@ object Registry {
       SimilarityQueries.all ++
       MultimodalQueries.all ++
       PipelineQueries.all ++
-      StreamQueries.all
+      StreamQueries.all ++
+      GraphQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Pins for the graph family: PageRank is replayed exactly in the driver
+  * (same 3 iterations, same damping) on the collected edge list, and the
+  * BFS layer curve must respect bipartite alternation and conservation.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def collectedEdges: Array[(String, String)] = {
+    import spark.implicits._
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+      .select(
+        concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+      .distinct()
+      .as[(String, String)].collect()
+    pairs ++ pairs.map(p => (p._2, p._1))
+  }
+
+  test("graph_pagerank: driver replay of 3 damped iterations matches the top-50") {
+    import spark.implicits._
+    val got = Registry.queries("graph_pagerank")(spark, sf)
+      .as[(String, Double)].collect()
+    assert(got.length == 50)
+
+    val edges = collectedEdges
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val n = deg.size.toDouble
+    var r = deg.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val in = mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      edges.foreach { case (s, dst) => in(dst) += r(s) / deg(s) }
+      r = deg.keys.map(k => k -> (0.15 / n + 0.85 * in(k))).toMap
+    }
+    val expect = r.toSeq
+      .map { case (k, v) =>
+        (k, BigDecimal(v * n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (k, v) => (-v, k) }
+      .take(50)
+    got.zip(expect).foreach { case ((gn, gr), (en, er)) =>
+      assert(gn == en, s"node order: got $gn want $en")
+      assert(math.abs(gr - er) < 2e-4, s"$gn rank $gr vs $er")
+    }
+    // conservation: normalized ranks average 1 => raw ranks sum to 1
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("graph_bfs_layers: bipartite alternation and node conservation") {
+    import spark.implicits._
+    val layers = Registry.queries("graph_bfs_layers")(spark, sf)
+      .as[(Int, Long)].collect().toMap
+    val edges = collectedEdges
+    val nNodes = edges.map(_._1).distinct.length.toLong
+    assert(layers.values.sum == nNodes, "every node in exactly one layer")
+    assert(layers(0) == 1L)
+    assert(layers.getOrElse(1, 0L) > 0)
+    // replay BFS in the driver
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = adj.map { case (k, v) => k -> v.size }
+    val seed = deg.toSeq.sortBy { case (k, d) => (-d, k) }.head._1
+    var frontier = Set(seed)
+    var visited = Set(seed)
+    (1 to 3).foreach { k =>
+      frontier = frontier.flatMap(adj).diff(visited)
+      assert(layers.getOrElse(k, 0L) == frontier.size.toLong, s"layer $k")
+      // bipartite: each frontier is single-sided
+      assert(frontier.isEmpty || frontier.map(_.head).size == 1, s"layer $k mixes sides")
+      visited ++= frontier
+    }
+    assert(layers.getOrElse(-1, 0L) == nNodes - visited.size.toLong)
+  }
+}
