@@ -50,7 +50,11 @@ object Bench {
     "pipe_feature_snapshot",  // point-in-time feature-store join
     "w17_rolling_distinct", // rolling 7-day WAU via window explosion
     "j31_band_join",       // delta-width bucketed numeric band join
-    "pipe_kfold_cv")       // 2-scan 5-fold CV via moment subtraction
+    "pipe_kfold_cv",       // 2-scan 5-fold CV via moment subtraction
+    "graph_pagerank",      // 3 iterations of edge-shuffle PageRank
+    "pipe_logistic_newton", // 2 exact Newton steps, 4 fact scans
+    "w19_cusum_changepoint", // prefix-sum CUSUM drift detector
+    "o23_table_profile")   // one-pass multi-distinct column census
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
