@@ -1175,6 +1175,140 @@ object AggQueries {
              |SELECT c_nationkey AS nationkey, CAST(n AS BIGINT) AS n_customers,
              |  round(2.0 * six / (n * sx) - (n + 1.0) / n, 4) AS gini
              |FROM g ORDER BY nationkey""".stripMargin)
+    ),
+
+    // Benford first-digit audit (a31) — the classic fraud/synthetic-data
+    // screen: does the leading digit of order totals follow
+    // log10(1 + 1/d)? Per-priority digit histogram + chi-square
+    // statistic. The leading digit is extracted ARITHMETIC-FREE of
+    // log10: prices are 2-decimal doubles, so round(x*100) is within
+    // one ulp of an integer, never near a .5 boundary, and the first
+    // character of that integer's decimal rendering is the significant
+    // digit — engines can disagree on log10's last ulp at exact powers
+    // of 10 (which would flip floor(log10) and misbin), but never on
+    // integer-to-string. One (priority, digit) hash agg over row-local
+    // digit extraction; expected counts and chi² are row-local algebra
+    // on the ≤45-row histogram plus a per-priority window sum. Zero
+    // joins; integer counts exact; doubles rounded to 4.
+    OracleQuery(
+      "a31_benford_digits",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"pri")
+        Tables.orders(s, d)
+          .select($"o_orderpriority".as("pri"),
+            substring(round($"o_totalprice" * 100).cast("long").cast("string"), 1, 1)
+              .cast("int").as("digit"))
+          .groupBy($"pri", $"digit").agg(count(lit(1)).as("n"))
+          .withColumn("n_pri", sum($"n").over(w))
+          .withColumn("p_obs", round($"n" / $"n_pri".cast("double"), 4))
+          .withColumn("p_benford", round((log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0))), 4))
+          .withColumn("chi2_term",
+            ($"n" - $"n_pri" * (log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0))))
+              * ($"n" - $"n_pri" * (log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0))))
+              / ($"n_pri" * (log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)))))
+          .withColumn("chi2", round(sum($"chi2_term").over(w), 4))
+          .select($"pri", $"digit", $"n", $"p_obs", $"p_benford", $"chi2")
+          .orderBy($"pri", $"digit")
+      },
+      Some("""WITH digits AS (
+             |  SELECT o_orderpriority AS pri,
+             |    CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+             |      AS INT) AS digit
+             |  FROM orders
+             |), hist AS (
+             |  SELECT pri, digit, count(*) AS n FROM digits GROUP BY 1, 2
+             |), win AS (
+             |  SELECT pri, digit, n,
+             |    sum(n) OVER (PARTITION BY pri) AS n_pri
+             |  FROM hist
+             |)
+             |SELECT pri, digit, CAST(n AS BIGINT) AS n,
+             |  round(n / CAST(n_pri AS DOUBLE), 4) AS p_obs,
+             |  round((ln(1.0 + 1.0 / digit) / ln(10.0)), 4) AS p_benford,
+             |  round(sum(
+             |    (n - n_pri * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             |    * (n - n_pri * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             |    / (n_pri * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             |  ) OVER (PARTITION BY pri), 4) AS chi2
+             |FROM win ORDER BY pri, digit""".stripMargin)
+    ),
+
+    // Mutual information between two event dimensions (a33) — the
+    // feature-relevance / drift screen: how much does time-of-day tell
+    // you about event type? MI = ΣΣ p(x,y)·ln(p(x,y)/(p(x)p(y))),
+    // estimated from ONE (x,y) hash agg over row-local bucketing; both
+    // margins and the grand total re-aggregate the tiny joint table
+    // (cells ≤ |x|·|y|, never corpus-sized), so the fact is scanned
+    // once no matter how many dimension pairs share the pass. Counts
+    // are exact integers; each cell's MI term divides exact integers
+    // inside one ln (identical rational on both engines) and the ≤24
+    // -term sum rounds to 4. Entropies H(x), H(y) ride along giving the
+    // normalized MI (uncertainty coefficient) for free.
+    OracleQuery(
+      "a33_mutual_information",
+      (s, d) => {
+        import s.implicits._
+        val joint = Tables.events(s, d)
+          .select($"event_type".as("x"), (hour($"ts") / lit(6)).cast("int").as("y"))
+          .groupBy($"x", $"y").agg(count(lit(1)).as("nxy"))
+        val wx = org.apache.spark.sql.expressions.Window.partitionBy($"x")
+        val wy = org.apache.spark.sql.expressions.Window.partitionBy($"y")
+        val wall = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        val terms = joint
+          .withColumn("nx", sum($"nxy").over(wx))
+          .withColumn("ny", sum($"nxy").over(wy))
+          .withColumn("n", sum($"nxy").over(wall))
+          .withColumn("mi_term",
+            $"nxy" / $"n".cast("double")
+              * log($"nxy".cast("double") * $"n" / ($"nx".cast("double") * $"ny")))
+          // entropy terms counted ONCE per margin value: gate on being
+          // the min-partner cell, so a sparse joint (missing cells)
+          // still sums each margin exactly once
+          .withColumn("hx_term",
+            when($"y" === min($"y").over(wx),
+              -($"nx" / $"n".cast("double")) * log($"nx" / $"n".cast("double")))
+              .otherwise(lit(0.0)))
+          .withColumn("hy_term",
+            when($"x" === min($"x").over(wy),
+              -($"ny" / $"n".cast("double")) * log($"ny" / $"n".cast("double")))
+              .otherwise(lit(0.0)))
+        terms.agg(
+          round(sum($"mi_term"), 4).as("mi"),
+          round(sum($"hx_term"), 4).as("hx"),
+          round(sum($"hy_term"), 4).as("hy"),
+          round(sum($"mi_term") / sum($"hy_term"), 4).as("uncertainty_coef"),
+          sum($"nxy").cast("long").as("n_events"))
+      },
+      Some("""WITH joint AS (
+             |  SELECT event_type AS x,
+             |    CAST(hour(ts) // 6 AS INT) AS y, count(*) AS nxy
+             |  FROM events GROUP BY 1, 2
+             |), terms AS (
+             |  SELECT x, y, nxy,
+             |    sum(nxy) OVER (PARTITION BY x) AS nx,
+             |    sum(nxy) OVER (PARTITION BY y) AS ny,
+             |    sum(nxy) OVER () AS n
+             |  FROM joint
+             |), scored AS (
+             |  SELECT x, y, nxy, nx, ny, n,
+             |    nxy / CAST(n AS DOUBLE)
+             |      * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)) AS mi_term,
+             |    CASE WHEN y = min(y) OVER (PARTITION BY x)
+             |      THEN -(nx / CAST(n AS DOUBLE)) * ln(nx / CAST(n AS DOUBLE))
+             |      ELSE 0.0 END AS hx_term,
+             |    CASE WHEN x = min(x) OVER (PARTITION BY y)
+             |      THEN -(ny / CAST(n AS DOUBLE)) * ln(ny / CAST(n AS DOUBLE))
+             |      ELSE 0.0 END AS hy_term
+             |  FROM terms
+             |)
+             |SELECT round(sum(mi_term), 4) AS mi,
+             |  round(sum(hx_term), 4) AS hx,
+             |  round(sum(hy_term), 4) AS hy,
+             |  round(sum(mi_term) / sum(hy_term), 4) AS uncertainty_coef,
+             |  CAST(sum(nxy) AS BIGINT) AS n_events
+             |FROM scored""".stripMargin)
     )
   )
 }

@@ -1001,6 +1001,164 @@ object PipelineQueries {
              |  round(avg(CASE WHEN ((1.0 / (1.0 + exp(-(w2 * ((x - mx) / sdx) + b2)))) > 0.5)
              |    = (y > 0.5) THEN 1.0 ELSE 0.0 END), 4) AS accuracy
              |FROM ev CROSS JOIN s2""".stripMargin)
+    ),
+
+    // Market-basket association rules (support / confidence / lift) over
+    // the orders⋈lineitem baskets — the a-priori first round as pure
+    // dataflow. Scale shape: the candidate-pair join is the classic
+    // quadratic trap; it is bounded twice BEFORE it happens: (1) baskets
+    // collapse to DISTINCT (order, part) so multi-line repeats of the
+    // same part never multiply, (2) the frequent-item filter (the
+    // a-priori downward-closure prune) lands map-side via a broadcast
+    // semi-join, so only frequent items enter the self-join, whose
+    // per-basket fan-out is then C(frequent items in basket, 2) — basket
+    // width squared, independent of corpus size. Pair support, item
+    // support, and basket count are all integer aggregates (exact);
+    // confidence/lift are row-local divisions rounded to 4 AFTER the
+    // exact integer math, and the top-20 cutoff orders on the rounded
+    // lift with a (p1, p2) tiebreak — deterministic cross-engine.
+    OracleQuery(
+      "pipe_market_basket",
+      (s, d) => {
+        import s.implicits._
+        val minItemSup = 20L
+        val minPairSup = 3L
+        val items = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("k"), $"l_partkey".as("p")).distinct()
+        val isup = items.groupBy($"p").agg(count(lit(1)).as("sup"))
+          .filter($"sup" >= minItemSup)
+        val n = items.select($"k").distinct().agg(count(lit(1)).as("n"))
+        val freq = items.join(broadcast(isup.select($"p")), "p")
+        val pairs = freq.as("a")
+          .join(freq.as("b"),
+            col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).as("pair_sup"))
+          .filter($"pair_sup" >= minPairSup)
+        pairs
+          .join(broadcast(isup.select($"p".as("p1"), $"sup".as("sup1"))), "p1")
+          .join(broadcast(isup.select($"p".as("p2"), $"sup".as("sup2"))), "p2")
+          .crossJoin(broadcast(n))
+          .select(
+            $"p1", $"p2", $"pair_sup", $"sup1", $"sup2",
+            round($"pair_sup" / $"sup1".cast("double"), 4).as("confidence"),
+            round($"pair_sup".cast("double") * $"n" / ($"sup1" * $"sup2".cast("double")), 4)
+              .as("lift"))
+          .orderBy($"lift".desc, $"p1", $"p2")
+          .limit(20)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+             |), isup AS (
+             |  SELECT p, count(*) AS sup FROM items GROUP BY 1 HAVING count(*) >= 20
+             |), n AS (
+             |  SELECT count(DISTINCT k) AS n FROM items
+             |), freq AS (
+             |  SELECT i.k, i.p FROM items i JOIN isup USING (p)
+             |), pairs AS (
+             |  SELECT a.p AS p1, b.p AS p2, count(*) AS pair_sup
+             |  FROM freq a JOIN freq b ON a.k = b.k AND a.p < b.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 3
+             |)
+             |SELECT p1, p2, CAST(pair_sup AS BIGINT) AS pair_sup,
+             |  CAST(s1.sup AS BIGINT) AS sup1, CAST(s2.sup AS BIGINT) AS sup2,
+             |  round(pair_sup / CAST(s1.sup AS DOUBLE), 4) AS confidence,
+             |  round(CAST(pair_sup AS DOUBLE) * n.n / (s1.sup * CAST(s2.sup AS DOUBLE)), 4) AS lift
+             |FROM pairs
+             |JOIN isup s1 ON pairs.p1 = s1.p
+             |JOIN isup s2 ON pairs.p2 = s2.p
+             |CROSS JOIN n
+             |ORDER BY lift DESC, p1, p2 LIMIT 20""".stripMargin)
+    ),
+
+    // Split-conformal prediction intervals, Mondrian (per-group)
+    // variant — the distribution-free uncertainty wrapper modern ML
+    // serving puts around ANY point predictor. 60/20/20 train/calib/
+    // test split by the engine-agnostic md5-prefix hash (the o7/o21
+    // pattern — the oracle replays the identical assignment); the
+    // predictor is the per-event-type train mean (swap in ridge/GBT and
+    // ONLY the yhat join changes); the calibration quantile is the
+    // EXACT k-th smallest nonconformity |y−ŷ| with the finite-sample
+    // correction k = ceil(0.9·(n+1)) — a row_number pick, not a sketch,
+    // because the guarantee is only as exact as the order statistic.
+    // Scale shape: three passes over the fact (train agg, calib rank,
+    // test coverage), each a hash agg or per-type window — per-type
+    // partitions, never a global sort; the train means are a broadcast
+    // dim. Train sums DECIMAL-cast so the mean is summation-order-exact
+    // (then one decimal→double cast on both engines); everything after
+    // is IEEE-identical row-local algebra on exact integers and that
+    // shared mean. The spec checks the ~90% coverage the theorem
+    // promises.
+    OracleQuery(
+      "pipe_conformal_interval",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"event_type", $"value",
+            expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10")
+              .as("b"))
+        val train = ev.filter($"b" <= 5)
+          .groupBy($"event_type")
+          .agg((sum($"value".cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("yhat"),
+            count(lit(1)).as("n_train"))
+        val calib = ev.filter($"b".isin(6, 7)).join(broadcast(train), "event_type")
+          .withColumn("r", abs($"value" - $"yhat"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"r", $"event_id")
+        val wn = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+        val qtab = calib
+          .withColumn("rn", row_number().over(wq))
+          .withColumn("n_calib", count(lit(1)).over(wn))
+          .withColumn("k", least(ceil(lit(0.9) * ($"n_calib" + 1)).cast("long"), $"n_calib"))
+          .filter($"rn" === $"k")
+          .select($"event_type", $"r".as("q"), $"n_calib")
+        val test = ev.filter($"b" >= 8).join(broadcast(train), "event_type")
+          .join(broadcast(qtab), "event_type")
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n_test"),
+            round(avg(when(abs($"value" - $"yhat") <= $"q", 1.0).otherwise(0.0)), 4)
+              .as("coverage"))
+        test.join(train.select($"event_type", $"yhat", $"n_train"), "event_type")
+          .join(qtab, "event_type")
+          .select($"event_type", round($"yhat", 4).as("yhat"), round($"q", 4).as("q"),
+            $"n_train", $"n_calib", $"n_test", $"coverage")
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type, value,
+             |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
+             |  FROM events
+             |), train AS (
+             |  SELECT event_type,
+             |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS yhat,
+             |    count(*) AS n_train
+             |  FROM ev WHERE b <= 5 GROUP BY 1
+             |), calib AS (
+             |  SELECT ev.event_type, ev.event_id, abs(ev.value - t.yhat) AS r
+             |  FROM ev JOIN train t USING (event_type) WHERE b IN (6, 7)
+             |), ranked AS (
+             |  SELECT event_type, r,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY r, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n_calib
+             |  FROM calib
+             |), qtab AS (
+             |  SELECT event_type, r AS q, n_calib FROM ranked
+             |  WHERE rn = least(CAST(ceil(0.9 * (n_calib + 1)) AS BIGINT), n_calib)
+             |), test AS (
+             |  SELECT ev.event_type, count(*) AS n_test,
+             |    round(avg(CASE WHEN abs(ev.value - t.yhat) <= qt.q
+             |      THEN 1.0 ELSE 0.0 END), 4) AS coverage
+             |  FROM ev JOIN train t USING (event_type) JOIN qtab qt USING (event_type)
+             |  WHERE b >= 8 GROUP BY 1
+             |)
+             |SELECT test.event_type, round(t.yhat, 4) AS yhat, round(qt.q, 4) AS q,
+             |  CAST(t.n_train AS BIGINT) AS n_train,
+             |  CAST(qt.n_calib AS BIGINT) AS n_calib,
+             |  CAST(test.n_test AS BIGINT) AS n_test, test.coverage
+             |FROM test JOIN train t USING (event_type) JOIN qtab qt USING (event_type)
+             |ORDER BY test.event_type""".stripMargin)
     )
   )
 }

@@ -149,6 +149,72 @@ object TextQueries {
       |)""".stripMargin
 
   def all: Seq[OracleQuery] = Seq(
+    // BM25 full-text retrieval (Robertson/Okapi, the Lucene-default
+    // scoring): rank documents for a bounded query-term set. Scale
+    // shape: the term filter lands BEFORE the tf aggregate, so only
+    // rows for query terms ever shuffle — the posting-list subset, not
+    // the corpus; df re-aggregates that same tiny tf table; doc length
+    // is row-local (size(split)) and avgdl/N ride in as one broadcast
+    // scalar row. At 100 TB the tf table IS the inverted-index slice
+    // for the query, built by one map-side-combined agg — the batch
+    // analogue of a posting-list seek, and an incremental index would
+    // persist exactly that (doc_id, term, tf) table bucketed by term.
+    // k1=1.2, b=0.75 (the Lucene defaults). Scores sum ≤|terms| doubles
+    // per doc and round to 4 before the ranking cutoff, so the top-10
+    // boundary is deterministic cross-engine.
+    OracleQuery(
+      "text_bm25_search",
+      (s, d) => {
+        import s.implicits._
+        val terms = Seq("spark", "window", "dup")
+        val k1 = 1.2; val b = 0.75
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", $"text", size(split($"text", " ")).cast("double").as("dl"))
+        val stats = docs.agg(
+          count(lit(1)).cast("double").as("n"),
+          avg($"dl").as("avgdl"))
+        val tf = docs
+          .select($"doc_id", $"dl", explode(split($"text", " ")).as("w"))
+          .filter($"w".isin(terms: _*))
+          .groupBy($"doc_id", $"dl", $"w").agg(count(lit(1)).cast("double").as("tf"))
+        val df = tf.groupBy($"w").agg(count(lit(1)).cast("double").as("df"))
+        val scored = tf.join(df, "w").crossJoin(broadcast(stats))
+          .withColumn("idf", log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)))
+          .withColumn("ts",
+            $"idf" * $"tf" * (lit(k1) + 1.0) /
+              ($"tf" + lit(k1) * (lit(1.0) - lit(b) + lit(b) * $"dl" / $"avgdl")))
+          .groupBy($"doc_id")
+          .agg(round(sum($"ts"), 4).as("score"),
+            count(lit(1)).cast("int").as("matched_terms"))
+        scored.orderBy($"score".desc, $"doc_id").limit(10)
+          .select($"doc_id", $"score", $"matched_terms")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs
+             |), tf AS (
+             |  SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS w FROM docs)
+             |  WHERE w IN ('spark', 'window', 'dup')
+             |  GROUP BY 1, 2, 3
+             |), df AS (
+             |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+             |), scored AS (
+             |  SELECT tf.doc_id,
+             |    round(sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             |      * tf.tf * (1.2 + 1.0)
+             |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS score,
+             |    CAST(count(*) AS INT) AS matched_terms
+             |  FROM tf JOIN df USING (w) CROSS JOIN stats s
+             |  GROUP BY tf.doc_id
+             |)
+             |SELECT doc_id, score, matched_terms FROM scored
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    ),
+
     // Token counting: whitespace tokens + a regex word tokenizer (the
     // "BPE-ish" pre-tokenizer split: letter runs vs non-space symbols).
     OracleQuery(

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins beyond the DuckDB oracle for the retrieval /
+  * association / audit / information-theory / conformal operators:
+  * driver-side recomputation of BM25 and the basket rules, the Benford
+  * histogram's probability-mass invariants, MI's information
+  * inequalities, and the ~90% coverage the split-conformal theorem
+  * actually promises.
+  */
+class RetrievalRulesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("text_bm25_search: exact driver replay of Okapi BM25 reproduces the top-10") {
+    import spark.implicits._
+    val out = Registry.queries("text_bm25_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(out.nonEmpty && out.length <= 10)
+
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val terms = Seq("spark", "window", "dup")
+    val k1 = 1.2; val b = 0.75
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }
+    val n = docs.length.toDouble
+    val avgdl = toks.map(_._2.length).sum / n
+    val dfm = terms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val replay = toks.flatMap { case (id, ws) =>
+      val dl = ws.length.toDouble
+      val ts = terms.flatMap { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          Some(idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        }
+      }
+      if (ts.isEmpty) None
+      else Some((id, BigDecimal(ts.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, ts.length))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(10)
+    assert(out.toSeq == replay.toSeq,
+      s"spark=${out.toSeq.take(3)} replay=${replay.toSeq.take(3)}")
+  }
+
+  test("pipe_market_basket: rule algebra holds and a driver replay agrees") {
+    import spark.implicits._
+    // thresholds scale with the tiny sf: recompute rules directly
+    val out = Registry.queries("pipe_market_basket")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.length == 20)
+    val items = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val sup = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val nBaskets = byOrder.size.toDouble
+    val pairSup = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((_, ps) <- byOrder; i <- ps.indices; j <- (i + 1) until ps.length
+         if sup(ps(i)) >= 20 && sup(ps(j)) >= 20)
+      pairSup((ps(i), ps(j))) = pairSup.getOrElse((ps(i), ps(j)), 0L) + 1
+    for (r <- out) {
+      val (p1, p2) = (r.getLong(0), r.getLong(1))
+      val ps = r.getLong(2); val s1 = r.getLong(3); val s2 = r.getLong(4)
+      assert(p1 < p2)
+      assert(pairSup((p1, p2)) == ps, s"pair ($p1,$p2)")
+      assert(sup(p1) == s1 && sup(p2) == s2)
+      assert(ps <= math.min(s1, s2) && ps >= 3)
+      val lift = BigDecimal(ps.toDouble * nBaskets / (s1 * s2.toDouble))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(6) - lift) < 1e-9)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // top-20 really is the lift frontier: every emitted lift >= any
+    // non-emitted qualifying pair's lift
+    val emitted = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minEmitted = out.map(_.getDouble(6)).min
+    val maxOther = pairSup.collect {
+      case ((a, b), c) if c >= 3 && !emitted((a, b)) =>
+        BigDecimal(c.toDouble * nBaskets / (sup(a) * sup(b).toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    if (maxOther.nonEmpty) assert(maxOther.max <= minEmitted)
+  }
+
+  test("a31_benford_digits: digit mass sums to 1 per segment, counts conserve, chi2 constant") {
+    import spark.implicits._
+    val out = Registry.queries("a31_benford_digits")(spark, sf).cache()
+    try {
+      assert(out.filter($"digit" < 1 || $"digit" > 9).isEmpty)
+      val perPri = out.groupBy($"pri").agg(
+        sum($"n").as("n"),
+        sum($"p_obs").as("pmass"),
+        countDistinct($"chi2").as("nchi"))
+        .collect()
+      val totalOrders = Tables.orders(spark, sf).count()
+      assert(perPri.map(_.getLong(1)).sum == totalOrders)
+      perPri.foreach { r =>
+        assert(math.abs(r.getDouble(2) - 1.0) < 0.001, s"pmass ${r.getDouble(2)}")
+        assert(r.getLong(3) == 1, "chi2 must be one value per segment")
+      }
+      // Benford reference mass itself sums to 1 over digits 1..9
+      val bmass = (1 to 9).map(d => math.log(1.0 + 1.0 / d) / math.log(10.0)).sum
+      assert(math.abs(bmass - 1.0) < 1e-12)
+    } finally out.unpersist(false)
+  }
+
+  test("a33_mutual_information: information inequalities and a driver replay") {
+    import spark.implicits._
+    val r = Registry.queries("a33_mutual_information")(spark, sf).collect().head
+    val (mi, hx, hy, uc, n) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+    assert(mi >= -1e-4 && mi <= math.min(hx, hy) + 1e-4, s"mi=$mi hx=$hx hy=$hy")
+    assert(uc >= -1e-4 && uc <= 1.0 + 1e-4)
+    assert(n == Tables.events(spark, sf).count())
+    // driver replay from raw events
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", (hour($"ts") / lit(6)).cast("int"))
+      .as[(String, Int)].collect()
+    val nn = rows.length.toDouble
+    val joint = rows.groupBy(identity).view.mapValues(_.length).toMap
+    val px = rows.groupBy(_._1).view.mapValues(_.length / nn).toMap
+    val py = rows.groupBy(_._2).view.mapValues(_.length / nn).toMap
+    val miRef = joint.map { case ((x, y), c) =>
+      (c / nn) * math.log((c / nn) / (px(x) * py(y)))
+    }.sum
+    assert(math.abs(mi - miRef) < 1e-3, s"mi=$mi ref=$miRef")
+    val hxRef = -px.values.map(p => p * math.log(p)).sum
+    assert(math.abs(hx - hxRef) < 1e-3)
+  }
+
+  test("pipe_conformal_interval: ~90% coverage, q is a realized calibration residual") {
+    import spark.implicits._
+    val out = Registry.queries("pipe_conformal_interval")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.length >= 3)
+    out.foreach { r =>
+      val cov = r.getDouble(6)
+      assert(cov >= 0.80 && cov <= 1.0, s"${r.getString(0)} coverage=$cov")
+      assert(r.getDouble(2) > 0.0) // q
+      assert(r.getLong(3) > r.getLong(4)) // train > calib under 60/20/20
+    }
+    val meanCov = out.map(_.getDouble(6)).sum / out.length
+    assert(meanCov >= 0.85 && meanCov <= 0.97, s"mean coverage $meanCov")
+  }
+}
