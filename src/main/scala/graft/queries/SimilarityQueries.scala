@@ -786,6 +786,88 @@ object SimilarityQueries {
            |SELECT query_id, neighbor_id, round(d2, 4) AS adc, rn
            |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
       }
+    ),
+
+    // Matrix-free PCA by power iteration — the top principal direction
+    // of the embedding corpus, computed WITHOUT ever materializing the
+    // d×d Gram/covariance matrix: each iteration evaluates w = Xᵀ(Xv)
+    // as ONE map-side-combinable aggregate (d running sums, O(d)
+    // state), with v a driver-held O(d) model exactly like the IVF
+    // centroids and Ridge's coefficients — k iterations = k fact
+    // scans, state independent of corpus size. (Materializing cov
+    // first is the right call only when d is tiny and many components
+    // are needed; at embedding widths d²-sized shuffles lose to d-sized
+    // ones.) Numeric parity, the pagerank recipe: the per-row dot Xv
+    // is a strict left-to-right double fold (the zip_with/aggregate
+    // HOF spelling ≡ DuckDB's list_reduce, and bit-equal to the fused
+    // vec_dot kernel per its spec); each summand x_j·dot is
+    // DECIMAL(28,14)-cast so the d reductions are summation-order-
+    // exact; norms fold the d-vector in ascending-j order on both
+    // engines. The oracle replays all three iterations as pure SQL —
+    // no learned literals needed, v₀ = 1/√d is a constant. Direction
+    // of the top eigenvector of XᵀX (uncentered PCA / top right-
+    // singular vector); λ estimate = ‖w‖ after the last iteration.
+    OracleQuery(
+      "sim_pca_power",
+      (s, d) => {
+        import s.implicits._
+        val dim = 64
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding".cast("array<double>").as("x"))
+        var v = Array.fill(dim)(0.125) // 1/sqrt(64)
+        var lambda = 0.0
+        for (_ <- 1 to 3) {
+          val vLit = array(v.map(lit): _*)
+          val dot = aggregate(
+            zip_with($"x", vLit, (a, b) => a * b), lit(0.0), (acc, p) => acc + p)
+          val sums = e.withColumn("dot", dot)
+            .agg(
+              sum((element_at($"x", 1) * $"dot").cast("decimal(28,14)")).as("w0"),
+              (1 until dim).map(j =>
+                sum((element_at($"x", j + 1) * $"dot").cast("decimal(28,14)")).as(s"w$j")): _*)
+            .collect()(0)
+          val w = Array.tabulate(dim)(j => sums.getDecimal(j).doubleValue)
+          var nn = 0.0
+          var j = 0
+          while (j < dim) { nn += w(j) * w(j); j += 1 } // ascending-j fold ≡ oracle
+          lambda = math.sqrt(nn)
+          v = w.map(_ / lambda)
+        }
+        val rows = (1 to dim).map(j => (j,
+          BigDecimal(v(j - 1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(lambda).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        s.createDataFrame(rows).toDF("j", "loading", "lambda")
+          .orderBy($"j")
+      },
+      Some {
+        // one iteration's CTE chain: dot per row against the carried v
+        // list, d decimal-exact sums, sequential norm fold, normalize
+        def iter(i: Int, vExpr: String) =
+          s"""d$i AS (
+             |  SELECT vec_id, x,
+             |    list_reduce(list_transform(list_zip(x, $vExpr), p -> p[1] * p[2]),
+             |      (a, b) -> a + b) AS dot
+             |  FROM e${if (i > 1) s" CROSS JOIN v${i - 1}" else ""}
+             |), w$i AS (
+             |  SELECT CAST(t.j AS INT) AS j,
+             |    CAST(sum(CAST(x[t.j] * dot AS DECIMAL(28,14))) AS DOUBLE) AS wj
+             |  FROM d$i, unnest(generate_series(1, 64)) AS t(j) GROUP BY 1
+             |), v$i AS (
+             |  SELECT l, sqrt(list_reduce(list_transform(l, w -> w * w), (a, b) -> a + b)) AS norm,
+             |    list_transform(l, w -> w / sqrt(list_reduce(list_transform(l, w2 -> w2 * w2), (a, b) -> a + b))) AS vl
+             |  FROM (SELECT list(wj ORDER BY j) AS l FROM w$i)
+             |)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+           |), ${iter(1, "list_transform(x, xi -> 0.125)")},
+           |${iter(2, "v1.vl")},
+           |${iter(3, "v2.vl")}
+           |SELECT CAST(t.j AS INT) AS j,
+           |  round(v3.vl[t.j], 4) AS loading,
+           |  round(v3.norm, 4) AS lambda
+           |FROM v3, unnest(generate_series(1, 64)) AS t(j)
+           |ORDER BY j""".stripMargin
+      }
     )
   )
 

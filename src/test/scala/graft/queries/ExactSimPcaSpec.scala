@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the exact set-similarity join (prefix filtering)
+  * and the matrix-free PCA power iteration, beyond their DuckDB oracles.
+  */
+class ExactSimPcaSpec extends SparkSpec {
+
+  test("dedup_prefix_filter: equals the brute-force all-pairs join; candidates are actually pruned") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val t = 0.95
+    val out = Registry.queries("dedup_prefix_filter")(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+
+    // ground truth: the all-pairs join we must never run at scale
+    val tok = Tables.documents(spark, sf)
+      .select($"doc_id", explode(split($"text", " ")).as("w")).distinct()
+      .as[(Long, String)].collect()
+    val sets = tok.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j))
+      inter = (a & b).size
+      if inter.toDouble / (a.size + b.size - inter) >= t
+    } yield (ids(i), ids(j))).toSet
+    assert(out == truth, s"missing=${(truth -- out).take(5)} extra=${(out -- truth).take(5)}")
+    assert(truth.nonEmpty, "degenerate fixture: no qualifying pairs")
+
+    // pruning evidence: prefix candidates strictly fewer than pairs
+    // sharing ANY token (what a raw token self-join would verify)
+    val anyToken = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if (sets(ids(i)) & sets(ids(j))).nonEmpty
+    } yield 1).size
+    val df = tok.groupBy(_._2).view.mapValues(_.length).toMap
+    val order = df.keys.toSeq.sortBy(w => (df(w), w)).zipWithIndex.toMap
+    def prefixOf(s0: Set[String]): Set[String] = {
+      val m = s0.size
+      val L = m - math.ceil(t * m).toInt + 1
+      s0.toSeq.sortBy(order).take(L).toSet
+    }
+    val pfx = sets.view.mapValues(prefixOf).toMap
+    val candidates = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if (pfx(ids(i)) & pfx(ids(j))).nonEmpty
+    } yield 1).size
+    assert(candidates < anyToken,
+      s"prefix filter should prune: candidates=$candidates anyToken=$anyToken")
+    assert(candidates >= truth.size)
+  }
+
+  test("sim_pca_power: driver replay agrees, unit norm, lambda within spectral bounds") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = Registry.queries("sim_pca_power")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 64)
+    val lambda = out.head._3
+    assert(out.forall(_._3 == lambda), "lambda constant across rows")
+    assert(lambda > 0.0)
+
+    val xs = Tables.embeddings(spark, sf)
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // plain-double driver replay of 3 power iterations
+    var v = Array.fill(64)(0.125)
+    var lam = 0.0
+    for (_ <- 1 to 3) {
+      val w = new Array[Double](64)
+      xs.foreach { x =>
+        var dot = 0.0; var j = 0
+        while (j < 64) { dot += x(j) * v(j); j += 1 }
+        j = 0
+        while (j < 64) { w(j) += x(j) * dot; j += 1 }
+      }
+      lam = math.sqrt(w.map(t => t * t).sum)
+      v = w.map(_ / lam)
+    }
+    // output lambda is rounded to 4 decimals; replay is full precision
+    assert(math.abs(lambda - lam) < 1e-4, s"lambda=$lambda replay=$lam")
+    out.foreach { case (j, loading, _) =>
+      assert(math.abs(loading - v(j - 1)) < 1e-3, s"j=$j $loading vs ${v(j - 1)}")
+    }
+    // unit norm (on the rounded loadings, loosely)
+    val norm = math.sqrt(out.map(t => t._2 * t._2).sum)
+    assert(math.abs(norm - 1.0) < 0.01, s"norm=$norm")
+    // lambda_max <= Frobenius norm^2 of X (= trace of Gram)
+    val frob2 = xs.map(_.map(x => x * x).sum).sum
+    assert(lam <= frob2)
+    // dominance: Rayleigh quotient of the found direction beats the
+    // starting direction's
+    def rayleigh(u: Array[Double]): Double = {
+      var acc = 0.0
+      xs.foreach { x =>
+        var dot = 0.0; var j = 0
+        while (j < 64) { dot += x(j) * u(j); j += 1 }
+        acc += dot * dot
+      }
+      acc / u.map(t => t * t).sum
+    }
+    assert(rayleigh(v) >= rayleigh(Array.fill(64)(0.125)))
+  }
+}
