@@ -54,7 +54,11 @@ object Bench {
     "graph_pagerank",      // 3 iterations of edge-shuffle PageRank
     "pipe_logistic_newton", // 2 exact Newton steps, 4 fact scans
     "w19_cusum_changepoint", // prefix-sum CUSUM drift detector
-    "o23_table_profile")   // one-pass multi-distinct column census
+    "o23_table_profile",   // one-pass multi-distinct column census
+    "text_bm25_search",    // posting-list-subset BM25 retrieval
+    "pipe_market_basket",  // a-priori-pruned association rules
+    "dedup_prefix_filter", // exact Jaccard join via prefix filtering
+    "sim_pca_power")       // matrix-free power iteration (3 scans)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

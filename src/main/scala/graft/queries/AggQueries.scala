@@ -1309,6 +1309,75 @@ object AggQueries {
              |  round(sum(mi_term) / sum(hy_term), 4) AS uncertainty_coef,
              |  CAST(sum(nxy) AS BIGINT) AS n_events
              |FROM scored""".stripMargin)
+    ),
+
+    // Two-sample Kolmogorov–Smirnov test (a34) — the nonparametric
+    // distribution-drift detector: D = sup|F₁−F₂| between two
+    // segments' value distributions, with the α=0.05 decision. Scale
+    // shape: the fact collapses FIRST to a per-distinct-value (a, b)
+    // count histogram (one hash agg with map-side combine), so the
+    // ECDF window runs over |distinct values| rows, not events; for
+    // truly continuous 100 TB data you bin first (the a25 histogram
+    // path) and this becomes a banded KS on bin edges — same plan, one
+    // more floor(). ECDFs are cumulative INTEGER sums over the value
+    // order (exact); D and the Smirnov critical value are row-local
+    // IEEE algebra; sup is an order-insensitive max. The supremum of
+    // |F₁−F₂| over all x is attained at sample points, i.e. on the
+    // distinct-value grid — evaluating there is the exact statistic,
+    // not an approximation.
+    OracleQuery(
+      "a34_ks_test",
+      (s, d) => {
+        import s.implicits._
+        val hist = Tables.events(s, d)
+          .filter($"event_type".isin("click", "error"))
+          .groupBy($"value".as("v"))
+          .agg(
+            sum(when($"event_type" === "click", 1L).otherwise(0L)).as("a"),
+            sum(when($"event_type" === "error", 1L).otherwise(0L)).as("b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        val cum = hist
+          .withColumn("ca", sum($"a").over(w))
+          .withColumn("cb", sum($"b").over(w))
+          .withColumn("n1", sum($"a").over(wAll))
+          .withColumn("n2", sum($"b").over(wAll))
+        cum.agg(
+          max($"n1").cast("long").as("n1"),
+          max($"n2").cast("long").as("n2"),
+          round(max(abs($"ca" / $"n1".cast("double") - $"cb" / $"n2".cast("double"))), 4)
+            .as("d_stat"))
+          .withColumn("d_crit",
+            round(lit(1.3581) * sqrt(($"n1" + $"n2") / ($"n1" * $"n2".cast("double"))), 4))
+          .select($"n1", $"n2", $"d_stat", $"d_crit",
+            ($"d_stat" > $"d_crit").as("reject_h0"))
+      },
+      Some("""WITH hist AS (
+             |  SELECT value AS v,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+             |  FROM events WHERE event_type IN ('click', 'error')
+             |  GROUP BY 1
+             |), cum AS (
+             |  SELECT v, a, b,
+             |    sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             |    sum(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             |    sum(a) OVER () AS n1, sum(b) OVER () AS n2
+             |  FROM hist
+             |), agg AS (
+             |  SELECT CAST(any_value(n1) AS BIGINT) AS n1,
+             |    CAST(any_value(n2) AS BIGINT) AS n2,
+             |    round(max(abs(ca / CAST(n1 AS DOUBLE) - cb / CAST(n2 AS DOUBLE))), 4) AS d_stat
+             |  FROM cum
+             |)
+             |SELECT n1, n2, d_stat,
+             |  round(1.3581 * sqrt((n1 + n2) / (n1 * CAST(n2 AS DOUBLE))), 4) AS d_crit,
+             |  d_stat > round(1.3581 * sqrt((n1 + n2) / (n1 * CAST(n2 AS DOUBLE))), 4) AS reject_h0
+             |FROM agg""".stripMargin)
     )
   )
 }

@@ -845,47 +845,46 @@ ORDER BY doc_a, doc_b""")
     // EXACT set-similarity join by prefix filtering (Chaudhuri et al.'s
     // SSJoin / Bayardo's All-Pairs / PPJoin family) — the deterministic
     // counterpart to dedup_minhash_lsh: ZERO false negatives by
-    // theorem, not probabilistically. Tokens get a global rarity order
-    // (df asc, token asc — a total order); a doc of set size m only
-    // emits its first L = m − ceil(t·m) + 1 rarest tokens as candidate
-    // keys. Lemma: J(x,y) ≥ t ⟹ |x∩y| ≥ α := ceil(t·max(|x|,|y|)),
-    // and two sets with overlap ≥ α must collide within their
-    // (size − α + 1)-prefixes — which our L-prefixes contain (L_x ≥
-    // |x| − α + 1 since α ≥ ceil(t·|x|)). So joining PREFIX tokens only
-    // still finds every qualifying pair; exact Jaccard then verifies
-    // candidates. Scale shape: at t=0.95 prefixes are 1–2 tokens and
-    // rarest-FIRST, so the candidate join fans out on low-df tokens —
-    // the blowup a raw token self-join would hit on stopwords is
-    // structurally avoided; the verify join is bounded by candidates ×
-    // doc set size. The rarity ranking is a vocabulary-sized window
-    // (the text_zipf_slope pattern) — never corpus-sized. Jaccard =
-    // i/(m1+m2−i) divides exact integers; round(4) output.
+    // theorem, not probabilistically. Set elements are the word
+    // TRIGRAMS (the corpus's shingling standard) — a gram space big
+    // enough that the rarest grams are genuinely rare, where unigrams
+    // over a small vocabulary degenerate the filter (measured: the
+    // unigram spelling was 80× slower at sf0.1 because every "rare"
+    // token still hit hundreds of docs). Grams sort by a global rarity
+    // order (df asc, gram asc — a total order used directly as the
+    // comparison key, NO global row_number: the per-doc prefix pick is
+    // a per-doc window, so nothing corpus-sized ever single-partitions);
+    // a doc of set size m emits only its L = m − ceil(t·m) + 1 rarest
+    // grams as candidate keys. Lemma: J(x,y) ≥ t ⟹ |x∩y| ≥ α :=
+    // ceil(t·max(|x|,|y|)), and two sets with overlap ≥ α must collide
+    // within their (size − α + 1)-prefixes — which the L-prefixes
+    // contain (L_x ≥ |x| − α + 1 since α ≥ ceil(t·|x|)). So joining
+    // PREFIX grams only still finds every qualifying pair; exact
+    // Jaccard verifies candidates, bounded by candidates × set size.
+    // Jaccard = i/(m1+m2−i) divides exact integers; round(4) output.
     OracleQuery(
       "dedup_prefix_filter",
       (s, d) => {
         import s.implicits._
-        val t = 0.95
-        val tok = Tables.documents(s, d)
-          .select($"doc_id", explode(split($"text", " ")).as("w")).distinct()
+        val t = 0.7
+        val tok = Shingles.wordTrigrams(Tables.documents(s, d))
+          .select($"doc_id", $"gram").distinct()
         val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("m"))
-        val order = org.apache.spark.sql.expressions.Window.orderBy($"df", $"w")
-        val rarity = tok.groupBy($"w").agg(count(lit(1)).as("df"))
-          .withColumn("trank", row_number().over(order))
-          .select($"w", $"trank")
+        val rarity = tok.groupBy($"gram").agg(count(lit(1)).as("df"))
         val wDoc = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"trank")
-        val prefix = tok.join(broadcast(rarity), "w")
+          .partitionBy($"doc_id").orderBy($"df", $"gram")
+        val prefix = tok.join(rarity, "gram")
           .withColumn("pos", row_number().over(wDoc))
           .join(broadcast(sizes), "doc_id")
           .filter($"pos" <= $"m" - ceil(lit(t) * $"m") + 1)
-          .select($"doc_id", $"trank")
+          .select($"doc_id", $"gram")
         val cand = prefix.as("a")
           .join(prefix.as("b"),
-            col("a.trank") === col("b.trank") && col("a.doc_id") < col("b.doc_id"))
+            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
         val inter = cand
           .join(tok.as("x"), $"d1" === col("x.doc_id"))
-          .join(tok.as("y"), $"d2" === col("y.doc_id") && col("x.w") === col("y.w"))
+          .join(tok.as("y"), $"d2" === col("y.doc_id") && col("x.gram") === col("y.gram"))
           .groupBy($"d1", $"d2").agg(count(lit(1)).as("i"))
         inter
           .join(broadcast(sizes.select($"doc_id".as("d1"), $"m".as("m1"))), "d1")
@@ -898,14 +897,13 @@ ORDER BY doc_a, doc_b""")
       // oracle: the brute-force all-pairs exact join — the plan we must
       // never run at scale, fine for DuckDB at sf0.01. Equality with it
       // IS the zero-false-negative claim.
-      Some("""WITH tok AS (
-             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-             |  FROM documents
+      Some(s"""WITH tok AS (
+             |  SELECT DISTINCT doc_id, gram FROM (${Shingles.duckTrigrams})
              |), siz AS (
              |  SELECT doc_id, count(*) AS m FROM tok GROUP BY 1
              |), inter AS (
              |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-             |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+             |  FROM tok a JOIN tok b ON a.gram = b.gram AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2
              |)
              |SELECT d1, d2, CAST(i AS BIGINT) AS i,
@@ -914,7 +912,7 @@ ORDER BY doc_a, doc_b""")
              |FROM inter
              |JOIN siz s1 ON d1 = s1.doc_id
              |JOIN siz s2 ON d2 = s2.doc_id
-             |WHERE i / CAST(s1.m + s2.m - i AS DOUBLE) >= 0.95
+             |WHERE i / CAST(s1.m + s2.m - i AS DOUBLE) >= 0.7
              |ORDER BY d1, d2""".stripMargin)
     )
   )

@@ -811,65 +811,132 @@ object SimilarityQueries {
       "sim_pca_power",
       (s, d) => {
         import s.implicits._
-        val dim = 64
-        val e = Tables.embeddings(s, d)
-          .select($"vec_id", $"embedding".cast("array<double>").as("x"))
-        var v = Array.fill(dim)(0.125) // 1/sqrt(64)
-        var lambda = 0.0
-        for (_ <- 1 to 3) {
-          val vLit = array(v.map(lit): _*)
-          val dot = aggregate(
-            zip_with($"x", vLit, (a, b) => a * b), lit(0.0), (acc, p) => acc + p)
-          val sums = e.withColumn("dot", dot)
-            .agg(
-              sum((element_at($"x", 1) * $"dot").cast("decimal(28,14)")).as("w0"),
-              (1 until dim).map(j =>
-                sum((element_at($"x", j + 1) * $"dot").cast("decimal(28,14)")).as(s"w$j")): _*)
-            .collect()(0)
-          val w = Array.tabulate(dim)(j => sums.getDecimal(j).doubleValue)
-          var nn = 0.0
-          var j = 0
-          while (j < dim) { nn += w(j) * w(j); j += 1 } // ascending-j fold ≡ oracle
-          lambda = math.sqrt(nn)
-          v = w.map(_ / lambda)
-        }
-        val rows = (1 to dim).map(j => (j,
+        val (v, lambda) = powerIterate(s, d)
+        val rows = (1 to PcaDim).map(j => (j,
           BigDecimal(v(j - 1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
           BigDecimal(lambda).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
         s.createDataFrame(rows).toDF("j", "loading", "lambda")
           .orderBy($"j")
       },
       Some {
-        // one iteration's CTE chain: dot per row against the carried v
-        // list, d decimal-exact sums, sequential norm fold, normalize
-        def iter(i: Int, vExpr: String) =
-          s"""d$i AS (
-             |  SELECT vec_id, x,
-             |    list_reduce(list_transform(list_zip(x, $vExpr), p -> p[1] * p[2]),
-             |      (a, b) -> a + b) AS dot
-             |  FROM e${if (i > 1) s" CROSS JOIN v${i - 1}" else ""}
-             |), w$i AS (
-             |  SELECT CAST(t.j AS INT) AS j,
-             |    CAST(sum(CAST(x[t.j] * dot AS DECIMAL(28,14))) AS DOUBLE) AS wj
-             |  FROM d$i, unnest(generate_series(1, 64)) AS t(j) GROUP BY 1
-             |), v$i AS (
-             |  SELECT l, sqrt(list_reduce(list_transform(l, w -> w * w), (a, b) -> a + b)) AS norm,
-             |    list_transform(l, w -> w / sqrt(list_reduce(list_transform(l, w2 -> w2 * w2), (a, b) -> a + b))) AS vl
-             |  FROM (SELECT list(wj ORDER BY j) AS l FROM w$i)
-             |)""".stripMargin
-        s"""WITH e AS (
-           |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
-           |), ${iter(1, "list_transform(x, xi -> 0.125)")},
-           |${iter(2, "v1.vl")},
-           |${iter(3, "v2.vl")}
+        s"""WITH $pcaDuckCtes
            |SELECT CAST(t.j AS INT) AS j,
            |  round(v3.vl[t.j], 4) AS loading,
            |  round(v3.norm, 4) AS lambda
            |FROM v3, unnest(generate_series(1, 64)) AS t(j)
            |ORDER BY j""".stripMargin
       }
+    ),
+
+    // Embedding-space outlier detection via the PCA direction: the
+    // reconstruction residual ‖x‖² − (x·v)² measures how much of a
+    // vector lives OUTSIDE the corpus's dominant direction — the
+    // cheap distributional screen for corrupted/off-manifold
+    // embeddings before they poison ANN cells or dedup thresholds.
+    // One extra fact scan after the power iteration: v rides in as an
+    // O(d) literal (driver-held model), both quadratic forms are
+    // row-local left-to-right folds, top-20 cutoff on the ROUNDED
+    // residual with a vec_id tiebreak. The oracle re-derives v by
+    // replaying the shared 3-iteration CTE chain — the whole model
+    // pipeline (fit + score) is under the hash gate, not just the
+    // scores.
+    OracleQuery(
+      "sim_pca_outliers",
+      (s, d) => {
+        import s.implicits._
+        val (v, _) = powerIterate(s, d)
+        val vLit = array(v.map(lit): _*)
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding".cast("array<double>").as("x"))
+        val dot = aggregate(
+          zip_with($"x", vLit, (a, b) => a * b), lit(0.0), (acc, p) => acc + p)
+        val norm2 = aggregate(
+          zip_with($"x", $"x", (a, b) => a * b), lit(0.0), (acc, p) => acc + p)
+        e.select($"vec_id", dot.as("proj"), norm2.as("n2"))
+          .select($"vec_id",
+            round($"proj", 4).as("proj"),
+            round($"n2" - $"proj" * $"proj", 4).as("resid2"))
+          .orderBy($"resid2".desc, $"vec_id")
+          .limit(20)
+      },
+      Some {
+        s"""WITH $pcaDuckCtes, scored AS (
+           |  SELECT e.vec_id,
+           |    list_reduce(list_transform(list_zip(e.x, v3.vl), p -> p[1] * p[2]),
+           |      (a, b) -> a + b) AS proj,
+           |    list_reduce(list_transform(list_zip(e.x, e.x), p -> p[1] * p[2]),
+           |      (a, b) -> a + b) AS n2
+           |  FROM e CROSS JOIN v3
+           |)
+           |SELECT vec_id, round(proj, 4) AS proj,
+           |  round(n2 - proj * proj, 4) AS resid2
+           |FROM scored
+           |ORDER BY round(n2 - proj * proj, 4) DESC, vec_id LIMIT 20""".stripMargin
+      }
     )
   )
+
+  // ----------------------------------------------------------------
+  // Matrix-free power iteration: shared by sim_pca_power (reports the
+  // direction) and sim_pca_outliers (scores residuals against it).
+  // ----------------------------------------------------------------
+
+  private val PcaDim = 64
+
+  /** 3 power iterations, each ONE map-side-combinable aggregate of
+    * w = Xᵀ(Xv) with DECIMAL-exact sums; v driver-held like the IVF
+    * centroids. Returns (unit direction, λ = ‖w‖ of the last step). */
+  private def powerIterate(s: SparkSession, d: String): (Array[Double], Double) = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("x"))
+    var v = Array.fill(PcaDim)(0.125) // 1/sqrt(64)
+    var lambda = 0.0
+    for (_ <- 1 to 3) {
+      val vLit = array(v.map(lit): _*)
+      val dot = aggregate(
+        zip_with($"x", vLit, (a, b) => a * b), lit(0.0), (acc, p) => acc + p)
+      val sums = e.withColumn("dot", dot)
+        .agg(
+          sum((element_at($"x", 1) * $"dot").cast("decimal(28,14)")).as("w0"),
+          (1 until PcaDim).map(j =>
+            sum((element_at($"x", j + 1) * $"dot").cast("decimal(28,14)")).as(s"w$j")): _*)
+        .collect()(0)
+      val w = Array.tabulate(PcaDim)(j => sums.getDecimal(j).doubleValue)
+      var nn = 0.0
+      var j = 0
+      while (j < PcaDim) { nn += w(j) * w(j); j += 1 } // ascending-j fold ≡ oracle
+      lambda = math.sqrt(nn)
+      v = w.map(_ / lambda)
+    }
+    (v, lambda)
+  }
+
+  /** The oracle's replay of [[powerIterate]]: CTE chain from `e` to
+    * `v3(l, norm, vl)` — dot per row against the carried v list, 64
+    * decimal-exact sums, sequential norm fold, normalize. */
+  private def pcaDuckCtes: String = {
+    def iter(i: Int, vExpr: String) =
+      s"""d$i AS (
+         |  SELECT vec_id, x,
+         |    list_reduce(list_transform(list_zip(x, $vExpr), p -> p[1] * p[2]),
+         |      (a, b) -> a + b) AS dot
+         |  FROM e${if (i > 1) s" CROSS JOIN v${i - 1}" else ""}
+         |), w$i AS (
+         |  SELECT CAST(t.j AS INT) AS j,
+         |    CAST(sum(CAST(x[t.j] * dot AS DECIMAL(28,14))) AS DOUBLE) AS wj
+         |  FROM d$i, unnest(generate_series(1, 64)) AS t(j) GROUP BY 1
+         |), v$i AS (
+         |  SELECT l, sqrt(list_reduce(list_transform(l, w -> w * w), (a, b) -> a + b)) AS norm,
+         |    list_transform(l, w -> w / sqrt(list_reduce(list_transform(l, w2 -> w2 * w2), (a, b) -> a + b))) AS vl
+         |  FROM (SELECT list(wj ORDER BY j) AS l FROM w$i)
+         |)""".stripMargin
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+       |), ${iter(1, "list_transform(x, xi -> 0.125)")},
+       |${iter(2, "v1.vl")},
+       |${iter(3, "v2.vl")}""".stripMargin
+  }
 
   // ----------------------------------------------------------------
   // Product quantization: per-block codebooks as a driver-held model.

@@ -12,13 +12,13 @@ class ExactSimPcaSpec extends SparkSpec {
   test("dedup_prefix_filter: equals the brute-force all-pairs join; candidates are actually pruned") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
-    val t = 0.95
+    val t = 0.7
     val out = Registry.queries("dedup_prefix_filter")(spark, sf)
       .select($"d1", $"d2").as[(Long, Long)].collect().toSet
 
     // ground truth: the all-pairs join we must never run at scale
-    val tok = Tables.documents(spark, sf)
-      .select($"doc_id", explode(split($"text", " ")).as("w")).distinct()
+    val tok = Shingles.wordTrigrams(Tables.documents(spark, sf))
+      .select($"doc_id", $"gram").distinct()
       .as[(Long, String)].collect()
     val sets = tok.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val ids = sets.keys.toSeq.sorted
@@ -104,5 +104,42 @@ class ExactSimPcaSpec extends SparkSpec {
       acc / u.map(t => t * t).sum
     }
     assert(rayleigh(v) >= rayleigh(Array.fill(64)(0.125)))
+  }
+
+  test("sim_pca_outliers: residuals nonnegative, bounded by the energy, and truly the top-20") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = Registry.queries("sim_pca_outliers")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 20)
+    // descending residual order with id tiebreak
+    assert(out.map(t => (-t._3, t._1)).toSeq == out.map(t => (-t._3, t._1)).sorted.toSeq)
+    out.foreach { case (_, _, r2) => assert(r2 >= -1e-4, s"negative residual $r2") }
+    // driver replay: recompute v, score everything, check the frontier
+    val xs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    var v = Array.fill(64)(0.125)
+    for (_ <- 1 to 3) {
+      val w = new Array[Double](64)
+      xs.foreach { case (_, x) =>
+        var dot = 0.0; var j = 0
+        while (j < 64) { dot += x(j) * v(j); j += 1 }
+        j = 0
+        while (j < 64) { w(j) += x(j) * dot; j += 1 }
+      }
+      val lam = math.sqrt(w.map(t => t * t).sum)
+      v = w.map(_ / lam)
+    }
+    val scored = xs.map { case (id, x) =>
+      var dot = 0.0; var n2 = 0.0; var j = 0
+      while (j < 64) { dot += x(j) * v(j); n2 += x(j) * x(j); j += 1 }
+      (id, BigDecimal(n2 - dot * dot).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val top = scored.sortBy(t => (-t._2, t._1)).take(20)
+    // residuals agree to rounding noise and ids match the replay frontier
+    assert(out.map(_._1).toSeq == top.map(_._1).toSeq,
+      s"spark=${out.map(_._1).take(5).toSeq} replay=${top.map(_._1).take(5).toSeq}")
+    out.zip(top).foreach { case ((_, _, a), (_, b)) => assert(math.abs(a - b) < 1e-3) }
   }
 }

@@ -146,4 +146,26 @@ class RetrievalRulesSpec extends SparkSpec {
     val meanCov = out.map(_.getDouble(6)).sum / out.length
     assert(meanCov >= 0.85 && meanCov <= 0.97, s"mean coverage $meanCov")
   }
+
+  test("a34_ks_test: driver replay of the exact two-sample D statistic") {
+    import spark.implicits._
+    val r = Registry.queries("a34_ks_test")(spark, sf).collect().head
+    val (n1, n2, d, crit) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(d >= 0.0 && d <= 1.0)
+    assert(crit > 0.0)
+    assert(r.getBoolean(4) == (d > crit))
+    val rows = Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "error"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val s1 = rows.filter(_._1 == "click").map(_._2).sorted
+    val s2 = rows.filter(_._1 == "error").map(_._2).sorted
+    assert(s1.length == n1 && s2.length == n2)
+    val grid = (s1 ++ s2).distinct.sorted
+    val dRef = grid.map { x =>
+      math.abs(
+        s1.count(_ <= x).toDouble / s1.length - s2.count(_ <= x).toDouble / s2.length)
+    }.max
+    assert(math.abs(d - dRef) < 1e-4, s"d=$d ref=$dRef")
+  }
 }
