@@ -1378,6 +1378,70 @@ object AggQueries {
              |  round(1.3581 * sqrt((n1 + n2) / (n1 * CAST(n2 AS DOUBLE))), 4) AS d_crit,
              |  d_stat > round(1.3581 * sqrt((n1 + n2) / (n1 * CAST(n2 AS DOUBLE))), 4) AS reject_h0
              |FROM agg""".stripMargin)
+    ),
+
+    // Population Stability Index (a35) — the model-monitoring standard
+    // for "has this feature's distribution moved since training":
+    // PSI = Σ_b (p₂−p₁)·ln(p₂/p₁) between the first and second half of
+    // the observation window, over a FIXED 11-bin grid (decile-width
+    // bins, top-capped so the long tail lands in one bin). Scale shape:
+    // one (half, bin) hash agg over row-local binning — the whole test
+    // rides on a ≤22-row table; the fixed grid joins in as a literal
+    // spine so empty bins exist explicitly rather than silently
+    // vanishing, and Laplace smoothing ((n+0.5)/(N+0.5·B)) keeps
+    // ln finite on them deterministically — no epsilon hand-tuning.
+    // Counts exact; each term is one ln over identically-spelled
+    // rationals; the ≤11-term sum rounds to 4.
+    OracleQuery(
+      "a35_psi",
+      (s, d) => {
+        import s.implicits._
+        val b = 11
+        val counts = Tables.events(s, d)
+          .select(
+            least(floor($"value" / 10.0), lit(10.0)).cast("int").as("bin"),
+            when($"ts" < lit("2024-01-16").cast("timestamp"), 1).otherwise(0).as("h"))
+          .groupBy($"bin")
+          .agg(
+            sum(when($"h" === 1, 1L).otherwise(0L)).as("c1"),
+            sum(when($"h" === 0, 1L).otherwise(0L)).as("c2"))
+        val spine = s.range(0, b).select($"id".cast("int").as("bin"))
+        val tot = counts.agg(sum($"c1").as("t1"), sum($"c2").as("t2"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        spine.join(counts, Seq("bin"), "left")
+          .select($"bin",
+            coalesce($"c1", lit(0L)).as("n1"), coalesce($"c2", lit(0L)).as("n2"))
+          .crossJoin(broadcast(tot))
+          .withColumn("p1", ($"n1" + 0.5) / ($"t1" + 0.5 * b))
+          .withColumn("p2", ($"n2" + 0.5) / ($"t2" + 0.5 * b))
+          .withColumn("psi_term", ($"p2" - $"p1") * log($"p2" / $"p1"))
+          .withColumn("psi", round(sum($"psi_term").over(wAll), 4))
+          .select($"bin", $"n1", $"n2",
+            round($"p1", 4).as("p1"), round($"p2", 4).as("p2"),
+            round($"psi_term", 4).as("psi_term"), $"psi")
+          .orderBy($"bin")
+      },
+      Some("""WITH counts AS (
+             |  SELECT CAST(least(floor(value / 10.0), 10.0) AS INT) AS bin,
+             |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS c1,
+             |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS c2
+             |  FROM events GROUP BY 1
+             |), tot AS (
+             |  SELECT sum(c1) AS t1, sum(c2) AS t2 FROM counts
+             |), spine AS (
+             |  SELECT CAST(t.b AS INT) AS bin FROM unnest(generate_series(0, 10)) AS t(b)
+             |), filled AS (
+             |  SELECT spine.bin,
+             |    coalesce(c1, 0) AS n1, coalesce(c2, 0) AS n2,
+             |    (coalesce(c1, 0) + 0.5) / (tot.t1 + 0.5 * 11) AS p1,
+             |    (coalesce(c2, 0) + 0.5) / (tot.t2 + 0.5 * 11) AS p2
+             |  FROM spine LEFT JOIN counts ON spine.bin = counts.bin CROSS JOIN tot
+             |)
+             |SELECT bin, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |  round(p1, 4) AS p1, round(p2, 4) AS p2,
+             |  round((p2 - p1) * ln(p2 / p1), 4) AS psi_term,
+             |  round(sum((p2 - p1) * ln(p2 / p1)) OVER (), 4) AS psi
+             |FROM filled ORDER BY bin""".stripMargin)
     )
   )
 }

@@ -1159,6 +1159,136 @@ object PipelineQueries {
              |  CAST(test.n_test AS BIGINT) AS n_test, test.coverage
              |FROM test JOIN train t USING (event_type) JOIN qtab qt USING (event_type)
              |ORDER BY test.event_type""".stripMargin)
+    ),
+
+    // Gradient-boosted stumps by the HISTOGRAM method — xgboost's
+    // approx tree algorithm at depth 1, fully under the correctness
+    // gate (training, not just scoring). Squared loss, η=0.5, 3
+    // rounds; each round: (1) ONE map-side-combinable (feature, bin)
+    // hash agg over the residuals — stack() folds both features into
+    // the same single fact pass, (2) split gains for EVERY candidate
+    // threshold at once from cumulative sums over the bin histogram
+    // (gain = S_L²/n_L + S_R²/n_R, the SSE-reduction identity), a
+    // window over ≤|bins| rows, (3) the argmax stump becomes O(1)
+    // driver-held model state (the centroid/ridge pattern) and the
+    // residual update is row-local. k rounds = 2k fact scans (fit +
+    // mse audit), state never scales with data; depth-d trees change
+    // only the histogram key (node ⊕ bin). Numeric parity: bin sums
+    // DECIMAL-cast (summation-order-exact), gains/leaf values derive
+    // from one decimal→double cast with identically-spelled algebra,
+    // argmax breaks ties (gain DESC, feature, bin) on bit-identical
+    // doubles; mse decimal-cast per round. The oracle replays all 3
+    // rounds — histogram, gain scan, argmax, update — as pure SQL.
+    OracleQuery(
+      "pipe_gbm_stumps",
+      (s, d) => {
+        import s.implicits._
+        def r4(x: Double) =
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val base = Tables.lineitem(s, d)
+          .select($"l_quantity".as("q"), $"l_discount".as("disc"),
+            $"l_extendedprice".as("y"))
+        val m0 = base
+          .agg((sum($"y".cast("decimal(28,6)")).cast("double") / count(lit(1))).as("m"))
+          .head.getDouble(0)
+        var cur = base.withColumn("r", $"y" - lit(m0))
+        val W = org.apache.spark.sql.expressions.Window
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double, Double, Double, Double)]
+        for (t <- 1 to 3) {
+          val bins = cur
+            .select(expr("stack(2, 'q', q, 'd', disc)").as(Seq("f", "bin")), $"r")
+            .groupBy($"f", $"bin")
+            .agg(count(lit(1)).as("n"), sum($"r".cast("decimal(28,8)")).as("sr"))
+          val wc = W.partitionBy($"f").orderBy($"bin")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+          val wf = W.partitionBy($"f")
+          val gains = bins
+            .withColumn("cumn", sum($"n").over(wc))
+            .withColumn("cums", sum($"sr").over(wc))
+            .withColumn("tn", sum($"n").over(wf))
+            .withColumn("ts", sum($"sr").over(wf))
+            .filter($"cumn" < $"tn")
+            .select($"f", $"bin",
+              ($"cums".cast("double") * $"cums".cast("double") / $"cumn"
+                + ($"ts" - $"cums").cast("double") * ($"ts" - $"cums").cast("double")
+                  / ($"tn" - $"cumn")).as("gain"),
+              (lit(0.5) * ($"cums".cast("double") / $"cumn")).as("vl"),
+              (lit(0.5) * (($"ts" - $"cums").cast("double") / ($"tn" - $"cumn"))).as("vr"))
+            .collect()
+            .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+              r.getDouble(3), r.getDouble(4)))
+          val (bf, bb, _, bvl, bvr) =
+            gains.minBy { case (f, b, g, _, _) => (-g, f, b) }
+          val pred = when(lit(bf) === "q",
+              when($"q" <= lit(bb), lit(bvl)).otherwise(lit(bvr)))
+            .otherwise(when($"disc" <= lit(bb), lit(bvl)).otherwise(lit(bvr)))
+          cur = cur.withColumn("r", $"r" - pred)
+          val mse = cur
+            .agg((sum(($"r" * $"r").cast("decimal(30,8)")).cast("double") / count(lit(1))).as("m"))
+            .head.getDouble(0)
+          out += ((t, bf, bb, bvl, bvr, mse))
+        }
+        s.createDataFrame(out.toSeq.map { case (t, f, b, vl, vr, m) =>
+          (t, f, r4(b), r4(vl), r4(vr), r4(m))
+        }).toDF("round", "feature", "threshold", "vl", "vr", "mse_after")
+          .orderBy($"round")
+      },
+      Some {
+        def round(i: Int, prev: String) =
+          s"""bins$i AS (
+             |  SELECT f, bin, count(*) AS n, sum(CAST(r AS DECIMAL(28,8))) AS sr
+             |  FROM (SELECT 'q' AS f, q AS bin, r FROM $prev
+             |        UNION ALL SELECT 'd', disc, r FROM $prev)
+             |  GROUP BY 1, 2
+             |), cum$i AS (
+             |  SELECT f, bin,
+             |    sum(n) OVER w AS cumn, sum(sr) OVER w AS cums,
+             |    sum(n) OVER (PARTITION BY f) AS tn,
+             |    sum(sr) OVER (PARTITION BY f) AS ts
+             |  FROM bins$i
+             |  WINDOW w AS (PARTITION BY f ORDER BY bin
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |), gain$i AS (
+             |  SELECT f, bin,
+             |    (CAST(cums AS DOUBLE) * CAST(cums AS DOUBLE) / cumn
+             |      + CAST(ts - cums AS DOUBLE) * CAST(ts - cums AS DOUBLE) / (tn - cumn)) AS gain,
+             |    0.5 * (CAST(cums AS DOUBLE) / cumn) AS vl,
+             |    0.5 * (CAST(ts - cums AS DOUBLE) / (tn - cumn)) AS vr
+             |  FROM cum$i WHERE cumn < tn
+             |), best$i AS (
+             |  SELECT f, bin, vl, vr FROM gain$i ORDER BY gain DESC, f, bin LIMIT 1
+             |), r$i AS (
+             |  SELECT q, disc,
+             |    r - (CASE WHEN b.f = 'q'
+             |          THEN (CASE WHEN q <= b.bin THEN b.vl ELSE b.vr END)
+             |          ELSE (CASE WHEN disc <= b.bin THEN b.vl ELSE b.vr END) END) AS r
+             |  FROM $prev CROSS JOIN best$i b
+             |), mse$i AS (
+             |  SELECT CAST(sum(CAST(r * r AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS m
+             |  FROM r$i
+             |)""".stripMargin
+        s"""WITH base AS (
+           |  SELECT l_quantity AS q, l_discount AS disc, l_extendedprice AS y
+           |  FROM lineitem
+           |), m0 AS (
+           |  SELECT CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m FROM base
+           |), r0 AS (
+           |  SELECT q, disc, y - m0.m AS r FROM base CROSS JOIN m0
+           |), ${round(1, "r0")},
+           |${round(2, "r1")},
+           |${round(3, "r2")}
+           |SELECT * FROM (
+           |  SELECT 1 AS round, f AS feature, round(bin, 4) AS threshold,
+           |    round(vl, 4) AS vl, round(vr, 4) AS vr,
+           |    round((SELECT m FROM mse1), 4) AS mse_after FROM best1
+           |  UNION ALL
+           |  SELECT 2, f, round(bin, 4), round(vl, 4), round(vr, 4),
+           |    round((SELECT m FROM mse2), 4) FROM best2
+           |  UNION ALL
+           |  SELECT 3, f, round(bin, 4), round(vl, 4), round(vr, 4),
+           |    round((SELECT m FROM mse3), 4) FROM best3
+           |) ORDER BY round""".stripMargin
+      }
     )
   )
 }

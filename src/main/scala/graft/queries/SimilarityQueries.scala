@@ -873,6 +873,99 @@ object SimilarityQueries {
            |FROM scored
            |ORDER BY round(n2 - proj * proj, 4) DESC, vec_id LIMIT 20""".stripMargin
       }
+    ),
+
+    // MMR diversified re-ranking (Carbonell–Goldstein maximal marginal
+    // relevance) — the RAG-retrieval staple that trades relevance
+    // against redundancy: after ANN recall, greedily pick k results
+    // maximizing λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s). Scale
+    // shape: the greedy is inherently sequential BUT runs on the
+    // RECALL SET, not the corpus — candidates are the top-20 of the
+    // (index-accelerated) similarity stage, so the O(k·|C|²) re-rank
+    // is a bounded driver-side model step (the centroid/stump
+    // pattern), while both the relevance and candidate-pair cosines
+    // are computed distributed with the fused vec_dot kernel. Parity:
+    // every comparison in the greedy runs on bit-identical doubles
+    // (vec_dot ≡ list_reduce), ties break by vec_id; the oracle
+    // replays all 5 greedy steps as unrolled CTEs. λ=0.7, k=5.
+    OracleQuery(
+      "sim_mmr_rerank",
+      (s, d) => {
+        import s.implicits._
+        val lam = 0.7
+        val emb = normed(s, d)
+        val rel = emb.filter($"vec_id" === 0).as("a")
+          .join(emb.filter($"vec_id" =!= 0).as("b"))
+          .select(col("b.vec_id").as("vec_id"), cosineCol.as("rel"))
+        val cands = rel.orderBy($"rel".desc, $"vec_id").limit(20)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1))
+        val ids = cands.map(_._1)
+        val pairRows = emb.filter($"vec_id".isin(ids: _*)).as("a")
+          .join(emb.filter($"vec_id".isin(ids: _*)).as("b"),
+            col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id"), col("b.vec_id"), cosineCol.as("cos"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val relMap = cands.toMap
+        var selected = Vector.empty[Long]
+        val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+        for (rank <- 1 to 5) {
+          val scored = ids.filterNot(selected.contains).map { c =>
+            val red = if (selected.isEmpty) 0.0
+              else selected.map(sid => pairRows((c, sid))).max
+            (c, lam * relMap(c) - (1 - lam) * red)
+          }
+          val (pick, score) = scored.minBy { case (c, sc) => (-sc, c) }
+          selected :+= pick
+          picks += ((rank, pick,
+            BigDecimal(relMap(pick)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+        s.createDataFrame(picks.toSeq).toDF("rank", "vec_id", "rel", "mmr")
+          .orderBy($"rank")
+      },
+      Some {
+        // unrolled greedy: step i scores the un-selected candidates
+        // against sel{i-1} and picks the max (mmr DESC, vec_id)
+        def step(i: Int) =
+          s"""g$i AS (
+             |  SELECT c.vec_id, c.rel,
+             |    0.7 * c.rel - 0.3 * max(p.cos) AS mmr
+             |  FROM cands c
+             |  JOIN cpairs p ON p.pa = c.vec_id
+             |    AND p.pb IN (SELECT vec_id FROM sel${i - 1})
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+             |  GROUP BY c.vec_id, c.rel
+             |), s$i AS (
+             |  SELECT vec_id, rel, mmr FROM g$i ORDER BY mmr DESC, vec_id LIMIT 1
+             |), sel$i AS (
+             |  SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i
+             |)""".stripMargin
+        s"""WITH $duckNormed, rel AS (
+           |  SELECT b.vec_id, $duckCosPair AS rel
+           |  FROM normed a JOIN normed b ON a.vec_id = 0 AND b.vec_id <> 0
+           |), cands AS (
+           |  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 20
+           |), cpairs AS (
+           |  SELECT a.vec_id AS pa, b.vec_id AS pb, $duckCosPair AS cos
+           |  FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+           |  WHERE a.vec_id IN (SELECT vec_id FROM cands)
+           |    AND b.vec_id IN (SELECT vec_id FROM cands)
+           |), s1 AS (
+           |  SELECT vec_id, rel, 0.7 * rel AS mmr FROM cands
+           |  ORDER BY rel DESC, vec_id LIMIT 1
+           |), sel1 AS (SELECT vec_id FROM s1),
+           |${step(2)},
+           |${step(3)},
+           |${step(4)},
+           |${step(5)}
+           |SELECT * FROM (
+           |  SELECT 1 AS rank, vec_id, round(rel, 4) AS rel, round(mmr, 4) AS mmr FROM s1
+           |  UNION ALL SELECT 2, vec_id, round(rel, 4), round(mmr, 4) FROM s2
+           |  UNION ALL SELECT 3, vec_id, round(rel, 4), round(mmr, 4) FROM s3
+           |  UNION ALL SELECT 4, vec_id, round(rel, 4), round(mmr, 4) FROM s4
+           |  UNION ALL SELECT 5, vec_id, round(rel, 4), round(mmr, 4) FROM s5
+           |) ORDER BY rank""".stripMargin
+      }
     )
   )
 

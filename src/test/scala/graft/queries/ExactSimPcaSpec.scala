@@ -142,4 +142,45 @@ class ExactSimPcaSpec extends SparkSpec {
       s"spark=${out.map(_._1).take(5).toSeq} replay=${top.map(_._1).take(5).toSeq}")
     out.zip(top).foreach { case ((_, _, a), (_, b)) => assert(math.abs(a - b) < 1e-3) }
   }
+
+  test("sim_mmr_rerank: greedy invariants — top-rel first, distinct picks, non-increasing scores, replay") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = Registry.queries("sim_mmr_rerank")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 5)
+    assert(out.map(_._2).distinct.length == 5, "picks must be distinct")
+    // mmr scores non-increase: redundancy only grows, candidate set only shrinks
+    val scores = out.sortBy(_._1).map(_._4)
+    scores.sliding(2).foreach(w => assert(w(0) >= w(1) - 1e-9, s"${w(0)} < ${w(1)}"))
+    // rank 1 is the relevance argmax and its mmr is 0.7·rel
+    val first = out.minBy(_._1)
+    assert(first._3 == out.map(_._3).max || first._3 >= out.map(_._3).max - 1e-9)
+    assert(math.abs(first._4 - BigDecimal(0.7 * first._3).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-4)
+    // driver replay from raw embeddings
+    val xs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = xs(0L)
+    val rel = xs.toSeq.filter(_._1 != 0L).map { case (id, v) => id -> cos(q, v) }
+    val cands = rel.sortBy { case (id, c) => (-c, id) }.take(20)
+    val relMap = cands.toMap
+    var sel = Vector.empty[Long]
+    val replay = (1 to 5).map { _ =>
+      val pick = cands.map(_._1).filterNot(sel.contains).map { c =>
+        val red = if (sel.isEmpty) 0.0 else sel.map(s0 => cos(xs(c), xs(s0))).max
+        (c, 0.7 * relMap(c) - 0.3 * red)
+      }.minBy { case (c, sc) => (-sc, c) }._1
+      sel :+= pick
+      pick
+    }
+    assert(out.sortBy(_._1).map(_._2).toSeq == replay,
+      s"spark=${out.sortBy(_._1).map(_._2).toSeq} replay=$replay")
+  }
 }

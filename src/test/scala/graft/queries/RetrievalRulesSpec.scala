@@ -168,4 +168,65 @@ class RetrievalRulesSpec extends SparkSpec {
     }.max
     assert(math.abs(d - dRef) < 1e-4, s"d=$d ref=$dRef")
   }
+
+  test("a35_psi: terms individually nonnegative, smoothed masses sum to 1, driver replay") {
+    import spark.implicits._
+    val out = Registry.queries("a35_psi")(spark, sf).collect()
+    assert(out.length == 11)
+    val psi = out.head.getDouble(6)
+    assert(out.forall(_.getDouble(6) == psi))
+    // (a-b)·ln(a/b) >= 0 always — PSI and every term nonnegative
+    out.foreach(r => assert(r.getDouble(5) >= -1e-4, s"term ${r.getDouble(5)}"))
+    assert(psi >= 0.0)
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 0.005, "p1 mass")
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 0.005, "p2 mass")
+    // driver replay
+    val rows = Tables.events(spark, sf)
+      .select($"value", $"ts" < lit("2024-01-16").cast("timestamp"))
+      .as[(Double, Boolean)].collect()
+    def histo(xs: Array[Double]) = {
+      val h = new Array[Long](11)
+      xs.foreach(v => h(math.min(math.floor(v / 10.0), 10.0).toInt) += 1)
+      h
+    }
+    val h1 = histo(rows.filter(_._2).map(_._1)); val n1 = h1.sum
+    val h2 = histo(rows.filterNot(_._2).map(_._1)); val n2 = h2.sum
+    val ref = (0 until 11).map { b =>
+      val p1 = (h1(b) + 0.5) / (n1 + 5.5); val p2 = (h2(b) + 0.5) / (n2 + 5.5)
+      (p2 - p1) * math.log(p2 / p1)
+    }.sum
+    assert(math.abs(psi - ref) < 1e-3, s"psi=$psi ref=$ref")
+    out.zipWithIndex.foreach { case (r, b) =>
+      assert(r.getLong(1) == h1(b) && r.getLong(2) == h2(b), s"bin $b counts")
+    }
+  }
+
+  test("pipe_gbm_stumps: boosting strictly reduces MSE from the variance baseline") {
+    import spark.implicits._
+    val out = Registry.queries("pipe_gbm_stumps")(spark, sf).collect()
+    assert(out.length == 3)
+    val mses = out.map(_.getDouble(5))
+    assert(mses(0) > mses(1) && mses(1) > mses(2), s"not decreasing: ${mses.toSeq}")
+    // baseline: variance of y (the round-0 model is the global mean)
+    val ys = Tables.lineitem(spark, sf).select($"l_extendedprice").as[Double].collect()
+    val mean = ys.sum / ys.length
+    val varY = ys.map(y => (y - mean) * (y - mean)).sum / ys.length
+    assert(mses(0) < varY, s"round 1 must beat the mean: ${mses(0)} vs $varY")
+    // driver replay of the round-1 stump search
+    val qs = Tables.lineitem(spark, sf)
+      .select($"l_quantity", $"l_discount", $"l_extendedprice")
+      .as[(Double, Double, Double)].collect()
+    val feats = Seq[(String, ((Double, Double, Double)) => Double)](
+      "q" -> (_._1), "d" -> (_._2))
+    val best = (for {
+      (fn, fx) <- feats
+      c <- qs.map(fx).distinct.sorted.dropRight(1)
+    } yield {
+      val (l, r) = qs.partition(t => fx(t) <= c)
+      val (sl, sr) = (l.map(t => t._3 - mean).sum, r.map(t => t._3 - mean).sum)
+      (fn, c, sl * sl / l.length + sr * sr / r.length)
+    }).minBy { case (f, c, g) => (-g, f, c) }
+    assert(out.head.getString(1) == best._1 && out.head.getDouble(2) == best._2,
+      s"stump1 ${out.head.getString(1)}@${out.head.getDouble(2)} vs replay ${best._1}@${best._2}")
+  }
 }
