@@ -794,6 +794,71 @@ object WindowQueries {
                |  (abs(resid) > 2.0 * stddev_samp(resid) OVER (PARTITION BY event_type))
                |    AS anomaly
                |FROM r ORDER BY event_type, day""".stripMargin)
+      ),
+
+      // W21: Holt double exponential smoothing (level + linear trend)
+      // per key — the forecasting workhorse one notch above EWMA, and
+      // the 2-STATE coupled recurrence that separates the recurrence
+      // family: CUSUM (w19) had a prefix-min closed form, EWMA (w8) a
+      // power-weighted sum, but a coupled vector recurrence admits no
+      // window spelling at all — ops/HoltLinear runs it as one key
+      // exchange + local sort + a forward fold with two doubles of
+      // state (and the Ewma.perKeyBlocked affine-carry decomposition as
+      // the giant-key escape, since the step is affine in (l, b)).
+      // Day-grain: the daily collapse (decimal-exact sums) runs first,
+      // so the fold sees |keys|×|days| rows. The oracle replays the
+      // recursion with a RECURSIVE CTE over the row-number axis —
+      // identical IEEE expression text in kernel and SQL. α=0.3, β=0.1.
+      OracleQuery(
+        "w21_holt_linear",
+        (s, d) => {
+          import s.implicits._
+          val daily = Tables.events(s, d)
+            .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+            .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("y"))
+          // floor(x·10⁴ + 0.5)/10⁴, NOT round(): the smoothed values
+          // land arbitrarily (e.g. …65254999…), and Spark's round goes
+          // through Double.toString ("….65255" → up) while DuckDB
+          // rounds the exact binary (down) — this spelling is pure
+          // IEEE, so identical input bits give identical output bits
+          def r4(c: org.apache.spark.sql.Column) =
+            floor(c * 10000 + 0.5) / 10000
+          graft.ops.HoltLinear
+            .perKey(daily, "event_type", Seq("day"), "y", alpha = 0.3, beta = 0.1)
+            .select($"event_type", $"day", round($"y", 4).as("y"),
+              r4($"level").as("level"), r4($"trend").as("trend"),
+              r4($"level" + $"trend").as("forecast1"))
+            .orderBy($"event_type", $"day")
+        },
+        Some("""WITH RECURSIVE daily AS (
+               |  SELECT event_type, date_trunc('day', ts) AS day,
+               |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+               |  FROM events GROUP BY 1, 2
+               |), pos AS (
+               |  SELECT event_type, day, y,
+               |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+               |  FROM daily
+               |), rec AS (
+               |  SELECT event_type, day, y, rn, y AS l, CAST(0.0 AS DOUBLE) AS b
+               |  FROM pos WHERE rn = 1
+               |  UNION ALL
+               |  -- α/β as DOUBLE literals: a bare 0.3 is DECIMAL here,
+               |  -- making (1 - 0.3) exactly 0.7 where the kernel's
+               |  -- IEEE 1-0.3 is not — a 4th-decimal flip at day 3
+               |  SELECT p.event_type, p.day, p.y, p.rn,
+               |    CAST(0.3 AS DOUBLE) * p.y
+               |      + (1 - CAST(0.3 AS DOUBLE)) * (r.l + r.b) AS l,
+               |    CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * p.y
+               |        + (1 - CAST(0.3 AS DOUBLE)) * (r.l + r.b)) - r.l)
+               |      + (1 - CAST(0.1 AS DOUBLE)) * r.b AS b
+               |  FROM rec r JOIN pos p
+               |    ON p.event_type = r.event_type AND p.rn = r.rn + 1
+               |)
+               |SELECT event_type, day, round(y, 4) AS y,
+               |  floor(l * 10000 + 0.5) / 10000 AS level,
+               |  floor(b * 10000 + 0.5) / 10000 AS trend,
+               |  floor((l + b) * 10000 + 0.5) / 10000 AS forecast1
+               |FROM rec ORDER BY event_type, day""".stripMargin)
       )
     )
   }
