@@ -1088,6 +1088,46 @@ object JoinQueries {
              |  round(min(abs(pv - cv)), 4) AS min_gap
              |FROM p JOIN c ON abs(pv - cv) <= 0.25
              |GROUP BY pid ORDER BY pid""".stripMargin)
+    ),
+
+    // TPC-H Q3 (shipping priority) — the classic 3-way join + top-k:
+    // customer segment filter broadcast into orders, orders⋈lineitem
+    // co-keyed on orderkey, revenue agg, top-10 by revenue. Date
+    // literals against the testdata's 1995–2001 span. Revenue
+    // DECIMAL-cast (2-decimal prices × 2-decimal discounts = exact at
+    // scale 4) so the sum is order-exact; top-10 cutoff on the ROUNDED
+    // revenue with (orderkey) tiebreak.
+    OracleQuery(
+      "j32_tpch_q3",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey")
+        val ord = Tables.orders(s, d)
+          .filter($"o_orderdate" < lit("1996-03-15").cast("timestamp"))
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        val li = Tables.lineitem(s, d)
+          .filter($"l_shipdate" > lit("1996-03-15").cast("timestamp"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .cast("decimal(28,4)")).cast("double"), 4).as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+          .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+      },
+      Some("""SELECT l_orderkey,
+             |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+             |    AS DOUBLE), 4) AS revenue,
+             |  o_orderdate, o_orderpriority
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1996-03-15'
+             |  AND l_shipdate > TIMESTAMP '1996-03-15'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
     )
   )
 }

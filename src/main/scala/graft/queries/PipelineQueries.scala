@@ -1289,6 +1289,61 @@ object PipelineQueries {
            |    round((SELECT m FROM mse3), 4) FROM best3
            |) ORDER BY round""".stripMargin
       }
+    ),
+
+    // Leave-one-out target encoding with prior smoothing — the
+    // feature-engineering staple for high-cardinality categoricals,
+    // with the leakage control IN the formula: each row's encoding
+    // excludes its own target, enc_i = (S_g − y_i + m·prior)/(n_g − 1
+    // + m), so the encoded feature never memorizes the row it
+    // describes (the naive group-mean does, and CV scores lie). Scale
+    // shape: ONE hash agg builds the per-group (S, n) table — group-
+    // cardinality, broadcast back — and the encoding is row-local;
+    // adding columns to encode adds agg columns, not passes. S and the
+    // prior are DECIMAL-summed (order-exact), the per-row encoding is
+    // IEEE-identical algebra on those shared doubles, and the audit
+    // aggregates DECIMAL-cast the encodings so their sums can't drift.
+    OracleQuery(
+      "pipe_target_encoding",
+      (s, d) => {
+        import s.implicits._
+        val m = 10.0
+        val ev = Tables.events(s, d).select($"event_id", $"event_type", $"value")
+        val grp = ev.groupBy($"event_type")
+          .agg(sum($"value".cast("decimal(28,10)")).cast("double").as("sg"),
+            count(lit(1)).as("ng"))
+        val prior = ev
+          .agg((sum($"value".cast("decimal(28,10)")).cast("double") / count(lit(1))).as("prior"))
+        ev.join(broadcast(grp), "event_type").crossJoin(broadcast(prior))
+          .withColumn("enc",
+            ($"sg" - $"value" + lit(m) * $"prior") / ($"ng" - 1 + lit(m)))
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            round(min($"enc"), 4).as("min_enc"),
+            round(max($"enc"), 4).as("max_enc"),
+            round(sum($"enc".cast("decimal(28,10)")).cast("double") / count(lit(1)), 4)
+              .as("mean_enc"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH grp AS (
+             |  SELECT event_type,
+             |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sg,
+             |    count(*) AS ng
+             |  FROM events GROUP BY 1
+             |), prior AS (
+             |  SELECT CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS prior
+             |  FROM events
+             |), enc AS (
+             |  SELECT e.event_type,
+             |    (g.sg - e.value + 10.0 * p.prior) / (g.ng - 1 + 10.0) AS enc
+             |  FROM events e JOIN grp g USING (event_type) CROSS JOIN prior p
+             |)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(min(enc), 4) AS min_enc,
+             |  round(max(enc), 4) AS max_enc,
+             |  round(CAST(sum(CAST(enc AS DECIMAL(28,10))) AS DOUBLE) / count(*), 4) AS mean_enc
+             |FROM enc GROUP BY 1 ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -859,6 +859,56 @@ object WindowQueries {
                |  floor(b * 10000 + 0.5) / 10000 AS trend,
                |  floor((l + b) * 10000 + 0.5) / 10000 AS forecast1
                |FROM rec ORDER BY event_type, day""".stripMargin)
+      ),
+
+      // W22: rolling maximum drawdown per key — the risk/health metric
+      // for any monotone-hoped series (revenue, throughput, model
+      // score): dd_t = (peak_t − y_t)/peak_t against the running peak,
+      // and the worst drawdown so far. Pure running-max windows — one
+      // key exchange + sort shared by all three window functions, no
+      // recurrence (contrast w21: max composes, coupled smoothing does
+      // not). Day-grain decimal-exact sums; peak is an exact max;
+      // drawdowns are IEEE divisions rounded by the floor(x·10⁴+0.5)
+      // spelling since their values land arbitrarily.
+      OracleQuery(
+        "w22_max_drawdown",
+        (s, d) => {
+          import s.implicits._
+          def r4(c: org.apache.spark.sql.Column) =
+            floor(c * 10000 + 0.5) / 10000
+          val run = Window.partitionBy($"event_type").orderBy($"day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          Tables.events(s, d)
+            .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+            .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("y"))
+            .withColumn("peak", max($"y").over(run))
+            .withColumn("dd", ($"peak" - $"y") / $"peak")
+            .withColumn("max_dd", max($"dd").over(run))
+            .select($"event_type", $"day", round($"y", 4).as("y"),
+              round($"peak", 4).as("peak"),
+              r4($"dd").as("dd"), r4($"max_dd").as("max_dd"))
+            .orderBy($"event_type", $"day")
+        },
+        Some("""WITH daily AS (
+               |  SELECT event_type, date_trunc('day', ts) AS day,
+               |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+               |  FROM events GROUP BY 1, 2
+               |), runs AS (
+               |  SELECT event_type, day, y,
+               |    max(y) OVER w AS peak
+               |  FROM daily
+               |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               |), dds AS (
+               |  SELECT event_type, day, y, peak, (peak - y) / peak AS dd,
+               |    max((peak - y) / peak) OVER (PARTITION BY event_type ORDER BY day
+               |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_dd
+               |  FROM runs
+               |)
+               |SELECT event_type, day, round(y, 4) AS y, round(peak, 4) AS peak,
+               |  floor(dd * 10000 + 0.5) / 10000 AS dd,
+               |  floor(max_dd * 10000 + 0.5) / 10000 AS max_dd
+               |FROM dds ORDER BY event_type, day""".stripMargin)
       )
     )
   }

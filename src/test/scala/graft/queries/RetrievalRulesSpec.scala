@@ -229,4 +229,54 @@ class RetrievalRulesSpec extends SparkSpec {
     assert(out.head.getString(1) == best._1 && out.head.getDouble(2) == best._2,
       s"stump1 ${out.head.getString(1)}@${out.head.getDouble(2)} vs replay ${best._1}@${best._2}")
   }
+
+  test("pipe_target_encoding: driver replay of the LOO formula; encodings stay in the target hull") {
+    import spark.implicits._
+    val out = Registry.queries("pipe_target_encoding")(spark, sf).collect()
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val prior = rows.map(_._2).sum / rows.length
+    val byType = rows.groupBy(_._1)
+    val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val ys = byType(t).map(_._2)
+      val (sg, ng) = (ys.sum, ys.length)
+      val encs = ys.map(y => (sg - y + 10.0 * prior) / (ng - 1 + 10.0))
+      assert(r.getLong(1) == ng)
+      assert(math.abs(r.getDouble(2) - encs.min) < 1e-3, s"$t min")
+      assert(math.abs(r.getDouble(3) - encs.max) < 1e-3, s"$t max")
+      assert(math.abs(r.getDouble(4) - encs.sum / ng) < 1e-3, s"$t mean")
+      // smoothing keeps every encoding inside the observed target hull
+      assert(encs.min >= lo - 1e-9 && encs.max <= hi + 1e-9)
+    }
+  }
+
+  test("w22_max_drawdown: drawdowns bounded, peaks dominate, max_dd monotone per key") {
+    import spark.implicits._
+    val out = Registry.queries("w22_max_drawdown")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (t, y, peak, dd, maxDd) =>
+      assert(peak >= y - 1e-9, s"$t peak<y")
+      assert(dd >= -1e-9 && dd < 1.0, s"$t dd=$dd")
+      assert(maxDd >= dd - 1e-9)
+    }
+    out.groupBy(_._1).foreach { case (t, rows) =>
+      val mdd = rows.map(_._5)
+      mdd.sliding(2).foreach(w =>
+        if (w.length == 2) assert(w(1) >= w(0) - 1e-9, s"$t max_dd not monotone"))
+      // the first day of each key is its own peak: dd = 0
+      assert(rows.head._4 == 0.0)
+    }
+  }
+
+  test("j32_tpch_q3: top-10 revenue ordering and positivity") {
+    val out = Registry.queries("j32_tpch_q3")(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 10)
+    val revs = out.map(_.getDouble(1))
+    revs.sliding(2).foreach(w => assert(w(0) >= w(1)))
+    assert(revs.forall(_ > 0.0))
+  }
 }
