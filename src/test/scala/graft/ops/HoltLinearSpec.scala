@@ -71,6 +71,47 @@ class HoltLinearSpec extends SparkSpec {
     }
   }
 
+  test("blocked decomposition matches the sequential fold, any bucket count") {
+    val n = 600
+    val rows = (1 to n).map(i =>
+      (i % 4L, i.toLong, java.lang.Double.valueOf(math.sin(i * 0.37) * 50 + i % 13)))
+    val df = frame(rows).repartition(5)
+    val seq = HoltLinear.perKey(df, "k", Seq("o"), "v", alpha = 0.35, beta = 0.15)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+    for (b <- Seq(1, 3, 16)) {
+      val blk = HoltLinear.perKeyBlocked(df, "k", Seq("o"), "v",
+          alpha = 0.35, beta = 0.15, buckets = b, sampleTarget = 50)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+      assert(blk.keySet == seq.keySet)
+      blk.foreach { case (key, (l, t)) =>
+        val (ls, ts) = seq(key)
+        assert(math.abs(l - ls) < 1e-7 * (1 + math.abs(ls)), s"$key level $l vs $ls (b=$b)")
+        assert(math.abs(t - ts) < 1e-6 * (1 + math.abs(ts)), s"$key trend $t vs $ts (b=$b)")
+      }
+    }
+  }
+
+  test("blocked fold handles a single giant key and nulls across block boundaries") {
+    val n = 500
+    val rows = (1 to n).map(i =>
+      (7L, i.toLong,
+        if (i % 9 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(i.toDouble)))
+    val df = frame(rows).repartition(6)
+    val seq = HoltLinear.perKey(df, "k", Seq("o"), "v", alpha = 0.5, beta = 0.3)
+      .orderBy("o").collect()
+    val blk = HoltLinear.perKeyBlocked(df, "k", Seq("o"), "v",
+        alpha = 0.5, beta = 0.3, buckets = 8, sampleTarget = 40)
+      .orderBy("o").collect()
+    seq.zip(blk).foreach { case (a, b) =>
+      assert(a.isNullAt(3) == b.isNullAt(3))
+      if (!a.isNullAt(3)) {
+        assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-6 * (1 + math.abs(a.getDouble(3))))
+        assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-5 * (1 + math.abs(a.getDouble(4))))
+      }
+    }
+  }
+
   test("invalid arguments are rejected") {
     val df = frame(Seq((1L, 1L, 1.0)))
     intercept[IllegalArgumentException](

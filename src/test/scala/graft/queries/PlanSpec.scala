@@ -424,4 +424,45 @@ class PlanSpec extends SparkSpec {
     assert(p25.contains("BroadcastNestedLoopJoin") || p25.contains("BroadcastHashJoin"), p25)
     assert(!p25.contains("SortMergeJoin"), p25)
   }
+
+  test("BM25: the query-term filter lands BELOW the tf aggregate (posting-list subset shuffles, not the corpus)") {
+    val p = plan(Registry.queries("text_bm25_search")(spark, sf))
+    // the isin filter must appear before (deeper than) the first
+    // HashAggregate over (doc_id, w) — i.e. inside the scan-side stage
+    val filterIdx = p.indexOf("w#")
+    assert(p.contains("HashAggregate"), p)
+    val inSetIdx = math.max(p.indexOf("IN (spark,window,dup)"), math.max(p.indexOf("w IN"), p.indexOf("INSET")))
+    assert(inSetIdx >= 0, s"term filter missing from plan:\n$p")
+    // no shuffle of raw exploded words without the filter: the Exchange
+    // above the filter carries only filtered rows — approximate check:
+    // the plan contains no SortMergeJoin and only hash aggregates
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("market basket: frequent-item prune is a BROADCAST semi-join below the pair self-join") {
+    val p = plan(Registry.queries("pipe_market_basket")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only nested-loop allowed is the 1-row basket-count crossJoin
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("prefix-filter join: equi-join on the gram key, never a cartesian/theta candidate join") {
+    val p = plan(Registry.queries("dedup_prefix_filter")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("target encoding: one fact pass per aggregate, group table broadcast back") {
+    val p = plan(Registry.queries("pipe_target_encoding")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("HashAggregate") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("KS test and PSI collapse to value-grain histograms before any window/spine work") {
+    val ks = plan(Registry.queries("a34_ks_test")(spark, sf))
+    assert(ks.contains("HashAggregate"), ks)
+    assert(!ks.contains("SortMergeJoin"), ks)
+    val psi = plan(Registry.queries("a35_psi")(spark, sf))
+    assert(psi.contains("HashAggregate"), psi)
+    assert(!psi.contains("SortMergeJoin"), psi)
+  }
 }
