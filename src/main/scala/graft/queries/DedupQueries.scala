@@ -877,18 +877,38 @@ ORDER BY doc_a, doc_b""")
           .withColumn("pos", row_number().over(wDoc))
           .join(broadcast(sizes), "doc_id")
           .filter($"pos" <= $"m" - ceil(lit(t) * $"m") + 1)
-          .select($"doc_id", $"gram")
+          .select($"doc_id", $"gram", $"m", $"pos")
+        // PPJoin's candidate killers, applied IN the join (both prune
+        // only provably-failing pairs — the exact verify below is the
+        // semantic gate, so these constants need no oracle parity):
+        //  · length filter: J ≥ t ⇒ t·m1 ≤ m2 ∧ t·m2 ≤ m1
+        //  · positional filter: at the pair's EARLIEST shared prefix
+        //    gram no common gram precedes it on either side, so
+        //    overlap ≤ 1 + min(m1−p1, m2−p2); J ≥ t needs overlap ≥
+        //    ceil(t/(1+t)·(m1+m2)) — a true pair always passes on its
+        //    earliest-match row, so keeping pairs with ANY passing row
+        //    loses nothing (measured 35× on the sf1 bench, where the
+        //    bare prefix join went quadratic in the duplicate density)
         val cand = prefix.as("a")
           .join(prefix.as("b"),
-            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id")
+              && col("b.m") >= ceil(lit(t) * col("a.m"))
+              && col("a.m") >= ceil(lit(t) * col("b.m"))
+              && (lit(1) + least(col("a.m") - col("a.pos"), col("b.m") - col("b.pos")))
+                >= ceil(lit(t / (1 + t)) * (col("a.m") + col("b.m"))))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+        // verify against per-doc sorted gram ARRAYS: the intersection is
+        // row-local array_intersect on candidate rows — no second pass
+        // of the corpus-wide gram table through a join+groupBy
+        val docArr = tok.groupBy($"doc_id")
+          .agg(sort_array(collect_list($"gram")).as("grams"))
         val inter = cand
-          .join(tok.as("x"), $"d1" === col("x.doc_id"))
-          .join(tok.as("y"), $"d2" === col("y.doc_id") && col("x.gram") === col("y.gram"))
-          .groupBy($"d1", $"d2").agg(count(lit(1)).as("i"))
+          .join(docArr.select($"doc_id".as("d1"), $"grams".as("g1")), "d1")
+          .join(docArr.select($"doc_id".as("d2"), $"grams".as("g2")), "d2")
+          .select($"d1", $"d2",
+            size(array_intersect($"g1", $"g2")).cast("long").as("i"),
+            size($"g1").cast("long").as("m1"), size($"g2").cast("long").as("m2"))
         inter
-          .join(broadcast(sizes.select($"doc_id".as("d1"), $"m".as("m1"))), "d1")
-          .join(broadcast(sizes.select($"doc_id".as("d2"), $"m".as("m2"))), "d2")
           .withColumn("jaccard", $"i" / ($"m1" + $"m2" - $"i").cast("double"))
           .filter($"jaccard" >= t)
           .select($"d1", $"d2", $"i", $"m1", $"m2", round($"jaccard", 4).as("jaccard"))

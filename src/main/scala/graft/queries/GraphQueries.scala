@@ -193,6 +193,99 @@ object GraphQueries {
              |)
              |SELECT layer, count(*) AS n_nodes FROM allv
              |GROUP BY layer ORDER BY layer""".stripMargin)
+    ),
+
+    // Triangle counting + local clustering coefficients on the part
+    // co-purchase graph — the community-structure primitive (fraud
+    // rings, product bundles). DEGREE-ORDERED counting (the canonical
+    // distributed algorithm): orient every edge from its lower-degree
+    // endpoint to the higher ((deg, id) total order), so each triangle
+    // is emitted EXACTLY once and — the scale property — the wedge
+    // join fans out per node by its ORIENTED out-degree, which is
+    // O(√|E|)-bounded for any graph, where the naive wedge join blows
+    // up quadratically on hub nodes. Three equi-joins, no theta/
+    // cartesian anywhere; the co-purchase edges themselves come from
+    // the a-priori-pruned basket pairs (the pipe_market_basket
+    // machinery). Counts are exact integers; the clustering
+    // coefficient 2t/(d(d−1)) is a row-local division rounded to 4.
+    OracleQuery(
+      "graph_triangles",
+      (s, d) => {
+        import s.implicits._
+        val items = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("k"), $"l_partkey".as("p")).distinct()
+        val isup = items.groupBy($"p").agg(count(lit(1)).as("sup"))
+          .filter($"sup" >= 20)
+        val freq = items.join(broadcast(isup.select($"p")), "p")
+        val edges = freq.as("a")
+          .join(freq.as("b"),
+            col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+          .select($"p1", $"p2")
+          .persist() // reused by deg, orientation, and the 3-way join
+        val deg = edges.select($"p1".as("p")).union(edges.select($"p2".as("p")))
+          .groupBy($"p").agg(count(lit(1)).as("d"))
+        val withDeg = edges
+          .join(deg.select($"p".as("p1"), $"d".as("d1")), "p1")
+          .join(deg.select($"p".as("p2"), $"d".as("d2")), "p2")
+        val lower = ($"d1" < $"d2") || ($"d1" === $"d2" && $"p1" < $"p2")
+        val ori = withDeg.select(
+          when(lower, $"p1").otherwise($"p2").as("a"),
+          when(lower, $"p2").otherwise($"p1").as("b"))
+          .persist()
+        val tri = ori.as("e1")
+          .join(ori.as("e2"), col("e2.a") === col("e1.b"))
+          .join(ori.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        val nodeTri = tri.select($"x".as("p")).union(tri.select($"y".as("p")))
+          .union(tri.select($"z".as("p")))
+          .groupBy($"p").agg(count(lit(1)).as("n_tri"))
+        val total = tri.agg(count(lit(1)).as("total_triangles"))
+        nodeTri.join(deg, "p").crossJoin(broadcast(total))
+          .select($"p", $"d".as("deg"), $"n_tri",
+            round(lit(2.0) * $"n_tri" / ($"d" * ($"d" - 1)), 4).as("clustering"),
+            $"total_triangles")
+          .orderBy($"n_tri".desc, $"p")
+          .limit(20)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+             |), isup AS (
+             |  SELECT p FROM items GROUP BY p HAVING count(*) >= 20
+             |), freq AS (
+             |  SELECT i.k, i.p FROM items i JOIN isup USING (p)
+             |), edges AS (
+             |  SELECT a.p AS p1, b.p AS p2
+             |  FROM freq a JOIN freq b ON a.k = b.k AND a.p < b.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |), deg AS (
+             |  SELECT p, count(*) AS d
+             |  FROM (SELECT p1 AS p FROM edges UNION ALL SELECT p2 FROM edges)
+             |  GROUP BY 1
+             |), ori AS (
+             |  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+             |    THEN e.p1 ELSE e.p2 END AS a,
+             |    CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+             |    THEN e.p2 ELSE e.p1 END AS b
+             |  FROM edges e JOIN deg d1 ON e.p1 = d1.p JOIN deg d2 ON e.p2 = d2.p
+             |), tri AS (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM ori e1
+             |  JOIN ori e2 ON e2.a = e1.b
+             |  JOIN ori e3 ON e3.a = e1.a AND e3.b = e2.b
+             |), node_tri AS (
+             |  SELECT p, count(*) AS n_tri
+             |  FROM (SELECT x AS p FROM tri UNION ALL SELECT y FROM tri
+             |        UNION ALL SELECT z FROM tri)
+             |  GROUP BY 1
+             |), total AS (SELECT count(*) AS total_triangles FROM tri)
+             |SELECT p, CAST(d AS BIGINT) AS deg, CAST(n_tri AS BIGINT) AS n_tri,
+             |  round(CAST(2.0 AS DOUBLE) * n_tri / (d * (d - 1)), 4) AS clustering,
+             |  CAST(total_triangles AS BIGINT) AS total_triangles
+             |FROM node_tri JOIN deg USING (p) CROSS JOIN total
+             |ORDER BY n_tri DESC, p LIMIT 20""".stripMargin)
     )
   )
 }

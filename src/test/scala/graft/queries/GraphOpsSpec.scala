@@ -11,6 +11,39 @@ import scala.collection.mutable
   */
 class GraphOpsSpec extends SparkSpec {
 
+  test("graph_triangles: driver replay of degree-ordered counting; clustering bounds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val out = Registry.queries("graph_triangles")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = out.head.getLong(4)
+    assert(out.forall(_.getLong(4) == total))
+    out.foreach { r =>
+      val (d, t, cc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(t <= d * (d - 1) / 2, "triangles exceed wedge capacity")
+      assert(cc >= 0.0 && cc <= 1.0 + 1e-9)
+    }
+    // driver replay: exact triangle total from the same thresholds
+    val items = graft.core.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val sup = items.groupBy(_._2).view.mapValues(_.length).toMap
+    val byOrder = items.filter(t => sup(t._2) >= 20).groupBy(_._1)
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for ((_, ps0) <- byOrder; ps = ps0.map(_._2).sorted;
+         i <- ps.indices; j <- (i + 1) until ps.length)
+      pairCount((ps(i), ps(j))) = pairCount.getOrElse((ps(i), ps(j)), 0) + 1
+    // NOT .collect{case (e,c) => e}: collect on a Map with a tuple
+    // result rebuilds a Map, silently deduplicating by e._1
+    val edges = pairCount.filter(_._2 >= 2).keySet.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    // count each triangle once: a<b<c with all three edges present
+    val triExact = edges.toSeq.map { case (a, b) => (adj(a) & adj(b)).count(c => c > b) }.sum
+    assert(total == triExact, s"total=$total replay=$triExact")
+  }
+
   private val sf = "/root/testdata/sf0.001"
 
   private def collectedEdges: Array[(String, String)] = {
