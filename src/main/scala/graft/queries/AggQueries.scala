@@ -1442,6 +1442,55 @@ object AggQueries {
              |  round((p2 - p1) * ln(p2 / p1), 4) AS psi_term,
              |  round(sum((p2 - p1) * ln(p2 / p1)) OVER (), 4) AS psi
              |FROM filled ORDER BY bin""".stripMargin)
+    ),
+
+    // Hill tail-index estimator (a36) — how heavy is the upper tail of
+    // order totals per priority class: α̂ = [k⁻¹ Σᵢ₌₁..k (ln x₍ᵢ₎ −
+    // ln x₍ₖ₊₁₎)]⁻¹ over the k=100 largest. α̂ ≈ 1–2 flags
+    // Pareto-like concentration (a few whale orders dominate — the
+    // sampling/budgeting hazard), large α̂ means thin tails. Scale
+    // shape: only the top k+1 per segment survive the rank window —
+    // at 100 TB the window swaps for the bounded per-segment top-k
+    // (the o5/j5 pattern) and nothing else changes; the estimator
+    // itself touches k·|segments| rows. Ranking ties break on the
+    // order key so x₍ₖ₊₁₎ is the same row cross-engine; the ≤100-term
+    // ln sum rounds to 4.
+    OracleQuery(
+      "a36_hill_tail",
+      (s, d) => {
+        import s.implicits._
+        val k = 100
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"pri").orderBy($"x".desc, $"o_orderkey")
+        val ranked = Tables.orders(s, d)
+          .select($"o_orderpriority".as("pri"), $"o_totalprice".as("x"), $"o_orderkey")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= k + 1)
+        val thresh = ranked.filter($"rn" === k + 1)
+          .select($"pri", $"x".as("xt"))
+        ranked.filter($"rn" <= k)
+          .join(broadcast(thresh), "pri")
+          .groupBy($"pri")
+          .agg(
+            count(lit(1)).cast("long").as("n_tail"),
+            round(max($"xt"), 4).as("x_threshold"),
+            round(lit(1.0) / (sum(log($"x") - log($"xt")) / k), 4).as("hill_alpha"))
+          .orderBy($"pri")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT o_orderpriority AS pri, o_totalprice AS x,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders
+             |), thresh AS (
+             |  SELECT pri, x AS xt FROM ranked WHERE rn = 101
+             |)
+             |SELECT r.pri, CAST(count(*) AS BIGINT) AS n_tail,
+             |  round(max(t.xt), 4) AS x_threshold,
+             |  round(1.0 / (sum(ln(r.x) - ln(t.xt)) / 100), 4) AS hill_alpha
+             |FROM ranked r JOIN thresh t USING (pri)
+             |WHERE r.rn <= 100
+             |GROUP BY r.pri ORDER BY r.pri""".stripMargin)
     )
   )
 }

@@ -1344,6 +1344,84 @@ object PipelineQueries {
              |  round(max(enc), 4) AS max_enc,
              |  round(CAST(sum(CAST(enc AS DECIMAL(28,10))) AS DOUBLE) / count(*), 4) AS mean_enc
              |FROM enc GROUP BY 1 ORDER BY event_type""".stripMargin)
+    ),
+
+    // Qini / uplift decile curve — the targeting-model evaluation for
+    // incrementality: rank users by a score, split into deciles, and
+    // per decile compare treated-vs-control conversion plus the
+    // cumulative Qini statistic Q(d) = cumConvT(d) − cumConvC(d) ·
+    // cumNT(d)/cumNC(d) (incremental conversions vs a scaled control).
+    // Arms come from the engine-agnostic md5-prefix hash (the a29
+    // assignment, replayed exactly by the oracle); the "model score"
+    // here is the user's activity count (swap in any model's score
+    // column and nothing else changes). Scale shape: ONE per-user
+    // collapse (hash agg with map-side combine), an ntile over the
+    // user-grain rows on a UNIQUE (score desc, user) order — both
+    // engines assign uneven remainders to earlier tiles, so the decile
+    // boundary is deterministic — then all curve algebra lives on the
+    // 10-row decile table. Counts exact; ratios round to 4.
+    OracleQuery(
+      "pipe_qini_uplift",
+      (s, d) => {
+        import s.implicits._
+        val users = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("score"),
+            max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+          .withColumn("arm",
+            expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2"))
+        val wTile = org.apache.spark.sql.expressions.Window
+          .orderBy($"score".desc, $"user_id")
+        val tiled = users.withColumn("decile", ntile(10).over(wTile))
+        val per = tiled.groupBy($"decile")
+          .agg(
+            sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_t"),
+            sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_c"),
+            sum(when($"arm" === 1, $"conv").otherwise(0L)).as("conv_t"),
+            sum(when($"arm" === 0, $"conv").otherwise(0L)).as("conv_c"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy($"decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        per
+          .withColumn("ct", sum($"conv_t").over(wCum))
+          .withColumn("cc", sum($"conv_c").over(wCum))
+          .withColumn("nt", sum($"n_t").over(wCum))
+          .withColumn("nc", sum($"n_c").over(wCum))
+          .select($"decile", $"n_t", $"n_c", $"conv_t", $"conv_c",
+            round($"conv_t" / $"n_t".cast("double")
+              - $"conv_c" / $"n_c".cast("double"), 4).as("uplift"),
+            round($"ct" - $"cc" * ($"nt" / $"nc".cast("double")), 4).as("qini"))
+          .orderBy($"decile")
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id, count(*) AS score,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+             |  FROM events GROUP BY user_id
+             |), tiled AS (
+             |  SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+             |  FROM users
+             |), per AS (
+             |  SELECT decile,
+             |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+             |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
+             |    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS conv_t,
+             |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS conv_c
+             |  FROM tiled GROUP BY decile
+             |), cum AS (
+             |  SELECT decile, n_t, n_c, conv_t, conv_c,
+             |    sum(conv_t) OVER w AS ct, sum(conv_c) OVER w AS cc,
+             |    sum(n_t) OVER w AS nt, sum(n_c) OVER w AS nc
+             |  FROM per
+             |  WINDOW w AS (ORDER BY decile
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT decile, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+             |  CAST(conv_t AS BIGINT) AS conv_t, CAST(conv_c AS BIGINT) AS conv_c,
+             |  round(conv_t / CAST(n_t AS DOUBLE) - conv_c / CAST(n_c AS DOUBLE), 4) AS uplift,
+             |  round(ct - cc * (nt / CAST(nc AS DOUBLE)), 4) AS qini
+             |FROM cum ORDER BY decile""".stripMargin)
     )
   )
 }

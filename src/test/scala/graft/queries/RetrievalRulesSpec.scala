@@ -272,6 +272,45 @@ class RetrievalRulesSpec extends SparkSpec {
     }
   }
 
+  test("a36_hill_tail: driver replay of the Hill estimator per segment") {
+    import spark.implicits._
+    val out = Registry.queries("a36_hill_tail")(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    val rows = Tables.orders(spark, "/root/testdata/sf0.01")
+      .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+      .as[(String, Double, Long)].collect()
+    out.foreach { r =>
+      val pri = r.getString(0)
+      val xs = rows.filter(_._1 == pri).sortBy(t => (-t._2, t._3)).map(_._2)
+      assert(r.getLong(1) == 100)
+      val xt = xs(100)
+      assert(math.abs(r.getDouble(2) - xt) < 1e-3)
+      val alpha = 1.0 / (xs.take(100).map(x => math.log(x) - math.log(xt)).sum / 100)
+      assert(math.abs(r.getDouble(3) - alpha) < 1e-3, s"$pri hill ${r.getDouble(3)} vs $alpha")
+      assert(alpha > 0.0)
+    }
+  }
+
+  test("pipe_qini_uplift: decile partition conserves users; null-effect arms give a flat curve") {
+    import spark.implicits._
+    val out = Registry.queries("pipe_qini_uplift")(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 10)
+    val nUsers = Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"user_id").distinct().count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == nUsers)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(4) <= r.getLong(2),
+        "conversions cannot exceed arm sizes")
+      // the md5 arm is independent of conversion: per-decile uplift is noise
+      assert(math.abs(r.getDouble(5)) < 0.15, s"uplift ${r.getDouble(5)}")
+    }
+    // final Qini = total incremental conversions vs scaled control —
+    // near zero for a null effect, bounded well below the arm size
+    val qFinal = out.maxBy(_.getInt(0)).getDouble(6)
+    val nt = out.map(_.getLong(1)).sum
+    assert(math.abs(qFinal) < 0.05 * nt, s"qini $qFinal vs nT $nt")
+  }
+
   test("j32_tpch_q3: top-10 revenue ordering and positivity") {
     val out = Registry.queries("j32_tpch_q3")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 10)
