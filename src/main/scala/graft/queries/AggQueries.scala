@@ -1491,6 +1491,71 @@ object AggQueries {
              |FROM ranked r JOIN thresh t USING (pri)
              |WHERE r.rn <= 100
              |GROUP BY r.pri ORDER BY r.pri""".stripMargin)
+    ),
+
+    // Spearman rank correlation (a37) — the monotone-association
+    // measure that survives outliers and nonlinearity where Pearson
+    // lies: ρ of quantity vs net price per return flag, on ranks with
+    // a deterministic (value, key) tiebreak (documented tie-broken
+    // variant, not average-rank). Numeric design: ranks are CENTERED
+    // (r − (n+1)/2 — half-integer steps), so every sum of products is
+    // a quarter-integer below 2⁵³ and therefore EXACT in double on
+    // both engines regardless of summation order — no decimal casts,
+    // no covar_pop implementation differences; only the final
+    // ρ = Σab/(√Σa²·√Σb²) touches inexact arithmetic, identically
+    // spelled. Two rank windows per group + one hash agg.
+    OracleQuery(
+      "a37_spearman",
+      (s, d) => {
+        import s.implicits._
+        // order-grain collapse FIRST: (flag, orderkey) is a unique key,
+        // so the rank tiebreak is total — (orderkey, linenumber) is NOT
+        // unique in this corpus, and row_number over a non-total order
+        // is nondeterministic (a latent cross-engine flake)
+        val base = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag".as("flag"), $"l_orderkey")
+          .agg(
+            sum($"l_quantity").as("q"),
+            sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(28,4)"))
+              .cast("double").as("p"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy($"flag").orderBy($"q", $"l_orderkey")
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy($"flag").orderBy($"p", $"l_orderkey")
+        val wn = org.apache.spark.sql.expressions.Window.partitionBy($"flag")
+        base
+          .withColumn("rq", row_number().over(wq).cast("double"))
+          .withColumn("rp", row_number().over(wp).cast("double"))
+          .withColumn("n", count(lit(1)).over(wn).cast("double"))
+          .withColumn("a", $"rq" - ($"n" + 1) / 2)
+          .withColumn("b", $"rp" - ($"n" + 1) / 2)
+          .groupBy($"flag")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum($"a" * $"b") / (sqrt(sum($"a" * $"a")) * sqrt(sum($"b" * $"b"))), 4)
+              .as("spearman_rho"))
+          .orderBy($"flag")
+      },
+      Some("""WITH base AS (
+             |  SELECT l_returnflag AS flag, l_orderkey,
+             |    sum(l_quantity) AS q,
+             |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+             |      AS DOUBLE) AS p
+             |  FROM lineitem GROUP BY 1, 2
+             |), ranked AS (
+             |  SELECT flag,
+             |    CAST(row_number() OVER (PARTITION BY flag
+             |      ORDER BY q, l_orderkey) AS DOUBLE) AS rq,
+             |    CAST(row_number() OVER (PARTITION BY flag
+             |      ORDER BY p, l_orderkey) AS DOUBLE) AS rp,
+             |    CAST(count(*) OVER (PARTITION BY flag) AS DOUBLE) AS n
+             |  FROM base
+             |), centered AS (
+             |  SELECT flag, rq - (n + 1) / 2 AS a, rp - (n + 1) / 2 AS b FROM ranked
+             |)
+             |SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) AS spearman_rho
+             |FROM centered GROUP BY flag ORDER BY flag""".stripMargin)
     )
   )
 }

@@ -966,6 +966,102 @@ object SimilarityQueries {
            |  UNION ALL SELECT 5, vec_id, round(rel, 4), round(mmr, 4) FROM s5
            |) ORDER BY rank""".stripMargin
       }
+    ),
+
+    // Reciprocal-rank fusion of lexical and vector retrieval — THE
+    // production hybrid-search pattern (BM25 ∪ ANN → RRF): each
+    // retriever contributes 1/(60 + rank) for its top-50, and the sum
+    // ranks the fused list. RRF needs only RANKS, so the two
+    // retrievers' incomparable score scales never touch — that is why
+    // it is the default fusion in every production RAG stack. The
+    // synthetic corpus keys embeddings by vec_id ≡ doc_id (embedding i
+    // belongs to document i); doc 0 is the query document (its vector
+    // is the ANN query; the term set is the lexical query) and is
+    // excluded from both lists. Scale shape: both retrievers are the
+    // already-bounded pipelines (posting-list BM25, cosine vs one
+    // query), the fusion is a FULL OUTER join of two ≤50-row lists —
+    // list-sized, not corpus-sized. Lexical ranks order on the ROUNDED
+    // BM25 score (deterministic cross-engine); vector ranks on the
+    // bit-identical cosine; RRF contributions are IEEE-identical and
+    // the ≤2-term sum rounds to 4 before the final cutoff.
+    OracleQuery(
+      "sim_rrf_hybrid",
+      (s, d) => {
+        import s.implicits._
+        val kRrf = 60
+        val topN = 50
+        // lexical: BM25 (the text_bm25_search scoring, sans the doc-0 query)
+        val docs = Tables.documents(s, d).filter($"doc_id" =!= 0)
+          .select($"doc_id", $"text", size(split($"text", " ")).cast("double").as("dl"))
+        val stats = docs.agg(count(lit(1)).cast("double").as("n"), avg($"dl").as("avgdl"))
+        val tf = docs
+          .select($"doc_id", $"dl", explode(split($"text", " ")).as("w"))
+          .filter($"w".isin("spark", "window", "dup"))
+          .groupBy($"doc_id", $"dl", $"w").agg(count(lit(1)).cast("double").as("tf"))
+        val dfT = tf.groupBy($"w").agg(count(lit(1)).cast("double").as("df"))
+        val bm = tf.join(dfT, "w").crossJoin(broadcast(stats))
+          .withColumn("ts",
+            log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5))
+              * $"tf" * (lit(1.2) + 1.0)
+              / ($"tf" + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * $"dl" / $"avgdl")))
+          .groupBy($"doc_id").agg(round(sum($"ts"), 4).as("score"))
+        val lexRank = bm
+          .withColumn("r_lex", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"score".desc, $"doc_id")))
+          .filter($"r_lex" <= topN).select($"doc_id", $"r_lex")
+        // vector: cosine vs vec 0
+        val emb = normed(s, d)
+        val vecRank = emb.filter($"vec_id" === 0).as("a")
+          .join(emb.filter($"vec_id" =!= 0).as("b"))
+          .select(col("b.vec_id").as("doc_id"), cosineCol.as("cos"))
+          .withColumn("r_vec", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"cos".desc, $"doc_id")))
+          .filter($"r_vec" <= topN).select($"doc_id", $"r_vec")
+        lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+          .select($"doc_id", $"r_lex", $"r_vec",
+            round(
+              coalesce(lit(1.0) / (lit(kRrf) + $"r_lex"), lit(0.0))
+                + coalesce(lit(1.0) / (lit(kRrf) + $"r_vec"), lit(0.0)), 4).as("rrf"))
+          .orderBy($"rrf".desc, $"doc_id")
+          .limit(15)
+      },
+      Some {
+        s"""WITH $duckNormed, docs AS (
+           |  SELECT doc_id, text,
+           |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+           |  FROM documents WHERE doc_id <> 0
+           |), stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs
+           |), tf AS (
+           |  SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS w FROM docs)
+           |  WHERE w IN ('spark', 'window', 'dup') GROUP BY 1, 2, 3
+           |), df AS (
+           |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+           |), bm AS (
+           |  SELECT tf.doc_id,
+           |    round(sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           |      * tf.tf * (1.2 + 1.0)
+           |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS score
+           |  FROM tf JOIN df USING (w) CROSS JOIN stats s GROUP BY tf.doc_id
+           |), lex AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+           |  FROM bm QUALIFY r_lex <= 50
+           |), vec AS (
+           |  SELECT b.vec_id AS doc_id,
+           |    row_number() OVER (ORDER BY $duckCosPair DESC, b.vec_id) AS r_vec
+           |  FROM normed a JOIN normed b ON a.vec_id = 0 AND b.vec_id <> 0
+           |  QUALIFY r_vec <= 50
+           |)
+           |SELECT doc_id,
+           |  CAST(r_lex AS INT) AS r_lex, CAST(r_vec AS INT) AS r_vec,
+           |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0.0)
+           |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0.0), 4) AS rrf
+           |FROM lex FULL OUTER JOIN vec USING (doc_id)
+           |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
+      }
     )
   )
 

