@@ -178,6 +178,43 @@ object StreamQueries {
       },
       // w17's oracle, verbatim — THE equivalence statement
       WindowQueries.all.find(_.name == "w17_rolling_distinct").get.oracle
+    ),
+
+    // Streaming CDC snapshot maintenance, oracle-gated against the
+    // batch upsert: the whole event log flows through
+    // snapshotMergeStream in several forced micro-batches (6 files, 2
+    // per trigger), each folding into the versioned parquet snapshot
+    // behind its atomic pointer; the FINAL snapshot must hash-match
+    // o11_upsert_merge's DuckDB oracle. What's on trial is the
+    // cross-batch merge algebra: latest-per-key is an argmax, so batch
+    // boundaries and arrival order must not matter — a stale row
+    // arriving in a later batch must lose to the snapshot row (the
+    // SnapshotMergeStreamSpec case), and the unique (ts, event_id)
+    // order makes the argmax total, so streaming and batch agree
+    // exactly. The per-batch merge shuffles O(snapshot ∪ batch keys)
+    // with map-side collapse of the batch's own history.
+    OracleQuery(
+      "stream_upsert_snapshot",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_snap").toString
+        ev.repartition(6).write.mode("overwrite").parquet(s"$tmp/in")
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(s"$tmp/in")
+        graft.streaming.Streams
+          .snapshotMergeStream(src, s"$tmp/snap", s"$tmp/ckpt",
+            keys = Seq("user_id", "event_type"), orderBy = Seq("ts", "event_id"))
+          .awaitTermination()
+        graft.streaming.Streams.readSnapshot(s, s"$tmp/snap").get
+          .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+          .orderBy($"user_id", $"event_type")
+      },
+      // o11's oracle, verbatim — the batch/stream equivalence statement
+      CoreQueries.all.find(_.name == "o11_upsert_merge").get.oracle
     )
   )
 }
