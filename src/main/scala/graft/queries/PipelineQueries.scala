@@ -1422,6 +1422,119 @@ object PipelineQueries {
              |  round(conv_t / CAST(n_t AS DOUBLE) - conv_c / CAST(n_c AS DOUBLE), 4) AS uplift,
              |  round(ct - cc * (nt / CAST(nc AS DOUBLE)), 4) AS qini
              |FROM cum ORDER BY decile""".stripMargin)
+    ),
+
+    // Always-valid sequential A/B test (mixture SPRT) — the fix for
+    // the peeking problem: a fixed-horizon z-test read daily inflates
+    // false positives, while the mSPRT's Λ_t is a martingale whose
+    // running 1/max Λ is a p-value valid at EVERY look, so the
+    // experiment can stop the day it crosses α. Daily cadence:
+    // per-user first-conversion day (one hash agg), per-(day, arm)
+    // conversion increments, cumulative EXACT integer counts via a
+    // window over the ~30-row day table; the statistic
+    // Λ_t = √(V/(V+τ))·exp(Z²τ/(2V(V+τ))) with Z = rate difference,
+    // V = pooled p̂(1−p̂)(1/n_t+1/n_c), τ=0.0001 is row-local IEEE
+    // algebra on those exact counts, and the always-valid p-value is
+    // a running-min window. Arms replay the a29 md5 assignment. Scale
+    // shape: everything after the user collapse lives on day-grain
+    // rows — the monitoring query costs one fact pass per refresh.
+    OracleQuery(
+      "pipe_msprt_ab",
+      (s, d) => {
+        import s.implicits._
+        val tau = 0.0001
+        val users = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(min(when($"event_type" === "purchase" && $"value" >= 150,
+            date_trunc("day", $"ts"))).as("fday"))
+          .withColumn("arm",
+            expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2"))
+        val armSizes = users.groupBy($"arm").agg(count(lit(1)).as("n"))
+        val nT = armSizes.filter($"arm" === 1).select($"n".as("n_t"))
+        val nC = armSizes.filter($"arm" === 0).select($"n".as("n_c"))
+        val spine = Tables.events(s, d)
+          .select(date_trunc("day", $"ts").as("day")).distinct()
+        val daily = users.filter($"fday".isNotNull)
+          .groupBy($"fday".as("day"))
+          .agg(
+            sum(when($"arm" === 1, 1L).otherwise(0L)).as("inc_t"),
+            sum(when($"arm" === 0, 1L).otherwise(0L)).as("inc_c"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy($"day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val cum = spine.join(daily, Seq("day"), "left")
+          .select($"day",
+            coalesce($"inc_t", lit(0L)).as("inc_t"),
+            coalesce($"inc_c", lit(0L)).as("inc_c"))
+          .withColumn("ct", sum($"inc_t").over(wCum))
+          .withColumn("cc", sum($"inc_c").over(wCum))
+          .crossJoin(broadcast(nT)).crossJoin(broadcast(nC))
+          .withColumn("pt", $"ct" / $"n_t".cast("double"))
+          .withColumn("pc", $"cc" / $"n_c".cast("double"))
+          .withColumn("pbar", ($"ct" + $"cc") / ($"n_t" + $"n_c").cast("double"))
+          .withColumn("z", $"pt" - $"pc")
+          .withColumn("v",
+            $"pbar" * (lit(1.0) - $"pbar")
+              * (lit(1.0) / $"n_t" + lit(1.0) / $"n_c"))
+          // v = 0 (no conversions yet) would make the exponent 0/0 →
+          // NaN, whose window-min semantics differ across engines:
+          // pin Λ = 1 (no evidence) explicitly on both sides
+          .withColumn("lam",
+            when($"v" === 0.0, lit(1.0)).otherwise(
+              sqrt($"v" / ($"v" + tau))
+                * exp($"z" * $"z" * tau / (lit(2.0) * $"v" * ($"v" + tau)))))
+          .withColumn("pval",
+            least(lit(1.0), min(lit(1.0) / $"lam").over(wCum)))
+        cum.select($"day", $"ct", $"cc",
+          round($"z", 4).as("z"), round($"lam", 4).as("lam"),
+          round($"pval", 4).as("pval"))
+          .orderBy($"day")
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'purchase' AND value >= 150
+             |        THEN date_trunc('day', ts) END) AS fday,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+             |  FROM events GROUP BY user_id
+             |), sizes AS (
+             |  SELECT
+             |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+             |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c
+             |  FROM users
+             |), spine AS (
+             |  SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+             |), daily AS (
+             |  SELECT fday AS day,
+             |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS inc_t,
+             |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS inc_c
+             |  FROM users WHERE fday IS NOT NULL GROUP BY fday
+             |), cum AS (
+             |  SELECT spine.day,
+             |    sum(coalesce(inc_t, 0)) OVER w AS ct,
+             |    sum(coalesce(inc_c, 0)) OVER w AS cc
+             |  FROM spine LEFT JOIN daily ON spine.day = daily.day
+             |  WINDOW w AS (ORDER BY spine.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |), stat AS (
+             |  SELECT day, ct, cc,
+             |    ct / CAST(n_t AS DOUBLE) - cc / CAST(n_c AS DOUBLE) AS z,
+             |    ((ct + cc) / CAST(n_t + n_c AS DOUBLE))
+             |      * (1.0 - (ct + cc) / CAST(n_t + n_c AS DOUBLE))
+             |      * (CAST(1.0 AS DOUBLE) / n_t + CAST(1.0 AS DOUBLE) / n_c) AS v
+             |  FROM cum CROSS JOIN sizes
+             |), lamt AS (
+             |  SELECT day, ct, cc, z, v,
+             |    CASE WHEN v = 0 THEN 1.0 ELSE
+             |      sqrt(v / (v + 0.0001))
+             |        * exp(z * z * 0.0001 / (2.0 * v * (v + 0.0001))) END AS lam
+             |  FROM stat
+             |)
+             |SELECT day, CAST(ct AS BIGINT) AS ct, CAST(cc AS BIGINT) AS cc,
+             |  round(z, 4) AS z, round(lam, 4) AS lam,
+             |  round(least(1.0, min(CAST(1.0 AS DOUBLE) / lam) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS pval
+             |FROM lamt ORDER BY day""".stripMargin)
     )
   )
 }

@@ -311,6 +311,41 @@ class RetrievalRulesSpec extends SparkSpec {
     assert(math.abs(qFinal) < 0.05 * nt, s"qini $qFinal vs nT $nt")
   }
 
+  test("pipe_msprt_ab: always-valid p-value is monotone non-increasing and null arms never reject") {
+    import spark.implicits._
+    val out = Registry.queries("pipe_msprt_ab")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.length >= 25)
+    val ps = out.map(_.getDouble(5))
+    ps.sliding(2).foreach(w => if (w.length == 2)
+      assert(w(1) <= w(0) + 1e-9, "always-valid p must be non-increasing"))
+    assert(ps.forall(p => p > 0.0 && p <= 1.0))
+    // md5 arms carry no real effect: the sequential test must NOT
+    // reject at alpha = 0.05 (the whole point vs naive daily peeking)
+    assert(ps.last > 0.05, s"null effect rejected: p=${ps.last}")
+    // cumulative counts monotone
+    val cts = out.map(_.getLong(1))
+    cts.sliding(2).foreach(w => if (w.length == 2) assert(w(1) >= w(0)))
+    // lambda recomputation on the last day from exact counts
+    val last = out.last
+    val users = Tables.events(spark, "/root/testdata/sf0.01")
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" >= 150, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2"))
+      .groupBy($"arm").agg(count(lit(1)).as("n"), sum($"conv").as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nT, cT) = users(1L); val (nC, cC) = users(0L)
+    assert(last.getLong(1) == cT && last.getLong(2) == cC)
+    val z = cT.toDouble / nT - cC.toDouble / nC
+    val pbar = (cT + cC).toDouble / (nT + nC)
+    val v = pbar * (1 - pbar) * (1.0 / nT + 1.0 / nC)
+    val tau = 0.0001
+    val lam = math.sqrt(v / (v + tau)) * math.exp(z * z * tau / (2.0 * v * (v + tau)))
+    assert(math.abs(last.getDouble(4) - lam) < 1e-3, s"${last.getDouble(4)} vs $lam")
+  }
+
   test("j32_tpch_q3: top-10 revenue ordering and positivity") {
     val out = Registry.queries("j32_tpch_q3")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 10)
