@@ -14,13 +14,16 @@ import org.apache.spark.sql.types._
   * [[Multimodal.resizeImages]] run actual pixel work through the JDK's
   * javax.imageio (PNG/JPEG/BMP/GIF, no extra dependencies). Audio
   * decode is REAL too — [[Multimodal.AudioWavKernel]] parses
-  * WAV/AIFF/AU PCM through the JDK's javax.sound.sampled. Only the
-  * VIDEO kernel remains a STUB (no video codec ships with the JDK and
-  * none is in this container), implemented as a deterministic fake
-  * behind `MediaKernel` so the distributed plumbing (schema contract,
+  * WAV/AIFF/AU PCM through the JDK's javax.sound.sampled. Video decode
+  * is REAL for MJPEG-in-AVI — [[Multimodal.VideoAviKernel]] walks the
+  * RIFF/AVI chunk tree and decodes strided JPEG frames through
+  * javax.imageio, emitting real temporal features (motion = mean
+  * |Δluma| across sampled frames). Other video codecs (H.264/MP4 —
+  * no JDK decoder) fall back to the deterministic byte-stat stub
+  * behind `MediaKernel`, so the distributed plumbing (schema contract,
   * batch shape, partition-level execution, row-group pruning on
-  * metadata) is real and tested either way. Swapping in a real video
-  * decoder touches ONLY the kernel.
+  * metadata) is real and tested for every kind; swapping in a fuller
+  * video decoder touches ONLY the kernel.
   *
   * Scale notes: media tables are stored with payloads in their own
   * parquet column (columnar ⇒ metadata-only queries never read bytes);
@@ -129,6 +132,138 @@ object Multimodal {
           a.rms, a.peak, a.zeroCrossRate, a.meanAbs, a.stdAmp)
       }
     }
+  }
+
+  /** REAL video kernel — MJPEG-in-AVI, the one video format decodable
+    * with zero new dependencies: the RIFF/AVI container is a length-
+    * prefixed chunk walk (parsed here), and each '00dc'/'00db' movi
+    * chunk is a complete JPEG frame javax.imageio already decodes.
+    * Features (dim=8): [width, height, aspect, fps, durationSec,
+    * nFrames, meanLuma, motion] — meanLuma in [0,1] over ≤8 evenly-
+    * strided sampled frames (constant probe cost per asset regardless
+    * of clip length, the image/audio kernels' contract), motion = mean
+    * |Δluma| between consecutive sampled frames in [0,1] (the temporal
+    * signal: 0 for a static clip, large for cuts/flashes — the cheap
+    * screen for frozen captures and strobe content). Non-AVI video
+    * payloads (MP4/H.264 etc. — no JDK codec) fall back through the
+    * audio+image chain to the byte-stat stub: the stub boundary is now
+    * only NON-MJPEG video codecs. Chains as the outermost default:
+    * `new VideoAviKernel()` decodes video AND audio AND images. */
+  final class VideoAviKernel(fallback: MediaKernel = new AudioWavKernel()) extends MediaKernel {
+    val dim = 8
+    require(fallback.dim == dim, "fallback kernel must emit the same dim")
+    def features(kind: String, payload: Array[Byte]): Array[Float] = {
+      if (kind != "video") return fallback.features(kind, payload)
+      decodeAviStats(payload) match {
+        case None => fallback.features(kind, payload)
+        case Some(v) => Array(v.width.toFloat, v.height.toFloat,
+          v.width.toFloat / math.max(1, v.height),
+          v.fps, v.durationSec, v.nFrames.toFloat, v.meanLuma, v.motion)
+      }
+    }
+  }
+
+  private[mm] final case class VideoStats(
+      width: Int, height: Int, fps: Float, durationSec: Float,
+      nFrames: Int, meanLuma: Float, motion: Float)
+
+  /** Parse an MJPEG AVI payload: walk the RIFF chunk tree for the
+    * 'avih' main header (µs/frame, total frames, dimensions) and the
+    * 'movi' list's video frame chunks, decode ≤ `maxProbeFrames`
+    * evenly-strided frames as JPEG, and reduce to luma statistics.
+    * None = not a RIFF/AVI or no decodable frames (caller falls back).
+    */
+  private[mm] def decodeAviStats(
+      payload: Array[Byte], maxProbeFrames: Int = 8): Option[VideoStats] = {
+    if (payload == null || payload.length < 24) return None
+    def fourcc(off: Int): String =
+      if (off + 4 > payload.length) ""
+      else new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      if (off + 4 > payload.length) -1L
+      else (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val end = math.min(payload.length.toLong, 8 + u32(4))
+
+    var usPerFrame = 0L; var totalFrames = 0L; var w = 0; var h = 0
+    val frameOffsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+
+    // iterative chunk walk (LIST recurses one level at a time via an
+    // explicit stack — no payload-controlled recursion depth)
+    val stack = scala.collection.mutable.Stack[(Long, Long)]((12L, end))
+    while (stack.nonEmpty) {
+      var (pos, lim) = stack.pop()
+      while (pos + 8 <= lim) {
+        val id = fourcc(pos.toInt)
+        val size = u32(pos.toInt + 4)
+        if (size < 0) { pos = lim } // truncated
+        else {
+          val dataStart = pos + 8
+          val dataEnd = math.min(lim, dataStart + size)
+          id match {
+            case "LIST" =>
+              // list type occupies the first 4 data bytes
+              stack.push((dataStart + 4, dataEnd))
+            case "avih" if size >= 40 =>
+              usPerFrame = u32(dataStart.toInt)
+              totalFrames = u32(dataStart.toInt + 16)
+              w = u32(dataStart.toInt + 32).toInt
+              h = u32(dataStart.toInt + 36).toInt
+            case _ =>
+              // movi video chunks: '##dc' (compressed) / '##db' (full)
+              val tail = if (id.length == 4) id.substring(2) else ""
+              if ((tail == "dc" || tail == "db") && size > 0 && dataEnd <= end)
+                frameOffsets += ((dataStart.toInt, size.toInt))
+          }
+          pos = dataStart + size + (size & 1) // chunks pad to even
+        }
+      }
+    }
+    if (frameOffsets.isEmpty) return None
+
+    val n = frameOffsets.length
+    val stride = math.max(1, n / maxProbeFrames)
+    var prevLuma = Double.NaN
+    var sumLuma = 0.0; var sumMotion = 0.0
+    var probed = 0; var moved = 0
+    var i = 0
+    while (i < n) {
+      val (off, len) = frameOffsets(i)
+      val frame = java.util.Arrays.copyOfRange(payload, off, off + len)
+      decodeImage(frame) match {
+        case Some(img) =>
+          if (w == 0) { w = img.getWidth; h = img.getHeight }
+          val sx = math.max(1, img.getWidth / 32)
+          val sy = math.max(1, img.getHeight / 32)
+          var sl = 0.0; var np = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sl += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)
+              np += 1
+              x += sx
+            }
+            y += sy
+          }
+          val luma = sl / np / 255.0
+          sumLuma += luma; probed += 1
+          if (!prevLuma.isNaN) { sumMotion += math.abs(luma - prevLuma); moved += 1 }
+          prevLuma = luma
+        case None => // skip undecodable frame
+      }
+      i += stride
+    }
+    if (probed == 0) return None
+    val fps = if (usPerFrame > 0) (1e6 / usPerFrame).toFloat else 0f
+    val nf = if (totalFrames > 0) totalFrames.toInt else n
+    val dur = if (usPerFrame > 0) (nf * usPerFrame / 1e6).toFloat else 0f
+    Some(VideoStats(w, h, fps, dur, nf,
+      (sumLuma / probed).toFloat,
+      (if (moved == 0) 0.0 else sumMotion / moved).toFloat))
   }
 
   private[mm] final case class AudioStats(

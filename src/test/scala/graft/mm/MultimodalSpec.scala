@@ -238,4 +238,77 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(a.peak - 0.4) < 0.01) // mono mix of (0.8, 0)
     assert(math.abs(a.rms - 0.4 / math.sqrt(2)) < 0.01)
   }
+
+  // ---- real video decode: MJPEG-in-AVI built in-test ----
+
+  /** Solid-gray JPEG frame. */
+  private def jpegFrame(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Minimal RIFF/AVI container around MJPEG frames: hdrl(avih) + movi. */
+  private def buildAvi(
+      frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def u32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0, usPerFrame)
+      b.putInt(16, frames.length)
+      b.putInt(32, w)
+      b.putInt(36, h)
+      b.array()
+    }
+    val hdrlSize = 4 + 8 + avih.length
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    cc("RIFF"); u32(riffSize); cc("AVI ")
+    cc("LIST"); u32(hdrlSize); cc("hdrl")
+    cc("avih"); u32(avih.length); out.write(avih)
+    cc("LIST"); u32(moviSize); cc("movi")
+    frames.foreach { f =>
+      cc("00dc"); u32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0)
+    }
+    out.toByteArray
+  }
+
+  test("VideoAviKernel decodes MJPEG AVI frames: dims, fps, duration, luma, motion") {
+    // flashing clip: alternating dark/bright frames → motion ≈ ΔLuma
+    val flash = buildAvi(
+      (0 until 6).map(i => jpegFrame(48, 32, if (i % 2 == 0) 20 else 220)),
+      w = 48, h = 32, usPerFrame = 40000) // 25 fps
+    val v = Multimodal.decodeAviStats(flash).get
+    assert(v.width == 48 && v.height == 32 && v.nFrames == 6)
+    assert(math.abs(v.fps - 25f) < 1e-3)
+    assert(math.abs(v.durationSec - 0.24f) < 1e-3)
+    assert(v.meanLuma > 0.3f && v.meanLuma < 0.7f)
+    assert(v.motion > 0.5f, s"alternating frames must show motion, got ${v.motion}")
+
+    // static clip: identical frames → zero motion
+    val static0 = buildAvi(
+      (0 until 4).map(_ => jpegFrame(32, 32, 128)), 32, 32, 33333)
+    val s = Multimodal.decodeAviStats(static0).get
+    assert(s.motion < 1e-4, s"static clip must show ~no motion, got ${s.motion}")
+    assert(math.abs(s.meanLuma - 0.5f) < 0.05)
+
+    // kernel routing: video decodes, non-AVI video falls back, audio
+    // and image still decode through the chained kernels
+    val k = new Multimodal.VideoAviKernel()
+    val feats = k.features("video", flash)
+    assert(feats(0) == 48f && feats(5) == 6f)
+    val garbage = Array.tabulate(64)(_.toByte)
+    assert(k.features("video", garbage).toSeq ==
+      new Multimodal.StubKernel(8).features("video", garbage).toSeq)
+    val img = png(10, 10, 0xff0000)
+    assert(k.features("image", img)(0) == 10f, "image decode must chain through")
+  }
 }
