@@ -58,7 +58,10 @@ object Bench {
     "text_bm25_search",    // posting-list-subset BM25 retrieval
     "pipe_market_basket",  // a-priori-pruned association rules
     "dedup_prefix_filter", // exact Jaccard join via prefix filtering
-    "sim_pca_power")       // matrix-free power iteration (3 scans)
+    "sim_pca_power",       // matrix-free power iteration (3 scans)
+    "graph_triangles",     // degree-ordered triangle counting
+    "sim_rrf_hybrid",      // BM25 + vector reciprocal-rank fusion
+    "w21_holt_linear")     // per-key Holt fold (ops/HoltLinear)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
