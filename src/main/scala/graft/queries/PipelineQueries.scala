@@ -1535,6 +1535,171 @@ object PipelineQueries {
              |  round(least(1.0, min(CAST(1.0 AS DOUBLE) / lam) OVER (ORDER BY day
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS pval
              |FROM lamt ORDER BY day""".stripMargin)
+    ),
+
+    // CUPED variance reduction — the industry-standard experiment
+    // accelerator (Deng et al.): adjust the experiment metric with a
+    // PRE-period covariate, Y′ = Y − θ(X − E[X]) with θ = cov(X,Y)/
+    // var(X); the adjustment is mean-preserving (the estimate stays
+    // unbiased) and removes exactly ρ²(X,Y) of the variance, which is
+    // what shrinks confidence intervals / experiment duration. Scale
+    // shape: ONE user-grain collapse builds (X = pre-window mean,
+    // Y = post-window mean) with DECIMAL-exact sums, ONE moment
+    // aggregate (Σx, Σy, Σxy, Σx², Σy² — products decimal-cast so the
+    // reduction is summation-order-exact), and θ, var(Y′) = var(Y) −
+    // cov²/var(X), and the reduction ratio are ROW-LOCAL ALGEBRA on
+    // the 1-row moment frame — no second pass over the fact, ever.
+    OracleQuery(
+      "pipe_cuped",
+      (s, d) => {
+        import s.implicits._
+        val cut = "2024-01-16"
+        val users = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(
+            (sum(when($"ts" < lit(cut).cast("timestamp"), $"value".cast("decimal(28,10)")))
+              .cast("double")
+              / sum(when($"ts" < lit(cut).cast("timestamp"), 1L).otherwise(0L))).as("x"),
+            (sum(when($"ts" >= lit(cut).cast("timestamp"), $"value".cast("decimal(28,10)")))
+              .cast("double")
+              / sum(when($"ts" >= lit(cut).cast("timestamp"), 1L).otherwise(0L))).as("y"))
+          .filter($"x".isNotNull && $"y".isNotNull)
+        val m = users.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"x".cast("decimal(28,10)")).cast("double").as("sx"),
+          sum($"y".cast("decimal(28,10)")).cast("double").as("sy"),
+          sum(($"x" * $"y").cast("decimal(28,10)")).cast("double").as("sxy"),
+          sum(($"x" * $"x").cast("decimal(28,10)")).cast("double").as("sxx"),
+          sum(($"y" * $"y").cast("decimal(28,10)")).cast("double").as("syy"))
+        m.select(
+          $"n".cast("long").as("n_users"),
+          round(($"sxy" / $"n" - ($"sx" / $"n") * ($"sy" / $"n"))
+            / ($"sxx" / $"n" - ($"sx" / $"n") * ($"sx" / $"n")), 4).as("theta"),
+          round($"sy" / $"n", 4).as("mean_y"),
+          round($"syy" / $"n" - ($"sy" / $"n") * ($"sy" / $"n"), 4).as("var_y"),
+          round(($"syy" / $"n" - ($"sy" / $"n") * ($"sy" / $"n"))
+            - ($"sxy" / $"n" - ($"sx" / $"n") * ($"sy" / $"n"))
+              * ($"sxy" / $"n" - ($"sx" / $"n") * ($"sy" / $"n"))
+              / ($"sxx" / $"n" - ($"sx" / $"n") * ($"sx" / $"n")), 4).as("var_cuped"),
+          round(
+            ($"sxy" / $"n" - ($"sx" / $"n") * ($"sy" / $"n"))
+              * ($"sxy" / $"n" - ($"sx" / $"n") * ($"sy" / $"n"))
+              / (($"sxx" / $"n" - ($"sx" / $"n") * ($"sx" / $"n"))
+                * ($"syy" / $"n" - ($"sy" / $"n") * ($"sy" / $"n"))), 4)
+            .as("var_reduction"))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id,
+             |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             |      THEN CAST(value AS DECIMAL(28,10)) END) AS DOUBLE)
+             |      / sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS x,
+             |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+             |      THEN CAST(value AS DECIMAL(28,10)) END) AS DOUBLE)
+             |      / sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS y
+             |  FROM events GROUP BY user_id
+             |), filt AS (
+             |  SELECT * FROM users WHERE x IS NOT NULL AND y IS NOT NULL
+             |), m AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+             |    CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy
+             |  FROM filt
+             |)
+             |SELECT CAST(n AS BIGINT) AS n_users,
+             |  round((sxy / n - (sx / n) * (sy / n))
+             |    / (sxx / n - (sx / n) * (sx / n)), 4) AS theta,
+             |  round(sy / n, 4) AS mean_y,
+             |  round(syy / n - (sy / n) * (sy / n), 4) AS var_y,
+             |  round((syy / n - (sy / n) * (sy / n))
+             |    - (sxy / n - (sx / n) * (sy / n))
+             |      * (sxy / n - (sx / n) * (sy / n))
+             |      / (sxx / n - (sx / n) * (sx / n)), 4) AS var_cuped,
+             |  round((sxy / n - (sx / n) * (sy / n))
+             |      * (sxy / n - (sx / n) * (sy / n))
+             |      / ((sxx / n - (sx / n) * (sx / n))
+             |        * (syy / n - (sy / n) * (sy / n))), 4) AS var_reduction
+             |FROM m""".stripMargin)
+    ),
+
+    // Difference-in-differences — the workhorse causal estimator when
+    // randomization is imperfect: DiD = (T_post − T_pre) − (C_post −
+    // C_pre) cancels both the group baseline gap and the common time
+    // trend; the md5 arms carry no real treatment, so the estimate
+    // must sit near 0 with |t| small (the spec's null pin). One
+    // (arm, period) hash agg over row-local tagging builds all four
+    // cells — DECIMAL-exact sums and exact counts — and the estimate,
+    // its unequal-variance SE = √(Σ s²ᵢ/nᵢ), and the t statistic are
+    // row-local algebra on the 4-cell frame.
+    OracleQuery(
+      "pipe_did",
+      (s, d) => {
+        import s.implicits._
+        val cut = "2024-01-16"
+        val cells = Tables.events(s, d)
+          .select(
+            expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2")
+              .as("arm"),
+            when($"ts" < lit(cut).cast("timestamp"), lit(0)).otherwise(lit(1)).as("post"),
+            $"value")
+          .groupBy($"arm", $"post")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum($"value".cast("decimal(28,10)")).cast("double").as("s"),
+            sum(($"value" * $"value").cast("decimal(28,10)")).cast("double").as("s2"))
+          .select($"arm", $"post", $"n", ($"s" / $"n").as("mean"),
+            (($"s2" / $"n" - ($"s" / $"n") * ($"s" / $"n")) / $"n").as("varm"))
+        val wide = cells.groupBy(lit(1).as("g"))
+          .agg(
+            max(when($"arm" === 1 && $"post" === 1, $"mean")).as("t_post"),
+            max(when($"arm" === 1 && $"post" === 0, $"mean")).as("t_pre"),
+            max(when($"arm" === 0 && $"post" === 1, $"mean")).as("c_post"),
+            max(when($"arm" === 0 && $"post" === 0, $"mean")).as("c_pre"),
+            max(when($"arm" === 1 && $"post" === 1, $"varm")).as("v_tp"),
+            max(when($"arm" === 1 && $"post" === 0, $"varm")).as("v_t0"),
+            max(when($"arm" === 0 && $"post" === 1, $"varm")).as("v_cp"),
+            max(when($"arm" === 0 && $"post" === 0, $"varm")).as("v_c0"))
+        wide.select(
+          round($"t_pre", 4).as("t_pre"), round($"t_post", 4).as("t_post"),
+          round($"c_pre", 4).as("c_pre"), round($"c_post", 4).as("c_post"),
+          round(($"t_post" - $"t_pre") - ($"c_post" - $"c_pre"), 4).as("did"),
+          round(sqrt($"v_tp" + $"v_t0" + $"v_cp" + $"v_c0"), 4).as("se"),
+          round((($"t_post" - $"t_pre") - ($"c_post" - $"c_pre"))
+            / sqrt($"v_tp" + $"v_t0" + $"v_cp" + $"v_c0"), 4).as("t_stat"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+             |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS post,
+             |    CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s,
+             |    CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+             |  FROM events GROUP BY 1, 2
+             |), stats AS (
+             |  SELECT arm, post, s / n AS mean,
+             |    (s2 / n - (s / n) * (s / n)) / n AS varm
+             |  FROM cells
+             |), wide AS (
+             |  SELECT
+             |    max(CASE WHEN arm = 1 AND post = 1 THEN mean END) AS t_post,
+             |    max(CASE WHEN arm = 1 AND post = 0 THEN mean END) AS t_pre,
+             |    max(CASE WHEN arm = 0 AND post = 1 THEN mean END) AS c_post,
+             |    max(CASE WHEN arm = 0 AND post = 0 THEN mean END) AS c_pre,
+             |    max(CASE WHEN arm = 1 AND post = 1 THEN varm END) AS v_tp,
+             |    max(CASE WHEN arm = 1 AND post = 0 THEN varm END) AS v_t0,
+             |    max(CASE WHEN arm = 0 AND post = 1 THEN varm END) AS v_cp,
+             |    max(CASE WHEN arm = 0 AND post = 0 THEN varm END) AS v_c0
+             |  FROM stats
+             |)
+             |SELECT round(t_pre, 4) AS t_pre, round(t_post, 4) AS t_post,
+             |  round(c_pre, 4) AS c_pre, round(c_post, 4) AS c_post,
+             |  round((t_post - t_pre) - (c_post - c_pre), 4) AS did,
+             |  round(sqrt(v_tp + v_t0 + v_cp + v_c0), 4) AS se,
+             |  round(((t_post - t_pre) - (c_post - c_pre))
+             |    / sqrt(v_tp + v_t0 + v_cp + v_c0), 4) AS t_stat
+             |FROM wide""".stripMargin)
     )
   )
 }

@@ -346,6 +346,49 @@ class RetrievalRulesSpec extends SparkSpec {
     assert(math.abs(last.getDouble(4) - lam) < 1e-3, s"${last.getDouble(4)} vs $lam")
   }
 
+  test("pipe_cuped: variance reduction equals rho^2, adjustment never hurts, replay") {
+    import spark.implicits._
+    val r = Registry.queries("pipe_cuped")(spark, "/root/testdata/sf0.01").collect().head
+    val (n, theta, varY, varC, red) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(n > 0)
+    assert(varC <= varY + 1e-9, "CUPED can only reduce variance")
+    assert(red >= -1e-9 && red <= 1.0 + 1e-9)
+    // var_cuped = var_y * (1 - rho^2) by construction
+    // red is itself rounded to 4 decimals → slack scales with var_y
+    assert(math.abs(varC - varY * (1 - red)) < 1e-4 * varY + 1e-3,
+      s"$varC vs ${varY * (1 - red)}")
+    // driver replay of theta from the per-user (pre, post) means
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val rows = Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"user_id", $"ts", $"value")
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+    val byU = rows.groupBy(_._1)
+    val xy = byU.values.flatMap { es =>
+      val pre = es.filter(_._2.before(cut)).map(_._3)
+      val post = es.filter(e => !e._2.before(cut)).map(_._3)
+      if (pre.isEmpty || post.isEmpty) None
+      else Some((pre.sum / pre.length, post.sum / post.length))
+    }.toArray
+    assert(xy.length == n)
+    val nn = xy.length.toDouble
+    val (mx, my) = (xy.map(_._1).sum / nn, xy.map(_._2).sum / nn)
+    val cov = xy.map(t => (t._1 - mx) * (t._2 - my)).sum / nn
+    val vx = xy.map(t => (t._1 - mx) * (t._1 - mx)).sum / nn
+    assert(math.abs(theta - cov / vx) < 1e-3, s"theta $theta vs ${cov / vx}")
+  }
+
+  test("pipe_did: null md5 arms give a near-zero estimate; SE positive; cells coherent") {
+    val r = Registry.queries("pipe_did")(spark, "/root/testdata/sf0.01").collect().head
+    val did = r.getDouble(4); val se = r.getDouble(5); val t = r.getDouble(6)
+    assert(se > 0.0)
+    assert(math.abs(t - did / se) < 2e-3, s"t=$t did/se=${did / se}")
+    // no real treatment: |t| must not scream significance
+    assert(math.abs(t) < 3.0, s"null DiD rejected: t=$t")
+    // all four cell means populated and plausible
+    (0 to 3).foreach(i => assert(!r.isNullAt(i) && r.getDouble(i) > 0.0))
+  }
+
   test("j32_tpch_q3: top-10 revenue ordering and positivity") {
     val out = Registry.queries("j32_tpch_q3")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 10)
