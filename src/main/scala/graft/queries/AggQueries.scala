@@ -1556,6 +1556,88 @@ object AggQueries {
              |SELECT flag, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) AS spearman_rho
              |FROM centered GROUP BY flag ORDER BY flag""".stripMargin)
+    ),
+
+    // Autocorrelation function + Ljung–Box portmanteau test (a39) —
+    // the residual-whiteness diagnostic every forecasting pipeline
+    // runs: r_k at lags 1..5 of the daily-revenue series and
+    // Q = n(n+2)·Σ r_k²/(n−k), which under H₀ (white noise) is χ²₅ —
+    // Q past ~11.07 flags structure the model missed. Scale shape:
+    // the fact collapses to the day-grain series FIRST (decimal-exact
+    // sums); the lag axis is a 5-element explode equi-joined on the
+    // shifted day position (the a28 lead–lag pattern — more lags widen
+    // the explode, not the pass count); r_k spelled as the standard
+    // biased ACF Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x_t−x̄)² with the mean and
+    // denominator from one whole-series window, so every r_k shares
+    // identical operands cross-engine. Day positions are row_numbers
+    // (small ints — the corr conditioning recipe).
+    OracleQuery(
+      "a39_ljung_box",
+      (s, d) => {
+        import s.implicits._
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        val wOrd = org.apache.spark.sql.expressions.Window.orderBy($"day")
+        val daily = Tables.events(s, d)
+          .groupBy(date_trunc("day", $"ts").as("day"))
+          .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("v"))
+          .withColumn("t", row_number().over(wOrd).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("xbar",
+            (sum($"v".cast("decimal(28,10)")).over(wAll).cast("double") / $"n"))
+          .withColumn("c", $"v" - $"xbar")
+          .withColumn("den",
+            sum(($"c" * $"c").cast("decimal(28,10)")).over(wAll).cast("double"))
+        val lags = daily.crossJoin(
+          s.range(1, 6).select($"id".cast("long").as("k")))
+        val acf = lags.as("a")
+          .join(daily.select($"t".as("t2"), $"c".as("c2")).as("b"),
+            col("a.t") + col("a.k") === col("b.t2"))
+          .groupBy(col("a.k").as("k"))
+          .agg(
+            max(col("a.n")).as("n"),
+            (sum((col("a.c") * col("b.c2")).cast("decimal(28,10)")).cast("double")
+              / max(col("a.den"))).as("r"))
+        val wCum = org.apache.spark.sql.expressions.Window.orderBy($"k")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        acf
+          .withColumn("q",
+            $"n" * ($"n" + 2.0) * sum($"r" * $"r" / ($"n" - $"k")).over(wCum))
+          .select($"k".cast("int").as("k"), round($"r", 4).as("acf"),
+            round($"q", 4).as("ljung_box_q"),
+            ($"q" > 11.0705).as("reject_white"))
+          .orderBy($"k")
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', ts) AS day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1
+             |), pos AS (
+             |  SELECT day, v,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             |    count(*) OVER () AS n,
+             |    CAST(sum(CAST(v AS DECIMAL(28,10))) OVER () AS DOUBLE)
+             |      / count(*) OVER () AS xbar
+             |  FROM daily
+             |), cent AS (
+             |  SELECT t, n, v - xbar AS c,
+             |    CAST(sum(CAST((v - xbar) * (v - xbar) AS DECIMAL(28,10))) OVER ()
+             |      AS DOUBLE) AS den
+             |  FROM pos
+             |), acf AS (
+             |  SELECT k, max(a.n) AS n,
+             |    CAST(sum(CAST(a.c * b.c AS DECIMAL(28,10))) AS DOUBLE) / max(a.den) AS r
+             |  FROM cent a
+             |  CROSS JOIN unnest(generate_series(1, 5)) AS ks(k)
+             |  JOIN cent b ON a.t + ks.k = b.t
+             |  GROUP BY k
+             |)
+             |SELECT CAST(k AS INT) AS k, round(r, 4) AS acf,
+             |  round(n * (n + 2.0) * sum(r * r / (n - k)) OVER (ORDER BY k
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS ljung_box_q,
+             |  (n * (n + 2.0) * sum(r * r / (n - k)) OVER (ORDER BY k
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > 11.0705 AS reject_white
+             |FROM acf ORDER BY k""".stripMargin)
     )
   )
 }

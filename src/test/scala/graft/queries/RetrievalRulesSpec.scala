@@ -389,6 +389,36 @@ class RetrievalRulesSpec extends SparkSpec {
     (0 to 3).foreach(i => assert(!r.isNullAt(i) && r.getDouble(i) > 0.0))
   }
 
+  test("a39_ljung_box: driver replay of the ACF and the portmanteau accumulation") {
+    import spark.implicits._
+    val out = Registry.queries("a39_ljung_box")(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 5)
+    val daily = Tables.events(spark, "/root/testdata/sf0.01")
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(sum($"value").as("v"))
+      .orderBy($"day").as[(java.sql.Timestamp, Double)].collect().map(_._2)
+    val n = daily.length
+    val xbar = daily.sum / n
+    val c = daily.map(_ - xbar)
+    val den = c.map(x => x * x).sum
+    var qAcc = 0.0
+    out.zipWithIndex.foreach { case (r, i) =>
+      val k = i + 1
+      assert(r.getInt(0) == k)
+      val rk = (0 until n - k).map(t => c(t) * c(t + k)).sum / den
+      assert(math.abs(r.getDouble(1) - rk) < 1e-3, s"acf($k) ${r.getDouble(1)} vs $rk")
+      assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+      qAcc += rk * rk / (n - k)
+      val q = n * (n + 2.0) * qAcc
+      assert(math.abs(r.getDouble(2) - q) < 1e-2, s"Q($k) ${r.getDouble(2)} vs $q")
+      assert(r.getBoolean(3) == (r.getDouble(2) > 11.0705) ||
+        math.abs(r.getDouble(2) - 11.0705) < 1e-3)
+    }
+    // Q is monotone in k (sum of nonnegative terms)
+    val qs = out.map(_.getDouble(2))
+    qs.sliding(2).foreach(w => if (w.length == 2) assert(w(1) >= w(0) - 1e-9))
+  }
+
   test("j32_tpch_q3: top-10 revenue ordering and positivity") {
     val out = Registry.queries("j32_tpch_q3")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 10)
