@@ -934,6 +934,61 @@ ORDER BY doc_a, doc_b""")
              |JOIN siz s2 ON d2 = s2.doc_id
              |WHERE i / CAST(s1.m + s2.m - i AS DOUBLE) >= 0.7
              |ORDER BY d1, d2""".stripMargin)
+    ),
+
+    // Sorted-neighborhood record linkage (Hernández–Stolfo) — the
+    // third blocking strategy in the dedup family, next to LSH
+    // (probabilistic hashing) and prefix filtering (rarity-ordered
+    // exact): sort the corpus by a linkage key and compare ONLY rows
+    // within a w-position window — O(n·w) candidate pairs by
+    // construction, no similarity structure assumed. The global rank
+    // comes from ops/PrefixSum's bucket-parallel cumsum (the o10
+    // spelling — never a single-reducer window), and the window join
+    // is an equi-join on the rank's w-block with an adjacent-block
+    // union: |Δrank| ≤ w pairs live in the same or neighboring block,
+    // so the candidate join stays hash-shaped. Misses duplicates whose
+    // keys sort far apart — the documented contract (multi-pass over
+    // several sort keys is the standard remedy); edit distance ≤ 2
+    // verifies candidates, exactly the dedup_editdist_fuzzy predicate.
+    // Rank is deterministic: (p_name, p_partkey) is a total order.
+    OracleQuery(
+      "dedup_sorted_neighborhood",
+      (s, d) => {
+        import s.implicits._
+        val wWin = 10
+        val parts = Tables.part(s, d)
+          .select($"p_partkey",
+            concat($"p_name", lit("#"), $"p_partkey").as("sortkey"), $"p_name")
+          .withColumn("g", lit(0)).withColumn("one", lit(1L))
+        val ranked = graft.ops.PrefixSum
+          .withCumsum(parts, "g", "sortkey", "one", outCol = "rnk", buckets = 32)
+          .select($"p_partkey", $"p_name", $"rnk", floor($"rnk" / wWin).as("blk"))
+        val cand = ranked.as("a")
+          .join(ranked.as("b"),
+            (col("b.blk") === col("a.blk") || col("b.blk") === col("a.blk") + 1)
+              && col("b.rnk") > col("a.rnk")
+              && col("b.rnk") - col("a.rnk") <= wWin)
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+            (col("b.rnk") - col("a.rnk")).cast("long").as("gap"))
+        cand
+          .filter(levenshtein($"name_a", $"name_b") <= 2)
+          .select($"name_a", $"name_b", $"gap",
+            levenshtein($"name_a", $"name_b").cast("long").as("dist"))
+          .orderBy($"name_a", $"name_b", $"gap")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT p_partkey, p_name,
+             |    CAST(row_number() OVER (ORDER BY p_name || '#' || CAST(p_partkey AS VARCHAR))
+             |      AS BIGINT) AS rnk
+             |  FROM part
+             |)
+             |SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |  CAST(b.rnk - a.rnk AS BIGINT) AS gap,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM ranked a JOIN ranked b
+             |  ON b.rnk > a.rnk AND b.rnk - a.rnk <= 10
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |ORDER BY name_a, name_b, gap""".stripMargin)
     )
   )
 }

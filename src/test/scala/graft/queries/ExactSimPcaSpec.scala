@@ -211,6 +211,37 @@ class ExactSimPcaSpec extends SparkSpec {
     }
   }
 
+  test("dedup_sorted_neighborhood: driver replay of the w-window scan; gaps bounded") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = Registry.queries("dedup_sorted_neighborhood")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, gap, dist) =>
+      assert(gap >= 1 && gap <= 10)
+      assert(dist >= 0 && dist <= 2)
+    }
+    val parts = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_name").as[(Long, String)].collect()
+    val sorted = parts.sortBy { case (k, n) => n + "#" + k }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val replay = (for {
+      i <- sorted.indices; j <- (i + 1) to math.min(i + 10, sorted.length - 1)
+      d0 = lev(sorted(i)._2, sorted(j)._2) if d0 <= 2
+    } yield (sorted(i)._2, sorted(j)._2, (j - i).toLong, d0.toLong))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(out.sortBy(t => (t._1, t._2, t._3)).toSeq == replay.toSeq,
+      s"n=${out.length} vs replay=${replay.length}")
+  }
+
   test("a37_spearman: driver replay on tie-broken ranks; bounds") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
