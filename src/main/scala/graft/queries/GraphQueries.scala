@@ -286,6 +286,95 @@ object GraphQueries {
              |  CAST(total_triangles AS BIGINT) AS total_triangles
              |FROM node_tri JOIN deg USING (p) CROSS JOIN total
              |ORDER BY n_tri DESC, p LIMIT 20""".stripMargin)
+    ),
+
+    // Link prediction on the co-purchase graph — which products are
+    // NOT yet bought together but should be (the recommendation /
+    // assortment primitive): for every distance-2 pair, the three
+    // classic scores — common neighbors, neighborhood Jaccard, and
+    // Adamic–Adar (Σ 1/ln(deg z) over shared neighbors z, which
+    // discounts promiscuous hubs). Scale shape: candidates come from
+    // ONE wedge equi-join on the shared middle node (bounded by
+    // Σ deg(z)², the pruned graph's wedge count — the same quantity
+    // triangle counting bounds by degree-orienting), existing edges
+    // drop via one anti-join, and every score is a hash aggregate over
+    // wedge rows — no cartesian anywhere. Shared z always has deg ≥ 2
+    // (it neighbors both endpoints), so 1/ln(deg) is finite by
+    // construction. Top-20 on the ROUNDED Adamic–Adar with an (a, b)
+    // tiebreak — deterministic cross-engine.
+    OracleQuery(
+      "graph_link_prediction",
+      (s, d) => {
+        import s.implicits._
+        val items = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("k"), $"l_partkey".as("p")).distinct()
+        val isup = items.groupBy($"p").agg(count(lit(1)).as("sup"))
+          .filter($"sup" >= 20)
+        val freq = items.join(broadcast(isup.select($"p")), "p")
+        val edges = freq.as("a")
+          .join(freq.as("b"),
+            col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+          .select($"p1", $"p2")
+          .persist()
+        val adj = edges.select($"p1".as("u"), $"p2".as("v"))
+          .union(edges.select($"p2".as("u"), $"p1".as("v")))
+        val deg = adj.groupBy($"u").agg(count(lit(1)).as("d"))
+        val wedges = adj.as("x")
+          .join(adj.as("y"), col("x.v") === col("y.u") && col("x.u") < col("y.v"))
+          .select(col("x.u").as("a"), col("y.v").as("b"), col("x.v").as("z"))
+        val scored = wedges
+          .join(edges.select($"p1".as("a"), $"p2".as("b")), Seq("a", "b"), "left_anti")
+          .join(deg.select($"u".as("z"), $"d".as("dz")), "z")
+          .groupBy($"a", $"b")
+          .agg(
+            count(lit(1)).as("cn"),
+            round(sum(lit(1.0) / log($"dz")), 4).as("adamic_adar"))
+        scored
+          .join(deg.select($"u".as("a"), $"d".as("da")), "a")
+          .join(deg.select($"u".as("b"), $"d".as("db")), "b")
+          .select($"a", $"b", $"cn",
+            round($"cn" / ($"da" + $"db" - $"cn").cast("double"), 4).as("jaccard"),
+            $"adamic_adar")
+          .orderBy($"adamic_adar".desc, $"a", $"b")
+          .limit(20)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+             |), isup AS (
+             |  SELECT p FROM items GROUP BY p HAVING count(*) >= 20
+             |), freq AS (
+             |  SELECT i.k, i.p FROM items i JOIN isup USING (p)
+             |), edges AS (
+             |  SELECT a.p AS p1, b.p AS p2
+             |  FROM freq a JOIN freq b ON a.k = b.k AND a.p < b.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |), adj AS (
+             |  SELECT p1 AS u, p2 AS v FROM edges
+             |  UNION ALL SELECT p2, p1 FROM edges
+             |), deg AS (
+             |  SELECT u, count(*) AS d FROM adj GROUP BY 1
+             |), wedges AS (
+             |  SELECT x.u AS a, y.v AS b, x.v AS z
+             |  FROM adj x JOIN adj y ON x.v = y.u AND x.u < y.v
+             |), cand AS (
+             |  SELECT w.a, w.b, w.z FROM wedges w
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM edges e WHERE e.p1 = w.a AND e.p2 = w.b)
+             |), scored AS (
+             |  SELECT c.a, c.b, count(*) AS cn,
+             |    round(sum(CAST(1.0 AS DOUBLE) / ln(dz.d)), 4) AS adamic_adar
+             |  FROM cand c JOIN deg dz ON c.z = dz.u
+             |  GROUP BY 1, 2
+             |)
+             |SELECT s.a, s.b, CAST(cn AS BIGINT) AS cn,
+             |  round(cn / CAST(da.d + db.d - cn AS DOUBLE), 4) AS jaccard,
+             |  adamic_adar
+             |FROM scored s
+             |JOIN deg da ON s.a = da.u
+             |JOIN deg db ON s.b = db.u
+             |ORDER BY adamic_adar DESC, s.a, s.b LIMIT 20""".stripMargin)
     )
   )
 }

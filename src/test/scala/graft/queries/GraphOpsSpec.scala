@@ -44,6 +44,46 @@ class GraphOpsSpec extends SparkSpec {
     assert(total == triExact, s"total=$total replay=$triExact")
   }
 
+  test("graph_link_prediction: driver replay of CN/Jaccard/Adamic-Adar; no existing edges") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val out = Registry.queries("graph_link_prediction")(spark, sf).collect()
+    assert(out.length == 20)
+    // rebuild the graph exactly as the query does
+    val items = graft.core.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val sup = items.groupBy(_._2).view.mapValues(_.length).toMap
+    val byOrder = items.filter(t => sup(t._2) >= 20).groupBy(_._1)
+    val pc = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for ((_, ps0) <- byOrder; ps = ps0.map(_._2).sorted;
+         i <- ps.indices; j <- (i + 1) until ps.length)
+      pc((ps(i), ps(j))) = pc.getOrElse((ps(i), ps(j)), 0) + 1
+    val edges = pc.filter(_._2 >= 2).keySet.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b)
+      assert(!edges((a, b)), s"($a,$b) is already an edge")
+      val common = adj(a) & adj(b)
+      assert(common.size == r.getLong(2), s"cn($a,$b)")
+      val jac = common.size.toDouble / (adj(a).size + adj(b).size - common.size)
+      assert(math.abs(r.getDouble(3) - jac) < 1e-3)
+      val aa = common.toSeq.map(z => 1.0 / math.log(adj(z).size)).sum
+      assert(math.abs(r.getDouble(4) - aa) < 1e-3, s"aa($a,$b) ${r.getDouble(4)} vs $aa")
+    }
+    // the emitted list really is the Adamic-Adar frontier
+    val cands = (for {
+      a <- adj.keys; z <- adj(a); b <- adj(z) if a < b && !edges((a, b))
+    } yield (a, b)).toSet
+    val best = cands.toSeq.map { case (a, b) =>
+      val aa = (adj(a) & adj(b)).toSeq.map(z => 1.0 / math.log(adj(z).size)).sum
+      (a, b, BigDecimal(aa).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (-t._3, t._1, t._2)).take(20).map(t => (t._1, t._2))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == best)
+  }
+
   private val sf = "/root/testdata/sf0.001"
 
   private def collectedEdges: Array[(String, String)] = {
