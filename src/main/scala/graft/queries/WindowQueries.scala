@@ -909,6 +909,85 @@ object WindowQueries {
                |  floor(dd * 10000 + 0.5) / 10000 AS dd,
                |  floor(max_dd * 10000 + 0.5) / 10000 AS max_dd
                |FROM dds ORDER BY event_type, day""".stripMargin)
+      ),
+
+      // W23: Holt one-step-ahead backtest vs the seasonal-naive
+      // baseline — the honest question about any smoother: does its
+      // forecast beat lag-7 copying? Forecast for day t is level+trend
+      // at t−1 (strictly out-of-sample: one lag() on the w21 frame),
+      // scored MAE against realized y wherever BOTH predictors exist
+      // (identical eval span, so the comparison is apples-to-apples);
+      // the seasonal-naive error reuses the same frame's lag(7). The
+      // fold costs what w21 costs; the backtest adds one window pass
+      // and a per-key reduce. Absolute errors are DECIMAL-cast so the
+      // MAE sums are summation-order-exact; the ratio is one division
+      // on those exact-derived doubles.
+      OracleQuery(
+        "w23_holt_backtest",
+        (s, d) => {
+          import s.implicits._
+          val daily = Tables.events(s, d)
+            .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+            .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("y"))
+          val w = Window.partitionBy($"event_type").orderBy($"day")
+          val fitted = graft.ops.HoltLinear
+            .perKey(daily, "event_type", Seq("day"), "y", alpha = 0.3, beta = 0.1)
+            .withColumn("fc_holt", lag($"level" + $"trend", 1).over(w))
+            .withColumn("fc_snaive", lag($"y", 7).over(w))
+            .filter($"fc_holt".isNotNull && $"fc_snaive".isNotNull)
+          fitted.groupBy($"event_type")
+            .agg(
+              count(lit(1)).as("n_eval"),
+              (sum(abs($"y" - $"fc_holt").cast("decimal(28,10)")).cast("double")
+                / count(lit(1))).as("mh"),
+              (sum(abs($"y" - $"fc_snaive").cast("decimal(28,10)")).cast("double")
+                / count(lit(1))).as("ms"))
+            .select($"event_type", $"n_eval",
+              round($"mh", 4).as("mae_holt"),
+              round($"ms", 4).as("mae_snaive"),
+              round($"mh" / $"ms", 4).as("mae_ratio"))
+            .orderBy($"event_type")
+        },
+        Some("""WITH RECURSIVE daily AS (
+               |  SELECT event_type, date_trunc('day', ts) AS day,
+               |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+               |  FROM events GROUP BY 1, 2
+               |), pos AS (
+               |  SELECT event_type, day, y,
+               |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+               |  FROM daily
+               |), rec AS (
+               |  SELECT event_type, day, y, rn, y AS l, CAST(0.0 AS DOUBLE) AS b
+               |  FROM pos WHERE rn = 1
+               |  UNION ALL
+               |  SELECT p.event_type, p.day, p.y, p.rn,
+               |    CAST(0.3 AS DOUBLE) * p.y
+               |      + (1 - CAST(0.3 AS DOUBLE)) * (r.l + r.b) AS l,
+               |    CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * p.y
+               |        + (1 - CAST(0.3 AS DOUBLE)) * (r.l + r.b)) - r.l)
+               |      + (1 - CAST(0.1 AS DOUBLE)) * r.b AS b
+               |  FROM rec r JOIN pos p
+               |    ON p.event_type = r.event_type AND p.rn = r.rn + 1
+               |), lagged AS (
+               |  SELECT event_type, day, y,
+               |    lag(l + b, 1) OVER w AS fc_holt,
+               |    lag(y, 7) OVER w AS fc_snaive
+               |  FROM rec
+               |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+               |), scored AS (
+               |  SELECT event_type, count(*) AS n_eval,
+               |    CAST(sum(CAST(abs(y - fc_holt) AS DECIMAL(28,10))) AS DOUBLE)
+               |      / count(*) AS mh,
+               |    CAST(sum(CAST(abs(y - fc_snaive) AS DECIMAL(28,10))) AS DOUBLE)
+               |      / count(*) AS ms
+               |  FROM lagged
+               |  WHERE fc_holt IS NOT NULL AND fc_snaive IS NOT NULL
+               |  GROUP BY event_type
+               |)
+               |SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval,
+               |  round(mh, 4) AS mae_holt, round(ms, 4) AS mae_snaive,
+               |  round(mh / ms, 4) AS mae_ratio
+               |FROM scored ORDER BY event_type""".stripMargin)
       )
     )
   }

@@ -112,6 +112,40 @@ class HoltLinearSpec extends SparkSpec {
     }
   }
 
+  test("w23 backtest: Holt beats seasonal naive on every key of the testdata; replay of one key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val out = graft.queries.Registry.queries("w23_holt_backtest")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) > 0.0 && r.getDouble(3) > 0.0)
+      assert(r.getDouble(4) < 1.0,
+        s"${r.getString(0)}: Holt should beat lag-7 copying here, ratio ${r.getDouble(4)}")
+    }
+    // driver replay of one key's holt MAE
+    val key = out.head.getString(0)
+    val ys = graft.core.Tables.events(spark, sf)
+      .filter($"event_type" === key)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(sum($"value").as("y"))
+      .orderBy($"day").as[(java.sql.Timestamp, Double)].collect().map(_._2)
+    var l = ys.head; var b = 0.0
+    val fc = scala.collection.mutable.ArrayBuffer.empty[Double]
+    ys.tail.foreach { y =>
+      fc += l + b
+      val lN = 0.3 * y + (1 - 0.3) * (l + b)
+      val bN = 0.1 * (lN - l) + (1 - 0.1) * b
+      l = lN; b = bN
+    }
+    // evaluation span: both lag-1 holt and lag-7 snaive defined → days 8..n
+    val errs = (7 until ys.length).map(t => math.abs(ys(t) - fc(t - 1)))
+    val mae = errs.sum / errs.length
+    assert(math.abs(out.head.getDouble(2) - mae) < 0.01 * mae,
+      s"replay mae $mae vs ${out.head.getDouble(2)}")
+  }
+
   test("invalid arguments are rejected") {
     val df = frame(Seq((1L, 1L, 1.0)))
     intercept[IllegalArgumentException](
