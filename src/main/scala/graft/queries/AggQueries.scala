@@ -1638,6 +1638,78 @@ object AggQueries {
              |  (n * (n + 2.0) * sum(r * r / (n - k)) OVER (ORDER BY k
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > 11.0705 AS reject_white
              |FROM acf ORDER BY k""".stripMargin)
+    ),
+
+    // Theil–Sen robust trend (a41) — the median of all pairwise slopes:
+    // up to ~29% of the points can be arbitrarily corrupted before the
+    // estimate moves (OLS breaks on one outlier), which is why it is
+    // the monitoring-grade trend for noisy operational series. At the
+    // day grain the C(T,2) pair set is exact and tiny (T² day-grain
+    // pairs, NOT fact rows — the collapse runs first); for long series
+    // the standard remedy is a hash-bounded pair sample, which changes
+    // only the pair-generation predicate. The median is the EXACT
+    // order statistic — a row_number pick over the per-key slope set
+    // with the even-count midpoint averaged; slopes divide exact-
+    // integer day gaps into decimal-exact daily sums, so every slope
+    // is bit-identical cross-engine and the pick is deterministic
+    // ((slope, i, j) total order).
+    OracleQuery(
+      "a41_theil_sen",
+      (s, d) => {
+        import s.implicits._
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"day")
+        val daily = Tables.events(s, d)
+          .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+          .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("v"))
+          .withColumn("t", row_number().over(wOrd).cast("long"))
+        val slopes = daily.as("a")
+          .join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") && col("a.t") < col("b.t"))
+          .select(col("a.event_type").as("event_type"),
+            col("a.t").as("i"), col("b.t").as("j"),
+            ((col("b.v") - col("a.v")) / (col("b.t") - col("a.t"))).as("slope"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"slope", $"i", $"j")
+        val wN = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+        slopes
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wN))
+          // div, not /: Spark's / on longs is DOUBLE division, and
+          // rn == 15.5 would never match on odd pair counts
+          .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("n div 2 + 1"))
+          .groupBy($"event_type")
+          .agg(
+            max($"n").as("n_pairs"),
+            round(sum($"slope") / count(lit(1)), 4).as("theil_sen_slope"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2
+             |), pos AS (
+             |  SELECT event_type, v,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS BIGINT) AS t
+             |  FROM daily
+             |), slopes AS (
+             |  SELECT a.event_type, a.t AS i, b.t AS j,
+             |    (b.v - a.v) / (b.t - a.t) AS slope
+             |  FROM pos a JOIN pos b
+             |    ON a.event_type = b.event_type AND a.t < b.t
+             |), ranked AS (
+             |  SELECT event_type, i, j, slope,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY slope, i, j) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM slopes
+             |)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+             |  round(sum(slope) / count(*), 4) AS theil_sen_slope
+             |FROM ranked
+             |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -419,6 +419,43 @@ class RetrievalRulesSpec extends SparkSpec {
     qs.sliding(2).foreach(w => if (w.length == 2) assert(w(1) >= w(0) - 1e-9))
   }
 
+  test("a41_theil_sen: driver replay of the median pairwise slope; robustness to one outlier") {
+    import spark.implicits._
+    val out = Registry.queries("a41_theil_sen")(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, "/root/testdata/sf0.01")
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(sum($"value").as("v"))
+      .select($"event_type", $"day", $"v")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+    def medianSlope(vs: Array[Double]): Double = {
+      val sl = (for (i <- vs.indices; j <- (i + 1) until vs.length)
+        yield ((vs(j) - vs(i)) / (j - i), i, j)).sortBy(t => (t._1, t._2, t._3))
+      val n = sl.length
+      if (n % 2 == 1) sl(n / 2)._1 else (sl(n / 2 - 1)._1 + sl(n / 2)._1) / 2
+    }
+    out.foreach { r =>
+      val key = r.getString(0)
+      val vs = daily.filter(_._1 == key).sortBy(_._2.getTime).map(_._3)
+      assert(r.getLong(1) == vs.length.toLong * (vs.length - 1) / 2)
+      val ref = medianSlope(vs)
+      assert(math.abs(r.getDouble(2) - ref) < 1e-3, s"$key ${r.getDouble(2)} vs $ref")
+      // robustness: corrupting ONE point barely moves Theil-Sen where
+      // it would yank an OLS slope
+      val corrupted = vs.clone(); corrupted(corrupted.length / 2) *= 100
+      val tsC = medianSlope(corrupted)
+      def ols(ys: Array[Double]): Double = {
+        val n = ys.length; val mx = (n - 1) / 2.0; val my = ys.sum / n
+        ys.zipWithIndex.map { case (y, i) => (i - mx) * (y - my) }.sum /
+          ys.zipWithIndex.map { case (_, i) => (i - mx) * (i - mx) }.sum
+      }
+      val olsMove = math.abs(ols(corrupted) - ols(vs))
+      val tsMove = math.abs(tsC - ref)
+      assert(tsMove < olsMove / 5,
+        s"$key: TS moved $tsMove vs OLS $olsMove under one corrupted point")
+    }
+  }
+
   test("j32_tpch_q3: top-10 revenue ordering and positivity") {
     val out = Registry.queries("j32_tpch_q3")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 10)
