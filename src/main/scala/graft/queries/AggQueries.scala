@@ -1710,6 +1710,85 @@ object AggQueries {
              |FROM ranked
              |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Poisson-bootstrap confidence interval (a42) — distribution-free
+    // inference for ANY statistic, in the spelling that actually works
+    // at scale: instead of materializing B resamples (B index joins),
+    // each row draws a deterministic pseudo-Poisson(1) WEIGHT per
+    // replicate — one map-side explode by B, one (key, replicate) hash
+    // agg, embarrassingly parallel, no data movement beyond the agg
+    // (the Google "Poisson bootstrap" trick; Poisson(1) row counts
+    // converge to multinomial resampling). Determinism: the per-(row,
+    // replicate) uniform is the md5-prefix hash (the o7 recipe) pushed
+    // through the exact Poisson(1) inverse CDF as CASE thresholds —
+    // integer weights, identical cross-engine. Replicate means divide
+    // DECIMAL-exact weighted sums by exact weight counts; the 95% CI
+    // takes the EXACT 5th/195th order statistics of the B=200 means
+    // ((mean, b) total order) — percentile picks, not a normal
+    // approximation, which is the point of bootstrapping.
+    OracleQuery(
+      "a42_bootstrap_ci",
+      (s, d) => {
+        import s.implicits._
+        val bReps = 200
+        val weighted = Tables.events(s, d)
+          .select($"event_type", $"event_id", $"value")
+          .crossJoin(s.range(0, bReps).select($"id".cast("long").as("b")))
+          .withColumn("u",
+            expr("CAST(conv(substr(md5(concat(CAST(event_id AS STRING), ':', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10000"))
+          .withColumn("w",
+            when($"u" < 3679, 0L).when($"u" < 7358, 1L).when($"u" < 9197, 2L)
+              .when($"u" < 9810, 3L).when($"u" < 9963, 4L).otherwise(5L))
+        val reps = weighted.groupBy($"event_type", $"b")
+          .agg((sum(($"value" * $"w").cast("decimal(28,10)")).cast("double")
+            / sum($"w")).as("mb"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"mb", $"b")
+        val picks = reps.withColumn("rn", row_number().over(wRank))
+          .filter($"rn" === 5 || $"rn" === 195)
+        val base = Tables.events(s, d).groupBy($"event_type")
+          .agg((sum($"value".cast("decimal(28,10)")).cast("double")
+            / count(lit(1))).as("mean"))
+        picks.groupBy($"event_type")
+          .agg(min($"mb").as("lo"), max($"mb").as("hi"))
+          .join(base, "event_type")
+          .select($"event_type", round($"mean", 4).as("mean"),
+            round($"lo", 4).as("ci_lo"), round($"hi", 4).as("ci_hi"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH hashed AS (
+             |  SELECT e.event_type, e.value, b.b,
+             |    ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' ||
+             |      CAST(b.b AS VARCHAR)), 1, 15))::BIGINT % 10000 AS u
+             |  FROM events e
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b) b
+             |), weighted AS (
+             |  SELECT event_type, value, b,
+             |    CASE
+             |      WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1 WHEN u < 9197 THEN 2
+             |      WHEN u < 9810 THEN 3 WHEN u < 9963 THEN 4 ELSE 5 END AS w
+             |  FROM hashed
+             |), reps AS (
+             |  SELECT event_type, b,
+             |    CAST(sum(CAST(value * w AS DECIMAL(28,10))) AS DOUBLE) / sum(w) AS mb
+             |  FROM weighted GROUP BY 1, 2
+             |), ranked AS (
+             |  SELECT event_type, mb,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn
+             |  FROM reps
+             |), picks AS (
+             |  SELECT event_type, min(mb) AS lo, max(mb) AS hi
+             |  FROM ranked WHERE rn = 5 OR rn = 195 GROUP BY 1
+             |), base AS (
+             |  SELECT event_type,
+             |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mean
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT event_type, round(mean, 4) AS mean,
+             |  round(lo, 4) AS ci_lo, round(hi, 4) AS ci_hi
+             |FROM picks JOIN base USING (event_type)
+             |ORDER BY event_type""".stripMargin)
     )
   )
 }

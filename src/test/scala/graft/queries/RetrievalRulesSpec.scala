@@ -456,6 +456,37 @@ class RetrievalRulesSpec extends SparkSpec {
     }
   }
 
+  test("a42_bootstrap_ci: interval brackets the mean and shrinks like 1/sqrt(n); weights are Poisson(1)-calibrated") {
+    import spark.implicits._
+    val out = Registry.queries("a42_bootstrap_ci")(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    val evStats = Tables.events(spark, "/root/testdata/sf0.01")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), stddev_pop($"value").as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out.foreach { r =>
+      val (m, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(lo < m && m < hi, s"${r.getString(0)}: CI [$lo,$hi] must bracket mean $m")
+      // half-width should be on the order of 2·sd/sqrt(n) — loose envelope
+      val (n, sd) = evStats(r.getString(0))
+      val sem = sd / math.sqrt(n.toDouble)
+      val half = (hi - lo) / 2
+      assert(half > 0.8 * sem && half < 4.0 * sem,
+        s"${r.getString(0)}: half-width $half vs sem $sem")
+    }
+    // the deterministic Poisson(1) map is calibrated: mean weight ≈ 1
+    val wStats = Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"event_id").crossJoin(spark.range(0, 50).select($"id".as("b")))
+      .withColumn("u",
+        expr("CAST(conv(substr(md5(concat(CAST(event_id AS STRING), ':', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10000"))
+      .withColumn("w",
+        when($"u" < 3679, 0L).when($"u" < 7358, 1L).when($"u" < 9197, 2L)
+          .when($"u" < 9810, 3L).when($"u" < 9963, 4L).otherwise(5L))
+      .agg(avg($"w"), variance($"w")).collect().head
+    assert(math.abs(wStats.getDouble(0) - 1.0) < 0.02, s"E[w]=${wStats.getDouble(0)}")
+    assert(math.abs(wStats.getDouble(1) - 1.0) < 0.05, s"Var[w]=${wStats.getDouble(1)}")
+  }
+
   test("j32_tpch_q3: top-10 revenue ordering and positivity") {
     val out = Registry.queries("j32_tpch_q3")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 10)
