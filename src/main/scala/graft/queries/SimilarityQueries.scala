@@ -835,8 +835,14 @@ object SimilarityQueries {
     // embeddings before they poison ANN cells or dedup thresholds.
     // One extra fact scan after the power iteration: v rides in as an
     // O(d) literal (driver-held model), both quadratic forms are
-    // row-local left-to-right folds, top-20 cutoff on the ROUNDED
-    // residual with a vec_id tiebreak. The oracle re-derives v by
+    // row-local left-to-right folds, top-20 cutoff on the RAW residual
+    // (bit-identical across engines per the vec_dot ≡ list_reduce
+    // fold contract) with a vec_id tiebreak — never on a rounded
+    // value, where a display-precision boundary could swap rank 20/21
+    // membership between engines. Display rounding is the build-proof
+    // floor(x·10⁴ + 0.5)/10⁴ spelling on BOTH sides (round() differs
+    // at shortest-repr boundaries across DuckDB builds). The oracle
+    // re-derives v by
     // replaying the shared 3-iteration CTE chain — the whole model
     // pipeline (fit + score) is under the hash gate, not just the
     // scores.
@@ -853,11 +859,15 @@ object SimilarityQueries {
         val norm2 = aggregate(
           zip_with($"x", $"x", (a, b) => a * b), lit(0.0), (acc, p) => acc + p)
         e.select($"vec_id", dot.as("proj"), norm2.as("n2"))
-          .select($"vec_id",
-            round($"proj", 4).as("proj"),
-            round($"n2" - $"proj" * $"proj", 4).as("resid2"))
-          .orderBy($"resid2".desc, $"vec_id")
+          .select($"vec_id", $"proj", ($"n2" - $"proj" * $"proj").as("r2raw"))
+          .orderBy($"r2raw".desc, $"vec_id")
           .limit(20)
+          .select($"vec_id",
+            (floor($"proj" * 10000 + 0.5) / 10000).as("proj"),
+            (floor($"r2raw" * 10000 + 0.5) / 10000).as("resid2"),
+            $"r2raw")
+          .orderBy($"r2raw".desc, $"vec_id")
+          .drop("r2raw")
       },
       Some {
         s"""WITH $pcaDuckCtes, scored AS (
@@ -868,10 +878,15 @@ object SimilarityQueries {
            |      (a, b) -> a + b) AS n2
            |  FROM e CROSS JOIN v3
            |)
-           |SELECT vec_id, round(proj, 4) AS proj,
-           |  round(n2 - proj * proj, 4) AS resid2
-           |FROM scored
-           |ORDER BY round(n2 - proj * proj, 4) DESC, vec_id LIMIT 20""".stripMargin
+           |, top AS (
+           |  SELECT vec_id, proj, n2 - proj * proj AS r2raw
+           |  FROM scored
+           |  ORDER BY n2 - proj * proj DESC, vec_id LIMIT 20
+           |)
+           |SELECT vec_id, floor(proj * 10000 + 0.5) / 10000 AS proj,
+           |  floor(r2raw * 10000 + 0.5) / 10000 AS resid2
+           |FROM top
+           |ORDER BY r2raw DESC, vec_id""".stripMargin
       }
     ),
 

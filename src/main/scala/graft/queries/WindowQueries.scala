@@ -500,6 +500,12 @@ object WindowQueries {
       // DuckDB returns NULL, so NaN is normalized before rounding;
       // emitted only once the frame is full (rn ≥ 20) — partial-frame
       // correlations would differ by min_periods convention anyway.
+      // 4-dp display rounding is spelled floor(c·10⁴ + 0.5)/10⁴ on BOTH
+      // engines — pure IEEE ops, bit-deterministic across DuckDB builds
+      // (round() disagrees at shortest-repr …5000 boundaries because
+      // Spark rounds the decimal string while DuckDB rounds the exact
+      // binary; the corr co-moment folds differ in last-ulp between
+      // engines, so those boundaries genuinely occur here).
       OracleQuery(
         "w15_rolling_corr",
         (s, d) => {
@@ -513,10 +519,11 @@ object WindowQueries {
             .withColumn("c", c)
             .filter($"rn" >= 20)
             .select($"event_type", $"event_id",
-              round(when(isnan($"c"), lit(null)).otherwise($"c"), 4).as("trend_corr"))
+              (floor(when(isnan($"c"), lit(null)).otherwise($"c") * 10000 + 0.5) / 10000)
+                .as("trend_corr"))
             .orderBy($"event_type", $"event_id")
         },
-        Some("""SELECT event_type, event_id, round(c, 4) AS trend_corr
+        Some("""SELECT event_type, event_id, floor(c * 10000 + 0.5) / 10000 AS trend_corr
                |FROM (
                |  SELECT event_type, event_id, rn,
                |    corr(value, CAST(rn AS DOUBLE)) OVER
