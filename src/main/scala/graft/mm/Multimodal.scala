@@ -190,10 +190,13 @@ object Multimodal {
     val frameOffsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
 
     // iterative chunk walk (LIST recurses one level at a time via an
-    // explicit stack — no payload-controlled recursion depth)
-    val stack = scala.collection.mutable.Stack[(Long, Long)]((12L, end))
-    while (stack.nonEmpty) {
-      var (pos, lim) = stack.pop()
+    // explicit FIFO queue — no payload-controlled recursion depth, and
+    // sibling LISTs are visited in FILE order so frames spanning
+    // multiple movi lists (RIFF AVIX extensions) keep temporal order —
+    // the |delta-luma| motion feature assumes consecutive samples)
+    val queue = scala.collection.mutable.Queue[(Long, Long)]((12L, end))
+    while (queue.nonEmpty) {
+      var (pos, lim) = queue.dequeue()
       while (pos + 8 <= lim) {
         val id = fourcc(pos.toInt)
         val size = u32(pos.toInt + 4)
@@ -204,12 +207,20 @@ object Multimodal {
           id match {
             case "LIST" =>
               // list type occupies the first 4 data bytes
-              stack.push((dataStart + 4, dataEnd))
-            case "avih" if size >= 40 =>
-              usPerFrame = u32(dataStart.toInt)
-              totalFrames = u32(dataStart.toInt + 16)
-              w = u32(dataStart.toInt + 32).toInt
-              h = u32(dataStart.toInt + 36).toInt
+              queue.enqueue((dataStart + 4, dataEnd))
+            case "avih" if size >= 40 && dataEnd - dataStart >= 40 =>
+              // guard on bytes actually PRESENT (dataEnd − dataStart),
+              // not the claimed size — a truncated header would read
+              // past payload and u32's -1 sentinel would otherwise
+              // leak out as width/height/fps features
+              val upf = u32(dataStart.toInt)
+              val tf = u32(dataStart.toInt + 16)
+              val ww = u32(dataStart.toInt + 32)
+              val hh = u32(dataStart.toInt + 36)
+              if (upf >= 0 && tf >= 0 && ww >= 0 && hh >= 0) {
+                usPerFrame = upf; totalFrames = tf
+                w = ww.toInt; h = hh.toInt
+              }
             case _ =>
               // movi video chunks: '##dc' (compressed) / '##db' (full)
               val tail = if (id.length == 4) id.substring(2) else ""

@@ -28,6 +28,11 @@ object BandJoin {
       delta: Double,
       keys: Seq[String] = Nil): DataFrame = {
     require(delta > 0, "delta must be positive")
+    // withColumn would silently OVERWRITE a caller column of the same
+    // name (and the trailing drop would then destroy caller data) —
+    // reject the collision instead of corrupting output
+    require(!left.columns.contains("__band") && !right.columns.contains("__band"),
+      "input columns must not be named __band (internal bucket column)")
     val lb = left.withColumn("__band",
       explode(array((-1 to 1).map(off =>
         floor(col(lCol) / delta).cast("long") + off): _*)))

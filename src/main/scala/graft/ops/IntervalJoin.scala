@@ -40,6 +40,11 @@ object IntervalJoin {
       binDays: Int = 7,
       keys: Seq[String] = Nil): DataFrame = {
     require(binDays > 0, "binDays must be positive")
+    // withColumn would silently OVERWRITE a caller column of the same
+    // name (and the trailing drop would then destroy caller data) —
+    // reject the collision instead of corrupting output
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "input columns must not be named __bin (internal bin column)")
     // all bin math is Column-based (never name-based expr) so the join
     // condition resolves unambiguously even when both sides share names
     def bin(c: Column): Column = floor(unix_date(c) / binDays)

@@ -1740,9 +1740,14 @@ object AggQueries {
           .withColumn("w",
             when($"u" < 3679, 0L).when($"u" < 7358, 1L).when($"u" < 9197, 2L)
               .when($"u" < 9810, 3L).when($"u" < 9963, 4L).otherwise(5L))
+        // a replicate whose Poisson weights all drew 0 has mb = NULL,
+        // and Spark ranks NULLs first ascending while DuckDB ranks them
+        // last — filter sum(w) > 0 on BOTH sides so the rn=5/195 order-
+        // statistic picks are null-free by construction
         val reps = weighted.groupBy($"event_type", $"b")
           .agg((sum(($"value" * $"w").cast("decimal(28,10)")).cast("double")
-            / sum($"w")).as("mb"))
+            / sum($"w")).as("mb"), sum($"w").as("sw"))
+          .filter($"sw" > 0).drop("sw")
         val wRank = org.apache.spark.sql.expressions.Window
           .partitionBy($"event_type").orderBy($"mb", $"b")
         val picks = reps.withColumn("rn", row_number().over(wRank))
@@ -1772,7 +1777,7 @@ object AggQueries {
              |), reps AS (
              |  SELECT event_type, b,
              |    CAST(sum(CAST(value * w AS DECIMAL(28,10))) AS DOUBLE) / sum(w) AS mb
-             |  FROM weighted GROUP BY 1, 2
+             |  FROM weighted GROUP BY 1, 2 HAVING sum(w) > 0
              |), ranked AS (
              |  SELECT event_type, mb,
              |    row_number() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn

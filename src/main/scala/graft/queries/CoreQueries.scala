@@ -957,7 +957,12 @@ object CoreQueries {
             min(col(c)).as(s"${c}_min"),
             max(col(c)).as(s"${c}_max"),
             round(avg(col(c)), 4).as(s"${c}_mean")))
-        val wide = li.agg(aggs.head, aggs.tail: _*)
+        // persisted: the long layout fans out as 4 selects over this
+        // 1-row frame, and without the cache each branch would replay
+        // the full scan + multi-distinct agg — persisting keeps the
+        // "one scan regardless of N" contract physical, not just
+        // logical (cache cost: one row)
+        val wide = li.agg(aggs.head, aggs.tail: _*).persist()
         val longRows = cols.map { c =>
           wide.select(
             lit(c).as("column_name"),

@@ -281,6 +281,57 @@ class MultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("truncated avih header falls back to decoded-frame dims, no -1 leak") {
+    // movi list FIRST, then an hdrl whose avih claims 56 bytes but the
+    // file ends 12 bytes in — the guard must reject the short header
+    // (never emit u32's -1 sentinel as width/height/fps) and let the
+    // decoded JPEG supply the dimensions
+    val out = new java.io.ByteArrayOutputStream()
+    def cc(x: String): Unit = out.write(x.getBytes("US-ASCII"))
+    def u32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    val f = jpegFrame(32, 24, 128)
+    val moviSize = 4 + 8 + f.length + (f.length & 1)
+    cc("RIFF"); u32(4 + 8 + moviSize + 8 + 4 + 8 + 56); cc("AVI ")
+    cc("LIST"); u32(moviSize); cc("movi")
+    cc("00dc"); u32(f.length); out.write(f)
+    if ((f.length & 1) == 1) out.write(0)
+    cc("LIST"); u32(4 + 8 + 56); cc("hdrl")
+    cc("avih"); u32(56); out.write(Array.fill[Byte](12)(0x7f)) // truncated
+    val v = Multimodal.decodeAviStats(out.toByteArray).get
+    assert(v.width == 32 && v.height == 24, s"want decoded dims, got $v")
+    assert(v.fps == 0f && v.nFrames == 1 && v.durationSec == 0f, v.toString)
+  }
+
+  test("frames across multiple movi lists keep file order (AVIX-style)") {
+    // two sibling movi lists; dark frames in the first, bright in the
+    // second — file-order probing sees ONE dark→bright step, so motion
+    // = sum|Δ| / moved ≈ Δ/3; reversed list order would also be one
+    // step here, but interleaved sampling from a LIFO walk historically
+    // visited the SECOND list first, breaking monotone luma — pin the
+    // monotone order directly via per-frame mean luma recomputation
+    val frames = Seq(jpegFrame(16, 16, 20), jpegFrame(16, 16, 60),
+      jpegFrame(16, 16, 200), jpegFrame(16, 16, 240))
+    val out = new java.io.ByteArrayOutputStream()
+    def cc(x: String): Unit = out.write(x.getBytes("US-ASCII"))
+    def u32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def moviOf(fs: Seq[Array[Byte]]): Int = 4 + fs.map(x => 8 + x.length + (x.length & 1)).sum
+    val m1 = moviOf(frames.take(2)); val m2 = moviOf(frames.drop(2))
+    cc("RIFF"); u32(4 + (8 + m1) + (8 + m2)); cc("AVI ")
+    for ((fs, ms) <- Seq((frames.take(2), m1), (frames.drop(2), m2))) {
+      cc("LIST"); u32(ms); cc("movi")
+      fs.foreach { x => cc("00dc"); u32(x.length); out.write(x)
+        if ((x.length & 1) == 1) out.write(0) }
+    }
+    val v = Multimodal.decodeAviStats(out.toByteArray).get
+    assert(v.nFrames == 4)
+    // file order lumas ≈ .08 .24 .78 .94 → mean |Δ| over 3 steps ≈ 0.29;
+    // a reversed-sibling walk would see .78 .94 .08 .24 → ≈ 0.40
+    assert(v.motion > 0.2f && v.motion < 0.35f,
+      s"motion must reflect file-order monotone ramp, got ${v.motion}")
+  }
+
   test("VideoAviKernel decodes MJPEG AVI frames: dims, fps, duration, luma, motion") {
     // flashing clip: alternating dark/bright frames → motion ≈ ΔLuma
     val flash = buildAvi(

@@ -41,6 +41,16 @@ class BandJoinSpec extends SparkSpec {
     assert(out.select($"rid").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("caller column named __band is rejected, not silently clobbered") {
+    val l = left.withColumn("__band", lit(7L))
+    intercept[IllegalArgumentException] {
+      BandJoin.band(l, right, "lv", "rv", 0.25)
+    }
+    intercept[IllegalArgumentException] {
+      BandJoin.band(left, right.withColumn("__band", lit(7L)), "lv", "rv", 0.25)
+    }
+  }
+
   test("plan is a hash equi-join on the bucket, never a nested loop") {
     val p = BandJoin.band(left, right, "lv", "rv", 0.25)
       .queryExecution.executedPlan.toString

@@ -52,6 +52,17 @@ class IntervalJoinSpec extends SparkSpec {
     assert(out.columns.count(_ == "k") == 1)
   }
 
+  test("caller column named __bin is rejected, not silently clobbered") {
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlap(left.withColumn("__bin", lit(0L)),
+        right, "ls", "le", "rs", "re", 7)
+    }
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlap(left,
+        right.withColumn("__bin", lit(0L)), "ls", "le", "rs", "re", 7)
+    }
+  }
+
   test("plan is a hash equi-join on the bin — no cartesian, no nested loop") {
     val p = IntervalJoin.overlap(left, right, "ls", "le", "rs", "re", 7)
       .queryExecution.executedPlan.toString
