@@ -294,14 +294,35 @@ object GraphQueries {
     // classic scores — common neighbors, neighborhood Jaccard, and
     // Adamic–Adar (Σ 1/ln(deg z) over shared neighbors z, which
     // discounts promiscuous hubs). Scale shape: candidates come from
-    // ONE wedge equi-join on the shared middle node (bounded by
-    // Σ deg(z)², the pruned graph's wedge count — the same quantity
-    // triangle counting bounds by degree-orienting), existing edges
+    // ONE wedge equi-join on the shared middle node, existing edges
     // drop via one anti-join, and every score is a hash aggregate over
-    // wedge rows — no cartesian anywhere. Shared z always has deg ≥ 2
-    // (it neighbors both endpoints), so 1/ln(deg) is finite by
-    // construction. Top-20 on the ROUNDED Adamic–Adar with an (a, b)
-    // tiebreak — deterministic cross-engine.
+    // wedge rows — no cartesian anywhere.
+    //
+    // HUB CAP (the approximation contract): a raw wedge join is
+    // bounded only by Σ deg(z)², and one 10⁵-degree hub product on a
+    // 100 TB co-purchase graph would emit 10¹⁰ wedge rows from a
+    // single middle node. So each node's neighbor list is capped to
+    // its top-HubCap (=64) neighbors by co-purchase count (ties by
+    // neighbor id) BEFORE the wedge join — a per-u window rank, one
+    // exchange. Both wedge legs read the capped adjacency, so per
+    // middle node z the y-leg fans out to ≤ HubCap rows and total
+    // candidates are ≤ HubCap·|E_capped| ≤ HubCap²·|V| — per-task
+    // fan-out is bounded no matter how skewed the degree
+    // distribution (LinkPredictionCapSpec pins this on a synthetic
+    // hub graph). Degrees (Jaccard denominator, Adamic–Adar ln) are
+    // the CAPPED degrees, so scores are exact on the capped graph —
+    // the cap keeps the strongest edges, which is what the scores
+    // weight anyway. The oracle applies the identical cap. A shared z
+    // still has capped deg ≥ 2 (both wedge edges survive in z's own
+    // list only if ranked, but its capped out-degree is
+    // min(true deg, HubCap) ≥ 2 because a–z and z–b exist uncapped),
+    // so 1/ln(deg) stays finite.
+    //
+    // Numeric parity: Adamic–Adar terms are double-divided then
+    // DECIMAL(28,14)-cast before the sum (summation-order-exact, the
+    // pagerank recipe); display rounding is the build-proof
+    // floor(x·10⁴ + 0.5)/10⁴ spelling; top-20 orders on the rounded
+    // score with an (a, b) tiebreak — deterministic cross-engine.
     OracleQuery(
       "graph_link_prediction",
       (s, d) => {
@@ -316,10 +337,10 @@ object GraphQueries {
             col("a.k") === col("b.k") && col("a.p") < col("b.p"))
           .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
           .agg(count(lit(1)).as("c")).filter($"c" >= 2)
-          .select($"p1", $"p2")
           .persist()
-        val adj = edges.select($"p1".as("u"), $"p2".as("v"))
-          .union(edges.select($"p2".as("u"), $"p1".as("v")))
+        val adjW = edges.select($"p1".as("u"), $"p2".as("v"), $"c")
+          .union(edges.select($"p2".as("u"), $"p1".as("v"), $"c"))
+        val adj = capAdjacency(adjW, HubCap)
         val deg = adj.groupBy($"u").agg(count(lit(1)).as("d"))
         val wedges = adj.as("x")
           .join(adj.as("y"), col("x.v") === col("y.u") && col("x.u") < col("y.v"))
@@ -330,12 +351,14 @@ object GraphQueries {
           .groupBy($"a", $"b")
           .agg(
             count(lit(1)).as("cn"),
-            round(sum(lit(1.0) / log($"dz")), 4).as("adamic_adar"))
+            (floor(sum((lit(1.0) / log($"dz")).cast("decimal(28,14)"))
+              .cast("double") * 10000 + 0.5) / 10000).as("adamic_adar"))
         scored
           .join(deg.select($"u".as("a"), $"d".as("da")), "a")
           .join(deg.select($"u".as("b"), $"d".as("db")), "b")
           .select($"a", $"b", $"cn",
-            round($"cn" / ($"da" + $"db" - $"cn").cast("double"), 4).as("jaccard"),
+            (floor($"cn" / ($"da" + $"db" - $"cn").cast("double") * 10000 + 0.5)
+              / 10000).as("jaccard"),
             $"adamic_adar")
           .orderBy($"adamic_adar".desc, $"a", $"b")
           .limit(20)
@@ -347,12 +370,18 @@ object GraphQueries {
              |), freq AS (
              |  SELECT i.k, i.p FROM items i JOIN isup USING (p)
              |), edges AS (
-             |  SELECT a.p AS p1, b.p AS p2
+             |  SELECT a.p AS p1, b.p AS p2, count(*) AS c
              |  FROM freq a JOIN freq b ON a.k = b.k AND a.p < b.p
              |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |), adjw AS (
+             |  SELECT p1 AS u, p2 AS v, c FROM edges
+             |  UNION ALL SELECT p2, p1, c FROM edges
              |), adj AS (
-             |  SELECT p1 AS u, p2 AS v FROM edges
-             |  UNION ALL SELECT p2, p1 FROM edges
+             |  SELECT u, v FROM (
+             |    SELECT u, v,
+             |      row_number() OVER (PARTITION BY u ORDER BY c DESC, v) AS rk
+             |    FROM adjw
+             |  ) WHERE rk <= 64
              |), deg AS (
              |  SELECT u, count(*) AS d FROM adj GROUP BY 1
              |), wedges AS (
@@ -364,12 +393,15 @@ object GraphQueries {
              |    SELECT 1 FROM edges e WHERE e.p1 = w.a AND e.p2 = w.b)
              |), scored AS (
              |  SELECT c.a, c.b, count(*) AS cn,
-             |    round(sum(CAST(1.0 AS DOUBLE) / ln(dz.d)), 4) AS adamic_adar
+             |    floor(CAST(sum(CAST(CAST(1.0 AS DOUBLE) / ln(dz.d)
+             |      AS DECIMAL(28,14))) AS DOUBLE) * 10000 + 0.5) / 10000
+             |      AS adamic_adar
              |  FROM cand c JOIN deg dz ON c.z = dz.u
              |  GROUP BY 1, 2
              |)
              |SELECT s.a, s.b, CAST(cn AS BIGINT) AS cn,
-             |  round(cn / CAST(da.d + db.d - cn AS DOUBLE), 4) AS jaccard,
+             |  floor(cn / CAST(da.d + db.d - cn AS DOUBLE) * 10000 + 0.5) / 10000
+             |    AS jaccard,
              |  adamic_adar
              |FROM scored s
              |JOIN deg da ON s.a = da.u
@@ -377,4 +409,24 @@ object GraphQueries {
              |ORDER BY adamic_adar DESC, s.a, s.b LIMIT 20""".stripMargin)
     )
   )
+
+  /** Per-middle-node fan-out bound for wedge joins: keep each node's
+    * top-`n` neighbors by edge weight (desc, neighbor-id tiebreak) — a
+    * single per-u window rank. With both wedge legs reading the capped
+    * adjacency, any middle node z contributes ≤ n second-leg rows per
+    * first-leg row, so total wedge candidates are ≤ n·|E_capped| ≤
+    * n²·|V| regardless of degree skew — the guard that keeps the
+    * distance-2 join alive on a graph with 10⁵-degree hubs.
+    * Input columns: u, v, c (edge weight); output: u, v. */
+  private[graft] def capAdjacency(
+      adjW: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    val byWeight = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("c").desc, col("v"))
+    adjW.withColumn("rk", row_number().over(byWeight))
+      .filter(col("rk") <= n).select(col("u"), col("v"))
+  }
+
+  /** Neighbor-list cap for the link-prediction wedge join (the
+    * documented approximation contract — top-64 by co-purchase count). */
+  private[graft] val HubCap = 64
 }

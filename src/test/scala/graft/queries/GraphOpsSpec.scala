@@ -44,12 +44,15 @@ class GraphOpsSpec extends SparkSpec {
     assert(total == triExact, s"total=$total replay=$triExact")
   }
 
-  test("graph_link_prediction: driver replay of CN/Jaccard/Adamic-Adar; no existing edges") {
+  test("graph_link_prediction: driver replay of capped CN/Jaccard/Adamic-Adar; no existing edges") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
     val out = Registry.queries("graph_link_prediction")(spark, sf).collect()
     assert(out.length == 20)
-    // rebuild the graph exactly as the query does
+    // rebuild the graph exactly as the query does, INCLUDING the hub
+    // cap: each node keeps its top-HubCap neighbors by co-purchase
+    // count (desc, neighbor-id tiebreak); scores run on the capped
+    // directed adjacency — z must be in a's list and b in z's list
     val items = graft.core.Tables.lineitem(spark, sf)
       .select($"l_orderkey", $"l_partkey").distinct()
       .as[(Long, Long)].collect()
@@ -59,29 +62,69 @@ class GraphOpsSpec extends SparkSpec {
     for ((_, ps0) <- byOrder; ps = ps0.map(_._2).sorted;
          i <- ps.indices; j <- (i + 1) until ps.length)
       pc((ps(i), ps(j))) = pc.getOrElse((ps(i), ps(j)), 0) + 1
-    val edges = pc.filter(_._2 >= 2).keySet.toSet
-    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
-    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val pcf = pc.filter(_._2 >= 2)
+    val edges = pcf.keySet.toSet
+    val nbrW = mutable.Map.empty[Long, mutable.ArrayBuffer[(Long, Int)]]
+    pcf.foreach { case ((a, b), c) =>
+      nbrW.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += ((b, c))
+      nbrW.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((a, c))
+    }
+    val adj: Map[Long, Vector[Long]] = nbrW.map { case (u, l) =>
+      u -> l.sortBy { case (v, c) => (-c, v) }.take(GraphQueries.HubCap)
+        .map(_._1).toVector
+    }.toMap
+    val adjS = adj.map { case (u, l) => u -> l.toSet }
+    def common(a: Long, b: Long): Vector[Long] =
+      adj(a).filter(z => adjS(z).contains(b))
+    def fl4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     out.foreach { r =>
       val (a, b) = (r.getLong(0), r.getLong(1))
       assert(a < b)
       assert(!edges((a, b)), s"($a,$b) is already an edge")
-      val common = adj(a) & adj(b)
-      assert(common.size == r.getLong(2), s"cn($a,$b)")
-      val jac = common.size.toDouble / (adj(a).size + adj(b).size - common.size)
+      val cz = common(a, b)
+      assert(cz.size == r.getLong(2), s"cn($a,$b)")
+      val jac = cz.size.toDouble / (adj(a).size + adj(b).size - cz.size)
       assert(math.abs(r.getDouble(3) - jac) < 1e-3)
-      val aa = common.toSeq.map(z => 1.0 / math.log(adj(z).size)).sum
+      val aa = cz.map(z => 1.0 / math.log(adj(z).size)).sum
       assert(math.abs(r.getDouble(4) - aa) < 1e-3, s"aa($a,$b) ${r.getDouble(4)} vs $aa")
     }
-    // the emitted list really is the Adamic-Adar frontier
+    // the emitted list really is the Adamic-Adar frontier of the
+    // capped candidate set
     val cands = (for {
       a <- adj.keys; z <- adj(a); b <- adj(z) if a < b && !edges((a, b))
     } yield (a, b)).toSet
     val best = cands.toSeq.map { case (a, b) =>
-      val aa = (adj(a) & adj(b)).toSeq.map(z => 1.0 / math.log(adj(z).size)).sum
-      (a, b, BigDecimal(aa).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (a, b, fl4(common(a, b).map(z => 1.0 / math.log(adj(z).size)).sum))
     }.sortBy(t => (-t._3, t._1, t._2)).take(20).map(t => (t._1, t._2))
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == best)
+  }
+
+  test("capAdjacency bounds wedge fan-out on a hub graph: ≤ cap·|E_capped|") {
+    import spark.implicits._
+    // star hub: node 0 connects to 1..200 (weights = neighbor id, so
+    // the cap keeps 137..200 — wait, DESC weight keeps the HIGHEST c),
+    // plus a chain among the spokes so wedges exist beyond the hub
+    val n = 200; val cap = 16
+    val hubEdges = (1 to n).map(i => (0L, i.toLong, i))        // hub-spoke, weight i
+    val chain = (1 until n).map(i => (i.toLong, i.toLong + 1, 1)) // spoke chain
+    val adjW = (hubEdges ++ chain).toDF("u", "v", "c")
+      .unionAll((hubEdges ++ chain).toDF("v", "u", "c").select($"u", $"v", $"c"))
+    val capped = GraphQueries.capAdjacency(adjW, cap).persist()
+    val perNode = capped.groupBy($"u").count().as[(Long, Long)].collect().toMap
+    assert(perNode.values.max <= cap, "a node exceeds its neighbor cap")
+    assert(perNode(0L) == cap, "hub must be capped exactly at cap")
+    // uncapped wedge count through the hub alone would be ~n² = 40000;
+    // capped total wedges obey the structural bound cap·|E_capped|
+    val eCapped = capped.count()
+    val wedges = capped.as("x").join(capped.as("y"),
+      col("x.v") === col("y.u") && col("x.u") < col("y.v")).count()
+    assert(wedges <= cap * eCapped, s"wedges=$wedges bound=${cap * eCapped}")
+    assert(wedges < n.toLong * n / 2, s"hub fan-out not bounded: $wedges")
+    // cap keeps the TOP-weight neighbors with id tiebreak: hub keeps
+    // spokes n-cap+1..n (highest weights)
+    val hubKept = capped.filter($"u" === 0L).select($"v").as[Long].collect().toSet
+    assert(hubKept == ((n - cap + 1) to n).map(_.toLong).toSet)
+    capped.unpersist()
   }
 
   private val sf = "/root/testdata/sf0.001"
