@@ -1712,6 +1712,90 @@ object AggQueries {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // Sampled Theil–Sen (a41b) — the spelling that survives T ≫ the
+    // day grain: the exact estimator above ranks ALL C(T,2) pairwise
+    // slopes, which at a 10-year daily series is 6.6M pairs per key
+    // and at minute grain is 1.4e13 — the pair sort, not the fact
+    // scan, becomes the bottleneck. Remedy: a deterministic hash
+    // predicate on the PAIR identity (the a42/o7 md5 recipe) keeps a
+    // fixed p = 40% of pairs, so the ranked/sorted volume is p·C(T,2)
+    // while the estimate stays a median over an unbiased pair sample
+    // (Theil–Sen tolerates subsampling gracefully — the median of a
+    // uniform pair sample converges to the pairwise-slope median;
+    // TheilSenSampledSpec pins the deviation vs the exact entry).
+    // Pair enumeration itself is still row-local join work; what the
+    // sample removes is the exchange + total sort behind the order
+    // statistic, which is the part that scales superlinearly. The
+    // predicate hashes (event_type, i, j) — reproducible cross-engine
+    // and independent of physical row order; the oracle applies the
+    // identical predicate, so the driver gate covers the SAMPLED
+    // estimator end-to-end, not a rows-only check.
+    OracleQuery(
+      "a41b_theil_sen_sampled",
+      (s, d) => {
+        import s.implicits._
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"day")
+        val daily = Tables.events(s, d)
+          .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+          .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("v"))
+          .withColumn("t", row_number().over(wOrd).cast("long"))
+        val pairHash = conv(substring(md5(concat(
+          col("a.event_type"), lit(":"),
+          col("a.t").cast("string"), lit(":"),
+          col("b.t").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 10000
+        val slopes = daily.as("a")
+          .join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.t") < col("b.t") && pairHash < 4000)
+          .select(col("a.event_type").as("event_type"),
+            col("a.t").as("i"), col("b.t").as("j"),
+            ((col("b.v") - col("a.v")) / (col("b.t") - col("a.t"))).as("slope"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"slope", $"i", $"j")
+        val wN = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+        slopes
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wN))
+          .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("n div 2 + 1"))
+          .groupBy($"event_type")
+          .agg(
+            max($"n").as("n_pairs"),
+            round(sum($"slope") / count(lit(1)), 4).as("theil_sen_slope"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2
+             |), pos AS (
+             |  SELECT event_type, v,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS BIGINT) AS t
+             |  FROM daily
+             |), slopes AS (
+             |  SELECT a.event_type, a.t AS i, b.t AS j,
+             |    (b.v - a.v) / (b.t - a.t) AS slope
+             |  FROM pos a JOIN pos b
+             |    ON a.event_type = b.event_type AND a.t < b.t
+             |   AND ('0x' || substr(md5(a.event_type || ':' ||
+             |     CAST(a.t AS VARCHAR) || ':' || CAST(b.t AS VARCHAR)), 1, 15))::BIGINT
+             |     % 10000 < 4000
+             |), ranked AS (
+             |  SELECT event_type, i, j, slope,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY slope, i, j) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM slopes
+             |)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+             |  round(sum(slope) / count(*), 4) AS theil_sen_slope
+             |FROM ranked
+             |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // Poisson-bootstrap confidence interval (a42) — distribution-free
     // inference for ANY statistic, in the spelling that actually works
     // at scale: instead of materializing B resamples (B index joins),

@@ -456,6 +456,50 @@ class RetrievalRulesSpec extends SparkSpec {
     }
   }
 
+  test("a41b_theil_sen_sampled: exact replay of the hash-sampled median; lands in the exact distribution's middle band") {
+    import spark.implicits._
+    val out = Registry.queries("a41b_theil_sen_sampled")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, "/root/testdata/sf0.01")
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("v"))
+      .select($"event_type", $"day", $"v")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+    // the query's md5 pair predicate, replayed bit-exactly: first 15
+    // hex chars of md5("<event_type>:<i>:<j>") as a long, mod 10000
+    def kept(et: String, i: Int, j: Int): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$et:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 10000 < 4000
+    }
+    out.foreach { r =>
+      val key = r.getString(0)
+      val vs = daily.filter(_._1 == key).sortBy(_._2.getTime).map(_._3)
+      val all = (for (i <- vs.indices; j <- (i + 1) until vs.length)
+        yield ((vs(j) - vs(i)) / (j - i), i + 1, j + 1))
+      val sample = all.filter(t => kept(key, t._2, t._3))
+        .sortBy(t => (t._1, t._2, t._3))
+      // n_pairs reports the SAMPLED pair count
+      assert(r.getLong(1) == sample.length.toLong, s"$key n_pairs")
+      val m = sample.length
+      val want = if (m % 2 == 1) sample(m / 2)._1
+        else (sample(m / 2 - 1)._1 + sample(m / 2)._1) / 2
+      assert(math.abs(r.getDouble(2) - want) < 1e-3,
+        s"$key sampled median ${r.getDouble(2)} vs replay $want")
+      // tolerance vs the EXACT estimator: a median over a 40% uniform
+      // pair sample is a sample quantile with sd ≈ √(p(1−p)/m) ≈ 0.04
+      // in quantile units, so the sampled estimate must land within
+      // the exact slope distribution's [0.35, 0.65] band (≈3σ margin;
+      // measured 0.46–0.55 on this corpus)
+      val exactSorted = all.map(_._1).sorted
+      val q = exactSorted.count(_ <= r.getDouble(2)).toDouble / exactSorted.length
+      assert(q >= 0.35 && q <= 0.65,
+        s"$key sampled median at quantile $q of the exact slope distribution")
+    }
+  }
+
   test("a42_bootstrap_ci: interval brackets the mean and shrinks like 1/sqrt(n); weights are Poisson(1)-calibrated") {
     import spark.implicits._
     val out = Registry.queries("a42_bootstrap_ci")(spark, "/root/testdata/sf0.01").collect()
