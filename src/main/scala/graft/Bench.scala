@@ -63,6 +63,20 @@ object Bench {
     "sim_rrf_hybrid",      // BM25 + vector reciprocal-rank fusion
     "w21_holt_linear")     // per-key Holt fold (ops/HoltLinear)
 
+  /** Min-of-N steady-state sampling: two measured evaluations, plus a
+    * third when the faster reading is sub-second OR the two samples
+    * disagree by more than 2x — a shared-JVM load spike landing on one
+    * sample of a fast row otherwise publishes a phantom 8x regression
+    * (w21_holt_linear read 2.86 s in a driver snapshot vs 0.35 s in the
+    * same-commit local run). Failures inside `once` follow the caller's
+    * contract (logged-and-timed in the main loop, propagated in the
+    * A/B sections).  */
+  private def steadyMin(once: () => Double): Double = {
+    val a = once(); val b = once()
+    val m = math.min(a, b)
+    if (m < 1.0 || math.max(a, b) > 2 * m) math.min(m, once()) else m
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -106,7 +120,7 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      name -> steadyMin(() => once())
     }
     // Each A/B section is fenced: a section that cannot even set up (e.g.
     // a testdata layout drift) logs and contributes NO rows — publishing a
@@ -125,12 +139,24 @@ object Bench {
       ++ section("zorderScan")(zorderScanBench(spark, sfDir))
       ++ section("skewJoin")(skewJoinBench(spark, sfDir))
       ++ section("bloomScan")(bloomScanBench(spark, sfDir))
-      ++ section("intervalJoin")(intervalJoinBench(spark, sfDir)))
+      ++ section("intervalJoin")(intervalJoinBench(spark, sfDir))
+      ++ section("graphCands")(graphCandsBench(spark, sfDir)))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Candidate-volume telemetry for the quadratic-adjacent families:
+    * wedge/pair COUNTS (values are rows, not seconds) for the
+    * degree-oriented triangle join, the hub-capped link-prediction
+    * wedge join, and the a-priori-pruned market-basket pair join —
+    * wall time hides fan-out growth behind CPU headroom at small sf,
+    * so scale factors get the candidate volumes directly. Not part of
+    * `total`. */
+  private def graphCandsBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
+    graft.queries.GraphQueries.candidateCounts(spark, sfDir)
+      .map { case (k, v) => k -> v.toDouble }
 
   /** Operator A/B: the same as-of alignment through the composed
     * union-and-carry window (j8) vs the native AsofJoinExec sort-merge
@@ -143,12 +169,13 @@ object Bench {
       // same failure contract as the main loop: a regression prints a
       // line and records the elapsed time; it never kills the bench JSON
       val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      def once(): Double = {
         val t1 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t1) / 1e9
-      } catch {
+      }
+      try { once(); steadyMin(() => once()) }
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           (System.nanoTime() - t0) / 1e9
@@ -270,7 +297,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         once() // warm
-        once()
+        steadyMin(() => once())
       }
       // built once OUTSIDE the timings: the scan-sharing contract (a
       // prior stage that already scanned the fact hands the sketch in)
@@ -315,7 +342,7 @@ object Bench {
         f.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      once(); once()
+      once(); steadyMin(() => once())
     }
     Seq(
       "interval_join_binned" -> timeOf(agg(

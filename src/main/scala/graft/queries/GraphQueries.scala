@@ -429,4 +429,55 @@ object GraphQueries {
   /** Neighbor-list cap for the link-prediction wedge join (the
     * documented approximation contract — top-64 by co-purchase count). */
   private[graft] val HubCap = 64
+
+  /** Candidate-volume telemetry for the bench: the EXACT intermediate
+    * row counts the three quadratic-adjacent joins generate — the
+    * degree-oriented triangle wedge join, the hub-capped
+    * link-prediction wedge join, and the market-basket per-basket pair
+    * join (same pruned co-purchase graph, built once here). Wall time
+    * hides fan-out growth behind CPU headroom at small scale factors;
+    * these counts expose it directly (`*_cands` rows in BENCH json). */
+  private[graft] def candidateCounts(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(String, Long)] = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    val isup = items.groupBy(col("p")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 20)
+    val freq = items.join(broadcast(isup.select(col("p"))), "p")
+    // market basket: rows entering the per-basket pair self-join
+    // (C(frequent-in-basket, 2) summed over baskets)
+    val basketPairs = freq.as("a")
+      .join(freq.as("b"), col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+      .count()
+    val edges = freq.as("a")
+      .join(freq.as("b"), col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .persist()
+    val deg = edges.select(col("p1").as("p")).union(edges.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("p").as("p1"), col("d").as("d1")), "p1")
+      .join(deg.select(col("p").as("p2"), col("d").as("d2")), "p2")
+    val lower = (col("d1") < col("d2")) ||
+      (col("d1") === col("d2") && col("p1") < col("p2"))
+    val ori = withDeg.select(
+      when(lower, col("p1")).otherwise(col("p2")).as("a"),
+      when(lower, col("p2")).otherwise(col("p1")).as("b"))
+    // triangles: oriented wedges probed before the closing edge join
+    val triWedges = ori.as("e1")
+      .join(ori.as("e2"), col("e2.a") === col("e1.b")).count()
+    val adjW = edges.select(col("p1").as("u"), col("p2").as("v"), col("c"))
+      .union(edges.select(col("p2").as("u"), col("p1").as("v"), col("c")))
+    val adj = capAdjacency(adjW, HubCap).persist()
+    // link prediction: capped distance-2 wedges before the anti-join
+    val lpWedges = adj.as("x")
+      .join(adj.as("y"), col("x.v") === col("y.u") && col("x.u") < col("y.v"))
+      .count()
+    edges.unpersist(); adj.unpersist()
+    Seq(
+      "pipe_market_basket_cands" -> basketPairs,
+      "graph_triangles_cands" -> triWedges,
+      "graph_link_prediction_cands" -> lpWedges)
+  }
 }
