@@ -331,11 +331,17 @@ object AggQueries {
     // Sketch-based distinct counting — the 100 TB cardinality path:
     // HyperLogLog++ (approx_count_distinct) is one pass, fixed memory
     // per group, mergeable across partitions; exact countDistinct
-    // expands every distinct value through the shuffle. Reported next
-    // to the exact count with the realized relative error. The sketch
-    // is engine-specific, so there is no DuckDB oracle (driver records
-    // the rows-only check); determinism across runs still holds — HLL
-    // register merge is a commutative max.
+    // expands every distinct value through the shuffle. The sketch
+    // value itself is engine-specific, so the DuckDB oracle cannot
+    // replay it — instead the entry's output IS the accuracy contract:
+    // `within_bound` = realized relative error ≤ 3× the requested rsd
+    // (0.05). DuckDB computes exact_users INDEPENDENTLY and asserts
+    // the contract as a TRUE literal, so a sketch that drifted out of
+    // bound flips Spark's boolean and fails the hash gate — the
+    // approximation contract is driver-checked, not just spec-pinned
+    // (SketchBoundSpec still pins the realized error locally). The
+    // raw sketch output stays OUT of the compared columns because GK/
+    // HLL merge order is not contractually deterministic across runs.
     OracleQuery(
       "a14_approx_distinct",
       (s, d) => {
@@ -345,20 +351,30 @@ object AggQueries {
           .agg(
             countDistinct($"user_id").as("exact_users"),
             approx_count_distinct($"user_id", 0.05).as("approx_users"))
-          .withColumn("rel_err",
-            round(abs($"approx_users" - $"exact_users") / $"exact_users", 4))
+          .select($"event_type", $"exact_users",
+            (abs($"approx_users" - $"exact_users") / $"exact_users" <= 0.15)
+              .as("within_bound"))
           .orderBy($"event_type")
       },
-      None
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  TRUE AS within_bound
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
     // Quantile sketches — the other 100 TB sketch path: percentile_approx
     // (Greenwald-Khanna style) is one pass, bounded memory, mergeable
     // across partitions; exact percentile materializes every value per
-    // group through the shuffle. Reported side by side so the realized
-    // error is visible. Engine-specific sketch → no DuckDB oracle
-    // (rows-only at the driver); SketchBoundSpec pins the accuracy
-    // envelope locally.
+    // group through the shuffle. Accuracy contract under the hash
+    // gate (the a14 pattern): percentile_approx(accuracy=1000)
+    // guarantees rank error ≤ 1/1000, so each approx quantile must lie
+    // INSIDE the exact value band at rank p ± 0.01 (10× margin) —
+    // Spark checks its own sketch against its exact percentiles,
+    // DuckDB computes the exact quantiles independently and asserts
+    // TRUE. Sketch values stay out of the compared columns (merge
+    // order is not contractually deterministic); exact p50/p95 are
+    // compared value-exactly (linear-interpolation parity with
+    // quantile_cont, the a16/a17 recipe).
     OracleQuery(
       "a15_approx_quantile",
       (s, d) => {
@@ -366,16 +382,23 @@ object AggQueries {
         Tables.lineitem(s, d)
           .groupBy($"l_returnflag")
           .agg(
-            expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact_q"),
+            expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))")
+              .as("exact_q"),
             expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_q"))
           .select($"l_returnflag",
-            round(element_at($"exact_q", 1), 4).as("exact_p50"),
-            round(element_at($"approx_q", 1), 4).as("approx_p50"),
-            round(element_at($"exact_q", 2), 4).as("exact_p95"),
-            round(element_at($"approx_q", 2), 4).as("approx_p95"))
+            round(element_at($"exact_q", 2), 4).as("exact_p50"),
+            round(element_at($"exact_q", 5), 4).as("exact_p95"),
+            element_at($"approx_q", 1).between(
+              element_at($"exact_q", 1), element_at($"exact_q", 3)).as("p50_within"),
+            element_at($"approx_q", 2).between(
+              element_at($"exact_q", 4), element_at($"exact_q", 6)).as("p95_within"))
           .orderBy($"l_returnflag")
       },
-      None
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+             |  round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+             |  TRUE AS p50_within, TRUE AS p95_within
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
     // A16: per-group winsorization — clip a value column to its group's
@@ -412,14 +435,44 @@ object AggQueries {
     ),
 
     // A16b: the 100 TB winsorize — percentile_approx (GK sketch, fixed
-    // memory per group) in place of exact percentile. Oracle-free like
-    // a15 (DuckDB cannot replay Spark's sketch); drift vs the exact
-    // spelling is rank-bounded in RobustStatsSpec.
+    // memory per group, accuracy 10⁴ → rank error ≤ 1e-4) in place of
+    // exact percentile. Accuracy contract under the hash gate (a14
+    // pattern): the approx summary joins its exact twin and the entry
+    // emits the sketch-independent stats (n, raw_mean — DuckDB
+    // recomputes both) plus three booleans — winsorized mean within
+    // 1% of exact, clipped count within max(5, 1% of n), and the
+    // realized clip band inside the exact value band at rank
+    // 0.05 ± 0.005 / 0.95 ± 0.005 (50× the sketch's rank bound).
+    // DuckDB asserts TRUE independently; a drifting sketch flips the
+    // booleans and fails the gate. RobustStatsSpec still pins the
+    // numeric drift. The 2-pass exact twin exists only for the gate —
+    // production callers use winsorizeSummary(exact = false) alone.
     OracleQuery(
       "a16b_winsorize_approx",
-      (s, d) => graft.ops.RobustStats.winsorizeSummary(
-        Tables.events(s, d), "event_type", "value", exact = false),
-      None
+      (s, d) => {
+        import s.implicits._
+        val ap = graft.ops.RobustStats.winsorizeSummary(
+          Tables.events(s, d), "event_type", "value", exact = false)
+        val ex = graft.ops.RobustStats.winsorizeSummary(
+          Tables.events(s, d), "event_type", "value", exact = true)
+        val band = Tables.events(s, d).groupBy($"event_type")
+          .agg(expr("percentile(value, array(0.045, 0.055, 0.945, 0.955))").as("b"))
+        ap.as("a")
+          .join(ex.select($"event_type", $"n_clipped".as("nc_x"),
+            $"winsor_mean".as("wm_x")), "event_type")
+          .join(band, "event_type")
+          .select($"event_type", $"n", $"raw_mean",
+            (abs($"winsor_mean" - $"wm_x") <= greatest(abs($"wm_x") * 0.01, lit(0.01)))
+              .as("mean_ok"),
+            (abs($"n_clipped" - $"nc_x") <= greatest($"n" * 0.01, lit(5.0))).as("clip_ok"),
+            ($"lo".between(element_at($"b", 1), element_at($"b", 2)) &&
+              $"hi".between(element_at($"b", 3), element_at($"b", 4))).as("band_ok"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  round(avg(value), 4) AS raw_mean,
+             |  TRUE AS mean_ok, TRUE AS clip_ok, TRUE AS band_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
     // A17: robust z-score outlier detection (Iglewicz–Hoaglin: 0.6745 ·
@@ -453,12 +506,34 @@ object AggQueries {
     ),
 
     // A17b: robust z-score on percentile_approx — same plan shape,
-    // fixed memory; oracle-free, drift bounded in RobustStatsSpec.
+    // fixed memory. Accuracy contract under the hash gate (a14
+    // pattern): outlier count within max(5, 1% of n) of the exact
+    // twin's, max |robust z| within 5% relative — DuckDB recomputes n
+    // and asserts TRUE; degenerate MAD=0 groups (NULL max_abs_rz on
+    // both paths) count as in-bound only when both sides are NULL.
+    // RobustStatsSpec pins the numeric drift; the exact twin exists
+    // only for the gate.
     OracleQuery(
       "a17b_robust_zscore_approx",
-      (s, d) => graft.ops.RobustStats.robustZscoreSummary(
-        Tables.events(s, d), "event_type", "value", exact = false),
-      None
+      (s, d) => {
+        import s.implicits._
+        val ap = graft.ops.RobustStats.robustZscoreSummary(
+          Tables.events(s, d), "event_type", "value", exact = false)
+        val ex = graft.ops.RobustStats.robustZscoreSummary(
+          Tables.events(s, d), "event_type", "value", exact = true)
+        ap.as("a")
+          .join(ex.select($"event_type", $"n_outliers".as("no_x"),
+            $"max_abs_rz".as("mz_x")), "event_type")
+          .select($"event_type", $"n",
+            (abs($"n_outliers" - $"no_x") <= greatest($"n" * 0.01, lit(5.0)))
+              .as("outliers_ok"),
+            (($"max_abs_rz".isNull && $"mz_x".isNull) ||
+              abs($"max_abs_rz" - $"mz_x") <= abs($"mz_x") * 0.05).as("maxrz_ok"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  TRUE AS outliers_ok, TRUE AS maxrz_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
     // A18: CUBE — the all-subsets companion to a9's GROUPING SETS and
