@@ -1700,6 +1700,57 @@ object PipelineQueries {
              |  round(((t_post - t_pre) - (c_post - c_pre))
              |    / sqrt(v_tp + v_t0 + v_cp + v_c0), 4) AS t_stat
              |FROM wide""".stripMargin)
+    ),
+
+    // Golden replay as a DRIVER-GATED row: the full eval stack (join →
+    // filters → zero-filled features → positional 70/15/15 split →
+    // Ridge / kNN / Persistence → metrics) runs on the reference's OWN
+    // committed KLGA parquet (not the sf testdata — the `d` argument is
+    // deliberately unused) and must reproduce the metrics the reference
+    // PUBLISHED in its committed run (comparison.json /
+    // models/<name>/metrics.json of notebooks/runs/20260121_173246).
+    // Output = the published numbers as literals plus `replay_ok`, the
+    // boolean that every computed metric lands within 1e-3 of its
+    // published value (Ridge/Persistence replay to ~1e-4; kNN to ~3e-4
+    // — sklearn's tie choice among equidistant rank-k neighbors is
+    // algorithm-dependent) and n = 549 exactly. The oracle embeds the
+    // same published rows with TRUE — so the headline "numerically the
+    // reference" claim is a CORRECTNESS row the driver checks every
+    // round, not only a locally-run spec (GoldenReplaySpec still pins
+    // the full calibration + slice detail).
+    OracleQuery(
+      "pipe_golden_replay",
+      (s, d) => {
+        import s.implicits._
+        val refRoot = sys.env.getOrElse("GRAFT_REFERENCE_ROOT", "/root/reference")
+        val out = graft.eval.GoldenReplay.run(s, refRoot)
+        val published = Seq(
+          ("Persistence", 2.5718, 4.7381, 0.002, 0.9029),
+          ("Ridge(alpha=1.0)", 1.1534, 1.4039, 0.7286, 0.9915),
+          ("kNN (k=50)", 1.2287, 1.5196, 0.7812, 0.99))
+        val rows = published.map { case (name, mae, rmse, bias, r2) =>
+          val m = out(name).metrics
+          val ok = m.n == 549L &&
+            math.abs(m.mae - mae) <= 1e-3 && math.abs(m.rmse - rmse) <= 1e-3 &&
+            math.abs(m.bias - bias) <= 1e-3 && math.abs(m.r2 - r2) <= 1e-3
+          (name, m.n, mae, rmse, bias, r2, ok)
+        }
+        s.createDataFrame(rows)
+          .toDF("model", "n", "mae", "rmse", "bias", "r2", "replay_ok")
+          .orderBy($"model")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('Persistence', CAST(549 AS BIGINT), CAST(2.5718 AS DOUBLE),
+             |   CAST(4.7381 AS DOUBLE), CAST(0.002 AS DOUBLE),
+             |   CAST(0.9029 AS DOUBLE), TRUE),
+             |  ('Ridge(alpha=1.0)', CAST(549 AS BIGINT), CAST(1.1534 AS DOUBLE),
+             |   CAST(1.4039 AS DOUBLE), CAST(0.7286 AS DOUBLE),
+             |   CAST(0.9915 AS DOUBLE), TRUE),
+             |  ('kNN (k=50)', CAST(549 AS BIGINT), CAST(1.2287 AS DOUBLE),
+             |   CAST(1.5196 AS DOUBLE), CAST(0.7812 AS DOUBLE),
+             |   CAST(0.99 AS DOUBLE), TRUE))
+             |  AS t(model, n, mae, rmse, bias, r2, replay_ok)
+             |ORDER BY model""".stripMargin)
     )
   )
 }
