@@ -1953,6 +1953,113 @@ object AggQueries {
              |  round(lo, 4) AS ci_lo, round(hi, 4) AS ci_hi
              |FROM picks JOIN base USING (event_type)
              |ORDER BY event_type""".stripMargin)
+    ),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences (a43) — the user-journey / Sankey primitive: for every
+    // (from, to) event-type pair, how often does a user's next event
+    // follow, and with what conditional probability. Scale shape: ONE
+    // (user_id) window sort produces the next-event pairing (the
+    // sessionize exchange class — at 100 TB this is the same shuffle a
+    // sessionization already pays, so journeys ride along free), then
+    // a hash aggregate onto the |types|² transition matrix — a
+    // sketch-sized result regardless of fact size. Row-normalization
+    // divides exact integer counts; display rounding is the
+    // build-proof floor spelling. Order ties inside a user's same
+    // timestamp break on event_id — the total order both engines
+    // replay identically.
+    OracleQuery(
+      "a43_markov_transitions",
+      (s, d) => {
+        import s.implicits._
+        val wSeq = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wFrom = org.apache.spark.sql.expressions.Window
+          .partitionBy($"from_type")
+        Tables.events(s, d)
+          .withColumn("to_type", lead($"event_type", 1).over(wSeq))
+          .filter($"to_type".isNotNull)
+          .groupBy($"event_type".as("from_type"), $"to_type")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("p",
+            floor($"cnt" / sum($"cnt").over(wFrom).cast("double") * 10000 + 0.5)
+              / 10000)
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type AS from_type,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events
+             |), cnts AS (
+             |  SELECT from_type, to_type, count(*) AS cnt
+             |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+             |)
+             |SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+             |  floor(cnt / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE)
+             |    * 10000 + 0.5) / 10000 AS p
+             |FROM cnts ORDER BY from_type, to_type""".stripMargin)
+    ),
+
+    // Gini coefficient of per-group value concentration (a44) — the
+    // inequality/concentration profile (how top-heavy is revenue per
+    // event type?) that drives sampling and mixing decisions upstream
+    // of training: G = (2·Σ i·x(i) − (n+1)·Σx) / (n·Σx) over the
+    // ascending-sorted values. Scale shape: one per-group sort
+    // (row_number window) and one hash aggregate — the i·x products
+    // are row-local IEEE doubles cast to DECIMAL(28,10) so the big
+    // reduction is summation-order-exact; equal values may permute
+    // their ranks between engines but Σ i·x is invariant under
+    // permutations within a tie class, so the statistic is
+    // deterministic without a tiebreak column. Values are shifted
+    // positive (Gini assumes x ≥ 0) by the documented min-shift.
+    OracleQuery(
+      "a44_gini",
+      (s, d) => {
+        import s.implicits._
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"x")
+        val shifted = Tables.events(s, d)
+          .groupBy($"event_type").agg(min($"value").as("vmin"))
+          .join(Tables.events(s, d), "event_type")
+          // shift so the support is nonnegative: x = value − min (per
+          // group); identical arithmetic on both engines
+          .select($"event_type", ($"value" - $"vmin").as("x"))
+        shifted
+          .withColumn("i", row_number().over(wRank).cast("double"))
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(($"i" * $"x").cast("decimal(28,10)")).cast("double").as("six"),
+            sum($"x".cast("decimal(28,10)")).cast("double").as("sx"))
+          .select($"event_type", $"n",
+            // nullif guards the all-equal degenerate group (sx = 0):
+            // Spark's non-ANSI divide yields NULL but DuckDB yields
+            // ±inf — nullif makes both sides NULL
+            (floor((lit(2.0) * $"six" - ($"n" + 1) * $"sx")
+              / nullif($"n" * $"sx", lit(0.0)) * 10000 + 0.5) / 10000).as("gini"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH shifted AS (
+             |  SELECT e.event_type, e.value - m.vmin AS x
+             |  FROM events e
+             |  JOIN (SELECT event_type, min(value) AS vmin
+             |        FROM events GROUP BY 1) m USING (event_type)
+             |), ranked AS (
+             |  SELECT event_type, x,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY x)
+             |      AS DOUBLE) AS i
+             |  FROM shifted
+             |), agg AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(sum(CAST(i * x AS DECIMAL(28,10))) AS DOUBLE) AS six,
+             |    CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx
+             |  FROM ranked GROUP BY 1
+             |)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  floor((2.0 * six - (n + 1) * sx) / nullif(n * sx, 0) * 10000 + 0.5)
+             |    / 10000 AS gini
+             |FROM agg ORDER BY event_type""".stripMargin)
     )
   )
 }

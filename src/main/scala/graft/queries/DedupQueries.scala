@@ -944,9 +944,16 @@ ORDER BY doc_a, doc_b""")
     // construction, no similarity structure assumed. The global rank
     // comes from ops/PrefixSum's bucket-parallel cumsum (the o10
     // spelling — never a single-reducer window), and the window join
-    // is an equi-join on the rank's w-block with an adjacent-block
-    // union: |Δrank| ≤ w pairs live in the same or neighboring block,
-    // so the candidate join stays hash-shaped. Misses duplicates whose
+    // is an equi-join on the rank's w-block: |Δrank| ≤ w pairs live in
+    // the same or neighboring block, and the LEFT side explodes into
+    // both candidate blocks (blk, blk+1) so the join key is a single
+    // equality — an OR of two equalities is NOT an equi-predicate and
+    // Spark would plan the whole thing as a BroadcastNestedLoopJoin
+    // (measured: the BNLJ spelling ran levenshtein over all n² pairs
+    // at the 10× spot-bench, 20+ min; the exploded hash join is
+    // sub-second — the BandJoin/IntervalJoin lesson applied here).
+    // Each true pair still meets exactly once: b's block is unique, so
+    // only the matching a-copy joins. Misses duplicates whose
     // keys sort far apart — the documented contract (multi-pass over
     // several sort keys is the standard remedy); edit distance ≤ 2
     // verifies candidates, exactly the dedup_editdist_fuzzy predicate.
@@ -963,17 +970,19 @@ ORDER BY doc_a, doc_b""")
         val ranked = graft.ops.PrefixSum
           .withCumsum(parts, "g", "sortkey", "one", outCol = "rnk", buckets = 32)
           .select($"p_partkey", $"p_name", $"rnk", floor($"rnk" / wWin).as("blk"))
-        val cand = ranked.as("a")
+        val probe = ranked
+          .withColumn("jblk", explode(array($"blk", $"blk" + 1)))
+        val cand = probe.as("a")
           .join(ranked.as("b"),
-            (col("b.blk") === col("a.blk") || col("b.blk") === col("a.blk") + 1)
+            col("b.blk") === col("a.jblk")
               && col("b.rnk") > col("a.rnk")
               && col("b.rnk") - col("a.rnk") <= wWin)
           .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
             (col("b.rnk") - col("a.rnk")).cast("long").as("gap"))
         cand
-          .filter(levenshtein($"name_a", $"name_b") <= 2)
-          .select($"name_a", $"name_b", $"gap",
-            levenshtein($"name_a", $"name_b").cast("long").as("dist"))
+          .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+          .filter($"dist" <= 2)
+          .select($"name_a", $"name_b", $"gap", $"dist")
           .orderBy($"name_a", $"name_b", $"gap")
       },
       Some("""WITH ranked AS (

@@ -995,6 +995,59 @@ object WindowQueries {
                |  round(mh, 4) AS mae_holt, round(ms, 4) AS mae_snaive,
                |  round(mh / ms, 4) AS mae_ratio
                |FROM scored ORDER BY event_type""".stripMargin)
+      ),
+
+      // W24: lead–lag cross-correlation — which daily series LEADS
+      // which (does signup activity today predict purchases in k
+      // days?): for every ordered pair of event types and every lag in
+      // [-3, 3], corr(a(t), b(t + lag)) over the aligned day range.
+      // Scale shape: the fact collapses to the day grain FIRST (one
+      // hash agg — the pair analysis never touches fact rows), then
+      // the lag alignment is a self-join of the tiny daily frame on
+      // the day key shifted by each lag (explode over 7 lags — a
+      // bounded map-side fan-out), and each (pair, lag) correlation is
+      // one moment aggregate over ≤31 aligned rows. Output is keyed by
+      // (a, b, lag) — a pure key order, so no value-ordering
+      // fragility; corr co-moments differ in last-ulp between engines,
+      // so display rounding is the build-proof floor spelling (the w15
+      // recipe), with NaN (zero-variance alignment) normalized to NULL
+      // on both sides.
+      OracleQuery(
+        "w24_lead_lag",
+        (s, d) => {
+          import s.implicits._
+          val daily = Tables.events(s, d)
+            .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+            .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("v"))
+          val lags = s.range(-3, 4).select($"id".cast("int").as("lag"))
+          val a = daily.select($"event_type".as("a"), $"day", $"v".as("va"))
+            .crossJoin(broadcast(lags))
+          val b = daily.select($"event_type".as("b"),
+            $"day".as("bday"), $"v".as("vb"))
+          val c = corr($"va", $"vb")
+          a.join(b, $"bday" === expr("day + make_interval(0, 0, 0, lag)")
+              && $"a" =!= $"b")
+            .groupBy($"a", $"b", $"lag")
+            .agg(count(lit(1)).as("n_days"), c.as("c"))
+            .select($"a", $"b", $"lag", $"n_days",
+              (floor(when(isnan($"c"), lit(null)).otherwise($"c") * 10000 + 0.5)
+                / 10000).as("xcorr"))
+            .orderBy($"a", $"b", $"lag")
+        },
+        Some("""WITH daily AS (
+               |  SELECT event_type, date_trunc('day', ts) AS day,
+               |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+               |  FROM events GROUP BY 1, 2
+               |), lags AS (SELECT unnest(generate_series(-3, 3)) AS lag)
+               |SELECT a.event_type AS a, b.event_type AS b, CAST(l.lag AS INT) AS lag,
+               |  count(*) AS n_days,
+               |  floor(corr(a.v, b.v) * 10000 + 0.5) / 10000 AS xcorr
+               |FROM daily a
+               |CROSS JOIN lags l
+               |JOIN daily b ON b.day = a.day + to_days(CAST(l.lag AS INTEGER))
+               |  AND a.event_type <> b.event_type
+               |GROUP BY 1, 2, 3
+               |ORDER BY a, b, lag""".stripMargin)
       )
     )
   }

@@ -538,4 +538,83 @@ class RetrievalRulesSpec extends SparkSpec {
     revs.sliding(2).foreach(w => assert(w(0) >= w(1)))
     assert(revs.forall(_ > 0.0))
   }
+
+  test("a43_markov_transitions: rows normalize to 1, counts conserve, driver replay") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val out = Registry.queries("a43_markov_transitions")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per-from probabilities sum to ~1 (each p rounded to 4dp, so the
+    // row sum is within 5e-4 · fanout of exactly 1)
+    out.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val pSum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) <= 5e-4 * rows.length, s"$from: Σp=$pSum")
+    }
+    // transition count conservation: Σ cnt = Σ_users max(0, n_events−1)
+    val perUser = graft.core.Tables.events(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .agg(sum($"n" - 1)).collect()(0).getLong(0)
+    assert(out.map(_.getLong(2)).sum == perUser)
+    // driver replay of a sampled user's sequence
+    val seq0 = graft.core.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .groupBy(_._1)
+    val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    seq0.values.foreach { evs =>
+      val ordered = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      ordered.sliding(2).foreach {
+        case Array(f, t) => pairCnt((f, t)) = pairCnt.getOrElse((f, t), 0L) + 1
+        case _ => ()
+      }
+    }
+    out.foreach { r =>
+      assert(pairCnt.getOrElse((r.getString(0), r.getString(1)), 0L) == r.getLong(2),
+        s"cnt(${r.getString(0)}→${r.getString(1)})")
+    }
+  }
+
+  test("a44_gini: bounds, invariance to value shift in replay, driver replay") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val out = Registry.queries("a44_gini")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val g = r.getDouble(2)
+      // Gini of a nonnegative support lives in [0, 1)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: gini $g out of range")
+    }
+    // driver replay of the exact formula on the shifted values
+    val vals = graft.core.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1)
+    out.foreach { r =>
+      val key = r.getString(0)
+      val raw = vals(key).map(_._2)
+      val mn = raw.min
+      val xs = raw.map(_ - mn).sorted
+      val n = xs.length
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum
+      val g = (2.0 * six - (n + 1) * sx) / (n * sx)
+      assert(r.getLong(1) == n.toLong)
+      assert(math.abs(r.getDouble(2) - g) <= 2e-4, s"$key: ${r.getDouble(2)} vs $g")
+    }
+  }
+
+  test("w24_lead_lag: symmetry xcorr(a,b,k) = xcorr(b,a,-k); lag-0 pairs mirror; bounds") {
+    val out = Registry.queries("w24_lead_lag")(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 5 * 4 * 7, s"expected full pair×lag grid, got ${out.length}")
+    out.foreach(r => assert(!r.isNullAt(4), s"null xcorr at $r"))
+    val byKey = out.map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    byKey.foreach { case ((a, b, k), (n, c)) =>
+      assert(c >= -1.0001 && c <= 1.0001, s"($a,$b,$k): xcorr $c out of [-1,1]")
+      // alignment symmetry: corr(a(t), b(t+k)) is the same aligned set
+      // as corr(b(t), a(t−k)) — identical n and (up to rounding) value
+      val (n2, c2) = byKey((b, a, -k))
+      assert(n == n2, s"($a,$b,$k): n $n vs mirrored $n2")
+      assert(math.abs(c - c2) <= 2e-4, s"($a,$b,$k): $c vs mirrored $c2")
+    }
+  }
 }
