@@ -61,7 +61,8 @@ object Bench {
     "sim_pca_power",       // matrix-free power iteration (3 scans)
     "graph_triangles",     // degree-ordered triangle counting
     "sim_rrf_hybrid",      // BM25 + vector reciprocal-rank fusion
-    "w21_holt_linear")     // per-key Holt fold (ops/HoltLinear)
+    "w21_holt_linear",     // per-key Holt fold (ops/HoltLinear)
+    "a42b_bootstrap_ci_fast") // xxhash64 Poisson-bootstrap (production draw)
 
   /** Min-of-N steady-state sampling: two measured evaluations, plus a
     * third when the faster reading is sub-second OR the two samples

@@ -1955,6 +1955,62 @@ object AggQueries {
              |ORDER BY event_type""".stripMargin)
     ),
 
+    // a42b: the PRODUCTION bootstrap — identical Poisson-weight
+    // algebra, but the per-(row, replicate) uniform comes from
+    // xxhash64 instead of the md5-hex-conv chain. The md5 spelling
+    // above exists because DuckDB can replay it bit-exactly (the full
+    // CI under the hash gate); its cost is real — 200M md5+conv
+    // evaluations took 111 s at the 10× spot-bench, ~20× the rest of
+    // the query — while xxhash64 is a native codegen'd hash (one
+    // multiply-rotate pipeline per draw). DuckDB has no xxhash64, so
+    // this entry is gated by the CONTRACT pattern (the a14 recipe):
+    // the oracle recomputes the exact mean independently and asserts
+    // the two CI booleans — brackets (lo < mean < hi) and width
+    // inside a generous CLT envelope ([1/3, 3]× of 2·1.96·σ/√n) —
+    // so a broken weight stream fails the driver gate even though the
+    // draws themselves are engine-specific.
+    OracleQuery(
+      "a42b_bootstrap_ci_fast",
+      (s, d) => {
+        import s.implicits._
+        val bReps = 200
+        val weighted = Tables.events(s, d)
+          .select($"event_type", $"event_id", $"value")
+          .crossJoin(s.range(0, bReps).select($"id".cast("long").as("b")))
+          .withColumn("u", pmod(xxhash64($"event_id", $"b"), lit(10000L)))
+          .withColumn("w",
+            when($"u" < 3679, 0L).when($"u" < 7358, 1L).when($"u" < 9197, 2L)
+              .when($"u" < 9810, 3L).when($"u" < 9963, 4L).otherwise(5L))
+        val reps = weighted.groupBy($"event_type", $"b")
+          .agg((sum(($"value" * $"w").cast("decimal(28,10)")).cast("double")
+            / sum($"w")).as("mb"), sum($"w").as("sw"))
+          .filter($"sw" > 0).drop("sw")
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"mb", $"b")
+        val picks = reps.withColumn("rn", row_number().over(wRank))
+          .filter($"rn" === 5 || $"rn" === 195)
+        val base = Tables.events(s, d).groupBy($"event_type")
+          .agg(
+            (sum($"value".cast("decimal(28,10)")).cast("double")
+              / count(lit(1))).as("mean"),
+            stddev_pop($"value").as("sd"), count(lit(1)).as("n"))
+        picks.groupBy($"event_type")
+          .agg(min($"mb").as("lo"), max($"mb").as("hi"))
+          .join(base, "event_type")
+          .select($"event_type", round($"mean", 4).as("mean"),
+            ($"lo" < $"mean" && $"mean" < $"hi").as("brackets"),
+            (($"hi" - $"lo") >= lit(2.0) * 1.96 * $"sd" / sqrt($"n") / 3.0 &&
+              ($"hi" - $"lo") <= lit(2.0) * 1.96 * $"sd" / sqrt($"n") * 3.0)
+              .as("width_ok"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+             |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+             |    / count(*), 4) AS mean,
+             |  TRUE AS brackets, TRUE AS width_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // First-order Markov transition matrix over per-user event
     // sequences (a43) — the user-journey / Sankey primitive: for every
     // (from, to) event-type pair, how often does a user's next event

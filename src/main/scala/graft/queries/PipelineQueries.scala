@@ -1702,6 +1702,56 @@ object PipelineQueries {
              |FROM wide""".stripMargin)
     ),
 
+    // Sample-ratio-mismatch check (SRM) — the experimentation
+    // guardrail run before ANY A/B readout is trusted: with a 50/50
+    // hash assignment, does the realized per-segment arm split match?
+    // A skewed split means the assignment or logging is broken and
+    // every downstream lift number is garbage (the single most common
+    // silent A/B failure). Unit of randomization is the USER (the
+    // pipe_did md5 arm), so arms count DISTINCT users per segment;
+    // chi² = Σ (n_arm − E)²/E with E = (n0+n1)/2, df=1, α=0.05 cutoff
+    // 3.8415. Scale shape: one distinct-collapse + one tiny hash agg —
+    // the χ² arithmetic runs on a |segments|-row frame. All counts are
+    // exact integers; χ² divides exact ints in identical IEEE order,
+    // floor-spelled display rounding.
+    OracleQuery(
+      "pipe_srm_check",
+      (s, d) => {
+        import s.implicits._
+        val users = Tables.events(s, d)
+          .select($"event_type", $"user_id",
+            expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2")
+              .as("arm"))
+          .distinct()
+        users.groupBy($"event_type")
+          .agg(
+            sum(when($"arm" === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when($"arm" === 1, 1L).otherwise(0L)).as("n1"))
+          .select($"event_type", $"n0", $"n1",
+            (floor((($"n0" - ($"n0" + $"n1") / 2.0) * ($"n0" - ($"n0" + $"n1") / 2.0)
+              / (($"n0" + $"n1") / 2.0) * 2) * 10000 + 0.5) / 10000).as("chi2"),
+            ((($"n0" - ($"n0" + $"n1") / 2.0) * ($"n0" - ($"n0" + $"n1") / 2.0)
+              / (($"n0" + $"n1") / 2.0) * 2) > 3.8415).as("srm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH users AS (
+             |  SELECT DISTINCT event_type, user_id,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+             |  FROM events
+             |), counts AS (
+             |  SELECT event_type,
+             |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+             |  FROM users GROUP BY 1
+             |)
+             |SELECT event_type, n0, n1,
+             |  floor(((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+             |    / ((n0 + n1) / 2.0) * 2) * 10000 + 0.5) / 10000 AS chi2,
+             |  ((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+             |    / ((n0 + n1) / 2.0) * 2) > 3.8415 AS srm
+             |FROM counts ORDER BY event_type""".stripMargin)
+    ),
+
     // Golden replay as a DRIVER-GATED row: the full eval stack (join →
     // filters → zero-filled features → positional 70/15/15 split →
     // Ridge / kNN / Persistence → metrics) runs on the reference's OWN

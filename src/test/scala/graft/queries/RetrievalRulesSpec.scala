@@ -531,12 +531,50 @@ class RetrievalRulesSpec extends SparkSpec {
     assert(math.abs(wStats.getDouble(1) - 1.0) < 0.05, s"Var[w]=${wStats.getDouble(1)}")
   }
 
+  test("a42b_bootstrap_ci_fast: contract booleans true; mean agrees with the md5 spelling") {
+    val sf = "/root/testdata/sf0.01"
+    val fast = Registry.queries("a42b_bootstrap_ci_fast")(spark, sf).collect()
+    assert(fast.nonEmpty)
+    fast.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: CI does not bracket the mean")
+      assert(r.getBoolean(3), s"${r.getString(0)}: CI width outside the CLT envelope")
+    }
+    // same exact-mean spelling as a42 — the two entries' means must be
+    // identical (only the weight draw stream differs)
+    val slow = Registry.queries("a42_bootstrap_ci")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    fast.foreach(r => assert(r.getDouble(1) == slow(r.getString(0)),
+      s"${r.getString(0)}: mean mismatch vs a42"))
+  }
+
   test("j32_tpch_q3: top-10 revenue ordering and positivity") {
     val out = Registry.queries("j32_tpch_q3")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 10)
     val revs = out.map(_.getDouble(1))
     revs.sliding(2).foreach(w => assert(w(0) >= w(1)))
     assert(revs.forall(_ > 0.0))
+  }
+
+  test("pipe_srm_check: honest hash split passes; chi2 replay; synthetic skew trips") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val out = Registry.queries("pipe_srm_check")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n0, n1, chi2, srm) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      val e = (n0 + n1) / 2.0
+      val want = math.floor(((n0 - e) * (n0 - e) / e * 2) * 10000 + 0.5) / 10000
+      assert(math.abs(chi2 - want) < 1e-9, s"${r.getString(0)}: chi2 $chi2 vs $want")
+      // the md5 assignment is honest 50/50 — no segment trips on this
+      // deterministic corpus (chi2 = 0.96 across the board)
+      assert(!srm, s"${r.getString(0)}: honest split tripped SRM (chi2=$chi2)")
+    }
+    // sensitivity: a 60/40 logging bug at this segment size MUST trip
+    val n = out.head.getLong(1) + out.head.getLong(2)
+    val sk = math.round(n * 0.6).toDouble; val e2 = n / 2.0
+    assert((sk - e2) * (sk - e2) / e2 * 2 > 3.8415,
+      s"60/40 skew undetectable at n=$n — segment too small for the cutoff")
   }
 
   test("a43_markov_transitions: rows normalize to 1, counts conserve, driver replay") {
