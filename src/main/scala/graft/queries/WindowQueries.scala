@@ -1019,9 +1019,12 @@ object WindowQueries {
           val daily = Tables.events(s, d)
             .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
             .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("v"))
-          val lags = s.range(-3, 4).select($"id".cast("int").as("lag"))
           val a = daily.select($"event_type".as("a"), $"day", $"v".as("va"))
-            .crossJoin(broadcast(lags))
+            // row-local lag fan-out: explode(sequence) keeps the ×7
+            // entirely map-side (a crossJoin of a 7-row range would
+            // plan as a broadcast nested-loop — same rows, one more
+            // broadcast than needed)
+            .withColumn("lag", explode(sequence(lit(-3), lit(3))))
           val b = daily.select($"event_type".as("b"),
             $"day".as("bday"), $"v".as("vb"))
           val c = corr($"va", $"vb")
