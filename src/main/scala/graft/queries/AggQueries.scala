@@ -1981,9 +1981,13 @@ object AggQueries {
           .withColumn("w",
             when($"u" < 3679, 0L).when($"u" < 7358, 1L).when($"u" < 9197, 2L)
               .when($"u" < 9810, 3L).when($"u" < 9963, 4L).otherwise(5L))
+        // replicate sums are PLAIN double — nothing downstream of mb is
+        // hash-compared (the gated outputs are the DECIMAL-exact base
+        // mean plus the contract booleans, which tolerate summation-
+        // order noise), and the per-draw DECIMAL(28,10) adds were the
+        // second cost center after the hash itself in the md5 spelling
         val reps = weighted.groupBy($"event_type", $"b")
-          .agg((sum(($"value" * $"w").cast("decimal(28,10)")).cast("double")
-            / sum($"w")).as("mb"), sum($"w").as("sw"))
+          .agg((sum($"value" * $"w") / sum($"w")).as("mb"), sum($"w").as("sw"))
           .filter($"sw" > 0).drop("sw")
         val wRank = org.apache.spark.sql.expressions.Window
           .partitionBy($"event_type").orderBy($"mb", $"b")
