@@ -412,4 +412,41 @@ object InvariantProps extends Properties("graft") {
         f == o
       }
     }
+
+  // capAdjacency (GraphQueries): the hub guard behind the link-
+  // prediction wedge join. Random weighted digraphs; caps must hold,
+  // kept edges must be each node's TOP-weight neighbors (id tiebreak),
+  // and the wedge join through the capped adjacency must obey the
+  // structural cap·|E_capped| bound no matter the degree distribution.
+  private val adjGen = for {
+    nEdges <- Gen.chooseNum(1, 60)
+    edges <- Gen.listOfN(nEdges, for {
+      u <- Gen.chooseNum(0L, 12L); v <- Gen.chooseNum(0L, 12L)
+      c <- Gen.chooseNum(1, 50)
+    } yield (u, v, c))
+    cap <- Gen.chooseNum(1, 4)
+  } yield (edges.distinct, cap)
+
+  property("capAdjacency: per-node cap, top-weight selection, wedge bound") =
+    org.scalacheck.Prop.forAllNoShrink(adjGen) { case (edges, cap) =>
+      val adjW = edges.toDF("u", "v", "c")
+      val capped = graft.queries.GraphQueries.capAdjacency(adjW, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byU = capped.groupBy(_._1)
+      val capHolds = byU.values.forall(_.length <= cap)
+      // kept neighbors are exactly the top-cap by (weight desc, v asc)
+      val want = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.sortBy { case (_, v, c) => (-c, v) }.take(cap).map(_._2).toSet
+      }
+      val topWeight = byU.forall { case (u, kept) =>
+        kept.map(_._2).toSet == want(u)
+      }
+      val eCapped = capped.length.toLong
+      val adjSet = capped.toSet
+      val wedges = (for {
+        (a, z) <- capped; (z2, b) <- capped if z2 == z && a < b
+      } yield (a, b, z)).length
+      capHolds && topWeight && wedges <= cap * eCapped
+    }
+
 }
