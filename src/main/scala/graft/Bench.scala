@@ -62,7 +62,12 @@ object Bench {
     "graph_triangles",     // degree-ordered triangle counting
     "sim_rrf_hybrid",      // BM25 + vector reciprocal-rank fusion
     "w21_holt_linear",     // per-key Holt fold (ops/HoltLinear)
-    "a42b_bootstrap_ci_fast") // xxhash64 Poisson-bootstrap (production draw)
+    "a42b_bootstrap_ci_fast", // xxhash64 Poisson-bootstrap (production draw)
+    "graph_link_prediction",  // hub-capped wedge join + CN/Jaccard/AA
+    "dedup_sorted_neighborhood", // w-window linkage (exploded-block hash join)
+    "a43_markov_transitions", // user-journey transition matrix
+    "a44_gini",            // rank-weighted concentration profile
+    "w24_lead_lag")        // pairwise series cross-correlation at lags
 
   /** Min-of-N steady-state sampling: two measured evaluations, plus a
     * third when the faster reading is sub-second OR the two samples
