@@ -232,15 +232,21 @@ object Multimodal {
       }
     }
     if (frameOffsets.isEmpty) return None
+    // temporal order = FILE order of the frame chunks: the queue walk
+    // visits siblings in order but frames at DIFFERENT nesting depths
+    // (interleaved 'rec ' LISTs mixed with direct ##dc chunks — the
+    // standard AVI interleave) would still collect out of order, so
+    // sort by byte offset — the one ordering every layout agrees on
+    val ordered = frameOffsets.sortInPlaceBy(_._1)
 
-    val n = frameOffsets.length
+    val n = ordered.length
     val stride = math.max(1, n / maxProbeFrames)
     var prevLuma = Double.NaN
     var sumLuma = 0.0; var sumMotion = 0.0
     var probed = 0; var moved = 0
     var i = 0
     while (i < n) {
-      val (off, len) = frameOffsets(i)
+      val (off, len) = ordered(i)
       val frame = java.util.Arrays.copyOfRange(payload, off, off + len)
       decodeImage(frame) match {
         case Some(img) =>

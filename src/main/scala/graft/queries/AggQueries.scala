@@ -1797,7 +1797,7 @@ object AggQueries {
     // while the estimate stays a median over an unbiased pair sample
     // (Theil–Sen tolerates subsampling gracefully — the median of a
     // uniform pair sample converges to the pairwise-slope median;
-    // TheilSenSampledSpec pins the deviation vs the exact entry).
+    // RetrievalRulesSpec pins the deviation vs the exact entry).
     // Pair enumeration itself is still row-local join work; what the
     // sample removes is the exchange + total sort behind the order
     // statistic, which is the part that scales superlinearly. The
@@ -1837,7 +1837,11 @@ object AggQueries {
           .groupBy($"event_type")
           .agg(
             max($"n").as("n_pairs"),
-            round(sum($"slope") / count(lit(1)), 4).as("theil_sen_slope"))
+            // floor spelling: the sampled median lands arbitrarily, so
+            // round() would be one DuckDB-build boundary away from a
+            // w15-style phantom hash fail
+            (floor(sum($"slope") / count(lit(1)) * 10000 + 0.5) / 10000)
+              .as("theil_sen_slope"))
           .orderBy($"event_type")
       },
       Some("""WITH daily AS (
@@ -1865,7 +1869,7 @@ object AggQueries {
              |  FROM slopes
              |)
              |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
-             |  round(sum(slope) / count(*), 4) AS theil_sen_slope
+             |  floor(sum(slope) / count(*) * 10000 + 0.5) / 10000 AS theil_sen_slope
              |FROM ranked
              |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
@@ -1917,8 +1921,10 @@ object AggQueries {
         picks.groupBy($"event_type")
           .agg(min($"mb").as("lo"), max($"mb").as("hi"))
           .join(base, "event_type")
-          .select($"event_type", round($"mean", 4).as("mean"),
-            round($"lo", 4).as("ci_lo"), round($"hi", 4).as("ci_hi"))
+          .select($"event_type",
+            (floor($"mean" * 10000 + 0.5) / 10000).as("mean"),
+            (floor($"lo" * 10000 + 0.5) / 10000).as("ci_lo"),
+            (floor($"hi" * 10000 + 0.5) / 10000).as("ci_hi"))
           .orderBy($"event_type")
       },
       Some("""WITH hashed AS (
@@ -1949,8 +1955,9 @@ object AggQueries {
              |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mean
              |  FROM events GROUP BY 1
              |)
-             |SELECT event_type, round(mean, 4) AS mean,
-             |  round(lo, 4) AS ci_lo, round(hi, 4) AS ci_hi
+             |SELECT event_type, floor(mean * 10000 + 0.5) / 10000 AS mean,
+             |  floor(lo * 10000 + 0.5) / 10000 AS ci_lo,
+             |  floor(hi * 10000 + 0.5) / 10000 AS ci_hi
              |FROM picks JOIN base USING (event_type)
              |ORDER BY event_type""".stripMargin)
     ),
@@ -2001,16 +2008,19 @@ object AggQueries {
         picks.groupBy($"event_type")
           .agg(min($"mb").as("lo"), max($"mb").as("hi"))
           .join(base, "event_type")
-          .select($"event_type", round($"mean", 4).as("mean"),
-            ($"lo" < $"mean" && $"mean" < $"hi").as("brackets"),
+          // non-strict bracket: a degenerate all-equal group collapses
+          // lo = mean = hi, which is a correct interval, not a miss
+          .select($"event_type",
+            (floor($"mean" * 10000 + 0.5) / 10000).as("mean"),
+            ($"lo" <= $"mean" && $"mean" <= $"hi").as("brackets"),
             (($"hi" - $"lo") >= lit(2.0) * 1.96 * $"sd" / sqrt($"n") / 3.0 &&
               ($"hi" - $"lo") <= lit(2.0) * 1.96 * $"sd" / sqrt($"n") * 3.0)
               .as("width_ok"))
           .orderBy($"event_type")
       },
       Some("""SELECT event_type,
-             |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
-             |    / count(*), 4) AS mean,
+             |  floor(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+             |    / count(*) * 10000 + 0.5) / 10000 AS mean,
              |  TRUE AS brackets, TRUE AS width_ok
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),

@@ -304,19 +304,22 @@ object GraphQueries {
     // single middle node. So each node's neighbor list is capped to
     // its top-HubCap (=64) neighbors by co-purchase count (ties by
     // neighbor id) BEFORE the wedge join — a per-u window rank, one
-    // exchange. Both wedge legs read the capped adjacency, so per
-    // middle node z the y-leg fans out to ≤ HubCap rows and total
-    // candidates are ≤ HubCap·|E_capped| ≤ HubCap²·|V| — per-task
-    // fan-out is bounded no matter how skewed the degree
-    // distribution (LinkPredictionCapSpec pins this on a synthetic
-    // hub graph). Degrees (Jaccard denominator, Adamic–Adar ln) are
-    // the CAPPED degrees, so scores are exact on the capped graph —
-    // the cap keeps the strongest edges, which is what the scores
-    // weight anyway. The oracle applies the identical cap. A shared z
-    // still has capped deg ≥ 2 (both wedge edges survive in z's own
-    // list only if ranked, but its capped out-degree is
-    // min(true deg, HubCap) ≥ 2 because a–z and z–b exist uncapped),
-    // so 1/ln(deg) stays finite.
+    // exchange. Wedges are generated Z-CENTRICALLY: candidate pair
+    // (a, b) comes from a PAIR within z's own capped list (self-join
+    // on the list owner), so z counts as a shared neighbor iff z
+    // keeps BOTH endpoints — symmetric in (a, b) by construction (a
+    // one-directional spelling like "z ∈ capped(a) ∧ b ∈ capped(z)"
+    // would score the same pair differently depending on which
+    // endpoint has the smaller id), and per middle node the fan-out
+    // is C(≤HubCap, 2) ≤ HubCap²/2 STRICTLY, total ≤
+    // HubCap·|E_capped|/2, no matter how skewed the degree
+    // distribution (pinned on a synthetic hub graph in GraphOpsSpec
+    // and on random graphs in InvariantProps). Degrees (Jaccard
+    // denominator, Adamic–Adar ln) are the CAPPED degrees — the cap
+    // keeps the strongest edges, which is what the scores weight
+    // anyway. The oracle applies the identical cap. A shared z has
+    // ≥ 2 kept neighbors by construction (a and b are both in its
+    // list), so 1/ln(deg) stays finite.
     //
     // Numeric parity: Adamic–Adar terms are double-divided then
     // DECIMAL(28,14)-cast before the sum (summation-order-exact, the
@@ -343,8 +346,8 @@ object GraphQueries {
         val adj = capAdjacency(adjW, HubCap)
         val deg = adj.groupBy($"u").agg(count(lit(1)).as("d"))
         val wedges = adj.as("x")
-          .join(adj.as("y"), col("x.v") === col("y.u") && col("x.u") < col("y.v"))
-          .select(col("x.u").as("a"), col("y.v").as("b"), col("x.v").as("z"))
+          .join(adj.as("y"), col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+          .select(col("x.v").as("a"), col("y.v").as("b"), col("x.u").as("z"))
         val scored = wedges
           .join(edges.select($"p1".as("a"), $"p2".as("b")), Seq("a", "b"), "left_anti")
           .join(deg.select($"u".as("z"), $"d".as("dz")), "z")
@@ -385,8 +388,8 @@ object GraphQueries {
              |), deg AS (
              |  SELECT u, count(*) AS d FROM adj GROUP BY 1
              |), wedges AS (
-             |  SELECT x.u AS a, y.v AS b, x.v AS z
-             |  FROM adj x JOIN adj y ON x.v = y.u AND x.u < y.v
+             |  SELECT x.v AS a, y.v AS b, x.u AS z
+             |  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
              |), cand AS (
              |  SELECT w.a, w.b, w.z FROM wedges w
              |  WHERE NOT EXISTS (
@@ -412,11 +415,11 @@ object GraphQueries {
 
   /** Per-middle-node fan-out bound for wedge joins: keep each node's
     * top-`n` neighbors by edge weight (desc, neighbor-id tiebreak) — a
-    * single per-u window rank. With both wedge legs reading the capped
-    * adjacency, any middle node z contributes ≤ n second-leg rows per
-    * first-leg row, so total wedge candidates are ≤ n·|E_capped| ≤
-    * n²·|V| regardless of degree skew — the guard that keeps the
-    * distance-2 join alive on a graph with 10⁵-degree hubs.
+    * single per-u window rank. Generating candidate pairs z-centrically
+    * (pairs within z's own capped list) bounds every middle node at
+    * C(n, 2) ≤ n²/2 wedges and the total at n·|E_capped|/2 regardless
+    * of degree skew — the guard that keeps the distance-2 join alive
+    * on a graph with 10⁵-degree hubs.
     * Input columns: u, v, c (edge weight); output: u, v. */
   private[graft] def capAdjacency(
       adjW: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
@@ -444,16 +447,18 @@ object GraphQueries {
     val isup = items.groupBy(col("p")).agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 20)
     val freq = items.join(broadcast(isup.select(col("p"))), "p")
-    // market basket: rows entering the per-basket pair self-join
-    // (C(frequent-in-basket, 2) summed over baskets)
-    val basketPairs = freq.as("a")
-      .join(freq.as("b"), col("a.k") === col("b.k") && col("a.p") < col("b.p"))
-      .count()
-    val edges = freq.as("a")
+    // ONE pair self-join serves both numbers: the pre-threshold
+    // aggregate's Σc IS the basket-pair candidate count
+    // (C(frequent-in-basket, 2) summed over baskets), and its c ≥ 2
+    // filtrate is the edge list — running the quadratic join twice
+    // would double the section's dominant cost
+    val pairAgg = freq.as("a")
       .join(freq.as("b"), col("a.k") === col("b.k") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .agg(count(lit(1)).as("c"))
       .persist()
+    val basketPairs = pairAgg.agg(sum(col("c"))).collect()(0).getLong(0)
+    val edges = pairAgg.filter(col("c") >= 2)
     val deg = edges.select(col("p1").as("p")).union(edges.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
     val withDeg = edges
@@ -470,11 +475,11 @@ object GraphQueries {
     val adjW = edges.select(col("p1").as("u"), col("p2").as("v"), col("c"))
       .union(edges.select(col("p2").as("u"), col("p1").as("v"), col("c")))
     val adj = capAdjacency(adjW, HubCap).persist()
-    // link prediction: capped distance-2 wedges before the anti-join
+    // link prediction: capped z-centric distance-2 wedges pre-anti-join
     val lpWedges = adj.as("x")
-      .join(adj.as("y"), col("x.v") === col("y.u") && col("x.u") < col("y.v"))
+      .join(adj.as("y"), col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .count()
-    edges.unpersist(); adj.unpersist()
+    pairAgg.unpersist(); adj.unpersist()
     Seq(
       "pipe_market_basket_cands" -> basketPairs,
       "graph_triangles_cands" -> triWedges,

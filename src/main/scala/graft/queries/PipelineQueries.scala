@@ -1727,11 +1727,15 @@ object PipelineQueries {
           .agg(
             sum(when($"arm" === 0, 1L).otherwise(0L)).as("n0"),
             sum(when($"arm" === 1, 1L).otherwise(0L)).as("n1"))
+          // chi² spelled ONCE; display rounding and the cutoff decision
+          // both derive from the same raw column, so they can never
+          // drift apart under a future edit
+          .withColumn("chi2raw",
+            ($"n0" - ($"n0" + $"n1") / 2.0) * ($"n0" - ($"n0" + $"n1") / 2.0)
+              / (($"n0" + $"n1") / 2.0) * 2)
           .select($"event_type", $"n0", $"n1",
-            (floor((($"n0" - ($"n0" + $"n1") / 2.0) * ($"n0" - ($"n0" + $"n1") / 2.0)
-              / (($"n0" + $"n1") / 2.0) * 2) * 10000 + 0.5) / 10000).as("chi2"),
-            ((($"n0" - ($"n0" + $"n1") / 2.0) * ($"n0" - ($"n0" + $"n1") / 2.0)
-              / (($"n0" + $"n1") / 2.0) * 2) > 3.8415).as("srm"))
+            (floor($"chi2raw" * 10000 + 0.5) / 10000).as("chi2"),
+            ($"chi2raw" > 3.8415).as("srm"))
           .orderBy($"event_type")
       },
       Some("""WITH users AS (
@@ -1743,13 +1747,16 @@ object PipelineQueries {
              |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
              |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
              |  FROM users GROUP BY 1
+             |), scored AS (
+             |  SELECT event_type, n0, n1,
+             |    (n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+             |      / ((n0 + n1) / 2.0) * 2 AS chi2raw
+             |  FROM counts
              |)
              |SELECT event_type, n0, n1,
-             |  floor(((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
-             |    / ((n0 + n1) / 2.0) * 2) * 10000 + 0.5) / 10000 AS chi2,
-             |  ((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
-             |    / ((n0 + n1) / 2.0) * 2) > 3.8415 AS srm
-             |FROM counts ORDER BY event_type""".stripMargin)
+             |  floor(chi2raw * 10000 + 0.5) / 10000 AS chi2,
+             |  chi2raw > 3.8415 AS srm
+             |FROM scored ORDER BY event_type""".stripMargin)
     ),
 
     // Golden replay as a DRIVER-GATED row: the full eval stack (join →

@@ -303,6 +303,37 @@ class MultimodalSpec extends SparkSpec {
     assert(v.fps == 0f && v.nFrames == 1 && v.durationSec == 0f, v.toString)
   }
 
+  test("frames nested in 'rec ' LISTs keep file order (interleaved layout)") {
+    // standard AVI interleave: direct ##dc chunks mixed with frames
+    // wrapped one level deeper in 'rec ' LISTs — a breadth-first walk
+    // without the offset sort would probe [f1, f3, f2] and misread the
+    // monotone luma ramp as extra motion
+    val frames = Seq(jpegFrame(16, 16, 30), jpegFrame(16, 16, 120),
+      jpegFrame(16, 16, 220))
+    val out = new java.io.ByteArrayOutputStream()
+    def cc(x: String): Unit = out.write(x.getBytes("US-ASCII"))
+    def u32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def chunkLen(f: Array[Byte]): Int = 8 + f.length + (f.length & 1)
+    val recSize = 4 + chunkLen(frames(1))
+    val moviSize = 4 + chunkLen(frames(0)) + (8 + recSize) + chunkLen(frames(2))
+    cc("RIFF"); u32(4 + 8 + moviSize); cc("AVI ")
+    cc("LIST"); u32(moviSize); cc("movi")
+    def frame(f: Array[Byte]): Unit = {
+      cc("00dc"); u32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0)
+    }
+    frame(frames(0))
+    cc("LIST"); u32(recSize); cc("rec "); frame(frames(1))
+    frame(frames(2))
+    val v = Multimodal.decodeAviStats(out.toByteArray).get
+    assert(v.nFrames == 3)
+    // file-order lumas ≈ .12 .47 .86 → mean |Δ| ≈ 0.37; the out-of-
+    // order walk (.12 .86 .47) reads ≈ 0.56
+    assert(v.motion > 0.3f && v.motion < 0.45f,
+      s"motion must reflect file-order ramp, got ${v.motion}")
+  }
+
   test("frames across multiple movi lists keep file order (AVIX-style)") {
     // two sibling movi lists; dark frames in the first, bright in the
     // second — file-order probing sees ONE dark→bright step, so motion

@@ -442,11 +442,11 @@ object InvariantProps extends Properties("graft") {
         kept.map(_._2).toSet == want(u)
       }
       val eCapped = capped.length.toLong
-      val adjSet = capped.toSet
       val wedges = (for {
-        (a, z) <- capped; (z2, b) <- capped if z2 == z && a < b
+        (z, a) <- capped; (z2, b) <- capped if z2 == z && a < b
       } yield (a, b, z)).length
-      capHolds && topWeight && wedges <= cap * eCapped
+      // z-centric pairs: Σ_z C(k_z, 2) ≤ cap·|E_capped|/2
+      capHolds && topWeight && wedges <= cap * eCapped / 2
     }
 
 }

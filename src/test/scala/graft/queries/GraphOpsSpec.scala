@@ -51,8 +51,9 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.length == 20)
     // rebuild the graph exactly as the query does, INCLUDING the hub
     // cap: each node keeps its top-HubCap neighbors by co-purchase
-    // count (desc, neighbor-id tiebreak); scores run on the capped
-    // directed adjacency — z must be in a's list and b in z's list
+    // count (desc, neighbor-id tiebreak); wedges are z-centric — z
+    // counts as a shared neighbor of (a, b) iff BOTH endpoints are in
+    // z's capped list (symmetric in a, b by construction)
     val items = graft.core.Tables.lineitem(spark, sf)
       .select($"l_orderkey", $"l_partkey").distinct()
       .as[(Long, Long)].collect()
@@ -75,7 +76,8 @@ class GraphOpsSpec extends SparkSpec {
     }.toMap
     val adjS = adj.map { case (u, l) => u -> l.toSet }
     def common(a: Long, b: Long): Vector[Long] =
-      adj(a).filter(z => adjS(z).contains(b))
+      adj.keys.toVector.sorted
+        .filter(z => adjS(z).contains(a) && adjS(z).contains(b))
     def fl4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     out.foreach { r =>
       val (a, b) = (r.getLong(0), r.getLong(1))
@@ -89,9 +91,9 @@ class GraphOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - aa) < 1e-3, s"aa($a,$b) ${r.getDouble(4)} vs $aa")
     }
     // the emitted list really is the Adamic-Adar frontier of the
-    // capped candidate set
+    // capped candidate set (pairs within each z's own list)
     val cands = (for {
-      a <- adj.keys; z <- adj(a); b <- adj(z) if a < b && !edges((a, b))
+      z <- adj.keys; a <- adj(z); b <- adj(z) if a < b && !edges((a, b))
     } yield (a, b)).toSet
     val best = cands.toSeq.map { case (a, b) =>
       (a, b, fl4(common(a, b).map(z => 1.0 / math.log(adj(z).size)).sum))
@@ -101,9 +103,9 @@ class GraphOpsSpec extends SparkSpec {
 
   test("capAdjacency bounds wedge fan-out on a hub graph: ≤ cap·|E_capped|") {
     import spark.implicits._
-    // star hub: node 0 connects to 1..200 (weights = neighbor id, so
-    // the cap keeps 137..200 — wait, DESC weight keeps the HIGHEST c),
-    // plus a chain among the spokes so wedges exist beyond the hub
+    // star hub: node 0 connects to 1..200 with weight = spoke id, so
+    // the DESC-weight cap keeps the 16 highest-weighted spokes
+    // (185..200); a chain among the spokes adds wedges beyond the hub
     val n = 200; val cap = 16
     val hubEdges = (1 to n).map(i => (0L, i.toLong, i))        // hub-spoke, weight i
     val chain = (1 until n).map(i => (i.toLong, i.toLong + 1, 1)) // spoke chain
@@ -117,8 +119,9 @@ class GraphOpsSpec extends SparkSpec {
     // capped total wedges obey the structural bound cap·|E_capped|
     val eCapped = capped.count()
     val wedges = capped.as("x").join(capped.as("y"),
-      col("x.v") === col("y.u") && col("x.u") < col("y.v")).count()
-    assert(wedges <= cap * eCapped, s"wedges=$wedges bound=${cap * eCapped}")
+      col("x.u") === col("y.u") && col("x.v") < col("y.v")).count()
+    // z-centric pairs: Σ_z C(k_z, 2) with k_z ≤ cap → ≤ cap·|E|/2
+    assert(wedges <= cap.toLong * eCapped / 2, s"wedges=$wedges bound=${cap * eCapped / 2}")
     assert(wedges < n.toLong * n / 2, s"hub fan-out not bounded: $wedges")
     // cap keeps the TOP-weight neighbors with id tiebreak: hub keeps
     // spokes n-cap+1..n (highest weights)
