@@ -520,6 +520,87 @@ object TextQueries {
               |FROM occ ORDER BY n_occ DESC, gram LIMIT 10""".stripMargin)
     ),
 
+    // Term drift between corpus slices (Monroe-style smoothed
+    // log-odds): which TERMS distinguish the new crawl from the old
+    // corpus — the vocabulary-level companion to a19's value-bin PSI
+    // and the first question asked when a quality metric moves between
+    // ingests. Slices: the 4-char sources (src0–src9, the "old"
+    // corpus) vs the rest — a pure row-local predicate. Per term:
+    // Haldane-smoothed log-odds-ratio ln((ya+½)/(na−ya+½)) −
+    // ln((yb+½)/(nb−yb+½)) and its z = lor/se with the standard
+    // 1/(count+½) variance sum; top-20 by z (term tiebreak — tied
+    // counts give bit-identical z, so the tie class is broken
+    // deterministically). Scale shape: one token explode feeding ONE
+    // (term) hash agg with map-side combine; everything after runs on
+    // the vocabulary-sized frame with the 1-row totals broadcast —
+    // the corpus is scanned once, shuffled once, and the quadratic-
+    // free plan survives any corpus size. Constants are CAST AS
+    // DOUBLE in the oracle (a bare 0.5 is DECIMAL in DuckDB) and
+    // display rounding is the build-proof floor spelling; min pooled
+    // support 20 keeps the tail noise out of the ranking.
+    OracleQuery(
+      "text_term_drift",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(
+            when(length($"source") === 4, lit("a")).otherwise(lit("b")).as("slice"),
+            explode(split(lower($"text"), " ")).as("term"))
+          .filter(length($"term") >= 3)
+        val counts = toks.groupBy($"term")
+          .agg(
+            sum(when($"slice" === "a", 1L).otherwise(0L)).as("ya"),
+            sum(when($"slice" === "b", 1L).otherwise(0L)).as("yb"))
+          .filter($"ya" + $"yb" >= 20)
+        val tot = toks.groupBy()
+          .agg(
+            sum(when($"slice" === "a", 1L).otherwise(0L)).as("na"),
+            sum(when($"slice" === "b", 1L).otherwise(0L)).as("nb"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("lor",
+            log(($"ya" + 0.5) / ($"na" - $"ya" + 0.5)) -
+              log(($"yb" + 0.5) / ($"nb" - $"yb" + 0.5)))
+          .withColumn("se", sqrt(
+            lit(1.0) / ($"ya" + 0.5) + lit(1.0) / ($"na" - $"ya" + 0.5) +
+              lit(1.0) / ($"yb" + 0.5) + lit(1.0) / ($"nb" - $"yb" + 0.5)))
+          .orderBy(($"lor" / $"se").desc, $"term")
+          .limit(20)
+          .select($"term", $"ya", $"yb",
+            (floor($"lor" * 10000 + 0.5) / 10000).as("log_odds"),
+            (floor($"lor" / $"se" * 10000 + 0.5) / 10000).as("z"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS slice,
+             |    unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents
+             |), ftoks AS (
+             |  SELECT * FROM toks WHERE length(term) >= 3
+             |), counts AS (
+             |  SELECT term,
+             |    CAST(sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+             |    CAST(sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS yb
+             |  FROM ftoks GROUP BY 1 HAVING count(*) >= 20
+             |), tot AS (
+             |  SELECT CAST(sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             |    CAST(sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+             |  FROM ftoks
+             |), scored AS (
+             |  SELECT term, ya, yb,
+             |    ln((ya + CAST(0.5 AS DOUBLE)) / (na - ya + CAST(0.5 AS DOUBLE)))
+             |      - ln((yb + CAST(0.5 AS DOUBLE)) / (nb - yb + CAST(0.5 AS DOUBLE))) AS lor,
+             |    sqrt(CAST(1.0 AS DOUBLE) / (ya + CAST(0.5 AS DOUBLE))
+             |      + CAST(1.0 AS DOUBLE) / (na - ya + CAST(0.5 AS DOUBLE))
+             |      + CAST(1.0 AS DOUBLE) / (yb + CAST(0.5 AS DOUBLE))
+             |      + CAST(1.0 AS DOUBLE) / (nb - yb + CAST(0.5 AS DOUBLE))) AS se
+             |  FROM counts CROSS JOIN tot
+             |)
+             |SELECT term, ya, yb,
+             |  floor(lor * 10000 + 0.5) / 10000 AS log_odds,
+             |  floor(lor / se * 10000 + 0.5) / 10000 AS z
+             |FROM scored
+             |ORDER BY lor / se DESC, term LIMIT 20""".stripMargin)
+    ),
+
     // Benchmark decontamination: flag training docs sharing >= 10
     // distinct word trigrams with the held-out benchmark set (sources
     // src0/src1 stand in for eval benchmarks). Scale shape: the

@@ -547,6 +547,49 @@ class RetrievalRulesSpec extends SparkSpec {
       s"${r.getString(0)}: mean mismatch vs a42"))
   }
 
+  test("text_term_drift: driver replay of the smoothed log-odds ranking") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val out = Registry.queries("text_term_drift")(spark, sf).collect()
+    assert(out.length == 20)
+    // z non-increasing (floor-rounded display of the ordering key)
+    out.map(_.getDouble(4)).sliding(2).foreach(w =>
+      if (w.length == 2) assert(w(0) >= w(1)))
+    // driver replay: token counts, smoothing, ranking
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    var na = 0L; var nb = 0L
+    docs.foreach { case (src, text) =>
+      val slice = if (src.length == 4) "a" else "b"
+      text.toLowerCase.split(" ", -1).filter(_.length >= 3).foreach { t =>
+        cnt((slice, t)) = cnt.getOrElse((slice, t), 0L) + 1
+        if (slice == "a") na += 1 else nb += 1
+      }
+    }
+    val vocab = cnt.keys.map(_._2).toSet
+    def lorZ(t: String): (Double, Double, Long, Long) = {
+      val ya = cnt.getOrElse(("a", t), 0L); val yb = cnt.getOrElse(("b", t), 0L)
+      val lor = math.log((ya + 0.5) / (na - ya + 0.5)) -
+        math.log((yb + 0.5) / (nb - yb + 0.5))
+      val se = math.sqrt(1.0 / (ya + 0.5) + 1.0 / (na - ya + 0.5) +
+        1.0 / (yb + 0.5) + 1.0 / (nb - yb + 0.5))
+      (lor, lor / se, ya, yb)
+    }
+    val want = vocab.toSeq
+      .filter(t => cnt.getOrElse(("a", t), 0L) + cnt.getOrElse(("b", t), 0L) >= 20)
+      .map(t => (t, lorZ(t)))
+      .sortBy { case (t, (_, z, _, _)) => (-z, t) }
+      .take(20)
+    assert(out.map(_.getString(0)).toSeq == want.map(_._1),
+      s"top-20 terms: ${out.map(_.getString(0)).take(5).toSeq} vs ${want.map(_._1).take(5)}")
+    out.zip(want).foreach { case (r, (t, (lor, z, ya, yb))) =>
+      assert(r.getLong(1) == ya && r.getLong(2) == yb, s"$t counts")
+      assert(math.abs(r.getDouble(3) - lor) < 1e-3, s"$t lor")
+      assert(math.abs(r.getDouble(4) - z) < 1e-3, s"$t z")
+    }
+  }
+
   test("j32_tpch_q3: top-10 revenue ordering and positivity") {
     val out = Registry.queries("j32_tpch_q3")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 10)
