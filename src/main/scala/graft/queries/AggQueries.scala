@@ -2130,6 +2130,97 @@ object AggQueries {
              |  floor((2.0 * six - (n + 1) * sx) / nullif(n * sx, 0) * 10000 + 0.5)
              |    / 10000 AS gini
              |FROM agg ORDER BY event_type""".stripMargin)
+    ),
+
+    // a44b: the 100 TB Gini — a44's per-group rank window feeds EVERY
+    // row through one sort per group (the exact-percentile hazard
+    // class: fine at eval scale, a single-group 100 TB sort at
+    // production scale). This twin reads the Lorenz curve off a
+    // 1024-bin equal-width histogram instead: two hash aggregates
+    // (per-group min/max, then per-(group, bin) count + value mass —
+    // both sketch-sized, both map-side-combinable), the trapezoid
+    // formula G = 1 − Σ (nᵢ/n)(Lᵢ + Lᵢ₋₁) on the ≤1024-row frame, and
+    // NO per-row sort anywhere. Within-bin uniformity bounds the error
+    // at O(1/bins) (spec pins |binned − exact| ≤ 5e-3 per group).
+    // Parity: bin ids are the identical floor((x − min)/w) IEEE
+    // arithmetic on both engines (the histogram recipe), per-bin value
+    // masses are DECIMAL-cast sums, trapezoid terms are DECIMAL-cast
+    // before the per-group reduction so summation order is exact, and
+    // nullif guards the all-equal group (sTot = 0) into NULL on both
+    // sides — a REAL hash-gated oracle, not a contract row.
+    OracleQuery(
+      "a44b_gini_binned",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val stats = ev.groupBy($"event_type")
+          .agg(min($"value").as("vmin"), max($"value").as("vmax"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"bin")
+        val binned = ev.join(broadcast(stats), "event_type")
+          .withColumn("x", $"value" - $"vmin")
+          .withColumn("bin",
+            when($"vmax" === $"vmin", lit(0)).otherwise(
+              least(lit(1023),
+                floor($"x" / (($"vmax" - $"vmin") / 1024.0)))).cast("int"))
+          .groupBy($"event_type", $"bin")
+          .agg(count(lit(1)).as("ni"),
+            sum($"x".cast("decimal(28,10)")).cast("double").as("si"))
+        val curves = binned
+          .withColumn("cn", sum($"ni").over(wCum))
+          .withColumn("cs", sum($"si".cast("decimal(28,10)")).over(wCum)
+            .cast("double"))
+        val tot = binned.groupBy($"event_type")
+          .agg(sum($"ni").as("n"),
+            sum($"si".cast("decimal(28,10)")).cast("double").as("stot"))
+        curves.join(broadcast(tot), "event_type")
+          .withColumn("ln_i", $"cs" / nullif($"stot", lit(0.0)))
+          .withColumn("ln_prev", lag($"ln_i", 1, 0.0).over(wCum))
+          .withColumn("term",
+            (($"ni" / $"n".cast("double")) * ($"ln_i" + $"ln_prev"))
+              .cast("decimal(28,14)"))
+          .groupBy($"event_type")
+          .agg(max($"n").as("n"), sum($"term").cast("double").as("tsum"))
+          .select($"event_type", $"n",
+            (floor((lit(1.0) - $"tsum") * 10000 + 0.5) / 10000).as("gini"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH stats AS (
+             |  SELECT event_type, min(value) AS vmin, max(value) AS vmax
+             |  FROM events GROUP BY 1
+             |), binned AS (
+             |  SELECT e.event_type,
+             |    CAST(CASE WHEN s.vmax = s.vmin THEN 0 ELSE
+             |      least(1023, floor((e.value - s.vmin)
+             |        / ((s.vmax - s.vmin) / 1024.0))) END AS INT) AS bin,
+             |    count(*) AS ni,
+             |    CAST(sum(CAST(e.value - s.vmin AS DECIMAL(28,10))) AS DOUBLE) AS si
+             |  FROM events e JOIN stats s USING (event_type)
+             |  GROUP BY 1, 2
+             |), curves AS (
+             |  SELECT event_type, bin, ni, si,
+             |    sum(ni) OVER w AS cn,
+             |    CAST(sum(CAST(si AS DECIMAL(28,10))) OVER w AS DOUBLE) AS cs
+             |  FROM binned
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY bin
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |), tot AS (
+             |  SELECT event_type, CAST(sum(ni) AS BIGINT) AS n,
+             |    CAST(sum(CAST(si AS DECIMAL(28,10))) AS DOUBLE) AS stot
+             |  FROM binned GROUP BY 1
+             |), terms AS (
+             |  SELECT c.event_type, t.n,
+             |    CAST((c.ni / CAST(t.n AS DOUBLE))
+             |      * (c.cs / nullif(t.stot, 0)
+             |         + coalesce(lag(c.cs / nullif(t.stot, 0), 1) OVER
+             |             (PARTITION BY c.event_type ORDER BY c.bin), 0.0))
+             |      AS DECIMAL(28,14)) AS term
+             |  FROM curves c JOIN tot t USING (event_type)
+             |)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             |  floor((1.0 - CAST(sum(term) AS DOUBLE)) * 10000 + 0.5) / 10000
+             |    AS gini
+             |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -683,6 +683,22 @@ class RetrievalRulesSpec extends SparkSpec {
     }
   }
 
+  test("a44b_gini_binned: tracks the exact Gini within the bin-resolution bound") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = Registry.queries("a44_gini")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val binned = Registry.queries("a44b_gini_binned")(spark, sf).collect()
+    assert(binned.nonEmpty)
+    binned.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= 0.0 && g < 1.0)
+      // 1024 equal-width bins bound the within-bin uniformity error at
+      // O(1/bins); observed 0 at 4 dp on this corpus
+      assert(math.abs(g - exact(r.getString(0))) <= 5e-3,
+        s"${r.getString(0)}: binned $g vs exact ${exact(r.getString(0))}")
+    }
+  }
+
   test("w24_lead_lag: symmetry xcorr(a,b,k) = xcorr(b,a,-k); lag-0 pairs mirror; bounds") {
     val out = Registry.queries("w24_lead_lag")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 5 * 4 * 7, s"expected full pair×lag grid, got ${out.length}")
