@@ -66,7 +66,9 @@ object Bench {
     "graph_link_prediction",  // hub-capped wedge join + CN/Jaccard/AA
     "dedup_sorted_neighborhood", // w-window linkage (exploded-block hash join)
     "a43_markov_transitions", // user-journey transition matrix
-    "a44_gini",            // rank-weighted concentration profile
+    "a44_gini",            // rank-weighted concentration profile (exact)
+    "a44b_gini_binned",    // Lorenz-from-histogram Gini (no per-row sort)
+    "text_term_drift",     // smoothed log-odds vocabulary drift
     "w24_lead_lag")        // pairwise series cross-correlation at lags
 
   /** Min-of-N steady-state sampling: two measured evaluations, plus a
