@@ -2136,14 +2136,20 @@ object AggQueries {
     // row through one sort per group (the exact-percentile hazard
     // class: fine at eval scale, a single-group 100 TB sort at
     // production scale). This twin reads the Lorenz curve off a
-    // 1024-bin equal-width histogram instead: two hash aggregates
+    // 1024-bin LOG-SPACED histogram instead: two hash aggregates
     // (per-group min/max, then per-(group, bin) count + value mass —
     // both sketch-sized, both map-side-combinable), the trapezoid
     // formula G = 1 − Σ (nᵢ/n)(Lᵢ + Lᵢ₋₁) on the ≤1024-row frame, and
-    // NO per-row sort anywhere. Within-bin uniformity bounds the error
-    // at O(1/bins) (spec pins |binned − exact| ≤ 5e-3 per group).
-    // Parity: bin ids are the identical floor((x − min)/w) IEEE
-    // arithmetic on both engines (the histogram recipe), per-bin value
+    // NO per-row sort anywhere. Bins are geometric in (1 + x) — bin =
+    // ⌊1024·ln(1+x)/ln(1+range)⌋ — because an EQUAL-WIDTH histogram
+    // silently fails on exactly the top-heavy distributions Gini is
+    // for (a Pareto tail parks 99% of rows in bin 0 and the
+    // piecewise-linear Lorenz erases all their inequality); log
+    // spacing keeps every bin's RELATIVE width ~(1+r)^(1/1024) − 1,
+    // so within-bin inequality is bounded for any tail shape (the
+    // spec pins |binned − exact| on a synthetic Pareto-like series,
+    // not just this corpus). Parity: bin ids are the identical
+    // ln(1 + x)-ratio floor arithmetic on both engines, per-bin value
     // masses are DECIMAL-cast sums, trapezoid terms are DECIMAL-cast
     // before the per-group reduction so summation order is exact, and
     // nullif guards the all-equal group (sTot = 0) into NULL on both
@@ -2162,12 +2168,12 @@ object AggQueries {
           .withColumn("bin",
             when($"vmax" === $"vmin", lit(0)).otherwise(
               least(lit(1023),
-                floor($"x" / (($"vmax" - $"vmin") / 1024.0)))).cast("int"))
+                floor(log(lit(1.0) + $"x") / log(lit(1.0) + ($"vmax" - $"vmin"))
+                  * 1024.0))).cast("int"))
           .groupBy($"event_type", $"bin")
           .agg(count(lit(1)).as("ni"),
             sum($"x".cast("decimal(28,10)")).cast("double").as("si"))
         val curves = binned
-          .withColumn("cn", sum($"ni").over(wCum))
           .withColumn("cs", sum($"si".cast("decimal(28,10)")).over(wCum)
             .cast("double"))
         val tot = binned.groupBy($"event_type")
@@ -2191,15 +2197,14 @@ object AggQueries {
              |), binned AS (
              |  SELECT e.event_type,
              |    CAST(CASE WHEN s.vmax = s.vmin THEN 0 ELSE
-             |      least(1023, floor((e.value - s.vmin)
-             |        / ((s.vmax - s.vmin) / 1024.0))) END AS INT) AS bin,
+             |      least(1023, floor(ln(1.0 + (e.value - s.vmin))
+             |        / ln(1.0 + (s.vmax - s.vmin)) * 1024.0)) END AS INT) AS bin,
              |    count(*) AS ni,
              |    CAST(sum(CAST(e.value - s.vmin AS DECIMAL(28,10))) AS DOUBLE) AS si
              |  FROM events e JOIN stats s USING (event_type)
              |  GROUP BY 1, 2
              |), curves AS (
              |  SELECT event_type, bin, ni, si,
-             |    sum(ni) OVER w AS cn,
              |    CAST(sum(CAST(si AS DECIMAL(28,10))) OVER w AS DOUBLE) AS cs
              |  FROM binned
              |  WINDOW w AS (PARTITION BY event_type ORDER BY bin

@@ -531,10 +531,15 @@ object TextQueries {
     // 1/(count+½) variance sum; top-20 by z (term tiebreak — tied
     // counts give bit-identical z, so the tie class is broken
     // deterministically). Scale shape: one token explode feeding ONE
-    // (term) hash agg with map-side combine; everything after runs on
-    // the vocabulary-sized frame with the 1-row totals broadcast —
-    // the corpus is scanned once, shuffled once, and the quadratic-
-    // free plan survives any corpus size. Constants are CAST AS
+    // (term) hash agg with map-side combine; the slice TOTALS are the
+    // column sums of that vocabulary-sized frame (NOT a second
+    // aggregate over the token stream — the per-term and global
+    // aggregations exchange differently, so ReuseExchange could never
+    // dedupe them and the corpus would be scanned and tokenized
+    // twice); everything after runs on vocabulary-sized frames with
+    // the 1-row totals broadcast — the corpus is scanned once,
+    // shuffled once, and the quadratic-free plan survives any corpus
+    // size. Constants are CAST AS
     // DOUBLE in the oracle (a bare 0.5 is DECIMAL in DuckDB) and
     // display rounding is the build-proof floor spelling; min pooled
     // support 20 keeps the tail noise out of the ranking.
@@ -547,15 +552,14 @@ object TextQueries {
             when(length($"source") === 4, lit("a")).otherwise(lit("b")).as("slice"),
             explode(split(lower($"text"), " ")).as("term"))
           .filter(length($"term") >= 3)
-        val counts = toks.groupBy($"term")
+        val vocab = toks.groupBy($"term")
           .agg(
             sum(when($"slice" === "a", 1L).otherwise(0L)).as("ya"),
             sum(when($"slice" === "b", 1L).otherwise(0L)).as("yb"))
-          .filter($"ya" + $"yb" >= 20)
-        val tot = toks.groupBy()
-          .agg(
-            sum(when($"slice" === "a", 1L).otherwise(0L)).as("na"),
-            sum(when($"slice" === "b", 1L).otherwise(0L)).as("nb"))
+          .persist() // vocabulary-sized; feeds both the totals and the ranking
+        val counts = vocab.filter($"ya" + $"yb" >= 20)
+        val tot = vocab.groupBy()
+          .agg(sum($"ya").as("na"), sum($"yb").as("nb"))
         counts.crossJoin(broadcast(tot))
           .withColumn("lor",
             log(($"ya" + 0.5) / ($"na" - $"ya" + 0.5)) -
@@ -575,15 +579,16 @@ object TextQueries {
              |  FROM documents
              |), ftoks AS (
              |  SELECT * FROM toks WHERE length(term) >= 3
-             |), counts AS (
+             |), vocab AS (
              |  SELECT term,
              |    CAST(sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ya,
              |    CAST(sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS yb
-             |  FROM ftoks GROUP BY 1 HAVING count(*) >= 20
+             |  FROM ftoks GROUP BY 1
+             |), counts AS (
+             |  SELECT * FROM vocab WHERE ya + yb >= 20
              |), tot AS (
-             |  SELECT CAST(sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
-             |    CAST(sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
-             |  FROM ftoks
+             |  SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb
+             |  FROM vocab
              |), scored AS (
              |  SELECT term, ya, yb,
              |    ln((ya + CAST(0.5 AS DOUBLE)) / (na - ya + CAST(0.5 AS DOUBLE)))

@@ -692,11 +692,48 @@ class RetrievalRulesSpec extends SparkSpec {
     binned.foreach { r =>
       val g = r.getDouble(2)
       assert(g >= 0.0 && g < 1.0)
-      // 1024 equal-width bins bound the within-bin uniformity error at
-      // O(1/bins); observed 0 at 4 dp on this corpus
       assert(math.abs(g - exact(r.getString(0))) <= 5e-3,
         s"${r.getString(0)}: binned $g vs exact ${exact(r.getString(0))}")
     }
+  }
+
+  test("a44b binning scheme survives a heavy tail (the case equal-width bins lose)") {
+    // deterministic Pareto-like sample: x = u^(-1/1.2) − 1 on a uniform
+    // grid — 84% of rows land below x=1 while the top row is ~860;
+    // exactly the concentration shape Gini is used on
+    val n = 2000
+    val xs = (0 until n).map(i => math.pow((i + 0.5) / n, -1.0 / 1.2) - 1.0)
+    def exactGini(v: Seq[Double]): Double = {
+      val s = v.sorted; val m = s.length
+      val six = s.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum
+      (2.0 * six - (m + 1) * s.sum) / (m * s.sum)
+    }
+    def binnedGini(v: Seq[Double], logSpaced: Boolean): Double = {
+      val r = v.max - v.min
+      val shifted = v.map(_ - v.min)
+      def bin(x: Double): Int =
+        if (r == 0) 0
+        else if (logSpaced)
+          math.min(1023, math.floor(math.log(1.0 + x) / math.log(1.0 + r) * 1024.0).toInt)
+        else math.min(1023, math.floor(x / (r / 1024.0)).toInt)
+      val g = shifted.groupBy(bin).toSeq.sortBy(_._1)
+        .map { case (_, vs) => (vs.length.toDouble, vs.sum) }
+      val nTot = shifted.length.toDouble; val sTot = shifted.sum
+      var cum = 0.0; var acc = 0.0
+      g.foreach { case (ni, si) =>
+        val lPrev = cum / sTot; cum += si
+        acc += (ni / nTot) * (cum / sTot + lPrev)
+      }
+      1.0 - acc
+    }
+    val ex = exactGini(xs)
+    val logErr = math.abs(binnedGini(xs, logSpaced = true) - ex)
+    val linErr = math.abs(binnedGini(xs, logSpaced = false) - ex)
+    assert(logErr <= 0.01, s"log-spaced err $logErr vs exact $ex")
+    // and the equal-width scheme demonstrably fails here — the reason
+    // the query bins geometrically
+    assert(linErr > logErr * 5,
+      s"equal-width err $linErr should be far worse than log-spaced $logErr")
   }
 
   test("w24_lead_lag: symmetry xcorr(a,b,k) = xcorr(b,a,-k); lag-0 pairs mirror; bounds") {
