@@ -45,10 +45,16 @@ object RobustStats {
       .agg(
         count(lit(1)).as("n"),
         sum(col("was_clipped")).cast("long").as("n_clipped"),
-        round(avg(v), 4).as("raw_mean"),
-        round(avg(col("clipped")), 4).as("winsor_mean"),
-        round(min(col("clipped")), 4).as("lo"),
-        round(max(col("clipped")), 4).as("hi"))
+        // hash-compared means are spelled as DECIMAL-cast sums divided
+        // once, display-rounded via the floor recipe — round(avg(..),4)
+        // is a summation-order-dependent double through Spark's
+        // shortest-repr round and can flip at a …5000 boundary
+        (floor(sum(v.cast("decimal(28,10)")).cast("double") / count(lit(1))
+          * 10000 + 0.5) / 10000).as("raw_mean"),
+        (floor(sum(col("clipped").cast("decimal(28,10)")).cast("double")
+          / count(lit(1)) * 10000 + 0.5) / 10000).as("winsor_mean"),
+        (floor(min(col("clipped")) * 10000 + 0.5) / 10000).as("lo"),
+        (floor(max(col("clipped")) * 10000 + 0.5) / 10000).as("hi"))
       .orderBy(g)
   }
 

@@ -386,8 +386,8 @@ object AggQueries {
               .as("exact_q"),
             expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_q"))
           .select($"l_returnflag",
-            round(element_at($"exact_q", 2), 4).as("exact_p50"),
-            round(element_at($"exact_q", 5), 4).as("exact_p95"),
+            (floor(element_at($"exact_q", 2) * 10000 + 0.5) / 10000).as("exact_p50"),
+            (floor(element_at($"exact_q", 5) * 10000 + 0.5) / 10000).as("exact_p95"),
             element_at($"approx_q", 1).between(
               element_at($"exact_q", 1), element_at($"exact_q", 3)).as("p50_within"),
             element_at($"approx_q", 2).between(
@@ -395,8 +395,10 @@ object AggQueries {
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
-             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
-             |  round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+             |  floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5)
+             |    / 10000 AS exact_p50,
+             |  floor(quantile_cont(l_extendedprice, 0.95) * 10000 + 0.5)
+             |    / 10000 AS exact_p95,
              |  TRUE AS p50_within, TRUE AS p95_within
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
@@ -427,10 +429,12 @@ object AggQueries {
              |)
              |SELECT event_type, count(*) AS n,
              |  CAST(sum(was_clipped) AS BIGINT) AS n_clipped,
-             |  round(avg(value), 4) AS raw_mean,
-             |  round(avg(clipped), 4) AS winsor_mean,
-             |  round(min(clipped), 4) AS lo,
-             |  round(max(clipped), 4) AS hi
+             |  floor(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+             |    / count(*) * 10000 + 0.5) / 10000 AS raw_mean,
+             |  floor(CAST(sum(CAST(clipped AS DECIMAL(28,10))) AS DOUBLE)
+             |    / count(*) * 10000 + 0.5) / 10000 AS winsor_mean,
+             |  floor(min(clipped) * 10000 + 0.5) / 10000 AS lo,
+             |  floor(max(clipped) * 10000 + 0.5) / 10000 AS hi
              |FROM clip GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
@@ -470,7 +474,8 @@ object AggQueries {
           .orderBy($"event_type")
       },
       Some("""SELECT event_type, count(*) AS n,
-             |  round(avg(value), 4) AS raw_mean,
+             |  floor(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+             |    / count(*) * 10000 + 0.5) / 10000 AS raw_mean,
              |  TRUE AS mean_ok, TRUE AS clip_ok, TRUE AS band_ok
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
@@ -2168,8 +2173,13 @@ object AggQueries {
           .withColumn("bin",
             when($"vmax" === $"vmin", lit(0)).otherwise(
               least(lit(1023),
-                floor(log(lit(1.0) + $"x") / log(lit(1.0) + ($"vmax" - $"vmin"))
-                  * 1024.0))).cast("int"))
+                // ln is not correctly rounded (JVM Math.log vs libm can
+                // differ in the last ulp), so the ratio is quantized to
+                // 1e-12 BEFORE the bin floor — a sub-ulp ln difference
+                // can then never flip a row across a bin boundary
+                floor(floor(log(lit(1.0) + $"x") /
+                    log(lit(1.0) + ($"vmax" - $"vmin")) * 1e12 + 0.5)
+                  / 1e12 * 1024.0))).cast("int"))
           .groupBy($"event_type", $"bin")
           .agg(count(lit(1)).as("ni"),
             sum($"x".cast("decimal(28,10)")).cast("double").as("si"))
@@ -2197,8 +2207,9 @@ object AggQueries {
              |), binned AS (
              |  SELECT e.event_type,
              |    CAST(CASE WHEN s.vmax = s.vmin THEN 0 ELSE
-             |      least(1023, floor(ln(1.0 + (e.value - s.vmin))
-             |        / ln(1.0 + (s.vmax - s.vmin)) * 1024.0)) END AS INT) AS bin,
+             |      least(1023, floor(floor(ln(1.0 + (e.value - s.vmin))
+             |        / ln(1.0 + (s.vmax - s.vmin)) * 1e12 + 0.5)
+             |        / 1e12 * 1024.0)) END AS INT) AS bin,
              |    count(*) AS ni,
              |    CAST(sum(CAST(e.value - s.vmin AS DECIMAL(28,10))) AS DOUBLE) AS si
              |  FROM events e JOIN stats s USING (event_type)

@@ -457,32 +457,40 @@ object GraphQueries {
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
       .agg(count(lit(1)).as("c"))
       .persist()
-    val basketPairs = pairAgg.agg(sum(col("c"))).collect()(0).getLong(0)
-    val edges = pairAgg.filter(col("c") >= 2)
-    val deg = edges.select(col("p1").as("p")).union(edges.select(col("p2").as("p")))
-      .groupBy(col("p")).agg(count(lit(1)).as("d"))
-    val withDeg = edges
-      .join(deg.select(col("p").as("p1"), col("d").as("d1")), "p1")
-      .join(deg.select(col("p").as("p2"), col("d").as("d2")), "p2")
-    val lower = (col("d1") < col("d2")) ||
-      (col("d1") === col("d2") && col("p1") < col("p2"))
-    val ori = withDeg.select(
-      when(lower, col("p1")).otherwise(col("p2")).as("a"),
-      when(lower, col("p2")).otherwise(col("p1")).as("b"))
-    // triangles: oriented wedges probed before the closing edge join
-    val triWedges = ori.as("e1")
-      .join(ori.as("e2"), col("e2.a") === col("e1.b")).count()
-    val adjW = edges.select(col("p1").as("u"), col("p2").as("v"), col("c"))
-      .union(edges.select(col("p2").as("u"), col("p1").as("v"), col("c")))
-    val adj = capAdjacency(adjW, HubCap).persist()
-    // link prediction: capped z-centric distance-2 wedges pre-anti-join
-    val lpWedges = adj.as("x")
-      .join(adj.as("y"), col("x.u") === col("y.u") && col("x.v") < col("y.v"))
-      .count()
-    pairAgg.unpersist(); adj.unpersist()
-    Seq(
-      "pipe_market_basket_cands" -> basketPairs,
-      "graph_triangles_cands" -> triWedges,
-      "graph_link_prediction_cands" -> lpWedges)
+    var adj: org.apache.spark.sql.DataFrame = null
+    try {
+      // sum() over an empty pairAgg is NULL — coalesce so a layout
+      // where no pair reaches the support threshold reports 0, not NPE
+      val basketPairs = pairAgg
+        .agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
+      val edges = pairAgg.filter(col("c") >= 2)
+      val deg = edges.select(col("p1").as("p")).union(edges.select(col("p2").as("p")))
+        .groupBy(col("p")).agg(count(lit(1)).as("d"))
+      val withDeg = edges
+        .join(deg.select(col("p").as("p1"), col("d").as("d1")), "p1")
+        .join(deg.select(col("p").as("p2"), col("d").as("d2")), "p2")
+      val lower = (col("d1") < col("d2")) ||
+        (col("d1") === col("d2") && col("p1") < col("p2"))
+      val ori = withDeg.select(
+        when(lower, col("p1")).otherwise(col("p2")).as("a"),
+        when(lower, col("p2")).otherwise(col("p1")).as("b"))
+      // triangles: oriented wedges probed before the closing edge join
+      val triWedges = ori.as("e1")
+        .join(ori.as("e2"), col("e2.a") === col("e1.b")).count()
+      val adjW = edges.select(col("p1").as("u"), col("p2").as("v"), col("c"))
+        .union(edges.select(col("p2").as("u"), col("p1").as("v"), col("c")))
+      adj = capAdjacency(adjW, HubCap).persist()
+      // link prediction: capped z-centric distance-2 wedges pre-anti-join
+      val lpWedges = adj.as("x")
+        .join(adj.as("y"), col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .count()
+      Seq(
+        "pipe_market_basket_cands" -> basketPairs,
+        "graph_triangles_cands" -> triWedges,
+        "graph_link_prediction_cands" -> lpWedges)
+    } finally {
+      pairAgg.unpersist()
+      if (adj != null) adj.unpersist()
+    }
   }
 }

@@ -1129,5 +1129,289 @@ object JoinQueries {
              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
     )
+  ) ++ partsuppQueries
+
+  // ---------------------------------------------------------------------
+  // Derived partsupp: /root/testdata ships no partsupp table, so the five
+  // partsupp-dependent TPC-H shapes (Q2/Q9/Q11/Q16/Q20) run against a
+  // DETERMINISTIC in-query derivation both engines replay exactly — pure
+  // integer arithmetic, no hashing, no RNG:
+  //   for each part, 4 suppliers  ps_suppkey  = (p_partkey + k) % |supplier|
+  //   availability                ps_availqty = (p_partkey·37 + k·101) % 9991 + 10
+  //   cost                        ps_supplycost = ((p_partkey·73 + k·151) % 92001)/100 + 1
+  // (suppkeys are 0-based in this testdata). |supplier| is computed
+  // in-query (it scales with sf), carried as a broadcast 1-row scalar.
+  // Scale shape: partsupp is 4·|part| rows — dimension-sized here, but at
+  // TPC-H-proportioned 100 TB part is ~0.2× lineitem rows, so NOTHING
+  // below force-broadcasts part/partsupp; only the constant-sized
+  // nation/region get hints and AQE picks the strategy for the rest.
+  // Lineitem's (l_partkey, l_suppkey) pairs were generated independently
+  // of this derivation, so Q9/Q20's partsupp⋈lineitem joins keep ~4/|S| of
+  // the fact — the join SHAPE (the prize) is unchanged.
+
+  private def derivedPartsupp(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sCnt = Tables.supplier(s, d).agg(count(lit(1)).as("s_cnt"))
+    Tables.part(s, d).select($"p_partkey")
+      .crossJoin(broadcast(sCnt)) // 1-row scalar
+      .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+      .select(
+        $"p_partkey".as("ps_partkey"),
+        (($"p_partkey" + $"k") % $"s_cnt").as("ps_suppkey"),
+        (($"p_partkey" * 37L + $"k" * 101L) % 9991L + 10L).cast("int").as("ps_availqty"),
+        ((($"p_partkey" * 73L + $"k" * 151L) % 92001L).cast("double") / 100.0 + 1.0)
+          .as("ps_supplycost"))
+  }
+
+  /** The same derivation as a DuckDB CTE prefix (`WITH scnt …, partsupp …`).
+    * Every oracle below starts from this string so the two engines read
+    * one shared definition. */
+  private val PartsuppCte: String =
+    """WITH scnt AS (SELECT CAST(count(*) AS BIGINT) AS s_cnt FROM supplier),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey + k) % s_cnt AS ps_suppkey,
+      |    CAST((p_partkey * 37 + k * 101) % 9991 + 10 AS INT) AS ps_availqty,
+      |    CAST((p_partkey * 73 + k * 151) % 92001 AS DOUBLE)
+      |      / CAST(100.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) AS ps_supplycost
+      |  FROM part CROSS JOIN scnt
+      |  CROSS JOIN (SELECT unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS k)
+      |)""".stripMargin
+
+  private def partsuppQueries: Seq[OracleQuery] = Seq(
+    // TPC-H Q2 shape (minimum-cost supplier): the classic correlated
+    // min-subquery, decorrelated by hand (the j16/Q17 recipe) — the
+    // region-filtered candidate set is built ONCE, its per-part min
+    // re-joins by (part, exact cost) equality. Cost equality on doubles
+    // is sound here because both sides derive bit-identical values from
+    // integer arithmetic. Predicates (size ≤ 15, type LARGE, EUROPE)
+    // adapt dbgen's BRASS/size=15 to this testdata's columns.
+    OracleQuery(
+      "j33_tpch_q2",
+      (s, d) => {
+        import s.implicits._
+        val nat = Tables.nation(s, d)
+        val reg = Tables.region(s, d).filter($"r_name" === "EUROPE")
+        val parts = Tables.part(s, d)
+          .filter($"p_size" <= 15 && $"p_type" === "LARGE")
+        val cand = derivedPartsupp(s, d)
+          .join(parts, $"ps_partkey" === $"p_partkey")
+          .join(Tables.supplier(s, d), $"ps_suppkey" === $"s_suppkey")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .select($"p_partkey", $"p_brand", $"ps_supplycost",
+            $"s_name", $"s_acctbal", $"n_name")
+          .persist() // selective candidate set, read twice (min + re-join)
+        val mins = cand.groupBy($"p_partkey".as("mk"))
+          .agg(min($"ps_supplycost").as("min_cost"))
+        cand.join(mins, $"p_partkey" === $"mk" && $"ps_supplycost" === $"min_cost")
+          .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_brand",
+            (floor($"ps_supplycost" * 10000 + 0.5) / 10000).as("supply_cost"))
+          .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+          .limit(100)
+      },
+      Some(PartsuppCte + """
+             |, cand AS (
+             |  SELECT p.p_partkey, p.p_brand, ps.ps_supplycost, s.s_suppkey,
+             |    s.s_name, s.s_acctbal, n.n_name
+             |  FROM partsupp ps
+             |  JOIN part p ON ps.ps_partkey = p.p_partkey
+             |  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+             |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey
+             |  WHERE r.r_name = 'EUROPE' AND p.p_size <= 15 AND p.p_type = 'LARGE'
+             |), mins AS (
+             |  SELECT p_partkey, min(ps_supplycost) AS min_cost FROM cand GROUP BY 1
+             |)
+             |SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_brand,
+             |  floor(c.ps_supplycost * 10000 + 0.5) / 10000 AS supply_cost
+             |FROM cand c
+             |JOIN mins m ON c.p_partkey = m.p_partkey AND c.ps_supplycost = m.min_cost
+             |ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+             |LIMIT 100""".stripMargin)
+    ),
+
+    // TPC-H Q9 shape (product-type profit): the 6-table join — lineitem
+    // against partsupp on the COMPOSITE (partkey, suppkey) key, part-name
+    // filter, orders for the year, nation via supplier — grouped by
+    // nation × year. Plan prize: ONE lineitem scan; the only fact-fact
+    // exchange is the orders⋈lineitem orderkey shuffle (AQE); profit sums
+    // ride the DECIMAL-cast recipe so summation order can't move the
+    // 4-dp display value.
+    OracleQuery(
+      "j34_tpch_q9",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val parts = Tables.part(s, d).filter($"p_name".like("%gear%"))
+        li.join(derivedPartsupp(s, d),
+            $"l_partkey" === $"ps_partkey" && $"l_suppkey" === $"ps_suppkey")
+          .join(parts, $"p_partkey" === $"l_partkey")
+          .join(Tables.supplier(s, d), $"s_suppkey" === $"l_suppkey")
+          .join(Tables.orders(s, d), $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(Tables.nation(s, d)), $"n_nationkey" === $"s_nationkey")
+          .groupBy($"n_name".as("nation"),
+            year($"o_orderdate").cast("int").as("o_year"))
+          .agg((floor(
+            sum(($"l_extendedprice" * (lit(1) - $"l_discount")
+              - $"ps_supplycost" * $"l_quantity").cast("decimal(28,10)"))
+              .cast("double") * 10000 + 0.5) / 10000).as("sum_profit"))
+          .orderBy($"nation", $"o_year".desc)
+      },
+      Some(PartsuppCte + """
+             |SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+             |  floor(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+             |      - ps.ps_supplycost * l.l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+             |    * 10000 + 0.5) / 10000 AS sum_profit
+             |FROM lineitem l
+             |JOIN partsupp ps
+             |  ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |WHERE p.p_name LIKE '%gear%'
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)
+    ),
+
+    // TPC-H Q11 shape (important stock): grouped value per part for one
+    // nation's suppliers, HAVING against a GLOBAL scalar. The total is
+    // the COLUMN SUM of the per-part frame (the text_term_drift recipe —
+    // one scan, the per-part aggregate persisted and read twice; a second
+    // aggregate over partsupp would never ReuseExchange), carried as a
+    // broadcast 1-row cross join.
+    OracleQuery(
+      "j35_tpch_q11",
+      (s, d) => {
+        import s.implicits._
+        val natF = Tables.nation(s, d).filter($"n_name" === "NATION_7")
+        val byPart = derivedPartsupp(s, d)
+          .join(Tables.supplier(s, d), $"ps_suppkey" === $"s_suppkey")
+          .join(broadcast(natF), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"ps_partkey")
+          .agg(sum(($"ps_supplycost" * $"ps_availqty").cast("decimal(28,10)"))
+            .cast("double").as("val"))
+          .persist() // part-sized; feeds both the total and the filter
+        val tot = byPart.agg(sum($"val".cast("decimal(28,10)")).cast("double").as("tval"))
+        byPart.crossJoin(broadcast(tot))
+          .filter($"val" > $"tval" * lit(0.001))
+          .select($"ps_partkey",
+            (floor($"val" * 10000 + 0.5) / 10000).as("value"))
+          .orderBy($"value".desc, $"ps_partkey")
+      },
+      Some(PartsuppCte + """
+             |, bypart AS (
+             |  SELECT ps.ps_partkey,
+             |    CAST(sum(CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(28,10)))
+             |      AS DOUBLE) AS val
+             |  FROM partsupp ps
+             |  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+             |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |  WHERE n.n_name = 'NATION_7'
+             |  GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE) AS tval
+             |  FROM bypart
+             |)
+             |SELECT ps_partkey, floor(val * 10000 + 0.5) / 10000 AS value
+             |FROM bypart CROSS JOIN tot
+             |WHERE val > tval * CAST(0.001 AS DOUBLE)
+             |ORDER BY value DESC, ps_partkey""".stripMargin)
+    ),
+
+    // TPC-H Q16 shape (supplier relationship): distinct-supplier counts
+    // per (brand, type, size) with a NOT-IN supplier exclusion — spelled
+    // as a LEFT ANTI join in Spark (null-safe by construction; NOT IN's
+    // three-valued trap never arises because s_suppkey is a key). The
+    // exclusion list (acctbal < 1000 stands in for dbgen's
+    // customer-complaints comment scan) is tiny and broadcast.
+    OracleQuery(
+      "j36_tpch_q16",
+      (s, d) => {
+        import s.implicits._
+        val parts = Tables.part(s, d)
+          .filter($"p_brand" =!= "Brand#5" && $"p_type" =!= "PROMO" &&
+            $"p_size".isin(1, 4, 9, 14, 19, 23, 36, 45))
+        val excl = Tables.supplier(s, d).filter($"s_acctbal" < 1000)
+          .select($"s_suppkey")
+        derivedPartsupp(s, d)
+          .join(broadcast(excl), $"ps_suppkey" === $"s_suppkey", "left_anti")
+          .join(parts, $"p_partkey" === $"ps_partkey")
+          .groupBy($"p_brand", $"p_type", $"p_size")
+          .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
+          .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+      },
+      Some(PartsuppCte + """
+             |SELECT p.p_brand, p.p_type, p.p_size,
+             |  CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM partsupp ps
+             |JOIN part p ON p.p_partkey = ps.ps_partkey
+             |WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+             |  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+             |  AND ps.ps_suppkey NOT IN
+             |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    ),
+
+    // TPC-H Q20 shape (potential part promotion): suppliers holding
+    // excess stock (availqty > half the year's shipped quantity) of a
+    // name-filtered part, restricted to one region. The correlated
+    // half-sum decorrelates into ONE grouped lineitem aggregate joined
+    // on the composite key (the j16 recipe); the comparison is spelled
+    // availqty·2 > Σqty so no 0.5 multiply touches the boundary, and the
+    // quantity sum is DECIMAL-cast — a summation-order flip can't move a
+    // row across the strict inequality.
+    OracleQuery(
+      "j37_tpch_q20",
+      (s, d) => {
+        import s.implicits._
+        val halfq = Tables.lineitem(s, d)
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(sum($"l_quantity".cast("decimal(28,10)")).cast("double").as("qty_sum"))
+        val oldParts = Tables.part(s, d).filter($"p_name".like("old %"))
+          .select($"p_partkey")
+        val eligible = derivedPartsupp(s, d)
+          .join(broadcast(oldParts), $"p_partkey" === $"ps_partkey")
+          .join(halfq,
+            $"l_partkey" === $"ps_partkey" && $"l_suppkey" === $"ps_suppkey")
+          .filter($"ps_availqty" * 2 > $"qty_sum")
+          .select($"ps_suppkey").distinct()
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d).filter($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")
+          .join(eligible, $"ps_suppkey" === $"s_suppkey")
+          .select($"s_name",
+            (floor($"s_acctbal" * 10000 + 0.5) / 10000).as("s_acctbal"))
+          .orderBy($"s_name")
+      },
+      Some(PartsuppCte + """
+             |, halfq AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS qty_sum
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  GROUP BY 1, 2
+             |), eligible AS (
+             |  SELECT DISTINCT ps.ps_suppkey
+             |  FROM partsupp ps
+             |  JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'old %'
+             |  JOIN halfq h
+             |    ON h.l_partkey = ps.ps_partkey AND h.l_suppkey = ps.ps_suppkey
+             |  WHERE ps.ps_availqty * 2 > h.qty_sum
+             |)
+             |SELECT s.s_name, floor(s.s_acctbal * 10000 + 0.5) / 10000 AS s_acctbal
+             |FROM supplier s
+             |JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |JOIN eligible e ON e.ps_suppkey = s.s_suppkey
+             |WHERE r.r_name = 'EUROPE'
+             |ORDER BY s_name""".stripMargin)
+    )
   )
 }

@@ -567,7 +567,11 @@ object TextQueries {
           .withColumn("se", sqrt(
             lit(1.0) / ($"ya" + 0.5) + lit(1.0) / ($"na" - $"ya" + 0.5) +
               lit(1.0) / ($"yb" + 0.5) + lit(1.0) / ($"nb" - $"yb" + 0.5)))
-          .orderBy(($"lor" / $"se").desc, $"term")
+          // the top-20 cutoff orders on a QUANTIZED z (floor(z·1e8)) —
+          // z is built from ln and sqrt, which are not correctly
+          // rounded, so two nearly-tied terms could otherwise swap
+          // rank-20/21 membership between JVM Math.log and libm
+          .orderBy(floor($"lor" / $"se" * 1e8 + 0.5).desc, $"term")
           .limit(20)
           .select($"term", $"ya", $"yb",
             (floor($"lor" * 10000 + 0.5) / 10000).as("log_odds"),
@@ -603,7 +607,7 @@ object TextQueries {
              |  floor(lor * 10000 + 0.5) / 10000 AS log_odds,
              |  floor(lor / se * 10000 + 0.5) / 10000 AS z
              |FROM scored
-             |ORDER BY lor / se DESC, term LIMIT 20""".stripMargin)
+             |ORDER BY floor(lor / se * 1e8 + 0.5) DESC, term LIMIT 20""".stripMargin)
     ),
 
     // Benchmark decontamination: flag training docs sharing >= 10

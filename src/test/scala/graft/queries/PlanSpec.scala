@@ -143,6 +143,37 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(q15).length == 2, q15)
   }
 
+  test("TPC-H Q9: single lineitem scan, nation broadcasts, no cartesian blow-up") {
+    val p = plan(Registry.queries("j34_tpch_q9")(spark, sf))
+    // the 6-table profit join must read the fact exactly once; the only
+    // nested-loop allowed anywhere in the partsupp family is the 1-row
+    // |supplier| scalar broadcast (a bounded BNLJ, never a cartesian)
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("TPC-H Q2/Q11: the shared candidate frame is cached once, read twice") {
+    // Q2's decorrelated min and Q11's global-total HAVING both re-read
+    // their grouped frame; losing the persist would re-derive partsupp
+    // (and at 100 TB re-scan part) for each consumer
+    for (q <- Seq("j33_tpch_q2", "j35_tpch_q11")) {
+      val p = plan(Registry.queries(q)(spark, sf))
+      assert("InMemoryTableScan".r.findAllIn(p).length == 2, s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("TPC-H Q16/Q20: broadcast anti-join exclusion; single lineitem scan for Q20") {
+    val q16 = plan(Registry.queries("j36_tpch_q16")(spark, sf))
+    assert(q16.contains("LeftAnti"), q16)
+    assert(!q16.contains("CartesianProduct"), q16)
+    val q20 = plan(Registry.queries("j37_tpch_q20")(spark, sf))
+    assert("lineitem\\.parquet".r.findAllIn(q20).length == 1, q20)
+    assert(q20.contains("BroadcastHashJoin"), q20)
+    assert(!q20.contains("CartesianProduct"), q20)
+  }
+
   test("retention cohorts: no window operator, count-distinct keeps partial aggregation") {
     val p = plan(Registry.queries("pipe_retention_cohorts")(spark, sf))
     assert(!p.contains("Window"), p)
