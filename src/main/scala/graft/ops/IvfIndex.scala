@@ -209,6 +209,33 @@ object IvfIndex {
     * id) are excluded, mirroring the in-flight IVF queries. */
   def topk(spark: SparkSession, dir: String, queries: DataFrame,
       topK: Int = 3, nProbe: Int = 2): DataFrame = {
+    val (scored, _) = scoredCandidates(spark, dir, queries, nProbe)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rn").cast("int").as("rn"))
+  }
+
+  /** Probe telemetry over the identical candidate path [[topk]] ranks:
+    * (distinct probed cells, scored candidate rows). Wall time hides
+    * probe fan-out drift behind CPU headroom at small scale factors —
+    * these counts expose it directly (BENCH `sim_ivf_*` rows: members
+    * grow with N, so candidates must track N·nProbe/K linearly; a
+    * super-linear jump means the quantizer's cells went lopsided). */
+  def probeStats(spark: SparkSession, dir: String, queries: DataFrame,
+      nProbe: Int = 2): (Long, Long) = {
+    val (scored, nCells) = scoredCandidates(spark, dir, queries, nProbe)
+    (nCells.toLong, scored.count())
+  }
+
+  /** Shared probe path: map-side cell assignment against the stored
+    * centroid literals, cell-set pushdown into the members scan,
+    * broadcast probes ⋈ members on cell, fused-vec_dot scoring.
+    * Self-matches excluded. Returns (scored frame, probed-cell count). */
+  private def scoredCandidates(spark: SparkSession, dir: String,
+      queries: DataFrame, nProbe: Int): (DataFrame, Int) = {
     val cents = readCentroids(spark, dir)
     require(cents.nonEmpty, s"no centroids at $dir")
     val probeN = math.min(nProbe, cents.length)
@@ -233,12 +260,7 @@ object IvfIndex {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         vecDot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos"), col("rn").cast("int").as("rn"))
+    (scored, probedCells.length)
   }
 
   /** Fused dot product without a function-registry round trip. */

@@ -124,6 +124,39 @@ object SimilarityQueries {
       .select($"query_id", $"true_label", $"neighbor_id", $"n_label", $"cos")
   }
 
+  /** Candidate-volume telemetry for the IVF family (the `*_cands`
+    * pattern from the graph/basket joins): EXACT probed-cell and
+    * scored-candidate counts for the in-flight IVF top-k and the
+    * persisted-index probe path. At a scale-factor bump the member
+    * side grows with N while probes stay fixed, so `*_cands` must
+    * track N·nprobe/K linearly — a super-linear jump means the
+    * quantizer's cells went lopsided (recall/fan-out drift the wall
+    * clock hides at local scale). Bench rows, not part of `total`. */
+  private[graft] def candidateCounts(
+      s: SparkSession, d: String): Seq[(String, Long)] = {
+    import s.implicits._
+    val cents = centroids(s, d)
+    val emb = withCells(normed(s, d), cents)
+    val members = emb.select($"vec_id".as("neighbor_id"), $"cell1".as("cid"))
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"),
+        explode(array($"cell1", $"cell2")).as("cid"))
+    val cands = broadcast(probes).join(members, "cid")
+      .filter($"neighbor_id" =!= $"query_id").count()
+    val cells = probes.select($"cid").distinct().count()
+    // persisted-index twin: same probe path sim_ivf_indexed_topk ranks
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfq_${math.abs(d.hashCode)}"
+    graft.ops.IvfIndex.write(Tables.embeddings(s, d), dir, k = 8, iters = 1)
+    val (pc, sc) = graft.ops.IvfIndex.probeStats(s, dir,
+      Tables.embeddings(s, d).filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding"), nProbe = 2)
+    Seq(
+      "sim_ivf_topk_cands" -> cands,
+      "sim_ivf_topk_probed_cells" -> cells,
+      "sim_ivf_indexed_cands" -> sc,
+      "sim_ivf_indexed_probed_cells" -> pc)
+  }
+
   /** Shared oracle CTEs: centroid set + per-vector cell ranking. */
   private val duckAssign =
     """cents AS (
