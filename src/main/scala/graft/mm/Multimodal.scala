@@ -538,4 +538,131 @@ object Multimodal {
       .select(col("asset_id"),
         explode(expr(s"sequence(0L, duration_ms - 1, $everyMs)")).as("frame_ms"))
   }
+
+  // ---------------------------------------------------------------------
+  // Perceptual image near-dup: 64-bit dHash (difference hash) — the
+  // image-side twin of document MinHash/SimHash. A decoded image reduces
+  // to a 9×8 luma grid (area means); bit (r, c) is set when
+  // grid[r][c] > grid[r][c+1] — 8 comparisons per row × 8 rows = 64 bits
+  // that survive resizing, re-encoding and small edits, while any real
+  // content change flips many bits. Candidate generation is BANDED
+  // (4 × 16-bit bands): two hashes within Hamming 3 agree on ≥1 band by
+  // pigeonhole, so candidates come from an equi-join on (band, value)
+  // and the exact bit_count verify runs only on bucket-mates — the
+  // dedup_simhash machinery pointed at pixels. At 100 TB the signature
+  // pass is one map-side decode per asset (payload never shuffles; 8
+  // bytes of signature do) and pair work scales with bucket occupancy.
+
+  /** dHash grid edge sizes: 9 columns × 8 rows of area-mean luma. */
+  private val DhashCols = 9
+  private val DhashRows = 8
+
+  /** 64-bit dHash of a decodable image payload; None = undecodable
+    * (callers keep the asset and route it to quarantine/stub scoring —
+    * silently dropping is the one forbidden outcome). */
+  def dhash64(payload: Array[Byte]): Option[Long] =
+    decodeImage(payload).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val sums = Array.ofDim[Double](DhashRows, DhashCols)
+      val counts = Array.ofDim[Long](DhashRows, DhashCols)
+      var y = 0
+      while (y < h) {
+        val r = math.min(DhashRows - 1, y * DhashRows / h)
+        var x = 0
+        while (x < w) {
+          val c = math.min(DhashCols - 1, x * DhashCols / w)
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          sums(r)(c) += luma; counts(r)(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var r = 0
+      while (r < DhashRows) {
+        var c = 0
+        while (c < DhashCols - 1) {
+          val a = sums(r)(c) / math.max(1L, counts(r)(c))
+          val b = sums(r)(c + 1) / math.max(1L, counts(r)(c + 1))
+          if (a > b) bits |= 1L << (r * (DhashCols - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      bits
+    }
+
+  /** Deterministic synthetic PNG pair fixture for the dedup gate: asset
+    * ids 2k and 2k+1 are planted near-duplicates — the same 32×32
+    * hash-noise image, the odd twin with one dHash CELL's pixels lifted
+    * by a small constant. The bump lives strictly inside grid cell
+    * (4, 4) (x ∈ [14,17), y ∈ [16,20) for 32 px), so at most the two
+    * comparisons touching that cell can flip: planted pairs are within
+    * Hamming 2 ≤ 3 BY CONSTRUCTION, while distinct bases give
+    * independent ~32-bit distances. Encoded through the real PNG writer
+    * so the pipeline exercises an actual ImageIO decode. */
+  def syntheticPng(assetId: Long): Array[Byte] = {
+    val base = assetId / 2
+    val perturb = assetId % 2 == 1
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        // full 64-bit avalanche (splitmix64 finalizer): a plain linear
+        // combination mod 256 reduces `base` to a constant luma shift,
+        // which dHash is (correctly) INVARIANT to — every base would
+        // collide with every other
+        var h = base * 0x9e3779b97f4a7c15L + x * 0xc2b2ae3d27d4eb4fL +
+          y * 0x165667b19e3779f9L
+        h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+        h ^= h >>> 27; h *= 0x94d049bb133111ebL
+        h ^= h >>> 31
+        var g = ((h >>> 33) & 0xffL).toInt
+        if (perturb && x >= 14 && x < 17 && y >= 16 && y < 20)
+          g = math.min(255, g + 6)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One dHash signature per document id over the synthetic PNG fixture:
+    * the decode→hash pass is per-partition map-side work (the payload is
+    * born and dies inside the task; only the 8-byte signature survives). */
+  def dhashSignatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(id => dhash64(syntheticPng(id)).map(h => (id, h))))
+      .toDF("asset_id", "dhash")
+  }
+
+  /** Banded near-dup pairs over any (asset_id, dhash) frame: 4 × 16-bit
+    * band equi-join → distinct → exact Hamming verify at `maxHamming`.
+    * Zero false negatives for maxHamming ≤ 3 (pigeonhole over 4 bands);
+    * pair work scales with band-bucket occupancy, never corpus². */
+  def dhashNearDupPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4x16 banding only guarantees recall to Hamming 3, got $maxHamming")
+    val bands = sigs.select(col("asset_id"), col("dhash"),
+      explode(array((0 until 4).map(j =>
+        (lit(j.toLong << 16) + shiftright(col("dhash"), 16 * j).bitwiseAND(0xffffL))): _*))
+        .as("band"))
+    bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"),
+        col("a.dhash").as("dhash_a"), col("b.dhash").as("dhash_b"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("hamming", expr("bit_count(dhash_a ^ dhash_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("asset_a"), col("asset_b"), col("hamming"))
+  }
 }

@@ -93,6 +93,35 @@ object MultimodalQueries {
               |SELECT kind, n_assets, kind_bytes,
               |  CAST(greatest(1, kind_bytes // 1048576) AS BIGINT) AS n_parts
               |FROM sized ORDER BY kind""".stripMargin)
+    ),
+
+    // Perceptual image near-dup (dHash + banded Hamming — the image-side
+    // twin of document MinHash): one REAL PNG decode per asset feeds a
+    // 64-bit difference hash; candidates come from a 4×16-bit band
+    // equi-join (pigeonhole: Hamming ≤ 3 ⇒ ≥1 exact band), pairs verify
+    // with exact bit_count. Hash VALUES are engine-specific (JVM pixel
+    // decode), so the gate rides the planted-pair fixture
+    // (Multimodal.syntheticPng): assets 2k/2k+1 are near-identical BY
+    // CONSTRUCTION (the perturbation is confined to one dHash cell ⇒
+    // within Hamming 2), distinct bases are ~32 bits apart — so the
+    // emitted pair LIST is exactly the planted list, which DuckDB
+    // derives from id arithmetic alone. Recall (every planted pair
+    // found) AND precision (nothing else) both sit under the hash gate;
+    // MultimodalSpec pins the Hamming margins and the pigeonhole
+    // property itself.
+    OracleQuery(
+      "mm_dedup_dhash",
+      (s, d) => {
+        import s.implicits._
+        val sigs = Multimodal.dhashSignatures(Tables.documents(s, d))
+        Multimodal.dhashNearDupPairs(sigs, maxHamming = 3)
+          .select($"asset_a", $"asset_b", lit(true).as("is_near"))
+          .orderBy($"asset_a", $"asset_b")
+      },
+      Some("""SELECT a.doc_id AS asset_a, b.doc_id AS asset_b, TRUE AS is_near
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 2 = 0
+             |ORDER BY asset_a, asset_b""".stripMargin)
     )
   )
 }

@@ -393,4 +393,48 @@ class MultimodalSpec extends SparkSpec {
     val img = png(10, 10, 0xff0000)
     assert(k.features("image", img)(0) == 10f, "image decode must chain through")
   }
+
+  test("dHash: planted near-identical PNGs within Hamming 2, distinct bases far apart") {
+    val sigs = (0L until 40L).map(id => id -> Multimodal.dhash64(Multimodal.syntheticPng(id)).get)
+    // planted pairs (2k, 2k+1): the perturbation lives inside ONE grid
+    // cell, so at most the two comparisons touching it can flip
+    for (k <- 0 until 20) {
+      val ham = java.lang.Long.bitCount(sigs(2 * k)._2 ^ sigs(2 * k + 1)._2)
+      assert(ham <= 2, s"planted pair $k drifted to Hamming $ham")
+    }
+    // distinct bases: independent noise => ~32-bit distances; anything
+    // under 10 would threaten the banded join's precision story
+    val crossMin = (for {
+      a <- 0 until 40; b <- a + 1 until 40 if a / 2 != b / 2
+    } yield java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2)).min
+    assert(crossMin >= 10, s"distinct bases too close: min cross Hamming $crossMin")
+    // undecodable payloads yield no signature (the asset is absent from
+    // the sig frame, not silently hashed to garbage)
+    assert(Multimodal.dhash64(Array.tabulate(32)(_.toByte)).isEmpty)
+    assert(Multimodal.dhash64(null).isEmpty)
+  }
+
+  test("dHash banding is pigeonhole-complete to Hamming 3 and exact-verified") {
+    import spark.implicits._
+    // adversarial signatures: pairs at exactly Hamming 3 with the flipped
+    // bits CONCENTRATED in one band (the worst case for banding), plus
+    // Hamming-4 pairs that must be filtered by the exact verify
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      10L -> base,
+      11L -> (base ^ 0x7L),                  // Hamming 3, all in band 0
+      12L -> (base ^ (0x7L << 48)),          // Hamming 3, all in band 3
+      13L -> (base ^ 0x0001000100010001L),   // Hamming 4, one bit per band
+      14L -> ~base                           // Hamming 64
+    ).toDF("asset_id", "dhash")
+    val pairs = Multimodal.dhashNearDupPairs(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((10L, 11L, 3)), s"band-0-concentrated pair missed: $pairs")
+    assert(pairs.contains((10L, 12L, 3)), s"band-3-concentrated pair missed: $pairs")
+    // 11 vs 12 differ in 6 bits across two bands — candidates (bands
+    // 1/2 match) but the exact verify must reject them, like 13/14
+    assert(!pairs.exists(p => p._3 > 3), s"exact verify leaked: $pairs")
+    assert(!pairs.exists(p => Set(13L, 14L).contains(p._1) || Set(13L, 14L).contains(p._2)),
+      s"Hamming>3 asset emitted: $pairs")
+  }
 }
