@@ -302,6 +302,161 @@ object TextQueries {
              |FROM scored GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
+    // TRAINED language-ID — the production path over the bigram
+    // heuristic above (kept: it is the zero-training bootstrap that
+    // labels a cold corpus): K-class softmax regression over HASHED
+    // char-trigram counts, trained IN-PLAN with two unrolled full-batch
+    // epochs (lr 0.5, zero init ⇒ epoch-1 probs are exactly 1/K) and
+    // scored corpus-wide. Feature hashing is the piece that scales:
+    // trigram vocabulary grows with the corpus, but conv(md5) % 512
+    // pins the feature space at 513 columns (512 buckets + bias), so
+    // the weight table is a 513×5 broadcast and each epoch is ONE
+    // map-side-combinable (bucket, class) aggregate over the feature
+    // frame — at 100 TB, 2565 groups through the shuffle, never a
+    // vocabulary-sized model. Parity: gradients/scores ride
+    // DECIMAL-cast sums (summation-order-proof), the softmax
+    // denominator is a DECIMAL-cast window sum of exps, double
+    // constants are CAST AS DOUBLE in the oracle, and the argmax
+    // tie-breaks on class name. TextMlSpec pins the accuracy floor vs
+    // the heuristic (the labels here carry no real text signal — the
+    // testdata langs share one vocabulary — so the floor is the honest
+    // prior-learning bar, not a fake 99%).
+    OracleQuery(
+      "text_lang_id_trained",
+      (s, d) => {
+        import s.implicits._
+        val lr = 0.5
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", lower($"text").as("text"), $"lang")
+          .filter(length($"text") >= 3) // Spark sequence(1,0) DESCENDS; DuckDB's is empty
+        val nDocs = docs.count().toDouble // model-fit dimension constant
+        // tf-NORMALIZED bucket counts (count / trigrams-in-doc): raw
+        // counts give unbounded scores whose exp overflows any fixed
+        // decimal; normalized features keep |s| ~ |w| for any doc length
+        val feats = docs
+          .select($"doc_id", (length($"text") - 2).cast("long").as("tot"), explode(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+          .select($"doc_id", $"tot", (expr(Shingles.h60("g")) % 512).cast("int").as("b"))
+          .groupBy($"doc_id", $"b")
+          .agg((count(lit(1)).cast("double") / max($"tot")).as("x"))
+          .unionByName(docs.select($"doc_id", lit(512).as("b"), lit(1.0).as("x")))
+          .cache() // read by every epoch's gradient + scoring pass
+        val classes = Seq("de", "en", "es", "fr", "zh").toDF("cls")
+        val labels = docs.select($"doc_id", $"lang")
+        def decSum(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(28,14)")).cast("double")
+        def onehot = when($"lang" === $"cls", 1.0).otherwise(0.0)
+        // epoch 1: zero init ⇒ p = 1/5 flat, no scoring join needed
+        val g1 = feats.join(labels, "doc_id").crossJoin(broadcast(classes))
+          .groupBy($"b", $"cls")
+          .agg((decSum($"x" * (lit(0.2) - onehot)) / nDocs).as("g"))
+        val w1 = g1.select($"b", $"cls", (lit(-lr) * $"g").as("w")).persist()
+        def scores(w: org.apache.spark.sql.DataFrame) =
+          feats.join(broadcast(w), "b")
+            .groupBy($"doc_id", $"cls").agg(decSum($"x" * $"w").as("s"))
+        def softmax(sc: org.apache.spark.sql.DataFrame) = {
+          val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          // max-subtracted (exp args ≤ 0 so the decimal cast can never
+          // overflow) with a DECIMAL-cast denominator: a plain double
+          // window sum visits the 5 class rows in unstable order
+          sc.withColumn("m", max($"s").over(byDoc))
+            .withColumn("p", exp($"s" - $"m") /
+              sum(exp($"s" - $"m").cast("decimal(28,14)")).over(byDoc).cast("double"))
+        }
+        val p2 = softmax(scores(w1))
+        val g2 = feats.join(labels, "doc_id")
+          .join(p2.select($"doc_id", $"cls", $"p"), "doc_id")
+          .groupBy($"b", $"cls")
+          .agg((decSum($"x" * ($"p" - onehot)) / nDocs).as("g"))
+        val w2 = w1.join(g2, Seq("b", "cls"))
+          .select($"b", $"cls", ($"w" - lit(lr) * $"g").as("w")).persist()
+        val p3 = softmax(scores(w2))
+        val byP = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"p".desc, $"cls")
+        val pred = p3.withColumn("rn", row_number().over(byP))
+          .filter($"rn" === 1).select($"doc_id", $"cls".as("pred_lang"))
+        labels
+          .join(pred, "doc_id")
+          .join(p3.select($"doc_id", $"cls", $"p"), "doc_id")
+          .filter($"cls" === $"lang") // the true class's probability
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when($"pred_lang" === $"lang", 1L).otherwise(0L)).as("n_correct"),
+            (floor(decSum($"p") / count(lit(1)) * 10000 + 0.5) / 10000).as("avg_p_true"))
+          .orderBy($"lang")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, lower(text) AS text, lang FROM documents
+             |  WHERE length(text) >= 3
+             |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, len(text) - 2),
+             |    i -> substr(text, CAST(i AS INT), 3))) AS g
+             |  FROM docs
+             |), feats AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS INT) AS b,
+             |    CAST(count(*) AS DOUBLE) / max(tot) AS x
+             |  FROM (SELECT doc_id, g, CAST(len(text) - 2 AS BIGINT) AS tot
+             |        FROM grams JOIN docs USING (doc_id))
+             |  GROUP BY 1, 2
+             |  UNION ALL
+             |  SELECT doc_id, 512, 1.0 FROM docs
+             |), classes AS (SELECT unnest(['de','en','es','fr','zh']) AS cls),
+             |g1 AS (
+             |  SELECT f.b, c.cls,
+             |    CAST(sum(CAST(f.x * (CAST(0.2 AS DOUBLE)
+             |        - CASE WHEN d.lang = c.cls THEN 1.0 ELSE 0.0 END)
+             |      AS DECIMAL(28,14))) AS DOUBLE) / (SELECT n FROM nn) AS g
+             |  FROM feats f JOIN docs d USING (doc_id) CROSS JOIN classes c
+             |  GROUP BY 1, 2
+             |), w1 AS (SELECT b, cls, -CAST(0.5 AS DOUBLE) * g AS w FROM g1),
+             |s2 AS (
+             |  SELECT f.doc_id, w.cls,
+             |    CAST(sum(CAST(f.x * w.w AS DECIMAL(28,14))) AS DOUBLE) AS s
+             |  FROM feats f JOIN w1 w USING (b) GROUP BY 1, 2
+             |), p2 AS (
+             |  SELECT doc_id, cls, exp(s - m) / CAST(sum(CAST(exp(s - m) AS DECIMAL(28,14)))
+             |    OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+             |  FROM (SELECT *, max(s) OVER (PARTITION BY doc_id) AS m FROM s2)
+             |), g2 AS (
+             |  SELECT f.b, p.cls,
+             |    CAST(sum(CAST(f.x * (p.p
+             |        - CASE WHEN d.lang = p.cls THEN 1.0 ELSE 0.0 END)
+             |      AS DECIMAL(28,14))) AS DOUBLE) / (SELECT n FROM nn) AS g
+             |  FROM feats f JOIN docs d USING (doc_id) JOIN p2 p USING (doc_id)
+             |  GROUP BY 1, 2
+             |), w2 AS (
+             |  SELECT w1.b, w1.cls, w1.w - CAST(0.5 AS DOUBLE) * g2.g AS w
+             |  FROM w1 JOIN g2 ON w1.b = g2.b AND w1.cls = g2.cls
+             |), s3 AS (
+             |  SELECT f.doc_id, w.cls,
+             |    CAST(sum(CAST(f.x * w.w AS DECIMAL(28,14))) AS DOUBLE) AS s
+             |  FROM feats f JOIN w2 w USING (b) GROUP BY 1, 2
+             |), p3 AS (
+             |  SELECT doc_id, cls, exp(s - m) / CAST(sum(CAST(exp(s - m) AS DECIMAL(28,14)))
+             |    OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+             |  FROM (SELECT *, max(s) OVER (PARTITION BY doc_id) AS m FROM s3)
+             |), pred AS (
+             |  SELECT doc_id, cls AS pred_lang FROM (
+             |    SELECT doc_id, cls,
+             |      row_number() OVER (PARTITION BY doc_id ORDER BY p DESC, cls) AS rn
+             |    FROM p3
+             |  ) WHERE rn = 1
+             |)
+             |SELECT d.lang, count(*) AS n,
+             |  CAST(sum(CASE WHEN pr.pred_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct,
+             |  floor(CAST(sum(CAST(p3.p AS DECIMAL(28,14))) AS DOUBLE)
+             |    / count(*) * 10000 + 0.5) / 10000 AS avg_p_true
+             |FROM docs d
+             |JOIN pred pr USING (doc_id)
+             |JOIN p3 ON p3.doc_id = d.doc_id AND p3.cls = d.lang
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+    ),
+
     // Document fingerprinting: md5 of the normalized text (lower, collapse
     // whitespace) — the canonical-form content key used for exact dedup
     // across formatting variants.

@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the trained text models that the hash gate alone
+  * cannot express: relative accuracy floors and probability sanity. */
+class TextMlSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("trained language-ID beats (or matches) the bigram heuristic's accuracy") {
+    import spark.implicits._
+    // the honest bar: this corpus's lang labels share one vocabulary, so
+    // no classifier can do much better than the learned class prior —
+    // but the trained softmax must never do WORSE than the zero-training
+    // bootstrap heuristic it replaces
+    val trained = Registry.queries("text_lang_id_trained")(spark, sf)
+      .agg(sum($"n_correct").cast("double") / sum($"n")).head.getDouble(0)
+    val hits = size(expr("regexp_extract_all(text, 'th|he|er|in', 0)"))
+    val heuristic = graft.core.Tables.documents(spark, sf)
+      .withColumn("pred",
+        when(hits / length($"text").cast("double") >= 0.02, "en").otherwise("other"))
+      .agg(avg(when($"pred" === $"lang", 1.0).otherwise(0.0))).head.getDouble(0)
+    assert(trained >= heuristic,
+      s"trained accuracy $trained fell below the heuristic's $heuristic")
+  }
+
+  test("trained language-ID output is well-formed: counts consistent, probs in (0,1)") {
+    import spark.implicits._
+    val rows = Registry.queries("text_lang_id_trained")(spark, sf).collect()
+    assert(rows.length == 5, "one row per language class")
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == graft.core.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n"))
+      val p = r.getAs[Double]("avg_p_true")
+      assert(p > 0.0 && p < 1.0, s"true-class probability out of range: $p")
+    }
+    // prior learning is the minimum the two epochs must deliver: the
+    // majority class ('en') must score above the uniform 1/5
+    val en = rows.find(_.getAs[String]("lang") == "en").get
+    assert(en.getAs[Double]("avg_p_true") > 0.2,
+      s"majority class prob ${en.getAs[Double]("avg_p_true")} not above uniform")
+  }
+}
