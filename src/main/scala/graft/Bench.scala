@@ -55,6 +55,7 @@ object Bench {
     "pipe_logistic_newton", // 2 exact Newton steps, 4 fact scans
     "w19_cusum_changepoint", // prefix-sum CUSUM drift detector
     "o23_table_profile",   // one-pass multi-distinct column census
+    "o23b_table_profile_approx", // HLL census (no-Expand production shape)
     "text_bm25_search",    // posting-list-subset BM25 retrieval
     "pipe_market_basket",  // a-priori-pruned association rules
     "dedup_prefix_filter", // exact Jaccard join via prefix filtering

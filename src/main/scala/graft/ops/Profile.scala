@@ -40,6 +40,44 @@ object Profile {
   def mergeCells(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("seg"), col("bin")).agg(sum(col("n")).as("n"))
 
+  /** O23b: the 100 TB table census — o23's exact multi-distinct swaps
+    * for the HLL++ sketch (`approx_count_distinct`) so the one-pass
+    * aggregate plans WITHOUT an Expand node: the exact multi-distinct
+    * rewrite replicates every scanned row once per distinct aggregate
+    * (4 columns ⇒ a 5× row blow-up through the exchange), while the
+    * sketch keeps one row per input row and merges fixed-size register
+    * arrays (order-independent max-merge, so the estimate is
+    * deterministic for a given dataset). Same long (column, metric)
+    * layout as the exact census; means ride the DECIMAL-sum + floor
+    * display recipe. Accuracy is contract-gated by
+    * `o23b_table_profile_approx` (the a14 pattern) — this builder is
+    * the production path and never computes the exact twin. */
+  def tableProfileApprox(
+      df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        approx_count_distinct(col(c), rsd).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        (floor(sum(col(c).cast("decimal(28,10)")).cast("double") / count(col(c))
+          * 10000 + 0.5) / 10000).as(s"${c}_mean")))
+    // persisted 1-row frame: the long layout fans out as one select per
+    // column and must not replay the scan per branch (the o23 contract)
+    val wide = df.agg(aggs.head, aggs.tail: _*).persist()
+    cols.map { c =>
+      wide.select(
+        lit(c).as("column_name"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col(s"${c}_nulls").cast("bigint").as("n_nulls"),
+        col(s"${c}_distinct").cast("bigint").as("n_distinct_approx"),
+        col(s"${c}_min").cast("double").as("min_v"),
+        col(s"${c}_max").cast("double").as("max_v"),
+        col(s"${c}_mean").cast("double").as("mean_v"))
+    }.reduce(_ unionAll _).orderBy(col("column_name"))
+  }
+
   /** Population stability index of `cur` against `ref`, per segment:
     * (seg, n_ref, n_cur, psi). Proportions are additively smoothed —
     * p = (n + 0.5) / (N + bins/2) — so bins empty on one side stay

@@ -1008,6 +1008,84 @@ object CoreQueries {
              |SELECT 'l_tax', n_rows, t_nulls, t_distinct,
              |  CAST(t_min AS DOUBLE), CAST(t_max AS DOUBLE), CAST(t_mean AS DOUBLE) FROM w
              |ORDER BY column_name""".stripMargin)
+    ),
+
+    // O23b: the approx census's accuracy CONTRACT (a14 pattern). The
+    // production path is ops/Profile.tableProfileApprox — HLL sketch,
+    // no Expand in the plan (pinned in PlanSpec against o23's exact
+    // spelling, which DOES expand) — but HLL estimates are
+    // engine-specific, so the gate entry computes exact and approx
+    // distincts in ONE agg and emits the exact stats (DuckDB
+    // recomputes) plus a within-bound boolean per column (rsd 0.05,
+    // 3σ margin 0.15) that DuckDB asserts as TRUE. A drifting sketch
+    // flips the boolean and fails the hash gate.
+    OracleQuery(
+      "o23b_table_profile_approx",
+      (s, d) => {
+        import s.implicits._
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val li = Tables.lineitem(s, d)
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_exact"),
+            approx_count_distinct(col(c), 0.05).as(s"${c}_approx"),
+            min(col(c)).as(s"${c}_min"),
+            max(col(c)).as(s"${c}_max"),
+            (floor(sum(col(c).cast("decimal(28,10)")).cast("double") / count(col(c))
+              * 10000 + 0.5) / 10000).as(s"${c}_mean")))
+        val wide = li.agg(aggs.head, aggs.tail: _*).persist()
+        cols.map { c =>
+          wide.select(
+            lit(c).as("column_name"),
+            $"n_rows".cast("bigint").as("n_rows"),
+            col(s"${c}_nulls").cast("bigint").as("n_nulls"),
+            col(s"${c}_exact").cast("bigint").as("n_distinct"),
+            (abs(col(s"${c}_approx") - col(s"${c}_exact")).cast("double")
+              / col(s"${c}_exact") <= 0.15).as("distinct_ok"),
+            col(s"${c}_min").cast("double").as("min_v"),
+            col(s"${c}_max").cast("double").as("max_v"),
+            col(s"${c}_mean").cast("double").as("mean_v"))
+        }.reduce(_ unionAll _).orderBy($"column_name")
+      },
+      Some("""WITH w AS (
+             |  SELECT count(*) AS n_rows,
+             |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+             |    count(DISTINCT l_quantity) AS q_distinct,
+             |    min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+             |    floor(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+             |      / count(l_quantity) * 10000 + 0.5) / 10000 AS q_mean,
+             |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+             |    count(DISTINCT l_extendedprice) AS p_distinct,
+             |    min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max,
+             |    floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+             |      / count(l_extendedprice) * 10000 + 0.5) / 10000 AS p_mean,
+             |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+             |    count(DISTINCT l_discount) AS d_distinct,
+             |    min(l_discount) AS d_min, max(l_discount) AS d_max,
+             |    floor(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE)
+             |      / count(l_discount) * 10000 + 0.5) / 10000 AS d_mean,
+             |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
+             |    count(DISTINCT l_tax) AS t_distinct,
+             |    min(l_tax) AS t_min, max(l_tax) AS t_max,
+             |    floor(CAST(sum(CAST(l_tax AS DECIMAL(28,10))) AS DOUBLE)
+             |      / count(l_tax) * 10000 + 0.5) / 10000 AS t_mean
+             |  FROM lineitem
+             |)
+             |SELECT 'l_discount' AS column_name, n_rows, d_nulls AS n_nulls,
+             |  d_distinct AS n_distinct, TRUE AS distinct_ok,
+             |  CAST(d_min AS DOUBLE) AS min_v, CAST(d_max AS DOUBLE) AS max_v,
+             |  CAST(d_mean AS DOUBLE) AS mean_v FROM w
+             |UNION ALL
+             |SELECT 'l_extendedprice', n_rows, p_nulls, p_distinct, TRUE,
+             |  CAST(p_min AS DOUBLE), CAST(p_max AS DOUBLE), CAST(p_mean AS DOUBLE) FROM w
+             |UNION ALL
+             |SELECT 'l_quantity', n_rows, q_nulls, q_distinct, TRUE,
+             |  CAST(q_min AS DOUBLE), CAST(q_max AS DOUBLE), CAST(q_mean AS DOUBLE) FROM w
+             |UNION ALL
+             |SELECT 'l_tax', n_rows, t_nulls, t_distinct, TRUE,
+             |  CAST(t_min AS DOUBLE), CAST(t_max AS DOUBLE), CAST(t_mean AS DOUBLE) FROM w
+             |ORDER BY column_name""".stripMargin)
     )
   )
 

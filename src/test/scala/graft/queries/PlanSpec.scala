@@ -174,6 +174,18 @@ class PlanSpec extends SparkSpec {
     assert(!q20.contains("CartesianProduct"), q20)
   }
 
+  test("approx table census plans without Expand; the exact census expands") {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val approx = plan(graft.ops.Profile.tableProfileApprox(
+      graft.core.Tables.lineitem(spark, sf), cols))
+    // the HLL spelling's whole point at 100 TB: one row per scanned row
+    // through the aggregate, no multi-distinct row replication
+    assert(!approx.contains("Expand"), approx)
+    val exact = plan(Registry.queries("o23_table_profile")(spark, sf))
+    assert(exact.contains("Expand"),
+      "the exact multi-distinct census stopped expanding — update the o23b rationale")
+  }
+
   test("retention cohorts: no window operator, count-distinct keeps partial aggregation") {
     val p = plan(Registry.queries("pipe_retention_cohorts")(spark, sf))
     assert(!p.contains("Window"), p)
