@@ -137,6 +137,77 @@ object StreamQueries {
              |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
+    // LEFT-OUTER stream-stream join, oracle-gated: the production
+    // attribution shape — unmatched views must EMIT (null click) once
+    // the watermark proves no future click can match, which is the
+    // state-eviction semantics an inner join never exercises. Same
+    // week-file replay as stream_click_attribution; the one semantic
+    // boundary is the stream's tail: a view whose expiry
+    // (view_ts + window) is not yet behind the final global watermark
+    // stays in state when input ends, so the gate restricts BOTH
+    // engines to views expiring well inside the watermarked region
+    // (ts < Jan 30 with events ending Jan 31 — a 2-day margin over the
+    // 4 h window) — the batch LEFT JOIN is then the exact oracle.
+    // Unmatched emission rides the n_unmatched column: any view DROPPED
+    // (eviction without emission) or DUPLICATED (emission without
+    // eviction) moves a count and fails the hash.
+    OracleQuery(
+      "stream_click_attribution_outer",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).filter($"user_id" < 200)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_ojoin").toString
+        val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
+        for ((side, typ) <- Seq("views" -> "view", "clicks" -> "click");
+             i <- 0 until 4) {
+          ev.filter($"event_type" === typ &&
+              $"ts" >= lit(weeks(i)).cast("timestamp") &&
+              $"ts" < lit(weeks(i + 1)).cast("timestamp"))
+            .select($"user_id", $"event_id", $"ts")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$side/w$i")
+        }
+        def src(dir: String) = s.readStream
+          .schema("user_id LONG, event_id LONG, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$dir/*")
+        // the cutoff is applied to the OUTPUT, not the source: filtering
+        // the view source would hold that side's watermark at the
+        // cutoff and the last 2×window of kept views would never expire
+        val cutoff = lit("2024-01-30").cast("timestamp")
+        graft.streaming.Streams.runAvailableNow(
+          graft.streaming.Streams.clickAttributionOuterStream(
+            src(s"$tmp/views"), src(s"$tmp/clicks"), windowMinutes = 240),
+          s"$tmp/ckpt", s"$tmp/out")
+        s.read.parquet(s"$tmp/out")
+          .filter($"view_ts" < cutoff)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when($"click_id".isNull, 1L).otherwise(0L)).as("n_unmatched"),
+            min($"view_id").as("min_view"), max($"view_id").as("max_view"),
+            min($"click_id").as("min_click"), max($"click_id").as("max_click"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id, ts FROM events
+             |  WHERE event_type = 'view' AND user_id < 200
+             |    AND ts < TIMESTAMP '2024-01-30'
+             |), c AS (
+             |  SELECT user_id, event_id, ts FROM events
+             |  WHERE event_type = 'click' AND user_id < 200
+             |), pairs AS (
+             |  SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+             |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |    AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+             |)
+             |SELECT user_id, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_unmatched,
+             |  min(view_id) AS min_view, max(view_id) AS max_view,
+             |  min(click_id) AS min_click, max(click_id) AS max_click
+             |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
     // Streaming sliding-window distinct users, oracle-gated against the
     // batch spelling: the 7-day/1-day-slide WAU series computed AS A
     // STREAM — sliding `window()` fan-out, stateful dropDuplicates on

@@ -391,14 +391,36 @@ object Streams {
     *
     * Both inputs must carry (user_id, event_id, ts). */
   def clickAttributionStream(
-      views: DataFrame, clicks: DataFrame, windowMinutes: Int = 10): DataFrame = {
+      views: DataFrame, clicks: DataFrame, windowMinutes: Int = 10): DataFrame =
+    attributionJoin(views, clicks, windowMinutes, "inner")
+
+  /** Left-outer click attribution: the production shape — every view
+    * row eventually emits, matched views as they pair, UNMATCHED views
+    * with NULL click columns once the watermark passes view_ts +
+    * window (the state store can then prove no future click can match,
+    * so the row is evicted AND emitted in one step). The funnel
+    * question "which impressions never converted?" needs exactly this;
+    * an inner join silently drops them. Emission timing is
+    * watermark-bound: a view is only reported unmatched after the
+    * GLOBAL watermark (min over both inputs, minus the delay) passes
+    * its expiry, so tail-of-stream views can stay in state when input
+    * ends — callers comparing against a batch left join must restrict
+    * to fully-expired views (StreamsSpec pins both halves). */
+  def clickAttributionOuterStream(
+      views: DataFrame, clicks: DataFrame, windowMinutes: Int = 10): DataFrame =
+    attributionJoin(views, clicks, windowMinutes, "left_outer")
+
+  private def attributionJoin(
+      views: DataFrame, clicks: DataFrame, windowMinutes: Int,
+      joinType: String): DataFrame = {
     val wm = s"$windowMinutes minutes"
     val v = views.withWatermark("ts", wm).alias("v")
     val c = clicks.withWatermark("ts", wm).alias("c")
     v.join(c, expr(
         s"""v.user_id = c.user_id AND
            |c.ts >= v.ts AND
-           |c.ts <= v.ts + INTERVAL $windowMinutes MINUTES""".stripMargin))
+           |c.ts <= v.ts + INTERVAL $windowMinutes MINUTES""".stripMargin),
+        joinType)
       .select(col("v.user_id").as("user_id"),
         col("v.event_id").as("view_id"), col("c.event_id").as("click_id"),
         col("v.ts").as("view_ts"), col("c.ts").as("click_ts"))
