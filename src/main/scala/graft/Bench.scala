@@ -70,7 +70,10 @@ object Bench {
     "a44_gini",            // rank-weighted concentration profile (exact)
     "a44b_gini_binned",    // Lorenz-from-histogram Gini (no per-row sort)
     "text_term_drift",     // smoothed log-odds vocabulary drift
-    "w24_lead_lag")        // pairwise series cross-correlation at lags
+    "w24_lead_lag",        // pairwise series cross-correlation at lags
+    "j34_tpch_q9",         // 6-table profit join over derived partsupp
+    "mm_dedup_dhash",      // perceptual image near-dup (dHash + banding)
+    "text_lang_id_trained") // in-plan K-class softmax language-ID
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is
