@@ -598,11 +598,13 @@ object Multimodal {
     * ids 2k and 2k+1 are planted near-duplicates — the same 32×32
     * hash-noise image, the odd twin with one dHash CELL's pixels lifted
     * by a small constant. The bump lives strictly inside grid cell
-    * (4, 4) (x ∈ [14,17), y ∈ [16,20) for 32 px), so at most the two
-    * comparisons touching that cell can flip: planted pairs are within
-    * Hamming 2 ≤ 3 BY CONSTRUCTION, while distinct bases give
-    * independent ~32-bit distances. Encoded through the real PNG writer
-    * so the pipeline exercises an actual ImageIO decode. */
+    * (4, 4) (x ∈ [15,18), y ∈ [16,20) for 32 px: column 4 is the x
+    * where ⌊x·9/32⌋ = 4), so at most the TWO comparisons touching that
+    * cell — (row 4, c3 vs c4) and (row 4, c4 vs c5) — can flip:
+    * planted pairs are within Hamming 2 ≤ 3 BY CONSTRUCTION, while
+    * distinct bases give independent ~32-bit distances. Encoded
+    * through the real PNG writer so the pipeline exercises an actual
+    * ImageIO decode. */
   def syntheticPng(assetId: Long): Array[Byte] = {
     val base = assetId / 2
     val perturb = assetId % 2 == 1
@@ -622,7 +624,7 @@ object Multimodal {
         h ^= h >>> 27; h *= 0x94d049bb133111ebL
         h ^= h >>> 31
         var g = ((h >>> 33) & 0xffL).toInt
-        if (perturb && x >= 14 && x < 17 && y >= 16 && y < 20)
+        if (perturb && x >= 15 && x < 18 && y >= 16 && y < 20)
           g = math.min(255, g + 6)
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
@@ -634,14 +636,29 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** One dHash signature per document id over the synthetic PNG fixture:
-    * the decode→hash pass is per-partition map-side work (the payload is
-    * born and dies inside the task; only the 8-byte signature survives). */
-  def dhashSignatures(docs: DataFrame): DataFrame = {
+  /** The fixture as a (asset_id, payload) frame — one synthetic PNG per
+    * document id, built inside the task so the bytes never ship. */
+  def syntheticImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.flatMap(id => dhash64(syntheticPng(id)).map(h => (id, h))))
+      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .toDF("asset_id", "payload")
+  }
+
+  /** dHash signatures of an (asset_id, payload) frame: the decode→hash
+    * pass is per-partition map-side work — the payload is consumed
+    * inside the task and only the 8-byte signature survives (with
+    * [[syntheticImages]] upstream the two mapPartitions pipeline into
+    * ONE stage, so the fixture bytes never even materialize between
+    * operators). Undecodable payloads yield no signature row: the
+    * asset is absent from the sig frame, not hashed to garbage. */
+  def dhashSignatures(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, png) => dhash64(png).map(h => (id, h)) })
       .toDF("asset_id", "dhash")
   }
 

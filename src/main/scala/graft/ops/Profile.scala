@@ -61,8 +61,9 @@ object Profile {
         approx_count_distinct(col(c), rsd).as(s"${c}_distinct"),
         min(col(c)).as(s"${c}_min"),
         max(col(c)).as(s"${c}_max"),
-        (floor(sum(col(c).cast("decimal(28,10)")).cast("double") / count(col(c))
-          * 10000 + 0.5) / 10000).as(s"${c}_mean")))
+        graft.core.Parity.floorRound4(
+          sum(col(c).cast("decimal(28,10)")).cast("double") / count(col(c)))
+          .as(s"${c}_mean")))
     // persisted 1-row frame: the long layout fans out as one select per
     // column and must not replay the scan per branch (the o23 contract)
     val wide = df.agg(aggs.head, aggs.tail: _*).persist()

@@ -46,15 +46,17 @@ object RobustStats {
         count(lit(1)).as("n"),
         sum(col("was_clipped")).cast("long").as("n_clipped"),
         // hash-compared means are spelled as DECIMAL-cast sums divided
-        // once, display-rounded via the floor recipe — round(avg(..),4)
-        // is a summation-order-dependent double through Spark's
-        // shortest-repr round and can flip at a …5000 boundary
-        (floor(sum(v.cast("decimal(28,10)")).cast("double") / count(lit(1))
-          * 10000 + 0.5) / 10000).as("raw_mean"),
-        (floor(sum(col("clipped").cast("decimal(28,10)")).cast("double")
-          / count(lit(1)) * 10000 + 0.5) / 10000).as("winsor_mean"),
-        (floor(min(col("clipped")) * 10000 + 0.5) / 10000).as("lo"),
-        (floor(max(col("clipped")) * 10000 + 0.5) / 10000).as("hi"))
+        // once by the NON-NULL count (avg semantics), display-rounded
+        // via the floor recipe — round(avg(..),4) is a summation-order-
+        // dependent double through Spark's shortest-repr round and can
+        // flip at a …5000 boundary
+        graft.core.Parity.floorRound4(
+          sum(v.cast("decimal(28,10)")).cast("double") / count(v)).as("raw_mean"),
+        graft.core.Parity.floorRound4(
+          sum(col("clipped").cast("decimal(28,10)")).cast("double")
+            / count(col("clipped"))).as("winsor_mean"),
+        graft.core.Parity.floorRound4(min(col("clipped"))).as("lo"),
+        graft.core.Parity.floorRound4(max(col("clipped"))).as("hi"))
       .orderBy(g)
   }
 

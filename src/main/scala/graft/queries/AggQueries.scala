@@ -386,8 +386,8 @@ object AggQueries {
               .as("exact_q"),
             expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_q"))
           .select($"l_returnflag",
-            (floor(element_at($"exact_q", 2) * 10000 + 0.5) / 10000).as("exact_p50"),
-            (floor(element_at($"exact_q", 5) * 10000 + 0.5) / 10000).as("exact_p95"),
+            graft.core.Parity.floorRound4(element_at($"exact_q", 2)).as("exact_p50"),
+            graft.core.Parity.floorRound4(element_at($"exact_q", 5)).as("exact_p95"),
             element_at($"approx_q", 1).between(
               element_at($"exact_q", 1), element_at($"exact_q", 3)).as("p50_within"),
             element_at($"approx_q", 2).between(
@@ -430,9 +430,9 @@ object AggQueries {
              |SELECT event_type, count(*) AS n,
              |  CAST(sum(was_clipped) AS BIGINT) AS n_clipped,
              |  floor(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
-             |    / count(*) * 10000 + 0.5) / 10000 AS raw_mean,
+             |    / count(value) * 10000 + 0.5) / 10000 AS raw_mean,
              |  floor(CAST(sum(CAST(clipped AS DECIMAL(28,10))) AS DOUBLE)
-             |    / count(*) * 10000 + 0.5) / 10000 AS winsor_mean,
+             |    / count(clipped) * 10000 + 0.5) / 10000 AS winsor_mean,
              |  floor(min(clipped) * 10000 + 0.5) / 10000 AS lo,
              |  floor(max(clipped) * 10000 + 0.5) / 10000 AS hi
              |FROM clip GROUP BY event_type ORDER BY event_type""".stripMargin)
@@ -475,7 +475,7 @@ object AggQueries {
       },
       Some("""SELECT event_type, count(*) AS n,
              |  floor(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
-             |    / count(*) * 10000 + 0.5) / 10000 AS raw_mean,
+             |    / count(value) * 10000 + 0.5) / 10000 AS raw_mean,
              |  TRUE AS mean_ok, TRUE AS clip_ok, TRUE AS band_ok
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
@@ -2198,7 +2198,7 @@ object AggQueries {
           .groupBy($"event_type")
           .agg(max($"n").as("n"), sum($"term").cast("double").as("tsum"))
           .select($"event_type", $"n",
-            (floor((lit(1.0) - $"tsum") * 10000 + 0.5) / 10000).as("gini"))
+            graft.core.Parity.floorRound4(lit(1.0) - $"tsum").as("gini"))
           .orderBy($"event_type")
       },
       Some("""WITH stats AS (

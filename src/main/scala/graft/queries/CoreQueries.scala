@@ -1032,8 +1032,9 @@ object CoreQueries {
             approx_count_distinct(col(c), 0.05).as(s"${c}_approx"),
             min(col(c)).as(s"${c}_min"),
             max(col(c)).as(s"${c}_max"),
-            (floor(sum(col(c).cast("decimal(28,10)")).cast("double") / count(col(c))
-              * 10000 + 0.5) / 10000).as(s"${c}_mean")))
+            graft.core.Parity.floorRound4(
+              sum(col(c).cast("decimal(28,10)")).cast("double") / count(col(c)))
+              .as(s"${c}_mean")))
         val wide = li.agg(aggs.head, aggs.tail: _*).persist()
         cols.map { c =>
           wide.select(

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{Parity, Tables}
 
 /** Join operators — SURVEY §2.5 J1–J4, plus the semi/anti/outer shapes a
   * complete engine needs.
@@ -1207,7 +1207,7 @@ object JoinQueries {
           .agg(min($"ps_supplycost").as("min_cost"))
         cand.join(mins, $"p_partkey" === $"mk" && $"ps_supplycost" === $"min_cost")
           .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_brand",
-            (floor($"ps_supplycost" * 10000 + 0.5) / 10000).as("supply_cost"))
+            Parity.floorRound4($"ps_supplycost").as("supply_cost"))
           .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
           .limit(100)
       },
@@ -1253,10 +1253,10 @@ object JoinQueries {
           .join(broadcast(Tables.nation(s, d)), $"n_nationkey" === $"s_nationkey")
           .groupBy($"n_name".as("nation"),
             year($"o_orderdate").cast("int").as("o_year"))
-          .agg((floor(
+          .agg(Parity.floorRound4(
             sum(($"l_extendedprice" * (lit(1) - $"l_discount")
               - $"ps_supplycost" * $"l_quantity").cast("decimal(28,10)"))
-              .cast("double") * 10000 + 0.5) / 10000).as("sum_profit"))
+              .cast("double")).as("sum_profit"))
           .orderBy($"nation", $"o_year".desc)
       },
       Some(PartsuppCte + """
@@ -1296,8 +1296,7 @@ object JoinQueries {
         val tot = byPart.agg(sum($"val".cast("decimal(28,10)")).cast("double").as("tval"))
         byPart.crossJoin(broadcast(tot))
           .filter($"val" > $"tval" * lit(0.001))
-          .select($"ps_partkey",
-            (floor($"val" * 10000 + 0.5) / 10000).as("value"))
+          .select($"ps_partkey", Parity.floorRound4($"val").as("value"))
           .orderBy($"value".desc, $"ps_partkey")
       },
       Some(PartsuppCte + """
@@ -1385,8 +1384,7 @@ object JoinQueries {
           .join(broadcast(Tables.region(s, d).filter($"r_name" === "EUROPE")),
             $"n_regionkey" === $"r_regionkey")
           .join(eligible, $"ps_suppkey" === $"s_suppkey")
-          .select($"s_name",
-            (floor($"s_acctbal" * 10000 + 0.5) / 10000).as("s_acctbal"))
+          .select($"s_name", Parity.floorRound4($"s_acctbal").as("s_acctbal"))
           .orderBy($"s_name")
       },
       Some(PartsuppCte + """

@@ -113,7 +113,8 @@ object MultimodalQueries {
       "mm_dedup_dhash",
       (s, d) => {
         import s.implicits._
-        val sigs = Multimodal.dhashSignatures(Tables.documents(s, d))
+        val sigs = Multimodal.dhashSignatures(
+          Multimodal.syntheticImages(Tables.documents(s, d)))
         Multimodal.dhashNearDupPairs(sigs, maxHamming = 3)
           .select($"asset_a", $"asset_b", lit(true).as("is_near"))
           .orderBy($"asset_a", $"asset_b")

@@ -383,7 +383,7 @@ object TextQueries {
           .agg(
             count(lit(1)).as("n"),
             sum(when($"pred_lang" === $"lang", 1L).otherwise(0L)).as("n_correct"),
-            (floor(decSum($"p") / count(lit(1)) * 10000 + 0.5) / 10000).as("avg_p_true"))
+            graft.core.Parity.floorRound4(decSum($"p") / count(lit(1))).as("avg_p_true"))
           .orderBy($"lang")
       },
       Some("""WITH docs AS (
@@ -729,8 +729,8 @@ object TextQueries {
           .orderBy(floor($"lor" / $"se" * 1e8 + 0.5).desc, $"term")
           .limit(20)
           .select($"term", $"ya", $"yb",
-            (floor($"lor" * 10000 + 0.5) / 10000).as("log_odds"),
-            (floor($"lor" / $"se" * 10000 + 0.5) / 10000).as("z"))
+            graft.core.Parity.floorRound4($"lor").as("log_odds"),
+            graft.core.Parity.floorRound4($"lor" / $"se").as("z"))
       },
       Some("""WITH toks AS (
              |  SELECT CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS slice,
