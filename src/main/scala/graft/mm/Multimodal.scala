@@ -641,7 +641,12 @@ object Multimodal {
   def syntheticImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // the id frame reads from one tiny parquet split, but the encode+
+    // decode work downstream is ~1 ms/image — repartition the 8-byte
+    // ids (a near-free shuffle) so the pixel work uses every core, the
+    // same byte-budget principle repartitionByByteBudget applies to
+    // real payloads
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, syntheticPng(id))))
       .toDF("asset_id", "payload")
   }
@@ -668,7 +673,11 @@ object Multimodal {
     * pair work scales with band-bucket occupancy, never corpus². */
   def dhashNearDupPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4x16 banding only guarantees recall to Hamming 3, got $maxHamming")
-    val bands = sigs.select(col("asset_id"), col("dhash"),
+    // the band self-join reads the signature frame twice; without the
+    // persist each side replays the full decode lineage (measured 2×
+    // the whole query's cost on the PNG fixture). 16 bytes/asset.
+    val cached = sigs.persist()
+    val bands = cached.select(col("asset_id"), col("dhash"),
       explode(array((0 until 4).map(j =>
         (lit(j.toLong << 16) + shiftright(col("dhash"), 16 * j).bitwiseAND(0xffffL))): _*))
         .as("band"))
