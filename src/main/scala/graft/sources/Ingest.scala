@@ -151,8 +151,84 @@ object Ingest {
 
   /** The pure per-file kernel behind [[fromEra5NetCdf]] /
     * [[fromEra5NetCdfDir]]: (ts, kelvin) for the nearest grid cell.
-    * Driver- or executor-side; no Spark dependency. */
+    * Driver- or executor-side; no Spark dependency. Dispatches on the
+    * container magic: classic CDF-1/2 → [[NetCdf3]]; NetCDF-4 (HDF5,
+    * what real ERA5 downloads ship today) → [[Hdf5]]. */
   private[sources] def era5CellSeries(
+      bytes: Array[Byte], lat: Double, lon: Double): Seq[(java.sql.Timestamp, Double)] =
+    if (Hdf5.isHdf5(bytes)) era5CellSeriesHdf5(bytes, lat, lon)
+    else era5CellSeriesCdf(bytes, lat, lon)
+
+  /** HDF5-backed variant of the cell-series kernel: same CF semantics
+    * (nearest cell by |coord − station|, `units`-driven time decode,
+    * `scale_factor`/`add_offset` unpack, fill → NaN → row dropped for
+    * time / kept as NaN temp). Axes of the grid variable resolve by
+    * COORDINATE LENGTH (the time axis is the one whose extent equals
+    * |time|, etc.) rather than netCDF-4's DIMENSION_LIST attribute —
+    * that attribute is a variable-length-reference type outside the
+    * [[Hdf5]] subset; length matching resolves every regular lat×lon
+    * grid, ties broken by CF's (time, lat, lon) write order, and any
+    * extra axis (e.g. ERA5T's `expver`) pins at index 0. */
+  private[sources] def era5CellSeriesHdf5(
+      bytes: Array[Byte], lat: Double, lon: Double): Seq[(java.sql.Timestamp, Double)] = {
+    val f = Hdf5.parse(bytes)
+    val latVar = f.variable("latitude", "lat")
+    val lonVar = f.variable("longitude", "lon")
+    val timeVar = f.variable("time", "valid_time")
+    val tempVar = f.variable("t2m", "2m_temperature")
+    def unpack(v: Hdf5.H5Var): Double => Double = {
+      def numAttr(names: String*): Option[Double] =
+        names.flatMap(v.attrs.get).collectFirst { case a: Array[Double] if a.nonEmpty => a(0) }
+      val fill = numAttr("_FillValue", "missing_value")
+      val scale = numAttr("scale_factor").getOrElse(1.0)
+      val offset = numAttr("add_offset").getOrElse(0.0)
+      x => if (fill.exists(_ == x)) Double.NaN else x * scale + offset
+    }
+    def readCoord(v: Hdf5.H5Var): Array[Double] = {
+      val u = unpack(v)
+      new Hdf5.VarReader(f, v).readAll().map(u)
+    }
+    val lats = readCoord(latVar)
+    val lons = readCoord(lonVar)
+    val timeRaw = readCoord(timeVar)
+    def nearest(arr: Array[Double], x: Double): Int =
+      arr.zipWithIndex.minBy { case (v, _) => math.abs(v - x) }._2
+    val latIdx = nearest(lats, lat)
+    val lonIdx = nearest(lons, lon)
+    val units = timeVar.attrs.get("units") match {
+      case Some(s: String) => s
+      case _ => throw new IllegalArgumentException(
+        s"time variable ${timeVar.name} has no units attribute")
+    }
+    val micros = NetCdf3.decodeTime(units, timeRaw)
+    // axis resolution by coordinate length, claimed in CF write order
+    val shape = tempVar.shape
+    val taken = scala.collection.mutable.Set[Int]()
+    def claim(n: Long, what: String): Int = {
+      val ax = shape.indices.find(i => !taken(i) && shape(i) == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"no axis of ${tempVar.name} (shape ${shape.mkString("x")}) has extent $n for $what"))
+      taken += ax
+      ax
+    }
+    val tAxis = claim(timeRaw.length.toLong, "time")
+    val latAxis = claim(lats.length.toLong, "latitude")
+    val lonAxis = claim(lons.length.toLong, "longitude")
+    val rdr = new Hdf5.VarReader(f, tempVar)
+    val up = unpack(tempVar)
+    val idx = Array.fill(shape.length)(0L) // extra axes (expver) stay at 0
+    idx(latAxis) = latIdx.toLong
+    idx(lonAxis) = lonIdx.toLong
+    micros.indices
+      .filterNot(t => timeRaw(t).isNaN)
+      .map { t =>
+        idx(tAxis) = t.toLong
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros(t), 1000L))
+        (ts, up(rdr.elementAt(idx.toSeq)))
+      }
+  }
+
+  private[sources] def era5CellSeriesCdf(
       bytes: Array[Byte], lat: Double, lon: Double): Seq[(java.sql.Timestamp, Double)] = {
     val f = NetCdf3.parse(bytes)
     val latVar = f.variable("latitude", "lat")

@@ -10,8 +10,9 @@ import java.nio.charset.StandardCharsets
   * attributes and data offsets), fixed-size variable data at `begin`,
   * and record-variable data interleaved per record (with the
   * single-record-variable no-padding special case). NetCDF-4 files are
-  * HDF5 containers and stay out of scope (detected and rejected with a
-  * clear error).
+  * HDF5 containers and are handled by [[Hdf5]] — this parser detects
+  * them and rejects with a clear error so callers route via
+  * [[Ingest.era5CellSeries]]'s magic-byte dispatch.
   *
   * Reference semantics mirrored downstream (Ingest.fromEra5NetCdf):
   * fetch/era5_hourly.py:309-347 `_parse_with_netcdf4` — nearest grid
