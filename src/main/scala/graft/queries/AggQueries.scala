@@ -2237,6 +2237,91 @@ object AggQueries {
              |  floor((1.0 - CAST(sum(term) AS DOUBLE)) * 10000 + 0.5) / 10000
              |    AS gini
              |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Pairwise Pearson correlation MATRIX over k numeric measures in ONE
+    // scan and ONE aggregate: all k sums, k self-product sums and
+    // k(k−1)/2 cross-product sums ride a single partial+final Aggregate
+    // (O(k²) state per task, map-side combined), then the k(k−1)/2
+    // correlations are pure arithmetic on the 1-row result — the
+    // feature-screening shape for wide training tables, where the naive
+    // corr-per-pair spelling re-scans the fact k(k−1)/2 times. No
+    // Expand, no self-join, no second pass (plan-pinned in the spec).
+    // Numeric parity: measures are scaled by a POWER OF TWO (exact in
+    // IEEE, correlation-invariant) so every product stays ≤ ~2.5e3 and
+    // the DECIMAL(38,10) sum cast is far outside the shortest-repr
+    // tie zone (ulp(2.5e3) ≈ 4.5e-13 ≪ 1e-10); the final formula is
+    // identical +,*,/,sqrt text on both engines.
+    OracleQuery(
+      "a45_corr_matrix",
+      (s, d) => {
+        import s.implicits._
+        val measures = Seq(
+          "q" -> $"l_quantity",
+          "p" -> ($"l_extendedprice" / 65536.0),
+          "dc" -> $"l_discount",
+          "t" -> $"l_tax")
+        val names = measures.map(_._1)
+        val byName = measures.toMap
+        val pairs = for (i <- names.indices; j <- i until names.length)
+          yield (names(i), names(j))
+        val aggs =
+          measures.map { case (nm, c) =>
+            sum(c.cast("decimal(38,10)")).cast("double").as(s"s_$nm") } ++
+          pairs.map { case (a, b) =>
+            sum((byName(a) * byName(b)).cast("decimal(38,10)"))
+              .cast("double").as(s"s_${a}_$b") }
+        val one = Tables.lineitem(s, d)
+          .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+        def corrOf(a: String, b: String) = graft.core.Parity.floorRound4(
+          ($"n" * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt($"n" * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")) *
+             sqrt($"n" * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b"))))
+        val rows = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>
+          struct(lit(s"${a}_$b").as("pair"), corrOf(a, b).as("corr_v"))
+        }
+        one.select(explode(array(rows: _*)).as("r"))
+          .select($"r.pair", $"r.corr_v")
+          .orderBy($"pair")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_quantity AS q, l_extendedprice / 65536.0 AS p,
+             |    l_discount AS dc, l_tax AS t
+             |  FROM lineitem
+             |), s AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(CAST(q AS DECIMAL(38,10))) AS DOUBLE) AS s_q,
+             |    CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE) AS s_p,
+             |    CAST(sum(CAST(dc AS DECIMAL(38,10))) AS DOUBLE) AS s_dc,
+             |    CAST(sum(CAST(t AS DECIMAL(38,10))) AS DOUBLE) AS s_t,
+             |    CAST(sum(CAST(q * q AS DECIMAL(38,10))) AS DOUBLE) AS s_q_q,
+             |    CAST(sum(CAST(q * p AS DECIMAL(38,10))) AS DOUBLE) AS s_q_p,
+             |    CAST(sum(CAST(q * dc AS DECIMAL(38,10))) AS DOUBLE) AS s_q_dc,
+             |    CAST(sum(CAST(q * t AS DECIMAL(38,10))) AS DOUBLE) AS s_q_t,
+             |    CAST(sum(CAST(p * p AS DECIMAL(38,10))) AS DOUBLE) AS s_p_p,
+             |    CAST(sum(CAST(p * dc AS DECIMAL(38,10))) AS DOUBLE) AS s_p_dc,
+             |    CAST(sum(CAST(p * t AS DECIMAL(38,10))) AS DOUBLE) AS s_p_t,
+             |    CAST(sum(CAST(dc * dc AS DECIMAL(38,10))) AS DOUBLE) AS s_dc_dc,
+             |    CAST(sum(CAST(dc * t AS DECIMAL(38,10))) AS DOUBLE) AS s_dc_t,
+             |    CAST(sum(CAST(t * t AS DECIMAL(38,10))) AS DOUBLE) AS s_t_t
+             |  FROM m
+             |), c AS (
+             |  SELECT 'q_p' AS pair, (n * s_q_p - s_q * s_p)
+             |    / (sqrt(n * s_q_q - s_q * s_q) * sqrt(n * s_p_p - s_p * s_p)) AS r
+             |  FROM s
+             |  UNION ALL SELECT 'q_dc', (n * s_q_dc - s_q * s_dc)
+             |    / (sqrt(n * s_q_q - s_q * s_q) * sqrt(n * s_dc_dc - s_dc * s_dc)) FROM s
+             |  UNION ALL SELECT 'q_t', (n * s_q_t - s_q * s_t)
+             |    / (sqrt(n * s_q_q - s_q * s_q) * sqrt(n * s_t_t - s_t * s_t)) FROM s
+             |  UNION ALL SELECT 'p_dc', (n * s_p_dc - s_p * s_dc)
+             |    / (sqrt(n * s_p_p - s_p * s_p) * sqrt(n * s_dc_dc - s_dc * s_dc)) FROM s
+             |  UNION ALL SELECT 'p_t', (n * s_p_t - s_p * s_t)
+             |    / (sqrt(n * s_p_p - s_p * s_p) * sqrt(n * s_t_t - s_t * s_t)) FROM s
+             |  UNION ALL SELECT 'dc_t', (n * s_dc_t - s_dc * s_t)
+             |    / (sqrt(n * s_dc_dc - s_dc * s_dc) * sqrt(n * s_t_t - s_t * s_t)) FROM s
+             |)
+             |SELECT pair, floor(r * 10000 + 0.5) / 10000 AS corr_v
+             |FROM c ORDER BY pair""".stripMargin)
     )
   )
 }

@@ -208,6 +208,96 @@ object StreamQueries {
              |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
+    // Stateful gap sessionization AS A STREAM, oracle-gated: the
+    // flatMapGroupsWithState sessionizer (streaming/Streams.
+    // sessionizeStream — one OpenSession row of state per active user,
+    // event-time timeout) drains the week-file replay and its closed
+    // sessions must reproduce the batch lag→gap→running-sum spelling
+    // DuckDB computes (pipe_sessionize's machinery, here aggregated to
+    // session-level boundaries). What's on trial is the state handoff:
+    // a session spanning a micro-batch seam must merge (not split), an
+    // intra-batch gap must split (not merge), and a user's FINAL
+    // session must flush via the watermark timeout — two sentinel
+    // files (user −1, far-future ts) advance the watermark past every
+    // real deadline, because the timeout fires one batch AFTER the
+    // watermark passes it (the SessionizeStreamSpec two-sentinel
+    // discipline). The gate then needs NO cutoff: every real session
+    // provably emits, exactly once — a dropped, split, or doubled
+    // session moves n_sessions/n_events/boundary columns and fails the
+    // hash. All gated columns are counts and timestamps (exact algebra;
+    // the fp sum_value column is spec territory, not hash territory).
+    // Input ts is pre-truncated to MILLISECONDS and the oracle's gap is
+    // spelled in exact ms: the state row carries epoch millis, so the
+    // stream's native gap test is trunc_ms(t)−trunc_ms(prev) > 1800000
+    // — a seconds-spelled oracle would flip sub-second gap boundaries.
+    OracleQuery(
+      "stream_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).filter($"user_id" < 200)
+          .withColumn("ts", date_trunc("MILLISECOND", $"ts"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_sess").toString
+        val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
+        for (i <- 0 until 4) {
+          ev.filter($"ts" >= lit(weeks(i)).cast("timestamp") &&
+              $"ts" < lit(weeks(i + 1)).cast("timestamp"))
+            .select($"user_id", $"ts", $"value")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/w$i")
+        }
+        // sentinel files LAST (ascending mod times → replayed last):
+        // watermark reaches Mar1−1h after the first, timeouts for every
+        // January deadline fire while processing the second
+        for ((st, i) <- Seq("2024-03-01", "2024-03-02").zipWithIndex) {
+          Seq((-1L, java.sql.Timestamp.valueOf(s"$st 00:00:00"), 0.0))
+            .toDF("user_id", "ts", "value")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/z$i")
+        }
+        val src = s.readStream
+          .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in/*")
+        graft.streaming.Streams.runAvailableNow(
+          graft.streaming.Streams.sessionizeStream(
+            src, gapSec = 1800, watermark = "1 hour").toDF(),
+          s"$tmp/ckpt", s"$tmp/out")
+        s.read.parquet(s"$tmp/out")
+          .filter($"user_id" >= 0)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum($"n_events").as("n_events"),
+            min($"session_start").as("first_start"),
+            max($"session_end").as("last_end"),
+            max($"n_events").as("max_session_events"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('ms', ts) AS ts
+             |  FROM events WHERE user_id < 200
+             |), seq AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |      OR date_diff('ms',
+             |           lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM e
+             |), sess AS (
+             |  SELECT user_id, ts,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM seq
+             |), agg AS (
+             |  SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end,
+             |    count(*) AS n_ev
+             |  FROM sess GROUP BY 1, 2
+             |)
+             |SELECT user_id, count(*) AS n_sessions,
+             |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+             |  min(s_start) AS first_start, max(s_end) AS last_end,
+             |  CAST(max(n_ev) AS BIGINT) AS max_session_events
+             |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
     // Streaming sliding-window distinct users, oracle-gated against the
     // batch spelling: the 7-day/1-day-slide WAU series computed AS A
     // STREAM — sliding `window()` fan-out, stateful dropDuplicates on
