@@ -410,8 +410,168 @@ object GraphQueries {
              |JOIN deg da ON s.a = da.u
              |JOIN deg db ON s.b = db.u
              |ORDER BY adamic_adar DESC, s.a, s.b LIMIT 20""".stripMargin)
+    ),
+
+    // k-core decomposition by iterative peeling — the density backbone
+    // operator for graph curation (spam rings, co-purchase backbones,
+    // citation cores live in high-k cores; low-core nodes are the
+    // periphery a sampler drops first). Graph: part co-purchase (parts
+    // sharing an order, distinct unordered pairs — homogeneous degrees,
+    // unlike the hub-skewed bipartite trading graph, so the peel
+    // actually CASCADES: removing weak parts drags borderline parts
+    // under K in later rounds; K=80 converges in 6 rounds at sf0.01
+    // AND sf0.1 with a non-empty core). Each round is one degree
+    // aggregate (a shuffle of the persisted edge list) plus two anti
+    // joins against the weak set; rounds are unrolled to a fixed budget
+    // with the final round's n_peeled = 0 PROVING the fixpoint in-band
+    // (both engines emit the full peel schedule, so a single node
+    // peeled in the wrong round fails the hash). At 100 TB the loop
+    // runs to fixpoint with the edge frame checkpointed every few
+    // rounds (the ConnectedComponents lineage discipline) and the weak
+    // set broadcast while it fits. Rounds cut lineage with an EAGER
+    // localCheckpoint, not persist: each round's plan references the
+    // previous round's edges THREE times (degree union + two anti
+    // joins), so an uncheckpointed chain doubles the logical plan per
+    // round — by round 4 merely RENDERING the plan string OOMs an 8 GB
+    // driver (persist caches execution, never the plan).
+    OracleQuery(
+      "graph_kcore",
+      (s, d) => {
+        import s.implicits._
+        val K = 80
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        var edges = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+          .distinct()
+          .localCheckpoint(true)
+        val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+        for (i <- 1 to 6) {
+          val deg = edges.select($"p1".as("node"))
+            .unionAll(edges.select($"p2".as("node")))
+            .groupBy($"node").agg(count(lit(1)).as("deg"))
+          val weak = deg.filter($"deg" < K).select($"node").localCheckpoint(true)
+          val nPeeled = weak.count()
+          val next = edges
+            .join(weak.select($"node".as("p1")), Seq("p1"), "left_anti")
+            .join(weak.select($"node".as("p2")), Seq("p2"), "left_anti")
+            .select($"p1", $"p2")
+            .localCheckpoint(true)
+          val nEdges = next.count()
+          val nNodes = next.select($"p1".as("n")).union(next.select($"p2".as("n")))
+            .distinct().count()
+          stats += ((i, nPeeled, nNodes, nEdges))
+          edges = next
+        }
+        stats.toSeq.toDF("iter", "n_peeled", "n_nodes", "n_edges")
+          .orderBy($"iter")
+      },
+      Some("""WITH e0 AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |),
+             |d1 AS MATERIALIZED (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT p1 AS node FROM e0 UNION ALL SELECT p2 FROM e0) t
+             |  GROUP BY 1
+             |),
+             |w1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg < 80),
+             |e1 AS MATERIALIZED (
+             |  SELECT p1, p2 FROM e0
+             |  WHERE p1 NOT IN (SELECT node FROM w1)
+             |    AND p2 NOT IN (SELECT node FROM w1)
+             |),
+             |d2 AS MATERIALIZED (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT p1 AS node FROM e1 UNION ALL SELECT p2 FROM e1) t
+             |  GROUP BY 1
+             |),
+             |w2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg < 80),
+             |e2 AS MATERIALIZED (
+             |  SELECT p1, p2 FROM e1
+             |  WHERE p1 NOT IN (SELECT node FROM w2)
+             |    AND p2 NOT IN (SELECT node FROM w2)
+             |),
+             |d3 AS MATERIALIZED (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT p1 AS node FROM e2 UNION ALL SELECT p2 FROM e2) t
+             |  GROUP BY 1
+             |),
+             |w3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg < 80),
+             |e3 AS MATERIALIZED (
+             |  SELECT p1, p2 FROM e2
+             |  WHERE p1 NOT IN (SELECT node FROM w3)
+             |    AND p2 NOT IN (SELECT node FROM w3)
+             |),
+             |d4 AS MATERIALIZED (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT p1 AS node FROM e3 UNION ALL SELECT p2 FROM e3) t
+             |  GROUP BY 1
+             |),
+             |w4 AS MATERIALIZED (SELECT node FROM d4 WHERE deg < 80),
+             |e4 AS MATERIALIZED (
+             |  SELECT p1, p2 FROM e3
+             |  WHERE p1 NOT IN (SELECT node FROM w4)
+             |    AND p2 NOT IN (SELECT node FROM w4)
+             |),
+             |d5 AS MATERIALIZED (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT p1 AS node FROM e4 UNION ALL SELECT p2 FROM e4) t
+             |  GROUP BY 1
+             |),
+             |w5 AS MATERIALIZED (SELECT node FROM d5 WHERE deg < 80),
+             |e5 AS MATERIALIZED (
+             |  SELECT p1, p2 FROM e4
+             |  WHERE p1 NOT IN (SELECT node FROM w5)
+             |    AND p2 NOT IN (SELECT node FROM w5)
+             |),
+             |d6 AS MATERIALIZED (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT p1 AS node FROM e5 UNION ALL SELECT p2 FROM e5) t
+             |  GROUP BY 1
+             |),
+             |w6 AS MATERIALIZED (SELECT node FROM d6 WHERE deg < 80),
+             |e6 AS MATERIALIZED (
+             |  SELECT p1, p2 FROM e5
+             |  WHERE p1 NOT IN (SELECT node FROM w6)
+             |    AND p2 NOT IN (SELECT node FROM w6)
+             |)
+             |SELECT 1 AS iter, (SELECT count(*) FROM w1) AS n_peeled,
+             |  (SELECT count(*) FROM (
+             |     SELECT p1 AS n FROM e1 UNION SELECT p2 FROM e1) t) AS n_nodes,
+             |  (SELECT count(*) FROM e1) AS n_edges
+             |UNION ALL
+             |SELECT 2 AS iter, (SELECT count(*) FROM w2) AS n_peeled,
+             |  (SELECT count(*) FROM (
+             |     SELECT p1 AS n FROM e2 UNION SELECT p2 FROM e2) t) AS n_nodes,
+             |  (SELECT count(*) FROM e2) AS n_edges
+             |UNION ALL
+             |SELECT 3 AS iter, (SELECT count(*) FROM w3) AS n_peeled,
+             |  (SELECT count(*) FROM (
+             |     SELECT p1 AS n FROM e3 UNION SELECT p2 FROM e3) t) AS n_nodes,
+             |  (SELECT count(*) FROM e3) AS n_edges
+             |UNION ALL
+             |SELECT 4 AS iter, (SELECT count(*) FROM w4) AS n_peeled,
+             |  (SELECT count(*) FROM (
+             |     SELECT p1 AS n FROM e4 UNION SELECT p2 FROM e4) t) AS n_nodes,
+             |  (SELECT count(*) FROM e4) AS n_edges
+             |UNION ALL
+             |SELECT 5 AS iter, (SELECT count(*) FROM w5) AS n_peeled,
+             |  (SELECT count(*) FROM (
+             |     SELECT p1 AS n FROM e5 UNION SELECT p2 FROM e5) t) AS n_nodes,
+             |  (SELECT count(*) FROM e5) AS n_edges
+             |UNION ALL
+             |SELECT 6 AS iter, (SELECT count(*) FROM w6) AS n_peeled,
+             |  (SELECT count(*) FROM (
+             |     SELECT p1 AS n FROM e6 UNION SELECT p2 FROM e6) t) AS n_nodes,
+             |  (SELECT count(*) FROM e6) AS n_edges
+             |ORDER BY iter""".stripMargin)
     )
   )
+
 
   /** Per-middle-node fan-out bound for wedge joins: keep each node's
     * top-`n` neighbors by edge weight (desc, neighbor-id tiebreak) — a
