@@ -671,6 +671,150 @@ object Multimodal {
     * band equi-join → distinct → exact Hamming verify at `maxHamming`.
     * Zero false negatives for maxHamming ≤ 3 (pigeonhole over 4 bands);
     * pair work scales with band-bucket occupancy, never corpus². */
+  /** Per-window mean-|amplitude| energies of a PCM audio payload —
+    * the frame-level signal voice-activity detection thresholds. Same
+    * decode envelope as [[decodeAudioStats]] (JDK-parsed WAV/AIFF/AU,
+    * PCM signed ≤32-bit or unsigned 8-bit), but emits one energy per
+    * `frameSamples` window instead of whole-clip moments; the stream is
+    * read sequentially, never buffered whole. None = not audio. */
+  private[mm] def audioFrameEnergies(
+      payload: Array[Byte], frameSamples: Int): Option[Array[Double]] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned8 =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+        if (!(signed && (bits % 8 == 0) && bits <= 32) && !unsigned8) return None
+        val channels = fmt.getChannels
+        val bytesPerSample = bits / 8
+        val frameSize =
+          if (fmt.getFrameSize > 0) fmt.getFrameSize else bytesPerSample * channels
+        val totalFrames = ais.getFrameLength
+        if (totalFrames <= 0 || totalFrames > Int.MaxValue) return None
+        val frames = totalFrames.toInt
+        val big = fmt.isBigEndian
+        val full = 1L << (bits - 1)
+        val frameBuf = new Array[Byte](frameSize)
+        def sampleAt(off: Int): Double = {
+          var v = 0L
+          if (big) { var i = 0; while (i < bytesPerSample) { v = (v << 8) | (frameBuf(off + i) & 0xffL); i += 1 } }
+          else { var i = bytesPerSample - 1; while (i >= 0) { v = (v << 8) | (frameBuf(off + i) & 0xffL); i -= 1 } }
+          if (signed) {
+            val shift = 64 - bits
+            ((v << shift) >> shift).toDouble / full
+          } else (v - 128.0) / 128.0
+        }
+        val nWin = (frames + frameSamples - 1) / frameSamples
+        val out = new Array[Double](nWin)
+        var f = 0
+        var winSum = 0.0; var winN = 0; var w = 0
+        var eof = false
+        while (f < frames && !eof) {
+          if (ais.readNBytes(frameBuf, 0, frameSize) < frameSize) eof = true
+          else {
+            var mono = 0.0
+            var c = 0
+            while (c < channels) { mono += sampleAt(c * bytesPerSample); c += 1 }
+            mono /= channels
+            winSum += math.abs(mono); winN += 1
+            if (winN == frameSamples) { out(w) = winSum / winN; w += 1; winSum = 0.0; winN = 0 }
+            f += 1
+          }
+        }
+        if (winN > 0 && w < nWin) { out(w) = winSum / winN; w += 1 }
+        if (w == 0) None else Some(if (w == nWin) out else out.take(w))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Deterministic synthetic speech/silence WAV for the VAD gate:
+    * `nSegments` windows of `segSamples` samples each (8 kHz, 16-bit
+    * mono PCM); segment s carries a full-scale-half alternating ±16384
+    * square wave iff the REPLAYABLE predicate
+    * `((assetId·2654435761 + s·40503) mod 97) < 48` says voiced, else
+    * exact silence. ±16384/32768 decodes to exactly ±0.5 and windows
+    * align 1:1 with segments, so window energies are EXACTLY 0.5 or
+    * 0.0 — the oracle replays the same predicate in integer SQL and a
+    * decode or windowing defect flips a boolean, not an ulp. (No
+    * avalanche mixer needed here, unlike [[syntheticPng]]: the energy
+    * path has no shift-invariance to hide a weak seed behind.) */
+  def syntheticSpeechWav(
+      assetId: Long, nSegments: Int = 12, segSamples: Int = 400): Array[Byte] = {
+    val n = nSegments * segSamples
+    val pcm = new Array[Byte](n * 2)
+    var s = 0
+    while (s < nSegments) {
+      if (((assetId * 2654435761L + s * 40503L) % 97) < 48) {
+        var i = 0
+        while (i < segSamples) {
+          val idx = s * segSamples + i
+          val v = if (i % 2 == 0) 16384 else -16384
+          pcm(2 * idx) = (v & 0xff).toByte
+          pcm(2 * idx + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+      }
+      s += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** The VAD fixture as an (asset_id, payload) frame — one synthetic
+    * WAV per document id, built inside the task ([[syntheticImages]]'
+    * repartition rationale: shuffle 8-byte ids, spread the PCM work). */
+  def syntheticSpeech(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticSpeechWav(id))))
+      .toDF("asset_id", "payload")
+  }
+
+  /** Energy-threshold voice-activity segments over an (asset_id,
+    * payload) audio frame: decode → per-window energies (map-side; the
+    * payload dies inside the task, only (id, window, energy) rows
+    * survive) → threshold → gaps-and-islands merge of consecutive
+    * voiced windows (the w12 spelling: window_idx − row_number is
+    * constant within a run). One shuffle on asset_id for the island
+    * window; segment rows are output-cardinality. Undecodable payloads
+    * contribute no windows — absent, not silently "silent". Returns
+    * (asset_id, grp, s0, s1, nf): segment start/end window and length. */
+  def vadSegments(
+      audio: DataFrame, frameSamples: Int = 400,
+      threshold: Double = 0.25): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    val energies = audio.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioFrameEnergies(bytes, frameSamples).iterator.flatMap(es =>
+          es.iterator.zipWithIndex.map { case (e, i) => (id, i, e) })
+      })
+      .toDF("asset_id", "frame_idx", "energy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame_idx")
+    energies.filter(col("energy") > threshold)
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("asset_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("s0"), max(col("frame_idx")).as("s1"),
+        count(lit(1)).as("nf"))
+  }
+
   def dhashNearDupPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4x16 banding only guarantees recall to Hamming 3, got $maxHamming")
     // the band self-join reads the signature frame twice; without the

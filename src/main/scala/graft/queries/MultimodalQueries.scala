@@ -123,6 +123,51 @@ object MultimodalQueries {
              |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
              |WHERE a.doc_id % 2 = 0
              |ORDER BY asset_a, asset_b""".stripMargin)
+    ),
+
+    // Voice-activity segmentation over REAL WAV decode — the speech/
+    // silence cut an ASR-training pipeline makes before transcription.
+    // Spark's answer comes entirely from javax.sound PCM decode of the
+    // synthetic speech fixture (per-window mean-|amp| energies →
+    // threshold → islands merge, Multimodal.vadSegments); the oracle
+    // NEVER sees audio — it replays the fixture's integer voiced-
+    // schedule predicate and runs the same islands SQL, so the hash
+    // gate proves decode + windowing + segmentation end-to-end (a
+    // window misaligned by one sample breaks a segment boundary, a
+    // decode scale error flips every threshold boolean). Assets whose
+    // schedule has no voiced segment are absent on BOTH sides.
+    OracleQuery(
+      "mm_audio_vad",
+      (s, d) => {
+        import s.implicits._
+        val segs = Multimodal.vadSegments(
+          Multimodal.syntheticSpeech(Tables.documents(s, d)))
+        segs.groupBy($"asset_id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum($"nf").as("n_voiced"),
+            min($"s0").as("first_start"),
+            max($"s1").as("last_end"))
+          .orderBy($"asset_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id AS asset_id, s.gs AS frame_idx
+             |  FROM documents,
+             |    (SELECT unnest(generate_series(0, 11)) AS gs) s
+             |  WHERE ((doc_id * 2654435761 + s.gs * 40503) % 97) < 48
+             |), v AS (
+             |  SELECT asset_id, frame_idx,
+             |    frame_idx - row_number() OVER (
+             |      PARTITION BY asset_id ORDER BY frame_idx) AS grp
+             |  FROM f
+             |), seg AS (
+             |  SELECT asset_id, grp, min(frame_idx) AS s0, max(frame_idx) AS s1,
+             |    count(*) AS nf
+             |  FROM v GROUP BY 1, 2
+             |)
+             |SELECT asset_id, count(*) AS n_segments,
+             |  CAST(sum(nf) AS BIGINT) AS n_voiced,
+             |  min(s0) AS first_start, max(s1) AS last_end
+             |FROM seg GROUP BY asset_id ORDER BY asset_id""".stripMargin)
     )
   )
 }
