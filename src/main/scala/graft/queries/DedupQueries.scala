@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 
 /** Document deduplication — the LLM-training-pipeline operators: exact
@@ -998,6 +999,89 @@ ORDER BY doc_a, doc_b""")
              |  ON b.rnk > a.rnk AND b.rnk - a.rnk <= 10
              |WHERE levenshtein(a.p_name, b.p_name) <= 2
              |ORDER BY name_a, name_b, gap""".stripMargin)
+    ),
+
+    // SUBSTRING-level exact duplication — the span-granular operator the
+    // "Deduplicating Training Data Makes Language Models Better" recipe
+    // calls for: doc-level and chunk-level dedup (dedup_exact,
+    // dedup_passage) miss a boilerplate paragraph pasted mid-document,
+    // this finds every duplicated run of ≥ L chars. Every position's
+    // L-gram is exploded (the honest |corpus chars| fan-out; at 100 TB
+    // the gram becomes a 64-bit rolling hash and positions stride —
+    // here the GRAM ITSELF is the key so the oracle replays exactly,
+    // no hash parity needed), grams occurring ≥ 2× anywhere (including
+    // within one doc) mark their positions, and the per-doc covered
+    // length is an in-plan INTERVAL UNION: positions sorted, an island
+    // breaks when the gap exceeds L (all intervals are length L, so
+    // the previous max end is just prev+L), covered = Σ (p1 − p0 + L).
+    // Fan-out shuffles on the gram (uniform unless the corpus is
+    // degenerate); the island window shuffles on doc_id — both keys
+    // scale-safe. Only docs carrying ≥ 1 duplicated span emit.
+    OracleQuery(
+      "dedup_substring_spans",
+      (s, d) => {
+        import s.implicits._
+        val L = 32
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", $"text", length($"text").as("n"))
+        val pos = docs.filter($"n" >= L)
+          .select($"doc_id", $"n",
+            explode(sequence(lit(1), $"n" - (L - 1))).as("p"), $"text")
+          .select($"doc_id", $"n", $"p", expr(s"substring(text, p, $L)").as("g"))
+        val dup = pos.groupBy($"g").agg(count(lit(1)).as("c"))
+          .filter($"c" >= 2).select($"g")
+        val hits = pos.join(dup, "g").select($"doc_id", $"n", $"p")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("p")
+        hits
+          .withColumn("brk",
+            when(lag($"p", 1).over(w).isNull ||
+              $"p" - lag($"p", 1).over(w) > L, 1).otherwise(0))
+          .withColumn("isl", sum($"brk")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"doc_id", $"n", $"isl")
+          .agg(min($"p").as("p0"), max($"p").as("p1"), count(lit(1)).as("nc"))
+          .groupBy($"doc_id", $"n")
+          .agg(count(lit(1)).as("n_spans"),
+            sum($"nc").as("n_dup_pos"),
+            sum($"p1" - $"p0" + L).as("dup_chars"))
+          .select($"doc_id", $"n_spans", $"n_dup_pos", $"dup_chars",
+            graft.core.Parity.floorRound4($"dup_chars" / $"n".cast("double"))
+              .as("dup_fraction"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH pos AS (
+             |  SELECT doc_id, length(text) AS n,
+             |    unnest(generate_series(1, length(text) - 31)) AS p, text
+             |  FROM documents WHERE length(text) >= 32
+             |), grams AS (
+             |  SELECT doc_id, n, p, substr(text, CAST(p AS INTEGER), 32) AS g
+             |  FROM pos
+             |), dup AS (
+             |  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+             |), hits AS (
+             |  SELECT gr.doc_id, gr.n, gr.p FROM grams gr JOIN dup USING (g)
+             |), seq AS (
+             |  SELECT doc_id, n, p,
+             |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 32
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM hits
+             |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+             |), isl AS (
+             |  SELECT doc_id, n, p,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             |  FROM seq
+             |), spans AS (
+             |  SELECT doc_id, n, isl, min(p) AS p0, max(p) AS p1, count(*) AS nc
+             |  FROM isl GROUP BY 1, 2, 3
+             |)
+             |SELECT doc_id, count(*) AS n_spans,
+             |  CAST(sum(nc) AS BIGINT) AS n_dup_pos,
+             |  CAST(sum(p1 - p0 + 32) AS BIGINT) AS dup_chars,
+             |  floor(CAST(sum(p1 - p0 + 32) AS BIGINT) / CAST(n AS DOUBLE)
+             |    * 10000 + 0.5) / 10000 AS dup_fraction
+             |FROM spans GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)
     )
   )
 }

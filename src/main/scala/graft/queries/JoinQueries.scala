@@ -1410,6 +1410,61 @@ object JoinQueries {
              |JOIN eligible e ON e.ps_suppkey = s.s_suppkey
              |WHERE r.r_name = 'EUROPE'
              |ORDER BY s_name""".stripMargin)
+    ),
+
+    // Incremental JOIN-view maintenance — the delta algebra that keeps a
+    // materialized join view fresh without re-joining the base tables:
+    // with A = A₀ ∪ ΔA and B = B₀ ∪ ΔB, the refreshed view is
+    //   V(A,B) = V(A₀,B₀) ⊕ V(ΔA,B₀) ⊕ V(A₀,ΔB) ⊕ V(ΔA,ΔB)
+    // where ⊕ is partial-aggregate merge (counts add; revenue partials
+    // are DECIMAL sums, so the merge is exact integer algebra and the
+    // incremental result equals the full recompute BIT-FOR-BIT — which
+    // is precisely what the oracle states: DuckDB computes the full
+    // join from scratch, Spark assembles it incrementally from the
+    // stored snapshot plus three delta terms). Both orders AND lineitem
+    // change (date-split deltas); an old order's new lineitem lands in
+    // the A₀⋈ΔB cross term, the case single-sided maintenance misses.
+    // Scale: V(A₀,B₀) is READ (localCheckpoint stands in for the stored
+    // MV — lineage provably cut), never recomputed; the delta terms
+    // shuffle O(|Δ|·fanout), not O(|base|) — nightly refresh cost is
+    // proportional to the night's data, the entire point of IVM.
+    OracleQuery(
+      "j38_incremental_join_refresh",
+      (s, d) => {
+        import s.implicits._
+        val cutoff = lit("1997-01-01").cast("date")
+        val ord = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_returnflag", $"l_shipdate",
+            $"l_extendedprice", $"l_discount")
+        val aOld = ord.filter($"o_orderdate" < cutoff)
+        val aNew = ord.filter($"o_orderdate" >= cutoff)
+        val bOld = li.filter($"l_shipdate" < cutoff)
+        val bNew = li.filter($"l_shipdate" >= cutoff)
+        def partial(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame) =
+          a.join(b, $"o_orderkey" === $"l_orderkey")
+            .groupBy($"o_orderpriority", $"l_returnflag")
+            .agg(count(lit(1)).as("cnt"),
+              sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+                .cast("decimal(38,6)")).as("rev"))
+        val snapshot = partial(aOld, bOld).localCheckpoint(true)
+        snapshot
+          .unionByName(partial(aNew, bOld))
+          .unionByName(partial(aOld, bNew))
+          .unionByName(partial(aNew, bNew))
+          .groupBy($"o_orderpriority", $"l_returnflag")
+          .agg(sum($"cnt").as("n_rows"),
+            round(sum($"rev").cast("double"), 4).as("revenue"))
+          .orderBy($"o_orderpriority", $"l_returnflag")
+      },
+      Some("""SELECT o_orderpriority, l_returnflag, count(*) AS n_rows,
+             |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+             |    AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)
     )
   )
 }
