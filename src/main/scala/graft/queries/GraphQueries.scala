@@ -428,44 +428,23 @@ object GraphQueries {
     // peeled in the wrong round fails the hash). At 100 TB the loop
     // runs to fixpoint with the edge frame checkpointed every few
     // rounds (the ConnectedComponents lineage discipline) and the weak
-    // set broadcast while it fits. Rounds cut lineage with an EAGER
-    // localCheckpoint, not persist: each round's plan references the
-    // previous round's edges THREE times (degree union + two anti
-    // joins), so an uncheckpointed chain doubles the logical plan per
-    // round — by round 4 merely RENDERING the plan string OOMs an 8 GB
-    // driver (persist caches execution, never the plan).
+    // set broadcast while it fits. The peel loop (and its eager
+    // localCheckpoint lineage cut — persist alone lets the plan DOUBLE
+    // per round and OOMs the driver on plan rendering by round 4) lives
+    // in ops/KCore; KCoreSpec pins the core property on a hand graph.
     OracleQuery(
       "graph_kcore",
       (s, d) => {
         import s.implicits._
-        val K = 80
         val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-        var edges = li.as("a")
+        val edges = li.as("a")
           .join(li.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_partkey") < col("b.l_partkey"))
           .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
           .distinct()
-          .localCheckpoint(true)
-        val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
-        for (i <- 1 to 6) {
-          val deg = edges.select($"p1".as("node"))
-            .unionAll(edges.select($"p2".as("node")))
-            .groupBy($"node").agg(count(lit(1)).as("deg"))
-          val weak = deg.filter($"deg" < K).select($"node").localCheckpoint(true)
-          val nPeeled = weak.count()
-          val next = edges
-            .join(weak.select($"node".as("p1")), Seq("p1"), "left_anti")
-            .join(weak.select($"node".as("p2")), Seq("p2"), "left_anti")
-            .select($"p1", $"p2")
-            .localCheckpoint(true)
-          val nEdges = next.count()
-          val nNodes = next.select($"p1".as("n")).union(next.select($"p2".as("n")))
-            .distinct().count()
-          stats += ((i, nPeeled, nNodes, nEdges))
-          edges = next
-        }
-        stats.toSeq.toDF("iter", "n_peeled", "n_nodes", "n_edges")
+        val sched = graft.ops.KCore.peel(edges, k = 80, rounds = 6)
+        sched.stats.toDF("iter", "n_peeled", "n_nodes", "n_edges")
           .orderBy($"iter")
       },
       Some("""WITH e0 AS MATERIALIZED (

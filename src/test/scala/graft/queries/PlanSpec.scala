@@ -508,4 +508,34 @@ class PlanSpec extends SparkSpec {
     assert(psi.contains("HashAggregate"), psi)
     assert(!psi.contains("SortMergeJoin"), psi)
   }
+
+  test("corr matrix: ONE lineitem scan carries all k(k+1)/2 pair sums, no Expand") {
+    val p = plan(Registry.queries("a45_corr_matrix")(spark, sf))
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"pairwise sums must share one scan:\n$p")
+    assert(!p.contains("Expand"), s"no multi-distinct Expand:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("incremental join refresh: exactly three delta joins, the base term reads the stored snapshot") {
+    val p = plan(Registry.queries("j38_incremental_join_refresh")(spark, sf))
+    val joins = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(j => p.sliding(j.length).count(_ == j)).sum
+    assert(joins == 3, s"expected 3 delta-term joins (base x base must NOT re-join):\n$p")
+    // the snapshot term arrives as the checkpointed RDD, not a re-join
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"stored snapshot should be read, not recomputed:\n$p")
+  }
+
+  test("substring spans: gram candidates via equi-join, island windows share the doc exchange") {
+    val p = plan(Registry.queries("dedup_substring_spans")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram candidate join must stay an equi-join:\n$p")
+    // lag + running-sum windows both partition by doc_id: one exchange
+    // feeds both (a second hashpartitioning(doc_id) would betray a
+    // re-shuffle between the two window passes)
+    val docExchanges = "hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(docExchanges <= 1, s"island windows should share one doc_id exchange:\n$p")
+  }
 }
