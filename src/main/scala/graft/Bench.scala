@@ -73,7 +73,12 @@ object Bench {
     "w24_lead_lag",        // pairwise series cross-correlation at lags
     "j34_tpch_q9",         // 6-table profit join over derived partsupp
     "mm_dedup_dhash",      // perceptual image near-dup (dHash + banding)
-    "text_lang_id_trained") // in-plan K-class softmax language-ID
+    "text_lang_id_trained", // in-plan K-class softmax language-ID
+    "a45_corr_matrix",     // one-scan pairwise correlation matrix
+    "graph_kcore",         // iterative k-core peel (6 checkpointed rounds)
+    "dedup_substring_spans", // positional L-gram fan-out + interval union
+    "j38_incremental_join_refresh", // IVM delta-join refresh vs stored MV
+    "mm_audio_vad")        // WAV decode → energy islands segmentation
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is
