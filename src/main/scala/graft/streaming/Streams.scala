@@ -534,6 +534,35 @@ object Streams {
     currentVersion(spark, snapshotDir)
       .map(version => spark.read.parquet(s"$snapshotDir/$version"))
 
+  /** Retention for the versioned snapshot store: delete all but the
+    * `keep` highest version directories — the VACUUM the
+    * [[snapshotMergeStream]] layout needs once time travel has served
+    * its audit window (every batch adds a full version; without
+    * retention the store grows linearly in batches, not in data).
+    * Safety rails: the CURRENT version (pointer target, or the
+    * highest-complete fallback) is never deleted even if `keep` would
+    * exclude it, `keep` ≥ 1 is enforced, and only `v<N>` directories
+    * are touched (the pointer files and any foreign dirs are not the
+    * vacuum's to delete). Returns the deleted version names. */
+  def vacuumSnapshots(
+      spark: SparkSession, snapshotDir: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val fs = hadoopFs(spark, snapshotDir)
+    val dir = new org.apache.hadoop.fs.Path(snapshotDir)
+    if (!fs.exists(dir)) return Seq.empty
+    val versions = fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .sortBy(_.drop(1).toLong)
+    val current = currentVersion(spark, snapshotDir)
+    val doomed = versions.dropRight(keep).filterNot(current.contains)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, v), true)
+    }
+    doomed
+  }
+
   /** Point `_CURRENT` at `version`: write `_CURRENT.tmp`, close, then
     * atomically replace the pointer (FileContext rename with OVERWRITE
     * — atomic on HDFS and local FS). On file systems without rename

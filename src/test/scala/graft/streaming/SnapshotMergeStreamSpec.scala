@@ -86,4 +86,33 @@ class SnapshotMergeStreamSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(snap, "_CURRENT")))
     assert(Streams.readSnapshot(spark, snap).get.collect().map(_.getString(2)).toSeq == Seq("b"))
   }
+
+  test("vacuum deletes only old versions, never the current or foreign files") {
+    val snap = Files.createTempDirectory("graft_snap_vac").toString
+    val ckpt = Files.createTempDirectory("graft_snap_vac_ck").toString
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    def changes = input.toDF().toDF("k", "ver", "payload")
+    for (i <- 0 until 4) {
+      input.addData((i.toLong, 1L, s"row$i"))
+      Streams.snapshotMergeStream(changes, snap, ckpt, Seq("k"), Seq("ver"))
+        .awaitTermination()
+    }
+    // a foreign file the vacuum must not touch
+    Files.writeString(java.nio.file.Path.of(snap, "NOTES.txt"), "keep me")
+
+    val deleted = Streams.vacuumSnapshots(spark, snap, keep = 2)
+    assert(deleted == Seq("v0", "v1"), s"got $deleted")
+    assert(!Files.exists(java.nio.file.Path.of(snap, "v0")))
+    assert(Files.exists(java.nio.file.Path.of(snap, "v2")), "kept version gone")
+    assert(Files.exists(java.nio.file.Path.of(snap, "v3")), "current version gone")
+    assert(Files.exists(java.nio.file.Path.of(snap, "NOTES.txt")))
+    // current snapshot still reads, with all 4 keys
+    assert(Streams.readSnapshot(spark, snap).get.count() == 4)
+    // idempotent; keep=1 keeps exactly the current version
+    assert(Streams.vacuumSnapshots(spark, snap, keep = 2).isEmpty)
+    assert(Streams.vacuumSnapshots(spark, snap, keep = 1) == Seq("v2"))
+    assert(Streams.readSnapshot(spark, snap).get.count() == 4)
+    intercept[IllegalArgumentException](Streams.vacuumSnapshots(spark, snap, 0))
+  }
 }
