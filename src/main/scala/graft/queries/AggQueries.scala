@@ -2247,11 +2247,20 @@ object AggQueries {
     // feature-screening shape for wide training tables, where the naive
     // corr-per-pair spelling re-scans the fact k(k−1)/2 times. No
     // Expand, no self-join, no second pass (plan-pinned in the spec).
-    // Numeric parity: measures are scaled by a POWER OF TWO (exact in
-    // IEEE, correlation-invariant) so every product stays ≤ ~2.5e3 and
-    // the DECIMAL(38,10) sum cast is far outside the shortest-repr
-    // tie zone (ulp(2.5e3) ≈ 4.5e-13 ≪ 1e-10); the final formula is
-    // identical +,*,/,sqrt text on both engines.
+    // Numeric parity AND speed share one spelling: measures are scaled
+    // by a POWER OF TWO (exact in IEEE, correlation-invariant) so every
+    // product stays ≤ ~2.5e3, then each summand is QUANTIZED to an
+    // integer — floor(x·1e6 + 0.5) AS BIGINT — and summed as plain
+    // longs. Exact integer algebra makes summation order irrelevant
+    // (the decimal-cast goal) WITHOUT the double→BigDecimal cast, which
+    // goes through Double.toString per value — 15 casts × every row was
+    // ~5 s of the first cut's runtime at sf0.1; the long path stays in
+    // whole-stage codegen. The 1e-6 absolute quantization perturbs a
+    // correlation by ~1e-9 — invisible at the 4-dp gate — and
+    // IDENTICALLY on both engines (floor is pure IEEE). Long overflow
+    // headroom: 2.5e9/row quantized → 3.6e9 fact rows per executor sum;
+    // beyond that, raise the power-of-two scale (shrinks the quantized
+    // magnitude, costs quantization resolution corr does not need).
     OracleQuery(
       "a45_corr_matrix",
       (s, d) => {
@@ -2265,12 +2274,12 @@ object AggQueries {
         val byName = measures.toMap
         val pairs = for (i <- names.indices; j <- i until names.length)
           yield (names(i), names(j))
+        def qsum(c: org.apache.spark.sql.Column) =
+          sum(floor(c * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
         val aggs =
-          measures.map { case (nm, c) =>
-            sum(c.cast("decimal(38,10)")).cast("double").as(s"s_$nm") } ++
+          measures.map { case (nm, c) => qsum(c).as(s"s_$nm") } ++
           pairs.map { case (a, b) =>
-            sum((byName(a) * byName(b)).cast("decimal(38,10)"))
-              .cast("double").as(s"s_${a}_$b") }
+            qsum(byName(a) * byName(b)).as(s"s_${a}_$b") }
         val one = Tables.lineitem(s, d)
           .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
         def corrOf(a: String, b: String) = graft.core.Parity.floorRound4(
@@ -2290,20 +2299,20 @@ object AggQueries {
              |  FROM lineitem
              |), s AS (
              |  SELECT CAST(count(*) AS DOUBLE) AS n,
-             |    CAST(sum(CAST(q AS DECIMAL(38,10))) AS DOUBLE) AS s_q,
-             |    CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE) AS s_p,
-             |    CAST(sum(CAST(dc AS DECIMAL(38,10))) AS DOUBLE) AS s_dc,
-             |    CAST(sum(CAST(t AS DECIMAL(38,10))) AS DOUBLE) AS s_t,
-             |    CAST(sum(CAST(q * q AS DECIMAL(38,10))) AS DOUBLE) AS s_q_q,
-             |    CAST(sum(CAST(q * p AS DECIMAL(38,10))) AS DOUBLE) AS s_q_p,
-             |    CAST(sum(CAST(q * dc AS DECIMAL(38,10))) AS DOUBLE) AS s_q_dc,
-             |    CAST(sum(CAST(q * t AS DECIMAL(38,10))) AS DOUBLE) AS s_q_t,
-             |    CAST(sum(CAST(p * p AS DECIMAL(38,10))) AS DOUBLE) AS s_p_p,
-             |    CAST(sum(CAST(p * dc AS DECIMAL(38,10))) AS DOUBLE) AS s_p_dc,
-             |    CAST(sum(CAST(p * t AS DECIMAL(38,10))) AS DOUBLE) AS s_p_t,
-             |    CAST(sum(CAST(dc * dc AS DECIMAL(38,10))) AS DOUBLE) AS s_dc_dc,
-             |    CAST(sum(CAST(dc * t AS DECIMAL(38,10))) AS DOUBLE) AS s_dc_t,
-             |    CAST(sum(CAST(t * t AS DECIMAL(38,10))) AS DOUBLE) AS s_t_t
+             |    CAST(sum(CAST(floor((q) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_q,
+             |    CAST(sum(CAST(floor((p) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_p,
+             |    CAST(sum(CAST(floor((dc) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_dc,
+             |    CAST(sum(CAST(floor((t) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_t,
+             |    CAST(sum(CAST(floor((q * q) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_q_q,
+             |    CAST(sum(CAST(floor((q * p) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_q_p,
+             |    CAST(sum(CAST(floor((q * dc) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_q_dc,
+             |    CAST(sum(CAST(floor((q * t) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_q_t,
+             |    CAST(sum(CAST(floor((p * p) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_p_p,
+             |    CAST(sum(CAST(floor((p * dc) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_p_dc,
+             |    CAST(sum(CAST(floor((p * t) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_p_t,
+             |    CAST(sum(CAST(floor((dc * dc) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_dc_dc,
+             |    CAST(sum(CAST(floor((dc * t) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_dc_t,
+             |    CAST(sum(CAST(floor((t * t) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_t_t
              |  FROM m
              |), c AS (
              |  SELECT 'q_p' AS pair, (n * s_q_p - s_q * s_p)

@@ -1028,9 +1028,13 @@ ORDER BY doc_a, doc_b""")
           .select($"doc_id", $"n",
             explode(sequence(lit(1), $"n" - (L - 1))).as("p"), $"text")
           .select($"doc_id", $"n", $"p", expr(s"substring(text, p, $L)").as("g"))
-        val dup = pos.groupBy($"g").agg(count(lit(1)).as("c"))
-          .filter($"c" >= 2).select($"g")
-        val hits = pos.join(dup, "g").select($"doc_id", $"n", $"p")
+        // occurrence count as a WINDOW over the gram, not agg + join
+        // back: the agg spelling scans/explodes the corpus twice (the
+        // partial-agg exchange never ReusedExchanges with the join
+        // exchange) — one gram-partitioned window is a single pass
+        val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        val hits = pos.withColumn("c", count(lit(1)).over(wg))
+          .filter($"c" >= 2).select($"doc_id", $"n", $"p")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("p")
         hits
@@ -1057,10 +1061,11 @@ ORDER BY doc_a, doc_b""")
              |), grams AS (
              |  SELECT doc_id, n, p, substr(text, CAST(p AS INTEGER), 32) AS g
              |  FROM pos
-             |), dup AS (
-             |  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
              |), hits AS (
-             |  SELECT gr.doc_id, gr.n, gr.p FROM grams gr JOIN dup USING (g)
+             |  SELECT doc_id, n, p FROM (
+             |    SELECT doc_id, n, p, count(*) OVER (PARTITION BY g) AS c
+             |    FROM grams) t
+             |  WHERE c >= 2
              |), seq AS (
              |  SELECT doc_id, n, p,
              |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 32

@@ -428,10 +428,12 @@ object GraphQueries {
     // peeled in the wrong round fails the hash). At 100 TB the loop
     // runs to fixpoint with the edge frame checkpointed every few
     // rounds (the ConnectedComponents lineage discipline) and the weak
-    // set broadcast while it fits. The peel loop (and its eager
-    // localCheckpoint lineage cut — persist alone lets the plan DOUBLE
-    // per round and OOMs the driver on plan rendering by round 4) lives
-    // in ops/KCore; KCoreSpec pins the core property on a hand graph.
+    // set broadcast while it fits. The peel loop lives in ops/KCore —
+    // see its scaladoc for the lineage discipline (checkpoint the tiny
+    // WEAK set, not the edges: that severs the subtree that re-embeds
+    // the edge plan 3x per round and turns exponential plan growth —
+    // an OOM on plan RENDERING by round 4 — into two broadcast joins
+    // per round); KCoreSpec pins the core property on a hand graph.
     OracleQuery(
       "graph_kcore",
       (s, d) => {

@@ -1465,6 +1465,89 @@ object JoinQueries {
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Longest-prefix-match join — the routing/geo-IP lookup shape (match
+    // each address to the MOST SPECIFIC CIDR rule covering it), which a
+    // naive spelling writes as a range theta-join per rule. The scalable
+    // spelling is the BandJoin recipe applied to a hierarchy: the
+    // prefix-length set is tiny and FIXED (/8, /16, /24), so each
+    // address explodes into exactly 3 (len, prefix) candidates —
+    // integer floor-division by a power of two, exact in IEEE — and a
+    // plain hash equi-join on (len, prefix) meets the rule table;
+    // longest-match-wins is then a per-address max_by over ≤ 3 hit rows
+    // (unique per length, since rules are deduped per (len, prefix)).
+    // Work is O(3·|addrs| + |rules|) through one shuffle — never
+    // |addrs|×|rules|. The rule table is deterministic arithmetic both
+    // engines replay (anchor addresses guarantee matches at every
+    // length, so the longest-prefix override genuinely exercises);
+    // divisors are literal per-length constants, not pow() (libm-free).
+    OracleQuery(
+      "j39_lpm_join",
+      (s, d) => {
+        import s.implicits._
+        def ipOf(c: org.apache.spark.sql.Column) =
+          (c * 2654435761L + 12345L) % 4294967296L
+        val ips = Tables.events(s, d).select($"user_id".as("u")).distinct()
+          .withColumn("ip", ipOf($"u"))
+        val rules = Tables.supplier(s, d)
+          .select($"s_suppkey",
+            (lit(8) + lit(8) * ($"s_suppkey" % 3)).as("len"),
+            ipOf($"s_suppkey" * 7).as("aip"))
+          .withColumn("dv",
+            when($"len" === 8, 16777216.0)
+              .when($"len" === 16, 65536.0).otherwise(256.0))
+          .select($"len", floor($"aip" / $"dv").cast("long").as("prefix"),
+            $"s_suppkey")
+          .groupBy($"len", $"prefix").agg(min($"s_suppkey").as("rule_id"))
+        val cand = ips
+          .select($"u", $"ip", explode(array(
+            struct(lit(8).as("len"), lit(16777216.0).as("dv")),
+            struct(lit(16).as("len"), lit(65536.0).as("dv")),
+            struct(lit(24).as("len"), lit(256.0).as("dv")))).as("l"))
+          .select($"u", $"l.len".as("len"),
+            floor($"ip" / $"l.dv").cast("long").as("pfx"))
+        cand.join(broadcast(rules),
+            cand("len") === rules("len") && $"pfx" === $"prefix")
+          .select($"u", cand("len").as("len"), $"rule_id")
+          .groupBy($"u")
+          .agg(max_by($"rule_id", $"len").as("rule_id"),
+            max($"len").as("match_len"))
+          .groupBy($"match_len", $"rule_id")
+          .agg(count(lit(1)).as("n_users"),
+            min($"u").as("min_user"), max($"u").as("max_user"))
+          .orderBy($"match_len", $"rule_id")
+      },
+      Some("""WITH users AS (
+             |  SELECT DISTINCT user_id AS u FROM events
+             |), ips AS (
+             |  SELECT u, (u * 2654435761 + 12345) % 4294967296 AS ip FROM users
+             |), rules0 AS (
+             |  SELECT s_suppkey,
+             |    8 + 8 * (s_suppkey % 3) AS len,
+             |    ((s_suppkey * 7) * 2654435761 + 12345) % 4294967296 AS aip,
+             |    CASE 8 + 8 * (s_suppkey % 3)
+             |      WHEN 8 THEN 16777216.0 WHEN 16 THEN 65536.0
+             |      ELSE 256.0 END AS dv
+             |  FROM supplier
+             |), rules AS (
+             |  SELECT len, CAST(floor(aip / dv) AS BIGINT) AS prefix,
+             |    min(s_suppkey) AS rule_id
+             |  FROM rules0 GROUP BY 1, 2
+             |), cand AS (
+             |  SELECT i.u, l.len, CAST(floor(i.ip / l.dv) AS BIGINT) AS pfx
+             |  FROM ips i,
+             |    (VALUES (8, 16777216.0), (16, 65536.0), (24, 256.0)) l(len, dv)
+             |), hit AS (
+             |  SELECT c.u, c.len, r.rule_id
+             |  FROM cand c JOIN rules r ON r.len = c.len AND r.prefix = c.pfx
+             |), best AS (
+             |  SELECT u, arg_max(rule_id, len) AS rule_id, max(len) AS match_len
+             |  FROM hit GROUP BY u
+             |)
+             |SELECT match_len, rule_id, count(*) AS n_users,
+             |  min(u) AS min_user, max(u) AS max_user
+             |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }
