@@ -77,6 +77,7 @@ object Bench {
     "a45_corr_matrix",     // one-scan pairwise correlation matrix
     "graph_kcore",         // iterative k-core peel (6 checkpointed rounds)
     "dedup_substring_spans", // positional L-gram fan-out + interval union
+    "dedup_substring_spans_fast", // same, 8-byte xxhash64 gram keys
     "j38_incremental_join_refresh", // IVM delta-join refresh vs stored MV
     "mm_audio_vad")        // WAV decode → energy islands segmentation
 

@@ -1019,42 +1019,28 @@ ORDER BY doc_a, doc_b""")
     // scale-safe. Only docs carrying ≥ 1 duplicated span emit.
     OracleQuery(
       "dedup_substring_spans",
-      (s, d) => {
-        import s.implicits._
-        val L = 32
-        val docs = Tables.documents(s, d)
-          .select($"doc_id", $"text", length($"text").as("n"))
-        val pos = docs.filter($"n" >= L)
-          .select($"doc_id", $"n",
-            explode(sequence(lit(1), $"n" - (L - 1))).as("p"), $"text")
-          .select($"doc_id", $"n", $"p", expr(s"substring(text, p, $L)").as("g"))
-        // occurrence count as a WINDOW over the gram, not agg + join
-        // back: the agg spelling scans/explodes the corpus twice (the
-        // partial-agg exchange never ReusedExchanges with the join
-        // exchange) — one gram-partitioned window is a single pass
-        val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
-        val hits = pos.withColumn("c", count(lit(1)).over(wg))
-          .filter($"c" >= 2).select($"doc_id", $"n", $"p")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("p")
-        hits
-          .withColumn("brk",
-            when(lag($"p", 1).over(w).isNull ||
-              $"p" - lag($"p", 1).over(w) > L, 1).otherwise(0))
-          .withColumn("isl", sum($"brk")
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy($"doc_id", $"n", $"isl")
-          .agg(min($"p").as("p0"), max($"p").as("p1"), count(lit(1)).as("nc"))
-          .groupBy($"doc_id", $"n")
-          .agg(count(lit(1)).as("n_spans"),
-            sum($"nc").as("n_dup_pos"),
-            sum($"p1" - $"p0" + L).as("dup_chars"))
-          .select($"doc_id", $"n_spans", $"n_dup_pos", $"dup_chars",
-            graft.core.Parity.floorRound4($"dup_chars" / $"n".cast("double"))
-              .as("dup_fraction"))
-          .orderBy($"doc_id")
-      },
-      Some("""WITH pos AS (
+      (s, d) => substringSpans(s, d, hashedGrams = false),
+      spansOracle
+    ),
+
+    // The PRODUCTION spelling of the same operator: gram keys are
+    // xxhash64 of the substring — 8-byte shuffle keys instead of
+    // 32-byte strings (the fan-out frame is the whole cost, so key
+    // width is the lever). Results are IDENTICAL to the exact-string
+    // twin unless two distinct grams collide in 64 bits: P ≈ C(n,2)/2⁶⁴
+    // ≈ 3e−9 at this corpus's 1.3e5 positions and still ~0.003 at
+    // 1e10 — the same birthday argument the md5-60-bit ids rest on
+    // repo-wide — so the twin shares the exact-string DuckDB oracle
+    // verbatim (a collision would fail the gate loudly, not silently).
+    OracleQuery(
+      "dedup_substring_spans_fast",
+      (s, d) => substringSpans(s, d, hashedGrams = true),
+      spansOracle
+    )
+  )
+
+  private[queries] val spansOracle: Option[String] =
+    Some("""WITH pos AS (
              |  SELECT doc_id, length(text) AS n,
              |    unnest(generate_series(1, length(text) - 31)) AS p, text
              |  FROM documents WHERE length(text) >= 32
@@ -1087,6 +1073,47 @@ ORDER BY doc_a, doc_b""")
              |  floor(CAST(sum(p1 - p0 + 32) AS BIGINT) / CAST(n AS DOUBLE)
              |    * 10000 + 0.5) / 10000 AS dup_fraction
              |FROM spans GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)
-    )
-  )
+
+  /** Shared body of the substring-span twins: explode every position's
+    * L-gram, window-count occurrences on the gram key (exact string or
+    * its xxhash64), islands-merge the duplicated positions per doc. */
+  private def substringSpans(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      hashedGrams: Boolean): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val L = 32
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"text", length($"text").as("n"))
+    val gram = expr(s"substring(text, p, $L)")
+    val pos = docs.filter($"n" >= L)
+      .select($"doc_id", $"n",
+        explode(sequence(lit(1), $"n" - (L - 1))).as("p"), $"text")
+      .select($"doc_id", $"n", $"p",
+        (if (hashedGrams) xxhash64(gram) else gram).as("g"))
+    // occurrence count as a WINDOW over the gram, not agg + join
+    // back: the agg spelling scans/explodes the corpus twice (the
+    // partial-agg exchange never ReusedExchanges with the join
+    // exchange) — one gram-partitioned window is a single pass
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val hits = pos.withColumn("c", count(lit(1)).over(wg))
+      .filter($"c" >= 2).select($"doc_id", $"n", $"p")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    hits
+      .withColumn("brk",
+        when(lag($"p", 1).over(w).isNull ||
+          $"p" - lag($"p", 1).over(w) > L, 1).otherwise(0))
+      .withColumn("isl", sum($"brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"n", $"isl")
+      .agg(min($"p").as("p0"), max($"p").as("p1"), count(lit(1)).as("nc"))
+      .groupBy($"doc_id", $"n")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"nc").as("n_dup_pos"),
+        sum($"p1" - $"p0" + L).as("dup_chars"))
+      .select($"doc_id", $"n_spans", $"n_dup_pos", $"dup_chars",
+        graft.core.Parity.floorRound4($"dup_chars" / $"n".cast("double"))
+          .as("dup_fraction"))
+      .orderBy($"doc_id")
+  }
 }
