@@ -79,7 +79,10 @@ object Bench {
     "dedup_substring_spans", // positional L-gram fan-out + interval union
     "dedup_substring_spans_fast", // same, 8-byte xxhash64 gram keys
     "j38_incremental_join_refresh", // IVM delta-join refresh vs stored MV
-    "mm_audio_vad")        // WAV decode → energy islands segmentation
+    "mm_audio_vad",        // WAV decode → energy islands segmentation
+    "a46_kaplan_meier",    // right-censored survival (duration-grain KM)
+    "a47_mann_whitney",    // bucketed-rank U test (no global sort)
+    "a48_chi_square")      // r×c independence + Cramér's V (one agg)
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -2331,6 +2331,273 @@ object AggQueries {
              |)
              |SELECT pair, floor(r * 10000 + 0.5) / 10000 AS corr_v
              |FROM c ORDER BY pair""".stripMargin)
+    ),
+
+    // Chi-square independence test + Cramér's V (a48) — the categorical
+    // association primitive (is market segment independent of nation?).
+    // Scale shape: ONE hash aggregate over the fact builds the observed
+    // contingency table; marginals and the full r×c grid (including
+    // ZERO cells, which contribute (0−E)²/E and which a bare groupBy
+    // would silently drop) are r+c-bounded broadcasts — nothing about
+    // the statistic re-touches fact rows. Numeric design: every per-cell
+    // contribution is quantized to a 1e-8 long BEFORE the cross-cell
+    // sum, so the r×c summation is exact integer algebra regardless of
+    // order; only the final sqrt (IEEE-exact) touches inexactness.
+    OracleQuery(
+      "a48_chi_square",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.customer(s, d)
+          .groupBy($"c_nationkey".as("nk"), $"c_mktsegment".as("seg"))
+          .agg(count(lit(1)).as("obs"))
+        val rt = o.groupBy($"nk").agg(sum($"obs").as("rt"))
+        val ct = o.groupBy($"seg").agg(sum($"obs").as("ct"))
+        val tot = o.agg(sum($"obs").cast("double").as("n"))
+        val grid = rt.crossJoin(ct) // r×c rows — both sides broadcast-small
+          .join(o, Seq("nk", "seg"), "left")
+          .na.fill(0L, Seq("obs"))
+          .crossJoin(broadcast(tot))
+          .withColumn("e", $"rt".cast("double") * $"ct" / $"n")
+          .withColumn("cellq",
+            floor(($"obs" - $"e") * ($"obs" - $"e") / $"e" * 100000000.0 + 0.5)
+              .cast("long"))
+        grid.agg(
+            max($"n").cast("long").as("n"),
+            countDistinct($"nk").as("r"),
+            countDistinct($"seg").as("c"),
+            (sum($"cellq").cast("double") / 100000000.0).as("chi2_raw"))
+          .select(
+            $"n", $"r", $"c",
+            (($"r" - 1) * ($"c" - 1)).as("dof"),
+            graft.core.Parity.floorRound4($"chi2_raw").as("chi2"),
+            graft.core.Parity.floorRound4(
+              sqrt($"chi2_raw" / $"n" / (least($"r", $"c") - 1).cast("double")))
+              .as("cramers_v"))
+      },
+      Some("""WITH o AS (
+             |  SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS obs
+             |  FROM customer GROUP BY 1, 2
+             |), rt AS (SELECT nk, sum(obs) AS rt FROM o GROUP BY 1),
+             |ct AS (SELECT seg, sum(obs) AS ct FROM o GROUP BY 1),
+             |tot AS (SELECT CAST(sum(obs) AS DOUBLE) AS n FROM o),
+             |grid AS (
+             |  SELECT rt.nk, ct.seg, COALESCE(o.obs, 0) AS obs,
+             |    CAST(rt.rt AS DOUBLE) * ct.ct / tot.n AS e, tot.n
+             |  FROM rt CROSS JOIN ct CROSS JOIN tot
+             |  LEFT JOIN o ON o.nk = rt.nk AND o.seg = ct.seg
+             |), cells AS (
+             |  SELECT n,
+             |    CAST(floor((obs - e) * (obs - e) / e * 100000000.0 + 0.5) AS BIGINT)
+             |      AS cellq,
+             |    nk, seg
+             |  FROM grid
+             |), agg AS (
+             |  SELECT CAST(max(n) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT nk) AS BIGINT) AS r,
+             |    CAST(count(DISTINCT seg) AS BIGINT) AS c,
+             |    CAST(sum(cellq) AS DOUBLE) / 100000000.0 AS chi2_raw
+             |  FROM cells
+             |)
+             |SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+             |  floor(chi2_raw * 10000 + 0.5) / 10000 AS chi2,
+             |  floor(sqrt(chi2_raw / n / CAST(least(r, c) - 1 AS DOUBLE))
+             |    * 10000 + 0.5) / 10000 AS cramers_v
+             |FROM agg""".stripMargin)
+    ),
+
+    // Mann–Whitney U rank-sum test (a47) — the nonparametric two-sample
+    // location test (no normality assumption; the A/B workhorse when
+    // revenue distributions are heavy-tailed). AVERAGE ranks for ties:
+    // r̄(x) = min_rank(x) + (|ties(x)|−1)/2 — tiebreak-free, so the
+    // statistic is deterministic without inventing a row order. Scale
+    // shape: the global rank is DECOMPOSED — values hash into 1024
+    // range buckets (bucket id is a monotone function of the value, so
+    // equal values can never straddle buckets), within-bucket min-ranks
+    // come from a window PARTITIONED BY bucket, and the global offset is
+    // a prefix sum over the 1024-row bucket-count frame — no single-
+    // reducer global sort anywhere (the W6 positional-split discipline).
+    // The DuckDB twin spells the plain global rank(): same avg ranks.
+    // Numeric design: avg ranks are half-integers, so rank sums are
+    // exact in double; the tie correction Σ(t³−t) is exact BIGINT; the
+    // only inexactness is the final z division and an IEEE-exact sqrt.
+    OracleQuery(
+      "a47_mann_whitney",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.orders(s, d)
+          .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+          .select($"o_orderpriority".as("g"), $"o_totalprice".as("x"))
+        val stats = base.agg(min($"x").as("xmin"), max($"x").as("xmax"))
+        val bucketed = base.crossJoin(broadcast(stats))
+          .withColumn("b",
+            least(floor(($"x" - $"xmin") / ($"xmax" - $"xmin") * 1024.0),
+              lit(1023.0)).cast("long"))
+        val bCounts = bucketed.groupBy($"b").agg(count(lit(1)).as("bc"))
+        val wPrefix = org.apache.spark.sql.expressions.Window
+          .orderBy($"b").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val prefix = bCounts // ≤1024 rows — the only ordered window
+          .withColumn("off", coalesce(sum($"bc").over(wPrefix), lit(0L)))
+          .select($"b", $"off")
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy($"b").orderBy($"x")
+        val wEq = org.apache.spark.sql.expressions.Window.partitionBy($"x")
+        val ranked = bucketed
+          .withColumn("rin", rank().over(wIn))
+          .withColumn("eq", count(lit(1)).over(wEq))
+          .join(broadcast(prefix), "b")
+          .withColumn("ravg",
+            ($"off" + $"rin").cast("double") + ($"eq" - 1) / 2.0)
+        val ties = base.groupBy($"x").agg(count(lit(1)).as("t"))
+          .agg(sum($"t" * $"t" * $"t" - $"t").as("tie3"))
+        ranked.groupBy()
+          .agg(
+            sum(when($"g" === "1-URGENT", lit(1L)).otherwise(0L)).as("n_a"),
+            sum(when($"g" === "2-HIGH", lit(1L)).otherwise(0L)).as("n_b"),
+            sum(when($"g" === "1-URGENT", $"ravg").otherwise(0.0)).as("r_a"))
+          .crossJoin(broadcast(ties))
+          .withColumn("u_a", $"r_a" - $"n_a" * ($"n_a" + 1) / 2.0)
+          .withColumn("nn", ($"n_a" + $"n_b").cast("double"))
+          .withColumn("varu",
+            $"n_a" * $"n_b" / 12.0 *
+              (($"nn" + 1) - $"tie3" / ($"nn" * ($"nn" - 1))))
+          .select(
+            $"n_a", $"n_b",
+            graft.core.Parity.floorRound4($"u_a").as("u_a"),
+            graft.core.Parity.floorRound4(
+              ($"u_a" - $"n_a" * $"n_b" / 2.0) / sqrt($"varu")).as("z"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderpriority AS g, o_totalprice AS x FROM orders
+             |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |), ranked AS (
+             |  SELECT g,
+             |    CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+             |      + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS ravg
+             |  FROM base
+             |), ties AS (
+             |  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+             |  FROM (SELECT count(*) AS t FROM base GROUP BY x)
+             |), agg AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    sum(CASE WHEN g = '1-URGENT' THEN ravg ELSE 0.0 END) AS r_a
+             |  FROM ranked
+             |), u AS (
+             |  SELECT n_a, n_b, r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+             |    CAST(n_a + n_b AS DOUBLE) AS nn, tie3
+             |  FROM agg CROSS JOIN ties
+             |)
+             |SELECT n_a, n_b,
+             |  floor(u_a * 10000 + 0.5) / 10000 AS u_a,
+             |  floor((u_a - n_a * n_b / 2.0)
+             |    / sqrt(n_a * n_b / 12.0 * ((nn + 1) - tie3 / (nn * (nn - 1))))
+             |    * 10000 + 0.5) / 10000 AS z
+             |FROM u""".stripMargin)
+    ),
+
+    // Kaplan–Meier survival estimator (a46) — time-to-conversion with
+    // RIGHT CENSORING (users who never purchased are not failures, they
+    // are observations that end at the data cutoff — dropping them, the
+    // classic mistake, biases conversion time low). Duration = hours
+    // from a user's first signup to first subsequent purchase; censored
+    // at the corpus max ts. Scale shape: the fact collapses to one row
+    // per user (two hash aggregates + one join), then to the DURATION
+    // grain, which is bounded by the time resolution (≤ hours-in-range
+    // rows) — the KM product and at-risk window run on that bounded
+    // frame, never on users. Numeric design: d_i and n_i(at-risk) are
+    // exact integers under the hash gate; the survival curve
+    // S(t)=Π(1−dᵢ/nᵢ) is spelled exp(Σ ln(·)) with each ln term
+    // quantized to a 1e-12 long before the exact integer cumsum, so
+    // cross-engine libm ulp drift cannot reorder or re-round the sum
+    // (residual risk: a term landing within 1e-19 of the quantization
+    // grid — the accepted a44b class).
+    OracleQuery(
+      "a46_kaplan_meier",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val su = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("su"))
+        val pu = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"))
+          .join(su, "user_id")
+          .filter($"pts" >= $"su")
+          .groupBy($"user_id").agg(min($"pts").as("pu"))
+        val cutoff = ev.agg(max($"ts").as("cut"))
+        val durations = su.join(pu, Seq("user_id"), "left")
+          .crossJoin(broadcast(cutoff))
+          .select(
+            expr("(unix_micros(coalesce(pu, cut)) - unix_micros(su)) div 3600000000")
+              .as("dur_hr"),
+            when($"pu".isNotNull, lit(1L)).otherwise(0L).as("is_event"))
+        val grain = durations.groupBy($"dur_hr")
+          .agg(sum($"is_event").as("d_events"),
+            sum(lit(1L) - $"is_event").as("c_censored"))
+        val wPrev = org.apache.spark.sql.expressions.Window
+          .orderBy($"dur_hr").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy($"dur_hr").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val total = durations.agg(count(lit(1)).as("n_total"))
+        grain.crossJoin(broadcast(total)) // duration-grain frame: bounded
+          .withColumn("n_risk",
+            $"n_total" - coalesce(sum($"d_events" + $"c_censored").over(wPrev), lit(0L)))
+          .withColumn("termq",
+            when($"d_events" === 0 || $"n_risk" === $"d_events", lit(0L))
+              .otherwise(floor(
+                log(($"n_risk" - $"d_events").cast("double") / $"n_risk")
+                  * 1000000000000.0 + 0.5).cast("long")))
+          .withColumn("cum", sum($"termq").over(wCum))
+          .filter($"d_events" > 0)
+          .select($"dur_hr", $"n_risk", $"d_events", $"c_censored",
+            when($"n_risk" === $"d_events", lit(0.0))
+              .otherwise(graft.core.Parity.floorRound4(exp($"cum" / 1000000000000.0)))
+              .as("survival"))
+          .orderBy($"dur_hr")
+      },
+      Some("""WITH su AS (
+             |  SELECT user_id, min(ts) AS su FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1
+             |), pu AS (
+             |  SELECT e.user_id, min(e.ts) AS pu
+             |  FROM events e JOIN su ON e.user_id = su.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= su.su
+             |  GROUP BY 1
+             |), cutoff AS (SELECT max(ts) AS cut FROM events),
+             |durations AS (
+             |  SELECT (epoch_us(COALESCE(pu.pu, cutoff.cut)) - epoch_us(su.su))
+             |      // 3600000000 AS dur_hr,
+             |    CASE WHEN pu.pu IS NOT NULL THEN 1 ELSE 0 END AS is_event
+             |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+             |  CROSS JOIN cutoff
+             |), grain AS (
+             |  SELECT dur_hr, CAST(sum(is_event) AS BIGINT) AS d_events,
+             |    CAST(sum(1 - is_event) AS BIGINT) AS c_censored
+             |  FROM durations GROUP BY 1
+             |), tot AS (SELECT count(*) AS n_total FROM durations),
+             |risked AS (
+             |  SELECT dur_hr, d_events, c_censored,
+             |    n_total - COALESCE(sum(d_events + c_censored) OVER (
+             |      ORDER BY dur_hr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS n_risk
+             |  FROM grain CROSS JOIN tot
+             |), termed AS (
+             |  SELECT dur_hr, d_events, c_censored, n_risk,
+             |    CASE WHEN d_events = 0 OR n_risk = d_events THEN 0
+             |      ELSE CAST(floor(ln(CAST(n_risk - d_events AS DOUBLE) / n_risk)
+             |        * 1000000000000.0 + 0.5) AS BIGINT) END AS termq
+             |  FROM risked
+             |), cumd AS (
+             |  SELECT dur_hr, d_events, c_censored, n_risk,
+             |    sum(termq) OVER (ORDER BY dur_hr
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM termed
+             |)
+             |SELECT dur_hr, CAST(n_risk AS BIGINT) AS n_risk, d_events, c_censored,
+             |  CASE WHEN n_risk = d_events THEN 0.0
+             |    ELSE floor(exp(cum / 1000000000000.0) * 10000 + 0.5) / 10000 END
+             |    AS survival
+             |FROM cumd WHERE d_events > 0 ORDER BY dur_hr""".stripMargin)
     )
   )
 }
