@@ -82,7 +82,8 @@ object Bench {
     "mm_audio_vad",        // WAV decode → energy islands segmentation
     "a46_kaplan_meier",    // right-censored survival (duration-grain KM)
     "a47_mann_whitney",    // bucketed-rank U test (no global sort)
-    "a48_chi_square")      // r×c independence + Cramér's V (one agg)
+    "a48_chi_square",      // r×c independence + Cramér's V (one agg)
+    "text_keyword_rake")   // degree/frequency multi-word keywords
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

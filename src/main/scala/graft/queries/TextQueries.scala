@@ -1437,6 +1437,90 @@ object TextQueries {
              |  round(covar_pop(ly, lx) / var_pop(lx), 4) AS zipf_slope,
              |  round(pow(corr(ly, lx), 2), 4) AS r2
              |FROM ranked GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // RAKE keyword extraction — the unsupervised multi-word keyword
+    // standard (Rose et al. 2010): candidate phrases are maximal runs of
+    // non-stopword tokens; word score = degree/frequency (degree = Σ of
+    // containing-phrase lengths — words that live in long collocations
+    // outrank free-floating frequent words); phrase score = Σ of its
+    // word scores. Scale shape: ONE corpus scan builds the phrase frame
+    // (per-doc window for the stopword-run id is doc-bounded), persisted
+    // because three consumers re-read it (phrase text, the vocab-grain
+    // word-score agg, and the re-join); word scores live at VOCAB grain
+    // and join back by token — broadcast here, a plain hash join when
+    // the vocabulary outgrows the budget. Numeric design: degrees and
+    // frequencies are exact integers; word scores are quantized to 1e-6
+    // longs BEFORE the per-phrase sum, so phrase scores and the top-20
+    // cutoff order on exact integer keys (phrase-text tiebreak).
+    OracleQuery(
+      "text_keyword_rake",
+      (s, d) => {
+        import s.implicits._
+        val stop = Seq("the", "a", "of", "and", "to")
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+        val wPid = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val phrases = toks
+          .withColumn("pid",
+            sum(when($"w".isin(stop: _*), 1L).otherwise(0L)).over(wPid))
+          .filter(!$"w".isin(stop: _*))
+          .groupBy($"doc_id", $"pid")
+          .agg(
+            array_join(
+              transform(array_sort(collect_list(struct($"pos", $"w"))),
+                x => x.getField("w")), " ").as("phrase"),
+            count(lit(1)).as("plen"))
+          .persist()
+        val occ = phrases.select($"doc_id", $"pid", $"phrase", $"plen",
+          explode(split($"phrase", " ")).as("w"))
+        val wordq = occ.groupBy($"w")
+          .agg(floor(sum($"plen").cast("double") / count(lit(1)) * 1000000.0 + 0.5)
+            .cast("long").as("wq"))
+        occ.join(broadcast(wordq), "w")
+          .groupBy($"doc_id", $"pid", $"phrase")
+          .agg(sum($"wq").as("psum"))
+          .groupBy($"phrase")
+          .agg(count(lit(1)).as("n_occur"), max($"psum").as("psum"))
+          .select($"phrase", $"n_occur",
+            ($"psum".cast("double") / 1000000.0).as("score"))
+          .orderBy($"psum".desc, $"phrase")
+          .limit(20)
+          .select($"phrase", $"n_occur", $"score")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, pos, string_split(text, ' ')[pos] AS w
+             |  FROM (SELECT doc_id, text,
+             |          unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+             |        FROM documents)
+             |), marked AS (
+             |  SELECT doc_id, pos, w,
+             |    sum(CASE WHEN w IN ('the','a','of','and','to') THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+             |  FROM toks
+             |), phrases AS (
+             |  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+             |    count(*) AS plen
+             |  FROM marked WHERE w NOT IN ('the','a','of','and','to')
+             |  GROUP BY 1, 2
+             |), occ AS (
+             |  SELECT doc_id, pid, phrase, plen,
+             |    unnest(string_split(phrase, ' ')) AS w
+             |  FROM phrases
+             |), wordq AS (
+             |  SELECT w, CAST(floor(CAST(sum(plen) AS DOUBLE) / count(*)
+             |    * 1000000.0 + 0.5) AS BIGINT) AS wq
+             |  FROM occ GROUP BY 1
+             |), ps AS (
+             |  SELECT o.doc_id, o.pid, o.phrase, sum(q.wq) AS psum
+             |  FROM occ o JOIN wordq q USING (w) GROUP BY 1, 2, 3
+             |)
+             |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
+             |  CAST(max(psum) AS DOUBLE) / 1000000.0 AS score
+             |FROM ps GROUP BY 1 ORDER BY max(psum) DESC, phrase LIMIT 20""".stripMargin)
     )
   )
 

@@ -43,4 +43,48 @@ class TextMlSpec extends SparkSpec {
     assert(en.getAs[Double]("avg_p_true") > 0.2,
       s"majority class prob ${en.getAs[Double]("avg_p_true")} not above uniform")
   }
+
+  test("text_keyword_rake: exact driver replay of degree/frequency scoring; no stopwords in phrases") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val stop = Set("the", "a", "of", "and", "to")
+    val out = Registry.queries("text_keyword_rake")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach(r => assert(r.getString(0).split(' ').forall(w => !stop(w)),
+      s"stopword leaked into phrase '${r.getString(0)}'"))
+    // replay: phrases = maximal non-stopword runs; deg = Σ plen over
+    // occurrences; score(w) = deg/freq quantized to 1e-6; phrase score
+    // = Σ word scores; top-20 by (score, phrase)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val phrases = docs.flatMap { case (_, text) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      text.split(' ').foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs
+    }
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    phrases.foreach { p =>
+      p.foreach { w =>
+        deg(w) = deg.getOrElse(w, 0L) + p.length
+        freq(w) = freq.getOrElse(w, 0L) + 1
+      }
+    }
+    val wq = deg.keys.map(w =>
+      w -> math.floor(deg(w).toDouble / freq(w) * 1e6 + 0.5).toLong).toMap
+    val scored = phrases.groupBy(_.mkString(" ")).map { case (ph, occ) =>
+      (ph, occ.length.toLong, occ.head.map(wq).sum)
+    }.toSeq
+    val top = scored.sortBy { case (ph, _, s) => (-s, ph) }.take(20)
+    out.zip(top).foreach { case (r, (ph, n, s)) =>
+      assert(r.getString(0) == ph && r.getLong(1) == n,
+        s"(${r.getString(0)},${r.getLong(1)}) vs replay ($ph,$n)")
+      assert(math.abs(r.getDouble(2) - s / 1e6) < 1e-9)
+    }
+  }
 }
