@@ -83,7 +83,8 @@ object Bench {
     "a46_kaplan_meier",    // right-censored survival (duration-grain KM)
     "a47_mann_whitney",    // bucketed-rank U test (no global sort)
     "a48_chi_square",      // r×c independence + Cramér's V (one agg)
-    "text_keyword_rake")   // degree/frequency multi-word keywords
+    "text_keyword_rake",   // degree/frequency multi-word keywords
+    "graph_label_propagation") // 4-round deterministic LPA census
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

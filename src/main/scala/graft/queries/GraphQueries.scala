@@ -550,6 +550,110 @@ object GraphQueries {
              |     SELECT p1 AS n FROM e6 UNION SELECT p2 FROM e6) t) AS n_nodes,
              |  (SELECT count(*) FROM e6) AS n_edges
              |ORDER BY iter""".stripMargin)
+    ),
+
+    // Label-propagation community detection (ops/LabelPropagation) on
+    // the support-pruned co-purchase graph — the near-linear community
+    // algorithm for product assortment / fraud-ring discovery. Four
+    // synchronous rounds; each node adopts its neighbors' most frequent
+    // label with the DETERMINISTIC (count desc, label asc) tie-break,
+    // packed into one exact integer argmax key cnt·2²⁴−lbl so the
+    // per-node choice is a plain max() hash aggregate both engines
+    // replay bit-identically (classic LPA's arrival-order tie resolution
+    // is shuffle-nondeterministic — unreplayable AND unreproducible
+    // across the same engine's runs). Output is the community census
+    // (members, internal edges, degree mass — the exact-integer inputs
+    // to modularity, which the spec computes). Scale: per round one
+    // edges⋈labels hash join + two hash aggs; labels (node-bounded) are
+    // the checkpointed frame, edges stay lazy (the k-core recipe).
+    OracleQuery(
+      "graph_label_propagation",
+      (s, d) => {
+        import s.implicits._
+        val items = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("k"), $"l_partkey".as("p")).distinct()
+        val isup = items.groupBy($"p").agg(count(lit(1)).as("sup"))
+          .filter($"sup" >= 20)
+        val freq = items.join(broadcast(isup.select($"p")), "p")
+        val edges = freq.as("a")
+          .join(freq.as("b"),
+            col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+          .select($"p1", $"p2")
+          .persist() // reused: LPA rounds, degree, within-community count
+        val labels = graft.ops.LabelPropagation.run(edges, rounds = 4)
+        val dir = edges.select($"p1".as("node")).union(edges.select($"p2".as("node")))
+        val deg = dir.groupBy($"node").agg(count(lit(1)).as("dg"))
+        val mem = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+        val ew = edges
+          .join(labels.select($"node".as("p1"), $"lbl".as("l1")), "p1")
+          .join(labels.select($"node".as("p2"), $"lbl".as("l2")), "p2")
+          .filter($"l1" === $"l2")
+          .groupBy($"l1".as("lbl")).agg(count(lit(1)).as("e_within"))
+        val dt = deg.join(labels, "node")
+          .groupBy($"lbl").agg(sum($"dg").as("d_total"))
+        mem.join(ew, Seq("lbl"), "left").na.fill(0L, Seq("e_within"))
+          .join(dt, "lbl")
+          .select($"lbl", $"n_members", $"e_within", $"d_total")
+          .orderBy($"n_members".desc, $"lbl")
+      },
+      Some("""WITH items AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+             |), isup AS (
+             |  SELECT p FROM items GROUP BY p HAVING count(*) >= 20
+             |), e AS MATERIALIZED (
+             |  SELECT a.p AS p1, b.p AS p2
+             |  FROM (SELECT i.k, i.p FROM items i JOIN isup USING (p)) a
+             |  JOIN (SELECT i.k, i.p FROM items i JOIN isup USING (p)) b
+             |    ON a.k = b.k AND a.p < b.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |), dir AS MATERIALIZED (
+             |  SELECT p1 AS src, p2 AS dst FROM e
+             |  UNION ALL SELECT p2, p1 FROM e
+             |), l0 AS MATERIALIZED (
+             |  SELECT DISTINCT src AS node, src AS lbl FROM dir
+             |), l1 AS MATERIALIZED (
+             |  SELECT dst AS node,
+             |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
+             |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
+             |        FROM dir d JOIN l0 l ON d.src = l.node GROUP BY 1, 2)
+             |  GROUP BY dst
+             |), l2 AS MATERIALIZED (
+             |  SELECT dst AS node,
+             |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
+             |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
+             |        FROM dir d JOIN l1 l ON d.src = l.node GROUP BY 1, 2)
+             |  GROUP BY dst
+             |), l3 AS MATERIALIZED (
+             |  SELECT dst AS node,
+             |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
+             |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
+             |        FROM dir d JOIN l2 l ON d.src = l.node GROUP BY 1, 2)
+             |  GROUP BY dst
+             |), l4 AS MATERIALIZED (
+             |  SELECT dst AS node,
+             |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
+             |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
+             |        FROM dir d JOIN l3 l ON d.src = l.node GROUP BY 1, 2)
+             |  GROUP BY dst
+             |), deg AS (
+             |  SELECT src AS node, count(*) AS dg FROM dir GROUP BY 1
+             |), mem AS (
+             |  SELECT lbl, count(*) AS n_members FROM l4 GROUP BY 1
+             |), ew AS (
+             |  SELECT a.lbl, count(*) AS e_within
+             |  FROM e JOIN l4 a ON e.p1 = a.node JOIN l4 b ON e.p2 = b.node
+             |  WHERE a.lbl = b.lbl GROUP BY 1
+             |), dt AS (
+             |  SELECT l.lbl, sum(g.dg) AS d_total
+             |  FROM deg g JOIN l4 l ON g.node = l.node GROUP BY 1
+             |)
+             |SELECT m.lbl, CAST(m.n_members AS BIGINT) AS n_members,
+             |  CAST(COALESCE(ew.e_within, 0) AS BIGINT) AS e_within,
+             |  CAST(dt.d_total AS BIGINT) AS d_total
+             |FROM mem m LEFT JOIN ew USING (lbl) JOIN dt USING (lbl)
+             |ORDER BY n_members DESC, lbl""".stripMargin)
     )
   )
 

@@ -197,4 +197,44 @@ class GraphOpsSpec extends SparkSpec {
     }
     assert(layers.getOrElse(-1, 0L) == nNodes - visited.size.toLong)
   }
+
+  test("LabelPropagation: two triangles + bridge split into the hand-derived communities") {
+    import spark.implicits._
+    // triangle {1,2,3}, triangle {4,5,6}, bridge 3–4; four synchronous
+    // rounds with the (count desc, label asc) tie-break settle on
+    // communities led by labels 1 and 3 (derived by hand round-by-round)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("p1", "p2")
+    val got = graft.ops.LabelPropagation.run(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L), got)
+    // deterministic: a second run is bit-identical
+    val again = graft.ops.LabelPropagation.run(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
+  test("graph_label_propagation: census conserves nodes/degree mass; modularity beats random") {
+    val sf = "/root/testdata/sf0.01"
+    val out = Registry.queries("graph_label_propagation")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nNodes = out.map(_.getLong(1)).sum
+    val dMass = out.map(_.getLong(3)).sum
+    val eWithin = out.map(_.getLong(2)).sum
+    val m = dMass / 2 // Σ degrees = 2·|E|
+    assert(dMass % 2 == 0 && eWithin <= m, s"d=$dMass ew=$eWithin m=$m")
+    assert(nNodes > 0 && out.forall(_.getLong(1) >= 1))
+    // modularity Q = Σ_c (e_c/m − (d_c/2m)²) from the exact-integer
+    // census. The synthetic co-purchase graph has NO planted communities
+    // (random baskets ⇒ near-Erdős–Rényi), so Q is honestly tiny
+    // (~0.01) — the structural proof that LPA finds real communities is
+    // the two-triangle fixture above; here we pin the definition bounds
+    // and that the partition is not ANTI-correlated with the edges
+    assert(q(out, m) > 0.0 && q(out, m) < 1.0, s"modularity ${q(out, m)}")
+  }
+
+  private def q(out: Array[org.apache.spark.sql.Row], m: Long): Double =
+    out.map { r =>
+      r.getLong(2).toDouble / m - math.pow(r.getLong(3).toDouble / (2.0 * m), 2)
+    }.sum
 }
