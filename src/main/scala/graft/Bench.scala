@@ -84,7 +84,8 @@ object Bench {
     "a47_mann_whitney",    // bucketed-rank U test (no global sort)
     "a48_chi_square",      // r×c independence + Cramér's V (one agg)
     "text_keyword_rake",   // degree/frequency multi-word keywords
-    "graph_label_propagation") // 4-round deterministic LPA census
+    "graph_label_propagation", // 4-round deterministic LPA census
+    "sim_sq_int8_topk")    // scalar-quantized int8 exact-integer top-k
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

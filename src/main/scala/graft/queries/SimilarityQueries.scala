@@ -1110,6 +1110,79 @@ object SimilarityQueries {
            |FROM lex FULL OUTER JOIN vec USING (doc_id)
            |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
       }
+    ),
+
+    // Scalar-quantized int8 ANN (the FAISS SQ8 shape): per-dimension
+    // min/max train a linear quantizer, every vector compresses 4× to
+    // int8 codes, and top-k runs on EXACT INTEGER dot products — at
+    // 100 TB this is the memory-bandwidth play (64 B/vector instead of
+    // 256 B float32, SIMD integer MACs, and the stats pass is one
+    // d-bounded aggregate whose output broadcasts as two tiny arrays).
+    // Composes with the IVF cell pruning (sim_ivf_*): SQ bounds
+    // bytes-per-candidate, IVF bounds candidates. Every score is an
+    // exact BIGINT under the hash gate — no float summation order
+    // anywhere — and the quantizer arithmetic is identical IEEE double
+    // text on both engines (ties in the top-k cut break on neighbor id).
+    OracleQuery(
+      "sim_sq_int8_topk",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val stats = emb
+          .select($"vec_id", posexplode($"embedding").as(Seq("j", "v")))
+          .groupBy($"j")
+          .agg(min($"v".cast("double")).as("mn"), max($"v".cast("double")).as("mx"))
+          .agg(
+            expr("transform(array_sort(collect_list(struct(j, mn))), s -> s.mn)").as("mn"),
+            expr("transform(array_sort(collect_list(struct(j, mx))), s -> s.mx)").as("mx"))
+        val coded = emb.crossJoin(broadcast(stats))
+          .withColumn("qv", expr(
+            """zip_with(
+              |  zip_with(embedding, mn, (x, m) -> CAST(x AS DOUBLE) - m),
+              |  zip_with(mx, mn, (a, b) -> a - b),
+              |  (xd, r) -> CASE WHEN r = 0.0 THEN CAST(0 AS BIGINT)
+              |    ELSE CAST(least(floor(xd / r * 255.0), 254.0) AS BIGINT) - 127
+              |    END)""".stripMargin))
+          .select($"vec_id", $"qv")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))
+        coded.filter($"vec_id" < 8).as("a")
+          .join(coded.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("query_id"),
+            col("b.vec_id").as("neighbor_id"),
+            expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, e) -> acc + e)")
+              .as("score"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"query_id", $"neighbor_id", $"score", $"rn")
+          .orderBy($"query_id", $"rn")
+      },
+      Some("""WITH vals AS (
+             |  SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS v
+             |  FROM embeddings, unnest(generate_series(1, 64)) AS t(j)
+             |), stats AS (
+             |  SELECT j, min(v) AS mn, max(v) AS mx FROM vals GROUP BY 1
+             |), coded AS (
+             |  SELECT vec_id, vals.j,
+             |    CASE WHEN (mx - mn) = 0.0 THEN CAST(0 AS BIGINT)
+             |      ELSE CAST(least(floor((v - mn) / (mx - mn) * 255.0), 254.0)
+             |        AS BIGINT) - 127 END AS q
+             |  FROM vals JOIN stats USING (j)
+             |), scores AS (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    CAST(sum(a.q * b.q) AS BIGINT) AS score
+             |  FROM coded a JOIN coded b ON a.j = b.j AND a.vec_id != b.vec_id
+             |  WHERE a.vec_id < 8
+             |  GROUP BY 1, 2
+             |), ranked AS (
+             |  SELECT query_id, neighbor_id, score,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, neighbor_id) AS INT) AS rn
+             |  FROM scores
+             |)
+             |SELECT query_id, neighbor_id, score, rn
+             |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
     )
   )
 
