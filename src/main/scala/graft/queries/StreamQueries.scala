@@ -376,6 +376,56 @@ object StreamQueries {
       },
       // o11's oracle, verbatim — the batch/stream equivalence statement
       CoreQueries.all.find(_.name == "o11_upsert_merge").get.oracle
+    ),
+
+    // Streaming exact dedup with bounded state, oracle-gated: a corpus
+    // with every 5th event RE-EMITTED (exact copies — the at-least-once
+    // delivery shape) flows through dropDuplicatesWithinWatermark in
+    // week-ordered micro-batches; the surviving stream, aggregated per
+    // type, must hash-match the clean corpus. What's on trial is the
+    // STATE-EVICTION contract: plain dropDuplicates holds every key
+    // forever (OOM at 100 TB); the watermark variant keeps only keys
+    // newer than watermark−horizon, so state is bounded by arrival
+    // skew — and a duplicate arriving inside the horizon (here: copies
+    // land in the same file as their original) must still be dropped
+    // across batch boundaries. Value sums ride 1e-6 longs (order-free).
+    OracleQuery(
+      "stream_dedup_watermark",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        val dup = ev.unionAll(ev.filter($"event_id" % 5 === 0))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_dedup").toString
+        val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
+        for (i <- 0 until 4) {
+          dup.filter($"ts" >= lit(weeks(i)).cast("timestamp") &&
+              $"ts" < lit(weeks(i + 1)).cast("timestamp"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/w$i")
+        }
+        val src = s.readStream.schema(dup.schema)
+          .option("maxFilesPerTrigger", 1) // one week per micro-batch:
+          // dedup state must survive batch boundaries, then evict
+          .parquet(s"$tmp/in/*")
+        graft.streaming.Streams.runAvailableNow(
+          graft.streaming.Streams.dedupWithinHorizonStream(
+            src, Seq("event_id"), "ts", "1 hour"),
+          s"$tmp/ckpt", s"$tmp/out")
+        s.read.parquet(s"$tmp/out")
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"),
+            (sum(floor($"value" * 1000000.0 + 0.5).cast("long"))
+              .cast("double") / 1000000.0).as("sum_value"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             |    / 1000000.0 AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }
