@@ -2598,6 +2598,141 @@ object AggQueries {
              |    ELSE floor(exp(cum / 1000000000000.0) * 10000 + 0.5) / 10000 END
              |    AS survival
              |FROM cumd WHERE d_events > 0 ORDER BY dur_hr""".stripMargin)
+    ),
+
+    // One-way ANOVA F-test (a49) — does mean revenue differ across
+    // return-flag groups? The k-sample generalization of the t-test and
+    // the first screen before any per-group modeling. Scale shape: ONE
+    // hash aggregate per group collects (n, Σx, Σx²) as exact 1e-6
+    // longs (the a45 quantized-sum recipe — codegen integer algebra,
+    // order-free); SSW/SSB then assemble from the k-row frame with each
+    // per-group term re-quantized to a 1e-6 long before the cross-group
+    // sum, so nothing order-dependent ever touches doubles. Measures
+    // scaled by 2¹⁶ (IEEE-exact, F-invariant) for long headroom.
+    OracleQuery(
+      "a49_anova_f",
+      (s, d) => {
+        import s.implicits._
+        val x = $"l_extendedprice" / 65536.0
+        val g = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag".as("flag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(floor(x * 1000000.0 + 0.5).cast("long")).as("sq"),
+            sum(floor(x * x * 1000000.0 + 0.5).cast("long")).as("ssq"))
+          .select($"n", $"sq", $"ssq",
+            ($"sq".cast("double") / 1000000.0).as("s"),
+            ($"ssq".cast("double") / 1000000.0).as("ss"))
+          .withColumn("wq",
+            floor(($"ss" - $"s" * $"s" / $"n") * 1000000.0 + 0.5).cast("long"))
+          .withColumn("bq",
+            floor($"s" * $"s" / $"n" * 1000000.0 + 0.5).cast("long"))
+        g.agg(
+            count(lit(1)).as("k"),
+            sum($"n").as("n_total"),
+            sum($"sq").as("sq_all"),
+            (sum($"wq").cast("double") / 1000000.0).as("ssw"),
+            (sum($"bq").cast("double") / 1000000.0).as("sb_groups"))
+          .select(
+            $"k", $"n_total",
+            graft.core.Parity.floorRound4(
+              $"sb_groups" - ($"sq_all" / 1000000.0) * ($"sq_all" / 1000000.0) / $"n_total")
+              .as("ssb"),
+            graft.core.Parity.floorRound4($"ssw").as("ssw"),
+            graft.core.Parity.floorRound4(
+              (($"sb_groups" - ($"sq_all" / 1000000.0) * ($"sq_all" / 1000000.0) / $"n_total") / ($"k" - 1))
+                / ($"ssw" / ($"n_total" - $"k"))).as("f_stat"))
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag AS flag, count(*) AS n,
+             |    sum(CAST(floor((l_extendedprice / 65536.0) * 1000000.0 + 0.5)
+             |      AS BIGINT)) AS sq,
+             |    sum(CAST(floor((l_extendedprice / 65536.0) * (l_extendedprice / 65536.0)
+             |      * 1000000.0 + 0.5) AS BIGINT)) AS ssq
+             |  FROM lineitem GROUP BY 1
+             |), t AS (
+             |  SELECT n, sq, ssq,
+             |    CAST(sq AS DOUBLE) / 1000000.0 AS s,
+             |    CAST(ssq AS DOUBLE) / 1000000.0 AS ss
+             |  FROM g
+             |), q AS (
+             |  SELECT n, sq,
+             |    CAST(floor((ss - s * s / n) * 1000000.0 + 0.5) AS BIGINT) AS wq,
+             |    CAST(floor(s * s / n * 1000000.0 + 0.5) AS BIGINT) AS bq
+             |  FROM t
+             |), a AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(n) AS BIGINT) AS n_total,
+             |    CAST(sum(sq) AS DOUBLE) AS sq_all,
+             |    CAST(sum(wq) AS DOUBLE) / 1000000.0 AS ssw,
+             |    CAST(sum(bq) AS DOUBLE) / 1000000.0 AS sb_groups
+             |  FROM q
+             |)
+             |SELECT k, n_total,
+             |  floor((sb_groups - (sq_all / 1000000.0) * (sq_all / 1000000.0) / n_total)
+             |    * 10000 + 0.5) / 10000 AS ssb,
+             |  floor(ssw * 10000 + 0.5) / 10000 AS ssw,
+             |  floor(((sb_groups - (sq_all / 1000000.0) * (sq_all / 1000000.0) / n_total)
+             |    / (k - 1)) / (ssw / (n_total - k)) * 10000 + 0.5) / 10000 AS f_stat
+             |FROM a""".stripMargin)
+    ),
+
+    // CUSUM changepoint detection (a50) — where did the daily-revenue
+    // level shift? The classic estimator: C_t = Σ_{i≤t}(x_i − x̄) and
+    // the changepoint is argmax |C_t| (Page's statistic in its
+    // batch-retrospective form — the monitoring primitive behind drift
+    // alarms). Numeric design: daily values quantized to 1e-6 longs at
+    // the day-grain collapse; the recurrence is cleared of the
+    // non-integer mean by multiplying through by n —
+    // Cn_t = n·Σ_{i≤t}vq − t·Σvq — so every compared quantity is an
+    // EXACT BIGINT and the argmax is total (day tiebreak unnecessary:
+    // strict integer compare, first day on equality). Scale: fact
+    // collapses to the day grain first; the window runs on that bounded
+    // frame (the a39 discipline).
+    OracleQuery(
+      "a50_cusum_changepoint",
+      (s, d) => {
+        import s.implicits._
+        val wOrd = org.apache.spark.sql.expressions.Window.orderBy($"day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        val daily = Tables.events(s, d)
+          .groupBy(date_trunc("day", $"ts").as("day"))
+          .agg(sum(floor($"value" * 1000000.0 + 0.5).cast("long")).as("vq"))
+        daily
+          .withColumn("t", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.orderBy($"day")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("cum", sum($"vq").over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("tot", sum($"vq").over(wAll))
+          .withColumn("cn", $"n" * $"cum" - $"t" * $"tot")
+          .withColumn("cn_max", max(abs($"cn")).over(wAll))
+          .select($"day",
+            graft.core.Parity.floorRound4(
+              $"cn".cast("double") / ($"n" * 1000000.0)).as("c_t"),
+            ($"cn_max" === abs($"cn")).as("is_changepoint"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', ts) AS day,
+             |    sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS vq
+             |  FROM events GROUP BY 1
+             |), c AS (
+             |  SELECT day, vq,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             |    sum(vq) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    CAST(count(*) OVER () AS BIGINT) AS n,
+             |    sum(vq) OVER () AS tot
+             |  FROM daily
+             |), cn AS (
+             |  SELECT day, n * cum - t * tot AS cn, n FROM c
+             |)
+             |SELECT day,
+             |  floor(CAST(cn AS DOUBLE) / (n * 1000000.0) * 10000 + 0.5) / 10000 AS c_t,
+             |  (SELECT max(abs(cn)) FROM cn) = abs(cn) AS is_changepoint
+             |FROM cn ORDER BY day""".stripMargin)
     )
   )
 }

@@ -134,4 +134,64 @@ class StatTestsSpec extends SparkSpec {
     // conservation: every signup user is accounted once (event or censor)
     assert(grain.map(g => g._2 + g._3).sum == total)
   }
+
+  test("a49_anova_f: driver replay from group sums; partition of total SS") {
+    import spark.implicits._
+    val r = Registry.queries("a49_anova_f")(spark, sf).collect()(0)
+    val (k, n, ssb, ssw, f) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val xs = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", ($"l_extendedprice" / 65536.0))
+      .as[(String, Double)].collect()
+    assert(k == xs.map(_._1).distinct.length && n == xs.length)
+    // replay with the same 1e-6 quantization chain
+    val byG = xs.groupBy(_._1).values.map { g =>
+      val sq = g.map(t => math.floor(t._2 * 1e6 + 0.5).toLong).sum
+      val ssq = g.map(t => math.floor(t._2 * t._2 * 1e6 + 0.5).toLong).sum
+      (g.length.toLong, sq, ssq)
+    }.toSeq
+    val wq = byG.map { case (ng, sq, ssq) =>
+      val s = sq.toDouble / 1e6; val ss = ssq.toDouble / 1e6
+      math.floor((ss - s * s / ng) * 1e6 + 0.5).toLong
+    }.sum
+    val bq = byG.map { case (ng, sq, _) =>
+      val s = sq.toDouble / 1e6
+      math.floor(s * s / ng * 1e6 + 0.5).toLong
+    }.sum
+    val sqAll = byG.map(_._2).sum.toDouble
+    val wantSsb = bq / 1e6 - (sqAll / 1e6) * (sqAll / 1e6) / n
+    val wantSsw = wq / 1e6
+    assert(math.abs(ssb - math.floor(wantSsb * 1e4 + 0.5) / 1e4) < 1e-9)
+    assert(math.abs(ssw - math.floor(wantSsw * 1e4 + 0.5) / 1e4) < 1e-9)
+    val wantF = (wantSsb / (k - 1)) / (wantSsw / (n - k))
+    assert(math.abs(f - math.floor(wantF * 1e4 + 0.5) / 1e4) < 1e-9, s"F $f vs $wantF")
+    assert(ssb >= 0 && ssw > 0 && f >= 0)
+  }
+
+  test("a50_cusum_changepoint: C ends at ~0, argmax day replays, exactly the max rows flagged") {
+    import spark.implicits._
+    val out = Registry.queries("a50_cusum_changepoint")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // Σ(x − x̄) over the whole series is identically 0 — the last
+    // cumulative value must be 0 up to the 4dp display floor
+    assert(math.abs(out.last.getDouble(1)) <= 1e-4, s"C_n = ${out.last.getDouble(1)}")
+    val flagged = out.filter(_.getBoolean(2))
+    assert(flagged.nonEmpty)
+    val maxAbs = out.map(r => math.abs(r.getDouble(1))).max
+    flagged.foreach(r => assert(math.abs(math.abs(r.getDouble(1)) - maxAbs) <= 2e-4))
+    // replay: day-grain quantized sums, integer-cleared recurrence
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(sum(floor($"value" * 1000000.0 + 0.5).cast("long")).as("vq"))
+      .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+    val n = daily.length.toLong
+    val tot = daily.map(_._2).sum
+    var cum = 0L
+    val cns = daily.zipWithIndex.map { case ((_, vq), i) =>
+      cum += vq; n * cum - (i + 1) * tot
+    }
+    val wantArgmax = cns.zipWithIndex.maxBy(t => (math.abs(t._1), -t._2))._2
+    assert(flagged.map(_.getTimestamp(0)).contains(daily(wantArgmax)._1),
+      s"argmax day ${daily(wantArgmax)._1} not flagged")
+  }
 }
