@@ -2677,11 +2677,12 @@ object AggQueries {
              |FROM a""".stripMargin)
     ),
 
-    // CUSUM changepoint detection (a50) — where did the daily-revenue
-    // level shift? The classic estimator: C_t = Σ_{i≤t}(x_i − x̄) and
-    // the changepoint is argmax |C_t| (Page's statistic in its
-    // batch-retrospective form — the monitoring primitive behind drift
-    // alarms). Numeric design: daily values quantized to 1e-6 longs at
+    // CUSUM changepoint LOCATION estimator (a50) — where did the
+    // daily-revenue level shift? C_t = Σ_{i≤t}(x_i − x̄), changepoint =
+    // argmax |C_t| (Page's statistic in its batch-retrospective form).
+    // Complements w19_cusum_changepoint, the ONLINE one-sided alarm:
+    // w19 answers "is something drifting NOW", a50 answers "when did
+    // the level move" over a closed window — the post-mortem half. Numeric design: daily values quantized to 1e-6 longs at
     // the day-grain collapse; the recurrence is cleared of the
     // non-integer mean by multiplying through by n —
     // Cn_t = n·Σ_{i≤t}vq − t·Σvq — so every compared quantity is an
@@ -2690,7 +2691,7 @@ object AggQueries {
     // collapses to the day grain first; the window runs on that bounded
     // frame (the a39 discipline).
     OracleQuery(
-      "a50_cusum_changepoint",
+      "a50_cusum_argmax",
       (s, d) => {
         import s.implicits._
         val wOrd = org.apache.spark.sql.expressions.Window.orderBy($"day")

@@ -168,9 +168,9 @@ class StatTestsSpec extends SparkSpec {
     assert(ssb >= 0 && ssw > 0 && f >= 0)
   }
 
-  test("a50_cusum_changepoint: C ends at ~0, argmax day replays, exactly the max rows flagged") {
+  test("a50_cusum_argmax: C ends at ~0, argmax day replays, exactly the max rows flagged") {
     import spark.implicits._
-    val out = Registry.queries("a50_cusum_changepoint")(spark, sf).collect()
+    val out = Registry.queries("a50_cusum_argmax")(spark, sf).collect()
     assert(out.nonEmpty)
     // Σ(x − x̄) over the whole series is identically 0 — the last
     // cumulative value must be 0 up to the 4dp display floor
