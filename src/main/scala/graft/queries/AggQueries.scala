@@ -2497,11 +2497,16 @@ object AggQueries {
     ),
 
     // Kaplan–Meier survival estimator (a46) — time-to-conversion with
-    // RIGHT CENSORING (users who never purchased are not failures, they
-    // are observations that end at the data cutoff — dropping them, the
-    // classic mistake, biases conversion time low). Duration = hours
-    // from a user's first signup to first subsequent purchase; censored
-    // at the corpus max ts. Scale shape: the fact collapses to one row
+    // ADMINISTRATIVE right censoring: duration = hours from a user's
+    // first SIGNUP to first subsequent purchase, non-converters censored
+    // at the corpus max ts (the study-end cutoff). Distinct estimand
+    // from pipe_survival_km, which anchors at first activity and
+    // censors at the user's own last event — the last-seen scheme is
+    // the engagement-lifetime question, while censoring conversion at
+    // last-seen is informative censoring (quitters look like short
+    // observations) and biases S(t) — this entry is the textbook
+    // conversion-study spelling, on the hour grain, with the ln terms
+    // quantized instead of pipe's raw log/exp+round chain. Scale shape: the fact collapses to one row
     // per user (two hash aggregates + one join), then to the DURATION
     // grain, which is bounded by the time resolution (≤ hours-in-range
     // rows) — the KM product and at-risk window run on that bounded
