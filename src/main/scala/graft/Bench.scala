@@ -87,7 +87,8 @@ object Bench {
     "graph_label_propagation", // 4-round deterministic LPA census
     "sim_sq_int8_topk",    // scalar-quantized int8 exact-integer top-k
     "a49_anova_f",         // one-way ANOVA from quantized group sums
-    "a50_cusum_argmax") // day-grain CUSUM level-shift detector
+    "a50_cusum_argmax",    // day-grain CUSUM level-shift detector
+    "text_textrank_keywords") // weighted word-graph PageRank keywords
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

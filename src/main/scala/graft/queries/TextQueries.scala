@@ -1521,6 +1521,111 @@ object TextQueries {
              |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
              |  CAST(max(psum) AS DOUBLE) / 1000000.0 AS score
              |FROM ps GROUP BY 1 ORDER BY max(psum) DESC, phrase LIMIT 20""".stripMargin)
+    ),
+
+    // TextRank keywords (Mihalcea & Tarau 2004) — the graph-centrality
+    // complement to RAKE's frequency heuristic: words are nodes, edges
+    // are weighted adjacent co-occurrences, importance is 3 damped
+    // PageRank iterations over the WORD graph (a hub word that co-occurs
+    // with other hub words outranks a merely frequent one). Scale shape:
+    // the corpus collapses to the VOCAB²-bounded weighted edge list in
+    // one scan (per-doc lead() window, doc-bounded partitions); every
+    // iteration is one edges⋈ranks hash join + hash agg on the vocab
+    // grain — corpus size only enters the edge-build. Numeric design:
+    // the graph_pagerank recipe (DECIMAL(28,14) contribution sums kill
+    // summation-order drift; identical r·w/W operand order both
+    // engines); the top-20 cutoff orders on floor(r·1e8+0.5) — an
+    // exact-integer key (the term-drift ordering lesson) — with the
+    // word as tiebreak.
+    OracleQuery(
+      "text_textrank_keywords",
+      (s, d) => {
+        import s.implicits._
+        val stop = Seq("the", "a", "of", "and", "to")
+        val wSeq = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+        val pairs = toks
+          .withColumn("w2", lead($"w", 1).over(wSeq))
+          .filter($"w2".isNotNull && $"w" =!= $"w2" &&
+            !$"w".isin(stop: _*) && !$"w2".isin(stop: _*))
+          .select(least($"w", $"w2").as("wa"), greatest($"w", $"w2").as("wb"))
+          .groupBy($"wa", $"wb").agg(count(lit(1)).as("wt"))
+        val edges = pairs.select($"wa".as("src"), $"wb".as("dst"), $"wt")
+          .union(pairs.select($"wb".as("src"), $"wa".as("dst"), $"wt"))
+          .persist() // every iteration joins it; wdeg derives from it
+        val wdeg = edges.groupBy($"src").agg(sum($"wt").as("wdeg"))
+        var ranks = wdeg.select($"src".as("node"), $"wdeg", lit(1.0).as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(ranks.withColumnRenamed("node", "src_"), $"src" === $"src_")
+            .select($"dst", (($"r" * $"wt") / $"wdeg").cast("decimal(28,14)").as("c"))
+            .groupBy($"dst").agg(sum($"c").as("sc"))
+          ranks = wdeg.select($"src".as("node"), $"wdeg")
+            .join(contrib, $"node" === $"dst", "left")
+            .select($"node", $"wdeg",
+              (lit(0.15) + lit(0.85) * coalesce($"sc".cast("double"), lit(0.0))).as("r"))
+            .persist()
+        }
+        ranks
+          .withColumn("rq", floor($"r" * 100000000.0 + 0.5).cast("long"))
+          .select($"node".as("word"), $"wdeg",
+            graft.core.Parity.floorRound4($"r").as("textrank"), $"rq")
+          .orderBy($"rq".desc, $"word")
+          .limit(20)
+          .select($"word", $"wdeg", $"textrank")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, pos, string_split(text, ' ')[pos] AS w
+             |  FROM (SELECT doc_id, text,
+             |          unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+             |        FROM documents)
+             |), adj AS (
+             |  SELECT doc_id, w,
+             |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |  FROM toks
+             |), pairs AS (
+             |  SELECT least(w, w2) AS wa, greatest(w, w2) AS wb, count(*) AS wt
+             |  FROM adj
+             |  WHERE w2 IS NOT NULL AND w != w2
+             |    AND w NOT IN ('the','a','of','and','to')
+             |    AND w2 NOT IN ('the','a','of','and','to')
+             |  GROUP BY 1, 2
+             |), edges AS (
+             |  SELECT wa AS src, wb AS dst, wt FROM pairs
+             |  UNION ALL SELECT wb, wa, wt FROM pairs
+             |), wdeg AS (
+             |  SELECT src AS node, sum(wt) AS wdeg FROM edges GROUP BY 1
+             |), r0 AS (
+             |  SELECT node, wdeg, CAST(1.0 AS DOUBLE) AS r FROM wdeg
+             |), c1 AS (
+             |  SELECT e.dst, sum(CAST((r.r * e.wt) / r.wdeg AS DECIMAL(28,14))) AS sc
+             |  FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+             |), r1 AS (
+             |  SELECT d.node, d.wdeg,
+             |    0.15 + 0.85 * coalesce(CAST(c1.sc AS DOUBLE), 0.0) AS r
+             |  FROM wdeg d LEFT JOIN c1 ON d.node = c1.dst
+             |), c2 AS (
+             |  SELECT e.dst, sum(CAST((r.r * e.wt) / r.wdeg AS DECIMAL(28,14))) AS sc
+             |  FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+             |), r2 AS (
+             |  SELECT d.node, d.wdeg,
+             |    0.15 + 0.85 * coalesce(CAST(c2.sc AS DOUBLE), 0.0) AS r
+             |  FROM wdeg d LEFT JOIN c2 ON d.node = c2.dst
+             |), c3 AS (
+             |  SELECT e.dst, sum(CAST((r.r * e.wt) / r.wdeg AS DECIMAL(28,14))) AS sc
+             |  FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+             |), r3 AS (
+             |  SELECT d.node, d.wdeg,
+             |    0.15 + 0.85 * coalesce(CAST(c3.sc AS DOUBLE), 0.0) AS r
+             |  FROM wdeg d LEFT JOIN c3 ON d.node = c3.dst
+             |)
+             |SELECT node AS word, CAST(wdeg AS BIGINT) AS wdeg,
+             |  floor(r * 10000 + 0.5) / 10000 AS textrank
+             |FROM r3
+             |ORDER BY CAST(floor(r * 100000000.0 + 0.5) AS BIGINT) DESC, word
+             |LIMIT 20""".stripMargin)
     )
   )
 

@@ -87,4 +87,47 @@ class TextMlSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - s / 1e6) < 1e-9)
     }
   }
+
+  test("text_textrank_keywords: driver replay of 3 weighted PageRank iterations") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val stop = Set("the", "a", "of", "and", "to")
+    val out = Registry.queries("text_textrank_keywords")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach(r => assert(r.getDouble(2) >= 0.15 - 1e-9, s"rank below damping floor: $r"))
+    // replay: weighted adjacent co-occurrence graph + damped iterations
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val wt = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (_, text) =>
+      text.split(' ').sliding(2).foreach {
+        case Array(x, y) if x != y && !stop(x) && !stop(y) =>
+          val k = if (x < y) (x, y) else (y, x)
+          wt(k) = wt.getOrElse(k, 0L) + 1
+        case _ => ()
+      }
+    }
+    val edges = wt.toSeq.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val wdeg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = wdeg.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[String, BigDecimal]
+      edges.foreach { case (src, dst, w) =>
+        // DECIMAL(28,14) truncation of each contribution, like the plan
+        val c = BigDecimal(r(src) * w / wdeg(src))
+          .setScale(14, BigDecimal.RoundingMode.HALF_UP)
+        contrib(dst) = contrib.getOrElse(dst, BigDecimal(0)) + c
+      }
+      r = wdeg.keys.map(n =>
+        n -> (0.15 + 0.85 * contrib.getOrElse(n, BigDecimal(0)).toDouble)).toMap
+    }
+    val want = r.toSeq
+      .map { case (w, v) => (w, math.floor(v * 1e8 + 0.5).toLong) }
+      .sortBy { case (w, q) => (-q, w) }.take(20)
+    out.zip(want).foreach { case (row, (w, q)) =>
+      assert(row.getString(0) == w, s"${row.getString(0)} vs replay $w")
+      assert(math.abs(row.getDouble(2) - math.floor(q / 1e8 * 1e4 + 0.5) / 1e4) < 2e-4)
+      assert(row.getLong(1) == wdeg(w))
+    }
+  }
 }
