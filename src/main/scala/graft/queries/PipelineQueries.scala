@@ -1808,6 +1808,64 @@ object PipelineQueries {
              |   CAST(0.99 AS DOUBLE), TRUE))
              |  AS t(model, n, mae, rmse, bias, r2, replay_ok)
              |ORDER BY model""".stripMargin)
+    ),
+
+    // Gap-constrained sequential patterns — which event-type pairs
+    // happen within an hour of each other, for how many users, with
+    // what typical gap? The behavioral-mining complement to
+    // pipe_market_basket (unordered co-occurrence) and a43 (adjacent
+    // transitions): here the pair is ORDERED, may skip intervening
+    // events, and carries a time-window constraint — the "view then
+    // purchase within the session" shape. Scale design: the naive
+    // spelling is a per-user theta self-join on 0<Δt≤1h (BNLJ, n² per
+    // user); instead the left side EXPLODES to its hour bucket and the
+    // next (the j31/BandJoin recipe — an OR of equalities is not an
+    // equi-join, a 2-element explode is), the join is a plain equi-join
+    // on (user, bucket), and each qualifying pair matches EXACTLY once
+    // because the right row's bucket is unique. Fan-out is bounded by
+    // per-(user, hour) occupancy², never corpus². Gaps are exact micro
+    // integers; the median interpolates integer halves (bit-exact both
+    // engines).
+    OracleQuery(
+      "pipe_seq_gap_patterns",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        val e1 = ev.select($"user_id", $"event_type".as("t1"), $"us".as("us1"),
+          explode(array(expr("us div 3600000000"), expr("us div 3600000000 + 1")))
+            .as("bkt"))
+        val e2 = ev.select($"user_id", $"event_type".as("t2"), $"us".as("us2"),
+          expr("us div 3600000000").as("bkt"))
+        e1.join(e2, Seq("user_id", "bkt"))
+          .filter($"us2" > $"us1" && $"us2" - $"us1" <= 3600000000L)
+          .withColumn("gap", $"us2" - $"us1")
+          .groupBy($"t1", $"t2")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            countDistinct($"user_id").as("n_users"),
+            expr("percentile(gap, 0.5)").as("med_gap_us"))
+          .orderBy($"t1", $"t2")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+             |), e1 AS (
+             |  SELECT user_id, event_type AS t1, us AS us1,
+             |    unnest([us // 3600000000, us // 3600000000 + 1]) AS bkt
+             |  FROM ev
+             |), e2 AS (
+             |  SELECT user_id, event_type AS t2, us AS us2,
+             |    us // 3600000000 AS bkt
+             |  FROM ev
+             |), pairs AS (
+             |  SELECT t1, t2, e1.user_id, us2 - us1 AS gap
+             |  FROM e1 JOIN e2 ON e1.user_id = e2.user_id AND e1.bkt = e2.bkt
+             |  WHERE us2 > us1 AND us2 - us1 <= 3600000000
+             |)
+             |SELECT t1, t2, count(*) AS n_pairs,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  median(gap) AS med_gap_us
+             |FROM pairs GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin)
     )
   )
 }

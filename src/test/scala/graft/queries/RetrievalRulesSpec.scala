@@ -751,4 +751,40 @@ class RetrievalRulesSpec extends SparkSpec {
       assert(math.abs(c - c2) <= 2e-4, s"($a,$b,$k): $c vs mirrored $c2")
     }
   }
+
+  test("pipe_seq_gap_patterns: equi-join plan (no BNLJ), exact driver replay of pair stats") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val df = Registry.queries("pipe_seq_gap_patterns")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join degraded to a product plan:\n$p")
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // driver replay: all ordered pairs with 0 < gap <= 1h per user
+    val ev: Seq[(Long, String, Long)] = graft.core.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts")
+      .as[(Long, String, java.sql.Timestamp)].collect().toSeq
+      .map(e => (e._1, e._2,
+        e._3.getTime * 1000L + (e._3.getNanos / 1000L) % 1000L)) // epoch µs
+    val pairs = for {
+      g <- ev.groupBy(_._1).values.toSeq
+      a <- g
+      b <- g
+      if b._3 - a._3 > 0 && b._3 - a._3 <= 3600000000L
+    } yield ((a._2, b._2), (a._1, b._3 - a._3))
+    val byPat = pairs.groupBy(_._1)
+    assert(out.length == byPat.size)
+    out.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val g = byPat(k)
+      assert(r.getLong(2) == g.size, s"$k n_pairs")
+      assert(r.getLong(3) == g.map(_._2._1).distinct.size, s"$k n_users")
+      val sorted = g.map(_._2._2).sorted
+      val n = sorted.length
+      val med = if (n % 2 == 1) sorted(n / 2).toDouble
+        else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+      assert(math.abs(r.getDouble(4) - med) < 1e-6, s"$k med ${r.getDouble(4)} vs $med")
+    }
+  }
 }
