@@ -99,6 +99,23 @@ object Sinks {
     ranged.sortWithinPartitions(cols: _*).write.mode(mode).parquet(dir)
   }
 
+  /** ORC interchange sink (sorted, like writeSortedBy): the engine's
+    * canonical format is parquet, but warehouse neighbors (Hive/Trino
+    * estates) hand over ORC — Spark's native ORC source keeps the same
+    * scan-time contract (column pruning + predicate pushdown into
+    * row-group stats), so sorted ORC prunes like sorted parquet.
+    * `SinksSpec` pins the round-trip AND that a range predicate shows
+    * up as PushedFilters in the ORC scan. */
+  def writeOrcSortedBy(df: DataFrame, dir: String, sortCols: Seq[String],
+      numFiles: Int = 0, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(sortCols.nonEmpty, "writeOrcSortedBy needs at least one sort column")
+    val cols = sortCols.map(col)
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    ranged.sortWithinPartitions(cols: _*).write.mode(mode).orc(dir)
+  }
+
   /** Forecast parts keyed by issue time (the reference's
     * part-YYYY-MM-DDTHH.parquet, openmeteo_daily_forecast.py:270-274):
     * dynamic-partition append — re-ingesting one issue hour overwrites

@@ -142,4 +142,24 @@ class SinksSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_right")
     }
   }
+
+  test("ORC interchange: round-trip equality and predicate pushdown into the ORC scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+    Sinks.writeOrcSortedBy(src, s"$dir/orders_orc", Seq("o_orderkey"), numFiles = 4)
+    val back = spark.read.orc(s"$dir/orders_orc")
+    // round-trip: same rows, same values (sorted compare on the key)
+    assert(back.count() == src.count())
+    val a = src.orderBy($"o_orderkey").collect()
+    val b = back.orderBy($"o_orderkey").collect()
+    assert(a.zip(b).forall { case (x, y) => x == y }, "ORC round-trip changed rows")
+    // scan contract: a range predicate reaches the ORC reader
+    val q = back.filter($"o_orderkey" < 100).select($"o_orderkey", $"o_totalprice")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]"),
+      s"expected the range filter pushed into the ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"expected pruned ORC ReadSchema:\n$plan")
+  }
 }
