@@ -89,7 +89,8 @@ object Bench {
     "a49_anova_f",         // one-way ANOVA from quantized group sums
     "a50_cusum_argmax",    // day-grain CUSUM level-shift detector
     "text_textrank_keywords", // weighted word-graph PageRank keywords
-    "pipe_seq_gap_patterns") // hour-banded ordered-pair sequence mining
+    "pipe_seq_gap_patterns", // hour-banded ordered-pair sequence mining
+    "a51_partial_corr")    // confound-controlled correlation cells
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -2605,6 +2605,90 @@ object AggQueries {
              |FROM cumd WHERE d_events > 0 ORDER BY dur_hr""".stripMargin)
     ),
 
+    // Partial correlation (a51) — the confound-screening companion to
+    // a45's raw matrix: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    // tells whether x–y association survives controlling z (a raw
+    // correlation driven entirely by a shared driver z collapses to ~0).
+    // Same scale shape as a45: ONE scan, ONE hash aggregate carrying all
+    // quantized-long pair sums; the 12 (pair, control) cells are pure
+    // arithmetic on the 1-row result. Identical formula text on both
+    // engines; output ordered on the (pair, control) string key.
+    OracleQuery(
+      "a51_partial_corr",
+      (s, d) => {
+        import s.implicits._
+        val measures = Seq(
+          "q" -> $"l_quantity",
+          "p" -> ($"l_extendedprice" / 65536.0),
+          "dc" -> $"l_discount",
+          "t" -> $"l_tax")
+        val names = measures.map(_._1)
+        val byName = measures.toMap
+        val allPairs = for (i <- names.indices; j <- i until names.length)
+          yield (names(i), names(j))
+        def qsum(c: org.apache.spark.sql.Column) =
+          sum(floor(c * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
+        val aggs =
+          measures.map { case (nm, c) => qsum(c).as(s"s_$nm") } ++
+          allPairs.map { case (a, b) => qsum(byName(a) * byName(b)).as(s"s_${a}_$b") }
+        val one = Tables.lineitem(s, d)
+          .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+        def sOf(a: String, b: String) =
+          if (names.indexOf(a) <= names.indexOf(b)) col(s"s_${a}_$b") else col(s"s_${b}_$a")
+        def corrOf(a: String, b: String) =
+          ($"n" * sOf(a, b) - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt($"n" * sOf(a, a) - col(s"s_$a") * col(s"s_$a")) *
+             sqrt($"n" * sOf(b, b) - col(s"s_$b") * col(s"s_$b")))
+        val cells = for {
+          (a, b) <- allPairs if a != b
+          z <- names if z != a && z != b
+        } yield struct(
+          lit(s"${a}_$b").as("pair"), lit(z).as("control"),
+          graft.core.Parity.floorRound4(
+            (corrOf(a, b) - corrOf(a, z) * corrOf(b, z)) /
+              (sqrt(lit(1.0) - corrOf(a, z) * corrOf(a, z)) *
+               sqrt(lit(1.0) - corrOf(b, z) * corrOf(b, z)))).as("partial_r"))
+        one.select(explode(array(cells: _*)).as("r"))
+          .select($"r.pair", $"r.control", $"r.partial_r")
+          .orderBy($"pair", $"control")
+      },
+      Some {
+        val names = Seq("q", "p", "dc", "t")
+        val allPairs = for (i <- names.indices; j <- i until names.length)
+          yield (names(i), names(j))
+        def sName(a: String, b: String) =
+          if (names.indexOf(a) <= names.indexOf(b)) s"s_${a}_$b" else s"s_${b}_$a"
+        def corr(a: String, b: String) =
+          s"((n * ${sName(a, b)} - s_$a * s_$b) / " +
+            s"(sqrt(n * ${sName(a, a)} - s_$a * s_$a) * " +
+            s"sqrt(n * ${sName(b, b)} - s_$b * s_$b)))"
+        val sums = names.map(nm =>
+          s"CAST(sum(CAST(floor((${nm}) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_$nm") ++
+          allPairs.map { case (a, b) =>
+            s"CAST(sum(CAST(floor(($a * $b) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_${a}_$b" }
+        val cells = (for {
+          (a, b) <- allPairs if a != b
+          z <- names if z != a && z != b
+        } yield s"SELECT '${a}_$b' AS pair, '$z' AS control, " +
+          s"floor((${corr(a, b)} - ${corr(a, z)} * ${corr(b, z)}) / " +
+          s"(sqrt(1.0 - ${corr(a, z)} * ${corr(a, z)}) * " +
+          s"sqrt(1.0 - ${corr(b, z)} * ${corr(b, z)})) * 10000 + 0.5) / 10000 AS partial_r FROM s")
+          .mkString("\n  UNION ALL ")
+        s"""WITH m AS (
+           |  SELECT l_quantity AS q, l_extendedprice / 65536.0 AS p,
+           |    l_discount AS dc, l_tax AS t
+           |  FROM lineitem
+           |), s AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n,
+           |    ${sums.mkString(",\n    ")}
+           |  FROM m
+           |), cells AS (
+           |  $cells
+           |)
+           |SELECT pair, control, partial_r FROM cells ORDER BY pair, control""".stripMargin
+      }
+    ),
+
     // One-way ANOVA F-test (a49) — does mean revenue differ across
     // return-flag groups? The k-sample generalization of the t-test and
     // the first screen before any per-group modeling. Scale shape: ONE

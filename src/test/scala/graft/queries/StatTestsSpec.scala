@@ -194,4 +194,31 @@ class StatTestsSpec extends SparkSpec {
     assert(flagged.map(_.getTimestamp(0)).contains(daily(wantArgmax)._1),
       s"argmax day ${daily(wantArgmax)._1} not flagged")
   }
+
+  test("a51_partial_corr: one-scan plan; recursion-formula replay from a45's matrix") {
+    val df = Registry.queries("a51_partial_corr")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"all pair sums must share one scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val out = df.collect()
+    assert(out.length == 12)
+    out.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, r.toString))
+    // replay from the raw corr matrix (a45 on the same dir), applying
+    // r_xy.z = (r_xy − r_xz r_yz)/sqrt((1−r_xz²)(1−r_yz²)); a45 rounds
+    // its output to 4dp so the replay tolerance is the propagated 4dp
+    val corr = Registry.queries("a45_corr_matrix")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def c(a: String, b: String): Double =
+      if (a == b) 1.0
+      else corr.getOrElse(s"${a}_$b", corr(s"${b}_$a"))
+    out.foreach { r =>
+      val Array(a, b) = r.getString(0).split('_')
+      val z = r.getString(1)
+      val want = (c(a, b) - c(a, z) * c(b, z)) /
+        (math.sqrt(1.0 - c(a, z) * c(a, z)) * math.sqrt(1.0 - c(b, z) * c(b, z)))
+      assert(math.abs(r.getDouble(2) - want) < 5e-3,
+        s"${r.getString(0)}.$z: ${r.getDouble(2)} vs replay $want")
+    }
+  }
 }
