@@ -90,7 +90,8 @@ object Bench {
     "a50_cusum_argmax",    // day-grain CUSUM level-shift detector
     "text_textrank_keywords", // weighted word-graph PageRank keywords
     "pipe_seq_gap_patterns", // hour-banded ordered-pair sequence mining
-    "a51_partial_corr")    // confound-controlled correlation cells
+    "a51_partial_corr",    // confound-controlled correlation cells
+    "pipe_propensity_strata") // observational ATT via score quintiles
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

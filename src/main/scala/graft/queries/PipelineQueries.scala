@@ -1866,6 +1866,184 @@ object PipelineQueries {
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
              |  median(gap) AS med_gap_us
              |FROM pairs GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin)
+    ),
+
+    // Propensity-score stratification — the OBSERVATIONAL member of the
+    // causal family (CUPED/DiD/mSPRT are experiments; this estimates a
+    // treatment effect when assignment wasn't randomized): treatment =
+    // "heavy signup user" (≥14 signup events — every user signs up in
+    // this corpus, so presence is degenerate; the count splits 80/150
+    // and correlates with activity, the confounding the method is for),
+    // outcome = purchase value, confounders =
+    // activity counts. P(treated|X) is a logistic fit by two in-plan
+    // full-batch epochs (the text_quality_classifier shape, HARDENED:
+    // gradient sums quantized to 1e-9 longs so cross-partition
+    // summation order can't drift the weights); users stratify into 5
+    // fixed propensity bins (probability quantized to 1e-12 before the
+    // bin floor — the exp-ulp recipe), and the ATT assembles from
+    // within-bin treated−control outcome gaps weighted by treated
+    // share, on bins with common support. Scale shape: the fact
+    // collapses to the USER grain once (one hash agg); each epoch is
+    // one broadcast of 4 scalar weights + one quantized-long aggregate;
+    // stratification is a row-local bin + one (bin) hash agg.
+    OracleQuery(
+      "pipe_propensity_strata",
+      (s, d) => {
+        import s.implicits._
+        val u = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(
+            when(sum(when($"event_type" === "signup", 1L).otherwise(0L)) >= 14, 1.0)
+              .otherwise(0.0).as("t"),
+            (sum(when($"event_type" === "view", 1L).otherwise(0L)) / 32.0).as("x1"),
+            (sum(when($"event_type" === "click", 1L).otherwise(0L)) / 32.0).as("x2"),
+            (sum(when($"event_type" === "error", 1L).otherwise(0L)) / 32.0).as("x3"),
+            (sum(when($"event_type" === "purchase",
+              floor($"value" * 1000000.0 + 0.5).cast("long")).otherwise(0L))
+              .cast("double") / 1000000.0).as("y"))
+          .persist() // user-grain frame: read by every epoch + the strata agg
+        val nU = u.count().toDouble
+        def gradOf(p: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+          u.agg(
+            (sum(floor((p - $"t") * 1000000000.0 + 0.5).cast("long"))
+              .cast("double") / 1000000000.0 / nU).as("g0"),
+            (sum(floor((p - $"t") * $"x1" * 1000000000.0 + 0.5).cast("long"))
+              .cast("double") / 1000000000.0 / nU).as("g1"),
+            (sum(floor((p - $"t") * $"x2" * 1000000000.0 + 0.5).cast("long"))
+              .cast("double") / 1000000000.0 / nU).as("g2"),
+            (sum(floor((p - $"t") * $"x3" * 1000000000.0 + 0.5).cast("long"))
+              .cast("double") / 1000000000.0 / nU).as("g3"))
+        // epoch 1: sigmoid(0) = 0.5 everywhere, no weight join needed
+        val w1 = gradOf(lit(0.5)).select(
+          (lit(-0.5) * $"g0").as("w0"), (lit(-0.5) * $"g1").as("w1"),
+          (lit(-0.5) * $"g2").as("w2"), (lit(-0.5) * $"g3").as("w3"))
+        // epoch 2: score under w1, identical formula text both engines
+        val p2 = u.crossJoin(broadcast(w1))
+          .withColumn("p",
+            lit(1.0) / (lit(1.0) +
+              exp(-($"w0" + $"w1" * $"x1" + $"w2" * $"x2" + $"w3" * $"x3"))))
+        val w2 = p2.agg(
+            (sum(floor(($"p" - $"t") * 1000000000.0 + 0.5).cast("long"))
+              .cast("double") / 1000000000.0 / nU).as("g0"),
+            (sum(floor(($"p" - $"t") * $"x1" * 1000000000.0 + 0.5).cast("long"))
+              .cast("double") / 1000000000.0 / nU).as("g1"),
+            (sum(floor(($"p" - $"t") * $"x2" * 1000000000.0 + 0.5).cast("long"))
+              .cast("double") / 1000000000.0 / nU).as("g2"),
+            (sum(floor(($"p" - $"t") * $"x3" * 1000000000.0 + 0.5).cast("long"))
+              .cast("double") / 1000000000.0 / nU).as("g3"))
+          .crossJoin(broadcast(w1))
+          .select(
+            ($"w0" - lit(0.5) * $"g0").as("v0"), ($"w1" - lit(0.5) * $"g1").as("v1"),
+            ($"w2" - lit(0.5) * $"g2").as("v2"), ($"w3" - lit(0.5) * $"g3").as("v3"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .orderBy($"pq", $"user_id")
+        val strata = u.crossJoin(broadcast(w2))
+          .withColumn("p",
+            lit(1.0) / (lit(1.0) +
+              exp(-($"v0" + $"v1" * $"x1" + $"v2" * $"x2" + $"v3" * $"x3"))))
+          // Rosenbaum–Rubin quintiles of the ESTIMATED score (fixed
+          // [0,1] bins degenerate when propensities cluster): rank on
+          // the 1e-12-quantized score with the user id as total
+          // tiebreak — deterministic ntile both engines. User-grain
+          // window; at cluster scale this decomposes like a47's
+          // bucketed ranks.
+          .withColumn("pq", floor($"p" * 1e12 + 0.5).cast("long"))
+          .withColumn("b", (ntile(5).over(wq) - 1).cast("long"))
+          .groupBy($"b")
+          .agg(
+            sum(when($"t" === 1.0, 1L).otherwise(0L)).as("n_t"),
+            sum(when($"t" === 1.0, 0L).otherwise(1L)).as("n_c"),
+            (sum(when($"t" === 1.0, floor($"y" * 1000000.0 + 0.5).cast("long"))
+              .otherwise(0L)).cast("double") / 1000000.0).as("sy_t"),
+            (sum(when($"t" === 1.0, 0L)
+              .otherwise(floor($"y" * 1000000.0 + 0.5).cast("long")))
+              .cast("double") / 1000000.0).as("sy_c"))
+          .filter($"n_t" > 0 && $"n_c" > 0) // common support
+        // coalesce: an empty strata frame (no common support anywhere)
+        // must yield an empty result, not an NPE on the scalar read
+        val totT = strata.agg(coalesce(sum($"n_t"), lit(0L)))
+          .collect()(0).getLong(0).toDouble
+        strata
+          .select($"b", $"n_t", $"n_c",
+            graft.core.Parity.floorRound4($"sy_t" / $"n_t").as("y_treated"),
+            graft.core.Parity.floorRound4($"sy_c" / $"n_c").as("y_control"),
+            graft.core.Parity.floorRound4(
+              ($"n_t" / lit(totT)) * ($"sy_t" / $"n_t" - $"sy_c" / $"n_c")).as("att_term"))
+          .orderBy($"b")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CASE WHEN sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) >= 14
+             |      THEN 1.0 ELSE 0.0 END AS t,
+             |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) / 32.0 AS x1,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) / 32.0 AS x2,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / 32.0 AS x3,
+             |    CAST(sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+             |      ELSE 0 END) AS DOUBLE) / 1000000.0 AS y
+             |  FROM events GROUP BY 1
+             |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u),
+             |g1 AS (
+             |  SELECT
+             |    CAST(sum(CAST(floor((0.5 - t) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / 1000000000.0 / (SELECT n FROM nn) AS g0,
+             |    CAST(sum(CAST(floor((0.5 - t) * x1 * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / 1000000000.0 / (SELECT n FROM nn) AS g1,
+             |    CAST(sum(CAST(floor((0.5 - t) * x2 * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / 1000000000.0 / (SELECT n FROM nn) AS g2,
+             |    CAST(sum(CAST(floor((0.5 - t) * x3 * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / 1000000000.0 / (SELECT n FROM nn) AS g3
+             |  FROM u
+             |), w1 AS (
+             |  SELECT -0.5 * g0 AS w0, -0.5 * g1 AS w1, -0.5 * g2 AS w2, -0.5 * g3 AS w3
+             |  FROM g1
+             |), p2 AS (
+             |  SELECT u.*,
+             |    1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2 + w3 * x3))) AS p
+             |  FROM u CROSS JOIN w1
+             |), g2 AS (
+             |  SELECT
+             |    CAST(sum(CAST(floor((p - t) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / 1000000000.0 / (SELECT n FROM nn) AS g0,
+             |    CAST(sum(CAST(floor((p - t) * x1 * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / 1000000000.0 / (SELECT n FROM nn) AS g1,
+             |    CAST(sum(CAST(floor((p - t) * x2 * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / 1000000000.0 / (SELECT n FROM nn) AS g2,
+             |    CAST(sum(CAST(floor((p - t) * x3 * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / 1000000000.0 / (SELECT n FROM nn) AS g3
+             |  FROM p2
+             |), w2 AS (
+             |  SELECT w1.w0 - 0.5 * g2.g0 AS v0, w1.w1 - 0.5 * g2.g1 AS v1,
+             |    w1.w2 - 0.5 * g2.g2 AS v2, w1.w3 - 0.5 * g2.g3 AS v3
+             |  FROM w1 CROSS JOIN g2
+             |), scored AS (
+             |  SELECT u.*,
+             |    CAST(floor((1.0 / (1.0 + exp(-(v0 + v1 * x1 + v2 * x2 + v3 * x3))))
+             |      * 1e12 + 0.5) AS BIGINT) AS pq
+             |  FROM u CROSS JOIN w2
+             |), binned AS (
+             |  SELECT *, CAST(ntile(5) OVER (ORDER BY pq, user_id) - 1 AS BIGINT) AS b
+             |  FROM scored
+             |), strata AS (
+             |  SELECT b,
+             |    CAST(sum(CASE WHEN t = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             |    CAST(sum(CASE WHEN t = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+             |    CAST(sum(CASE WHEN t = 1.0
+             |      THEN CAST(floor(y * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+             |      / 1000000.0 AS sy_t,
+             |    CAST(sum(CASE WHEN t = 1.0 THEN 0
+             |      ELSE CAST(floor(y * 1000000.0 + 0.5) AS BIGINT) END) AS DOUBLE)
+             |      / 1000000.0 AS sy_c
+             |  FROM binned
+             |  GROUP BY 1
+             |  HAVING n_t > 0 AND n_c > 0
+             |), tt AS (SELECT CAST(sum(n_t) AS DOUBLE) AS tot FROM strata)
+             |SELECT b, n_t, n_c,
+             |  floor(sy_t / n_t * 10000 + 0.5) / 10000 AS y_treated,
+             |  floor(sy_c / n_c * 10000 + 0.5) / 10000 AS y_control,
+             |  floor((n_t / tt.tot) * (sy_t / n_t - sy_c / n_c) * 10000 + 0.5) / 10000
+             |    AS att_term
+             |FROM strata CROSS JOIN tt ORDER BY b""".stripMargin)
     )
   )
 }

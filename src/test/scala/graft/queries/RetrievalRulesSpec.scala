@@ -787,4 +787,67 @@ class RetrievalRulesSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - med) < 1e-6, s"$k med ${r.getDouble(4)} vs $med")
     }
   }
+
+  test("pipe_propensity_strata: exact replay of quantized-gradient training + quintile ATT") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val out = Registry.queries("pipe_propensity_strata")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // replay the whole chain: user grain -> 2 quantized-gradient epochs
+    // -> quintiles on (quantized p, user_id) -> per-bin ATT terms
+    val users = graft.core.Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"event_type" === "signup", 1L).otherwise(0L)).as("ns"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("nv"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("nc"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("ne"),
+        sum(when($"event_type" === "purchase",
+          floor($"value" * 1000000.0 + 0.5).cast("long")).otherwise(0L)).as("yq"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (id, ns, nv, nc, ne, yq) =>
+        (id, if (ns >= 14) 1.0 else 0.0, nv / 32.0, nc / 32.0, ne / 32.0, yq / 1e6)
+      }
+    val n = users.length.toDouble
+    def grad(p: ((Long, Double, Double, Double, Double, Double)) => Double) = {
+      def q(f: ((Long, Double, Double, Double, Double, Double)) => Double) =
+        users.map(u => math.floor(f(u) * 1e9 + 0.5).toLong).sum / 1e9 / n
+      (q(u => p(u) - u._2), q(u => (p(u) - u._2) * u._3),
+       q(u => (p(u) - u._2) * u._4), q(u => (p(u) - u._2) * u._5))
+    }
+    val g1 = grad(_ => 0.5)
+    val w1 = (-0.5 * g1._1, -0.5 * g1._2, -0.5 * g1._3, -0.5 * g1._4)
+    def sig(w: (Double, Double, Double, Double))(u: (Long, Double, Double, Double, Double, Double)) =
+      1.0 / (1.0 + math.exp(-(w._1 + w._2 * u._3 + w._3 * u._4 + w._4 * u._5)))
+    val g2 = grad(sig(w1))
+    val w2 = (w1._1 - 0.5 * g2._1, w1._2 - 0.5 * g2._2, w1._3 - 0.5 * g2._3, w1._4 - 0.5 * g2._4)
+    val scored = users.map(u => (u, math.floor(sig(w2)(u) * 1e12 + 0.5).toLong))
+      .sortBy { case (u, pq) => (pq, u._1) }
+    // ntile(5): first (len mod 5) buckets get the extra row
+    val base = scored.length / 5; val extra = scored.length % 5
+    val binned = scored.zipWithIndex.map { case ((u, _), i) =>
+      val cut = (0 until 5).scanLeft(0)((acc, b) => acc + base + (if (b < extra) 1 else 0))
+      (cut.indexWhere(_ > i) - 1, u)
+    }
+    val strata = binned.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, g) =>
+      val t = g.filter(_._2._2 == 1.0); val c = g.filter(_._2._2 == 0.0)
+      (b.toLong, t.size.toLong, c.size.toLong,
+        t.map(u => math.floor(u._2._6 * 1e6 + 0.5).toLong).sum / 1e6,
+        c.map(u => math.floor(u._2._6 * 1e6 + 0.5).toLong).sum / 1e6)
+    }.filter(s => s._2 > 0 && s._3 > 0)
+    val totT = strata.map(_._2).sum.toDouble
+    assert(out.length == strata.size, s"${out.length} vs ${strata.size} supported bins")
+    out.zip(strata).foreach { case (r, (b, nt, ncn, syt, syc)) =>
+      assert(r.getLong(0) == b && r.getLong(1) == nt && r.getLong(2) == ncn,
+        s"bin $b counts: (${r.getLong(1)},${r.getLong(2)}) vs ($nt,$ncn)")
+      def f4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      assert(math.abs(r.getDouble(3) - f4(syt / nt)) < 1e-9, s"bin $b y_t")
+      assert(math.abs(r.getDouble(4) - f4(syc / ncn)) < 1e-9, s"bin $b y_c")
+      assert(math.abs(r.getDouble(5) - f4(nt / totT * (syt / nt - syc / ncn))) < 1e-9,
+        s"bin $b att_term")
+    }
+    // quintiles are balanced within 1 row by construction
+    val sizes = out.map(r => r.getLong(1) + r.getLong(2))
+    assert(sizes.max - sizes.min <= 1, sizes.mkString(","))
+  }
 }
