@@ -91,7 +91,8 @@ object Bench {
     "text_textrank_keywords", // weighted word-graph PageRank keywords
     "pipe_seq_gap_patterns", // hour-banded ordered-pair sequence mining
     "a51_partial_corr",    // confound-controlled correlation cells
-    "pipe_propensity_strata") // observational ATT via score quintiles
+    "pipe_propensity_strata", // observational ATT via score quintiles
+    "sim_sq_int8_rerank_topk") // SQ8 candidates + exact re-rank (2-stage)
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

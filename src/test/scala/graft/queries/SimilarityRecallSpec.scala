@@ -192,4 +192,25 @@ class SimilarityRecallSpec extends SparkSpec {
     // the mechanism (coarse order preserved), not a real-corpus claim
     assert(recall >= 0.5, f"SQ8 recall $recall%.3f under floor 0.5")
   }
+
+  test("SQ8+re-rank: two-stage recall >= 0.9 (vs single-stage 0.70) — the re-rank buys back quantization loss") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = graft.core.Tables.embeddings(spark, sf01)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val byId = emb.toMap
+    val got = Registry.queries("sim_sq_int8_rerank_topk")(spark, sf01).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    var hit = 0; var tot = 0
+    got.foreach { case (q, approx) =>
+      val qv = byId(q).map(_.toDouble)
+      val exact = emb.filter(_._1 != q)
+        .map { case (id, v) => (id, v.map(_.toDouble).zip(qv).map(t => t._1 * t._2).sum) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1).toSet
+      hit += (approx & exact).size; tot += 5
+    }
+    val recall = hit.toDouble / tot
+    info(f"SQ8+re-rank top-5 recall vs exact = $recall%.3f")
+    assert(recall >= 0.9, f"two-stage recall $recall%.3f under floor 0.9")
+  }
 }
