@@ -92,7 +92,9 @@ object Bench {
     "pipe_seq_gap_patterns", // hour-banded ordered-pair sequence mining
     "a51_partial_corr",    // confound-controlled correlation cells
     "pipe_propensity_strata", // observational ATT via score quintiles
-    "sim_sq_int8_rerank_topk") // SQ8 candidates + exact re-rank (2-stage)
+    "sim_sq_int8_rerank_topk", // SQ8 candidates + exact re-rank (2-stage)
+    "a53_tost_equivalence", // two one-sided Welch tests (launch gate)
+    "mm_dedup_audiofp")    // gain-invariant audio near-dup fingerprint
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -815,6 +815,103 @@ object Multimodal {
         count(lit(1)).as("nf"))
   }
 
+  // Audio near-dup: 64-bit energy-delta fingerprint — the audio member
+  // of the modality-dedup family (text MinHash, image dHash). Bit i is
+  // the comparison e[i+1] > e[i] over 65 window energies, which makes
+  // the print GAIN-INVARIANT (a re-encoded / re-normalized copy of the
+  // same clip scales every energy by the same factor and flips no
+  // comparison) — exactly the dHash trick, transposed from space to
+  // time. Candidates then ride the SAME 4×16-bit banding machinery
+  // (dhashNearDupPairs is hash-agnostic: any 64-bit signature column).
+
+  /** 64-bit energy-delta fingerprint; None = undecodable or shorter
+    * than 66 windows (a print from a truncated clip would alias). */
+  def audioFingerprint64(payload: Array[Byte], frameSamples: Int = 256): Option[Long] =
+    audioFrameEnergies(payload, frameSamples).flatMap { es =>
+      if (es.length < 65) None
+      else {
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (es(i + 1) > es(i)) h |= 1L << i
+          i += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** Fingerprints of an (asset_id, payload) audio frame — decode dies
+    * in the task, 8 bytes/asset survive (the dhashSignatures shape). */
+  def audioFingerprints(audio: DataFrame, frameSamples: Int = 256): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioFingerprint64(bytes, frameSamples).map(h => (id, h))
+      })
+      .toDF("asset_id", "dhash")
+  }
+
+  /** Deterministic synthetic audio pair fixture: assets 2k/2k+1 are the
+    * SAME 65-window square-wave clip where the odd twin is (a) played
+    * at 5/4 the volume — amplitudes are multiples of 4, so the scaling
+    * is integer-exact and every energy comparison (and tie) is
+    * preserved: the gain-invariance claim is exercised, not asserted —
+    * and (b) perturbed in ONE window w*, which can flip at most the two
+    * comparisons (w*−1, w*): planted pairs sit within Hamming 2 ≤ 3 BY
+    * CONSTRUCTION. Per-window amplitudes come from the splitmix64
+    * finalizer (a linear mix would correlate adjacent windows and
+    * shrink base-to-base distances). 16-bit mono 8 kHz through the real
+    * WAV writer, so the pipeline exercises an actual javax.sound
+    * decode. */
+  def syntheticAudioPairWav(
+      assetId: Long, nWindows: Int = 65, winSamples: Int = 256): Array[Byte] = {
+    val base = assetId / 2
+    val perturb = assetId % 2 == 1
+    def mix(x: Long): Long = {
+      var h = x * 0x9e3779b97f4a7c15L
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      h ^ (h >>> 31)
+    }
+    val wStar = 1 + ((mix(base) >>> 7) % 63).toInt // in [1, 63]
+    val n = nWindows * winSamples
+    val pcm = new Array[Byte](n * 2)
+    var w = 0
+    while (w < nWindows) {
+      var amp = (800 + 4 * ((mix(base * 131 + w) >>> 17) % 2048)).toInt
+      if (perturb && w == wStar)
+        amp = (800 + 4 * ((mix(base * 131 + 7919 + w) >>> 17) % 2048)).toInt
+      if (perturb) amp = amp * 5 / 4 // exact: amp is a multiple of 4
+      var i = 0
+      while (i < winSamples) {
+        val idx = w * winSamples + i
+        val v = if (i % 2 == 0) amp else -amp
+        pcm(2 * idx) = (v & 0xff).toByte
+        pcm(2 * idx + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** The audio-pair fixture as an (asset_id, payload) frame. */
+  def syntheticAudioPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticAudioPairWav(id))))
+      .toDF("asset_id", "payload")
+  }
+
   def dhashNearDupPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4x16 banding only guarantees recall to Hamming 3, got $maxHamming")
     // the band self-join reads the signature frame twice; without the

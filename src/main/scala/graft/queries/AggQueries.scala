@@ -2689,6 +2689,101 @@ object AggQueries {
       }
     ),
 
+    // TOST equivalence test (a53) — the inverse question of a47/a49:
+    // not "do these groups differ" but "are they the SAME within a
+    // margin" (launch gates are equivalence questions: a significant
+    // t-test failure does NOT establish no-difference — absence of
+    // evidence ≠ evidence of absence; TOST is the correct instrument).
+    // Two one-sided Welch t-tests against ±δ (δ = 2% of the pooled
+    // mean); equivalent ⟺ BOTH reject, i.e. min(t_lo, t_up) > z₀.₉₅.
+    // Scale shape: ONE hash aggregate carrying quantized-long
+    // (n, Σx, Σx²) per group (the a49 recipe); every downstream number
+    // is arithmetic on the 2-row frame. The decision boolean compares
+    // a 1e-4-quantized t against the constant, so a cross-engine ulp
+    // cannot flip the verdict unless the t lands exactly on the grid
+    // boundary (the accepted class).
+    OracleQuery(
+      "a53_tost_equivalence",
+      (s, d) => {
+        import s.implicits._
+        val x = $"o_totalprice" / 65536.0
+        val g = Tables.orders(s, d)
+          .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+          .groupBy($"o_orderpriority".as("grp"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(floor(x * 1000000.0 + 0.5).cast("long")).as("sq"),
+            sum(floor(x * x * 1000000.0 + 0.5).cast("long")).as("ssq"))
+          .select($"grp", $"n",
+            ($"sq".cast("double") / 1000000.0).as("sx"),
+            ($"ssq".cast("double") / 1000000.0).as("sxx"))
+        val wide = g.groupBy()
+          .agg(
+            max(when($"grp" === "1-URGENT", $"n")).as("n1"),
+            max(when($"grp" === "1-URGENT", $"sx")).as("s1"),
+            max(when($"grp" === "1-URGENT", $"sxx")).as("ss1"),
+            max(when($"grp" === "2-HIGH", $"n")).as("n2"),
+            max(when($"grp" === "2-HIGH", $"sx")).as("s2"),
+            max(when($"grp" === "2-HIGH", $"sxx")).as("ss2"))
+          .withColumn("m1", $"s1" / $"n1")
+          .withColumn("m2", $"s2" / $"n2")
+          .withColumn("v1", ($"ss1" - $"s1" * $"s1" / $"n1") / ($"n1" - 1))
+          .withColumn("v2", ($"ss2" - $"s2" * $"s2" / $"n2") / ($"n2" - 1))
+          .withColumn("se", sqrt($"v1" / $"n1" + $"v2" / $"n2"))
+          .withColumn("diff", $"m1" - $"m2")
+          .withColumn("delta",
+            (($"s1" + $"s2") / ($"n1" + $"n2")) * 0.02)
+          .withColumn("t_lo_q",
+            floor(($"diff" + $"delta") / $"se" * 10000.0 + 0.5).cast("long"))
+          .withColumn("t_up_q",
+            floor(($"delta" - $"diff") / $"se" * 10000.0 + 0.5).cast("long"))
+        wide.select(
+          $"n1", $"n2",
+          graft.core.Parity.floorRound4($"diff").as("diff"),
+          graft.core.Parity.floorRound4($"delta").as("delta"),
+          ($"t_lo_q".cast("double") / 10000.0).as("t_lower"),
+          ($"t_up_q".cast("double") / 10000.0).as("t_upper"),
+          ($"t_lo_q" > 16449L && $"t_up_q" > 16449L).as("equivalent"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderpriority AS grp, count(*) AS n,
+             |    sum(CAST(floor((o_totalprice / 65536.0) * 1000000.0 + 0.5)
+             |      AS BIGINT)) AS sq,
+             |    sum(CAST(floor((o_totalprice / 65536.0) * (o_totalprice / 65536.0)
+             |      * 1000000.0 + 0.5) AS BIGINT)) AS ssq
+             |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |  GROUP BY 1
+             |), wide AS (
+             |  SELECT
+             |    max(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+             |    max(CASE WHEN grp = '1-URGENT' THEN CAST(sq AS DOUBLE) / 1000000.0 END) AS s1,
+             |    max(CASE WHEN grp = '1-URGENT' THEN CAST(ssq AS DOUBLE) / 1000000.0 END) AS ss1,
+             |    max(CASE WHEN grp = '2-HIGH' THEN n END) AS n2,
+             |    max(CASE WHEN grp = '2-HIGH' THEN CAST(sq AS DOUBLE) / 1000000.0 END) AS s2,
+             |    max(CASE WHEN grp = '2-HIGH' THEN CAST(ssq AS DOUBLE) / 1000000.0 END) AS ss2
+             |  FROM g
+             |), t AS (
+             |  SELECT n1, n2,
+             |    s1 / n1 - s2 / n2 AS diff,
+             |    ((s1 + s2) / (n1 + n2)) * 0.02 AS delta,
+             |    sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+             |       + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2) AS se
+             |  FROM wide
+             |), q AS (
+             |  SELECT n1, n2, diff, delta,
+             |    CAST(floor((diff + delta) / se * 10000.0 + 0.5) AS BIGINT) AS t_lo_q,
+             |    CAST(floor((delta - diff) / se * 10000.0 + 0.5) AS BIGINT) AS t_up_q
+             |  FROM t
+             |)
+             |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |  floor(diff * 10000 + 0.5) / 10000 AS diff,
+             |  floor(delta * 10000 + 0.5) / 10000 AS delta,
+             |  CAST(t_lo_q AS DOUBLE) / 10000.0 AS t_lower,
+             |  CAST(t_up_q AS DOUBLE) / 10000.0 AS t_upper,
+             |  (t_lo_q > 16449 AND t_up_q > 16449) AS equivalent
+             |FROM q""".stripMargin)
+    ),
+
     // One-way ANOVA F-test (a49) — does mean revenue differ across
     // return-flag groups? The k-sample generalization of the t-test and
     // the first screen before any per-group modeling. Scale shape: ONE

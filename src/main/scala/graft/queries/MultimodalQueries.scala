@@ -125,6 +125,33 @@ object MultimodalQueries {
              |ORDER BY asset_a, asset_b""".stripMargin)
     ),
 
+    // Audio near-dup (energy-delta fingerprint + the SAME banded
+    // Hamming machinery as mm_dedup_dhash) — completing the modality
+    // dedup family: text MinHash, image dHash, audio energy-delta. Bit
+    // i compares window energies e[i+1] > e[i], so the print is
+    // GAIN-INVARIANT: the fixture's odd twin plays at 5/4 the volume
+    // (integer-exact scaling — every comparison and tie preserved) with
+    // ONE window perturbed (≤2 bit flips by construction), so planted
+    // pairs land within Hamming 2 while distinct splitmix64 profiles
+    // sit ~32 bits apart. The emitted pair list must equal the
+    // id-arithmetic planted list — recall AND precision under the gate,
+    // through a REAL javax.sound decode.
+    OracleQuery(
+      "mm_dedup_audiofp",
+      (s, d) => {
+        import s.implicits._
+        val fps = Multimodal.audioFingerprints(
+          Multimodal.syntheticAudioPairs(Tables.documents(s, d)))
+        Multimodal.dhashNearDupPairs(fps, maxHamming = 3)
+          .select($"asset_a", $"asset_b", lit(true).as("is_near"))
+          .orderBy($"asset_a", $"asset_b")
+      },
+      Some("""SELECT a.doc_id AS asset_a, b.doc_id AS asset_b, TRUE AS is_near
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 2 = 0
+             |ORDER BY asset_a, asset_b""".stripMargin)
+    ),
+
     // Voice-activity segmentation over REAL WAV decode — the speech/
     // silence cut an ASR-training pipeline makes before transcription.
     // Spark's answer comes entirely from javax.sound PCM decode of the

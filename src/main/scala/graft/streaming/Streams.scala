@@ -534,6 +534,43 @@ object Streams {
     currentVersion(spark, snapshotDir)
       .map(version => spark.read.parquet(s"$snapshotDir/$version"))
 
+  /** TIME TRAVEL: read the snapshot as of a specific version (audit,
+    * incident forensics, training-data reproduction). Only COMPLETE
+    * versions qualify (`_SUCCESS` present — a half-written directory
+    * from a crash is not a readable point in history), and versions
+    * past the current pointer are refused even if their directories
+    * exist (an uncommitted merge is not history either). None when the
+    * version was never written or has been vacuumed. */
+  def readSnapshotAt(
+      spark: SparkSession, snapshotDir: String, version: Long): Option[DataFrame] = {
+    val fs = hadoopFs(spark, snapshotDir)
+    val name = s"v$version"
+    val cur = currentVersion(spark, snapshotDir).map(_.drop(1).toLong)
+    val complete = fs.exists(
+      new org.apache.hadoop.fs.Path(snapshotDir, s"$name/_SUCCESS"))
+    if (complete && cur.exists(version <= _))
+      Some(spark.read.parquet(s"$snapshotDir/$name"))
+    else None
+  }
+
+  /** The readable history: complete versions at or below the current
+    * pointer, ascending — what time travel can actually serve after
+    * crashes and vacuums. */
+  def snapshotVersions(spark: SparkSession, snapshotDir: String): Seq[Long] = {
+    val fs = hadoopFs(spark, snapshotDir)
+    val dir = new org.apache.hadoop.fs.Path(snapshotDir)
+    val cur = currentVersion(spark, snapshotDir).map(_.drop(1).toLong)
+    if (!fs.exists(dir) || cur.isEmpty) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(dir, s"$n/_SUCCESS")))
+      .map(_.drop(1).toLong)
+      .filter(_ <= cur.get)
+      .sorted
+  }
+
   /** Retention for the versioned snapshot store: delete all but the
     * `keep` highest version directories — the VACUUM the
     * [[snapshotMergeStream]] layout needs once time travel has served

@@ -437,4 +437,51 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => Set(13L, 14L).contains(p._1) || Set(13L, 14L).contains(p._2)),
       s"Hamming>3 asset emitted: $pairs")
   }
+
+  test("audio fingerprint: gain-invariant, planted pairs within Hamming 2, bases far apart") {
+    def fp(id: Long) =
+      Multimodal.audioFingerprint64(Multimodal.syntheticAudioPairWav(id)).get
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // planted pairs: within Hamming 2 (one perturbed window → ≤2 comparisons)
+    (0L until 10L).foreach { k =>
+      val h = hamming(fp(2 * k), fp(2 * k + 1))
+      assert(h <= 2, s"planted pair $k at Hamming $h")
+    }
+    // distinct bases: far apart (independent splitmix64 energy profiles)
+    for (a <- 0L until 6L; b <- (a + 1) until 6L) {
+      val h = hamming(fp(2 * a), fp(2 * b))
+      assert(h > 10, s"bases $a,$b at Hamming $h — profiles not independent")
+    }
+    // gain invariance directly: the SAME clip re-scaled must fingerprint
+    // identically (the odd twin isolates gain+perturbation; here scale a
+    // base clip's PCM by hand and require Hamming 0)
+    val base = Multimodal.syntheticAudioPairWav(40L) // asset 2k=40, base profile 20
+    val fpBase = Multimodal.audioFingerprint64(base).get
+    // decode, scale every 16-bit sample by 2 exactly, re-encode
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(base))
+    val pcm = ais.readAllBytes()
+    var i = 0
+    while (i < pcm.length) {
+      val v = ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort * 2
+      pcm(i) = (v & 0xff).toByte; pcm(i + 1) = ((v >> 8) & 0xff).toByte
+      i += 2
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val scaled = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val fpScaled = Multimodal.audioFingerprint64(scaled).get
+    assert(fpBase == fpScaled, "2x gain changed the fingerprint")
+    // undecodable payload → absent, not garbage
+    assert(Multimodal.audioFingerprint64("not audio".getBytes).isEmpty)
+    // too-short clip → absent (aliased prints would pollute banding)
+    assert(Multimodal.audioFingerprint64(
+      Multimodal.syntheticAudioPairWav(0L, nWindows = 10)).isEmpty)
+  }
 }

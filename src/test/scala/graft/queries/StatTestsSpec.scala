@@ -221,4 +221,35 @@ class StatTestsSpec extends SparkSpec {
         s"${r.getString(0)}.$z: ${r.getDouble(2)} vs replay $want")
     }
   }
+
+  test("a53_tost_equivalence: Welch replay; verdict consistent with the emitted t's") {
+    import spark.implicits._
+    val r = Registry.queries("a53_tost_equivalence")(spark, sf).collect()(0)
+    val (n1, n2, diff, delta, tLo, tUp, eq) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+    val xs = Tables.orders(spark, sf)
+      .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .select($"o_orderpriority", $"o_totalprice" / 65536.0)
+      .as[(String, Double)].collect()
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    def stats(g: String) = {
+      val v = xs.filter(_._1 == g).map(_._2)
+      (v.length.toLong, v.map(q6).sum / 1e6, v.map(x => q6(x * x)).sum / 1e6)
+    }
+    val (wn1, s1, ss1) = stats("1-URGENT"); val (wn2, s2, ss2) = stats("2-HIGH")
+    assert(n1 == wn1 && n2 == wn2)
+    val m1 = s1 / wn1; val m2 = s2 / wn2
+    val v1 = (ss1 - s1 * s1 / wn1) / (wn1 - 1); val v2 = (ss2 - s2 * s2 / wn2) / (wn2 - 1)
+    val se = math.sqrt(v1 / wn1 + v2 / wn2)
+    val d = m1 - m2
+    val del = (s1 + s2) / (wn1 + wn2) * 0.02
+    def f4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(math.abs(diff - f4(d)) < 1e-9 && math.abs(delta - f4(del)) < 1e-9)
+    val wLo = math.floor((d + del) / se * 1e4 + 0.5) / 1e4
+    val wUp = math.floor((del - d) / se * 1e4 + 0.5) / 1e4
+    assert(math.abs(tLo - wLo) < 1e-9 && math.abs(tUp - wUp) < 1e-9,
+      s"t=($tLo,$tUp) vs replay ($wLo,$wUp)")
+    // verdict must be exactly the conjunction on the emitted quantized t's
+    assert(eq == (tLo > 1.6449 && tUp > 1.6449))
+  }
 }

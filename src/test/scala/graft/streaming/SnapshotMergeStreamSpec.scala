@@ -115,4 +115,40 @@ class SnapshotMergeStreamSpec extends SparkSpec {
     assert(Streams.readSnapshot(spark, snap).get.count() == 4)
     intercept[IllegalArgumentException](Streams.vacuumSnapshots(spark, snap, 0))
   }
+
+  test("time travel: historic versions readable, uncommitted/vacuumed refused") {
+    val snap = Files.createTempDirectory("graft_snap_tt").toString
+    val ckpt = Files.createTempDirectory("graft_snap_tt_ck").toString
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    def changes = input.toDF().toDF("k", "ver", "payload")
+
+    input.addData((1L, 1L, "a"), (2L, 1L, "b"))
+    Streams.snapshotMergeStream(changes, snap, ckpt, Seq("k"), Seq("ver"))
+      .awaitTermination()
+    input.addData((3L, 1L, "c"), (1L, 2L, "a2"))
+    Streams.snapshotMergeStream(changes, snap, ckpt, Seq("k"), Seq("ver"))
+      .awaitTermination()
+
+    assert(Streams.snapshotVersions(spark, snap) == Seq(0L, 1L))
+    // as-of v0: the state BEFORE batch 1 — key 3 absent, key 1 at ver 1
+    val asOf0 = Streams.readSnapshotAt(spark, snap, 0).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asOf0 == Map(1L -> 1L, 2L -> 1L))
+    val asOf1 = Streams.readSnapshotAt(spark, snap, 1).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asOf1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+
+    // an ahead-of-pointer directory is NOT history: fake an uncommitted
+    // merge (complete parquet, pointer not advanced) and ask for it
+    Streams.readSnapshot(spark, snap).get.write.parquet(s"$snap/v9")
+    assert(Streams.readSnapshotAt(spark, snap, 9).isEmpty,
+      "uncommitted version must be refused")
+    assert(Streams.snapshotVersions(spark, snap) == Seq(0L, 1L))
+
+    // vacuumed history is gone — and says so, rather than erroring
+    Streams.vacuumSnapshots(spark, snap, keep = 1)
+    assert(Streams.readSnapshotAt(spark, snap, 0).isEmpty)
+    assert(Streams.readSnapshotAt(spark, snap, 1).get.count() == 3)
+  }
 }
