@@ -426,6 +426,70 @@ object StreamQueries {
              |  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
              |    / 1000000.0 AS sum_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Streaming windowed top-k, oracle-gated: hourly event-type counts
+    // maintained AS A STREAM (tumbling window() agg, append mode — a
+    // window's row emits exactly once, when the watermark passes its
+    // end), then ranked top-3 per hour in a batch pass over the sink.
+    // On trial vs stream_wau (complete-mode memory sink): APPEND-mode
+    // watermark-expiry emission COMPLETENESS across micro-batch seams —
+    // every hourly window of the month must flush exactly once into the
+    // parquet sink (drop one and its rank rows vanish; emit one twice
+    // and counts double), driven by two far-future sentinel files (the
+    // stream_sessionize recipe: state flushes one batch AFTER the
+    // watermark passes it, so the LAST sentinel's own window never
+    // emits and real windows all do). Ranking stays batch-side — no
+    // engine has streaming rank; count-then-rank is THE scalable
+    // decomposition, and the count state is keyed by (window, type),
+    // bounded by hours-in-flight × type cardinality.
+    OracleQuery(
+      "stream_topk_windowed",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"ts", $"event_type")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_topk").toString
+        val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
+        for (i <- 0 until 4) {
+          ev.filter($"ts" >= lit(weeks(i)).cast("timestamp") &&
+              $"ts" < lit(weeks(i + 1)).cast("timestamp"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/w$i")
+        }
+        for ((st, i) <- Seq("2024-03-01", "2024-03-02").zipWithIndex) {
+          Seq((java.sql.Timestamp.valueOf(s"$st 00:00:00"), "zz"))
+            .toDF("ts", "event_type")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/z$i")
+        }
+        val src = s.readStream
+          .schema("ts TIMESTAMP, event_type STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in/*")
+        val counts = src
+          .withWatermark("ts", "1 hour")
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .count()
+        graft.streaming.Streams.runAvailableNow(counts, s"$tmp/ckpt", s"$tmp/out")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"wstart").orderBy($"n".desc, $"event_type")
+        s.read.parquet(s"$tmp/out")
+          .filter($"event_type" =!= "zz")
+          .select($"window.start".as("wstart"), $"event_type", $"count".as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .orderBy($"wstart", $"rn")
+      },
+      Some("""WITH c AS (
+             |  SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2
+             |), r AS (
+             |  SELECT wstart, event_type, n,
+             |    CAST(row_number() OVER (PARTITION BY wstart
+             |      ORDER BY n DESC, event_type) AS INT) AS rn
+             |  FROM c
+             |)
+             |SELECT wstart, event_type, n, rn
+             |FROM r WHERE rn <= 3 ORDER BY wstart, rn""".stripMargin)
     )
   )
 }
