@@ -94,7 +94,8 @@ object Bench {
     "pipe_propensity_strata", // observational ATT via score quintiles
     "sim_sq_int8_rerank_topk", // SQ8 candidates + exact re-rank (2-stage)
     "a53_tost_equivalence", // two one-sided Welch tests (launch gate)
-    "mm_dedup_audiofp")    // gain-invariant audio near-dup fingerprint
+    "mm_dedup_audiofp",    // gain-invariant audio near-dup fingerprint
+    "mm_dedup_videofp")    // luma-delta video near-dup fingerprint
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

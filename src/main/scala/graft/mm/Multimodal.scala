@@ -173,8 +173,20 @@ object Multimodal {
     * evenly-strided frames as JPEG, and reduce to luma statistics.
     * None = not a RIFF/AVI or no decodable frames (caller falls back).
     */
+  /** RIFF/AVI header + ordered frame chunks — the shared walk behind
+    * [[decodeAviStats]] and [[videoFingerprint64]]. */
+  private[mm] final case class AviChunks(
+      usPerFrame: Long, totalFrames: Long, w: Int, h: Int,
+      frames: IndexedSeq[(Int, Int)])
+
   private[mm] def decodeAviStats(
       payload: Array[Byte], maxProbeFrames: Int = 8): Option[VideoStats] = {
+    aviFrameChunks(payload).flatMap { c =>
+      decodeAviStatsFrom(payload, c, maxProbeFrames)
+    }
+  }
+
+  private[mm] def aviFrameChunks(payload: Array[Byte]): Option[AviChunks] = {
     if (payload == null || payload.length < 24) return None
     def fourcc(off: Int): String =
       if (off + 4 > payload.length) ""
@@ -237,8 +249,34 @@ object Multimodal {
     // (interleaved 'rec ' LISTs mixed with direct ##dc chunks — the
     // standard AVI interleave) would still collect out of order, so
     // sort by byte offset — the one ordering every layout agrees on
-    val ordered = frameOffsets.sortInPlaceBy(_._1)
+    Some(AviChunks(usPerFrame, totalFrames, w, h,
+      frameOffsets.sortInPlaceBy(_._1).toIndexedSeq))
+  }
 
+  /** Mean luma of one decoded frame on a bounded pixel stride. */
+  private def frameLuma(img: java.awt.image.BufferedImage): Double = {
+    val sx = math.max(1, img.getWidth / 32)
+    val sy = math.max(1, img.getHeight / 32)
+    var sl = 0.0; var np = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sl += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        np += 1
+        x += sx
+      }
+      y += sy
+    }
+    sl / np / 255.0
+  }
+
+  private def decodeAviStatsFrom(
+      payload: Array[Byte], c: AviChunks, maxProbeFrames: Int): Option[VideoStats] = {
+    var w = c.w; var h = c.h
+    val ordered = c.frames
     val n = ordered.length
     val stride = math.max(1, n / maxProbeFrames)
     var prevLuma = Double.NaN
@@ -251,22 +289,7 @@ object Multimodal {
       decodeImage(frame) match {
         case Some(img) =>
           if (w == 0) { w = img.getWidth; h = img.getHeight }
-          val sx = math.max(1, img.getWidth / 32)
-          val sy = math.max(1, img.getHeight / 32)
-          var sl = 0.0; var np = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sl += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-                0.114 * (rgb & 0xff)
-              np += 1
-              x += sx
-            }
-            y += sy
-          }
-          val luma = sl / np / 255.0
+          val luma = frameLuma(img)
           sumLuma += luma; probed += 1
           if (!prevLuma.isNaN) { sumMotion += math.abs(luma - prevLuma); moved += 1 }
           prevLuma = luma
@@ -275,9 +298,9 @@ object Multimodal {
       i += stride
     }
     if (probed == 0) return None
-    val fps = if (usPerFrame > 0) (1e6 / usPerFrame).toFloat else 0f
-    val nf = if (totalFrames > 0) totalFrames.toInt else n
-    val dur = if (usPerFrame > 0) (nf * usPerFrame / 1e6).toFloat else 0f
+    val fps = if (c.usPerFrame > 0) (1e6 / c.usPerFrame).toFloat else 0f
+    val nf = if (c.totalFrames > 0) c.totalFrames.toInt else n
+    val dur = if (c.usPerFrame > 0) (nf * c.usPerFrame / 1e6).toFloat else 0f
     Some(VideoStats(w, h, fps, dur, nf,
       (sumLuma / probed).toFloat,
       (if (moved == 0) 0.0 else sumMotion / moved).toFloat))
@@ -909,6 +932,128 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, syntheticAudioPairWav(id))))
+      .toDF("asset_id", "payload")
+  }
+
+  // Video near-dup: 64-bit luma-delta fingerprint — the video member of
+  // the modality-dedup family. Bit i is the comparison luma[i+1] >
+  // luma[i] over the first 65 frames: a re-encoded copy (same content,
+  // different JPEG quality) preserves frame-to-frame luma ORDER even
+  // when absolute lumas shift, the same way the audio print survives
+  // gain and dHash survives brightness. Candidates ride the shared
+  // banding machinery.
+
+  /** 64-bit luma-delta fingerprint; None = not decodable AVI or fewer
+    * than 65 frames (a truncated clip's print would alias). */
+  def videoFingerprint64(payload: Array[Byte]): Option[Long] =
+    aviFrameChunks(payload).flatMap { c =>
+      if (c.frames.length < 65) None
+      else {
+        val lumas = new Array[Double](65)
+        var i = 0
+        while (i < 65) {
+          val (off, len) = c.frames(i)
+          decodeImage(java.util.Arrays.copyOfRange(payload, off, off + len)) match {
+            case Some(img) => lumas(i) = frameLuma(img)
+            case None => return None // a corrupt frame aliases the print
+          }
+          i += 1
+        }
+        var h = 0L
+        i = 0
+        while (i < 64) {
+          if (lumas(i + 1) > lumas(i)) h |= 1L << i
+          i += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** Fingerprints of an (asset_id, payload) video frame — decode dies
+    * in the task, 8 bytes/asset survive. */
+  def videoFingerprints(video: DataFrame): DataFrame = {
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        videoFingerprint64(bytes).map(h => (id, h))
+      })
+      .toDF("asset_id", "dhash")
+  }
+
+  /** Minimal RIFF/AVI container around MJPEG frames — the fixture
+    * encoder (hdrl(avih) + movi, '00dc' chunks, even padding). */
+  private def buildMjpegAvi(
+      frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def u32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0, usPerFrame)
+      b.putInt(16, frames.length)
+      b.putInt(32, w)
+      b.putInt(36, h)
+      b.array()
+    }
+    val hdrlSize = 4 + 8 + avih.length
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    cc("RIFF"); u32(riffSize); cc("AVI ")
+    cc("LIST"); u32(hdrlSize); cc("hdrl")
+    cc("avih"); u32(avih.length); out.write(avih)
+    cc("LIST"); u32(moviSize); cc("movi")
+    frames.foreach { f =>
+      cc("00dc"); u32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0)
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic video pair fixture: assets 2k/2k+1 are the
+    * SAME 65-frame solid-gray MJPEG clip, the odd twin with ONE frame's
+    * gray level re-drawn — flipping at most the two luma comparisons
+    * touching that frame (Hamming ≤ 2 BY CONSTRUCTION). Every
+    * unperturbed frame is byte-identical between the twins (same gray,
+    * same encoder), so its decoded luma is identical and no other bit
+    * can move — the same-bytes argument, stronger than any JPEG-noise
+    * margin. Gray levels come from the splitmix64 finalizer on 8-level
+    * steps, so distinct bases are ~32 bits apart. */
+  def syntheticVideoPairAvi(assetId: Long, nFrames: Int = 65): Array[Byte] = {
+    val base = assetId / 2
+    val perturb = assetId % 2 == 1
+    def mix(x: Long): Long = {
+      var h = x * 0x9e3779b97f4a7c15L
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      h ^ (h >>> 31)
+    }
+    val fStar = 1 + ((mix(base) >>> 9) % 63).toInt
+    def grayOf(f: Int): Int =
+      if (perturb && f == fStar) (16 + 8 * ((mix(base * 151 + 7919 + f) >>> 19) % 28)).toInt
+      else (16 + 8 * ((mix(base * 151 + f) >>> 19) % 28)).toInt
+    val frames = (0 until nFrames).map { f =>
+      val g = grayOf(f)
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < 16) { var x = 0; while (x < 16) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    buildMjpegAvi(frames, 16, 16, usPerFrame = 40000)
+  }
+
+  /** The video-pair fixture as an (asset_id, payload) frame. */
+  def syntheticVideoPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticVideoPairAvi(id))))
       .toDF("asset_id", "payload")
   }
 

@@ -152,6 +152,32 @@ object MultimodalQueries {
              |ORDER BY asset_a, asset_b""".stripMargin)
     ),
 
+    // Video near-dup (luma-delta fingerprint over REAL MJPEG-AVI decode)
+    // — completing modality dedup across all four kinds: text MinHash,
+    // image dHash, audio energy-delta, video luma-delta. Bit i compares
+    // frame lumas luma[i+1] > luma[i] — robust to re-encoding (a
+    // different JPEG quality shifts absolute lumas but preserves
+    // frame-to-frame order). The fixture's odd twin redraws ONE frame's
+    // gray (≤2 bit flips); every other frame is BYTE-IDENTICAL between
+    // twins, so its decoded luma is identical and no other bit can move
+    // — recall and precision both under the planted-list hash gate,
+    // through a real RIFF walk + 65 javax.imageio frame decodes/asset.
+    OracleQuery(
+      "mm_dedup_videofp",
+      (s, d) => {
+        import s.implicits._
+        val fps = Multimodal.videoFingerprints(
+          Multimodal.syntheticVideoPairs(Tables.documents(s, d)))
+        Multimodal.dhashNearDupPairs(fps, maxHamming = 3)
+          .select($"asset_a", $"asset_b", lit(true).as("is_near"))
+          .orderBy($"asset_a", $"asset_b")
+      },
+      Some("""SELECT a.doc_id AS asset_a, b.doc_id AS asset_b, TRUE AS is_near
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 2 = 0
+             |ORDER BY asset_a, asset_b""".stripMargin)
+    ),
+
     // Voice-activity segmentation over REAL WAV decode — the speech/
     // silence cut an ASR-training pipeline makes before transcription.
     // Spark's answer comes entirely from javax.sound PCM decode of the

@@ -484,4 +484,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint64(
       Multimodal.syntheticAudioPairWav(0L, nWindows = 10)).isEmpty)
   }
+
+  test("video fingerprint: planted pairs within Hamming 2, bases far apart, order-robust") {
+    def fp(id: Long) =
+      Multimodal.videoFingerprint64(Multimodal.syntheticVideoPairAvi(id)).get
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0L until 8L).foreach { k =>
+      val h = hamming(fp(2 * k), fp(2 * k + 1))
+      assert(h <= 2, s"planted pair $k at Hamming $h")
+    }
+    for (a <- 0L until 5L; b <- (a + 1) until 5L) {
+      val h = hamming(fp(2 * a), fp(2 * b))
+      assert(h > 10, s"bases $a,$b at Hamming $h")
+    }
+    // too-short clip and garbage -> absent, not garbage prints
+    assert(Multimodal.videoFingerprint64(
+      Multimodal.syntheticVideoPairAvi(0L, nFrames = 10)).isEmpty)
+    assert(Multimodal.videoFingerprint64("not a movie".getBytes).isEmpty)
+    // refactor guard: the shared chunk walk still feeds decodeAviStats —
+    // header metadata and frame count survive on the fixture clip
+    val v = Multimodal.decodeAviStats(Multimodal.syntheticVideoPairAvi(0L)).get
+    assert(v.width == 16 && v.height == 16 && v.nFrames == 65)
+    assert(math.abs(v.fps - 25f) < 1e-3)
+  }
 }
