@@ -2429,9 +2429,13 @@ object AggQueries {
           .select($"o_orderpriority".as("g"), $"o_totalprice".as("x"))
         val stats = base.agg(min($"x").as("xmin"), max($"x").as("xmax"))
         val bucketed = base.crossJoin(broadcast(stats))
+          // degenerate guard: an all-equal column makes the range 0 and
+          // the division NaN — floor(NaN) is null and the bucket join
+          // would silently drop every row; collapse to bucket 0 instead
           .withColumn("b",
-            least(floor(($"x" - $"xmin") / ($"xmax" - $"xmin") * 1024.0),
-              lit(1023.0)).cast("long"))
+            when($"xmax" === $"xmin", lit(0L))
+              .otherwise(least(floor(($"x" - $"xmin") / ($"xmax" - $"xmin") * 1024.0),
+                lit(1023.0)).cast("long")))
         val bCounts = bucketed.groupBy($"b").agg(count(lit(1)).as("bc"))
         val wPrefix = org.apache.spark.sql.expressions.Window
           .orderBy($"b").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
