@@ -24,14 +24,21 @@ import org.apache.spark.sql.functions._
 object LabelPropagation {
 
   /** Final (node, lbl) after `rounds` synchronous updates over the
-    * undirected edge list (p1, p2), one row per unordered edge. */
-  def run(edges: DataFrame, rounds: Int, k: Long = 1L << 24): DataFrame = {
+    * undirected edge list (p1, p2), one row per unordered edge. The
+    * packed-key capacity `k` defaults to 0 = AUTO: the next power of
+    * two above the max node id (capacity never caps the graph — the
+    * only trade is count headroom, cnt < 2^63/k, still ≥ 2^36 edges
+    * per label at k = 2^27). Callers replaying against a fixed oracle
+    * pass the literal k the oracle spells. */
+  def run(edges: DataFrame, rounds: Int, k: Long = 0L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val dir = edges.select(col("p1").as("src"), col("p2").as("dst"))
       .union(edges.select(col("p2").as("src"), col("p1").as("dst")))
       .persist()
     val maxId = dir.agg(max(col("src"))).collect()(0).getLong(0)
-    require(maxId < k, s"node ids must be < $k for the packed argmax key, max=$maxId")
+    val cap = if (k > 0) k else java.lang.Long.highestOneBit(maxId + 1) << 1
+    require(maxId < cap, s"node ids must be < $cap for the packed argmax key, max=$maxId")
+    require(cap <= (1L << 40), s"packed-key capacity $cap leaves < 2^23 count headroom")
     // decode is (k − m % k) % k — the outer mod covers label 0 (part
     // keys in this corpus are 0-based), where m % k lands on 0
     var labels = dir.select(col("src").as("node")).distinct()
@@ -42,8 +49,8 @@ object LabelPropagation {
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
-        .agg(max(col("cnt") * k - col("lbl")).as("m"))
-        .select(col("dst").as("node"), ((lit(k) - col("m") % k) % k).as("lbl"))
+        .agg(max(col("cnt") * cap - col("lbl")).as("m"))
+        .select(col("dst").as("node"), ((lit(cap) - col("m") % cap) % cap).as("lbl"))
         .localCheckpoint(true)
     }
     dir.unpersist()

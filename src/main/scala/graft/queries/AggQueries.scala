@@ -2874,8 +2874,9 @@ object AggQueries {
     // the day-grain collapse; the recurrence is cleared of the
     // non-integer mean by multiplying through by n —
     // Cn_t = n·Σ_{i≤t}vq − t·Σvq — so every compared quantity is an
-    // EXACT BIGINT and the argmax is total (day tiebreak unnecessary:
-    // strict integer compare, first day on equality). Scale: fact
+    // EXACT BIGINT; every day attaining the max |Cn| is flagged (exact
+    // ties flag all maximal days, identically on both engines — a
+    // symmetric series legitimately has several). Scale: fact
     // collapses to the day grain first; the window runs on that bounded
     // frame (the a39 discipline).
     OracleQuery(

@@ -1959,6 +1959,8 @@ object PipelineQueries {
               .otherwise(floor($"y" * 1000000.0 + 0.5).cast("long")))
               .cast("double") / 1000000.0).as("sy_c"))
           .filter($"n_t" > 0 && $"n_c" > 0) // common support
+          .persist() // ≤5 bin rows — read once for totT, once for output;
+          // without it the whole training+ntile pipeline executes twice
         // coalesce: an empty strata frame (no common support anywhere)
         // must yield an empty result, not an NPE on the scalar read
         val totT = strata.agg(coalesce(sum($"n_t"), lit(0L)))

@@ -1213,50 +1213,65 @@ object SimilarityQueries {
       "sim_sq_int8_rerank_topk",
       (s, d) => {
         import s.implicits._
-        val coded = sq8Coded(s, d)
+        val coded = sq8Coded(s, d).persist() // stage 1 reads qv corpus-wide;
+        // stage 2 re-joins only the 20 survivors' embeddings
         val wCand = Window.partitionBy(col("query_id"))
           .orderBy(col("score_sq").desc, col("neighbor_id"))
         val wFinal = Window.partitionBy(col("query_id"))
           .orderBy(col("score_q").desc, col("neighbor_id"))
-        coded.filter($"vec_id" < 8).as("a")
-          .join(coded.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        // stage 1: int8 codes ONLY — the float arrays are not touched
+        // until the candidate cut (the contract the entry is about)
+        val cands = coded.select($"vec_id", $"qv").filter($"vec_id" < 8).as("a")
+          .join(coded.select($"vec_id", $"qv").as("b"),
+            col("a.vec_id") =!= col("b.vec_id"))
           .select(
             col("a.vec_id").as("query_id"),
             col("b.vec_id").as("neighbor_id"),
             expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, e) -> acc + e)")
-              .as("score_sq"),
-            expr("""aggregate(zip_with(a.embedding, b.embedding,
+              .as("score_sq"))
+          .withColumn("cn", row_number().over(wCand))
+          .filter($"cn" <= 20)
+        // stage 2: exact re-rank — float vectors join in for survivors only
+        cands
+          .join(coded.select($"vec_id".as("query_id"), $"embedding".as("qe")), "query_id")
+          .join(coded.select($"vec_id".as("neighbor_id"), $"embedding".as("ne")), "neighbor_id")
+          .select($"query_id", $"neighbor_id",
+            expr("""aggregate(zip_with(qe, ne,
                    |  (x, y) -> CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
                    |    * 1000000000.0 + 0.5) AS BIGINT)),
                    |CAST(0 AS BIGINT), (acc, e) -> acc + e)""".stripMargin)
               .as("score_q"))
-          .withColumn("cn", row_number().over(wCand))
-          .filter($"cn" <= 20) // stage-1 candidate cut on SQ8 scores
           .withColumn("rn", row_number().over(wFinal))
-          .filter($"rn" <= 5)  // stage-2 exact-re-rank cut
+          .filter($"rn" <= 5)
           .select($"query_id", $"neighbor_id", $"score_q", $"rn")
           .orderBy($"query_id", $"rn")
       },
-      Some(s"""WITH $duckSq8, scores AS (
+      Some(s"""WITH $duckSq8, sq AS (
              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             |    CAST(sum(a.q * b.q) AS BIGINT) AS score_sq,
-             |    CAST(sum(CAST(floor(a.v * b.v * 1000000000.0 + 0.5) AS BIGINT))
-             |      AS BIGINT) AS score_q
-             |  FROM (SELECT c.*, v.v FROM coded c JOIN vals v USING (vec_id, j)) a
-             |  JOIN (SELECT c.*, v.v FROM coded c JOIN vals v USING (vec_id, j)) b
+             |    CAST(sum(a.q * b.q) AS BIGINT) AS score_sq
+             |  FROM coded a JOIN coded b
              |    ON a.j = b.j AND a.vec_id != b.vec_id
              |  WHERE a.vec_id < 8
              |  GROUP BY 1, 2
-             |), cands AS (
-             |  SELECT query_id, neighbor_id, score_q,
+             |), cands0 AS (
+             |  SELECT query_id, neighbor_id,
              |    row_number() OVER (PARTITION BY query_id
              |      ORDER BY score_sq DESC, neighbor_id) AS cn
-             |  FROM scores
+             |  FROM sq
+             |), cands AS (
+             |  SELECT c.query_id, c.neighbor_id,
+             |    CAST(sum(CAST(floor(qa.v * qb.v * 1000000000.0 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS score_q
+             |  FROM cands0 c
+             |  JOIN vals qa ON qa.vec_id = c.query_id
+             |  JOIN vals qb ON qb.vec_id = c.neighbor_id AND qb.j = qa.j
+             |  WHERE c.cn <= 20
+             |  GROUP BY 1, 2
              |), ranked AS (
              |  SELECT query_id, neighbor_id, score_q,
              |    CAST(row_number() OVER (PARTITION BY query_id
              |      ORDER BY score_q DESC, neighbor_id) AS INT) AS rn
-             |  FROM cands WHERE cn <= 20
+             |  FROM cands
              |)
              |SELECT query_id, neighbor_id, score_q, rn
              |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)

@@ -400,9 +400,21 @@ object StreamQueries {
           .createTempDirectory("graft_stream_dedup").toString
         val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
         for (i <- 0 until 4) {
-          dup.filter($"ts" >= lit(weeks(i)).cast("timestamp") &&
-              $"ts" < lit(weeks(i + 1)).cast("timestamp"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/w$i")
+          val thisWeek = dup.filter($"ts" >= lit(weeks(i)).cast("timestamp") &&
+            $"ts" < lit(weeks(i + 1)).cast("timestamp"))
+          // CROSS-BATCH duplicates: re-emit the PREVIOUS week's final
+          // hour into THIS week's file. Those copies arrive one
+          // micro-batch after their originals but still inside the
+          // horizon (watermark after batch i−1 = maxTs(i−1) − 1h ≤
+          // their event time), so only dedup state that SURVIVES the
+          // batch seam drops them — a per-batch-reset dedup would
+          // re-emit every one and inflate the counts under the gate
+          val withCross =
+            if (i == 0) thisWeek
+            else thisWeek.unionAll(ev.filter(
+              $"ts" >= (lit(weeks(i)).cast("timestamp") - expr("INTERVAL 1 HOUR")) &&
+                $"ts" < lit(weeks(i)).cast("timestamp")))
+          withCross.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/w$i")
         }
         val src = s.readStream.schema(dup.schema)
           .option("maxFilesPerTrigger", 1) // one week per micro-batch:

@@ -90,13 +90,17 @@ object Sinks {
     * `repartitionByRange` first so files don't overlap either — a
     * range scan then touches few FILES, not just few row groups. */
   def writeSortedBy(df: DataFrame, dir: String, sortCols: Seq[String],
-      numFiles: Int = 0, mode: SaveMode = SaveMode.Overwrite): Unit = {
-    require(sortCols.nonEmpty, "writeSortedBy needs at least one sort column")
+      numFiles: Int = 0, mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeSortedAs(df, dir, sortCols, "parquet", numFiles, mode)
+
+  private def writeSortedAs(df: DataFrame, dir: String, sortCols: Seq[String],
+      format: String, numFiles: Int, mode: SaveMode): Unit = {
+    require(sortCols.nonEmpty, "sorted write needs at least one sort column")
     val cols = sortCols.map(col)
     val ranged =
       if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
       else df.repartitionByRange(cols: _*)
-    ranged.sortWithinPartitions(cols: _*).write.mode(mode).parquet(dir)
+    ranged.sortWithinPartitions(cols: _*).write.mode(mode).format(format).save(dir)
   }
 
   /** ORC interchange sink (sorted, like writeSortedBy): the engine's
@@ -107,14 +111,8 @@ object Sinks {
     * `SinksSpec` pins the round-trip AND that a range predicate shows
     * up as PushedFilters in the ORC scan. */
   def writeOrcSortedBy(df: DataFrame, dir: String, sortCols: Seq[String],
-      numFiles: Int = 0, mode: SaveMode = SaveMode.Overwrite): Unit = {
-    require(sortCols.nonEmpty, "writeOrcSortedBy needs at least one sort column")
-    val cols = sortCols.map(col)
-    val ranged =
-      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
-      else df.repartitionByRange(cols: _*)
-    ranged.sortWithinPartitions(cols: _*).write.mode(mode).orc(dir)
-  }
+      numFiles: Int = 0, mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeSortedAs(df, dir, sortCols, "orc", numFiles, mode)
 
   /** Forecast parts keyed by issue time (the reference's
     * part-YYYY-MM-DDTHH.parquet, openmeteo_daily_forecast.py:270-274):

@@ -514,18 +514,26 @@ object Streams {
       finally in.close()
       Some(v)
     } else {
-      val dir = new org.apache.hadoop.fs.Path(snapshotDir)
-      if (!fs.exists(dir)) None
-      else {
-        val complete = fs.listStatus(dir).toSeq
-          .filter(_.isDirectory)
-          .map(_.getPath.getName)
-          .filter(_.matches("v\\d+"))
-          .filter(n => fs.exists(new org.apache.hadoop.fs.Path(dir, s"$n/_SUCCESS")))
-        if (complete.isEmpty) None
-        else Some(complete.maxBy(_.drop(1).toLong))
-      }
+      val complete = completeVersions(fs, snapshotDir)
+      if (complete.isEmpty) None else Some(s"v${complete.max}")
     }
+  }
+
+  /** The single definition of a COMPLETE snapshot version: a `v<N>`
+    * directory whose parquet write finished (`_SUCCESS` present).
+    * Shared by the pointer fallback, time travel, and the version
+    * listing so the three can never disagree about what exists. */
+  private def completeVersions(
+      fs: org.apache.hadoop.fs.FileSystem, snapshotDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(snapshotDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(dir, s"$n/_SUCCESS")))
+      .map(_.drop(1).toLong)
+      .sorted
   }
 
   /** Current snapshot per [[currentVersion]]; None before the first
@@ -544,12 +552,9 @@ object Streams {
   def readSnapshotAt(
       spark: SparkSession, snapshotDir: String, version: Long): Option[DataFrame] = {
     val fs = hadoopFs(spark, snapshotDir)
-    val name = s"v$version"
     val cur = currentVersion(spark, snapshotDir).map(_.drop(1).toLong)
-    val complete = fs.exists(
-      new org.apache.hadoop.fs.Path(snapshotDir, s"$name/_SUCCESS"))
-    if (complete && cur.exists(version <= _))
-      Some(spark.read.parquet(s"$snapshotDir/$name"))
+    if (completeVersions(fs, snapshotDir).contains(version) && cur.exists(version <= _))
+      Some(spark.read.parquet(s"$snapshotDir/v$version"))
     else None
   }
 
@@ -558,17 +563,10 @@ object Streams {
     * crashes and vacuums. */
   def snapshotVersions(spark: SparkSession, snapshotDir: String): Seq[Long] = {
     val fs = hadoopFs(spark, snapshotDir)
-    val dir = new org.apache.hadoop.fs.Path(snapshotDir)
-    val cur = currentVersion(spark, snapshotDir).map(_.drop(1).toLong)
-    if (!fs.exists(dir) || cur.isEmpty) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.matches("v\\d+"))
-      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(dir, s"$n/_SUCCESS")))
-      .map(_.drop(1).toLong)
-      .filter(_ <= cur.get)
-      .sorted
+    currentVersion(spark, snapshotDir).map(_.drop(1).toLong) match {
+      case None => Seq.empty
+      case Some(cur) => completeVersions(fs, snapshotDir).filter(_ <= cur)
+    }
   }
 
   /** Retention for the versioned snapshot store: delete all but the
