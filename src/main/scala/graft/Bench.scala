@@ -95,7 +95,9 @@ object Bench {
     "sim_sq_int8_rerank_topk", // SQ8 candidates + exact re-rank (2-stage)
     "a53_tost_equivalence", // two one-sided Welch tests (launch gate)
     "mm_dedup_audiofp",    // gain-invariant audio near-dup fingerprint
-    "mm_dedup_videofp")    // luma-delta video near-dup fingerprint
+    "mm_dedup_videofp",    // luma-delta video near-dup fingerprint
+    "a54_holm_bonferroni", // FWER-controlled one-vs-rest mean tests
+    "pipe_group_split")    // leakage-free entity-hash split + proof
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -2693,6 +2693,102 @@ object AggQueries {
       }
     ),
 
+    // Holm–Bonferroni multiple-testing correction (a54) — five
+    // one-vs-rest mean tests run at once is the textbook way to mint
+    // false positives; Holm's step-down controls FWER with more power
+    // than plain Bonferroni and needs no independence assumption. Scale
+    // shape: ONE quantized-long hash aggregate per group (n, Σx, Σx²);
+    // rest-of-population stats are totals minus the group (no second
+    // scan); z's quantize to 1e-4 longs so every rank and every
+    // rejection is an EXACT INTEGER comparison against the literal
+    // critical values z(α/2k)…z(α/2) both engines embed — ulp-proof.
+    // The step-down rule (reject while all stronger ranks rejected) is
+    // a running min over the 5-row frame.
+    OracleQuery(
+      "a54_holm_bonferroni",
+      (s, d) => {
+        import s.implicits._
+        val x = $"o_totalprice" / 65536.0
+        val g = Tables.orders(s, d)
+          .groupBy($"o_orderpriority".as("grp"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(floor(x * 1000000.0 + 0.5).cast("long")).as("sq"),
+            sum(floor(x * x * 1000000.0 + 0.5).cast("long")).as("ssq"))
+        val tot = g.agg(sum($"n").as("nt"), sum($"sq").as("sqt"), sum($"ssq").as("ssqt"))
+        val z = g.crossJoin(broadcast(tot))
+          .withColumn("nr", $"nt" - $"n")
+          .withColumn("s1", $"sq".cast("double") / 1000000.0)
+          .withColumn("ss1", $"ssq".cast("double") / 1000000.0)
+          .withColumn("s2", ($"sqt" - $"sq").cast("double") / 1000000.0)
+          .withColumn("ss2", ($"ssqt" - $"ssq").cast("double") / 1000000.0)
+          .withColumn("se", sqrt(
+            (($"ss1" - $"s1" * $"s1" / $"n") / ($"n" - 1)) / $"n" +
+              (($"ss2" - $"s2" * $"s2" / $"nr") / ($"nr" - 1)) / $"nr"))
+          .withColumn("zval", ($"s1" / $"n" - $"s2" / $"nr") / $"se")
+          .withColumn("zq", floor(abs($"zval") * 10000.0 + 0.5).cast("long"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .orderBy($"zq".desc, $"grp")
+        val wRun = wRank.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        // two-sided z criticals for α=0.05 step-down, k=5: α/(k−r+1)
+        val crits = array(lit(25758L), lit(24977L), lit(23940L), lit(22414L), lit(19600L))
+        z.withColumn("rank", row_number().over(wRank))
+          .withColumn("crit", element_at(crits, $"rank"))
+          .withColumn("reject_raw", $"zq" > $"crit")
+          .withColumn("reject_holm",
+            min($"reject_raw".cast("int")).over(wRun) === 1)
+          .select($"grp", $"n",
+            graft.core.Parity.floorRound4($"zval").as("z"),
+            $"rank", $"reject_raw", $"reject_holm")
+          .orderBy($"rank")
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderpriority AS grp, count(*) AS n,
+             |    sum(CAST(floor((o_totalprice / 65536.0) * 1000000.0 + 0.5)
+             |      AS BIGINT)) AS sq,
+             |    sum(CAST(floor((o_totalprice / 65536.0) * (o_totalprice / 65536.0)
+             |      * 1000000.0 + 0.5) AS BIGINT)) AS ssq
+             |  FROM orders GROUP BY 1
+             |), tot AS (
+             |  SELECT sum(n) AS nt, sum(sq) AS sqt, sum(ssq) AS ssqt FROM g
+             |), z AS (
+             |  SELECT grp, n,
+             |    ((CAST(sq AS DOUBLE) / 1000000.0) / n
+             |      - (CAST(sqt - sq AS DOUBLE) / 1000000.0) / (nt - n))
+             |    / sqrt(
+             |      (((CAST(ssq AS DOUBLE) / 1000000.0)
+             |        - (CAST(sq AS DOUBLE) / 1000000.0) * (CAST(sq AS DOUBLE) / 1000000.0) / n)
+             |        / (n - 1)) / n
+             |      + (((CAST(ssqt - ssq AS DOUBLE) / 1000000.0)
+             |        - (CAST(sqt - sq AS DOUBLE) / 1000000.0) * (CAST(sqt - sq AS DOUBLE) / 1000000.0) / (nt - n))
+             |        / ((nt - n) - 1)) / (nt - n)) AS zval
+             |  FROM g CROSS JOIN tot
+             |), q AS (
+             |  SELECT grp, n, zval,
+             |    CAST(floor(abs(zval) * 10000.0 + 0.5) AS BIGINT) AS zq
+             |  FROM z
+             |), ranked AS (
+             |  SELECT grp, n, zval, zq,
+             |    CAST(row_number() OVER (ORDER BY zq DESC, grp) AS INT) AS rank
+             |  FROM q
+             |), crit AS (
+             |  SELECT r.*, ([25758, 24977, 23940, 22414, 19600])[rank] AS crit
+             |  FROM ranked r
+             |), flagged AS (
+             |  SELECT grp, n, zval, rank, zq > crit AS reject_raw,
+             |    min(CASE WHEN zq > crit THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY rank
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+             |      AS reject_holm
+             |  FROM crit
+             |)
+             |SELECT grp, CAST(n AS BIGINT) AS n,
+             |  floor(zval * 10000 + 0.5) / 10000 AS z,
+             |  rank, reject_raw, reject_holm
+             |FROM flagged ORDER BY rank""".stripMargin)
+    ),
+
     // TOST equivalence test (a53) — the inverse question of a47/a49:
     // not "do these groups differ" but "are they the SAME within a
     // margin" (launch gates are equivalence questions: a significant

@@ -1868,6 +1868,66 @@ object PipelineQueries {
              |FROM pairs GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin)
     ),
 
+    // Group-aware train/val/test split — the leakage-hygiene operator
+    // o21 (row-hash split) is NOT when rows share an entity: a user's
+    // events scattered across train AND test leak identity signal and
+    // inflate eval. Here the hash is of the GROUP key (user), so every
+    // event of a user lands in one split; the entry emits the PROOF —
+    // cross-split user overlap ≡ 0 under the group hash — next to the
+    // same overlap under the row hash (large), so the gate pins both
+    // the discipline and the counterfactual that motivates it. Scale:
+    // two hash aggs + a distinct-splits-per-user agg; the split
+    // assignment is a map-side md5 (no shuffle to assign).
+    OracleQuery(
+      "pipe_group_split",
+      (s, d) => {
+        import s.implicits._
+        val gh = expr(Shingles.h60("CAST(user_id AS STRING)"))
+        val rh = expr(Shingles.h60("CAST(event_id AS STRING)"))
+        def splitOf(h: org.apache.spark.sql.Column) = {
+          val b = pmod(h, lit(100))
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        }
+        val tagged = Tables.events(s, d)
+          .select($"user_id", $"event_id",
+            splitOf(gh).as("gsplit"), splitOf(rh).as("rsplit"))
+        val comp = tagged.groupBy($"gsplit".as("split"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"))
+        def overlap(c: String) = tagged
+          .groupBy($"user_id").agg(countDistinct(col(c)).as("ns"))
+          .agg(sum(when($"ns" > 1, 1L).otherwise(0L)).as(s"${c}_leaky_users"))
+        comp
+          .crossJoin(broadcast(overlap("gsplit")))
+          .crossJoin(broadcast(overlap("rsplit")))
+          .orderBy($"split")
+      },
+      Some("""WITH tagged AS (
+             |  SELECT user_id, event_id,
+             |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+             |         WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS gsplit,
+             |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+             |         WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS rsplit
+             |  FROM events
+             |), comp AS (
+             |  SELECT gsplit AS split, count(*) AS n_events,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM tagged GROUP BY 1
+             |), go AS (
+             |  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS gsplit_leaky_users
+             |  FROM (SELECT user_id, count(DISTINCT gsplit) AS ns FROM tagged GROUP BY 1)
+             |), ro AS (
+             |  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS rsplit_leaky_users
+             |  FROM (SELECT user_id, count(DISTINCT rsplit) AS ns FROM tagged GROUP BY 1)
+             |)
+             |SELECT split, n_events, n_users, gsplit_leaky_users, rsplit_leaky_users
+             |FROM comp CROSS JOIN go CROSS JOIN ro ORDER BY split""".stripMargin)
+    ),
+
     // Propensity-score stratification — the OBSERVATIONAL member of the
     // causal family (CUPED/DiD/mSPRT are experiments; this estimates a
     // treatment effect when assignment wasn't randomized): treatment =

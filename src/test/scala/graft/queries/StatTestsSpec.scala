@@ -252,4 +252,53 @@ class StatTestsSpec extends SparkSpec {
     // verdict must be exactly the conjunction on the emitted quantized t's
     assert(eq == (tLo > 1.6449 && tUp > 1.6449))
   }
+
+  test("a54_holm_bonferroni: step-down is a rank prefix; z replay from group sums") {
+    import spark.implicits._
+    val out = Registry.queries("a54_holm_bonferroni")(spark, sf).collect()
+    assert(out.length == 5)
+    // holm rejections form a prefix of the rank order, and imply raw
+    val holmFlags = out.sortBy(_.getInt(3)).map(_.getBoolean(5))
+    assert(!holmFlags.dropWhile(identity).contains(true), holmFlags.mkString(","))
+    out.foreach(r => assert(!r.getBoolean(5) || r.getBoolean(4), r.toString))
+    // z replay (one-vs-rest Welch z from the quantized chain)
+    val xs = Tables.orders(spark, sf)
+      .select($"o_orderpriority", $"o_totalprice" / 65536.0)
+      .as[(String, Double)].collect()
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    val by = xs.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(t => q6(t._2)).sum, g.map(t => q6(t._2 * t._2)).sum)
+    }.toMap
+    val (nt, sqt, ssqt) = by.values.foldLeft((0L, 0L, 0L)) {
+      case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
+    }
+    out.foreach { r =>
+      val (n, sq, ssq) = by(r.getString(0))
+      val nr = nt - n
+      val s1 = sq / 1e6; val ss1 = ssq / 1e6
+      val s2 = (sqt - sq) / 1e6; val ss2 = (ssqt - ssq) / 1e6
+      val se = math.sqrt(((ss1 - s1 * s1 / n) / (n - 1)) / n +
+        ((ss2 - s2 * s2 / nr) / (nr - 1)) / nr)
+      val z = (s1 / n - s2 / nr) / se
+      assert(math.abs(r.getDouble(2) - math.floor(z * 1e4 + 0.5) / 1e4) < 1e-9,
+        s"${r.getString(0)}: z ${r.getDouble(2)} vs replay $z")
+    }
+  }
+
+  test("pipe_group_split: zero cross-split users under the group hash; row hash leaks") {
+    val out = Registry.queries("pipe_group_split")(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getLong(3) == 0L, s"group split leaked ${r.getLong(3)} users")
+      assert(r.getLong(4) > 0L, "row-hash counterfactual shows no leak — fixture degenerate")
+    }
+    // splits partition the corpus: event and user counts conserve
+    val totalEvents = out.map(_.getLong(1)).sum
+    val totalUsers = out.map(_.getLong(2)).sum
+    assert(totalEvents == graft.core.Tables.events(spark, "/root/testdata/sf0.01").count())
+    // group split ⇒ user sets disjoint ⇒ user counts ADD to the corpus total
+    val distinctUsers = graft.core.Tables.events(spark, "/root/testdata/sf0.01")
+      .select("user_id").distinct().count()
+    assert(totalUsers == distinctUsers, s"$totalUsers vs $distinctUsers")
+  }
 }
