@@ -97,7 +97,8 @@ object Bench {
     "mm_dedup_audiofp",    // gain-invariant audio near-dup fingerprint
     "mm_dedup_videofp",    // luma-delta video near-dup fingerprint
     "a54_holm_bonferroni", // FWER-controlled one-vs-rest mean tests
-    "pipe_group_split")    // leakage-free entity-hash split + proof
+    "pipe_group_split",    // leakage-free entity-hash split + proof
+    "text_bm25_indexed")   // BM25 via the persisted inverted index
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index for BM25 retrieval — the text twin of the
+  * persisted ANN index (ops/IvfIndex) and the dedup admission index
+  * (ops/DedupIndex): build once, then every query reads O(query terms)
+  * of the index, never the corpus.
+  *
+  * Layout (all parquet):
+  *   postings/ — (term, doc_id, tf, dl), range-partitioned and sorted
+  *     BY TERM so a query's `term IN (...)` literal pushdown prunes to
+  *     the handful of files/row groups holding those postings — the
+  *     sorted-layout discipline Sinks.writeSortedBy pins;
+  *   terms/    — (term, df), same sorted layout;
+  *   stats/    — 1 row (n, avgdl).
+  * Document length is DENORMALIZED into the postings row (classic
+  * search-index design): scoring never joins a doc-grain table, so a
+  * query's work is bounded by posting-list length alone.
+  *
+  * Scoring spells the exact same Okapi BM25 text as the in-flight
+  * `text_bm25_search` query — identical IEEE arithmetic, so the
+  * indexed path hash-matches the in-flight oracle verbatim.
+  */
+object SearchIndex {
+
+  def build(docs: DataFrame, dir: String): Unit = {
+    val base = docs.select(col("doc_id"), col("text"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    graft.sources.Sinks.writeSortedBy(postings, s"$dir/postings", Seq("term"))
+    graft.sources.Sinks.writeSortedBy(
+      postings.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df")),
+      s"$dir/terms", Seq("term"))
+    base.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Top-k BM25 over the persisted index. The postings and term scans
+    * carry `term IN (...)` into the parquet reader (PushedFilters — the
+    * SearchIndexSpec plan pin), so a 3-term query against a 100 TB
+    * corpus reads 3 posting lists, not the corpus. */
+  def search(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*))
+    val df = spark.read.parquet(s"$dir/terms")
+      .filter(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    postings.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("ts",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("ts")), 4).as("score"),
+        count(lit(1)).cast("int").as("matched_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("score"), col("matched_terms"))
+  }
+}

@@ -148,6 +148,34 @@ object TextQueries {
       |  SELECT w2.tok, w2.w - 0.5 * g3.g AS w FROM w2 JOIN g3 ON w2.tok = g3.tok
       |)""".stripMargin
 
+  /** The Okapi BM25 oracle shared by the in-flight query and the
+    * persisted-index path (both must hash-match it verbatim). */
+  private val bm25Oracle: Option[String] =
+    Some("""WITH docs AS (
+           |  SELECT doc_id, text,
+           |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+           |  FROM documents
+           |), stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs
+           |), tf AS (
+           |  SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS w FROM docs)
+           |  WHERE w IN ('spark', 'window', 'dup')
+           |  GROUP BY 1, 2, 3
+           |), df AS (
+           |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+           |), scored AS (
+           |  SELECT tf.doc_id,
+           |    round(sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           |      * tf.tf * (1.2 + 1.0)
+           |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS score,
+           |    CAST(count(*) AS INT) AS matched_terms
+           |  FROM tf JOIN df USING (w) CROSS JOIN stats s
+           |  GROUP BY tf.doc_id
+           |)
+           |SELECT doc_id, score, matched_terms FROM scored
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+
   def all: Seq[OracleQuery] = Seq(
     // BM25 full-text retrieval (Robertson/Okapi, the Lucene-default
     // scoring): rank documents for a bounded query-term set. Scale
@@ -189,30 +217,27 @@ object TextQueries {
         scored.orderBy($"score".desc, $"doc_id").limit(10)
           .select($"doc_id", $"score", $"matched_terms")
       },
-      Some("""WITH docs AS (
-             |  SELECT doc_id, text,
-             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
-             |  FROM documents
-             |), stats AS (
-             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs
-             |), tf AS (
-             |  SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
-             |  FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS w FROM docs)
-             |  WHERE w IN ('spark', 'window', 'dup')
-             |  GROUP BY 1, 2, 3
-             |), df AS (
-             |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
-             |), scored AS (
-             |  SELECT tf.doc_id,
-             |    round(sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
-             |      * tf.tf * (1.2 + 1.0)
-             |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS score,
-             |    CAST(count(*) AS INT) AS matched_terms
-             |  FROM tf JOIN df USING (w) CROSS JOIN stats s
-             |  GROUP BY tf.doc_id
-             |)
-             |SELECT doc_id, score, matched_terms FROM scored
-             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+      bm25Oracle
+    ),
+
+    // BM25 through the PERSISTED inverted index (ops/SearchIndex) —
+    // the production retrieval path: build once (postings sorted by
+    // term, doc length denormalized into the posting row, df and
+    // corpus stats alongside), then a query reads O(query terms) of
+    // the index via `term IN (...)` parquet pushdown — never the
+    // corpus. Must hash-match the in-flight text_bm25_search oracle
+    // VERBATIM: identical Okapi spelling over the same numbers, so the
+    // index build (tf/df/dl/avgdl persistence) is what's on trial.
+    OracleQuery(
+      "text_bm25_indexed",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_search_idx").toString
+        graft.ops.SearchIndex.build(Tables.documents(s, d), tmp)
+        graft.ops.SearchIndex.search(s, tmp, Seq("spark", "window", "dup"))
+      },
+      // text_bm25_search's oracle, verbatim — THE equivalence statement
+      bm25Oracle
     ),
 
     // Token counting: whitespace tokens + a regex word tokenizer (the
