@@ -98,7 +98,12 @@ object Bench {
     "mm_dedup_videofp",    // luma-delta video near-dup fingerprint
     "a54_holm_bonferroni", // FWER-controlled one-vs-rest mean tests
     "pipe_group_split",    // leakage-free entity-hash split + proof
-    "text_bm25_indexed")   // BM25 via the persisted inverted index
+    "text_bm25_indexed",   // BM25 via the persisted inverted index
+    "a55_bh_fdr",          // step-up FDR screen over quantized z's
+    "a56_kruskal_wallis",  // K-group rank test, bucketed prefix-sum ranks
+    "pipe_dsir_resample",  // DSIR: hashed-unigram importance selection
+    "w25_kalman_level",    // per-key local-level Kalman filter fold
+    "a57_mcnemar")         // paired discordant-cell test (exact integers)
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is
@@ -214,6 +219,7 @@ object Bench {
       ++ section("zorderScan")(zorderScanBench(spark, sfDir))
       ++ skewRows
       ++ section("bloomScan")(bloomScanBench(spark, sfDir))
+      ++ section("manifestScan")(manifestScanBench(spark, sfDir))
       ++ section("intervalJoin")(intervalJoinBench(spark, sfDir))
       ++ section("graphCands")(graphCandsBench(spark, sfDir))
       ++ section("simCands")(simCandsBench(spark, sfDir)))
@@ -331,6 +337,46 @@ object Bench {
     Seq(
       "scan_range_sorted_layout" -> timeRead(s"$tmp/sorted"),
       "scan_range_unsorted_layout" -> timeRead(s"$tmp/unsorted"))
+  }
+
+  /** Manifest A/B: the same selective day-range read against a 64-file
+    * time-sorted layout, (a) through Spark's own listing + per-file
+    * footer reads, (b) through ops/Manifest's file-level min/max side
+    * table (candidate files resolved from a KB-sized metadata read, only
+    * those files handed to the reader). Locally both prune the same
+    * bytes, so the delta is pure planning/footer overhead — small at 64
+    * files, the point at 10⁵⁺; the `_files_read` telemetry row is the
+    * scale signal (candidate files must stay O(matching span), not
+    * O(table)). */
+  private def manifestScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_manifest").toString
+    withReplicatedEvents(spark, sfDir) { events =>
+      graft.sources.Sinks.writeSortedBy(events, s"$tmp/data", Seq("ts"), numFiles = 64)
+    }
+    graft.ops.Manifest.write(spark, s"$tmp/data", s"$tmp/manifest", Seq("ts"))
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-10 23:59:59")
+    def timeFull(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$tmp/data")
+        .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timePruned(): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Manifest.readRange(spark, s"$tmp/data", s"$tmp/manifest", "ts", lo, hi)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeFull(); timePruned() // warm both paths once
+    val nCand = graft.ops.Manifest
+      .candidateFiles(spark, s"$tmp/manifest", "ts", lo, hi).length
+    Seq(
+      "scan_manifest_pruned" -> timePruned(),
+      "scan_manifest_full" -> timeFull(),
+      "scan_manifest_files_read" -> nCand.toDouble)
   }
 
   /** Strategy A/B: one deliberately skewed fact⋈dim join, three ways —

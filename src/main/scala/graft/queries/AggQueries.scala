@@ -2789,6 +2789,254 @@ object AggQueries {
              |FROM flagged ORDER BY rank""".stripMargin)
     ),
 
+    // Benjamini–Hochberg FDR (a55) — the step-UP companion to a54's
+    // step-down: Holm controls the family-wise error rate (any false
+    // positive), BH controls the false-discovery RATE (share of false
+    // positives among rejections) — the right knob when the five tests
+    // are screening candidates rather than gating a launch. Same
+    // one-aggregate z machinery as a54; criticals are z(α·r/(2k)) for
+    // rank r, and the step-up rule rejects EVERY rank ≤ the largest
+    // rank whose own z clears its critical — a rank whose z misses its
+    // own bar is still rejected if a weaker rank clears (the property
+    // that distinguishes BH from Holm, asserted in the spec). All
+    // decisions are exact integer comparisons on 1e-4-quantized z.
+    OracleQuery(
+      "a55_bh_fdr",
+      (s, d) => {
+        import s.implicits._
+        val x = $"o_totalprice" / 65536.0
+        val g = Tables.orders(s, d)
+          .groupBy($"o_orderpriority".as("grp"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(floor(x * 1000000.0 + 0.5).cast("long")).as("sq"),
+            sum(floor(x * x * 1000000.0 + 0.5).cast("long")).as("ssq"))
+        val tot = g.agg(sum($"n").as("nt"), sum($"sq").as("sqt"), sum($"ssq").as("ssqt"))
+        val z = g.crossJoin(broadcast(tot))
+          .withColumn("nr", $"nt" - $"n")
+          .withColumn("s1", $"sq".cast("double") / 1000000.0)
+          .withColumn("ss1", $"ssq".cast("double") / 1000000.0)
+          .withColumn("s2", ($"sqt" - $"sq").cast("double") / 1000000.0)
+          .withColumn("ss2", ($"ssqt" - $"ssq").cast("double") / 1000000.0)
+          .withColumn("se", sqrt(
+            (($"ss1" - $"s1" * $"s1" / $"n") / ($"n" - 1)) / $"n" +
+              (($"ss2" - $"s2" * $"s2" / $"nr") / ($"nr" - 1)) / $"nr"))
+          .withColumn("zval", ($"s1" / $"n" - $"s2" / $"nr") / $"se")
+          .withColumn("zq", floor(abs($"zval") * 10000.0 + 0.5).cast("long"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .orderBy($"zq".desc, $"grp")
+        val wAll = org.apache.spark.sql.expressions.Window
+          .orderBy($"rank").rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        // two-sided z criticals for α=0.05 step-up, k=5: α·r/k at rank r
+        val crits = array(lit(25758L), lit(23263L), lit(21701L), lit(20537L), lit(19600L))
+        z.withColumn("rank", row_number().over(wRank))
+          .withColumn("crit", element_at(crits, $"rank"))
+          .withColumn("hit", $"zq" > $"crit")
+          .withColumn("kstar",
+            coalesce(max(when($"hit", $"rank")).over(wAll), lit(0)))
+          .select($"grp", $"n",
+            graft.core.Parity.floorRound4($"zval").as("z"),
+            $"rank", $"hit", ($"rank" <= $"kstar").as("reject_bh"))
+          .orderBy($"rank")
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderpriority AS grp, count(*) AS n,
+             |    sum(CAST(floor((o_totalprice / 65536.0) * 1000000.0 + 0.5)
+             |      AS BIGINT)) AS sq,
+             |    sum(CAST(floor((o_totalprice / 65536.0) * (o_totalprice / 65536.0)
+             |      * 1000000.0 + 0.5) AS BIGINT)) AS ssq
+             |  FROM orders GROUP BY 1
+             |), tot AS (
+             |  SELECT sum(n) AS nt, sum(sq) AS sqt, sum(ssq) AS ssqt FROM g
+             |), z AS (
+             |  SELECT grp, n,
+             |    ((CAST(sq AS DOUBLE) / 1000000.0) / n
+             |      - (CAST(sqt - sq AS DOUBLE) / 1000000.0) / (nt - n))
+             |    / sqrt(
+             |      (((CAST(ssq AS DOUBLE) / 1000000.0)
+             |        - (CAST(sq AS DOUBLE) / 1000000.0) * (CAST(sq AS DOUBLE) / 1000000.0) / n)
+             |        / (n - 1)) / n
+             |      + (((CAST(ssqt - ssq AS DOUBLE) / 1000000.0)
+             |        - (CAST(sqt - sq AS DOUBLE) / 1000000.0) * (CAST(sqt - sq AS DOUBLE) / 1000000.0) / (nt - n))
+             |        / ((nt - n) - 1)) / (nt - n)) AS zval
+             |  FROM g CROSS JOIN tot
+             |), q AS (
+             |  SELECT grp, n, zval,
+             |    CAST(floor(abs(zval) * 10000.0 + 0.5) AS BIGINT) AS zq
+             |  FROM z
+             |), ranked AS (
+             |  SELECT grp, n, zval, zq,
+             |    CAST(row_number() OVER (ORDER BY zq DESC, grp) AS INT) AS rank
+             |  FROM q
+             |), crit AS (
+             |  SELECT r.*, ([25758, 23263, 21701, 20537, 19600])[rank] AS crit
+             |  FROM ranked r
+             |), flagged AS (
+             |  SELECT grp, n, zval, rank, zq > crit AS hit,
+             |    coalesce(max(CASE WHEN zq > crit THEN rank END) OVER (), 0) AS kstar
+             |  FROM crit
+             |)
+             |SELECT grp, CAST(n AS BIGINT) AS n,
+             |  floor(zval * 10000 + 0.5) / 10000 AS z,
+             |  rank, hit, rank <= kstar AS reject_bh
+             |FROM flagged ORDER BY rank""".stripMargin)
+    ),
+
+    // Kruskal–Wallis H (a56) — the K-group generalization of a47's
+    // Mann–Whitney and the rank-based (distribution-free) twin of
+    // a49's ANOVA F: "do the K groups share a location" without the
+    // normality assumption ANOVA leans on. Scale shape: ranks are NEVER
+    // a per-row global sort — the a20 recipe groups to per-value tie
+    // counts first and takes ONE bucketed prefix sum over the (much
+    // smaller) distinct-value frame via ops/PrefixSum, so average ranks
+    // come from arithmetic on (cum_t, t), all exactly-representable
+    // longs and .5-granular doubles. Per-group rank sums are
+    // DECIMAL(38,1)-cast (exact at .5 granularity), the K-row Σ R²/n
+    // reduction is DECIMAL-cast per a44b, and the tie correction
+    // Σ(t³−t) is an exact integer sum. The rejection compares
+    // 1e-4-quantized H against the embedded χ²(k−1, 0.95) critical.
+    OracleQuery(
+      "a56_kruskal_wallis",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).filter($"value".isNotNull)
+          .select($"event_type".as("grp"), $"value".as("v"))
+        val perVal = ev.groupBy($"v").agg(count(lit(1)).as("t"))
+          .withColumn("g", lit("all"))
+        val cum = graft.ops.PrefixSum
+          .withCumsum(perVal, "g", "v", "t", "cum_t")
+          .withColumn("avgrank", ($"cum_t" - $"t") + ($"t" + lit(1)) / 2.0)
+        val perGV = ev.groupBy($"grp", $"v").agg(count(lit(1)).as("c"))
+        val rg = perGV.join(cum.select($"v", $"avgrank"), "v")
+          .groupBy($"grp")
+          .agg(sum($"c").as("ng"),
+            sum(($"c" * $"avgrank").cast("decimal(38,1)")).cast("double").as("rg"))
+        val ties = perVal.agg(
+          sum($"t").cast("double").as("nn"),
+          sum(($"t" * $"t" * $"t" - $"t").cast("decimal(38,0)")).cast("double").as("t3"))
+        val crits = array(lit(38415L), lit(59915L), lit(78147L),
+          lit(94877L), lit(110705L), lit(125916L), lit(140671L))
+        rg.crossJoin(broadcast(ties))
+          .withColumn("term", ($"rg" * $"rg" / $"ng").cast("decimal(38,6)"))
+          .groupBy()
+          .agg(max($"nn").as("nn"), sum($"term").cast("double").as("sterm"),
+            count(lit(1)).as("k"), max($"t3").as("t3"))
+          .withColumn("h",
+            lit(12.0) / ($"nn" * ($"nn" + 1.0)) * $"sterm" - lit(3.0) * ($"nn" + 1.0))
+          .withColumn("cc",
+            lit(1.0) - $"t3" / ($"nn" * $"nn" * $"nn" - $"nn"))
+          .withColumn("hc", $"h" / nullif($"cc", lit(0.0)))
+          .withColumn("crit", element_at(crits, ($"k" - 1).cast("int")))
+          .select(
+            $"nn".cast("long").as("n"), $"k".cast("long").as("k"),
+            graft.core.Parity.floorRound4($"h").as("h"),
+            graft.core.Parity.floorRound4($"hc").as("h_tie_corrected"),
+            (floor(abs($"hc") * 10000.0 + 0.5).cast("long") > $"crit").as("reject_05"))
+      },
+      Some("""WITH pv AS (
+             |  SELECT value AS v, count(*) AS t FROM events
+             |  WHERE value IS NOT NULL GROUP BY 1
+             |), cum AS (
+             |  SELECT v, t, sum(t) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t
+             |  FROM pv
+             |), r AS (
+             |  SELECT v, (cum_t - t) + (t + 1) / 2.0 AS avgrank FROM cum
+             |), gv AS (
+             |  SELECT event_type AS grp, value AS v, count(*) AS c
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+             |), rg AS (
+             |  SELECT grp, sum(c) AS ng,
+             |    CAST(sum(CAST(c * avgrank AS DECIMAL(38,1))) AS DOUBLE) AS rg
+             |  FROM gv JOIN r USING (v) GROUP BY grp
+             |), ties AS (
+             |  SELECT CAST(sum(t) AS DOUBLE) AS nn,
+             |    CAST(sum(CAST(t*t*t - t AS DECIMAL(38,0))) AS DOUBLE) AS t3
+             |  FROM pv
+             |), agg AS (
+             |  SELECT max(nn) AS nn,
+             |    CAST(sum(CAST(rg * rg / ng AS DECIMAL(38,6))) AS DOUBLE) AS sterm,
+             |    count(*) AS k, max(t3) AS t3
+             |  FROM rg CROSS JOIN ties
+             |), hs AS (
+             |  SELECT nn, k,
+             |    12.0 / (nn * (nn + 1.0)) * sterm - 3.0 * (nn + 1.0) AS h,
+             |    1.0 - t3 / (nn * nn * nn - nn) AS cc
+             |  FROM agg
+             |), hc AS (
+             |  SELECT nn, k, h, h / nullif(cc, 0.0) AS hc FROM hs
+             |)
+             |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             |  floor(h * 10000 + 0.5) / 10000 AS h,
+             |  floor(hc * 10000 + 0.5) / 10000 AS h_tie_corrected,
+             |  CAST(floor(abs(hc) * 10000.0 + 0.5) AS BIGINT)
+             |    > ([38415, 59915, 78147, 94877, 110705, 125916, 140671])[k - 1]
+             |    AS reject_05
+             |FROM hc""".stripMargin)
+    ),
+
+    // McNemar paired test (a57) — the PAIRED member of the test family:
+    // a48's chi-square treats two samples as independent, but "did the
+    // SAME users convert in both halves of the month" is a
+    // within-subject question, and the discordant-pair statistic
+    // (b−c)²/(b+c) is its correct instrument (concordant pairs carry no
+    // information about marginal change and drop out). Scale shape: one
+    // hash aggregate to the user grain (two conditional maxes), one
+    // 4-cell reduction. EXACTNESS: b, c are integers, so the rejection
+    // is spelled as the cross-multiplied INTEGER comparison
+    // (b−c)²·10⁴ > 38415·(b+c) — no division anywhere near the
+    // verdict, immune to every float hazard; only the display
+    // statistic divides, under the floor spelling.
+    OracleQuery(
+      "a57_mcnemar",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(
+            max(when($"event_type" === "purchase" && dayofmonth($"ts") <= 15, 1)
+              .otherwise(0)).as("a"),
+            max(when($"event_type" === "purchase" && dayofmonth($"ts") >= 16, 1)
+              .otherwise(0)).as("b"))
+        per.agg(
+            sum(when($"a" === 1 && $"b" === 0, 1L).otherwise(0L)).as("n10"),
+            sum(when($"a" === 0 && $"b" === 1, 1L).otherwise(0L)).as("n01"),
+            sum(when($"a" === 1 && $"b" === 1, 1L).otherwise(0L)).as("n11"),
+            sum(when($"a" === 0 && $"b" === 0, 1L).otherwise(0L)).as("n00"))
+          .select($"n10", $"n01", $"n11", $"n00",
+            graft.core.Parity.floorRound4(
+              (($"n10" - $"n01") * ($"n10" - $"n01")).cast("double")
+                / nullif(($"n10" + $"n01").cast("double"), lit(0.0))).as("mcnemar"),
+            (($"n10" - $"n01") * ($"n10" - $"n01") * lit(10000L)
+              > lit(38415L) * ($"n10" + $"n01")).as("reject_05"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase'
+             |      AND date_part('day', ts) <= 15 THEN 1 ELSE 0 END) AS a,
+             |    max(CASE WHEN event_type = 'purchase'
+             |      AND date_part('day', ts) >= 16 THEN 1 ELSE 0 END) AS b
+             |  FROM events GROUP BY user_id
+             |), cells AS (
+             |  SELECT
+             |    sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+             |    sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+             |    sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+             |    sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+             |  FROM per
+             |)
+             |SELECT CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+             |  CAST(n11 AS BIGINT) AS n11, CAST(n00 AS BIGINT) AS n00,
+             |  floor(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+             |    / nullif(CAST(n10 + n01 AS DOUBLE), 0.0) * 10000 + 0.5) / 10000
+             |    AS mcnemar,
+             |  (n10 - n01) * (n10 - n01) * 10000 > 38415 * (n10 + n01)
+             |    AS reject_05
+             |FROM cells""".stripMargin)
+    ),
+
     // TOST equivalence test (a53) — the inverse question of a47/a49:
     // not "do these groups differ" but "are they the SAME within a
     // margin" (launch gates are equivalence questions: a significant

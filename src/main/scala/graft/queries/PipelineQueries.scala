@@ -2106,6 +2106,79 @@ object PipelineQueries {
              |  floor((n_t / tt.tot) * (sy_t / n_t - sy_c / n_c) * 10000 + 0.5) / 10000
              |    AS att_term
              |FROM strata CROSS JOIN tt ORDER BY b""".stripMargin)
+    ),
+
+    // DSIR importance resampling (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling") — THE published
+    // recipe for "select raw-crawl docs that look like a target
+    // corpus": fit hashed bag-of-words unigram models for target (here
+    // lang='en') and raw (the whole pool), weight every doc by the
+    // log-likelihood ratio Σ_tokens ln(p̂_t(b)/p̂_r(b)) over 1024
+    // md5-hashed buckets (Laplace-smoothed), and keep the top-k. Scale
+    // shape: the "model" is a 1024-row bucket table — ONE hash
+    // aggregate over the exploded corpus builds both distributions
+    // (target count rides as a conditional sum beside the raw count),
+    // and scoring is a BROADCAST join of that tiny table against
+    // per-doc bucket counts: two corpus passes, no shuffle wider than
+    // (doc_id, bucket), selection via top-k, exactly how the paper
+    // runs at CommonCrawl scale. Determinism: each bucket's log-ratio
+    // is quantized ONCE to a 1e-8 long (ln's cross-engine last-ulp
+    // risk confined to a grid-boundary landing, the accepted a44b
+    // class); doc scores are then Σ n·lrq — EXACT integer arithmetic —
+    // so the ranking and the hash gate ride on longs, never on
+    // float summation order.
+    OracleQuery(
+      "pipe_dsir_resample",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val feat = docs
+          .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+          .select($"doc_id", $"lang",
+            pmod(expr(Shingles.h60("w")), lit(1024L)).as("b"))
+        val perB = feat.groupBy($"b").agg(
+          count(lit(1)).as("cr"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+        val tots = perB.agg(sum($"cr").as("nr"), sum($"ct").as("nt"))
+        val lr = perB.crossJoin(broadcast(tots))
+          .select($"b", floor(
+            (log(($"ct" + 1.0) / ($"nt" + 1024.0))
+              - log(($"cr" + 1.0) / ($"nr" + 1024.0))) * 1e8 + 0.5)
+            .cast("long").as("lrq"))
+        val dbc = feat.groupBy($"doc_id", $"b").agg(count(lit(1)).as("n"))
+        dbc.join(broadcast(lr), "b")
+          .groupBy($"doc_id").agg(sum($"n" * $"lrq").as("wq"))
+          .join(docs.select($"doc_id", $"lang"), "doc_id")
+          .orderBy($"wq".desc, $"doc_id")
+          .limit(50)
+          .select($"doc_id", $"lang", $"wq")
+      },
+      Some("""WITH feat AS (
+             |  SELECT doc_id, lang,
+             |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b
+             |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |), per_b AS (
+             |  SELECT b, count(*) AS cr,
+             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+             |  FROM feat GROUP BY b
+             |), tots AS (
+             |  SELECT sum(cr) AS nr, sum(ct) AS nt FROM per_b
+             |), lr AS (
+             |  SELECT b,
+             |    CAST(floor((ln((ct + 1.0) / (nt + 1024.0))
+             |              - ln((cr + 1.0) / (nr + 1024.0))) * 100000000.0 + 0.5)
+             |      AS BIGINT) AS lrq
+             |  FROM per_b CROSS JOIN tots
+             |), dbc AS (
+             |  SELECT doc_id, b, count(*) AS n FROM feat GROUP BY 1, 2
+             |), w AS (
+             |  SELECT doc_id, sum(n * lrq) AS wq
+             |  FROM dbc JOIN lr USING (b) GROUP BY doc_id
+             |)
+             |SELECT w.doc_id, d.lang, CAST(w.wq AS BIGINT) AS wq
+             |FROM w JOIN documents d USING (doc_id)
+             |ORDER BY w.wq DESC, w.doc_id LIMIT 50""".stripMargin)
     )
   )
 }

@@ -1051,6 +1051,66 @@ object WindowQueries {
                |  AND a.event_type <> b.event_type
                |GROUP BY 1, 2, 3
                |ORDER BY a, b, lag""".stripMargin)
+      ),
+
+      // W25: per-key local-level Kalman filter (ops/KalmanLevel) — the
+      // adaptive-gain member of the smoothing family: w8's EWMA takes a
+      // fixed α on faith, the Kalman recursion DERIVES the per-step
+      // gain from stated noise variances (q = level drift, r = obs
+      // noise) and converges to the steady-state gain — early
+      // observations move the level more while uncertainty is high,
+      // exactly what a cold-start metric series needs. Same scale shape
+      // as w21 (one key exchange + local sort + 2-double state fold);
+      // the oracle replays the identical IEEE recursion as a recursive
+      // CTE (q=0.5, r=4.0 are dyadic, so the literals are exact in both
+      // engines); gains are data-independent so the gain column doubles
+      // as a convergence probe.
+      OracleQuery(
+        "w25_kalman_level",
+        (s, d) => {
+          import s.implicits._
+          def r4(c: org.apache.spark.sql.Column) =
+            floor(c * 10000 + 0.5) / 10000
+          val daily = Tables.events(s, d)
+            .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+            .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("y"))
+          graft.ops.KalmanLevel
+            .perKey(daily, "event_type", Seq("day"), "y", q = 0.5, r = 4.0)
+            .select($"event_type", $"day", round($"y", 4).as("y"),
+              r4($"level").as("level"), r4($"gain").as("gain"),
+              r4($"variance").as("variance"))
+            .orderBy($"event_type", $"day")
+        },
+        Some("""WITH RECURSIVE daily AS (
+               |  SELECT event_type, date_trunc('day', ts) AS day,
+               |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+               |  FROM events GROUP BY 1, 2
+               |), pos AS (
+               |  SELECT event_type, day, y,
+               |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+               |  FROM daily
+               |), rec AS (
+               |  SELECT event_type, day, y, rn, y AS x,
+               |    CAST(4.0 AS DOUBLE) AS p, CAST(1.0 AS DOUBLE) AS k
+               |  FROM pos WHERE rn = 1
+               |  UNION ALL
+               |  SELECT n.event_type, n.day, n.y, n.rn,
+               |    r.x + ((r.p + CAST(0.5 AS DOUBLE))
+               |      / ((r.p + CAST(0.5 AS DOUBLE)) + CAST(4.0 AS DOUBLE)))
+               |      * (n.y - r.x) AS x,
+               |    (1 - ((r.p + CAST(0.5 AS DOUBLE))
+               |      / ((r.p + CAST(0.5 AS DOUBLE)) + CAST(4.0 AS DOUBLE))))
+               |      * (r.p + CAST(0.5 AS DOUBLE)) AS p,
+               |    ((r.p + CAST(0.5 AS DOUBLE))
+               |      / ((r.p + CAST(0.5 AS DOUBLE)) + CAST(4.0 AS DOUBLE))) AS k
+               |  FROM rec r JOIN pos n
+               |    ON n.event_type = r.event_type AND n.rn = r.rn + 1
+               |)
+               |SELECT event_type, day, round(y, 4) AS y,
+               |  floor(x * 10000 + 0.5) / 10000 AS level,
+               |  floor(k * 10000 + 0.5) / 10000 AS gain,
+               |  floor(p * 10000 + 0.5) / 10000 AS variance
+               |FROM rec ORDER BY event_type, day""".stripMargin)
       )
     )
   }

@@ -285,6 +285,82 @@ class StatTestsSpec extends SparkSpec {
     }
   }
 
+  test("a55_bh_fdr: step-up rejects the prefix through the largest hit; ⊇ Holm") {
+    val bh = Registry.queries("a55_bh_fdr")(spark, sf).collect()
+    val holm = Registry.queries("a54_holm_bonferroni")(spark, sf).collect()
+    assert(bh.length == 5 && holm.length == 5)
+    // step-up semantics: reject_bh ⟺ rank ≤ k* = max rank whose own z
+    // clears its critical (ranks BELOW k* are rejected even on a miss)
+    val kstar = bh.filter(_.getBoolean(4)).map(_.getInt(3))
+      .foldLeft(0)(math.max)
+    bh.foreach { r =>
+      assert(r.getBoolean(5) == (r.getInt(3) <= kstar),
+        s"${r.getString(0)}: rank ${r.getInt(3)} vs kstar $kstar")
+    }
+    // FDR is never more conservative than FWER: every Holm critical
+    // α/(k−r+1) ≤ the BH critical α·r/k at the same rank, so Holm's
+    // rejection set must be a subset of BH's
+    val bhRej = bh.filter(_.getBoolean(5)).map(_.getString(0)).toSet
+    val holmRej = holm.filter(_.getBoolean(5)).map(_.getString(0)).toSet
+    assert(holmRej.subsetOf(bhRej), s"holm=$holmRej bh=$bhRej")
+    // identical z machinery: z agrees with a54 group-for-group
+    val zBh = bh.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    holm.foreach(r => assert(zBh(r.getString(0)) == r.getDouble(2)))
+  }
+
+  test("a56_kruskal_wallis: driver replay of H and the tie correction") {
+    import spark.implicits._
+    val r = Registry.queries("a56_kruskal_wallis")(spark, sf).collect()(0)
+    val xs = Tables.events(spark, sf)
+      .filter($"value".isNotNull).select($"event_type", $"value")
+      .as[(String, Double)].collect()
+    val n = xs.length
+    val sorted = xs.map(_._2).sorted
+    val firstIdx = scala.collection.mutable.Map[Double, Int]()
+    val cnt = scala.collection.mutable.Map[Double, Int]()
+    sorted.zipWithIndex.foreach { case (v, i) =>
+      if (!firstIdx.contains(v)) firstIdx(v) = i + 1
+      cnt(v) = cnt.getOrElse(v, 0) + 1
+    }
+    def avgRank(v: Double) = firstIdx(v) + (cnt(v) - 1) / 2.0
+    val groups = xs.groupBy(_._1)
+    val sterm = groups.values.map { g =>
+      val rg = g.map(x => avgRank(x._2)).sum
+      rg * rg / g.length
+    }.sum
+    val h = 12.0 / (n.toDouble * (n + 1)) * sterm - 3.0 * (n + 1)
+    val t3 = cnt.values.map(t => t.toLong * t * t - t).sum.toDouble
+    val c = 1.0 - t3 / (n.toDouble * n * n - n)
+    assert(r.getLong(0) == n && r.getLong(1) == groups.size)
+    assert(math.abs(r.getDouble(2) - h) < 1e-3, s"h ${r.getDouble(2)} vs $h")
+    assert(math.abs(r.getDouble(3) - h / c) < 1e-3,
+      s"hc ${r.getDouble(3)} vs ${h / c}")
+    // rank sums are conserved: Σ R_g = N(N+1)/2 ⟹ H ≥ 0
+    assert(h >= 0.0)
+  }
+
+  test("a57_mcnemar: discordant cells replay; verdict is the exact integer comparison") {
+    import spark.implicits._
+    val r = Registry.queries("a57_mcnemar")(spark, sf).collect()(0)
+    val per = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", dayofmonth($"ts").as("dom"))
+      .as[(Long, String, Int)].collect()
+      .groupBy(_._1).view.mapValues { es =>
+        (es.exists(e => e._2 == "purchase" && e._3 <= 15),
+          es.exists(e => e._2 == "purchase" && e._3 >= 16))
+      }.toMap
+    val n10 = per.values.count { case (a, b) => a && !b }.toLong
+    val n01 = per.values.count { case (a, b) => !a && b }.toLong
+    val n11 = per.values.count { case (a, b) => a && b }.toLong
+    val n00 = per.values.count { case (a, b) => !a && !b }.toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((n10, n01, n11, n00)))
+    assert(n10 + n01 + n11 + n00 == per.size)
+    // verdict matches the cross-multiplied integer rule exactly
+    assert(r.getBoolean(5) ==
+      ((n10 - n01) * (n10 - n01) * 10000L > 38415L * (n10 + n01)))
+  }
+
   test("pipe_group_split: zero cross-split users under the group hash; row hash leaks") {
     val out = Registry.queries("pipe_group_split")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 3)
