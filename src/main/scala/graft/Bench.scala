@@ -103,7 +103,9 @@ object Bench {
     "a56_kruskal_wallis",  // K-group rank test, bucketed prefix-sum ranks
     "pipe_dsir_resample",  // DSIR: hashed-unigram importance selection
     "w25_kalman_level",    // per-key local-level Kalman filter fold
-    "a57_mcnemar")         // paired discordant-cell test (exact integers)
+    "a57_mcnemar",         // paired discordant-cell test (exact integers)
+    "o27_hilbert_key",     // 16-step Hilbert walk key (locality layout)
+    "o26_skew_audit")      // join-key skew stats + strategy recommendation
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is
@@ -559,6 +561,8 @@ object Bench {
       graft.ops.ZOrder.writeZOrderedBy(events, s"$tmp/zorder", "t", "user_id", numFiles = 8)
       graft.ops.ZOrder.writeZOrdered3By(events, s"$tmp/zorder3", "t", "user_id", "dh",
         numFiles = 8)
+      graft.ops.HilbertOrder.writeHilbertOrderedBy(events, s"$tmp/hilbert", "t", "user_id",
+        numFiles = 8)
     }
     // At local scale 32 cores decode this whole table in ~0.15s and the
     // page cache is warm right after the writes, so WALL TIME cannot
@@ -592,13 +596,15 @@ object Bench {
       ("scan_time_linear_layout", s"$tmp/linear", tPred),
       ("scan_time_zorder_layout", s"$tmp/zorder", tPred),
       ("scan_time_zorder3_layout", s"$tmp/zorder3", tPred),
+      ("scan_time_hilbert_layout", s"$tmp/hilbert", tPred),
       ("scan_user_linear_layout", s"$tmp/linear", uPred),
       ("scan_user_zorder_layout", s"$tmp/zorder", uPred),
       ("scan_user_zorder3_layout", s"$tmp/zorder3", uPred),
+      ("scan_user_hilbert_layout", s"$tmp/hilbert", uPred),
       ("scan_etype_linear_layout", s"$tmp/linear", ePred),
       ("scan_etype_zorder_layout", s"$tmp/zorder", ePred),
       ("scan_etype_zorder3_layout", s"$tmp/zorder3", ePred))
-    cases.foreach { case (_, d, p) => measuredRead(d, p) } // warm all four paths
+    cases.foreach { case (_, d, p) => measuredRead(d, p) } // warm all paths
     cases.flatMap { case (name, d, p) =>
       val (secs, mb) = measuredRead(d, p)
       Seq(name -> secs, s"${name}_mb" -> mb)

@@ -494,6 +494,132 @@ object CoreQueries {
       }
     ),
 
+    // O27: Hilbert curve key (ops/HilbertOrder) — the locality-
+    // preserving alternative to o9's Morton key: the z-curve jumps
+    // across quadrant seams (consecutive keys in opposite corners), the
+    // Hilbert walk moves one 4-neighbor step per key, so equal key
+    // ranges cover tighter rectangles and fewer row groups intersect a
+    // 2-dim predicate (the scan_*_hilbert BENCH cells measure it). The
+    // key is the standard 16-step xy2d rotate/reflect recurrence in
+    // exact integer arithmetic; the oracle replays the identical steps
+    // as a generated chain of MATERIALIZED CTEs (the quadrant XOR is a
+    // CASE on both sides, so no engine bit-op beyond & and − is
+    // needed). Same bucketization contract as o9 (ZOrder.bucket exact
+    // floor math, driver-known bounds).
+    OracleQuery(
+      "o27_hilbert_key",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.events(s, d)
+          .select($"event_id", unix_timestamp($"ts").as("t"), $"user_id")
+        val Array(b) = base.agg(
+          min($"t").cast("long"), max($"t").cast("long"),
+          min($"user_id").cast("long"), max($"user_id").cast("long")).collect()
+        graft.ops.HilbertOrder.withHilbertKey(
+            base,
+            graft.ops.ZOrder.bucket($"t", b.getLong(0), b.getLong(1)),
+            graft.ops.ZOrder.bucket($"user_id", b.getLong(2), b.getLong(3)),
+            "hkey")
+          .select($"event_id", $"hkey")
+          .orderBy($"hkey", $"event_id")
+      },
+      Some {
+        val steps = graft.ops.HilbertOrder.oracleSteps("event_id", "bk")
+        val last = s"h${graft.ops.HilbertOrder.DimBits - 1}"
+        s"""WITH base AS (
+           |  SELECT event_id, user_id,
+           |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS t
+           |  FROM events
+           |), bounds AS (
+           |  SELECT min(t) AS tmin, max(t) AS tmax,
+           |    min(user_id) AS umin, max(user_id) AS umax FROM base
+           |), bk AS (
+           |  SELECT event_id,
+           |    CAST(floor((t - tmin) * 65536 / (tmax - tmin + 1)) AS BIGINT) AS x,
+           |    CAST(floor((user_id - umin) * 65536 / (umax - umin + 1)) AS BIGINT) AS y,
+           |    CAST(0 AS BIGINT) AS d
+           |  FROM base CROSS JOIN bounds
+           |), $steps
+           |SELECT event_id, d AS hkey FROM $last
+           |ORDER BY hkey, event_id""".stripMargin
+      }
+    ),
+
+    // O26: join-key skew audit — the PLANNING INPUT for the j11/j12/
+    // skew-strategy family: before shipping a recurring fact⋈dim join
+    // to a cluster you measure the key distribution ONCE and pick the
+    // strategy from numbers, not folklore. One per-key count aggregate
+    // + one tiny reduction per key family; top-10 mass via an ordered
+    // limit (bounded). The recommendation is decided by EXACT INTEGER
+    // cross-multiplications (top1·10 ≥ rows ⟺ hot-key share ≥ 10% →
+    // hot/cold split; top1·keys ≥ 8·rows ⟺ top key ≥ 8× the mean →
+    // salt; else plain+AQE), so the label can never flip on a float
+    // ulp. Shares are display-rounded by the floor spelling.
+    OracleQuery(
+      "o26_skew_audit",
+      (s, d) => {
+        import s.implicits._
+        def audit(df: org.apache.spark.sql.DataFrame, fam: String, key: String) = {
+          // keys audit as STRINGS on both engines: the top-10 tiebreak
+          // (c DESC, k) must order identically, and a numeric-vs-lexico
+          // split at a tied rank-10 boundary would flip top10_cnt
+          val cnts = df.groupBy(col(key).cast("string").as("k"))
+            .agg(count(lit(1)).as("c"))
+          val top10 = cnts.orderBy($"c".desc, $"k").limit(10)
+            .agg(sum($"c").as("top10"))
+          cnts.agg(
+              sum($"c").as("n_rows"), count(lit(1)).as("n_keys"),
+              max($"c").as("top1"))
+            .crossJoin(broadcast(top10))
+            .select(
+              lit(fam).as("family"),
+              $"n_rows".cast("long").as("n_rows"),
+              $"n_keys".cast("long").as("n_keys"),
+              $"top1".cast("long").as("top1_cnt"),
+              $"top10".cast("long").as("top10_cnt"),
+              graft.core.Parity.floorRound4(
+                $"top1".cast("double") / $"n_rows").as("top1_share"),
+              graft.core.Parity.floorRound4(
+                $"top10".cast("double") / $"n_rows").as("top10_share"),
+              when($"top1" * 10 >= $"n_rows", "hot-cold-split")
+                .when($"top1" * $"n_keys" >= lit(8) * $"n_rows", "salt")
+                .otherwise("plain-aqe").as("strategy"))
+        }
+        audit(Tables.events(s, d), "events.user_id", "user_id")
+          .unionByName(audit(Tables.lineitem(s, d), "lineitem.l_orderkey", "l_orderkey"))
+          .unionByName(audit(Tables.orders(s, d), "orders.o_orderdate", "o_orderdate"))
+          .orderBy($"family")
+      },
+      Some("""WITH fams AS (
+             |  SELECT 'events.user_id' AS family, CAST(user_id AS VARCHAR) AS k FROM events
+             |  UNION ALL
+             |  SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'orders.o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+             |), cnts AS (
+             |  SELECT family, k, count(*) AS c FROM fams GROUP BY 1, 2
+             |), top10 AS (
+             |  SELECT family, sum(c) AS top10 FROM (
+             |    SELECT family, c,
+             |      row_number() OVER (PARTITION BY family ORDER BY c DESC, k) AS rn
+             |    FROM cnts) t
+             |  WHERE rn <= 10 GROUP BY family
+             |), agg AS (
+             |  SELECT family, sum(c) AS n_rows, count(*) AS n_keys, max(c) AS top1
+             |  FROM cnts GROUP BY family
+             |)
+             |SELECT a.family,
+             |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+             |  CAST(top1 AS BIGINT) AS top1_cnt, CAST(top10 AS BIGINT) AS top10_cnt,
+             |  floor(CAST(top1 AS DOUBLE) / n_rows * 10000 + 0.5) / 10000 AS top1_share,
+             |  floor(CAST(top10 AS DOUBLE) / n_rows * 10000 + 0.5) / 10000 AS top10_share,
+             |  CASE WHEN top1 * 10 >= n_rows THEN 'hot-cold-split'
+             |       WHEN top1 * n_keys >= 8 * n_rows THEN 'salt'
+             |       ELSE 'plain-aqe' END AS strategy
+             |FROM agg a JOIN top10 USING (family)
+             |ORDER BY family""".stripMargin)
+    ),
+
     // O10: dense global row ids — the DataFrame-world zipWithIndex.
     // A new corpus batch needs contiguous stable ids in a deterministic
     // order, and row_number() over a GLOBAL window is one reducer
