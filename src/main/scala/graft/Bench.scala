@@ -105,7 +105,8 @@ object Bench {
     "w25_kalman_level",    // per-key local-level Kalman filter fold
     "a57_mcnemar",         // paired discordant-cell test (exact integers)
     "o27_hilbert_key",     // 16-step Hilbert walk key (locality layout)
-    "o26_skew_audit")      // join-key skew stats + strategy recommendation
+    "o26_skew_audit",      // join-key skew stats + strategy recommendation
+    "a58_pr_curve")        // threshold-sweep confusion cells + P/R/F1
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -3037,6 +3037,73 @@ object AggQueries {
              |FROM cells""".stripMargin)
     ),
 
+    // Precision/recall/F1 threshold sweep (a58) — the confusion-matrix
+    // family a20's AUC summarizes away: a deployment picks ONE
+    // threshold, and the per-threshold (TP, FP, FN, TN) table is what
+    // that decision reads. Scale shape: ONE value-grain aggregate
+    // (score → pos/neg counts, the a20 recipe — at 100 TB quantize the
+    // score to a grid first, the a21 bin discipline), then an 8-row
+    // threshold fan-out over that tiny frame. All four cells are EXACT
+    // integer sums; precision/recall/F1 are single IEEE divisions of
+    // those longs (identical cross-engine), display-rounded by the
+    // floor spelling; zero-denominator cells go NULL via nullif on both
+    // sides.
+    OracleQuery(
+      "a58_pr_curve",
+      (s, d) => {
+        import s.implicits._
+        val perScore = Tables.events(s, d)
+          .select($"value".as("score"),
+            when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+          .groupBy($"score")
+          .agg(sum($"pos").as("np"), (count(lit(1)) - sum($"pos")).as("nn"))
+        val ths = explode(expr("sequence(25, 200, 25)")).as("th")
+        perScore.select($"score", $"np", $"nn", ths)
+          .groupBy($"th")
+          .agg(
+            sum(when($"score" >= $"th", $"np").otherwise(0L)).as("tp"),
+            sum(when($"score" >= $"th", $"nn").otherwise(0L)).as("fp"),
+            sum(when($"score" < $"th", $"np").otherwise(0L)).as("fn"),
+            sum(when($"score" < $"th", $"nn").otherwise(0L)).as("tn"))
+          .select($"th".cast("long").as("th"),
+            $"tp".cast("long").as("tp"), $"fp".cast("long").as("fp"),
+            $"fn".cast("long").as("fn"), $"tn".cast("long").as("tn"),
+            graft.core.Parity.floorRound4($"tp".cast("double")
+              / nullif(($"tp" + $"fp").cast("double"), lit(0.0))).as("precision"),
+            graft.core.Parity.floorRound4($"tp".cast("double")
+              / nullif(($"tp" + $"fn").cast("double"), lit(0.0))).as("recall"),
+            graft.core.Parity.floorRound4(lit(2.0) * $"tp"
+              / nullif((lit(2L) * $"tp" + $"fp" + $"fn").cast("double"), lit(0.0)))
+              .as("f1"))
+          .orderBy($"th")
+      },
+      Some("""WITH per_score AS (
+             |  SELECT value AS score,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS nn
+             |  FROM events GROUP BY value
+             |), cells AS (
+             |  SELECT th,
+             |    sum(CASE WHEN score >= th THEN np ELSE 0 END) AS tp,
+             |    sum(CASE WHEN score >= th THEN nn ELSE 0 END) AS fp,
+             |    sum(CASE WHEN score < th THEN np ELSE 0 END) AS fn,
+             |    sum(CASE WHEN score < th THEN nn ELSE 0 END) AS tn
+             |  FROM per_score CROSS JOIN (
+             |    SELECT unnest(generate_series(25, 200, 25)) AS th)
+             |  GROUP BY th
+             |)
+             |SELECT CAST(th AS BIGINT) AS th,
+             |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+             |  floor(CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)
+             |    * 10000 + 0.5) / 10000 AS precision,
+             |  floor(CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)
+             |    * 10000 + 0.5) / 10000 AS recall,
+             |  floor(2.0 * tp / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0)
+             |    * 10000 + 0.5) / 10000 AS f1
+             |FROM cells ORDER BY th""".stripMargin)
+    ),
+
     // TOST equivalence test (a53) — the inverse question of a47/a49:
     // not "do these groups differ" but "are they the SAME within a
     // margin" (launch gates are equivalence questions: a significant

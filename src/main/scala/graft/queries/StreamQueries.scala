@@ -502,6 +502,51 @@ object StreamQueries {
              |)
              |SELECT wstart, event_type, n, rn
              |FROM r WHERE rn <= 3 ORDER BY wstart, rn""".stripMargin)
+    ),
+
+    // Streaming local-level Kalman filter, hash-gated against the
+    // BATCH oracle verbatim (WindowQueries.kalmanLevelOracle — the w25
+    // recursive CTE): the daily frame replays as four day-ranged
+    // micro-batches and Streams.kalmanLevelStream folds each key's
+    // recursion across the batch seams from two doubles of state. The
+    // trial is the state handoff for an ORDER-SENSITIVE numeric
+    // recursion — where sessionization could merge a seam-split
+    // session after the fact, a Kalman fold that loses or re-orders
+    // one seam row diverges on every subsequent level and fails the
+    // hash. Outputs emit in the batch that consumed their input (no
+    // holdback), so the finite drain needs no sentinel flush; the fold
+    // spelling is byte-identical to ops/KalmanLevel, which is what
+    // makes bit-level parity with the batch oracle possible at all.
+    OracleQuery(
+      "stream_kalman_level",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+          .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("y"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_kalman").toString
+        val cuts = Seq("2024-01-01", "2024-01-09", "2024-01-17", "2024-01-25", "2024-02-02")
+        for (i <- 0 until 4) {
+          daily.filter($"day" >= lit(cuts(i)).cast("timestamp") &&
+              $"day" < lit(cuts(i + 1)).cast("timestamp"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
+        }
+        val src = s.readStream
+          .schema("event_type STRING, day TIMESTAMP, y DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in/*")
+        graft.streaming.Streams.runAvailableNow(
+          graft.streaming.Streams.kalmanLevelStream(src, q = 0.5, r = 4.0).toDF(),
+          s"$tmp/ckpt", s"$tmp/out")
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+        s.read.parquet(s"$tmp/out")
+          .select($"eventType".as("event_type"), $"day", round($"y", 4).as("y"),
+            r4($"level").as("level"), r4($"gain").as("gain"),
+            r4($"variance").as("variance"))
+          .orderBy($"event_type", $"day")
+      },
+      Some(WindowQueries.kalmanLevelOracle)
     )
   )
 }

@@ -16,6 +16,41 @@ import graft.core.Tables
   */
 object WindowQueries {
 
+  /** Shared by w25 (batch) and stream_kalman_level (the streaming twin
+    * must reproduce the batch output bit-for-bit, so it gates against
+    * the IDENTICAL oracle). */
+  private[queries] val kalmanLevelOracle: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+      |  FROM events GROUP BY 1, 2
+      |), pos AS (
+      |  SELECT event_type, day, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily
+      |), rec AS (
+      |  SELECT event_type, day, y, rn, y AS x,
+      |    CAST(4.0 AS DOUBLE) AS p, CAST(1.0 AS DOUBLE) AS k
+      |  FROM pos WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.event_type, n.day, n.y, n.rn,
+      |    r.x + ((r.p + CAST(0.5 AS DOUBLE))
+      |      / ((r.p + CAST(0.5 AS DOUBLE)) + CAST(4.0 AS DOUBLE)))
+      |      * (n.y - r.x) AS x,
+      |    (1 - ((r.p + CAST(0.5 AS DOUBLE))
+      |      / ((r.p + CAST(0.5 AS DOUBLE)) + CAST(4.0 AS DOUBLE))))
+      |      * (r.p + CAST(0.5 AS DOUBLE)) AS p,
+      |    ((r.p + CAST(0.5 AS DOUBLE))
+      |      / ((r.p + CAST(0.5 AS DOUBLE)) + CAST(4.0 AS DOUBLE))) AS k
+      |  FROM rec r JOIN pos n
+      |    ON n.event_type = r.event_type AND n.rn = r.rn + 1
+      |)
+      |SELECT event_type, day, round(y, 4) AS y,
+      |  floor(x * 10000 + 0.5) / 10000 AS level,
+      |  floor(k * 10000 + 0.5) / 10000 AS gain,
+      |  floor(p * 10000 + 0.5) / 10000 AS variance
+      |FROM rec ORDER BY event_type, day""".stripMargin
+
   def all: Seq[OracleQuery] = {
     // Shared partition/order: (user_id) ordered by (ts, event_id) — the
     // event_id tiebreak makes frames deterministic under equal timestamps.
@@ -1081,36 +1116,7 @@ object WindowQueries {
               r4($"variance").as("variance"))
             .orderBy($"event_type", $"day")
         },
-        Some("""WITH RECURSIVE daily AS (
-               |  SELECT event_type, date_trunc('day', ts) AS day,
-               |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
-               |  FROM events GROUP BY 1, 2
-               |), pos AS (
-               |  SELECT event_type, day, y,
-               |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
-               |  FROM daily
-               |), rec AS (
-               |  SELECT event_type, day, y, rn, y AS x,
-               |    CAST(4.0 AS DOUBLE) AS p, CAST(1.0 AS DOUBLE) AS k
-               |  FROM pos WHERE rn = 1
-               |  UNION ALL
-               |  SELECT n.event_type, n.day, n.y, n.rn,
-               |    r.x + ((r.p + CAST(0.5 AS DOUBLE))
-               |      / ((r.p + CAST(0.5 AS DOUBLE)) + CAST(4.0 AS DOUBLE)))
-               |      * (n.y - r.x) AS x,
-               |    (1 - ((r.p + CAST(0.5 AS DOUBLE))
-               |      / ((r.p + CAST(0.5 AS DOUBLE)) + CAST(4.0 AS DOUBLE))))
-               |      * (r.p + CAST(0.5 AS DOUBLE)) AS p,
-               |    ((r.p + CAST(0.5 AS DOUBLE))
-               |      / ((r.p + CAST(0.5 AS DOUBLE)) + CAST(4.0 AS DOUBLE))) AS k
-               |  FROM rec r JOIN pos n
-               |    ON n.event_type = r.event_type AND n.rn = r.rn + 1
-               |)
-               |SELECT event_type, day, round(y, 4) AS y,
-               |  floor(x * 10000 + 0.5) / 10000 AS level,
-               |  floor(k * 10000 + 0.5) / 10000 AS gain,
-               |  floor(p * 10000 + 0.5) / 10000 AS variance
-               |FROM rec ORDER BY event_type, day""".stripMargin)
+        Some(kalmanLevelOracle)
       )
     )
   }

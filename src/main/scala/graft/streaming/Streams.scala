@@ -231,6 +231,61 @@ object Streams {
   /** Open per-user session carried in the state store between
     * micro-batches (epoch millis — the state row stays 32 bytes no
     * matter how long the session runs). */
+  final case class KalmanState(x: Double, p: Double, lastMs: Long)
+  final case class KalmanPoint(eventType: String, day: java.sql.Timestamp,
+      y: Double, level: Double, gain: Double, variance: Double)
+
+  /** Streaming local-level Kalman filter — the stateful-stream twin of
+    * [[graft.ops.KalmanLevel.perKey]] (w25): state is TWO doubles per
+    * key (filtered level x and its variance p), each micro-batch folds
+    * its rows in event-time order from the saved state and emits every
+    * row's (level, gain, variance) immediately — nothing is held back,
+    * so no timeout/flush machinery is needed and an AvailableNow drain
+    * emits exactly one output row per input row.
+    *
+    * Order contract: the recursion is order-SENSITIVE, so rows for a
+    * key must arrive across batches in nondecreasing event time (the
+    * replay feeds day-ranged files in order; production pairs this
+    * with a watermark). A row older than the state's last timestamp is
+    * DROPPED — visible in any parity gate as a missing row, never as a
+    * silently corrupted fold. The fold spelling is byte-identical to
+    * the batch kernel's, so a seam-crossing key reproduces the batch
+    * output bit-for-bit (the hash gate rides on it). */
+  def kalmanLevelStream(daily: DataFrame, q: Double, r: Double): Dataset[KalmanPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .select(col("event_type"), col("day"), col("y"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KalmanState, KalmanPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+         state: GroupState[KalmanState]) =>
+          val sorted = rows.toIndexedSeq.sortBy(_._2.getTime)
+          var cur = state.getOption
+          val out = Vector.newBuilder[KalmanPoint]
+          for ((_, day, y) <- sorted) {
+            cur match {
+              case Some(s) if day.getTime < s.lastMs => () // late row: drop
+              case Some(s) =>
+                // spelled exactly as KalmanLevel.perKey
+                val pPred = s.p + q
+                val kg = pPred / (pPred + r)
+                val x = s.x + kg * (y - s.x)
+                val p = (1 - kg) * pPred
+                cur = Some(KalmanState(x, p, day.getTime))
+                out += KalmanPoint(key, day, y, x, kg, p)
+              case None =>
+                cur = Some(KalmanState(y, r, day.getTime))
+                out += KalmanPoint(key, day, y, y, 1.0, r)
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long, sumValue: Double)
 
   /** A gap-closed session as emitted downstream. */
