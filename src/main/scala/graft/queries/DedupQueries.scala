@@ -1036,6 +1036,120 @@ ORDER BY doc_a, doc_b""")
       "dedup_substring_spans_fast",
       (s, d) => substringSpans(s, d, hashedGrams = true),
       spansOracle
+    ),
+
+    // LSH banding EVALUATED against exact ground truth — the tuning
+    // harness every production MinHash deployment needs: banding's
+    // recall is the S-curve P(candidate) = 1 − (1 − J^r)^b, and before
+    // committing (b, r) to a 100 TB run you MEASURE it on a sample.
+    // This entry runs BOTH pipelines on a deterministic 40% doc sample
+    // (md5-hash gate — at full scale the truth side's uncapped gram
+    // self-join is deliberately quadratic-adjacent, which is exactly
+    // why the evaluation is sample-by-design) and emits recall per
+    // exact-Jaccard decile: truth pairs from the uncapped distinct-gram
+    // join (exact J as an integer-ratio floor — 10i/d is exact IEEE on
+    // both engines), candidates from the identical 8-hash/2-band
+    // spelling dedup_minhash_lsh gates, hit = candidate-set membership.
+    // The jb = −1 row carries the false-positive volume (candidates
+    // below J 0.3), the precision side of the same tuning decision.
+    OracleQuery(
+      "dedup_lsh_eval",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+          .filter(pmod(expr(h60("CAST(doc_id AS STRING)")), lit(5)) < 2)
+        val tok = Shingles.wordTrigrams(docs)
+          .select($"doc_id", expr(h60("gram")).as("g")).distinct()
+        val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("m"))
+        val scored = tok.as("a")
+          .join(tok.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("i"))
+          .join(sizes.select($"doc_id".as("da"), $"m".as("ma")), "da")
+          .join(sizes.select($"doc_id".as("db"), $"m".as("mb")), "db")
+          .withColumn("jb",
+            floor($"i" * 10.0 / ($"ma" + $"mb" - $"i")).cast("int"))
+        val sig = docs
+          .select($"doc_id", expr("minhash_sig(text)").as("sig"))
+          .filter($"sig".isNotNull)
+        val buckets = sig.select($"doc_id",
+          explode(array(
+            md5(concat_ws(",", (1 to 4).map(i => element_at($"sig", i)): _*)),
+            md5(concat_ws(",", (5 to 8).map(i => element_at($"sig", i)): _*)))).as("bucket"))
+        val cands = buckets.as("a")
+          .join(buckets.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val hits = scored.filter($"jb" >= 3)
+          .join(cands.withColumn("hit", lit(1)), Seq("da", "db"), "left")
+          .groupBy($"jb")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+          .select($"jb", $"n_pairs".cast("long").as("n_pairs"), $"n_hit",
+            graft.core.Parity.floorRound4(
+              $"n_hit".cast("double") / $"n_pairs").as("recall"))
+        val fps = cands
+          .join(scored.filter($"jb" >= 3).select($"da", $"db", lit(1).as("t")),
+            Seq("da", "db"), "left")
+          .filter($"t".isNull)
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(lit(-1).as("jb"), $"n_pairs".cast("long").as("n_pairs"),
+            lit(0L).as("n_hit"), lit(null).cast("double").as("recall"))
+        hits.unionByName(fps).orderBy($"jb")
+      },
+      Some("""WITH docs AS (
+             |  SELECT * FROM documents
+             |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 < 2
+             |), grams AS (
+             |  SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |      generate_series(1, len(string_split(text, ' ')) - 2),
+             |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+             |    )) AS gram
+             |    FROM docs WHERE len(string_split(text, ' ')) >= 3)
+             |), sizes AS (
+             |  SELECT doc_id, count(*) AS m FROM grams GROUP BY doc_id
+             |), scored AS (
+             |  SELECT da, db, CAST(floor(i * 10.0 / (sa.m + sb.m - i)) AS INT) AS jb
+             |  FROM (
+             |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+             |    GROUP BY 1, 2) s
+             |  JOIN sizes sa ON sa.doc_id = da
+             |  JOIN sizes sb ON sb.doc_id = db
+             |), sig AS (
+             |  SELECT doc_id, min(xor(g, 712544676207699905)) AS h0, min(xor(g, 477555723559750800)) AS h1, min(xor(g, 843997118510967411)) AS h2, min(xor(g, 272167847808552834)) AS h3, min(xor(g, 744500573154431855)) AS h4, min(xor(g, 365043529692375085)) AS h5, min(xor(g, 698153087624537793)) AS h6, min(xor(g, 141931123112680406)) AS h7
+             |  FROM grams GROUP BY doc_id
+             |), bands AS (
+             |  SELECT doc_id, md5(h0 || ',' || h1 || ',' || h2 || ',' || h3) AS bucket FROM sig
+             |  UNION ALL
+             |  SELECT doc_id, md5(h4 || ',' || h5 || ',' || h6 || ',' || h7) AS bucket FROM sig
+             |), cands AS (
+             |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |  FROM bands a JOIN bands b
+             |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+             |), hits AS (
+             |  SELECT jb, count(*) AS n_pairs,
+             |    CAST(sum(CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+             |  FROM scored t LEFT JOIN cands c ON t.da = c.da AND t.db = c.db
+             |  WHERE t.jb >= 3 GROUP BY jb
+             |), fps AS (
+             |  SELECT -1 AS jb, count(*) AS n_pairs, CAST(0 AS BIGINT) AS n_hit
+             |  FROM cands c LEFT JOIN (SELECT da, db FROM scored WHERE jb >= 3) t
+             |    ON c.da = t.da AND c.db = t.db
+             |  WHERE t.da IS NULL
+             |)
+             |SELECT jb, CAST(n_pairs AS BIGINT) AS n_pairs, n_hit,
+             |  floor(CAST(n_hit AS DOUBLE) / n_pairs * 10000 + 0.5) / 10000 AS recall
+             |FROM hits
+             |UNION ALL
+             |SELECT jb, CAST(n_pairs AS BIGINT) AS n_pairs, n_hit,
+             |  CAST(NULL AS DOUBLE) AS recall
+             |FROM fps
+             |ORDER BY jb""".stripMargin)
     )
   )
 
