@@ -224,6 +224,7 @@ object Bench {
       ++ skewRows
       ++ section("bloomScan")(bloomScanBench(spark, sfDir))
       ++ section("manifestScan")(manifestScanBench(spark, sfDir))
+      ++ section("compaction")(compactionBench(spark, sfDir))
       ++ section("intervalJoin")(intervalJoinBench(spark, sfDir))
       ++ section("graphCands")(graphCandsBench(spark, sfDir))
       ++ section("simCands")(simCandsBench(spark, sfDir)))
@@ -381,6 +382,35 @@ object Bench {
       "scan_manifest_pruned" -> timePruned(),
       "scan_manifest_full" -> timeFull(),
       "scan_manifest_files_read" -> nCand.toDouble)
+  }
+
+  /** Compaction A/B: the same full scan against 64 micro-files vs the
+    * FFD-compacted layout (ops/Compaction, 32 MB target). Locally the
+    * delta is task-scheduling overhead only (page cache hides I/O); at
+    * cluster scale per-file listing RPCs and footer reads scale the gap
+    * — `compaction_files_after` is the structural telemetry row. */
+  private def compactionBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_compact").toString
+    withReplicatedEvents(spark, sfDir) { events =>
+      events.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+    }
+    val groups = graft.ops.Compaction.plan(spark, s"$tmp/small", 32L * 1024 * 1024)
+    graft.ops.Compaction.compact(spark, groups, s"$tmp/out")
+    val kept = groups.filter(_.files.length <= 1).flatMap(_.files).map(_.path)
+    val outDirs = groups.filter(_.files.length > 1).map(g => s"$tmp/out/g${g.id}")
+    val compactedPaths = outDirs ++ kept
+    def timeScan(paths: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(paths: _*)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeScan(Seq(s"$tmp/small")); timeScan(compactedPaths) // warm
+    val nAfter = spark.read.parquet(compactedPaths: _*).inputFiles.length
+    Seq(
+      "scan_smallfiles_64" -> timeScan(Seq(s"$tmp/small")),
+      "scan_compacted" -> timeScan(compactedPaths),
+      "compaction_files_after" -> nAfter.toDouble)
   }
 
   /** Strategy A/B: one deliberately skewed fact⋈dim join, three ways —

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-file compaction — the OPTIMIZE half of table maintenance
+  * (the [[Manifest]] is the other): streaming sinks, per-trigger
+  * micro-batches and fine-grained partition overwrites leave a table as
+  * thousands of KB-scale files, and at 100 TB the per-file overhead
+  * (listing RPCs, footer reads, task scheduling — one task minimum per
+  * file) dominates scans long before data volume does.
+  *
+  * Two phases, deliberately separated:
+  *
+  *  - [[plan]] is PURE METADATA: list the data files (sizes from the
+  *    file system, no data read) and first-fit-decreasing bin-pack them
+  *    into groups of ≤ `targetBytes`. FFD is deterministic (sizes
+  *    descending, path as tiebreak) and within 11/9·OPT + 1 of optimal
+  *    bin count — the classical guarantee. Files ≥ target stay
+  *    singleton groups (already big enough; rewriting them buys
+  *    nothing). The plan is reviewable before any I/O happens.
+  *  - [[compact]] executes the plan: one read+write per MULTI-FILE
+  *    group (a group that is one file is ALREADY compact — copying it
+  *    would double its I/O for zero benefit, so it is left in place and
+  *    listed in the returned report as `kept`). Each rewritten group
+  *    coalesces to one output file.
+  *
+  * The driver holds only file metadata (path, size) — the same
+  * metadata-sized state bound as [[Manifest]] and Spark's own file
+  * index. Data never routes through the driver.
+  */
+object Compaction {
+
+  final case class FileMeta(path: String, bytes: Long)
+  final case class Group(id: Int, files: Seq[FileMeta]) {
+    def bytes: Long = files.map(_.bytes).sum
+  }
+
+  /** Data files under `dir` (non-recursive; `_`-prefixed metadata files
+    * like _SUCCESS excluded), sizes from the FS — no data read. */
+  def listFiles(spark: SparkSession, dir: String): Seq[FileMeta] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => FileMeta(s.getPath.toString, s.getLen))
+      .sortBy(_.path)
+  }
+
+  /** First-fit-decreasing bin packing of the dir's files into groups of
+    * at most `targetBytes` (singleton groups may exceed it — a file
+    * already ≥ target is its own group). Deterministic: files sort by
+    * (bytes desc, path), bins are probed first-fit in creation order. */
+  def plan(spark: SparkSession, dir: String, targetBytes: Long): Seq[Group] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val files = listFiles(spark, dir).sortBy(f => (-f.bytes, f.path))
+    val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileMeta]]
+    val free = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (f <- files) {
+      val i = free.indexWhere(_ >= f.bytes)
+      if (i >= 0) { bins(i) += f; free(i) -= f.bytes }
+      else {
+        bins += scala.collection.mutable.ArrayBuffer(f)
+        free += math.max(0L, targetBytes - f.bytes)
+      }
+    }
+    bins.toSeq.zipWithIndex.map { case (b, i) => Group(i, b.toSeq) }
+  }
+
+  final case class CompactReport(
+      groupsRewritten: Int, filesRewritten: Int, bytesRewritten: Long,
+      filesKept: Int)
+
+  /** Execute a [[plan]]: every multi-file group is read and rewritten
+    * as ONE parquet file under `outDir/g<id>`; single-file groups are
+    * kept in place (already compact). Returns the rewrite report. The
+    * caller swaps the compacted layout in atomically (pointer file /
+    * directory rename — the snapshot-store discipline) and rebuilds any
+    * [[Manifest]] afterwards, since compaction changes the file set. */
+  def compact(spark: SparkSession, groups: Seq[Group], outDir: String): CompactReport = {
+    var gs = 0; var fr = 0; var br = 0L; var kept = 0
+    for (g <- groups) {
+      if (g.files.length <= 1) kept += g.files.length
+      else {
+        spark.read.parquet(g.files.map(_.path): _*)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/g${g.id}")
+        gs += 1; fr += g.files.length; br += g.bytes
+      }
+    }
+    CompactReport(gs, fr, br, kept)
+  }
+}
