@@ -107,7 +107,9 @@ object Bench {
     "o27_hilbert_key",     // 16-step Hilbert walk key (locality layout)
     "o26_skew_audit",      // join-key skew stats + strategy recommendation
     "a58_pr_curve",        // threshold-sweep confusion cells + P/R/F1
-    "dedup_lsh_eval")      // banding recall vs exact-Jaccard ground truth
+    "dedup_lsh_eval",      // banding recall vs exact-Jaccard ground truth
+    "a60_power_mde",       // A/B design: pooled-σ MDE + required n
+    "graph_modularity")    // Newman Q over the LPA census (quantized Σ)
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -3104,6 +3104,92 @@ object AggQueries {
              |FROM cells ORDER BY th""".stripMargin)
     ),
 
+    // Power analysis / minimum detectable effect (a60) — the DESIGN
+    // member of the A/B family (mSPRT/CUPED/DiD/TOST analyze a finished
+    // experiment; power analysis sizes the next one): from the two
+    // arms' quantized (n, Σx, Σx²), the pooled σ gives the smallest
+    // absolute/relative lift detectable at α=0.05 two-sided with 80%
+    // power — MDE = (z₀.₉₇₅+z₀.₈)·σ_p·√(1/n₁+1/n₂) — and the per-arm n
+    // required to detect a 1% relative lift. One hash aggregate; all
+    // downstream arithmetic is IEEE on the 1-row frame (sqrt IS
+    // correctly rounded, unlike ln, so no quantization step is needed
+    // before the display floor); the z-sum constant is a decimal
+    // literal both engines parse to the identical double.
+    OracleQuery(
+      "a60_power_mde",
+      (s, d) => {
+        import s.implicits._
+        val x = $"o_totalprice" / 65536.0
+        val g = Tables.orders(s, d)
+          .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+          .groupBy($"o_orderpriority".as("grp"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(floor(x * 1000000.0 + 0.5).cast("long")).as("sq"),
+            sum(floor(x * x * 1000000.0 + 0.5).cast("long")).as("ssq"))
+          .select($"grp", $"n",
+            ($"sq".cast("double") / 1000000.0).as("sx"),
+            ($"ssq".cast("double") / 1000000.0).as("sxx"))
+        g.groupBy()
+          .agg(
+            max(when($"grp" === "1-URGENT", $"n")).as("n1"),
+            max(when($"grp" === "1-URGENT", $"sx")).as("s1"),
+            max(when($"grp" === "1-URGENT", $"sxx")).as("ss1"),
+            max(when($"grp" === "2-HIGH", $"n")).as("n2"),
+            max(when($"grp" === "2-HIGH", $"sx")).as("s2"),
+            max(when($"grp" === "2-HIGH", $"sxx")).as("ss2"))
+          .withColumn("vp",
+            ((($"ss1" - $"s1" * $"s1" / $"n1")
+              + ($"ss2" - $"s2" * $"s2" / $"n2")) / ($"n1" + $"n2" - 2)))
+          .withColumn("mu", ($"s1" + $"s2") / ($"n1" + $"n2"))
+          .withColumn("mde",
+            lit(2.801585) * sqrt($"vp") * sqrt(lit(1.0) / $"n1" + lit(1.0) / $"n2"))
+          .withColumn("nreq",
+            ceil(lit(2.0) * $"vp" * lit(2.801585) * lit(2.801585)
+              / ((lit(0.01) * $"mu") * (lit(0.01) * $"mu"))).cast("long"))
+          .select(
+            $"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+            graft.core.Parity.floorRound4(sqrt($"vp")).as("sigma_pooled"),
+            graft.core.Parity.floorRound4($"mde").as("mde_abs"),
+            graft.core.Parity.floorRound4($"mde" / $"mu").as("mde_rel"),
+            $"nreq".as("n_per_arm_1pct"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderpriority AS grp, count(*) AS n,
+             |    sum(CAST(floor((o_totalprice / 65536.0) * 1000000.0 + 0.5)
+             |      AS BIGINT)) AS sq,
+             |    sum(CAST(floor((o_totalprice / 65536.0) * (o_totalprice / 65536.0)
+             |      * 1000000.0 + 0.5) AS BIGINT)) AS ssq
+             |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |  GROUP BY 1
+             |), wide AS (
+             |  SELECT
+             |    max(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+             |    max(CASE WHEN grp = '1-URGENT' THEN CAST(sq AS DOUBLE) / 1000000.0 END) AS s1,
+             |    max(CASE WHEN grp = '1-URGENT' THEN CAST(ssq AS DOUBLE) / 1000000.0 END) AS ss1,
+             |    max(CASE WHEN grp = '2-HIGH' THEN n END) AS n2,
+             |    max(CASE WHEN grp = '2-HIGH' THEN CAST(sq AS DOUBLE) / 1000000.0 END) AS s2,
+             |    max(CASE WHEN grp = '2-HIGH' THEN CAST(ssq AS DOUBLE) / 1000000.0 END) AS ss2
+             |  FROM g
+             |), t AS (
+             |  SELECT n1, n2,
+             |    (((ss1 - s1 * s1 / n1) + (ss2 - s2 * s2 / n2)) / (n1 + n2 - 2)) AS vp,
+             |    (s1 + s2) / (n1 + n2) AS mu
+             |  FROM wide
+             |), m AS (
+             |  SELECT n1, n2, vp, mu,
+             |    2.801585 * sqrt(vp) * sqrt(1.0 / n1 + 1.0 / n2) AS mde
+             |  FROM t
+             |)
+             |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |  floor(sqrt(vp) * 10000 + 0.5) / 10000 AS sigma_pooled,
+             |  floor(mde * 10000 + 0.5) / 10000 AS mde_abs,
+             |  floor(mde / mu * 10000 + 0.5) / 10000 AS mde_rel,
+             |  CAST(ceil(2.0 * vp * 2.801585 * 2.801585
+             |    / ((0.01 * mu) * (0.01 * mu))) AS BIGINT) AS n_per_arm_1pct
+             |FROM m""".stripMargin)
+    ),
+
     // TOST equivalence test (a53) — the inverse question of a47/a49:
     // not "do these groups differ" but "are they the SAME within a
     // margin" (launch gates are equivalence questions: a significant

@@ -570,92 +570,154 @@ object GraphQueries {
       "graph_label_propagation",
       (s, d) => {
         import s.implicits._
-        val items = Tables.lineitem(s, d)
-          .select($"l_orderkey".as("k"), $"l_partkey".as("p")).distinct()
-        val isup = items.groupBy($"p").agg(count(lit(1)).as("sup"))
-          .filter($"sup" >= 20)
-        val freq = items.join(broadcast(isup.select($"p")), "p")
-        val edges = freq.as("a")
-          .join(freq.as("b"),
-            col("a.k") === col("b.k") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-          .agg(count(lit(1)).as("c")).filter($"c" >= 2)
-          .select($"p1", $"p2")
-          .persist() // reused: LPA rounds, degree, within-community count
-        val labels = graft.ops.LabelPropagation.run(edges, rounds = 4)
-        val dir = edges.select($"p1".as("node")).union(edges.select($"p2".as("node")))
-        val deg = dir.groupBy($"node").agg(count(lit(1)).as("dg"))
-        val mem = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
-        val ew = edges
-          .join(labels.select($"node".as("p1"), $"lbl".as("l1")), "p1")
-          .join(labels.select($"node".as("p2"), $"lbl".as("l2")), "p2")
-          .filter($"l1" === $"l2")
-          .groupBy($"l1".as("lbl")).agg(count(lit(1)).as("e_within"))
-        val dt = deg.join(labels, "node")
-          .groupBy($"lbl").agg(sum($"dg").as("d_total"))
-        mem.join(ew, Seq("lbl"), "left").na.fill(0L, Seq("e_within"))
-          .join(dt, "lbl")
-          .select($"lbl", $"n_members", $"e_within", $"d_total")
+        lpaCensus(s, d)._1
           .orderBy($"n_members".desc, $"lbl")
       },
-      Some("""WITH items AS MATERIALIZED (
-             |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
-             |), isup AS (
-             |  SELECT p FROM items GROUP BY p HAVING count(*) >= 20
-             |), e AS MATERIALIZED (
-             |  SELECT a.p AS p1, b.p AS p2
-             |  FROM (SELECT i.k, i.p FROM items i JOIN isup USING (p)) a
-             |  JOIN (SELECT i.k, i.p FROM items i JOIN isup USING (p)) b
-             |    ON a.k = b.k AND a.p < b.p
-             |  GROUP BY 1, 2 HAVING count(*) >= 2
-             |), dir AS MATERIALIZED (
-             |  SELECT p1 AS src, p2 AS dst FROM e
-             |  UNION ALL SELECT p2, p1 FROM e
-             |), l0 AS MATERIALIZED (
-             |  SELECT DISTINCT src AS node, src AS lbl FROM dir
-             |), l1 AS MATERIALIZED (
-             |  SELECT dst AS node,
-             |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
-             |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
-             |        FROM dir d JOIN l0 l ON d.src = l.node GROUP BY 1, 2)
-             |  GROUP BY dst
-             |), l2 AS MATERIALIZED (
-             |  SELECT dst AS node,
-             |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
-             |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
-             |        FROM dir d JOIN l1 l ON d.src = l.node GROUP BY 1, 2)
-             |  GROUP BY dst
-             |), l3 AS MATERIALIZED (
-             |  SELECT dst AS node,
-             |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
-             |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
-             |        FROM dir d JOIN l2 l ON d.src = l.node GROUP BY 1, 2)
-             |  GROUP BY dst
-             |), l4 AS MATERIALIZED (
-             |  SELECT dst AS node,
-             |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
-             |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
-             |        FROM dir d JOIN l3 l ON d.src = l.node GROUP BY 1, 2)
-             |  GROUP BY dst
-             |), deg AS (
-             |  SELECT src AS node, count(*) AS dg FROM dir GROUP BY 1
-             |), mem AS (
-             |  SELECT lbl, count(*) AS n_members FROM l4 GROUP BY 1
-             |), ew AS (
-             |  SELECT a.lbl, count(*) AS e_within
-             |  FROM e JOIN l4 a ON e.p1 = a.node JOIN l4 b ON e.p2 = b.node
-             |  WHERE a.lbl = b.lbl GROUP BY 1
-             |), dt AS (
-             |  SELECT l.lbl, sum(g.dg) AS d_total
-             |  FROM deg g JOIN l4 l ON g.node = l.node GROUP BY 1
-             |)
+      Some(s"""$lpaCensusSql
              |SELECT m.lbl, CAST(m.n_members AS BIGINT) AS n_members,
              |  CAST(COALESCE(ew.e_within, 0) AS BIGINT) AS e_within,
              |  CAST(dt.d_total AS BIGINT) AS d_total
              |FROM mem m LEFT JOIN ew USING (lbl) JOIN dt USING (lbl)
              |ORDER BY n_members DESC, lbl""".stripMargin)
+    ),
+
+    // Modularity of the LPA partition (graph_modularity) — the "was
+    // that clustering any good" number the census begs for: Newman's
+    // Q = Σ_c (e_c/m − (d_c/2m)²) over the SAME communities, edges and
+    // degree masses graph_label_propagation emits. All inputs are the
+    // census's exact integers; each community's term is an IEEE
+    // expression of them QUANTIZED to a 1e-12 long before the
+    // cross-community sum (the a49 re-quantize discipline — a plain
+    // double Σ over communities would be summation-order-dependent),
+    // so the reduction is exact integer algebra and Q is identical
+    // bit-for-bit on both engines before the display floor.
+    OracleQuery(
+      "graph_modularity",
+      (s, d) => {
+        import s.implicits._
+        val (census, mFrame) = lpaCensus(s, d)
+        census.crossJoin(broadcast(mFrame))
+          .withColumn("term", floor(
+            ($"e_within".cast("double") / $"m"
+              - ($"d_total".cast("double") / (lit(2.0) * $"m"))
+                * ($"d_total".cast("double") / (lit(2.0) * $"m"))) * 1e12 + 0.5)
+            .cast("long"))
+          .groupBy()
+          .agg(max($"m").as("m_edges"), count(lit(1)).as("n_communities"),
+            sum($"term").as("tq"))
+          .select($"m_edges".cast("long").as("m_edges"),
+            $"n_communities".cast("long").as("n_communities"),
+            graft.core.Parity.floorRound4($"tq".cast("double") / 1e12).as("q"))
+      },
+      Some(s"""$lpaCensusSql, mt AS (
+             |  SELECT count(*) AS m FROM e
+             |), terms AS (
+             |  SELECT CAST(floor((CAST(COALESCE(ew.e_within, 0) AS DOUBLE) / mt.m
+             |    - (CAST(dt.d_total AS DOUBLE) / (2.0 * mt.m))
+             |      * (CAST(dt.d_total AS DOUBLE) / (2.0 * mt.m)))
+             |    * 1000000000000.0 + 0.5) AS BIGINT) AS t, mt.m AS m
+             |  FROM mem m LEFT JOIN ew USING (lbl) JOIN dt USING (lbl)
+             |  CROSS JOIN mt
+             |)
+             |SELECT CAST(max(m) AS BIGINT) AS m_edges,
+             |  CAST(count(*) AS BIGINT) AS n_communities,
+             |  floor(CAST(sum(t) AS DOUBLE) / 1000000000000.0 * 10000 + 0.5) / 10000 AS q
+             |FROM terms""".stripMargin)
     )
   )
+
+  /** Shared Spark pipeline for the LPA family: the deterministic
+    * 4-round label propagation over the co-purchase graph, reduced to
+    * the community census (lbl, n_members, e_within, d_total) — the
+    * exact-integer inputs to modularity — plus the 1-row edge count.
+    * See graph_label_propagation's design notes. */
+  private def lpaCensus(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    val isup = items.groupBy(col("p")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 20)
+    val freq = items.join(broadcast(isup.select(col("p"))), "p")
+    val edges = freq.as("a")
+      .join(freq.as("b"),
+        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("p1"), col("p2"))
+      .persist() // reused: LPA rounds, degree, within-community count, m
+    val labels = graft.ops.LabelPropagation.run(edges, rounds = 4)
+    val dir = edges.select(col("p1").as("node"))
+      .union(edges.select(col("p2").as("node")))
+    val deg = dir.groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val mem = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    val ew = edges
+      .join(labels.select(col("node").as("p1"), col("lbl").as("l1")), "p1")
+      .join(labels.select(col("node").as("p2"), col("lbl").as("l2")), "p2")
+      .filter(col("l1") === col("l2"))
+      .groupBy(col("l1").as("lbl")).agg(count(lit(1)).as("e_within"))
+    val dt = deg.join(labels, "node")
+      .groupBy(col("lbl")).agg(sum(col("dg")).as("d_total"))
+    val census = mem.join(ew, Seq("lbl"), "left").na.fill(0L, Seq("e_within"))
+      .join(dt, "lbl")
+      .select(col("lbl"), col("n_members"), col("e_within"), col("d_total"))
+    (census, edges.agg(count(lit(1)).as("m")))
+  }
+
+  /** Shared DuckDB CTE chain for the LPA family: builds `e` (edges),
+    * `l4` (round-4 labels), `deg`, and the census legs `mem`/`ew`/`dt`.
+    * Callers append their final SELECT (and any extra CTEs). */
+  private val lpaCensusSql: String =
+    """WITH items AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+      |), isup AS (
+      |  SELECT p FROM items GROUP BY p HAVING count(*) >= 20
+      |), e AS MATERIALIZED (
+      |  SELECT a.p AS p1, b.p AS p2
+      |  FROM (SELECT i.k, i.p FROM items i JOIN isup USING (p)) a
+      |  JOIN (SELECT i.k, i.p FROM items i JOIN isup USING (p)) b
+      |    ON a.k = b.k AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), dir AS MATERIALIZED (
+      |  SELECT p1 AS src, p2 AS dst FROM e
+      |  UNION ALL SELECT p2, p1 FROM e
+      |), l0 AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM dir
+      |), l1 AS MATERIALIZED (
+      |  SELECT dst AS node,
+      |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
+      |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
+      |        FROM dir d JOIN l0 l ON d.src = l.node GROUP BY 1, 2)
+      |  GROUP BY dst
+      |), l2 AS MATERIALIZED (
+      |  SELECT dst AS node,
+      |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
+      |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
+      |        FROM dir d JOIN l1 l ON d.src = l.node GROUP BY 1, 2)
+      |  GROUP BY dst
+      |), l3 AS MATERIALIZED (
+      |  SELECT dst AS node,
+      |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
+      |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
+      |        FROM dir d JOIN l2 l ON d.src = l.node GROUP BY 1, 2)
+      |  GROUP BY dst
+      |), l4 AS MATERIALIZED (
+      |  SELECT dst AS node,
+      |    (16777216 - max(cnt * 16777216 - lbl) % 16777216) % 16777216 AS lbl
+      |  FROM (SELECT d.dst, l.lbl, count(*) AS cnt
+      |        FROM dir d JOIN l3 l ON d.src = l.node GROUP BY 1, 2)
+      |  GROUP BY dst
+      |), deg AS (
+      |  SELECT src AS node, count(*) AS dg FROM dir GROUP BY 1
+      |), mem AS (
+      |  SELECT lbl, count(*) AS n_members FROM l4 GROUP BY 1
+      |), ew AS (
+      |  SELECT a.lbl, count(*) AS e_within
+      |  FROM e JOIN l4 a ON e.p1 = a.node JOIN l4 b ON e.p2 = b.node
+      |  WHERE a.lbl = b.lbl GROUP BY 1
+      |), dt AS (
+      |  SELECT l.lbl, sum(g.dg) AS d_total
+      |  FROM deg g JOIN l4 l ON g.node = l.node GROUP BY 1
+      |)""".stripMargin
 
 
   /** Per-middle-node fan-out bound for wedge joins: keep each node's

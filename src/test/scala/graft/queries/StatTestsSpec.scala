@@ -361,6 +361,51 @@ class StatTestsSpec extends SparkSpec {
       ((n10 - n01) * (n10 - n01) * 10000L > 38415L * (n10 + n01)))
   }
 
+  test("a60_power_mde: replay from the two arms' moments; scaling laws hold") {
+    import spark.implicits._
+    val r = Registry.queries("a60_power_mde")(spark, sf).collect()(0)
+    val xs = Tables.orders(spark, sf)
+      .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .select($"o_orderpriority", $"o_totalprice")
+      .as[(String, Double)].collect()
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    def arm(g: String) = {
+      val vs = xs.filter(_._1 == g).map(t => t._2 / 65536.0)
+      (vs.length, vs.map(q6).sum, vs.map(v => q6(v * v)).sum)
+    }
+    val (n1, s1, ss1) = arm("1-URGENT"); val (n2, s2, ss2) = arm("2-HIGH")
+    val vp = ((ss1 - s1 * s1 / n1) + (ss2 - s2 * s2 / n2)) / (n1 + n2 - 2)
+    val mu = (s1 + s2) / (n1 + n2)
+    val mde = 2.801585 * math.sqrt(vp) * math.sqrt(1.0 / n1 + 1.0 / n2)
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(math.abs(r.getDouble(3) - mde) < 1e-3, s"mde ${r.getDouble(3)} vs $mde")
+    assert(math.abs(r.getDouble(4) - mde / mu) < 1e-3)
+    val nreq = math.ceil(2.0 * vp * 2.801585 * 2.801585 / math.pow(0.01 * mu, 2)).toLong
+    assert(math.abs(r.getLong(5) - nreq) <= 1,
+      s"n_req ${r.getLong(5)} vs $nreq")
+    // sanity: detecting a 1% lift needs far more than the current arms
+    assert(r.getLong(5) > r.getLong(0))
+  }
+
+  test("graph_modularity: Q replays from the LPA census; bounded") {
+    // sf0.01: the co-purchase graph needs support ≥ 20 to have edges
+    val gsf = "/root/testdata/sf0.01"
+    val census = Registry.queries("graph_label_propagation")(spark, gsf).collect()
+    val q = Registry.queries("graph_modularity")(spark, gsf).collect()(0)
+    val m = census.map(_.getLong(2)).sum // within-edges ≤ m; need true m
+    assert(q.getLong(1) == census.length)
+    val mEdges = q.getLong(0).toDouble
+    val want = census.map { r =>
+      val e = r.getLong(2).toDouble; val dt = r.getLong(3).toDouble
+      math.floor((e / mEdges - (dt / (2.0 * mEdges)) * (dt / (2.0 * mEdges)))
+        * 1e12 + 0.5)
+    }.sum / 1e12
+    assert(math.abs(q.getDouble(2) - want) < 1e-3,
+      s"q ${q.getDouble(2)} vs replay $want")
+    assert(q.getDouble(2) > -0.5 && q.getDouble(2) <= 1.0)
+    assert(m <= q.getLong(0), "within-community edges exceed total edges")
+  }
+
   test("pipe_group_split: zero cross-split users under the group hash; row hash leaks") {
     val out = Registry.queries("pipe_group_split")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 3)
