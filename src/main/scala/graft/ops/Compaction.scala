@@ -77,18 +77,37 @@ object Compaction {
     * kept in place (already compact). Returns the rewrite report. The
     * caller swaps the compacted layout in atomically (pointer file /
     * directory rename — the snapshot-store discipline) and rebuilds any
-    * [[Manifest]] afterwards, since compaction changes the file set. */
-  def compact(spark: SparkSession, groups: Seq[Group], outDir: String): CompactReport = {
-    var gs = 0; var fr = 0; var br = 0L; var kept = 0
-    for (g <- groups) {
-      if (g.files.length <= 1) kept += g.files.length
-      else {
-        spark.read.parquet(g.files.map(_.path): _*)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$outDir/g${g.id}")
-        gs += 1; fr += g.files.length; br += g.bytes
+    * [[Manifest]] afterwards, since compaction changes the file set.
+    *
+    * Groups are independent, and each rewrite is a 1-task job
+    * (coalesce(1)) — a serial loop would leave the cluster idle and
+    * make wall-clock the SUM of per-group latencies at exactly the
+    * many-small-files scale this module exists for. Jobs submit
+    * concurrently through a bounded pool (Spark's scheduler interleaves
+    * them); `parallelism` caps in-flight jobs, not data. */
+  def compact(spark: SparkSession, groups: Seq[Group], outDir: String,
+      parallelism: Int = 8): CompactReport = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val multi = groups.filter(_.files.length > 1)
+    val kept = groups.filter(_.files.length <= 1).map(_.files.length).sum
+    if (multi.isEmpty) return CompactReport(0, 0, 0L, kept)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(parallelism, multi.length))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = multi.map { g =>
+        scala.concurrent.Future {
+          spark.read.parquet(g.files.map(_.path): _*)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/g${g.id}")
+          (g.files.length, g.bytes)
+        }
       }
-    }
-    CompactReport(gs, fr, br, kept)
+      val res = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+      CompactReport(multi.length, res.map(_._1).sum, res.map(_._2).sum, kept)
+    } finally pool.shutdown()
   }
 }

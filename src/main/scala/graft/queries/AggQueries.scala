@@ -2928,7 +2928,12 @@ object AggQueries {
           .withColumn("cc",
             lit(1.0) - $"t3" / ($"nn" * $"nn" * $"nn" - $"nn"))
           .withColumn("hc", $"h" / nullif($"cc", lit(0.0)))
-          .withColumn("crit", element_at(crits, ($"k" - 1).cast("int")))
+          // k = 1 (degenerate single-group input) ⟹ H ≡ 0 exactly, but
+          // element_at's index would be 0 (Spark throws, DuckDB NULLs —
+          // a crash AND a divergence): clamp to df ≥ 1; the comparison
+          // against crit(1) then correctly reports reject = false
+          .withColumn("crit",
+            element_at(crits, greatest(lit(1), ($"k" - 1).cast("int"))))
           .select(
             $"nn".cast("long").as("n"), $"k".cast("long").as("k"),
             graft.core.Parity.floorRound4($"h").as("h"),
@@ -2972,7 +2977,7 @@ object AggQueries {
              |  floor(h * 10000 + 0.5) / 10000 AS h,
              |  floor(hc * 10000 + 0.5) / 10000 AS h_tie_corrected,
              |  CAST(floor(abs(hc) * 10000.0 + 0.5) AS BIGINT)
-             |    > ([38415, 59915, 78147, 94877, 110705, 125916, 140671])[k - 1]
+             |    > ([38415, 59915, 78147, 94877, 110705, 125916, 140671])[greatest(1, k - 1)]
              |    AS reject_05
              |FROM hc""".stripMargin)
     ),

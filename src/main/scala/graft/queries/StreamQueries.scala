@@ -521,9 +521,13 @@ object StreamQueries {
       "stream_kalman_level",
       (s, d) => {
         import s.implicits._
-        val daily = Tables.events(s, d)
+        // null filter upstream (the w25 oracle-parity contract) +
+        // persist: the four cut writes would otherwise re-aggregate the
+        // whole events table once each
+        val daily = Tables.events(s, d).filter($"value".isNotNull)
           .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
           .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("y"))
+          .persist()
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_stream_kalman").toString
         val cuts = Seq("2024-01-01", "2024-01-09", "2024-01-17", "2024-01-25", "2024-02-02")
@@ -531,6 +535,19 @@ object StreamQueries {
           daily.filter($"day" >= lit(cuts(i)).cast("timestamp") &&
               $"day" < lit(cuts(i + 1)).cast("timestamp"))
             .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
+        }
+        daily.unpersist()
+        // pin the replay order explicitly: FileStreamSource orders by
+        // modification time, and the Kalman fold (unlike sessionize) is
+        // order-FATAL across seams — equal mtimes from fast sequential
+        // writes must never let c1 land before c0, so each cut file
+        // gets a strictly increasing mtime
+        val hfs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        for (i <- 0 until 4) {
+          hfs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/in/c$i"))
+            .filter(_.isFile)
+            .foreach(st => hfs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1))
         }
         val src = s.readStream
           .schema("event_type STRING, day TIMESTAMP, y DOUBLE")

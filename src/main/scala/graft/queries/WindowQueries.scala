@@ -23,7 +23,7 @@ object WindowQueries {
     """WITH RECURSIVE daily AS (
       |  SELECT event_type, date_trunc('day', ts) AS day,
       |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
-      |  FROM events GROUP BY 1, 2
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
       |), pos AS (
       |  SELECT event_type, day, y,
       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -1106,7 +1106,12 @@ object WindowQueries {
           import s.implicits._
           def r4(c: org.apache.spark.sql.Column) =
             floor(c * 10000 + 0.5) / 10000
-          val daily = Tables.events(s, d)
+          // null values are filtered BEFORE the day aggregate (not
+          // inside the fold): an all-null day would make the oracle's
+          // recursion propagate NULL into x/p forever where the kernel
+          // skips-and-continues — filtering upstream keeps y non-null
+          // and the two spellings identical on every input
+          val daily = Tables.events(s, d).filter($"value".isNotNull)
             .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
             .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("y"))
           graft.ops.KalmanLevel

@@ -256,13 +256,19 @@ object Streams {
     import spark.implicits._
     daily
       .select(col("event_type"), col("day"), col("y"))
-      .as[(String, java.sql.Timestamp, Double)]
+      // Option decode: a null y row (possible when the upstream day
+      // aggregate is not null-filtered) is SKIPPED with state untouched
+      // rather than crashing the non-nullable decoder; the gated entry
+      // filters nulls upstream so batch parity is unaffected
+      .as[(String, java.sql.Timestamp, Option[Double])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[KalmanState, KalmanPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
          state: GroupState[KalmanState]) =>
-          val sorted = rows.toIndexedSeq.sortBy(_._2.getTime)
+          val sorted = rows.toIndexedSeq
+            .collect { case (k, t, Some(v)) => (k, t, v) }
+            .sortBy(_._2.getTime)
           var cur = state.getOption
           val out = Vector.newBuilder[KalmanPoint]
           for ((_, day, y) <- sorted) {

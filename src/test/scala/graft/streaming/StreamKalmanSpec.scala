@@ -13,6 +13,18 @@ class StreamKalmanSpec extends SparkSpec {
 
   private def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
 
+  /** Pin replay order: strictly increasing mtime per chunk dir (the
+    * order-fatal-fold discipline from the gated entry). */
+  private def pinOrder(tmp: String, n: Int): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (i <- 0 until n) {
+      hfs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/in/c$i"))
+        .filter(_.isFile)
+        .foreach(st => hfs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1))
+    }
+  }
+
   test("seam-crossing fold equals the batch kernel exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("skalman").toString
     val ys = Seq(10.0, 14.0, 9.0, 12.0, 11.0, 13.0, 10.5, 11.5)
@@ -22,6 +34,7 @@ class StreamKalmanSpec extends SparkSpec {
       chunk.toDF("event_type", "day", "y")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
     }
+    pinOrder(tmp, 4)
     val src = spark.readStream
       .schema("event_type STRING, day TIMESTAMP, y DOUBLE")
       .option("maxFilesPerTrigger", 1)
@@ -49,6 +62,7 @@ class StreamKalmanSpec extends SparkSpec {
     // batch 2 carries a row OLDER than the state's last timestamp
     Seq(("A", day(2), 99.0), ("A", day(7), 11.0)).toDF("event_type", "day", "y")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c1")
+    pinOrder(tmp, 2)
     val src = spark.readStream
       .schema("event_type STRING, day TIMESTAMP, y DOUBLE")
       .option("maxFilesPerTrigger", 1)
