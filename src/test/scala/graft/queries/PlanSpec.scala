@@ -538,4 +538,32 @@ class PlanSpec extends SparkSpec {
     val docExchanges = "hashpartitioning\\(doc_id".r.findAllIn(p).size
     assert(docExchanges <= 1, s"island windows should share one doc_id exchange:\n$p")
   }
+
+  test("DSIR scoring: the 1024-row bucket model joins by broadcast hash") {
+    val p = plan(Registry.queries("pipe_dsir_resample")(spark, sf))
+    // the lr model table must broadcast into the per-doc bucket counts
+    // (the corpus-sized side never shuffles for the model); the only
+    // nested-loop allowed is the sanctioned 1-row totals scalar join
+    assert(p.contains("BroadcastHashJoin"), s"bucket model must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LSH banding eval: truth and candidate stages are equi-joins, never all-pairs") {
+    val p = plan(Registry.queries("dedup_lsh_eval")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"eval must stay gram/bucket equi-joins:\n$p")
+  }
+
+  test("Hilbert key: one events scan, the 16-step recurrence is join-free") {
+    val p = plan(Registry.queries("o27_hilbert_key")(spark, sf))
+    assert(!p.contains("Join"), s"hilbert chain must not join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one events scan, got $scans:\n$p")
+  }
+
+  test("Kruskal–Wallis ranks ride the bucketed prefix sum, not a global value sort") {
+    val p = plan(Registry.queries("a56_kruskal_wallis")(spark, sf))
+    assert(p.contains("ps_b#"),
+      s"expected the (group, bucket)-partitioned prefix-sum window:\n$p")
+  }
 }
