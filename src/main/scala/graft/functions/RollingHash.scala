@@ -82,6 +82,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(TrigramStats.descriptor)
     ext.injectFunction(SimHash32.descriptor)
     ext.injectFunction(VecL2Sq.descriptor)
+    ext.injectFunction(HilbertIndex2.descriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinOptimizations)
     // opt-in: rewrites interval-overlap theta-joins to the binned
@@ -105,7 +106,8 @@ object GraftFunctions {
     * extension (tests, Verify, Bench). */
   def register(spark: SparkSession): Unit = {
     Seq(rollingHashDescriptor, VecDot.descriptor, MinHashSig.descriptor,
-      TrigramStats.descriptor, SimHash32.descriptor, VecL2Sq.descriptor).foreach { case (ident, info, builder) =>
+      TrigramStats.descriptor, SimHash32.descriptor, VecL2Sq.descriptor,
+      HilbertIndex2.descriptor).foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
       }

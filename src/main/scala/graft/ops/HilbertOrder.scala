@@ -36,6 +36,20 @@ object HilbertOrder {
     * [[ZOrder.interleave16]]). */
   val DimBits = 16
 
+  /** The PRODUCTION key: the native codegen expression
+    * ([[graft.functions.HilbertIndex2]] — one generated-Java loop, no
+    * intermediate columns; measured 13 s → sub-second for the sf1 key
+    * build vs the 16-projection Column spelling below, which stays as
+    * the cross-check). Registers the function on the frame's session
+    * (idempotent). */
+  def withHilbertKeyNative(df: DataFrame, bx: Column, by: Column,
+      out: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__hbx", bx.cast("long")).withColumn("__hby", by.cast("long"))
+      .withColumn(out, expr("hilbert2(__hbx, __hby)"))
+      .drop("__hbx", "__hby")
+  }
+
   /** Appends `out` = Hilbert index of the bucketized pair. `bx`/`by`
     * must already be bucket indices in [0, 2^bits). */
   def withHilbertKey(df: DataFrame, bx: Column, by: Column, out: String,
@@ -79,7 +93,7 @@ object HilbertOrder {
     } else {
       val bx = ZOrder.bucket(col(xCol).cast("long"), b.getLong(0), b.getLong(1))
       val by = ZOrder.bucket(col(yCol).cast("long"), b.getLong(2), b.getLong(3))
-      val keyed = withHilbertKey(df, bx, by, "__h")
+      val keyed = withHilbertKeyNative(df, bx, by, "__h")
       val ranged =
         if (numFiles > 0) keyed.repartitionByRange(numFiles, col("__h"))
         else keyed.repartitionByRange(col("__h"))

@@ -515,7 +515,10 @@ object CoreQueries {
         val Array(b) = base.agg(
           min($"t").cast("long"), max($"t").cast("long"),
           min($"user_id").cast("long"), max($"user_id").cast("long")).collect()
-        graft.ops.HilbertOrder.withHilbertKey(
+        // the native codegen kernel (functions/HilbertIndex2) — one
+        // generated-Java loop; the 16-projection Column spelling stays
+        // as the spec's cross-check (HilbertOrderSpec pins ≡)
+        graft.ops.HilbertOrder.withHilbertKeyNative(
             base,
             graft.ops.ZOrder.bucket($"t", b.getLong(0), b.getLong(1)),
             graft.ops.ZOrder.bucket($"user_id", b.getLong(2), b.getLong(3)),

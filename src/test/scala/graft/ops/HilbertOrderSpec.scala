@@ -43,6 +43,25 @@ class HilbertOrderSpec extends SparkSpec {
     }
   }
 
+  test("native codegen expression ≡ the projection chain on the full 16-bit-domain grid") {
+    // sparse probe of the full 2^16 domain (the chain test above runs
+    // bits=6; here both spellings run at the production 16 bits)
+    val pts = (0 until 4096).map { i =>
+      ((i * 2654435761L) & 0xffffL, (i * 40503L + 7) & 0xffffL)
+    }.toDF("x", "y")
+    val chain = HilbertOrder
+      .withHilbertKey(pts, col("x"), col("y"), "h")
+      .orderBy("x", "y").collect().map(_.getLong(2)).toSeq
+    val native = HilbertOrder
+      .withHilbertKeyNative(pts, col("x"), col("y"), "h")
+      .orderBy("x", "y").collect().map(_.getLong(2)).toSeq
+    assert(chain == native)
+    // and both equal the JVM reference kernel
+    val ref = pts.orderBy("x", "y").collect()
+      .map(r => graft.functions.HilbertIndex2.xy2d(r.getLong(0), r.getLong(1))).toSeq
+    assert(native == ref)
+  }
+
   test("bijection onto [0, 4^bits) and the 4-neighbor walk law") {
     assert(keys.size == n * n && keys.values.toSet.size == n * n)
     assert(keys.values.min == 0L && keys.values.max == n.toLong * n - 1)
