@@ -109,7 +109,8 @@ object Bench {
     "a58_pr_curve",        // threshold-sweep confusion cells + P/R/F1
     "dedup_lsh_eval",      // banding recall vs exact-Jaccard ground truth
     "a60_power_mde",       // A/B design: pooled-σ MDE + required n
-    "graph_modularity")    // Newman Q over the LPA census (quantized Σ)
+    "graph_modularity",    // Newman Q over the LPA census (quantized Σ)
+    "a61_icc_design_effect") // cluster-randomization ICC + design effect
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -3195,6 +3195,99 @@ object AggQueries {
              |FROM m""".stripMargin)
     ),
 
+    // Intraclass correlation + design effect (a61) — the missing input
+    // to a60 when randomization is CLUSTERED (by user, store, region):
+    // users' repeated events are correlated, so an experiment
+    // randomizing k clusters of size m has effective sample size
+    // n/deff with deff = 1 + (m−1)·ICC — ignore it and a60's n looks
+    // sufficient when the test is badly underpowered. ICC(1) from the
+    // one-way random-effects decomposition over user clusters: ONE
+    // quantized-long hash aggregate per user (n, Σx, Σx², and n² for
+    // the unbalanced-size correction n₀), per-group SSW/SSB terms
+    // RE-quantized to 1e-6 longs before the cross-group sum (the a49
+    // discipline — no order-dependent double summation anywhere), all
+    // final arithmetic IEEE on the 1-row frame.
+    OracleQuery(
+      "a61_icc_design_effect",
+      (s, d) => {
+        import s.implicits._
+        val x = $"value" / 512.0
+        val g = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(floor(x * 1000000.0 + 0.5).cast("long")).as("sq"),
+            sum(floor(x * x * 1000000.0 + 0.5).cast("long")).as("ssq"))
+          .select($"n", $"sq", $"ssq",
+            ($"sq".cast("double") / 1000000.0).as("s"),
+            ($"ssq".cast("double") / 1000000.0).as("ss"))
+          .withColumn("wq",
+            floor(($"ss" - $"s" * $"s" / $"n") * 1000000.0 + 0.5).cast("long"))
+          .withColumn("bq",
+            floor($"s" * $"s" / $"n" * 1000000.0 + 0.5).cast("long"))
+        g.agg(
+            count(lit(1)).as("k"),
+            sum($"n").as("nt"),
+            sum($"n" * $"n").as("nsq"),
+            sum($"sq").as("sq_all"),
+            (sum($"wq").cast("double") / 1000000.0).as("ssw"),
+            (sum($"bq").cast("double") / 1000000.0).as("sb_groups"))
+          .withColumn("ssb",
+            $"sb_groups" - ($"sq_all" / 1000000.0) * ($"sq_all" / 1000000.0) / $"nt")
+          .withColumn("msb", $"ssb" / ($"k" - 1))
+          .withColumn("msw", $"ssw" / ($"nt" - $"k"))
+          .withColumn("n0",
+            ($"nt" - $"nsq".cast("double") / $"nt") / ($"k" - 1))
+          .withColumn("icc",
+            ($"msb" - $"msw") / ($"msb" + ($"n0" - 1.0) * $"msw"))
+          .select(
+            $"k".cast("long").as("k"), $"nt".cast("long").as("n_total"),
+            graft.core.Parity.floorRound4($"n0").as("n0"),
+            graft.core.Parity.floorRound4($"icc").as("icc"),
+            graft.core.Parity.floorRound4(
+              lit(1.0) + lit(49.0) * $"icc").as("deff_m50"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, count(*) AS n,
+             |    sum(CAST(floor((value / 512.0) * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+             |    sum(CAST(floor((value / 512.0) * (value / 512.0) * 1000000.0 + 0.5)
+             |      AS BIGINT)) AS ssq
+             |  FROM events GROUP BY 1
+             |), t AS (
+             |  SELECT n, sq,
+             |    CAST(floor((CAST(ssq AS DOUBLE) / 1000000.0
+             |      - (CAST(sq AS DOUBLE) / 1000000.0) * (CAST(sq AS DOUBLE) / 1000000.0) / n)
+             |      * 1000000.0 + 0.5) AS BIGINT) AS wq,
+             |    CAST(floor((CAST(sq AS DOUBLE) / 1000000.0) * (CAST(sq AS DOUBLE) / 1000000.0) / n
+             |      * 1000000.0 + 0.5) AS BIGINT) AS bq
+             |  FROM g
+             |), a AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(n) AS BIGINT) AS nt,
+             |    CAST(sum(n * n) AS BIGINT) AS nsq,
+             |    CAST(sum(sq) AS DOUBLE) AS sq_all,
+             |    CAST(sum(wq) AS DOUBLE) / 1000000.0 AS ssw,
+             |    CAST(sum(bq) AS DOUBLE) / 1000000.0 AS sb_groups
+             |  FROM t
+             |), m AS (
+             |  SELECT k, nt,
+             |    (sb_groups - (sq_all / 1000000.0) * (sq_all / 1000000.0) / nt)
+             |      / (k - 1) AS msb,
+             |    ssw / (nt - k) AS msw,
+             |    (nt - CAST(nsq AS DOUBLE) / nt) / (k - 1) AS n0
+             |  FROM a
+             |), i AS (
+             |  SELECT k, nt, n0,
+             |    (msb - msw) / (msb + (n0 - 1.0) * msw) AS icc
+             |  FROM m
+             |)
+             |SELECT k, nt AS n_total,
+             |  floor(n0 * 10000 + 0.5) / 10000 AS n0,
+             |  floor(icc * 10000 + 0.5) / 10000 AS icc,
+             |  floor((1.0 + 49.0 * icc) * 10000 + 0.5) / 10000 AS deff_m50
+             |FROM i""".stripMargin)
+    ),
+
     // TOST equivalence test (a53) — the inverse question of a47/a49:
     // not "do these groups differ" but "are they the SAME within a
     // margin" (launch gates are equivalence questions: a significant

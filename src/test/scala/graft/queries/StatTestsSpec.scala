@@ -406,6 +406,34 @@ class StatTestsSpec extends SparkSpec {
     assert(m <= q.getLong(0), "within-community edges exceed total edges")
   }
 
+  test("a61_icc_design_effect: one-way random-effects replay; deff consistent") {
+    import spark.implicits._
+    val r = Registry.queries("a61_icc_design_effect")(spark, sf).collect()(0)
+    val xs = Tables.events(spark, sf).select($"user_id", $"value" / 512.0)
+      .as[(Long, Double)].collect()
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val byU = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = byU.size; val nt = xs.length
+    val stats = byU.values.map { vs =>
+      val n = vs.length
+      val s = vs.map(q6).sum; val ss = vs.map(v => q6(v * v)).sum
+      (n, s, math.floor((ss - s * s / n) * 1e6 + 0.5) / 1e6,
+        math.floor(s * s / n * 1e6 + 0.5) / 1e6)
+    }.toSeq
+    val ssw = stats.map(_._3).sum
+    val sqAll = stats.map(_._2).sum
+    val ssb = stats.map(_._4).sum - sqAll * sqAll / nt
+    val msb = ssb / (k - 1); val msw = ssw / (nt - k)
+    val n0 = (nt - stats.map(t => t._1.toDouble * t._1).sum / nt) / (k - 1)
+    val icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+    assert(r.getLong(0) == k && r.getLong(1) == nt)
+    assert(math.abs(r.getDouble(2) - n0) < 1e-3, s"n0 ${r.getDouble(2)} vs $n0")
+    assert(math.abs(r.getDouble(3) - icc) < 1e-3, s"icc ${r.getDouble(3)} vs $icc")
+    assert(math.abs(r.getDouble(4) - (1.0 + 49.0 * icc)) < 1e-2)
+    // ICC is a correlation: bounded; deff ≥ 1 − 49/(n0−1)-ish, sanity only
+    assert(r.getDouble(3) > -1.0 && r.getDouble(3) < 1.0)
+  }
+
   test("pipe_group_split: zero cross-split users under the group hash; row hash leaks") {
     val out = Registry.queries("pipe_group_split")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 3)
