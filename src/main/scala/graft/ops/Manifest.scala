@@ -51,6 +51,49 @@ object Manifest {
     build(spark, dataDir, cols).coalesce(1)
       .write.mode("overwrite").parquet(manifestDir)
 
+  final case class RefreshDelta(added: Int, removed: Int, kept: Int)
+
+  /** Incremental refresh — the maintenance call that closes the
+    * staleness hazard documented above: after appends, deletes or a
+    * [[Compaction]] run, stats are computed ONLY for files the manifest
+    * has never seen, and rows for files no longer present are dropped —
+    * a full rebuild re-scans the whole table for what is usually a
+    * handful of new files. File identity compares by normalized URI
+    * path (input_file_name() and DataFrame.inputFiles render the same
+    * file differently — `file:///x` vs `file:/x`). The old manifest is
+    * held driver-side during the rewrite (it is metadata-sized by
+    * construction — the same bound as every other driver-held state
+    * here). */
+  def refresh(spark: SparkSession, dataDir: String, manifestDir: String,
+      cols: Seq[String]): RefreshDelta = {
+    import org.apache.hadoop.fs.Path
+    def norm(s: String) = new Path(s).toUri.getPath
+    val current = spark.read.parquet(dataDir).inputFiles.toSeq
+    val curNorm = current.map(norm).toSet
+    val old = spark.read.parquet(manifestDir)
+    val oldRows = old.collect()
+    val fileIdx = old.schema.fieldIndex("file")
+    val kept = oldRows.filter(r => curNorm(norm(r.getString(fileIdx))))
+    val keptNorm = kept.map(r => norm(r.getString(fileIdx))).toSet
+    val newFiles = current.filterNot(f => keptNorm(norm(f))).sorted
+    val keptDf = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(kept: _*)), old.schema)
+    val combined =
+      if (newFiles.isEmpty) keptDf
+      else {
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        val newRows = spark.read.parquet(newFiles: _*)
+          .select(cols.map(col): _*)
+          .withColumn("file", input_file_name())
+          .groupBy(col("file"))
+          .agg(aggs.head, aggs.tail: _*)
+        keptDf.unionByName(newRows.select(old.schema.fieldNames.map(col): _*))
+      }
+    combined.coalesce(1).write.mode("overwrite").parquet(manifestDir)
+    RefreshDelta(newFiles.length, oldRows.length - kept.length, kept.length)
+  }
+
   /** Files whose [min,max] span can intersect [lo, hi] on `statsCol` —
     * the candidate set a range probe must read. All-null files never
     * match (a range predicate is null-rejecting). */

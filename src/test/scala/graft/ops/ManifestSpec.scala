@@ -53,6 +53,40 @@ class ManifestSpec extends SparkSpec {
       50000L, 60000L).isEmpty)
   }
 
+  test("refresh: new files join, deleted files drop, pruning stays sound") {
+    val d = java.nio.file.Files.createTempDirectory("manifest_refresh").toString
+    (1 to 4000).map(i => (i.toLong, s"p$i")).toDF("k", "p")
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$d/data")
+    Manifest.write(spark, s"$d/data", s"$d/manifest", Seq("k"))
+    val before = spark.read.parquet(s"$d/data").inputFiles.length
+    // APPEND two files of fresh key range
+    (9000L to 9999L).map(i => (i, s"p$i")).toDF("k", "p")
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+      .write.mode("append").parquet(s"$d/data")
+    val after = spark.read.parquet(s"$d/data").inputFiles.length
+    val d1 = Manifest.refresh(spark, s"$d/data", s"$d/manifest", Seq("k"))
+    assert(d1.added == after - before && d1.removed == 0 && d1.kept == before,
+      s"$d1 vs before=$before after=$after")
+    val m1 = spark.read.parquet(s"$d/manifest")
+    assert(m1.count() == after && m1.agg(sum($"n_rows")).collect()(0).getLong(0) == 5000L)
+    // pruned read over the appended range is complete and file-bounded
+    val pruned = Manifest.readRange(spark, s"$d/data", s"$d/manifest", "k", 9000L, 9999L)
+    assert(pruned.count() == 1000L)
+    assert(pruned.inputFiles.length < after)
+    // DELETE one original data file, refresh again
+    val victim = new org.apache.hadoop.fs.Path(
+      spark.read.parquet(s"$d/data").inputFiles.min)
+    victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(victim, false)
+    val d2 = Manifest.refresh(spark, s"$d/data", s"$d/manifest", Seq("k"))
+    assert(d2.removed == 1 && d2.added == 0, s"$d2")
+    val m2 = spark.read.parquet(s"$d/manifest").collect()
+    assert(m2.length == after - 1)
+    assert(m2.map(_.getAs[Long]("n_rows")).sum ==
+      spark.read.parquet(s"$d/data").count())
+  }
+
   test("all-null stats files are never range candidates") {
     val d = java.nio.file.Files.createTempDirectory("manifest_null").toString
     val withNull = Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "p")
