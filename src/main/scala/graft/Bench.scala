@@ -110,7 +110,8 @@ object Bench {
     "dedup_lsh_eval",      // banding recall vs exact-Jaccard ground truth
     "a60_power_mde",       // A/B design: pooled-σ MDE + required n
     "graph_modularity",    // Newman Q over the LPA census (quantized Σ)
-    "a61_icc_design_effect") // cluster-randomization ICC + design effect
+    "a61_icc_design_effect", // cluster-randomization ICC + design effect
+    "graph_assortativity") // degree-mixing r from exact integer moments
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

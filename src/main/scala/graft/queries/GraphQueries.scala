@@ -623,8 +623,96 @@ object GraphQueries {
              |  CAST(count(*) AS BIGINT) AS n_communities,
              |  floor(CAST(sum(t) AS DOUBLE) / 1000000000000.0 * 10000 + 0.5) / 10000 AS q
              |FROM terms""".stripMargin)
+    ),
+
+    // Degree assortativity (graph_assortativity) — Newman's r: the
+    // Pearson correlation of endpoint degrees over the edge list. Hubs
+    // preferring hubs (r > 0, social-graph shape) vs hubs bridging
+    // low-degree leaves (r < 0, dependency/co-purchase shape) changes
+    // which mitigations matter at scale: a disassortative graph
+    // concentrates wedge fan-out in hub-leaf stars — exactly the
+    // candidate volumes the hub-capped joins bound. One degree
+    // aggregate + one edge⋈degree join; every moment (Σdu, Σdu²,
+    // Σdudv) is an EXACT integer sum over the symmetrized edge list,
+    // so r is IEEE arithmetic on five longs — bit-identical both
+    // engines before the display floor. nullif guards the
+    // degree-regular graph (zero variance ⇒ r undefined ⇒ NULL).
+    OracleQuery(
+      "graph_assortativity",
+      (s, d) => {
+        import s.implicits._
+        val edges = coPurchaseEdges(s, d)
+        val dirE = edges.select($"p1".as("u"), $"p2".as("v"))
+          .union(edges.select($"p2".as("u"), $"p1".as("v")))
+        val deg = dirE.groupBy($"u".as("node")).agg(count(lit(1)).as("dg"))
+        val pairs = dirE
+          .join(deg.select($"node".as("u"), $"dg".as("du")), "u")
+          .join(deg.select($"node".as("v"), $"dg".as("dv")), "v")
+        pairs.agg(
+            count(lit(1)).as("n"),
+            sum($"du").as("sx"), sum($"dv").as("sy"),
+            sum($"du" * $"du").as("sxx"), sum($"dv" * $"dv").as("syy"),
+            sum($"du" * $"dv").as("sxy"))
+          .select(
+            ($"n" / 2).cast("long").as("m_edges"),
+            graft.core.Parity.floorRound4(
+              ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+                (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+                  sqrt(nullif(($"n" * $"syy" - $"sy" * $"sy").cast("double"), lit(0.0)))))
+              .as("assortativity"))
+      },
+      Some("""WITH items AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+             |), isup AS (
+             |  SELECT p FROM items GROUP BY p HAVING count(*) >= 20
+             |), e AS MATERIALIZED (
+             |  SELECT a.p AS p1, b.p AS p2
+             |  FROM (SELECT i.k, i.p FROM items i JOIN isup USING (p)) a
+             |  JOIN (SELECT i.k, i.p FROM items i JOIN isup USING (p)) b
+             |    ON a.k = b.k AND a.p < b.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |), dir AS MATERIALIZED (
+             |  SELECT p1 AS u, p2 AS v FROM e
+             |  UNION ALL SELECT p2, p1 FROM e
+             |), deg AS (
+             |  SELECT u AS node, count(*) AS dg FROM dir GROUP BY 1
+             |), pairs AS (
+             |  SELECT du.dg AS du, dv.dg AS dv
+             |  FROM dir JOIN deg du ON dir.u = du.node
+             |  JOIN deg dv ON dir.v = dv.node
+             |), agg AS (
+             |  SELECT count(*) AS n, sum(du) AS sx, sum(dv) AS sy,
+             |    sum(du * du) AS sxx, sum(dv * dv) AS syy,
+             |    sum(du * dv) AS sxy
+             |  FROM pairs
+             |)
+             |SELECT CAST(n / 2 AS BIGINT) AS m_edges,
+             |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             |       * sqrt(nullif(CAST(n * syy - sy * sy AS DOUBLE), 0.0)))
+             |    * 10000 + 0.5) / 10000 AS assortativity
+             |FROM agg""".stripMargin)
     )
   )
+
+  /** The support-pruned co-purchase edge list (p1 < p2) — shared by the
+    * LPA family and the degree-mixing metric. Persisted: every caller
+    * reads it several times (rounds, degrees, within-community counts). */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    val isup = items.groupBy(col("p")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 20)
+    val freq = items.join(broadcast(isup.select(col("p"))), "p")
+    freq.as("a")
+      .join(freq.as("b"),
+        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("p1"), col("p2"))
+      .persist()
+  }
 
   /** Shared Spark pipeline for the LPA family: the deterministic
     * 4-round label propagation over the co-purchase graph, reduced to
@@ -633,18 +721,7 @@ object GraphQueries {
     * See graph_label_propagation's design notes. */
   private def lpaCensus(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-    val isup = items.groupBy(col("p")).agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 20)
-    val freq = items.join(broadcast(isup.select(col("p"))), "p")
-    val edges = freq.as("a")
-      .join(freq.as("b"),
-        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-      .select(col("p1"), col("p2"))
-      .persist() // reused: LPA rounds, degree, within-community count, m
+    val edges = coPurchaseEdges(s, d)
     val labels = graft.ops.LabelPropagation.run(edges, rounds = 4)
     val dir = edges.select(col("p1").as("node"))
       .union(edges.select(col("p2").as("node")))

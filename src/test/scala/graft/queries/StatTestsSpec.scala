@@ -434,6 +434,45 @@ class StatTestsSpec extends SparkSpec {
     assert(r.getDouble(3) > -1.0 && r.getDouble(3) < 1.0)
   }
 
+  test("graph_assortativity: Pearson-over-degrees replay; r in [-1, 1]") {
+    val gsf = "/root/testdata/sf0.01"
+    val r = Registry.queries("graph_assortativity")(spark, gsf).collect()(0)
+    // replay from the LPA census's edge universe is not available
+    // directly; recompute degrees from the emitted m and the census's
+    // degree mass is insufficient — so replay from scratch via the
+    // label-propagation entry's own inputs: edges = pairs of parts
+    // co-purchased in ≥2 orders among parts with support ≥ 20
+    import spark.implicits._
+    val items = graft.core.Tables.lineitem(spark, gsf)
+      .select($"l_orderkey".as("k"), $"l_partkey".as("p")).distinct()
+      .as[(Long, Long)].collect()
+    val sup = items.groupBy(_._2).view.mapValues(_.length).toMap
+    val byOrder = items.filter(t => sup(t._2) >= 20).groupBy(_._1)
+    val pairCnt = scala.collection.mutable.Map[(Long, Long), Int]()
+    byOrder.values.foreach { os =>
+      val ps = os.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCnt((ps(i), ps(j))) = pairCnt.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val edges = pairCnt.filter(_._2 >= 2).keys.toSeq
+    val deg = scala.collection.mutable.Map[Long, Long]()
+    edges.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1
+    }
+    val dirPairs = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a)))
+    }
+    val n = dirPairs.length.toLong
+    val sx = dirPairs.map(_._1).sum; val sxy = dirPairs.map(t => t._1 * t._2).sum
+    val sxx = dirPairs.map(t => t._1 * t._1).sum
+    val want = (n * sxy - sx * sx).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * sxx - sx * sx).toDouble))
+    assert(r.getLong(0) == edges.length, s"${r.getLong(0)} vs ${edges.length} edges")
+    assert(math.abs(r.getDouble(1) - want) < 1e-3,
+      s"r ${r.getDouble(1)} vs replay $want")
+    assert(r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0)
+  }
+
   test("pipe_group_split: zero cross-split users under the group hash; row hash leaks") {
     val out = Registry.queries("pipe_group_split")(spark, "/root/testdata/sf0.01").collect()
     assert(out.length == 3)
