@@ -245,6 +245,38 @@ object Pipeline {
       graft.ops.ZOrder.writeZOrdered3By(df, outDir, xCol, yCol, zCol)
       println(s"[graft] wrote z-ordered ($xCol, $yCol, $zCol) layout → $outDir")
 
+    case "write-hilbert" :: inDir :: xCol :: yCol :: outDir :: Nil =>
+      // locality-preserving 2-D layout: the Hilbert walk's 4-neighbor
+      // steps cover tighter rectangles than Morton (ops/HilbertOrder,
+      // native hilbert2 kernel)
+      graft.ops.HilbertOrder.writeHilbertOrderedBy(
+        spark.read.parquet(inDir), outDir, xCol, yCol)
+      println(s"[graft] wrote hilbert-ordered ($xCol, $yCol) layout → $outDir")
+
+    case "manifest-build" :: dataDir :: colsCsv :: manifestDir :: Nil =>
+      // file-level min/max data-skipping side table (ops/Manifest)
+      graft.ops.Manifest.write(spark, dataDir, manifestDir, colsCsv.split(',').toSeq)
+      val n = spark.read.parquet(manifestDir).count()
+      println(s"[graft] manifest-build: $n file rows at $manifestDir")
+
+    case "manifest-refresh" :: dataDir :: colsCsv :: manifestDir :: Nil =>
+      // incremental maintenance: stats only for never-seen files,
+      // vanished files' rows dropped
+      val delta = graft.ops.Manifest.refresh(
+        spark, dataDir, manifestDir, colsCsv.split(',').toSeq)
+      println(s"[graft] manifest-refresh: +${delta.added} −${delta.removed} " +
+        s"(kept ${delta.kept}) at $manifestDir")
+
+    case "compact" :: dataDir :: targetMb :: outDir :: Nil =>
+      // FFD small-file compaction (ops/Compaction): plan on metadata,
+      // rewrite multi-file groups concurrently, keep compact singletons
+      val groups = graft.ops.Compaction.plan(
+        spark, dataDir, targetMb.toLong * 1024 * 1024)
+      val rep = graft.ops.Compaction.compact(spark, groups, outDir)
+      println(s"[graft] compact: ${rep.filesRewritten} files → " +
+        s"${rep.groupsRewritten} groups (${rep.bytesRewritten / 1024 / 1024} MB " +
+        s"rewritten, ${rep.filesKept} kept in place) → $outDir")
+
     case "write-bloom" :: inDir :: colNdvCsv :: outDir :: Nil =>
       // bloom-filtered layout for point lookups on high-cardinality
       // unclustered keys (sorting/z-order can't serve them): col:ndv
@@ -323,6 +355,10 @@ object Pipeline {
            |  Pipeline bpe-train <docsParquetDir> <nMerges> <outDir>
            |  Pipeline write-zorder <inParquetDir> <xCol> <yCol> <outDir>
            |  Pipeline write-zorder3 <inParquetDir> <xCol> <yCol> <zCol> <outDir>
+           |  Pipeline write-hilbert <inParquetDir> <xCol> <yCol> <outDir>
+           |  Pipeline manifest-build <dataDir> <cols,csv> <manifestDir>
+           |  Pipeline manifest-refresh <dataDir> <cols,csv> <manifestDir>
+           |  Pipeline compact <dataDir> <targetMb> <outDir>
            |  Pipeline write-bloom <inParquetDir> <col:ndv,csv> <outDir>
            |  Pipeline quantiles <inParquetDir> <valueCol> <qs,csv e.g. 0.5,0.99>
            |  Pipeline snapshot-merge <changesDir> <snapshotDir> <checkpointDir> <keyCols,csv> <orderCols,csv>
