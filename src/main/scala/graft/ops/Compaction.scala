@@ -104,9 +104,20 @@ object Compaction {
           (g.files.length, g.bytes)
         }
       }
-      val res = scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futs),
-        scala.concurrent.duration.Duration.Inf)
+      val res =
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+        catch {
+          case t: Throwable =>
+            // fail-fast leaves up to parallelism−1 rewrites still
+            // running: stop them and WAIT before propagating, or a
+            // caller's delete-outDir-and-retry races zombie writers
+            // resurrecting partial g<N> dirs
+            pool.shutdownNow()
+            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+            throw t
+        }
       CompactReport(multi.length, res.map(_._1).sum, res.map(_._2).sum, kept)
     } finally pool.shutdown()
   }

@@ -45,9 +45,14 @@ object HilbertOrder {
   def withHilbertKeyNative(df: DataFrame, bx: Column, by: Column,
       out: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.withColumn("__hbx", bx.cast("long")).withColumn("__hby", by.cast("long"))
-      .withColumn(out, expr("hilbert2(__hbx, __hby)"))
-      .drop("__hbx", "__hby")
+    // temp names must not collide with user columns — a fixed "__hbx"
+    // would silently overwrite-and-drop a real column of that name
+    val taken = df.columns.toSet
+    val nx = Iterator.from(0).map(i => s"__hbx$i").find(!taken(_)).get
+    val ny = Iterator.from(0).map(i => s"__hby$i").find(!taken(_)).get
+    df.withColumn(nx, bx.cast("long")).withColumn(ny, by.cast("long"))
+      .withColumn(out, expr(s"hilbert2(`$nx`, `$ny`)"))
+      .drop(nx, ny)
   }
 
   /** Appends `out` = Hilbert index of the bucketized pair. `bx`/`by`
@@ -55,6 +60,9 @@ object HilbertOrder {
   def withHilbertKey(df: DataFrame, bx: Column, by: Column, out: String,
       bits: Int = DimBits): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    require(!df.columns.exists(Set("__hx", "__hy")),
+      "input already carries the reserved __hx/__hy scratch columns — " +
+        "rename them or use withHilbertKeyNative (collision-free names)")
     var cur = df.withColumns(Map(
       "__hx" -> bx.cast("long"), "__hy" -> by.cast("long"), out -> lit(0L)))
     for (i <- (bits - 1) to 0 by -1) {

@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** File-level min/max manifest — the lakehouse data-skipping pattern
   * (Iceberg manifest files / Delta add-file stats) in plain Spark.
@@ -18,30 +20,79 @@ import org.apache.spark.sql.functions._
   * not O(table). Complements (not replaces) footer pruning: survivors
   * still row-group-prune inside each file.
   *
-  * The build groups by `input_file_name()` — distributed, one scan of
-  * the stats columns only (column-pruned). The probe's collect() is
-  * bounded by the file count, i.e. metadata-sized driver state (the
-  * sanctioned class: same bound as Spark's own driver-side file index).
-  * Like any external index the manifest is only sound while the data
-  * dir is unchanged (rebuild after writes — a stale manifest can prune
-  * files that now contain matching rows; ManifestSpec pins the
-  * stale-read hazard note on the happy path instead: the pruned read
-  * must equal the full-scan filter row-for-row).
+  * The FS LISTING is the manifest's spine — every listed data file gets
+  * a row, carrying its size and modification time as the file's
+  * IDENTITY alongside the path (a file rewritten in place with new
+  * content changes size/mtime, so [[refresh]] re-scans it instead of
+  * trusting stale stats; a zero-row file gets an explicit n_rows = 0
+  * row instead of silently vanishing from the per-row aggregate and
+  * being perpetually "new"). Stats come from ONE column-pruned scan
+  * grouped by `input_file_name()`. The probe's collect() is bounded by
+  * the file count — metadata-sized driver state, the same bound as
+  * Spark's own file index.
   */
 object Manifest {
 
-  /** One row per data file: `file`, `n_rows`, and min_/max_ for each of
-    * `cols` (file-local stats; null min/max ⟺ the file is all-null for
-    * that column). */
-  def build(spark: SparkSession, dataDir: String, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "manifest needs at least one stats column")
+  private def norm(s: String): String = new Path(s).toUri.getPath
+
+  /** Driver-side FS listing of the dir's data files: (normalized path,
+    * canonical path string, bytes, mtime). Metadata-only. */
+  private def fsList(spark: SparkSession, dataDir: String)
+      : Seq[(String, String, Long, Long)] = {
+    val p = new Path(dataDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => (norm(s.getPath.toString), s.getPath.toString,
+        s.getLen, s.getModificationTime))
+      .sortBy(_._1)
+  }
+
+  /** Per-file stats frame for an explicit file list (column-pruned scan
+    * keyed by input_file_name), reconciled against the FS listing so
+    * every file — including zero-row files — has exactly one row. */
+  private def statsFor(spark: SparkSession, cols: Seq[String],
+      files: Seq[(String, String, Long, Long)]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(dataDir)
+    val data = spark.read.parquet(files.map(_._2): _*)
+    val scanned = data
       .select(cols.map(col): _*)
-      .withColumn("file", input_file_name())
-      .groupBy(col("file"))
+      .withColumn("__sf", input_file_name())
+      .groupBy(col("__sf"))
       .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => norm(r.getString(0)) -> r).toMap
+    val statFields = StructField("n_rows", LongType) +:
+      cols.flatMap { c =>
+        val dt = data.schema(c).dataType
+        Seq(StructField(s"min_$c", dt), StructField(s"max_$c", dt))
+      }
+    val schema = StructType(
+      StructField("file", org.apache.spark.sql.types.StringType) +:
+        StructField("n_bytes", LongType) +: StructField("mtime", LongType) +:
+        statFields)
+    val rows = files.map { case (n, path, bytes, mtime) =>
+      scanned.get(n) match {
+        case Some(r) =>
+          Row.fromSeq(path +: bytes +: mtime +: r.toSeq.drop(1))
+        case None => // zero-row file: explicit empty-stats row
+          Row.fromSeq(path +: bytes +: mtime +: 0L +:
+            Seq.fill(cols.length * 2)(null))
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+  }
+
+  /** One row per data file: `file`, `n_bytes`, `mtime`, `n_rows`, and
+    * min_/max_ for each of `cols` (file-local stats; null min/max ⟺ the
+    * file has no non-null values for that column, including the
+    * zero-row file). */
+  def build(spark: SparkSession, dataDir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifest needs at least one stats column")
+    statsFor(spark, cols, fsList(spark, dataDir))
   }
 
   /** Build and persist the manifest beside the data (single small file —
@@ -54,49 +105,41 @@ object Manifest {
   final case class RefreshDelta(added: Int, removed: Int, kept: Int)
 
   /** Incremental refresh — the maintenance call that closes the
-    * staleness hazard documented above: after appends, deletes or a
-    * [[Compaction]] run, stats are computed ONLY for files the manifest
-    * has never seen, and rows for files no longer present are dropped —
-    * a full rebuild re-scans the whole table for what is usually a
-    * handful of new files. File identity compares by normalized URI
-    * path (input_file_name() and DataFrame.inputFiles render the same
-    * file differently — `file:///x` vs `file:/x`). The old manifest is
-    * held driver-side during the rewrite (it is metadata-sized by
-    * construction — the same bound as every other driver-held state
-    * here). */
+    * staleness hazard: after appends, deletes, in-place rewrites or a
+    * [[Compaction]] run, stats are computed ONLY for files whose
+    * (path, size, mtime) identity the manifest has never seen; rows for
+    * vanished or changed files are dropped — a full rebuild re-scans the
+    * whole table for what is usually a handful of new files. Identity
+    * includes size and mtime precisely so an in-place rewrite (same
+    * path, new content) is re-scanned rather than served stale stats.
+    * The old manifest is held driver-side during the rewrite (it is
+    * metadata-sized by construction). */
   def refresh(spark: SparkSession, dataDir: String, manifestDir: String,
       cols: Seq[String]): RefreshDelta = {
-    import org.apache.hadoop.fs.Path
-    def norm(s: String) = new Path(s).toUri.getPath
-    val current = spark.read.parquet(dataDir).inputFiles.toSeq
-    val curNorm = current.map(norm).toSet
+    val current = fsList(spark, dataDir)
+    val curIds = current.map { case (n, _, b, m) => (n, b, m) }.toSet
     val old = spark.read.parquet(manifestDir)
     val oldRows = old.collect()
-    val fileIdx = old.schema.fieldIndex("file")
-    val kept = oldRows.filter(r => curNorm(norm(r.getString(fileIdx))))
-    val keptNorm = kept.map(r => norm(r.getString(fileIdx))).toSet
-    val newFiles = current.filterNot(f => keptNorm(norm(f))).sorted
+    val fi = old.schema.fieldIndex("file")
+    val bi = old.schema.fieldIndex("n_bytes")
+    val mi = old.schema.fieldIndex("mtime")
+    val kept = oldRows.filter(r =>
+      curIds((norm(r.getString(fi)), r.getLong(bi), r.getLong(mi))))
+    val keptNorm = kept.map(r => norm(r.getString(fi))).toSet
+    val newFiles = current.filterNot(f => keptNorm(f._1))
     val keptDf = spark.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(kept: _*)), old.schema)
     val combined =
       if (newFiles.isEmpty) keptDf
-      else {
-        val aggs = count(lit(1)).as("n_rows") +:
-          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        val newRows = spark.read.parquet(newFiles: _*)
-          .select(cols.map(col): _*)
-          .withColumn("file", input_file_name())
-          .groupBy(col("file"))
-          .agg(aggs.head, aggs.tail: _*)
-        keptDf.unionByName(newRows.select(old.schema.fieldNames.map(col): _*))
-      }
+      else keptDf.unionByName(
+        statsFor(spark, cols, newFiles).select(old.schema.fieldNames.map(col): _*))
     combined.coalesce(1).write.mode("overwrite").parquet(manifestDir)
     RefreshDelta(newFiles.length, oldRows.length - kept.length, kept.length)
   }
 
   /** Files whose [min,max] span can intersect [lo, hi] on `statsCol` —
-    * the candidate set a range probe must read. All-null files never
-    * match (a range predicate is null-rejecting). */
+    * the candidate set a range probe must read. All-null and zero-row
+    * files never match (a range predicate is null-rejecting). */
   def candidateFiles(spark: SparkSession, manifestDir: String,
       statsCol: String, lo: Any, hi: Any): Array[String] =
     spark.read.parquet(manifestDir)

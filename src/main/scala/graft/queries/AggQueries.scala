@@ -3212,7 +3212,10 @@ object AggQueries {
       (s, d) => {
         import s.implicits._
         val x = $"value" / 512.0
-        val g = Tables.events(s, d)
+        // null values filtered BEFORE the cluster aggregate: count(1)
+        // would count rows the sums skip, biasing n (and so SSW/n₀/ICC)
+        // identically on both engines — the oracle could not catch it
+        val g = Tables.events(s, d).filter($"value".isNotNull)
           .groupBy($"user_id")
           .agg(
             count(lit(1)).as("n"),
@@ -3252,7 +3255,7 @@ object AggQueries {
              |    sum(CAST(floor((value / 512.0) * 1000000.0 + 0.5) AS BIGINT)) AS sq,
              |    sum(CAST(floor((value / 512.0) * (value / 512.0) * 1000000.0 + 0.5)
              |      AS BIGINT)) AS ssq
-             |  FROM events GROUP BY 1
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1
              |), t AS (
              |  SELECT n, sq,
              |    CAST(floor((CAST(ssq AS DOUBLE) / 1000000.0

@@ -696,9 +696,19 @@ object GraphQueries {
   )
 
   /** The support-pruned co-purchase edge list (p1 < p2) — shared by the
-    * LPA family and the degree-mixing metric. Persisted: every caller
-    * reads it several times (rounds, degrees, within-community counts). */
+    * LPA family and the degree-mixing metric. Persisted AND memoized per
+    * (application, data dir): three entries reading the same graph in
+    * one Verify/Bench session would otherwise each pin their own
+    * identical cached copy for the session's lifetime. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
   private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    edgeCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d,
+      _ => buildCoPurchaseEdges(s, d))
+
+  private def buildCoPurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()

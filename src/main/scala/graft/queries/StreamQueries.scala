@@ -537,18 +537,9 @@ object StreamQueries {
             .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
         }
         daily.unpersist()
-        // pin the replay order explicitly: FileStreamSource orders by
-        // modification time, and the Kalman fold (unlike sessionize) is
-        // order-FATAL across seams — equal mtimes from fast sequential
-        // writes must never let c1 land before c0, so each cut file
-        // gets a strictly increasing mtime
-        val hfs = new org.apache.hadoop.fs.Path(tmp)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        for (i <- 0 until 4) {
-          hfs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/in/c$i"))
-            .filter(_.isFile)
-            .foreach(st => hfs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1))
-        }
+        // the Kalman fold (unlike sessionize) is order-FATAL across
+        // seams — pin the replay order against mtime ties
+        graft.streaming.Streams.pinChunkOrder(s, s"$tmp/in", 4)
         val src = s.readStream
           .schema("event_type STRING, day TIMESTAMP, y DOUBLE")
           .option("maxFilesPerTrigger", 1)

@@ -231,6 +231,22 @@ object Streams {
   /** Open per-user session carried in the state store between
     * micro-batches (epoch millis — the state row stays 32 bytes no
     * matter how long the session runs). */
+  /** Pin a chunked file replay's order: FileStreamSource consumes files
+    * in modification-time order, and an ORDER-FATAL fold (the Kalman
+    * stream) cannot tolerate two chunks tied on mtime from fast
+    * sequential writes — give `inDir/c0..c<n-1>`'s files strictly
+    * increasing mtimes. The base epoch is an arbitrary constant; only
+    * relative order matters to the source. */
+  def pinChunkOrder(spark: SparkSession, inDir: String, n: Int): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (i <- 0 until n) {
+      hfs.listStatus(new org.apache.hadoop.fs.Path(s"$inDir/c$i"))
+        .filter(_.isFile)
+        .foreach(st => hfs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1))
+    }
+  }
+
   final case class KalmanState(x: Double, p: Double, lastMs: Long)
   final case class KalmanPoint(eventType: String, day: java.sql.Timestamp,
       y: Double, level: Double, gain: Double, variance: Double)

@@ -87,6 +87,45 @@ class ManifestSpec extends SparkSpec {
       spark.read.parquet(s"$d/data").count())
   }
 
+  test("in-place rewrite changes file identity (size/mtime) and is re-scanned") {
+    val d = java.nio.file.Files.createTempDirectory("manifest_inplace").toString
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to 100L).map(i => (i, s"p$i")).toDF("k", "p")
+      .repartitionByRange(2, $"k").write.mode("overwrite").parquet(s"$d/data")
+    Manifest.write(spark, s"$d/data", s"$d/manifest", Seq("k"))
+    // rewrite one file IN PLACE with a disjoint key range
+    val victim = spark.read.parquet(s"$d/data").inputFiles.min
+    (9000L to 9099L).map(i => (i, s"p$i")).toDF("k", "p")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/tmp")
+    val src = Compaction.listFiles(spark, s"$d/tmp").head.path
+    fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+    fs.rename(new org.apache.hadoop.fs.Path(src),
+      new org.apache.hadoop.fs.Path(new java.net.URI(victim).getPath))
+    val delta = Manifest.refresh(spark, s"$d/data", s"$d/manifest", Seq("k"))
+    assert(delta.added == 1 && delta.removed == 1, s"$delta")
+    // the stale row is gone: the 9000-range probe must FIND the file
+    val got = Manifest.readRange(spark, s"$d/data", s"$d/manifest", "k", 9000L, 9099L)
+      .count()
+    assert(got == 100L, s"stale manifest pruned the rewritten file: $got rows")
+  }
+
+  test("zero-row files get explicit n_rows=0 rows; refresh is a stable no-op") {
+    val d = java.nio.file.Files.createTempDirectory("manifest_zero").toString
+    (1L to 100L).map(i => (i, s"p$i")).toDF("k", "p")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/data")
+    // append a 0-row part file
+    spark.read.parquet(s"$d/data").filter(lit(false))
+      .coalesce(1).write.mode("append").parquet(s"$d/data")
+    Manifest.write(spark, s"$d/data", s"$d/manifest", Seq("k"))
+    val m = spark.read.parquet(s"$d/manifest").collect()
+    assert(m.length == spark.read.parquet(s"$d/data").inputFiles.length)
+    assert(m.exists(r => r.getAs[Long]("n_rows") == 0L),
+      s"zero-row file missing from manifest: ${m.toSeq}")
+    val delta = Manifest.refresh(spark, s"$d/data", s"$d/manifest", Seq("k"))
+    assert(delta.added == 0 && delta.removed == 0, s"refresh not a no-op: $delta")
+  }
+
   test("all-null stats files are never range candidates") {
     val d = java.nio.file.Files.createTempDirectory("manifest_null").toString
     val withNull = Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "p")

@@ -409,7 +409,8 @@ class StatTestsSpec extends SparkSpec {
   test("a61_icc_design_effect: one-way random-effects replay; deff consistent") {
     import spark.implicits._
     val r = Registry.queries("a61_icc_design_effect")(spark, sf).collect()(0)
-    val xs = Tables.events(spark, sf).select($"user_id", $"value" / 512.0)
+    val xs = Tables.events(spark, sf).filter($"value".isNotNull)
+      .select($"user_id", $"value" / 512.0)
       .as[(Long, Double)].collect()
     def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
     val byU = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap

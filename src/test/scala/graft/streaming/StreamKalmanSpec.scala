@@ -13,17 +13,8 @@ class StreamKalmanSpec extends SparkSpec {
 
   private def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
 
-  /** Pin replay order: strictly increasing mtime per chunk dir (the
-    * order-fatal-fold discipline from the gated entry). */
-  private def pinOrder(tmp: String, n: Int): Unit = {
-    val hfs = new org.apache.hadoop.fs.Path(tmp)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (i <- 0 until n) {
-      hfs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/in/c$i"))
-        .filter(_.isFile)
-        .foreach(st => hfs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1))
-    }
-  }
+  private def pinOrder(tmp: String, n: Int): Unit =
+    Streams.pinChunkOrder(spark, s"$tmp/in", n)
 
   test("seam-crossing fold equals the batch kernel exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("skalman").toString
