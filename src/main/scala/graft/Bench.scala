@@ -126,7 +126,11 @@ object Bench {
     * unaffected (Verify has no caps). */
   private val sfCaps: Map[String, Double] = Map(
     "a42_bootstrap_ci" -> 0.1, // md5 parity spelling; a42b is the production row
-    "skewJoin" -> 0.1)         // section: snapshot-only past sf0.1 on a shared JVM
+    "skewJoin" -> 0.1,         // section: snapshot-only past sf0.1 on a shared JVM
+    "dedup_lsh_eval" -> 1.0)   // truth side is quadratic-adjacent BY DESIGN
+                               // (exact all-pairs ground truth on a 40% sample —
+                               // the calibration tool's contract, 11 s at sf1);
+                               // past sf1 the sample itself is what you'd shrink
 
   /** Scale factor parsed from the data dir name (`…/sf0.1`, `…/sf1`);
     * unknown layouts count as sf0.1 so no cap fires on custom dirs. */
