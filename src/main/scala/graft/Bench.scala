@@ -111,7 +111,8 @@ object Bench {
     "a60_power_mde",       // A/B design: pooled-σ MDE + required n
     "graph_modularity",    // Newman Q over the LPA census (quantized Σ)
     "a61_icc_design_effect", // cluster-randomization ICC + design effect
-    "graph_assortativity") // degree-mixing r from exact integer moments
+    "graph_assortativity", // degree-mixing r from exact integer moments
+    "j40_obt_q5")          // one-big-table materialize + filtered scan
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is
@@ -233,6 +234,7 @@ object Bench {
       ++ section("bloomScan")(bloomScanBench(spark, sfDir))
       ++ section("manifestScan")(manifestScanBench(spark, sfDir))
       ++ section("compaction")(compactionBench(spark, sfDir))
+      ++ section("obtScan")(obtScanBench(spark, sfDir))
       ++ section("intervalJoin")(intervalJoinBench(spark, sfDir))
       ++ section("graphCands")(graphCandsBench(spark, sfDir))
       ++ section("simCands")(simCandsBench(spark, sfDir)))
@@ -419,6 +421,43 @@ object Bench {
       "scan_smallfiles_64" -> timeScan(Seq(s"$tmp/small")),
       "scan_compacted" -> timeScan(compactedPaths),
       "compaction_files_after" -> nAfter.toDouble)
+  }
+
+  /** OBT A/B: the same Q5 slice as a live 6-table star join vs a
+    * filtered scan of the prebuilt denormalized fact (j40's layout) —
+    * the join-at-write vs join-at-read trade measured; `obt_size_mb`
+    * carries the storage price of the fan-out to lineitem grain. */
+  private def obtScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_obt").toString
+    graft.sources.Sinks.writeSortedBy(
+      graft.queries.JoinQueries.buildObtQ5(spark, sfDir), tmp,
+      Seq("o_orderdate"), numFiles = 8)
+    def q5Star(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries("j14_tpch_q5")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def q5Obt(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(tmp)
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1997-01-01").cast("date"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    q5Star(); q5Obt() // warm both paths once
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val sizeMb = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength / 1e6
+    Seq(
+      "q5_star_join" -> q5Star(),
+      "q5_obt_scan" -> q5Obt(),
+      "obt_size_mb" -> sizeMb)
   }
 
   /** Strategy A/B: one deliberately skewed fact⋈dim join, three ways —

@@ -401,19 +401,7 @@ object JoinQueries {
           .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
           .orderBy($"revenue".desc, $"n_name")
       },
-      Some("""SELECT n_name,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
-             |FROM customer
-             |JOIN orders ON c_custkey = o_custkey
-             |JOIN lineitem ON o_orderkey = l_orderkey
-             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-             |JOIN nation ON s_nationkey = n_nationkey
-             |JOIN region ON n_regionkey = r_regionkey
-             |WHERE r_name = 'ASIA'
-             |  AND o_orderdate >= DATE '1996-01-01'
-             |  AND o_orderdate < DATE '1997-01-01'
-             |GROUP BY n_name
-             |ORDER BY revenue DESC, n_name""".stripMargin)
+      Some(tpchQ5Oracle)
     ),
 
     // TPC-H Q10 shape (returned-item reporting): fact⋈fact⋈dim⋈dim with
@@ -1548,6 +1536,73 @@ object JoinQueries {
              |SELECT match_len, rule_id, count(*) AS n_users,
              |  min(u) AS min_user, max(u) AS max_user
              |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // One-big-table materialization (j40) — the join-at-write vs
+    // join-at-read trade every BI/serving layer makes: the 6-table Q5
+    // star join is paid ONCE into a denormalized fact (lineitem grain,
+    // pruned to the serving columns, time-sorted for row-group
+    // pruning), and the query becomes a filtered SCAN — no joins at
+    // read time, filters pushed to the parquet footer. The gate is the
+    // point: the aggregate over the materialized+read-back OBT must
+    // hash-match j14's star-join oracle VERBATIM, which proves the
+    // denormalization (join conditions, grain, column carry) loses
+    // nothing. 100 TB: storage fans out to fact grain and updates must
+    // rebuild slices (the known OBT costs) — in exchange every slice
+    // query drops 5 joins; the obtScan BENCH cells measure the
+    // read-side delta.
+    OracleQuery(
+      "j40_obt_q5",
+      (s, d) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_obt").toString
+        graft.sources.Sinks.writeSortedBy(
+          buildObtQ5(s, d), tmp, Seq("o_orderdate"), numFiles = 4)
+        s.read.parquet(tmp)
+          .filter($"r_name" === "ASIA" &&
+            $"o_orderdate" >= lit("1996-01-01").cast("date") &&
+            $"o_orderdate" < lit("1997-01-01").cast("date"))
+          .groupBy($"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some(tpchQ5Oracle)
     )
   )
+
+  /** The denormalized Q5 serving fact: the UNFILTERED 6-table join at
+    * lineitem grain, pruned to the columns the slice queries read.
+    * Shared by j40_obt_q5 and the obtScan bench A/B. */
+  private[graft] def buildObtQ5(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"), col("o_orderdate"),
+        col("l_extendedprice"), col("l_discount"))
+  }
+
+  /** Shared by j14 (live star join) and j40 (materialized OBT) — the
+    * two spellings must answer identically, so they gate against the
+    * SAME SQL. */
+  private[queries] val tpchQ5Oracle: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
 }
