@@ -334,7 +334,7 @@ object Bench {
 
   private def sortedScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_layout").toString
+    val tmp = graft.core.Scratch.dir("bench_layout", sfDir)
     withReplicatedEvents(spark, sfDir) { events =>
       graft.sources.Sinks.writeSortedBy(events, s"$tmp/sorted", Seq("ts"), numFiles = 8)
       events.repartition(8).write.mode("overwrite").parquet(s"$tmp/unsorted")
@@ -365,7 +365,7 @@ object Bench {
     * O(table)). */
   private def manifestScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_manifest").toString
+    val tmp = graft.core.Scratch.dir("bench_manifest", sfDir)
     withReplicatedEvents(spark, sfDir) { events =>
       graft.sources.Sinks.writeSortedBy(events, s"$tmp/data", Seq("ts"), numFiles = 64)
     }
@@ -400,7 +400,7 @@ object Bench {
     * cluster scale per-file listing RPCs and footer reads scale the gap
     * — `compaction_files_after` is the structural telemetry row. */
   private def compactionBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_compact").toString
+    val tmp = graft.core.Scratch.dir("bench_compact", sfDir)
     withReplicatedEvents(spark, sfDir) { events =>
       events.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
     }
@@ -429,7 +429,7 @@ object Bench {
     * carries the storage price of the fan-out to lineitem grain. */
   private def obtScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_obt").toString
+    val tmp = graft.core.Scratch.dir("bench_obt", sfDir)
     graft.sources.Sinks.writeSortedBy(
       graft.queries.JoinQueries.buildObtQ5(spark, sfDir), tmp,
       Seq("o_orderdate"), numFiles = 8)
@@ -575,7 +575,7 @@ object Bench {
     * not part of `total`. */
   private def bloomScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_bloom").toString
+    val tmp = graft.core.Scratch.dir("bench_bloom", sfDir)
     val hc = spark.sparkContext.hadoopConfiguration
     val prevBlock = hc.get("parquet.block.size")
     val prevDict = hc.get("parquet.enable.dictionary")
@@ -629,7 +629,7 @@ object Bench {
     * as [[sortedScanBench]]; writes untimed; not part of `total`. */
   private def zorderScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_zorder").toString
+    val tmp = graft.core.Scratch.dir("bench_zorder", sfDir)
     withReplicatedEvents(spark, sfDir) { base =>
       val events = base.withColumn("t", unix_timestamp(col("ts")))
         // domain dim: 60-bit md5 of event_type mod 1024 (ZOrder.bucket's

@@ -58,11 +58,17 @@ object Compaction {
     val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileMeta]]
     val free = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (f <- files) {
+      // a zero-byte file fits ANY bin by `free >= 0` — including the
+      // CLOSED bin of an oversize singleton (free would be 0), which
+      // would turn that singleton into a multi-file group and make
+      // compact() rewrite an already-huge file. Oversize bins are
+      // marked closed with free = −1 so nothing (not even a zero-byte
+      // file) can ever join them.
       val i = free.indexWhere(_ >= f.bytes)
       if (i >= 0) { bins(i) += f; free(i) -= f.bytes }
       else {
         bins += scala.collection.mutable.ArrayBuffer(f)
-        free += math.max(0L, targetBytes - f.bytes)
+        free += (if (f.bytes >= targetBytes) -1L else targetBytes - f.bytes)
       }
     }
     bins.toSeq.zipWithIndex.map { case (b, i) => Group(i, b.toSeq) }

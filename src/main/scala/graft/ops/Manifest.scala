@@ -35,6 +35,19 @@ object Manifest {
 
   private def norm(s: String): String = new Path(s).toUri.getPath
 
+  /** Normalize a value of `input_file_name()`: Spark returns the file's
+    * URL-ENCODED URI string, while Hadoop listStatus paths are raw —
+    * matching them through [[norm]] alone silently misses any path
+    * containing a space or %-escapable char (the file would get an
+    * n_rows = 0 row and its rows would be dropped by every later
+    * manifest probe). Decode through java.net.URI first; fall back to
+    * [[norm]] for values that are not syntactically URIs. */
+  private def normScan(s: String): String =
+    try {
+      val p = new java.net.URI(s).getPath
+      if (p != null) p else norm(s)
+    } catch { case _: java.net.URISyntaxException => norm(s) }
+
   /** Driver-side FS listing of the dir's data files: (normalized path,
     * canonical path string, bytes, mtime). Metadata-only. */
   private def fsList(spark: SparkSession, dataDir: String)
@@ -63,7 +76,16 @@ object Manifest {
       .groupBy(col("__sf"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => norm(r.getString(0)) -> r).toMap
+      .map(r => normScan(r.getString(0)) -> r).toMap
+    // identity check — a scanned file that matches NO listed file means
+    // the path normalization broke (encoding drift between
+    // input_file_name and the FS listing): fail loudly instead of
+    // silently recording n_rows = 0 rows that drop data on every probe
+    val listed = files.map(_._1).toSet
+    val orphans = scanned.keys.filterNot(listed)
+    require(orphans.isEmpty,
+      s"scanned file(s) matched no FS-listed path (encoding drift?): " +
+        orphans.take(3).mkString(", "))
     val statFields = StructField("n_rows", LongType) +:
       cols.flatMap { c =>
         val dt = data.schema(c).dataType

@@ -2734,7 +2734,12 @@ object AggQueries {
         // two-sided z criticals for α=0.05 step-down, k=5: α/(k−r+1)
         val crits = array(lit(25758L), lit(24977L), lit(23940L), lit(22414L), lit(19600L))
         z.withColumn("rank", row_number().over(wRank))
-          .withColumn("crit", element_at(crits, $"rank"))
+          // the critical table is k=5-specific; clamp the index so a
+          // grouping column whose cardinality ever grows past 5 reuses
+          // the rank-5 critical deterministically in BOTH engines
+          // instead of element_at going out of bounds (NULL in DuckDB,
+          // NULL/throw in Spark — a silent divergence)
+          .withColumn("crit", element_at(crits, least($"rank", lit(5))))
           .withColumn("reject_raw", $"zq" > $"crit")
           .withColumn("reject_holm",
             min($"reject_raw".cast("int")).over(wRun) === 1)
@@ -2773,7 +2778,7 @@ object AggQueries {
              |    CAST(row_number() OVER (ORDER BY zq DESC, grp) AS INT) AS rank
              |  FROM q
              |), crit AS (
-             |  SELECT r.*, ([25758, 24977, 23940, 22414, 19600])[rank] AS crit
+             |  SELECT r.*, ([25758, 24977, 23940, 22414, 19600])[least(rank, 5)] AS crit
              |  FROM ranked r
              |), flagged AS (
              |  SELECT grp, n, zval, rank, zq > crit AS reject_raw,
@@ -2832,7 +2837,10 @@ object AggQueries {
         // two-sided z criticals for α=0.05 step-up, k=5: α·r/k at rank r
         val crits = array(lit(25758L), lit(23263L), lit(21701L), lit(20537L), lit(19600L))
         z.withColumn("rank", row_number().over(wRank))
-          .withColumn("crit", element_at(crits, $"rank"))
+          // same out-of-bounds guard as a54: the table is k=5-specific,
+          // a 6th group must reuse the last critical in both engines
+          // rather than turn hit/reject into NULLs
+          .withColumn("crit", element_at(crits, least($"rank", lit(5))))
           .withColumn("hit", $"zq" > $"crit")
           .withColumn("kstar",
             coalesce(max(when($"hit", $"rank")).over(wAll), lit(0)))
@@ -2871,7 +2879,7 @@ object AggQueries {
              |    CAST(row_number() OVER (ORDER BY zq DESC, grp) AS INT) AS rank
              |  FROM q
              |), crit AS (
-             |  SELECT r.*, ([25758, 23263, 21701, 20537, 19600])[rank] AS crit
+             |  SELECT r.*, ([25758, 23263, 21701, 20537, 19600])[least(rank, 5)] AS crit
              |  FROM ranked r
              |), flagged AS (
              |  SELECT grp, n, zval, rank, zq > crit AS hit,
@@ -2932,8 +2940,13 @@ object AggQueries {
           // element_at's index would be 0 (Spark throws, DuckDB NULLs —
           // a crash AND a divergence): clamp to df ≥ 1; the comparison
           // against crit(1) then correctly reports reject = false
+          // clamp BOTH ends: k = 1 degenerates to df 0 (low end), and a
+          // 9th event_type would index past the 7-entry χ² table (high
+          // end — NULL in DuckDB, NULL/throw in Spark); df > 7 reuses
+          // the df-7 critical deterministically in both engines
           .withColumn("crit",
-            element_at(crits, greatest(lit(1), ($"k" - 1).cast("int"))))
+            element_at(crits,
+              least(lit(7), greatest(lit(1), ($"k" - 1).cast("int")))))
           .select(
             $"nn".cast("long").as("n"), $"k".cast("long").as("k"),
             graft.core.Parity.floorRound4($"h").as("h"),
@@ -2977,7 +2990,7 @@ object AggQueries {
              |  floor(h * 10000 + 0.5) / 10000 AS h,
              |  floor(hc * 10000 + 0.5) / 10000 AS h_tie_corrected,
              |  CAST(floor(abs(hc) * 10000.0 + 0.5) AS BIGINT)
-             |    > ([38415, 59915, 78147, 94877, 110705, 125916, 140671])[greatest(1, k - 1)]
+             |    > ([38415, 59915, 78147, 94877, 110705, 125916, 140671])[least(7, greatest(1, k - 1))]
              |    AS reject_05
              |FROM hc""".stripMargin)
     ),

@@ -1555,8 +1555,7 @@ object JoinQueries {
       "j40_obt_q5",
       (s, d) => {
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_obt").toString
+        val tmp = graft.core.Scratch.dir("obt", d)
         graft.sources.Sinks.writeSortedBy(
           buildObtQ5(s, d), tmp, Seq("o_orderdate"), numFiles = 4)
         s.read.parquet(tmp)

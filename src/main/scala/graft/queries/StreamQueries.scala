@@ -40,8 +40,7 @@ object StreamQueries {
             $"user_id".cast("string").as("station_id"),
             $"value".as("temp_c"),
             $"qc_flags")
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_daily").toString
+        val tmp = graft.core.Scratch.dir("stream_daily", d)
         cleaned.write.mode("overwrite").parquet(s"$tmp/hourly")
         // stage 2, the real stream: file source over the cleaned rows,
         // drained with Trigger.AvailableNow into a memory sink
@@ -86,8 +85,7 @@ object StreamQueries {
       (s, d) => {
         import s.implicits._
         val ev = Tables.events(s, d).filter($"user_id" < 200)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_join").toString
+        val tmp = graft.core.Scratch.dir("stream_join", d)
         // Arrival order is part of stream-stream join SEMANTICS: the
         // watermark evicts views past (wm − window), so files must
         // arrive roughly in event-time order — exactly how a real
@@ -156,8 +154,7 @@ object StreamQueries {
       (s, d) => {
         import s.implicits._
         val ev = Tables.events(s, d).filter($"user_id" < 200)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_ojoin").toString
+        val tmp = graft.core.Scratch.dir("stream_ojoin", d)
         val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
         for ((side, typ) <- Seq("views" -> "view", "clicks" -> "click");
              i <- 0 until 4) {
@@ -236,8 +233,7 @@ object StreamQueries {
         import s.implicits._
         val ev = Tables.events(s, d).filter($"user_id" < 200)
           .withColumn("ts", date_trunc("MILLISECOND", $"ts"))
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_sess").toString
+        val tmp = graft.core.Scratch.dir("stream_sess", d)
         val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
         for (i <- 0 until 4) {
           ev.filter($"ts" >= lit(weeks(i)).cast("timestamp") &&
@@ -317,8 +313,7 @@ object StreamQueries {
         val ev = Tables.events(s, d).select($"ts", $"user_id")
         val b = ev.agg(min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1")).head()
         val (d0, d1) = (b.getDate(0), b.getDate(1))
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_wau").toString
+        val tmp = graft.core.Scratch.dir("stream_wau", d)
         ev.write.mode("overwrite").parquet(s"$tmp/events")
         val src = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 2) // several micro-batches: the
@@ -360,8 +355,7 @@ object StreamQueries {
         import s.implicits._
         val ev = Tables.events(s, d)
           .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_snap").toString
+        val tmp = graft.core.Scratch.dir("stream_snap", d)
         ev.repartition(6).write.mode("overwrite").parquet(s"$tmp/in")
         val src = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 2)
@@ -396,8 +390,7 @@ object StreamQueries {
         val ev = Tables.events(s, d)
           .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
         val dup = ev.unionAll(ev.filter($"event_id" % 5 === 0))
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_dedup").toString
+        val tmp = graft.core.Scratch.dir("stream_dedup", d)
         val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
         for (i <- 0 until 4) {
           val thisWeek = dup.filter($"ts" >= lit(weeks(i)).cast("timestamp") &&
@@ -460,8 +453,7 @@ object StreamQueries {
       (s, d) => {
         import s.implicits._
         val ev = Tables.events(s, d).select($"ts", $"event_type")
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_topk").toString
+        val tmp = graft.core.Scratch.dir("stream_topk", d)
         val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
         for (i <- 0 until 4) {
           ev.filter($"ts" >= lit(weeks(i)).cast("timestamp") &&
@@ -528,8 +520,7 @@ object StreamQueries {
           .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
           .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("y"))
           .persist()
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_stream_kalman").toString
+        val tmp = graft.core.Scratch.dir("stream_kalman", d)
         val cuts = Seq("2024-01-01", "2024-01-09", "2024-01-17", "2024-01-25", "2024-02-02")
         for (i <- 0 until 4) {
           daily.filter($"day" >= lit(cuts(i)).cast("timestamp") &&

@@ -231,8 +231,7 @@ object TextQueries {
     OracleQuery(
       "text_bm25_indexed",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_search_idx").toString
+        val tmp = graft.core.Scratch.dir("search_idx", d)
         graft.ops.SearchIndex.build(Tables.documents(s, d), tmp)
         graft.ops.SearchIndex.search(s, tmp, Seq("spark", "window", "dup"))
       },

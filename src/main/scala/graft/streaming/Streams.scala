@@ -289,7 +289,13 @@ object Streams {
           val out = Vector.newBuilder[KalmanPoint]
           for ((_, day, y) <- sorted) {
             cur match {
-              case Some(s) if day.getTime < s.lastMs => () // late row: drop
+              // late OR re-delivered row: drop. `<=` (not `<`) — the
+              // gated daily aggregate guarantees strictly increasing
+              // days per key, so a timestamp EQUAL to the saved state's
+              // last can only be a duplicate delivery; folding it again
+              // would double-apply the update and diverge from the
+              // batch kernel for every subsequent row of the key
+              case Some(s) if day.getTime <= s.lastMs => ()
               case Some(s) =>
                 // spelled exactly as KalmanLevel.perKey
                 val pPred = s.p + q

@@ -94,19 +94,30 @@ class ZOrderSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() == n)
     assert(back.select(sum($"event_id")).head.getLong(0) == n.toLong * (n - 1) / 2)
-    def filesTouched(pred: org.apache.spark.sql.Column): Long =
-      spark.read.parquet(dir).filter(pred)
+    def filesTouched(d: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(d).filter(pred)
         .select(input_file_name()).distinct().count()
     // ∛-selectivity boxing: a quarter-range predicate on EACH dim pins
     // its two top bucket bits → ~16 of 64 files plus range-boundary
-    // straddle (a linear layout smears two of the three across all 64).
-    // The bound carries slack for repartitionByRange's sampled file
-    // boundaries, which jitter by a file or two across runs (the range
-    // sampler's seed folds in the RDD id) — 30 of 64 still separates
-    // the curve from a linear layout's 64 on two of the three dims.
-    assert(filesTouched($"t".between(86400, 172800)) <= 30)
-    assert(filesTouched($"u".between(200, 260)) <= 30)
-    assert(filesTouched($"dom" === 3) <= 30)
+    // straddle. The bound must be JITTER-PROOF: repartitionByRange's
+    // sampled boundaries move by a file or two across runs (the range
+    // sampler's seed folds in the RDD id), and a ≤30 bound sat one file
+    // inside that jitter — it flaked at 31 in a full-suite run. ≤40 is
+    // outside any observed jitter while still separating the curve from
+    // the CONTRAST below: a t-sorted linear layout smears the u and dom
+    // predicates across EVERY file (asserted at 64, not bounded), which
+    // is the property the 3-D curve exists to remove.
+    assert(filesTouched(dir, $"t".between(86400, 172800)) <= 40)
+    assert(filesTouched(dir, $"u".between(200, 260)) <= 40)
+    assert(filesTouched(dir, $"dom" === 3) <= 40)
+    val linDir = java.nio.file.Files.createTempDirectory("graft_zorder3_lin").toString
+    graft.sources.Sinks.writeSortedBy(df, linDir, Seq("t"), numFiles = 64)
+    assert(filesTouched(linDir, $"t".between(86400, 172800)) <= 8,
+      "t-sorted layout boxes t tightly")
+    assert(filesTouched(linDir, $"u".between(200, 260)) === 64L,
+      "linear layout smears u across every file — the gap z-order3 closes")
+    assert(filesTouched(linDir, $"dom" === 3) === 64L,
+      "linear layout smears dom across every file — the gap z-order3 closes")
   }
 
   test("writeZOrderedBy on an empty frame writes an empty table, no NPE") {
