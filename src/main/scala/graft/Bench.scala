@@ -388,10 +388,32 @@ object Bench {
     timeFull(); timePruned() // warm both paths once
     val nCand = graft.ops.Manifest
       .candidateFiles(spark, s"$tmp/manifest", "ts", lo, hi).length
+    // partitioned twin: the SAME probe against a Hive-partitioned
+    // layout (event_type dirs, time-split files inside) — exercises the
+    // recursive listing + basePath read path the engine's own canonical
+    // tables need; files_read pins that pruning still holds per-file
+    // inside partitions, not just per-partition
+    withReplicatedEvents(spark, sfDir) { events =>
+      events.repartitionByRange(16, org.apache.spark.sql.functions.col("ts"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(s"$tmp/pdata")
+    }
+    graft.ops.Manifest.write(spark, s"$tmp/pdata", s"$tmp/pmanifest", Seq("ts"))
+    def timePart(): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Manifest.readRange(spark, s"$tmp/pdata", s"$tmp/pmanifest", "ts", lo, hi)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timePart() // warm
+    val nCandPart = graft.ops.Manifest
+      .candidateFiles(spark, s"$tmp/pmanifest", "ts", lo, hi).length
     Seq(
       "scan_manifest_pruned" -> timePruned(),
       "scan_manifest_full" -> timeFull(),
-      "scan_manifest_files_read" -> nCand.toDouble)
+      "scan_manifest_files_read" -> nCand.toDouble,
+      "scan_manifest_partitioned" -> timePart(),
+      "scan_manifest_partitioned_files_read" -> nCandPart.toDouble)
   }
 
   /** Compaction A/B: the same full scan against 64 micro-files vs the
@@ -407,7 +429,7 @@ object Bench {
     val groups = graft.ops.Compaction.plan(spark, s"$tmp/small", 32L * 1024 * 1024)
     graft.ops.Compaction.compact(spark, groups, s"$tmp/out")
     val kept = groups.filter(_.files.length <= 1).flatMap(_.files).map(_.path)
-    val outDirs = groups.filter(_.files.length > 1).map(g => s"$tmp/out/g${g.id}")
+    val outDirs = groups.filter(_.files.length > 1).map(g => s"$tmp/out/${g.outSubPath}")
     val compactedPaths = outDirs ++ kept
     def timeScan(paths: Seq[String]): Double = {
       val t0 = System.nanoTime()

@@ -31,47 +31,81 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Compaction {
 
-  final case class FileMeta(path: String, bytes: Long)
-  final case class Group(id: Int, files: Seq[FileMeta]) {
+  /** `subdir` is the file's partition subpath relative to the table
+    * root ("" for an unpartitioned table, "station_id=KLGA/year=2024"
+    * for the engine's canonical hourly layout) — the unit compaction
+    * must respect: a rewritten file's partition values live in its
+    * DIRECTORY name, so merging files across partitions would silently
+    * reassign every row's partition columns. */
+  final case class FileMeta(path: String, bytes: Long, subdir: String = "")
+  final case class Group(id: Int, files: Seq[FileMeta], subdir: String = "") {
     def bytes: Long = files.map(_.bytes).sum
+    /** Output path of this group's rewrite, relative to the compaction
+      * outDir — partition subpath preserved so a partition-aware reader
+      * sees the same partition values after the swap. */
+    def outSubPath: String = if (subdir.isEmpty) s"g$id" else s"$subdir/g$id"
   }
 
-  /** Data files under `dir` (non-recursive; `_`-prefixed metadata files
-    * like _SUCCESS excluded), sizes from the FS — no data read. */
+  /** Data files under `dir`, RECURSIVE into `key=value` partition
+    * directories (`_`/`.`-prefixed files and dirs excluded at every
+    * level), sizes from the FS — no data read. Each file carries its
+    * partition subpath. */
   def listFiles(spark: SparkSession, dir: String): Seq[FileMeta] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
-      .map(s => FileMeta(s.getPath.toString, s.getLen))
-      .sortBy(_.path)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(root).toUri
+    def walk(d: Path): Seq[FileMeta] =
+      fs.listStatus(d).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isFile) {
+          val rel = rootUri.relativize(fs.makeQualified(s.getPath).toUri).getPath
+          val sub = rel.lastIndexOf('/') match {
+            case -1 => ""
+            case i  => rel.substring(0, i)
+          }
+          Seq(FileMeta(s.getPath.toString, s.getLen, sub))
+        } else walk(s.getPath)
+      }
+    walk(root).sortBy(_.path)
   }
 
-  /** First-fit-decreasing bin packing of the dir's files into groups of
-    * at most `targetBytes` (singleton groups may exceed it — a file
-    * already ≥ target is its own group). Deterministic: files sort by
-    * (bytes desc, path), bins are probed first-fit in creation order. */
+  /** First-fit-decreasing bin packing of the table's files into groups
+    * of at most `targetBytes` (singleton groups may exceed it — a file
+    * already ≥ target is its own group). Packing is PER PARTITION
+    * SUBDIR: a group never spans partitions, because the rewrite's
+    * output directory IS the partition encoding. Deterministic: subdirs
+    * process in sorted order, files sort by (bytes desc, path), bins
+    * are probed first-fit in creation order; group ids are global and
+    * stable. */
   def plan(spark: SparkSession, dir: String, targetBytes: Long): Seq[Group] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val files = listFiles(spark, dir).sortBy(f => (-f.bytes, f.path))
-    val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileMeta]]
-    val free = scala.collection.mutable.ArrayBuffer.empty[Long]
-    for (f <- files) {
-      // a zero-byte file fits ANY bin by `free >= 0` — including the
-      // CLOSED bin of an oversize singleton (free would be 0), which
-      // would turn that singleton into a multi-file group and make
-      // compact() rewrite an already-huge file. Oversize bins are
-      // marked closed with free = −1 so nothing (not even a zero-byte
-      // file) can ever join them.
-      val i = free.indexWhere(_ >= f.bytes)
-      if (i >= 0) { bins(i) += f; free(i) -= f.bytes }
-      else {
-        bins += scala.collection.mutable.ArrayBuffer(f)
-        free += (if (f.bytes >= targetBytes) -1L else targetBytes - f.bytes)
+    val byPart = listFiles(spark, dir).groupBy(_.subdir).toSeq.sortBy(_._1)
+    var nextId = 0
+    byPart.flatMap { case (sub, partFiles) =>
+      val files = partFiles.sortBy(f => (-f.bytes, f.path))
+      val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileMeta]]
+      val free = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (f <- files) {
+        // a zero-byte file fits ANY bin by `free >= 0` — including the
+        // CLOSED bin of an oversize singleton (free would be 0), which
+        // would turn that singleton into a multi-file group and make
+        // compact() rewrite an already-huge file. Oversize bins are
+        // marked closed with free = −1 so nothing (not even a zero-byte
+        // file) can ever join them.
+        val i = free.indexWhere(_ >= f.bytes)
+        if (i >= 0) { bins(i) += f; free(i) -= f.bytes }
+        else {
+          bins += scala.collection.mutable.ArrayBuffer(f)
+          free += (if (f.bytes >= targetBytes) -1L else targetBytes - f.bytes)
+        }
+      }
+      bins.toSeq.map { b =>
+        val g = Group(nextId, b.toSeq, sub)
+        nextId += 1
+        g
       }
     }
-    bins.toSeq.zipWithIndex.map { case (b, i) => Group(i, b.toSeq) }
   }
 
   final case class CompactReport(
@@ -79,11 +113,14 @@ object Compaction {
       filesKept: Int)
 
   /** Execute a [[plan]]: every multi-file group is read and rewritten
-    * as ONE parquet file under `outDir/g<id>`; single-file groups are
-    * kept in place (already compact). Returns the rewrite report. The
-    * caller swaps the compacted layout in atomically (pointer file /
-    * directory rename — the snapshot-store discipline) and rebuilds any
-    * [[Manifest]] afterwards, since compaction changes the file set.
+    * as ONE parquet file under `outDir/<partition-subpath>/g<id>`;
+    * single-file groups are kept in place (already compact). Returns
+    * the rewrite report. The caller swaps the compacted layout in
+    * atomically (pointer file / directory rename — the snapshot-store
+    * discipline) and then runs [[Manifest.refresh]] as the documented
+    * post-compact step: compaction changes the file set, and refresh
+    * re-scans ONLY the rewritten group files (their (path, size, mtime)
+    * identity is new) while dropping the absorbed originals' rows.
     *
     * Groups are independent, and each rewrite is a 1-task job
     * (coalesce(1)) — a serial loop would leave the cluster idle and
@@ -104,9 +141,12 @@ object Compaction {
     try {
       val futs = multi.map { g =>
         scala.concurrent.Future {
+          // the group's files share one partition subdir by plan()'s
+          // contract, so the PHYSICAL columns of every file agree and
+          // the rewrite lands under the same partition encoding
           spark.read.parquet(g.files.map(_.path): _*)
             .coalesce(1)
-            .write.mode("overwrite").parquet(s"$outDir/g${g.id}")
+            .write.mode("overwrite").parquet(s"$outDir/${g.outSubPath}")
           (g.files.length, g.bytes)
         }
       }

@@ -48,15 +48,26 @@ object Manifest {
       if (p != null) p else norm(s)
     } catch { case _: java.net.URISyntaxException => norm(s) }
 
-  /** Driver-side FS listing of the dir's data files: (normalized path,
-    * canonical path string, bytes, mtime). Metadata-only. */
+  /** Driver-side RECURSIVE FS listing of the table's data files:
+    * (normalized path, canonical path string, bytes, mtime).
+    * Metadata-only. Recursion is what makes the manifest see
+    * Hive-partitioned layouts — the engine's own canonical hourly table
+    * is `station_id=…/year=…` ([[graft.sources.Sinks.writeHourlyObs]]),
+    * and a non-recursive listing over it would see ZERO files.
+    * `_`/`.`-prefixed files AND directories (commit metadata, staging
+    * dirs) are skipped at every level. */
   private def fsList(spark: SparkSession, dataDir: String)
       : Seq[(String, String, Long, Long)] = {
     val p = new Path(dataDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
+    def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isFile) Seq(s)
+        else walk(s.getPath)
+      }
+    walk(p)
       .map(s => (norm(s.getPath.toString), s.getPath.toString,
         s.getLen, s.getModificationTime))
       .sortBy(_._1)
@@ -64,12 +75,17 @@ object Manifest {
 
   /** Per-file stats frame for an explicit file list (column-pruned scan
     * keyed by input_file_name), reconciled against the FS listing so
-    * every file — including zero-row files — has exactly one row. */
-  private def statsFor(spark: SparkSession, cols: Seq[String],
+    * every file — including zero-row files — has exactly one row.
+    * The scan reads with `basePath = dataDir`, so Hive partition
+    * columns (`station_id=…/year=…`) surface as ordinary columns and a
+    * partition column requested in `cols` gets its stats for free —
+    * min = max = the partition value, constant per file by
+    * construction. */
+  private def statsFor(spark: SparkSession, dataDir: String, cols: Seq[String],
       files: Seq[(String, String, Long, Long)]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val data = spark.read.parquet(files.map(_._2): _*)
+    val data = spark.read.option("basePath", dataDir).parquet(files.map(_._2): _*)
     val scanned = data
       .select(cols.map(col): _*)
       .withColumn("__sf", input_file_name())
@@ -114,7 +130,7 @@ object Manifest {
     * zero-row file). */
   def build(spark: SparkSession, dataDir: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "manifest needs at least one stats column")
-    statsFor(spark, cols, fsList(spark, dataDir))
+    statsFor(spark, dataDir, cols, fsList(spark, dataDir))
   }
 
   /** Build and persist the manifest beside the data (single small file —
@@ -154,7 +170,8 @@ object Manifest {
     val combined =
       if (newFiles.isEmpty) keptDf
       else keptDf.unionByName(
-        statsFor(spark, cols, newFiles).select(old.schema.fieldNames.map(col): _*))
+        statsFor(spark, dataDir, cols, newFiles)
+          .select(old.schema.fieldNames.map(col): _*))
     combined.coalesce(1).write.mode("overwrite").parquet(manifestDir)
     RefreshDelta(newFiles.length, oldRows.length - kept.length, kept.length)
   }
@@ -176,10 +193,14 @@ object Manifest {
   def readRange(spark: SparkSession, dataDir: String, manifestDir: String,
       statsCol: String, lo: Any, hi: Any): DataFrame = {
     val files = candidateFiles(spark, manifestDir, statsCol, lo, hi)
+    // basePath keeps Hive partition columns visible when reading the
+    // candidate files directly — without it a partitioned table's
+    // statsCol could vanish from the read schema (it lives in the
+    // directory names, not the file bytes)
     val base =
       if (files.isEmpty)
         spark.read.parquet(dataDir).filter(lit(false))
-      else spark.read.parquet(files: _*)
+      else spark.read.option("basePath", dataDir).parquet(files: _*)
     base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 }

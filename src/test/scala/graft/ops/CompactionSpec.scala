@@ -81,4 +81,55 @@ class CompactionSpec extends SparkSpec {
     val groups = Compaction.plan(spark, s"$dir/data", target)
     assert(groups.forall(_.files.length == 1) && groups.length == 16)
   }
+
+  test("zero-byte file never joins an oversize singleton's closed bin") {
+    val d = java.nio.file.Files.createTempDirectory("compact_zero").toString
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$d/data"))
+    // one oversize data file + one zero-byte file
+    (1L to 5000L).map(i => (i, "x" * 100)).toDF("id", "pad")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/big")
+    val big = Compaction.listFiles(spark, s"$d/big").head
+    fs.rename(new org.apache.hadoop.fs.Path(big.path),
+      new org.apache.hadoop.fs.Path(s"$d/data/big.parquet"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$d/data/empty.parquet")).close()
+    val groups = Compaction.plan(spark, s"$d/data", big.bytes / 2)
+    // the oversize file's bin is CLOSED: the zero-byte file must open
+    // its own bin, never ride along and force a full rewrite of the
+    // already-huge file
+    val bigGroup = groups.find(_.files.exists(_.bytes > 0)).get
+    assert(bigGroup.files.length == 1,
+      s"zero-byte file joined the oversize bin: $bigGroup")
+    assert(groups.map(_.files.length).sum == 2)
+  }
+
+  test("partitioned table: groups never span partitions, rewrite preserves the subpath") {
+    val d = java.nio.file.Files.createTempDirectory("compact_part").toString
+    // 2×2 hive partitions, multiple small files each
+    (0 until 2000).map(i => (i.toLong, s"k${i % 2}", (i / 2) % 2, "x" * 50))
+      .toDF("id", "part_a", "part_b", "pad")
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("part_a", "part_b")
+      .parquet(s"$d/data")
+    val files = Compaction.listFiles(spark, s"$d/data")
+    assert(files.nonEmpty && files.forall(_.subdir.matches("part_a=k[01]/part_b=[01]")),
+      s"subdirs: ${files.map(_.subdir).distinct.toSeq}")
+    val groups = Compaction.plan(spark, s"$d/data", 1L << 30)
+    assert(groups.forall(g => g.files.forall(_.subdir == g.subdir)))
+    assert(groups.map(_.subdir).distinct.size == 4,
+      "each partition packs independently")
+    val multi = groups.filter(_.files.length > 1)
+    assert(multi.nonEmpty)
+    val rep = Compaction.compact(spark, multi, s"$d/out")
+    assert(rep.groupsRewritten == multi.length)
+    multi.foreach { g =>
+      val out = spark.read.parquet(s"$d/out/${g.outSubPath}")
+      assert(out.inputFiles.length == 1)
+      assert(out.count() == spark.read.parquet(g.files.map(_.path): _*).count())
+      assert(g.outSubPath.startsWith(g.subdir + "/"))
+    }
+    // plan determinism across invocations holds for the partitioned walk
+    assert(Compaction.plan(spark, s"$d/data", 1L << 30) == groups)
+  }
 }

@@ -126,6 +126,67 @@ class ManifestSpec extends SparkSpec {
     assert(delta.added == 0 && delta.removed == 0, s"refresh not a no-op: $delta")
   }
 
+  test("partitioned layout: recursion sees every file, partition cols carry min=max stats, " +
+      "refresh-after-compaction is the maintenance loop") {
+    val d = java.nio.file.Files.createTempDirectory("manifest_part").toString
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the engine's own canonical hourly layout: station_id=…/year=…
+    // (sources/Sinks.writeHourlyObs), several files per partition
+    val hourly = (0 until 4000).map { i =>
+      (java.sql.Timestamp.valueOf(s"${2023 + (i / 2) % 2}-0${1 + i % 9}-15 0${i % 10}:00:00"),
+        s"ST${i % 2}", 20.0 + i % 10, 0L)
+    }.toDF("ts_utc", "station_id", "temp_c", "qc_flags").repartition(4)
+    graft.sources.Sinks.writeHourlyObs(hourly, s"$d/data")
+    Manifest.write(spark, s"$d/data", s"$d/manifest",
+      Seq("ts_utc", "station_id", "year"))
+    val m = spark.read.parquet(s"$d/manifest").collect()
+    val nFiles = spark.read.parquet(s"$d/data").inputFiles.length
+    assert(nFiles > 4, s"fixture should fan out to many files, got $nFiles")
+    assert(m.length == nFiles, s"${m.length} manifest rows vs $nFiles files")
+    assert(m.map(_.getAs[Long]("n_rows")).sum == 4000L)
+    // partition columns are implicit per-file constants: min = max
+    m.foreach { r =>
+      assert(r.getAs[String]("min_station_id") == r.getAs[String]("max_station_id"))
+      assert(r.getAs[Int]("min_year") == r.getAs[Int]("max_year"))
+    }
+    // a partition-column probe prunes to that partition's files only
+    val st0 = Manifest.readRange(spark, s"$d/data", s"$d/manifest",
+      "station_id", "ST0", "ST0")
+    assert(st0.inputFiles.forall(_.contains("station_id=ST0")))
+    val st0Rows = st0.count() // materialized NOW — the files move below
+    assert(st0Rows ==
+      spark.read.parquet(s"$d/data").filter($"station_id" === "ST0").count())
+    // compact within partitions, swap in, refresh — the documented loop
+    val files = Compaction.listFiles(spark, s"$d/data")
+    assert(files.forall(_.subdir.matches("station_id=ST[01]/year=202[34]")),
+      s"unexpected subdirs: ${files.map(_.subdir).distinct.toSeq}")
+    val groups = Compaction.plan(spark, s"$d/data", 1L << 30)
+    assert(groups.forall(g => g.files.forall(_.subdir == g.subdir)),
+      "a group spanned partitions")
+    val multi = groups.filter(_.files.length > 1)
+    assert(multi.nonEmpty, "fixture should produce mergeable groups")
+    Compaction.compact(spark, multi, s"$d/cout")
+    multi.foreach { g =>
+      g.files.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f.path), false))
+      val part = Compaction.listFiles(spark, s"$d/cout/${g.outSubPath}").head
+      fs.rename(new org.apache.hadoop.fs.Path(part.path),
+        new org.apache.hadoop.fs.Path(s"$d/data/${g.subdir}/g${g.id}.parquet"))
+    }
+    val delta = Manifest.refresh(spark, s"$d/data", s"$d/manifest",
+      Seq("ts_utc", "station_id", "year"))
+    assert(delta.added == multi.length &&
+      delta.removed == multi.map(_.files.length).sum, s"$delta")
+    val m2 = spark.read.parquet(s"$d/manifest").collect()
+    assert(m2.map(_.getAs[Long]("n_rows")).sum == 4000L,
+      "rows lost across compaction + refresh")
+    // probes stay sound over the compacted layout
+    val st0b = Manifest.readRange(spark, s"$d/data", s"$d/manifest",
+      "station_id", "ST0", "ST0")
+    assert(st0b.count() == st0Rows)
+  }
+
   test("all-null stats files are never range candidates") {
     val d = java.nio.file.Files.createTempDirectory("manifest_null").toString
     val withNull = Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "p")
