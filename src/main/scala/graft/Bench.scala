@@ -78,6 +78,7 @@ object Bench {
     "graph_kcore",         // iterative k-core peel (6 checkpointed rounds)
     "dedup_substring_spans", // positional L-gram fan-out + interval union
     "dedup_substring_spans_fast", // same, 8-byte xxhash64 gram keys
+    "dedup_substring_spans_strided", // winnowed anchors (codegen kernel), shuffle ÷ ~4.5
     "j38_incremental_join_refresh", // IVM delta-join refresh vs stored MV
     "mm_audio_vad",        // WAV decode → energy islands segmentation
     "a46_kaplan_meier",    // right-censored survival (duration-grain KM)

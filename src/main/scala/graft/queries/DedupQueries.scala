@@ -1038,6 +1038,39 @@ ORDER BY doc_a, doc_b""")
       spansOracle
     ),
 
+    // The 100 TB spelling: WINNOWING (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03) instead of every-position fan-out. Naive positional
+    // striding (keep p ≡ 0 mod s) is WRONG — a run duplicated at
+    // offsets a and b only shares sampled grams when a ≡ b (mod s) —
+    // so the anchor set must be CONTENT-defined: in each window of
+    // s consecutive gram starts, select the rightmost-minimal gram
+    // key. Two copies of a run see identical gram sequences, so
+    // corresponding windows select corresponding anchors regardless
+    // of alignment → deterministic guarantee: every duplicated run of
+    // ≥ L+s−1 chars contains a full s-window of in-run gram starts
+    // and therefore shares ≥ 1 anchor (StridedSpansSpec plants
+    // misaligned ≥39-char runs across all s offsets and proves it;
+    // soundness — every strided hit is an exact-twin dup position —
+    // is asserted on the real corpus). Two scale levers vs the exact
+    // twin: (1) anchor selection is computed DOC-LOCALLY with
+    // higher-order functions in the scan stage — no |corpus chars|
+    // shuffle at all (the exact twin's gram window shuffles every
+    // position); (2) only the ~2n/(s+1) expected anchors enter the
+    // corpus-wide gram shuffle — volume ÷ ~4.5 at s=8. The rightmost
+    // tie-break rides a single sortable string key
+    // gram ∥ lpad(10⁹ − p): min() picks (min gram, max p), and the
+    // key replays byte-for-byte in DuckDB (ASCII corpus ⇒ UTF-16
+    // vs UTF-8 collation order coincide), so the oracle reproduces
+    // the EXACT algorithm — no hash-function parity needed. Span
+    // metrics are approximate by construction (anchors undershoot
+    // run edges by < s); the islands gap is L+s−1 since in-run
+    // anchors are ≤ s apart.
+    OracleQuery(
+      "dedup_substring_spans_strided",
+      (s, d) => stridedSpans(s, d),
+      stridedOracle
+    ),
+
     // LSH banding EVALUATED against exact ground truth — the tuning
     // harness every production MinHash deployment needs: banding's
     // recall is the S-curve P(candidate) = 1 − (1 − J^r)^b, and before
@@ -1193,13 +1226,22 @@ ORDER BY doc_a, doc_b""")
     * its xxhash64), islands-merge the duplicated positions per doc. */
   private def substringSpans(
       s: org.apache.spark.sql.SparkSession, d: String,
+      hashedGrams: Boolean): org.apache.spark.sql.DataFrame =
+    spanAgg(substringHits(Tables.documents(s, d), hashedGrams),
+      gapMax = StrideL, L = StrideL, posCountCol = "n_dup_pos")
+
+  /** Exact duplicated positions (doc_id, n, p): every gram start whose
+    * L-gram occurs ≥ 2× corpus-wide. Exposed for StridedSpansSpec's
+    * soundness gate (strided hits ⊆ exact hits). */
+  private[queries] def substringHits(docs: org.apache.spark.sql.DataFrame,
       hashedGrams: Boolean): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val L = 32
-    val docs = Tables.documents(s, d)
-      .select($"doc_id", $"text", length($"text").as("n"))
+    val L = StrideL
     val gram = expr(s"substring(text, p, $L)")
-    val pos = docs.filter($"n" >= L)
+    val pos = docs
+      .select($"doc_id", $"text", length($"text").as("n"))
+      .filter($"n" >= L)
       .select($"doc_id", $"n",
         explode(sequence(lit(1), $"n" - (L - 1))).as("p"), $"text")
       .select($"doc_id", $"n", $"p",
@@ -1209,25 +1251,135 @@ ORDER BY doc_a, doc_b""")
     // partial-agg exchange never ReusedExchanges with the join
     // exchange) — one gram-partitioned window is a single pass
     val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    val hits = pos.withColumn("c", count(lit(1)).over(wg))
+    pos.withColumn("c", count(lit(1)).over(wg))
       .filter($"c" >= 2).select($"doc_id", $"n", $"p")
+  }
+
+  /** Shared tail of the substring-span family: merge duplicated gram
+    * positions into islands (break when the gap exceeds gapMax — all
+    * grams are length L so the previous covered end is prev+L−1), then
+    * aggregate per-doc span count / covered chars / fraction. */
+  private def spanAgg(hits: org.apache.spark.sql.DataFrame, gapMax: Int,
+      L: Int, posCountCol: String): org.apache.spark.sql.DataFrame = {
+    val s = hits.sparkSession
+    import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
     hits
       .withColumn("brk",
         when(lag($"p", 1).over(w).isNull ||
-          $"p" - lag($"p", 1).over(w) > L, 1).otherwise(0))
+          $"p" - lag($"p", 1).over(w) > gapMax, 1).otherwise(0))
       .withColumn("isl", sum($"brk")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"doc_id", $"n", $"isl")
       .agg(min($"p").as("p0"), max($"p").as("p1"), count(lit(1)).as("nc"))
       .groupBy($"doc_id", $"n")
       .agg(count(lit(1)).as("n_spans"),
-        sum($"nc").as("n_dup_pos"),
+        sum($"nc").as(posCountCol),
         sum($"p1" - $"p0" + L).as("dup_chars"))
-      .select($"doc_id", $"n_spans", $"n_dup_pos", $"dup_chars",
+      .select($"doc_id", $"n_spans", col(posCountCol), $"dup_chars",
         graft.core.Parity.floorRound4($"dup_chars" / $"n".cast("double"))
           .as("dup_fraction"))
       .orderBy($"doc_id")
   }
+
+  /** Winnowing parameters shared by [[stridedAnchors]], the entry's
+    * doc comment and StridedSpansSpec: gram length L, window s. The
+    * detection guarantee is "every duplicated run ≥ L+s−1 chars". */
+  private[queries] val StrideL = 32
+  private[queries] val StrideS = 8
+
+  /** Content-defined anchor positions (doc_id, n, g, p): per window of
+    * [[StrideS]] consecutive gram starts, the rightmost position with
+    * the minimal gram — the whole selection computed DOC-LOCALLY in the
+    * scan stage by the native [[graft.functions.WinnowAnchors]] kernel
+    * (one monotonic-deque sliding-window-minimum pass per doc inside
+    * whole-stage codegen; see its Scaladoc for why the higher-order-
+    * function spelling is O(n²·L) and unusable). Only the ~2n/(s+1)
+    * expected anchors are exploded — nothing position-per-row ever
+    * shuffles. The sortable key gram ∥ lpad(10⁹−p, 10) encodes
+    * (min gram, max p) as a plain string min and round-trips p, so the
+    * DuckDB oracle replays the selection with a window min(). */
+  private[queries] def stridedAnchors(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val L = StrideL; val sw = StrideS
+    docs
+      .select($"doc_id", $"text", length($"text").as("n"))
+      .filter($"n" >= L)
+      .select($"doc_id", $"n",
+        explode(expr(s"winnow_anchors(text, $L, $sw)")).as("k"))
+      .select($"doc_id", $"n",
+        expr(s"substring(k, 1, $L)").as("g"),
+        (lit(1000000000) - expr(s"cast(substring(k, ${L + 1}, 10) as int)")).as("p"))
+  }
+
+  /** Duplicated anchors (doc_id, n, p): winnowed anchors whose gram
+    * occurs at ≥ 2 anchor positions corpus-wide. */
+  private[queries] def stridedHits(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val anchors = stridedAnchors(docs)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    anchors.withColumn("c", count(lit(1)).over(wg))
+      .filter($"c" >= 2).select($"doc_id", $"n", $"p")
+  }
+
+  /** Winnowed substring spans — see the dedup_substring_spans_strided
+    * entry comment for the algorithm and guarantee. */
+  private[queries] def stridedSpans(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    spanAgg(stridedHits(Tables.documents(s, d)),
+      gapMax = StrideL + StrideS - 1, L = StrideL,
+      posCountCol = "n_dup_anchors")
+
+  private[queries] val stridedOracle: Option[String] =
+    Some("""WITH pos AS (
+             |  SELECT doc_id, length(text) AS n,
+             |    unnest(generate_series(1, length(text) - 31)) AS p, text
+             |  FROM documents WHERE length(text) >= 32
+             |), keys AS (
+             |  SELECT doc_id, n, p,
+             |    substr(text, CAST(p AS INTEGER), 32)
+             |      || lpad(CAST(1000000000 - p AS VARCHAR), 10, '0') AS k
+             |  FROM pos
+             |), wmin AS (
+             |  SELECT doc_id, n,
+             |    min(k) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS ak
+             |  FROM keys
+             |), anchors AS (
+             |  SELECT DISTINCT doc_id, n, substr(ak, 1, 32) AS g,
+             |    1000000000 - CAST(substr(ak, 33, 10) AS INTEGER) AS p
+             |  FROM wmin
+             |), hits AS (
+             |  SELECT doc_id, n, p FROM (
+             |    SELECT doc_id, n, p, count(*) OVER (PARTITION BY g) AS c
+             |    FROM anchors) t
+             |  WHERE c >= 2
+             |), seq AS (
+             |  SELECT doc_id, n, p,
+             |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 39
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM hits
+             |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+             |), isl AS (
+             |  SELECT doc_id, n, p,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             |  FROM seq
+             |), spans AS (
+             |  SELECT doc_id, n, isl, min(p) AS p0, max(p) AS p1, count(*) AS nc
+             |  FROM isl GROUP BY 1, 2, 3
+             |)
+             |SELECT doc_id, count(*) AS n_spans,
+             |  CAST(sum(nc) AS BIGINT) AS n_dup_anchors,
+             |  CAST(sum(p1 - p0 + 32) AS BIGINT) AS dup_chars,
+             |  floor(CAST(sum(p1 - p0 + 32) AS BIGINT) / CAST(n AS DOUBLE)
+             |    * 10000 + 0.5) / 10000 AS dup_fraction
+             |FROM spans GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)
 }
