@@ -665,6 +665,8 @@ object Bench {
         numFiles = 8)
       graft.ops.HilbertOrder.writeHilbertOrderedBy(events, s"$tmp/hilbert", "t", "user_id",
         numFiles = 8)
+      graft.ops.HilbertOrder.writeHilbert3OrderedBy(events, s"$tmp/hilbert3",
+        "t", "user_id", "dh", numFiles = 8)
     }
     // At local scale 32 cores decode this whole table in ~0.15s and the
     // page cache is warm right after the writes, so WALL TIME cannot
@@ -699,13 +701,17 @@ object Bench {
       ("scan_time_zorder_layout", s"$tmp/zorder", tPred),
       ("scan_time_zorder3_layout", s"$tmp/zorder3", tPred),
       ("scan_time_hilbert_layout", s"$tmp/hilbert", tPred),
+      ("scan_time_hilbert3_layout", s"$tmp/hilbert3", tPred),
       ("scan_user_linear_layout", s"$tmp/linear", uPred),
       ("scan_user_zorder_layout", s"$tmp/zorder", uPred),
       ("scan_user_zorder3_layout", s"$tmp/zorder3", uPred),
       ("scan_user_hilbert_layout", s"$tmp/hilbert", uPred),
+      ("scan_user_hilbert3_layout", s"$tmp/hilbert3", uPred),
       ("scan_etype_linear_layout", s"$tmp/linear", ePred),
       ("scan_etype_zorder_layout", s"$tmp/zorder", ePred),
-      ("scan_etype_zorder3_layout", s"$tmp/zorder3", ePred))
+      ("scan_etype_zorder3_layout", s"$tmp/zorder3", ePred),
+      ("scan_etype_hilbert_layout", s"$tmp/hilbert", ePred),
+      ("scan_etype_hilbert3_layout", s"$tmp/hilbert3", ePred))
     cases.foreach { case (_, d, p) => measuredRead(d, p) } // warm all paths
     cases.flatMap { case (name, d, p) =>
       val (secs, mb) = measuredRead(d, p)

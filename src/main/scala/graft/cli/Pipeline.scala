@@ -253,6 +253,13 @@ object Pipeline {
         spark.read.parquet(inDir), outDir, xCol, yCol)
       println(s"[graft] wrote hilbert-ordered ($xCol, $yCol) layout → $outDir")
 
+    case "write-hilbert3" :: inDir :: xCol :: yCol :: zCol :: outDir :: Nil =>
+      // 3-D locality layout (native hilbert3 Skilling kernel) — the
+      // Hilbert completion of write-zorder3
+      graft.ops.HilbertOrder.writeHilbert3OrderedBy(
+        spark.read.parquet(inDir), outDir, xCol, yCol, zCol)
+      println(s"[graft] wrote hilbert-ordered ($xCol, $yCol, $zCol) layout → $outDir")
+
     case "manifest-build" :: dataDir :: colsCsv :: manifestDir :: Nil =>
       // file-level min/max data-skipping side table (ops/Manifest)
       graft.ops.Manifest.write(spark, dataDir, manifestDir, colsCsv.split(',').toSeq)
@@ -356,6 +363,7 @@ object Pipeline {
            |  Pipeline write-zorder <inParquetDir> <xCol> <yCol> <outDir>
            |  Pipeline write-zorder3 <inParquetDir> <xCol> <yCol> <zCol> <outDir>
            |  Pipeline write-hilbert <inParquetDir> <xCol> <yCol> <outDir>
+           |  Pipeline write-hilbert3 <inParquetDir> <xCol> <yCol> <zCol> <outDir>
            |  Pipeline manifest-build <dataDir> <cols,csv> <manifestDir>
            |  Pipeline manifest-refresh <dataDir> <cols,csv> <manifestDir>
            |  Pipeline compact <dataDir> <targetMb> <outDir>

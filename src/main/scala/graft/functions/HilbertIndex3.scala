@@ -33,7 +33,6 @@ final case class HilbertIndex3(first: Expression, second: Expression,
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hilbert3"
-  override def children: Seq[Expression] = Seq(first, second, third)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess

@@ -83,6 +83,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(SimHash32.descriptor)
     ext.injectFunction(VecL2Sq.descriptor)
     ext.injectFunction(HilbertIndex2.descriptor)
+    ext.injectFunction(HilbertIndex3.descriptor)
     ext.injectFunction(WinnowAnchors.descriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinOptimizations)
@@ -108,7 +109,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     Seq(rollingHashDescriptor, VecDot.descriptor, MinHashSig.descriptor,
       TrigramStats.descriptor, SimHash32.descriptor, VecL2Sq.descriptor,
-      HilbertIndex2.descriptor, WinnowAnchors.descriptor)
+      HilbertIndex2.descriptor, HilbertIndex3.descriptor,
+      WinnowAnchors.descriptor)
       .foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
