@@ -1810,6 +1810,57 @@ object PipelineQueries {
              |ORDER BY model""".stripMargin)
     ),
 
+    // ERA5 NetCDF-4 ingest END TO END as a DRIVER-GATED row (the
+    // pipe_golden_replay pattern): the COMMITTED HDF5 fixture
+    // (src/main/resources/graft/era5_sb2.nc4 — superblock v2, packed
+    // shorts, chunked+shuffle+deflate, a fill hole; bytes pinned to the
+    // GenEra5Fixture generator by Hdf5Spec) rides the real ingest path
+    // — Hdf5 parse → nearest-cell select → CF time decode →
+    // scale/offset unpack → K→°C → DailyTmax — and must land on the
+    // daily maxima the generator's arithmetic implies: °C(t) =
+    // 4.85 + 0.25·t at the station cell, fill at t=5 ⇒ Jan-1 has 23
+    // coverage hours. Output = the expected values as literals plus
+    // `ok` (computed tmax within 1e-9, tmax_f and coverage exact); the
+    // oracle embeds the same literals with TRUE — DuckDB can't read
+    // HDF5, so the contract column is what crosses the gate, exactly
+    // the GoldenReplay discipline.
+    OracleQuery(
+      "pipe_era5_hdf5",
+      (s, d) => {
+        import s.implicits._
+        val in = getClass.getResourceAsStream("/graft/era5_sb2.nc4")
+        require(in != null, "committed fixture /graft/era5_sb2.nc4 missing")
+        val bytes = try in.readAllBytes() finally in.close()
+        val hourly = graft.sources.Ingest
+          .fromEra5NetCdf(s, bytes, "ERA5-CELL", 50.1, 8.58)
+          .filter(!isnan($"temp_c")) // the fill hole → NaN → excluded
+        val daily = graft.ops.DailyTmax(hourly, "UTC", source = "era5")
+          .select(date_format($"date_local", "yyyy-MM-dd").as("day"),
+            $"tmax_c", $"tmax_f", $"coverage_hours")
+        val expected = Seq(
+          ("2024-01-01", 10.6, 51.1, 23),
+          ("2024-01-02", 16.6, 61.9, 24),
+          ("2024-01-03", 22.6, 72.7, 24))
+        val got = daily.collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2), r.getInt(3)))).toMap
+        val rows = expected.map { case (day, tc, tf, cov) =>
+          val ok = got.get(day).exists { case (gc, gf, gcov) =>
+            math.abs(gc - tc) <= 1e-9 && gf == tf && gcov == cov
+          }
+          (day, tc, tf, cov, got.size == 3 && ok)
+        }
+        s.createDataFrame(rows)
+          .toDF("day", "tmax_c", "tmax_f", "coverage_hours", "ok")
+          .orderBy($"day")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('2024-01-01', CAST(10.6 AS DOUBLE), CAST(51.1 AS DOUBLE), 23, TRUE),
+             |  ('2024-01-02', CAST(16.6 AS DOUBLE), CAST(61.9 AS DOUBLE), 24, TRUE),
+             |  ('2024-01-03', CAST(22.6 AS DOUBLE), CAST(72.7 AS DOUBLE), 24, TRUE))
+             |  AS t(day, tmax_c, tmax_f, coverage_hours, ok)
+             |ORDER BY day""".stripMargin)
+    ),
+
     // Gap-constrained sequential patterns — which event-type pairs
     // happen within an hour of each other, for how many users, with
     // what typical gap? The behavioral-mining complement to

@@ -139,16 +139,19 @@ object StreamQueries {
     // attribution shape — unmatched views must EMIT (null click) once
     // the watermark proves no future click can match, which is the
     // state-eviction semantics an inner join never exercises. Same
-    // week-file replay as stream_click_attribution; the one semantic
-    // boundary is the stream's tail: a view whose expiry
-    // (view_ts + window) is not yet behind the final global watermark
-    // stays in state when input ends, so the gate restricts BOTH
-    // engines to views expiring well inside the watermarked region
-    // (ts < Jan 30 with events ending Jan 31 — a 2-day margin over the
-    // 4 h window) — the batch LEFT JOIN is then the exact oracle.
-    // Unmatched emission rides the n_unmatched column: any view DROPPED
-    // (eviction without emission) or DUPLICATED (emission without
-    // eviction) moves a count and fails the hash.
+    // week-file replay as stream_click_attribution. The gate covers the
+    // FULL output — including the stream's tail, which is exactly the
+    // state the eviction semantics exist for: two far-future sentinel
+    // files per SIDE (the stream_sessionize two-sentinel discipline;
+    // the global watermark is the MIN across sides, so both sides must
+    // advance) push the watermark past every real view's expiry
+    // (Jan 31 + 4 h ≪ Mar 1 − 4 h), and outer emission happens while
+    // the later sentinel batches drain — no output cutoff, the batch
+    // LEFT JOIN is the exact oracle over ALL views. Unmatched emission
+    // rides the n_unmatched column: any view DROPPED (eviction without
+    // emission) or DUPLICATED (emission without eviction) moves a count
+    // and fails the hash. Sentinels use user −1 (no real user) and are
+    // dropped from the gated output.
     OracleQuery(
       "stream_click_attribution_outer",
       (s, d) => {
@@ -164,20 +167,27 @@ object StreamQueries {
             .select($"user_id", $"event_id", $"ts")
             .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$side/w$i")
         }
+        // sentinel files LAST on BOTH sides (ascending mod times →
+        // replayed last): after the first pair the global watermark is
+        // Mar1 − 4h (past every real expiry); the second pair's batches
+        // perform the eviction-and-emit
+        for ((side, st) <- Seq("views", "clicks").flatMap(sd =>
+            Seq("2024-03-01", "2024-03-02").zipWithIndex.map {
+              case (t, i) => (s"$sd/z$i", t) })) {
+          Seq((-1L, 0L, java.sql.Timestamp.valueOf(s"$st 00:00:00")))
+            .toDF("user_id", "event_id", "ts")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$side")
+        }
         def src(dir: String) = s.readStream
           .schema("user_id LONG, event_id LONG, ts TIMESTAMP")
           .option("maxFilesPerTrigger", 1)
           .parquet(s"$dir/*")
-        // the cutoff is applied to the OUTPUT, not the source: filtering
-        // the view source would hold that side's watermark at the
-        // cutoff and the last 2×window of kept views would never expire
-        val cutoff = lit("2024-01-30").cast("timestamp")
         graft.streaming.Streams.runAvailableNow(
           graft.streaming.Streams.clickAttributionOuterStream(
             src(s"$tmp/views"), src(s"$tmp/clicks"), windowMinutes = 240),
           s"$tmp/ckpt", s"$tmp/out")
         s.read.parquet(s"$tmp/out")
-          .filter($"view_ts" < cutoff)
+          .filter($"user_id" >= 0)
           .groupBy($"user_id")
           .agg(count(lit(1)).as("n_rows"),
             sum(when($"click_id".isNull, 1L).otherwise(0L)).as("n_unmatched"),
@@ -188,7 +198,6 @@ object StreamQueries {
       Some("""WITH v AS (
              |  SELECT user_id, event_id, ts FROM events
              |  WHERE event_type = 'view' AND user_id < 200
-             |    AND ts < TIMESTAMP '2024-01-30'
              |), c AS (
              |  SELECT user_id, event_id, ts FROM events
              |  WHERE event_type = 'click' AND user_id < 200

@@ -129,27 +129,51 @@ object H5Fixture {
     b.result
   }
 
-  /** Build a complete HDF5 file with the given root-level datasets. */
-  def build(datasets: Seq[FDs]): Array[Byte] = {
+  /** Build a complete HDF5 file with the given root-level datasets.
+    * `sbVersion` 0 writes the classic superblock (symbol-table root
+    * entry, what libhdf5 1.8-default files carry); 2 writes the modern
+    * compact superblock (direct root-header address + checksum, what
+    * `libver=latest` / 1.10+ files carry) — the group machinery below
+    * is identical, which the spec exploits to cover both parse paths
+    * with one byte layout. */
+  def build(datasets: Seq[FDs], sbVersion: Int = 0): Array[Byte] = {
+    require(sbVersion == 0 || sbVersion == 2, s"sbVersion 0 or 2, got $sbVersion")
     val b = new Buf
 
-    // ---- superblock v0
     b.raw(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
-    b.u8(0) // superblock version
-    b.u8(0); b.u8(0); b.u8(0); b.u8(0) // fs ver, root ST ver, reserved, shared ver
-    b.u8(8); b.u8(8); b.u8(0) // size of offsets, lengths, reserved
-    b.u16(4); b.u16(16) // group leaf / internal k
-    b.u32(0L) // consistency flags
-    b.u64(0L) // base address
-    b.u64(Undef) // free-space info
-    val eofPatch = b.reserveU64()
-    b.u64(Undef) // driver info
-    // root group symbol table entry
-    b.u64(0L) // link name offset
-    val rootHdrPatch = b.reserveU64()
-    b.u32(1L); b.u32(0L) // cache type 1, reserved
-    val rootBtreeScratch = b.reserveU64()
-    val rootHeapScratch = b.reserveU64()
+    var rootBtreeScratch = -1
+    var rootHeapScratch = -1
+    val (eofPatch, rootHdrPatch) = if (sbVersion == 0) {
+      // ---- superblock v0
+      b.u8(0) // superblock version
+      b.u8(0); b.u8(0); b.u8(0); b.u8(0) // fs ver, root ST ver, reserved, shared ver
+      b.u8(8); b.u8(8); b.u8(0) // size of offsets, lengths, reserved
+      b.u16(4); b.u16(16) // group leaf / internal k
+      b.u32(0L) // consistency flags
+      b.u64(0L) // base address
+      b.u64(Undef) // free-space info
+      val eofP = b.reserveU64()
+      b.u64(Undef) // driver info
+      // root group symbol table entry
+      b.u64(0L) // link name offset
+      val rootP = b.reserveU64()
+      b.u32(1L); b.u32(0L) // cache type 1, reserved
+      rootBtreeScratch = b.reserveU64()
+      rootHeapScratch = b.reserveU64()
+      (eofP, rootP)
+    } else {
+      // ---- superblock v2: sizes, flags, base/extension/EOF, root
+      // header address, checksum (readers that don't verify skip it)
+      b.u8(2) // superblock version
+      b.u8(8); b.u8(8) // size of offsets, lengths
+      b.u8(0) // consistency flags
+      b.u64(0L) // base address
+      b.u64(Undef) // superblock extension
+      val eofP = b.reserveU64()
+      val rootP = b.reserveU64()
+      b.u32(0L) // checksum (not verified by this reader)
+      (eofP, rootP)
+    }
 
     // ---- root group object header v1 (one symbol-table message)
     b.patchU64(rootHdrPatch, b.pos.toLong)
@@ -181,7 +205,7 @@ object H5Fixture {
     b.patchU64(heapDataPatch, b.pos.toLong)
     b.raw(heapData.result)
     b.patchU64(stHeapPatch, heapAddr)
-    b.patchU64(rootHeapScratch, heapAddr)
+    if (rootHeapScratch >= 0) b.patchU64(rootHeapScratch, heapAddr)
 
     // ---- group B-tree v1 with one SNOD child
     val btreeAddr = b.pos.toLong
@@ -191,7 +215,7 @@ object H5Fixture {
     val snodPatch = b.reserveU64()
     b.u64(nameOffsets(sorted.last.name)) // key1: greatest name
     b.patchU64(stBtreePatch, btreeAddr)
-    b.patchU64(rootBtreeScratch, btreeAddr)
+    if (rootBtreeScratch >= 0) b.patchU64(rootBtreeScratch, btreeAddr)
 
     // ---- SNOD with one entry per dataset
     b.patchU64(snodPatch, b.pos.toLong)

@@ -63,6 +63,25 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("superblock v2 parses identically to v0, and the committed fixture reads known values") {
+    val v0 = Hdf5.parse(H5Fixture.build(Seq(
+      H5Fixture.FDs("latitude", Seq(3), 1, 4, lats)), sbVersion = 0))
+    val v2 = Hdf5.parse(H5Fixture.build(Seq(
+      H5Fixture.FDs("latitude", Seq(3), 1, 4, lats)), sbVersion = 2))
+    assert(new Hdf5.VarReader(v0, v0.variable("latitude")).readAll().toSeq ==
+      new Hdf5.VarReader(v2, v2.variable("latitude")).readAll().toSeq)
+    // the committed pipe_era5_hdf5 fixture: sb v2 + chunked/shuffle/deflate
+    val fx = GenEra5Fixture.bytes
+    val committed = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/resources/graft/era5_sb2.nc4"))
+    assert(fx.sameElements(committed),
+      "committed era5_sb2.nc4 is stale — rerun Test/runMain graft.sources.GenEra5Fixture")
+    val rows = Ingest.era5CellSeries(fx, 50.1, 8.58)
+    assert(rows.length == 72)
+    assert(rows(23)._2 == 270.0 + 0.25 * (23 + 32)) // K at Jan-1 23:00
+    assert(rows(5)._2.isNaN) // the fill hole
+  }
+
   test("era5CellSeries dispatches on the HDF5 magic: nearest cell, CF time, unpack, fill→NaN") {
     val bytes = era5File(chunked = true, shuffle = true, deflate = true)
     // nearest to (50.3, 8.3) → lat index 1, lon index 1
