@@ -36,12 +36,17 @@ import org.apache.spark.sql.types._
   */
 object IvfIndex {
 
-  /** Fit the coarse quantizer on the corpus (KMeansVec: deterministic
-    * init from the k lowest ids, `iters` Lloyd rounds) and write the
-    * index. Overwrites `dir`. */
-  def write(emb: DataFrame, dir: String, k: Int = 8, iters: Int = 1): Unit = {
+  /** Fit the coarse quantizer (KMeansVec: deterministic init from the k
+    * lowest ids, `iters` Lloyd rounds) and write the index. Overwrites
+    * `dir`. `fitOn` separates the quantizer's training frame from the
+    * indexed frame (standard IVF practice at scale: train on a sample
+    * or the anticipated full corpus, index what's on hand, [[refresh]]
+    * the rest in as it lands) — null trains on `emb` itself. */
+  def write(emb: DataFrame, dir: String, k: Int = 8, iters: Int = 1,
+      fitOn: DataFrame = null): Unit = {
     val spark = emb.sparkSession
-    val cents = KMeansVec.fit(emb, "vec_id", "embedding", k, iters)
+    val cents = KMeansVec.fit(
+      Option(fitOn).getOrElse(emb), "vec_id", "embedding", k, iters)
     val centRows = cents.zipWithIndex.map { case (e, i) =>
       Row(i, e.toSeq)
     }
@@ -63,6 +68,74 @@ object IvfIndex {
     * generation. */
   def append(emb: DataFrame, dir: String): Unit =
     writeMembers(emb, readCentroids(emb.sparkSession, dir), dir, SaveMode.Append)
+
+  /** What [[refresh]] found and did: vectors indexed for the first
+    * time, members untouched, members dropped (vanished from the
+    * corpus). */
+  final case class RefreshDelta(added: Long, kept: Long, removed: Long)
+
+  /** Corpus-level incremental maintenance — Manifest.refresh's delta
+    * discipline for the vector index: diff the CURRENT corpus frame
+    * against the stored member ids, assign ONLY never-seen vectors with
+    * the STORED centroids ([[append]]'s no-refit contract), and, when
+    * members VANISHED from the corpus, rewrite the member set without
+    * them through [[compact]]'s crash-safe swap (a removal cannot be an
+    * append). Result: probe-identical to indexing the whole current
+    * corpus under the same stored quantizer (IvfIndexSpec pins
+    * assignment equality), at delta cost when the corpus only grows —
+    * the overwhelmingly common case. Gate a refreshed index with
+    * [[recallAt]] before serving: additions can't change existing
+    * assignments, but a DRIFTED corpus can outgrow the stored
+    * quantizer — a recall drop below the deployment's floor means an
+    * offline refit ([[write]]) is due. Same single-writer contract as
+    * [[compact]]. */
+  def refresh(emb: DataFrame, dir: String): RefreshDelta = {
+    val spark = emb.sparkSession
+    val current = emb.select(col("vec_id")).persist()
+    val stored = readMembers(spark, dir).select(col("vec_id")).persist()
+    try {
+      val newVecs = emb.join(stored, Seq("vec_id"), "left_anti")
+      val nAdded = newVecs.count()
+      val nRemoved = stored.join(current, Seq("vec_id"), "left_anti").count()
+      val nKept = stored.count() - nRemoved
+      if (nAdded > 0) append(newVecs, dir)
+      // the id frame can be corpus-sized, so no broadcast hint — the
+      // semi-join shuffles on vec_id (uniform) and AQE may still
+      // broadcast a small one at runtime
+      if (nRemoved > 0) compactWith(spark, dir,
+        _.join(current, Seq("vec_id"), "left_semi"))
+      RefreshDelta(nAdded, nKept, nRemoved)
+    } finally {
+      current.unpersist(false); stored.unpersist(false)
+    }
+  }
+
+  /** Recall@k of the index probe against the exact brute-force ranking
+    * over the SAME stored member set — the post-[[refresh]] acceptance
+    * gate. Cheap by design: run it on a bounded query sample (the
+    * brute-force side is |queries| × |members| fused-dot work, the
+    * exact cost profile of sim_cosine_topk). */
+  def recallAt(spark: SparkSession, dir: String, queries: DataFrame,
+      topK: Int = 3, nProbe: Int = 2): Double = {
+    val approx = topk(spark, dir, queries, topK, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"),
+      sqrt(vecDot(col("embedding"), col("embedding"))).as("q_norm"))
+    val members = readMembers(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = members.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        vecDot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val nExact = exact.count()
+    if (nExact == 0L) 1.0
+    else exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .count().toDouble / nExact
+  }
 
   /** One micro-batch of streaming index maintenance: assign with the
     * stored centroids and (over)write generation directory
@@ -157,7 +230,13 @@ object IvfIndex {
     * stage and the swap would be invisible to the staged-fallback rule.
     * Pause the maintenance stream (or fence on batch ids) around
     * compaction, exactly as with [[DedupIndex.compact]]. */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit =
+    compactWith(spark, dir, identity)
+
+  /** [[compact]] with a member filter applied inside the rewrite — the
+    * removal path of [[refresh]] rides the same crash-safe swap. */
+  private def compactWith(spark: SparkSession, dir: String,
+      keep: DataFrame => DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -181,7 +260,7 @@ object IvfIndex {
     val tmp = s"$dir/.compact_members"
     fs.delete(p(tmp), true)
     graft.sources.Sinks.writeSortedBy(
-      readMembers(spark, dir), tmp, Seq("cell"))
+      keep(readMembers(spark, dir)), tmp, Seq("cell"))
     require(fs.rename(p(s"$dir/members"), p(s"$dir/members_old")),
       s"could not stage members at $dir")
     if (fs.exists(p(s"$dir/gens")))

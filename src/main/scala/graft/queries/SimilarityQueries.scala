@@ -560,7 +560,14 @@ object SimilarityQueries {
     // like dedup_incremental_indexed — and the oracle is shared
     // verbatim with sim_ivf_kmeans_topk because the round-trip is
     // semantically invisible: stored centroids are exact doubles, so
-    // assignment, candidates and scores reproduce bit-for-bit.
+    // assignment, candidates and scores reproduce bit-for-bit. The
+    // index is deliberately built THROUGH the maintenance cycle, not
+    // one bulk write: the quantizer trains on the full corpus (fitOn —
+    // so the oracle's fit replays exactly), the initial write indexes
+    // only ⅔ of the vectors, and IvfIndex.refresh delta-indexes the
+    // remaining ⅓ under the stored centroids — a real incremental
+    // append whose end state must be bit-identical to the bulk index
+    // for this row to stay green against the shared oracle.
     OracleQuery(
       "sim_ivf_indexed_topk",
       (s, d) => {
@@ -569,7 +576,12 @@ object SimilarityQueries {
         // invocation — repeated verify/bench cycles reuse ONE index
         // copy instead of accumulating temp directories
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfq_${math.abs(d.hashCode)}"
-        graft.ops.IvfIndex.write(Tables.embeddings(s, d), dir, k = 8, iters = 1)
+        val emb = Tables.embeddings(s, d)
+        graft.ops.IvfIndex.write(
+          emb.filter($"vec_id" % 3 =!= 2), dir, k = 8, iters = 1, fitOn = emb)
+        val delta = graft.ops.IvfIndex.refresh(emb, dir)
+        require(delta.removed == 0 && delta.added > 0,
+          s"refresh delta unexpectedly $delta on a grow-only corpus")
         graft.ops.IvfIndex.topk(s, dir,
             Tables.embeddings(s, d).filter($"vec_id" < 10)
               .select($"vec_id".as("query_id"), $"embedding"),

@@ -58,6 +58,44 @@ class IvfIndexSpec extends SparkSpec {
       "compaction must not change probe results")
   }
 
+  test("refresh: delta-only indexing equals the stored-centroid assignment, drops vanished, holds recall") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_refresh").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val nAll = emb.count()
+    val first = emb.filter($"vec_id" % 5 =!= 0)
+    val nFirst = first.count()
+    // quantizer trained on the FULL corpus; only 4/5 indexed up front
+    IvfIndex.write(first, dir, k = 4, iters = 1, fitOn = emb)
+    val d1 = IvfIndex.refresh(emb, dir)
+    assert(d1.added == nAll - nFirst && d1.kept == nFirst && d1.removed == 0, s"$d1")
+    // refresh-equals-rebuild on assignments: every member's cell is
+    // exactly the stored-centroid argmin recomputed from scratch
+    val cents = IvfIndex.readCentroids(spark, dir)
+    val want = emb.select($"vec_id", KMeansVec.cellExpr("embedding", cents).as("cell"))
+    val got = spark.read.parquet(s"$dir/members").select($"vec_id", $"cell")
+    assert(got.count() == nAll)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // idempotence: a second refresh over the same corpus is a no-op
+    val d2 = IvfIndex.refresh(emb, dir)
+    assert(d2.added == 0 && d2.removed == 0 && d2.kept == nAll, s"$d2")
+    // shrink: vanished vectors are dropped via the compact swap and
+    // never probed again
+    val shrunk = emb.filter($"vec_id" % 7 =!= 0)
+    val d3 = IvfIndex.refresh(shrunk, dir)
+    assert(d3.removed == nAll - shrunk.count() && d3.added == 0, s"$d3")
+    val left = spark.read.parquet(s"$dir/members")
+    assert(left.count() == shrunk.count())
+    assert(left.filter($"vec_id" % 7 === 0).count() == 0)
+    // recall-floor re-check after refresh — the acceptance gate a
+    // production refresh runs before serving (floor from the measured
+    // ~uniform-direction corpus; SimilarityRecallSpec's contract)
+    val queries = shrunk.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val rec = IvfIndex.recallAt(spark, dir, queries, topK = 3, nProbe = 2)
+    info(f"post-refresh recall@3 (nProbe=2, k=4) = $rec%.3f")
+    assert(rec >= 0.5, f"recall $rec%.3f under floor 0.5 after refresh")
+  }
+
   test("every compaction crash window reads exactly one copy of every member") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
     val emb = graft.core.Tables.embeddings(spark, sf)
