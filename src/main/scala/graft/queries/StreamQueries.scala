@@ -303,6 +303,79 @@ object StreamQueries {
              |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
+    // Streaming SCD2 dimension maintenance, oracle-gated against the
+    // BATCH interval spelling (o18_scd2_intervals' window query and its
+    // oracle VERBATIM): the change feed folds into version intervals AS
+    // A STREAM (streaming/Streams.scd2Stream — one OpenVersion row of
+    // state per key, consecutive-dup changes ignored, closed versions
+    // emitted exactly once when their successor arrives), and the
+    // per-user version census must reproduce the lag-dedup → lead →
+    // row_number batch computation. What's on trial: intra-batch change
+    // detection under the (ts, event_id) tie-break, version continuity
+    // across micro-batch seams, and the open-version flush — a FIXED
+    // Apr-1 flush deadline (past the January feed, so it can never fire
+    // while the feed is live and double-count a quiet key) driven past
+    // by two May sentinel files. A dropped, split, or re-opened version
+    // moves n_versions/n_open/closed_dwell_sec and fails the hash.
+    OracleQuery(
+      "stream_scd2",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).filter($"user_id" < 50)
+        val tmp = graft.core.Scratch.dir("stream_scd2", d)
+        val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
+        for (i <- 0 until 4) {
+          ev.filter($"ts" >= lit(weeks(i)).cast("timestamp") &&
+              $"ts" < lit(weeks(i + 1)).cast("timestamp"))
+            .select($"user_id", $"ts", $"event_id", $"event_type")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/w$i")
+        }
+        for ((st, i) <- Seq("2024-05-01", "2024-05-02").zipWithIndex) {
+          Seq((-1L, java.sql.Timestamp.valueOf(s"$st 00:00:00"), 0L, "z"))
+            .toDF("user_id", "ts", "event_id", "event_type")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/z$i")
+        }
+        val src = s.readStream
+          .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in/*")
+        graft.streaming.Streams.runAvailableNow(
+          graft.streaming.Streams.scd2Stream(
+            src, java.sql.Timestamp.valueOf("2024-04-01 00:00:00")).toDF(),
+          s"$tmp/ckpt", s"$tmp/out")
+        s.read.parquet(s"$tmp/out")
+          .filter($"user_id" >= 0)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_versions"),
+            sum(when($"valid_to".isNull, 1L).otherwise(0L)).as("n_open"),
+            max($"version").cast("long").as("last_version"),
+            expr("sum(CASE WHEN valid_to IS NOT NULL THEN unix_micros(valid_to) - unix_micros(valid_from) END) DIV 1000000")
+              .as("closed_dwell_sec"))
+          .orderBy($"user_id")
+      },
+      // the batch o18 oracle verbatim — the stream must be its equal
+      Some("""WITH ordered AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events WHERE user_id < 50
+             |), changes AS (
+             |  SELECT user_id, ts, event_id, event_type FROM ordered
+             |  WHERE prev_type IS NULL OR prev_type <> event_type
+             |), versioned AS (
+             |  SELECT user_id, ts AS valid_from,
+             |    lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+             |  FROM changes
+             |)
+             |SELECT user_id, count(*) AS n_versions,
+             |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+             |  CAST(max(version) AS BIGINT) AS last_version,
+             |  CAST(sum(CASE WHEN valid_to IS NOT NULL
+             |        THEN epoch_us(valid_to) - epoch_us(valid_from) END) // 1000000 AS BIGINT)
+             |    AS closed_dwell_sec
+             |FROM versioned GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
     // Streaming sliding-window distinct users, oracle-gated against the
     // batch spelling: the 7-day/1-day-slide WAU series computed AS A
     // STREAM — sliding `window()` fan-out, stateful dropDuplicates on

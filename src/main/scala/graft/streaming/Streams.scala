@@ -316,6 +316,102 @@ object Streams {
 
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long, sumValue: Double)
 
+  /** SCD2 state: the currently-open version of one dimension key.
+    * valid_from is epoch MICROS — Timestamp.getTime truncates to ms and
+    * the emitted boundary must round-trip the feed's µs precision
+    * exactly (the batch twin compares raw timestamps). */
+  final case class OpenVersion(attr: String, validFromUs: Long, version: Int)
+
+  private def epochMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** One emitted SCD2 version row; `valid_to` is null while the version
+    * was still open when the flush deadline passed. */
+  final case class Scd2Row(
+      user_id: Long, version: Int, attr: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
+
+  /** Streaming SCD2 dimension maintenance — the stateful dual of the
+    * batch o18_scd2_intervals window query: a keyed change feed folds
+    * into slowly-changing-dimension VERSION INTERVALS, consecutive
+    * same-attribute changes deduplicated, a closed version (valid_from,
+    * valid_to, version) emitted exactly once the moment its successor
+    * arrives, and the final OPEN version per key emitted with a null
+    * valid_to once the watermark passes `flushAt` (a FIXED event-time
+    * deadline past the feed's horizon — per-key deadlines would flush a
+    * quiet key early and then double-count its versions when it speaks
+    * again; a fixed deadline can never fire while the feed is live).
+    *
+    * State is ONE OpenVersion per key — bounded, like sessionizeStream
+    * — so 10⁹ dimension keys cost 10⁹ small rows sharded with the
+    * shuffle, never an event history. Within a micro-batch rows fold in
+    * (ts, event_id) order — the batch spelling's exact tie-break — so
+    * intra-batch change detection is deterministic; across batches the
+    * watermark discipline applies. Emitted intervals are append-only
+    * facts (a closed version never mutates), which is what makes this
+    * the streaming WRITE PATH of an SCD2 dimension table: downstream
+    * as-of joins read (key, valid_from, valid_to) directly. */
+  def scd2Stream(
+      changes: DataFrame, flushAt: java.sql.Timestamp,
+      watermark: String = "1 hour"): Dataset[Scd2Row] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val flushMs = flushAt.getTime
+    changes.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenVersion, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[OpenVersion]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Scd2Row(uid, s.version, s.attr,
+              tsFromMicros(s.validFromUs), null))
+          } else {
+            // fold in (ts, event_id) — the o18 batch ordering at µs
+            // precision — so same-timestamp changes break ties
+            // identically
+            val sorted = rows.toIndexedSeq.sortBy(r => (epochMicros(r._2), r._3))
+            var closed = List.empty[Scd2Row]
+            var cur = state.getOption
+            for ((_, ts, _, attr) <- sorted) {
+              cur match {
+                case Some(s) if s.attr == attr => // consecutive dup: no-op
+                case Some(s) =>
+                  closed ::= Scd2Row(uid, s.version, s.attr,
+                    tsFromMicros(s.validFromUs), ts)
+                  cur = Some(OpenVersion(attr, epochMicros(ts), s.version + 1))
+                case None =>
+                  cur = Some(OpenVersion(attr, epochMicros(ts), 1))
+              }
+            }
+            cur.foreach { s =>
+              if (flushMs <= state.getCurrentWatermarkMs()) {
+                // the flush deadline already passed in event time (rows
+                // arriving after the horizon, e.g. the later sentinel):
+                // a timeout this old would be rejected — flush inline
+                closed ::= Scd2Row(uid, s.version, s.attr,
+                  tsFromMicros(s.validFromUs), null)
+                state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(flushMs)
+              }
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** A gap-closed session as emitted downstream. */
   final case class ClosedSession(
       user_id: Long, session_start: java.sql.Timestamp,
