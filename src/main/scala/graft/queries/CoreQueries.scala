@@ -548,6 +548,72 @@ object CoreQueries {
       }
     ),
 
+    // O28: persisted mergeable-sketch table — the distinct-count case
+    // o19's incremental-agg pattern CANNOT cover: sums/counts fold
+    // additively across days, but "distinct users over any date range"
+    // is not a sum of daily distincts. The 100 TB answer is a SKETCH
+    // TABLE: one HLL sketch per day (datasketches via hll_sketch_agg,
+    // bytes per row), persisted like any dimension; any range query is
+    // then hll_union_agg over the stored sketches — a scan of
+    // |days| sketch rows, NEVER a re-scan of the events. Maintenance is
+    // append-only (new day = one new sketch row), exactly the Manifest/
+    // IvfIndex delta discipline. Sketch estimates are engine-specific,
+    // so the gate is the CONTRACT pattern: both engines compute the
+    // exact per-week/total distincts; Spark additionally checks its
+    // union-of-stored-sketches estimates land within the HLL error
+    // bound (lgK=12 → σ ≈ 1.04/√4096 ≈ 1.6%; gate at 5%) and emits the
+    // boolean — the oracle asserts TRUE. A sketch-union regression
+    // (wrong merge, truncated binary round-trip through parquet) blows
+    // the bound and fails the hash.
+    OracleQuery(
+      "o28_hll_sketch_table",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", date_trunc("week", $"ts").as("wk"),
+            to_date($"ts").as("day"))
+        // build + persist the per-day sketch table (binary column
+        // round-trips through parquet — part of what the gate proves)
+        val dir = graft.core.Scratch.dir("hll_sketches", d)
+        ev.groupBy($"wk", $"day")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+          .write.mode("overwrite").parquet(dir)
+        val sk = s.read.parquet(dir)
+        val weekly = sk.groupBy($"wk")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+        val total = sk.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+          .select(lit(null).cast("timestamp").as("wk"), $"est")
+        val exactW = ev.groupBy($"wk").agg(countDistinct($"user_id").as("n_exact"))
+        val exactT = ev.agg(countDistinct($"user_id").as("n_exact"))
+          .select(lit(null).cast("timestamp").as("wk"), $"n_exact")
+        // join on the grain LABEL — the total row's wk is null and a
+        // null key never equi-joins
+        def grained(df: org.apache.spark.sql.DataFrame) = df.select(
+          (coalesce(date_format($"wk", "yyyy-MM-dd"), lit("total")).as("grain") +:
+            df.columns.filter(_ != "wk").map(col)): _*)
+        grained(exactW.unionByName(exactT))
+          .join(grained(weekly.unionByName(total)), Seq("grain"))
+          .select($"grain", $"n_exact",
+            (abs($"est" - $"n_exact") <= $"n_exact" * 0.05).as("within_bound"))
+          .orderBy($"grain")
+      },
+      Some("""WITH wku AS (
+             |  SELECT DISTINCT date_trunc('week', ts) AS wk, user_id FROM events
+             |), wks AS (
+             |  SELECT strftime(wk, '%Y-%m-%d') AS grain,
+             |    CAST(count(*) AS BIGINT) AS n_exact
+             |  FROM wku GROUP BY 1
+             |), tot AS (
+             |  SELECT 'total' AS grain,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+             |  FROM events
+             |)
+             |SELECT grain, n_exact, TRUE AS within_bound
+             |FROM (SELECT * FROM wks UNION ALL SELECT * FROM tot)
+             |ORDER BY grain""".stripMargin)
+    ),
+
     // O26: join-key skew audit — the PLANNING INPUT for the j11/j12/
     // skew-strategy family: before shipping a recurring fact⋈dim join
     // to a cluster you measure the key distribution ONCE and pick the
