@@ -85,6 +85,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(HilbertIndex2.descriptor)
     ext.injectFunction(HilbertIndex3.descriptor)
     ext.injectFunction(WinnowAnchors.descriptor)
+    ext.injectFunction(KllSketchFns.sketchAggDescriptor)
+    ext.injectFunction(KllSketchFns.unionAggDescriptor)
+    ext.injectFunction(KllSketchFns.quantileDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinOptimizations)
     // opt-in: rewrites interval-overlap theta-joins to the binned
@@ -110,7 +113,8 @@ object GraftFunctions {
     Seq(rollingHashDescriptor, VecDot.descriptor, MinHashSig.descriptor,
       TrigramStats.descriptor, SimHash32.descriptor, VecL2Sq.descriptor,
       HilbertIndex2.descriptor, HilbertIndex3.descriptor,
-      WinnowAnchors.descriptor)
+      WinnowAnchors.descriptor, KllSketchFns.sketchAggDescriptor,
+      KllSketchFns.unionAggDescriptor, KllSketchFns.quantileDescriptor)
       .foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

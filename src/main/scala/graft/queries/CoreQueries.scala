@@ -614,6 +614,77 @@ object CoreQueries {
              |ORDER BY grain""".stripMargin)
     ),
 
+    // O29: persisted QUANTILE sketch table — o28's pattern for
+    // percentiles, which Spark cannot express at all in stored form:
+    // approx_percentile answers one in-flight query but its sketch
+    // neither persists nor merges. The custom KLL aggregates
+    // (functions/KllSketch.scala — TypedImperativeAggregates over the
+    // datasketches KllDoublesSketch already on Spark's classpath) fix
+    // that: one sketch per day persisted as a parquet binary column,
+    // any date-range percentile = kll_union_agg over the stored rows +
+    // kll_quantile — |days| rows scanned, never an event re-scan. KLL's
+    // guarantee is a NORMALIZED RANK error (k=200 → ε ≈ 1.65%), so the
+    // contract gate brackets each sketch quantile between the EXACT
+    // percentiles at q ∓ 3% (KLL compaction is internally randomized,
+    // so the margin over ε keeps re-runs deterministic w.h.p.): both engines emit the exact p50/p95
+    // (floor-rounded), Spark additionally checks its union-sketch
+    // values sit inside the rank bracket and the oracle asserts the
+    // booleans — a wrong merge, rank-criteria drift, or a truncated
+    // binary round-trip lands outside the bracket and fails the hash.
+    OracleQuery(
+      "o29_kll_sketch_table",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val ev = Tables.events(s, d)
+          .select($"value", date_trunc("week", $"ts").as("wk"),
+            to_date($"ts").as("day"))
+        val dir = graft.core.Scratch.dir("kll_sketches", d)
+        ev.groupBy($"wk", $"day")
+          .agg(expr("kll_sketch_agg(value, 200)").as("sk"))
+          .write.mode("overwrite").parquet(dir)
+        val sk = s.read.parquet(dir)
+        def grain(df: org.apache.spark.sql.DataFrame) = df.select(
+          (coalesce(date_format($"wk", "yyyy-MM-dd"), lit("total")).as("grain") +:
+            df.columns.filter(_ != "wk").map(col)): _*)
+        val unions = grain(
+          sk.groupBy($"wk").agg(expr("kll_union_agg(sk, 200)").as("u"))
+            .unionByName(sk.agg(expr("kll_union_agg(sk, 200)").as("u"))
+              .select(lit(null).cast("timestamp").as("wk"), $"u")))
+          .select($"grain",
+            expr("kll_quantile(u, 0.5d)").as("sk50"),
+            expr("kll_quantile(u, 0.95d)").as("sk95"))
+        // exact percentiles at the gate points AND the rank brackets
+        val qs = "array(0.47d, 0.5d, 0.53d, 0.92d, 0.95d, 0.98d)"
+        val exact = grain(
+          ev.groupBy($"wk").agg(expr(s"percentile(value, $qs)").as("pq"))
+            .unionByName(ev.agg(expr(s"percentile(value, $qs)").as("pq"))
+              .select(lit(null).cast("timestamp").as("wk"), $"pq")))
+        exact.join(unions, Seq("grain"))
+          .select($"grain",
+            graft.core.Parity.floorRound4($"pq"(1)).as("p50_exact"),
+            graft.core.Parity.floorRound4($"pq"(4)).as("p95_exact"),
+            ($"sk50" >= $"pq"(0) && $"sk50" <= $"pq"(2)).as("p50_ok"),
+            ($"sk95" >= $"pq"(3) && $"sk95" <= $"pq"(5)).as("p95_ok"))
+          .orderBy($"grain")
+      },
+      Some("""WITH wks AS (
+             |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS grain,
+             |    floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50_exact,
+             |    floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95_exact
+             |  FROM events GROUP BY 1
+             |), tot AS (
+             |  SELECT 'total' AS grain,
+             |    floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50_exact,
+             |    floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95_exact
+             |  FROM events
+             |)
+             |SELECT grain, p50_exact, p95_exact,
+             |  TRUE AS p50_ok, TRUE AS p95_ok
+             |FROM (SELECT * FROM wks UNION ALL SELECT * FROM tot)
+             |ORDER BY grain""".stripMargin)
+    ),
+
     // O26: join-key skew audit — the PLANNING INPUT for the j11/j12/
     // skew-strategy family: before shipping a recurring fact⋈dim join
     // to a cluster you measure the key distribution ONCE and pick the
