@@ -88,6 +88,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(KllSketchFns.sketchAggDescriptor)
     ext.injectFunction(KllSketchFns.unionAggDescriptor)
     ext.injectFunction(KllSketchFns.quantileDescriptor)
+    ext.injectFunction(ThetaSketchFns.sketchAggDescriptor)
+    ext.injectFunction(ThetaSketchFns.unionAggDescriptor)
+    ext.injectFunction(ThetaSketchFns.estimateDescriptor)
+    ext.injectFunction(ThetaSketchFns.intersectDescriptor)
+    ext.injectFunction(ThetaSketchFns.aNotBDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinOptimizations)
     // opt-in: rewrites interval-overlap theta-joins to the binned
@@ -114,7 +119,10 @@ object GraftFunctions {
       TrigramStats.descriptor, SimHash32.descriptor, VecL2Sq.descriptor,
       HilbertIndex2.descriptor, HilbertIndex3.descriptor,
       WinnowAnchors.descriptor, KllSketchFns.sketchAggDescriptor,
-      KllSketchFns.unionAggDescriptor, KllSketchFns.quantileDescriptor)
+      KllSketchFns.unionAggDescriptor, KllSketchFns.quantileDescriptor,
+      ThetaSketchFns.sketchAggDescriptor, ThetaSketchFns.unionAggDescriptor,
+      ThetaSketchFns.estimateDescriptor, ThetaSketchFns.intersectDescriptor,
+      ThetaSketchFns.aNotBDescriptor)
       .foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident)) {
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

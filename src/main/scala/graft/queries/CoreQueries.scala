@@ -685,6 +685,70 @@ object CoreQueries {
              |ORDER BY grain""".stripMargin)
     ),
 
+    // O30: SET-OPERATION sketches — the stored-sketch family member
+    // HLL fundamentally cannot provide: a theta sketch is a uniform
+    // sample of the hashed key space, so stored per-segment sketches
+    // answer INTERSECTION and DIFFERENCE cardinalities — "users who
+    // did X AND Y" (audience overlap, cohort algebra, benchmark-
+    // contamination user sets) — from |segments| sketch rows, never an
+    // event re-scan. Custom theta aggregates/scalars
+    // (functions/ThetaSketch.scala; the aggregation buffer is a theta
+    // Union, which accepts both raw key updates and sketch merges and
+    // serializes losslessly between partials). Below 2^lgK=4096
+    // uniques a theta sketch is EXACT; past it, intersections carry
+    // the widest error — the gate brackets at max(2, 5%) so the row
+    // stays deterministic at every sf the driver runs. Exact sides are
+    // one distinct-collapse + one self-join on user — both engines.
+    OracleQuery(
+      "o30_theta_audience_overlap",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val ev = Tables.events(s, d)
+          .select($"event_type".as("t"), $"user_id".as("u")).distinct()
+        val dir = graft.core.Scratch.dir("theta_sketches", d)
+        Tables.events(s, d).groupBy($"event_type".as("t"))
+          .agg(expr("theta_sketch_agg(user_id, 12)").as("sk"))
+          .write.mode("overwrite").parquet(dir)
+        val sk = s.read.parquet(dir)
+        val est = sk.as("a").crossJoin(sk.as("b")) // 5×5 sketch rows
+          .filter(col("a.t") < col("b.t"))
+          .select(col("a.t").as("t1"), col("b.t").as("t2"),
+            expr("theta_estimate(theta_intersect(a.sk, b.sk))").as("e_both"),
+            expr("theta_estimate(theta_a_not_b(a.sk, b.sk))").as("e_only_a"))
+        val sizes = ev.groupBy($"t").agg(count(lit(1)).as("n"))
+        val both = ev.as("a").join(ev.as("b"),
+            col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+          .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+          .agg(count(lit(1)).as("n_both"))
+        both
+          .join(sizes.select($"t".as("t1"), $"n".as("n_a")), "t1")
+          .join(sizes.select($"t".as("t2"), $"n".as("n_b")), "t2")
+          .join(est, Seq("t1", "t2"))
+          .select($"t1", $"t2", $"n_a", $"n_b", $"n_both",
+            (abs($"e_both" - $"n_both") <=
+              greatest(lit(2.0), $"n_both" * 0.05)).as("inter_ok"),
+            (abs($"e_only_a" - ($"n_a" - $"n_both")) <=
+              greatest(lit(2.0), ($"n_a" - $"n_both") * 0.05)).as("diff_ok"))
+          .orderBy($"t1", $"t2")
+      },
+      Some("""WITH ev AS (
+             |  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+             |), sizes AS (
+             |  SELECT t, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1
+             |), pair AS (
+             |  SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS n_both
+             |  FROM ev a JOIN ev b ON a.u = b.u AND a.t < b.t
+             |  GROUP BY 1, 2
+             |)
+             |SELECT t1, t2, sa.n AS n_a, sb.n AS n_b, n_both,
+             |  TRUE AS inter_ok, TRUE AS diff_ok
+             |FROM pair
+             |JOIN sizes sa ON sa.t = t1
+             |JOIN sizes sb ON sb.t = t2
+             |ORDER BY t1, t2""".stripMargin)
+    ),
+
     // O26: join-key skew audit — the PLANNING INPUT for the j11/j12/
     // skew-strategy family: before shipping a recurring fact⋈dim join
     // to a cluster you measure the key distribution ONCE and pick the
