@@ -24,6 +24,15 @@ object Scratch {
   private val root = new java.io.File(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch")
 
+  /** The (tag, key) path WITHOUT wiping — for reads of a scratch
+    * table a prior [[dir]] call in the same process populated. */
+  def path(tag: String, key: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    new java.io.File(root, s"${tag}_$h").toString
+  }
+
   /** A wiped, freshly-created scratch dir unique to (tag, key). */
   def dir(tag: String, key: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")

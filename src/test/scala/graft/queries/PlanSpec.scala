@@ -566,4 +566,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ps_b#"),
       s"expected the (group, bucket)-partitioned prefix-sum window:\n$p")
   }
+
+  test("strided spans: anchors are computed in the scan stage — no exchange below the explode") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val p = plan(DedupQueries.stridedAnchors(docs))
+    // the winnow_anchors explode must sit directly on the scan: any
+    // Exchange below it means the |corpus chars| rows shuffled before
+    // anchor selection — the exact cost the kernel exists to avoid
+    assert(p.contains("winnow_anchors"), s"expected the native kernel:\n$p")
+    assert(!p.contains("Exchange"), s"anchor selection must be shuffle-free:\n$p")
+    // and the full strided query still joins nothing all-pairs
+    val full = plan(Registry.queries("dedup_substring_spans_strided")(spark, sf))
+    assert(!full.contains("CartesianProduct") && !full.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sketch tables: the range query scans ONLY the stored sketch rows, never events") {
+    // the whole point of o28/o29: after the sketch table is built, the
+    // union query's scan set is the sketch dir — one parquet scan, no
+    // events path in the plan
+    val q = Registry.queries("o28_hll_sketch_table")(spark, sf)
+    q.collect() // builds + persists the sketch table as a side effect
+    val sk = spark.read.parquet(graft.core.Scratch.path("hll_sketches", sf))
+    val p = plan(sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1 && !p.contains("events"), s"union must scan sketches only:\n$p")
+  }
 }
