@@ -376,6 +376,75 @@ object StreamQueries {
              |FROM versioned GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
+    // Streaming maintenance of the stored HLL sketch table
+    // (o28's streaming write path): each micro-batch folds into
+    // per-(week, day) sketch PARTIALS in its own generation directory
+    // (idempotent replay, the ivfAppendStream discipline) — no state
+    // store, no watermark, because HLL union is ASSOCIATIVE: a day
+    // split across micro-batches needs no reconciliation, readers just
+    // union all stored partials. The gate then answers the o28
+    // question — per-week + total distinct users — from the STREAMED
+    // table and must land inside the HLL bound of the exact distincts
+    // (o28's oracle verbatim): a partial lost to a batch seam, a
+    // double-folded replay, or a broken binary round-trip moves the
+    // estimate outside the bound and fails the hash.
+    OracleQuery(
+      "stream_hll_sketch_table",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val tmp = graft.core.Scratch.dir("stream_hll", d)
+        val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
+        for (i <- 0 until 4) {
+          ev.filter($"ts" >= lit(weeks(i)).cast("timestamp") &&
+              $"ts" < lit(weeks(i + 1)).cast("timestamp"))
+            .select($"user_id", $"ts")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/w$i")
+        }
+        val src = s.readStream
+          .schema("user_id LONG, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in/*")
+        graft.streaming.Streams
+          .hllSketchTableStream(src, s"$tmp/table", s"$tmp/ckpt")
+          .awaitTermination()
+        val sk = s.read.parquet(s"$tmp/table")
+        def grained(df: org.apache.spark.sql.DataFrame) = df.select(
+          (coalesce(date_format($"wk", "yyyy-MM-dd"), lit("total")).as("grain") +:
+            df.columns.filter(_ != "wk").map(col)): _*)
+        val est = grained(
+          sk.groupBy($"wk")
+            .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+            .unionByName(
+              sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+                .select(lit(null).cast("timestamp").as("wk"), $"est")))
+        val exact = grained(
+          ev.select($"user_id", date_trunc("week", $"ts").as("wk"))
+            .groupBy($"wk").agg(countDistinct($"user_id").as("n_exact"))
+            .unionByName(
+              ev.agg(countDistinct($"user_id").as("n_exact"))
+                .select(lit(null).cast("timestamp").as("wk"), $"n_exact")))
+        exact.join(est, Seq("grain"))
+          .select($"grain", $"n_exact",
+            (abs($"est" - $"n_exact") <= $"n_exact" * 0.05).as("within_bound"))
+          .orderBy($"grain")
+      },
+      Some("""WITH wku AS (
+             |  SELECT DISTINCT date_trunc('week', ts) AS wk, user_id FROM events
+             |), wks AS (
+             |  SELECT strftime(wk, '%Y-%m-%d') AS grain,
+             |    CAST(count(*) AS BIGINT) AS n_exact
+             |  FROM wku GROUP BY 1
+             |), tot AS (
+             |  SELECT 'total' AS grain,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+             |  FROM events
+             |)
+             |SELECT grain, n_exact, TRUE AS within_bound
+             |FROM (SELECT * FROM wks UNION ALL SELECT * FROM tot)
+             |ORDER BY grain""".stripMargin)
+    ),
+
     // Streaming sliding-window distinct users, oracle-gated against the
     // batch spelling: the 7-day/1-day-slide WAU series computed AS A
     // STREAM — sliding `window()` fan-out, stateful dropDuplicates on

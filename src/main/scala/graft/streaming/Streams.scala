@@ -556,6 +556,32 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming maintenance of the o28 HLL sketch table: each
+    * micro-batch folds its rows into per-(week, day) sketch PARTIALS
+    * (hll_sketch_agg over just the batch) written to the batch's OWN
+    * generation directory `gen=<batchId>` — idempotent replay, the
+    * ivfAppendStream discipline; no state store, no watermark, because
+    * HLL union is associative: readers union ALL stored partials, so a
+    * day split across micro-batches needs no reconciliation —
+    * `hll_union_agg` over its partial rows IS the day's sketch. The
+    * streaming write path of the stored-sketch family: distinct-count
+    * serving stays O(|sketch rows|) while ingest runs. */
+  def hllSketchTableStream(
+      events: DataFrame, tableDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.toDF()
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+            to_date(col("ts")).as("day"))
+          .groupBy(col("wk"), col("day"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+          .write.mode("overwrite").parquet(s"$tableDir/gen=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Watermarked STREAM-STREAM inner join — click attribution: each
     * click joins the view (same user) it followed within
     * `windowMinutes`. The state-store contract is what makes this
