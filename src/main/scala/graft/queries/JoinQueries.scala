@@ -1567,6 +1567,78 @@ object JoinQueries {
           .orderBy($"revenue".desc, $"n_name")
       },
       Some(tpchQ5Oracle)
+    ),
+
+    // The SCD2 READ path — as-of enrichment against the versioned
+    // dimension the o18/stream_scd2 machinery WRITES: every event joins
+    // the version of its own user that was valid at its timestamp
+    // (valid_from ≤ ts < valid_to, open tail = null valid_to). The
+    // point-in-time-correct feature join every training pipeline needs
+    // (joining TODAY's dimension row onto historical events leaks the
+    // future). Plan shape: the version table is per-user TINY (≤ tens
+    // of rows), so the join is a plain equi-join ON user_id with the
+    // interval condition as a RESIDUAL predicate — both sides hash on
+    // the same uniform key, fan-out bounded by |versions per user|,
+    // and every event matches EXACTLY once (the versions partition
+    // each user's timeline) — a dropped or doubled match moves
+    // n_events and fails the hash. At 100 TB the dimension side is
+    // still ~|keys| rows: exactly the side a broadcast or storage
+    // bucketing on user_id absorbs.
+    OracleQuery(
+      "j41_scd2_asof_enrich",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val ev = Tables.events(s, d).filter($"user_id" < 50)
+        val dim = ev
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+          .select($"user_id",
+            row_number().over(w).as("version"),
+            $"event_type".as("attr"),
+            $"ts".as("valid_from"),
+            lead($"ts", 1).over(w).as("valid_to"))
+        ev.select($"user_id", $"ts", $"event_type")
+          .join(dim, Seq("user_id"))
+          .filter($"ts" >= $"valid_from" &&
+            ($"valid_to".isNull || $"ts" < $"valid_to"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct($"version").as("n_versions_touched"),
+            max($"version").cast("long").as("max_version"),
+            // the enrichment is consistent iff the joined version's
+            // attr equals the event's own type at every event
+            sum(when($"event_type" === $"attr", 1L).otherwise(0L)).as("n_attr_match"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 50
+             |), ordered AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM ev
+             |), changes AS (
+             |  SELECT user_id, ts, event_id, event_type FROM ordered
+             |  WHERE prev_type IS NULL OR prev_type <> event_type
+             |), dim AS (
+             |  SELECT user_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+             |    event_type AS attr,
+             |    ts AS valid_from,
+             |    lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+             |  FROM changes
+             |)
+             |SELECT e.user_id, count(*) AS n_events,
+             |  CAST(count(DISTINCT version) AS BIGINT) AS n_versions_touched,
+             |  CAST(max(version) AS BIGINT) AS max_version,
+             |  CAST(sum(CASE WHEN e.event_type = d.attr THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_attr_match
+             |FROM ev e JOIN dim d ON e.user_id = d.user_id
+             |  AND e.ts >= d.valid_from
+             |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+             |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)
     )
   )
 
