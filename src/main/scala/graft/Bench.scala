@@ -116,7 +116,12 @@ object Bench {
     "graph_modularity",    // Newman Q over the LPA census (quantized Σ)
     "a61_icc_design_effect", // cluster-randomization ICC + design effect
     "graph_assortativity", // degree-mixing r from exact integer moments
-    "j40_obt_q5")          // one-big-table materialize + filtered scan
+    "j40_obt_q5",          // one-big-table materialize + filtered scan
+    "j41_scd2_asof_enrich", // point-in-time read of the versioned dimension
+    "a62_dp_noisy_release", // seeded discrete-Laplace noisy aggregate release
+    "a63_k_anonymity",     // QI equivalence-class k-anon / l-div audit
+    "o31_erasure_cascade", // GDPR tombstone cascade + orphan audit
+    "a64_ece_reliability") // integer-exact ECE + reliability bins
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

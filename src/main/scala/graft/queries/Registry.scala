@@ -38,7 +38,8 @@ object Registry {
       MultimodalQueries.all ++
       PipelineQueries.all ++
       StreamQueries.all ++
-      GraphQueries.all
+      GraphQueries.all ++
+      GovernanceQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -593,4 +593,29 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 1 && !p.contains("events"), s"union must scan sketches only:\n$p")
   }
+
+  test("DP release and k-anonymity audit: one fact scan, noise/flags on the group frame") {
+    for (q <- Seq("a62_dp_noisy_release", "a63_k_anonymity")) {
+      val p = plan(Registry.queries(q)(spark, sf))
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$q expected one customer scan, got $scans:\n$p")
+      assert(!p.contains("Join"), s"$q must be join-free:\n$p")
+    }
+  }
+
+  test("ECE: one orders scan; the ECE fold is a window over the 10-row bin frame") {
+    val p = plan(Registry.queries("a64_ece_reliability")(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one orders scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"ECE must be join-free:\n$p")
+  }
+
+  test("erasure cascade: child levels are semi/anti HASH joins, never a theta join over the fact") {
+    val p = plan(Registry.queries("o31_erasure_cascade")(spark, sf))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"cascade must express purge/keep as semi/anti joins:\n$p")
+    // the only nested-loop joins allowed are the 1-row audit-frame
+    // crossJoins; the fact-side purge joins must stay hash joins
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
 }
