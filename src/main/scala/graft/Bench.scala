@@ -243,6 +243,7 @@ object Bench {
       ++ section("bloomScan")(bloomScanBench(spark, sfDir))
       ++ section("manifestScan")(manifestScanBench(spark, sfDir))
       ++ section("compaction")(compactionBench(spark, sfDir))
+      ++ section("erasure")(erasureBench(spark, sfDir))
       ++ section("obtScan")(obtScanBench(spark, sfDir))
       ++ section("intervalJoin")(intervalJoinBench(spark, sfDir))
       ++ section("graphCands")(graphCandsBench(spark, sfDir))
@@ -430,6 +431,42 @@ object Bench {
     * delta is task-scheduling overhead only (page cache hides I/O); at
     * cluster scale per-file listing RPCs and footer reads scale the gap
     * — `compaction_files_after` is the structural telemetry row. */
+  /** Targeted erasure vs the naive full-table rewrite (ops/Erasure):
+    * a 50-key deletion batch against a key-clustered 64-file layout.
+    * The full rewrite reads and re-writes EVERY byte; the targeted
+    * path opens only the files whose manifest key span can contain a
+    * tombstone — at 100 TB the gap is the entire table vs O(keys)
+    * files. The full-rewrite row is timed FIRST (read-only over the
+    * layout); the targeted row then mutates it in place, including
+    * the post-erase manifest refresh (the full maintenance cost). */
+  private def erasureBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val tmp = graft.core.Scratch.dir("bench_erase", sfDir)
+    withReplicatedEvents(spark, sfDir) { events =>
+      graft.sources.Sinks.writeSortedBy(
+        events, s"$tmp/data", Seq("event_id"), numFiles = 64)
+    }
+    graft.ops.Manifest.write(spark, s"$tmp/data", s"$tmp/manifest", Seq("event_id"))
+    val keys = (0 until 50).map(i => i.toLong * 997)
+    // naive path: whole table anti-filtered and rewritten elsewhere
+    spark.read.parquet(s"$tmp/data").limit(1).count() // warm listing
+    val t0 = System.nanoTime()
+    spark.read.parquet(s"$tmp/data")
+      .filter(!col("event_id").isin(keys: _*))
+      .write.mode("overwrite").parquet(s"$tmp/full_rewrite")
+    val fullSec = (System.nanoTime() - t0) / 1e9
+    // targeted path: plan on metadata, rewrite candidates, refresh
+    val t1 = System.nanoTime()
+    val p = graft.ops.Erasure.plan(spark, s"$tmp/manifest", "event_id", keys)
+    val rep = graft.ops.Erasure.erase(spark, p)
+    graft.ops.Manifest.refresh(spark, s"$tmp/data", s"$tmp/manifest", Seq("event_id"))
+    val targetedSec = (System.nanoTime() - t1) / 1e9
+    Seq(
+      "erase_full_rewrite" -> fullSec,
+      "erase_targeted" -> targetedSec,
+      "erase_files_touched" -> (rep.filesRewritten + rep.filesRemoved).toDouble)
+  }
+
   private def compactionBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     val tmp = graft.core.Scratch.dir("bench_compact", sfDir)
     withReplicatedEvents(spark, sfDir) { events =>

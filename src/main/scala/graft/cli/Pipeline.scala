@@ -284,6 +284,26 @@ object Pipeline {
         s"${rep.groupsRewritten} groups (${rep.bytesRewritten / 1024 / 1024} MB " +
         s"rewritten, ${rep.filesKept} kept in place) → $outDir")
 
+    case "erase" :: dataDir :: manifestDir :: keyCol :: keysCsv :: Nil =>
+      // targeted GDPR-batch delete (ops/Erasure): plan on manifest
+      // metadata, rewrite ONLY span-matching files in place, then
+      // refresh the manifest (the documented post-erase step)
+      val keys = keysCsv.split(',').toSeq.map(_.trim.toLong)
+      val p = graft.ops.Erasure.plan(spark, manifestDir, keyCol, keys)
+      val rep = graft.ops.Erasure.erase(spark, p)
+      val delta = graft.ops.Manifest.refresh(spark, dataDir, manifestDir, Seq(keyCol))
+      println(s"[graft] erase: ${rep.rowsDeleted} rows purged — " +
+        s"${rep.filesRewritten} files rewritten, ${rep.filesRemoved} removed, " +
+        s"${rep.filesUntouched} untouched; manifest +${delta.added} −${delta.removed}")
+
+    case "vacuum" :: dataDir :: manifestDir :: minAgeHours :: Nil =>
+      // orphan-file GC (ops/Vacuum): delete unreferenced bytes older
+      // than the grace period; never mutates the manifest
+      val rep = graft.ops.Vacuum.vacuum(spark, dataDir, manifestDir,
+        minAgeMs = minAgeHours.toLong * 3600 * 1000)
+      println(s"[graft] vacuum: ${rep.deleted} orphans deleted " +
+        s"(${rep.bytesFreed / 1024} KB freed), ${rep.keptYoung} kept young")
+
     case "write-bloom" :: inDir :: colNdvCsv :: outDir :: Nil =>
       // bloom-filtered layout for point lookups on high-cardinality
       // unclustered keys (sorting/z-order can't serve them): col:ndv
@@ -367,6 +387,8 @@ object Pipeline {
            |  Pipeline manifest-build <dataDir> <cols,csv> <manifestDir>
            |  Pipeline manifest-refresh <dataDir> <cols,csv> <manifestDir>
            |  Pipeline compact <dataDir> <targetMb> <outDir>
+           |  Pipeline erase <dataDir> <manifestDir> <keyCol> <keys,csv>
+           |  Pipeline vacuum <dataDir> <manifestDir> <minAgeHours>
            |  Pipeline write-bloom <inParquetDir> <col:ndv,csv> <outDir>
            |  Pipeline quantiles <inParquetDir> <valueCol> <qs,csv e.g. 0.5,0.99>
            |  Pipeline snapshot-merge <changesDir> <snapshotDir> <checkpointDir> <keyCols,csv> <orderCols,csv>

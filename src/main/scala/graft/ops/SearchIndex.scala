@@ -36,7 +36,10 @@ object SearchIndex {
     graft.sources.Sinks.writeSortedBy(
       postings.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df")),
       s"$dir/terms", Seq("term"))
-    base.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    // sum_dl rides along for SearchIndexRefresh: dl is integer-valued,
+    // so the sum is exact in double and additive across append batches
+    base.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"),
+        sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 

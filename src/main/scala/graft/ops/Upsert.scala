@@ -55,6 +55,25 @@ object Upsert {
     winner
   }
 
+  /** Tombstone expiry — the state bound for delete-aware snapshots.
+    *
+    * A CDC feed with deletes keeps the DELETE rows in the snapshot
+    * (is-delete flag), because recency must survive the deletion: if
+    * the tombstone vanished immediately, an out-of-order OLDER update
+    * arriving later would find no stored row to lose against and
+    * resurrect the key. But a tombstone only needs to outlive the
+    * feed's out-of-order horizon; past it, the row is dead weight —
+    * at 100 TB a churn-heavy key space would otherwise grow the
+    * snapshot with every key ever deleted. This drops tombstones whose
+    * recency column is older than `horizon` — exactly the watermark
+    * eviction rule, applied at the storage grain. Pure filter: no
+    * shuffle, partition-prunable when the snapshot is recency-
+    * partitioned. */
+  def expireTombstones(
+      snapshot: DataFrame, deleteCol: String, recencyCol: String,
+      horizon: Column): DataFrame =
+    snapshot.filter(!col(deleteCol) || col(recencyCol) >= horizon)
+
   /** Collapse one frame to its latest row per key — the single-side
     * case of [[mergeLatest]] (same one-aggregation plan), used to
     * seed a snapshot from the first change batch. */

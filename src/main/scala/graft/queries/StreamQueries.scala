@@ -697,6 +697,59 @@ object StreamQueries {
           .orderBy($"event_type", $"day")
       },
       Some(WindowQueries.kalmanLevelOracle)
+    ),
+
+    // CDC snapshot maintenance WITH DELETES: the change feed carries
+    // tombstones (here: an 'error' event deletes its user), and the
+    // per-key contract is last-op-wins — a delete newer than every
+    // update removes the key; an update newer than the delete
+    // resurrects it. Tombstone rows stay IN the stored snapshot (the
+    // is_delete flag rides the schema) precisely so recency survives
+    // the deletion: drop them eagerly and an out-of-order OLDER update
+    // arriving in a later micro-batch would find nothing to lose
+    // against and resurrect the key; the read path filters them
+    // (Streams.readSnapshot + !is_delete), and
+    // ops/Upsert.expireTombstones bounds the dead rows by the feed's
+    // out-of-order horizon — the watermark rule at the storage grain.
+    // Plan per batch: the same ONE max_by aggregate as
+    // stream_upsert_snapshot — deletes add zero operators, only a
+    // boolean column. Gated against the batch last-op-wins oracle on
+    // the FULL key space.
+    OracleQuery(
+      "stream_cdc_tombstones",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"ts", $"value",
+            ($"event_type" === "error").as("is_delete"))
+        val tmp = graft.core.Scratch.dir("stream_cdc_del", d)
+        ev.repartition(6).write.mode("overwrite").parquet(s"$tmp/in")
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(s"$tmp/in")
+        graft.streaming.Streams
+          .snapshotMergeStream(src, s"$tmp/snap", s"$tmp/ckpt",
+            keys = Seq("user_id"), orderBy = Seq("ts", "event_id"))
+          .awaitTermination()
+        val snap = graft.streaming.Streams.readSnapshot(s, s"$tmp/snap").get
+        // live view: tombstoned keys filtered at read time; expiry with
+        // an all-covering horizon must be a no-op on live rows
+        graft.ops.Upsert
+          .expireTombstones(snap, "is_delete", "ts",
+            lit("2030-01-01").cast("timestamp"))
+          .filter(!$"is_delete")
+          .select($"user_id", $"event_id", $"ts", $"value")
+          .orderBy($"user_id")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT user_id, event_id, ts, value, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events
+             |)
+             |SELECT user_id, event_id, ts, value FROM ranked
+             |WHERE rn = 1 AND event_type <> 'error'
+             |ORDER BY user_id""".stripMargin)
     )
   )
 }
