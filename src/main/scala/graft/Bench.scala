@@ -121,7 +121,9 @@ object Bench {
     "a62_dp_noisy_release", // seeded discrete-Laplace noisy aggregate release
     "a63_k_anonymity",     // QI equivalence-class k-anon / l-div audit
     "o31_erasure_cascade", // GDPR tombstone cascade + orphan audit
-    "a64_ece_reliability") // integer-exact ECE + reliability bins
+    "a64_ece_reliability", // integer-exact ECE + reliability bins
+    "sim_retrieval_eval",  // recall/MRR/NDCG@10 of IVF vs exact truth
+    "sim_silhouette")      // coarse-quantizer clustering quality
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

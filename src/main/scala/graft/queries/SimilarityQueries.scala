@@ -1287,6 +1287,172 @@ object SimilarityQueries {
              |)
              |SELECT query_id, neighbor_id, score_q, rn
              |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)
+    ),
+
+    // Retrieval-quality evaluation of the ANN serving path — the
+    // metrics a RAG/search deployment actually gates on: recall@10,
+    // MRR@10 and NDCG@10 of the IVF nprobe=2 retrieval against the
+    // EXACT cosine top-10 ground truth, per query. Graded relevance =
+    // 11 − truth_rank (integer), and DCG rides EXACT integer algebra:
+    // the 1/log2(r+1) discount ladder is embedded as 1e12-quantized
+    // LONG literals (identical in both spellings — no runtime log2, so
+    // no cross-engine libm drift), each position contributes
+    // rel·w_q[rank] exactly, and NDCG = Σcontrib / IDCG_q in one
+    // display division. Cost shape: ground truth is the bounded-Q
+    // brute-force scan (Q=10, the sim_cosine_topk class — at 100 TB
+    // you hold out a labeled query set exactly like this); retrieval
+    // is the cell-bounded IVF join. Nothing all-pairs.
+    OracleQuery(
+      "sim_retrieval_eval",
+      (s, d) => {
+        import s.implicits._
+        val wQ = Seq(1000000000000L, 630929753571L, 500000000000L,
+          430676558073L, 386852807234L, 356207187108L, 333333333333L,
+          315464876785L, 301029995663L, 289064826317L)
+        val idcgQ = 29966109248924L // Σ (11−i)·wQ(i), i = 1..10
+        val cents = centroids(s, d)
+        val emb = withCells(normed(s, d), cents)
+        val queries = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+            $"norm".as("q_norm"))
+        val members = emb.select($"vec_id".as("neighbor_id"), $"cell1".as("cid"),
+          $"embedding".as("n_emb"), $"norm".as("n_norm"))
+        val cos = call_function("vec_dot", $"q_emb", $"n_emb") / ($"q_norm" * $"n_norm")
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        val truth = members.crossJoin(broadcast(queries))
+          .filter($"neighbor_id" =!= $"query_id")
+          .withColumn("cos", cos)
+          .withColumn("t_rank", row_number().over(w))
+          .filter($"t_rank" <= 10)
+          .select($"query_id", $"neighbor_id", $"t_rank")
+        val probes = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+            $"norm".as("q_norm"), explode(array($"cell1", $"cell2")).as("cid"))
+        val retrieved = broadcast(probes).join(members, "cid")
+          .filter($"neighbor_id" =!= $"query_id")
+          .withColumn("cos", cos)
+          .withColumn("r_rank", row_number().over(w))
+          .filter($"r_rank" <= 10)
+          .select($"query_id", $"neighbor_id", $"r_rank")
+        retrieved
+          .join(truth, Seq("query_id", "neighbor_id"), "left")
+          .withColumn("rel",
+            when($"t_rank".isNotNull, lit(11L) - $"t_rank").otherwise(lit(0L)))
+          .withColumn("wq",
+            element_at(array(wQ.map(lit): _*), $"r_rank"))
+          .groupBy($"query_id")
+          .agg(
+            sum(($"rel" > 0).cast("long")).as("hits"),
+            min(when($"rel" > 0, $"r_rank")).as("first_hit"),
+            sum($"rel" * $"wq").as("dcg_q"))
+          .select(
+            $"query_id",
+            $"hits",
+            graft.core.Parity.floorRound4($"hits".cast("double") / 10.0).as("recall10"),
+            graft.core.Parity.floorRound4(
+              coalesce(lit(1.0) / $"first_hit", lit(0.0))).as("mrr10"),
+            graft.core.Parity.floorRound4(
+              $"dcg_q".cast("double") / idcgQ.toDouble).as("ndcg10"))
+          .orderBy($"query_id")
+      },
+      Some(s"""WITH $duckNormed, $duckAssign, cells AS (
+              |  SELECT vec_id AS member_id, cid FROM assign WHERE crn = 1
+              |), probes AS (
+              |  SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10 AND crn <= 2
+              |), retr0 AS (
+              |  SELECT p.query_id, m.member_id AS neighbor_id,
+              |    (list_reduce(list_transform(list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), p2 -> p2[1] * p2[2]), (x, y) -> x + y)
+              |     / (q.norm * n.norm)) AS cos
+              |  FROM probes p JOIN cells m ON p.cid = m.cid
+              |  JOIN normed q ON q.vec_id = p.query_id
+              |  JOIN normed n ON n.vec_id = m.member_id
+              |  WHERE m.member_id != p.query_id
+              |), retr AS (
+              |  SELECT query_id, neighbor_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r_rank
+              |  FROM retr0
+              |), truth0 AS (
+              |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              |    (list_reduce(list_transform(list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), p2 -> p2[1] * p2[2]), (x, y) -> x + y)
+              |     / (q.norm * n.norm)) AS cos
+              |  FROM normed q CROSS JOIN normed n
+              |  WHERE q.vec_id < 10 AND n.vec_id != q.vec_id
+              |), truth AS (
+              |  SELECT query_id, neighbor_id, t_rank FROM (
+              |    SELECT query_id, neighbor_id,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS t_rank
+              |    FROM truth0) WHERE t_rank <= 10
+              |), joined AS (
+              |  SELECT r.query_id, r.r_rank,
+              |    CASE WHEN t.t_rank IS NOT NULL THEN 11 - t.t_rank ELSE 0 END AS rel,
+              |    ([1000000000000, 630929753571, 500000000000, 430676558073,
+              |      386852807234, 356207187108, 333333333333, 315464876785,
+              |      301029995663, 289064826317])[r.r_rank] AS wq
+              |  FROM retr r LEFT JOIN truth t
+              |    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+              |  WHERE r.r_rank <= 10
+              |)
+              |SELECT query_id,
+              |  CAST(sum(CAST(rel > 0 AS BIGINT)) AS BIGINT) AS hits,
+              |  floor((CAST(sum(CAST(rel > 0 AS BIGINT)) AS DOUBLE) / 10.0) * 10000 + 0.5) / 10000 AS recall10,
+              |  floor(coalesce(1.0 / min(CASE WHEN rel > 0 THEN r_rank END), 0.0) * 10000 + 0.5) / 10000 AS mrr10,
+              |  floor((CAST(sum(rel * wq) AS DOUBLE) / 29966109248924.0) * 10000 + 0.5) / 10000 AS ndcg10
+              |FROM joined GROUP BY query_id ORDER BY query_id""".stripMargin)
+    ),
+
+    // Simplified silhouette of the IVF cell partition — the clustering-
+    // quality gate on the coarse quantizer itself (a bad quantizer
+    // shows up as recall decay only AFTER serving; silhouette reads it
+    // off the assignment directly). Per vector: a = cosine distance to
+    // its OWN centroid, b = to the second-nearest — both already
+    // computed by the probe ladder (nearest-2 cells), so the metric is
+    // literally free on top of the assignment pass: one map-side
+    // expression, one cell-grain aggregate, no pairwise joins (the
+    // full Rousseeuw silhouette is O(N²); the centroid form is the
+    // standard at-scale proxy). Per-cell mean s = (b−a)/max(a,b) rides
+    // 1e-6-quantized long sums.
+    OracleQuery(
+      "sim_silhouette",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val cents = centroids(s, d)
+        val emb = Tables.embeddings(s, d)
+          .withColumn("norm", sqrt(expr("vec_dot(embedding, embedding)")))
+          .withColumn("__cells", probeCells(cents))
+          .withColumn("a", lit(1.0) + element_at($"__cells", 1).getField("negcos"))
+          .withColumn("b", lit(1.0) + element_at($"__cells", 2).getField("negcos"))
+          .withColumn("cell", element_at($"__cells", 1).getField("cid"))
+          .withColumn("s", ($"b" - $"a") / greatest($"a", $"b"))
+        emb.groupBy($"cell")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(floor($"s" * 1000000.0 + 0.5).cast("long")).as("sq"))
+          .select($"cell", $"n_vecs",
+            graft.core.Parity.floorRound4(
+              $"sq".cast("double") / 1000000.0 / $"n_vecs").as("mean_sil"))
+          .orderBy($"cell")
+      },
+      Some(s"""WITH $duckNormed, cents AS (
+              |  SELECT vec_id AS cid, embedding, norm FROM normed WHERE vec_id < 8
+              |), a2 AS (
+              |  SELECT v.vec_id, c.cid,
+              |    (list_reduce(list_transform(list_zip(v.embedding::DOUBLE[], c.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
+              |     / (v.norm * c.norm)) AS cos,
+              |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              |      (list_reduce(list_transform(list_zip(v.embedding::DOUBLE[], c.embedding::DOUBLE[]), p -> p[1] * p[2]), (x, y) -> x + y)
+              |       / (v.norm * c.norm)) DESC, c.cid) AS crn
+              |  FROM normed v CROSS JOIN cents c
+              |), ab AS (
+              |  SELECT o.vec_id, o.cid AS cell,
+              |    1.0 - o.cos AS a, 1.0 - s.cos AS b
+              |  FROM (SELECT * FROM a2 WHERE crn = 1) o
+              |  JOIN (SELECT * FROM a2 WHERE crn = 2) s ON s.vec_id = o.vec_id
+              |)
+              |SELECT cell, count(*) AS n_vecs,
+              |  floor((CAST(sum(CAST(floor(((b - a) / greatest(a, b)) * 1000000.0 + 0.5)
+              |    AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 10000 + 0.5) / 10000 AS mean_sil
+              |FROM ab GROUP BY cell ORDER BY cell""".stripMargin)
     )
   )
 
