@@ -23,7 +23,150 @@ import graft.core.{Parity, Tables}
   */
 object GovernanceQueries {
 
+  /** PAV (pool-adjacent-violators) isotonic fit over binned counts —
+    * EXACT integer arithmetic throughout: blocks merge while the
+    * previous block's rate exceeds the next's, compared by
+    * cross-multiplication (pos_a·n_b > pos_b·n_a — no float ever), and
+    * each block's calibrated rate stays the exact rational
+    * (pooled pos, pooled n). Returns the full step function over bins
+    * 0..nBins−1 (empty calibration bins inherit the covering block —
+    * carry-forward, bins before the first observation take the first
+    * block). Driver state is ≤ nBins rows — the bounded-model-state
+    * class, like Ridge's coefficients. */
+  private[queries] def pavFit(
+      binned: Seq[(Int, Long, Long)], nBins: Int): IndexedSeq[(Long, Long)] = {
+    final case class Block(lo: Int, pos: Long, n: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    for ((bin, n, pos) <- binned.sortBy(_._1) if n > 0) {
+      var b = Block(bin, pos, n)
+      while (stack.nonEmpty &&
+          stack.last.pos * b.n > b.pos * stack.last.n) {
+        val t = stack.remove(stack.length - 1)
+        b = Block(t.lo, t.pos + b.pos, t.n + b.n)
+      }
+      stack += b
+    }
+    require(stack.nonEmpty, "isotonic fit needs at least one non-empty bin")
+    val out = Array.fill[(Long, Long)](nBins)(null)
+    var bi = 0
+    for (i <- 0 until nBins) {
+      if (bi + 1 < stack.length && i >= stack(bi + 1).lo) bi += 1
+      out(i) = (stack(bi).pos, stack(bi).n)
+    }
+    out.toIndexedSeq
+  }
+
+  /** Shared spellings for pipe_isotonic_calibration: the quantized
+    * confidence, the 20-way bin, the calibration/eval split. */
+  private def isoScoredSql: String =
+    """scored AS (
+      |  SELECT CAST(floor((1.0 / (1.0 + exp(-(o_totalprice / 100000.0 - 1.5))))
+      |      * 10000 + 0.5) AS BIGINT) AS pq,
+      |    CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y,
+      |    o_orderkey % 2 AS split
+      |  FROM orders
+      |)""".stripMargin
+
+  private def isoFit(s: org.apache.spark.sql.SparkSession, d: String)
+      : IndexedSeq[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val praw = lit(1.0) / (lit(1.0) + exp(lit(0.0) - (col("o_totalprice") / 100000.0 - 1.5)))
+    val cal = Tables.orders(s, d)
+      .withColumn("pq", floor(praw * 10000 + 0.5).cast("long"))
+      .filter(pmod(col("o_orderkey"), lit(2L)) === 0)
+      .withColumn("bin", least(floor(col("pq") / 500.0), lit(19.0)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_orderpriority") === "1-URGENT").cast("long")).as("pos"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    pavFit(cal, 20)
+  }
+
   def all: Seq[OracleQuery] = Seq(
+
+    // Isotonic (PAV) calibration — a64 MEASURES miscalibration; this
+    // FIXES it: fit a monotone step function on the calibration split
+    // (even order keys), apply it to the eval split (odd keys), and
+    // report per-bin calibrated-vs-empirical rates plus pre/post ECE.
+    // The fit is driver state (≤20 binned counts — the Ridge-
+    // coefficient class) computed in EXACT integer arithmetic
+    // (cross-multiplied rate comparisons, rational pooled rates); the
+    // application is one broadcastable literal map. Post-ECE rides the
+    // same integer-exact recipe as a64: per bin the gap is
+    // |pp·n_e − pos_e·pn| exactly, scaled once at display. The oracle
+    // embeds the fitted (pp, pn) table as literals (the BPE-merge
+    // oracleGen pattern: learned state is deterministic for a given
+    // corpus) and replays the application + both ECEs in DuckDB.
+    OracleQuery(
+      "pipe_isotonic_calibration",
+      (s, d) => {
+        import s.implicits._
+        val fit = isoFit(s, d)
+        val ppArr = array(fit.map(t => lit(t._1)): _*)
+        val pnArr = array(fit.map(t => lit(t._2)): _*)
+        val praw = lit(1.0) / (lit(1.0) + exp(lit(0.0) - ($"o_totalprice" / 100000.0 - 1.5)))
+        val ev = Tables.orders(s, d)
+          .withColumn("pq", floor(praw * 10000 + 0.5).cast("long"))
+          .filter(pmod($"o_orderkey", lit(2L)) === 1)
+          .withColumn("bin", least(floor($"pq" / 500.0), lit(19.0)).cast("long"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"), sum($"pq").as("sum_pq"),
+            sum(($"o_orderpriority" === "1-URGENT").cast("long")).as("pos"))
+          .withColumn("pp", element_at(ppArr, ($"bin" + 1).cast("int")))
+          .withColumn("pn", element_at(pnArr, ($"bin" + 1).cast("int")))
+          // post-calibration gap: n_e·|p̂−emp|·1e6 as an exact-derived
+          // long (one double division by the literal pn, then floor)
+          .withColumn("gap_post_q",
+            floor(abs($"pp" * $"n" - $"pos" * $"pn").cast("double")
+              / $"pn" * 1000000.0 + 0.5).cast("long"))
+          .withColumn("gap_pre_q", abs($"sum_pq" - lit(10000L) * $"pos"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        ev
+          .withColumn("n_all", sum($"n").over(w))
+          .withColumn("ece_pre", Parity.floorRound4(
+            sum($"gap_pre_q").over(w).cast("double") / 10000.0 / $"n_all"))
+          .withColumn("ece_post", Parity.floorRound4(
+            sum($"gap_post_q").over(w).cast("double") / 1000000.0 / $"n_all"))
+          .select(
+            $"bin", $"n",
+            Parity.floorRound4($"pp".cast("double") / $"pn").as("cal_p"),
+            Parity.floorRound4($"pos".cast("double") / $"n").as("emp_rate"),
+            $"ece_pre", $"ece_post")
+          .orderBy($"bin")
+      },
+      None,
+      oracleGen = Some { (s, d) =>
+        val fit = isoFit(s, d)
+        val mapRows = fit.zipWithIndex
+          .map { case ((pp, pn), i) => s"($i, $pp, $pn)" }.mkString(", ")
+        s"""WITH $isoScoredSql, ev AS (
+           |  SELECT CAST(least(floor(pq / 500.0), 19.0) AS BIGINT) AS bin,
+           |    count(*) AS n, sum(pq) AS sum_pq, sum(y) AS pos
+           |  FROM scored WHERE split = 1 GROUP BY 1
+           |), m AS (
+           |  SELECT * FROM (VALUES $mapRows) AS t(bin, pp, pn)
+           |), j AS (
+           |  SELECT e.bin, e.n, e.sum_pq, e.pos, m.pp, m.pn,
+           |    CAST(floor(CAST(abs(m.pp * e.n - e.pos * m.pn) AS DOUBLE)
+           |      / m.pn * 1000000.0 + 0.5) AS BIGINT) AS gap_post_q,
+           |    abs(e.sum_pq - 10000 * e.pos) AS gap_pre_q
+           |  FROM ev e JOIN m ON m.bin = e.bin
+           |), g AS (
+           |  SELECT *, sum(n) OVER () AS n_all,
+           |    sum(gap_pre_q) OVER () AS pre_all,
+           |    sum(gap_post_q) OVER () AS post_all
+           |  FROM j
+           |)
+           |SELECT bin, n,
+           |  floor((CAST(pp AS DOUBLE) / pn) * 10000 + 0.5) / 10000 AS cal_p,
+           |  floor((CAST(pos AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS emp_rate,
+           |  floor((CAST(pre_all AS DOUBLE) / 10000.0 / n_all) * 10000 + 0.5) / 10000 AS ece_pre,
+           |  floor((CAST(post_all AS DOUBLE) / 1000000.0 / n_all) * 10000 + 0.5) / 10000 AS ece_post
+           |FROM g ORDER BY bin""".stripMargin
+      }
+    ),
+
 
     // ε-differentially-private noisy counts + clipped noisy sums per
     // market segment (the "release aggregate stats about the corpus"

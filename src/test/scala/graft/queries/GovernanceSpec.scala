@@ -92,6 +92,39 @@ class GovernanceSpec extends SparkSpec {
     assert(tomb.nonEmpty, "fixture produced an empty deletion set — pin is vacuous")
   }
 
+  test("pavFit: exact-integer PAV — violator pooling, carry-forward, monotone output") {
+    // a descending-then-rising pattern: bins 0 (.8) and 1 (.2) violate
+    // monotonicity and must pool to .5; bin 2 (.5) ties and stays
+    val f = GovernanceQueries.pavFit(Seq((0, 10L, 8L), (1, 10L, 2L), (2, 10L, 5L)), 3)
+    assert(f(0) == (10L, 20L) && f(1) == (10L, 20L) && f(2) == (5L, 10L))
+    // a single observed bin covers the whole range (carry both ways)
+    val g = GovernanceQueries.pavFit(Seq((2, 10L, 1L)), 5)
+    assert(g.forall(_ == (1L, 10L)))
+    // already-monotone input is untouched; zero-count bins are skipped
+    val h = GovernanceQueries.pavFit(Seq((0, 4L, 1L), (1, 0L, 0L), (2, 4L, 3L)), 3)
+    assert(h(0) == (1L, 4L) && h(1) == (1L, 4L) && h(2) == (3L, 4L))
+    // output rates are monotone nondecreasing for a stress pattern
+    val z = GovernanceQueries.pavFit(
+      Seq((0, 5L, 4L), (1, 5L, 1L), (2, 5L, 3L), (3, 5L, 2L), (4, 5L, 5L)), 5)
+    val rates = z.map { case (p, n) => p.toDouble / n }
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b + 1e-12 }, rates)
+  }
+
+  test("pipe_isotonic_calibration: calibrated rates monotone, ECEs well-formed") {
+    val rows = Registry.queries("pipe_isotonic_calibration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val calP = rows.map(_.getDouble(2))
+    assert(calP.zip(calP.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"calibrated step function not monotone: ${calP.mkString(",")}")
+    val (pre, post) = (rows.map(_.getDouble(4)).distinct, rows.map(_.getDouble(5)).distinct)
+    assert(pre.length == 1 && post.length == 1, "ECEs must be constants")
+    assert(pre.head >= 0.0 && post.head >= 0.0)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("a64_ece_reliability: integer-exact ECE identity and bin partition") {
     import spark.implicits._
     val rows = Registry.queries("a64_ece_reliability")(spark, sf).collect()
