@@ -124,7 +124,8 @@ object Bench {
     "a64_ece_reliability", // integer-exact ECE + reliability bins
     "sim_retrieval_eval",  // recall/MRR/NDCG@10 of IVF vs exact truth
     "sim_silhouette",      // coarse-quantizer clustering quality
-    "pipe_isotonic_calibration") // exact-integer PAV fit + post-ECE
+    "pipe_isotonic_calibration", // exact-integer PAV fit + post-ECE
+    "a65_spearman")        // tie-aware rank correlation, bucketed ranks
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -3534,6 +3534,80 @@ object AggQueries {
              |  floor(CAST(cn AS DOUBLE) / (n * 1000000.0) * 10000 + 0.5) / 10000 AS c_t,
              |  (SELECT max(abs(cn)) FROM cn) = abs(cn) AS is_changepoint
              |FROM cn ORDER BY day""".stripMargin)
+    ),
+
+    // Spearman rank correlation (tie-aware) — the monotone-association
+    // member the Pearson family (a45 matrix, a51 partial) misses:
+    // Pearson on price↔quantity reads linearity, Spearman reads ANY
+    // monotone link, and the gap between them is itself the
+    // nonlinearity diagnostic. Ranks come from the a56 recipe — a
+    // value-grain histogram + ops/PrefixSum bucketed running count,
+    // never a global row sort: avg-rank(v) = (#smaller) + (ties+1)/2,
+    // carried as DOUBLED ranks r2 = 2·#smaller + ties + 1 so every
+    // rank is an exact INTEGER (the .5 grain vanishes) and all five
+    // moment sums are exact longs (r2 ≤ 2n ⟹ Σr2·r2 ≤ 4n³ — inside
+    // long headroom through sf1's 6e5 rows; past that the sums move to
+    // DECIMAL, the a56 spelling). ρ combines the exact moments in
+    // double with one sqrt — bit-deterministic cross-engine.
+    OracleQuery(
+      "a65_spearman",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_quantity".as("x"), $"l_extendedprice".as("y"))
+        def r2Table(c: String) = {
+          val hist = li.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
+            .withColumn("g", lit("all"))
+          graft.ops.PrefixSum.withCumsum(hist, "g", "v", "t", "cum")
+            .select(col("v"),
+              (lit(2L) * (col("cum") - col("t")) + col("t") + 1L).as(s"r2_$c"))
+        }
+        val j = li
+          .join(r2Table("x"), li("x") === col("v")).drop("v")
+          .join(r2Table("y"), li("y") === col("v")).drop("v")
+        j.agg(
+            count(lit(1)).as("n"),
+            sum($"r2_x").as("sx"), sum($"r2_y").as("sy"),
+            sum($"r2_x" * $"r2_x").as("sxx"),
+            sum($"r2_y" * $"r2_y").as("syy"),
+            sum($"r2_x" * $"r2_y").as("sxy"))
+          .withColumn("num",
+            $"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+          .withColumn("den", sqrt(
+            ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx") *
+              ($"n".cast("double") * $"syy" - $"sy".cast("double") * $"sy")))
+          .select($"n",
+            graft.core.Parity.floorRound4($"num" / $"den").as("rho_spearman"))
+      },
+      Some("""WITH hx AS (
+             |  SELECT l_quantity AS v, count(*) AS t FROM lineitem GROUP BY 1
+             |), rx AS (
+             |  SELECT v, 2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS r2
+             |  FROM hx
+             |), hy AS (
+             |  SELECT l_extendedprice AS v, count(*) AS t FROM lineitem GROUP BY 1
+             |), ry AS (
+             |  SELECT v, 2 * (sum(t) OVER (ORDER BY v) - t) + t + 1 AS r2
+             |  FROM hy
+             |), j AS (
+             |  SELECT rx.r2 AS x, ry.r2 AS y
+             |  FROM lineitem l
+             |  JOIN rx ON rx.v = l.l_quantity
+             |  JOIN ry ON ry.v = l.l_extendedprice
+             |), m AS (
+             |  SELECT count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM j
+             |)
+             |SELECT n,
+             |  floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+             |    * 10000 + 0.5) / 10000 AS rho_spearman
+             |FROM m""".stripMargin)
     )
   )
 }

@@ -15,6 +15,37 @@ class StatTestsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("a65_spearman: driver replay via sort-based average ranks; rho in [-1,1]") {
+    import spark.implicits._
+    val r = Registry.queries("a65_spearman")(spark, sf).collect()(0)
+    val (n, rho) = (r.getLong(0), r.getDouble(1))
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+    val xs = Tables.lineitem(spark, sf)
+      .select($"l_quantity".cast("double"), $"l_extendedprice")
+      .as[(Double, Double)].collect()
+    assert(n == xs.length.toLong)
+    def avgRanks(v: Array[Double]): Array[Double] = {
+      val idx = v.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](v.length)
+      var i = 0
+      while (i < idx.length) {
+        var j = i
+        while (j + 1 < idx.length && idx(j + 1)._1 == idx(i)._1) j += 1
+        val avg = (i + 1 + j + 1) / 2.0
+        for (k <- i to j) out(idx(k)._2) = avg
+        i = j + 1
+      }
+      out
+    }
+    val rx = avgRanks(xs.map(_._1)); val ry = avgRanks(xs.map(_._2))
+    val mx = rx.sum / rx.length; val my = ry.sum / ry.length
+    val num = rx.indices.map(i => (rx(i) - mx) * (ry(i) - my)).sum
+    val den = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum *
+      ry.map(a => (a - my) * (a - my)).sum)
+    val want = math.floor(num / den * 10000 + 0.5) / 10000
+    assert(math.abs(rho - want) < 2e-4, s"rho $rho vs replay $want")
+  }
+
   test("a48_chi_square: driver replay incl. zero cells; V in [0,1]; dof") {
     import spark.implicits._
     val r = Registry.queries("a48_chi_square")(spark, sf).collect()(0)
