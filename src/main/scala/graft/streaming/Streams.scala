@@ -556,6 +556,25 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming maintenance of the persisted BM25 search index
+    * ([[graft.ops.SearchIndex]]): each micro-batch of new documents
+    * writes its own postings/df/stats GENERATION (`gen=<batchId>` —
+    * derived from the batch alone, so replay overwrites only itself;
+    * the ivfAppendStream discipline). df and corpus stats are additive,
+    * so `SearchIndex.search` over the generational layout scores
+    * bit-identically to a one-shot build while ingest runs — retrieval
+    * never goes offline for an index rebuild. */
+  def searchIndexStream(
+      newDocs: DataFrame, indexDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.SearchIndex.applyGenBatch(batch.toDF(), indexDir, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming maintenance of the o28 HLL sketch table: each
     * micro-batch folds its rows into per-(week, day) sketch PARTIALS
     * (hll_sketch_agg over just the batch) written to the batch's OWN
