@@ -125,7 +125,9 @@ object Bench {
     "sim_retrieval_eval",  // recall/MRR/NDCG@10 of IVF vs exact truth
     "sim_silhouette",      // coarse-quantizer clustering quality
     "pipe_isotonic_calibration", // exact-integer PAV fit + post-ECE
-    "a65_spearman")        // tie-aware rank correlation, bucketed ranks
+    "a65_spearman",        // tie-aware rank correlation, bucketed ranks
+    "text_bigram_kn_score", // Kneser-Ney LM scoring (production smoothing)
+    "text_annotator_kappa") // labeling-agreement gate, one 4-cell agg
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

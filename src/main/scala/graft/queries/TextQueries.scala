@@ -1650,6 +1650,133 @@ object TextQueries {
              |FROM r3
              |ORDER BY CAST(floor(r * 100000000.0 + 0.5) AS BIGINT) DESC, word
              |LIMIT 20""".stripMargin)
+    ),
+
+    // Kneser–Ney bigram LM scoring — the PRODUCTION smoothing of the
+    // quality-filter LM family (CCNet/KenLM are modified-KN; the
+    // text_bigram_lm_score MLE and the Laplace perplexity are the
+    // bootstrap spellings). Interpolated absolute discounting, D=0.75:
+    //   P(w2|w1) = (c12 − D)/c1 + D·N₁₊(w1,·)/c1 · N₁₊(·,w2)/N₁₊(··)
+    // — the continuation-count backoff is what MLE lacks: an unseen-
+    // in-context but versatile word scores by how many CONTEXTS it
+    // follows, not raw frequency. Every count is an exact integer from
+    // the ONE (w1,w2) aggregate; the three derived tables (follower
+    // fan-out per w1, continuation count per w2, total bigram types)
+    // are re-aggregations of that exchange (AQE stage reuse, the LM
+    // family discipline — still ONE tokenize pass). ln/avg display
+    // tolerance is the accepted class shared with the MLE spelling.
+    OracleQuery(
+      "text_bigram_kn_score",
+      (s, d) => {
+        import s.implicits._
+        val D = 0.75
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .select($"doc_id", $"ws", posexplode($"ws").as(Seq("pos", "w1")))
+          .filter($"pos" <= size($"ws") - 2)
+          .select($"doc_id", $"w1", element_at($"ws", $"pos" + 2).as("w2"))
+          .filter($"w1".isNotNull && $"w2".isNotNull)
+        val bc = toks.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val uc = bc.groupBy($"w1").agg(sum($"c12").as("c1"),
+          count(lit(1)).as("nfw"))
+        val cont = bc.groupBy($"w2").agg(count(lit(1)).as("nbw"))
+        val tot = bc.agg(count(lit(1)).as("ntypes"))
+        val pt = bc.join(uc, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+          .select($"w1", $"w2",
+            log(
+              greatest($"c12" - lit(D), lit(0.0)) / $"c1" +
+                lit(D) * $"nfw" / $"c1" * ($"nbw" / $"ntypes".cast("double"))
+            ).as("lp"))
+        toks.join(pt, Seq("w1", "w2"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), round(avg($"lp"), 4).as("avg_logprob_kn"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |), idx AS (
+             |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM base
+             |), toks AS (
+             |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM idx
+             |), bc AS (
+             |  SELECT w1, w2, count(*) AS c12 FROM toks GROUP BY 1, 2
+             |), uc AS (
+             |  SELECT w1, sum(c12) AS c1, count(*) AS nfw FROM bc GROUP BY 1
+             |), cont AS (
+             |  SELECT w2, count(*) AS nbw FROM bc GROUP BY 1
+             |), tot AS (
+             |  SELECT count(*) AS ntypes FROM bc
+             |), pt AS (
+             |  SELECT b.w1, b.w2,
+             |    ln(greatest(b.c12 - 0.75, 0.0) / u.c1
+             |       + 0.75 * u.nfw / u.c1 * (c.nbw / CAST(t.ntypes AS DOUBLE))) AS lp
+             |  FROM bc b JOIN uc u USING (w1) JOIN cont c USING (w2) CROSS JOIN tot t
+             |)
+             |SELECT t.doc_id, count(*) AS n_bigrams,
+             |  round(avg(pt.lp), 4) AS avg_logprob_kn
+             |FROM toks t JOIN pt ON t.w1 = pt.w1 AND t.w2 = pt.w2
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+    ),
+
+    // Cohen's kappa between two document annotators — the labeling-
+    // pipeline agreement gate (are two labeling heuristics/models/
+    // crowd passes consistent enough to trust?). Annotators here are
+    // two independent quality heuristics (length gate vs lexical-
+    // density gate); kappa corrects raw agreement for chance:
+    // κ = (p_o − p_e)/(1 − p_e). ONE scan, one 4-cell aggregate —
+    // every input to κ is an exact integer, the division happens once
+    // at display. At 100 TB: the confusion frame is 1 row regardless
+    // of corpus size.
+    OracleQuery(
+      "text_annotator_kappa",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("ra", (size(split($"text", " ")) >= 30).cast("long"))
+          .withColumn("rb",
+            (length($"text") / size(split($"text", " ")) <= lit(6.0)).cast("long"))
+        docs.agg(
+            count(lit(1)).as("n"),
+            sum($"ra" * $"rb").as("n11"),
+            sum($"ra" * (lit(1L) - $"rb")).as("n10"),
+            sum((lit(1L) - $"ra") * $"rb").as("n01"),
+            sum((lit(1L) - $"ra") * (lit(1L) - $"rb")).as("n00"))
+          .withColumn("po", ($"n11" + $"n00").cast("double") / $"n")
+          .withColumn("pe",
+            (($"n11" + $"n10").cast("double") * ($"n11" + $"n01")
+              + ($"n00" + $"n01").cast("double") * ($"n00" + $"n10"))
+              / ($"n".cast("double") * $"n"))
+          .select($"n", $"n11", $"n10", $"n01", $"n00",
+            graft.core.Parity.floorRound4($"po").as("p_observed"),
+            graft.core.Parity.floorRound4($"pe").as("p_expected"),
+            graft.core.Parity.floorRound4(
+              ($"po" - $"pe") / (lit(1.0) - $"pe")).as("kappa"))
+      },
+      Some("""WITH r AS (
+             |  SELECT
+             |    CAST(len(string_split(text, ' ')) >= 30 AS BIGINT) AS ra,
+             |    CAST(length(text) / len(string_split(text, ' ')) <= 6.0 AS BIGINT) AS rb
+             |  FROM documents
+             |), c AS (
+             |  SELECT count(*) AS n,
+             |    CAST(sum(ra * rb) AS BIGINT) AS n11,
+             |    CAST(sum(ra * (1 - rb)) AS BIGINT) AS n10,
+             |    CAST(sum((1 - ra) * rb) AS BIGINT) AS n01,
+             |    CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+             |  FROM r
+             |), k AS (
+             |  SELECT *,
+             |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+             |    (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+             |     + CAST(n00 + n01 AS DOUBLE) * (n00 + n10))
+             |      / (CAST(n AS DOUBLE) * n) AS pe
+             |  FROM c
+             |)
+             |SELECT n, n11, n10, n01, n00,
+             |  floor(po * 10000 + 0.5) / 10000 AS p_observed,
+             |  floor(pe * 10000 + 0.5) / 10000 AS p_expected,
+             |  floor(((po - pe) / (1.0 - pe)) * 10000 + 0.5) / 10000 AS kappa
+             |FROM k""".stripMargin)
     )
   )
 
