@@ -304,6 +304,22 @@ object Pipeline {
       println(s"[graft] vacuum: ${rep.deleted} orphans deleted " +
         s"(${rep.bytesFreed / 1024} KB freed), ${rep.keptYoung} kept young")
 
+    case "table-health" :: dataDir :: targetMb :: Nil =>
+      // partition-health audit (ops/TableHealth): metadata only —
+      // small-file fraction, size skew, needs_compaction per partition
+      graft.ops.TableHealth.audit(spark, dataDir, targetMb.toLong * 1024 * 1024)
+        .show(1000, truncate = false)
+
+    case "export-shards" :: docsDir :: tokenBudget :: outDir :: Nil =>
+      // token-budgeted training-shard export (ops/ExportShards):
+      // concat-and-chunk assignment + per-shard manifest
+      val m = graft.ops.ExportShards.export(
+        spark.read.parquet(docsDir), outDir, tokenBudget.toLong)
+      val rows = m.collect()
+      println(s"[graft] export-shards: ${rows.length} shards, " +
+        s"${rows.map(_.getLong(1)).sum} docs, " +
+        s"${rows.map(_.getLong(2)).sum} tokens → $outDir")
+
     case "write-bloom" :: inDir :: colNdvCsv :: outDir :: Nil =>
       // bloom-filtered layout for point lookups on high-cardinality
       // unclustered keys (sorting/z-order can't serve them): col:ndv
@@ -389,6 +405,8 @@ object Pipeline {
            |  Pipeline compact <dataDir> <targetMb> <outDir>
            |  Pipeline erase <dataDir> <manifestDir> <keyCol> <keys,csv>
            |  Pipeline vacuum <dataDir> <manifestDir> <minAgeHours>
+           |  Pipeline table-health <dataDir> <targetMb>
+           |  Pipeline export-shards <docsParquetDir> <tokenBudget> <outDir>
            |  Pipeline write-bloom <inParquetDir> <col:ndv,csv> <outDir>
            |  Pipeline quantiles <inParquetDir> <valueCol> <qs,csv e.g. 0.5,0.99>
            |  Pipeline snapshot-merge <changesDir> <snapshotDir> <checkpointDir> <keyCols,csv> <orderCols,csv>
