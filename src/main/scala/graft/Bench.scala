@@ -127,7 +127,9 @@ object Bench {
     "pipe_isotonic_calibration", // exact-integer PAV fit + post-ECE
     "a65_spearman",        // tie-aware rank correlation, bucketed ranks
     "text_bigram_kn_score", // Kneser-Ney LM scoring (production smoothing)
-    "text_annotator_kappa") // labeling-agreement gate, one 4-cell agg
+    "text_annotator_kappa", // labeling-agreement gate, one 4-cell agg
+    "a66_levene",          // variance-homogeneity gate for the F family
+    "graph_hits")          // hubs/authorities, 2 L1-normalized rounds
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -3608,6 +3608,86 @@ object AggQueries {
              |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
              |    * 10000 + 0.5) / 10000 AS rho_spearman
              |FROM m""".stripMargin)
+    ),
+
+    // Levene's test for variance homogeneity — the ASSUMPTION CHECK
+    // behind a49's ANOVA F and a53's pooled-σ machinery (unequal
+    // variances silently invalidate both; Levene is the gate you run
+    // first). Mean-centered spelling: z_ij = |x_ij − x̄_g|, then the
+    // one-way F statistic over the z's. Exactly TWO fact scans — pass
+    // 1 collects per-group (n, Σxq) as exact longs for the means,
+    // pass 2 re-scans with the k-row mean table broadcast back and
+    // collects (n, Σzq, Σzq²) — the a49 quantized-sum recipe, so SSB/
+    // SSW are exact integer algebra and W is one double expression.
+    OracleQuery(
+      "a66_levene",
+      (s, d) => {
+        import s.implicits._
+        val x = $"o_totalprice" / 65536.0
+        val xq = floor(x * 1000000.0 + 0.5).cast("long")
+        val base = Tables.orders(s, d)
+          .select($"o_orderpriority".as("grp"), xq.as("xq"))
+        val means = base.groupBy($"grp")
+          .agg(count(lit(1)).as("n"), sum($"xq").as("sq"))
+          .select($"grp", $"n", ($"sq".cast("double") / 1000000.0 / $"n").as("m"))
+        val zq = floor(abs($"xq".cast("double") / 1000000.0 - $"m") * 1000000.0 + 0.5)
+          .cast("long")
+        val g = base.join(broadcast(means.select($"grp", $"m")), "grp")
+          .select($"grp", zq.as("zq"))
+          .groupBy($"grp")
+          .agg(count(lit(1)).as("ng"), sum($"zq").as("szq"),
+            sum($"zq" * $"zq").as("szz"))
+        g.agg(
+            count(lit(1)).as("k"), sum($"ng").as("nn"),
+            sum($"szq").as("s_all"),
+            sum(($"szq".cast("double") * $"szq" / $"ng").cast("decimal(38,6)"))
+              .cast("double").as("sb_groups"),
+            sum($"szz").as("ss_all"))
+          .withColumn("ssb",
+            ($"sb_groups" - $"s_all".cast("double") * $"s_all" / $"nn") / 1e12)
+          .withColumn("ssw",
+            ($"ss_all".cast("double") - $"sb_groups") / 1e12)
+          .select(
+            $"k".cast("long").as("k"), $"nn".cast("long").as("n"),
+            graft.core.Parity.floorRound4(
+              ($"ssb" / ($"k" - 1)) / ($"ssw" / ($"nn" - $"k"))).as("w_levene"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderpriority AS grp,
+             |    CAST(floor((o_totalprice / 65536.0) * 1000000.0 + 0.5) AS BIGINT) AS xq
+             |  FROM orders
+             |), means AS (
+             |  SELECT grp, count(*) AS n,
+             |    CAST(sum(xq) AS DOUBLE) / 1000000.0 / count(*) AS m
+             |  FROM base GROUP BY 1
+             |), z AS (
+             |  SELECT b.grp,
+             |    CAST(floor(abs(CAST(b.xq AS DOUBLE) / 1000000.0 - ms.m)
+             |      * 1000000.0 + 0.5) AS BIGINT) AS zq
+             |  FROM base b JOIN means ms ON ms.grp = b.grp
+             |), g AS (
+             |  SELECT grp, count(*) AS ng,
+             |    CAST(sum(zq) AS BIGINT) AS szq,
+             |    CAST(sum(zq * zq) AS BIGINT) AS szz
+             |  FROM z GROUP BY 1
+             |), a AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(ng) AS BIGINT) AS nn,
+             |    CAST(sum(szq) AS BIGINT) AS s_all,
+             |    CAST(sum(CAST(CAST(szq AS DOUBLE) * szq / ng AS DECIMAL(38,6)))
+             |      AS DOUBLE) AS sb_groups,
+             |    CAST(sum(szz) AS BIGINT) AS ss_all
+             |  FROM g
+             |), f AS (
+             |  SELECT k, nn,
+             |    (sb_groups - CAST(s_all AS DOUBLE) * s_all / nn) / 1e12 AS ssb,
+             |    (CAST(ss_all AS DOUBLE) - sb_groups) / 1e12 AS ssw
+             |  FROM a
+             |)
+             |SELECT k, nn AS n,
+             |  floor(((ssb / (k - 1)) / (ssw / (nn - k))) * 10000 + 0.5) / 10000
+             |    AS w_levene
+             |FROM f""".stripMargin)
     )
   )
 }

@@ -692,6 +692,105 @@ object GraphQueries {
              |       * sqrt(nullif(CAST(n * syy - sy * sy AS DOUBLE), 0.0)))
              |    * 10000 + 0.5) / 10000 AS assortativity
              |FROM agg""".stripMargin)
+    ),
+
+    // HITS hubs & authorities (Kleinberg) — the DIRECTED spectral pair
+    // beside PageRank's single score: on the customer→supplier order
+    // graph, a hub is a customer whose orders concentrate on strong
+    // suppliers, an authority a supplier ordered by strong customers —
+    // the two-sided influence question PageRank's random surfer
+    // collapses. Two unrolled mutual-reinforcement rounds, each an
+    // edge-grain shuffle (a(s) = Σ h(c), h(c) = Σ a(s)) with L1
+    // normalization; score sums ride DECIMAL(28,14) so accumulation
+    // order cannot move a bit (the PageRank contrib discipline). Edge
+    // list persisted once — iteration joins are edge-cardinality.
+    // Display ranks by the 1e8-quantized score (textrank discipline).
+    OracleQuery(
+      "graph_hits",
+      (s, d) => {
+        import s.implicits._
+        val edges = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("c"), $"l_suppkey".as("sp"))
+          .distinct()
+          .persist()
+        try {
+          // round 1: h0 = 1 ⟹ a1_raw(s) = indegree(s)
+          val a1raw = edges.groupBy($"sp").agg(count(lit(1)).cast("double").as("ar"))
+          val a1tot = a1raw.agg(sum($"ar".cast("decimal(28,14)")).cast("double").as("at"))
+          val a1 = a1raw.crossJoin(broadcast(a1tot)).select($"sp", ($"ar" / $"at").as("a"))
+          val h1raw = edges.join(a1, "sp")
+            .groupBy($"c").agg(sum($"a".cast("decimal(28,14)")).cast("double").as("hr"))
+          val h1tot = h1raw.agg(sum($"hr".cast("decimal(28,14)")).cast("double").as("ht"))
+          val h1 = h1raw.crossJoin(broadcast(h1tot)).select($"c", ($"hr" / $"ht").as("h"))
+          // round 2
+          val a2raw = edges.join(h1, "c")
+            .groupBy($"sp").agg(sum($"h".cast("decimal(28,14)")).cast("double").as("ar"))
+          val a2tot = a2raw.agg(sum($"ar".cast("decimal(28,14)")).cast("double").as("at"))
+          val a2 = a2raw.crossJoin(broadcast(a2tot)).select($"sp", ($"ar" / $"at").as("a"))
+          val h2raw = edges.join(a2, "sp")
+            .groupBy($"c").agg(sum($"a".cast("decimal(28,14)")).cast("double").as("hr"))
+          val h2tot = h2raw.agg(sum($"hr".cast("decimal(28,14)")).cast("double").as("ht"))
+          val h2 = h2raw.crossJoin(broadcast(h2tot)).select($"c", ($"hr" / $"ht").as("h"))
+          val out = a2.select(lit("auth").as("side"),
+              concat(lit("s"), $"sp").as("node"), $"a".as("score"))
+            .unionByName(h2.select(lit("hub").as("side"),
+              concat(lit("c"), $"c").as("node"), $"h".as("score")))
+            .withColumn("sq", floor($"score" * 100000000.0 + 0.5).cast("long"))
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy($"side").orderBy($"sq".desc, $"node")
+          out.withColumn("rn", row_number().over(w))
+            .filter($"rn" <= 15)
+            .select($"side", $"rn", $"node",
+              graft.core.Parity.floorRound4($"score" * 1000.0).as("score_k"))
+            .orderBy($"side", $"rn")
+        } finally edges.unpersist()
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |), a1r AS (
+             |  SELECT sp, CAST(count(*) AS DOUBLE) AS ar FROM e GROUP BY sp
+             |), a1t AS (
+             |  SELECT CAST(sum(CAST(ar AS DECIMAL(28,14))) AS DOUBLE) AS at FROM a1r
+             |), a1 AS (
+             |  SELECT sp, ar / at AS a FROM a1r CROSS JOIN a1t
+             |), h1r AS (
+             |  SELECT e.c, CAST(sum(CAST(a1.a AS DECIMAL(28,14))) AS DOUBLE) AS hr
+             |  FROM e JOIN a1 USING (sp) GROUP BY e.c
+             |), h1t AS (
+             |  SELECT CAST(sum(CAST(hr AS DECIMAL(28,14))) AS DOUBLE) AS ht FROM h1r
+             |), h1 AS (
+             |  SELECT c, hr / ht AS h FROM h1r CROSS JOIN h1t
+             |), a2r AS (
+             |  SELECT e.sp, CAST(sum(CAST(h1.h AS DECIMAL(28,14))) AS DOUBLE) AS ar
+             |  FROM e JOIN h1 USING (c) GROUP BY e.sp
+             |), a2t AS (
+             |  SELECT CAST(sum(CAST(ar AS DECIMAL(28,14))) AS DOUBLE) AS at FROM a2r
+             |), a2 AS (
+             |  SELECT sp, ar / at AS a FROM a2r CROSS JOIN a2t
+             |), h2r AS (
+             |  SELECT e.c, CAST(sum(CAST(a2.a AS DECIMAL(28,14))) AS DOUBLE) AS hr
+             |  FROM e JOIN a2 USING (sp) GROUP BY e.c
+             |), h2t AS (
+             |  SELECT CAST(sum(CAST(hr AS DECIMAL(28,14))) AS DOUBLE) AS ht FROM h2r
+             |), h2 AS (
+             |  SELECT c, hr / ht AS h FROM h2r CROSS JOIN h2t
+             |), u AS (
+             |  SELECT 'auth' AS side, 's' || CAST(sp AS VARCHAR) AS node, a AS score FROM a2
+             |  UNION ALL
+             |  SELECT 'hub', 'c' || CAST(c AS VARCHAR), h FROM h2
+             |), r AS (
+             |  SELECT side, node, score,
+             |    CAST(floor(score * 100000000.0 + 0.5) AS BIGINT) AS sq,
+             |    CAST(row_number() OVER (PARTITION BY side
+             |      ORDER BY CAST(floor(score * 100000000.0 + 0.5) AS BIGINT) DESC, node)
+             |      AS INT) AS rn
+             |  FROM u
+             |)
+             |SELECT side, rn, node,
+             |  floor(score * 1000.0 * 10000 + 0.5) / 10000 AS score_k
+             |FROM r WHERE rn <= 15 ORDER BY side, rn""".stripMargin)
     )
   )
 

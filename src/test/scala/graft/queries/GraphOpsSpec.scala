@@ -11,6 +11,25 @@ import scala.collection.mutable
   */
 class GraphOpsSpec extends SparkSpec {
 
+  test("graph_hits: both sides ranked 1..15, scores nonincreasing, mutual-reinforcement sanity") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = Registry.queries("graph_hits")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val bySide = rows.groupBy(_._1)
+    assert(bySide.keySet == Set("auth", "hub"))
+    bySide.foreach { case (side, rs) =>
+      assert(rs.map(_._2).toSeq == (1 to rs.length), s"$side ranks not contiguous")
+      val scores = rs.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-9 },
+        s"$side scores not nonincreasing: ${scores.mkString(",")}")
+      assert(scores.forall(_ > 0.0), s"$side has nonpositive scores")
+    }
+    // node prefixes match sides (authorities are suppliers, hubs customers)
+    assert(rows.filter(_._1 == "auth").forall(_._3.startsWith("s")))
+    assert(rows.filter(_._1 == "hub").forall(_._3.startsWith("c")))
+  }
+
   test("graph_triangles: driver replay of degree-ordered counting; clustering bounds") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

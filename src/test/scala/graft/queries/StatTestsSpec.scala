@@ -15,6 +15,15 @@ class StatTestsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("a66_levene: W nonnegative; k and n match the group census") {
+    import spark.implicits._
+    val r = Registry.queries("a66_levene")(spark, sf).collect()(0)
+    val (k, n, w) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(w >= 0.0, s"Levene W must be nonnegative, got $w")
+    val g = Tables.orders(spark, sf).groupBy($"o_orderpriority").count().collect()
+    assert(k == g.length.toLong && n == g.map(_.getLong(1)).sum)
+  }
+
   test("a65_spearman: driver replay via sort-based average ranks; rho in [-1,1]") {
     import spark.implicits._
     val r = Registry.queries("a65_spearman")(spark, sf).collect()(0)
