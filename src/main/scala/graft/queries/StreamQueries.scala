@@ -750,6 +750,67 @@ object StreamQueries {
              |SELECT user_id, event_id, ts, value FROM ranked
              |WHERE rn = 1 AND event_type <> 'error'
              |ORDER BY user_id""".stripMargin)
+    ),
+
+    // Streaming intake with a dead-letter queue: the quality gate that
+    // QUARANTINES instead of dropping — every input doc lands in
+    // exactly one of accepted/quarantine (with its reject reason and
+    // scores: the triage queue an operator debugs from; silent drops
+    // are unauditable). Routing is the same map-side TextFeatures
+    // expressions as text_quality_score; both sinks write per-batch
+    // generation dirs so at-least-once replay can't double-route. The
+    // gate checks CONSERVATION AND CONTENT: per (disposition, reason)
+    // counts over the union of both sinks must reproduce the batch
+    // spelling of the same gate — a doc lost between sinks, routed
+    // twice, or mis-reasoned all break the hash.
+    OracleQuery(
+      "stream_quality_dlq",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val tmp = graft.core.Scratch.dir("stream_dlq", d)
+        docs.repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+        // Thresholds picked to EXERCISE all three routes on the synthetic
+        // corpus (quality is tightly clustered ~0.95, token counts 10-99):
+        // a gate whose quarantine path never fires is untested plumbing.
+        graft.streaming.Streams
+          .docQualityDlqStream(s, s"$tmp/in", s"$tmp/out", s"$tmp/ckpt",
+            minQuality = 0.92, minTokens = 20)
+          .awaitTermination()
+        val acc = s.read.parquet(s"$tmp/out/accepted")
+          .select(lit("accepted").as("disposition"), lit("-").as("reason"))
+        val quar = s.read.parquet(s"$tmp/out/quarantine")
+          .select(lit("quarantined").as("disposition"), $"reject_reason".as("reason"))
+        acc.unionByName(quar)
+          .groupBy($"disposition", $"reason")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"disposition", $"reason")
+      },
+      Some("""WITH feat AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |    round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'to')))
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio,
+             |    round(len(list_distinct(string_split(text, ' ')))
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS unique_ratio
+             |  FROM documents
+             |), scored AS (
+             |  SELECT doc_id, n_tokens,
+             |    round(CASE WHEN n_tokens < 5 THEN 0.0
+             |          ELSE 1.0 - abs(stopword_ratio - 0.1)
+             |               - (CASE WHEN unique_ratio < 0.3 THEN 0.3 - unique_ratio ELSE 0.0 END)
+             |          END, 4) AS quality
+             |  FROM feat
+             |), routed AS (
+             |  SELECT CASE WHEN quality >= 0.92 AND n_tokens >= 20
+             |      THEN 'accepted' ELSE 'quarantined' END AS disposition,
+             |    CASE WHEN quality >= 0.92 AND n_tokens >= 20 THEN '-'
+             |      WHEN n_tokens < 20 THEN 'too_few_tokens'
+             |      ELSE 'low_quality' END AS reason
+             |  FROM scored
+             |)
+             |SELECT disposition, reason, count(*) AS n_docs
+             |FROM routed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }

@@ -140,6 +140,45 @@ object Streams {
       .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
   }
 
+  /** Streaming intake with a DEAD-LETTER QUEUE: every document is
+    * routed exactly once — passing docs to `outDir/accepted`, failing
+    * docs to `outDir/quarantine` WITH their reject reason and scores
+    * (the triage queue an operator actually debugs from; a gate that
+    * silently drops is unauditable). Both sinks write per-batch
+    * GENERATION dirs (`gen=<batchId>` — replay overwrites only itself,
+    * the ivfAppendStream discipline), so at-least-once batch replay
+    * cannot double-admit or double-quarantine. Scoring is the SAME
+    * map-side TextFeatures expressions as the batch query — no state,
+    * no watermark, no shuffle inside a batch beyond the two writes. */
+  def docQualityDlqStream(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, minQuality: Double = 0.5, minTokens: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val docs = spark.readStream
+      .schema(graft.schemas.Schemas.documents)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(inDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val scored = graft.queries.TextFeatures.withQualityColumns(batch.toDF())
+          .persist()
+        try {
+          val pass = col("quality") >= minQuality && col("n_tokens") >= minTokens
+          scored.filter(pass)
+            .write.mode("overwrite").parquet(s"$outDir/accepted/gen=$batchId")
+          scored.filter(!pass)
+            .withColumn("reject_reason",
+              when(col("n_tokens") < minTokens, lit("too_few_tokens"))
+                .otherwise(lit("low_quality")))
+            .select(col("doc_id"), col("source"), col("reject_reason"),
+              col("quality"), col("n_tokens"))
+            .write.mode("overwrite").parquet(s"$outDir/quarantine/gen=$batchId")
+        } finally scored.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming decontamination gate: admit only documents whose trigram
     * overlap with a benchmark Bloom filter (ops/Bloom, built offline
     * from the held-out set) stays below `maxOverlap`. Entirely
