@@ -129,7 +129,9 @@ object Bench {
     "text_bigram_kn_score", // Kneser-Ney LM scoring (production smoothing)
     "text_annotator_kappa", // labeling-agreement gate, one 4-cell agg
     "a66_levene",          // variance-homogeneity gate for the F family
-    "graph_hits")          // hubs/authorities, 2 L1-normalized rounds
+    "graph_hits",          // hubs/authorities, 2 L1-normalized rounds
+    "a67_wasserstein",     // exact earth-mover distance, value-grain CDF
+    "dedup_record_linkage") // Fellegi-Sunter blocked probabilistic linkage
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

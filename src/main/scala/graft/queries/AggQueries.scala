@@ -3688,6 +3688,80 @@ object AggQueries {
              |  floor(((ssb / (k - 1)) / (ssw / (nn - k))) * 10000 + 0.5) / 10000
              |    AS w_levene
              |FROM f""".stripMargin)
+    ),
+
+    // 1-D WASSERSTEIN (earth-mover) two-sample distance — the
+    // magnitude-aware complement to a34's KS: KS reports the LARGEST
+    // CDF gap, W₁ integrates ALL of it (W₁ = ∫|F₁−F₂|dx), so it ranks
+    // "how far apart are these distributions" where KS only answers
+    // "are they different" — the drift metric that decides whether a
+    // new data source actually moved the value distribution. Same
+    // VALUE-grain machinery as a34: the support is the quantized cent
+    // grid (bounded — the grain is |support|, never |rows|, so the
+    // ORDER BY v window is over ≤ ~50k rows at any corpus size and the
+    // map-side histogram collapse does all the row-volume work). The
+    // integral is EXACT integer algebra end-to-end: per distinct value
+    // the term is |ca·n₂ − cb·n₁| · Δcents — a cross-multiplied CDF gap
+    // (no per-row division) — summed as DECIMAL(38,0) (n₁·n₂·range
+    // overflows BIGINT at sf1+), divided once at the end by n₁·n₂·100
+    // to land in dollars, floorRound4 for display.
+    OracleQuery(
+      "a67_wasserstein",
+      (s, d) => {
+        import s.implicits._
+        val hist = Tables.events(s, d)
+          .filter($"event_type".isin("click", "error"))
+          .groupBy(round($"value" * 100).cast("long").as("vc"))
+          .agg(
+            sum(when($"event_type" === "click", 1L).otherwise(0L)).as("a"),
+            sum(when($"event_type" === "error", 1L).otherwise(0L)).as("b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"vc")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        val wNext = org.apache.spark.sql.expressions.Window.orderBy($"vc")
+        val cum = hist
+          .withColumn("ca", sum($"a").over(w))
+          .withColumn("cb", sum($"b").over(w))
+          .withColumn("n1", sum($"a").over(wAll))
+          .withColumn("n2", sum($"b").over(wAll))
+          .withColumn("dvc", lead($"vc", 1).over(wNext) - $"vc")
+          .filter($"dvc".isNotNull)
+        cum.agg(
+          max($"n1").cast("long").as("n1"),
+          max($"n2").cast("long").as("n2"),
+          // cast BEFORE the Δcents multiply: |ca·n₂| alone fits a long
+          // to ~sf30 but the ×dvc product does not — decimal×long keeps
+          // the term exact at any scale
+          sum(abs($"ca" * $"n2" - $"cb" * $"n1").cast("decimal(38,0)") * $"dvc")
+            .as("num"))
+          .select($"n1", $"n2",
+            graft.core.Parity.floorRound4(
+              $"num".cast("double") / ($"n1" * $"n2").cast("double") / 100.0)
+              .as("w1_dollars"))
+      },
+      Some("""WITH hist AS (
+             |  SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+             |  FROM events WHERE event_type IN ('click', 'error')
+             |  GROUP BY 1
+             |), cum AS (
+             |  SELECT vc, a, b,
+             |    sum(a) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             |    sum(b) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             |    sum(a) OVER () AS n1, sum(b) OVER () AS n2,
+             |    lead(vc) OVER (ORDER BY vc) - vc AS dvc
+             |  FROM hist
+             |)
+             |SELECT CAST(any_value(n1) AS BIGINT) AS n1,
+             |  CAST(any_value(n2) AS BIGINT) AS n2,
+             |  floor(CAST(sum(CAST(abs(ca * n2 - cb * n1) * dvc AS DECIMAL(38,0)))
+             |      AS DOUBLE)
+             |    / CAST(any_value(n1) * any_value(n2) AS DOUBLE) / 100.0
+             |    * 10000 + 0.5) / 10000 AS w1_dollars
+             |FROM cum WHERE dvc IS NOT NULL""".stripMargin)
     )
   )
 }

@@ -1183,6 +1183,142 @@ ORDER BY doc_a, doc_b""")
              |  CAST(NULL AS DOUBLE) AS recall
              |FROM fps
              |ORDER BY jb""".stripMargin)
+    ),
+
+    // Probabilistic RECORD LINKAGE (Fellegi–Sunter 1969): match two
+    // registries without a shared key — the entity-resolution operator
+    // that exact/fuzzy dedup does not cover (those compare ONE field;
+    // FS fuses evidence across several noisy fields into a calibrated
+    // log-likelihood score). Registry B is a deterministic md5-gated
+    // corruption of the customer table (30% names mutated in the last
+    // char, 20% segments blanked to UNKNOWN, 20% balances shifted $500
+    // — the perturbation model doubles as the known m-probabilities,
+    // standing in for the labeled calibration sample a production
+    // linkage estimates m from). The pipeline is the production shape:
+    //  · BLOCKING on (nation, name-prefix) — an equi-join, never all
+    //    pairs; block size stays ~constant as the table grows (the key
+    //    space grows with it), so candidate volume is LINEAR at 100 TB;
+    //  · u-probabilities ESTIMATED FROM DATA as the per-field agreement
+    //    rate over blocked pairs (matches are a vanishing fraction, the
+    //    standard random-pair approximation) — one extra aggregate over
+    //    the pair frame, broadcast back as a 1-row scalar;
+    //  · per-field agreement weights log2(m/u) / log2((1−m)/(1−u)) in
+    //    exact MICRO-BIT integers (the quantized-ln discipline — scores
+    //    sum as BIGINTs, no float drift crosses the gate);
+    //  · two-threshold decision (match ≥ 6 bits, review ≥ 1 bit) at
+    //    agreement-PATTERN grain — the score is a function of the
+    //    pattern alone, so the output is ≤ 2³ rows however big the
+    //    input, and n_true (custkey equality, evaluation-only) exposes
+    //    the confusion structure: true pairs with two perturbed fields
+    //    genuinely land in review/non_match, which is FS behaving as
+    //    specified, not a bug.
+    OracleQuery(
+      "dedup_record_linkage",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        def h(salt: String) =
+          expr(s"CAST(conv(substr(md5(concat(CAST(c_custkey AS STRING), '$salt')), 1, 15), 16, 10) AS BIGINT) % 10")
+        val a = cust.select(
+          $"c_custkey".as("akey"), $"c_name".as("aname"),
+          $"c_nationkey".as("anat"), $"c_mktsegment".as("aseg"),
+          round($"c_acctbal" * 100).cast("long").as("abal"))
+        val b = cust.select(
+          $"c_custkey".as("bkey"), $"c_nationkey".as("bnat"),
+          when(h("n") < 3,
+            concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X")))
+            .otherwise($"c_name").as("bname"),
+          when(h("s") < 2, lit("UNKNOWN")).otherwise($"c_mktsegment").as("bseg"),
+          (round($"c_acctbal" * 100).cast("long") +
+            when(h("b") < 2, lit(50000L)).otherwise(lit(0L))).as("bbal"))
+        // name mutation touches only the final char, so the 15-char
+        // prefix block never separates a true pair (zero blocking FNs
+        // by construction; a real deployment multi-passes block keys)
+        val pairs = a.join(b,
+            $"anat" === $"bnat" &&
+              expr("substr(aname, 1, 15)") === expr("substr(bname, 1, 15)"))
+          .select(
+            when($"aname" === $"bname", 1).otherwise(0).as("gn"),
+            when($"aseg" === $"bseg", 1).otherwise(0).as("gs"),
+            when(abs($"abal" - $"bbal") <= 100, 1).otherwise(0).as("gb"),
+            when($"akey" === $"bkey", 1).otherwise(0).as("tm"))
+        val u = pairs.agg(
+          (floor(avg($"gn") * 10000 + 0.5) / 10000).as("un"),
+          (floor(avg($"gs") * 10000 + 0.5) / 10000).as("us"),
+          (floor(avg($"gb") * 10000 + 0.5) / 10000).as("ub"))
+        def wa(m: Double, uc: String) =
+          floor(log2(lit(m) / col(uc)) * 1000000 + 0.5).cast("long")
+        def wd(m: Double, uc: String) =
+          floor(log2(lit(1 - m) / (lit(1) - col(uc))) * 1000000 + 0.5).cast("long")
+        pairs.groupBy($"gn", $"gs", $"gb")
+          .agg(count(lit(1)).as("n_pairs"), sum($"tm").cast("long").as("n_true"))
+          .crossJoin(broadcast(u))
+          .select(
+            $"gn".as("name_agree"), $"gs".as("seg_agree"), $"gb".as("bal_agree"),
+            $"n_pairs", $"n_true",
+            ($"gn" * wa(0.7, "un") + (lit(1) - $"gn") * wd(0.7, "un") +
+              $"gs" * wa(0.8, "us") + (lit(1) - $"gs") * wd(0.8, "us") +
+              $"gb" * wa(0.8, "ub") + (lit(1) - $"gb") * wd(0.8, "ub"))
+              .cast("long").as("score_micro"))
+          .withColumn("decision",
+            when($"score_micro" >= 6000000L, lit("match"))
+              .when($"score_micro" >= 1000000L, lit("review"))
+              .otherwise(lit("non_match")))
+          .orderBy($"name_agree", $"seg_agree", $"bal_agree")
+      },
+      Some("""WITH a AS (
+             |  SELECT c_custkey AS akey, c_name AS aname, c_nationkey AS anat,
+             |    c_mktsegment AS aseg, CAST(round(c_acctbal * 100) AS BIGINT) AS abal
+             |  FROM customer
+             |), b0 AS (
+             |  SELECT c_custkey AS bkey, c_name, c_nationkey AS bnat,
+             |    c_mktsegment, c_acctbal,
+             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'n'), 1, 15))::BIGINT % 10 AS hn,
+             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 's'), 1, 15))::BIGINT % 10 AS hs,
+             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'b'), 1, 15))::BIGINT % 10 AS hb
+             |  FROM customer
+             |), b AS (
+             |  SELECT bkey, bnat,
+             |    CASE WHEN hn < 3 THEN substr(c_name, 1, len(c_name) - 1) || 'X'
+             |         ELSE c_name END AS bname,
+             |    CASE WHEN hs < 2 THEN 'UNKNOWN' ELSE c_mktsegment END AS bseg,
+             |    CAST(round(c_acctbal * 100) AS BIGINT)
+             |      + CASE WHEN hb < 2 THEN 50000 ELSE 0 END AS bbal
+             |  FROM b0
+             |), pairs AS (
+             |  SELECT CASE WHEN aname = bname THEN 1 ELSE 0 END AS gn,
+             |    CASE WHEN aseg = bseg THEN 1 ELSE 0 END AS gs,
+             |    CASE WHEN abs(abal - bbal) <= 100 THEN 1 ELSE 0 END AS gb,
+             |    CASE WHEN akey = bkey THEN 1 ELSE 0 END AS tm
+             |  FROM a JOIN b ON anat = bnat
+             |    AND substr(aname, 1, 15) = substr(bname, 1, 15)
+             |), u AS (
+             |  SELECT floor(avg(gn) * 10000 + 0.5) / 10000 AS un,
+             |    floor(avg(gs) * 10000 + 0.5) / 10000 AS us,
+             |    floor(avg(gb) * 10000 + 0.5) / 10000 AS ub
+             |  FROM pairs
+             |), pat AS (
+             |  SELECT gn, gs, gb, count(*) AS n_pairs,
+             |    CAST(sum(tm) AS BIGINT) AS n_true
+             |  FROM pairs GROUP BY 1, 2, 3
+             |), scored AS (
+             |  SELECT gn AS name_agree, gs AS seg_agree, gb AS bal_agree,
+             |    n_pairs, n_true,
+             |    CAST(gn * CAST(floor(log2(0.7 / un) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gn) * CAST(floor(log2(0.3 / (1 - un)) * 1000000 + 0.5) AS BIGINT)
+             |      + gs * CAST(floor(log2(0.8 / us) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gs) * CAST(floor(log2(0.2 / (1 - us)) * 1000000 + 0.5) AS BIGINT)
+             |      + gb * CAST(floor(log2(0.8 / ub) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gb) * CAST(floor(log2(0.2 / (1 - ub)) * 1000000 + 0.5) AS BIGINT)
+             |      AS BIGINT) AS score_micro
+             |  FROM pat, u
+             |)
+             |SELECT name_agree, seg_agree, bal_agree, n_pairs, n_true, score_micro,
+             |  CASE WHEN score_micro >= 6000000 THEN 'match'
+             |       WHEN score_micro >= 1000000 THEN 'review'
+             |       ELSE 'non_match' END AS decision
+             |FROM scored
+             |ORDER BY name_agree, seg_agree, bal_agree""".stripMargin)
     )
   )
 

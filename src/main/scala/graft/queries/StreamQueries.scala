@@ -811,6 +811,51 @@ object StreamQueries {
              |)
              |SELECT disposition, reason, count(*) AS n_docs
              |FROM routed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // STREAM-STATIC enrichment — the most common production streaming
+    // shape (fact stream × slowly-changing dimension) and the one
+    // streaming join that needs NO watermark and NO join state: the
+    // dimension is a bounded batch frame, so Spark plans a per-batch
+    // BROADCAST hash join (the dim ships once per executor, the stream
+    // side never shuffles — at 100 TB/day the fact stream stays
+    // pipelined while the dimension rides the broadcast). The gate
+    // replays events in 4 micro-batches and checks the full windowed
+    // rollup (day × enriched segment) against the batch join: a row
+    // joined against a missed/duplicated dim entry moves a count or a
+    // cent and fails the hash. Values sum as exact integer CENTS (the
+    // order-free BIGINT discipline) — double summation order across
+    // micro-batches could flip the 4th decimal otherwise.
+    OracleQuery(
+      "stream_dim_enrich",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"ts", $"user_id", $"value")
+        val tmp = graft.core.Scratch.dir("stream_enrich", d)
+        ev.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in")
+        val dim = broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment".as("segment")))
+        val enriched = src
+          .join(dim, src("user_id") === dim("c_custkey"))
+          .select(window($"ts", "1 day").as("w"), $"segment",
+            floor($"value" * 100 + 0.5).cast("long").as("cents"))
+          .groupBy($"w", $"segment")
+          .agg(count(lit(1)).as("n_events"), sum($"cents").as("value_cents"))
+        val name = s"stream_enrich_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        graft.streaming.Streams.runToMemory(enriched, name, s"$tmp/ckpt")
+        s.table(name)
+          .select($"w.start".as("day"), $"segment", $"n_events", $"value_cents")
+          .orderBy($"day", $"segment")
+      },
+      Some("""SELECT date_trunc('day', ts) AS day, c_mktsegment AS segment,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1, 2
+             |ORDER BY day, segment""".stripMargin)
     )
   )
 }
