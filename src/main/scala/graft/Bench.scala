@@ -181,6 +181,10 @@ object Bench {
     val spark = graft.core.GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
+      // bucketedJoin's saveAsTable tables land under the scratch root,
+      // not a spark-warehouse/ dir inside the repo checkout
+      .config("spark.sql.warehouse.dir",
+        graft.core.Scratch.path("bench_warehouse", sfDir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -249,6 +253,7 @@ object Bench {
     val qs = (results ++ section("asof")(asofBench(spark, sfDir))
       ++ section("sortedScan")(sortedScanBench(spark, sfDir))
       ++ section("zorderScan")(zorderScanBench(spark, sfDir))
+      ++ section("bucketedJoin")(bucketedJoinBench(spark, sfDir))
       ++ skewRows
       ++ section("bloomScan")(bloomScanBench(spark, sfDir))
       ++ section("manifestScan")(manifestScanBench(spark, sfDir))
@@ -705,6 +710,58 @@ object Bench {
     * nothing on (c); the 3-D layout prunes all three at ∛ — the
     * documented trade, measured in scanned bytes. Same 1 MB row groups
     * as [[sortedScanBench]]; writes untimed; not part of `total`. */
+  /** Bucketed co-located join A/B — the write-once/join-forever lever:
+    * both fact sides stored bucketed+sorted by the join key
+    * (Sinks.writeBucketed), so the repeated orderkey join runs with NO
+    * exchange and NO sort on either side (SinksSpec pins the plan;
+    * this section prices it). The shuffle twin reads the same columns
+    * from plain parquet and pays the two-sided exchange every run. At
+    * 100 TB the bucketed side's win is the whole shuffle fabric cost of
+    * the larger table per downstream join; locally the delta is modest
+    * but must not invert. Broadcast is disabled for BOTH cells (the
+    * orders side fits local broadcast at small sf, which would measure
+    * a different strategy, not the layout).  */
+  private def bucketedJoinBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    graft.sources.Sinks.writeBucketed(li, "bench_li_bkt", "l_orderkey", 16,
+      sortCols = Seq("l_orderkey"))
+    graft.sources.Sinks.writeBucketed(ord, "bench_ord_bkt", "o_orderkey", 16,
+      sortCols = Seq("o_orderkey"))
+    val tmp = graft.core.Scratch.dir("bench_bktjoin", sfDir)
+    li.repartition(16).write.mode("overwrite").parquet(s"$tmp/li")
+    ord.repartition(16).write.mode("overwrite").parquet(s"$tmp/ord")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def revenue(l: org.apache.spark.sql.DataFrame,
+          o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+            count(lit(1)).as("n"))
+      def run(bucketed: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val out =
+          if (bucketed) revenue(spark.table("bench_li_bkt"), spark.table("bench_ord_bkt"))
+          else revenue(spark.read.parquet(s"$tmp/li"), spark.read.parquet(s"$tmp/ord"))
+        out.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(bucketed = true); run(bucketed = false) // warm listings + codegen
+      Seq(
+        "join_orderkey_bucketed" -> steadyMin(() => run(bucketed = true)),
+        "join_orderkey_shuffle" -> steadyMin(() => run(bucketed = false)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bench_li_bkt")
+      spark.sql("DROP TABLE IF EXISTS bench_ord_bkt")
+    }
+  }
+
   private def zorderScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     val tmp = graft.core.Scratch.dir("bench_zorder", sfDir)
