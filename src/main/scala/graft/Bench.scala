@@ -131,7 +131,8 @@ object Bench {
     "a66_levene",          // variance-homogeneity gate for the F family
     "graph_hits",          // hubs/authorities, 2 L1-normalized rounds
     "a67_wasserstein",     // exact earth-mover distance, value-grain CDF
-    "dedup_record_linkage") // Fellegi-Sunter blocked probabilistic linkage
+    "dedup_record_linkage", // Fellegi-Sunter blocked probabilistic linkage
+    "dedup_linkage_entities") // FS matches -> CC closure -> entity census
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

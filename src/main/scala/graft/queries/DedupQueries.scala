@@ -1216,50 +1216,15 @@ ORDER BY doc_a, doc_b""")
       "dedup_record_linkage",
       (s, d) => {
         import s.implicits._
-        val cust = Tables.customer(s, d)
-        def h(salt: String) =
-          expr(s"CAST(conv(substr(md5(concat(CAST(c_custkey AS STRING), '$salt')), 1, 15), 16, 10) AS BIGINT) % 10")
-        val a = cust.select(
-          $"c_custkey".as("akey"), $"c_name".as("aname"),
-          $"c_nationkey".as("anat"), $"c_mktsegment".as("aseg"),
-          round($"c_acctbal" * 100).cast("long").as("abal"))
-        val b = cust.select(
-          $"c_custkey".as("bkey"), $"c_nationkey".as("bnat"),
-          when(h("n") < 3,
-            concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X")))
-            .otherwise($"c_name").as("bname"),
-          when(h("s") < 2, lit("UNKNOWN")).otherwise($"c_mktsegment").as("bseg"),
-          (round($"c_acctbal" * 100).cast("long") +
-            when(h("b") < 2, lit(50000L)).otherwise(lit(0L))).as("bbal"))
-        // name mutation touches only the final char, so the 15-char
-        // prefix block never separates a true pair (zero blocking FNs
-        // by construction; a real deployment multi-passes block keys)
-        val pairs = a.join(b,
-            $"anat" === $"bnat" &&
-              expr("substr(aname, 1, 15)") === expr("substr(bname, 1, 15)"))
-          .select(
-            when($"aname" === $"bname", 1).otherwise(0).as("gn"),
-            when($"aseg" === $"bseg", 1).otherwise(0).as("gs"),
-            when(abs($"abal" - $"bbal") <= 100, 1).otherwise(0).as("gb"),
-            when($"akey" === $"bkey", 1).otherwise(0).as("tm"))
-        val u = pairs.agg(
-          (floor(avg($"gn") * 10000 + 0.5) / 10000).as("un"),
-          (floor(avg($"gs") * 10000 + 0.5) / 10000).as("us"),
-          (floor(avg($"gb") * 10000 + 0.5) / 10000).as("ub"))
-        def wa(m: Double, uc: String) =
-          floor(log2(lit(m) / col(uc)) * 1000000 + 0.5).cast("long")
-        def wd(m: Double, uc: String) =
-          floor(log2(lit(1 - m) / (lit(1) - col(uc))) * 1000000 + 0.5).cast("long")
-        pairs.groupBy($"gn", $"gs", $"gb")
-          .agg(count(lit(1)).as("n_pairs"), sum($"tm").cast("long").as("n_true"))
-          .crossJoin(broadcast(u))
+        scoredLinkagePairs(s, d)
+          .groupBy($"gn", $"gs", $"gb")
+          .agg(count(lit(1)).as("n_pairs"), sum($"tm").cast("long").as("n_true"),
+            // the score is a function of the agreement pattern alone,
+            // so max over the group is THE group's score
+            max($"score_micro").as("score_micro"))
           .select(
             $"gn".as("name_agree"), $"gs".as("seg_agree"), $"gb".as("bal_agree"),
-            $"n_pairs", $"n_true",
-            ($"gn" * wa(0.7, "un") + (lit(1) - $"gn") * wd(0.7, "un") +
-              $"gs" * wa(0.8, "us") + (lit(1) - $"gs") * wd(0.8, "us") +
-              $"gb" * wa(0.8, "ub") + (lit(1) - $"gb") * wd(0.8, "ub"))
-              .cast("long").as("score_micro"))
+            $"n_pairs", $"n_true", $"score_micro")
           .withColumn("decision",
             when($"score_micro" >= 6000000L, lit("match"))
               .when($"score_micro" >= 1000000L, lit("review"))
@@ -1319,8 +1284,166 @@ ORDER BY doc_a, doc_b""")
              |       ELSE 'non_match' END AS decision
              |FROM scored
              |ORDER BY name_agree, seg_agree, bal_agree""".stripMargin)
+    ),
+
+    // Entity RESOLUTION — the linkage family's end-to-end completion:
+    // pairwise Fellegi–Sunter decisions alone don't give you a usable
+    // table; production needs ENTITIES (transitively closed clusters
+    // with a survivorship rule). Match-decision pairs (score ≥ 6 bits —
+    // precision-first: review pairs do NOT merge entities) become edges
+    // over the disjoint A∪B node space (2k / 2k+1 encoding), closed by
+    // the same pointer-doubling ConnectedComponents every dedup cluster
+    // rides, and the gate is the entity CENSUS by (cluster size,
+    // has-A-record, has-B-record): unmatched records MUST surface as
+    // singletons of their own registry (silently dropping non-matches
+    // is the classic ER bug), two-record entities are the linked mass,
+    // and any size > 2 row is a transitive false-positive merge —
+    // visible in the output, not swallowed. Scale: edges ≤ matched
+    // pairs (blocked, linear), CC rounds are log(max cluster) ≈ log 2.
+    OracleQuery(
+      "dedup_linkage_entities",
+      (s, d) => {
+        import s.implicits._
+        val scored = scoredLinkagePairs(s, d).persist()
+        try {
+          val edges = scored.filter($"score_micro" >= 6000000L)
+            .select(($"akey" * 2).as("src"), ($"bkey" * 2 + 1).as("dst"))
+          val cust = Tables.customer(s, d)
+          val nodes = cust.select(($"c_custkey" * 2).as("id"))
+            .unionByName(cust.select(($"c_custkey" * 2 + 1).as("id")))
+          val comps = graft.ops.ConnectedComponents(nodes, edges)
+          comps
+            .groupBy($"component")
+            .agg(count(lit(1)).as("size"),
+              max(when(pmod($"id", lit(2)) === 0, 1).otherwise(0)).as("has_a"),
+              max(when(pmod($"id", lit(2)) === 1, 1).otherwise(0)).as("has_b"))
+            .groupBy($"size", $"has_a", $"has_b")
+            .agg(count(lit(1)).as("n_entities"))
+            .orderBy($"size", $"has_a", $"has_b")
+        } finally scored.unpersist()
+      },
+      Some("""WITH RECURSIVE a AS (
+             |  SELECT c_custkey AS akey, c_name AS aname, c_nationkey AS anat,
+             |    c_mktsegment AS aseg, CAST(round(c_acctbal * 100) AS BIGINT) AS abal
+             |  FROM customer
+             |), b0 AS (
+             |  SELECT c_custkey AS bkey, c_name, c_nationkey AS bnat,
+             |    c_mktsegment, c_acctbal,
+             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'n'), 1, 15))::BIGINT % 10 AS hn,
+             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 's'), 1, 15))::BIGINT % 10 AS hs,
+             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'b'), 1, 15))::BIGINT % 10 AS hb
+             |  FROM customer
+             |), b AS (
+             |  SELECT bkey, bnat,
+             |    CASE WHEN hn < 3 THEN substr(c_name, 1, len(c_name) - 1) || 'X'
+             |         ELSE c_name END AS bname,
+             |    CASE WHEN hs < 2 THEN 'UNKNOWN' ELSE c_mktsegment END AS bseg,
+             |    CAST(round(c_acctbal * 100) AS BIGINT)
+             |      + CASE WHEN hb < 2 THEN 50000 ELSE 0 END AS bbal
+             |  FROM b0
+             |), pairs AS (
+             |  SELECT akey, bkey,
+             |    CASE WHEN aname = bname THEN 1 ELSE 0 END AS gn,
+             |    CASE WHEN aseg = bseg THEN 1 ELSE 0 END AS gs,
+             |    CASE WHEN abs(abal - bbal) <= 100 THEN 1 ELSE 0 END AS gb
+             |  FROM a JOIN b ON anat = bnat
+             |    AND substr(aname, 1, 15) = substr(bname, 1, 15)
+             |), u AS (
+             |  SELECT floor(avg(gn) * 10000 + 0.5) / 10000 AS un,
+             |    floor(avg(gs) * 10000 + 0.5) / 10000 AS us,
+             |    floor(avg(gb) * 10000 + 0.5) / 10000 AS ub
+             |  FROM pairs
+             |), edges AS (
+             |  SELECT akey * 2 AS src, bkey * 2 + 1 AS dst
+             |  FROM pairs, u
+             |  WHERE gn * CAST(floor(log2(0.7 / un) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gn) * CAST(floor(log2(0.3 / (1 - un)) * 1000000 + 0.5) AS BIGINT)
+             |      + gs * CAST(floor(log2(0.8 / us) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gs) * CAST(floor(log2(0.2 / (1 - us)) * 1000000 + 0.5) AS BIGINT)
+             |      + gb * CAST(floor(log2(0.8 / ub) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gb) * CAST(floor(log2(0.2 / (1 - ub)) * 1000000 + 0.5) AS BIGINT)
+             |      >= 6000000
+             |), nodes AS (
+             |  SELECT c_custkey * 2 AS id FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey * 2 + 1 AS id FROM customer
+             |), undirected AS (
+             |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+             |), reach AS (
+             |  SELECT id AS src, id AS dst FROM nodes
+             |  UNION
+             |  SELECT r.src, u2.dst FROM reach r JOIN undirected u2 ON r.dst = u2.src
+             |), comp AS (
+             |  SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+             |), ent AS (
+             |  SELECT component, count(*) AS size,
+             |    max(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS has_a,
+             |    max(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS has_b
+             |  FROM comp GROUP BY component
+             |)
+             |SELECT size, has_a, has_b, count(*) AS n_entities
+             |FROM ent GROUP BY 1, 2, 3
+             |ORDER BY size, has_a, has_b""".stripMargin)
     )
   )
+
+  /** Shared Fellegi–Sunter machinery for the linkage entries: registry A
+    * is the customer table; registry B is its deterministic md5-gated
+    * corruption (30% names mutated in the last char, 20% segments
+    * blanked, 20% balances shifted $500 — the known perturbation model
+    * doubles as the m-probabilities). Blocked on (nation, 15-char name
+    * prefix) — an equi-join whose block size stays ~constant as the
+    * table grows, so candidate volume is linear at any scale. Returns
+    * one row per blocked pair: keys, the three agreement bits, the
+    * true-match evaluation bit, and the FS log-likelihood score in
+    * exact micro-bits (u-probabilities estimated from the pair frame
+    * itself via the random-pair approximation, broadcast back as a
+    * 1-row scalar; weights quantized floor(log2·1e6+0.5) so scores sum
+    * as BIGINTs on both engines). */
+  private def scoredLinkagePairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+    def h(salt: String) =
+      expr(s"CAST(conv(substr(md5(concat(CAST(c_custkey AS STRING), '$salt')), 1, 15), 16, 10) AS BIGINT) % 10")
+    val a = cust.select(
+      $"c_custkey".as("akey"), $"c_name".as("aname"),
+      $"c_nationkey".as("anat"), $"c_mktsegment".as("aseg"),
+      round($"c_acctbal" * 100).cast("long").as("abal"))
+    val b = cust.select(
+      $"c_custkey".as("bkey"), $"c_nationkey".as("bnat"),
+      when(h("n") < 3,
+        concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X")))
+        .otherwise($"c_name").as("bname"),
+      when(h("s") < 2, lit("UNKNOWN")).otherwise($"c_mktsegment").as("bseg"),
+      (round($"c_acctbal" * 100).cast("long") +
+        when(h("b") < 2, lit(50000L)).otherwise(lit(0L))).as("bbal"))
+    // name mutation touches only the final char, so the 15-char prefix
+    // block never separates a true pair (zero blocking FNs by
+    // construction; a real deployment multi-passes block keys)
+    val pairs = a.join(b,
+        $"anat" === $"bnat" &&
+          expr("substr(aname, 1, 15)") === expr("substr(bname, 1, 15)"))
+      .select($"akey", $"bkey",
+        when($"aname" === $"bname", 1).otherwise(0).as("gn"),
+        when($"aseg" === $"bseg", 1).otherwise(0).as("gs"),
+        when(abs($"abal" - $"bbal") <= 100, 1).otherwise(0).as("gb"),
+        when($"akey" === $"bkey", 1).otherwise(0).as("tm"))
+    val u = pairs.agg(
+      (floor(avg($"gn") * 10000 + 0.5) / 10000).as("un"),
+      (floor(avg($"gs") * 10000 + 0.5) / 10000).as("us"),
+      (floor(avg($"gb") * 10000 + 0.5) / 10000).as("ub"))
+    def wa(m: Double, uc: String) =
+      floor(log2(lit(m) / col(uc)) * 1000000 + 0.5).cast("long")
+    def wd(m: Double, uc: String) =
+      floor(log2(lit(1 - m) / (lit(1) - col(uc))) * 1000000 + 0.5).cast("long")
+    pairs.crossJoin(broadcast(u))
+      .select($"akey", $"bkey", $"gn", $"gs", $"gb", $"tm",
+        ($"gn" * wa(0.7, "un") + (lit(1) - $"gn") * wd(0.7, "un") +
+          $"gs" * wa(0.8, "us") + (lit(1) - $"gs") * wd(0.8, "us") +
+          $"gb" * wa(0.8, "ub") + (lit(1) - $"gb") * wd(0.8, "ub"))
+          .cast("long").as("score_micro"))
+  }
 
   private[queries] val spansOracle: Option[String] =
     Some("""WITH pos AS (
