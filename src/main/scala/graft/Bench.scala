@@ -132,7 +132,8 @@ object Bench {
     "graph_hits",          // hubs/authorities, 2 L1-normalized rounds
     "a67_wasserstein",     // exact earth-mover distance, value-grain CDF
     "dedup_record_linkage", // Fellegi-Sunter blocked probabilistic linkage
-    "dedup_linkage_entities") // FS matches -> CC closure -> entity census
+    "dedup_linkage_entities", // FS matches -> CC closure -> entity census
+    "a68_brier_decomposition") // Murphy terms + explicit within-bin closure
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -428,6 +428,96 @@ object GovernanceQueries {
              |  floor((CAST(gap_q AS DOUBLE) / 10000.0 / n) * 10000 + 0.5) / 10000 AS gap,
              |  floor((CAST(gq_all AS DOUBLE) / 10000.0 / n_all) * 10000 + 0.5) / 10000 AS ece
              |FROM g ORDER BY bin""".stripMargin)
+    ),
+
+    // Murphy (1973) BRIER-SCORE DECOMPOSITION — the diagnosis behind
+    // a64's ECE number: reliability (how miscalibrated), resolution
+    // (how much the forecast actually separates outcomes — a perfectly
+    // calibrated but useless predictor has zero), uncertainty (the
+    // base-rate floor no model can beat), plus the EXPLICIT within-bin
+    // term that makes the identity exact (BS = UNC + REL − RES +
+    // WITHIN holds only when forecasts are constant inside bins; real
+    // forecasts aren't, and silently pretending the 3-term identity
+    // closes is the textbook misuse). Same a64 machinery: confidence
+    // quantized to the 1e-4 grid immediately, one hash aggregate to
+    // the 10-bin frame carrying exact longs (n, Σpq, Σpq², Σy, Σpq·y),
+    // every metric then assembled from those integers in identically
+    // spelled double arithmetic over 10 rows — bit-deterministic, no
+    // float accumulation at row grain anywhere.
+    OracleQuery(
+      "a68_brier_decomposition",
+      (s, d) => {
+        import s.implicits._
+        val praw = lit(1.0) / (lit(1.0) + exp(lit(0.0) - ($"o_totalprice" / 100000.0 - 1.5)))
+        val bins = Tables.orders(s, d)
+          .withColumn("pq", floor(praw * 10000 + 0.5).cast("long"))
+          .withColumn("bin", least(floor($"pq" / 1000.0), lit(9.0)).cast("long"))
+          .withColumn("y", ($"o_orderpriority" === "1-URGENT").cast("long"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"), sum($"pq").as("spq"),
+            sum($"pq" * $"pq").as("spq2"), sum($"y").as("sy"),
+            sum($"pq" * $"y").as("spqy"))
+        // 10-row fold: every Σ below is over bins; casts to double are
+        // exact (all longs < 2^53) and the expressions are spelled
+        // verbatim in the oracle, so the doubles agree bitwise
+        bins.agg(
+            sum($"n").as("nn"), sum($"sy").as("syall"),
+            sum($"spq2" - lit(20000L) * $"spqy" + lit(100000000L) * $"sy")
+              .cast("double").as("bsq"),
+            sum(($"spq" - lit(10000L) * $"sy").cast("double")
+              * ($"spq" - lit(10000L) * $"sy").cast("double") / $"n").as("relq"),
+            sum($"sy".cast("double") * $"sy" / $"n").as("resq0"))
+          .select(
+            $"nn".cast("long").as("n"),
+            graft.core.Parity.floorRound4(
+              $"bsq" / 100000000.0 / $"nn").as("brier"),
+            graft.core.Parity.floorRound4(
+              $"relq" / 100000000.0 / $"nn").as("reliability"),
+            // Σ n_k(ō_k − ō)² = Σ sy_k²/n_k − syall²/N (the moment identity)
+            graft.core.Parity.floorRound4(
+              ($"resq0" - $"syall".cast("double") * $"syall" / $"nn") / $"nn")
+              .as("resolution"),
+            graft.core.Parity.floorRound4(
+              $"syall".cast("double") * ($"nn" - $"syall") / $"nn" / $"nn")
+              .as("uncertainty"),
+            graft.core.Parity.floorRound4(
+              $"bsq" / 100000000.0 / $"nn"
+                - $"relq" / 100000000.0 / $"nn"
+                + ($"resq0" - $"syall".cast("double") * $"syall" / $"nn") / $"nn"
+                - $"syall".cast("double") * ($"nn" - $"syall") / $"nn" / $"nn")
+              .as("within_bin"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT CAST(floor((1.0 / (1.0 + exp(-(o_totalprice / 100000.0 - 1.5))))
+             |      * 10000 + 0.5) AS BIGINT) AS pq,
+             |    CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y
+             |  FROM orders
+             |), b AS (
+             |  SELECT CAST(least(floor(pq / 1000.0), 9.0) AS BIGINT) AS bin,
+             |    count(*) AS n, sum(pq) AS spq, sum(pq * pq) AS spq2,
+             |    sum(y) AS sy, sum(pq * y) AS spqy
+             |  FROM scored GROUP BY 1
+             |), f AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS syall,
+             |    CAST(sum(spq2 - 20000 * spqy + 100000000 * sy) AS DOUBLE) AS bsq,
+             |    sum(CAST(spq - 10000 * sy AS DOUBLE)
+             |      * CAST(spq - 10000 * sy AS DOUBLE) / n) AS relq,
+             |    sum(CAST(sy AS DOUBLE) * sy / n) AS resq0
+             |  FROM b
+             |)
+             |SELECT nn AS n,
+             |  floor(bsq / 100000000.0 / nn * 10000 + 0.5) / 10000 AS brier,
+             |  floor(relq / 100000000.0 / nn * 10000 + 0.5) / 10000 AS reliability,
+             |  floor((resq0 - CAST(syall AS DOUBLE) * syall / nn) / nn
+             |    * 10000 + 0.5) / 10000 AS resolution,
+             |  floor(CAST(syall AS DOUBLE) * (nn - syall) / nn / nn
+             |    * 10000 + 0.5) / 10000 AS uncertainty,
+             |  floor((bsq / 100000000.0 / nn
+             |      - relq / 100000000.0 / nn
+             |      + (resq0 - CAST(syall AS DOUBLE) * syall / nn) / nn
+             |      - CAST(syall AS DOUBLE) * (nn - syall) / nn / nn)
+             |    * 10000 + 0.5) / 10000 AS within_bin
+             |FROM f""".stripMargin)
     )
   )
 }
