@@ -1195,23 +1195,29 @@ ORDER BY doc_a, doc_b""")
     // — the perturbation model doubles as the known m-probabilities,
     // standing in for the labeled calibration sample a production
     // linkage estimates m from). The pipeline is the production shape:
-    //  · BLOCKING on (nation, name-prefix) — an equi-join, never all
-    //    pairs; block size stays ~constant as the table grows (the key
-    //    space grows with it), so candidate volume is LINEAR at 100 TB;
-    //  · u-probabilities ESTIMATED FROM DATA as the per-field agreement
-    //    rate over blocked pairs (matches are a vanishing fraction, the
-    //    standard random-pair approximation) — one extra aggregate over
-    //    the pair frame, broadcast back as a 1-row scalar;
+    //  · BLOCKING on (nation, name-prefix, $500 balance band) — an
+    //    equi-join, never all pairs, FN-free under the corruption
+    //    model; the band component bounds block width under HOT NAMES
+    //    (a name-only block is quadratic in per-name multiplicity —
+    //    the sf1 replica's 10 copies of every name measured 60M pairs
+    //    name-blocked vs ~5M banded), so candidate volume stays LINEAR;
+    //  · u-probabilities ESTIMATED FROM DATA as marginal frequency
+    //    products Σ cA(v)·cB(v)/N² at VALUE grain — the principled FS
+    //    estimator, independent of how tight blocking is (agreement
+    //    rates over blocked pairs collapse once blocks are mostly
+    //    matches); three small value-grain aggregates, broadcast back
+    //    as a 1-row scalar;
     //  · per-field agreement weights log2(m/u) / log2((1−m)/(1−u)) in
     //    exact MICRO-BIT integers (the quantized-ln discipline — scores
     //    sum as BIGINTs, no float drift crosses the gate);
-    //  · two-threshold decision (match ≥ 6 bits, review ≥ 1 bit) at
+    //  · two-threshold decision (match ≥ 10 bits, review ≥ 3) at
     //    agreement-PATTERN grain — the score is a function of the
     //    pattern alone, so the output is ≤ 2³ rows however big the
     //    input, and n_true (custkey equality, evaluation-only) exposes
-    //    the confusion structure: true pairs with two perturbed fields
-    //    genuinely land in review/non_match, which is FS behaving as
-    //    specified, not a bug.
+    //    the confusion structure: a single strong field alone lands in
+    //    review, and coincidental balance agreements score high — the
+    //    conditional-independence assumption's known cost, visible in
+    //    the output rather than hidden.
     OracleQuery(
       "dedup_record_linkage",
       (s, d) => {
@@ -1226,43 +1232,13 @@ ORDER BY doc_a, doc_b""")
             $"gn".as("name_agree"), $"gs".as("seg_agree"), $"gb".as("bal_agree"),
             $"n_pairs", $"n_true", $"score_micro")
           .withColumn("decision",
-            when($"score_micro" >= 6000000L, lit("match"))
-              .when($"score_micro" >= 1000000L, lit("review"))
+            when($"score_micro" >= 10000000L, lit("match"))
+              .when($"score_micro" >= 3000000L, lit("review"))
               .otherwise(lit("non_match")))
           .orderBy($"name_agree", $"seg_agree", $"bal_agree")
       },
-      Some("""WITH a AS (
-             |  SELECT c_custkey AS akey, c_name AS aname, c_nationkey AS anat,
-             |    c_mktsegment AS aseg, CAST(round(c_acctbal * 100) AS BIGINT) AS abal
-             |  FROM customer
-             |), b0 AS (
-             |  SELECT c_custkey AS bkey, c_name, c_nationkey AS bnat,
-             |    c_mktsegment, c_acctbal,
-             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'n'), 1, 15))::BIGINT % 10 AS hn,
-             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 's'), 1, 15))::BIGINT % 10 AS hs,
-             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'b'), 1, 15))::BIGINT % 10 AS hb
-             |  FROM customer
-             |), b AS (
-             |  SELECT bkey, bnat,
-             |    CASE WHEN hn < 3 THEN substr(c_name, 1, len(c_name) - 1) || 'X'
-             |         ELSE c_name END AS bname,
-             |    CASE WHEN hs < 2 THEN 'UNKNOWN' ELSE c_mktsegment END AS bseg,
-             |    CAST(round(c_acctbal * 100) AS BIGINT)
-             |      + CASE WHEN hb < 2 THEN 50000 ELSE 0 END AS bbal
-             |  FROM b0
-             |), pairs AS (
-             |  SELECT CASE WHEN aname = bname THEN 1 ELSE 0 END AS gn,
-             |    CASE WHEN aseg = bseg THEN 1 ELSE 0 END AS gs,
-             |    CASE WHEN abs(abal - bbal) <= 100 THEN 1 ELSE 0 END AS gb,
-             |    CASE WHEN akey = bkey THEN 1 ELSE 0 END AS tm
-             |  FROM a JOIN b ON anat = bnat
-             |    AND substr(aname, 1, 15) = substr(bname, 1, 15)
-             |), u AS (
-             |  SELECT floor(avg(gn) * 10000 + 0.5) / 10000 AS un,
-             |    floor(avg(gs) * 10000 + 0.5) / 10000 AS us,
-             |    floor(avg(gb) * 10000 + 0.5) / 10000 AS ub
-             |  FROM pairs
-             |), pat AS (
+      Some(linkageCtes +
+          """, pat AS (
              |  SELECT gn, gs, gb, count(*) AS n_pairs,
              |    CAST(sum(tm) AS BIGINT) AS n_true
              |  FROM pairs GROUP BY 1, 2, 3
@@ -1279,8 +1255,8 @@ ORDER BY doc_a, doc_b""")
              |  FROM pat, u
              |)
              |SELECT name_agree, seg_agree, bal_agree, n_pairs, n_true, score_micro,
-             |  CASE WHEN score_micro >= 6000000 THEN 'match'
-             |       WHEN score_micro >= 1000000 THEN 'review'
+             |  CASE WHEN score_micro >= 10000000 THEN 'match'
+             |       WHEN score_micro >= 3000000 THEN 'review'
              |       ELSE 'non_match' END AS decision
              |FROM scored
              |ORDER BY name_agree, seg_agree, bal_agree""".stripMargin)
@@ -1289,7 +1265,7 @@ ORDER BY doc_a, doc_b""")
     // Entity RESOLUTION — the linkage family's end-to-end completion:
     // pairwise Fellegi–Sunter decisions alone don't give you a usable
     // table; production needs ENTITIES (transitively closed clusters
-    // with a survivorship rule). Match-decision pairs (score ≥ 6 bits —
+    // with a survivorship rule). Match-decision pairs (score ≥ 10 bits —
     // precision-first: review pairs do NOT merge entities) become edges
     // over the disjoint A∪B node space (2k / 2k+1 encoding), closed by
     // the same pointer-doubling ConnectedComponents every dedup cluster
@@ -1306,7 +1282,7 @@ ORDER BY doc_a, doc_b""")
         import s.implicits._
         val scored = scoredLinkagePairs(s, d).persist()
         try {
-          val edges = scored.filter($"score_micro" >= 6000000L)
+          val edges = scored.filter($"score_micro" >= 10000000L)
             .select(($"akey" * 2).as("src"), ($"bkey" * 2 + 1).as("dst"))
           val cust = Tables.customer(s, d)
           val nodes = cust.select(($"c_custkey" * 2).as("id"))
@@ -1322,38 +1298,8 @@ ORDER BY doc_a, doc_b""")
             .orderBy($"size", $"has_a", $"has_b")
         } finally scored.unpersist()
       },
-      Some("""WITH RECURSIVE a AS (
-             |  SELECT c_custkey AS akey, c_name AS aname, c_nationkey AS anat,
-             |    c_mktsegment AS aseg, CAST(round(c_acctbal * 100) AS BIGINT) AS abal
-             |  FROM customer
-             |), b0 AS (
-             |  SELECT c_custkey AS bkey, c_name, c_nationkey AS bnat,
-             |    c_mktsegment, c_acctbal,
-             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'n'), 1, 15))::BIGINT % 10 AS hn,
-             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 's'), 1, 15))::BIGINT % 10 AS hs,
-             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'b'), 1, 15))::BIGINT % 10 AS hb
-             |  FROM customer
-             |), b AS (
-             |  SELECT bkey, bnat,
-             |    CASE WHEN hn < 3 THEN substr(c_name, 1, len(c_name) - 1) || 'X'
-             |         ELSE c_name END AS bname,
-             |    CASE WHEN hs < 2 THEN 'UNKNOWN' ELSE c_mktsegment END AS bseg,
-             |    CAST(round(c_acctbal * 100) AS BIGINT)
-             |      + CASE WHEN hb < 2 THEN 50000 ELSE 0 END AS bbal
-             |  FROM b0
-             |), pairs AS (
-             |  SELECT akey, bkey,
-             |    CASE WHEN aname = bname THEN 1 ELSE 0 END AS gn,
-             |    CASE WHEN aseg = bseg THEN 1 ELSE 0 END AS gs,
-             |    CASE WHEN abs(abal - bbal) <= 100 THEN 1 ELSE 0 END AS gb
-             |  FROM a JOIN b ON anat = bnat
-             |    AND substr(aname, 1, 15) = substr(bname, 1, 15)
-             |), u AS (
-             |  SELECT floor(avg(gn) * 10000 + 0.5) / 10000 AS un,
-             |    floor(avg(gs) * 10000 + 0.5) / 10000 AS us,
-             |    floor(avg(gb) * 10000 + 0.5) / 10000 AS ub
-             |  FROM pairs
-             |), edges AS (
+      Some(linkageCtes +
+          """, edges AS (
              |  SELECT akey * 2 AS src, bkey * 2 + 1 AS dst
              |  FROM pairs, u
              |  WHERE gn * CAST(floor(log2(0.7 / un) * 1000000 + 0.5) AS BIGINT)
@@ -1362,7 +1308,7 @@ ORDER BY doc_a, doc_b""")
              |      + (1 - gs) * CAST(floor(log2(0.2 / (1 - us)) * 1000000 + 0.5) AS BIGINT)
              |      + gb * CAST(floor(log2(0.8 / ub) * 1000000 + 0.5) AS BIGINT)
              |      + (1 - gb) * CAST(floor(log2(0.2 / (1 - ub)) * 1000000 + 0.5) AS BIGINT)
-             |      >= 6000000
+             |      >= 10000000
              |), nodes AS (
              |  SELECT c_custkey * 2 AS id FROM customer
              |  UNION ALL
@@ -1387,22 +1333,91 @@ ORDER BY doc_a, doc_b""")
     )
   )
 
+  /** Shared SQL prefix for the linkage oracles: registries, marginal
+    * u-estimates, banded blocking, scored pairs — the DuckDB mirror of
+    * [[scoredLinkagePairs]]. Starts `WITH RECURSIVE` so the entities
+    * oracle can append its reachability CTE. */
+  private val linkageCtes: String =
+    """WITH RECURSIVE a AS (
+      |  SELECT c_custkey AS akey, c_name AS aname, c_nationkey AS anat,
+      |    c_mktsegment AS aseg, CAST(round(c_acctbal * 100) AS BIGINT) AS abal
+      |  FROM customer
+      |), b0 AS (
+      |  SELECT c_custkey AS bkey, c_name, c_nationkey AS bnat,
+      |    c_mktsegment, c_acctbal,
+      |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'n'), 1, 15))::BIGINT % 10 AS hn,
+      |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 's'), 1, 15))::BIGINT % 10 AS hs,
+      |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'b'), 1, 15))::BIGINT % 10 AS hb
+      |  FROM customer
+      |), b AS (
+      |  SELECT bkey, bnat,
+      |    CASE WHEN hn < 3 THEN substr(c_name, 1, len(c_name) - 1) || 'X'
+      |         ELSE c_name END AS bname,
+      |    CASE WHEN hs < 2 THEN 'UNKNOWN' ELSE c_mktsegment END AS bseg,
+      |    CAST(round(c_acctbal * 100) AS BIGINT)
+      |      + CASE WHEN hb < 2 THEN 50000 ELSE 0 END AS bbal
+      |  FROM b0
+      |), mn AS (
+      |  SELECT coalesce(sum(ca * cb), 0) AS mname FROM
+      |    (SELECT aname AS v, count(*) AS ca FROM a GROUP BY 1) x
+      |    JOIN (SELECT bname AS v, count(*) AS cb FROM b GROUP BY 1) y USING (v)
+      |), ms AS (
+      |  SELECT coalesce(sum(ca * cb), 0) AS mseg FROM
+      |    (SELECT aseg AS v, count(*) AS ca FROM a GROUP BY 1) x
+      |    JOIN (SELECT bseg AS v, count(*) AS cb FROM b GROUP BY 1) y USING (v)
+      |), grid AS (
+      |  SELECT coalesce(x.c, y.c) AS c, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      |  FROM (SELECT abal AS c, count(*) AS ca FROM a GROUP BY 1) x
+      |  FULL JOIN (SELECT bbal AS c, count(*) AS cb FROM b GROUP BY 1) y ON x.c = y.c
+      |), mb AS (
+      |  SELECT coalesce(sum(ca * cbw), 0) AS mbal FROM (
+      |    SELECT ca, sum(cb) OVER (ORDER BY c
+      |      RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS cbw
+      |    FROM grid)
+      |), nt AS (SELECT count(*) AS nn FROM customer
+      |), u AS (
+      |  SELECT
+      |    greatest(floor(CAST(mname AS DOUBLE) / (nn * nn) * 100000000 + 0.5) / 100000000, 1e-8) AS un,
+      |    greatest(floor(CAST(mseg AS DOUBLE) / (nn * nn) * 100000000 + 0.5) / 100000000, 1e-8) AS us,
+      |    greatest(floor(CAST(mbal AS DOUBLE) / (nn * nn) * 100000000 + 0.5) / 100000000, 1e-8) AS ub
+      |  FROM mn, ms, mb, nt
+      |), bx AS (
+      |  SELECT b.*, unnest([floor(bbal / 50000.0), floor(bbal / 50000.0) - 1]) AS bband
+      |  FROM b
+      |), pairs AS (
+      |  SELECT akey, bkey,
+      |    CASE WHEN aname = bname THEN 1 ELSE 0 END AS gn,
+      |    CASE WHEN aseg = bseg THEN 1 ELSE 0 END AS gs,
+      |    CASE WHEN abs(abal - bbal) <= 100 THEN 1 ELSE 0 END AS gb,
+      |    CASE WHEN akey = bkey THEN 1 ELSE 0 END AS tm
+      |  FROM a JOIN bx ON anat = bnat
+      |    AND substr(aname, 1, 15) = substr(bname, 1, 15)
+      |    AND floor(abal / 50000.0) = bband
+      |)""".stripMargin
+
   /** Shared Fellegi–Sunter machinery for the linkage entries: registry A
     * is the customer table; registry B is its deterministic md5-gated
     * corruption (30% names mutated in the last char, 20% segments
     * blanked, 20% balances shifted $500 — the known perturbation model
     * doubles as the m-probabilities). Blocked on (nation, 15-char name
-    * prefix) — an equi-join whose block size stays ~constant as the
-    * table grows, so candidate volume is linear at any scale. Returns
-    * one row per blocked pair: keys, the three agreement bits, the
+    * prefix, $500 balance band with a {band, band−1} b-side probe) —
+    * an equi-join, FN-free under the corruption model, whose band
+    * component bounds block width under HOT NAMES (name-only blocking
+    * goes quadratic in per-name multiplicity — the sf1 replica's 10
+    * copies of every name measured 60M pairs; banded, 5M). Returns one
+    * row per blocked pair: keys, the three agreement bits, the
     * true-match evaluation bit, and the FS log-likelihood score in
-    * exact micro-bits (u-probabilities estimated from the pair frame
-    * itself via the random-pair approximation, broadcast back as a
-    * 1-row scalar; weights quantized floor(log2·1e6+0.5) so scores sum
-    * as BIGINTs on both engines). */
+    * exact micro-bits. u-probabilities come from MARGINAL frequency
+    * products Σ cA(v)·cB(v)/N² at value grain (the principled FS
+    * estimator — and the one that survives tight blocking, where
+    * "blocked pairs ≈ random non-matches" fails); the balance band's
+    * marginal rides a ±100-cent RANGE window over the cent grid
+    * (support-bounded). Weights quantized floor(log2·1e6+0.5) so
+    * scores sum as BIGINTs on both engines. */
   private def scoredLinkagePairs(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val cust = Tables.customer(s, d)
     def h(salt: String) =
       expr(s"CAST(conv(substr(md5(concat(CAST(c_custkey AS STRING), '$salt')), 1, 15), 16, 10) AS BIGINT) % 10")
@@ -1418,26 +1433,66 @@ ORDER BY doc_a, doc_b""")
       when(h("s") < 2, lit("UNKNOWN")).otherwise($"c_mktsegment").as("bseg"),
       (round($"c_acctbal" * 100).cast("long") +
         when(h("b") < 2, lit(50000L)).otherwise(lit(0L))).as("bbal"))
-    // name mutation touches only the final char, so the 15-char prefix
-    // block never separates a true pair (zero blocking FNs by
-    // construction; a real deployment multi-passes block keys)
-    val pairs = a.join(b,
+    // u-probabilities from MARGINAL frequency products — P(two random
+    // records agree on field f) = Σ_v cA(v)·cB(v) / N², computed at
+    // VALUE grain (never a pair sample). This is the principled FS
+    // estimator AND the one that decouples u from blocking: estimating
+    // u over blocked pairs breaks down exactly when blocking gets tight
+    // (blocked pairs are then mostly matches, the opposite of the
+    // "random pairs are non-matches" approximation). Balance agreement
+    // is a ±100-cent band, so its marginal rides a RANGE window over
+    // the cent grid (support-bounded: ≤ ~1.1M distinct cents at any N).
+    val mName = a.groupBy($"aname").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy($"bname").agg(count(lit(1)).as("cb")),
+        $"aname" === $"bname")
+      .agg(coalesce(sum($"ca" * $"cb"), lit(0L)).as("mname"))
+    val mSeg = a.groupBy($"aseg").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy($"bseg").agg(count(lit(1)).as("cb")),
+        $"aseg" === $"bseg")
+      .agg(coalesce(sum($"ca" * $"cb"), lit(0L)).as("mseg"))
+    val grid = a.groupBy($"abal".as("c")).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy($"bbal".as("c")).agg(count(lit(1)).as("cb")),
+        Seq("c"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val mBal = grid
+      .withColumn("cbw",
+        sum($"cb").over(Window.orderBy($"c").rangeBetween(-100, 100)))
+      .agg(coalesce(sum($"ca" * $"cbw"), lit(0L)).as("mbal"))
+    val nTot = cust.agg(count(lit(1)).as("nn"))
+    // quantize each u on a 1e-8 grid and clamp from below (a rare field
+    // at huge N would otherwise quantize to 0 and blow up log2)
+    def uq(mc: String) = greatest(
+      floor($"$mc".cast("double") / ($"nn" * $"nn") * 100000000 + 0.5) / 100000000,
+      lit(1e-8))
+    val consts = broadcast(
+      mName.crossJoin(mSeg).crossJoin(mBal).crossJoin(nTot)
+        .select(uq("mname").as("un"), uq("mseg").as("us"), uq("mbal").as("ub")))
+    // BLOCKING on (nation, 15-char name prefix, $500 balance band) —
+    // every component is FN-free under the corruption model: the name
+    // mutation touches only the final char; the balance shift is
+    // EXACTLY 50000 cents, so a corrupted twin lands in band+1 and the
+    // b-side probes {band, band−1} (the join equality picks at most one
+    // probe per pair — no dedup needed). The band bounds block width
+    // under HOT NAMES: registries genuinely contain many records per
+    // popular name, and a name-only block goes quadratic in that
+    // multiplicity — exactly what the sf1 replica (10 copies of every
+    // name) surfaces. A real deployment multi-passes block keys.
+    val bx = b.withColumn("bband",
+      explode(array(floor($"bbal" / 50000.0), floor($"bbal" / 50000.0) - 1)))
+    val pairs = a.join(bx,
         $"anat" === $"bnat" &&
-          expr("substr(aname, 1, 15)") === expr("substr(bname, 1, 15)"))
+          expr("substr(aname, 1, 15)") === expr("substr(bname, 1, 15)") &&
+          floor($"abal" / 50000.0) === $"bband")
       .select($"akey", $"bkey",
         when($"aname" === $"bname", 1).otherwise(0).as("gn"),
         when($"aseg" === $"bseg", 1).otherwise(0).as("gs"),
         when(abs($"abal" - $"bbal") <= 100, 1).otherwise(0).as("gb"),
         when($"akey" === $"bkey", 1).otherwise(0).as("tm"))
-    val u = pairs.agg(
-      (floor(avg($"gn") * 10000 + 0.5) / 10000).as("un"),
-      (floor(avg($"gs") * 10000 + 0.5) / 10000).as("us"),
-      (floor(avg($"gb") * 10000 + 0.5) / 10000).as("ub"))
     def wa(m: Double, uc: String) =
       floor(log2(lit(m) / col(uc)) * 1000000 + 0.5).cast("long")
     def wd(m: Double, uc: String) =
       floor(log2(lit(1 - m) / (lit(1) - col(uc))) * 1000000 + 0.5).cast("long")
-    pairs.crossJoin(broadcast(u))
+    pairs.crossJoin(consts)
       .select($"akey", $"bkey", $"gn", $"gs", $"gb", $"tm",
         ($"gn" * wa(0.7, "un") + (lit(1) - $"gn") * wd(0.7, "un") +
           $"gs" * wa(0.8, "us") + (lit(1) - $"gs") * wd(0.8, "us") +

@@ -1453,8 +1453,95 @@ object SimilarityQueries {
               |  floor((CAST(sum(CAST(floor(((b - a) / greatest(a, b)) * 1000000.0 + 0.5)
               |    AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 10000 + 0.5) / 10000 AS mean_sil
               |FROM ab GROUP BY cell ORDER BY cell""".stripMargin)
-    )
+    ),
+
+    rpDistortionEntry
   )
+
+  /** The k=16 × d=64 ±1 JL projection matrix, sampled once from a fixed
+    * seed and embedded as plan literals on BOTH engines (java.util
+    * .Random's LCG is specified by the JDK, so the draw is stable). */
+  private lazy val rpSigns: IndexedSeq[IndexedSeq[String]] = {
+    val rng = new java.util.Random(20260815L)
+    IndexedSeq.fill(16, 64)(if (rng.nextBoolean()) "1.0" else "-1.0")
+  }
+
+  private lazy val rpDistortionEntry: OracleQuery =
+    // Johnson–Lindenstrauss RANDOM-PROJECTION distortion audit — the
+    // third member of the measure-before-you-deploy harness family
+    // (dedup_lsh_eval tunes banding recall, sim_retrieval_eval scores
+    // the IVF serving path; this one prices DIMENSIONALITY REDUCTION):
+    // before swapping 64-dim embeddings for k=16 projections at 100 TB
+    // you measure how far pairwise distances actually move. The ±1
+    // projection matrix is sampled ONCE from a seeded RNG and embedded
+    // as plan literals on both engines (a cheap linear bit-mixer was
+    // tried first and produced a near-uniform ratio spread — correlated
+    // signs; JL needs genuinely independent entries, and a fixed
+    // sampled matrix IS how production deploys it). By linearity the
+    // pair's projected distance is the projection of the DIFFERENCE
+    // vector, so the whole audit is one map-side pass over
+    // consecutive-id pairs (an equi-join on vec_id+1 — linear, never
+    // all-pairs): ratio = ‖R·d‖²/(k·‖d‖²), emitted as a 0.1-grain
+    // histogram with per-bin min/max. Every double op is spelled in
+    // identical fold order on both engines, so bins match bitwise —
+    // no quantization is even needed. The concentration around 1
+    // (σ ≈ √(2/k) ≈ 0.35 at k=16) is the JL lemma made empirical.
+    OracleQuery(
+      "sim_rp_distortion",
+      (s, d) => {
+        import s.implicits._
+        val k = 16
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val pairs = emb.as("a")
+          .join(emb.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+          .select(
+            expr("zip_with(a.embedding, b.embedding, (p, q) -> CAST(p AS DOUBLE) - CAST(q AS DOUBLE))")
+              .as("diff"))
+        def proj(j: Int): String = {
+          val arr = rpSigns(j).mkString(", ")
+          s"aggregate(zip_with(diff, array($arr), (x, sgn) -> x * sgn), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        }
+        val projected = (0 until k).foldLeft(pairs) { (df, j) =>
+          df.withColumn(s"p$j", expr(proj(j)))
+        }
+        val num = (0 until k).map(j => s"p$j * p$j").mkString(" + ")
+        projected
+          .withColumn("den",
+            expr("aggregate(diff, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"))
+          .filter($"den" > 0)
+          .withColumn("ratio", expr(s"($num) / $k.0") / $"den")
+          .groupBy(least(floor($"ratio" * 10), lit(29.0)).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            graft.core.Parity.floorRound4(min($"ratio")).as("rmin"),
+            graft.core.Parity.floorRound4(max($"ratio")).as("rmax"))
+          .orderBy($"bin")
+      },
+      Some {
+        def proj(j: Int): String = {
+          val arr = rpSigns(j).mkString(", ")
+          s"list_reduce(list_transform(list_zip(diff, [$arr]), z -> z[1] * z[2]), (acc, v) -> acc + v)"
+        }
+        val projCols = (0 until 16).map(j => s"(${proj(j)}) AS p$j").mkString(",\n    ")
+        val num = (0 until 16).map(j => s"p$j * p$j").mkString(" + ")
+        s"""WITH p AS (
+           |  SELECT list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+           |    z -> z[1] - z[2]) AS diff
+           |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+           |), pr AS (
+           |  SELECT $projCols,
+           |    list_reduce(list_transform(diff, x -> x * x), (acc, v) -> acc + v) AS den
+           |  FROM p
+           |), q AS (
+           |  SELECT ($num) / 16.0 / den AS ratio
+           |  FROM pr WHERE den > 0
+           |)
+           |SELECT CAST(least(floor(ratio * 10), 29.0) AS BIGINT) AS bin,
+           |  count(*) AS n_pairs,
+           |  floor(min(ratio) * 10000 + 0.5) / 10000 AS rmin,
+           |  floor(max(ratio) * 10000 + 0.5) / 10000 AS rmax
+           |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+      }
+    )
 
   // ----------------------------------------------------------------
   // Matrix-free power iteration: shared by sim_pca_power (reports the
