@@ -134,7 +134,8 @@ object Bench {
     "dedup_record_linkage", // Fellegi-Sunter blocked probabilistic linkage
     "dedup_linkage_entities", // FS matches -> CC closure -> entity census
     "a68_brier_decomposition", // Murphy terms + explicit within-bin closure
-    "sim_rp_distortion")   // JL projection distortion audit (literal +/-1 matrix)
+    "sim_rp_distortion",   // JL projection distortion audit (literal +/-1 matrix)
+    "dedup_linkage_golden") // survivorship golden-record table (entity grain)
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

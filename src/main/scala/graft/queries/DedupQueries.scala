@@ -1330,6 +1330,85 @@ ORDER BY doc_a, doc_b""")
              |SELECT size, has_a, has_b, count(*) AS n_entities
              |FROM ent GROUP BY 1, 2, 3
              |ORDER BY size, has_a, has_b""".stripMargin)
+    ),
+
+    // GOLDEN-RECORD survivorship — the table the ER pipeline actually
+    // ships: one row per resolved entity with field-level survivorship
+    // (prefer the authoritative registry A; fall back to B's value,
+    // skipping its blanked-UNKNOWN segments; a B-only singleton keeps
+    // its corrupted best-available value — honest, and visible next to
+    // n_a = 0). The full table is the gate (every entity, hash-exact):
+    // a survivorship bug on ANY cluster — wrong precedence, UNKNOWN
+    // leaking over a real segment, a member counted twice — moves a
+    // value. entity_id is the cluster's min node id (deterministic).
+    // Scale: the attribute join is id-grain; the aggregate is one
+    // hash agg at entity grain; everything upstream is the entities
+    // machinery (blocked edges + log-round CC).
+    OracleQuery(
+      "dedup_linkage_golden",
+      (s, d) => {
+        import s.implicits._
+        val scored = scoredLinkagePairs(s, d).persist()
+        try {
+          val edges = scored.filter($"score_micro" >= 10000000L)
+            .select(($"akey" * 2).as("src"), ($"bkey" * 2 + 1).as("dst"))
+          val (a, b) = linkageRegistries(s, d)
+          val attrs = a.select(($"akey" * 2).as("id"), lit(1).as("is_a"),
+              $"aname".as("name"), $"aseg".as("seg"), $"abal".as("bal"))
+            .unionByName(b.select(($"bkey" * 2 + 1).as("id"), lit(0).as("is_a"),
+              $"bname".as("name"), $"bseg".as("seg"), $"bbal".as("bal")))
+          val comps = graft.ops.ConnectedComponents(attrs.select($"id"), edges)
+          comps.join(attrs, "id")
+            .groupBy($"component".as("entity_id"))
+            .agg(
+              count(lit(1)).as("n_members"),
+              sum($"is_a").cast("long").as("n_a"),
+              (count(lit(1)) - sum($"is_a")).cast("long").as("n_b"),
+              coalesce(max(when($"is_a" === 1, $"name")), max($"name"))
+                .as("golden_name"),
+              coalesce(max(when($"is_a" === 1, $"seg")),
+                max(when($"seg" =!= "UNKNOWN", $"seg")), lit("UNKNOWN"))
+                .as("golden_seg"),
+              coalesce(max(when($"is_a" === 1, $"bal")), max($"bal"))
+                .as("golden_bal_cents"))
+            .orderBy($"entity_id")
+        } finally scored.unpersist()
+      },
+      Some(linkageCtes +
+          """, edges AS (
+             |  SELECT akey * 2 AS src, bkey * 2 + 1 AS dst
+             |  FROM pairs, u
+             |  WHERE gn * CAST(floor(log2(0.7 / un) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gn) * CAST(floor(log2(0.3 / (1 - un)) * 1000000 + 0.5) AS BIGINT)
+             |      + gs * CAST(floor(log2(0.8 / us) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gs) * CAST(floor(log2(0.2 / (1 - us)) * 1000000 + 0.5) AS BIGINT)
+             |      + gb * CAST(floor(log2(0.8 / ub) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gb) * CAST(floor(log2(0.2 / (1 - ub)) * 1000000 + 0.5) AS BIGINT)
+             |      >= 10000000
+             |), attrs AS (
+             |  SELECT akey * 2 AS id, 1 AS is_a, aname AS name, aseg AS seg, abal AS bal
+             |  FROM a
+             |  UNION ALL
+             |  SELECT bkey * 2 + 1, 0, bname, bseg, bbal FROM b
+             |), undirected AS (
+             |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+             |), reach AS (
+             |  SELECT id AS src, id AS dst FROM attrs
+             |  UNION
+             |  SELECT r.src, u2.dst FROM reach r JOIN undirected u2 ON r.dst = u2.src
+             |), comp AS (
+             |  SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+             |)
+             |SELECT component AS entity_id, count(*) AS n_members,
+             |  CAST(sum(is_a) AS BIGINT) AS n_a,
+             |  CAST(count(*) - sum(is_a) AS BIGINT) AS n_b,
+             |  coalesce(max(CASE WHEN is_a = 1 THEN name END), max(name)) AS golden_name,
+             |  coalesce(max(CASE WHEN is_a = 1 THEN seg END),
+             |    max(CASE WHEN seg <> 'UNKNOWN' THEN seg END), 'UNKNOWN') AS golden_seg,
+             |  coalesce(max(CASE WHEN is_a = 1 THEN bal END), max(bal)) AS golden_bal_cents
+             |FROM comp JOIN attrs USING (id)
+             |GROUP BY component
+             |ORDER BY entity_id""".stripMargin)
     )
   )
 
@@ -1414,10 +1493,11 @@ ORDER BY doc_a, doc_b""")
     * marginal rides a ±100-cent RANGE window over the cent grid
     * (support-bounded). Weights quantized floor(log2·1e6+0.5) so
     * scores sum as BIGINTs on both engines. */
-  private def scoredLinkagePairs(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  /** The two linkage registries: A = customer verbatim, B = its
+    * deterministic md5-gated corruption (see [[scoredLinkagePairs]]). */
+  private def linkageRegistries(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val cust = Tables.customer(s, d)
     def h(salt: String) =
       expr(s"CAST(conv(substr(md5(concat(CAST(c_custkey AS STRING), '$salt')), 1, 15), 16, 10) AS BIGINT) % 10")
@@ -1433,6 +1513,15 @@ ORDER BY doc_a, doc_b""")
       when(h("s") < 2, lit("UNKNOWN")).otherwise($"c_mktsegment").as("bseg"),
       (round($"c_acctbal" * 100).cast("long") +
         when(h("b") < 2, lit(50000L)).otherwise(lit(0L))).as("bbal"))
+    (a, b)
+  }
+
+  private def scoredLinkagePairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, d)
+    val (a, b) = linkageRegistries(s, d)
     // u-probabilities from MARGINAL frequency products — P(two random
     // records agree on field f) = Σ_v cA(v)·cB(v) / N², computed at
     // VALUE grain (never a pair sample). This is the principled FS
