@@ -1416,7 +1416,7 @@ ORDER BY doc_a, doc_b""")
     * u-estimates, banded blocking, scored pairs — the DuckDB mirror of
     * [[scoredLinkagePairs]]. Starts `WITH RECURSIVE` so the entities
     * oracle can append its reachability CTE. */
-  private val linkageCtes: String =
+  private[queries] val linkageCtes: String =
     """WITH RECURSIVE a AS (
       |  SELECT c_custkey AS akey, c_name AS aname, c_nationkey AS anat,
       |    c_mktsegment AS aseg, CAST(round(c_acctbal * 100) AS BIGINT) AS abal
@@ -1495,7 +1495,7 @@ ORDER BY doc_a, doc_b""")
     * scores sum as BIGINTs on both engines. */
   /** The two linkage registries: A = customer verbatim, B = its
     * deterministic md5-gated corruption (see [[scoredLinkagePairs]]). */
-  private def linkageRegistries(s: org.apache.spark.sql.SparkSession, d: String)
+  private[queries] def linkageRegistries(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     val cust = Tables.customer(s, d)
@@ -1516,7 +1516,11 @@ ORDER BY doc_a, doc_b""")
     (a, b)
   }
 
-  private def scoredLinkagePairs(
+  /** The 1-row (un, us, ub) quantized u-probability frame — see
+    * [[scoredLinkagePairs]]. Computed from the FULL registries (in
+    * production: the previous snapshot); the streaming admission path
+    * reuses it verbatim so incremental and batch scoring agree. */
+  private[queries] def linkageConsts(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1553,9 +1557,19 @@ ORDER BY doc_a, doc_b""")
     def uq(mc: String) = greatest(
       floor($"$mc".cast("double") / ($"nn" * $"nn") * 100000000 + 0.5) / 100000000,
       lit(1e-8))
-    val consts = broadcast(
-      mName.crossJoin(mSeg).crossJoin(mBal).crossJoin(nTot)
-        .select(uq("mname").as("un"), uq("mseg").as("us"), uq("mbal").as("ub")))
+    mName.crossJoin(mSeg).crossJoin(mBal).crossJoin(nTot)
+      .select(uq("mname").as("un"), uq("mseg").as("us"), uq("mbal").as("ub"))
+  }
+
+  /** Blocked candidate generation + FS scoring of registry chunk `b`
+    * against registry `a` under the given 1-row u-frame — shared by the
+    * batch scorer and the streaming admission path (which feeds each
+    * micro-batch of B through this verbatim). */
+  private[queries] def blockAndScore(
+      a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+      consts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
     // BLOCKING on (nation, 15-char name prefix, $500 balance band) —
     // every component is FN-free under the corruption model: the name
     // mutation touches only the final char; the balance shift is
@@ -1581,12 +1595,18 @@ ORDER BY doc_a, doc_b""")
       floor(log2(lit(m) / col(uc)) * 1000000 + 0.5).cast("long")
     def wd(m: Double, uc: String) =
       floor(log2(lit(1 - m) / (lit(1) - col(uc))) * 1000000 + 0.5).cast("long")
-    pairs.crossJoin(consts)
+    pairs.crossJoin(broadcast(consts))
       .select($"akey", $"bkey", $"gn", $"gs", $"gb", $"tm",
         ($"gn" * wa(0.7, "un") + (lit(1) - $"gn") * wd(0.7, "un") +
           $"gs" * wa(0.8, "us") + (lit(1) - $"gs") * wd(0.8, "us") +
           $"gb" * wa(0.8, "ub") + (lit(1) - $"gb") * wd(0.8, "ub"))
           .cast("long").as("score_micro"))
+  }
+
+  private def scoredLinkagePairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val (a, b) = linkageRegistries(s, d)
+    blockAndScore(a, b, linkageConsts(s, d))
   }
 
   private[queries] val spansOracle: Option[String] =

@@ -856,6 +856,67 @@ object StreamQueries {
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY 1, 2
              |ORDER BY day, segment""".stripMargin)
+    ),
+
+    // INCREMENTAL record linkage — the nightly-feed shape: registry B
+    // arrives in chunks and each micro-batch is blocked + FS-scored
+    // against the STATIC authoritative registry A with weights fixed
+    // from the full-snapshot u-estimates (production trains weights on
+    // the previous snapshot; re-estimating per batch would make
+    // admission decisions drift with chunk boundaries). Each batch's
+    // match pairs land in a per-batch generation dir (at-least-once
+    // replay overwrites only itself), and the gate is the FULL
+    // pair-level match table across all generations vs the batch
+    // scorer: a pair matched twice (batch-boundary dup), missed (a
+    // chunk skipped), or scored differently (weights drifting with the
+    // batch) all break the hash. Each B row is in exactly one batch and
+    // scoring is row-local given A + the 1-row weight frame, so
+    // streaming ≡ batch by construction — which is exactly what the
+    // gate pins.
+    OracleQuery(
+      "stream_record_linkage",
+      (s, d) => {
+        import s.implicits._
+        val (a, b) = DedupQueries.linkageRegistries(s, d)
+        val consts = DedupQueries.linkageConsts(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val tmp = graft.core.Scratch.dir("stream_linkage", d)
+        b.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+        val bSchema = s.read.parquet(s"$tmp/in").schema
+        val src = s.readStream.schema(bSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in")
+        val q = src.writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            DedupQueries.blockAndScore(a, batch.toDF(), consts)
+              .filter(col("score_micro") >= 10000000L)
+              .select(col("akey"), col("bkey"), col("score_micro"))
+              .write.mode("overwrite").parquet(s"$tmp/out/gen=$batchId")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        consts.unpersist()
+        s.read.parquet(s"$tmp/out")
+          .select($"akey", $"bkey", $"score_micro")
+          .orderBy($"akey", $"bkey")
+      },
+      Some(DedupQueries.linkageCtes +
+          """, scored AS (
+             |  SELECT akey, bkey,
+             |    CAST(gn * CAST(floor(log2(0.7 / un) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gn) * CAST(floor(log2(0.3 / (1 - un)) * 1000000 + 0.5) AS BIGINT)
+             |      + gs * CAST(floor(log2(0.8 / us) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gs) * CAST(floor(log2(0.2 / (1 - us)) * 1000000 + 0.5) AS BIGINT)
+             |      + gb * CAST(floor(log2(0.8 / ub) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gb) * CAST(floor(log2(0.2 / (1 - ub)) * 1000000 + 0.5) AS BIGINT)
+             |      AS BIGINT) AS score_micro
+             |  FROM pairs, u
+             |)
+             |SELECT akey, bkey, score_micro
+             |FROM scored WHERE score_micro >= 10000000
+             |ORDER BY akey, bkey""".stripMargin)
     )
   )
 }
