@@ -1332,6 +1332,73 @@ ORDER BY doc_a, doc_b""")
              |ORDER BY size, has_a, has_b""".stripMargin)
     ),
 
+    // Linkage THRESHOLD-SWEEP evaluation — the decision the match/review
+    // cutoffs were picked from, emitted as data: agreement patterns
+    // ranked by FS score, cumulative precision/recall/F1 if the match
+    // threshold were set just below each pattern. This is the PR curve
+    // at PATTERN grain (≤ 2³ rows — the FS score is a function of the
+    // pattern, so the sweep is exact, not sampled) with the true-match
+    // key as ground truth; a production deployment runs exactly this on
+    // a labeled sample before committing thresholds. The window runs
+    // over ≤ 8 rows; everything upstream is the linkage machinery.
+    OracleQuery(
+      "dedup_linkage_eval",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val pat = scoredLinkagePairs(s, d)
+          .groupBy($"gn", $"gs", $"gb")
+          .agg(max($"score_micro").as("score_micro"),
+            count(lit(1)).as("n_pairs"), sum($"tm").cast("long").as("n_true"))
+        val wCum = Window.orderBy($"score_micro".desc, $"gn", $"gs", $"gb")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(lit(1))
+        pat
+          .withColumn("tp", sum($"n_true").over(wCum))
+          .withColumn("fp", sum($"n_pairs" - $"n_true").over(wCum))
+          .withColumn("all_true", sum($"n_true").over(wAll))
+          .select(
+            $"score_micro", $"gn".as("name_agree"), $"gs".as("seg_agree"),
+            $"gb".as("bal_agree"), $"n_pairs", $"n_true",
+            graft.core.Parity.floorRound4(
+              $"tp".cast("double") / ($"tp" + $"fp")).as("precision"),
+            graft.core.Parity.floorRound4(
+              $"tp".cast("double") / $"all_true").as("recall"),
+            graft.core.Parity.floorRound4(
+              lit(2.0) * $"tp" / (lit(2.0) * $"tp" + $"fp" + ($"all_true" - $"tp")))
+              .as("f1"))
+          .orderBy($"score_micro".desc, $"name_agree", $"seg_agree", $"bal_agree")
+      },
+      Some(linkageCtes +
+          """, pat AS (
+             |  SELECT gn, gs, gb, count(*) AS n_pairs,
+             |    CAST(sum(tm) AS BIGINT) AS n_true,
+             |    CAST(max(gn * CAST(floor(log2(0.7 / un) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gn) * CAST(floor(log2(0.3 / (1 - un)) * 1000000 + 0.5) AS BIGINT)
+             |      + gs * CAST(floor(log2(0.8 / us) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gs) * CAST(floor(log2(0.2 / (1 - us)) * 1000000 + 0.5) AS BIGINT)
+             |      + gb * CAST(floor(log2(0.8 / ub) * 1000000 + 0.5) AS BIGINT)
+             |      + (1 - gb) * CAST(floor(log2(0.2 / (1 - ub)) * 1000000 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS score_micro
+             |  FROM pairs, u GROUP BY gn, gs, gb
+             |), cum AS (
+             |  SELECT *,
+             |    sum(n_true) OVER w AS tp,
+             |    sum(n_pairs - n_true) OVER w AS fp,
+             |    sum(n_true) OVER () AS all_true
+             |  FROM pat
+             |  WINDOW w AS (ORDER BY score_micro DESC, gn, gs, gb
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT score_micro, gn AS name_agree, gs AS seg_agree, gb AS bal_agree,
+             |  n_pairs, n_true,
+             |  floor(CAST(tp AS DOUBLE) / (tp + fp) * 10000 + 0.5) / 10000 AS precision,
+             |  floor(CAST(tp AS DOUBLE) / all_true * 10000 + 0.5) / 10000 AS recall,
+             |  floor(2.0 * tp / (2.0 * tp + fp + (all_true - tp)) * 10000 + 0.5) / 10000 AS f1
+             |FROM cum
+             |ORDER BY score_micro DESC, name_agree, seg_agree, bal_agree""".stripMargin)
+    ),
+
     // GOLDEN-RECORD survivorship — the table the ER pipeline actually
     // ships: one row per resolved entity with field-level survivorship
     // (prefer the authoritative registry A; fall back to B's value,
