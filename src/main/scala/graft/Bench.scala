@@ -136,7 +136,8 @@ object Bench {
     "a68_brier_decomposition", // Murphy terms + explicit within-bin closure
     "sim_rp_distortion",   // JL projection distortion audit (literal +/-1 matrix)
     "dedup_linkage_golden", // survivorship golden-record table (entity grain)
-    "dedup_linkage_eval")  // exact pattern-grain PR sweep of the FS scorer
+    "dedup_linkage_eval",  // exact pattern-grain PR sweep of the FS scorer
+    "a69_cramer_von_mises") // pooled-sample squared-CDF-gap two-sample test
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

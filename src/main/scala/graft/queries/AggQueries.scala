@@ -3762,6 +3762,79 @@ object AggQueries {
              |    / CAST(any_value(n1) * any_value(n2) AS DOUBLE) / 100.0
              |    * 10000 + 0.5) / 10000 AS w1_dollars
              |FROM cum WHERE dvc IS NOT NULL""".stripMargin)
+    ),
+
+    // CRAMÉR–VON MISES two-sample test — the third CDF-distance member
+    // (a34's KS = sup gap, a67's W₁ = ∫|gap|dx, CvM = Σ gap² over the
+    // POOLED sample — more power than KS against distributed-everywhere
+    // differences, less dominated by one crossing). Same value-grain
+    // histogram; the statistic is exact integer algebra: per distinct
+    // value the cross-multiplied gap d = ca·n₂ − cb·n₁ squares in
+    // DECIMAL(19,0)² → DECIMAL(38,0) (d² overflows BIGINT from sf1 up),
+    // weights by the pooled mass m = a + b, sums as DECIMAL, and
+    // divides ONCE at display by n₁·n₂·N² (computed in double — the
+    // product overflows BIGINT at scale, and IEEE parity holds because
+    // both engines spell it identically). Rejection compares the
+    // 1e-4-quantized T against the asymptotic α = 0.05 critical 0.461.
+    OracleQuery(
+      "a69_cramer_von_mises",
+      (s, d) => {
+        import s.implicits._
+        val hist = Tables.events(s, d)
+          .filter($"event_type".isin("click", "error"))
+          .groupBy(round($"value" * 100).cast("long").as("vc"))
+          .agg(
+            sum(when($"event_type" === "click", 1L).otherwise(0L)).as("a"),
+            sum(when($"event_type" === "error", 1L).otherwise(0L)).as("b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"vc")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        val cum = hist
+          .withColumn("ca", sum($"a").over(w))
+          .withColumn("cb", sum($"b").over(w))
+          .withColumn("n1", sum($"a").over(wAll))
+          .withColumn("n2", sum($"b").over(wAll))
+          .withColumn("dgap", ($"ca" * $"n2" - $"cb" * $"n1").cast("decimal(19,0)"))
+        cum.agg(
+          max($"n1").cast("long").as("n1"),
+          max($"n2").cast("long").as("n2"),
+          sum($"dgap" * $"dgap" * ($"a" + $"b")).as("num"))
+          .select($"n1", $"n2",
+            graft.core.Parity.floorRound4(
+              $"num".cast("double")
+                / ($"n1".cast("double") * $"n2" * ($"n1" + $"n2") * ($"n1" + $"n2")))
+              .as("t_cvm"))
+          .withColumn("reject_h0", $"t_cvm" > 0.461)
+      },
+      Some("""WITH hist AS (
+             |  SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+             |  FROM events WHERE event_type IN ('click', 'error')
+             |  GROUP BY 1
+             |), cum AS (
+             |  SELECT a, b,
+             |    sum(a) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             |    sum(b) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             |    sum(a) OVER () AS n1, sum(b) OVER () AS n2
+             |  FROM hist
+             |), agg AS (
+             |  SELECT CAST(any_value(n1) AS BIGINT) AS n1,
+             |    CAST(any_value(n2) AS BIGINT) AS n2,
+             |    sum(CAST(ca * n2 - cb * n1 AS DECIMAL(19,0))
+             |      * CAST(ca * n2 - cb * n1 AS DECIMAL(19,0)) * (a + b)) AS num
+             |  FROM cum
+             |)
+             |SELECT n1, n2,
+             |  floor(CAST(num AS DOUBLE)
+             |    / (CAST(n1 AS DOUBLE) * n2 * (n1 + n2) * (n1 + n2))
+             |    * 10000 + 0.5) / 10000 AS t_cvm,
+             |  floor(CAST(num AS DOUBLE)
+             |    / (CAST(n1 AS DOUBLE) * n2 * (n1 + n2) * (n1 + n2))
+             |    * 10000 + 0.5) / 10000 > 0.461 AS reject_h0
+             |FROM agg""".stripMargin)
     )
   )
 }
