@@ -39,7 +39,8 @@ object Registry {
       PipelineQueries.all ++
       StreamQueries.all ++
       GraphQueries.all ++
-      GovernanceQueries.all
+      GovernanceQueries.all ++
+      StatsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
