@@ -1417,6 +1417,50 @@ object CoreQueries {
              |SELECT 'l_tax', n_rows, t_nulls, t_distinct, TRUE,
              |  CAST(t_min AS DOUBLE), CAST(t_max AS DOUBLE), CAST(t_mean AS DOUBLE) FROM w
              |ORDER BY column_name""".stripMargin)
+    ),
+
+    // O32: position-delete merge-on-read (ops/DeletionVectors) — the
+    // Iceberg-style row-level DELETE: rather than copy-on-write
+    // rewriting every file a scattered delete touches (at 100 TB a
+    // 0.1% delete touches nearly all of them), deletes are recorded as
+    // (file_path, row_index) positions — captured from the parquet
+    // reader's own `_metadata` hidden columns — and the read path
+    // anti-joins them away with the position table BROADCAST (a delete
+    // vector is positions only; the data side pays NO shuffle). Two
+    // stacked delete generations here prove membership semantics
+    // compose. The gate re-derives the surviving rows from the
+    // CONTENT predicates the deletes were captured from, which is
+    // exactly the invariant merge-on-read must preserve: positions are
+    // an encoding of the predicate snapshot, not new information.
+    OracleQuery(
+      "o32_position_delete_read",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.core.Scratch.dir("dv", d)
+        val dataDir = s"$tmp/data"
+        val delDir = s"$tmp/deletes"
+        graft.sources.Sinks.writeSortedBy(
+          Tables.lineitem(s, d), dataDir, Seq("l_shipdate"), numFiles = 4)
+        graft.ops.DeletionVectors.addDeletes(
+          s, dataDir, delDir, col("l_discount") > 0.08)
+        graft.ops.DeletionVectors.addDeletes(
+          s, dataDir, delDir, col("l_tax") < 0.02)
+        graft.ops.DeletionVectors.read(s, dataDir, delDir)
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"l_quantity".cast("long")).as("sum_qty"),
+            sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("sum_price_cents"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_cents
+             |FROM lineitem
+             |WHERE NOT (l_discount > 0.08) AND NOT (l_tax < 0.02)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the position-delete merge-on-read contract: (1) the read path
+  * with no delete table is the identity; (2) delete-by-predicate then
+  * read equals a content filter (positions encode exactly the predicate
+  * snapshot, nothing else); (3) generations stack (NOT p1 AND NOT p2);
+  * (4) membership semantics — re-recording the same predicate changes
+  * nothing; (5) the anti-join broadcasts the delete side (the data side
+  * pays no shuffle); (6) pruning after a rewrite drops exactly the
+  * dangling vectors and keeps reads correct. */
+class DeletionVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("dv").toString
+    val df = (1 to 5000)
+      .map(i => (i.toLong, i % 89, s"payload$i")).toDF("k", "m", "payload")
+    df.repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$d/data")
+    d
+  }
+
+  test("no delete table: identity read") {
+    val got = DeletionVectors.read(spark, s"$dir/data", s"$dir/nodeletes")
+    assert(got.count() == 5000L)
+    assert(got.columns.toSet == Set("k", "m", "payload"))
+  }
+
+  test("delete-by-predicate equals content filter; generations stack; idempotent") {
+    val d2 = java.nio.file.Files.createTempDirectory("dv2").toString
+    spark.read.parquet(s"$dir/data").write.parquet(s"$d2/data")
+    val del = s"$d2/deletes"
+    val n1 = DeletionVectors.addDeletes(spark, s"$d2/data", del, $"m" === 7)
+    assert(n1 > 0)
+    val keys1 = DeletionVectors.read(spark, s"$d2/data", del)
+      .select($"k").as[Long].collect().sorted
+    val want1 = (1 to 5000).map(_.toLong).filterNot(_ % 89 == 7)
+    assert(keys1.toSeq == want1)
+
+    // second generation stacks
+    DeletionVectors.addDeletes(spark, s"$d2/data", del, $"k" <= 100)
+    val keys2 = DeletionVectors.read(spark, s"$d2/data", del)
+      .select($"k").as[Long].collect().sorted
+    val want2 = want1.filter(_ > 100)
+    assert(keys2.toSeq == want2)
+
+    // membership, not multiplicity: re-adding the first predicate is a no-op
+    DeletionVectors.addDeletes(spark, s"$d2/data", del, $"m" === 7)
+    val keys3 = DeletionVectors.read(spark, s"$d2/data", del)
+      .select($"k").as[Long].collect().sorted
+    assert(keys3.toSeq == want2)
+  }
+
+  test("read plan broadcasts the delete side (no data-side shuffle for the anti join)") {
+    val d3 = java.nio.file.Files.createTempDirectory("dv3").toString
+    spark.read.parquet(s"$dir/data").write.parquet(s"$d3/data")
+    DeletionVectors.addDeletes(spark, s"$d3/data", s"$d3/deletes", $"m" === 3)
+    val plan = DeletionVectors.read(spark, s"$d3/data", s"$d3/deletes")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join, got:\n$plan")
+  }
+
+  test("pruneDanglingDeletes drops vectors of vanished files, keeps live ones") {
+    val d4 = java.nio.file.Files.createTempDirectory("dv4").toString
+    // two separate data files written as separate commits so we can
+    // delete one file from disk to simulate a compaction rewrite
+    (1L to 100L).toDF("k").coalesce(1).write.parquet(s"$d4/data")
+    (101L to 200L).toDF("k").coalesce(1).write.mode("append").parquet(s"$d4/data")
+    DeletionVectors.addDeletes(spark, s"$d4/data", s"$d4/deletes", $"k" % 10 === 0)
+    val before = spark.read.parquet(s"$d4/deletes").count()
+    assert(before == 20L)
+    // remove one data file (as compaction absorbing it would)
+    val files = new java.io.File(s"$d4/data").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val victim = files.head
+    val victimRows = spark.read.parquet(victim.getPath)
+      .filter($"k" % 10 === 0).count()
+    assert(victim.delete())
+    val rep = DeletionVectors.pruneDanglingDeletes(spark, s"$d4/data", s"$d4/deletes")
+    assert(rep.dropped == victimRows, s"dropped ${rep.dropped} want $victimRows")
+    assert(rep.kept == 20L - victimRows)
+    // surviving reads still honor the kept vectors
+    val got = DeletionVectors.read(spark, s"$d4/data", s"$d4/deletes")
+      .select($"k").as[Long].collect().toSet
+    assert(!got.exists(k => k % 10 == 0 && k > 100))
+  }
+}
