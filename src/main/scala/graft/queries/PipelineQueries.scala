@@ -2230,6 +2230,107 @@ object PipelineQueries {
              |SELECT w.doc_id, d.lang, CAST(w.wq AS BIGINT) AS wq
              |FROM w JOIN documents d USING (doc_id)
              |ORDER BY w.wq DESC, w.doc_id LIMIT 50""".stripMargin)
+    ),
+
+    // Shapley-value channel attribution — the game-theoretic upgrade of
+    // stream_click_attribution's last-touch rule: each converting
+    // user's PRE-conversion touchpoint set is a coalition, the
+    // characteristic function v(S) counts conversions fully explained
+    // by channels in S (journey ⊆ S), and each channel's credit is its
+    // exact Shapley value — the only attribution satisfying
+    // efficiency / symmetry / dummy. Scale shape is the whole point:
+    // ONE pass collapses events to per-user 4-bit journey masks (the
+    // map-side bit_or carries 16 possible values), and EVERYTHING
+    // after — v over 16 coalitions, 4×8 marginal contributions,
+    // factorial weights — is constant-size algebra (16-row frames, a
+    // 16×16 broadcast containment join), identical at 100 TB. Weights
+    // |S|!·(k−1−|S|)!/k! are exact 24ths (k = 4): phi×24 stays an
+    // exact integer and the gate hashes it alongside the rounded
+    // share. Efficiency (Σφ = v(full) − v(∅)) rides as a column.
+    OracleQuery(
+      "pipe_shapley_attribution",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val firstConv = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"ts").as("conv_ts"))
+        val bit = when($"event_type" === "click", 1)
+          .when($"event_type" === "view", 2)
+          .when($"event_type" === "signup", 4)
+          .when($"event_type" === "error", 8).otherwise(0)
+        // left join keeps zero-touch converters (journey mask 0 — the
+        // v(∅) baseline conversions no channel may claim credit for)
+        val journeys = firstConv
+          .join(ev.select($"user_id", $"ts", bit.as("b")), Seq("user_id"), "left")
+          .withColumn("b", when($"ts" < $"conv_ts", $"b").otherwise(0))
+          .groupBy($"user_id").agg(expr("bit_or(b)").as("mask"))
+        val byMask = journeys.groupBy($"mask").agg(count(lit(1)).as("cv"))
+        // v(S) = Σ_{m ⊆ S} cv(m): 16×16 broadcast containment join
+        val coal = s.range(16).select($"id".cast("int").as("cs"))
+        val v = coal.join(broadcast(byMask),
+            ($"mask".bitwiseAND($"cs")) === $"mask", "left")
+          .groupBy($"cs").agg(coalesce(sum($"cv"), lit(0L)).as("v"))
+        val chans = Seq((1, "click"), (2, "view"), (4, "signup"), (8, "error"))
+          .toDF("cbit", "channel")
+        // marginal contributions over the 8 coalitions excluding c,
+        // weighted by 24·|S|!(3−|S|)!/4! ∈ {6,2,2,6}
+        val vS = v.select($"cs", $"v")
+        val vSc = v.select($"cs".as("csc"), $"v".as("vc"))
+        val phi = chans
+          .join(vS, ($"cs".bitwiseAND($"cbit")) === 0)
+          .join(vSc, $"csc" === ($"cs".bitwiseOR($"cbit")))
+          .withColumn("mult",
+            when(bit_count($"cs") === 0, 6L).when(bit_count($"cs") === 3, 6L)
+              .otherwise(2L))
+          .groupBy($"channel")
+          .agg(sum($"mult" * ($"vc" - $"v")).as("phi24"))
+        val eff = v.agg(
+          (max(when($"cs" === 15, $"v")) - max(when($"cs" === 0, $"v")))
+            .as("v_gain")).select($"v_gain")
+        phi.crossJoin(broadcast(eff))
+          .select($"channel", $"phi24".cast("long").as("phi24"),
+            graft.core.Parity.floorRound4($"phi24" / lit(24.0)).as("phi"),
+            $"v_gain".cast("long").as("v_gain"))
+          .orderBy($"channel")
+      },
+      Some("""WITH first_conv AS (
+             |  SELECT user_id, min(ts) AS conv_ts
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+             |), journeys AS (
+             |  SELECT f.user_id,
+             |    bit_or(CASE WHEN e.ts < f.conv_ts THEN
+             |      CASE e.event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+             |        WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END
+             |      ELSE 0 END) AS mask
+             |  FROM first_conv f LEFT JOIN events e ON e.user_id = f.user_id
+             |  GROUP BY 1
+             |), by_mask AS (
+             |  SELECT mask, count(*) AS cv FROM journeys GROUP BY 1
+             |), coal AS (
+             |  SELECT CAST(unnest(generate_series(0, 15)) AS INT) AS cs
+             |), v AS (
+             |  SELECT cs, coalesce(sum(cv), 0) AS v
+             |  FROM coal LEFT JOIN by_mask ON (mask & cs) = mask
+             |  GROUP BY 1
+             |), chans AS (
+             |  SELECT * FROM (VALUES (1, 'click'), (2, 'view'),
+             |    (4, 'signup'), (8, 'error')) AS t(cbit, channel)
+             |), phi AS (
+             |  SELECT c.channel,
+             |    sum((CASE WHEN bit_count(s.cs) IN (0, 3) THEN 6 ELSE 2 END)
+             |      * (sc.v - s.v)) AS phi24
+             |  FROM chans c
+             |  JOIN v s ON (s.cs & c.cbit) = 0
+             |  JOIN v sc ON sc.cs = (s.cs | c.cbit)
+             |  GROUP BY 1
+             |), eff AS (
+             |  SELECT max(CASE WHEN cs = 15 THEN v END)
+             |    - max(CASE WHEN cs = 0 THEN v END) AS v_gain FROM v
+             |)
+             |SELECT channel, CAST(phi24 AS BIGINT) AS phi24,
+             |  floor(phi24 / 24.0 * 10000 + 0.5) / 10000 AS phi,
+             |  CAST(v_gain AS BIGINT) AS v_gain
+             |FROM phi, eff ORDER BY channel""".stripMargin)
     )
   )
 }
