@@ -699,6 +699,83 @@ object StreamQueries {
       Some(WindowQueries.kalmanLevelOracle)
     ),
 
+    // Streaming EWMA control band — the anomaly MONITOR the platform
+    // runs on live metric streams (error rates, revenue, latency):
+    // each day's value is z-scored against the exponentially-weighted
+    // mean AND variance of that key's own history (threshold adapts to
+    // per-key volatility — the upgrade over w5's fixed spike rule),
+    // then folded in. State is three doubles per key; one output row
+    // per input row, nothing held back. Replayed in 4 ordered chunks
+    // so every key's fold crosses micro-batch seams; gated against the
+    // recursive-CTE spelling of the SAME fold (the stream, the batch
+    // kernel ops/EwmaAnomaly and the oracle share one byte-identical
+    // recursion — +,*,/ and IEEE-exact sqrt only, so all three agree
+    // bit-for-bit and round4 merely displays).
+    OracleQuery(
+      "stream_ewma_anomaly",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d).filter($"value".isNotNull)
+          .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+          .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("y"))
+          .persist()
+        val tmp = graft.core.Scratch.dir("stream_ewma", d)
+        val cuts = Seq("2024-01-01", "2024-01-09", "2024-01-17", "2024-01-25", "2024-02-02")
+        for (i <- 0 until 4) {
+          daily.filter($"day" >= lit(cuts(i)).cast("timestamp") &&
+              $"day" < lit(cuts(i + 1)).cast("timestamp"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
+        }
+        daily.unpersist()
+        // order-FATAL fold (like kalman): pin the replay order
+        graft.streaming.Streams.pinChunkOrder(s, s"$tmp/in", 4)
+        val src = s.readStream
+          .schema("event_type STRING, day TIMESTAMP, y DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in/*")
+        graft.streaming.Streams.runAvailableNow(
+          graft.streaming.Streams
+            .ewmaAnomalyStream(src, alpha = 0.25, zThreshold = 3.0, warmup = 3)
+            .toDF(),
+          s"$tmp/ckpt", s"$tmp/out")
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+        s.read.parquet(s"$tmp/out")
+          .select($"eventType".as("event_type"), $"day", round($"y", 4).as("y"),
+            r4($"level").as("level"), r4($"z").as("z"),
+            $"isAnomaly".as("is_anomaly"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+             |), pos AS (
+             |  SELECT event_type, day, y,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+             |  FROM daily
+             |), rec AS (
+             |  SELECT event_type, day, y, rn,
+             |    CAST(1 AS BIGINT) AS n, y AS m, CAST(0.0 AS DOUBLE) AS v,
+             |    CAST(NULL AS DOUBLE) AS z, FALSE AS anom
+             |  FROM pos WHERE rn = 1
+             |  UNION ALL
+             |  SELECT p.event_type, p.day, p.y, p.rn,
+             |    r.n + 1,
+             |    r.m + 0.25 * (p.y - r.m),
+             |    0.75 * (r.v + 0.25 * (p.y - r.m) * (p.y - r.m)),
+             |    CASE WHEN r.n >= 3 AND r.v > 0 THEN (p.y - r.m) / sqrt(r.v) END,
+             |    CASE WHEN r.n >= 3 AND r.v > 0
+             |      THEN abs((p.y - r.m) / sqrt(r.v)) > 3.0 ELSE FALSE END
+             |  FROM rec r JOIN pos p
+             |    ON p.event_type = r.event_type AND p.rn = r.rn + 1
+             |)
+             |SELECT event_type, day, round(y, 4) AS y,
+             |  floor(m * 10000 + 0.5) / 10000 AS level,
+             |  floor(z * 10000 + 0.5) / 10000 AS z,
+             |  anom AS is_anomaly
+             |FROM rec ORDER BY event_type, day""".stripMargin)
+    ),
+
     // CDC snapshot maintenance WITH DELETES: the change feed carries
     // tombstones (here: an 'error' event deletes its user), and the
     // per-key contract is last-op-wins — a delete newer than every

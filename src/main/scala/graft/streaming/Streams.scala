@@ -353,6 +353,61 @@ object Streams {
       }
   }
 
+  final case class EwmaAnomState(n: Long, m: Double, v: Double, lastMs: Long)
+  final case class EwmaAnomPoint(eventType: String, day: java.sql.Timestamp,
+      y: Double, level: Double, z: Option[Double], isAnomaly: Boolean)
+
+  /** Streaming EWMA control band — the stateful twin of
+    * [[graft.ops.EwmaAnomaly.perKey]]: three doubles of state per key
+    * (count, EW mean, EW variance), each row scored against the PRE-
+    * update band and folded in, emitted immediately (no timeout/flush
+    * machinery — one output row per input row under AvailableNow).
+    * Same order contract and `<=`-duplicate guard as
+    * [[kalmanLevelStream]]: rows must arrive per key in nondecreasing
+    * event time; a row at or before the saved state's last timestamp is
+    * dropped VISIBLY. The fold is spelled byte-identically to the batch
+    * kernel, so a seam-crossing key reproduces it bit-for-bit. */
+  def ewmaAnomalyStream(daily: DataFrame, alpha: Double, zThreshold: Double,
+      warmup: Int): Dataset[EwmaAnomPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .select(col("event_type"), col("day"), col("y"))
+      .as[(String, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaAnomState, EwmaAnomPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
+         state: GroupState[EwmaAnomState]) =>
+          val sorted = rows.toIndexedSeq
+            .collect { case (k, t, Some(v)) => (k, t, v) }
+            .sortBy(_._2.getTime)
+          var cur = state.getOption
+          val out = Vector.newBuilder[EwmaAnomPoint]
+          for ((_, day, y) <- sorted) {
+            cur match {
+              case Some(s) if day.getTime <= s.lastMs => () // duplicate/late: drop
+              case Some(s) =>
+                // spelled exactly as EwmaAnomaly.perKey
+                val z =
+                  if (s.n >= warmup && s.v > 0.0) Some((y - s.m) / math.sqrt(s.v))
+                  else None
+                val flag = z.exists(zz => math.abs(zz) > zThreshold)
+                val d = y - s.m
+                val m = s.m + alpha * d
+                val v = (1 - alpha) * (s.v + alpha * d * d)
+                cur = Some(EwmaAnomState(s.n + 1, m, v, day.getTime))
+                out += EwmaAnomPoint(key, day, y, m, z, flag)
+              case None =>
+                cur = Some(EwmaAnomState(1L, y, 0.0, day.getTime))
+                out += EwmaAnomPoint(key, day, y, y, None, isAnomaly = false)
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long, sumValue: Double)
 
   /** SCD2 state: the currently-open version of one dimension key.
