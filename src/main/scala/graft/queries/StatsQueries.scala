@@ -638,6 +638,123 @@ object StatsQueries {
              |  floor(woe * 10000 + 0.5) / 10000 AS woe,
              |  floor(sum(iv_term) OVER () / 1e8 * 10000 + 0.5) / 10000 AS iv
              |FROM terms ORDER BY bin""".stripMargin)
+    ),
+
+    // Fisher's exact test (a74) — the small-cell replacement for a48's
+    // χ² independence test: χ²'s asymptotics break when any expected
+    // cell is small, exactly the regime of rare-segment × rare-outcome
+    // audits; Fisher conditions on both margins and sums the exact
+    // hypergeometric tail (two-sided by the DOUBLING convention
+    // p = min(1, 2·min(P[X≤a], P[X≥a])) — inclusion is pure integer
+    // comparison, immune to the cross-engine pmf-ordering ties the
+    // "sum all pmf ≤ pmf(a)" convention would hinge on). Exactness
+    // discipline: ln-factorials are cumulative sums of PRE-QUANTIZED
+    // ln(i) (1e-12 grid, so the running sum is exact integer algebra
+    // and engine libm ulp differences cannot accumulate); each pmf is
+    // exp() of an identical integer-derived argument, quantized at
+    // 1e-9 before the exact tail sum. Frame grains: the factorial
+    // table is |N| rows (one narrow column; Fisher is a SMALL-SAMPLE
+    // test — past ~10⁷ rows the a48 χ² is the right tool and this
+    // entry's role is the small-margin audit), the k-support
+    // min(r1,c1)−max(0,r1+c1−N) rows. The two 1-row collects are the
+    // bounded-scalar class.
+    OracleQuery(
+      "a74_fisher_exact",
+      (s, d) => {
+        import s.implicits._
+        val Array(av, r1v, c1v, nnv) = Tables.orders(s, d)
+          .agg(
+            sum(when($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "F", 1L)
+              .otherwise(0L)).as("a"),
+            sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)).as("r1"),
+            sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("c1"),
+            count(lit(1)).as("nn"))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        val w = Window.orderBy($"i")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lf = s.range(1, nnv + 1).select($"id".as("i"))
+          .withColumn("f",
+            sum(floor(log($"i".cast("double")) * 1e12 + 0.5).cast("long")).over(w))
+        val lf0 = lf.unionByName(Seq((0L, 0L)).toDF("i", "f")).persist()
+        // the six margin ln-factorials — a 6-row bounded lookup
+        val need = Seq(r1v, nnv - r1v, nnv, c1v, nnv - c1v).distinct
+        val fmap = lf0.filter($"i".isin(need: _*))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val lden = fmap(nnv) - fmap(c1v) - fmap(nnv - c1v)
+        val cnum = fmap(r1v) + fmap(nnv - r1v) - lden
+        val lo = math.max(0L, r1v + c1v - nnv)
+        val hi = math.min(r1v, c1v)
+        val ks = s.range(lo, hi + 1).select($"id".as("k"))
+        val pmf = ks
+          .join(lf0.select($"i".as("ik"), $"f".as("fk")), $"ik" === $"k")
+          .join(lf0.select($"i".as("irk"), $"f".as("frk")), $"irk" === lit(r1v) - $"k")
+          .join(lf0.select($"i".as("ick"), $"f".as("fck")), $"ick" === lit(c1v) - $"k")
+          .join(lf0.select($"i".as("ink"), $"f".as("fnk")),
+            $"ink" === lit(nnv - r1v - c1v) + $"k")
+          .withColumn("lq", lit(cnum) - $"fk" - $"frk" - $"fck" - $"fnk")
+          .withColumn("t",
+            floor(exp($"lq".cast("double") / 1e12) * 1e9 + 0.5).cast("long"))
+        val out = pmf.agg(
+            (sum(when($"k" <= av, $"t").otherwise(0L)) / 1e9).as("p_le"),
+            (sum(when($"k" >= av, $"t").otherwise(0L)) / 1e9).as("p_ge"))
+          .select(
+            lit(av).as("a"), lit(r1v).as("r1"), lit(c1v).as("c1"), lit(nnv).as("n"),
+            Parity.floorRound4(least(lit(1.0), lit(2.0) * least($"p_le", $"p_ge")))
+              .as("p_fisher"),
+            (least(lit(1.0), lit(2.0) * least($"p_le", $"p_ge")) < 0.05)
+              .as("reject_indep"))
+        lf0.unpersist()
+        out
+      },
+      Some("""WITH cells AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    count(*) AS nn
+             |  FROM orders
+             |), nums AS (
+             |  SELECT CAST(unnest(generate_series(1, (SELECT nn FROM cells))) AS BIGINT) AS i
+             |), lf AS (
+             |  SELECT i,
+             |    sum(CAST(floor(ln(CAST(i AS DOUBLE)) * 1e12 + 0.5) AS BIGINT))
+             |      OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+             |  FROM nums
+             |), lf0 AS (
+             |  SELECT i, f FROM lf UNION ALL SELECT 0, 0
+             |), ks AS (
+             |  SELECT CAST(unnest(generate_series(
+             |      (SELECT greatest(0, r1 + c1 - nn) FROM cells),
+             |      (SELECT least(r1, c1) FROM cells))) AS BIGINT) AS k
+             |), pmf AS (
+             |  SELECT k,
+             |    ((SELECT f FROM lf0 WHERE i = (SELECT r1 FROM cells))
+             |     - fk.f - frk.f
+             |     + (SELECT f FROM lf0 WHERE i = (SELECT nn - r1 FROM cells))
+             |     - fck.f - fnk.f
+             |     - (SELECT f FROM lf0 WHERE i = (SELECT nn FROM cells))
+             |     + (SELECT f FROM lf0 WHERE i = (SELECT c1 FROM cells))
+             |     + (SELECT f FROM lf0 WHERE i = (SELECT nn - c1 FROM cells))) AS lq
+             |  FROM ks
+             |  JOIN lf0 fk ON fk.i = ks.k
+             |  JOIN lf0 frk ON frk.i = (SELECT r1 FROM cells) - ks.k
+             |  JOIN lf0 fck ON fck.i = (SELECT c1 FROM cells) - ks.k
+             |  JOIN lf0 fnk ON fnk.i = (SELECT nn FROM cells) - (SELECT r1 FROM cells)
+             |    - (SELECT c1 FROM cells) + ks.k
+             |), q AS (
+             |  SELECT k, CAST(floor(exp(CAST(lq AS DOUBLE) / 1e12) * 1e9 + 0.5) AS BIGINT) AS t
+             |  FROM pmf
+             |), tails AS (
+             |  SELECT
+             |    sum(CASE WHEN k <= (SELECT a FROM cells) THEN t ELSE 0 END) / 1e9 AS p_le,
+             |    sum(CASE WHEN k >= (SELECT a FROM cells) THEN t ELSE 0 END) / 1e9 AS p_ge
+             |  FROM q
+             |)
+             |SELECT (SELECT a FROM cells) AS a, (SELECT r1 FROM cells) AS r1,
+             |  (SELECT c1 FROM cells) AS c1, (SELECT nn FROM cells) AS n,
+             |  floor(least(1.0, 2 * least(p_le, p_ge)) * 10000 + 0.5) / 10000 AS p_fisher,
+             |  least(1.0, 2 * least(p_le, p_ge)) < 0.05 AS reject_indep
+             |FROM tails""".stripMargin)
     )
   )
 }
