@@ -791,6 +791,90 @@ object GraphQueries {
              |SELECT side, rn, node,
              |  floor(score * 1000.0 * 10000 + 0.5) / 10000 AS score_k
              |FROM r WHERE rn <= 15 ORDER BY side, rn""".stripMargin)
+    ),
+
+    // Bounded-hop weighted shortest paths (graph_sssp) — distributed
+    // Bellman–Ford from the hub node: each round relaxes EVERY edge at
+    // once (one frontier⋈edges shuffle + a per-node min — the
+    // map-side-combinable min makes the round the same plan shape as a
+    // PageRank iteration), unrolled to 3 rounds = exact cheapest cost
+    // over all ≤3-edge paths. That bounded-hop contract is the honest
+    // production framing (supply-chain "cost to reach within k tiers");
+    // full convergence loops the same round diameter times with the
+    // frontier checkpointed (the ConnectedComponents discipline).
+    // Edge weight = the pair's min l_quantity — an exact integer, so
+    // every relaxed distance is an exact long and min-resolution is
+    // total. Frames: edges (pair grain), dist (node grain), both
+    // shuffle on uniform keys; nothing row-grain survives the first
+    // distinct. Output is the dist histogram + deterministic witness.
+    OracleQuery(
+      "graph_sssp",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .groupBy(
+            concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+          .agg(min($"l_quantity").cast("long").as("w"))
+        val edges = pairs
+          .union(pairs.select($"dst".as("src"), $"src".as("dst"), $"w"))
+          .persist()
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        val seed = deg.orderBy($"deg".desc, $"src").limit(1)
+          .select($"src".as("node"), lit(0L).as("dist"))
+        var dist = seed
+        for (_ <- 1 to 3) {
+          val relax = edges
+            .join(dist.select($"node".as("f"), $"dist".as("df")), $"src" === $"f")
+            .select($"dst".as("node"), ($"df" + $"w").as("dist"))
+          dist = dist.union(relax).groupBy($"node").agg(min($"dist").as("dist"))
+        }
+        val out = dist.groupBy($"dist")
+          .agg(count(lit(1)).as("n_nodes"), min($"node").as("witness"))
+          .orderBy($"dist")
+        edges.unpersist()
+        out
+      },
+      Some("""WITH pairs AS MATERIALIZED (
+             |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             |    's' || CAST(l_suppkey AS VARCHAR) AS dst,
+             |    CAST(min(l_quantity) AS BIGINT) AS w
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  GROUP BY 1, 2
+             |), edges AS MATERIALIZED (
+             |  SELECT src, dst, w FROM pairs
+             |  UNION ALL
+             |  SELECT dst, src, w FROM pairs
+             |), deg AS MATERIALIZED (
+             |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
+             |), d0 AS MATERIALIZED (
+             |  SELECT node, CAST(0 AS BIGINT) AS dist FROM deg
+             |  ORDER BY deg DESC, node LIMIT 1
+             |), d1 AS MATERIALIZED (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d0
+             |    UNION ALL
+             |    SELECT e.dst AS node, d0.dist + e.w AS dist
+             |    FROM edges e JOIN d0 ON e.src = d0.node
+             |  ) GROUP BY 1
+             |), d2 AS MATERIALIZED (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d1
+             |    UNION ALL
+             |    SELECT e.dst AS node, d1.dist + e.w AS dist
+             |    FROM edges e JOIN d1 ON e.src = d1.node
+             |  ) GROUP BY 1
+             |), d3 AS MATERIALIZED (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d2
+             |    UNION ALL
+             |    SELECT e.dst AS node, d2.dist + e.w AS dist
+             |    FROM edges e JOIN d2 ON e.src = d2.node
+             |  ) GROUP BY 1
+             |)
+             |SELECT dist, count(*) AS n_nodes, min(node) AS witness
+             |FROM d3 GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 
