@@ -60,18 +60,23 @@ object DeletionVectors {
   /** Merge-on-read scan: `dataDir` minus every position recorded in
     * `deleteDir`. No delete table (or an empty one) reads the data
     * unchanged. The delete side is deduped (generations may overlap)
-    * and broadcast while its row count stays under
-    * `broadcastRowLimit`; beyond that the anti-join shuffles both
-    * sides — correct but a compaction smell, so size the limit to what
-    * one executor comfortably holds (positions are ~100 bytes/row). */
+    * and broadcast while its ON-DISK size stays under
+    * `broadcastByteLimit` — decided from the FS listing the wrapper
+    * already pays, NOT a count() job (counting would scan the delete
+    * table once per read, doubling the metadata cost of every
+    * merge-on-read query); beyond the limit the anti-join shuffles
+    * both sides — correct but a compaction smell. */
   def read(spark: SparkSession, dataDir: String, deleteDir: String,
-      broadcastRowLimit: Long = 10_000_000L): DataFrame = {
+      broadcastByteLimit: Long = 256L * 1024 * 1024): DataFrame = {
     val data = spark.read.parquet(dataDir)
     if (!hasDeletes(spark, deleteDir)) return data
+    val p = new Path(deleteDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delBytes = fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
     val dels = spark.read.parquet(deleteDir)
       .select(col("file_path"), col("row_index")).distinct()
     val delsSided =
-      if (dels.count() <= broadcastRowLimit) broadcast(dels) else dels
+      if (delBytes <= broadcastByteLimit) broadcast(dels) else dels
     val keyed = data.select(
       col("*"),
       col("_metadata.file_path").as("__dv_file"),
