@@ -137,7 +137,19 @@ object Bench {
     "sim_rp_distortion",   // JL projection distortion audit (literal +/-1 matrix)
     "dedup_linkage_golden", // survivorship golden-record table (entity grain)
     "dedup_linkage_eval",  // exact pattern-grain PR sweep of the FS scorer
-    "a69_cramer_von_mises") // pooled-sample squared-CDF-gap two-sample test
+    "a69_cramer_von_mises", // pooled-sample squared-CDF-gap two-sample test
+    "a70_kendall_tau",     // tau-b via support-grain cell-pair concordance
+    "a71_jarque_bera",     // normality gate from four exact power sums
+    "a72_diebold_mariano", // HAC-corrected forecast-loss comparison
+    "a73_anderson_darling", // tail-weighted two-sample test (midrank A2)
+    "a74_fisher_exact",    // exact hypergeometric tails, quantized ln-factorials
+    "w26_durbin_watson",   // residual-autocorrelation diagnostic (exact algebra)
+    "w27_dickey_fuller",   // per-series unit-root t-test, closed-form OLS
+    "pipe_woe_iv",         // decile WOE encoding + information value
+    "pipe_shapley_attribution", // exact 4-channel Shapley credit (16-coalition algebra)
+    "o32_position_delete_read", // position-delete merge-on-read (broadcast anti)
+    "stream_ewma_anomaly", // stateful EWMA control band over 4-chunk replay
+    "graph_sssp")          // 3-round Bellman-Ford weighted shortest paths
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is
@@ -266,6 +278,7 @@ object Bench {
       ++ section("compaction")(compactionBench(spark, sfDir))
       ++ section("erasure")(erasureBench(spark, sfDir))
       ++ section("obtScan")(obtScanBench(spark, sfDir))
+      ++ section("dvScan")(dvScanBench(spark, sfDir))
       ++ section("intervalJoin")(intervalJoinBench(spark, sfDir))
       ++ section("graphCands")(graphCandsBench(spark, sfDir))
       ++ section("simCands")(simCandsBench(spark, sfDir)))
@@ -516,6 +529,51 @@ object Bench {
     * filtered scan of the prebuilt denormalized fact (j40's layout) —
     * the join-at-write vs join-at-read trade measured; `obt_size_mb`
     * carries the storage price of the fan-out to lineitem grain. */
+  /** Position-delete trade study: the per-read cost of merge-on-read
+    * (broadcast anti-join against the position table) vs the one-time
+    * cost of copy-on-write (rewrite the whole table minus deleted
+    * rows). MoR's read overhead is paid on EVERY query until
+    * compaction absorbs the deletes; CoW pays everything up front —
+    * the ratio of these two cells (times expected reads between
+    * deletes) is the decision rule. Delete predicate hits ~15% of rows
+    * scattered across every file — the scatter that makes CoW touch
+    * the full table. */
+  private def dvScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val tmp = graft.core.Scratch.dir("bench_dv", sfDir)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    graft.sources.Sinks.writeSortedBy(li, s"$tmp/data", Seq("l_shipdate"), numFiles = 64)
+    val nDel = graft.ops.DeletionVectors.addDeletes(
+      spark, s"$tmp/data", s"$tmp/deletes", col("l_discount") >= 0.09)
+    require(nDel > 0, "dvScan bench: delete predicate matched no rows")
+    def agg(df: org.apache.spark.sql.DataFrame): Unit =
+      df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)), sum(col("l_quantity")))
+        .write.format("noop").mode("overwrite").save()
+    def timeClean(): Double = {
+      val t0 = System.nanoTime()
+      agg(spark.read.parquet(s"$tmp/data"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timeMor(): Double = {
+      val t0 = System.nanoTime()
+      agg(graft.ops.DeletionVectors.read(spark, s"$tmp/data", s"$tmp/deletes"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timeCow(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$tmp/data").filter(!(col("l_discount") >= 0.09))
+        .write.mode("overwrite").parquet(s"$tmp/cow")
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeClean(); timeMor() // warm both read paths
+    Seq(
+      "scan_dv_clean" -> timeClean(),
+      "scan_dv_merge_on_read" -> timeMor(),
+      "scan_dv_copy_on_write" -> timeCow(),
+      "scan_dv_positions" -> nDel.toDouble)
+  }
+
   private def obtScanBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     val tmp = graft.core.Scratch.dir("bench_obt", sfDir)
