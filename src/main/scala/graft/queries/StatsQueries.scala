@@ -24,6 +24,66 @@ import graft.core.{Parity, Tables}
   */
 object StatsQueries {
 
+  /** Recursive-CTE spelling of the additive Holt–Winters fold over the
+    * per-flag daily revenue series — shared verbatim by the batch
+    * entry (w28) and its streaming twin (stream_holt_winters), exactly
+    * as kalmanLevelOracle is shared by w25 and stream_kalman_level:
+    * one recursion, three gates. */
+  private[queries] val holtWintersOracle: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      / 100.0 AS y
+      |  FROM lineitem GROUP BY 1, 2
+      |), pos AS (
+      |  SELECT flag, day, y,
+      |    row_number() OVER (PARTITION BY flag ORDER BY day) AS rn
+      |  FROM daily
+      |), piv AS (
+      |  SELECT flag,
+      |    max(CASE WHEN rn = 1 THEN y END) AS v1,
+      |    max(CASE WHEN rn = 2 THEN y END) AS v2,
+      |    max(CASE WHEN rn = 3 THEN y END) AS v3,
+      |    max(CASE WHEN rn = 4 THEN y END) AS v4,
+      |    max(CASE WHEN rn = 5 THEN y END) AS v5,
+      |    max(CASE WHEN rn = 6 THEN y END) AS v6,
+      |    max(CASE WHEN rn = 7 THEN y END) AS v7
+      |  FROM pos WHERE rn <= 7 GROUP BY flag HAVING count(*) = 7
+      |), rec AS (
+      |  SELECT p.flag, p.day, p.y, p.rn,
+      |    CAST(NULL AS DOUBLE) AS yhat,
+      |    (v1 + v2 + v3 + v4 + v5 + v6 + v7) / 7 AS l,
+      |    CAST(0.0 AS DOUBLE) AS b,
+      |    v1 - (v1 + v2 + v3 + v4 + v5 + v6 + v7) / 7 AS s1,
+      |    v2 - (v1 + v2 + v3 + v4 + v5 + v6 + v7) / 7 AS s2,
+      |    v3 - (v1 + v2 + v3 + v4 + v5 + v6 + v7) / 7 AS s3,
+      |    v4 - (v1 + v2 + v3 + v4 + v5 + v6 + v7) / 7 AS s4,
+      |    v5 - (v1 + v2 + v3 + v4 + v5 + v6 + v7) / 7 AS s5,
+      |    v6 - (v1 + v2 + v3 + v4 + v5 + v6 + v7) / 7 AS s6,
+      |    v7 - (v1 + v2 + v3 + v4 + v5 + v6 + v7) / 7 AS s7
+      |  FROM pos p JOIN piv ON piv.flag = p.flag AND p.rn = 7
+      |  UNION ALL
+      |  SELECT n.flag, n.day, n.y, n.rn,
+      |    r.l + r.b + r.s1 AS yhat,
+      |    CAST(0.25 AS DOUBLE) * (n.y - r.s1)
+      |      + CAST(0.75 AS DOUBLE) * (r.l + r.b) AS l,
+      |    CAST(0.0625 AS DOUBLE) * ((CAST(0.25 AS DOUBLE) * (n.y - r.s1)
+      |        + CAST(0.75 AS DOUBLE) * (r.l + r.b)) - r.l)
+      |      + CAST(0.9375 AS DOUBLE) * r.b AS b,
+      |    r.s2 AS s1, r.s3 AS s2, r.s4 AS s3, r.s5 AS s4,
+      |    r.s6 AS s5, r.s7 AS s6,
+      |    CAST(0.25 AS DOUBLE) * (n.y - (CAST(0.25 AS DOUBLE) * (n.y - r.s1)
+      |        + CAST(0.75 AS DOUBLE) * (r.l + r.b)))
+      |      + CAST(0.75 AS DOUBLE) * r.s1 AS s7
+      |  FROM rec r JOIN pos n ON n.flag = r.flag AND n.rn = r.rn + 1
+      |)
+      |SELECT flag, day,
+      |  floor(y * 10000 + 0.5) / 10000 AS y,
+      |  floor(yhat * 10000 + 0.5) / 10000 AS yhat,
+      |  floor(l * 10000 + 0.5) / 10000 AS level,
+      |  floor(b * 10000 + 0.5) / 10000 AS trend
+      |FROM rec WHERE rn >= 8 ORDER BY flag, day""".stripMargin
+
   def all: Seq[OracleQuery] = Seq(
 
     // Kendall's τ-b rank correlation (a70) — the concordance-based
@@ -638,6 +698,408 @@ object StatsQueries {
              |  floor(woe * 10000 + 0.5) / 10000 AS woe,
              |  floor(sum(iv_term) OVER () / 1e8 * 10000 + 0.5) / 10000 AS iv
              |FROM terms ORDER BY bin""".stripMargin)
+    ),
+
+    // Effect sizes (a76) — the magnitude report the A/B battery needs
+    // BESIDE its yes/no answers (a29 uplift z, a53 TOST, a60 power all
+    // consume a standardized effect; none reported one): Cohen's d
+    // from the pooled SD, the small-sample-corrected Hedges g
+    // (J = 1 − 3/(4N−9)), and the large-sample 95% CI
+    // (se² = N/(n₁n₂) + d²/2N). ONE scan, six exact integers (per
+    // group n, Σq, Σq² on the cent grid), one row of double algebra —
+    // the shuffle carries 32 partials.
+    OracleQuery(
+      "a76_effect_sizes",
+      (s, d) => {
+        import s.implicits._
+        val q = floor($"value" * 100 + 0.5).cast("long")
+        val sums = Tables.events(s, d)
+          .filter($"event_type".isin("click", "error") && $"value".isNotNull)
+          .select(($"event_type" === "click").as("ga"), q.as("q"))
+          .agg(
+            sum(when($"ga", 1L).otherwise(0L)).as("n1"),
+            sum(when($"ga", $"q").otherwise(0L)).as("s1"),
+            sum(when($"ga", $"q" * $"q").otherwise(0L)).as("ss1"),
+            sum(when(!$"ga", 1L).otherwise(0L)).as("n2"),
+            sum(when(!$"ga", $"q").otherwise(0L)).as("s2"),
+            sum(when(!$"ga", $"q" * $"q").otherwise(0L)).as("ss2"))
+        sums
+          .withColumn("v1",
+            ($"ss1".cast("double") - $"s1".cast("double") * $"s1" / $"n1") / ($"n1" - 1))
+          .withColumn("v2",
+            ($"ss2".cast("double") - $"s2".cast("double") * $"s2" / $"n2") / ($"n2" - 1))
+          .withColumn("dd",
+            ($"s1".cast("double") / $"n1" - $"s2".cast("double") / $"n2")
+              / sqrt((($"n1" - 1) * $"v1" + ($"n2" - 1) * $"v2") / ($"n1" + $"n2" - 2)))
+          .withColumn("se",
+            sqrt(($"n1" + $"n2").cast("double") / ($"n1" * $"n2")
+              + $"dd" * $"dd" / (lit(2.0) * ($"n1" + $"n2"))))
+          .select(
+            $"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+            Parity.floorRound4($"dd").as("cohens_d"),
+            Parity.floorRound4(
+              $"dd" * (lit(1.0) - lit(3.0) / (lit(4.0) * ($"n1" + $"n2") - 9)))
+              .as("hedges_g"),
+            Parity.floorRound4($"dd" - lit(1.96) * $"se").as("ci_lo"),
+            Parity.floorRound4($"dd" + lit(1.96) * $"se").as("ci_hi"))
+      },
+      Some("""WITH q AS (
+             |  SELECT event_type = 'click' AS ga,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+             |  FROM events
+             |  WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+             |), sums AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN ga THEN q ELSE 0 END) AS BIGINT) AS s1,
+             |    CAST(sum(CASE WHEN ga THEN q * q ELSE 0 END) AS BIGINT) AS ss1,
+             |    CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(sum(CASE WHEN NOT ga THEN q ELSE 0 END) AS BIGINT) AS s2,
+             |    CAST(sum(CASE WHEN NOT ga THEN q * q ELSE 0 END) AS BIGINT) AS ss2
+             |  FROM q
+             |), v AS (
+             |  SELECT n1, n2,
+             |    (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+             |    (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2,
+             |    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS dm
+             |  FROM sums
+             |), dd AS (
+             |  SELECT n1, n2,
+             |    dm / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) AS dd
+             |  FROM v
+             |), se AS (
+             |  SELECT n1, n2, dd,
+             |    sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2) + dd * dd / (2.0 * (n1 + n2))) AS se
+             |  FROM dd
+             |)
+             |SELECT n1, n2,
+             |  floor(dd * 10000 + 0.5) / 10000 AS cohens_d,
+             |  floor(dd * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9)) * 10000 + 0.5) / 10000 AS hedges_g,
+             |  floor((dd - 1.96 * se) * 10000 + 0.5) / 10000 AS ci_lo,
+             |  floor((dd + 1.96 * se) * 10000 + 0.5) / 10000 AS ci_hi
+             |FROM se""".stripMargin)
+    ),
+
+    // Breusch–Pagan heteroscedasticity test (a77) — the second
+    // assumption gate for the OLS family (a24, w27, M2): a66's Levene
+    // checks variance across GROUPS; BP checks variance along the
+    // REGRESSOR (does spread grow with x?), which is what invalidates
+    // OLS standard errors most often in practice. LM = n·R² of the
+    // squared-residual-on-x auxiliary regression, ~χ²₁. Two passes
+    // (the a66 recipe): pass 1 collects the five exact (x, y) sums and
+    // closes the fit (â, b̂ as identically-spelled doubles on both
+    // engines); pass 2 re-scans with the fitted line as literals,
+    // quantizes each squared residual to the integer grid, and
+    // collects the exact (x, u) moment sums; LM is one row of double
+    // algebra. The 1-row collect is the bounded-scalar class.
+    OracleQuery(
+      "a77_breusch_pagan",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.lineitem(s, d).select(
+          $"l_quantity".cast("long").as("x"),
+          floor($"l_extendedprice" / 1024.0 * 100 + 0.5).cast("long").as("yq"))
+        val r = base.agg(
+            count(lit(1)).as("n"),
+            sum($"x").as("sx"),
+            sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+            sum($"yq".cast("decimal(38,0)")).as("sy"),
+            sum($"x".cast("decimal(38,0)") * $"yq").as("sxy"))
+          .collect()(0)
+        val n = r.getLong(0)
+        val sx = r.getLong(1).toDouble
+        val sxx = r.getDecimal(2).doubleValue()
+        val sy = r.getDecimal(3).doubleValue()
+        val sxy = r.getDecimal(4).doubleValue()
+        val sxxc = sxx - sx * sx / n
+        val bC = (sxy - sx * sy / n) / sxxc
+        val aC = sy / n - bC * (sx / n)
+        val u = ($"yq".cast("double") - lit(aC) - lit(bC) * $"x")
+        val uq = floor(u * u + 0.5).cast("long")
+        base.select($"x", uq.as("uq"))
+          .agg(
+            sum($"x" * $"uq".cast("decimal(38,0)")).as("sxu"),
+            sum($"uq".cast("decimal(38,0)")).as("su"),
+            sum($"uq".cast("decimal(38,0)") * $"uq").as("suu"))
+          .withColumn("sxuc",
+            $"sxu".cast("double") - lit(sx) * $"su".cast("double") / n)
+          .withColumn("suuc",
+            $"suu".cast("double")
+              - $"su".cast("double") * $"su".cast("double") / n)
+          .select(
+            lit(n).as("n"),
+            Parity.floorRound4(
+              lit(n.toDouble) * $"sxuc" * $"sxuc" / (lit(sxxc) * $"suuc"))
+              .as("bp_lm"))
+          .withColumn("reject_homosced", $"bp_lm" > 3.841)
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(floor(l_extendedprice / 1024.0 * 100 + 0.5) AS BIGINT) AS yq
+             |  FROM lineitem
+             |), s1 AS (
+             |  SELECT count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             |    CAST(sum(CAST(yq AS HUGEINT)) AS HUGEINT) AS sy,
+             |    CAST(sum(CAST(x AS HUGEINT) * yq) AS HUGEINT) AS sxy
+             |  FROM base
+             |), fit AS (
+             |  SELECT n, CAST(sx AS DOUBLE) AS sx,
+             |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxxc,
+             |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS b
+             |  FROM s1
+             |), fit2 AS (
+             |  SELECT n, sx, sxxc, b,
+             |    (SELECT CAST(sy AS DOUBLE) FROM s1) / n - b * (sx / n) AS a
+             |  FROM fit
+             |), u AS (
+             |  SELECT base.x,
+             |    CAST(floor((CAST(base.yq AS DOUBLE) - fit2.a - fit2.b * base.x)
+             |      * (CAST(base.yq AS DOUBLE) - fit2.a - fit2.b * base.x) + 0.5)
+             |      AS BIGINT) AS uq
+             |  FROM base CROSS JOIN fit2
+             |), s2 AS (
+             |  SELECT
+             |    CAST(sum(CAST(x AS HUGEINT) * uq) AS DOUBLE) AS sxu,
+             |    CAST(sum(CAST(uq AS HUGEINT)) AS DOUBLE) AS su,
+             |    CAST(sum(CAST(uq AS HUGEINT) * uq) AS DOUBLE) AS suu
+             |  FROM u
+             |), c AS (
+             |  SELECT f.n, f.sxxc,
+             |    s2.sxu - f.sx * s2.su / f.n AS sxuc,
+             |    s2.suu - s2.su * s2.su / f.n AS suuc
+             |  FROM s2 CROSS JOIN fit2 f
+             |)
+             |SELECT n,
+             |  floor(CAST(n AS DOUBLE) * sxuc * sxuc / (sxxc * suuc)
+             |    * 10000 + 0.5) / 10000 AS bp_lm,
+             |  CAST(n AS DOUBLE) * sxuc * sxuc / (sxxc * suuc) > 3.841
+             |    AS reject_homosced
+             |FROM c""".stripMargin)
+    ),
+
+    // Two-group log-rank test (a75) — the SIGNIFICANCE companion a46's
+    // Kaplan–Meier curve was missing: "do the two cohorts' time-to-
+    // convert distributions differ?" is a hypothesis, not a picture.
+    // At each distinct event time the observed group-1 deaths compare
+    // against the hypergeometric expectation d·n₁/n given the risk
+    // sets, with the exact hypergeometric variance; χ² = (O−E)²/V ~
+    // χ²₁. Equivalent to the Cox partial-likelihood score test at
+    // β = 0 — the standard A/B test for censored durations. Scale
+    // shape = a46's: one pass to per-user durations, collapse to the
+    // DURATION-GRAIN grid, risk sets via cumulative integer windows
+    // (per group: conditional sums in the same pass); E and V terms
+    // quantize at 1e-8 before the exact cross-grid sum. Cohorts =
+    // user parity (deterministic; production swaps in the experiment
+    // arm).
+    OracleQuery(
+      "a75_logrank",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val su = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("su"))
+        val pu = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("pts"))
+          .join(su, "user_id")
+          .filter($"pts" >= $"su")
+          .groupBy($"user_id").agg(min($"pts").as("pu"))
+        val cutoff = ev.agg(max($"ts").as("cut"))
+        val durations = su.join(pu, Seq("user_id"), "left")
+          .crossJoin(broadcast(cutoff))
+          .select(
+            ($"user_id" % 2).as("grp"),
+            expr("(unix_micros(coalesce(pu, cut)) - unix_micros(su)) div 3600000000")
+              .as("dur_hr"),
+            when($"pu".isNotNull, lit(1L)).otherwise(0L).as("is_event"))
+        val grain = durations.groupBy($"dur_hr")
+          .agg(
+            sum(when($"grp" === 1, $"is_event").otherwise(0L)).as("d1"),
+            sum(when($"grp" === 1, lit(1L) - $"is_event").otherwise(0L)).as("c1"),
+            sum($"is_event").as("d"),
+            sum(lit(1L) - $"is_event").as("c"))
+        val tot = durations.agg(
+          sum(when($"grp" === 1, 1L).otherwise(0L)).as("n1_tot"),
+          count(lit(1)).as("n_tot"))
+        val wPrev = Window.orderBy($"dur_hr")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val risk = grain.crossJoin(broadcast(tot))
+          .withColumn("n1",
+            $"n1_tot" - coalesce(sum($"d1" + $"c1").over(wPrev), lit(0L)))
+          .withColumn("n",
+            $"n_tot" - coalesce(sum($"d" + $"c").over(wPrev), lit(0L)))
+          .filter($"d" > 0)
+        val terms = risk
+          .withColumn("e1q",
+            floor($"d".cast("double") * $"n1" / $"n" * 1e8 + 0.5).cast("long"))
+          .withColumn("vq",
+            when($"n" > 1,
+              floor($"d".cast("double") * ($"n1".cast("double") / $"n")
+                * (lit(1.0) - $"n1".cast("double") / $"n")
+                * ($"n" - $"d") / ($"n" - 1) * 1e8 + 0.5).cast("long"))
+              .otherwise(0L))
+        val uExpr = sum($"d1").cast("double") - sum($"e1q") / 1e8
+        terms.agg(
+          sum($"d1").cast("long").as("o1"),
+          Parity.floorRound4(sum($"e1q") / lit(1e8)).as("e1"),
+          Parity.floorRound4(uExpr * uExpr / (sum($"vq") / 1e8))
+            .as("chi2_logrank"),
+          (uExpr * uExpr / (sum($"vq") / 1e8) > 3.841).as("reject_h0"))
+      },
+      Some("""WITH su AS (
+             |  SELECT user_id, min(ts) AS su FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1
+             |), pu AS (
+             |  SELECT e.user_id, min(e.ts) AS pu
+             |  FROM events e JOIN su ON e.user_id = su.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= su.su
+             |  GROUP BY 1
+             |), cutoff AS (SELECT max(ts) AS cut FROM events),
+             |durations AS (
+             |  SELECT su.user_id % 2 AS grp,
+             |    (epoch_us(COALESCE(pu.pu, cutoff.cut)) - epoch_us(su.su))
+             |      // 3600000000 AS dur_hr,
+             |    CASE WHEN pu.pu IS NOT NULL THEN 1 ELSE 0 END AS is_event
+             |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+             |  CROSS JOIN cutoff
+             |), grain AS (
+             |  SELECT dur_hr,
+             |    CAST(sum(CASE WHEN grp = 1 THEN is_event ELSE 0 END) AS BIGINT) AS d1,
+             |    CAST(sum(CASE WHEN grp = 1 THEN 1 - is_event ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(is_event) AS BIGINT) AS d,
+             |    CAST(sum(1 - is_event) AS BIGINT) AS c
+             |  FROM durations GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_tot,
+             |    count(*) AS n_tot
+             |  FROM durations
+             |), risk AS (
+             |  SELECT dur_hr, d1, d,
+             |    n1_tot - COALESCE(sum(d1 + c1) OVER (ORDER BY dur_hr
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+             |    n_tot - COALESCE(sum(d + c) OVER (ORDER BY dur_hr
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+             |  FROM grain CROSS JOIN tot
+             |), terms AS (
+             |  SELECT dur_hr, d1,
+             |    CAST(floor(CAST(d AS DOUBLE) * n1 / n * 1e8 + 0.5) AS BIGINT) AS e1q,
+             |    CASE WHEN n > 1 THEN CAST(floor(
+             |      CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n) * (1 - CAST(n1 AS DOUBLE) / n)
+             |        * (n - d) / (n - 1) * 1e8 + 0.5) AS BIGINT) ELSE 0 END AS vq
+             |  FROM risk WHERE d > 0
+             |)
+             |SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             |  floor(sum(e1q) / 1e8 * 10000 + 0.5) / 10000 AS e1,
+             |  floor((CAST(sum(d1) AS DOUBLE) - sum(e1q) / 1e8)
+             |    * (CAST(sum(d1) AS DOUBLE) - sum(e1q) / 1e8) / (sum(vq) / 1e8)
+             |    * 10000 + 0.5) / 10000 AS chi2_logrank,
+             |  (CAST(sum(d1) AS DOUBLE) - sum(e1q) / 1e8)
+             |    * (CAST(sum(d1) AS DOUBLE) - sum(e1q) / 1e8) / (sum(vq) / 1e8) > 3.841
+             |    AS reject_h0
+             |FROM terms""".stripMargin)
+    ),
+
+    // The 100 TB spelling of pipe_woe_iv (pipe_woe_iv_approx): the
+    // exact twin's decile ntile is a GLOBAL SORT — the one operator in
+    // that plan that does not survive a 1000× scale-up. Here bin edges
+    // come from approx_percentile (fixed-memory KLL-class sketch,
+    // map-side mergeable) and binning is a row-local comparison chain
+    // — no sort, no single-partition window, the plan a real corpus
+    // runs. Sketch edges are engine-specific ⟹ CONTRACT gate (the
+    // a16b/a17b discipline): Spark recomputes the EXACT-ntile IV
+    // in-plan and asserts the approx IV lands within tolerance, bins
+    // stay balanced, and edges are strictly monotone; the oracle
+    // recomputes the exact row counts and asserts the booleans TRUE.
+    OracleQuery(
+      "pipe_woe_iv_approx",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.orders(s, d)
+          .select($"o_totalprice", $"o_orderkey",
+            ($"o_orderstatus" === "F").as("is_bad"))
+        val edges = base
+          .agg(expr("approx_percentile(o_totalprice, " +
+            "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"))
+          .collect()(0).getSeq[Double](0) // 9 scalars — bounded driver state
+        val bin = edges.foldLeft(lit(1)) { (acc, e) =>
+          acc + when($"o_totalprice" > lit(e), 1).otherwise(0)
+        }
+        def ivOf(binned: org.apache.spark.sql.DataFrame) = {
+          val wAll = Window.partitionBy(lit(1))
+          binned.groupBy($"bin")
+            .agg(
+              sum(when(!$"is_bad", 1L).otherwise(0L)).as("g"),
+              sum(when($"is_bad", 1L).otherwise(0L)).as("b"))
+            .withColumn("gg", sum($"g").over(wAll))
+            .withColumn("bb", sum($"b").over(wAll))
+            .withColumn("iv_term",
+              floor(($"g".cast("double") / $"gg" - $"b".cast("double") / $"bb")
+                * log($"g".cast("double") * $"bb" / ($"b".cast("double") * $"gg"))
+                * 1e8 + 0.5))
+            .agg((sum($"iv_term") / 1e8).as("iv"),
+              max($"g" + $"b").as("max_bin"), min($"g" + $"b").as("min_bin"))
+        }
+        val approxIv = ivOf(base.withColumn("bin", bin))
+        val wNt = Window.orderBy($"o_totalprice", $"o_orderkey")
+        val exactIv = ivOf(base.withColumn("bin", ntile(10).over(wNt)))
+          .select($"iv".as("iv_x"))
+        val totals = base.agg(
+          count(lit(1)).as("n"),
+          sum(when(!$"is_bad", 1L).otherwise(0L)).as("n_good"),
+          sum(when($"is_bad", 1L).otherwise(0L)).as("n_bad"))
+        totals.crossJoin(approxIv).crossJoin(exactIv)
+          .select(
+            $"n".cast("long").as("n"),
+            $"n_good".cast("long").as("n_good"),
+            $"n_bad".cast("long").as("n_bad"),
+            (abs($"iv" - $"iv_x") <= 0.01).as("iv_ok"),
+            ($"max_bin" <= $"n" / 10 * 1.05 && $"min_bin" >= $"n" / 10 * 0.95)
+              .as("bins_balanced"),
+            lit(edges == edges.sorted && edges.distinct.length == 9)
+              .as("edges_monotone"))
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+             |  TRUE AS iv_ok, TRUE AS bins_balanced, TRUE AS edges_monotone
+             |FROM orders""".stripMargin)
+    ),
+
+    // Additive Holt–Winters (w28) — the SEASONAL member of the
+    // smoothing family (w8 EWMA: level; w21 Holt: level+trend; w25
+    // Kalman: adaptive gain) and the one daily operational series
+    // actually need — weekly shape dominates them. Three coupled
+    // recursions + a 7-slot seasonal state per key (ops/HoltWinters:
+    // the HoltLinear skeleton — one key exchange, local sort, forward
+    // fold of m+2 doubles). Seed after 7 observations: L =
+    // left-associated mean, B = 0, S = deviations; one-step forecasts
+    // from observation 8. Dyadic coefficients (α=0.25, β=0.0625,
+    // γ=0.25) and CAST-to-DOUBLE oracle literals make the recursive
+    // CTE reproduce the fold bit-for-bit (the w21/w25 discipline);
+    // the CTE carries the rotating seasonal state as 7 columns.
+    OracleQuery(
+      "w28_holt_winters",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag".as("flag"),
+            date_trunc("day", $"l_shipdate").as("day"))
+          .agg((sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")) / lit(100.0))
+            .as("y"))
+        graft.ops.HoltWinters.perKey(
+            daily, "flag", Seq("day"), "y",
+            m = 7, alpha = 0.25, beta = 0.0625, gamma = 0.25)
+          .filter($"yhat".isNotNull)
+          .select($"flag", $"day",
+            Parity.floorRound4($"y").as("y"),
+            Parity.floorRound4($"yhat").as("yhat"),
+            Parity.floorRound4($"level").as("level"),
+            Parity.floorRound4($"trend").as("trend"))
+          .orderBy($"flag", $"day")
+      },
+      Some(holtWintersOracle)
     ),
 
     // Fisher's exact test (a74) — the small-cell replacement for a48's

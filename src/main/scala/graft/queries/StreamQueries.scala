@@ -699,6 +699,56 @@ object StreamQueries {
       Some(WindowQueries.kalmanLevelOracle)
     ),
 
+    // Streaming Holt–Winters — the seasonal smoother as a stateful
+    // stream, and the twin with the hardest seam property in the
+    // family: SEEDING (the first 7 observations) deliberately straddles
+    // micro-batch boundaries here (the first chunk cut leaves every
+    // flag's warmup buffer partially filled), so the warmup buffer
+    // itself must live in keyed state — get that wrong and every
+    // subsequent forecast of the key diverges. Gated against the SAME
+    // recursive-CTE oracle as the batch entry (w28): stream, batch
+    // kernel and oracle share one byte-identical fold.
+    OracleQuery(
+      "stream_holt_winters",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag".as("event_type"),
+            date_trunc("day", $"l_shipdate").as("day"))
+          .agg((sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")) / lit(100.0))
+            .as("y"))
+          .persist()
+        val tmp = graft.core.Scratch.dir("stream_hw", d)
+        // first cut at Jan 4 1995: every flag's 7-row warmup buffer is
+        // mid-fill at the first seam — the property under test
+        val cuts = Seq("1995-01-01", "1995-01-04", "1996-07-01", "1999-01-01", "2002-01-01")
+        for (i <- 0 until 4) {
+          daily.filter($"day" >= lit(cuts(i)).cast("timestamp") &&
+              $"day" < lit(cuts(i + 1)).cast("timestamp"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
+        }
+        daily.unpersist()
+        graft.streaming.Streams.pinChunkOrder(s, s"$tmp/in", 4)
+        val src = s.readStream
+          .schema("event_type STRING, day TIMESTAMP, y DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in/*")
+        graft.streaming.Streams.runAvailableNow(
+          graft.streaming.Streams
+            .holtWintersStream(src, m = 7, alpha = 0.25, beta = 0.0625, gamma = 0.25)
+            .toDF(),
+          s"$tmp/ckpt", s"$tmp/out")
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+        s.read.parquet(s"$tmp/out")
+          .filter($"yhat".isNotNull)
+          .select($"eventType".as("flag"), $"day", r4($"y").as("y"),
+            r4($"yhat").as("yhat"), r4($"level").as("level"),
+            r4($"trend").as("trend"))
+          .orderBy($"flag", $"day")
+      },
+      Some(StatsQueries.holtWintersOracle)
+    ),
+
     // Streaming EWMA control band — the anomaly MONITOR the platform
     // runs on live metric streams (error rates, revenue, latency):
     // each day's value is z-scored against the exponentially-weighted

@@ -408,6 +408,71 @@ object Streams {
       }
   }
 
+  final case class HwState(buf: Seq[Double], seeded: Boolean, l: Double,
+      b: Double, sea: Seq[Double], idx: Int, lastMs: Long)
+  final case class HwPoint(eventType: String, day: java.sql.Timestamp,
+      y: Double, yhat: Option[Double], level: Option[Double],
+      trend: Option[Double])
+
+  /** Streaming additive Holt–Winters — the stateful twin of
+    * [[graft.ops.HoltWinters.perKey]]. The interesting seam property
+    * this twin exists to prove: SEEDING may straddle micro-batches —
+    * the first m observations can arrive across several triggers, so
+    * the warmup buffer itself is part of the keyed state (buf), not
+    * just the smoothed (L, B, S) — and the fold still reproduces the
+    * batch kernel bit-for-bit. Same order contract and ≤-duplicate
+    * guard as [[kalmanLevelStream]]; warmup rows emit null scores, one
+    * output row per input row under AvailableNow. */
+  def holtWintersStream(daily: DataFrame, m: Int, alpha: Double,
+      beta: Double, gamma: Double): Dataset[HwPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .select(col("event_type"), col("day"), col("y"))
+      .as[(String, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HwState, HwPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
+         state: GroupState[HwState]) =>
+          val sorted = rows.toIndexedSeq
+            .collect { case (k, t, Some(v)) => (k, t, v) }
+            .sortBy(_._2.getTime)
+          var cur = state.getOption
+            .getOrElse(HwState(Vector.empty, seeded = false, 0.0, 0.0,
+              Vector.empty, 0, Long.MinValue))
+          val out = Vector.newBuilder[HwPoint]
+          for ((_, day, y) <- sorted) {
+            if (day.getTime <= cur.lastMs) () // duplicate/late: drop
+            else if (!cur.seeded) {
+              val buf = cur.buf :+ y
+              if (buf.length == m) {
+                // spelled exactly as HoltWinters.perKey: left-assoc mean
+                var acc = 0.0
+                var i = 0
+                while (i < m) { acc += buf(i); i += 1 }
+                val l = acc / m
+                cur = HwState(Vector.empty, seeded = true, l, 0.0,
+                  buf.map(_ - l).toVector, 0, day.getTime)
+              } else cur = cur.copy(buf = buf, lastMs = day.getTime)
+              out += HwPoint(key, day, y, None, None, None)
+            } else {
+              val sTm = cur.sea(cur.idx)
+              val yhat = cur.l + cur.b + sTm
+              val lNew = alpha * (y - sTm) + (1 - alpha) * (cur.l + cur.b)
+              val bNew = beta * (lNew - cur.l) + (1 - beta) * cur.b
+              val seaNew = cur.sea.updated(cur.idx,
+                gamma * (y - lNew) + (1 - gamma) * sTm)
+              cur = HwState(Vector.empty, seeded = true, lNew, bNew,
+                seaNew, (cur.idx + 1) % m, day.getTime)
+              out += HwPoint(key, day, y, Some(yhat), Some(lNew), Some(bNew))
+            }
+          }
+          state.update(cur)
+          out.result().iterator
+      }
+  }
+
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long, sumValue: Double)
 
   /** SCD2 state: the currently-open version of one dimension key.
