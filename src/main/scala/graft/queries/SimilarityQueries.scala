@@ -1455,7 +1455,71 @@ object SimilarityQueries {
               |FROM ab GROUP BY cell ORDER BY cell""".stripMargin)
     ),
 
-    rpDistortionEntry
+    rpDistortionEntry,
+
+    // Linear-kernel MMD² embedding drift (sim_mmd_drift) — the
+    // embedding-space member of the drift family (a19 PSI bins values,
+    // a35 PSI, a67 Wasserstein, text_kl_drift tokens): did the
+    // embedding DISTRIBUTION move between two corpus slices?
+    // MMD²_linear = ‖μ_A − μ_B‖² — the mean-embedding distance, the
+    // k(x,y)=⟨x,y⟩ case of kernel MMD, and the standard cheap monitor
+    // in front of expensive RBF estimates. Scale shape: ONE posexplode
+    // + ONE hash agg keyed by dimension (64 groups, map-side combine —
+    // the shuffle carries 64×4 partial sums no matter how many
+    // vectors); per-dim means from exact 1e-6-quantized integer sums,
+    // the 64 squared gaps quantized at 1e-12 before the exact final
+    // sum. The exact integer witness (mmd2_q12) rides the gate beside
+    // the display value.
+    OracleQuery(
+      "sim_mmd_drift",
+      (s, d) => {
+        import s.implicits._
+        val ex = Tables.embeddings(s, d)
+          .select(
+            when($"label" < 5, "a").otherwise("b").as("grp"),
+            posexplode($"embedding"))
+          .select($"grp", ($"pos" + 1).as("pos"),
+            floor($"col".cast("double") * 1e6 + 0.5).cast("long").as("q"))
+        val perDim = ex.groupBy($"pos")
+          .agg(
+            sum(when($"grp" === "a", $"q").otherwise(0L)).as("sa"),
+            sum(when($"grp" === "a", 1L).otherwise(0L)).as("na"),
+            sum(when($"grp" === "b", $"q").otherwise(0L)).as("sb"),
+            sum(when($"grp" === "b", 1L).otherwise(0L)).as("nb"))
+        val diff = $"sa".cast("double") / $"na" / 1e6 - $"sb".cast("double") / $"nb" / 1e6
+        perDim
+          .select($"na", $"nb",
+            floor(diff * diff * 1e12 + 0.5).cast("long").as("tq"))
+          .agg(
+            sum($"tq").cast("long").as("mmd2_q12"),
+            graft.core.Parity.floorRound4(sum($"tq") / lit(1e12) * 1e4).as("mmd2_x1e4"),
+            max($"na").cast("long").as("n_a"),
+            max($"nb").cast("long").as("n_b"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT CASE WHEN e.label < 5 THEN 'a' ELSE 'b' END AS grp, gs.i AS pos,
+             |    CAST(floor(CAST(e.embedding[gs.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+             |  FROM embeddings e,
+             |    (SELECT CAST(unnest(generate_series(1, 64)) AS INT) AS i) gs
+             |), per_dim AS (
+             |  SELECT pos,
+             |    CAST(sum(CASE WHEN grp = 'a' THEN q ELSE 0 END) AS BIGINT) AS sa,
+             |    CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             |    CAST(sum(CASE WHEN grp = 'b' THEN q ELSE 0 END) AS BIGINT) AS sb,
+             |    CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+             |  FROM ex GROUP BY 1
+             |), q2 AS (
+             |  SELECT pos, na, nb,
+             |    CAST(floor((CAST(sa AS DOUBLE) / na / 1e6 - CAST(sb AS DOUBLE) / nb / 1e6)
+             |      * (CAST(sa AS DOUBLE) / na / 1e6 - CAST(sb AS DOUBLE) / nb / 1e6)
+             |      * 1e12 + 0.5) AS BIGINT) AS tq
+             |  FROM per_dim
+             |)
+             |SELECT CAST(sum(tq) AS BIGINT) AS mmd2_q12,
+             |  floor(sum(tq) / 1e12 * 1e4 * 10000 + 0.5) / 10000 AS mmd2_x1e4,
+             |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+             |FROM q2""".stripMargin)
+    )
   )
 
   /** The k=16 × d=64 ±1 JL projection matrix, sampled once from a fixed
