@@ -149,7 +149,14 @@ object Bench {
     "pipe_shapley_attribution", // exact 4-channel Shapley credit (16-coalition algebra)
     "o32_position_delete_read", // position-delete merge-on-read (broadcast anti)
     "stream_ewma_anomaly", // stateful EWMA control band over 4-chunk replay
-    "graph_sssp")          // 3-round Bellman-Ford weighted shortest paths
+    "graph_sssp",          // 3-round Bellman-Ford weighted shortest paths
+    "w28_holt_winters",    // per-key seasonal HW fold (7-slot state)
+    "sim_mmd_drift",       // linear-kernel MMD embedding drift (dim-grain agg)
+    "pipe_woe_iv_approx",  // sketch-edge WOE/IV (the no-global-sort twin)
+    "stream_holt_winters", // HW as a stateful stream, seed straddles seams
+    "a75_logrank",         // censored-duration A/B test on the KM grid
+    "a76_effect_sizes",    // Cohen's d / Hedges g / CI from six exact sums
+    "a77_breusch_pagan")   // heteroscedasticity LM gate (two-pass OLS)
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is
