@@ -700,6 +700,195 @@ object StatsQueries {
              |FROM terms ORDER BY bin""".stripMargin)
     ),
 
+    // Wald–Wolfowitz runs test (a78) — the nonparametric randomness
+    // check beside w26's Durbin–Watson (DW sees LINEAR lag-1
+    // correlation; runs sees any above/below-mean clumping or
+    // alternation, including what DW misses). The cut is the exact
+    // MEAN compared in pure integers (yq·n vs Σy — no double ever
+    // enters the sign), ties excluded as standard; the run count is
+    // one lag() over the calendar-grain series; μ_R and σ_R are the
+    // closed-form run-count moments, z against ±1.96. Fact collapses
+    // to the daily grid first — the w26/w27 discipline.
+    OracleQuery(
+      "a78_runs_test",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.lineitem(s, d)
+          .groupBy(date_trunc("day", $"l_shipdate").as("day"))
+          .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("yq"))
+        val tot = daily.agg(
+          count(lit(1)).as("n"), sum($"yq".cast("decimal(38,0)")).as("sy"))
+        val signed = daily.crossJoin(broadcast(tot))
+          .withColumn("sgn",
+            when($"yq".cast("decimal(38,0)") * $"n" > $"sy", 1)
+              .when($"yq".cast("decimal(38,0)") * $"n" < $"sy", -1)
+              .otherwise(0))
+          .filter($"sgn" =!= 0)
+        val wOrd = Window.orderBy($"day")
+        val runs = signed
+          .withColumn("brk",
+            when(lag($"sgn", 1).over(wOrd).isNull
+              || lag($"sgn", 1).over(wOrd) =!= $"sgn", 1L).otherwise(0L))
+        runs.agg(
+            sum(when($"sgn" === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when($"sgn" === -1, 1L).otherwise(0L)).as("n2"),
+            sum($"brk").as("r"))
+          .withColumn("mu",
+            lit(2.0) * $"n1" * $"n2" / ($"n1" + $"n2") + 1)
+          .withColumn("v",
+            lit(2.0) * $"n1" * $"n2" * (lit(2.0) * $"n1" * $"n2" - $"n1" - $"n2")
+              / (($"n1" + $"n2") * ($"n1" + $"n2") * ($"n1" + $"n2" - 1)))
+          .select(
+            $"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+            $"r".cast("long").as("n_runs"),
+            Parity.floorRound4(($"r" - $"mu") / sqrt($"v")).as("z_runs"),
+            (abs(($"r" - $"mu") / sqrt($"v")) > 1.96).as("reject_random"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', l_shipdate) AS day,
+             |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yq
+             |  FROM lineitem GROUP BY 1
+             |), tot AS (
+             |  SELECT count(*) AS n, CAST(sum(CAST(yq AS HUGEINT)) AS HUGEINT) AS sy
+             |  FROM daily
+             |), signed AS (
+             |  SELECT day,
+             |    CASE WHEN CAST(yq AS HUGEINT) * n > sy THEN 1
+             |         WHEN CAST(yq AS HUGEINT) * n < sy THEN -1 ELSE 0 END AS sgn
+             |  FROM daily CROSS JOIN tot
+             |), kept AS (SELECT day, sgn FROM signed WHERE sgn <> 0),
+             |runs AS (
+             |  SELECT sgn,
+             |    CASE WHEN lag(sgn, 1) OVER (ORDER BY day) IS NULL
+             |      OR lag(sgn, 1) OVER (ORDER BY day) <> sgn THEN 1 ELSE 0 END AS brk
+             |  FROM kept
+             |), agg AS (
+             |  SELECT CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(sum(brk) AS BIGINT) AS r
+             |  FROM runs
+             |), m AS (
+             |  SELECT n1, n2, r,
+             |    2.0 * n1 * n2 / (n1 + n2) + 1 AS mu,
+             |    2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+             |      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)) AS v
+             |  FROM agg
+             |)
+             |SELECT n1, n2, r AS n_runs,
+             |  floor((r - mu) / sqrt(v) * 10000 + 0.5) / 10000 AS z_runs,
+             |  abs((r - mu) / sqrt(v)) > 1.96 AS reject_random
+             |FROM m""".stripMargin)
+    ),
+
+    // Grid-cosine periodogram (w29) — WHICH seasonality does w28's
+    // Holt–Winters need? The spectral answer: the fraction of series
+    // variance at each candidate period p ∈ [2, 14],
+    // power(p) = 2(C² + S²)/(n²σ²) with C = Σ ỹₜcos(2πtmod p/p).
+    // Exactness: cos/sin live on the (p, k)-GRID (k = t mod p — only
+    // Σp ≈ 100 distinct angles exist), quantized to 1e-9 longs ONCE,
+    // so the projections are exact integer sums; mean-centering is
+    // cleared by n-multiplication (A = n·Σyqᵢcᵢ − Σy·Σc — exact
+    // DECIMAL algebra, no double until the final ratio). On this
+    // corpus the spectrum is FLAT (~1e-3 everywhere) — the honest
+    // negative: TPC-H ship dates carry no weekly cycle, and the
+    // entry's value is that it would say so before anyone fits a
+    // seasonal model. Calendar grain throughout.
+    OracleQuery(
+      "w29_periodogram",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.lineitem(s, d)
+          .groupBy(date_trunc("day", $"l_shipdate").as("day"))
+          .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("yq"))
+        val wOrd = Window.orderBy($"day")
+        val series = daily
+          .withColumn("t", row_number().over(wOrd) - 1)
+        val grid = s.range(2, 15).select($"id".cast("int").as("p"))
+          .select($"p", explode(sequence(lit(0), $"p" - 1)).as("k"))
+          .withColumn("cq",
+            floor(cos(lit(2.0) * lit(math.Pi) * $"k" / $"p") * 1e9 + 0.5)
+              .cast("long"))
+          .withColumn("sq",
+            floor(sin(lit(2.0) * lit(math.Pi) * $"k" / $"p") * 1e9 + 0.5)
+              .cast("long"))
+        val tot = series.agg(
+          count(lit(1)).as("n"),
+          sum($"yq".cast("decimal(38,0)")).as("sy"),
+          sum($"yq".cast("decimal(38,0)") * $"yq").as("syy"))
+        val proj = series
+          .join(broadcast(grid), $"k" === $"t" % $"p")
+          .groupBy($"p")
+          .agg(
+            sum($"yq".cast("decimal(38,0)") * $"cq").as("syc"),
+            sum($"yq".cast("decimal(38,0)") * $"sq").as("sys"),
+            sum($"cq".cast("decimal(38,0)")).as("sc"),
+            sum($"sq".cast("decimal(38,0)")).as("ss"))
+        val scored = proj.crossJoin(broadcast(tot))
+          .withColumn("a",
+            ($"n" * $"syc" - $"sy" * $"sc").cast("double"))
+          .withColumn("b",
+            ($"n" * $"sys" - $"sy" * $"ss").cast("double"))
+          .withColumn("v",
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double"))
+          .withColumn("power_raw",
+            lit(2.0) * ($"a" * $"a" + $"b" * $"b")
+              / (lit(1e18) * $"n" * $"n" * $"v"))
+        scored
+          .withColumn("rk",
+            row_number().over(Window.orderBy($"power_raw".desc, $"p")))
+          .select($"p",
+            Parity.floorRound4($"power_raw").as("power"),
+            ($"rk" === 1).as("is_peak"))
+          .orderBy($"p")
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', l_shipdate) AS day,
+             |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yq
+             |  FROM lineitem GROUP BY 1
+             |), series AS (
+             |  SELECT yq, row_number() OVER (ORDER BY day) - 1 AS t FROM daily
+             |), grid AS (
+             |  SELECT p, k,
+             |    CAST(floor(cos(2.0 * pi() * k / p) * 1e9 + 0.5) AS BIGINT) AS cq,
+             |    CAST(floor(sin(2.0 * pi() * k / p) * 1e9 + 0.5) AS BIGINT) AS sq
+             |  FROM (SELECT CAST(unnest(generate_series(2, 14)) AS INT) AS p),
+             |    (SELECT CAST(unnest(generate_series(0, 13)) AS INT) AS k)
+             |  WHERE k < p
+             |), tot AS (
+             |  SELECT count(*) AS n,
+             |    CAST(sum(CAST(yq AS HUGEINT)) AS HUGEINT) AS sy,
+             |    CAST(sum(CAST(yq AS HUGEINT) * yq) AS HUGEINT) AS syy
+             |  FROM series
+             |), proj AS (
+             |  SELECT g.p,
+             |    CAST(sum(CAST(s.yq AS HUGEINT) * g.cq) AS HUGEINT) AS syc,
+             |    CAST(sum(CAST(s.yq AS HUGEINT) * g.sq) AS HUGEINT) AS sys,
+             |    CAST(sum(CAST(g.cq AS HUGEINT)) AS HUGEINT) AS sc,
+             |    CAST(sum(CAST(g.sq AS HUGEINT)) AS HUGEINT) AS ss
+             |  FROM series s JOIN grid g ON g.k = s.t % g.p
+             |  GROUP BY 1
+             |), scored AS (
+             |  SELECT p,
+             |    CAST(n * syc - sy * sc AS DOUBLE) AS a,
+             |    CAST(n * sys - sy * ss AS DOUBLE) AS b,
+             |    CAST(n * syy - sy * sy AS DOUBLE) AS v,
+             |    CAST(n AS DOUBLE) AS nd
+             |  FROM proj CROSS JOIN tot
+             |), pw AS (
+             |  SELECT p,
+             |    2.0 * (a * a + b * b) / (1e18 * nd * nd * v) AS power_raw
+             |  FROM scored
+             |), rk AS (
+             |  SELECT p, power_raw,
+             |    row_number() OVER (ORDER BY power_raw DESC, p) AS rk
+             |  FROM pw
+             |)
+             |SELECT p,
+             |  floor(power_raw * 10000 + 0.5) / 10000 AS power,
+             |  rk = 1 AS is_peak
+             |FROM rk ORDER BY p""".stripMargin)
+    ),
+
     // Effect sizes (a76) — the magnitude report the A/B battery needs
     // BESIDE its yes/no answers (a29 uplift z, a53 TOST, a60 power all
     // consume a standardized effect; none reported one): Cohen's d
