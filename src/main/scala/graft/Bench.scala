@@ -156,7 +156,9 @@ object Bench {
     "stream_holt_winters", // HW as a stateful stream, seed straddles seams
     "a75_logrank",         // censored-duration A/B test on the KM grid
     "a76_effect_sizes",    // Cohen's d / Hedges g / CI from six exact sums
-    "a77_breusch_pagan")   // heteroscedasticity LM gate (two-pass OLS)
+    "a77_breusch_pagan",   // heteroscedasticity LM gate (two-pass OLS)
+    "a78_runs_test",       // Wald-Wolfowitz randomness, pure-integer cut
+    "w29_periodogram")     // grid-cosine spectral scan (calendar grain)
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is
