@@ -461,12 +461,23 @@ object Bench {
     timePart() // warm
     val nCandPart = graft.ops.Manifest
       .candidateFiles(spark, s"$tmp/pmanifest", "ts", lo, hi).length
+    // clustering depth: the range-sorted layout should score ~1
+    // (disjoint ts spans); the event_type-partitioned layout splits
+    // the SAME time range into one span per partition value, so a
+    // point probe overlaps ~|partitions| files — the number that says
+    // "recluster (or probe with the partition column)"
+    val depthSorted = graft.ops.Manifest
+      .clusteringDepth(spark, s"$tmp/manifest", "ts")
+    val depthPart = graft.ops.Manifest
+      .clusteringDepth(spark, s"$tmp/pmanifest", "ts")
     Seq(
       "scan_manifest_pruned" -> timePruned(),
       "scan_manifest_full" -> timeFull(),
       "scan_manifest_files_read" -> nCand.toDouble,
       "scan_manifest_partitioned" -> timePart(),
-      "scan_manifest_partitioned_files_read" -> nCandPart.toDouble)
+      "scan_manifest_partitioned_files_read" -> nCandPart.toDouble,
+      "scan_manifest_cluster_depth_sorted" -> depthSorted.avgDepth,
+      "scan_manifest_cluster_depth_partitioned" -> depthPart.avgDepth)
   }
 
   /** Compaction A/B: the same full scan against 64 micro-files vs the

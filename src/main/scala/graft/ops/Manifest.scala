@@ -176,6 +176,66 @@ object Manifest {
     RefreshDelta(newFiles.length, oldRows.length - kept.length, kept.length)
   }
 
+  final case class ClusterDepth(nFiles: Long, avgDepth: Double, maxDepth: Long)
+
+  /** Clustering depth of the layout on `statsCol` — the observability
+    * number behind the "is it time to recluster?" decision (the metric
+    * warehouses expose per clustered table): for each file, the number
+    * of files (itself included) whose [min, max] span OVERLAPS its own
+    * — i.e. how many files a range probe touching that file must also
+    * consider. A perfectly range-clustered layout scores 1 everywhere
+    * (disjoint spans); a layout whose every file spans the whole
+    * domain scores |files| and gets no skipping at all from
+    * [[candidateFiles]]. Average and max are reported; rising
+    * averages after appends/compactions are the trigger for a
+    * [[graft.ops.ZOrder]]/[[graft.ops.HilbertOrder]] rewrite. For each
+    * file, overlap count = F − #(starts > max_i) − #(ends < min_i)
+    * (the two excluded sets are disjoint since every span has
+    * min ≤ max) — two binary searches per file over the sorted
+    * boundary arrays, O(F log F) on the METADATA-sized manifest
+    * driver-side (the same bound as every other Manifest call).
+    * All-null-stats files are excluded (they have no span). */
+  def clusteringDepth(spark: SparkSession, manifestDir: String,
+      statsCol: String): ClusterDepth = {
+    val rows = spark.read.parquet(manifestDir)
+      .select(col(s"min_$statsCol"), col(s"max_$statsCol"))
+      .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    if (rows.isEmpty) return ClusterDepth(0L, 0.0, 0L)
+    @annotation.nowarn("cat=unchecked")
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val spans = rows.map(r => (r.get(0), r.get(1)))
+    val starts = spans.map(_._1).sortWith(cmp(_, _) < 0)
+    val ends = spans.map(_._2).sortWith(cmp(_, _) < 0)
+    val f = spans.length
+    // #elements of sorted `arr` strictly greater than / less than v
+    def countGreater(arr: Array[Any], v: Any): Int = {
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp(arr(mid), v) > 0) hi = mid else lo = mid + 1
+      }
+      arr.length - lo
+    }
+    def countLess(arr: Array[Any], v: Any): Int = {
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp(arr(mid), v) < 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    var sumDepth = 0L
+    var maxDepth = 0L
+    for ((mn, mx) <- spans) {
+      val depth = f - countGreater(starts, mx) - countLess(ends, mn)
+      sumDepth += depth
+      if (depth > maxDepth) maxDepth = depth
+    }
+    ClusterDepth(f.toLong, sumDepth.toDouble / f, maxDepth)
+  }
+
   /** Files whose [min,max] span can intersect [lo, hi] on `statsCol` —
     * the candidate set a range probe must read. All-null and zero-row
     * files never match (a range predicate is null-rejecting). */

@@ -187,6 +187,41 @@ class ManifestSpec extends SparkSpec {
     assert(st0b.count() == st0Rows)
   }
 
+  test("clustering depth: ~1 on disjoint spans, |files| on full-overlap, nulls excluded") {
+    val d = java.nio.file.Files.createTempDirectory("manifest_depth").toString
+    // range-clustered: 8 disjoint k spans → every point probe hits 1 file
+    (1 to 8000).map(i => (i.toLong, s"p$i")).toDF("k", "p")
+      .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$d/sorted")
+    Manifest.write(spark, s"$d/sorted", s"$d/ms", Seq("k"))
+    val sortedDepth = Manifest.clusteringDepth(spark, s"$d/ms", "k")
+    assert(sortedDepth.nFiles == 8 && sortedDepth.maxDepth == 1L
+      && sortedDepth.avgDepth == 1.0, s"$sortedDepth")
+    // round-robin: every file spans ~the whole domain → depth ≈ files
+    (1 to 8000).map(i => (i.toLong, s"p$i")).toDF("k", "p")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$d/random")
+    Manifest.write(spark, s"$d/random", s"$d/mr", Seq("k"))
+    val randomDepth = Manifest.clusteringDepth(spark, s"$d/mr", "k")
+    assert(randomDepth.avgDepth >= 7.0 && randomDepth.maxDepth == 8L,
+      s"$randomDepth")
+    // hand case: spans [1,10] [5,20] [15,30] → overlap counts 2, 3, 2
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("file", StringType), StructField("n_bytes", LongType),
+      StructField("mtime", LongType), StructField("n_rows", LongType),
+      StructField("min_k", LongType), StructField("max_k", LongType)))
+    val hand = Seq(Row("f1", 1L, 1L, 1L, 1L, 10L), Row("f2", 1L, 1L, 1L, 5L, 20L),
+      Row("f3", 1L, 1L, 1L, 15L, 30L),
+      Row("f4", 1L, 1L, 0L, null, null)) // all-null stats: excluded
+    spark.createDataFrame(spark.sparkContext.parallelize(hand), sch)
+      .write.mode("overwrite").parquet(s"$d/mh")
+    val h = Manifest.clusteringDepth(spark, s"$d/mh", "k")
+    assert(h.nFiles == 3 && h.maxDepth == 3L
+      && math.abs(h.avgDepth - 7.0 / 3) < 1e-12, s"$h")
+  }
+
   test("all-null stats files are never range candidates") {
     val d = java.nio.file.Files.createTempDirectory("manifest_null").toString
     val withNull = Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "p")
