@@ -127,9 +127,22 @@ object Compaction {
     * make wall-clock the SUM of per-group latencies at exactly the
     * many-small-files scale this module exists for. Jobs submit
     * concurrently through a bounded pool (Spark's scheduler interleaves
-    * them); `parallelism` caps in-flight jobs, not data. */
+    * them); `parallelism` caps in-flight jobs, not data.
+    *
+    * `deleteDir`: a [[DeletionVectors]] position-delete table to ABSORB
+    * — each group rewrite anti-joins its rows' (file_path, row_index)
+    * against the recorded positions, so the compacted files are born
+    * CLEAN and the absorbed files' vectors become dangling (the caller
+    * runs [[DeletionVectors.pruneDanglingDeletes]] after the layout
+    * swap — the documented lifecycle). Without this, a compaction
+    * would copy deleted rows into new files whose positions no vector
+    * covers — silently UNDOING the deletes. Files kept in place
+    * (single-file groups) keep their live vectors; the merge-on-read
+    * path still applies them. The delete side broadcasts (positions
+    * only — KBs per million deletes), so absorption adds no shuffle
+    * to the rewrites. */
   def compact(spark: SparkSession, groups: Seq[Group], outDir: String,
-      parallelism: Int = 8): CompactReport = {
+      parallelism: Int = 8, deleteDir: Option[String] = None): CompactReport = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val multi = groups.filter(_.files.length > 1)
     val kept = groups.filter(_.files.length <= 1).map(_.files.length).sum
@@ -139,12 +152,33 @@ object Compaction {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     try {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      // the absorb side is planned once; each group job anti-joins the
+      // same (tiny, broadcast) position table — positions of files
+      // outside the group simply match nothing
+      val dels = deleteDir
+        .filter(d => DeletionVectors.hasDeletes(spark, d))
+        .map(d => spark.read.parquet(d).drop("gen")
+          .select(col("file_path"), col("row_index")).distinct())
       val futs = multi.map { g =>
         scala.concurrent.Future {
           // the group's files share one partition subdir by plan()'s
           // contract, so the PHYSICAL columns of every file agree and
           // the rewrite lands under the same partition encoding
-          spark.read.parquet(g.files.map(_.path): _*)
+          val raw = spark.read.parquet(g.files.map(_.path): _*)
+          val cleaned = dels match {
+            case None => raw
+            case Some(dv) =>
+              val keyed = raw.select(col("*"),
+                col("_metadata.file_path").as("__dv_file"),
+                col("_metadata.row_index").as("__dv_pos"))
+              keyed.join(broadcast(dv),
+                  keyed("__dv_file") === dv("file_path") &&
+                    keyed("__dv_pos") === dv("row_index"),
+                  "left_anti")
+                .drop("__dv_file", "__dv_pos")
+          }
+          cleaned
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$outDir/${g.outSubPath}")
           (g.files.length, g.bytes)
