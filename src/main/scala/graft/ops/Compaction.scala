@@ -140,9 +140,21 @@ object Compaction {
     * (single-file groups) keep their live vectors; the merge-on-read
     * path still applies them. The delete side broadcasts (positions
     * only — KBs per million deletes), so absorption adds no shuffle
-    * to the rewrites. */
+    * to the rewrites.
+    *
+    * `eqDeleteDir`: an equality-delete (tombstone-key) table to absorb
+    * the same way — rewritten groups anti-join on the key columns, so
+    * their files carry no tombstoned rows. Equality tombstones stay
+    * delete-forever until EVERY file has been rewritten since the last
+    * tombstone (only then may the caller drop the eq table): unlike
+    * positions, reapplying a key tombstone to an absorbed file is
+    * idempotent — the matching rows are already gone — so a partial
+    * rewrite is always safe; what is NOT expressible without
+    * sequence-number scoping is re-inserting a tombstoned key, which
+    * matches the engine's CDC latest-per-key semantics anyway. */
   def compact(spark: SparkSession, groups: Seq[Group], outDir: String,
-      parallelism: Int = 8, deleteDir: Option[String] = None): CompactReport = {
+      parallelism: Int = 8, deleteDir: Option[String] = None,
+      eqDeleteDir: Option[String] = None): CompactReport = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val multi = groups.filter(_.files.length > 1)
     val kept = groups.filter(_.files.length <= 1).map(_.files.length).sum
@@ -160,13 +172,16 @@ object Compaction {
         .filter(d => DeletionVectors.hasDeletes(spark, d))
         .map(d => spark.read.parquet(d).drop("gen")
           .select(col("file_path"), col("row_index")).distinct())
+      val eqDels = eqDeleteDir
+        .filter(d => DeletionVectors.hasDeletes(spark, d))
+        .map(d => spark.read.parquet(d).drop("gen").distinct())
       val futs = multi.map { g =>
         scala.concurrent.Future {
           // the group's files share one partition subdir by plan()'s
           // contract, so the PHYSICAL columns of every file agree and
           // the rewrite lands under the same partition encoding
           val raw = spark.read.parquet(g.files.map(_.path): _*)
-          val cleaned = dels match {
+          val posClean = dels match {
             case None => raw
             case Some(dv) =>
               val keyed = raw.select(col("*"),
@@ -177,6 +192,14 @@ object Compaction {
                     keyed("__dv_pos") === dv("row_index"),
                   "left_anti")
                 .drop("__dv_file", "__dv_pos")
+          }
+          val cleaned = eqDels match {
+            case None => posClean
+            case Some(keys) =>
+              val ks = keys.toDF(keys.columns.map(c => s"__eq_$c"): _*)
+              val cond = keys.columns.toSeq
+                .map(c => posClean(c) <=> ks(s"__eq_$c")).reduce(_ && _)
+              posClean.join(broadcast(ks), cond, "left_anti")
           }
           cleaned
             .coalesce(1)

@@ -56,7 +56,7 @@ object Manifest {
     * and a non-recursive listing over it would see ZERO files.
     * `_`/`.`-prefixed files AND directories (commit metadata, staging
     * dirs) are skipped at every level. */
-  private def fsList(spark: SparkSession, dataDir: String)
+  private[ops] def fsList(spark: SparkSession, dataDir: String)
       : Seq[(String, String, Long, Long)] = {
     val p = new Path(dataDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -81,7 +81,7 @@ object Manifest {
     * partition column requested in `cols` gets its stats for free —
     * min = max = the partition value, constant per file by
     * construction. */
-  private def statsFor(spark: SparkSession, dataDir: String, cols: Seq[String],
+  private[ops] def statsFor(spark: SparkSession, dataDir: String, cols: Seq[String],
       files: Seq[(String, String, Long, Long)]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))

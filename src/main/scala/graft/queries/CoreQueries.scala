@@ -1461,6 +1461,71 @@ object CoreQueries {
              |FROM lineitem
              |WHERE NOT (l_discount > 0.08) AND NOT (l_tax < 0.02)
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // O33: equality-delete merge-on-read — the KEYED sibling of o32,
+    // and the missing link between streamed CDC and the lakehouse read
+    // path: a tombstone stream emits deleted KEYS (it has never seen
+    // the table's file layout, so it cannot produce positions). Here
+    // the engine's own CDC machinery runs for real — the events table
+    // replayed through the streaming snapshot merge (latest row per
+    // user by (ts, event_id), exactly stream_cdc_tombstones' state) —
+    // and the keys whose LATEST row is a tombstone are committed as an
+    // equality-delete generation (DeletionVectors.addKeyDeletes). The
+    // read is then one left-anti join on the key column with the
+    // delete side BROADCAST (key tombstones are KBs; the data side
+    // pays no shuffle). The oracle recomputes the tombstone set from
+    // the same latest-per-key rule and subtracts it with NOT IN —
+    // merge-on-read must equal the content-level subtraction.
+    OracleQuery(
+      "o33_equality_delete_read",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"ts", $"value", $"event_type",
+            ($"event_type" === "error").as("is_delete"))
+        val tmp = graft.core.Scratch.dir("dveq", d)
+        // the lakehouse fact table under maintenance
+        ev.drop("is_delete").repartition(4)
+          .write.mode("overwrite").parquet(s"$tmp/data")
+        // CDC replay -> keyed snapshot -> tombstoned keys
+        ev.repartition(6).write.mode("overwrite").parquet(s"$tmp/in")
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(s"$tmp/in")
+        graft.streaming.Streams
+          .snapshotMergeStream(src, s"$tmp/snap", s"$tmp/ckpt",
+            keys = Seq("user_id"), orderBy = Seq("ts", "event_id"))
+          .awaitTermination()
+        val snap = graft.streaming.Streams.readSnapshot(s, s"$tmp/snap").get
+        val nTomb = graft.ops.DeletionVectors.addKeyDeletes(
+          s, s"$tmp/eqdel", snap.filter($"is_delete").select($"user_id"))
+        require(nTomb > 0, "o33: tombstone stream produced no deleted keys")
+        graft.ops.DeletionVectors
+          .readWithKeyDeletes(s, s"$tmp/data", s"$tmp/eqdel")
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct($"user_id").as("n_users"),
+            sum(floor($"value" * 10000 + 0.5).cast("long")).as("sum_val_e4"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events
+             |), dead AS (
+             |  SELECT user_id FROM ranked WHERE rn = 1 AND event_type = 'error'
+             |)
+             |SELECT e.event_type,
+             |  count(*) AS n,
+             |  count(DISTINCT e.user_id) AS n_users,
+             |  CAST(sum(CAST(floor(e.value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_val_e4
+             |FROM events e
+             |WHERE e.user_id NOT IN (SELECT user_id FROM dead)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 

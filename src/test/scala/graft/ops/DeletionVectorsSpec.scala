@@ -171,4 +171,40 @@ class DeletionVectorsSpec extends SparkSpec {
       .select($"k").as[Long].collect().sorted
     assert(finalRead.toSeq == before.toSeq)
   }
+
+  test("compaction absorbs equality deletes; full rewrite lets the eq table drop") {
+    val d8 = java.nio.file.Files.createTempDirectory("dv8").toString
+    (1 to 5000).map(i => (i.toLong, i % 89)).toDF("k", "m")
+      .repartition(8).write.parquet(s"$d8/data")
+    DeletionVectors.addKeyDeletes(spark, s"$d8/eqdel",
+      (1 to 50).map(_.toLong * 97).toDF("k"))
+    val before = DeletionVectors
+      .readWithKeyDeletes(spark, s"$d8/data", s"$d8/eqdel")
+      .select($"k").as[Long].collect().sorted
+    val groups = Compaction.plan(spark, s"$d8/data", 1L << 30)
+    Compaction.compact(spark, groups, s"$d8/out",
+      eqDeleteDir = Some(s"$d8/eqdel"))
+    val fs = new org.apache.hadoop.fs.Path(d8)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    groups.flatMap(_.files).foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f.path), false)
+    }
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$d8/out/g0"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .foreach { s =>
+        fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(s"$d8/data/${s.getPath.getName}"))
+      }
+    // every file was rewritten since the tombstones landed, so the
+    // PLAIN read already equals the merge-on-read — the condition under
+    // which the eq table may be dropped
+    val plainAfter = spark.read.parquet(s"$d8/data")
+      .select($"k").as[Long].collect().sorted
+    assert(plainAfter.toSeq == before.toSeq)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d8/eqdel"), true)
+    val dropped = DeletionVectors
+      .readWithKeyDeletes(spark, s"$d8/data", s"$d8/eqdel")
+      .select($"k").as[Long].collect().sorted
+    assert(dropped.toSeq == before.toSeq)
+  }
 }

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the time-travel contract: (1) commits are append-only — a new
+  * snapshot never disturbs reads at an older one; (2) a compaction
+  * committed as a rewrite preserves row content at the new snapshot
+  * while every older snapshot still reads its own file set; (3)
+  * copy-on-write erasure is a rewrite commit — the erased rows vanish
+  * only from the new snapshot; (4) range reads prune from the pinned
+  * snapshot's stats; (5) expire deletes exactly the files no surviving
+  * snapshot references, and the survivor still reads. */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sumK(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)), sum($"k")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("append, compact-rewrite, CoW-erase, expire — every snapshot stays consistent") {
+    val d = java.nio.file.Files.createTempDirectory("snap").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    (1L to 400L).toDF("k").repartition(4).write.parquet(data)
+    val c0 = Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    assert(c0.snapshot == 0L && c0.added == 4 && c0.removed == 0)
+    val q0 = sumK(Snapshots.readAt(spark, root, 0L))
+    assert(q0 == ((400L, 400L * 401 / 2)))
+
+    // append-path commit: new files join, s0 must not see them
+    (401L to 500L).toDF("k").repartition(2).write.mode("append").parquet(data)
+    val c1 = Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    assert(c1.snapshot == 1L && c1.added == 2 && c1.kept == 4)
+    assert(sumK(Snapshots.readAt(spark, root, 1L)) == ((500L, 500L * 501 / 2)))
+    assert(sumK(Snapshots.readAt(spark, root, 0L)) == q0) // time travel
+
+    // compaction as a rewrite commit: content identical at s2, s0/s1 intact
+    val groups = Compaction.plan(spark, data, 1L << 30)
+    val multi = groups.filter(_.files.length > 1)
+    Compaction.compact(spark, multi, s"$d/cout")
+    val c2 = Snapshots.commitRewrite(spark, root,
+      removed = multi.flatMap(_.files).map(_.path), addedDir = s"$d/cout",
+      cols = Seq("k"))
+    assert(c2.snapshot == 2L && c2.removed == multi.map(_.files.length).sum)
+    assert(sumK(Snapshots.readAt(spark, root, 2L)) == ((500L, 500L * 501 / 2)))
+    assert(sumK(Snapshots.readAt(spark, root, 1L)) == ((500L, 500L * 501 / 2)))
+    assert(sumK(Snapshots.readAt(spark, root, 0L)) == q0)
+
+    // copy-on-write erasure: rewrite the files containing victims, commit
+    val victims = Set(7L, 123L, 499L)
+    val s2Files = Snapshots.filesAt(spark, root, 2L)
+    val touched = s2Files.filter { f =>
+      spark.read.parquet(f).filter($"k".isin(victims.toSeq: _*)).limit(1)
+        .count() > 0
+    }
+    assert(touched.nonEmpty)
+    spark.read.parquet(touched: _*).filter(!$"k".isin(victims.toSeq: _*))
+      .coalesce(1).write.parquet(s"$d/eout")
+    val c3 = Snapshots.commitRewrite(spark, root,
+      removed = touched, addedDir = s"$d/eout", cols = Seq("k"))
+    assert(c3.snapshot == 3L)
+    val q3 = sumK(Snapshots.readAt(spark, root, 3L))
+    assert(q3 == ((497L, 500L * 501 / 2 - victims.sum)))
+    // erased rows still visible at the PRE-erase snapshot — the audit read
+    assert(sumK(Snapshots.readAt(spark, root, 2L)) == ((500L, 500L * 501 / 2)))
+
+    // pruned range read at the pinned snapshot
+    val got = Snapshots.readRangeAt(spark, root, 3L, "k", 10L, 20L)
+      .select($"k").as[Long].collect().sorted
+    assert(got.toSeq == (10L to 20L))
+
+    // expire everything but the latest: files only s0..s2 referenced are
+    // deleted, the survivor still reads, and the dropped snapshots vanish
+    val rep = Snapshots.expire(spark, root, keepFrom = 3L)
+    assert(rep.snapshotsDropped == 3 && rep.filesDeleted > 0)
+    assert(Snapshots.snapshots(spark, root) == Seq(3L))
+    assert(sumK(Snapshots.readAt(spark, root, 3L)) == q3)
+    // every surviving file exists; the rewrite victims are gone
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.filesAt(spark, root, 3L).foreach { f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(f)), s"missing $f")
+    }
+    touched.foreach { f =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(f)), s"not expired: $f")
+    }
+  }
+
+  test("rewrite of files the snapshot does not list fails loudly") {
+    val d = java.nio.file.Files.createTempDirectory("snapbad").toString
+    (1L to 10L).toDF("k").coalesce(1).write.parquet(s"$d/data")
+    Snapshots.commitFromFs(spark, s"$d/data", s"$d/snaps", Seq("k"))
+    (11L to 12L).toDF("k").coalesce(1).write.parquet(s"$d/extra")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.commitRewrite(spark, s"$d/snaps",
+        removed = Seq(s"$d/data/nonexistent.parquet"),
+        addedDir = s"$d/extra", cols = Seq("k"))
+    }
+    assert(ex.getMessage.contains("contains only"))
+  }
+}
