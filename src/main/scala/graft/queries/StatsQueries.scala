@@ -113,17 +113,24 @@ object StatsQueries {
           .groupBy($"x", $"y").agg(count(lit(1)).as("nc"))
         val a = cells.as("a")
         val b = cells.as("b")
+        // cell/margin counts are cast to DECIMAL(38,0) BEFORE their
+        // products (not just before the sum): a long·long product wraps
+        // silently past ~9.2×10¹⁸ while DuckDB promotes to HUGEINT —
+        // the engines would diverge rather than fail loudly. The
+        // decimal multiply keeps the whole pair algebra exact to 10³⁸.
         val pairs = a.join(b, $"a.x" < $"b.x")
           .agg(
-            sum(when($"a.y" < $"b.y", $"a.nc" * $"b.nc").otherwise(0L)
-              .cast("decimal(38,0)")).as("c_pairs"),
-            sum(when($"a.y" > $"b.y", $"a.nc" * $"b.nc").otherwise(0L)
-              .cast("decimal(38,0)")).as("d_pairs"))
+            sum(when($"a.y" < $"b.y", $"a.nc".cast("decimal(38,0)") * $"b.nc")
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("c_pairs"),
+            sum(when($"a.y" > $"b.y", $"a.nc".cast("decimal(38,0)") * $"b.nc")
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("d_pairs"))
         val tx = cells.groupBy($"x").agg(sum($"nc").as("t"))
-          .agg(sum(($"t" * ($"t" - 1) / 2).cast("decimal(38,0)")).as("n1"),
+          .agg(sum(($"t".cast("decimal(38,0)") * ($"t" - 1) / 2)
+              .cast("decimal(38,0)")).as("n1"),
             sum($"t").cast("decimal(38,0)").as("n"))
         val ty = cells.groupBy($"y").agg(sum($"nc").as("t"))
-          .agg(sum(($"t" * ($"t" - 1) / 2).cast("decimal(38,0)")).as("n2"))
+          .agg(sum(($"t".cast("decimal(38,0)") * ($"t" - 1) / 2)
+              .cast("decimal(38,0)")).as("n2"))
         pairs.crossJoin(tx).crossJoin(ty)
           .select(
             $"n".cast("long").as("n"),
@@ -643,15 +650,47 @@ object StatsQueries {
     // both engines; IV terms are quantized to 1e-8 before the
     // cross-bin sum so summation order is irrelevant. Bins = 10 rows
     // regardless of table size.
+    //
+    // The decile assignment keeps the oracle's EXACT ntile(10)
+    // semantics (first n%10 tiles carry ⌈n/10⌉ rows) but derives it
+    // from a bucketed global rank (ops/PrefixSum — the a56/a65/o10
+    // recipe) instead of a window over the global total order: ntile
+    // over an empty partitionBy is a single-reducer row-grain sort,
+    // the one spelling this battery bans. The order key is the exact
+    // integer cents(o_totalprice)·10¹⁰ + o_orderkey — a strictly
+    // monotone injection of the oracle's (o_totalprice, o_orderkey)
+    // ORDER BY while totalprice < ~9.2×10⁶ currency units and
+    // orderkey < 10¹⁰ (TPC-H totalprice is bounded per order
+    // independent of SF; orderkey crosses 10¹⁰ around SF ~1600, far
+    // past this table's documented envelope). pipe_woe_iv_approx
+    // remains the sketch-edge production twin.
     OracleQuery(
       "pipe_woe_iv",
       (s, d) => {
         import s.implicits._
-        val wNt = Window.orderBy($"o_totalprice", $"o_orderkey")
-        val binned = Tables.orders(s, d)
+        val base = Tables.orders(s, d)
           .select($"o_totalprice", $"o_orderkey",
             ($"o_orderstatus" === "F").as("is_bad"))
-          .withColumn("bin", ntile(10).over(wNt))
+          .withColumn("ord",
+            floor($"o_totalprice" * 100 + 0.5).cast("long")
+              * lit(10000000000L) + $"o_orderkey")
+        val n = base.count()
+        val q = n / 10
+        val rem = n % 10
+        val ranked = graft.ops.PrefixSum.withCumsum(
+          base.withColumn("g", lit(0)).withColumn("one", lit(1L)),
+          "g", "ord", "one", outCol = "rnk", knownCount = Some(n))
+        // ntile(10) from the 0-based rank r: tiles 1..rem have q+1
+        // rows, the rest q — integer algebra only (`div`), with the
+        // q=0 degenerate guarded (then r < rem·(q+1) always holds and
+        // the otherwise-branch is never selected)
+        val binned = ranked
+          .withColumn("r0", $"rnk" - 1)
+          .withColumn("bin",
+            (when($"r0" < lit(rem * (q + 1)),
+              expr(s"r0 div ${q + 1}"))
+              .otherwise(lit(rem) + expr(s"(r0 - ${rem * (q + 1)}) div ${math.max(q, 1L)}"))
+              + 1).cast("int"))
         val perBin = binned.groupBy($"bin")
           .agg(
             sum(when(!$"is_bad", 1L).otherwise(0L)).as("n_good"),
@@ -906,12 +945,17 @@ object StatsQueries {
           .filter($"event_type".isin("click", "error") && $"value".isNotNull)
           .select(($"event_type" === "click").as("ga"), q.as("q"))
           .agg(
+            // Σq² runs as DECIMAL(38,0): the per-row q·q product and
+            // its sum would wrap a long silently past ~9.2×10¹⁸
+            // (DuckDB promotes to HUGEINT — divergence, not an error)
             sum(when($"ga", 1L).otherwise(0L)).as("n1"),
             sum(when($"ga", $"q").otherwise(0L)).as("s1"),
-            sum(when($"ga", $"q" * $"q").otherwise(0L)).as("ss1"),
+            sum(when($"ga", $"q".cast("decimal(38,0)") * $"q")
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("ss1"),
             sum(when(!$"ga", 1L).otherwise(0L)).as("n2"),
             sum(when(!$"ga", $"q").otherwise(0L)).as("s2"),
-            sum(when(!$"ga", $"q" * $"q").otherwise(0L)).as("ss2"))
+            sum(when(!$"ga", $"q".cast("decimal(38,0)") * $"q")
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("ss2"))
         sums
           .withColumn("v1",
             ($"ss1".cast("double") - $"s1".cast("double") * $"s1" / $"n1") / ($"n1" - 1))
@@ -921,7 +965,10 @@ object StatsQueries {
             ($"s1".cast("double") / $"n1" - $"s2".cast("double") / $"n2")
               / sqrt((($"n1" - 1) * $"v1" + ($"n2" - 1) * $"v2") / ($"n1" + $"n2" - 2)))
           .withColumn("se",
-            sqrt(($"n1" + $"n2").cast("double") / ($"n1" * $"n2")
+            // n1·n2 in double (exact to 2⁵³): the long product is the
+            // same wrap hazard as the Σq² sums past ~4.3×10⁹ rows/arm
+            sqrt(($"n1" + $"n2").cast("double")
+              / ($"n1".cast("double") * $"n2")
               + $"dd" * $"dd" / (lit(2.0) * ($"n1" + $"n2"))))
           .select(
             $"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
@@ -1308,7 +1355,12 @@ object StatsQueries {
     // test — past ~10⁷ rows the a48 χ² is the right tool and this
     // entry's role is the small-margin audit), the k-support
     // min(r1,c1)−max(0,r1+c1−N) rows. The two 1-row collects are the
-    // bounded-scalar class.
+    // bounded-scalar class. The ln-factorial cumsum runs through
+    // ops/PrefixSum (bucketed global prefix sum — the a56/a65/o10
+    // recipe), never a single-reducer global window: even at the
+    // "small-sample" grain this file's header pledge of no row-sized
+    // one-partition frames holds, and the values are identical (a
+    // prefix sum does not depend on how it is parallelized).
     OracleQuery(
       "a74_fisher_exact",
       (s, d) => {
@@ -1321,11 +1373,12 @@ object StatsQueries {
             sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("c1"),
             count(lit(1)).as("nn"))
           .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-        val w = Window.orderBy($"i")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val lf = s.range(1, nnv + 1).select($"id".as("i"))
-          .withColumn("f",
-            sum(floor(log($"i".cast("double")) * 1e12 + 0.5).cast("long")).over(w))
+        val lf = graft.ops.PrefixSum.withCumsum(
+            s.range(1, nnv + 1)
+              .select($"id".as("i"), lit(0).as("g"),
+                floor(log($"id".cast("double")) * 1e12 + 0.5).cast("long").as("li")),
+            "g", "i", "li", outCol = "f", knownCount = Some(nnv))
+          .select($"i", $"f")
         val lf0 = lf.unionByName(Seq((0L, 0L)).toDF("i", "f")).persist()
         // the six margin ln-factorials — a 6-row bounded lookup
         val need = Seq(r1v, nnv - r1v, nnv, c1v, nnv - c1v).distinct

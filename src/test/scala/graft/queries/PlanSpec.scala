@@ -618,4 +618,41 @@ class PlanSpec extends SparkSpec {
     // crossJoins; the fact-side purge joins must stay hash joins
     assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
   }
+
+  /** Plan text of a frame INCLUDING every cached subtree it scans —
+    * persisted intermediates (a74's factorial table) hide their window
+    * shape behind InMemoryTableScan in the top-level plan. */
+  private def planWithCached(df: DataFrame): String = {
+    val top = df.queryExecution.executedPlan
+    val cached = top.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan.toString
+    }
+    (top.toString +: cached).mkString("\n")
+  }
+
+  test("fisher exact: the ln-factorial cumsum is bucket-parallel, never a one-reducer window") {
+    // the factorial table is the one row-count-sized frame in a74; its
+    // prefix sum must come from ops/PrefixSum — the only window is
+    // partitioned by (group, ps_b) — and the unpartitioned
+    // running-sum spelling (windowspecdefinition over a bare ORDER BY
+    // i) must not appear anywhere, including inside the persisted
+    // subtree
+    val p = planWithCached(Registry.queries("a74_fisher_exact")(spark, sf))
+    assert(p.contains("ps_b"),
+      s"ln-factorials must ride the bucketed prefix sum:\n$p")
+    assert(!p.contains("windowspecdefinition(i#"),
+      s"no unpartitioned window over the factorial frame:\n$p")
+  }
+
+  test("WOE deciles: exact ntile arithmetic from the bucketed rank, no global-sort window") {
+    // pipe_woe_iv keeps ntile(10) SEMANTICS (the oracle's spelling)
+    // but must not plan ntile over an empty partition — the decile id
+    // derives from the PrefixSum global rank; the only whole-frame
+    // window left is the 10-row per-bin totals pass
+    val p = planWithCached(Registry.queries("pipe_woe_iv")(spark, sf))
+    assert(!p.contains("ntile"), s"no ntile window in the plan:\n$p")
+    assert(p.contains("ps_b"),
+      s"the decile rank must come from the bucketed prefix sum:\n$p")
+  }
 }
