@@ -21,6 +21,38 @@ object StreamQueries {
 
   private val NY = "America/New_York"
 
+  /** Write `daily` (event_type/flag key, `day` timestamp, `y`) as 4
+    * contiguous replay chunk files under `$tmp/in/c0..c3`, with cut
+    * boundaries DERIVED from the series' own [min, max] day span (UTC
+    * session tz, whole days). A hard-coded cut list would silently
+    * drop rows if the generated date range ever moved — the chunks
+    * filter the STREAM side only, so the loss would surface as a
+    * confusing stream-vs-oracle hash mismatch instead of an error.
+    * `firstCutDays` pins the first seam N days after the series start
+    * (the Holt–Winters warmup-straddle property needs a seam inside
+    * the first m observations); remaining seams split the rest evenly.
+    * Chunk positions never change OUTPUT values — the per-key folds
+    * carry state across seams and replay order is pinned — only which
+    * seam each row crosses. */
+  private def writeDayChunks(daily: org.apache.spark.sql.DataFrame,
+      tmp: String, firstCutDays: Option[Long] = None): Unit = {
+    import daily.sparkSession.implicits._
+    val mm = daily.agg(min($"day"), max($"day")).collect()(0)
+    val lo = mm.getTimestamp(0).getTime
+    val dayMs = 86400000L
+    val nd = (mm.getTimestamp(1).getTime - lo) / dayMs + 1
+    require(nd >= 8, s"day-chunked replay needs >= 8 days of data, got $nd")
+    val o1 = firstCutDays.getOrElse(nd / 4)
+    require(o1 > 0 && o1 < nd, s"first cut $o1 outside (0, $nd)")
+    val offs = Seq(0L, o1, o1 + (nd - o1) / 3, o1 + 2 * (nd - o1) / 3, nd)
+    for (i <- 0 until 4) {
+      daily.filter(
+          $"day" >= lit(new java.sql.Timestamp(lo + offs(i) * dayMs)) &&
+            $"day" < lit(new java.sql.Timestamp(lo + offs(i + 1) * dayMs)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
+    }
+  }
+
   def all: Seq[OracleQuery] = Seq(
     OracleQuery(
       "stream_daily_tmax",
@@ -672,12 +704,7 @@ object StreamQueries {
           .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("y"))
           .persist()
         val tmp = graft.core.Scratch.dir("stream_kalman", d)
-        val cuts = Seq("2024-01-01", "2024-01-09", "2024-01-17", "2024-01-25", "2024-02-02")
-        for (i <- 0 until 4) {
-          daily.filter($"day" >= lit(cuts(i)).cast("timestamp") &&
-              $"day" < lit(cuts(i + 1)).cast("timestamp"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
-        }
+        writeDayChunks(daily, tmp)
         daily.unpersist()
         // the Kalman fold (unlike sessionize) is order-FATAL across
         // seams — pin the replay order against mtime ties
@@ -719,14 +746,9 @@ object StreamQueries {
             .as("y"))
           .persist()
         val tmp = graft.core.Scratch.dir("stream_hw", d)
-        // first cut at Jan 4 1995: every flag's 7-row warmup buffer is
+        // first cut 3 days in: every flag's 7-row warmup buffer is
         // mid-fill at the first seam — the property under test
-        val cuts = Seq("1995-01-01", "1995-01-04", "1996-07-01", "1999-01-01", "2002-01-01")
-        for (i <- 0 until 4) {
-          daily.filter($"day" >= lit(cuts(i)).cast("timestamp") &&
-              $"day" < lit(cuts(i + 1)).cast("timestamp"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
-        }
+        writeDayChunks(daily, tmp, firstCutDays = Some(3L))
         daily.unpersist()
         graft.streaming.Streams.pinChunkOrder(s, s"$tmp/in", 4)
         val src = s.readStream
@@ -770,12 +792,7 @@ object StreamQueries {
           .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("y"))
           .persist()
         val tmp = graft.core.Scratch.dir("stream_ewma", d)
-        val cuts = Seq("2024-01-01", "2024-01-09", "2024-01-17", "2024-01-25", "2024-02-02")
-        for (i <- 0 until 4) {
-          daily.filter($"day" >= lit(cuts(i)).cast("timestamp") &&
-              $"day" < lit(cuts(i + 1)).cast("timestamp"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
-        }
+        writeDayChunks(daily, tmp)
         daily.unpersist()
         // order-FATAL fold (like kalman): pin the replay order
         graft.streaming.Streams.pinChunkOrder(s, s"$tmp/in", 4)

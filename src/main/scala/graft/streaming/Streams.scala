@@ -288,7 +288,8 @@ object Streams {
 
   final case class KalmanState(x: Double, p: Double, lastMs: Long)
   final case class KalmanPoint(eventType: String, day: java.sql.Timestamp,
-      y: Double, level: Double, gain: Double, variance: Double)
+      y: Option[Double], level: Option[Double], gain: Option[Double],
+      variance: Option[Double])
 
   /** Streaming local-level Kalman filter — the stateful-stream twin of
     * [[graft.ops.KalmanLevel.perKey]] (w25): state is TWO doubles per
@@ -312,40 +313,43 @@ object Streams {
     daily
       .select(col("event_type"), col("day"), col("y"))
       // Option decode: a null y row (possible when the upstream day
-      // aggregate is not null-filtered) is SKIPPED with state untouched
-      // rather than crashing the non-nullable decoder; the gated entry
-      // filters nulls upstream so batch parity is unaffected
+      // aggregate is not null-filtered) PASSES THROUGH with null
+      // outputs and state untouched — byte-identical to the batch
+      // kernel's ignore-nulls contract, so the twins agree in
+      // CARDINALITY too, not just on non-null inputs
       .as[(String, java.sql.Timestamp, Option[Double])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[KalmanState, KalmanPoint](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
          state: GroupState[KalmanState]) =>
-          val sorted = rows.toIndexedSeq
-            .collect { case (k, t, Some(v)) => (k, t, v) }
-            .sortBy(_._2.getTime)
+          val sorted = rows.toIndexedSeq.sortBy(_._2.getTime)
           var cur = state.getOption
           val out = Vector.newBuilder[KalmanPoint]
-          for ((_, day, y) <- sorted) {
-            cur match {
+          for ((_, day, yOpt) <- sorted) {
+            (cur, yOpt) match {
               // late OR re-delivered row: drop. `<=` (not `<`) — the
               // gated daily aggregate guarantees strictly increasing
               // days per key, so a timestamp EQUAL to the saved state's
               // last can only be a duplicate delivery; folding it again
               // would double-apply the update and diverge from the
               // batch kernel for every subsequent row of the key
-              case Some(s) if day.getTime <= s.lastMs => ()
-              case Some(s) =>
+              case (Some(s), _) if day.getTime <= s.lastMs => ()
+              case (_, None) =>
+                // null observation: passthrough, state (incl. lastMs)
+                // untouched — the batch kernel's exact behavior
+                out += KalmanPoint(key, day, None, None, None, None)
+              case (Some(s), Some(y)) =>
                 // spelled exactly as KalmanLevel.perKey
                 val pPred = s.p + q
                 val kg = pPred / (pPred + r)
                 val x = s.x + kg * (y - s.x)
                 val p = (1 - kg) * pPred
                 cur = Some(KalmanState(x, p, day.getTime))
-                out += KalmanPoint(key, day, y, x, kg, p)
-              case None =>
+                out += KalmanPoint(key, day, Some(y), Some(x), Some(kg), Some(p))
+              case (None, Some(y)) =>
                 cur = Some(KalmanState(y, r, day.getTime))
-                out += KalmanPoint(key, day, y, y, 1.0, r)
+                out += KalmanPoint(key, day, Some(y), Some(y), Some(1.0), Some(r))
             }
           }
           cur.foreach(state.update)
@@ -355,7 +359,8 @@ object Streams {
 
   final case class EwmaAnomState(n: Long, m: Double, v: Double, lastMs: Long)
   final case class EwmaAnomPoint(eventType: String, day: java.sql.Timestamp,
-      y: Double, level: Double, z: Option[Double], isAnomaly: Boolean)
+      y: Option[Double], level: Option[Double], z: Option[Double],
+      isAnomaly: Option[Boolean])
 
   /** Streaming EWMA control band — the stateful twin of
     * [[graft.ops.EwmaAnomaly.perKey]]: three doubles of state per key
@@ -379,15 +384,17 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
          state: GroupState[EwmaAnomState]) =>
-          val sorted = rows.toIndexedSeq
-            .collect { case (k, t, Some(v)) => (k, t, v) }
-            .sortBy(_._2.getTime)
+          val sorted = rows.toIndexedSeq.sortBy(_._2.getTime)
           var cur = state.getOption
           val out = Vector.newBuilder[EwmaAnomPoint]
-          for ((_, day, y) <- sorted) {
-            cur match {
-              case Some(s) if day.getTime <= s.lastMs => () // duplicate/late: drop
-              case Some(s) =>
+          for ((_, day, yOpt) <- sorted) {
+            (cur, yOpt) match {
+              case (Some(s), _) if day.getTime <= s.lastMs => () // duplicate/late: drop
+              case (_, None) =>
+                // null observation: passthrough with null scores, state
+                // (incl. lastMs) untouched — the batch kernel's contract
+                out += EwmaAnomPoint(key, day, None, None, None, None)
+              case (Some(s), Some(y)) =>
                 // spelled exactly as EwmaAnomaly.perKey
                 val z =
                   if (s.n >= warmup && s.v > 0.0) Some((y - s.m) / math.sqrt(s.v))
@@ -397,10 +404,11 @@ object Streams {
                 val m = s.m + alpha * d
                 val v = (1 - alpha) * (s.v + alpha * d * d)
                 cur = Some(EwmaAnomState(s.n + 1, m, v, day.getTime))
-                out += EwmaAnomPoint(key, day, y, m, z, flag)
-              case None =>
+                out += EwmaAnomPoint(key, day, Some(y), Some(m), z, Some(flag))
+              case (None, Some(y)) =>
                 cur = Some(EwmaAnomState(1L, y, 0.0, day.getTime))
-                out += EwmaAnomPoint(key, day, y, y, None, isAnomaly = false)
+                out += EwmaAnomPoint(key, day, Some(y), Some(y), None,
+                  Some(false))
             }
           }
           cur.foreach(state.update)
@@ -411,7 +419,7 @@ object Streams {
   final case class HwState(buf: Seq[Double], seeded: Boolean, l: Double,
       b: Double, sea: Seq[Double], idx: Int, lastMs: Long)
   final case class HwPoint(eventType: String, day: java.sql.Timestamp,
-      y: Double, yhat: Option[Double], level: Option[Double],
+      y: Option[Double], yhat: Option[Double], level: Option[Double],
       trend: Option[Double])
 
   /** Streaming additive Holt–Winters — the stateful twin of
@@ -435,16 +443,20 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
          state: GroupState[HwState]) =>
-          val sorted = rows.toIndexedSeq
-            .collect { case (k, t, Some(v)) => (k, t, v) }
-            .sortBy(_._2.getTime)
+          val sorted = rows.toIndexedSeq.sortBy(_._2.getTime)
           var cur = state.getOption
             .getOrElse(HwState(Vector.empty, seeded = false, 0.0, 0.0,
               Vector.empty, 0, Long.MinValue))
           val out = Vector.newBuilder[HwPoint]
-          for ((_, day, y) <- sorted) {
+          for ((_, day, yOpt) <- sorted) {
             if (day.getTime <= cur.lastMs) () // duplicate/late: drop
-            else if (!cur.seeded) {
+            else if (yOpt.isEmpty) {
+              // null observation: passthrough, nothing enters the seed
+              // buffer or the recursion, lastMs untouched — byte parity
+              // with the batch kernel's ignore-nulls contract
+              out += HwPoint(key, day, None, None, None, None)
+            } else if (!cur.seeded) {
+              val y = yOpt.get
               val buf = cur.buf :+ y
               if (buf.length == m) {
                 // spelled exactly as HoltWinters.perKey: left-assoc mean
@@ -455,8 +467,9 @@ object Streams {
                 cur = HwState(Vector.empty, seeded = true, l, 0.0,
                   buf.map(_ - l).toVector, 0, day.getTime)
               } else cur = cur.copy(buf = buf, lastMs = day.getTime)
-              out += HwPoint(key, day, y, None, None, None)
+              out += HwPoint(key, day, Some(y), None, None, None)
             } else {
+              val y = yOpt.get
               val sTm = cur.sea(cur.idx)
               val yhat = cur.l + cur.b + sTm
               val lNew = alpha * (y - sTm) + (1 - alpha) * (cur.l + cur.b)
@@ -465,7 +478,7 @@ object Streams {
                 gamma * (y - lNew) + (1 - gamma) * sTm)
               cur = HwState(Vector.empty, seeded = true, lNew, bNew,
                 seaNew, (cur.idx + 1) % m, day.getTime)
-              out += HwPoint(key, day, y, Some(yhat), Some(lNew), Some(bNew))
+              out += HwPoint(key, day, Some(y), Some(yhat), Some(lNew), Some(bNew))
             }
           }
           state.update(cur)

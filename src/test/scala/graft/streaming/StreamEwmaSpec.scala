@@ -66,4 +66,42 @@ class StreamEwmaSpec extends SparkSpec {
     assert(got == Seq((day(5), 10.0), (day(6), 12.0), (day(7), 11.0)),
       s"late row must vanish, got $got")
   }
+
+  test("null observations pass through with null scores — cardinality parity with the batch kernel") {
+    val tmp = java.nio.file.Files.createTempDirectory("sewma_null").toString
+    // a null lands mid-series AND on a seam-adjacent row: the stream
+    // twin must emit it (null scores, state untouched) exactly like the
+    // batch kernel, so the two outputs agree in cardinality, not just
+    // on non-null inputs
+    val rows = Seq(
+      ("A", day(1), Some(10.0)), ("A", day(2), None),
+      ("A", day(3), Some(10.5)), ("A", day(4), None),
+      ("A", day(5), Some(9.5)), ("A", day(6), Some(10.2)))
+    rows.grouped(2).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("event_type", "day", "y")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
+    }
+    Streams.pinChunkOrder(spark, s"$tmp/in", 3)
+    val src = spark.readStream
+      .schema("event_type STRING, day TIMESTAMP, y DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*")
+    Streams.runAvailableNow(
+      Streams.ewmaAnomalyStream(src, alpha = 0.25, zThreshold = 3.0, warmup = 2).toDF(),
+      s"$tmp/ckpt", s"$tmp/out")
+    val got = spark.read.parquet(s"$tmp/out")
+      .orderBy($"day")
+      .select($"y", $"level", $"z", $"isAnomaly")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Boolean])]
+      .collect().toSeq
+    val batch = graft.ops.EwmaAnomaly.perKey(
+        rows.toDF("event_type", "day", "y"), "event_type", Seq("day"), "y",
+        alpha = 0.25, zThreshold = 3.0, warmup = 2)
+      .orderBy($"day")
+      .select($"y", $"level", $"z", $"is_anomaly")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Boolean])]
+      .collect().toSeq
+    assert(got.length == rows.length, s"one output row per input row: $got")
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
 }

@@ -70,4 +70,46 @@ class StreamHwSpec extends SparkSpec {
     assert(got == base.map(r => (r._2, r._3)),
       s"late duplicate must vanish, got $got")
   }
+
+  test("null observations pass through without entering the seed buffer — batch cardinality parity") {
+    val tmp = java.nio.file.Files.createTempDirectory("shw_null").toString
+    // nulls fall INSIDE the warmup window: the batch kernel skips them
+    // (the buffer fills from non-null rows only) while emitting their
+    // passthrough rows — the stream twin must do both identically
+    val rows: Seq[(String, java.sql.Timestamp, Option[Double])] =
+      (0 until 12).map { i =>
+        val y = if (i == 2 || i == 9) None else Some(10.0 + (i % 4))
+        ("A", day(i), y)
+      }
+    Seq(rows.take(4), rows.slice(4, 9), rows.drop(9)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        chunk.toDF("event_type", "day", "y")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
+    }
+    Streams.pinChunkOrder(spark, s"$tmp/in", 3)
+    val src = spark.readStream
+      .schema("event_type STRING, day TIMESTAMP, y DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*")
+    Streams.runAvailableNow(
+      Streams.holtWintersStream(src, m = 7, alpha = 0.25, beta = 0.0625, gamma = 0.25)
+        .toDF(),
+      s"$tmp/ckpt", s"$tmp/out")
+    val got = spark.read.parquet(s"$tmp/out")
+      .orderBy($"day")
+      .select($"y", $"yhat", $"level", $"trend")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    val batch = graft.ops.HoltWinters.perKey(
+        rows.toDF("event_type", "day", "y"), "event_type", Seq("day"), "y",
+        m = 7, alpha = 0.25, beta = 0.0625, gamma = 0.25)
+      .orderBy($"day")
+      .select($"y", $"yhat", $"level", $"trend")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got.length == rows.length, s"one output row per input row: $got")
+    assert(got == batch, s"stream $got vs batch $batch")
+    // 10 non-null rows, m = 7 seeds -> exactly 3 scored forecasts
+    assert(got.count(_._2.nonEmpty) == 3)
+  }
 }
