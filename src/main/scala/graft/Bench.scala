@@ -169,7 +169,12 @@ object Bench {
     "stream_quality_dlq",  // quality gate with dead-letter quarantine
     "stream_hll_sketch_table", // per-batch HLL sketch table maintenance
     "pipe_era5_hdf5",      // NetCDF-4/HDF5 grid extract pipeline
-    "o33_equality_delete_read") // CDC tombstones -> equality-delete MoR
+    "o33_equality_delete_read", // CDC tombstones -> equality-delete MoR
+    "o34_time_travel_read", // 3 snapshot commits incl. a compaction rewrite
+    "a79_cuped",           // pre-period covariate adjustment (one scan + moments)
+    "a80_mantel_haenszel", // stratified OR + CMH from K 2x2 cells
+    "w30_seasonal_strength", // ANOVA-identity STL-lite weekly-shape gate
+    "pipe_target_encoding_oof") // out-of-fold m-estimate encoder (25-cell algebra)
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -1526,6 +1526,61 @@ object CoreQueries {
              |FROM events e
              |WHERE e.user_id NOT IN (SELECT user_id FROM dead)
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // O34: snapshot time travel (ops/Snapshots) — the repeatable-read
+    // contract of the versioned manifest, driven through a real
+    // maintenance sequence: commit s0 = yesterday's load (even order
+    // keys), s1 = today's append (odd keys), s2 = a COMPACTION
+    // REWRITE of the whole layout (outputs land beside the inputs;
+    // the snapshot swaps the file list, nothing is deleted). The gate
+    // reads ALL THREE snapshots AFTER the compaction: s0 must still
+    // see only yesterday's rows (through the original files), and s1
+    // vs s2 must agree exactly even though s2 reads entirely
+    // different bytes — a table is its snapshot's file list, not a
+    // directory. The oracle recomputes each snapshot's content from
+    // the commit predicates.
+    OracleQuery(
+      "o34_time_travel_read",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.core.Scratch.dir("snapttq", d)
+        val orders = Tables.orders(s, d)
+        orders.filter($"o_orderkey" % 2 === 0).repartition(2)
+          .write.mode("overwrite").parquet(s"$tmp/data")
+        graft.ops.Snapshots.commitFromFs(s, s"$tmp/data", s"$tmp/snaps",
+          Seq("o_orderkey"))
+        orders.filter($"o_orderkey" % 2 === 1).repartition(2)
+          .write.mode("append").parquet(s"$tmp/data")
+        graft.ops.Snapshots.commitFromFs(s, s"$tmp/data", s"$tmp/snaps",
+          Seq("o_orderkey"))
+        val groups = graft.ops.Compaction.plan(s, s"$tmp/data", 1L << 30)
+        val multi = groups.filter(_.files.length > 1)
+        graft.ops.Compaction.compact(s, multi, s"$tmp/cout")
+        graft.ops.Snapshots.commitRewrite(s, s"$tmp/snaps",
+          removed = multi.flatMap(_.files).map(_.path),
+          addedDir = s"$tmp/cout", cols = Seq("o_orderkey"))
+        Seq(0L, 1L, 2L).map { snap =>
+          graft.ops.Snapshots.readAt(s, s"$tmp/snaps", snap)
+            .agg(
+              count(lit(1)).as("n"),
+              sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+                .as("sum_price_cents"))
+            .select(lit(snap).as("snap"), $"n", $"sum_price_cents")
+        }.reduce(_ unionAll _).orderBy($"snap")
+      },
+      Some("""SELECT 0 AS snap, count(*) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT 1, count(*),
+             |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 2, count(*),
+             |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |FROM orders
+             |ORDER BY snap""".stripMargin)
     )
   )
 

@@ -2331,6 +2331,79 @@ object PipelineQueries {
              |  floor(phi24 / 24.0 * 10000 + 0.5) / 10000 AS phi,
              |  CAST(v_gain AS BIGINT) AS v_gain
              |FROM phi, eff ORDER BY channel""".stripMargin)
+    ),
+
+    // Out-of-fold target encoding (pipe_target_encoding) — the
+    // leakage-safe categorical encoder every tabular-ML pipeline runs
+    // before a linear/GBM fit: category c's encoding for a row in fold
+    // f must exclude fold f's own labels (encoding with them leaks the
+    // target and inflates CV scores — the classic silent bug), plus
+    // m-estimate smoothing toward the (equally fold-excluded) global
+    // prior so rare categories don't memorize. The whole transform is
+    // ONE scan to a |C|×|folds| cell frame (5 priorities × 5 folds =
+    // 25 cells, bounded regardless of row count), then pure
+    // subtraction algebra on the margins: enc(c,f) = (S_c − S_cf +
+    // m·p_−f) / (N_c − N_cf + m) with p_−f = (S − S_f)/(N − N_f),
+    // m = 100. Category = o_orderpriority, target = the F-status
+    // flag; fold = o_orderkey % 5 (deterministic, engine-identical,
+    // entity-level — the group-split discipline). Every sum is an
+    // exact integer; doubles appear only in the final division,
+    // spelled operand-for-operand in the oracle.
+    OracleQuery(
+      "pipe_target_encoding_oof",
+      (s, d) => {
+        import s.implicits._
+        val cells = Tables.orders(s, d)
+          .groupBy($"o_orderpriority".as("mode"),
+            pmod($"o_orderkey", lit(5)).cast("long").as("fold"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when($"o_orderstatus" === "F", 1L).otherwise(0L))
+              .as("sv"))
+        val wAll = Window.partitionBy(lit(1))
+        val wMode = Window.partitionBy($"mode")
+        val wFold = Window.partitionBy($"fold")
+        cells
+          .withColumn("na", sum($"n").over(wAll))
+          .withColumn("sa", sum($"sv").over(wAll))
+          .withColumn("nm", sum($"n").over(wMode))
+          .withColumn("sm", sum($"sv").over(wMode))
+          .withColumn("nf", sum($"n").over(wFold))
+          .withColumn("sf", sum($"sv").over(wFold))
+          .withColumn("prior_out",
+            ($"sa" - $"sf").cast("double") / ($"na" - $"nf"))
+          .withColumn("enc",
+            (($"sm" - $"sv").cast("double") + lit(100.0) * $"prior_out")
+              / (($"nm" - $"n").cast("double") + lit(100.0)))
+          .select(
+            $"mode", $"fold",
+            ($"nm" - $"n").cast("long").as("n_out"),
+            ($"sm" - $"sv").cast("long").as("s_out"),
+            graft.core.Parity.floorRound4($"prior_out").as("prior_out"),
+            graft.core.Parity.floorRound4($"enc").as("enc"))
+          .orderBy($"mode", $"fold")
+      },
+      Some("""WITH cells AS (
+             |  SELECT o_orderpriority AS mode, CAST(o_orderkey % 5 AS BIGINT) AS fold,
+             |    count(*) AS n,
+             |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS sv
+             |  FROM orders GROUP BY 1, 2
+             |), marg AS (
+             |  SELECT mode, fold, n, sv,
+             |    sum(n) OVER () AS na, sum(sv) OVER () AS sa,
+             |    sum(n) OVER (PARTITION BY mode) AS nm,
+             |    sum(sv) OVER (PARTITION BY mode) AS sm,
+             |    sum(n) OVER (PARTITION BY fold) AS nf,
+             |    sum(sv) OVER (PARTITION BY fold) AS sf
+             |  FROM cells
+             |)
+             |SELECT mode, fold,
+             |  CAST(nm - n AS BIGINT) AS n_out,
+             |  CAST(sm - sv AS BIGINT) AS s_out,
+             |  floor(CAST(sa - sf AS DOUBLE) / (na - nf) * 10000 + 0.5) / 10000 AS prior_out,
+             |  floor((CAST(sm - sv AS DOUBLE) + 100.0 * (CAST(sa - sf AS DOUBLE) / (na - nf)))
+             |    / (CAST(nm - n AS DOUBLE) + 100.0) * 10000 + 0.5) / 10000 AS enc
+             |FROM marg ORDER BY mode, fold""".stripMargin)
     )
   )
 }

@@ -1459,6 +1459,291 @@ object StatsQueries {
              |  floor(least(1.0, 2 * least(p_le, p_ge)) * 10000 + 0.5) / 10000 AS p_fisher,
              |  least(1.0, 2 * least(p_le, p_ge)) < 0.05 AS reject_indep
              |FROM tails""".stripMargin)
+    ),
+
+    // CUPED variance reduction (a79) — the pre-experiment-covariate
+    // adjustment every mature A/B platform applies before reading a
+    // metric (Deng et al., WSDM'13): each user's pre-period activity X
+    // explains away part of their post-period metric Y's variance, so
+    // the adjusted metric Y − θ(X − X̄) (θ = cov(X,Y)/var(X), pooled
+    // across arms — X is pre-assignment, so θ is treatment-independent)
+    // needs ~(1−ρ²)× the sample for the same power. One scan to
+    // user-grain (X, Y) cent sums (exact longs), one global moment agg
+    // (Σx, Σy, Σx², Σy², Σxy as DECIMAL(38,0) — the a70/a76 overflow
+    // discipline) plus per-arm totals, then closed-form double algebra
+    // spelled operand-for-operand in the oracle. Arm = user_id % 2 —
+    // deterministic and engine-identical. var_reduction = ρ², the
+    // textbook identity for the optimal θ.
+    OracleQuery(
+      "a79_cuped",
+      (s, d) => {
+        import s.implicits._
+        val perUser = Tables.events(s, d).filter($"value".isNotNull)
+          .groupBy($"user_id")
+          .agg(
+            sum(when($"ts" < lit("2024-01-16").cast("timestamp"),
+              floor($"value" * 100 + 0.5).cast("long")).otherwise(0L)).as("x"),
+            sum(when($"ts" >= lit("2024-01-16").cast("timestamp"),
+              floor($"value" * 100 + 0.5).cast("long")).otherwise(0L)).as("y"))
+          .withColumn("arm", pmod($"user_id", lit(2)).cast("long"))
+        val mom = perUser.agg(
+          count(lit(1)).as("n"),
+          sum($"x".cast("decimal(38,0)")).as("sx"),
+          sum($"y".cast("decimal(38,0)")).as("sy"),
+          sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+          sum($"y".cast("decimal(38,0)") * $"y").as("syy"),
+          sum($"x".cast("decimal(38,0)") * $"y").as("sxy"))
+        val arms = perUser.groupBy($"arm").agg(
+          count(lit(1)).as("na"),
+          sum($"x".cast("decimal(38,0)")).as("sxa"),
+          sum($"y".cast("decimal(38,0)")).as("sya"))
+        arms.crossJoin(mom)
+          .withColumn("nd", $"n".cast("double"))
+          .withColumn("cxy",
+            $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double") / $"nd")
+          .withColumn("vx",
+            $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"nd")
+          .withColumn("vy",
+            $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double") / $"nd")
+          .withColumn("theta", $"cxy" / $"vx")
+          .withColumn("mean_y", $"sya".cast("double") / $"na")
+          .withColumn("mean_y_adj",
+            $"sya".cast("double") / $"na"
+              - $"theta" * ($"sxa".cast("double") / $"na" - $"sx".cast("double") / $"nd"))
+          .select(
+            $"arm",
+            $"na".cast("long").as("n_users"),
+            Parity.floorRound4($"mean_y").as("mean_y"),
+            Parity.floorRound4($"mean_y_adj").as("mean_y_adj"),
+            Parity.floorRound4($"theta").as("theta"),
+            Parity.floorRound4($"cxy" * $"cxy" / ($"vx" * $"vy")).as("var_reduction"))
+          .orderBy($"arm")
+      },
+      Some("""WITH per_user AS (
+             |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+             |), mom AS (
+             |  SELECT count(*) AS n,
+             |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+             |  FROM per_user
+             |), arms AS (
+             |  SELECT arm, count(*) AS na,
+             |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sxa,
+             |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sya
+             |  FROM per_user GROUP BY 1
+             |), alg AS (
+             |  SELECT arm, na, CAST(n AS DOUBLE) AS nd,
+             |    sxy - sx * sy / CAST(n AS DOUBLE) AS cxy,
+             |    sxx - sx * sx / CAST(n AS DOUBLE) AS vx,
+             |    syy - sy * sy / CAST(n AS DOUBLE) AS vy,
+             |    sya, sxa, sx
+             |  FROM arms, mom
+             |)
+             |SELECT arm, CAST(na AS BIGINT) AS n_users,
+             |  floor(sya / na * 10000 + 0.5) / 10000 AS mean_y,
+             |  floor((sya / na - (cxy / vx) * (sxa / na - sx / nd)) * 10000 + 0.5) / 10000 AS mean_y_adj,
+             |  floor(cxy / vx * 10000 + 0.5) / 10000 AS theta,
+             |  floor(cxy * cxy / (vx * vy) * 10000 + 0.5) / 10000 AS var_reduction
+             |FROM alg ORDER BY arm""".stripMargin)
+    ),
+
+    // Mantel–Haenszel stratified odds ratio + CMH test (a80) — the
+    // confounder-aware sibling of a48's pooled χ²: pooling 2×2 tables
+    // across strata invites Simpson's paradox (a stratum-correlated
+    // exposure flips the pooled direction), so the common odds ratio
+    // is estimated WITHIN strata and combined with MH weights
+    // (Mantel & Haenszel 1959): OR = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ); the CMH
+    // statistic (no continuity correction) is (Σaᵢ − ΣE[aᵢ])²/ΣV[aᵢ]
+    // with the hypergeometric E and V per stratum. One join
+    // (orders⋈customer — the dimension broadcasts), one agg to K=5
+    // 2×2 cells, then per-stratum terms quantized at 1e-8 BEFORE the
+    // cross-stratum sum (double summation order never touches the
+    // hash). The four-way product in V runs in double with operands
+    // CAST identically on both engines.
+    OracleQuery(
+      "a80_mantel_haenszel",
+      (s, d) => {
+        import s.implicits._
+        val cells = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"o_orderpriority".as("k"))
+          .agg(
+            sum(when($"c_mktsegment" === "BUILDING" && $"o_orderstatus" === "F", 1L)
+              .otherwise(0L)).as("a"),
+            sum(when($"c_mktsegment" === "BUILDING" && $"o_orderstatus" =!= "F", 1L)
+              .otherwise(0L)).as("b"),
+            sum(when($"c_mktsegment" =!= "BUILDING" && $"o_orderstatus" === "F", 1L)
+              .otherwise(0L)).as("c"),
+            sum(when($"c_mktsegment" =!= "BUILDING" && $"o_orderstatus" =!= "F", 1L)
+              .otherwise(0L)).as("dd"))
+          .withColumn("nn", ($"a" + $"b" + $"c" + $"dd").cast("double"))
+        val terms = cells.select(
+          floor($"a".cast("double") * $"dd" / $"nn" * 1e8 + 0.5).cast("long").as("t_num"),
+          floor($"b".cast("double") * $"c" / $"nn" * 1e8 + 0.5).cast("long").as("t_den"),
+          $"a".as("t_a"),
+          floor(($"a" + $"b").cast("double") * ($"a" + $"c") / $"nn" * 1e8 + 0.5)
+            .cast("long").as("t_e"),
+          floor(($"a" + $"b").cast("double") * ($"c" + $"dd") * ($"a" + $"c")
+              * ($"b" + $"dd") / ($"nn" * $"nn" * ($"nn" - 1)) * 1e8 + 0.5)
+            .cast("long").as("t_v"))
+        terms.agg(
+            count(lit(1)).as("n_strata"),
+            (sum($"t_num") / 1e8).as("num"),
+            (sum($"t_den") / 1e8).as("den"),
+            sum($"t_a").cast("double").as("sa"),
+            (sum($"t_e") / 1e8).as("se"),
+            (sum($"t_v") / 1e8).as("sv"))
+          .select(
+            $"n_strata".cast("long").as("n_strata"),
+            Parity.floorRound4($"num" / $"den").as("or_mh"),
+            Parity.floorRound4(($"sa" - $"se") * ($"sa" - $"se") / $"sv")
+              .as("chi2_cmh"),
+            (($"sa" - $"se") * ($"sa" - $"se") / $"sv" > 3.841459).as("assoc"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT o.o_orderpriority AS k,
+             |    CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |    CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             |    CAST(sum(CASE WHEN c.c_mktsegment <> 'BUILDING' AND o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             |    CAST(sum(CASE WHEN c.c_mktsegment <> 'BUILDING' AND o.o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS dd
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  GROUP BY 1
+             |), terms AS (
+             |  SELECT
+             |    CAST(floor(CAST(a AS DOUBLE) * dd / CAST(a+b+c+dd AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS t_num,
+             |    CAST(floor(CAST(b AS DOUBLE) * c / CAST(a+b+c+dd AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS t_den,
+             |    a AS t_a,
+             |    CAST(floor(CAST(a+b AS DOUBLE) * (a+c) / CAST(a+b+c+dd AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS t_e,
+             |    CAST(floor(CAST(a+b AS DOUBLE) * (c+dd) * (a+c) * (b+dd)
+             |      / (CAST(a+b+c+dd AS DOUBLE) * CAST(a+b+c+dd AS DOUBLE) * (CAST(a+b+c+dd AS DOUBLE) - 1)) * 1e8 + 0.5) AS BIGINT) AS t_v
+             |  FROM cells
+             |), sums AS (
+             |  SELECT count(*) AS n_strata,
+             |    sum(t_num) / 1e8 AS num, sum(t_den) / 1e8 AS den,
+             |    CAST(sum(t_a) AS DOUBLE) AS sa,
+             |    sum(t_e) / 1e8 AS se, sum(t_v) / 1e8 AS sv
+             |  FROM terms
+             |)
+             |SELECT CAST(n_strata AS BIGINT) AS n_strata,
+             |  floor(num / den * 10000 + 0.5) / 10000 AS or_mh,
+             |  floor((sa - se) * (sa - se) / sv * 10000 + 0.5) / 10000 AS chi2_cmh,
+             |  (sa - se) * (sa - se) / sv > 3.841459 AS assoc
+             |FROM sums""".stripMargin)
+    ),
+
+    // Seasonal strength (w30) — the "does this series have a weekly
+    // shape worth modeling?" gate that decides between w8's EWMA and
+    // w28's Holt–Winters: classical STL-style decomposition reduced to
+    // exact algebra. Trend = centered MA-7 (full 7-row frames only);
+    // detrended D is carried as D7 = 7·y − Σ₇y — an EXACT long, so no
+    // double sums ever cross the engines; the day-of-week factor's
+    // explained share is then the one-way ANOVA identity
+    // F_s = SS_between/SS_total over D7 (≡ 1 − Var(remainder)/Var(D),
+    // the Hyndman seasonal-strength measure with the per-dow mean as
+    // the seasonal component). Squared sums ride DECIMAL(38,0) (D7²
+    // nears long range at sf1). Day-of-week is pure date arithmetic
+    // (days since a fixed Monday, mod 7) — engine-neutral, no locale.
+    // peak_dow breaks ties on the exact decimal ΣD7. On this synthetic
+    // corpus F_s reads ~0 (no planted weekly shape) — an honest flat
+    // finding, same stance as w29's spectrum; the gate pins the
+    // algebra, and peak_dow/n_mid pin the frames.
+    OracleQuery(
+      "w30_seasonal_strength",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag".as("flag"),
+            date_trunc("day", $"l_shipdate").as("day"))
+          .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("yq"))
+        val w7 = Window.partitionBy($"flag").orderBy($"day").rowsBetween(-3, 3)
+        val mid = daily
+          .withColumn("s7", sum($"yq").over(w7))
+          .withColumn("c7", count(lit(1)).over(w7))
+          .filter($"c7" === 7)
+          .withColumn("d7", (lit(7) * $"yq" - $"s7").cast("decimal(38,0)"))
+          .withColumn("dow",
+            pmod(datediff($"day".cast("date"), lit("1994-12-26").cast("date")),
+              lit(7)).cast("long"))
+        val cells = mid.groupBy($"flag", $"dow")
+          .agg(count(lit(1)).as("nd"),
+            sum($"d7").as("sd"),
+            sum($"d7" * $"d7").as("sqq"))
+        // SS_between's 7 per-dow terms are doubles — their sum is
+        // pinned to dow order on BOTH engines (sort_array fold here,
+        // ORDER BY dow inside DuckDB's aggregate) so IEEE addition
+        // order can never flip the 4th decimal
+        val perFlag = cells.groupBy($"flag").agg(
+          sum($"nd").as("n"),
+          sum($"sd").as("st"),
+          sum($"sqq").as("sq"),
+          aggregate(
+            sort_array(collect_list(struct($"dow".as("w"),
+              ($"sd".cast("double") * $"sd".cast("double") / $"nd").as("t")))),
+            lit(0.0), (acc, x) => acc + x.getField("t")).as("ssb_raw"))
+        val wPeak = Window.partitionBy($"flag")
+          .orderBy($"sd".desc, $"dow".asc)
+        val peak = cells
+          .withColumn("rk", row_number().over(wPeak))
+          .filter($"rk" === 1)
+          .select($"flag", $"dow".as("peak_dow"))
+        perFlag.join(peak, "flag")
+          .withColumn("cf",
+            $"st".cast("double") * $"st".cast("double") / $"n")
+          .withColumn("ssb", $"ssb_raw" - $"cf")
+          .withColumn("sstot", $"sq".cast("double") - $"cf")
+          .select(
+            $"flag",
+            $"n".cast("long").as("n_mid"),
+            Parity.floorRound4(greatest(lit(0.0), $"ssb" / $"sstot"))
+              .as("f_seasonal"),
+            $"peak_dow")
+          .orderBy($"flag")
+      },
+      Some("""WITH daily AS (
+             |  SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+             |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yq
+             |  FROM lineitem GROUP BY 1, 2
+             |), framed AS (
+             |  SELECT flag, day, yq,
+             |    sum(yq) OVER (PARTITION BY flag ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             |    count(*) OVER (PARTITION BY flag ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+             |  FROM daily
+             |), mid AS (
+             |  SELECT flag,
+             |    CAST(7 * CAST(yq AS HUGEINT) - s7 AS HUGEINT) AS d7,
+             |    CAST(datediff('day', DATE '1994-12-26', CAST(day AS DATE)) % 7 AS BIGINT) AS dow
+             |  FROM framed WHERE c7 = 7
+             |), cells AS (
+             |  SELECT flag, dow, count(*) AS nd,
+             |    sum(d7) AS sd, sum(d7 * d7) AS sqq
+             |  FROM mid GROUP BY 1, 2
+             |), per_flag AS (
+             |  SELECT flag,
+             |    sum(nd) AS n,
+             |    CAST(sum(sd) AS DOUBLE) AS st,
+             |    CAST(sum(sqq) AS DOUBLE) AS sq,
+             |    sum(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / nd ORDER BY dow) AS ssb_raw
+             |  FROM cells GROUP BY 1
+             |), peak AS (
+             |  SELECT flag, dow AS peak_dow
+             |  FROM (SELECT flag, dow,
+             |      row_number() OVER (PARTITION BY flag ORDER BY sd DESC, dow ASC) AS rk
+             |    FROM cells) WHERE rk = 1
+             |)
+             |SELECT f.flag, CAST(f.n AS BIGINT) AS n_mid,
+             |  floor(greatest(0.0, (f.ssb_raw - f.st * f.st / f.n) / (f.sq - f.st * f.st / f.n)) * 10000 + 0.5) / 10000 AS f_seasonal,
+             |  p.peak_dow
+             |FROM per_flag f JOIN peak p ON f.flag = p.flag
+             |ORDER BY f.flag""".stripMargin)
     )
   )
 }
