@@ -174,7 +174,9 @@ object Bench {
     "a79_cuped",           // pre-period covariate adjustment (one scan + moments)
     "a80_mantel_haenszel", // stratified OR + CMH from K 2x2 cells
     "w30_seasonal_strength", // ANOVA-identity STL-lite weekly-shape gate
-    "pipe_target_encoding_oof") // out-of-fold m-estimate encoder (25-cell algebra)
+    "pipe_target_encoding_oof", // out-of-fold m-estimate encoder (25-cell algebra)
+    "o35_snapshot_incremental_read", // append-delta consumer read off snapshots
+    "text_collocations_llr") // Dunning G^2 bigram collocations, one corpus pass
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

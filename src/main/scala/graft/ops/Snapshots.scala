@@ -189,6 +189,34 @@ object Snapshots {
     base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 
+  /** Append-only INCREMENTAL scan — the CDC-consumer pattern on
+    * snapshots (Iceberg's incremental read): exactly the files `to`
+    * lists that `from` does not, i.e. the data appended between the
+    * two commits — a downstream consumer processes each commit's delta
+    * without ever rescanning the table. Defined ONLY on append lineage:
+    * if any `from` file is gone by `to` (a compaction/erasure rewrite
+    * happened in between), the "added" files carry REWRITTEN OLD ROWS
+    * and an incremental consumer would double-process them — so this
+    * fails loudly and the consumer must resync from a full read (the
+    * same contract Iceberg enforces on replace snapshots). */
+  def readIncremental(spark: SparkSession, root: String, fromSnap: Long,
+      toSnap: Long, basePath: Option[String] = None): DataFrame = {
+    val before = filesAt(spark, root, fromSnap).toSet
+    val after = filesAt(spark, root, toSnap)
+    val removed = before -- after.toSet
+    require(removed.isEmpty,
+      s"snapshots $fromSnap->$toSnap are not append-only lineage " +
+        s"(${removed.size} files removed/rewritten); incremental " +
+        "consumption is defined on appends - resync from a full read")
+    val added = after.filterNot(before)
+    if (added.isEmpty)
+      readAt(spark, root, toSnap, basePath).filter(lit(false))
+    else {
+      val r = basePath.foldLeft(spark.read)((rd, b) => rd.option("basePath", b))
+      r.parquet(added: _*)
+    }
+  }
+
   /** Retention: drop every snapshot older than `keepFrom` and delete
     * the data files ONLY those snapshots reference (a file listed by
     * any surviving snapshot survives). This is the ONE destructive

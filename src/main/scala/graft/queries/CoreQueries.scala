@@ -1581,6 +1581,44 @@ object CoreQueries {
              |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              |FROM orders
              |ORDER BY snap""".stripMargin)
+    ),
+
+    // O35: incremental snapshot consumption — the CDC-consumer read on
+    // the versioned manifest (Iceberg's incremental scan): a consumer
+    // that processed commit s0 reads ONLY the files s1 added, never
+    // rescanning the table — at 100 TB the difference between an
+    // O(delta) nightly feed and an O(table) one. Append-only lineage
+    // is enforced (a rewrite between the snapshots fails the read
+    // loudly — SnapshotsSpec pins it); here the delta is exactly
+    // today's append, and the gate proves the incremental read equals
+    // the commit's content predicate.
+    OracleQuery(
+      "o35_snapshot_incremental_read",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.core.Scratch.dir("snapincr", d)
+        val orders = Tables.orders(s, d)
+        orders.filter($"o_orderkey" % 2 === 0).repartition(2)
+          .write.mode("overwrite").parquet(s"$tmp/data")
+        graft.ops.Snapshots.commitFromFs(s, s"$tmp/data", s"$tmp/snaps",
+          Seq("o_orderkey"))
+        orders.filter($"o_orderkey" % 2 === 1).repartition(2)
+          .write.mode("append").parquet(s"$tmp/data")
+        graft.ops.Snapshots.commitFromFs(s, s"$tmp/data", s"$tmp/snaps",
+          Seq("o_orderkey"))
+        graft.ops.Snapshots.readIncremental(s, s"$tmp/snaps", 0L, 1L)
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+              .as("sum_price_cents"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_cents
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 

@@ -1777,6 +1777,99 @@ object TextQueries {
              |  floor(pe * 10000 + 0.5) / 10000 AS p_expected,
              |  floor(((po - pe) / (1.0 - pe)) * 10000 + 0.5) / 10000 AS kappa
              |FROM k""".stripMargin)
+    ),
+
+    // Collocation extraction by log-likelihood ratio (Dunning 1993) —
+    // the statistically sound way to find multi-word terms ("New
+    // York"-class bigrams) in a corpus: raw bigram frequency surfaces
+    // stopword pairs, PMI over-rewards rare typos; G² = 2·Σ O·ln(O/E)
+    // over the bigram-vs-margins 2×2 table is the standard that
+    // handles both (the NLP-collocations counterpart of a48's χ²,
+    // which G² approaches asymptotically but beats on sparse cells).
+    // One tokenize pass (the text_bigram_lm_score pipeline) to the
+    // bigram count table; margins and the grand total re-aggregate
+    // THAT table, so the corpus is scanned once. min-count 5 prunes
+    // the long tail before any double math. Parity: each of the four
+    // ln's is quantized at 1e-12 (the a74 grid) before the o·ln term,
+    // the 4-term sum is one fixed-order row expression, and the top-15
+    // cutoff ranks on floor(G²·1e4) with (w1, w2) tiebreak — no raw
+    // ln ever reaches an ordering.
+    OracleQuery(
+      "text_collocations_llr",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .select($"doc_id", $"ws", posexplode($"ws").as(Seq("pos", "w1")))
+          .filter($"pos" <= size($"ws") - 2)
+          .select($"w1", element_at($"ws", $"pos" + 2).as("w2"))
+          .filter($"w1".isNotNull && $"w2".isNotNull)
+        // no persist: bc's four consumers are byte-identical subtrees,
+        // so AQE stage reuse collapses them to one corpus pass (the
+        // text_bigram_lm_score discipline)
+        val bc = toks.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val uc1 = bc.groupBy($"w1").agg(sum($"c12").as("c1"))
+        val uc2 = bc.groupBy($"w2").agg(sum($"c12").as("c2"))
+        val nn = bc.agg(sum($"c12").as("n"))
+        def lnq(x: org.apache.spark.sql.Column) =
+          floor(log(x) * 1e12 + 0.5) / 1e12
+        def term(o: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+          when(o > 0, o.cast("double") * lnq(o.cast("double") / e)).otherwise(0.0)
+        val out = bc.filter($"c12" >= 5)
+          .join(uc1, "w1").join(uc2, "w2")
+          .crossJoin(nn)
+          .withColumn("o11", $"c12".cast("double"))
+          .withColumn("o12", ($"c1" - $"c12").cast("double"))
+          .withColumn("o21", ($"c2" - $"c12").cast("double"))
+          .withColumn("o22", ($"n" - $"c1" - $"c2" + $"c12").cast("double"))
+          .withColumn("nd", $"n".cast("double"))
+          .withColumn("g2", lit(2.0) * (
+            term($"o11", $"c1".cast("double") * $"c2" / $"nd")
+              + term($"o12", $"c1".cast("double") * ($"nd" - $"c2") / $"nd")
+              + term($"o21", ($"nd" - $"c1") * $"c2" / $"nd")
+              + term($"o22", ($"nd" - $"c1") * ($"nd" - $"c2") / $"nd")))
+          .withColumn("g2q", floor($"g2" * 1e4 + 0.5).cast("long"))
+          .orderBy($"g2q".desc, $"w1", $"w2")
+          .limit(15)
+          .select($"w1", $"w2", $"c12".cast("long").as("c12"),
+            ($"g2q" / 1e4).as("g2"))
+        out
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |), idx AS (
+             |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM base
+             |), toks AS (
+             |  SELECT ws[i] AS w1, ws[i+1] AS w2 FROM idx
+             |), bc AS (
+             |  SELECT w1, w2, count(*) AS c12 FROM toks GROUP BY 1, 2
+             |), uc1 AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+             |uc2 AS (SELECT w2, sum(c12) AS c2 FROM bc GROUP BY 1),
+             |nn AS (SELECT CAST(sum(c12) AS DOUBLE) AS nd FROM bc),
+             |cells AS (
+             |  SELECT b.w1, b.w2, b.c12,
+             |    CAST(b.c12 AS DOUBLE) AS o11,
+             |    CAST(u1.c1 - b.c12 AS DOUBLE) AS o12,
+             |    CAST(u2.c2 - b.c12 AS DOUBLE) AS o21,
+             |    CAST(nn.nd - u1.c1 - u2.c2 + b.c12 AS DOUBLE) AS o22,
+             |    CAST(u1.c1 AS DOUBLE) AS c1d, CAST(u2.c2 AS DOUBLE) AS c2d, nn.nd
+             |  FROM bc b JOIN uc1 u1 USING (w1) JOIN uc2 u2 USING (w2), nn
+             |  WHERE b.c12 >= 5
+             |), scored AS (
+             |  SELECT w1, w2, c12,
+             |    2.0 * (
+             |      (CASE WHEN o11 > 0 THEN o11 * (floor(ln(o11 / (c1d * c2d / nd)) * 1e12 + 0.5) / 1e12) ELSE 0.0 END)
+             |      + (CASE WHEN o12 > 0 THEN o12 * (floor(ln(o12 / (c1d * (nd - c2d) / nd)) * 1e12 + 0.5) / 1e12) ELSE 0.0 END)
+             |      + (CASE WHEN o21 > 0 THEN o21 * (floor(ln(o21 / ((nd - c1d) * c2d / nd)) * 1e12 + 0.5) / 1e12) ELSE 0.0 END)
+             |      + (CASE WHEN o22 > 0 THEN o22 * (floor(ln(o22 / ((nd - c1d) * (nd - c2d) / nd)) * 1e12 + 0.5) / 1e12) ELSE 0.0 END)
+             |    ) AS g2
+             |  FROM cells
+             |)
+             |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+             |  CAST(floor(g2 * 1e4 + 0.5) AS BIGINT) / 1e4 AS g2
+             |FROM scored
+             |ORDER BY CAST(floor(g2 * 1e4 + 0.5) AS BIGINT) DESC, w1, w2
+             |LIMIT 15""".stripMargin)
     )
   )
 

@@ -87,6 +87,29 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("incremental read: exactly the appended delta; rewrite lineage fails loudly") {
+    val d = java.nio.file.Files.createTempDirectory("snapincr").toString
+    (1L to 100L).toDF("k").repartition(2).write.parquet(s"$d/data")
+    Snapshots.commitFromFs(spark, s"$d/data", s"$d/snaps", Seq("k"))
+    (101L to 150L).toDF("k").repartition(1).write.mode("append").parquet(s"$d/data")
+    Snapshots.commitFromFs(spark, s"$d/data", s"$d/snaps", Seq("k"))
+    val delta = Snapshots.readIncremental(spark, s"$d/snaps", 0L, 1L)
+      .select($"k").as[Long].collect().sorted
+    assert(delta.toSeq == (101L to 150L))
+    // a compaction rewrite between snapshots breaks append lineage:
+    // the consumer must be told to resync, not silently double-read
+    val groups = Compaction.plan(spark, s"$d/data", 1L << 30)
+    val multi = groups.filter(_.files.length > 1)
+    Compaction.compact(spark, multi, s"$d/cout")
+    Snapshots.commitRewrite(spark, s"$d/snaps",
+      removed = multi.flatMap(_.files).map(_.path), addedDir = s"$d/cout",
+      cols = Seq("k"))
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.readIncremental(spark, s"$d/snaps", 1L, 2L)
+    }
+    assert(ex.getMessage.contains("append-only"))
+  }
+
   test("rewrite of files the snapshot does not list fails loudly") {
     val d = java.nio.file.Files.createTempDirectory("snapbad").toString
     (1L to 10L).toDF("k").coalesce(1).write.parquet(s"$d/data")
