@@ -1373,17 +1373,25 @@ object StatsQueries {
             sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("c1"),
             count(lit(1)).as("nn"))
           .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-        val lf = graft.ops.PrefixSum.withCumsum(
+        // the cumsum rides DECIMAL(38,0) (withCumsumDecimal): each
+        // quantized ln fits a long but Σln(i)·10¹² crosses 2⁶³ already
+        // at n ≈ 6.9×10⁵ (sf1's orders is 1.5×10⁶) — DuckDB's BIGINT
+        // sum promotes to HUGEINT, so decimal is what keeps the two
+        // engines byte-identical instead of wrapping or ANSI-failing
+        val lf = graft.ops.PrefixSum.withCumsumDecimal(
             s.range(1, nnv + 1)
               .select($"id".as("i"), lit(0).as("g"),
                 floor(log($"id".cast("double")) * 1e12 + 0.5).cast("long").as("li")),
             "g", "i", "li", outCol = "f", knownCount = Some(nnv))
           .select($"i", $"f")
-        val lf0 = lf.unionByName(Seq((0L, 0L)).toDF("i", "f")).persist()
+        val lf0 = lf.unionByName(
+            Seq(0L).toDF("i").withColumn("f", lit(0).cast("decimal(38,0)")))
+          .persist()
         // the six margin ln-factorials — a 6-row bounded lookup
         val need = Seq(r1v, nnv - r1v, nnv, c1v, nnv - c1v).distinct
         val fmap = lf0.filter($"i".isin(need: _*))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          .collect().map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger))
+          .toMap
         val lden = fmap(nnv) - fmap(c1v) - fmap(nnv - c1v)
         val cnum = fmap(r1v) + fmap(nnv - r1v) - lden
         val lo = math.max(0L, r1v + c1v - nnv)
@@ -1395,7 +1403,9 @@ object StatsQueries {
           .join(lf0.select($"i".as("ick"), $"f".as("fck")), $"ick" === lit(c1v) - $"k")
           .join(lf0.select($"i".as("ink"), $"f".as("fnk")),
             $"ink" === lit(nnv - r1v - c1v) + $"k")
-          .withColumn("lq", lit(cnum) - $"fk" - $"frk" - $"fck" - $"fnk")
+          .withColumn("lq",
+            lit(new java.math.BigDecimal(cnum.bigInteger))
+              - $"fk" - $"frk" - $"fck" - $"fnk")
           .withColumn("t",
             floor(exp($"lq".cast("double") / 1e12) * 1e9 + 0.5).cast("long"))
         val out = pmf.agg(
