@@ -176,7 +176,8 @@ object Bench {
     "w30_seasonal_strength", // ANOVA-identity STL-lite weekly-shape gate
     "pipe_target_encoding_oof", // out-of-fold m-estimate encoder (25-cell algebra)
     "o35_snapshot_incremental_read", // append-delta consumer read off snapshots
-    "text_collocations_llr") // Dunning G^2 bigram collocations, one corpus pass
+    "text_collocations_llr", // Dunning G^2 bigram collocations, one corpus pass
+    "a81_sprt")            // Wald sequential test, integer LLR cumsum per segment
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is
@@ -266,15 +267,32 @@ object Bench {
     // the sf0.001 warmup compiles codegen but does not warm the target
     // scale's file listings, footer reads, or shuffle buffers, and a
     // single local-mode evaluation carries ±20% scheduler noise that
-    // would read as phantom round-over-round regressions
-    val results = names.map { name =>
+    // would read as phantom round-over-round regressions.
+    // A row ANY sample of which failed is EXCLUDED from the JSON, not
+    // recorded: a time-to-failure published as a plausible cell is
+    // worse than a loud gap (the section contract, now applied to the
+    // main loop too — r12's sf1 a74 cell was exactly such a ghost:
+    // the row ANSI-overflowed and its abort latency sat in BENCH_sf1
+    // looking like a healthy 1.0 s measurement).
+    val results = names.flatMap { name =>
+      var failed = false
       def once(): Double = {
         val t0 = System.nanoTime()
         try evalFully(name, sfDir)
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> steadyMin(() => once())
+      val t = steadyMin(() => once())
+      if (failed) {
+        System.err.println(
+          s"[bench] $name EXCLUDED from results (a sample failed; " +
+            "a time-to-failure is not a measurement)")
+        None
+      } else Some(name -> t)
     }
     // Each A/B section is fenced: a section that cannot even set up (e.g.
     // a testdata layout drift) logs and contributes NO rows — publishing a

@@ -1754,6 +1754,106 @@ object StatsQueries {
              |  p.peak_dow
              |FROM per_flag f JOIN peak p ON f.flag = p.flag
              |ORDER BY f.flag""".stripMargin)
+    ),
+
+    // Wald's SPRT (a81) — sequential A/B early stopping: instead of a
+    // fixed-horizon test read once (a29/a53/a60), the log-likelihood
+    // ratio is monitored as data arrives and the experiment STOPS the
+    // first day it crosses ln((1−β)/α) (accept H1: p = p1) or
+    // ln(β/(1−α)) (accept H0: p = p0) — Wald's guarantee bounds both
+    // error rates at α = β = 0.05 with, on average, far fewer
+    // observations than the fixed test. Everything is EXACT INTEGER
+    // algebra: the per-observation increments ln(p1/p0), ln(q1/q0)
+    // and both thresholds are pre-quantized 1e-12 grid constants
+    // (embedded as the same integer literals in both engines — no
+    // runtime ln anywhere), a day's increment is s·L1 + (n−s)·L0, and
+    // the trajectory is a per-segment cumsum over the CALENDAR-grain
+    // daily frame (≤ |days| rows per key — the same bounded-partition
+    // argument as every daily window). First crossing = min over
+    // (day, decision) structs; undecided segments report 'continue'
+    // with a null decision day. p0 = 0.19 vs p1 = 0.21 straddles the
+    // synthetic purchase rate (~0.186–0.208 per segment) so both
+    // decisions occur.
+    OracleQuery(
+      "a81_sprt",
+      (s, d) => {
+        import s.implicits._
+        // floor(ln(0.21/0.19)·1e12 + 0.5), floor(ln(0.79/0.81)·1e12 + 0.5),
+        // floor(±ln(0.95/0.05)·1e12 + 0.5) — derivations pinned here so
+        // the literals are auditable
+        val l1 = 100083458557L
+        val l0 = -25001302205L
+        val aThr = 2944438979166L
+        val bThr = -2944438979166L
+        val daily = Tables.events(s, d)
+          .groupBy(pmod($"user_id", lit(4)).cast("long").as("segment"),
+            date_trunc("day", $"ts").as("day"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("sv"))
+          .withColumn("inc", $"sv" * l1 + ($"n" - $"sv") * l0)
+        val w = Window.partitionBy($"segment").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = daily.withColumn("c", sum($"inc").over(w))
+        val first = cum
+          .withColumn("dec",
+            when($"c" >= aThr, "h1").when($"c" <= bThr, "h0"))
+          .filter($"dec".isNotNull)
+          .groupBy($"segment")
+          .agg(min(struct($"day", $"dec")).as("fst"))
+          .select($"segment", $"fst.day".as("decision_day"),
+            $"fst.dec".as("dec"))
+        val summary = daily.groupBy($"segment")
+          .agg(count(lit(1)).as("n_days"), sum($"n").as("n_obs"),
+            sum($"sv").as("n_success"), sum($"inc").as("llr_final"))
+        summary.join(first, Seq("segment"), "left")
+          .select(
+            $"segment",
+            $"n_days".cast("long").as("n_days"),
+            $"n_obs".cast("long").as("n_obs"),
+            $"n_success".cast("long").as("n_success"),
+            Parity.floorRound4($"llr_final" / 1e12).as("llr_final"),
+            coalesce($"dec", lit("continue")).as("decision"),
+            $"decision_day")
+          .orderBy($"segment")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(user_id % 4 AS BIGINT) AS segment,
+             |    date_trunc('day', ts) AS day,
+             |    count(*) AS n,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS sv
+             |  FROM events GROUP BY 1, 2
+             |), inc AS (
+             |  SELECT segment, day, n, sv,
+             |    sv * 100083458557 + (n - sv) * (-25001302205) AS inc
+             |  FROM daily
+             |), cum AS (
+             |  SELECT segment, day, inc,
+             |    sum(inc) OVER (PARTITION BY segment ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             |  FROM inc
+             |), crossed AS (
+             |  SELECT segment, day,
+             |    CASE WHEN c >= 2944438979166 THEN 'h1'
+             |         WHEN c <= -2944438979166 THEN 'h0' END AS dec,
+             |    row_number() OVER (PARTITION BY segment ORDER BY day) AS rn0
+             |  FROM cum
+             |  WHERE c >= 2944438979166 OR c <= -2944438979166
+             |), first AS (
+             |  SELECT segment, day AS decision_day, dec FROM crossed WHERE rn0 = 1
+             |), summary AS (
+             |  SELECT segment, count(*) AS n_days,
+             |    CAST(sum(n) AS BIGINT) AS n_obs,
+             |    CAST(sum(sv) AS BIGINT) AS n_success,
+             |    CAST(sum(inc) AS BIGINT) AS llr_final_i
+             |  FROM inc GROUP BY 1
+             |)
+             |SELECT s.segment, s.n_days, s.n_obs, s.n_success,
+             |  floor(s.llr_final_i / 1e12 * 10000 + 0.5) / 10000 AS llr_final,
+             |  coalesce(f.dec, 'continue') AS decision,
+             |  f.decision_day
+             |FROM summary s LEFT JOIN first f USING (segment)
+             |ORDER BY s.segment""".stripMargin)
     )
   )
 }
