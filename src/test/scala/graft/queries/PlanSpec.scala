@@ -645,6 +645,43 @@ class PlanSpec extends SparkSpec {
       s"no unpartitioned window over the factorial frame:\n$p")
   }
 
+  test("Mantel-Haenszel: the customer dimension broadcasts, one orders-side scan") {
+    val p = plan(Registry.queries("a80_mantel_haenszel")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"orders x customer must be a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join for the dim:\n$p")
+  }
+
+  test("SPRT: the LLR cumsum windows per segment — no empty-partition window, no join") {
+    val p = plan(Registry.queries("a81_sprt")(spark, sf))
+    // the only join is the 4-row summary x first-crossing merge
+    assert(!p.contains("windowspecdefinition(day"),
+      s"trajectory window must be partitioned by segment:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("seasonal strength: one lineitem scan family, windows partitioned by flag") {
+    val p = plan(Registry.queries("w30_seasonal_strength")(spark, sf))
+    assert(!p.contains("windowspecdefinition(day"),
+      s"the MA-7 frame must be partitioned by flag:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("CUPED: user-grain collapse then bounded moment frames; the only cross join is 1-row") {
+    val p = plan(Registry.queries("a79_cuped")(spark, sf))
+    // the moment frame is ONE row; its crossJoin to the 2-row arm frame
+    // must broadcast, and no row-grain shuffle join may appear
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join anywhere:\n$p")
+  }
+
+  test("LLR collocations: margins re-aggregate the bigram table — equi-joins, no cartesian beyond the 1-row total") {
+    val p = plan(Registry.queries("text_collocations_llr")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian (the 1-row total broadcasts):\n$p")
+    assert(p.contains("TakeOrdered") || p.contains("GlobalLimit"),
+      s"top-15 must be a take-ordered, not a full sort materialization:\n$p")
+  }
+
   test("WOE deciles: exact ntile arithmetic from the bucketed rank, no global-sort window") {
     // pipe_woe_iv keeps ntile(10) SEMANTICS (the oracle's spelling)
     // but must not plan ntile over an empty partition — the decile id
