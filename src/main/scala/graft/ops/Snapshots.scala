@@ -217,6 +217,25 @@ object Snapshots {
     }
   }
 
+  /** Roll the table BACK to an older snapshot's state — incident
+    * recovery after a bad commit (a corrupted load, a wrong erasure) —
+    * by committing a NEW snapshot whose file list copies `to`'s.
+    * Append-only like every other commit: the bad snapshots stay
+    * readable for the post-mortem and nothing is deleted until
+    * [[expire]]; history remains linear (the rollback is just the next
+    * snapshot), so consumers need no branch semantics. Fails loudly if
+    * any of `to`'s files has already been expired from disk. */
+  def rollback(spark: SparkSession, root: String, to: Long): Commit = {
+    val m = manifestAt(spark, root, to)
+    val fs = fsOf(spark, root)
+    val files = filesAt(spark, root, to)
+    val missing = files.filterNot(f => fs.exists(new Path(f)))
+    require(missing.isEmpty,
+      s"cannot roll back to snapshot $to: ${missing.length} of its files " +
+        s"were expired (first: ${missing.headOption.getOrElse("")})")
+    Commit(commitManifest(spark, root, m), files.length, 0, 0)
+  }
+
   /** Retention: drop every snapshot older than `keepFrom` and delete
     * the data files ONLY those snapshots reference (a file listed by
     * any surviving snapshot survives). This is the ONE destructive

@@ -110,6 +110,30 @@ class SnapshotsSpec extends SparkSpec {
     assert(ex.getMessage.contains("append-only"))
   }
 
+  test("rollback: a new snapshot restores the old file list; history stays linear") {
+    val d = java.nio.file.Files.createTempDirectory("snaprb").toString
+    (1L to 100L).toDF("k").repartition(2).write.parquet(s"$d/data")
+    Snapshots.commitFromFs(spark, s"$d/data", s"$d/snaps", Seq("k"))
+    // the "bad commit": a wrong load appends garbage
+    (1000L to 1049L).toDF("k").repartition(1).write.mode("append").parquet(s"$d/data")
+    Snapshots.commitFromFs(spark, s"$d/data", s"$d/snaps", Seq("k"))
+    val c = Snapshots.rollback(spark, s"$d/snaps", to = 0L)
+    assert(c.snapshot == 2L)
+    assert(sumK(Snapshots.readAt(spark, s"$d/snaps", 2L))
+      == ((100L, 100L * 101 / 2)))
+    // the bad snapshot stays readable for the post-mortem
+    assert(sumK(Snapshots.readAt(spark, s"$d/snaps", 1L))._1 == 150L)
+    // after expiry, rolling back to a DROPPED snapshot fails loudly on
+    // the manifest read (never silently resurrects a partial state);
+    // the survivor still reads (its files — s0's — are referenced)
+    Snapshots.expire(spark, s"$d/snaps", keepFrom = 2L)
+    intercept[Exception] {
+      Snapshots.rollback(spark, s"$d/snaps", to = 0L)
+    }
+    assert(sumK(Snapshots.readAt(spark, s"$d/snaps", 2L))
+      == ((100L, 100L * 101 / 2)))
+  }
+
   test("rewrite of files the snapshot does not list fails loudly") {
     val d = java.nio.file.Files.createTempDirectory("snapbad").toString
     (1L to 10L).toDF("k").coalesce(1).write.parquet(s"$d/data")

@@ -231,4 +231,32 @@ class VolumeSpec extends SparkSpec {
     assert(counts("update") === updates.toLong)
     assert(counts("insert") === 10000L)
   }
+
+  test("dangling-delete prune over 1M positions stays distributed and exact") {
+    // the churned-table shape the driver-side prune could not survive:
+    // a position table six orders of magnitude past "metadata-sized".
+    // 1M rows across 8 files, HALF the table deleted (500k positions),
+    // then half the files removed (a compaction absorbing them) — the
+    // prune must classify at FILE grain (8 paths driver-side, never
+    // position rows) and rewrite the survivors in the cluster.
+    val d = java.nio.file.Files.createTempDirectory("dvvol").toString
+    spark.range(1000000).select(col("id").as("k"))
+      .repartition(8).write.parquet(s"$d/data")
+    val n = DeletionVectors.addDeletes(spark, s"$d/data", s"$d/deletes",
+      col("k") % 2 === 0)
+    assert(n === 500000L)
+    val files = new java.io.File(s"$d/data").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val victims = files.take(4)
+    val victimPos = spark.read.parquet(victims.map(_.getPath): _*)
+      .filter(col("k") % 2 === 0).count()
+    victims.foreach(f => assert(f.delete()))
+    val rep = DeletionVectors.pruneDanglingDeletes(spark, s"$d/data", s"$d/deletes")
+    assert(rep.dropped === victimPos)
+    assert(rep.kept === 500000L - victimPos)
+    // surviving reads stay exact: remaining files minus their vectors
+    val got = DeletionVectors.read(spark, s"$d/data", s"$d/deletes").count()
+    val expected = spark.read.parquet(s"$d/data").filter(col("k") % 2 =!= 0).count()
+    assert(got === expected)
+  }
 }
