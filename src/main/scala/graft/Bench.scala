@@ -177,7 +177,8 @@ object Bench {
     "pipe_target_encoding_oof", // out-of-fold m-estimate encoder (25-cell algebra)
     "o35_snapshot_incremental_read", // append-delta consumer read off snapshots
     "text_collocations_llr", // Dunning G^2 bigram collocations, one corpus pass
-    "a81_sprt")            // Wald sequential test, integer LLR cumsum per segment
+    "a81_sprt",            // Wald sequential test, integer LLR cumsum per segment
+    "pipe_pack_sequences") // concat-and-chunk token packing off the bucketed cumsum
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

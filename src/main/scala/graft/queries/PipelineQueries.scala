@@ -2404,6 +2404,76 @@ object PipelineQueries {
              |  floor((CAST(sm - sv AS DOUBLE) + 100.0 * (CAST(sa - sf AS DOUBLE) / (na - nf)))
              |    / (CAST(nm - n AS DOUBLE) + 100.0) * 10000 + 0.5) / 10000 AS enc
              |FROM marg ORDER BY mode, fold""".stripMargin)
+    ),
+
+    // Sequence packing (pipe_pack_sequences) — the step between a
+    // curated corpus and a pretraining data loader: documents are
+    // concatenated in a deterministic global order and CHUNKED at a
+    // fixed token budget B (the GPT-style packed-pretraining layout —
+    // documents split across chunk boundaries; the no-split greedy
+    // variant is a sequential recursion with a running reset, which is
+    // exactly what does NOT scale). Concat-and-chunk is a PURE
+    // FUNCTION of the global token prefix sum: a doc occupying tokens
+    // (c−tok, c] lands in packs ⌊(c−tok)/B⌋ .. ⌊(c−1)/B⌋ — so the
+    // whole transform is one bucket-parallel cumsum (ops/PrefixSum,
+    // never a single-reducer window) plus map-side integer division
+    // and a bounded explode (a doc spans ⌈tok/B⌉+1 packs at most).
+    // Output at PACK grain: how many docs touch each pack, how many
+    // enter it mid-document (the attention-masking stat loaders care
+    // about), and the pack's token count (B everywhere, remainder on
+    // the tail pack).
+    OracleQuery(
+      "pipe_pack_sequences",
+      (s, d) => {
+        import s.implicits._
+        val b = 512L
+        val toks = Tables.documents(s, d)
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("tok"))
+        val cum = graft.ops.PrefixSum.withCumsum(
+          toks.withColumn("g", lit(0)), "g", "doc_id", "tok", outCol = "c")
+        val spans = cum
+          .withColumn("fp", expr(s"(c - tok) div $b"))
+          .withColumn("lp", expr(s"(c - 1) div $b"))
+        val total = toks.agg(sum($"tok").as("t"))
+        spans
+          .select($"doc_id", $"fp", $"lp",
+            explode(expr("sequence(fp, lp)")).as("pack_id"))
+          .groupBy($"pack_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"fp" < $"pack_id", 1L).otherwise(0L)).as("n_carryover"))
+          .crossJoin(total)
+          .select(
+            $"pack_id",
+            $"n_docs".cast("long").as("n_docs"),
+            $"n_carryover".cast("long").as("n_carryover"),
+            least(lit(b), $"t" - $"pack_id" * b).cast("long").as("n_tokens"))
+          .orderBy($"pack_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             |  FROM documents
+             |), cum AS (
+             |  SELECT doc_id, tok,
+             |    sum(tok) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             |  FROM toks
+             |), spans AS (
+             |  SELECT doc_id, CAST((c - tok) // 512 AS BIGINT) AS fp,
+             |    CAST((c - 1) // 512 AS BIGINT) AS lp
+             |  FROM cum
+             |), ex AS (
+             |  SELECT doc_id, fp, unnest(generate_series(fp, lp)) AS pack_id
+             |  FROM spans
+             |), tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM toks)
+             |SELECT pack_id,
+             |  count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN fp < pack_id THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_carryover,
+             |  CAST(least(512, t - pack_id * 512) AS BIGINT) AS n_tokens
+             |FROM ex, tot
+             |GROUP BY pack_id, t ORDER BY pack_id""".stripMargin)
     )
   )
 }

@@ -682,6 +682,14 @@ class PlanSpec extends SparkSpec {
       s"top-15 must be a take-ordered, not a full sort materialization:\n$p")
   }
 
+  test("sequence packing: pack ids derive from the bucketed cumsum, no global-order window") {
+    val p = plan(Registry.queries("pipe_pack_sequences")(spark, sf))
+    assert(p.contains("ps_b"),
+      s"the token cumsum must ride the bucketed prefix sum:\n$p")
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      s"no unpartitioned window over the corpus:\n$p")
+  }
+
   test("WOE deciles: exact ntile arithmetic from the bucketed rank, no global-sort window") {
     // pipe_woe_iv keeps ntile(10) SEMANTICS (the oracle's spelling)
     // but must not plan ntile over an empty partition — the decile id
