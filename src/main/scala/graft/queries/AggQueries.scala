@@ -3565,12 +3565,18 @@ object AggQueries {
         val j = li
           .join(r2Table("x"), li("x") === col("v")).drop("v")
           .join(r2Table("y"), li("y") === col("v")).drop("v")
+        // rank-moment sums ride DECIMAL(38,0): r2 ≤ 2n, so Σr2² ≈ 4n³
+        // crosses 2⁶³ already at n ≈ 1.3×10⁶ (sf1's lineitem is 6×10⁶ —
+        // the long spelling ANSI-failed there and its abort latency sat
+        // in BENCH_sf1 as a ghost cell); DuckDB's BIGINT sum promotes
+        // to HUGEINT, so decimal keeps the engines exact together
         j.agg(
             count(lit(1)).as("n"),
-            sum($"r2_x").as("sx"), sum($"r2_y").as("sy"),
-            sum($"r2_x" * $"r2_x").as("sxx"),
-            sum($"r2_y" * $"r2_y").as("syy"),
-            sum($"r2_x" * $"r2_y").as("sxy"))
+            sum($"r2_x".cast("decimal(38,0)")).as("sx"),
+            sum($"r2_y".cast("decimal(38,0)")).as("sy"),
+            sum($"r2_x".cast("decimal(38,0)") * $"r2_x").as("sxx"),
+            sum($"r2_y".cast("decimal(38,0)") * $"r2_y").as("syy"),
+            sum($"r2_x".cast("decimal(38,0)") * $"r2_y").as("sxy"))
           .withColumn("num",
             $"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
           .withColumn("den", sqrt(
@@ -3596,10 +3602,10 @@ object AggQueries {
              |  JOIN ry ON ry.v = l.l_extendedprice
              |), m AS (
              |  SELECT count(*) AS n,
-             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             |    CAST(sum(x * x) AS BIGINT) AS sxx,
-             |    CAST(sum(y * y) AS BIGINT) AS syy,
-             |    CAST(sum(x * y) AS BIGINT) AS sxy
+             |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+             |    sum(CAST(y AS HUGEINT) * y) AS syy,
+             |    sum(CAST(x AS HUGEINT) * y) AS sxy
              |  FROM j
              |)
              |SELECT n,
