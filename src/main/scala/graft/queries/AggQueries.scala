@@ -688,11 +688,18 @@ object AggQueries {
           .withColumn("g", lit("all"))
         val cum = graft.ops.PrefixSum.withCumsum(
           perScore, "g", "score", "n_neg", "cum_neg")
+        // the rank-sum numerator is summed DOUBLED as DECIMAL(38,0) —
+        // exact integers at any scale — and halved once at the end:
+        // the old double spelling stayed exact only while the running
+        // sum of half-integers sat under 2⁵³ (~10⁸ rows), then drifted
+        // silently; np·nn likewise multiplies in decimal
         cum.agg(
-            sum($"n_pos" * ($"cum_neg" - $"n_neg" * 0.5)).as("num"),
+            sum($"n_pos".cast("decimal(38,0)")
+              * (lit(2) * $"cum_neg" - $"n_neg")).as("num2"),
             sum($"n_pos").as("np"), sum($"n_neg").as("nn"))
           .select(
-            round($"num" / ($"np" * $"nn"), 6).as("auc"),
+            round(($"num2".cast("double") / 2.0)
+              / ($"np".cast("decimal(38,0)") * $"nn").cast("double"), 6).as("auc"),
             $"np".cast("long").as("n_pos"), $"nn".cast("long").as("n_neg"))
       },
       Some("""WITH scored AS (
@@ -708,8 +715,8 @@ object AggQueries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg
              |  FROM per_score
              |)
-             |SELECT round(sum(n_pos * (cum_neg - 0.5 * n_neg))
-             |         / (sum(n_pos) * sum(n_neg)), 6) AS auc,
+             |SELECT round((CAST(sum(CAST(n_pos AS HUGEINT) * (2 * cum_neg - n_neg)) AS DOUBLE) / 2.0)
+             |         / CAST(sum(CAST(n_pos AS HUGEINT)) * sum(n_neg) AS DOUBLE), 6) AS auc,
              |  CAST(sum(n_pos) AS BIGINT) AS n_pos,
              |  CAST(sum(n_neg) AS BIGINT) AS n_neg
              |FROM cum""".stripMargin)
@@ -733,11 +740,15 @@ object AggQueries {
           sum($"pos").as("n_pos"), (count(lit(1)) - sum($"pos")).as("n_neg"))
         val cum = graft.ops.PrefixSum.withCumsum(
           perScore, "seg", "score", "n_neg", "cum_neg")
+        // doubled-integer numerator in DECIMAL(38,0) — the a20 recipe
+        // (half-integer double sums drift silently past ~10^8 rows)
         cum.groupBy($"seg").agg(
-            sum($"n_pos" * ($"cum_neg" - $"n_neg" * 0.5)).as("num"),
+            sum($"n_pos".cast("decimal(38,0)")
+              * (lit(2) * $"cum_neg" - $"n_neg")).as("num2"),
             sum($"n_pos").as("np"), sum($"n_neg").as("nn"))
           .select($"seg",
-            round($"num" / ($"np" * $"nn"), 6).as("auc"),
+            round(($"num2".cast("double") / 2.0)
+              / ($"np".cast("decimal(38,0)") * $"nn").cast("double"), 6).as("auc"),
             $"np".cast("long").as("n_pos"), $"nn".cast("long").as("n_neg"))
           .orderBy($"seg")
       },
@@ -755,7 +766,8 @@ object AggQueries {
              |  FROM per_score
              |)
              |SELECT seg,
-             |  round(sum(n_pos * (cum_neg - 0.5 * n_neg)) / (sum(n_pos) * sum(n_neg)), 6) AS auc,
+             |  round((CAST(sum(CAST(n_pos AS HUGEINT) * (2 * cum_neg - n_neg)) AS DOUBLE) / 2.0)
+             |    / CAST(sum(CAST(n_pos AS HUGEINT)) * sum(n_neg) AS DOUBLE), 6) AS auc,
              |  CAST(sum(n_pos) AS BIGINT) AS n_pos,
              |  CAST(sum(n_neg) AS BIGINT) AS n_neg
              |FROM cum GROUP BY seg ORDER BY seg""".stripMargin)
@@ -2452,7 +2464,11 @@ object AggQueries {
           .withColumn("ravg",
             ($"off" + $"rin").cast("double") + ($"eq" - 1) / 2.0)
         val ties = base.groupBy($"x").agg(count(lit(1)).as("t"))
-          .agg(sum($"t" * $"t" * $"t" - $"t").as("tie3"))
+          // the cube rides DECIMAL(38,0) per TERM: t³ alone crosses 2⁶³
+          // at t ≈ 2.1×10⁶ rows of one tied value (the a65/a74 ghost
+          // class — DuckDB errors loudly on BIGINT overflow, Spark
+          // under ANSI kills the job; decimal keeps both exact)
+          .agg(sum($"t".cast("decimal(38,0)") * $"t" * $"t" - $"t").as("tie3"))
         ranked.groupBy()
           .agg(
             sum(when($"g" === "1-URGENT", lit(1L)).otherwise(0L)).as("n_a"),
@@ -2479,7 +2495,7 @@ object AggQueries {
              |      + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS ravg
              |  FROM base
              |), ties AS (
-             |  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+             |  SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie3
              |  FROM (SELECT count(*) AS t FROM base GROUP BY x)
              |), agg AS (
              |  SELECT
@@ -2923,7 +2939,9 @@ object AggQueries {
             sum(($"c" * $"avgrank").cast("decimal(38,1)")).cast("double").as("rg"))
         val ties = perVal.agg(
           sum($"t").cast("double").as("nn"),
-          sum(($"t" * $"t" * $"t" - $"t").cast("decimal(38,0)")).cast("double").as("t3"))
+          // per-TERM decimal (the cast used to come after the long cube —
+          // t³ alone wraps past t ≈ 2.1×10⁶ tied rows)
+          sum($"t".cast("decimal(38,0)") * $"t" * $"t" - $"t").cast("double").as("t3"))
         val crits = array(lit(38415L), lit(59915L), lit(78147L),
           lit(94877L), lit(110705L), lit(125916L), lit(140671L))
         rg.crossJoin(broadcast(ties))
@@ -2971,7 +2989,7 @@ object AggQueries {
              |  FROM gv JOIN r USING (v) GROUP BY grp
              |), ties AS (
              |  SELECT CAST(sum(t) AS DOUBLE) AS nn,
-             |    CAST(sum(CAST(t*t*t - t AS DECIMAL(38,0))) AS DOUBLE) AS t3
+             |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS t3
              |  FROM pv
              |), agg AS (
              |  SELECT max(nn) AS nn,
