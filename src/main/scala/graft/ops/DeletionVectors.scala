@@ -279,6 +279,11 @@ object DeletionVectors {
     if (!hasDeletes(spark, eqDeleteDir)) return afterPos
     val keys = deleteTable(spark, eqDeleteDir)
     val keyCols = keys.columns.toSeq
+    // same contract errors as readWithKeyDeletes — a schema mismatch
+    // must fail loudly here, not as a raw resolution AnalysisException
+    require(keyCols.nonEmpty, "equality delete table has no key columns")
+    require(keyCols.forall(afterPos.columns.contains),
+      s"equality delete key columns ${keyCols.mkString(",")} missing from data")
     val delsSided = sided(spark, eqDeleteDir,
       keys.toDF(keyCols.map(c => s"__eq_$c"): _*), broadcastByteLimit)
     val cond = keyCols.map(c => afterPos(c) <=> delsSided(s"__eq_$c")).reduce(_ && _)

@@ -38,7 +38,33 @@ object PrefixSum {
     * count is safe. */
   def withCumsum(df: DataFrame, partCol: String, orderCol: String,
       valueCol: String, outCol: String = "cum", buckets: Int = 64,
-      sampleTarget: Int = 20000, knownCount: Option[Long] = None): DataFrame = {
+      sampleTarget: Int = 20000, knownCount: Option[Long] = None): DataFrame =
+    cumsumImpl(df, partCol, orderCol, valueCol, outCol, buckets,
+      sampleTarget, knownCount, decimal = false)
+
+  /** [[withCumsum]] with the running total carried as DECIMAL(38,0) —
+    * for value columns whose PREFIX SUM outgrows a long even though
+    * every element fits one (the a74 ln-factorial table: elements are
+    * ≤ ln(N)·10¹², but Σln(i) ≈ N(ln N − 1)·10¹² crosses 2⁶³ already
+    * at N ≈ 6.9×10⁵ — a silent wrap under non-ANSI, a job-killing
+    * overflow under ANSI, while DuckDB's BIGINT sum promotes to
+    * HUGEINT; decimal keeps the two engines exact together to 10³⁸). */
+  def withCumsumDecimal(df: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, outCol: String = "cum", buckets: Int = 64,
+      sampleTarget: Int = 20000, knownCount: Option[Long] = None): DataFrame =
+    cumsumImpl(df, partCol, orderCol, valueCol, outCol, buckets,
+      sampleTarget, knownCount, decimal = true)
+
+  /** One shared spelling of the sample → bucket → histogram → offset →
+    * broadcast-rejoin machinery; `decimal` switches only the
+    * accumulator representation (long vs DECIMAL(38,0)). The
+    * driver-side below-offset fold always runs in BigDecimal — exact
+    * for both paths — and narrows to long at the end for the long
+    * path (longValueExact: a silent driver-side wrap would be the
+    * very bug the decimal variant exists to prevent). */
+  private def cumsumImpl(df: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, outCol: String, buckets: Int, sampleTarget: Int,
+      knownCount: Option[Long], decimal: Boolean): DataFrame = {
     val spark = df.sparkSession
     val n = knownCount.getOrElse(df.count())
     val mod = math.max(1L, n / math.max(1, sampleTarget))
@@ -57,88 +83,44 @@ object PrefixSum {
       else when(col(orderCol).isNull, lit(-1L)).otherwise(
         bounds.map(b => (col(orderCol) >= lit(b)).cast("long")).reduce(_ + _))
 
+    val accType = if (decimal) "decimal(38,0)" else "long"
     val hist = df
       .groupBy(col(partCol).as("ps_d"), bucket.as("ps_b"))
-      .agg(sum(col(valueCol).cast("long")).as("ps_c"))
+      .agg(sum(col(valueCol).cast(accType)).as("ps_c"))
       .collect()
+    def cellOf(r: Row): java.math.BigDecimal =
+      if (r.isNullAt(2)) java.math.BigDecimal.ZERO
+      else if (decimal) r.getDecimal(2)
+      else java.math.BigDecimal.valueOf(r.getLong(2))
     val offsetRows = hist
-      .map(r => (r.get(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .map(r => (r.get(0), r.getLong(1), cellOf(r)))
       .groupBy(_._1).toSeq.flatMap { case (_, bs) =>
-        var below = 0L
+        var below = java.math.BigDecimal.ZERO
         bs.sortBy(_._2).map { case (d, b, c) =>
-          val row = Row(d, b, below); below += c; row
+          val cell: Any = if (decimal) below else below.longValueExact()
+          val row = Row(d, b, cell); below = below.add(c); row
         }
       }
+    val belowType: DataType = if (decimal) DecimalType(38, 0) else LongType
     val schema = StructType(Seq(
       StructField("ps_d", df.schema(partCol).dataType),
-      StructField("ps_b", LongType), StructField("ps_below", LongType)))
+      StructField("ps_b", LongType), StructField("ps_below", belowType)))
     val offsets = spark.createDataFrame(
       spark.sparkContext.parallelize(offsetRows, 1), schema)
 
     val w = Window.partitionBy(col(partCol), col("ps_b")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val running =
+      if (decimal)
+        (col("ps_below") + sum(col(valueCol).cast(accType)).over(w))
+          .cast("decimal(38,0)")
+      else col("ps_below") + sum(col(valueCol)).over(w)
     // null-safe on the group key: PrefixSum must keep EVERY input row,
     // including a null group (unlike MixSampler, where unweighted
     // domains are dropped by design)
     df.join(broadcast(offsets),
         col(partCol) <=> col("ps_d") && bucket === col("ps_b"))
-      .withColumn(outCol, col("ps_below") + sum(col(valueCol)).over(w))
-      .drop("ps_d", "ps_b", "ps_below")
-  }
-
-  /** [[withCumsum]] with the running total carried as DECIMAL(38,0) —
-    * for value columns whose PREFIX SUM outgrows a long even though
-    * every element fits one (the a74 ln-factorial table: elements are
-    * ≤ ln(N)·10¹², but Σln(i) ≈ N(ln N − 1)·10¹² crosses 2⁶³ already
-    * at N ≈ 6.9×10⁵ — a silent wrap under non-ANSI, a job-killing
-    * overflow under ANSI, while DuckDB's BIGINT sum promotes to
-    * HUGEINT; decimal keeps the two engines exact together to 10³⁸).
-    * Same bucketing machinery: the histogram and below-offsets ride
-    * java.math.BigDecimal driver-side. */
-  def withCumsumDecimal(df: DataFrame, partCol: String, orderCol: String,
-      valueCol: String, outCol: String = "cum", buckets: Int = 64,
-      sampleTarget: Int = 20000, knownCount: Option[Long] = None): DataFrame = {
-    val spark = df.sparkSession
-    val n = knownCount.getOrElse(df.count())
-    val mod = math.max(1L, n / math.max(1, sampleTarget))
-    val h = expr(graft.queries.Shingles.h60(s"CAST($orderCol AS STRING)"))
-    val sampled = df.filter(col(orderCol).isNotNull && pmod(h, lit(mod)) === 0)
-      .select(col(orderCol)).distinct().orderBy(col(orderCol))
-      .collect().map(_.get(0))
-    val k = math.min(buckets, math.max(1, sampled.length))
-    val bounds = (1 until k).map(i => sampled(i * sampled.length / k)).distinct
-    val bucket: Column =
-      if (bounds.isEmpty) when(col(orderCol).isNull, lit(-1L)).otherwise(lit(0L))
-      else when(col(orderCol).isNull, lit(-1L)).otherwise(
-        bounds.map(b => (col(orderCol) >= lit(b)).cast("long")).reduce(_ + _))
-
-    val hist = df
-      .groupBy(col(partCol).as("ps_d"), bucket.as("ps_b"))
-      .agg(sum(col(valueCol).cast("decimal(38,0)")).as("ps_c"))
-      .collect()
-    val offsetRows = hist
-      .map(r => (r.get(0), r.getLong(1),
-        if (r.isNullAt(2)) java.math.BigDecimal.ZERO else r.getDecimal(2)))
-      .groupBy(_._1).toSeq.flatMap { case (_, bs) =>
-        var below = java.math.BigDecimal.ZERO
-        bs.sortBy(_._2).map { case (d, b, c) =>
-          val row = Row(d, b, below); below = below.add(c); row
-        }
-      }
-    val schema = StructType(Seq(
-      StructField("ps_d", df.schema(partCol).dataType),
-      StructField("ps_b", LongType),
-      StructField("ps_below", DecimalType(38, 0))))
-    val offsets = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsetRows, 1), schema)
-
-    val w = Window.partitionBy(col(partCol), col("ps_b")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.join(broadcast(offsets),
-        col(partCol) <=> col("ps_d") && bucket === col("ps_b"))
-      .withColumn(outCol,
-        (col("ps_below") + sum(col(valueCol).cast("decimal(38,0)")).over(w))
-          .cast("decimal(38,0)"))
+      .withColumn(outCol, running)
       .drop("ps_d", "ps_b", "ps_below")
   }
 }

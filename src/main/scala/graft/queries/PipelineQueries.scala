@@ -1355,11 +1355,18 @@ object PipelineQueries {
     // assignment, replayed exactly by the oracle); the "model score"
     // here is the user's activity count (swap in any model's score
     // column and nothing else changes). Scale shape: ONE per-user
-    // collapse (hash agg with map-side combine), an ntile over the
-    // user-grain rows on a UNIQUE (score desc, user) order — both
-    // engines assign uneven remainders to earlier tiles, so the decile
-    // boundary is deterministic — then all curve algebra lives on the
-    // 10-row decile table. Counts exact; ratios round to 4.
+    // collapse (hash agg with map-side combine); the decile keeps the
+    // oracle's EXACT ntile(10) semantics on the UNIQUE
+    // (score desc, user) order but derives it from the bucketed global
+    // rank (ops/PrefixSum — the pipe_woe_iv recipe) instead of an
+    // unpartitioned ntile window: users scale linearly with the
+    // corpus, and a total-order sort through one reducer is the one
+    // spelling this battery bans. Order key = user_id − score·10¹⁰, a
+    // strictly monotone long injection of (score DESC, user_id ASC)
+    // while per-user event counts stay below ~9.2×10⁸ and
+    // user_id < 10¹⁰ — both far past this table's documented envelope.
+    // All curve algebra then lives on the 10-row decile table. Counts
+    // exact; ratios round to 4.
     OracleQuery(
       "pipe_qini_uplift",
       (s, d) => {
@@ -1370,9 +1377,23 @@ object PipelineQueries {
             max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
           .withColumn("arm",
             expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2"))
-        val wTile = org.apache.spark.sql.expressions.Window
-          .orderBy($"score".desc, $"user_id")
-        val tiled = users.withColumn("decile", ntile(10).over(wTile))
+          .withColumn("ord", $"user_id" - $"score" * lit(10000000000L))
+        val n = users.count()
+        val q = n / 10
+        val rem = n % 10
+        val ranked = graft.ops.PrefixSum.withCumsum(
+          users.withColumn("g", lit(0)).withColumn("one", lit(1L)),
+          "g", "ord", "one", outCol = "rnk", knownCount = Some(n))
+        // ntile(10) from the 0-based rank r0: tiles 1..rem carry q+1
+        // rows, the rest q — integer `div` algebra only (the
+        // pipe_woe_iv derivation verbatim; q=0 degenerate guarded)
+        val tiled = ranked
+          .withColumn("r0", $"rnk" - 1)
+          .withColumn("decile",
+            (when($"r0" < lit(rem * (q + 1)),
+              expr(s"r0 div ${q + 1}"))
+              .otherwise(lit(rem) + expr(s"(r0 - ${rem * (q + 1)}) div ${math.max(q, 1L)}"))
+              + 1).cast("int"))
         val per = tiled.groupBy($"decile")
           .agg(
             sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_t"),
@@ -2046,20 +2067,42 @@ object PipelineQueries {
           .select(
             ($"w0" - lit(0.5) * $"g0").as("v0"), ($"w1" - lit(0.5) * $"g1").as("v1"),
             ($"w2" - lit(0.5) * $"g2").as("v2"), ($"w3" - lit(0.5) * $"g3").as("v3"))
-        val wq = org.apache.spark.sql.expressions.Window
-          .orderBy($"pq", $"user_id")
-        val strata = u.crossJoin(broadcast(w2))
+        val scored = u.crossJoin(broadcast(w2))
           .withColumn("p",
             lit(1.0) / (lit(1.0) +
               exp(-($"v0" + $"v1" * $"x1" + $"v2" * $"x2" + $"v3" * $"x3"))))
           // Rosenbaum–Rubin quintiles of the ESTIMATED score (fixed
           // [0,1] bins degenerate when propensities cluster): rank on
           // the 1e-12-quantized score with the user id as total
-          // tiebreak — deterministic ntile both engines. User-grain
-          // window; at cluster scale this decomposes like a47's
-          // bucketed ranks.
+          // tiebreak — the oracle's exact ntile(5) semantics, derived
+          // from the bucketed global rank (ops/PrefixSum, the
+          // pipe_woe_iv recipe) instead of an unpartitioned user-grain
+          // ntile window. (pq ≤ 10¹²)·(user_id < 10¹⁰) overflows a
+          // long product, so the monotone order key is the fixed-width
+          // zero-padded digit string — lexicographic order on equal-
+          // width digits IS numeric order, and PrefixSum's range
+          // bucketing compares strings natively.
           .withColumn("pq", floor($"p" * 1e12 + 0.5).cast("long"))
-          .withColumn("b", (ntile(5).over(wq) - 1).cast("long"))
+          .withColumn("ord", concat(
+            lpad($"pq".cast("string"), 13, "0"),
+            lpad($"user_id".cast("string"), 10, "0")))
+          .persist() // PrefixSum scans its input thrice (boundary
+          // sample, bucket histogram, final join); without this each
+          // scan re-runs both training epochs
+        val nL = nU.toLong
+        val q5 = nL / 5
+        val rem5 = nL % 5
+        val strata = graft.ops.PrefixSum.withCumsum(
+            scored.withColumn("g", lit(0)).withColumn("one", lit(1L)),
+            "g", "ord", "one", outCol = "rnk", knownCount = Some(nL))
+          // ntile(5) from the 0-based rank: tiles 1..rem carry q+1
+          // rows, the rest q; b stays 0-based as before
+          .withColumn("r0", $"rnk" - 1)
+          .withColumn("b",
+            (when($"r0" < lit(rem5 * (q5 + 1)),
+              expr(s"r0 div ${q5 + 1}"))
+              .otherwise(lit(rem5) + expr(s"(r0 - ${rem5 * (q5 + 1)}) div ${math.max(q5, 1L)}")))
+              .cast("long"))
           .groupBy($"b")
           .agg(
             sum(when($"t" === 1.0, 1L).otherwise(0L)).as("n_t"),

@@ -1237,17 +1237,18 @@ object StatsQueries {
              |FROM terms""".stripMargin)
     ),
 
-    // The 100 TB spelling of pipe_woe_iv (pipe_woe_iv_approx): the
-    // exact twin's decile ntile is a GLOBAL SORT — the one operator in
-    // that plan that does not survive a 1000× scale-up. Here bin edges
-    // come from approx_percentile (fixed-memory KLL-class sketch,
-    // map-side mergeable) and binning is a row-local comparison chain
-    // — no sort, no single-partition window, the plan a real corpus
-    // runs. Sketch edges are engine-specific ⟹ CONTRACT gate (the
-    // a16b/a17b discipline): Spark recomputes the EXACT-ntile IV
-    // in-plan and asserts the approx IV lands within tolerance, bins
-    // stay balanced, and edges are strictly monotone; the oracle
-    // recomputes the exact row counts and asserts the booleans TRUE.
+    // The 100 TB spelling of pipe_woe_iv (pipe_woe_iv_approx): bin
+    // edges come from approx_percentile (fixed-memory KLL-class
+    // sketch, map-side mergeable) and binning is a row-local
+    // comparison chain — no sort, no single-partition window, the
+    // plan a real corpus runs. Sketch edges are engine-specific ⟹
+    // CONTRACT gate (the a16b/a17b discipline): Spark recomputes the
+    // EXACT-ntile IV in-plan — via the same PrefixSum bucketed-rank
+    // decile derivation as the exact twin, so even the contract arm
+    // carries no unpartitioned global-order window — and asserts the
+    // approx IV lands within tolerance, bins stay balanced, and edges
+    // are strictly monotone; the oracle recomputes the exact row
+    // counts and asserts the booleans TRUE.
     OracleQuery(
       "pipe_woe_iv_approx",
       (s, d) => {
@@ -1278,9 +1279,27 @@ object StatsQueries {
               max($"g" + $"b").as("max_bin"), min($"g" + $"b").as("min_bin"))
         }
         val approxIv = ivOf(base.withColumn("bin", bin))
-        val wNt = Window.orderBy($"o_totalprice", $"o_orderkey")
-        val exactIv = ivOf(base.withColumn("bin", ntile(10).over(wNt)))
-          .select($"iv".as("iv_x"))
+        // exact contract arm: the same PrefixSum-derived ntile(10) as
+        // pipe_woe_iv (monotone cents·10¹⁰+orderkey key, bucketed
+        // global rank) — NOT an ntile window, so the production twin's
+        // whole plan is free of unpartitioned global-order sorts
+        val nEx = base.count()
+        val qEx = nEx / 10
+        val remEx = nEx % 10
+        val rankedEx = graft.ops.PrefixSum.withCumsum(
+          base.withColumn("ord",
+              floor($"o_totalprice" * 100 + 0.5).cast("long")
+                * lit(10000000000L) + $"o_orderkey")
+            .withColumn("g", lit(0)).withColumn("one", lit(1L)),
+          "g", "ord", "one", outCol = "rnk", knownCount = Some(nEx))
+        val binnedEx = rankedEx
+          .withColumn("r0", $"rnk" - 1)
+          .withColumn("bin",
+            (when($"r0" < lit(remEx * (qEx + 1)),
+              expr(s"r0 div ${qEx + 1}"))
+              .otherwise(lit(remEx) + expr(s"(r0 - ${remEx * (qEx + 1)}) div ${math.max(qEx, 1L)}"))
+              + 1).cast("int"))
+        val exactIv = ivOf(binnedEx).select($"iv".as("iv_x"))
         val totals = base.agg(
           count(lit(1)).as("n"),
           sum(when(!$"is_bad", 1L).otherwise(0L)).as("n_good"),

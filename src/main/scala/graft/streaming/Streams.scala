@@ -286,7 +286,12 @@ object Streams {
     }
   }
 
-  final case class KalmanState(x: Double, p: Double, lastMs: Long)
+  // lastMs = last SEEN event time (advanced by null passthrough rows
+  // too — the duplicate guard must drop re-delivered nulls); seeded =
+  // whether (x, p) hold a real fold yet, false when the state exists
+  // only to carry the watermark past leading nulls
+  final case class KalmanState(x: Double, p: Double, lastMs: Long,
+      seeded: Boolean = true)
   final case class KalmanPoint(eventType: String, day: java.sql.Timestamp,
       y: Option[Double], level: Option[Double], gain: Option[Double],
       variance: Option[Double])
@@ -333,22 +338,30 @@ object Streams {
               // days per key, so a timestamp EQUAL to the saved state's
               // last can only be a duplicate delivery; folding it again
               // would double-apply the update and diverge from the
-              // batch kernel for every subsequent row of the key
+              // batch kernel for every subsequent row of the key.
+              // lastMs is the last SEEN event time — null passthrough
+              // rows advance it too (below), so a re-delivered null is
+              // dropped like any other duplicate and the one-output-
+              // row-per-input cardinality parity holds for nulls
               case (Some(s), _) if day.getTime <= s.lastMs => ()
               case (_, None) =>
-                // null observation: passthrough, state (incl. lastMs)
-                // untouched — the batch kernel's exact behavior
+                // null observation: passthrough, fold state untouched
+                // (the batch kernel ignores nulls) — but the seen
+                // watermark advances; `seeded = false` marks a state
+                // that exists only to carry the watermark
+                cur = Some(cur.map(s => s.copy(lastMs = day.getTime))
+                  .getOrElse(KalmanState(0.0, 0.0, day.getTime, seeded = false)))
                 out += KalmanPoint(key, day, None, None, None, None)
-              case (Some(s), Some(y)) =>
+              case (Some(s), Some(y)) if s.seeded =>
                 // spelled exactly as KalmanLevel.perKey
                 val pPred = s.p + q
                 val kg = pPred / (pPred + r)
                 val x = s.x + kg * (y - s.x)
                 val p = (1 - kg) * pPred
-                cur = Some(KalmanState(x, p, day.getTime))
+                cur = Some(KalmanState(x, p, day.getTime, seeded = true))
                 out += KalmanPoint(key, day, Some(y), Some(x), Some(kg), Some(p))
-              case (None, Some(y)) =>
-                cur = Some(KalmanState(y, r, day.getTime))
+              case (_, Some(y)) =>
+                cur = Some(KalmanState(y, r, day.getTime, seeded = true))
                 out += KalmanPoint(key, day, Some(y), Some(y), Some(1.0), Some(r))
             }
           }
@@ -391,10 +404,14 @@ object Streams {
             (cur, yOpt) match {
               case (Some(s), _) if day.getTime <= s.lastMs => () // duplicate/late: drop
               case (_, None) =>
-                // null observation: passthrough with null scores, state
-                // (incl. lastMs) untouched — the batch kernel's contract
+                // null observation: passthrough with null scores, fold
+                // state untouched — but the seen watermark advances so
+                // a re-delivered null is dropped by the guard above
+                // (n = 0 marks a watermark-only state)
+                cur = Some(cur.map(s => s.copy(lastMs = day.getTime))
+                  .getOrElse(EwmaAnomState(0L, 0.0, 0.0, day.getTime)))
                 out += EwmaAnomPoint(key, day, None, None, None, None)
-              case (Some(s), Some(y)) =>
+              case (Some(s), Some(y)) if s.n > 0 =>
                 // spelled exactly as EwmaAnomaly.perKey
                 val z =
                   if (s.n >= warmup && s.v > 0.0) Some((y - s.m) / math.sqrt(s.v))
@@ -405,7 +422,7 @@ object Streams {
                 val v = (1 - alpha) * (s.v + alpha * d * d)
                 cur = Some(EwmaAnomState(s.n + 1, m, v, day.getTime))
                 out += EwmaAnomPoint(key, day, Some(y), Some(m), z, Some(flag))
-              case (None, Some(y)) =>
+              case (_, Some(y)) =>
                 cur = Some(EwmaAnomState(1L, y, 0.0, day.getTime))
                 out += EwmaAnomPoint(key, day, Some(y), Some(y), None,
                   Some(false))
@@ -452,8 +469,12 @@ object Streams {
             if (day.getTime <= cur.lastMs) () // duplicate/late: drop
             else if (yOpt.isEmpty) {
               // null observation: passthrough, nothing enters the seed
-              // buffer or the recursion, lastMs untouched — byte parity
-              // with the batch kernel's ignore-nulls contract
+              // buffer or the recursion — but the seen watermark
+              // advances, so a re-delivered null is dropped by the
+              // guard above (byte parity with the batch kernel's
+              // ignore-nulls contract holds: lastMs is never read by
+              // the fold, only by the duplicate guard)
+              cur = cur.copy(lastMs = day.getTime)
               out += HwPoint(key, day, None, None, None, None)
             } else if (!cur.seeded) {
               val y = yOpt.get

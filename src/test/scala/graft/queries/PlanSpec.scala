@@ -700,4 +700,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ps_b"),
       s"the decile rank must come from the bucketed prefix sum:\n$p")
   }
+
+  test("qini uplift: user deciles from the bucketed rank — no ntile over the user grain") {
+    // users scale with the corpus; the decile must derive from
+    // ops/PrefixSum, and the only remaining unpartitioned window is
+    // the cumulative pass over the 10-row decile table
+    val p = planWithCached(Registry.queries("pipe_qini_uplift")(spark, sf))
+    assert(!p.contains("ntile"), s"no ntile window in the plan:\n$p")
+    assert(p.contains("ps_b"),
+      s"the decile rank must come from the bucketed prefix sum:\n$p")
+    assert(!p.contains("windowspecdefinition(score#"),
+      s"no unpartitioned window over the user-grain frame:\n$p")
+  }
+
+  test("propensity strata: quintiles from the bucketed rank — no ntile over the user grain") {
+    // the in-code promise at r13 ("at cluster scale this decomposes
+    // like a47's bucketed ranks") is now the implementation: the
+    // quintile id derives from PrefixSum over the zero-padded
+    // (pq, user_id) digit-string key, including inside persisted
+    // subtrees
+    val p = planWithCached(Registry.queries("pipe_propensity_strata")(spark, sf))
+    assert(!p.contains("ntile"), s"no ntile window in the plan:\n$p")
+    assert(p.contains("ps_b"),
+      s"the quintile rank must come from the bucketed prefix sum:\n$p")
+  }
+
+  test("WOE approx: the exact contract arm rides the bucketed rank — whole plan ntile-free") {
+    val p = planWithCached(Registry.queries("pipe_woe_iv_approx")(spark, sf))
+    assert(!p.contains("ntile"), s"no ntile window in the plan:\n$p")
+    assert(p.contains("ps_b"),
+      s"the exact-IV arm must come from the bucketed prefix sum:\n$p")
+    assert(!p.contains("windowspecdefinition(o_totalprice#"),
+      s"no global-order window over the orders frame:\n$p")
+  }
 }

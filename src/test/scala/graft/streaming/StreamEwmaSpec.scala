@@ -104,4 +104,27 @@ class StreamEwmaSpec extends SparkSpec {
     assert(got.length == rows.length, s"one output row per input row: $got")
     assert(got == batch, s"stream $got vs batch $batch")
   }
+
+  test("a re-delivered null row drops — null passthrough advances the seen watermark") {
+    val tmp = java.nio.file.Files.createTempDirectory("sewma_nulldup").toString
+    Seq(("A", day(1), Some(10.0)), ("A", day(2), Option.empty[Double]))
+      .toDF("event_type", "day", "y")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c0")
+    // batch 2 re-delivers the day-2 null before the next real row
+    Seq(("A", day(2), Option.empty[Double]), ("A", day(3), Some(10.5)))
+      .toDF("event_type", "day", "y")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c1")
+    Streams.pinChunkOrder(spark, s"$tmp/in", 2)
+    val src = spark.readStream
+      .schema("event_type STRING, day TIMESTAMP, y DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*")
+    Streams.runAvailableNow(
+      Streams.ewmaAnomalyStream(src, alpha = 0.25, zThreshold = 3.0, warmup = 2).toDF(),
+      s"$tmp/ckpt", s"$tmp/out")
+    val got = spark.read.parquet(s"$tmp/out")
+      .orderBy($"day").select($"y").as[Option[Double]].collect().toSeq
+    assert(got == Seq(Some(10.0), None, Some(10.5)),
+      s"duplicate null must drop exactly once, got $got")
+  }
 }

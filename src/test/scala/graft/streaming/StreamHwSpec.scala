@@ -112,4 +112,27 @@ class StreamHwSpec extends SparkSpec {
     // 10 non-null rows, m = 7 seeds -> exactly 3 scored forecasts
     assert(got.count(_._2.nonEmpty) == 3)
   }
+
+  test("a re-delivered null row drops — the warmup buffer is not disturbed") {
+    val tmp = java.nio.file.Files.createTempDirectory("shw_nulldup").toString
+    Seq(("A", day(1), Some(10.0)), ("A", day(2), Option.empty[Double]))
+      .toDF("event_type", "day", "y")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c0")
+    Seq(("A", day(2), Option.empty[Double]), ("A", day(3), Some(11.0)))
+      .toDF("event_type", "day", "y")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c1")
+    Streams.pinChunkOrder(spark, s"$tmp/in", 2)
+    val src = spark.readStream
+      .schema("event_type STRING, day TIMESTAMP, y DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*")
+    Streams.runAvailableNow(
+      Streams.holtWintersStream(src, m = 7, alpha = 0.25, beta = 0.0625, gamma = 0.25)
+        .toDF(),
+      s"$tmp/ckpt", s"$tmp/out")
+    val got = spark.read.parquet(s"$tmp/out")
+      .orderBy($"day").select($"y").as[Option[Double]].collect().toSeq
+    assert(got == Seq(Some(10.0), None, Some(11.0)),
+      s"duplicate null must drop exactly once, got $got")
+  }
 }

@@ -75,4 +75,28 @@ class StreamKalmanSpec extends SparkSpec {
       .orderBy($"day").select($"level").as[Double].collect().toSeq
     assert(lv == batch)
   }
+
+  test("a re-delivered null row is dropped like any duplicate — even before the first observation") {
+    val tmp = java.nio.file.Files.createTempDirectory("skalman_nulldup").toString
+    // batch 1: a LEADING null (no fold state exists yet)
+    Seq(("A", day(3), Option.empty[Double])).toDF("event_type", "day", "y")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c0")
+    // batch 2 re-delivers the same null, then the first real observation
+    Seq(("A", day(3), Option.empty[Double]), ("A", day(4), Some(10.0)))
+      .toDF("event_type", "day", "y")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c1")
+    pinOrder(tmp, 2)
+    val src = spark.readStream
+      .schema("event_type STRING, day TIMESTAMP, y DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*")
+    Streams.runAvailableNow(
+      Streams.kalmanLevelStream(src, q = 0.5, r = 4.0).toDF(),
+      s"$tmp/ckpt", s"$tmp/out")
+    val got = spark.read.parquet(s"$tmp/out")
+      .orderBy($"day").select($"day", $"y").collect().toSeq
+    // exactly ONE null row (the redelivery vanished) + the seed row
+    assert(got.length == 2, s"duplicate null must drop, got $got")
+    assert(got.head.isNullAt(1) && got(1).getDouble(1) == 10.0, s"got $got")
+  }
 }
