@@ -159,9 +159,12 @@ object Bench {
     "a77_breusch_pagan",   // heteroscedasticity LM gate (two-pass OLS)
     "a78_runs_test",       // Wald-Wolfowitz randomness, pure-integer cut
     "w29_periodogram",     // grid-cosine spectral scan (calendar grain)
-    // the bench-coverage contract: every green registry row is either
-    // timed here or loudly excluded in sfCaps — these stream replays
-    // and the HDF5 fixture read are small but not exempt
+    // bench-coverage contract (ENFORCED by BenchCoverageSpec): every
+    // registry row is headline-timed, sfCaps-excluded with a logged
+    // reason, or on the spec's explicit known-untimed list (cheap
+    // scalar/variant rows measured only under SPARK_GRAFT_BENCH_ALL=1);
+    // a new query that lands in none of the three fails the suite —
+    // the decision is forced, never silently skipped
     "stream_scd2",         // SCD2 dimension versioning as a stateful stream
     "stream_record_linkage", // streaming FS-linkage admission index
     "stream_cdc_tombstones", // CDC keep-latest + tombstone expiry replay
@@ -178,7 +181,10 @@ object Bench {
     "o35_snapshot_incremental_read", // append-delta consumer read off snapshots
     "text_collocations_llr", // Dunning G^2 bigram collocations, one corpus pass
     "a81_sprt",            // Wald sequential test, integer LLR cumsum per segment
-    "pipe_pack_sequences") // concat-and-chunk token packing off the bucketed cumsum
+    "pipe_pack_sequences", // concat-and-chunk token packing off the bucketed cumsum
+    "pipe_qini_uplift",    // uplift decile curve, PrefixSum-derived ranks
+    "o36_snapshot_mor_read", // time travel x delete watermarks (seq-scoped)
+    "o37_snapshot_merge_upsert") // one-commit MERGE: tombstones + new versions
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is
@@ -191,7 +197,7 @@ object Bench {
     * prints why it was dropped so a thinner BENCH json reads as an
     * explicit demotion, not missing coverage. The correctness gate is
     * unaffected (Verify has no caps). */
-  private val sfCaps: Map[String, Double] = Map(
+  private[graft] val sfCaps: Map[String, Double] = Map(
     "a42_bootstrap_ci" -> 0.1, // md5 parity spelling; a42b is the production row
     "skewJoin" -> 0.1,         // section: snapshot-only past sf0.1 on a shared JVM
     "dedup_lsh_eval" -> 1.0)   // truth side is quadratic-adjacent BY DESIGN
@@ -526,15 +532,15 @@ object Bench {
     }
     timeSnapPruned() // warm
     Seq(
-      "scan_manifest_pruned" -> timePruned(),
-      "scan_manifest_full" -> timeFull(),
+      "scan_manifest_pruned" -> steadyMin(() => timePruned()),
+      "scan_manifest_full" -> steadyMin(() => timeFull()),
       "scan_manifest_files_read" -> nCand.toDouble,
-      "scan_manifest_partitioned" -> timePart(),
+      "scan_manifest_partitioned" -> steadyMin(() => timePart()),
       "scan_manifest_partitioned_files_read" -> nCandPart.toDouble,
       "scan_manifest_cluster_depth_sorted" -> depthSorted.avgDepth,
       "scan_manifest_cluster_depth_partitioned" -> depthPart.avgDepth,
       "manifest_snapshot_commit" -> commitSec,
-      "scan_manifest_snapshot_pruned" -> timeSnapPruned())
+      "scan_manifest_snapshot_pruned" -> steadyMin(() => timeSnapPruned()))
   }
 
   /** Compaction A/B: the same full scan against 64 micro-files vs the
@@ -553,25 +559,42 @@ object Bench {
   private def erasureBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     val tmp = graft.core.Scratch.dir("bench_erase", sfDir)
-    withReplicatedEvents(spark, sfDir) { events =>
-      graft.sources.Sinks.writeSortedBy(
-        events, s"$tmp/data", Seq("event_id"), numFiles = 64)
+    def buildLayout(): Unit = {
+      withReplicatedEvents(spark, sfDir) { events =>
+        graft.sources.Sinks.writeSortedBy(
+          events, s"$tmp/data", Seq("event_id"), numFiles = 64)
+      }
+      graft.ops.Manifest.write(spark, s"$tmp/data", s"$tmp/manifest",
+        Seq("event_id"))
     }
-    graft.ops.Manifest.write(spark, s"$tmp/data", s"$tmp/manifest", Seq("event_id"))
+    buildLayout()
     val keys = (0 until 50).map(i => i.toLong * 997)
-    // naive path: whole table anti-filtered and rewritten elsewhere
+    // naive path: whole table anti-filtered and rewritten elsewhere —
+    // idempotent over the unchanged layout, so min-of-N applies as-is
     spark.read.parquet(s"$tmp/data").limit(1).count() // warm listing
-    val t0 = System.nanoTime()
-    spark.read.parquet(s"$tmp/data")
-      .filter(!col("event_id").isin(keys: _*))
-      .write.mode("overwrite").parquet(s"$tmp/full_rewrite")
-    val fullSec = (System.nanoTime() - t0) / 1e9
-    // targeted path: plan on metadata, rewrite candidates, refresh
-    val t1 = System.nanoTime()
-    val p = graft.ops.Erasure.plan(spark, s"$tmp/manifest", "event_id", keys)
-    val rep = graft.ops.Erasure.erase(spark, p)
-    graft.ops.Manifest.refresh(spark, s"$tmp/data", s"$tmp/manifest", Seq("event_id"))
-    val targetedSec = (System.nanoTime() - t1) / 1e9
+    def timeFullRewrite(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$tmp/data")
+        .filter(!col("event_id").isin(keys: _*))
+        .write.mode("overwrite").parquet(s"$tmp/full_rewrite")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val fullSec = steadyMin(() => timeFullRewrite())
+    // targeted path: plan on metadata, rewrite candidates, refresh.
+    // The erase MUTATES the layout (a second run over erased data would
+    // measure a no-op), so each min-of-N sample rebuilds the layout
+    // first — the rebuild sits outside the timed window
+    var rep: graft.ops.Erasure.EraseReport = null
+    def timeTargeted(): Double = {
+      buildLayout()
+      val t1 = System.nanoTime()
+      val p = graft.ops.Erasure.plan(spark, s"$tmp/manifest", "event_id", keys)
+      rep = graft.ops.Erasure.erase(spark, p)
+      graft.ops.Manifest.refresh(spark, s"$tmp/data", s"$tmp/manifest",
+        Seq("event_id"))
+      (System.nanoTime() - t1) / 1e9
+    }
+    val targetedSec = steadyMin(() => timeTargeted())
     Seq(
       "erase_full_rewrite" -> fullSec,
       "erase_targeted" -> targetedSec,
@@ -596,9 +619,11 @@ object Bench {
     }
     timeScan(Seq(s"$tmp/small")); timeScan(compactedPaths) // warm
     val nAfter = spark.read.parquet(compactedPaths: _*).inputFiles.length
+    // min-of-N (the q5_obt lesson): both are sub-second read cells —
+    // single snapshots drifted 1.7–3.2× between rounds on JVM noise
     Seq(
-      "scan_smallfiles_64" -> timeScan(Seq(s"$tmp/small")),
-      "scan_compacted" -> timeScan(compactedPaths),
+      "scan_smallfiles_64" -> steadyMin(() => timeScan(Seq(s"$tmp/small"))),
+      "scan_compacted" -> steadyMin(() => timeScan(compactedPaths)),
       "compaction_files_after" -> nAfter.toDouble)
   }
 
@@ -644,9 +669,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     timeClean(); timeMor() // warm both read paths
-    val cleanSec = timeClean()
-    val morSec = timeMor()
-    val cowSec = timeCow()
+    // min-of-N like the headline (the q5_obt lesson): these are small
+    // read cells on a shared JVM — a single snapshot publishes noise
+    val cleanSec = steadyMin(() => timeClean())
+    val morSec = steadyMin(() => timeMor())
+    val cowSec = steadyMin(() => timeCow()) // overwrite: repeatable
+    // snapshot-governed MoR read tax: one commit records the delete
+    // watermark, readAt merges it — the time-travel read must price
+    // within noise of the direct DeletionVectors.read (same broadcast
+    // anti-join, file list from a KB manifest instead of an FS walk)
+    val snapRoot = s"$tmp/snaps"
+    graft.ops.Snapshots.commitFromFs(spark, s"$tmp/data", snapRoot,
+      Seq("l_shipdate"), posDeleteDir = Some(s"$tmp/deletes"))
+    def timeSnapMor(): Double = {
+      val t0 = System.nanoTime()
+      agg(graft.ops.Snapshots.readAt(spark, snapRoot, 0L))
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeSnapMor() // warm
+    val snapMorSec = steadyMin(() => timeSnapMor())
     // ABSORB lifecycle: compact with the delete table absorbed, swap
     // the layout in, prune the dangling vectors — the merge-on-read
     // tax must collapse back to (near) clean-scan time. This cell +
@@ -675,8 +716,9 @@ object Bench {
     Seq(
       "scan_dv_clean" -> cleanSec,
       "scan_dv_merge_on_read" -> morSec,
+      "scan_snapshot_mor" -> snapMorSec,
       "scan_dv_copy_on_write" -> cowSec,
-      "scan_dv_after_absorb" -> timeMor(),
+      "scan_dv_after_absorb" -> steadyMin(() => timeMor()),
       "scan_dv_positions" -> nDel.toDouble)
   }
 

@@ -144,17 +144,36 @@ object Compaction {
     *
     * `eqDeleteDir`: an equality-delete (tombstone-key) table to absorb
     * the same way — rewritten groups anti-join on the key columns, so
-    * their files carry no tombstoned rows. Equality tombstones stay
-    * delete-forever until EVERY file has been rewritten since the last
-    * tombstone (only then may the caller drop the eq table): unlike
-    * positions, reapplying a key tombstone to an absorbed file is
-    * idempotent — the matching rows are already gone — so a partial
-    * rewrite is always safe; what is NOT expressible without
-    * sequence-number scoping is re-inserting a tombstoned key, which
-    * matches the engine's CDC latest-per-key semantics anyway. */
+    * their files carry no tombstoned rows. WITHOUT `eqScope` a
+    * tombstone applies to every rewritten row (the engine's CDC
+    * latest-per-key semantics): reapplying a key tombstone to an
+    * absorbed file is idempotent — the matching rows are already gone —
+    * so a partial rewrite is always safe, but a re-inserted key would
+    * be absorbed away too.
+    *
+    * `eqScope` adds Iceberg v2's sequence-number scoping (the
+    * [[Snapshots]] composition): each tombstone applies only to rows
+    * from data files whose commit sequence is STRICTLY LESS than its
+    * generation's — a key re-inserted after its tombstone survives the
+    * rewrite. `fileSeq` maps normalized (URI-path) data-file paths to
+    * their commit sequence — a file absent from the map is treated as
+    * newest (never eq-deleted), the safe default; `genSeq` maps
+    * eq-generation ids to their commit sequence — a generation absent
+    * from the map is invisible to this rewrite (not yet committed to
+    * any snapshot). Both are file-/generation-grain: metadata-sized,
+    * broadcast. */
+  final case class EqScope(fileSeq: Seq[(String, Long)], genSeq: Map[Int, Long])
+
+  // strips scheme + optional authority (`file:/x` and `file:///x` both
+  // render from _metadata.file_path depending on the path printer)
+  private def normSfExpr(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.regexp_replace(
+      c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+
   def compact(spark: SparkSession, groups: Seq[Group], outDir: String,
       parallelism: Int = 8, deleteDir: Option[String] = None,
-      eqDeleteDir: Option[String] = None): CompactReport = {
+      eqDeleteDir: Option[String] = None,
+      eqScope: Option[EqScope] = None): CompactReport = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val multi = groups.filter(_.files.length > 1)
     val kept = groups.filter(_.files.length <= 1).map(_.files.length).sum
@@ -164,7 +183,7 @@ object Compaction {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     try {
-      import org.apache.spark.sql.functions.{broadcast, col}
+      import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
       // the absorb side is planned once; each group job anti-joins the
       // same (tiny, broadcast) position table — positions of files
       // outside the group simply match nothing
@@ -174,34 +193,84 @@ object Compaction {
           .select(col("file_path"), col("row_index")).distinct())
       val eqDels = eqDeleteDir
         .filter(d => DeletionVectors.hasDeletes(spark, d))
-        .map(d => spark.read.parquet(d).drop("gen").distinct())
+        .map { d =>
+          eqScope match {
+            case None => spark.read.parquet(d).drop("gen").distinct()
+            case Some(sc) =>
+              // keep the generation id, stamp each tombstone with its
+              // commit sequence (max per key: applies to the most
+              // files); gens outside the scope map are invisible
+              import spark.implicits._
+              val raw = spark.read.parquet(d)
+              val genSeq = broadcast(
+                sc.genSeq.toSeq.toDF("gen", "__eq_seq"))
+              val keyCols = raw.columns.filterNot(_ == "gen").toSeq
+              raw.join(genSeq, Seq("gen"))
+                .groupBy(keyCols.map(col): _*)
+                .agg(org.apache.spark.sql.functions.max(col("__eq_seq"))
+                  .as("__eq_seq"))
+          }
+        }
+      val fileSeqDf = eqScope.map { sc =>
+        import spark.implicits._
+        broadcast(sc.fileSeq.toDF("__sf", "__file_seq"))
+      }
       val futs = multi.map { g =>
         scala.concurrent.Future {
           // the group's files share one partition subdir by plan()'s
           // contract, so the PHYSICAL columns of every file agree and
           // the rewrite lands under the same partition encoding
-          val raw = spark.read.parquet(g.files.map(_.path): _*)
+          val raw0 = spark.read.parquet(g.files.map(_.path): _*)
+          // every _metadata-derived helper is projected in ONE select
+          // on the scan (hidden metadata columns resolve only there);
+          // the scoped absorb needs each row's normalized source path
+          val helpers =
+            (if (dels.isDefined)
+              Seq(col("_metadata.file_path").as("__dv_file"),
+                col("_metadata.row_index").as("__dv_pos"))
+            else Seq.empty) ++
+            (if (fileSeqDf.isDefined)
+              Seq(normSfExpr(col("_metadata.file_path")).as("__sf"))
+            else Seq.empty)
+          val raw = if (helpers.isEmpty) raw0
+            else raw0.select(col("*") +: helpers: _*)
           val posClean = dels match {
             case None => raw
             case Some(dv) =>
-              val keyed = raw.select(col("*"),
-                col("_metadata.file_path").as("__dv_file"),
-                col("_metadata.row_index").as("__dv_pos"))
-              keyed.join(broadcast(dv),
-                  keyed("__dv_file") === dv("file_path") &&
-                    keyed("__dv_pos") === dv("row_index"),
+              raw.join(broadcast(dv),
+                  raw("__dv_file") === dv("file_path") &&
+                    raw("__dv_pos") === dv("row_index"),
                   "left_anti")
                 .drop("__dv_file", "__dv_pos")
           }
-          val cleaned = eqDels match {
-            case None => posClean
-            case Some(keys) =>
+          val cleaned = (eqDels, fileSeqDf) match {
+            case (None, _) => posClean
+            case (Some(keys), None) =>
               val ks = keys.toDF(keys.columns.map(c => s"__eq_$c"): _*)
               val cond = keys.columns.toSeq
                 .map(c => posClean(c) <=> ks(s"__eq_$c")).reduce(_ && _)
               posClean.join(broadcast(ks), cond, "left_anti")
+            case (Some(keys), Some(fsq)) =>
+              // sequence-scoped absorb: tag each row with its source
+              // file's commit sequence (left join — an unmapped file
+              // is newest, never deleted) and require the tombstone's
+              // sequence to be strictly greater. `_metadata` resolves
+              // only against the scan, so the tag is projected from
+              // `raw` and carried through the position anti-join.
+              val keyCols = keys.columns.filterNot(_ == "__eq_seq").toSeq
+              val ks = keys.toDF(
+                keyCols.map(c => s"__eq_$c") :+ "__eq_seq": _*)
+              val tagged = posClean.join(fsq, Seq("__sf"), "left")
+                .withColumn("__row_seq",
+                  coalesce(col("__file_seq"), lit(Long.MaxValue)))
+              val cond = keyCols
+                .map(c => tagged(c) <=> ks(s"__eq_$c")).reduce(_ && _) &&
+                ks("__eq_seq") > tagged("__row_seq")
+              tagged.join(broadcast(ks), cond, "left_anti")
+                .drop("__file_seq", "__row_seq")
           }
           cleaned
+            .drop("__sf")
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$outDir/${g.outSubPath}")
           (g.files.length, g.bytes)

@@ -1,8 +1,9 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Snapshot-versioned manifests — TIME TRAVEL for the lakehouse
   * family, and the piece that makes maintenance auditable: every
@@ -23,19 +24,45 @@ import org.apache.spark.sql.functions._
   * vacuum step, deliberately separate from every commit so retention is
   * a policy knob, not a side effect.
   *
+  * SEQUENCE NUMBERS (Iceberg v2's composition rule, reduced the same
+  * way): every commit is numbered by its snapshot id, every data file
+  * carries the sequence of the commit that ADDED it, and a snapshot's
+  * manifest also records the [[DeletionVectors]] generations VISIBLE at
+  * commit time (position and equality), each with the sequence of its
+  * first appearance. [[readAt]]/[[readRangeAt]] then run merge-on-read
+  * against exactly that snapshot's delete set — a time-travel read of a
+  * table under MoR maintenance never resurrects deleted rows — with
+  * the v2 scoping rules:
+  *
+  *  - POSITION deletes name (file_path, row_index) explicitly; data
+  *    files are immutable and paths never reused, so the pair is
+  *    self-scoping — every visible position generation applies.
+  *  - EQUALITY deletes apply only to data files whose sequence is
+  *    STRICTLY LESS than the delete generation's. A key tombstoned at
+  *    sequence s deletes its old rows but leaves a file added at ≥ s
+  *    untouched — re-inserting a tombstoned key is one more append
+  *    commit, and a MERGE that writes the tombstone and the new row in
+  *    the same commit upserts correctly.
+  *
   * Commit mechanics reuse the engine's crash-safe generation
   * discipline (the [[DeletionVectors]] pattern): the new manifest is
   * written under a `_`-prefixed staging name and RENAMED to
   * `snap=<k>` — readers either see the whole snapshot or none of it,
   * and the previous snapshot is never touched. Driver-side state is
-  * the manifest itself — metadata-sized (one row per file), the same
-  * bound as [[Manifest]]/[[Compaction]] and Spark's own file index.
+  * the manifest itself — metadata-sized (one row per file or delete
+  * generation), the same bound as [[Manifest]]/[[Compaction]] and
+  * Spark's own file index.
   *
   * What this deliberately does NOT do: physically-destructive in-place
   * maintenance ([[Erasure.erase]] rewrites files in place) breaks
   * older snapshots by construction — snapshot-safe erasure is the
   * copy-on-write spelling ([[commitRewrite]] with cleaned replacement
   * files), priced against the in-place one in the bench's erase cells.
+  * Likewise [[DeletionVectors.pruneDanglingDeletes]] physically drops
+  * generations and belongs to the UNGOVERNED lifecycle; under snapshot
+  * governance an absorbed generation merely leaves the new snapshot's
+  * watermark ([[commitRewrite]]'s `dropDeleteGens`) and stays on disk
+  * for older snapshots until [[expire]] retires it.
   */
 object Snapshots {
 
@@ -43,12 +70,30 @@ object Snapshots {
   final case class ExpireReport(snapshotsDropped: Int, filesDeleted: Int,
       bytesFreed: Long)
 
+  private val KindData = "data"
+  private val KindPos = "posdel"
+  private val KindEq = "eqdel"
+
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def snapDir(root: String, snap: Long) = s"$root/snap=$snap"
 
-  private def norm(s: String): String = new Path(s).toUri.getPath
+  private def norm(s: String): String =
+    try {
+      val g = new java.net.URI(s).getPath
+      if (g != null) g else new Path(s).toUri.getPath
+    } catch {
+      case _: java.net.URISyntaxException => new Path(s).toUri.getPath
+    }
+
+  /** In-plan twin of [[norm]] for `_metadata.file_path` values:
+    * strips the scheme and (optional) authority — both the
+    * `scheme://authority/path` and the `scheme:/path` rendering occur
+    * across Hadoop/Spark path printers — so the result joins against
+    * driver-side-normalized manifest paths. */
+  private def normExpr(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
 
   /** Committed snapshot ids under `root`, ascending (empty if none). */
   def snapshots(spark: SparkSession, root: String): Seq[Long] = {
@@ -64,52 +109,119 @@ object Snapshots {
   def latest(spark: SparkSession, root: String): Option[Long] =
     snapshots(spark, root).lastOption
 
-  /** The manifest frame of one snapshot (the [[Manifest]] schema:
-    * `file`, `n_bytes`, `mtime`, `n_rows`, min_/max_ per stats col). */
+  /** The manifest frame of one snapshot: `kind` (`data` / `posdel` /
+    * `eqdel`), `file`, `n_bytes`, `mtime`, `n_rows`, min_/max_ per
+    * stats col, and `seq` — the sequence number of the commit that
+    * first added the file or delete generation. */
   def manifestAt(spark: SparkSession, root: String, snap: Long): DataFrame =
     spark.read.parquet(snapDir(root, snap))
 
-  /** Absolute data-file paths of one snapshot. */
+  /** Absolute DATA-file paths of one snapshot. */
   def filesAt(spark: SparkSession, root: String, snap: Long): Seq[String] =
-    manifestAt(spark, root, snap).select(col("file"))
-      .collect().map(_.getString(0)).toSeq.sorted
+    manifestAt(spark, root, snap).filter(col("kind") === KindData)
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
 
-  /** Stage-then-rename commit of a manifest frame as the next snapshot.
-    * Returns the committed id. */
+  /** Stage-then-rename commit of a manifest frame as snapshot `next`. */
   private def commitManifest(spark: SparkSession, root: String,
-      manifest: DataFrame): Long = {
+      manifest: DataFrame, next: Long): Long = {
     val fs = fsOf(spark, root)
     val stage = new Path(root, "_stage")
     if (fs.exists(stage)) fs.delete(stage, true)
     manifest.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val next = latest(spark, root).map(_ + 1).getOrElse(0L)
     val dst = new Path(snapDir(root, next))
     if (!fs.rename(stage, dst))
       throw new java.io.IOException(s"could not commit snapshot $dst")
     next
   }
 
+  /** Gen-dir paths (`gen=<k>`) currently committed under a delete dir,
+    * with their total on-disk bytes — metadata-sized. */
+  private def genDirs(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .sortBy(_.getPath.getName.stripPrefix("gen=").toInt)
+      .map { s =>
+        val bytes = fs.listStatus(s.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(_.getLen).sum
+        (s.getPath.toString, bytes)
+      }
+  }
+
+  /** Watermark rows for the CURRENT generations of the given delete
+    * dirs: a generation the previous snapshot already recorded keeps
+    * its original sequence; a new one is stamped `next`. A generation
+    * the previous snapshot listed but that no longer exists on disk is
+    * dropped from the new watermark (the old snapshot that needs it
+    * will fail loudly at read — the [[expire]] contract). */
+  private def watermarkRows(spark: SparkSession, schema: StructType,
+      prevSeqOf: Map[(String, String), Long],
+      posDeleteDir: Option[String], eqDeleteDir: Option[String],
+      next: Long): Seq[Row] = {
+    def rowsFor(kind: String, dir: Option[String]): Seq[Row] =
+      dir.toSeq.flatMap(d => genDirs(spark, d)).map { case (path, bytes) =>
+        val seq = prevSeqOf.getOrElse((kind, norm(path)), next)
+        Row.fromSeq(schema.fields.map { f =>
+          f.name match {
+            case "kind" => kind
+            case "file" => path
+            case "n_bytes" => bytes
+            case "mtime" => 0L
+            case "n_rows" => 0L
+            case "seq" => seq
+            case _ => null
+          }
+        }.toSeq)
+      }
+    rowsFor(KindPos, posDeleteDir) ++ rowsFor(KindEq, eqDeleteDir)
+  }
+
+  private def withMeta(df: DataFrame, seq: Long): DataFrame =
+    df.withColumn("kind", lit(KindData)).withColumn("seq", lit(seq))
+
   /** Commit a snapshot from the CURRENT files of `dataDir` — the
     * append-path commit (a batch load landed new files in the table
     * dir). Incremental like [[Manifest.refresh]]: stats are computed
     * only for files whose (path, size, mtime) identity the latest
-    * snapshot has never seen; known files carry their rows over. The
-    * previous snapshot is left intact — that is the entire point. */
+    * snapshot has never seen; known files carry their rows (and their
+    * original sequence numbers) over. `posDeleteDir`/`eqDeleteDir`
+    * record the [[DeletionVectors]] generations visible at this
+    * commit — the snapshot's delete watermark. The previous snapshot
+    * is left intact — that is the entire point. */
   def commitFromFs(spark: SparkSession, dataDir: String, root: String,
-      cols: Seq[String]): Commit = {
+      cols: Seq[String], posDeleteDir: Option[String] = None,
+      eqDeleteDir: Option[String] = None): Commit = {
     val current = Manifest.fsList(spark, dataDir)
     latest(spark, root) match {
       case None =>
-        val m = Manifest.statsFor(spark, dataDir, cols, current)
-        Commit(commitManifest(spark, root, m), current.length, 0, 0)
+        val next = 0L
+        val m = withMeta(Manifest.statsFor(spark, dataDir, cols, current), next)
+        val wm = watermarkRows(spark, m.schema, Map.empty,
+          posDeleteDir, eqDeleteDir, next)
+        val full =
+          if (wm.isEmpty) m
+          else m.unionByName(spark.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(wm: _*)), m.schema))
+        Commit(commitManifest(spark, root, full, next), current.length, 0, 0)
       case Some(prev) =>
+        val next = prev + 1
         val old = manifestAt(spark, root, prev)
         val oldRows = old.collect()
+        val ki = old.schema.fieldIndex("kind")
         val fi = old.schema.fieldIndex("file")
         val bi = old.schema.fieldIndex("n_bytes")
         val mi = old.schema.fieldIndex("mtime")
+        val si = old.schema.fieldIndex("seq")
+        val oldData = oldRows.filter(_.getString(ki) == KindData)
+        val prevSeqOf = oldRows.filterNot(_.getString(ki) == KindData)
+          .map(r => (r.getString(ki), norm(r.getString(fi))) -> r.getLong(si))
+          .toMap
         val curIds = current.map { case (n, _, b, m) => (n, b, m) }.toSet
-        val kept = oldRows.filter(r =>
+        val kept = oldData.filter(r =>
           curIds((norm(r.getString(fi)), r.getLong(bi), r.getLong(mi))))
         val keptNorm = kept.map(r => norm(r.getString(fi))).toSet
         val newFiles = current.filterNot(f => keptNorm(f._1))
@@ -118,10 +230,17 @@ object Snapshots {
         val combined =
           if (newFiles.isEmpty) keptDf
           else keptDf.unionByName(
-            Manifest.statsFor(spark, dataDir, cols, newFiles)
+            withMeta(Manifest.statsFor(spark, dataDir, cols, newFiles), next)
               .select(old.schema.fieldNames.map(col): _*))
-        Commit(commitManifest(spark, root, combined),
-          newFiles.length, oldRows.length - kept.length, kept.length)
+        val wm = watermarkRows(spark, old.schema, prevSeqOf,
+          posDeleteDir, eqDeleteDir, next)
+        val full =
+          if (wm.isEmpty) combined
+          else combined.unionByName(spark.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(wm: _*)),
+            old.schema))
+        Commit(commitManifest(spark, root, full, next),
+          newFiles.length, oldData.length - kept.length, kept.length)
     }
   }
 
@@ -129,63 +248,157 @@ object Snapshots {
     * the files under `addedDir` (compaction group outputs, erasure-CoW
     * replacements). The removed files are NOT deleted — they stay on
     * disk for older snapshots until [[expire]] — which is exactly what
-    * makes a mid-maintenance read repeatable. Stats for the added
-    * files are computed here (one column-pruned scan of just those
-    * files). */
+    * makes a mid-maintenance read repeatable. `dropDeleteGens` names
+    * the delete-generation dirs the rewrite ABSORBED (their rows are
+    * folded into the new files): they leave this snapshot's watermark
+    * but stay on disk for the older snapshots that still need them —
+    * [[expire]] retires them with the last referencing snapshot. Stats
+    * for the added files are computed here (one column-pruned scan of
+    * just those files); added files are stamped with this commit's
+    * sequence. */
   def commitRewrite(spark: SparkSession, root: String,
-      removed: Seq[String], addedDir: String, cols: Seq[String]): Commit = {
+      removed: Seq[String], addedDir: String, cols: Seq[String],
+      dropDeleteGens: Seq[String] = Nil): Commit = {
     val prev = latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no snapshot under $root to rewrite"))
+    val next = prev + 1
     val old = manifestAt(spark, root, prev)
     val oldRows = old.collect()
+    val ki = old.schema.fieldIndex("kind")
     val fi = old.schema.fieldIndex("file")
+    val oldData = oldRows.filter(_.getString(ki) == KindData)
     val removedNorm = removed.map(norm).toSet
-    val (dropped, kept) = oldRows.partition(r => removedNorm(norm(r.getString(fi))))
+    val (dropped, kept) = oldData.partition(r => removedNorm(norm(r.getString(fi))))
     require(dropped.length == removedNorm.size,
       s"rewrite removes ${removedNorm.size} files but snapshot $prev " +
         s"contains only ${dropped.length} of them")
+    val droppedGens = dropDeleteGens.map(norm).toSet
+    val keptWm = oldRows.filter(r => r.getString(ki) != KindData &&
+      !droppedGens(norm(r.getString(fi))))
     val added = Manifest.fsList(spark, addedDir)
     val keptDf = spark.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(kept: _*)), old.schema)
+      new java.util.ArrayList(java.util.Arrays.asList(kept ++ keptWm: _*)),
+      old.schema)
     val combined =
       if (added.isEmpty) keptDf
       else keptDf.unionByName(
-        Manifest.statsFor(spark, addedDir, cols, added)
+        withMeta(Manifest.statsFor(spark, addedDir, cols, added), next)
           .select(old.schema.fieldNames.map(col): _*))
-    Commit(commitManifest(spark, root, combined),
+    Commit(commitManifest(spark, root, combined, next),
       added.length, dropped.length, kept.length)
   }
 
-  /** Read EXACTLY the files of one snapshot — the time-travel scan.
-    * `basePath` keeps Hive partition columns visible for partitioned
-    * layouts (pass the table root). A vanished file fails the read
-    * loudly (the snapshot outlived its retention — see [[expire]]),
-    * never silently narrows it. An empty snapshot is unrepresentable
-    * here by construction (commits always carry the file list). */
+  /** Merge-on-read over an explicit file subset of one snapshot:
+    * anti-join away the snapshot's visible position deletes, then its
+    * equality deletes scoped to data files with strictly smaller
+    * sequence. The helper columns ride the scan's own `_metadata`
+    * struct, so the data side pays no shuffle; the delete side
+    * broadcasts while the manifest's recorded generation bytes stay
+    * under the limit (KBs per million deleted rows — the
+    * [[DeletionVectors]] sizing argument), and a watermark big enough
+    * to spill the broadcast is the signal compaction is overdue. */
+  private def readMergedFiles(spark: SparkSession, manifest: Array[Row],
+      schema: StructType, files: Seq[String],
+      basePath: Option[String]): DataFrame = {
+    val ki = schema.fieldIndex("kind")
+    val fi = schema.fieldIndex("file")
+    val bi = schema.fieldIndex("n_bytes")
+    val si = schema.fieldIndex("seq")
+    val posRows = manifest.filter(_.getString(ki) == KindPos)
+    val posGens = posRows.map(_.getString(fi)).toSeq
+    val eqRows = manifest.filter(_.getString(ki) == KindEq)
+    val eqGens = eqRows.map(r => (r.getString(fi), r.getLong(si))).toSeq
+    val r = basePath.foldLeft(spark.read)((rd, b) => rd.option("basePath", b))
+    val plain = r.parquet(files: _*)
+    if (posGens.isEmpty && eqGens.isEmpty) return plain
+
+    // broadcast decided from the manifest's RECORDED generation bytes
+    // (no count() job, no FS listing — the commit already paid it);
+    // past the limit the anti-join shuffles, which is correct and the
+    // signal compaction is overdue (the DeletionVectors sizing rule)
+    val broadcastByteLimit = 256L * 1024 * 1024
+    def sided(df: DataFrame, bytes: Long): DataFrame =
+      if (bytes <= broadcastByteLimit) broadcast(df) else df
+
+    // both anti-join keys are projected from the scan relation BEFORE
+    // any join (hidden _metadata columns resolve only against the scan)
+    var out = plain.select(col("*"),
+      col("_metadata.file_path").as("__dv_file"),
+      col("_metadata.row_index").as("__dv_pos"),
+      normExpr(col("_metadata.file_path")).as("__sf"))
+    if (posGens.nonEmpty) {
+      val dels = sided(spark.read.parquet(posGens: _*)
+        .select(col("file_path"), col("row_index")).distinct(),
+        posRows.map(_.getLong(bi)).sum)
+      out = out.join(dels,
+        out("__dv_file") === dels("file_path") &&
+          out("__dv_pos") === dels("row_index"),
+        "left_anti")
+    }
+    if (eqGens.nonEmpty) {
+      // per-generation sequence stamp; a key tombstoned repeatedly
+      // keeps its MAX sequence (applies to the most files)
+      val eqAll = eqGens.map { case (p, s) =>
+        spark.read.parquet(p).withColumn("__eq_seq", lit(s))
+      }.reduce(_.unionByName(_))
+      val keyCols = eqAll.columns.filterNot(_ == "__eq_seq").toSeq
+      val keys = sided(
+        eqAll.groupBy(keyCols.map(col): _*).agg(max("__eq_seq").as("__eq_seq"))
+          .toDF(keyCols.map(c => s"__eq_$c") :+ "__eq_seq": _*),
+        eqRows.map(_.getLong(bi)).sum)
+      // file sequence from the manifest's data rows — file-grain,
+      // broadcast
+      val seqRows = manifest.filter(_.getString(ki) == KindData)
+        .map(r => Row(norm(r.getString(fi)), r.getLong(si)))
+      val seqDf = broadcast(spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(seqRows: _*)),
+        StructType(Seq(StructField("__sf", StringType),
+          StructField("__file_seq", LongType)))))
+      val tagged = out.join(seqDf, Seq("__sf"))
+      val cond = keyCols.map(c => tagged(c) <=> keys(s"__eq_$c")).reduce(_ && _) &&
+        keys("__eq_seq") > tagged("__file_seq")
+      out = tagged.join(keys, cond, "left_anti").drop("__file_seq")
+    }
+    out.drop("__dv_file", "__dv_pos", "__sf")
+  }
+
+  /** Read one snapshot — the time-travel scan, MERGE-ON-READ: exactly
+    * the snapshot's data files minus the delete generations its
+    * watermark recorded (position deletes by (path, index); equality
+    * deletes scoped to files with strictly smaller sequence). A
+    * snapshot with an empty watermark reads its files directly — zero
+    * overhead. `basePath` keeps Hive partition columns visible for
+    * partitioned layouts (pass the table root). A vanished file or
+    * delete generation fails the read loudly (the snapshot outlived
+    * its retention — see [[expire]]), never silently narrows it. */
   def readAt(spark: SparkSession, root: String, snap: Long,
       basePath: Option[String] = None): DataFrame = {
-    val files = filesAt(spark, root, snap)
+    val m = manifestAt(spark, root, snap)
+    val rows = m.collect()
+    val ki = m.schema.fieldIndex("kind")
+    val fi = m.schema.fieldIndex("file")
+    val files = rows.filter(_.getString(ki) == KindData)
+      .map(_.getString(fi)).toSeq.sorted
     require(files.nonEmpty, s"snapshot $snap lists no files")
-    val r = basePath.foldLeft(spark.read)((rd, b) => rd.option("basePath", b))
-    r.parquet(files: _*)
+    readMergedFiles(spark, rows, m.schema, files, basePath)
   }
 
   /** Manifest-pruned range read AT a snapshot: candidate files from
     * that snapshot's stats, then the row-level predicate — the
-    * [[Manifest.readRange]] contract with a pinned file set. */
+    * [[Manifest.readRange]] contract with a pinned file set, and the
+    * snapshot's delete watermark applied like [[readAt]]. */
   def readRangeAt(spark: SparkSession, root: String, snap: Long,
       statsCol: String, lo: Any, hi: Any,
       basePath: Option[String] = None): DataFrame = {
     val m = manifestAt(spark, root, snap)
+    val rows = m.collect()
     val files = m
-      .filter(col(s"min_$statsCol") <= lit(hi) && col(s"max_$statsCol") >= lit(lo))
+      .filter(col("kind") === KindData &&
+        col(s"min_$statsCol") <= lit(hi) && col(s"max_$statsCol") >= lit(lo))
       .select(col("file")).collect().map(_.getString(0)).toSeq
     val base =
       if (files.isEmpty) readAt(spark, root, snap, basePath).filter(lit(false))
-      else {
-        val r = basePath.foldLeft(spark.read)((rd, b) => rd.option("basePath", b))
-        r.parquet(files: _*)
-      }
+      else readMergedFiles(spark, rows, m.schema, files, basePath)
     base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 
@@ -193,12 +406,15 @@ object Snapshots {
     * snapshots (Iceberg's incremental read): exactly the files `to`
     * lists that `from` does not, i.e. the data appended between the
     * two commits — a downstream consumer processes each commit's delta
-    * without ever rescanning the table. Defined ONLY on append lineage:
-    * if any `from` file is gone by `to` (a compaction/erasure rewrite
-    * happened in between), the "added" files carry REWRITTEN OLD ROWS
-    * and an incremental consumer would double-process them — so this
-    * fails loudly and the consumer must resync from a full read (the
-    * same contract Iceberg enforces on replace snapshots). */
+    * without ever rescanning the table. `to`'s delete watermark is
+    * applied to the delta (a position or tombstone delete can land on
+    * a file in the same window that appended it). Defined ONLY on
+    * append lineage: if any `from` file is gone by `to` (a compaction/
+    * erasure rewrite happened in between), the "added" files carry
+    * REWRITTEN OLD ROWS and an incremental consumer would
+    * double-process them — so this fails loudly and the consumer must
+    * resync from a full read (the same contract Iceberg enforces on
+    * replace snapshots). */
   def readIncremental(spark: SparkSession, root: String, fromSnap: Long,
       toSnap: Long, basePath: Option[String] = None): DataFrame = {
     val before = filesAt(spark, root, fromSnap).toSet
@@ -212,19 +428,41 @@ object Snapshots {
     if (added.isEmpty)
       readAt(spark, root, toSnap, basePath).filter(lit(false))
     else {
-      val r = basePath.foldLeft(spark.read)((rd, b) => rd.option("basePath", b))
-      r.parquet(added: _*)
+      val m = manifestAt(spark, root, toSnap)
+      readMergedFiles(spark, m.collect(), m.schema, added, basePath)
     }
+  }
+
+  /** The [[Compaction.EqScope]] of one snapshot — the file-sequence
+    * map (normalized path → commit seq) and equality-generation
+    * sequence map a sequence-scoped absorb needs. Hand this to
+    * [[Compaction.compact]] when rewriting a snapshot-governed table
+    * so a key re-inserted after its tombstone survives the rewrite. */
+  def eqScopeAt(spark: SparkSession, root: String, snap: Long): Compaction.EqScope = {
+    val m = manifestAt(spark, root, snap)
+    val rows = m.collect()
+    val ki = m.schema.fieldIndex("kind")
+    val fi = m.schema.fieldIndex("file")
+    val si = m.schema.fieldIndex("seq")
+    val fileSeq = rows.filter(_.getString(ki) == KindData)
+      .map(r => (norm(r.getString(fi)), r.getLong(si))).toSeq
+    val genSeq = rows.filter(_.getString(ki) == KindEq)
+      .map { r =>
+        val genId = new Path(r.getString(fi)).getName.stripPrefix("gen=").toInt
+        genId -> r.getLong(si)
+      }.toMap
+    Compaction.EqScope(fileSeq, genSeq)
   }
 
   /** Roll the table BACK to an older snapshot's state — incident
     * recovery after a bad commit (a corrupted load, a wrong erasure) —
-    * by committing a NEW snapshot whose file list copies `to`'s.
-    * Append-only like every other commit: the bad snapshots stay
-    * readable for the post-mortem and nothing is deleted until
-    * [[expire]]; history remains linear (the rollback is just the next
-    * snapshot), so consumers need no branch semantics. Fails loudly if
-    * any of `to`'s files has already been expired from disk. */
+    * by committing a NEW snapshot whose file list (and delete
+    * watermark) copies `to`'s. Append-only like every other commit:
+    * the bad snapshots stay readable for the post-mortem and nothing
+    * is deleted until [[expire]]; history remains linear (the rollback
+    * is just the next snapshot), so consumers need no branch
+    * semantics. Fails loudly if any of `to`'s files has already been
+    * expired from disk. */
   def rollback(spark: SparkSession, root: String, to: Long): Commit = {
     val m = manifestAt(spark, root, to)
     val fs = fsOf(spark, root)
@@ -233,33 +471,38 @@ object Snapshots {
     require(missing.isEmpty,
       s"cannot roll back to snapshot $to: ${missing.length} of its files " +
         s"were expired (first: ${missing.headOption.getOrElse("")})")
-    Commit(commitManifest(spark, root, m), files.length, 0, 0)
+    val next = latest(spark, root).get + 1
+    Commit(commitManifest(spark, root, m, next), files.length, 0, 0)
   }
 
   /** Retention: drop every snapshot older than `keepFrom` and delete
-    * the data files ONLY those snapshots reference (a file listed by
-    * any surviving snapshot survives). This is the ONE destructive
-    * call in the module — everything before it is append-only — and
-    * the reason a crashed maintenance job can never strand readers:
-    * expiry is explicit, never implied by a commit. */
+    * the data files AND delete-generation dirs ONLY those snapshots
+    * reference (anything listed by a surviving snapshot survives).
+    * This is the ONE destructive call in the module — everything
+    * before it is append-only — and the reason a crashed maintenance
+    * job can never strand readers: expiry is explicit, never implied
+    * by a commit. Retiring delete generations here (not at absorb
+    * time) is what lets [[commitRewrite]] drop a generation from the
+    * new watermark while older snapshots still merge against it. */
   def expire(spark: SparkSession, root: String, keepFrom: Long): ExpireReport = {
     val all = snapshots(spark, root)
     val (drop, keep) = all.partition(_ < keepFrom)
     require(keep.nonEmpty, s"expire($keepFrom) would drop every snapshot")
     if (drop.isEmpty) return ExpireReport(0, 0, 0L)
     val fs = fsOf(spark, root)
-    def filesWithBytes(s: Long): Seq[(String, Long)] = {
+    def entries(s: Long): Seq[(String, String, Long)] = {
       val m = manifestAt(spark, root, s)
-      m.select(col("file"), col("n_bytes")).collect()
-        .map(r => (norm(r.getString(0)), r.getLong(1))).toSeq
+      m.select(col("kind"), col("file"), col("n_bytes")).collect()
+        .map(r => (r.getString(0), norm(r.getString(1)), r.getLong(2))).toSeq
     }
-    val referenced = keep.flatMap(s => filesWithBytes(s).map(_._1)).toSet
-    val victims = drop.flatMap(filesWithBytes).distinct
-      .filterNot { case (p, _) => referenced(p) }
+    val referenced = keep.flatMap(s => entries(s).map(e => (e._1, e._2))).toSet
+    val victims = drop.flatMap(entries).distinct
+      .filterNot { case (k, p, _) => referenced((k, p)) }
     var freed = 0L
     var deleted = 0
-    victims.foreach { case (p, bytes) =>
-      if (fs.delete(new Path(p), false)) { deleted += 1; freed += bytes }
+    victims.foreach { case (kind, p, bytes) =>
+      // data files are single files; delete generations are dirs
+      if (fs.delete(new Path(p), kind != KindData)) { deleted += 1; freed += bytes }
     }
     drop.foreach(s => fs.delete(new Path(snapDir(root, s)), true))
     ExpireReport(drop.length, deleted, freed)

@@ -1619,6 +1619,131 @@ object CoreQueries {
              |    AS sum_price_cents
              |FROM orders WHERE o_orderkey % 2 = 1
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // O36: snapshot time travel UNDER merge-on-read maintenance — the
+    // Snapshots × DeletionVectors composition (Iceberg v2 sequence
+    // numbers): each commit records the delete generations visible to
+    // it, readAt merges exactly that snapshot's delete set, and an
+    // equality tombstone applies only to data files with strictly
+    // smaller commit sequence — so a key re-inserted AFTER its
+    // tombstone survives (the delete-forever caveat retired). Four
+    // snapshots drive the whole lifecycle against real TPC-H rows:
+    // s0 base, s1 + position deletes (o_orderkey % 7 = 0), s2 + CDC
+    // tombstones (o_orderkey % 10 = 3), s3 re-inserts the % 20 = 3
+    // half of the tombstoned keys. The oracle recomputes each
+    // snapshot's content as a pure predicate over the source table —
+    // a time-travel read that resurrected deleted rows (the r13 gap)
+    // or swallowed the re-insert would hash-mismatch.
+    OracleQuery(
+      "o36_snapshot_mor_read",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.core.Scratch.dir("snapmor", d)
+        val orders = Tables.orders(s, d)
+        orders.repartition(2).write.mode("overwrite").parquet(s"$tmp/data")
+        val dv = s"$tmp/dv"; val eq = s"$tmp/eq"
+        def commit(): Unit = {
+          graft.ops.Snapshots.commitFromFs(s, s"$tmp/data", s"$tmp/snaps",
+            Seq("o_orderkey"), posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+          ()
+        }
+        commit() // s0: base
+        graft.ops.DeletionVectors.addDeletes(s, s"$tmp/data", dv,
+          $"o_orderkey" % 7 === 0)
+        commit() // s1: position deletes visible
+        graft.ops.DeletionVectors.addKeyDeletes(s, eq,
+          orders.filter($"o_orderkey" % 10 === 3)
+            .select($"o_orderkey").distinct())
+        commit() // s2: equality tombstones visible (seq 2)
+        orders.filter($"o_orderkey" % 20 === 3)
+          .repartition(1).write.mode("append").parquet(s"$tmp/data")
+        commit() // s3: re-insert lands at seq 3 > tombstone seq — survives
+        Seq(0L, 1L, 2L, 3L).map { snap =>
+          graft.ops.Snapshots.readAt(s, s"$tmp/snaps", snap)
+            .agg(
+              count(lit(1)).as("n"),
+              sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+                .as("sum_price_cents"))
+            .select(lit(snap).as("snap"), $"n", $"sum_price_cents")
+        }.reduce(_ unionAll _).orderBy($"snap")
+      },
+      Some("""WITH cents AS (
+             |  SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM orders
+             |)
+             |SELECT 0 AS snap, count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_price_cents
+             |FROM cents
+             |UNION ALL
+             |SELECT 1, count(*), CAST(sum(c) AS BIGINT) FROM cents WHERE k % 7 <> 0
+             |UNION ALL
+             |SELECT 2, count(*), CAST(sum(c) AS BIGINT) FROM cents
+             |WHERE k % 7 <> 0 AND k % 10 <> 3
+             |UNION ALL
+             |SELECT 3, count(*), CAST(sum(c) AS BIGINT) FROM (
+             |  SELECT c FROM cents WHERE k % 7 <> 0 AND k % 10 <> 3
+             |  UNION ALL
+             |  SELECT c FROM cents WHERE k % 20 = 3
+             |) t
+             |ORDER BY snap""".stripMargin)
+    ),
+
+    // O37: MERGE upsert as ONE snapshot commit — the operation the
+    // sequence scoping exists to make expressible (Iceberg v2's MERGE
+    // encoding): the writer lands a data file with the keys' NEW
+    // versions AND an equality-tombstone generation for the same keys,
+    // then commits once. Both carry the commit's sequence, so the
+    // tombstone erases the old versions (files with strictly smaller
+    // sequence) while the new file — same keys, same sequence —
+    // survives: exactly upsert, no read-modify-write of the base
+    // table, no key ever present twice. Keys o_orderkey % 10 = 7 get
+    // their price doubled (exact cents algebra); n_keys =
+    // count(DISTINCT) proves single-version-per-key at both snapshots,
+    // and the pre-merge snapshot still reads the old versions.
+    OracleQuery(
+      "o37_snapshot_merge_upsert",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.core.Scratch.dir("snapmerge", d)
+        val orders = Tables.orders(s, d)
+        orders.repartition(2).write.mode("overwrite").parquet(s"$tmp/data")
+        val eq = s"$tmp/eq"
+        graft.ops.Snapshots.commitFromFs(s, s"$tmp/data", s"$tmp/snaps",
+          Seq("o_orderkey"), eqDeleteDir = Some(eq)) // s0: base
+        // the MERGE batch: new versions (price doubled, exact cents)
+        // appended + tombstones for the same keys, ONE commit
+        orders.filter($"o_orderkey" % 10 === 7)
+          .withColumn("o_totalprice",
+            floor($"o_totalprice" * 100 + 0.5).cast("long") * 2 / lit(100.0))
+          .repartition(1).write.mode("append").parquet(s"$tmp/data")
+        graft.ops.DeletionVectors.addKeyDeletes(s, eq,
+          orders.filter($"o_orderkey" % 10 === 7).select($"o_orderkey"))
+        graft.ops.Snapshots.commitFromFs(s, s"$tmp/data", s"$tmp/snaps",
+          Seq("o_orderkey"), eqDeleteDir = Some(eq)) // s1: the merge
+        Seq(0L, 1L).map { snap =>
+          graft.ops.Snapshots.readAt(s, s"$tmp/snaps", snap)
+            .agg(
+              count(lit(1)).as("n"),
+              countDistinct($"o_orderkey").as("n_keys"),
+              sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+                .as("sum_price_cents"))
+            .select(lit(snap).as("snap"), $"n", $"n_keys", $"sum_price_cents")
+        }.reduce(_ unionAll _).orderBy($"snap")
+      },
+      Some("""WITH cents AS (
+             |  SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM orders
+             |)
+             |SELECT 0 AS snap, count(*) AS n, count(DISTINCT k) AS n_keys,
+             |  CAST(sum(c) AS BIGINT) AS sum_price_cents
+             |FROM cents
+             |UNION ALL
+             |SELECT 1, count(*), count(DISTINCT k),
+             |  CAST(sum(CASE WHEN k % 10 = 7 THEN 2 * c ELSE c END) AS BIGINT)
+             |FROM cents
+             |ORDER BY snap""".stripMargin)
     )
   )
 

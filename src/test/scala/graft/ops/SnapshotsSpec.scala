@@ -134,6 +134,106 @@ class SnapshotsSpec extends SparkSpec {
       == ((100L, 100L * 101 / 2)))
   }
 
+  test("delete watermarks: each snapshot reads exactly its visible delete set; expire retires absorbed generations") {
+    val d = java.nio.file.Files.createTempDirectory("snapdv").toString
+    val data = s"$d/data"; val root = s"$d/snaps"; val dv = s"$d/dv"
+    (1L to 400L).toDF("k").repartition(4).write.parquet(data)
+    // s0: committed BEFORE any delete — its watermark is empty and it
+    // shows the rows forever (table state as of its commit)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"), posDeleteDir = Some(dv))
+    assert(sumK(Snapshots.readAt(spark, root, 0L)) == ((400L, 400L * 401 / 2)))
+
+    // position-delete every multiple of 10, then commit: s1's watermark
+    // records the generation, so readAt(1) merges it — the r13 gap was
+    // exactly this read resurrecting the 40 deleted rows
+    val nDel = DeletionVectors.addDeletes(spark, data, dv, $"k" % 10 === 0)
+    assert(nDel == 40L)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"), posDeleteDir = Some(dv))
+    val delSum = (10L to 400L by 10).sum
+    val q1 = ((360L, 400L * 401 / 2 - delSum))
+    assert(sumK(Snapshots.readAt(spark, root, 1L)) == q1)
+    assert(sumK(Snapshots.readAt(spark, root, 0L)) == ((400L, 400L * 401 / 2)))
+    // pruned range read under MoR: deleted ks stay gone
+    val got = Snapshots.readRangeAt(spark, root, 1L, "k", 8L, 22L)
+      .select($"k").as[Long].collect().sorted
+    assert(got.toSeq == (8L to 22L).filterNot(_ % 10 == 0))
+
+    // compaction ABSORBS the deletes; the rewrite commit drops the
+    // generation from the new watermark but leaves it on disk — s1
+    // still needs it
+    val multi = Compaction.plan(spark, data, 1L << 30).filter(_.files.length > 1)
+    assert(multi.flatMap(_.files).length == 4, "expected all files rewritten")
+    Compaction.compact(spark, multi, s"$d/cout", deleteDir = Some(dv))
+    val genPaths = Snapshots.manifestAt(spark, root, 1L)
+      .filter($"kind" === "posdel").select($"file").as[String].collect().toSeq
+    assert(genPaths.length == 1)
+    Snapshots.commitRewrite(spark, root,
+      removed = multi.flatMap(_.files).map(_.path), addedDir = s"$d/cout",
+      cols = Seq("k"), dropDeleteGens = genPaths)
+    assert(sumK(Snapshots.readAt(spark, root, 2L)) == q1) // physical now
+    assert(sumK(Snapshots.readAt(spark, root, 1L)) == q1) // still MoR
+    assert(sumK(Snapshots.readAt(spark, root, 0L)) == ((400L, 400L * 401 / 2)))
+
+    // expire s0/s1: the generation dir loses its last referencing
+    // snapshot and is retired along with the rewritten originals
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(genPaths.head)))
+    val rep = Snapshots.expire(spark, root, keepFrom = 2L)
+    assert(rep.snapshotsDropped == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(genPaths.head)),
+      "absorbed delete generation must be retired with its last snapshot")
+    assert(sumK(Snapshots.readAt(spark, root, 2L)) == q1)
+  }
+
+  test("equality-delete sequence scoping: a re-inserted key survives reads and the scoped absorb") {
+    val d = java.nio.file.Files.createTempDirectory("snapeq").toString
+    val data = s"$d/data"; val root = s"$d/snaps"; val eq = s"$d/eq"
+    (1L to 10L).map(k => (k, k * 100L)).toDF("k", "v")
+      .coalesce(1).write.parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"), eqDeleteDir = Some(eq))
+    // CDC tombstones for k=1,2 — commit makes them visible at seq 1
+    DeletionVectors.addKeyDeletes(spark, eq, Seq(1L, 2L).toDF("k"))
+    Snapshots.commitFromFs(spark, data, root, Seq("k"), eqDeleteDir = Some(eq))
+    assert(Snapshots.readAt(spark, root, 1L).select($"k").as[Long]
+      .collect().sorted.toSeq == (3L to 10L))
+    // the pre-tombstone snapshot still shows them
+    assert(Snapshots.readAt(spark, root, 0L).count() == 10L)
+
+    // RE-INSERT k=1 (new value) as an append commit at seq 2: the
+    // tombstone (seq 1) applies only to files with seq < 1, so the new
+    // file's row survives — the delete-forever caveat retired
+    Seq((1L, 999L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"), eqDeleteDir = Some(eq))
+    val s2 = Snapshots.readAt(spark, root, 2L)
+      .select($"k", $"v").as[(Long, Long)].collect().sorted.toSeq
+    assert(s2 == ((1L, 999L) +: (3L to 10L).map(k => (k, k * 100L))),
+      s"re-inserted key must survive, got $s2")
+
+    // scoped compaction absorb: rewrite everything with the snapshot's
+    // EqScope — the re-inserted row survives the rewrite too
+    val multi = Compaction.plan(spark, data, 1L << 30).filter(_.files.length > 1)
+    assert(multi.flatMap(_.files).length == 2)
+    Compaction.compact(spark, multi, s"$d/cout", eqDeleteDir = Some(eq),
+      eqScope = Some(Snapshots.eqScopeAt(spark, root, 2L)))
+    val genPaths = Snapshots.manifestAt(spark, root, 2L)
+      .filter($"kind" === "eqdel").select($"file").as[String].collect().toSeq
+    Snapshots.commitRewrite(spark, root,
+      removed = multi.flatMap(_.files).map(_.path), addedDir = s"$d/cout",
+      cols = Seq("k"), dropDeleteGens = genPaths)
+    val s3 = Snapshots.readAt(spark, root, 3L)
+      .select($"k", $"v").as[(Long, Long)].collect().sorted.toSeq
+    assert(s3 == s2, s"scoped absorb must preserve the re-insert, got $s3")
+
+    // contrast: the UNscoped absorb (CDC latest-per-key semantics)
+    // would have deleted the re-inserted row as well
+    Compaction.compact(spark, multi, s"$d/cout_unscoped", eqDeleteDir = Some(eq))
+    val unscoped = spark.read.parquet(s"$d/cout_unscoped/g0")
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(unscoped == (3L to 10L), s"unscoped absorb latest-per-key, got $unscoped")
+  }
+
   test("rewrite of files the snapshot does not list fails loudly") {
     val d = java.nio.file.Files.createTempDirectory("snapbad").toString
     (1L to 10L).toDF("k").coalesce(1).write.parquet(s"$d/data")

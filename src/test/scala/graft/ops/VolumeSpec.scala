@@ -259,4 +259,65 @@ class VolumeSpec extends SparkSpec {
     val expected = spark.read.parquet(s"$d/data").filter(col("k") % 2 =!= 0).count()
     assert(got === expected)
   }
+
+  test("rank-statistic overflow headroom: the decimal spellings stay exact past the long envelope") {
+    // Locks in the 511ae52 respellings (a20/a22 AUC numerators,
+    // a47/a56 tie cubes, a65 rank moments, a74 ln-factorial cumsum) at
+    // sizes PAST the 2^63 envelopes that ghosted two r12 sf1 cells:
+    // each pattern runs in-plan over a synthetic frame big enough that
+    // a long accumulator (or a long per-term product) would wrap, and
+    // must agree EXACTLY with a BigInt driver recompute. A revert of
+    // any spelling to long arithmetic fails here under ANSI (overflow
+    // error) or on the value (silent wrap) — the next rank-statistic
+    // entry inherits a failing test instead of a ghost bench cell.
+    val n = 10000000L // 1e7 ranks
+    val ranks = spark.range(1, n + 1).toDF("i")
+
+    // (a65) rank second moment: Σ i² ≈ 3.3e20 — a long sum wraps at
+    // n ≈ 1.3e6; per-term i² still fits a long (1e14), so the spelling
+    // is per-term long product, DECIMAL(38,0) sum
+    val s2 = ranks.agg(sum(($"i" * $"i").cast("decimal(38,0)")).as("s"))
+      .collect()(0).getDecimal(0)
+    val expS2 = BigInt(n) * (n + 1) * (2 * n + 1) / 6
+    assert(BigInt(s2.toBigInteger) == expS2, s"rank moment: $s2 != $expS2")
+
+    // (a47/a56) tie cubes: one 5e6-deep tie makes a SINGLE term t³ =
+    // 1.25e20 > 2^63 — the multiply itself must happen in decimal
+    val cuts = Seq(5000000L, 8000000L) // group sizes 5e6 / 3e6 / 2e6
+    val tieCube = spark.range(0, n)
+      .select(when($"id" < cuts(0), 0).when($"id" < cuts(1), 1)
+        .otherwise(2).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("t"))
+      .agg(sum($"t".cast("decimal(38,0)") * $"t" * $"t").as("s"))
+      .collect()(0).getDecimal(0)
+    val sizes = Seq(5000000L, 3000000L, 2000000L)
+    val expCube = sizes.map(t => BigInt(t) * t * t).sum
+    assert(BigInt(tieCube.toBigInteger) == expCube,
+      s"tie cube: $tieCube != $expCube")
+
+    // (a20/a22) doubled-midrank AUC numerator over the positive class
+    // (every 3rd rank): the doubling is exactly the integer-exactness
+    // trick — the decimal sum must match the closed form
+    val aucNum = ranks.filter($"i" % 3 === 0)
+      .agg(sum(($"i" * 2).cast("decimal(38,0)")).as("s"))
+      .collect()(0).getDecimal(0)
+    val m = n / 3
+    val expAuc = BigInt(2) * 3 * m * (m + 1) / 2 // Σ 2·3k, k=1..m
+    assert(BigInt(aucNum.toBigInteger) == expAuc, s"AUC num: $aucNum != $expAuc")
+
+    // (a74) quantized-element prefix sum through PrefixSum's decimal
+    // carry: 2e6 elements of ~5e12 cross 2^63 inside the RUNNING sum
+    // (Σ ≈ 1e19) while each element fits a long — the exact shape of
+    // the ln-factorial table, with a closed-form integer element so
+    // the driver recompute is engine-independent
+    val fn = 2000000L
+    val fact = spark.range(1, fn + 1)
+      .select($"id".as("i"), (lit(5000000000000L) + $"id").as("v"))
+      .withColumn("g", lit(0))
+    val cum = PrefixSum.withCumsumDecimal(fact, "g", "i", "v",
+        outCol = "cum", knownCount = Some(fn))
+      .agg(max($"cum").as("m")).collect()(0).getDecimal(0)
+    val expCum = BigInt(5000000000000L) * fn + BigInt(fn) * (fn + 1) / 2
+    assert(BigInt(cum.toBigInteger) == expCum, s"prefix sum: $cum != $expCum")
+  }
 }
