@@ -433,6 +433,38 @@ object Snapshots {
     }
   }
 
+  /** The table's commit history as a frame (Iceberg's `.snapshots`
+    * metadata table, reduced): one row per snapshot with its data-file
+    * census and delete-watermark census — the operator's first stop
+    * for "what changed last night" before reaching for [[readAt]] or
+    * [[readIncremental]]. Driver-side work is one manifest read per
+    * snapshot — metadata-sized, the module's standing bound. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val rows = snapshots(spark, root).map { k =>
+      val mf = manifestAt(spark, root, k)
+      val kiIdx = mf.schema.fieldIndex("kind")
+      val bIdx = mf.schema.fieldIndex("n_bytes")
+      val rIdx = mf.schema.fieldIndex("n_rows")
+      val m = mf.collect()
+      val data = m.filter(_.getString(kiIdx) == KindData)
+      Row(k,
+        data.length.toLong,
+        data.map(_.getLong(rIdx)).sum,
+        data.map(_.getLong(bIdx)).sum,
+        m.count(_.getString(kiIdx) == KindPos).toLong,
+        m.count(_.getString(kiIdx) == KindEq).toLong)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+      StructType(Seq(
+        StructField("snapshot", LongType),
+        StructField("n_files", LongType),
+        StructField("n_rows", LongType),
+        StructField("n_bytes", LongType),
+        StructField("n_pos_delete_gens", LongType),
+        StructField("n_eq_delete_gens", LongType))))
+  }
+
   /** The [[Compaction.EqScope]] of one snapshot — the file-sequence
     * map (normalized path → commit seq) and equality-generation
     * sequence map a sequence-scoped absorb needs. Hand this to
@@ -467,10 +499,15 @@ object Snapshots {
     val m = manifestAt(spark, root, to)
     val fs = fsOf(spark, root)
     val files = filesAt(spark, root, to)
-    val missing = files.filterNot(f => fs.exists(new Path(f)))
+    // data files AND the watermark's delete generations must both
+    // still exist — committing a rollback whose reads fail later is
+    // strictly worse than failing here
+    val wmDirs = m.filter(col("kind") =!= KindData)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val missing = (files ++ wmDirs).filterNot(f => fs.exists(new Path(f)))
     require(missing.isEmpty,
-      s"cannot roll back to snapshot $to: ${missing.length} of its files " +
-        s"were expired (first: ${missing.headOption.getOrElse("")})")
+      s"cannot roll back to snapshot $to: ${missing.length} of its files/" +
+        s"delete generations were expired (first: ${missing.headOption.getOrElse("")})")
     val next = latest(spark, root).get + 1
     Commit(commitManifest(spark, root, m, next), files.length, 0, 0)
   }

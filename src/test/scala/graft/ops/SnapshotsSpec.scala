@@ -174,6 +174,13 @@ class SnapshotsSpec extends SparkSpec {
     assert(sumK(Snapshots.readAt(spark, root, 1L)) == q1) // still MoR
     assert(sumK(Snapshots.readAt(spark, root, 0L)) == ((400L, 400L * 401 / 2)))
 
+    // history metadata table: per-snapshot file/row/watermark census
+    val hist = Snapshots.history(spark, root)
+      .select($"snapshot", $"n_files", $"n_rows", $"n_pos_delete_gens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(hist == Seq((0L, 4L, 400L, 0L), (1L, 4L, 400L, 1L),
+      (2L, 1L, 360L, 0L)), s"history: $hist")
+
     // expire s0/s1: the generation dir loses its last referencing
     // snapshot and is retired along with the rewritten originals
     val fs = new org.apache.hadoop.fs.Path(d)

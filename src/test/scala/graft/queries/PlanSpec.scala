@@ -725,6 +725,19 @@ class PlanSpec extends SparkSpec {
       s"the quintile rank must come from the bucketed prefix sum:\n$p")
   }
 
+  test("snapshot MoR read: delete merges are broadcast anti hash joins, never a shuffle or cartesian") {
+    // the o36 read path at its final snapshot: position deletes and
+    // sequence-scoped equality deletes must both enter as BROADCAST
+    // anti joins (the delete side is KBs; the data side pays no
+    // shuffle), and the file-sequence tag rides a broadcast map join —
+    // no SortMergeJoin or CartesianProduct anywhere in the scan plan
+    val p = plan(Registry.queries("o36_snapshot_mor_read")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"delete merges must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join in the MoR read:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("WOE approx: the exact contract arm rides the bucketed rank — whole plan ntile-free") {
     val p = planWithCached(Registry.queries("pipe_woe_iv_approx")(spark, sf))
     assert(!p.contains("ntile"), s"no ntile window in the plan:\n$p")
