@@ -184,7 +184,8 @@ object Bench {
     "pipe_pack_sequences", // concat-and-chunk token packing off the bucketed cumsum
     "pipe_qini_uplift",    // uplift decile curve, PrefixSum-derived ranks
     "o36_snapshot_mor_read", // time travel x delete watermarks (seq-scoped)
-    "o37_snapshot_merge_upsert") // one-commit MERGE: tombstones + new versions
+    "o37_snapshot_merge_upsert", // one-commit MERGE: tombstones + new versions
+    "pipe_epoch_shuffle")  // seeded resumable epoch permutation slice
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is

@@ -121,16 +121,23 @@ object Snapshots {
     manifestAt(spark, root, snap).filter(col("kind") === KindData)
       .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
 
-  /** Stage-then-rename commit of a manifest frame as snapshot `next`. */
-  private def commitManifest(spark: SparkSession, root: String,
+  /** Stage-then-rename commit of a manifest frame as snapshot `next`.
+    * The rename is also the OPTIMISTIC-CONCURRENCY point: two writers
+    * racing to commit the same snapshot id both stage, but rename onto
+    * an existing directory fails — the loser gets a loud exception and
+    * must re-derive its commit against the winner's snapshot (the
+    * Iceberg commit-retry contract, minus the retry loop). */
+  private[ops] def commitManifest(spark: SparkSession, root: String,
       manifest: DataFrame, next: Long): Long = {
     val fs = fsOf(spark, root)
     val stage = new Path(root, "_stage")
     if (fs.exists(stage)) fs.delete(stage, true)
     manifest.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val dst = new Path(snapDir(root, next))
-    if (!fs.rename(stage, dst))
-      throw new java.io.IOException(s"could not commit snapshot $dst")
+    if (fs.exists(dst) || !fs.rename(stage, dst))
+      throw new java.io.IOException(
+        s"could not commit snapshot $dst (concurrent commit won? " +
+          "re-derive against the latest snapshot and retry)")
     next
   }
 
@@ -299,7 +306,7 @@ object Snapshots {
     * to spill the broadcast is the signal compaction is overdue. */
   private def readMergedFiles(spark: SparkSession, manifest: Array[Row],
       schema: StructType, files: Seq[String],
-      basePath: Option[String]): DataFrame = {
+      basePath: Option[String], mergeSchema: Boolean = false): DataFrame = {
     val ki = schema.fieldIndex("kind")
     val fi = schema.fieldIndex("file")
     val bi = schema.fieldIndex("n_bytes")
@@ -308,7 +315,8 @@ object Snapshots {
     val posGens = posRows.map(_.getString(fi)).toSeq
     val eqRows = manifest.filter(_.getString(ki) == KindEq)
     val eqGens = eqRows.map(r => (r.getString(fi), r.getLong(si))).toSeq
-    val r = basePath.foldLeft(spark.read)((rd, b) => rd.option("basePath", b))
+    val r0 = basePath.foldLeft(spark.read)((rd, b) => rd.option("basePath", b))
+    val r = if (mergeSchema) r0.option("mergeSchema", "true") else r0
     val plain = r.parquet(files: _*)
     if (posGens.isEmpty && eqGens.isEmpty) return plain
 
@@ -370,9 +378,15 @@ object Snapshots {
     * overhead. `basePath` keeps Hive partition columns visible for
     * partitioned layouts (pass the table root). A vanished file or
     * delete generation fails the read loudly (the snapshot outlived
-    * its retention — see [[expire]]), never silently narrows it. */
+    * its retention — see [[expire]]), never silently narrows it.
+    * `mergeSchema` enables ADD-COLUMN schema evolution across commits:
+    * a later append may carry extra columns, and the merged read
+    * surfaces them with nulls for the older files (parquet's
+    * schema-union semantics; renames/drops need field-id machinery
+    * this module deliberately does not carry). */
   def readAt(spark: SparkSession, root: String, snap: Long,
-      basePath: Option[String] = None): DataFrame = {
+      basePath: Option[String] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val m = manifestAt(spark, root, snap)
     val rows = m.collect()
     val ki = m.schema.fieldIndex("kind")
@@ -380,7 +394,7 @@ object Snapshots {
     val files = rows.filter(_.getString(ki) == KindData)
       .map(_.getString(fi)).toSeq.sorted
     require(files.nonEmpty, s"snapshot $snap lists no files")
-    readMergedFiles(spark, rows, m.schema, files, basePath)
+    readMergedFiles(spark, rows, m.schema, files, basePath, mergeSchema)
   }
 
   /** Manifest-pruned range read AT a snapshot: candidate files from

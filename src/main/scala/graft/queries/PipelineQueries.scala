@@ -2517,6 +2517,54 @@ object PipelineQueries {
              |  CAST(least(512, t - pack_id * 512) AS BIGINT) AS n_tokens
              |FROM ex, tot
              |GROUP BY pack_id, t ORDER BY pack_id""".stripMargin)
+    ),
+
+    // Deterministic epoch shuffle with RESUMABLE slicing
+    // (pipe_epoch_shuffle) — the loader-side twin of
+    // pipe_pack_sequences: each training epoch needs a reproducible
+    // pseudo-random permutation of the corpus (seeded, engine-agnostic
+    // — the a29 md5-prefix draw keyed by 'ep<seed>:'||doc_id), and a
+    // crashed loader must RESUME mid-epoch at position P without
+    // rescanning or re-sorting the table. The epoch position is a pure
+    // function of (seed, doc_id): rank in (hash, doc_id) order —
+    // derived here from the ops/PrefixSum bucketed global rank (the
+    // oracle's row_number() is the SEMANTICS; an unpartitioned rank
+    // window would be the one-reducer sort this battery bans), and the
+    // monotone key is the fixed-width digit-string concat (19-digit
+    // 60-bit hash ++ 10-digit doc_id — the long product overflows, the
+    // pipe_propensity_strata recipe). Slice [P, P+K) = one range
+    // predicate on the rank; with the rank persisted at epoch start,
+    // resume costs a pruned scan, not a shuffle.
+    OracleQuery(
+      "pipe_epoch_shuffle",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id")
+          .withColumn("hv",
+            expr("CAST(conv(substr(md5(concat('ep7:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("ord", concat(
+            lpad($"hv".cast("string"), 19, "0"),
+            lpad($"doc_id".cast("string"), 10, "0")))
+        val n = docs.count()
+        val ranked = graft.ops.PrefixSum.withCumsum(
+          docs.withColumn("g", lit(0)).withColumn("one", lit(1L)),
+          "g", "ord", "one", outCol = "pos", knownCount = Some(n))
+        ranked.filter($"pos" > 100L && $"pos" <= 250L)
+          .select($"pos", $"doc_id", $"hv")
+          .orderBy($"pos")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('ep7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM documents
+             |), r AS (
+             |  SELECT doc_id, hv,
+             |    row_number() OVER (ORDER BY hv, doc_id) AS pos
+             |  FROM h
+             |)
+             |SELECT pos, doc_id, hv FROM r
+             |WHERE pos > 100 AND pos <= 250 ORDER BY pos""".stripMargin)
     )
   )
 }

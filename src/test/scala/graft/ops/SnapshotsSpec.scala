@@ -241,6 +241,40 @@ class SnapshotsSpec extends SparkSpec {
     assert(unscoped == (3L to 10L), s"unscoped absorb latest-per-key, got $unscoped")
   }
 
+  test("concurrent commit: the rename loser fails loudly, the winner's snapshot is untouched") {
+    val d = java.nio.file.Files.createTempDirectory("snapccy").toString
+    (1L to 20L).toDF("k").coalesce(1).write.parquet(s"$d/data")
+    Snapshots.commitFromFs(spark, s"$d/data", s"$d/snaps", Seq("k"))
+    // simulate the race window: both writers derived next=1 from
+    // snapshot 0; the winner's snap=1 lands first, so the loser's
+    // rename onto it must fail loudly, never clobber
+    val m = Snapshots.manifestAt(spark, s"$d/snaps", 0L)
+    m.write.parquet(s"$d/snaps/snap=1") // the winner's commit
+    val ex = intercept[java.io.IOException] {
+      Snapshots.commitManifest(spark, s"$d/snaps", m, 1L) // the loser
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    // the winner's snapshot still reads its own content
+    assert(Snapshots.readAt(spark, s"$d/snaps", 1L).count() == 20L)
+  }
+
+  test("add-column schema evolution: mergeSchema read unions commits; old rows read null") {
+    val d = java.nio.file.Files.createTempDirectory("snapevo").toString
+    (1L to 10L).toDF("k").coalesce(1).write.parquet(s"$d/data")
+    Snapshots.commitFromFs(spark, s"$d/data", s"$d/snaps", Seq("k"))
+    // a later load carries an EXTRA column
+    (11L to 15L).map(k => (k, s"v$k")).toDF("k", "tag")
+      .coalesce(1).write.mode("append").parquet(s"$d/data")
+    Snapshots.commitFromFs(spark, s"$d/data", s"$d/snaps", Seq("k"))
+    val got = Snapshots.readAt(spark, s"$d/snaps", 1L, mergeSchema = true)
+      .select($"k", $"tag").as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(got.length == 15)
+    assert(got.take(10).forall(_._2.isEmpty), "old rows must read null tag")
+    assert(got.drop(10).forall(r => r._2.contains(s"v${r._1}")))
+    // the pre-evolution snapshot is untouched by the new column
+    assert(!Snapshots.readAt(spark, s"$d/snaps", 0L).columns.contains("tag"))
+  }
+
   test("rewrite of files the snapshot does not list fails loudly") {
     val d = java.nio.file.Files.createTempDirectory("snapbad").toString
     (1L to 10L).toDF("k").coalesce(1).write.parquet(s"$d/data")
