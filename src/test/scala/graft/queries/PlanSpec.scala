@@ -738,6 +738,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("epoch shuffle: the position derives from the bucketed rank — no unpartitioned rank window") {
+    // row_number() over the whole corpus is the oracle's SEMANTICS;
+    // the plan must carry the PrefixSum bucketed rank instead, and the
+    // resume slice is a filter on it
+    val p = plan(Registry.queries("pipe_epoch_shuffle")(spark, sf))
+    assert(p.contains("ps_b"),
+      s"the epoch position must come from the bucketed prefix sum:\n$p")
+    assert(!p.contains("row_number"), s"no global row_number window:\n$p")
+    assert(!p.contains("windowspecdefinition(hv#"),
+      s"no unpartitioned window over the hash order:\n$p")
+  }
+
   test("WOE approx: the exact contract arm rides the bucketed rank — whole plan ntile-free") {
     val p = planWithCached(Registry.queries("pipe_woe_iv_approx")(spark, sf))
     assert(!p.contains("ntile"), s"no ntile window in the plan:\n$p")
