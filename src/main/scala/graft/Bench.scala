@@ -185,7 +185,9 @@ object Bench {
     "pipe_qini_uplift",    // uplift decile curve, PrefixSum-derived ranks
     "o36_snapshot_mor_read", // time travel x delete watermarks (seq-scoped)
     "o37_snapshot_merge_upsert", // one-commit MERGE: tombstones + new versions
-    "pipe_epoch_shuffle")  // seeded resumable epoch permutation slice
+    "o38_stream_exactly_once_ingest", // batchId-keyed ingest under forced retry
+    "pipe_epoch_shuffle",  // seeded resumable epoch permutation slice
+    "pipe_epoch_resume_persisted") // index-once epoch resume (pruned scan)
 
   /** Per-entry scale caps: rows whose SPELLING (not design) stops being
     * the thing worth measuring past a scale factor. a42_bootstrap_ci is
@@ -333,6 +335,7 @@ object Bench {
       ++ section("obtScan")(obtScanBench(spark, sfDir))
       ++ section("dvScan")(dvScanBench(spark, sfDir))
       ++ section("intervalJoin")(intervalJoinBench(spark, sfDir))
+      ++ section("epochShuffle")(epochShuffleBench(spark, sfDir))
       ++ section("graphCands")(graphCandsBench(spark, sfDir))
       ++ section("simCands")(simCandsBench(spark, sfDir)))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -828,6 +831,52 @@ object Bench {
           graft.ops.SkewJoin.innerSalted(fact, dim, "k", hotThreshold = 1000,
             cms = Some(prebuilt))))
     } finally spark.conf.set(bcKey, prevBc)
+  }
+
+  /** Epoch-shuffle resume A/B: a mid-epoch loader restart served by
+    * (a) re-deriving the PrefixSum rank over the corpus — the
+    * per-restart cost when no index exists (full scan + shuffle), vs
+    * (b) ONE manifest-pruned scan of the persisted epoch index
+    * (ops/EpochShuffle) — the per-restart cost once the epoch paid
+    * `epoch_index_write` up front. `epoch_resume_files_read` pins the
+    * prune: files opened must track the SLICE (rows ÷ rows-per-file),
+    * not the index — the number that stays flat when the corpus grows
+    * 1000×. Not part of `total` (pipe_epoch_shuffle and
+    * pipe_epoch_resume_persisted already time the gated spellings
+    * end-to-end). */
+  private def epochShuffleBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val idx = graft.core.Scratch.dir("bench_epoch", sfDir)
+    val docs = graft.core.Tables.documents(spark, sfDir).select(col("doc_id"))
+    val n = docs.count()
+    val tW0 = System.nanoTime()
+    graft.ops.EpochShuffle.write(docs, "doc_id", seed = 7, outDir = idx,
+      numFiles = 32, knownCount = Some(n))
+    val writeSec = (System.nanoTime() - tW0) / 1e9
+    val from = n / 2
+    val until = math.min(n, from + 4096)
+    def timeResume(): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.EpochShuffle.resume(spark, idx, from, until)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timeRecompute(): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.EpochShuffle.permutation(docs, "doc_id", seed = 7,
+          knownCount = Some(n))
+        .filter(col("pos") > from && col("pos") <= until)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeResume(); timeRecompute() // warm both paths
+    val filesRead = graft.ops.EpochShuffle
+      .candidateFiles(spark, idx, from, until).length
+    Seq(
+      "epoch_index_write" -> writeSec,
+      "epoch_resume_persisted" -> steadyMin(() => timeResume()),
+      "epoch_resume_recompute" -> steadyMin(() => timeRecompute()),
+      "epoch_resume_files_read" -> filesRead.toDouble)
   }
 
   /** Strategy A/B: the j30 interval-overlap aggregate through

@@ -112,9 +112,20 @@ object Snapshots {
   /** The manifest frame of one snapshot: `kind` (`data` / `posdel` /
     * `eqdel`), `file`, `n_bytes`, `mtime`, `n_rows`, min_/max_ per
     * stats col, and `seq` — the sequence number of the commit that
-    * first added the file or delete generation. */
-  def manifestAt(spark: SparkSession, root: String, snap: Long): DataFrame =
-    spark.read.parquet(snapDir(root, snap))
+    * first added the file or delete generation. A manifest written by
+    * the pre-sequence-number format (no kind/seq columns) fails here
+    * with an explicit upgrade message instead of an opaque
+    * fieldIndex error deep inside a reader. */
+  def manifestAt(spark: SparkSession, root: String, snap: Long): DataFrame = {
+    val df = spark.read.parquet(snapDir(root, snap))
+    val missing = Seq("kind", "seq").filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"snapshot $snap under $root predates the sequence-numbered " +
+        s"manifest format (missing ${missing.mkString("/")} columns): " +
+        "recommit the table with the current build, or read it with " +
+        "the build that wrote it")
+    df
+  }
 
   /** Absolute DATA-file paths of one snapshot. */
   def filesAt(spark: SparkSession, root: String, snap: Long): Seq[String] =
@@ -126,18 +137,35 @@ object Snapshots {
     * racing to commit the same snapshot id both stage, but rename onto
     * an existing directory fails — the loser gets a loud exception and
     * must re-derive its commit against the winner's snapshot (the
-    * Iceberg commit-retry contract, minus the retry loop). */
+    * Iceberg commit-retry contract; [[commitFromFs]] carries the retry
+    * loop for pure appends). Each attempt stages under its OWN
+    * `_stage-<next>-<uniq>` path: a shared staging dir would let
+    * racing writers delete/overwrite each other's staged manifest
+    * before the rename — a silent manifest swap instead of the loud
+    * loss this method promises. Stale stage dirs from crashed attempts
+    * are `_`-prefixed (invisible to every listing) and swept here on
+    * the next successful commit. */
   private[ops] def commitManifest(spark: SparkSession, root: String,
       manifest: DataFrame, next: Long): Long = {
     val fs = fsOf(spark, root)
-    val stage = new Path(root, "_stage")
-    if (fs.exists(stage)) fs.delete(stage, true)
+    val stage = new Path(root,
+      s"_stage-$next-${java.util.UUID.randomUUID().toString.take(8)}")
     manifest.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val dst = new Path(snapDir(root, next))
-    if (fs.exists(dst) || !fs.rename(stage, dst))
+    val committed = !fs.exists(dst) && fs.rename(stage, dst)
+    if (!committed) {
+      fs.delete(stage, true) // our own attempt's dir — never shared
       throw new java.io.IOException(
         s"could not commit snapshot $dst (concurrent commit won? " +
           "re-derive against the latest snapshot and retry)")
+    }
+    // sweep stage dirs orphaned by CRASHED attempts (ours just renamed
+    // away; a concurrent in-flight attempt is younger than the window)
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_stage-") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
     next
   }
 
@@ -198,10 +226,37 @@ object Snapshots {
     * original sequence numbers) over. `posDeleteDir`/`eqDeleteDir`
     * record the [[DeletionVectors]] generations visible at this
     * commit — the snapshot's delete watermark. The previous snapshot
-    * is left intact — that is the entire point. */
+    * is left intact — that is the entire point.
+    *
+    * RETRIES on commit loss: the FS listing is the truth for this
+    * path, so losing the rename race just means re-deriving the same
+    * file set against the winner's (higher) snapshot id — a pure
+    * append never conflicts semantically (the Iceberg fast-append
+    * retry). [[commitRewrite]] deliberately does NOT retry: a rewrite
+    * losing to another commit may be removing files the winner also
+    * touched, and that conflict needs the caller's judgement. */
   def commitFromFs(spark: SparkSession, dataDir: String, root: String,
       cols: Seq[String], posDeleteDir: Option[String] = None,
       eqDeleteDir: Option[String] = None): Commit = {
+    val maxAttempts = 5
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return commitFromFsOnce(spark, dataDir, root, cols,
+        posDeleteDir, eqDeleteDir)
+      catch {
+        case _: java.io.IOException =>
+          // loser's backoff: linear + a hash-spread jitter so two
+          // in-JVM racers don't re-collide in lockstep
+          Thread.sleep(20L * attempt + (Thread.currentThread().getId % 17))
+          attempt += 1
+      }
+    }
+    commitFromFsOnce(spark, dataDir, root, cols, posDeleteDir, eqDeleteDir)
+  }
+
+  private def commitFromFsOnce(spark: SparkSession, dataDir: String,
+      root: String, cols: Seq[String], posDeleteDir: Option[String],
+      eqDeleteDir: Option[String]): Commit = {
     val current = Manifest.fsList(spark, dataDir)
     latest(spark, root) match {
       case None =>
@@ -248,6 +303,52 @@ object Snapshots {
             old.schema))
         Commit(commitManifest(spark, root, full, next),
           newFiles.length, oldData.length - kept.length, kept.length)
+    }
+  }
+
+  /** EXACTLY-ONCE micro-batch ingestion — the foreachBatch sink body
+    * for stream→snapshot tables. Structured Streaming's contract makes
+    * the SINK responsible for batchId-keyed idempotence: a micro-batch
+    * that crashes after its append but before the checkpoint commit is
+    * REDELIVERED with the same (batchId, data), and a plain
+    * `mode("append")` sink double-appends it into every later snapshot
+    * forever. This sink closes both crash windows:
+    *
+    *  - the batch lands under a batch-stamped dir
+    *    (`dataDir/batch=<id>/` — the [[DeletionVectors]] gen-dir
+    *    pattern) written with `mode("overwrite")`, so a replay of a
+    *    crash-mid-append attempt REPLACES the partial files instead of
+    *    adding beside them;
+    *  - if the LATEST snapshot already lists files under that batch
+    *    dir, the batch committed before the crash — the replay is a
+    *    no-op (same batchId ⇒ same data, the replayable-source
+    *    contract), returning the existing snapshot untouched.
+    *
+    * The skip check consults only the latest snapshot — sound because
+    * commits here are append-only FS truth (a committed batch's files
+    * stay listed in every later snapshot until a rewrite, and the
+    * checkpoint only ever redelivers the most recent uncommitted
+    * batch). Usage: `.foreachBatch { (df, id) =>
+    * Snapshots.commitStreamBatch(spark, dataDir, root, cols, id, df) }`. */
+  def commitStreamBatch(spark: SparkSession, dataDir: String, root: String,
+      cols: Seq[String], batchId: Long, df: DataFrame,
+      posDeleteDir: Option[String] = None,
+      eqDeleteDir: Option[String] = None): Commit = {
+    val batchDir = s"$dataDir/batch=$batchId"
+    val batchPrefix = norm(batchDir) + "/"
+    val alreadyCommitted = latest(spark, root).flatMap { snap =>
+      val m = manifestAt(spark, root, snap)
+      val rows = m.collect()
+      val ki = m.schema.fieldIndex("kind")
+      val fi = m.schema.fieldIndex("file")
+      val data = rows.filter(_.getString(ki) == KindData)
+      if (data.exists(r => norm(r.getString(fi)).startsWith(batchPrefix)))
+        Some(Commit(snap, 0, 0, data.length)) // replay of a committed batch
+      else None
+    }
+    alreadyCommitted.getOrElse {
+      df.write.mode("overwrite").parquet(batchDir)
+      commitFromFs(spark, dataDir, root, cols, posDeleteDir, eqDeleteDir)
     }
   }
 
@@ -362,7 +463,15 @@ object Snapshots {
         new java.util.ArrayList(java.util.Arrays.asList(seqRows: _*)),
         StructType(Seq(StructField("__sf", StringType),
           StructField("__file_seq", LongType)))))
-      val tagged = out.join(seqDf, Seq("__sf"))
+      // LEFT join + newest-default, never inner: a data row whose
+      // _metadata path fails to string-match the driver-normalized
+      // manifest path (encoding drift) must keep its rows — treated as
+      // newest, so no equality delete applies (fail-safe toward
+      // RETAINING data; the Compaction scoped-absorb rule) — instead
+      // of silently vanishing from the read
+      val tagged = out.join(seqDf, Seq("__sf"), "left")
+        .withColumn("__file_seq",
+          coalesce(col("__file_seq"), lit(Long.MaxValue)))
       val cond = keyCols.map(c => tagged(c) <=> keys(s"__eq_$c")).reduce(_ && _) &&
         keys("__eq_seq") > tagged("__file_seq")
       out = tagged.join(keys, cond, "left_anti").drop("__file_seq")
@@ -406,15 +515,28 @@ object Snapshots {
       basePath: Option[String] = None): DataFrame = {
     val m = manifestAt(spark, root, snap)
     val rows = m.collect()
-    val files = m
-      .filter(col("kind") === KindData &&
-        col(s"min_$statsCol") <= lit(hi) && col(s"max_$statsCol") >= lit(lo))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val files = candidateFilesAt(spark, root, snap, statsCol, lo, hi)
     val base =
       if (files.isEmpty) readAt(spark, root, snap, basePath).filter(lit(false))
       else readMergedFiles(spark, rows, m.schema, files, basePath)
     base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
+
+  /** DATA files of one snapshot whose recorded min/max span on
+    * `statsCol` can contain a value in [lo, hi] — the file-skipping
+    * probe behind [[readRangeAt]], exposed for telemetry (the bench's
+    * files_read cells). Works for ANY column the commit recorded stats
+    * for (`cols` at [[commitFromFs]]/[[commitRewrite]]): recording a
+    * second, non-primary column at commit time is what lets a
+    * snapshot-era scan skip files on predicates the layout was not
+    * sorted by — as long as the column correlates with the layout
+    * (Iceberg's per-column bounds play the same role). */
+  def candidateFilesAt(spark: SparkSession, root: String, snap: Long,
+      statsCol: String, lo: Any, hi: Any): Seq[String] =
+    manifestAt(spark, root, snap)
+      .filter(col("kind") === KindData &&
+        col(s"min_$statsCol") <= lit(hi) && col(s"max_$statsCol") >= lit(lo))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
 
   /** Append-only INCREMENTAL scan — the CDC-consumer pattern on
     * snapshots (Iceberg's incremental read): exactly the files `to`
@@ -428,23 +550,68 @@ object Snapshots {
     * REWRITTEN OLD ROWS and an incremental consumer would
     * double-process them — so this fails loudly and the consumer must
     * resync from a full read (the same contract Iceberg enforces on
-    * replace snapshots). */
+    * replace snapshots). The same fail-loud rule covers DELETES of old
+    * rows: a new delete generation in the window that targets a
+    * pre-`from` file would be invisible to a delta consumer (no
+    * retraction row exists to deliver), so it too forces a resync —
+    * equality generations always (they scope to every older file),
+    * position generations only when their named files predate `from`. */
   def readIncremental(spark: SparkSession, root: String, fromSnap: Long,
       toSnap: Long, basePath: Option[String] = None): DataFrame = {
-    val before = filesAt(spark, root, fromSnap).toSet
-    val after = filesAt(spark, root, toSnap)
+    val mFrom = manifestAt(spark, root, fromSnap)
+    val fromRows = mFrom.collect()
+    val mTo = manifestAt(spark, root, toSnap)
+    val toRows = mTo.collect()
+    val ki = mTo.schema.fieldIndex("kind")
+    val fi = mTo.schema.fieldIndex("file")
+    val before = fromRows.filter(_.getString(ki) == KindData)
+      .map(_.getString(fi)).toSet
+    val after = toRows.filter(_.getString(ki) == KindData)
+      .map(_.getString(fi)).toSeq.sorted
     val removed = before -- after.toSet
     require(removed.isEmpty,
       s"snapshots $fromSnap->$toSnap are not append-only lineage " +
         s"(${removed.size} files removed/rewritten); incremental " +
         "consumption is defined on appends - resync from a full read")
+    // delete-watermark guard (the same fail-loud contract as the
+    // rewrite case): a delete generation landed between the snapshots
+    // can target rows in files already present at `from` — rows this
+    // read never revisits, so the consumer's materialization would
+    // silently diverge from readAt(to). An equality generation applies
+    // to EVERY pre-`from` file by the sequence rule, so any new one
+    // fails; a new position generation names its files explicitly, so
+    // it fails only if it actually touches a pre-`from` file.
+    val fromGens = fromRows.filterNot(_.getString(ki) == KindData)
+      .map(r => (r.getString(ki), norm(r.getString(fi)))).toSet
+    val newGens = toRows.filterNot(_.getString(ki) == KindData)
+      .filterNot(r => fromGens((r.getString(ki), norm(r.getString(fi)))))
+    if (newGens.nonEmpty && before.nonEmpty) {
+      require(!newGens.exists(_.getString(ki) == KindEq),
+        s"snapshots $fromSnap->$toSnap added equality-delete " +
+          "generations that apply to pre-existing files; incremental " +
+          "consumption cannot retract already-delivered rows - resync " +
+          "from a full read")
+      val newPosDirs = newGens.filter(_.getString(ki) == KindPos)
+        .map(_.getString(fi))
+      if (newPosDirs.nonEmpty) {
+        // file-grain driver state: distinct file_path of a KB-sized
+        // delete generation — the DeletionVectors sizing bound
+        val beforeNorm = before.map(norm)
+        val hit = spark.read.parquet(newPosDirs: _*)
+          .select(col("file_path")).distinct()
+          .collect().map(r => norm(r.getString(0)))
+          .filter(beforeNorm)
+        require(hit.isEmpty,
+          s"snapshots $fromSnap->$toSnap added position deletes on " +
+            s"${hit.length} pre-existing file(s) (first: " +
+            s"${hit.headOption.getOrElse("")}); incremental consumption " +
+            "cannot retract already-delivered rows - resync from a full read")
+      }
+    }
     val added = after.filterNot(before)
     if (added.isEmpty)
       readAt(spark, root, toSnap, basePath).filter(lit(false))
-    else {
-      val m = manifestAt(spark, root, toSnap)
-      readMergedFiles(spark, m.collect(), m.schema, added, basePath)
-    }
+    else readMergedFiles(spark, toRows, mTo.schema, added, basePath)
   }
 
   /** The table's commit history as a frame (Iceberg's `.snapshots`

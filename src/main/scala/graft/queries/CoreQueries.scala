@@ -1744,6 +1744,70 @@ object CoreQueries {
              |  CAST(sum(CASE WHEN k % 10 = 7 THEN 2 * c ELSE c END) AS BIGINT)
              |FROM cents
              |ORDER BY snap""".stripMargin)
+    ),
+
+    // O38: EXACTLY-ONCE stream→snapshot ingestion under forced retry —
+    // the Snapshots.commitStreamBatch contract driven end-to-end:
+    // three "micro-batches" (o_orderkey residues mod 3) ingest through
+    // the batchId-keyed sink, and batch 1 is delivered THREE times —
+    // once crashing mid-append (partial files under its batch dir, no
+    // commit), once completing, once redelivered after its commit (the
+    // post-append/pre-checkpoint crash Structured Streaming's contract
+    // puts on the sink). A double-append, a leaked partial file, or a
+    // phantom fourth snapshot each changes a row — the oracle
+    // recomputes every snapshot's total AND its incremental delta as
+    // pure residue-class sums over the source table.
+    OracleQuery(
+      "o38_stream_exactly_once_ingest",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.core.Scratch.dir("snapingest", d)
+        val orders = Tables.orders(s, d)
+        def batch(i: Long) = orders.filter($"o_orderkey" % 3 === i)
+        def commit(i: Long): Unit = {
+          graft.ops.Snapshots.commitStreamBatch(s, s"$tmp/data",
+            s"$tmp/snaps", Seq("o_orderkey"), i, batch(i).repartition(1))
+          ()
+        }
+        commit(0L)
+        // crash window 1: an attempt died mid-append — partial files
+        // under the batch dir, NO snapshot commit
+        batch(1L).filter($"o_orderkey" % 2 === 0)
+          .repartition(1).write.mode("overwrite").parquet(s"$tmp/data/batch=1")
+        commit(1L) // the retry: overwrites the partials, commits once
+        commit(1L) // crash window 2: post-commit redelivery must no-op
+        commit(2L)
+        def sums(df: DataFrame, nCol: String, cCol: String) =
+          df.agg(count(lit(1)).as(nCol),
+            sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as(cCol))
+        graft.ops.Snapshots.snapshots(s, s"$tmp/snaps").map { snap =>
+          val full = graft.ops.Snapshots.readAt(s, s"$tmp/snaps", snap)
+          val delta =
+            if (snap == 0L) full
+            else graft.ops.Snapshots.readIncremental(
+              s, s"$tmp/snaps", snap - 1, snap)
+          sums(full, "n", "sum_price_cents")
+            .crossJoin(sums(delta, "delta_n", "delta_sum_cents"))
+            .select(lit(snap).as("snap"), $"n", $"sum_price_cents",
+              $"delta_n", $"delta_sum_cents")
+        }.reduce(_ unionAll _).orderBy($"snap")
+      },
+      Some("""WITH cents AS (
+             |  SELECT o_orderkey % 3 AS r,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM orders
+             |), per AS (
+             |  SELECT r, count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+             |  FROM cents GROUP BY r
+             |)
+             |SELECT p.r AS snap,
+             |  CAST(sum(q.n) AS BIGINT) AS n,
+             |  CAST(sum(q.s) AS BIGINT) AS sum_price_cents,
+             |  CAST(max(CASE WHEN q.r = p.r THEN q.n END) AS BIGINT) AS delta_n,
+             |  CAST(max(CASE WHEN q.r = p.r THEN q.s END) AS BIGINT)
+             |    AS delta_sum_cents
+             |FROM per p JOIN per q ON q.r <= p.r
+             |GROUP BY p.r ORDER BY snap""".stripMargin)
     )
   )
 

@@ -2539,18 +2539,44 @@ object PipelineQueries {
       "pipe_epoch_shuffle",
       (s, d) => {
         import s.implicits._
-        val docs = Tables.documents(s, d)
-          .select($"doc_id")
-          .withColumn("hv",
-            expr("CAST(conv(substr(md5(concat('ep7:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
-          .withColumn("ord", concat(
-            lpad($"hv".cast("string"), 19, "0"),
-            lpad($"doc_id".cast("string"), 10, "0")))
-        val n = docs.count()
-        val ranked = graft.ops.PrefixSum.withCumsum(
-          docs.withColumn("g", lit(0)).withColumn("one", lit(1L)),
-          "g", "ord", "one", outCol = "pos", knownCount = Some(n))
-        ranked.filter($"pos" > 100L && $"pos" <= 250L)
+        graft.ops.EpochShuffle.permutation(
+          Tables.documents(s, d).select($"doc_id"), "doc_id", seed = 7)
+          .filter($"pos" > 100L && $"pos" <= 250L)
+          .select($"pos", $"doc_id", $"hv")
+          .orderBy($"pos")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('ep7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM documents
+             |), r AS (
+             |  SELECT doc_id, hv,
+             |    row_number() OVER (ORDER BY hv, doc_id) AS pos
+             |  FROM h
+             |)
+             |SELECT pos, doc_id, hv FROM r
+             |WHERE pos > 100 AND pos <= 250 ORDER BY pos""".stripMargin)
+    ),
+
+    // PERSISTED epoch-rank resume (pipe_epoch_resume_persisted) — the
+    // production twin of pipe_epoch_shuffle's resume story, now built:
+    // ops/EpochShuffle.write materializes the (pos, doc_id, hv)
+    // permutation at epoch start (pos-range-partitioned sorted files +
+    // a pos-keyed manifest), and the loader's restart is ONE
+    // manifest-pruned scan of it — no corpus rescan, no PrefixSum
+    // shuffle, no window at all in the resume plan (PlanSpec pins it
+    // exchange-free). Same slice, same oracle, same hash as the
+    // in-flight spelling: the two rows price the recompute-per-restart
+    // vs index-once trade the bench's epoch cells A/B directly.
+    OracleQuery(
+      "pipe_epoch_resume_persisted",
+      (s, d) => {
+        import s.implicits._
+        val idx = graft.core.Scratch.dir("epochidx", d)
+        graft.ops.EpochShuffle.write(
+          Tables.documents(s, d).select($"doc_id"), "doc_id", seed = 7,
+          outDir = idx, numFiles = 8)
+        graft.ops.EpochShuffle.resume(s, idx, from = 100L, until = 250L)
           .select($"pos", $"doc_id", $"hv")
           .orderBy($"pos")
       },

@@ -275,6 +275,120 @@ class SnapshotsSpec extends SparkSpec {
     assert(!Snapshots.readAt(spark, s"$d/snaps", 0L).columns.contains("tag"))
   }
 
+  test("concurrent appenders both succeed via commit retry; rewrite conflicts still fail") {
+    val d = java.nio.file.Files.createTempDirectory("snaprace").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    (1L to 100L).toDF("k").coalesce(1).write.parquet(s"$data/base")
+    Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    // two appenders race: each lands its own files then commits the FS
+    // truth — the rename loser must RETRY against the winner's snapshot
+    // (re-list, re-derive) instead of failing the append
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq((101L to 150L, "a"), (151L to 200L, "b")).map {
+      case (ks, tag) =>
+        new Thread(() =>
+          try {
+            ks.toDF("k").coalesce(1).write.parquet(s"$data/$tag")
+            Snapshots.commitFromFs(spark, data, root, Seq("k"))
+            ()
+          } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent append failed: ${errs.peek()}")
+    // exactly one snapshot per commit, strictly ordered ids
+    assert(Snapshots.snapshots(spark, root) == Seq(0L, 1L, 2L))
+    // the final snapshot carries BOTH appenders' rows (the last
+    // committer listed after the other's commit — FS truth)
+    assert(sumK(Snapshots.readAt(spark, root, 2L)) == ((200L, 200L * 201 / 2)))
+    // sequence numbers strictly ordered across the three commits: the
+    // base file keeps seq 0, each appender's file carries its own
+    // commit's sequence
+    val seqs = Snapshots.manifestAt(spark, root, 2L)
+      .filter($"kind" === "data").select($"seq").as[Long]
+      .collect().sorted.toSeq
+    assert(seqs == Seq(0L, 1L, 2L), s"seqs: $seqs")
+    // rewrite-vs-rewrite conflict stays loud, no retry: once a rewrite
+    // removed a file, a second rewrite derived against the stale state
+    // (removing the same file) fails — remove-vs-remove needs the
+    // caller's judgement, not an automatic reapply
+    (201L to 210L).toDF("k").coalesce(1).write.parquet(s"$d/cout")
+    val victim = Snapshots.filesAt(spark, root, 2L).head
+    Snapshots.commitRewrite(spark, root, removed = Seq(victim),
+      addedDir = s"$d/cout", cols = Seq("k"))
+    (211L to 220L).toDF("k").coalesce(1).write.parquet(s"$d/cout2")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.commitRewrite(spark, root, removed = Seq(victim),
+        addedDir = s"$d/cout2", cols = Seq("k"))
+    }
+    assert(ex.getMessage.contains("contains only"))
+  }
+
+  test("second stats column: snapshot range reads skip files on a non-primary predicate") {
+    val d = java.nio.file.Files.createTempDirectory("snapcol2").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    // layout clustered by k; v = 2k correlates, so per-file v spans are
+    // disjoint too — recording BOTH at commit lets a v-predicate skip
+    (1L to 400L).map(k => (k, k * 2L)).toDF("k", "v")
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k", "v"))
+    assert(Snapshots.filesAt(spark, root, 0L).length == 4)
+    // the non-primary predicate prunes to the one file spanning it
+    val cand = Snapshots.candidateFilesAt(spark, root, 0L, "v", 20L, 40L)
+    assert(cand.length == 1, s"expected 1 candidate file, got ${cand.length}")
+    val got = Snapshots.readRangeAt(spark, root, 0L, "v", 20L, 40L)
+      .select($"k").as[Long].collect().sorted
+    assert(got.toSeq == (10L to 20L))
+  }
+
+  test("a pre-sequence-number manifest fails with an explicit upgrade message") {
+    val d = java.nio.file.Files.createTempDirectory("snaplegacy").toString
+    // a legacy-format manifest: file stats only, no kind/seq columns
+    Seq((s"$d/f0.parquet", 10L, 0L, 5L)).toDF("file", "n_bytes", "mtime", "n_rows")
+      .write.parquet(s"$d/snaps/snap=0")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.manifestAt(spark, s"$d/snaps", 0L)
+    }
+    assert(ex.getMessage.contains("sequence-numbered"))
+  }
+
+  test("incremental read fails loudly when a delete lands on pre-window files") {
+    val d = java.nio.file.Files.createTempDirectory("snapincrdel").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    val dv = s"$d/dv"; val eq = s"$d/eq"
+    (1L to 100L).toDF("k").coalesce(1).write.parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"),
+      posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+    // window 0->1: appends PLUS a position delete on an s0 file — the
+    // delta cannot carry the retraction, so the consumer must resync
+    (101L to 150L).toDF("k").coalesce(1).write.mode("append").parquet(data)
+    DeletionVectors.addDeletes(spark, data, dv, $"k" === 7L)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"),
+      posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.readIncremental(spark, root, 0L, 1L)
+    }
+    assert(ex.getMessage.contains("resync"))
+    // window 1->2: a delete landing ONLY on the window's own appended
+    // file is fine — the delta simply excludes those rows
+    (151L to 160L).toDF("k").coalesce(1).write.mode("append").parquet(data)
+    DeletionVectors.addDeletes(spark, data, dv, $"k" === 155L)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"),
+      posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+    val delta = Snapshots.readIncremental(spark, root, 1L, 2L)
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(delta == (151L to 160L).filterNot(_ == 155L))
+    // an equality tombstone in the window always forces a resync (it
+    // scopes to every older file by the sequence rule)
+    DeletionVectors.addKeyDeletes(spark, eq, Seq(3L).toDF("k"))
+    Snapshots.commitFromFs(spark, data, root, Seq("k"),
+      posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+    val ex2 = intercept[IllegalArgumentException] {
+      Snapshots.readIncremental(spark, root, 2L, 3L)
+    }
+    assert(ex2.getMessage.contains("resync"))
+  }
+
   test("rewrite of files the snapshot does not list fails loudly") {
     val d = java.nio.file.Files.createTempDirectory("snapbad").toString
     (1L to 10L).toDF("k").coalesce(1).write.parquet(s"$d/data")

@@ -750,6 +750,21 @@ class PlanSpec extends SparkSpec {
       s"no unpartitioned window over the hash order:\n$p")
   }
 
+  test("epoch resume: the persisted-index slice is a pruned scan — no rank re-derivation") {
+    // the resume plan must be a manifest-pruned parquet scan + filter:
+    // no PrefixSum machinery (ps_b), no window, no hash shuffle — the
+    // only exchange is the oracle ORDER BY's range partitioning
+    val p = plan(Registry.queries("pipe_epoch_resume_persisted")(spark, sf))
+    assert(!p.contains("ps_b"),
+      s"resume must not re-derive the PrefixSum rank:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window in the resume plan:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"no hash shuffle in the resume plan:\n$p")
+    assert(p.contains("PushedFilters"),
+      s"the slice predicate must reach the scan:\n$p")
+  }
+
   test("WOE approx: the exact contract arm rides the bucketed rank — whole plan ntile-free") {
     val p = planWithCached(Registry.queries("pipe_woe_iv_approx")(spark, sf))
     assert(!p.contains("ntile"), s"no ntile window in the plan:\n$p")

@@ -5,14 +5,20 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Streaming ingestion × snapshot governance: a foreachBatch sink that
-  * lands each micro-batch as an append AND commits it as one snapshot
-  * — the composition that turns a raw stream into a time-travelable,
-  * incrementally-consumable table. Pins: one snapshot per micro-batch
-  * (exactly-once commit bookkeeping under AvailableNow), the
-  * incremental read of each consecutive snapshot pair returning
-  * EXACTLY that batch's rows (the O(delta) feed contract), and the
-  * latest snapshot reading the full accumulated table. */
+/** Streaming ingestion × snapshot governance: the
+  * [[graft.ops.Snapshots.commitStreamBatch]] foreachBatch sink that
+  * lands each micro-batch under a batch-stamped dir AND commits it as
+  * one snapshot — the composition that turns a raw stream into a
+  * time-travelable, incrementally-consumable table, EXACTLY-ONCE.
+  * Pins: one snapshot per micro-batch, the incremental read of each
+  * consecutive snapshot pair returning EXACTLY that batch's rows (the
+  * O(delta) feed contract), the latest snapshot reading the full
+  * accumulated table — and, in the second test, that BOTH redelivery
+  * crash windows (crash mid-append, crash after commit but before the
+  * checkpoint write) leave snapshot lineage and deltas IDENTICAL to
+  * the no-failure run: Structured Streaming's contract makes the sink
+  * responsible for batchId-keyed idempotence, and a plain append sink
+  * double-appends forever on replay. */
 class SnapshotCommitStreamSpec extends SparkSpec {
   import spark.implicits._
 
@@ -30,9 +36,9 @@ class SnapshotCommitStreamSpec extends SparkSpec {
     val q = src.writeStream
       .option("checkpointLocation", s"$d/ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode("append").parquet(s"$d/data")
-        graft.ops.Snapshots.commitFromFs(spark, s"$d/data", s"$d/snaps", Seq("k"))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        graft.ops.Snapshots.commitStreamBatch(
+          spark, s"$d/data", s"$d/snaps", Seq("k"), id, df)
         ()
       }
       .start()
@@ -56,5 +62,51 @@ class SnapshotCommitStreamSpec extends SparkSpec {
       .select($"snapshot", $"n_files", $"n_rows").as[(Long, Long, Long)]
       .collect().toSeq
     assert(hist == Seq((0L, 1L, 40L), (1L, 2L, 70L), (2L, 3L, 100L)), s"$hist")
+  }
+
+  test("redelivered micro-batch cannot double-append: lineage identical to the no-failure run") {
+    // reference run (no failures) and a run where batch 1 is delivered
+    // THREE times — once crashing mid-append (partial files, no
+    // commit), once completing, once redelivered after its commit —
+    // must produce byte-identical lineage. The batch bodies are invoked
+    // directly (the foreachBatch function IS the unit under test;
+    // AvailableNow's scheduling is already pinned by the first test).
+    val chunks = Seq(1L to 40L, 41L to 70L, 71L to 100L)
+    def run(d: String, failBatch1: Boolean): Unit = {
+      def commit(id: Int): Unit = {
+        graft.ops.Snapshots.commitStreamBatch(spark, s"$d/data", s"$d/snaps",
+          Seq("k"), id.toLong, chunks(id).toDF("k").coalesce(1))
+        ()
+      }
+      commit(0)
+      if (failBatch1) {
+        // crash window 1: an attempt died mid-append — partial files
+        // under the batch dir, NO snapshot commit
+        chunks(1).take(7).toDF("k").coalesce(1)
+          .write.mode("overwrite").parquet(s"$d/data/batch=1")
+      }
+      commit(1) // the retry: overwrites the partial files, commits once
+      if (failBatch1) commit(1) // crash window 2: post-commit redelivery
+      commit(2)
+    }
+    val ref = java.nio.file.Files.createTempDirectory("snapref").toString
+    val ret = java.nio.file.Files.createTempDirectory("snapretry").toString
+    run(ref, failBatch1 = false)
+    run(ret, failBatch1 = true)
+    for (d <- Seq(ref, ret)) {
+      assert(graft.ops.Snapshots.snapshots(spark, s"$d/snaps") == Seq(0L, 1L, 2L))
+      Seq((0L, 1L), (1L, 2L)).foreach { case (from, to) =>
+        val delta = graft.ops.Snapshots.readIncremental(spark, s"$d/snaps", from, to)
+          .select($"k").as[Long].collect().sorted.toSeq
+        assert(delta == chunks(to.toInt), s"$d delta $from->$to: $delta")
+      }
+      assert(graft.ops.Snapshots.readAt(spark, s"$d/snaps", 2L)
+        .select($"k").as[Long].collect().sorted.toSeq == (1L to 100L))
+    }
+    // the two runs' histories agree row-for-row
+    def hist(d: String) = graft.ops.Snapshots.history(spark, s"$d/snaps")
+      .select($"snapshot", $"n_files", $"n_rows")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hist(ref) == hist(ret), s"${hist(ref)} vs ${hist(ret)}")
   }
 }
