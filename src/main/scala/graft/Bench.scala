@@ -524,8 +524,13 @@ object Bench {
     // files from a KB-sized metadata read)
     val snapRoot = s"$tmp/snaps"
     val tSnap0 = System.nanoTime()
+    // TWO stats columns recorded at commit (the Iceberg per-column-
+    // bounds play): ts is the layout's sort key; event_id rides along
+    // because ingestion assigns ids in arrival order, so the ts-sorted
+    // files carry near-disjoint id spans too — a SECOND, non-primary
+    // predicate can then skip files from the same KB manifest read
     val commit = graft.ops.Snapshots.commitFromFs(
-      spark, s"$tmp/data", snapRoot, Seq("ts"))
+      spark, s"$tmp/data", snapRoot, Seq("ts", "event_id"))
     val commitSec = (System.nanoTime() - tSnap0) / 1e9
     def timeSnapPruned(): Double = {
       val t0 = System.nanoTime()
@@ -535,6 +540,26 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     timeSnapPruned() // warm
+    // the second-column probe: a ~1-day-wide event_id slice derived
+    // from the manifest's own recorded id span (no data read)
+    val idSpan = graft.ops.Snapshots.manifestAt(spark, snapRoot, commit.snapshot)
+      .filter(col("kind") === "data")
+      .agg(min(col("min_event_id")), max(col("max_event_id")))
+      .collect()(0)
+    val (idMin, idMax) = (idSpan.getLong(0), idSpan.getLong(1))
+    val idLo = idMin + (idMax - idMin) / 3
+    val idHi = idLo + (idMax - idMin) / 30
+    def timeSnapPrunedCol2(): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Snapshots
+        .readRangeAt(spark, snapRoot, commit.snapshot, "event_id", idLo, idHi)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeSnapPrunedCol2() // warm
+    val nCandCol2 = graft.ops.Snapshots
+      .candidateFilesAt(spark, snapRoot, commit.snapshot, "event_id", idLo, idHi)
+      .length
     Seq(
       "scan_manifest_pruned" -> steadyMin(() => timePruned()),
       "scan_manifest_full" -> steadyMin(() => timeFull()),
@@ -544,7 +569,9 @@ object Bench {
       "scan_manifest_cluster_depth_sorted" -> depthSorted.avgDepth,
       "scan_manifest_cluster_depth_partitioned" -> depthPart.avgDepth,
       "manifest_snapshot_commit" -> commitSec,
-      "scan_manifest_snapshot_pruned" -> steadyMin(() => timeSnapPruned()))
+      "scan_manifest_snapshot_pruned" -> steadyMin(() => timeSnapPruned()),
+      "scan_manifest_snapshot_pruned_col2" -> steadyMin(() => timeSnapPrunedCol2()),
+      "scan_manifest_snapshot_col2_files_read" -> nCandCol2.toDouble)
   }
 
   /** Compaction A/B: the same full scan against 64 micro-files vs the
