@@ -13,198 +13,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchCoverageSpec extends AnyFunSuite {
 
   private val knownUntimed: Set[String] = Set(
-    "a11_metric_ranking",
-    "a12_rollup",
-    "a13_salted_agg",
-    "a14_approx_distinct",
-    "a15_approx_quantile",
-    "a16_winsorize_clip",
-    "a16b_winsorize_approx",
-    "a17_robust_zscore",
-    "a17b_robust_zscore_approx",
-    "a18_cube",
-    "a19_profile_drift",
-    "a21_calibration_bins",
-    "a22_auc_by_segment",
-    "a25_histogram",
-    "a26_grouped_ridge",
-    "a27_wilson_ci",
-    "a28_crosscorr_lags",
-    "a29_ab_uplift",
-    "a2_bit_or_agg",
-    "a30_weighted_median",
-    "a31_benford_digits",
-    "a32_gini_spend",
-    "a33_mutual_information",
-    "a34_ks_test",
-    "a35_psi",
-    "a36_hill_tail",
-    "a37_spearman",
-    "a39_ljung_box",
-    "a3_count_distinct",
-    "a82_cochran_armitage",
-    "a83_overdispersion",
-    "a41_theil_sen",
-    "a41b_theil_sen_sampled",
-    "a4_moment_metrics",
-    "a5_coverage_sharpness",
-    "a6_pinball_loss",
-    "a7_grouped_sigma",
-    "a8_percentile_regimes",
-    "d2_distinct_projection",
-    "dedup_canonical",
-    "dedup_components",
-    "dedup_containment",
-    "dedup_editdist_fuzzy",
-    "dedup_embedding_cosine",
-    "dedup_incremental_indexed",
-    "dedup_ngram_jaccard",
-    "dedup_passage",
-    "dedup_semantic",
-    "dedup_simhash",
-    "e10_lead_hours",
-    "e11_qc_flag_pipeline",
-    "e16_season_label",
-    "e17_string_normalize",
-    "e1_unit_conversions",
-    "e3_sentinel_decode",
-    "e8_calendar_extracts",
-    "e9_seasonal_harmonics",
-    "graph_bfs_layers",
-    "j10_asof_native",
-    "j11_skew_join",
-    "j12_skew_join_salted",
-    "j13_full_outer",
-    "j14_tpch_q5",
-    "j15_tpch_q10",
-    "j16_tpch_q17",
-    "j19_tpch_q6",
-    "j1_inner_equijoin",
-    "j20_tpch_q14",
-    "j21_tpch_q13",
-    "j22_tpch_q22",
-    "j23_tpch_q21",
-    "j24_tpch_q4",
-    "j25_tpch_q7",
-    "j26_tpch_q8",
-    "j27_tpch_q12",
-    "j28_tpch_q15",
-    "j29_tpch_q19",
-    "j32_tpch_q3",
-    "j33_tpch_q2",
-    "j35_tpch_q11",
-    "j36_tpch_q16",
-    "j37_tpch_q20",
-    "j39_lpm_join",
-    "j4_range_bucket",
-    "j6_semi_anti",
-    "j7_left_outer",
-    "j8_asof_join",
-    "j9_range_join",
-    "mm_byte_budget",
-    "mm_frame_sample",
-    "mm_resize_plan",
-    "o10_global_index",
-    "o12_pivot",
-    "o13_unpivot",
-    "o14_weighted_sample",
-    "o16_snapshot_diff",
-    "o18_scd2_intervals",
-    "o20_exact_quantiles",
-    "o21_hash_split_shuffle",
-    "o2_union_sources",
-    "o3_time_split",
-    "o3_time_split_bytime",
-    "o5_topk",
-    "o6_set_operations",
-    "o7_hash_sample",
-    "o8_stratified_sample",
-    "o9_zorder_key",
-    "o9b_zorder3_key",
-    "p2_time_range",
-    "p3_date_between",
-    "p4_membership",
-    "p5_threshold_nulldrop",
-    "p7_bitmask_pred",
-    "pipe_bucketed_sigma",
-    "pipe_conformal_interval",
-    "pipe_cuped",
-    "pipe_did",
-    "pipe_funnel",
-    "pipe_gbm_stumps",
-    "pipe_golden_replay",
-    "pipe_msprt_ab",
-    "pipe_persistence_eval",
-    "pipe_ridge_lambda_sweep",
-    "pipe_sessionize",
-    "pipe_srm_check",
-    "pipe_survival_km",
-    "pipe_target_encoding",
-    "pipe_time_to_convert",
-    "pipe_walkforward_folds",
-    "s1_scan_project",
-    "s4_json_extract",
-    "sim_ivf_filtered_topk",
-    "sim_ivf_indexed_topk",
-    "sim_ivf_kmeans_topk",
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    "sim_kmeans_cells",
-    "sim_knn_label",
-    "sim_lsh_buckets",
-    "sim_mmr_rerank",
-    "sim_pca_outliers",
-    "sim_pq_adc_topk",
-    "sim_pq_kmeans_topk",
-    "sim_threshold_pairs",
-    "stream_click_attribution",
-    "stream_click_attribution_outer",
-    "stream_daily_tmax",
-    "stream_dedup_watermark",
-    "stream_kalman_level",
-    "stream_sessionize",
-    "stream_topk_windowed",
-    "stream_upsert_snapshot",
-    "stream_wau",
-    "text_bpe_tokens",
-    "text_chunk_overlap",
-    "text_cms_heavy_hitters",
-    "text_decontaminate",
-    "text_decontaminate_bloom",
-    "text_domain_mix",
-    "text_fingerprint",
-    "text_gopher_quality",
-    "text_hot_grams",
-    "text_kl_drift",
-    "text_lang_id",
-    "text_pack_bins",
-    "text_pii_redact",
-    "text_quality_classifier_scored",
-    "text_repetition",
-    "text_rolling_hash",
-    "text_source_overlap",
-    "text_tfidf_topterms",
-    "text_token_mix",
-    "text_token_stats",
-    "text_zipf_slope",
-    "v3_fk_orphans",
-    "v_quality_checks",
-    "w10_time_range_window",
-    "w11_time_weighted_avg",
-    "w15_rolling_corr",
-    "w16_seasonal_mase",
-    "w18_event_transitions",
-    "w20_stl_anomaly",
-    "w22_max_drawdown",
-    "w23_holt_backtest",
-    "w2_trailing_rmse",
-    "w3_expanding_std",
-    "w4_lag_lead",
-    "w5_spike_detect",
-    "w6_ranking_family",
-    "w7_analytic_family",
-    "w8_ewma",
-    "w9_ntile_quartiles")
+    // pipe_golden_replay replays the reference's FIXED-SIZE golden
+    // fixture (eval/GoldenReplay) — its input does not scale with sf,
+    // so timing it at bench grain would measure a constant. Every
+    // other former member scanned an sf-scaled table and was promoted
+    // to headline in r15 (the scale-behavior-must-be-measured rule);
+    // a new row may join this list ONLY if its plan touches no
+    // sf-scaled table at bench grain.
+    "pipe_golden_replay")
 
   test("every registry row is headline-timed, capped, or explicitly known-untimed") {
     val registry = SparkEntry.queries.keySet

@@ -765,6 +765,19 @@ class PlanSpec extends SparkSpec {
       s"the slice predicate must reach the scan:\n$p")
   }
 
+  test("the sole known-untimed bench row is sf-independent: golden replay never touches the data dir") {
+    // BenchCoverageSpec's knownUntimed admits only rows whose plans
+    // touch no sf-scaled table — enforced here structurally: the
+    // golden replay is handed a sentinel data dir that does not exist,
+    // so ANY future read of the sf tables fails this test loudly, and
+    // the produced plan must not reference the sentinel either
+    val df = Registry.queries("pipe_golden_replay")(
+      spark, "/nonexistent-sfdir-sentinel")
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("nonexistent-sfdir-sentinel"))
+    assert(df.count() > 0)
+  }
+
   test("WOE approx: the exact contract arm rides the bucketed rank — whole plan ntile-free") {
     val p = planWithCached(Registry.queries("pipe_woe_iv_approx")(spark, sf))
     assert(!p.contains("ntile"), s"no ntile window in the plan:\n$p")
