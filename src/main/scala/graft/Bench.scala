@@ -613,7 +613,18 @@ object Bench {
     }
     timeSnapPruned() // warm
     // the second-column probe: a ~1-day-wide event_id slice derived
-    // from the manifest's own recorded id span (no data read)
+    // from the manifest's own recorded id span (no data read).
+    // files_read is the EARNINGS telemetry for the second column:
+    // ids assigned in arrival order correlate with ts, so the
+    // ts-sorted files carry narrow id spans and the probe skips
+    // (3 of 64 at sf0.1 — real-shaped ids). The synthetic sf1
+    // replica set (tools/make_sf1.py: disjoint id bands over the
+    // SAME month) deliberately breaks that correlation — every file
+    // spans all bands and files_read reads 64/64 there, which is the
+    // honest answer: per-column bounds only earn their bytes when
+    // the column tracks the layout, and this cell is how an operator
+    // SEES a recorded column stop earning them (drop it from `cols`
+    // or recluster)
     val idSpan = graft.ops.Snapshots.manifestAt(spark, snapRoot, commit.snapshot)
       .filter(col("kind") === "data")
       .agg(min(col("min_event_id")), max(col("max_event_id")))

@@ -548,7 +548,19 @@ object WindowQueries {
           val wf = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
           val frame = Window.partitionBy($"event_type").orderBy($"rn")
             .rowsBetween(-19, Window.currentRow)
-          val c = corr($"value", $"rn".cast("double")).over(frame)
+          // corr spelled as covar/(σ·σ) with an explicit zero-variance
+          // guard, NOT corr().over(frame): Spark's Corr evaluates
+          // ck / sqrt(xMk·yMk) for n > 1, and a frame whose 20 values
+          // are all equal (real at sf1: replicated ties) makes that a
+          // divide-by-zero ABORT under ANSI — while DuckDB's corr
+          // returns NULL there. The guarded spelling is the same
+          // co-moment algebra (identical to fp rounding) and yields
+          // null on the degenerate frame, matching the oracle.
+          val cov = covar_samp($"value", $"rn".cast("double")).over(frame)
+          val sdv = stddev_samp($"value").over(frame)
+          val sdr = stddev_samp($"rn".cast("double")).over(frame)
+          val c = when(sdv === 0.0 || sdr === 0.0, lit(null))
+            .otherwise(cov / (sdv * sdr))
           Tables.events(s, d)
             .withColumn("rn", row_number().over(wf))
             .withColumn("c", c)

@@ -24,7 +24,7 @@ for l in bench_lines[start:]:
         break
 
 raw = open(sys.argv[1]).read()
-line = next(l for l in raw.splitlines() if l.lstrip().startswith('{"metric"'))
+line = next(l for l in raw.splitlines() if '{"metric"' in l)
 j = json.loads(line[line.index('{'):])
 
 cells = j["queries"]
