@@ -334,9 +334,36 @@ object Snapshots {
       cols: Seq[String], batchId: Long, df: DataFrame,
       posDeleteDir: Option[String] = None,
       eqDeleteDir: Option[String] = None): Commit = {
-    val batchDir = s"$dataDir/batch=$batchId"
-    val batchPrefix = norm(batchDir) + "/"
-    val alreadyCommitted = latest(spark, root).flatMap { snap =>
+    streamBatchCommitAt(spark, dataDir, root, batchId).getOrElse {
+      df.write.mode("overwrite").parquet(s"$dataDir/batch=$batchId")
+      commitFromFs(spark, dataDir, root, cols, posDeleteDir, eqDeleteDir)
+    }
+  }
+
+  /** True iff micro-batch `batchId` already committed into a snapshot
+    * under `root` — the guard a foreachBatch body MUST consult before
+    * any side effect that is not replay-idempotent on its own. The
+    * data append is safe either way ([[commitStreamBatch]] overwrites
+    * the batch dir and skips the commit), but a MERGE batch also adds
+    * an equality-tombstone generation, and a redelivered tombstone-add
+    * AFTER the batch committed is not harmless: the dangling
+    * generation would enter the NEXT commit's watermark with that
+    * LATER sequence and erase this batch's own new versions (file seq
+    * < gen seq). Guarding the whole batch body on this check is what
+    * makes merge ingestion exactly-once end to end. (A crash BEFORE
+    * the commit replays the tombstone-add too — that duplicate
+    * generation is effect-idempotent: same keys, same commit sequence,
+    * absorbed together.) */
+  def streamBatchCommitted(spark: SparkSession, dataDir: String,
+      root: String, batchId: Long): Boolean =
+    streamBatchCommitAt(spark, dataDir, root, batchId).isDefined
+
+  /** The committed snapshot whose manifest already lists `batchId`'s
+    * files, as a [[Commit]] (added/removed 0 — the replay no-op). */
+  private def streamBatchCommitAt(spark: SparkSession, dataDir: String,
+      root: String, batchId: Long): Option[Commit] = {
+    val batchPrefix = norm(s"$dataDir/batch=$batchId") + "/"
+    latest(spark, root).flatMap { snap =>
       val m = manifestAt(spark, root, snap)
       val rows = m.collect()
       val ki = m.schema.fieldIndex("kind")
@@ -345,10 +372,6 @@ object Snapshots {
       if (data.exists(r => norm(r.getString(fi)).startsWith(batchPrefix)))
         Some(Commit(snap, 0, 0, data.length)) // replay of a committed batch
       else None
-    }
-    alreadyCommitted.getOrElse {
-      df.write.mode("overwrite").parquet(batchDir)
-      commitFromFs(spark, dataDir, root, cols, posDeleteDir, eqDeleteDir)
     }
   }
 

@@ -1808,6 +1808,83 @@ object CoreQueries {
              |    AS delta_sum_cents
              |FROM per p JOIN per q ON q.r <= p.r
              |GROUP BY p.r ORDER BY snap""".stripMargin)
+    ),
+
+    // O39: exactly-once MERGE-stream ingestion — the CDC-upsert stream
+    // composed with batchId-keyed snapshot commits. A merge micro-batch
+    // carries MORE than a data append: it also adds an equality-
+    // tombstone generation for the upserted keys, and that add is NOT
+    // replay-idempotent after the commit — a redelivered tombstone
+    // would dangle until the NEXT commit's watermark, arrive with that
+    // LATER sequence, and erase the batch's own new versions (file seq
+    // < gen seq). So the foreachBatch body guards on
+    // Snapshots.streamBatchCommitted BEFORE any side effect. The row
+    // drives base load → merge (keys %10=7 doubled) with a forced
+    // crash mid-batch (tombstones landed + partial data, no commit)
+    // AND a post-commit redelivery → second merge (keys %10=3
+    // tripled); the oracle recomputes every snapshot's census as pure
+    // cents algebra — a killed new version, doubled append, or phantom
+    // snapshot each changes a row.
+    OracleQuery(
+      "o39_stream_merge_ingest",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.core.Scratch.dir("snapmergein", d)
+        val data = s"$tmp/data"; val root = s"$tmp/snaps"; val eq = s"$tmp/eq"
+        val orders = Tables.orders(s, d)
+        def cents = floor($"o_totalprice" * 100 + 0.5).cast("long")
+        def newVersions(m: Long, factor: Int) =
+          orders.filter($"o_orderkey" % 10 === m)
+            .withColumn("o_totalprice", cents * factor / lit(100.0))
+        def tombs(m: Long) =
+          orders.filter($"o_orderkey" % 10 === m).select($"o_orderkey")
+        def mergeBatch(id: Long, df: DataFrame, tombMod: Option[Long]): Unit =
+          if (!graft.ops.Snapshots.streamBatchCommitted(s, data, root, id)) {
+            tombMod.foreach(m =>
+              graft.ops.DeletionVectors.addKeyDeletes(s, eq, tombs(m)))
+            graft.ops.Snapshots.commitStreamBatch(s, data, root,
+              Seq("o_orderkey"), id, df.repartition(1),
+              eqDeleteDir = Some(eq))
+            ()
+          }
+        mergeBatch(0L, orders, None) // base load
+        // crash mid-merge: tombstones landed, data partially appended,
+        // NO commit — the retry re-adds the (effect-idempotent, same
+        // sequence) tombstones and overwrites the partial files
+        graft.ops.DeletionVectors.addKeyDeletes(s, eq, tombs(7L))
+        newVersions(7L, 2).filter($"o_orderkey" % 20 === 7)
+          .repartition(1).write.mode("overwrite").parquet(s"$data/batch=1")
+        mergeBatch(1L, newVersions(7L, 2), Some(7L)) // the retry commits once
+        mergeBatch(1L, newVersions(7L, 2), Some(7L)) // post-commit redelivery: guard skips ALL of it
+        mergeBatch(2L, newVersions(3L, 3), Some(3L)) // second merge
+        graft.ops.Snapshots.snapshots(s, s"$tmp/snaps").map { snap =>
+          graft.ops.Snapshots.readAt(s, s"$tmp/snaps", snap)
+            .agg(
+              count(lit(1)).as("n"),
+              countDistinct($"o_orderkey").as("n_keys"),
+              sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+                .as("sum_price_cents"))
+            .select(lit(snap).as("snap"), $"n", $"n_keys", $"sum_price_cents")
+        }.reduce(_ unionAll _).orderBy($"snap")
+      },
+      Some("""WITH cents AS (
+             |  SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM orders
+             |)
+             |SELECT 0 AS snap, count(*) AS n, count(DISTINCT k) AS n_keys,
+             |  CAST(sum(c) AS BIGINT) AS sum_price_cents
+             |FROM cents
+             |UNION ALL
+             |SELECT 1, count(*), count(DISTINCT k),
+             |  CAST(sum(CASE WHEN k % 10 = 7 THEN 2 * c ELSE c END) AS BIGINT)
+             |FROM cents
+             |UNION ALL
+             |SELECT 2, count(*), count(DISTINCT k),
+             |  CAST(sum(CASE WHEN k % 10 = 7 THEN 2 * c
+             |                WHEN k % 10 = 3 THEN 3 * c ELSE c END) AS BIGINT)
+             |FROM cents
+             |ORDER BY snap""".stripMargin)
     )
   )
 

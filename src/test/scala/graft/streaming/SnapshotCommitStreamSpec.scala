@@ -109,4 +109,51 @@ class SnapshotCommitStreamSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(hist(ref) == hist(ret), s"${hist(ref)} vs ${hist(ret)}")
   }
+
+  test("merge-stream redelivery: the batchId guard protects the batch's own new versions") {
+    // a MERGE micro-batch = tombstone generation + new-version append,
+    // one commit. The tombstone-add is the side effect that is NOT
+    // replay-idempotent after the commit: redelivered, it dangles until
+    // the NEXT commit's watermark, arrives with that LATER sequence,
+    // and erases the merge's own new versions (file seq < gen seq).
+    // Both spellings are run; the unguarded one must actually lose the
+    // row — proving the guard is load-bearing, not ceremony.
+    def run(d: String, guarded: Boolean): Seq[(Long, Long)] = {
+      val data = s"$d/data"; val root = s"$d/snaps"; val eq = s"$d/eq"
+      def commit(id: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+        graft.ops.Snapshots.commitStreamBatch(spark, data, root,
+          Seq("k"), id, df.coalesce(1), eqDeleteDir = Some(eq))
+        ()
+      }
+      def addTomb(): Unit =
+        graft.ops.DeletionVectors.addKeyDeletes(spark, eq, Seq(1L).toDF("k"))
+      commit(0L, (1L to 10L).map(k => (k, k * 100L)).toDF("k", "v"))
+      // batch 1: MERGE — key 1 gets a new version
+      addTomb()
+      commit(1L, Seq((1L, 999L)).toDF("k", "v"))
+      // batch 1 REDELIVERED after its commit
+      if (guarded) {
+        if (!graft.ops.Snapshots.streamBatchCommitted(spark, data, root, 1L)) {
+          addTomb(); commit(1L, Seq((1L, 999L)).toDF("k", "v"))
+        }
+      } else {
+        addTomb() // the unguarded body re-runs its side effects
+        commit(1L, Seq((1L, 999L)).toDF("k", "v")) // commit itself skips
+      }
+      commit(2L, Seq((11L, 1100L)).toDF("k", "v"))
+      val last = graft.ops.Snapshots.latest(spark, root).get
+      graft.ops.Snapshots.readAt(spark, root, last)
+        .select($"k", $"v").as[(Long, Long)].collect().sorted.toSeq
+    }
+    val good = run(java.nio.file.Files.createTempDirectory("mergeg").toString,
+      guarded = true)
+    assert(good.contains((1L, 999L)),
+      s"guarded merge must keep the new version: $good")
+    assert(good.length == 11)
+    val bad = run(java.nio.file.Files.createTempDirectory("mergeu").toString,
+      guarded = false)
+    assert(!bad.contains((1L, 999L)),
+      s"the unguarded spelling must actually lose the new version " +
+        s"(else the guard is pointless): $bad")
+  }
 }
