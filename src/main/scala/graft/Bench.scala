@@ -187,6 +187,7 @@ object Bench {
     "o37_snapshot_merge_upsert", // one-commit MERGE: tombstones + new versions
     "o38_stream_exactly_once_ingest", // batchId-keyed ingest under forced retry
     "o39_stream_merge_ingest", // exactly-once MERGE stream (guarded tombstones)
+    "o40_snapshot_changefeed", // changelog scan: inserts + retraction rows
     "pipe_epoch_shuffle",  // seeded resumable epoch permutation slice
     "pipe_epoch_resume_persisted", // index-once epoch resume (pruned scan)
     // ---- r15 promotion: every row below scans an sf-scaled table

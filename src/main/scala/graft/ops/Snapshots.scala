@@ -578,7 +578,10 @@ object Snapshots {
     * pre-`from` file would be invisible to a delta consumer (no
     * retraction row exists to deliver), so it too forces a resync —
     * equality generations always (they scope to every older file),
-    * position generations only when their named files predate `from`. */
+    * position generations only when their named files predate `from`.
+    * A consumer that can APPLY removals should use [[readChangefeed]]
+    * instead, which delivers exactly those deletes as retraction rows
+    * and never needs the resync. */
   def readIncremental(spark: SparkSession, root: String, fromSnap: Long,
       toSnap: Long, basePath: Option[String] = None): DataFrame = {
     val mFrom = manifestAt(spark, root, fromSnap)
@@ -635,6 +638,158 @@ object Snapshots {
     if (added.isEmpty)
       readAt(spark, root, toSnap, basePath).filter(lit(false))
     else readMergedFiles(spark, toRows, mTo.schema, added, basePath)
+  }
+
+  /** CHANGELOG scan of the window (`fromSnap`, `toSnap`] — the CDC
+    * read for consumers that can apply RETRACTIONS (Iceberg's
+    * changelog scan / Delta CDF, reduced): every row added in the
+    * window tagged `_change_type = "insert"`, every row VISIBLE at
+    * `fromSnap` that a window delete removed tagged `"delete"`. This
+    * is the production exit from [[readIncremental]]'s fail-loud
+    * contract: the append-only read MUST resync when a delete lands on
+    * pre-window files (it has no way to deliver the removal), while a
+    * changefeed consumer applies the delete row and stays exact.
+    *
+    * Semantics (NET within the window): a row added and deleted in the
+    * same window appears in neither set; a row already invisible at
+    * `fromSnap` is never re-retracted (re-deleting is idempotent
+    * upstream, silent here). Still defined ONLY on append lineage —
+    * a rewrite (compaction/CoW erasure) carries OLD rows in new files
+    * and fails loudly exactly like [[readIncremental]].
+    *
+    * Plan shape: one scan of the window's added files (the insert
+    * side, `toSnap`'s delete set anti-joined) + one scan of
+    * `fromSnap`'s files for the delete side — visible-at-from rows
+    * SEMI-joined against only the window's NEW delete generations
+    * (position pairs exactly; equality keys sequence-scoped). All
+    * delete sides broadcast under the manifest's recorded-bytes rule;
+    * the data sides pay no shuffle. Retraction volume is bounded by
+    * the window's deletes, not the table. */
+  def readChangefeed(spark: SparkSession, root: String, fromSnap: Long,
+      toSnap: Long, basePath: Option[String] = None): DataFrame = {
+    val mFrom = manifestAt(spark, root, fromSnap)
+    val fromRows = mFrom.collect()
+    val mTo = manifestAt(spark, root, toSnap)
+    val toRows = mTo.collect()
+    val ki = mTo.schema.fieldIndex("kind")
+    val fi = mTo.schema.fieldIndex("file")
+    val bi = mTo.schema.fieldIndex("n_bytes")
+    val si = mTo.schema.fieldIndex("seq")
+    val before = fromRows.filter(_.getString(ki) == KindData)
+      .map(_.getString(fi)).toSeq.sorted
+    val after = toRows.filter(_.getString(ki) == KindData)
+      .map(_.getString(fi)).toSeq.sorted
+    val removed = before.toSet -- after.toSet
+    require(removed.isEmpty,
+      s"snapshots $fromSnap->$toSnap are not append-only lineage " +
+        s"(${removed.size} files removed/rewritten); a rewrite's files " +
+        "carry old rows, not changes - resync from a full read")
+
+    // the INSERT side: the window's added files under toSnap's delete
+    // set (a row added and deleted in the window nets out here)
+    val added = after.filterNot(before.toSet)
+    val inserts =
+      if (added.isEmpty) readAt(spark, root, toSnap, basePath).filter(lit(false))
+      else readMergedFiles(spark, toRows, mTo.schema, added, basePath)
+
+    // the DELETE side: fromSnap's rows that the window's NEW delete
+    // generations removed
+    val fromGens = fromRows.filterNot(_.getString(ki) == KindData)
+      .map(r => (r.getString(ki), norm(r.getString(fi)))).toSet
+    val newGens = toRows.filterNot(_.getString(ki) == KindData)
+      .filterNot(r => fromGens((r.getString(ki), norm(r.getString(fi)))))
+    val dataCols = inserts.columns
+    if (newGens.isEmpty || before.isEmpty)
+      return inserts.withColumn("_change_type", lit("insert"))
+
+    val broadcastByteLimit = 256L * 1024 * 1024
+    def sided(df: DataFrame, bytes: Long): DataFrame =
+      if (bytes <= broadcastByteLimit) broadcast(df) else df
+
+    // rows of fromSnap's files that were VISIBLE at fromSnap: the
+    // merged read of exactly those files, with the helper columns kept
+    // so the window's deletes can be matched row-identically
+    val r0 = basePath.foldLeft(spark.read)((rd, b) => rd.option("basePath", b))
+    val visible0 = r0.parquet(before: _*).select(col("*"),
+      col("_metadata.file_path").as("__dv_file"),
+      col("_metadata.row_index").as("__dv_pos"),
+      normExpr(col("_metadata.file_path")).as("__sf"))
+    val fromPos = fromRows.filter(_.getString(ki) == KindPos)
+    var visible = visible0
+    if (fromPos.nonEmpty) {
+      val dels = sided(spark.read.parquet(fromPos.map(_.getString(fi)): _*)
+        .select(col("file_path"), col("row_index")).distinct(),
+        fromPos.map(_.getLong(bi)).sum)
+      visible = visible.join(dels,
+        visible("__dv_file") === dels("file_path") &&
+          visible("__dv_pos") === dels("row_index"), "left_anti")
+    }
+    val fromEq = fromRows.filter(_.getString(ki) == KindEq)
+      .map(r => (r.getString(fi), r.getLong(si), r.getLong(bi)))
+    val seqDf = broadcast(spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        fromRows.filter(_.getString(ki) == KindData)
+          .map(r => Row(norm(r.getString(fi)), r.getLong(si))): _*)),
+      StructType(Seq(StructField("__sf", StringType),
+        StructField("__file_seq", LongType)))))
+    def withSeq(df: DataFrame): DataFrame =
+      df.join(seqDf, Seq("__sf"), "left")
+        .withColumn("__file_seq", coalesce(col("__file_seq"), lit(Long.MaxValue)))
+    def antiEq(df: DataFrame,
+        gens: Seq[(String, Long, Long)], anti: Boolean): DataFrame = {
+      val eqAll = gens.map { case (p, s, _) =>
+        spark.read.parquet(p).withColumn("__eq_seq", lit(s))
+      }.reduce(_.unionByName(_))
+      val keyCols = eqAll.columns.filterNot(_ == "__eq_seq").toSeq
+      val keys = sided(
+        eqAll.groupBy(keyCols.map(col): _*).agg(max("__eq_seq").as("__eq_seq"))
+          .toDF(keyCols.map(c => s"__eq_$c") :+ "__eq_seq": _*),
+        gens.map(_._3).sum)
+      val tagged = withSeq(df)
+      val cond = keyCols.map(c => tagged(c) <=> keys(s"__eq_$c")).reduce(_ && _) &&
+        keys("__eq_seq") > tagged("__file_seq")
+      tagged.join(keys, cond, if (anti) "left_anti" else "left_semi")
+        .drop("__file_seq")
+    }
+    if (fromEq.nonEmpty) visible = antiEq(visible, fromEq, anti = true)
+
+    // window deltas, applied as SEMI joins to FIND the removed rows:
+    // position pairs exactly; equality keys sequence-scoped (a key
+    // also re-inserted in the window still retracts its OLD rows —
+    // the matching insert row carries the new version)
+    val newPosGens = newGens.filter(_.getString(ki) == KindPos)
+    val posHit =
+      if (newPosGens.isEmpty) visible.filter(lit(false))
+      else {
+        val np = sided(spark.read.parquet(newPosGens.map(_.getString(fi)): _*)
+          .select(col("file_path"), col("row_index")).distinct(),
+          newPosGens.map(_.getLong(bi)).sum)
+        visible.join(np,
+          visible("__dv_file") === np("file_path") &&
+            visible("__dv_pos") === np("row_index"), "left_semi")
+      }
+    val newEqGens = newGens.filter(_.getString(ki) == KindEq)
+      .map(r => (r.getString(fi), r.getLong(si), r.getLong(bi)))
+    val eqHit =
+      if (newEqGens.isEmpty) visible.filter(lit(false))
+      else {
+        // minus the pos-hit rows first, so a row both position- and
+        // key-deleted in the window retracts exactly once
+        val base =
+          if (newPosGens.isEmpty) visible
+          else {
+            val np = spark.read.parquet(newPosGens.map(_.getString(fi)): _*)
+              .select(col("file_path"), col("row_index")).distinct()
+            visible.join(broadcast(np),
+              visible("__dv_file") === np("file_path") &&
+                visible("__dv_pos") === np("row_index"), "left_anti")
+          }
+        antiEq(base, newEqGens, anti = false)
+      }
+    val retract = posHit.unionByName(eqHit)
+      .select(dataCols.map(col): _*)
+    inserts.withColumn("_change_type", lit("insert"))
+      .unionByName(retract.withColumn("_change_type", lit("delete")))
   }
 
   /** The table's commit history as a frame (Iceberg's `.snapshots`

@@ -1885,6 +1885,76 @@ object CoreQueries {
              |                WHEN k % 10 = 3 THEN 3 * c ELSE c END) AS BIGINT)
              |FROM cents
              |ORDER BY snap""".stripMargin)
+    ),
+
+    // O40: CHANGELOG scan (CDC with retractions) — the production exit
+    // from readIncremental's fail-loud contract: when a window's
+    // deletes land on pre-window files, an append-only consumer must
+    // resync, but a changefeed consumer receives the removed rows as
+    // explicit "delete" records and stays exact. Window 0→1 mixes an
+    // append (odd keys), position deletes on the base files (%14=0)
+    // and equality tombstones (%10=4, sequence-scoped past the new
+    // file); window 1→2 re-deletes %14=0 (idempotent — already-dead
+    // rows must NOT re-retract) plus a fresh %6=2 delete and appends
+    // nothing. The oracle recomputes every (window, change) census as
+    // pure residue predicates: a double retraction, a resurrected row,
+    // or an insert leaking a deleted key each changes a row.
+    OracleQuery(
+      "o40_snapshot_changefeed",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.core.Scratch.dir("snapcdc", d)
+        val data = s"$tmp/data"; val root = s"$tmp/snaps"
+        val dv = s"$tmp/dv"; val eq = s"$tmp/eq"
+        val orders = Tables.orders(s, d)
+        def commit(): Unit = {
+          graft.ops.Snapshots.commitFromFs(s, data, root, Seq("o_orderkey"),
+            posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+          ()
+        }
+        orders.filter($"o_orderkey" % 2 === 0)
+          .repartition(2).write.mode("overwrite").parquet(data)
+        commit() // s0: the even-key base
+        orders.filter($"o_orderkey" % 2 === 1)
+          .repartition(1).write.mode("append").parquet(data)
+        graft.ops.DeletionVectors.addDeletes(s, data, dv,
+          $"o_orderkey" % 14 === 0)
+        graft.ops.DeletionVectors.addKeyDeletes(s, eq,
+          orders.filter($"o_orderkey" % 10 === 4)
+            .select($"o_orderkey").distinct())
+        commit() // s1: append + deletes on pre-window files
+        graft.ops.DeletionVectors.addDeletes(s, data, dv,
+          $"o_orderkey" % 14 === 0) // idempotent re-delete: no retraction
+        graft.ops.DeletionVectors.addDeletes(s, data, dv,
+          $"o_orderkey" % 6 === 2)
+        commit() // s2: delete-only window
+        Seq((0L, 1L), (1L, 2L)).map { case (f, t) =>
+          graft.ops.Snapshots.readChangefeed(s, root, f, t)
+            .groupBy($"_change_type")
+            .agg(
+              count(lit(1)).as("n"),
+              sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+                .as("sum_price_cents"))
+            .select(lit(t).as("win"), $"_change_type".as("change"),
+              $"n", $"sum_price_cents")
+        }.reduce(_ unionAll _).orderBy($"win", $"change")
+      },
+      Some("""WITH cents AS (
+             |  SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM orders
+             |)
+             |SELECT 1 AS win, 'delete' AS change, count(*) AS n,
+             |  CAST(sum(c) AS BIGINT) AS sum_price_cents
+             |FROM cents WHERE k % 2 = 0 AND (k % 14 = 0 OR k % 10 = 4)
+             |UNION ALL
+             |SELECT 1, 'insert', count(*), CAST(sum(c) AS BIGINT)
+             |FROM cents WHERE k % 2 = 1
+             |UNION ALL
+             |SELECT 2, 'delete', count(*), CAST(sum(c) AS BIGINT)
+             |FROM cents
+             |WHERE k % 2 = 0 AND k % 6 = 2 AND NOT (k % 14 = 0 OR k % 10 = 4)
+             |ORDER BY win, change""".stripMargin)
     )
   )
 

@@ -392,6 +392,59 @@ class SnapshotsSpec extends SparkSpec {
     assert(ex2.getMessage.contains("resync"))
   }
 
+  test("changefeed: row-identical retractions, same-window net-out, no re-retraction") {
+    val d = java.nio.file.Files.createTempDirectory("snapcdc").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    val dv = s"$d/dv"; val eq = s"$d/eq"
+    def commit(): Unit = {
+      Snapshots.commitFromFs(spark, data, root, Seq("k"),
+        posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+      ()
+    }
+    (1L to 10L).map(k => (k, k * 100L)).toDF("k", "v")
+      .coalesce(1).write.parquet(data)
+    commit() // s0
+    // window 0->1: append 11..20, pos-delete k=3 (old file) AND k=15
+    // (the window's OWN file — must net out of the inserts, never
+    // retract), eq-tombstone k=5
+    (11L to 20L).map(k => (k, k * 100L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(data)
+    DeletionVectors.addDeletes(spark, data, dv, $"k".isin(3L, 15L))
+    DeletionVectors.addKeyDeletes(spark, eq, Seq(5L).toDF("k"))
+    commit() // s1
+    val cf = Snapshots.readChangefeed(spark, root, 0L, 1L)
+      .select($"_change_type", $"k", $"v").as[(String, Long, Long)]
+      .collect().sorted.toSeq
+    val wantInserts = (11L to 20L).filterNot(_ == 15L)
+      .map(k => ("insert", k, k * 100L))
+    val wantDeletes = Seq(("delete", 3L, 300L), ("delete", 5L, 500L))
+    assert(cf == (wantDeletes ++ wantInserts).sorted, s"changefeed: $cf")
+    // window 1->2: re-delete k=3 (already dead — silent) + delete k=7;
+    // no appends — the feed is exactly one retraction row
+    DeletionVectors.addDeletes(spark, data, dv, $"k".isin(3L, 7L))
+    commit() // s2
+    val cf2 = Snapshots.readChangefeed(spark, root, 1L, 2L)
+      .select($"_change_type", $"k", $"v").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(cf2 == Seq(("delete", 7L, 700L)), s"second window: $cf2")
+    // applying the feed to a materialization of s1 reproduces readAt(2)
+    val matS1 = Snapshots.readAt(spark, root, 1L)
+      .select($"k", $"v").as[(Long, Long)].collect().toSet
+    val applied = matS1 -- Set((7L, 700L))
+    val s2 = Snapshots.readAt(spark, root, 2L)
+      .select($"k", $"v").as[(Long, Long)].collect().toSet
+    assert(applied == s2, "feed application must reproduce the snapshot")
+    // rewrite lineage still fails loudly (rewritten rows are not changes)
+    val files = Snapshots.filesAt(spark, root, 2L)
+    spark.read.parquet(files: _*).coalesce(1).write.parquet(s"$d/cout")
+    Snapshots.commitRewrite(spark, root, removed = files,
+      addedDir = s"$d/cout", cols = Seq("k"))
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.readChangefeed(spark, root, 2L, 3L)
+    }
+    assert(ex.getMessage.contains("resync"))
+  }
+
   test("rewrite of files the snapshot does not list fails loudly") {
     val d = java.nio.file.Files.createTempDirectory("snapbad").toString
     (1L to 10L).toDF("k").coalesce(1).write.parquet(s"$d/data")

@@ -750,6 +750,16 @@ class PlanSpec extends SparkSpec {
       s"no unpartitioned window over the hash order:\n$p")
   }
 
+  test("changefeed: delete matching is broadcast-join only — no shuffle join, no cartesian") {
+    // both sides of the feed (insert-side anti-joins, delete-side
+    // semi-joins) must broadcast the KB-sized delete generations; the
+    // data scans pay no join shuffle
+    val p = plan(Registry.queries("o40_snapshot_changefeed")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"deletes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join in the feed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("epoch resume: the persisted-index slice is a pruned scan — no rank re-derivation") {
     // the resume plan must be a manifest-pruned parquet scan + filter:
     // no PrefixSum machinery (ps_b), no window, no hash shuffle — the
