@@ -871,6 +871,68 @@ object Snapshots {
     Commit(commitManifest(spark, root, m, next), files.length, 0, 0)
   }
 
+  private val TagName = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+
+  /** Pin snapshot `snap` under a human NAME (Iceberg tags, reduced) —
+    * "the training set for run X" is `tag(root, "run-x", k)`, and
+    * reproduction reads resolve the name ([[readAtTag]]), never a
+    * number someone has to remember. The pin is one empty marker file
+    * `_tag-<name>=<snap>` created atomically WITHOUT overwrite: tags
+    * are immutable — retagging a live name fails loudly ([[dropTag]]
+    * first, deliberately two steps). The load-bearing property is
+    * retention safety: [[expire]] never drops a tagged snapshot, so a
+    * pinned training set cannot lose its files to a retention sweep. */
+  def tag(spark: SparkSession, root: String, name: String, snap: Long): Unit = {
+    require(TagName.matches(name),
+      s"tag name '$name' must match ${TagName.regex}")
+    require(snapshots(spark, root).contains(snap),
+      s"cannot tag snapshot $snap under $root: no such snapshot")
+    tags(spark, root).get(name).foreach { cur =>
+      throw new IllegalArgumentException(
+        s"tag '$name' already pins snapshot $cur (tags are immutable: " +
+          "dropTag first, deliberately two steps)")
+    }
+    val fs = fsOf(spark, root)
+    // create(path, overwrite = false) is the atomic claim for the
+    // exact (name, snap) pair — two racers for the same name and
+    // DIFFERENT snaps are caught by the check above on one side's
+    // re-listing; same-pair racers collide here loudly
+    fs.create(new Path(root, s"_tag-$name=$snap"), false).close()
+  }
+
+  /** All tags under `root`: name → snapshot id. */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val p = new Path(root)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(p)) return Map.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_tag-"))
+      .map { s =>
+        val rest = s.getPath.getName.stripPrefix("_tag-")
+        val i = rest.lastIndexOf('=')
+        rest.take(i) -> rest.drop(i + 1).toLong
+      }.toMap
+  }
+
+  /** Remove a tag (the snapshot becomes expirable again). Loud on an
+    * unknown name — deleting a pin that was never there usually means
+    * the caller is about to expire the wrong table. */
+  def dropTag(spark: SparkSession, root: String, name: String): Unit = {
+    val snap = tags(spark, root).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' under $root"))
+    fsOf(spark, root).delete(new Path(root, s"_tag-$name=$snap"), false)
+    ()
+  }
+
+  /** [[readAt]] resolved through a tag name. */
+  def readAtTag(spark: SparkSession, root: String, name: String,
+      basePath: Option[String] = None,
+      mergeSchema: Boolean = false): DataFrame = {
+    val snap = tags(spark, root).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' under $root"))
+    readAt(spark, root, snap, basePath, mergeSchema)
+  }
+
   /** Retention: drop every snapshot older than `keepFrom` and delete
     * the data files AND delete-generation dirs ONLY those snapshots
     * reference (anything listed by a surviving snapshot survives).
@@ -879,10 +941,14 @@ object Snapshots {
     * job can never strand readers: expiry is explicit, never implied
     * by a commit. Retiring delete generations here (not at absorb
     * time) is what lets [[commitRewrite]] drop a generation from the
-    * new watermark while older snapshots still merge against it. */
+    * new watermark while older snapshots still merge against it.
+    * TAGGED snapshots are never dropped regardless of `keepFrom` (the
+    * Iceberg ref rule): a pinned training set survives every sweep
+    * until its tag is dropped. */
   def expire(spark: SparkSession, root: String, keepFrom: Long): ExpireReport = {
     val all = snapshots(spark, root)
-    val (drop, keep) = all.partition(_ < keepFrom)
+    val tagged = tags(spark, root).values.toSet
+    val (drop, keep) = all.partition(s => s < keepFrom && !tagged(s))
     require(keep.nonEmpty, s"expire($keepFrom) would drop every snapshot")
     if (drop.isEmpty) return ExpireReport(0, 0, 0L)
     val fs = fsOf(spark, root)

@@ -445,6 +445,39 @@ class SnapshotsSpec extends SparkSpec {
     assert(ex.getMessage.contains("resync"))
   }
 
+  test("tags: named pins resolve, block expiry, and are immutable") {
+    val d = java.nio.file.Files.createTempDirectory("snaptag").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    (1L to 100L).toDF("k").coalesce(1).write.parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    (101L to 150L).toDF("k").coalesce(1).write.mode("append").parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    Snapshots.tag(spark, root, "golden-run", 0L)
+    assert(Snapshots.tags(spark, root) == Map("golden-run" -> 0L))
+    assert(sumK(Snapshots.readAtTag(spark, root, "golden-run"))
+      == ((100L, 100L * 101 / 2)))
+    // immutable: retagging a live name fails loudly
+    intercept[Exception] { Snapshots.tag(spark, root, "golden-run", 1L) }
+    // tagging a snapshot that does not exist fails loudly
+    intercept[IllegalArgumentException] { Snapshots.tag(spark, root, "x", 9L) }
+    // retention respects the pin: keepFrom=1 would drop s0, the tag
+    // holds it — files intact, read exact
+    val rep = Snapshots.expire(spark, root, keepFrom = 1L)
+    assert(rep.snapshotsDropped == 0)
+    assert(Snapshots.snapshots(spark, root) == Seq(0L, 1L))
+    assert(sumK(Snapshots.readAtTag(spark, root, "golden-run"))
+      == ((100L, 100L * 101 / 2)))
+    // dropping the tag makes it expirable again
+    Snapshots.dropTag(spark, root, "golden-run")
+    intercept[IllegalArgumentException] {
+      Snapshots.dropTag(spark, root, "golden-run") // unknown now: loud
+    }
+    val rep2 = Snapshots.expire(spark, root, keepFrom = 1L)
+    assert(rep2.snapshotsDropped == 1)
+    assert(Snapshots.snapshots(spark, root) == Seq(1L))
+    assert(sumK(Snapshots.readAt(spark, root, 1L)) == ((150L, 150L * 151 / 2)))
+  }
+
   test("rewrite of files the snapshot does not list fails loudly") {
     val d = java.nio.file.Files.createTempDirectory("snapbad").toString
     (1L to 10L).toDF("k").coalesce(1).write.parquet(s"$d/data")
