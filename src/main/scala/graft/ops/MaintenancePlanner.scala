@@ -18,9 +18,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     rewrite absorbs the deletes (the bench's scan_dv_merge_on_read
   *     0.88 s / scan_snapshot_mor 1.20 s vs scan_dv_after_absorb
   *     0.17 s cells); debt only grows, so this outranks everything.
-  *     One action per generation dir — the unit [[Compaction.compact]]
-  *     absorbs and [[Snapshots.commitRewrite]] drops from the
-  *     watermark (seq-scoped via [[Snapshots.eqScopeAt]]).
+  *     One action per generation dir; EXECUTABLE in one call via
+  *     [[Snapshots.absorbDeletes]] (affected-files-only rewrite that
+  *     drops the whole watermark), or composed by hand through
+  *     [[Compaction.compact]] + [[Snapshots.commitRewrite]]
+  *     (seq-scoped via [[Snapshots.eqScopeAt]]) when the absorb should
+  *     ride an already-planned compaction.
   *  2. `compact_small_files` — the [[TableHealth]] rule (≥ 4 files
   *     under half the target and they are the majority): per-file
   *     listing RPCs and footer reads dominate planning at 10⁵⁺ files

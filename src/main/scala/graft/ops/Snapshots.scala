@@ -419,6 +419,58 @@ object Snapshots {
       added.length, dropped.length, kept.length)
   }
 
+  /** Execute the maintenance planner's top action in one call: ABSORB
+    * every delete generation visible at the latest snapshot into
+    * rewritten data files and commit the rewrite with an empty
+    * watermark. Rewrites ONLY the files a visible generation can
+    * touch — position generations name their files explicitly, an
+    * equality generation reaches exactly the files with strictly
+    * smaller sequence — so the cost is O(affected), not O(table): a
+    * table whose deletes cluster in one partition rewrites one
+    * partition. The affected files are read through the snapshot's own
+    * merge-on-read path (so a key re-inserted after its tombstone
+    * keeps the v2 sequence scoping through the rewrite), landed under
+    * `outDir`, and committed via [[commitRewrite]] with
+    * `dropDeleteGens` = the whole watermark; generations stay on disk
+    * for older snapshots until [[expire]]. Returns None when the
+    * watermark is already empty (nothing to absorb — the
+    * [[MaintenancePlanner]] empty-plan case). */
+  def absorbDeletes(spark: SparkSession, root: String, outDir: String,
+      cols: Seq[String]): Option[Commit] = {
+    val snap = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot under $root to absorb"))
+    val m = manifestAt(spark, root, snap)
+    val rows = m.collect()
+    val ki = m.schema.fieldIndex("kind")
+    val fi = m.schema.fieldIndex("file")
+    val si = m.schema.fieldIndex("seq")
+    val gens = rows.filterNot(_.getString(ki) == KindData)
+    if (gens.isEmpty) return None
+    val posNamed = gens.filter(_.getString(ki) == KindPos).map(_.getString(fi)) match {
+      case Array() => Set.empty[String]
+      case dirs => spark.read.parquet(dirs.toSeq: _*)
+        .select(col("file_path")).distinct()
+        .collect().map(r => norm(r.getString(0))).toSet
+    }
+    val maxEqSeq = gens.filter(_.getString(ki) == KindEq)
+      .map(_.getLong(si)).maxOption.getOrElse(Long.MinValue)
+    val affected = rows.filter(_.getString(ki) == KindData).filter { r =>
+      posNamed(norm(r.getString(fi))) || r.getLong(si) < maxEqSeq
+    }.map(_.getString(fi)).toSeq.sorted
+    if (affected.isEmpty) {
+      // every generation is dead weight (applies to nothing): commit
+      // the watermark drop without touching a data file
+      fsOf(spark, root).mkdirs(new Path(outDir)) // empty added-dir
+      val c = commitRewrite(spark, root, removed = Nil, addedDir = outDir,
+        cols = cols, dropDeleteGens = gens.map(_.getString(fi)).toSeq)
+      return Some(c)
+    }
+    readMergedFiles(spark, rows, m.schema, affected, basePath = None)
+      .write.mode("overwrite").parquet(outDir)
+    Some(commitRewrite(spark, root, removed = affected, addedDir = outDir,
+      cols = cols, dropDeleteGens = gens.map(_.getString(fi)).toSeq))
+  }
+
   /** Merge-on-read over an explicit file subset of one snapshot:
     * anti-join away the snapshot's visible position deletes, then its
     * equality deletes scoped to data files with strictly smaller

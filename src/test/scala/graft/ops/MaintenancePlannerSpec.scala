@@ -52,6 +52,52 @@ class MaintenancePlannerSpec extends SparkSpec {
     assert(after.isEmpty, s"expected empty plan, got $after")
   }
 
+  test("absorbDeletes executes the planner's absorb: exact content, affected-only rewrite, empty plan after") {
+    val d = java.nio.file.Files.createTempDirectory("absorbexec").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    val dv = s"$d/dv"; val eq = s"$d/eq"
+    def commit(): Unit = {
+      Snapshots.commitFromFs(spark, data, root, Seq("k"),
+        posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+      ()
+    }
+    (1L to 10L).map(k => (k, k * 100L)).toDF("k", "v")
+      .coalesce(1).write.parquet(data)
+    commit() // s0
+    DeletionVectors.addDeletes(spark, data, dv, $"k" === 10L)
+    commit() // s1: position delete
+    DeletionVectors.addKeyDeletes(spark, eq, Seq(1L, 2L).toDF("k"))
+    commit() // s2: tombstones at seq 2
+    Seq((1L, 999L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(data)
+    commit() // s3: key 1 re-inserted at seq 3 — must survive the absorb
+    val want = Snapshots.readAt(spark, root, 3L)
+      .select($"k", $"v").as[(Long, Long)].collect().sorted.toSeq
+    assert(want == ((1L, 999L) +: (3L to 9L).map(k => (k, k * 100L))), s"$want")
+    // the planner proposes the absorbs; the executor runs them
+    val plan0 = actionsOf(MaintenancePlanner.plan(spark, root, targetBytes = 2L))
+    assert(plan0.map(_._2).distinct == Seq("absorb_compact"), s"$plan0")
+    val reinsertFile = Snapshots.filesAt(spark, root, 3L)
+      .filterNot(Snapshots.filesAt(spark, root, 2L).toSet).head
+    val c = Snapshots.absorbDeletes(spark, root, s"$d/absorbed", Seq("k")).get
+    assert(c.snapshot == 4L)
+    // content identical to the MoR read, now physical
+    val got = Snapshots.readAt(spark, root, 4L)
+      .select($"k", $"v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want, s"absorb must preserve content: $got")
+    // AFFECTED-ONLY: the re-insert file (seq 3, past every tombstone)
+    // was not rewritten — it survives into the new snapshot's list
+    assert(Snapshots.filesAt(spark, root, 4L).contains(reinsertFile),
+      "unaffected file must be kept, not rewritten")
+    // watermark empty, planner has nothing left; older snapshots intact
+    assert(actionsOf(MaintenancePlanner.plan(spark, root, targetBytes = 2L)).isEmpty)
+    assert(Snapshots.readAt(spark, root, 3L)
+      .select($"k", $"v").as[(Long, Long)].collect().sorted.toSeq == want)
+    assert(Snapshots.readAt(spark, root, 0L).count() == 10L)
+    // idempotent: a second absorb is a no-op (None)
+    assert(Snapshots.absorbDeletes(spark, root, s"$d/absorbed2", Seq("k")).isEmpty)
+  }
+
   test("small-file debt, retention, and clustering drift each fire their own action") {
     val d = java.nio.file.Files.createTempDirectory("plannerdebt").toString
     val data = s"$d/data"; val root = s"$d/snaps"
