@@ -232,6 +232,44 @@ class VolumeSpec extends SparkSpec {
     assert(counts("insert") === 10000L)
   }
 
+  test("changefeed over 1M rows with planted delete structure, analytically checked") {
+    // base = 1M keyed rows across 8 files; window: append 100k fresh
+    // keys, position-delete every 101st base row, tombstone every
+    // 97th key (hits base rows only — the appended ids are disjoint
+    // and the append file's sequence is past the tombstone's scope).
+    // Every feed census is known in closed form; the retraction side
+    // must never double-count a row hit by BOTH delete kinds
+    // (k % 101 == 0 AND k % 97 == 0: lcm 9797 → 103 rows).
+    val d = java.nio.file.Files.createTempDirectory("cdcvol").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    val dv = s"$d/dv"; val eq = s"$d/eq"
+    def commit(): Unit = {
+      Snapshots.commitFromFs(spark, data, root, Seq("k"),
+        posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+      ()
+    }
+    spark.range(1000000).select(col("id").as("k"))
+      .repartition(8).write.parquet(data)
+    commit() // s0
+    spark.range(2000000, 2100000).select(col("id").as("k"))
+      .coalesce(2).write.mode("append").parquet(data)
+    DeletionVectors.addDeletes(spark, data, dv, col("k") % 101 === 0 && col("k") < 1000000)
+    DeletionVectors.addKeyDeletes(spark, eq,
+      spark.range(1000000).filter(col("id") % 97 === 0).select(col("id").as("k")))
+    commit() // s1
+    val counts = Snapshots.readChangefeed(spark, root, 0L, 1L)
+      .groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val posDel = (0 until 1000000).count(_ % 101 == 0)
+    val eqOnly = (0 until 1000000).count(i => i % 97 == 0 && i % 101 != 0)
+    assert(counts("insert") === 100000L)
+    assert(counts("delete") === (posDel + eqOnly).toLong,
+      s"expected ${posDel + eqOnly} retractions (no double count), got $counts")
+    // feed application reproduces the snapshot: |s0| - deletes + inserts
+    val n1 = Snapshots.readAt(spark, root, 1L).count()
+    assert(n1 === 1000000L - posDel - eqOnly + 100000L)
+  }
+
   test("dangling-delete prune over 1M positions stays distributed and exact") {
     // the churned-table shape the driver-side prune could not survive:
     // a position table six orders of magnitude past "metadata-sized".
