@@ -41,15 +41,25 @@ object EpochShuffle {
     * `hv` (the 60-bit md5-prefix draw). The order key is the
     * fixed-width digit-string concat of (hv, id) — monotone in
     * (hv, id) without the long-product overflow (`hv · 10¹⁰ + id`
-    * would cross 2⁶³). */
+    * would cross 2⁶³). The id pad is 19 digits (covers every positive
+    * bigint); an id that still overflows it fails LOUDLY in-plan —
+    * Spark's lpad silently TRUNCATES longer strings, which would
+    * collide truncated siblings and break the seeded-bijection
+    * contract nondeterministically. The guard rides the projection
+    * itself (no extra validation scan). */
   def permutation(docs: DataFrame, idCol: String, seed: Int,
       knownCount: Option[Long] = None): DataFrame = {
+    val idStr = col(idCol).cast("string")
     val keyed = docs
       .withColumn("hv", expr(
         s"CAST(conv(substr(md5(concat('ep$seed:', CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
       .withColumn("__ord", concat(
         lpad(col("hv").cast("string"), 19, "0"),
-        lpad(col(idCol).cast("string"), 10, "0")))
+        when(length(idStr) > 19, raise_error(concat(
+          lit(s"EpochShuffle: $idCol value "), idStr,
+          lit(" exceeds the 19-char order-key pad; lpad would " +
+            "truncate and collide ids"))))
+          .otherwise(lpad(idStr, 19, "0"))))
       .withColumn("__g", lit(0))
       .withColumn("__one", lit(1L))
     val n = knownCount.getOrElse(docs.count())

@@ -64,7 +64,10 @@ object MaintenancePlanner {
     val fi = m.schema.fieldIndex("file")
     val bi = m.schema.fieldIndex("n_bytes")
     val data = rows.filter(_.getString(ki) == "data")
-    val gens = rows.filterNot(_.getString(ki) == "data")
+    // watermark kinds only: "removed" tombstone rows (rewritten-away
+    // file records) are bookkeeping, not absorbable delete debt
+    val gens = rows.filter(r =>
+      r.getString(ki) == "posdel" || r.getString(ki) == "eqdel")
     val dataBytes = math.max(1L, data.map(_.getLong(bi)).sum)
 
     val actions = Seq.newBuilder[Action]

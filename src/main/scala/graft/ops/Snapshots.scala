@@ -74,6 +74,21 @@ object Snapshots {
   private val KindPos = "posdel"
   private val KindEq = "eqdel"
 
+  /** Tombstone rows for files a [[commitRewrite]] REMOVED from the
+    * table, carried in every later manifest (atomic with the commit —
+    * no marker-file crash window). Two readers depend on them:
+    * [[commitFromFs]] (a removed path still on disk under `dataDir`
+    * must never be re-listed into the table — the resurrection bug a
+    * rewrite would otherwise plant under the "FS listing is truth"
+    * rule) and [[streamBatchCommitAt]] (a committed micro-batch whose
+    * files a rewrite later absorbed must still read as COMMITTED, or a
+    * crash-replay would double-append it). Rows are pruned by the next
+    * [[commitFromFs]] once the physical file is gone from `dataDir`
+    * (expired), so the set is bounded by rewritten-but-unexpired
+    * files, not by table history. */
+  private val KindRemoved = "removed"
+  private def isWatermarkKind(k: String): Boolean = k == KindPos || k == KindEq
+
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -126,6 +141,20 @@ object Snapshots {
         "the build that wrote it")
     df
   }
+
+  /** The cross-snapshot readers compare two manifests row-by-row; a
+    * column drift between them (table re-created with different stats
+    * cols, a future format change) would make positional reads land on
+    * the wrong fields — and when they land on another STRING column the
+    * comparison silently passes with garbage. Assert agreement up
+    * front, loudly. */
+  private def requireSameManifestSchema(mFrom: DataFrame, mTo: DataFrame,
+      fromSnap: Long, toSnap: Long): Unit =
+    require(mFrom.schema.fieldNames.sameElements(mTo.schema.fieldNames),
+      s"snapshots $fromSnap and $toSnap carry different manifest " +
+        s"schemas (${mFrom.schema.fieldNames.mkString(",")} vs " +
+        s"${mTo.schema.fieldNames.mkString(",")}); cross-snapshot " +
+        "reads are defined only within one table format")
 
   /** Absolute DATA-file paths of one snapshot. */
   def filesAt(spark: SparkSession, root: String, snap: Long): Seq[String] =
@@ -228,6 +257,16 @@ object Snapshots {
     * commit — the snapshot's delete watermark. The previous snapshot
     * is left intact — that is the entire point.
     *
+    * COMPOSES WITH REWRITES: the FS listing is truth only for files
+    * UNDER `dataDir`. A data file the latest manifest lists outside it
+    * (a [[commitRewrite]] output from its own outDir) is kept on the
+    * manifest's word alone, and a path the manifest tombstones as
+    * [[KindRemoved]] is never re-listed into the table even though the
+    * physical file still sits in `dataDir` for older snapshots —
+    * without both rules the first append after a compaction would
+    * silently drop the compacted files and resurrect the absorbed
+    * originals.
+    *
     * RETRIES on commit loss: the FS listing is the truth for this
     * path, so losing the rename race just means re-deriving the same
     * file set against the winner's (higher) snapshot id — a pure
@@ -279,16 +318,41 @@ object Snapshots {
         val mi = old.schema.fieldIndex("mtime")
         val si = old.schema.fieldIndex("seq")
         val oldData = oldRows.filter(_.getString(ki) == KindData)
-        val prevSeqOf = oldRows.filterNot(_.getString(ki) == KindData)
+        val oldRemoved = oldRows.filter(_.getString(ki) == KindRemoved)
+        val prevSeqOf = oldRows.filter(r => isWatermarkKind(r.getString(ki)))
           .map(r => (r.getString(ki), norm(r.getString(fi))) -> r.getLong(si))
           .toMap
         val curIds = current.map { case (n, _, b, m) => (n, b, m) }.toSet
-        val kept = oldData.filter(r =>
-          curIds((norm(r.getString(fi)), r.getLong(bi), r.getLong(mi))))
+        val curPaths = current.map(_._1).toSet
+        val dataPrefix = norm(dataDir) + "/"
+        // the FS listing is truth ONLY for files under dataDir; a data
+        // file OUTSIDE it (a rewrite's output committed from its own
+        // outDir) is invisible to the listing and must ride through on
+        // the manifest alone, or every append after a compaction would
+        // silently drop the compacted files
+        val kept = oldData.filter { r =>
+          val p = norm(r.getString(fi))
+          if (p.startsWith(dataPrefix))
+            curIds((p, r.getLong(bi), r.getLong(mi)))
+          else true
+        }
         val keptNorm = kept.map(r => norm(r.getString(fi))).toSet
-        val newFiles = current.filterNot(f => keptNorm(f._1))
+        // a path a rewrite ever removed is DEAD even though its file
+        // is still on disk for older snapshots — re-listing it here
+        // would resurrect absorbed rows into every later snapshot
+        val removedNorm = oldRemoved.map(r => norm(r.getString(fi))).toSet
+        val newFiles = current.filterNot(f =>
+          keptNorm(f._1) || removedNorm(f._1))
+        // removed tombstones live until their physical file leaves
+        // dataDir (expire deleted it) — then nothing is left to
+        // resurrect and the row is pruned
+        val keptRemoved = oldRemoved.filter { r =>
+          val p = norm(r.getString(fi))
+          !p.startsWith(dataPrefix) || curPaths(p)
+        }
         val keptDf = spark.createDataFrame(
-          new java.util.ArrayList(java.util.Arrays.asList(kept: _*)), old.schema)
+          new java.util.ArrayList(java.util.Arrays.asList(
+            kept ++ keptRemoved: _*)), old.schema)
         val combined =
           if (newFiles.isEmpty) keptDf
           else keptDf.unionByName(
@@ -325,10 +389,12 @@ object Snapshots {
     *    contract), returning the existing snapshot untouched.
     *
     * The skip check consults only the latest snapshot — sound because
-    * commits here are append-only FS truth (a committed batch's files
-    * stay listed in every later snapshot until a rewrite, and the
-    * checkpoint only ever redelivers the most recent uncommitted
-    * batch). Usage: `.foreachBatch { (df, id) =>
+    * a committed batch's paths stay in every later manifest FOREVER:
+    * as data rows while live, as [[KindRemoved]] tombstones after a
+    * rewrite (compaction / absorb) replaces them — so a rewrite
+    * landing inside the crash-replay window cannot make the batch
+    * look uncommitted (and the checkpoint only ever redelivers the
+    * most recent uncommitted batch). Usage: `.foreachBatch { (df, id) =>
     * Snapshots.commitStreamBatch(spark, dataDir, root, cols, id, df) }`. */
   def commitStreamBatch(spark: SparkSession, dataDir: String, root: String,
       cols: Seq[String], batchId: Long, df: DataFrame,
@@ -369,7 +435,14 @@ object Snapshots {
       val ki = m.schema.fieldIndex("kind")
       val fi = m.schema.fieldIndex("file")
       val data = rows.filter(_.getString(ki) == KindData)
-      if (data.exists(r => norm(r.getString(fi)).startsWith(batchPrefix)))
+      // a committed batch whose files a LATER rewrite absorbed is
+      // still committed: its paths live on as KindRemoved tombstones,
+      // so the guard consults both — without the tombstone check a
+      // compaction landing between the batch's commit and a crash
+      // replay would make the batch look uncommitted and re-append it
+      val committed = rows.filter(r => r.getString(ki) == KindData ||
+        r.getString(ki) == KindRemoved)
+      if (committed.exists(r => norm(r.getString(fi)).startsWith(batchPrefix)))
         Some(Commit(snap, 0, 0, data.length)) // replay of a committed batch
       else None
     }
@@ -406,9 +479,27 @@ object Snapshots {
     val droppedGens = dropDeleteGens.map(norm).toSet
     val keptWm = oldRows.filter(r => r.getString(ki) != KindData &&
       !droppedGens(norm(r.getString(fi))))
+    // tombstone every removed path (atomic with this commit): the
+    // files stay on disk for older snapshots, and [[commitFromFs]] /
+    // [[streamBatchCommitAt]] need a durable record that they are no
+    // longer THIS table's truth — see [[KindRemoved]]
+    val removedRows = dropped.map { r =>
+      Row.fromSeq(old.schema.fields.map { f =>
+        f.name match {
+          case "kind" => KindRemoved
+          case "file" => r.getString(fi)
+          case "n_bytes" => 0L
+          case "mtime" => 0L
+          case "n_rows" => 0L
+          case "seq" => next
+          case _ => null
+        }
+      }.toSeq)
+    }
     val added = Manifest.fsList(spark, addedDir)
     val keptDf = spark.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(kept ++ keptWm: _*)),
+      new java.util.ArrayList(java.util.Arrays.asList(
+        kept ++ keptWm ++ removedRows: _*)),
       old.schema)
     val combined =
       if (added.isEmpty) keptDf
@@ -444,7 +535,7 @@ object Snapshots {
     val ki = m.schema.fieldIndex("kind")
     val fi = m.schema.fieldIndex("file")
     val si = m.schema.fieldIndex("seq")
-    val gens = rows.filterNot(_.getString(ki) == KindData)
+    val gens = rows.filter(r => isWatermarkKind(r.getString(ki)))
     if (gens.isEmpty) return None
     val posNamed = gens.filter(_.getString(ki) == KindPos).map(_.getString(fi)) match {
       case Array() => Set.empty[String]
@@ -640,10 +731,17 @@ object Snapshots {
     val fromRows = mFrom.collect()
     val mTo = manifestAt(spark, root, toSnap)
     val toRows = mTo.collect()
+    requireSameManifestSchema(mFrom, mTo, fromSnap, toSnap)
+    // indices for fromRows resolved from mFrom's OWN schema (and the
+    // check above makes them interchangeable): indexing one manifest's
+    // rows with the other's field positions would silently read the
+    // wrong columns if the formats ever diverged
     val ki = mTo.schema.fieldIndex("kind")
     val fi = mTo.schema.fieldIndex("file")
-    val before = fromRows.filter(_.getString(ki) == KindData)
-      .map(_.getString(fi)).toSet
+    val fKi = mFrom.schema.fieldIndex("kind")
+    val fFi = mFrom.schema.fieldIndex("file")
+    val before = fromRows.filter(_.getString(fKi) == KindData)
+      .map(_.getString(fFi)).toSet
     val after = toRows.filter(_.getString(ki) == KindData)
       .map(_.getString(fi)).toSeq.sorted
     val removed = before -- after.toSet
@@ -659,9 +757,9 @@ object Snapshots {
     // to EVERY pre-`from` file by the sequence rule, so any new one
     // fails; a new position generation names its files explicitly, so
     // it fails only if it actually touches a pre-`from` file.
-    val fromGens = fromRows.filterNot(_.getString(ki) == KindData)
-      .map(r => (r.getString(ki), norm(r.getString(fi)))).toSet
-    val newGens = toRows.filterNot(_.getString(ki) == KindData)
+    val fromGens = fromRows.filter(r => isWatermarkKind(r.getString(fKi)))
+      .map(r => (r.getString(fKi), norm(r.getString(fFi)))).toSet
+    val newGens = toRows.filter(r => isWatermarkKind(r.getString(ki)))
       .filterNot(r => fromGens((r.getString(ki), norm(r.getString(fi)))))
     if (newGens.nonEmpty && before.nonEmpty) {
       require(!newGens.exists(_.getString(ki) == KindEq),
@@ -723,12 +821,19 @@ object Snapshots {
     val fromRows = mFrom.collect()
     val mTo = manifestAt(spark, root, toSnap)
     val toRows = mTo.collect()
+    requireSameManifestSchema(mFrom, mTo, fromSnap, toSnap)
     val ki = mTo.schema.fieldIndex("kind")
     val fi = mTo.schema.fieldIndex("file")
+    // fromRows indexed via mFrom's own schema (asserted identical
+    // above — same rationale as readIncremental)
+    val fKi = mFrom.schema.fieldIndex("kind")
+    val fFi = mFrom.schema.fieldIndex("file")
+    val fBi = mFrom.schema.fieldIndex("n_bytes")
+    val fSi = mFrom.schema.fieldIndex("seq")
     val bi = mTo.schema.fieldIndex("n_bytes")
     val si = mTo.schema.fieldIndex("seq")
-    val before = fromRows.filter(_.getString(ki) == KindData)
-      .map(_.getString(fi)).toSeq.sorted
+    val before = fromRows.filter(_.getString(fKi) == KindData)
+      .map(_.getString(fFi)).toSeq.sorted
     val after = toRows.filter(_.getString(ki) == KindData)
       .map(_.getString(fi)).toSeq.sorted
     val removed = before.toSet -- after.toSet
@@ -746,9 +851,9 @@ object Snapshots {
 
     // the DELETE side: fromSnap's rows that the window's NEW delete
     // generations removed
-    val fromGens = fromRows.filterNot(_.getString(ki) == KindData)
-      .map(r => (r.getString(ki), norm(r.getString(fi)))).toSet
-    val newGens = toRows.filterNot(_.getString(ki) == KindData)
+    val fromGens = fromRows.filter(r => isWatermarkKind(r.getString(fKi)))
+      .map(r => (r.getString(fKi), norm(r.getString(fFi)))).toSet
+    val newGens = toRows.filter(r => isWatermarkKind(r.getString(ki)))
       .filterNot(r => fromGens((r.getString(ki), norm(r.getString(fi)))))
     val dataCols = inserts.columns
     if (newGens.isEmpty || before.isEmpty)
@@ -766,22 +871,22 @@ object Snapshots {
       col("_metadata.file_path").as("__dv_file"),
       col("_metadata.row_index").as("__dv_pos"),
       normExpr(col("_metadata.file_path")).as("__sf"))
-    val fromPos = fromRows.filter(_.getString(ki) == KindPos)
+    val fromPos = fromRows.filter(_.getString(fKi) == KindPos)
     var visible = visible0
     if (fromPos.nonEmpty) {
-      val dels = sided(spark.read.parquet(fromPos.map(_.getString(fi)): _*)
+      val dels = sided(spark.read.parquet(fromPos.map(_.getString(fFi)): _*)
         .select(col("file_path"), col("row_index")).distinct(),
-        fromPos.map(_.getLong(bi)).sum)
+        fromPos.map(_.getLong(fBi)).sum)
       visible = visible.join(dels,
         visible("__dv_file") === dels("file_path") &&
           visible("__dv_pos") === dels("row_index"), "left_anti")
     }
-    val fromEq = fromRows.filter(_.getString(ki) == KindEq)
-      .map(r => (r.getString(fi), r.getLong(si), r.getLong(bi)))
+    val fromEq = fromRows.filter(_.getString(fKi) == KindEq)
+      .map(r => (r.getString(fFi), r.getLong(fSi), r.getLong(fBi)))
     val seqDf = broadcast(spark.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(
-        fromRows.filter(_.getString(ki) == KindData)
-          .map(r => Row(norm(r.getString(fi)), r.getLong(si))): _*)),
+        fromRows.filter(_.getString(fKi) == KindData)
+          .map(r => Row(norm(r.getString(fFi)), r.getLong(fSi))): _*)),
       StructType(Seq(StructField("__sf", StringType),
         StructField("__file_seq", LongType)))))
     def withSeq(df: DataFrame): DataFrame =
@@ -913,7 +1018,10 @@ object Snapshots {
     // data files AND the watermark's delete generations must both
     // still exist — committing a rollback whose reads fail later is
     // strictly worse than failing here
-    val wmDirs = m.filter(col("kind") =!= KindData)
+    // removed-file tombstones are excluded: they reference files the
+    // rollback target does NOT need (they were dead before `to`), and
+    // those files may legitimately be expired already
+    val wmDirs = m.filter(col("kind").isin(KindPos, KindEq))
       .select(col("file")).collect().map(_.getString(0)).toSeq
     val missing = (files ++ wmDirs).filterNot(f => fs.exists(new Path(f)))
     require(missing.isEmpty,
@@ -946,24 +1054,57 @@ object Snapshots {
     }
     val fs = fsOf(spark, root)
     // create(path, overwrite = false) is the atomic claim for the
-    // exact (name, snap) pair — two racers for the same name and
-    // DIFFERENT snaps are caught by the check above on one side's
-    // re-listing; same-pair racers collide here loudly
+    // exact (name, snap) pair — same-pair racers collide here loudly.
+    // Two racers for the SAME name and DIFFERENT snaps both pass the
+    // pre-check and both create distinct marker files, so re-list
+    // after creating and ROLL BACK on a duplicate: exactly one racer
+    // keeps its pin, the other gets the immutability exception it
+    // would have gotten had it arrived a beat later.
     fs.create(new Path(root, s"_tag-$name=$snap"), false).close()
+    val dup = tagEntries(spark, root)
+      .filter { case (n, s2) => n == name && s2 != snap }
+    if (dup.nonEmpty) {
+      fs.delete(new Path(root, s"_tag-$name=$snap"), false)
+      throw new IllegalArgumentException(
+        s"tag '$name' was concurrently pinned to snapshot ${dup.head._2} " +
+          "(tags are immutable: dropTag first, deliberately two steps)")
+    }
   }
 
-  /** All tags under `root`: name → snapshot id. */
-  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+  /** Raw `_tag-` marker listing: (name, snapshot) pairs, duplicates
+    * preserved — the retention-safety source of truth ([[expire]] must
+    * honor EVERY pin on disk, even one a race or crash left
+    * duplicated, because a name-deduped map would silently shadow a
+    * pin and let the sweep delete a pinned snapshot). */
+  private def tagEntries(spark: SparkSession, root: String): Seq[(String, Long)] = {
     val p = new Path(root)
     val fs = fsOf(spark, root)
-    if (!fs.exists(p)) return Map.empty
+    if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("_tag-"))
       .map { s =>
         val rest = s.getPath.getName.stripPrefix("_tag-")
         val i = rest.lastIndexOf('=')
         rest.take(i) -> rest.drop(i + 1).toLong
-      }.toMap
+      }
+  }
+
+  /** All tags under `root`: name → snapshot id. Fails LOUDLY if a name
+    * is pinned twice (a crash inside [[tag]]'s rollback window): a Map
+    * would silently shadow one pin, and every caller of this view
+    * (reads, drops) would act on the wrong snapshot. Repair is manual
+    * and explicit — delete the unwanted `_tag-` marker file. */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val entries = tagEntries(spark, root)
+    val dups = entries.groupBy(_._1).filter(_._2.length > 1)
+    require(dups.isEmpty,
+      s"duplicate tag pins under $root: " +
+        dups.map { case (n, es) =>
+          s"'$n' -> {${es.map(_._2).sorted.mkString(",")}}"
+        }.mkString("; ") +
+        " (a crashed tag() race left both markers; delete the unwanted " +
+        "_tag- file to repair)")
+    entries.toMap
   }
 
   /** Remove a tag (the snapshot becomes expirable again). Loud on an
@@ -999,14 +1140,22 @@ object Snapshots {
     * until its tag is dropped. */
   def expire(spark: SparkSession, root: String, keepFrom: Long): ExpireReport = {
     val all = snapshots(spark, root)
-    val tagged = tags(spark, root).values.toSet
+    // raw marker listing, NOT the name-deduped tags() view: if a
+    // crashed race ever left one name pinning two snapshots, BOTH
+    // pins must protect their snapshots from the sweep
+    val tagged = tagEntries(spark, root).map(_._2).toSet
     val (drop, keep) = all.partition(s => s < keepFrom && !tagged(s))
     require(keep.nonEmpty, s"expire($keepFrom) would drop every snapshot")
     if (drop.isEmpty) return ExpireReport(0, 0, 0L)
     val fs = fsOf(spark, root)
     def entries(s: Long): Seq[(String, String, Long)] = {
       val m = manifestAt(spark, root, s)
-      m.select(col("kind"), col("file"), col("n_bytes")).collect()
+      // removed-file tombstones are bookkeeping, not references: they
+      // must neither PROTECT a file (a kept manifest's tombstone does
+      // not mean the file is needed) nor TARGET one for deletion (the
+      // same path's data row already does, exactly once)
+      m.filter(col("kind") =!= KindRemoved)
+        .select(col("kind"), col("file"), col("n_bytes")).collect()
         .map(r => (r.getString(0), norm(r.getString(1)), r.getLong(2))).toSeq
     }
     val referenced = keep.flatMap(s => entries(s).map(e => (e._1, e._2))).toSet

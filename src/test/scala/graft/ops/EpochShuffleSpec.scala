@@ -51,4 +51,24 @@ class EpochShuffleSpec extends SparkSpec {
     assert(total == 16, s"expected 16 index files, got $total")
     assert(cand.length <= 4, s"slice must prune to O(slice) files, got ${cand.length}")
   }
+
+  test("an id wider than the order-key pad fails loudly instead of silently colliding") {
+    // Spark's lpad TRUNCATES over-width strings — two ids sharing a
+    // 19-char prefix would collide in the order key and break the
+    // seeded bijection nondeterministically; the guard turns that into
+    // an immediate error. String ids up to the pad width still work.
+    val ok = Seq("a", "b" * 19, "c").toDF("doc_id")
+    val pos = EpochShuffle.permutation(ok, "doc_id", seed = 3)
+      .select($"pos").as[Long].collect().sorted.toSeq
+    assert(pos == Seq(1L, 2L, 3L))
+    val bad = Seq("a", "x" * 20).toDF("doc_id")
+    val ex = intercept[Exception] {
+      EpochShuffle.permutation(bad, "doc_id", seed = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("exceeds the 19-char order-key pad")),
+      s"unexpected failure: $ex")
+  }
 }

@@ -478,6 +478,72 @@ class SnapshotsSpec extends SparkSpec {
     assert(sumK(Snapshots.readAt(spark, root, 1L)) == ((150L, 150L * 151 / 2)))
   }
 
+  test("append after rewrite: removed originals stay dead, outside-dir outputs stay live, tombstones prune") {
+    val d = java.nio.file.Files.createTempDirectory("snapresur").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    (1L to 100L).toDF("k").repartition(2).write.parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    // compact EVERYTHING into an out-of-dataDir output and commit the
+    // rewrite — the originals stay physically present under dataDir
+    val originals = Snapshots.filesAt(spark, root, 0L)
+    spark.read.parquet(data).coalesce(1).write.parquet(s"$d/cout")
+    val c1 = Snapshots.commitRewrite(spark, root, removed = originals,
+      addedDir = s"$d/cout", cols = Seq("k"))
+    assert(c1.snapshot == 1L && c1.removed == 2)
+    // the next APPEND commit re-lists dataDir: without the tombstone +
+    // outside-dir rules it would resurrect the absorbed originals and
+    // drop the compacted output
+    (101L to 120L).toDF("k").coalesce(1).write.mode("append").parquet(data)
+    val c2 = Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    assert(c2.added == 1, s"only the new file is new, got ${c2.added}")
+    assert(sumK(Snapshots.readAt(spark, root, 2L)) == ((120L, 120L * 121 / 2)))
+    // redundant append commit stays a no-op in content
+    val c3 = Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    assert(c3.added == 0 && sumK(Snapshots.readAt(spark, root, 3L)) ==
+      ((120L, 120L * 121 / 2)))
+    // the tombstones ride every manifest while the dead files exist…
+    val m3 = Snapshots.manifestAt(spark, root, 3L)
+    assert(m3.filter(col("kind") === "removed").count() == 2)
+    // …and prune once expire physically deletes them
+    Snapshots.expire(spark, root, keepFrom = 2L)
+    val fs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(originals.forall(f => !fs.exists(new org.apache.hadoop.fs.Path(f))),
+      "expire must delete the rewritten-away originals")
+    val c4 = Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    val m4 = Snapshots.manifestAt(spark, root, c4.snapshot)
+    assert(m4.filter(col("kind") === "removed").count() == 0,
+      "tombstones of physically-deleted files must prune")
+    assert(sumK(Snapshots.readAt(spark, root, c4.snapshot)) ==
+      ((120L, 120L * 121 / 2)))
+  }
+
+  test("duplicate tag pins fail loudly in tags() but BOTH protect their snapshots from expire") {
+    val d = java.nio.file.Files.createTempDirectory("snaptagdup").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    (1L to 10L).toDF("k").coalesce(1).write.parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    (11L to 20L).toDF("k").coalesce(1).write.mode("append").parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    (21L to 30L).toDF("k").coalesce(1).write.mode("append").parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    Snapshots.tag(spark, root, "pin", 0L)
+    // simulate the crashed-race residue: a second marker for the same
+    // name, different snapshot (tag() itself rolls this back when it
+    // survives, so plant it directly)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(root, "_tag-pin=1"), false).close()
+    val ex = intercept[IllegalArgumentException] { Snapshots.tags(spark, root) }
+    assert(ex.getMessage.contains("duplicate tag pins"), ex.getMessage)
+    // retention safety must honor the RAW listing: both pinned
+    // snapshots survive a sweep that would drop them
+    Snapshots.expire(spark, root, keepFrom = 2L)
+    assert(Snapshots.snapshots(spark, root) == Seq(0L, 1L, 2L))
+    assert(sumK(Snapshots.readAt(spark, root, 0L)) == ((10L, 55L)))
+    assert(sumK(Snapshots.readAt(spark, root, 1L)) == ((20L, 210L)))
+  }
+
   test("rewrite of files the snapshot does not list fails loudly") {
     val d = java.nio.file.Files.createTempDirectory("snapbad").toString
     (1L to 10L).toDF("k").coalesce(1).write.parquet(s"$d/data")

@@ -110,6 +110,41 @@ class SnapshotCommitStreamSpec extends SparkSpec {
     assert(hist(ref) == hist(ret), s"${hist(ref)} vs ${hist(ret)}")
   }
 
+  test("redelivery after a compaction rewrite is still a no-op: tombstones keep the batch committed") {
+    // a rewrite landing between a batch's commit and a crash replay
+    // removes the batch's paths from the manifest's DATA rows — the
+    // KindRemoved tombstones are what keep the batchId guard sound,
+    // else the replay re-appends and every later snapshot double-counts
+    val d = java.nio.file.Files.createTempDirectory("snaprw").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    def commit(id: Long, ks: Seq[Long]): Unit = {
+      graft.ops.Snapshots.commitStreamBatch(spark, data, root, Seq("k"),
+        id, ks.toDF("k").coalesce(1))
+      ()
+    }
+    commit(0L, 1L to 40L)
+    commit(1L, 41L to 70L)
+    // maintenance: compact BOTH batches into one out-of-dataDir file
+    val files = graft.ops.Snapshots.filesAt(spark, root,
+      graft.ops.Snapshots.latest(spark, root).get)
+    spark.read.parquet(files: _*).coalesce(1).write.parquet(s"$d/cout")
+    graft.ops.Snapshots.commitRewrite(spark, root, removed = files,
+      addedDir = s"$d/cout", cols = Seq("k"))
+    // crash replay of batch 1 AFTER the rewrite — must be a no-op
+    assert(graft.ops.Snapshots.streamBatchCommitted(spark, data, root, 1L),
+      "a rewritten-away batch must still read as committed")
+    commit(1L, 41L to 70L)
+    val last = graft.ops.Snapshots.latest(spark, root).get
+    assert(graft.ops.Snapshots.readAt(spark, root, last)
+      .select($"k").as[Long].collect().sorted.toSeq == (1L to 70L),
+      "redelivery after rewrite must not duplicate the batch")
+    // and the NEXT real batch composes cleanly on top
+    commit(2L, 71L to 100L)
+    assert(graft.ops.Snapshots.readAt(spark, root,
+      graft.ops.Snapshots.latest(spark, root).get)
+      .select($"k").as[Long].collect().sorted.toSeq == (1L to 100L))
+  }
+
   test("merge-stream redelivery: the batchId guard protects the batch's own new versions") {
     // a MERGE micro-batch = tombstone generation + new-version append,
     // one commit. The tombstone-add is the side effect that is NOT
