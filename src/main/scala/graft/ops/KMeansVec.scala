@@ -71,6 +71,19 @@ object KMeansVec {
   def cellExpr(embCol: String, cents: Array[Array[Double]]): Column =
     element_at(probeCellsExpr(embCol, cents, 1), 1).getField("cid")
 
+  /** Top-`nprobe` cell ids as a plain `array<int>` via the fused
+    * matrix kernel ([[graft.functions.VecTopCells]]): same distances,
+    * same (d2 asc, cid asc) order as [[probeCellsExpr]], but the
+    * centroid matrix rides the plan as ONE reference object instead of
+    * K per-centroid literal subtrees — the spelling that stays
+    * codegen-sized when K is CORPUS-SCALED (K ≈ N / targetCellSize,
+    * hundreds of cells and up). Use this for scaled quantizers;
+    * [[probeCellsExpr]] remains for small fixed K where the per-cell
+    * d2 values themselves are needed. */
+  def topCellsExpr(embCol: String, cents: Array[Array[Double]],
+      nprobe: Int): Column =
+    graft.functions.VecTopCells.cells(col(embCol), cents, nprobe)
+
   /** Squared L2 distance to one literal centroid, double left-to-right —
     * the fused vec_l2sq expression (codegen loop; VecL2SqSpec pins
     * bit-equality with the HOF `aggregate(zip_with(...))` spelling this
@@ -90,8 +103,18 @@ object KMeansVec {
   private def updateStep(emb: DataFrame, embCol: String,
       cents: Array[Array[Double]]): Array[Array[Double]] = {
     val d = cents(0).length
+    // fused-matrix assignment: identical arithmetic and tie rule as
+    // cellExpr (VecTopCellsSpec pins the equivalence), but one
+    // reference object instead of K literal subtrees — what lets fit()
+    // carry a corpus-scaled K without blowing codegen limits.
+    // The assignment is materialized in its OWN projection before the
+    // posexplode: spelled inside the same select, the Generate planning
+    // re-evaluates the K·d kernel once per EXPLODED row — a silent d×
+    // multiplier on the fit (8× wall measured at K=79, d=64)
     val means = emb
-      .select(cellExpr(embCol, cents).as("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .withColumn("__cell", element_at(topCellsExpr(embCol, cents, 1), 1))
+      .select(col("__cell").as("cell"),
+        posexplode(col(embCol)).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg((sum(col("v").cast("decimal(25,8)")).cast("double") / count(lit(1))).as("m"))
       .collect()

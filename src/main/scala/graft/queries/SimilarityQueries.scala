@@ -20,14 +20,18 @@ import graft.core.Tables
   * (PlanSpec pins cartesian/nested-loop absence). Brute force only runs
   * against a bounded query set (sim_cosine_topk, Q=20 — O(Q·N) columnar
   * scan). Pair mining and corpus-wide kNN route through IVF cells:
-  * the 8 coarse centroids are a driver-collected model inlined as
-  * LITERAL arrays, so cell assignment is a pure map-side expression —
-  * no centroid join, no 8N-row window shuffle — and the candidate join
+  * centroids are a driver-collected model riding the plan map-side —
+  * no centroid join, no K·N-row window shuffle — and the candidate join
   * is an equi-join on cell id whose per-cell work is bounded by cell
-  * size (at 100 TB, K grows with N to hold cells constant; cells are
-  * co-located by the shuffle). Multi-probe (each side visits its top-2
-  * cells) keeps recall high; SimilarityRecallSpec measures it against
-  * the exact answer and pins the floor.
+  * size. The BOUNDED-query spellings (Q≤10) use a fixed 8-centroid
+  * quantizer (already O(Q·N/K·d)); the ALL-ROWS-AS-QUERIES spellings
+  * (sim_knn_label, sim_threshold_pairs) use the CORPUS-SCALED
+  * quantizer — K = max(8, N/256) k-means-fitted cells assigned through
+  * the fused VecTopCells matrix kernel — so per-query candidates stay
+  * ≈ 2·targetCellSize at every corpus size (the sim_knn_cands_per_query
+  * bench cell pins the invariant). Multi-probe (each side visits its
+  * top-2 cells) keeps recall high; SimilarityRecallSpec measures it
+  * against the exact answer and pins the floor.
   */
 object SimilarityQueries {
 
@@ -141,25 +145,126 @@ object SimilarityQueries {
       .withColumn("cell2", element_at(col("__cells"), 2).getField("cid"))
       .drop("__cells")
 
+  // ----------------------------------------------------------------
+  // CORPUS-SCALED coarse quantizer for the ALL-ROWS-AS-QUERIES
+  // spellings (sim_knn_label, sim_threshold_pairs). A fixed cell count
+  // makes those O(N²/K) in candidates — per-cell occupancy grows
+  // linearly with the corpus and every row probes it — so K must grow
+  // WITH the corpus: K = max(8, ceil(N / targetCellSize)) k-means-
+  // fitted centroids (ops/KMeansVec, one Lloyd round from the K
+  // smallest ids — deterministic, oracle-replayable), assignment via
+  // the fused matrix kernel (VecTopCells — one reference object, not
+  // K literal subtrees, so K in the hundreds stays codegen-sized).
+  // Candidates per query ≈ nprobe · targetCellSize, FLAT across scale
+  // bumps (the sim_knn_cands_per_query bench cell pins this), and
+  // total work is O(N · nprobe · targetCellSize · d) — linear in N.
+  // The bounded-query spellings (sim_ivf_*_topk, Q≤10) keep the fixed
+  // 8-centroid quantizer: their cost is O(Q · N/K · d), already linear.
+  // ----------------------------------------------------------------
+
+  private val ScaledCellTarget = 256
+
+  /** K-means-fitted centroids with corpus-scaled K — the model the
+    * scaled spellings inline as one plan reference object. */
+  private[queries] def scaledCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val k = math.max(8, math.ceil(n.toDouble / ScaledCellTarget).toInt)
+    graft.ops.KMeansVec.fit(emb, "vec_id", "embedding", k, iters = 1)
+  }
+
+  /** normed frame + scaled-quantizer `cell1`/`cell2` (top-2 probes by
+    * squared L2, ties to the lower cell id — the KMeansVec order). */
+  private def withScaledCells(emb: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    emb.withColumn("__cells",
+        graft.ops.KMeansVec.topCellsExpr("embedding", cents, 2))
+      .withColumn("cell1", element_at(col("__cells"), 1))
+      .withColumn("cell2", element_at(col("__cells"), 2))
+      .drop("__cells")
+
+  /** DuckDB mirror of the scaled fit + top-2 assignment: dynamic K
+    * (`kk`), init = K smallest ids, ONE Lloyd round with exact
+    * decimal(25,8) means and keep-previous on empty cells (the
+    * KMeansVec contract), then `kassign2` ranks cells per vector by
+    * (d2 asc, cell asc) — `crn = 1` is the home cell, `crn <= 2` the
+    * probe set. */
+  private val duckScaledAssign: String = {
+    def d2(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    s"""emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), kk AS (
+       |  SELECT greatest(8, CAST(ceil(count(*) / $ScaledCellTarget.0) AS INT)) AS k FROM emb
+       |), cents0 AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cell, e FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM emb) t
+       |  WHERE rn <= (SELECT k FROM kk)
+       |), kassign1 AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS rn
+       |    FROM emb v CROSS JOIN cents0 c) WHERE rn = 1
+       |), means AS (
+       |  SELECT a.cell, gs.i AS pos,
+       |    CAST(sum(CAST(v.e[gs.i] AS DECIMAL(25,8))) AS DOUBLE) / count(*) AS m
+       |  FROM kassign1 a JOIN emb v USING (vec_id), generate_series(1, 64) AS gs(i)
+       |  GROUP BY a.cell, gs.i
+       |), cents1 AS (
+       |  SELECT c0.cell, coalesce(m.e, c0.e) AS e
+       |  FROM cents0 c0 LEFT JOIN (
+       |    SELECT cell, list(m ORDER BY pos) AS e FROM means GROUP BY cell
+       |  ) m ON c0.cell = m.cell
+       |), kassign2 AS MATERIALIZED (
+       |  SELECT v.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${d2("v.e", "c.e")} ASC, c.cell) AS crn
+       |  FROM emb v CROSS JOIN cents1 c
+       |)""".stripMargin
+  }
+
   /** The (query, neighbor) top-5 ranking underlying sim_knn_label —
-    * IVF candidates (multi-probe nprobe=2, self excluded) scored by
-    * exact cosine. Package-visible so SimilarityRecallSpec can measure
-    * recall on the identical candidate path the query aggregates over. */
+    * scaled-quantizer IVF candidates (multi-probe nprobe=2, self
+    * excluded) scored by exact cosine. Per-query candidates stay
+    * ≈ 2·targetCellSize no matter how big the corpus grows.
+    *
+    * Plan shape, chosen for the all-rows case: the candidate join is a
+    * SHUFFLE-HASH equi-join on cell id (hinted — queries are the whole
+    * corpus, so there is nothing to broadcast, and hash-partitioning
+    * both sides by cid spreads the pair loop across every core; K
+    * growing with N keeps per-partition work flat). The scoring
+    * projection drops both embeddings BEFORE anything exchanges again,
+    * and the per-query top-5 rides the BoundedTopK mergeable aggregate
+    * ((cos desc, id asc) — the same total order as the row_number
+    * window it replaces, pinned by BoundedTopKSpec) so the rank
+    * shuffle carries ≤ 5 rows per (mapper, query), not every
+    * candidate. Neighbor labels rejoin at the end — an equi-join on a
+    * 2-column id→label frame, top-5·N rows, broadcast at bench scale
+    * and an ordinary shuffle join beyond. Package-visible so
+    * SimilarityRecallSpec can measure recall on the identical
+    * candidate path the query aggregates over. */
   private[queries] def ivfKnnTop5(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cents = centroids(s, d)
-    val emb = withCells(normed(s, d), cents)
-    val members = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"),
+    val cents = scaledCentroids(s, d)
+    val emb = withScaledCells(normed(s, d), cents)
+    val members = emb.select($"vec_id".as("neighbor_id"),
       $"cell1".as("cid"), $"embedding".as("n_emb"), $"norm".as("n_norm"))
     val queries = emb.select($"vec_id".as("query_id"), $"label".as("true_label"),
       $"embedding".as("q_emb"), $"norm".as("q_norm"),
       explode(array($"cell1", $"cell2")).as("cid"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    queries.join(members, "cid")
+    val topk = graft.functions.BoundedTopK.udaf(5)
+    val labels = Tables.embeddings(s, d)
+      .select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
+    queries.join(members.hint("shuffle_hash"), "cid")
       .filter($"neighbor_id" =!= $"query_id")
-      .withColumn("cos", call_function("vec_dot", $"q_emb", $"n_emb") / ($"q_norm" * $"n_norm"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 5)
+      .select($"query_id", $"true_label", $"neighbor_id",
+        (call_function("vec_dot", $"q_emb", $"n_emb") / ($"q_norm" * $"n_norm")).as("cos"))
+      .groupBy($"query_id", $"true_label")
+      .agg(topk($"cos", $"neighbor_id").as("top"))
+      .select($"query_id", $"true_label", explode($"top").as("t"))
+      .select($"query_id", $"true_label",
+        $"t._2".as("neighbor_id"), $"t._1".as("cos"))
+      .join(broadcast(labels), "neighbor_id")
       .select($"query_id", $"true_label", $"neighbor_id", $"n_label", $"cos")
   }
 
@@ -189,11 +294,29 @@ object SimilarityQueries {
     val (pc, sc) = graft.ops.IvfIndex.probeStats(s, dir,
       Tables.embeddings(s, d).filter($"vec_id" < 10)
         .select($"vec_id".as("query_id"), $"embedding"), nProbe = 2)
+    // scaled-quantizer telemetry for the all-rows-as-queries spellings:
+    // EXACT candidate count of the sim_knn_label join and its
+    // per-query average. The per-query cell is the scale invariant —
+    // K = N/targetCellSize holds it ≈ 2·targetCellSize at EVERY sf, so
+    // a super-linear drift here means the quantizer's cells went
+    // lopsided (the O(N²/K) failure the corpus-scaled K exists to
+    // prevent).
+    val sCents = scaledCentroids(s, d)
+    val sEmb = withScaledCells(normed(s, d), sCents)
+    val sMembers = sEmb.select($"vec_id".as("neighbor_id"), $"cell1".as("cid"))
+    val sQueries = sEmb.select($"vec_id".as("query_id"),
+      explode(array($"cell1", $"cell2")).as("cid"))
+    val knnCands = sQueries.join(sMembers, "cid")
+      .filter($"neighbor_id" =!= $"query_id").count()
+    val nVec = sEmb.count()
     Seq(
       "sim_ivf_topk_cands" -> cands,
       "sim_ivf_topk_probed_cells" -> cells,
       "sim_ivf_indexed_cands" -> sc,
-      "sim_ivf_indexed_probed_cells" -> pc)
+      "sim_ivf_indexed_probed_cells" -> pc,
+      "sim_knn_cells" -> sCents.length.toLong,
+      "sim_knn_cands" -> knnCands,
+      "sim_knn_cands_per_query" -> knnCands / math.max(1L, nVec))
   }
 
   /** Shared oracle CTEs: centroid set + per-vector cell ranking. */
@@ -242,21 +365,28 @@ object SimilarityQueries {
     ),
 
     // Near-duplicate pair mining above a cosine threshold (the
-    // embedding-space analogue of dedup), IVF-bounded: each vector is
-    // assigned to its top-2 cells (multi-probe), candidates are pairs
-    // sharing a cell, and the exact cosine re-ranks candidates. The
-    // join is an equi-join on cell id — per-cell pair count is bounded
-    // by cell size, never O(N²). A pair sharing both probed cells is
-    // scored twice to the same value; distinct() collapses it.
+    // embedding-space analogue of dedup), IVF-bounded with the
+    // CORPUS-SCALED quantizer: each vector is assigned to its top-2
+    // cells (multi-probe), candidates are pairs sharing a cell, and
+    // the exact cosine re-ranks candidates. The join is an equi-join
+    // on cell id, and because K grows with N the per-cell pair count
+    // is bounded by targetCellSize² regardless of corpus size — total
+    // candidates O(N · targetCellSize), never O(N²/K) with a fixed K.
+    // A pair sharing both probed cells is scored twice to the same
+    // value; distinct() collapses it.
     OracleQuery(
       "sim_threshold_pairs",
       (s, d) => {
         import s.implicits._
-        val cents = centroids(s, d)
-        val assigned = withCells(normed(s, d), cents)
+        val cents = scaledCentroids(s, d)
+        val assigned = withScaledCells(normed(s, d), cents)
           .select($"vec_id", $"embedding", $"norm",
             explode(array($"cell1", $"cell2")).as("cid"))
-        assigned.as("a").join(assigned.as("b"),
+        // shuffle-hash, never broadcast: both sides are the corpus, and
+        // hash-partitioning on cid spreads the within-cell pair loop
+        // across all cores (one parquet split would otherwise serialize
+        // the whole O(N·targetCellSize) candidate scan through one task)
+        assigned.as("a").join(assigned.as("b").hint("shuffle_hash"),
             col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
           .select(
             col("a.vec_id").as("vec_a"),
@@ -267,8 +397,8 @@ object SimilarityQueries {
           .distinct()
           .orderBy($"vec_a", $"vec_b")
       },
-      Some(s"""WITH $duckNormed, $duckAssign, probed AS (
-              |  SELECT vec_id, cid FROM assign WHERE crn <= 2
+      Some(s"""WITH $duckNormed, $duckScaledAssign, probed AS (
+              |  SELECT vec_id, cell AS cid FROM kassign2 WHERE crn <= 2
               |), cand AS (
               |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
               |  FROM probed x JOIN probed y ON x.cid = y.cid AND x.vec_id < y.vec_id
@@ -593,14 +723,16 @@ object SimilarityQueries {
     ),
 
 
-    // kNN label regression (models.py:338-380 kNN shape), IVF-bounded:
-    // predicted label = mean label of the 5 nearest IVF-candidate
-    // neighbors by cosine (multi-probe nprobe=2, exact re-rank inside
-    // probed cells, self excluded); summarized as mean prediction per
-    // true label. A member lives in exactly one cell and a query probes
-    // two distinct cells, so each (query, member) candidate appears at
-    // most once — no dedup needed. The candidate join is an equi-join
-    // on cell id: corpus-wide kNN at O(N·nprobe·cellsize·d), not O(N²·d).
+    // kNN label regression (models.py:338-380 kNN shape), IVF-bounded
+    // with the CORPUS-SCALED quantizer: predicted label = mean label
+    // of the 5 nearest IVF-candidate neighbors by cosine (multi-probe
+    // nprobe=2, exact re-rank inside probed cells, self excluded);
+    // summarized as mean prediction per true label. A member lives in
+    // exactly one cell and a query probes two distinct cells, so each
+    // (query, member) candidate appears at most once — no dedup
+    // needed. The candidate join is an equi-join on cell id, and K
+    // scaling with N holds per-query candidates at ≈ 2·targetCellSize:
+    // corpus-wide kNN at O(N·nprobe·targetCellSize·d) — linear in N.
     OracleQuery(
       "sim_knn_label",
       (s, d) => {
@@ -615,10 +747,10 @@ object SimilarityQueries {
             round(avg(abs($"pred_label" - $"true_label")), 4).as("mae"))
           .orderBy($"true_label")
       },
-      Some(s"""WITH $duckNormed, $duckAssign, members AS (
-              |  SELECT vec_id AS neighbor_id, cid FROM assign WHERE crn = 1
+      Some(s"""WITH $duckNormed, $duckScaledAssign, members AS (
+              |  SELECT vec_id AS neighbor_id, cell AS cid FROM kassign2 WHERE crn = 1
               |), probes AS (
-              |  SELECT vec_id AS query_id, cid FROM assign WHERE crn <= 2
+              |  SELECT vec_id AS query_id, cell AS cid FROM kassign2 WHERE crn <= 2
               |), cand AS (
               |  SELECT p.query_id, m.neighbor_id
               |  FROM probes p JOIN members m ON p.cid = m.cid

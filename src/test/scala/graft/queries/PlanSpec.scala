@@ -554,6 +554,25 @@ class PlanSpec extends SparkSpec {
       s"eval must stay gram/bucket equi-joins:\n$p")
   }
 
+  test("scaled-IVF knn/pairs: shuffled-hash candidate joins, no corpus broadcast, no rank window") {
+    // the all-rows-as-queries spellings must never broadcast the
+    // corpus (nothing is small), never degrade to a cartesian, and the
+    // per-query top-5 must ride the BoundedTopK aggregate instead of a
+    // row_number window over every candidate
+    val knn = plan(Registry.queries("sim_knn_label")(spark, sf))
+    assert(!knn.contains("CartesianProduct") && !knn.contains("BroadcastNestedLoopJoin"),
+      s"knn candidates must stay cell equi-joins:\n$knn")
+    assert(knn.contains("ShuffledHashJoin"),
+      s"the cell-id candidate join must be a shuffled hash join:\n$knn")
+    assert(!knn.contains("row_number"),
+      s"top-5 must be the bounded aggregate, not a rank window:\n$knn")
+    val pairs = plan(Registry.queries("sim_threshold_pairs")(spark, sf))
+    assert(!pairs.contains("CartesianProduct") && !pairs.contains("BroadcastNestedLoopJoin"),
+      s"pair mining must stay cell equi-joins:\n$pairs")
+    assert(pairs.contains("ShuffledHashJoin"),
+      s"the cell-id self-join must be a shuffled hash join:\n$pairs")
+  }
+
   test("Hilbert key: one events scan, the 16-step recurrence is join-free") {
     val p = plan(Registry.queries("o27_hilbert_key")(spark, sf))
     assert(!p.contains("Join"), s"hilbert chain must not join:\n$p")
