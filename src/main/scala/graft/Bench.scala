@@ -410,6 +410,7 @@ object Bench {
       ++ section("dvScan")(dvScanBench(spark, sfDir))
       ++ section("intervalJoin")(intervalJoinBench(spark, sfDir))
       ++ section("epochShuffle")(epochShuffleBench(spark, sfDir))
+      ++ section("changefeed")(changefeedBench(spark, sfDir))
       ++ section("graphCands")(graphCandsBench(spark, sfDir))
       ++ section("simCands")(simCandsBench(spark, sfDir)))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -989,6 +990,43 @@ object Bench {
       "epoch_resume_persisted" -> steadyMin(() => timeResume()),
       "epoch_resume_recompute" -> steadyMin(() => timeRecompute()),
       "epoch_resume_files_read" -> filesRead.toDouble)
+  }
+
+  /** Changefeed retraction-scan pruning: a ONE-KEY delete window over
+    * a 32-file range-clustered snapshot table. The retraction side
+    * must open only the files the window's deletes can touch (position
+    * generations name their targets; equality reach = seq scope ∩
+    * manifest key-range overlap — Snapshots.changefeedFromFiles), so
+    * `changefeed_files_read` must stay O(deletes' spread), not
+    * O(table), as the corpus grows — the difference between a CDC tick
+    * that reads KBs and one that rescans 100 TB. Not part of `total`
+    * (o40 times the gated changefeed end-to-end). */
+  private def changefeedBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Scratch.dir("bench_cdc", sfDir)
+    val data = s"$d/data"; val root = s"$d/snaps"; val eq = s"$d/eq"
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"))
+    ev.repartitionByRange(32, col("event_id")).write.parquet(data)
+    graft.ops.Snapshots.commitFromFs(spark, data, root, Seq("event_id"),
+      eqDeleteDir = Some(eq))
+    val key = ev.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+    graft.ops.DeletionVectors.addKeyDeletes(spark, eq,
+      spark.range(key, key + 1).select(col("id").as("event_id")))
+    graft.ops.Snapshots.commitFromFs(spark, data, root, Seq("event_id"),
+      eqDeleteDir = Some(eq))
+    def timeFeed(): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Snapshots.readChangefeed(spark, root, 0L, 1L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeFeed() // warm
+    val opened = graft.ops.Snapshots.changefeedFromFiles(spark, root, 0L, 1L)
+    Seq(
+      "changefeed_onekey_window" -> steadyMin(() => timeFeed()),
+      "changefeed_files_read" -> opened.length.toDouble,
+      "changefeed_files_total" -> 32.0)
   }
 
   /** Strategy A/B: the j30 interval-overlap aggregate through

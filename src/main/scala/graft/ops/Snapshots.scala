@@ -808,13 +808,108 @@ object Snapshots {
     * and fails loudly exactly like [[readIncremental]].
     *
     * Plan shape: one scan of the window's added files (the insert
-    * side, `toSnap`'s delete set anti-joined) + one scan of
-    * `fromSnap`'s files for the delete side — visible-at-from rows
-    * SEMI-joined against only the window's NEW delete generations
-    * (position pairs exactly; equality keys sequence-scoped). All
-    * delete sides broadcast under the manifest's recorded-bytes rule;
-    * the data sides pay no shuffle. Retraction volume is bounded by
-    * the window's deletes, not the table. */
+    * side, `toSnap`'s delete set anti-joined) + one scan of ONLY the
+    * fromSnap files the window's deletes can touch for the delete side
+    * ([[changefeedFromFiles]] — position generations name their
+    * targets, equality generations reach seq-scoped files whose
+    * manifest key range overlaps a tombstone key), visible-at-from
+    * rows SEMI-joined against only the window's NEW delete
+    * generations (position pairs exactly; equality keys
+    * sequence-scoped). All delete sides broadcast under the manifest's
+    * recorded-bytes rule; the data sides pay no shuffle. Both the scan
+    * and the retraction volume are bounded by the window's deletes,
+    * not the table. */
+  /** Normalized paths of fromSnap's data files the window's NEW delete
+    * generations can touch — the retraction-scan prune set:
+    *
+    *  - a position generation names its target `file_path`s, so its
+    *    reach is exactly that list;
+    *  - an equality generation reaches only files with sequence
+    *    STRICTLY BELOW its own (the v2 scoping rule), and among those
+    *    only files whose recorded min/max range on a tombstone KEY
+    *    column can contain one of the window's tombstone keys (the
+    *    same per-file stats [[candidateFilesAt]] prunes range reads
+    *    with). A key column without recorded stats degrades to
+    *    seq-only pruning — conservative, never lossy.
+    *
+    * False positives are harmless (the semi-join drops them); false
+    * negatives are impossible because file stats bound every row the
+    * file holds. Driver-side work is one pass over the manifest rows
+    * plus the distinct keys of the window's generations — both
+    * metadata-sized. */
+  private def changefeedAffectedNorm(spark: SparkSession,
+      fromSchema: StructType, fromRows: Array[Row],
+      toSchema: StructType, newGens: Array[Row]): Set[String] = {
+    val fKi = fromSchema.fieldIndex("kind")
+    val fFi = fromSchema.fieldIndex("file")
+    val fSi = fromSchema.fieldIndex("seq")
+    val ki = toSchema.fieldIndex("kind")
+    val fi = toSchema.fieldIndex("file")
+    val si = toSchema.fieldIndex("seq")
+    val fromData = fromRows.filter(_.getString(fKi) == KindData)
+    val newPosGens = newGens.filter(_.getString(ki) == KindPos)
+    val posNamed: Set[String] =
+      if (newPosGens.isEmpty) Set.empty
+      else spark.read.parquet(newPosGens.map(_.getString(fi)).toSeq: _*)
+        .select(col("file_path")).distinct()
+        .collect().map(r => norm(r.getString(0))).toSet
+    val newEqGens = newGens.filter(_.getString(ki) == KindEq)
+    val eqAffected: Set[String] =
+      if (newEqGens.isEmpty) Set.empty
+      else {
+        val maxEqSeq = newEqGens.map(_.getLong(si)).max
+        val inReach = fromData.filter(_.getLong(fSi) < maxEqSeq)
+        val eqDf = spark.read.parquet(newEqGens.map(_.getString(fi)).toSeq: _*)
+        val statKey = eqDf.columns
+          .find(c => fromSchema.fieldNames.contains(s"min_$c"))
+        statKey match {
+          case None => inReach.map(r => norm(r.getString(fFi))).toSet
+          case Some(c) =>
+            val keys = eqDf.select(col(c)).distinct().collect()
+              .map(_.get(0)).filter(_ != null)
+            val mnI = fromSchema.fieldIndex(s"min_$c")
+            val mxI = fromSchema.fieldIndex(s"max_$c")
+            @annotation.nowarn("cat=unchecked")
+            def cmp(a: Any, b: Any): Int =
+              a.asInstanceOf[Comparable[Any]].compareTo(b)
+            inReach.filter { r =>
+              // missing stats keep the file — conservative
+              r.isNullAt(mnI) || r.isNullAt(mxI) ||
+                keys.exists(k =>
+                  cmp(k, r.get(mnI)) >= 0 && cmp(k, r.get(mxI)) <= 0)
+            }.map(r => norm(r.getString(fFi))).toSet
+        }
+      }
+    posNamed ++ eqAffected
+  }
+
+  /** The data files of `fromSnap` a [[readChangefeed]] of
+    * (`fromSnap`, `toSnap`] opens on its RETRACTION side — the pruning
+    * telemetry (the bench's changefeed_files_read cell, and the
+    * files-opened assertions in the specs). Empty when the window adds
+    * no delete generation. */
+  def changefeedFromFiles(spark: SparkSession, root: String, fromSnap: Long,
+      toSnap: Long): Seq[String] = {
+    val mFrom = manifestAt(spark, root, fromSnap)
+    val fromRows = mFrom.collect()
+    val mTo = manifestAt(spark, root, toSnap)
+    val toRows = mTo.collect()
+    requireSameManifestSchema(mFrom, mTo, fromSnap, toSnap)
+    val fKi = mFrom.schema.fieldIndex("kind")
+    val fFi = mFrom.schema.fieldIndex("file")
+    val ki = mTo.schema.fieldIndex("kind")
+    val fi = mTo.schema.fieldIndex("file")
+    val fromGens = fromRows.filter(r => isWatermarkKind(r.getString(fKi)))
+      .map(r => (r.getString(fKi), norm(r.getString(fFi)))).toSet
+    val newGens = toRows.filter(r => isWatermarkKind(r.getString(ki)))
+      .filterNot(r => fromGens((r.getString(ki), norm(r.getString(fi)))))
+    if (newGens.isEmpty) return Seq.empty
+    val affected = changefeedAffectedNorm(spark, mFrom.schema, fromRows,
+      mTo.schema, newGens)
+    fromRows.filter(_.getString(fKi) == KindData)
+      .map(_.getString(fFi)).filter(f => affected(norm(f))).toSeq.sorted
+  }
+
   def readChangefeed(spark: SparkSession, root: String, fromSnap: Long,
       toSnap: Long, basePath: Option[String] = None): DataFrame = {
     val mFrom = manifestAt(spark, root, fromSnap)
@@ -859,15 +954,30 @@ object Snapshots {
     if (newGens.isEmpty || before.isEmpty)
       return inserts.withColumn("_change_type", lit("insert"))
 
+    // PRUNE the retraction scan to the files the window's deletes can
+    // actually touch — at 100 TB a one-file delete window must not pay
+    // a full-table scan to emit a handful of retraction rows. Position
+    // generations literally name their target files; equality
+    // generations reach only files with seq < gen seq whose recorded
+    // key range overlaps a tombstone key. Everything needed is already
+    // in the manifest + the KB-sized generation files.
+    val affectedNorm = changefeedAffectedNorm(spark, mFrom.schema, fromRows,
+      mTo.schema, newGens)
+    val fromScan = before.filter(f => affectedNorm(norm(f)))
+    if (fromScan.isEmpty) // every new generation misses fromSnap's files
+      return inserts.withColumn("_change_type", lit("insert"))
+
     val broadcastByteLimit = 256L * 1024 * 1024
     def sided(df: DataFrame, bytes: Long): DataFrame =
       if (bytes <= broadcastByteLimit) broadcast(df) else df
 
-    // rows of fromSnap's files that were VISIBLE at fromSnap: the
-    // merged read of exactly those files, with the helper columns kept
-    // so the window's deletes can be matched row-identically
+    // rows of the AFFECTED fromSnap files that were VISIBLE at
+    // fromSnap: the merged read of exactly those files, with the
+    // helper columns kept so the window's deletes can be matched
+    // row-identically (a row in an unaffected file can match no new
+    // delete, so restricting the scan cannot lose a retraction)
     val r0 = basePath.foldLeft(spark.read)((rd, b) => rd.option("basePath", b))
-    val visible0 = r0.parquet(before: _*).select(col("*"),
+    val visible0 = r0.parquet(fromScan: _*).select(col("*"),
       col("_metadata.file_path").as("__dv_file"),
       col("_metadata.row_index").as("__dv_pos"),
       normExpr(col("_metadata.file_path")).as("__sf"))

@@ -478,6 +478,44 @@ class SnapshotsSpec extends SparkSpec {
     assert(sumK(Snapshots.readAt(spark, root, 1L)) == ((150L, 150L * 151 / 2)))
   }
 
+  test("changefeed retraction scan opens only the affected files") {
+    // 8 files with disjoint k ranges; the window position-deletes one
+    // row in file 0 and tombstones one key living in file 6 — the
+    // from-side scan must open exactly those two files (pos gens name
+    // their targets; eq reach = seq-scoped ∩ manifest-stats overlap),
+    // and the feed itself must be unchanged by the pruning.
+    val d = java.nio.file.Files.createTempDirectory("cdcprune").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    val dv = s"$d/dv"; val eq = s"$d/eq"
+    def commit(): Unit = {
+      Snapshots.commitFromFs(spark, data, root, Seq("k"),
+        posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+      ()
+    }
+    (0 until 8).foreach { i =>
+      ((i * 100 + 1).toLong to (i * 100 + 100).toLong).map(k => (k, k * 10L))
+        .toDF("k", "v").coalesce(1).write.mode("append").parquet(data)
+    }
+    commit() // s0
+    DeletionVectors.addDeletes(spark, data, dv, $"k" === 5L)
+    DeletionVectors.addKeyDeletes(spark, eq, Seq(650L).toDF("k"))
+    commit() // s1
+    val opened = Snapshots.changefeedFromFiles(spark, root, 0L, 1L)
+    assert(opened.length == 2, s"expected 2 affected of 8 files: $opened")
+    val cf = Snapshots.readChangefeed(spark, root, 0L, 1L)
+      .select($"_change_type", $"k", $"v").as[(String, Long, Long)]
+      .collect().sorted.toSeq
+    assert(cf == Seq(("delete", 5L, 50L), ("delete", 650L, 6500L)),
+      s"pruned feed must be unchanged: $cf")
+    // a delete-free window opens nothing on the retraction side
+    (801L to 900L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(data)
+    commit() // s2
+    assert(Snapshots.changefeedFromFiles(spark, root, 1L, 2L).isEmpty)
+    assert(Snapshots.readChangefeed(spark, root, 1L, 2L)
+      .filter($"_change_type" === "delete").count() == 0)
+  }
+
   test("append after rewrite: removed originals stay dead, outside-dir outputs stay live, tombstones prune") {
     val d = java.nio.file.Files.createTempDirectory("snapresur").toString
     val data = s"$d/data"; val root = s"$d/snaps"

@@ -268,6 +268,13 @@ class VolumeSpec extends SparkSpec {
     // feed application reproduces the snapshot: |s0| - deletes + inserts
     val n1 = Snapshots.readAt(spark, root, 1L).count()
     assert(n1 === 1000000L - posDel - eqOnly + 100000L)
+    // retraction-scan prune set: this window's deletes genuinely reach
+    // every base file (pos rows land in all 8 round-robin partitions,
+    // tombstone keys span the whole range) — the prune must keep all 8
+    // (no lost retraction under pruning); the strict-subset case is
+    // pinned in SnapshotsSpec's files-opened test
+    val opened = Snapshots.changefeedFromFiles(spark, root, 0L, 1L)
+    assert(opened.length === 8, s"expected the 8 base files, got $opened")
   }
 
   test("dangling-delete prune over 1M positions stays distributed and exact") {
