@@ -188,6 +188,7 @@ object Bench {
     "o38_stream_exactly_once_ingest", // batchId-keyed ingest under forced retry
     "o39_stream_merge_ingest", // exactly-once MERGE stream (guarded tombstones)
     "o40_snapshot_changefeed", // changelog scan: inserts + retraction rows
+    "o41_changefeed_view_maintenance", // derived agg maintained off the feed
     "pipe_epoch_shuffle",  // seeded resumable epoch permutation slice
     "pipe_epoch_resume_persisted", // index-once epoch resume (pruned scan)
     // ---- r15 promotion: every row below scans an sf-scaled table
@@ -1023,10 +1024,51 @@ object Bench {
     }
     timeFeed() // warm
     val opened = graft.ops.Snapshots.changefeedFromFiles(spark, root, 0L, 1L)
+    // view-maintenance A/B: a 1024-bucket aggregate kept current by
+    // (a) applying the window's changefeed as signed deltas to the
+    // STORED view (ops/IncrementalAgg — touches the pruned feed + the
+    // KB-sized view, never the fact) vs (b) recomputing the aggregate
+    // from the full table. READ THE PAIR AS SLOPES, NOT AS A RACE AT
+    // ONE SF: the delta cell is FLAT across scale factors (its cost is
+    // the window's changes + ~1 s of changefeed fixed overhead —
+    // manifest reads and broadcast rounds) while the recompute cell
+    // tracks the table scan. At bench sf a 2-column columnar agg is
+    // sub-second, so the recompute wins on constants here; the
+    // crossover is wherever the fact scan dwarfs the window — i.e. the
+    // 100 TB nightly tick, where recompute is hours and the delta is
+    // still this cell.
+    val spec = graft.ops.IncrementalAgg.Spec(
+      keys = Seq("bucket"), sumCols = Seq("event_id"), minMaxCols = Nil)
+    def bucketed(df: org.apache.spark.sql.DataFrame) =
+      df.select((col("user_id") % 1024).as("bucket"), col("event_id"))
+    val viewDir = s"$d/view0"
+    graft.ops.IncrementalAgg.storedAggregate(
+        bucketed(graft.ops.Snapshots.readAt(spark, root, 0L)), spec)
+      .write.mode("overwrite").parquet(viewDir)
+    def signedFeed() = graft.ops.Snapshots.readChangefeed(spark, root, 0L, 1L)
+      .withColumn("w", when(col("_change_type") === "insert", 1).otherwise(-1))
+      .select((col("user_id") % 1024).as("bucket"), col("event_id"), col("w"))
+    def timeDelta(): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.IncrementalAgg.maintain(spark.read.parquet(viewDir), signedFeed(),
+          bucketed(graft.ops.Snapshots.readAt(spark, root, 1L)), spec)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timeRecompute(): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.IncrementalAgg.storedAggregate(
+          bucketed(graft.ops.Snapshots.readAt(spark, root, 1L)), spec)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeDelta(); timeRecompute() // warm both paths
     Seq(
       "changefeed_onekey_window" -> steadyMin(() => timeFeed()),
       "changefeed_files_read" -> opened.length.toDouble,
-      "changefeed_files_total" -> 32.0)
+      "changefeed_files_total" -> 32.0,
+      "view_maintain_delta" -> steadyMin(() => timeDelta()),
+      "view_recompute_full" -> steadyMin(() => timeRecompute()))
   }
 
   /** Strategy A/B: the j30 interval-overlap aggregate through

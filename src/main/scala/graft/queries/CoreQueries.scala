@@ -1955,6 +1955,86 @@ object CoreQueries {
              |FROM cents
              |WHERE k % 2 = 0 AND k % 6 = 2 AND NOT (k % 14 = 0 OR k % 10 = 4)
              |ORDER BY win, change""".stripMargin)
+    ),
+
+    // O41: INCREMENTAL VIEW MAINTENANCE off the changefeed — the
+    // composition o40 exists to feed: a derived aggregate (per-group
+    // n / sum / min / max over the snapshot table) kept EXACT under
+    // deletes without recompute, by applying each window's changefeed
+    // as signed deltas (ops/IncrementalAgg: mergeable state merges
+    // with the ±1-weighted feed; min/max recompute only for
+    // delta-touched groups). The lifecycle replays o40's (append +
+    // position deletes + sequence-scoped tombstones, then a
+    // delete-only window), the view is maintained across BOTH windows,
+    // and the emitted table is the MAINTAINED one — the oracle
+    // recomputes the final aggregate from scratch as pure residue
+    // predicates, so any drift (a lost retraction, a double-applied
+    // delta, a stale untouched group) flips the hash.
+    OracleQuery(
+      "o41_changefeed_view_maintenance",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.core.Scratch.dir("snapview", d)
+        val data = s"$tmp/data"; val root = s"$tmp/snaps"
+        val dv = s"$tmp/dv"; val eq = s"$tmp/eq"
+        val orders = Tables.orders(s, d)
+        def commit(): Unit = {
+          graft.ops.Snapshots.commitFromFs(s, data, root, Seq("o_orderkey"),
+            posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+          ()
+        }
+        orders.filter($"o_orderkey" % 2 === 0)
+          .repartition(2).write.mode("overwrite").parquet(data)
+        commit() // s0
+        orders.filter($"o_orderkey" % 2 === 1)
+          .repartition(1).write.mode("append").parquet(data)
+        graft.ops.DeletionVectors.addDeletes(s, data, dv,
+          $"o_orderkey" % 14 === 0)
+        graft.ops.DeletionVectors.addKeyDeletes(s, eq,
+          orders.filter($"o_orderkey" % 10 === 4)
+            .select($"o_orderkey").distinct())
+        commit() // s1
+        graft.ops.DeletionVectors.addDeletes(s, data, dv,
+          $"o_orderkey" % 6 === 2)
+        commit() // s2: delete-only window — untouched groups must keep
+                 // their stored rows
+        val spec = graft.ops.IncrementalAgg.Spec(
+          keys = Seq("g"), sumCols = Seq("cents"),
+          minMaxCols = Seq("o_orderkey"))
+        def derived(df: org.apache.spark.sql.DataFrame) = df.select(
+          ($"o_orderkey" % 7).as("g"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+          $"o_orderkey")
+        def signed(f: Long, t: Long) =
+          graft.ops.Snapshots.readChangefeed(s, root, f, t)
+            .withColumn("w",
+              when($"_change_type" === "insert", 1).otherwise(-1))
+            .select(($"o_orderkey" % 7).as("g"),
+              floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+              $"o_orderkey", $"w")
+        def tableAt(snap: Long) =
+          derived(graft.ops.Snapshots.readAt(s, root, snap))
+        val v0 = graft.ops.IncrementalAgg.storedAggregate(tableAt(0L), spec)
+        val v1 = graft.ops.IncrementalAgg.maintain(
+          v0, signed(0L, 1L), tableAt(1L), spec)
+        val v2 = graft.ops.IncrementalAgg.maintain(
+          v1, signed(1L, 2L), tableAt(2L), spec)
+        v2.select($"g", $"n", $"sum_cents".cast("long").as("sum_cents"),
+            $"min_o_orderkey", $"max_o_orderkey")
+          .orderBy($"g")
+      },
+      Some("""WITH cents AS (
+             |  SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM orders
+             |), alive AS (
+             |  SELECT k, c FROM cents
+             |  WHERE (k % 2 = 0 AND NOT (k % 14 = 0 OR k % 10 = 4 OR k % 6 = 2))
+             |     OR k % 2 = 1
+             |)
+             |SELECT k % 7 AS g, count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_cents,
+             |  min(k) AS min_o_orderkey, max(k) AS max_o_orderkey
+             |FROM alive GROUP BY 1 ORDER BY g""".stripMargin)
     )
   )
 
