@@ -78,9 +78,17 @@ object Compaction {
     * process in sorted order, files sort by (bytes desc, path), bins
     * are probed first-fit in creation order; group ids are global and
     * stable. */
-  def plan(spark: SparkSession, dir: String, targetBytes: Long): Seq[Group] = {
+  def plan(spark: SparkSession, dir: String, targetBytes: Long): Seq[Group] =
+    pack(listFiles(spark, dir), targetBytes)
+
+  /** The same FFD packing over an EXPLICIT file list — for tables
+    * whose truth is a snapshot manifest rather than a directory
+    * listing ([[MaintenancePlanner.execute]] hands it the latest
+    * snapshot's data files, which may span the data dir and earlier
+    * rewrites' out dirs). */
+  def pack(allFiles: Seq[FileMeta], targetBytes: Long): Seq[Group] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val byPart = listFiles(spark, dir).groupBy(_.subdir).toSeq.sortBy(_._1)
+    val byPart = allFiles.groupBy(_.subdir).toSeq.sortBy(_._1)
     var nextId = 0
     byPart.flatMap { case (sub, partFiles) =>
       val files = partFiles.sortBy(f => (-f.bytes, f.path))

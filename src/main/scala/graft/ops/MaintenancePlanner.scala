@@ -109,4 +109,95 @@ object MaintenancePlanner {
 
     actions.result().sortBy(a => (a.priority, a.target)).toDF()
   }
+
+  final case class Executed(action: String, snapshot: Long,
+      added: Int, removed: Int, detail: String)
+
+  /** EXECUTE the full ordered plan — the loop [[plan]] opened, closed:
+    * each action class runs through the engine's own maintenance
+    * primitives, committing one snapshot per rewrite, and the returned
+    * rows are the per-action commits. Re-plans each step from the
+    * CURRENT latest snapshot (an absorb changes what compaction sees;
+    * a compaction changes what reclustering sees), so after a full
+    * run `plan(...)` with the same knobs returns EMPTY — the
+    * MaintenancePlannerSpec contract.
+    *
+    *  1. `absorb_compact` → [[Snapshots.absorbDeletes]]: affected-
+    *     files-only MoR rewrite, watermark dropped.
+    *  2. `compact_small_files` → [[Compaction.pack]] over the LATEST
+    *     SNAPSHOT's file census (manifest truth, not a dir listing —
+    *     rewrite outputs live outside the data dir) +
+    *     [[Compaction.compact]] + [[Snapshots.commitRewrite]].
+    *  3. `recluster` → sorted rewrite of the whole table on the probe
+    *     column ([[graft.sources.Sinks.writeSortedBy]] — range
+    *     partition, one disjoint span per file) committed as a
+    *     rewrite.
+    *  4. `expire` → [[Snapshots.expire]] keeping the newest
+    *     `keepSnapshots` (re-derived AFTER the maintenance commits —
+    *     the rewrites above add history).
+    *
+    * Flat tables only (the manifest census carries no partition
+    * subpaths); a Hive-partitioned layout should compact through
+    * [[Compaction.plan]] on its data dir instead. */
+  def execute(spark: SparkSession, root: String, outDir: String,
+      cols: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
+      keepSnapshots: Int = 7, statsCol: Option[String] = None,
+      depthThreshold: Double = 2.0): Seq[Executed] = {
+    def planned(): Set[String] =
+      plan(spark, root, targetBytes, keepSnapshots, statsCol, depthThreshold)
+        .select("action").collect().map(_.getString(0)).toSet
+    val out = Seq.newBuilder[Executed]
+
+    if (planned().contains("absorb_compact"))
+      Snapshots.absorbDeletes(spark, root, s"$outDir/absorb", cols).foreach { c =>
+        out += Executed("absorb_compact", c.snapshot, c.added, c.removed,
+          s"absorbed the delete watermark into ${c.added} rewritten file(s)")
+      }
+
+    if (planned().contains("compact_small_files")) {
+      val snap = Snapshots.latest(spark, root).get
+      val m = Snapshots.manifestAt(spark, root, snap)
+      val files = m.filter(org.apache.spark.sql.functions.col("kind") === "data")
+        .select("file", "n_bytes").collect()
+        .map(r => Compaction.FileMeta(r.getString(0), r.getLong(1), ""))
+        .toSeq
+      val groups = Compaction.pack(files, targetBytes)
+      val multi = groups.filter(_.files.length > 1)
+      if (multi.nonEmpty) {
+        Compaction.compact(spark, multi, s"$outDir/compact")
+        val c = Snapshots.commitRewrite(spark, root,
+          removed = multi.flatMap(_.files.map(_.path)),
+          addedDir = s"$outDir/compact", cols = cols)
+        out += Executed("compact_small_files", c.snapshot, c.added, c.removed,
+          s"packed ${c.removed} small file(s) into ${c.added}")
+      }
+    }
+
+    if (planned().contains("recluster")) {
+      val c0 = statsCol.get // recluster is only ever planned with a probe col
+      val snap = Snapshots.latest(spark, root).get
+      val m = Snapshots.manifestAt(spark, root, snap)
+      val dataRows = m.filter(org.apache.spark.sql.functions.col("kind") === "data")
+        .select("file", "n_bytes").collect()
+      val totalBytes = dataRows.map(_.getLong(1)).sum
+      val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      graft.sources.Sinks.writeSortedBy(
+        Snapshots.readAt(spark, root, snap), s"$outDir/recluster",
+        Seq(c0), numFiles = nFiles)
+      val c = Snapshots.commitRewrite(spark, root,
+        removed = dataRows.map(_.getString(0)).toSeq,
+        addedDir = s"$outDir/recluster", cols = cols)
+      out += Executed("recluster", c.snapshot, c.added, c.removed,
+        s"range-sorted the table on '$c0' into ${c.added} file(s)")
+    }
+
+    if (planned().contains("expire")) {
+      val snaps = Snapshots.snapshots(spark, root)
+      val keepFrom = snaps(snaps.length - keepSnapshots)
+      val rep = Snapshots.expire(spark, root, keepFrom)
+      out += Executed("expire", keepFrom, 0, rep.filesDeleted,
+        s"dropped ${rep.snapshotsDropped} snapshot(s), freed ${rep.bytesFreed} B")
+    }
+    out.result()
+  }
 }

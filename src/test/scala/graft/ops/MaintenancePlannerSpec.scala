@@ -121,4 +121,66 @@ class MaintenancePlannerSpec extends SparkSpec {
     // priorities strictly ordered = run order
     assert(p2.map(_._1) == p2.map(_._1).sorted)
   }
+
+  test("execute: absorb + recluster + expire in order, empty plan after, content exact") {
+    val d = java.nio.file.Files.createTempDirectory("plannerexec").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    val dv = s"$d/dv"; val eq = s"$d/eq"
+    def commit(): Unit = {
+      Snapshots.commitFromFs(spark, data, root, Seq("k"),
+        posDeleteDir = Some(dv), eqDeleteDir = Some(eq))
+      ()
+    }
+    // 8 round-robin files — every file spans the whole k range, so
+    // clustering depth on k is ~8; sizes (~1.2 KB) sit ABOVE the
+    // small-file line at targetBytes=2000, so compaction stays out of
+    // this lifecycle and the recluster branch is what must fire
+    (1L to 800L).toDF("k").repartition(8).write.parquet(data)
+    commit() // s0
+    DeletionVectors.addDeletes(spark, data, dv, $"k" % 10 === 0)
+    commit() // s1
+    DeletionVectors.addKeyDeletes(spark, eq, Seq(5L, 15L).toDF("k"))
+    commit() // s2 — three snapshots, keepSnapshots=2 ⇒ expire fires
+    val knobs = (2000L, 2, Some("k"), 2.0)
+    val report = MaintenancePlanner.execute(spark, root, s"$d/maint", Seq("k"),
+      targetBytes = knobs._1, keepSnapshots = knobs._2, statsCol = knobs._3,
+      depthThreshold = knobs._4)
+    assert(report.map(_.action) == Seq("absorb_compact", "recluster", "expire"),
+      s"actions: $report")
+    // the plan with the SAME knobs is now empty — maintenance is done
+    val after = actionsOf(MaintenancePlanner.plan(spark, root,
+      targetBytes = knobs._1, keepSnapshots = knobs._2, statsCol = knobs._3,
+      depthThreshold = knobs._4))
+    assert(after.isEmpty, s"expected empty plan after execute, got $after")
+    // content is exact through the absorb + recluster rewrites
+    val want = (1L to 800L).filterNot(k => k % 10 == 0 || k == 5L || k == 15L)
+    val got = Snapshots.readAt(spark, root,
+        Snapshots.latest(spark, root).get)
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(got == want, s"content drifted: ${got.length} vs ${want.length}")
+    // the reclustered layout actually skips: a narrow range probe at
+    // the latest snapshot opens a strict subset of the files
+    val snap = Snapshots.latest(spark, root).get
+    val total = Snapshots.filesAt(spark, root, snap).length
+    val cand = Snapshots.candidateFilesAt(spark, root, snap, "k", 10L, 30L)
+    assert(total > 1 && cand.length < total,
+      s"range probe must prune after recluster: $cand of $total")
+  }
+
+  test("execute: small-file compaction alone, empty plan after, content exact") {
+    val d = java.nio.file.Files.createTempDirectory("plannercompact").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    (1L to 400L).toDF("k").repartition(8).write.parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    val report = MaintenancePlanner.execute(spark, root, s"$d/maint", Seq("k"),
+      targetBytes = 1L << 20, keepSnapshots = 7)
+    assert(report.map(_.action) == Seq("compact_small_files"), s"$report")
+    assert(report.head.removed == 8 && report.head.added < 8, s"$report")
+    assert(actionsOf(MaintenancePlanner.plan(spark, root,
+      targetBytes = 1L << 20, keepSnapshots = 7)).isEmpty)
+    val got = Snapshots.readAt(spark, root,
+        Snapshots.latest(spark, root).get)
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(got == (1L to 400L))
+  }
 }
