@@ -189,6 +189,7 @@ object Bench {
     "o39_stream_merge_ingest", // exactly-once MERGE stream (guarded tombstones)
     "o40_snapshot_changefeed", // changelog scan: inserts + retraction rows
     "o41_changefeed_view_maintenance", // derived agg maintained off the feed
+    "o42_wap_branch_audit", // write-audit-publish branch lifecycle
     "pipe_epoch_shuffle",  // seeded resumable epoch permutation slice
     "pipe_epoch_resume_persisted", // index-once epoch resume (pruned scan)
     // ---- r15 promotion: every row below scans an sf-scaled table

@@ -1141,6 +1141,105 @@ object Snapshots {
     Commit(commitManifest(spark, root, m, next), files.length, 0, 0)
   }
 
+  // ------------------------------------------------------------------
+  // BRANCH refs — WRITE-AUDIT-PUBLISH (Iceberg branches, reduced to the
+  // rename-based core). A branch is its own `_branch-<name>/snap=<k>`
+  // lineage SEEDED from main's latest manifest, so every existing
+  // commit/read/maintenance call works on a branch unchanged by passing
+  // [[branchRoot]] as the root: stage a load with commitFromFs against
+  // a branch-private staging dir (OUTSIDE main's data dir — branch data
+  // must be invisible to main's FS-truth appends until publish), audit
+  // it with readAt/Checks on the branch, then either [[fastForward]]
+  // (publish: the branch's snapshots RENAME onto main — ids and
+  // sequence numbers already continue main's numbering, so nothing is
+  // rewritten) or [[dropBranch]] (reject: main never saw any of it).
+  // `_`-prefixed branch dirs are invisible to every main listing by the
+  // module's standing convention.
+  // ------------------------------------------------------------------
+
+  /** The snapshot root of branch `name` — pass this anywhere a `root`
+    * goes ([[commitFromFs]], [[readAt]], [[history]], …). */
+  def branchRoot(root: String, name: String): String = s"$root/_branch-$name"
+
+  /** Create branch `name` at main's latest snapshot: the branch lineage
+    * starts as a COPY of that snapshot's manifest under the branch's
+    * own ref dir (metadata-sized — data files are shared by absolute
+    * path, nothing is copied). Fails loudly if the branch exists (the
+    * mkdir is the atomic claim — two racers get one winner). Returns
+    * the base snapshot id. */
+  def createBranch(spark: SparkSession, root: String, name: String): Long = {
+    require(TagName.matches(name),
+      s"branch name '$name' must match ${TagName.regex}")
+    val base = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot under $root to branch from"))
+    val fs = fsOf(spark, root)
+    val broot = new Path(branchRoot(root, name))
+    require(!fs.exists(broot),
+      s"branch '$name' already exists under $root (dropBranch first)")
+    require(fs.mkdirs(broot), s"could not create branch dir $broot")
+    commitManifest(spark, branchRoot(root, name),
+      manifestAt(spark, root, base), base)
+    base
+  }
+
+  /** Branch names currently under `root`. */
+  def branches(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_branch-"))
+      .map(_.getPath.getName.stripPrefix("_branch-")).sorted
+  }
+
+  /** PUBLISH: fast-forward main to the branch head by RENAMING the
+    * branch's post-base snapshot dirs onto main, ascending — each
+    * rename lands one complete, already-committed manifest, so a
+    * concurrent main reader sees a valid lineage prefix at every
+    * instant. Publication is refused (loudly) unless main's latest is
+    * STILL the branch's base: a main commit that landed since the
+    * branch was cut means the histories diverged, and silently
+    * interleaving them would let two writers each believe their own
+    * lineage won (the caller re-derives on a fresh branch instead —
+    * the Iceberg fast-forward contract). The branch ref dir is removed
+    * after publication. Returns the published snapshot ids. */
+  def fastForward(spark: SparkSession, root: String, name: String): Seq[Long] = {
+    val broot = branchRoot(root, name)
+    val branchSnaps = snapshots(spark, broot)
+    require(branchSnaps.nonEmpty, s"no branch '$name' under $root")
+    val base = branchSnaps.head
+    val mainLatest = latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot under $root"))
+    require(mainLatest == base,
+      s"cannot fast-forward '$name': main moved to $mainLatest past the " +
+        s"branch base $base (histories diverged - re-derive on a fresh branch)")
+    val toPublish = branchSnaps.filter(_ > base)
+    val fs = fsOf(spark, root)
+    toPublish.foreach { k =>
+      val src = new Path(snapDir(broot, k))
+      val dst = new Path(snapDir(root, k))
+      val ok = !fs.exists(dst) && fs.rename(src, dst)
+      require(ok, s"could not publish snapshot $k of branch '$name' " +
+        s"(concurrent commit at $dst?)")
+    }
+    fs.delete(new Path(broot), true)
+    toPublish
+  }
+
+  /** REJECT: drop branch `name` without publishing — main readers
+    * never saw any of its commits. Only the branch's ref dir (its
+    * manifests) is removed; data files staged for the branch live in
+    * the caller's branch-private staging dir and are the caller's to
+    * remove (they were never visible to main, so no main snapshot can
+    * reference them). */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+    val broot = new Path(branchRoot(root, name))
+    val fs = fsOf(spark, root)
+    require(fs.exists(broot), s"no branch '$name' under $root")
+    fs.delete(broot, true)
+    ()
+  }
+
   private val TagName = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
 
   /** Pin snapshot `snap` under a human NAME (Iceberg tags, reduced) —

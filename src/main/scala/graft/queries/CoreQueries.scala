@@ -2035,6 +2035,87 @@ object CoreQueries {
              |SELECT k % 7 AS g, count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_cents,
              |  min(k) AS min_o_orderkey, max(k) AS max_o_orderkey
              |FROM alive GROUP BY 1 ORDER BY g""".stripMargin)
+    ),
+
+    // O42: WRITE-AUDIT-PUBLISH through branch refs — the data-platform
+    // pattern snapshots exist to enable: every load lands on a BRANCH
+    // (its own `_branch-` lineage, staged data outside main's data
+    // dir), gets audited against the branch's own read path, and only
+    // then fast-forwards onto main — a rename of already-committed
+    // manifests, never a rewrite. The second load is delivered TWICE:
+    // first as a PLANTED-BAD batch (every row duplicated — the audit's
+    // count vs distinct check trips) whose branch is dropped, then as
+    // the clean batch on a fresh branch. The emitted rows are MAIN's
+    // per-snapshot census; the oracle recomputes the never-corrupted
+    // lineage as pure residue predicates, so a leaked bad batch, a
+    // branch commit visible before publish, or a lost publish each
+    // flip the hash. The in-entry require proves the audit actually
+    // REJECTED something (the gate must never pass vacuously).
+    OracleQuery(
+      "o42_wap_branch_audit",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.core.Scratch.dir("snapwap", d)
+        val data = s"$tmp/data"; val root = s"$tmp/snaps"
+        val orders = Tables.orders(s, d)
+        orders.filter($"o_orderkey" % 2 === 0)
+          .repartition(2).write.mode("overwrite").parquet(data)
+        graft.ops.Snapshots.commitFromFs(s, data, root, Seq("o_orderkey"))
+        // load 1: the %4==1 slice, staged branch-private, audited, published
+        graft.ops.Snapshots.createBranch(s, root, "load-1")
+        orders.filter($"o_orderkey" % 4 === 1)
+          .repartition(1).write.parquet(s"$tmp/stage1")
+        val b1 = graft.ops.Snapshots.branchRoot(root, "load-1")
+        graft.ops.Snapshots.commitFromFs(s, s"$tmp/stage1", b1, Seq("o_orderkey"))
+        val a1 = graft.ops.Snapshots.readAt(s, b1, 1L)
+          .agg(count(lit(1)), countDistinct($"o_orderkey")).collect()(0)
+        require(a1.getLong(0) == a1.getLong(1), "load-1 audit must pass")
+        graft.ops.Snapshots.fastForward(s, root, "load-1")
+        // load 2, delivery 1: PLANTED BAD (every row doubled) — the
+        // audit on the BRANCH trips and the branch is dropped
+        val slice2 = orders.filter($"o_orderkey" % 4 === 3)
+        graft.ops.Snapshots.createBranch(s, root, "load-2")
+        slice2.unionAll(slice2)
+          .repartition(1).write.parquet(s"$tmp/stage2bad")
+        val b2 = graft.ops.Snapshots.branchRoot(root, "load-2")
+        graft.ops.Snapshots.commitFromFs(s, s"$tmp/stage2bad", b2, Seq("o_orderkey"))
+        val a2 = graft.ops.Snapshots.readAt(s, b2, 2L)
+          .filter($"o_orderkey" % 2 === 1)
+          .agg(count(lit(1)), countDistinct($"o_orderkey")).collect()(0)
+        require(a2.getLong(0) > a2.getLong(1),
+          "the planted duplication must trip the audit - a vacuous gate proves nothing")
+        graft.ops.Snapshots.dropBranch(s, root, "load-2")
+        // load 2, delivery 2: the clean slice on a fresh branch, published
+        graft.ops.Snapshots.createBranch(s, root, "load-2")
+        slice2.repartition(1).write.parquet(s"$tmp/stage2")
+        graft.ops.Snapshots.commitFromFs(s, s"$tmp/stage2", b2, Seq("o_orderkey"))
+        graft.ops.Snapshots.fastForward(s, root, "load-2")
+        // MAIN's lineage census — must equal the never-branched run
+        graft.ops.Snapshots.snapshots(s, root).map { snap =>
+          graft.ops.Snapshots.readAt(s, root, snap)
+            .agg(
+              count(lit(1)).as("n"),
+              countDistinct($"o_orderkey").as("n_keys"),
+              sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+                .as("sum_price_cents"))
+            .select(lit(snap).as("snap"), $"n", $"n_keys", $"sum_price_cents")
+        }.reduce(_ unionAll _).orderBy($"snap")
+      },
+      Some("""WITH cents AS (
+             |  SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM orders
+             |)
+             |SELECT 0 AS snap, count(*) AS n, count(DISTINCT k) AS n_keys,
+             |  CAST(sum(c) AS BIGINT) AS sum_price_cents
+             |FROM cents WHERE k % 2 = 0
+             |UNION ALL
+             |SELECT 1, count(*), count(DISTINCT k), CAST(sum(c) AS BIGINT)
+             |FROM cents WHERE k % 2 = 0 OR k % 4 = 1
+             |UNION ALL
+             |SELECT 2, count(*), count(DISTINCT k), CAST(sum(c) AS BIGINT)
+             |FROM cents
+             |ORDER BY snap""".stripMargin)
     )
   )
 

@@ -582,6 +582,57 @@ class SnapshotsSpec extends SparkSpec {
     assert(sumK(Snapshots.readAt(spark, root, 1L)) == ((20L, 210L)))
   }
 
+  test("branches (WAP): invisible until publish, diverged main refuses, reject leaves main untouched") {
+    val d = java.nio.file.Files.createTempDirectory("snapwap").toString
+    val data = s"$d/data"; val root = s"$d/snaps"
+    (1L to 100L).toDF("k").coalesce(1).write.parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    // cut a branch, stage a load into a branch-private dir, commit it
+    // to the BRANCH lineage
+    val base = Snapshots.createBranch(spark, root, "load")
+    assert(base == 0L && Snapshots.branches(spark, root) == Seq("load"))
+    (101L to 150L).toDF("k").coalesce(1).write.parquet(s"$d/stage")
+    val broot = Snapshots.branchRoot(root, "load")
+    Snapshots.commitFromFs(spark, s"$d/stage", broot, Seq("k"))
+    // the branch sees base + staged rows; MAIN sees neither the commit
+    // nor the rows
+    assert(sumK(Snapshots.readAt(spark, broot, 1L)) == ((150L, 150L * 151 / 2)))
+    assert(Snapshots.snapshots(spark, root) == Seq(0L))
+    assert(sumK(Snapshots.readAt(spark, root, 0L)) == ((100L, 5050L)))
+    // REJECT path: drop the branch — main is byte-identical
+    Snapshots.dropBranch(spark, root, "load")
+    assert(Snapshots.branches(spark, root).isEmpty)
+    assert(Snapshots.snapshots(spark, root) == Seq(0L))
+    // PUBLISH path: re-cut, re-commit, fast-forward — the branch
+    // snapshots become main's, ids and seqs already aligned
+    Snapshots.createBranch(spark, root, "load")
+    Snapshots.commitFromFs(spark, s"$d/stage", broot, Seq("k"))
+    val published = Snapshots.fastForward(spark, root, "load")
+    assert(published == Seq(1L))
+    assert(Snapshots.snapshots(spark, root) == Seq(0L, 1L))
+    assert(sumK(Snapshots.readAt(spark, root, 1L)) == ((150L, 150L * 151 / 2)))
+    assert(Snapshots.branches(spark, root).isEmpty)
+    // and the published lineage keeps composing: a plain main append
+    // after the publish keeps the staged (outside-dataDir) files
+    (151L to 160L).toDF("k").coalesce(1).write.mode("append").parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k"))
+    assert(sumK(Snapshots.readAt(spark, root, 2L)) == ((160L, 160L * 161 / 2)))
+    // DIVERGENCE: a branch cut at s2, then a main commit — publishing
+    // the branch must refuse (no interleaved histories)
+    Snapshots.createBranch(spark, root, "late")
+    (161L to 170L).toDF("k").coalesce(1).write.parquet(s"$d/stage2")
+    Snapshots.commitFromFs(spark, s"$d/stage2",
+      Snapshots.branchRoot(root, "late"), Seq("k"))
+    (171L to 180L).toDF("k").coalesce(1).write.mode("append").parquet(data)
+    Snapshots.commitFromFs(spark, data, root, Seq("k")) // main moves to s3
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.fastForward(spark, root, "late")
+    }
+    assert(ex.getMessage.contains("diverged"), ex.getMessage)
+    // main's own lineage is untouched by the refused publish
+    assert(Snapshots.snapshots(spark, root) == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("rewrite of files the snapshot does not list fails loudly") {
     val d = java.nio.file.Files.createTempDirectory("snapbad").toString
     (1L to 10L).toDF("k").coalesce(1).write.parquet(s"$d/data")
