@@ -423,9 +423,15 @@ ORDER BY doc_a, doc_b""")
         // fused per-row kernel (functions/SimHash32.scala): split → hash
         // → bit-vote in one map-side pass, replacing the explode +
         // 32-column groupBy and its full |words|-row shuffle;
-        // bit-equality with that spelling is pinned in SimHash32Spec
+        // bit-equality with that spelling is pinned in SimHash32Spec.
+        // PERSISTED: the banded self-join references this frame on both
+        // sides, and the kernel (tokenize + hash every word of every
+        // doc) is the query's dominant cost — without the cache it runs
+        // twice. The frame is 12 bytes/doc; the graph family's
+        // edge-persist rationale applies verbatim.
         val sim = Tables.documents(s, d)
           .select($"doc_id", expr("simhash32(text)").as("simhash"))
+          .persist()
         // band key packs (index, byte value) into one int: j*256 + byte_j
         val bands = sim.select($"doc_id", $"simhash",
           explode(array((0 until 4).map(j =>
@@ -434,10 +440,17 @@ ORDER BY doc_a, doc_b""")
           .join(bands.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-          .distinct() // a pair can collide in several bands
+          // Hamming gate BEFORE the dedup: bit_count is a map-side
+          // per-pair op, so filtering first leaves only the near-dup
+          // pairs for the distinct's exchange — the old spelling
+          // shuffled EVERY banded candidate pair (O(N²/256) rows) just
+          // to collapse multi-band collisions the filter was about to
+          // discard anyway. filter∘distinct ≡ distinct∘filter here:
+          // hamming is a pure function of the pair.
           .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("int"))
           .filter($"hamming" <= 3)
           .select($"doc_a", $"doc_b", $"hamming")
+          .distinct() // a pair can collide in several bands
           .orderBy($"doc_a", $"doc_b")
       },
       Some("""WITH words AS (
