@@ -1030,7 +1030,7 @@ object StreamQueries {
         val src = s.readStream.schema(bSchema)
           .option("maxFilesPerTrigger", 1)
           .parquet(s"$tmp/in")
-        val q = src.writeStream
+        val q = graft.streaming.Streams.withStatePartitions(s) { src.writeStream
           .option("checkpointLocation", s"$tmp/ckpt")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
             DedupQueries.blockAndScore(a, batch.toDF(), consts)
@@ -1039,7 +1039,7 @@ object StreamQueries {
               .write.mode("overwrite").parquet(s"$tmp/out/gen=$batchId")
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
+          .start() }
         q.awaitTermination()
         consts.unpersist()
         s.read.parquet(s"$tmp/out")

@@ -19,6 +19,40 @@ import org.apache.spark.sql.Row
   */
 object Streams {
 
+  /** State-store partition count for streaming queries. A stateful
+    * operator opens `spark.sql.shuffle.partitions` state stores and
+    * commits one delta file per store per micro-batch, so the session
+    * default (sized for DATA shuffles — cores locally, hundreds on a
+    * cluster) multiplies every micro-batch's fixed cost by a fan-out
+    * the state never needs: these replays hold 10²–10³ keys in flight,
+    * and at 100 TB the number should track PEAK STATE VOLUME
+    * (keys-in-flight / target-keys-per-store), not cluster width —
+    * state partitioning is pinned in the checkpoint at first batch, so
+    * it cannot ride cluster autoscaling anyway. Locally the measured
+    * effect of 32 → 8 is ~2× on every stateful stream row (the
+    * per-batch store-commit + task fan-out dominates these cells).
+    * Override with spark.graft.stream.statePartitions (conf) or
+    * SPARK_GRAFT_STREAM_STATE_PARTITIONS (env) for a production
+    * deployment whose in-flight state actually needs more shards. */
+  private[graft] def statePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.stream.statePartitions")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS"))
+      .map(_.trim.toInt)
+      .getOrElse(8)
+
+  /** Run `body` (which must START a streaming query synchronously) with
+    * `spark.sql.shuffle.partitions` set to [[statePartitions]], then
+    * restore the session value. Safe because StreamExecution CLONES the
+    * session conf inside `start()` — the stream keeps the reduced
+    * value for its whole life (including foreachBatch bodies), while
+    * the caller's session is restored before this returns. */
+  private[graft] def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions(spark).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Streaming hourly_obs file source (parquet dir, new files appended
     * by the fetcher). */
   def hourlyObsStream(spark: SparkSession, dir: String): DataFrame =
@@ -157,7 +191,7 @@ object Streams {
       .schema(graft.schemas.Schemas.documents)
       .option("maxFilesPerTrigger", 64)
       .parquet(inDir)
-    docs.writeStream
+    withStatePartitions(spark) { docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val scored = graft.queries.TextFeatures.withQualityColumns(batch.toDF())
@@ -176,7 +210,7 @@ object Streams {
         } finally scored.unpersist()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start() }
   }
 
   /** Streaming decontamination gate: admit only documents whose trigram
@@ -719,13 +753,13 @@ object Streams {
       changes: DataFrame, snapshotDir: String, checkpoint: String,
       keys: Seq[String], orderBy: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = changes.sparkSession
-    changes.writeStream
+    withStatePartitions(spark) { changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applySnapshotBatch(spark, snapshotDir, batch.toDF(), batchId, keys, orderBy)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start() }
   }
 
   /** Streaming maintenance of a persisted IVF ANN index
@@ -741,13 +775,13 @@ object Streams {
   def ivfAppendStream(
       newVectors: DataFrame, indexDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    newVectors.writeStream
+    withStatePartitions(newVectors.sparkSession) { newVectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         graft.ops.IvfIndex.applyAppendBatch(batch.toDF(), indexDir, batchId)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start() }
 
   /** Streaming maintenance of the persisted BM25 search index
     * ([[graft.ops.SearchIndex]]): each micro-batch of new documents
@@ -760,13 +794,13 @@ object Streams {
   def searchIndexStream(
       newDocs: DataFrame, indexDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    newDocs.writeStream
+    withStatePartitions(newDocs.sparkSession) { newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         graft.ops.SearchIndex.applyGenBatch(batch.toDF(), indexDir, batchId)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start() }
 
   /** Streaming maintenance of the o28 HLL sketch table: each
     * micro-batch folds its rows into per-(week, day) sketch PARTIALS
@@ -781,7 +815,7 @@ object Streams {
   def hllSketchTableStream(
       events: DataFrame, tableDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+    withStatePartitions(events.sparkSession) { events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.toDF()
@@ -792,7 +826,7 @@ object Streams {
           .write.mode("overwrite").parquet(s"$tableDir/gen=$batchId")
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start() }
 
   /** Watermarked STREAM-STREAM inner join — click attribution: each
     * click joins the view (same user) it followed within
@@ -868,14 +902,14 @@ object Streams {
       checkpoint: String, segCol: String, valCol: String,
       bins: Int, lo: Double, width: Double, threshold: Double = 0.2)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    withStatePartitions(docs.sparkSession) { docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyDriftBatch(batch.toDF(), refCells, monitorDir, batchId,
           segCol, valCol, bins, lo, width, threshold)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start() }
 
   /** One micro-batch of [[driftMonitorStream]], exposed so replay
     * (same batchId twice) is directly testable. */
@@ -1048,26 +1082,26 @@ object Streams {
     * incremental ingestion, not an always-on service). */
   def runAvailableNow(
       out: DataFrame, checkpoint: String, sinkDir: String): Unit = {
-    val q = out.writeStream
+    val q = withStatePartitions(out.sparkSession) { out.writeStream
       .format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
   /** In-memory sink variant for tests/inspection (update mode shows
     * in-flight daily rows before the watermark closes them). */
   def runToMemory(out: DataFrame, name: String, checkpoint: String): Unit = {
-    val q = out.writeStream
+    val q = withStatePartitions(out.sparkSession) { out.writeStream
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", checkpoint)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start() }
     q.awaitTermination()
   }
 }
