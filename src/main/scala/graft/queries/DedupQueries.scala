@@ -439,18 +439,42 @@ ORDER BY doc_a, doc_b""")
         bands.as("a")
           .join(bands.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-          // Hamming gate BEFORE the dedup: bit_count is a map-side
-          // per-pair op, so filtering first leaves only the near-dup
-          // pairs for the distinct's exchange — the old spelling
-          // shuffled EVERY banded candidate pair (O(N²/256) rows) just
-          // to collapse multi-band collisions the filter was about to
-          // discard anyway. filter∘distinct ≡ distinct∘filter here:
-          // hamming is a pure function of the pair.
-          .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("int"))
+            col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"),
+            // band index j of the band this candidate row came from
+            // (band packs j*256 + byte_j, so j = band >> 8)
+            shiftright(col("a.band"), 8).as("bj"))
+          // Hamming gate FIRST: bit_count is a map-side per-pair op, so
+          // only near-dup pairs survive past this line — the old
+          // spelling shuffled EVERY banded candidate pair (O(N²/256)
+          // rows) into a distinct just to collapse multi-band
+          // collisions the filter was about to discard anyway.
+          .withColumn("x", expr("sim_a ^ sim_b"))
+          .withColumn("hamming", expr("bit_count(x)").cast("int"))
           .filter($"hamming" <= 3)
+          // LOWEST-MATCHING-BAND dedup, replacing the distinct()
+          // exchange outright: a pair colliding in several bands is
+          // kept only on the row whose band index j is the pair's
+          // lowest EQUAL byte (every lower byte of the xor nonzero) —
+          // a pure map-side predicate on (x, bj), so each near-dup
+          // pair reaches the final sort exactly once and the plan
+          // carries NO aggregate exchange at all. Pigeonhole still
+          // guarantees ≥1 equal byte for hamming ≤ 3, so exactly one
+          // row per pair passes: identical result set, one fewer
+          // shuffle of the (near-dup × collided-bands) pair volume.
+          .filter(($"bj" <= 0 || expr("(x & 255) != 0")) &&
+            ($"bj" <= 1 || expr("((x >> 8) & 255) != 0")) &&
+            ($"bj" <= 2 || expr("((x >> 16) & 255) != 0")))
           .select($"doc_a", $"doc_b", $"hamming")
-          .distinct() // a pair can collide in several bands
+          // materialize the compact pairs in ONE hash exchange before
+          // the global sort: orderBy's range partitioner SAMPLES its
+          // child with a separate job, and with no exchange in between
+          // that sample pass re-executes the whole banded join (the
+          // expensive subtree) a second time — measured 80 s vs 35 s
+          // single-pass at sf1. The exchange carries only the final
+          // 20-byte pair rows (exactly what distinct's exchange used to
+          // carry), while the aggregation hash tables distinct built on
+          // both sides of its exchange are gone.
+          .repartition($"doc_a", $"doc_b")
           .orderBy($"doc_a", $"doc_b")
       },
       Some("""WITH words AS (

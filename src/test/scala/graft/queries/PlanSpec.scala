@@ -815,4 +815,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(o_totalprice#"),
       s"no global-order window over the orders frame:\n$p")
   }
+
+  test("simhash near-dup plan carries NO aggregate: lowest-matching-band dedup is map-side") {
+    // the multi-band collision collapse is a pure filter (emit a pair
+    // only from its lowest equal byte), so the old distinct()'s
+    // HashAggregate pair and its exchange must never creep back — the
+    // only exchanges are the pair materialization and the final sort
+    val p = plan(Registry.queries("dedup_simhash")(spark, sf))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      s"dedup_simhash must not re-grow an aggregate:\n$p")
+  }
 }
