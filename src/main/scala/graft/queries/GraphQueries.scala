@@ -722,37 +722,49 @@ object GraphQueries {
           .select($"o_custkey".as("c"), $"l_suppkey".as("sp"))
           .distinct()
           .persist()
-        try {
-          // round 1: h0 = 1 ⟹ a1_raw(s) = indegree(s)
-          val a1raw = edges.groupBy($"sp").agg(count(lit(1)).cast("double").as("ar"))
-          val a1tot = a1raw.agg(sum($"ar".cast("decimal(28,14)")).cast("double").as("at"))
-          val a1 = a1raw.crossJoin(broadcast(a1tot)).select($"sp", ($"ar" / $"at").as("a"))
-          val h1raw = edges.join(a1, "sp")
-            .groupBy($"c").agg(sum($"a".cast("decimal(28,14)")).cast("double").as("hr"))
-          val h1tot = h1raw.agg(sum($"hr".cast("decimal(28,14)")).cast("double").as("ht"))
-          val h1 = h1raw.crossJoin(broadcast(h1tot)).select($"c", ($"hr" / $"ht").as("h"))
-          // round 2
-          val a2raw = edges.join(h1, "c")
-            .groupBy($"sp").agg(sum($"h".cast("decimal(28,14)")).cast("double").as("ar"))
-          val a2tot = a2raw.agg(sum($"ar".cast("decimal(28,14)")).cast("double").as("at"))
-          val a2 = a2raw.crossJoin(broadcast(a2tot)).select($"sp", ($"ar" / $"at").as("a"))
-          val h2raw = edges.join(a2, "sp")
-            .groupBy($"c").agg(sum($"a".cast("decimal(28,14)")).cast("double").as("hr"))
-          val h2tot = h2raw.agg(sum($"hr".cast("decimal(28,14)")).cast("double").as("ht"))
-          val h2 = h2raw.crossJoin(broadcast(h2tot)).select($"c", ($"hr" / $"ht").as("h"))
-          val out = a2.select(lit("auth").as("side"),
-              concat(lit("s"), $"sp").as("node"), $"a".as("score"))
-            .unionByName(h2.select(lit("hub").as("side"),
-              concat(lit("c"), $"c").as("node"), $"h".as("score")))
-            .withColumn("sq", floor($"score" * 100000000.0 + 0.5).cast("long"))
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy($"side").orderBy($"sq".desc, $"node")
-          out.withColumn("rn", row_number().over(w))
-            .filter($"rn" <= 15)
-            .select($"side", $"rn", $"node",
-              graft.core.Parity.floorRound4($"score" * 1000.0).as("score_k"))
-            .orderBy($"side", $"rn")
-        } finally edges.unpersist()
+        // Persist-and-leak (the pagerank/bfs convention for lazy
+        // builders): the old `try { … } finally edges.unpersist()`
+        // deregistered the edge cache at BUILD time — before the caller
+        // ever evaluated the returned frame — so the persist was a
+        // no-op and every reference recomputed orders⋈lineitem+distinct
+        // from scratch. Each round's RAW frame is also node-grain
+        // persisted: raw feeds both its own L1 total and the normalized
+        // scores, and a2/h2 are each referenced twice (next round + the
+        // output union), so the uncached tree re-ran the edge joins
+        // ~16× at evaluation.
+        // round 1: h0 = 1 ⟹ a1_raw(s) = indegree(s)
+        val a1raw = edges.groupBy($"sp").agg(count(lit(1)).cast("double").as("ar"))
+          .persist()
+        val a1tot = a1raw.agg(sum($"ar".cast("decimal(28,14)")).cast("double").as("at"))
+        val a1 = a1raw.crossJoin(broadcast(a1tot)).select($"sp", ($"ar" / $"at").as("a"))
+        val h1raw = edges.join(a1, "sp")
+          .groupBy($"c").agg(sum($"a".cast("decimal(28,14)")).cast("double").as("hr"))
+          .persist()
+        val h1tot = h1raw.agg(sum($"hr".cast("decimal(28,14)")).cast("double").as("ht"))
+        val h1 = h1raw.crossJoin(broadcast(h1tot)).select($"c", ($"hr" / $"ht").as("h"))
+        // round 2
+        val a2raw = edges.join(h1, "c")
+          .groupBy($"sp").agg(sum($"h".cast("decimal(28,14)")).cast("double").as("ar"))
+          .persist()
+        val a2tot = a2raw.agg(sum($"ar".cast("decimal(28,14)")).cast("double").as("at"))
+        val a2 = a2raw.crossJoin(broadcast(a2tot)).select($"sp", ($"ar" / $"at").as("a"))
+        val h2raw = edges.join(a2, "sp")
+          .groupBy($"c").agg(sum($"a".cast("decimal(28,14)")).cast("double").as("hr"))
+          .persist()
+        val h2tot = h2raw.agg(sum($"hr".cast("decimal(28,14)")).cast("double").as("ht"))
+        val h2 = h2raw.crossJoin(broadcast(h2tot)).select($"c", ($"hr" / $"ht").as("h"))
+        val out = a2.select(lit("auth").as("side"),
+            concat(lit("s"), $"sp").as("node"), $"a".as("score"))
+          .unionByName(h2.select(lit("hub").as("side"),
+            concat(lit("c"), $"c").as("node"), $"h".as("score")))
+          .withColumn("sq", floor($"score" * 100000000.0 + 0.5).cast("long"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"side").orderBy($"sq".desc, $"node")
+        out.withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 15)
+          .select($"side", $"rn", $"node",
+            graft.core.Parity.floorRound4($"score" * 1000.0).as("score_k"))
+          .orderBy($"side", $"rn")
       },
       Some("""WITH e AS (
              |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
@@ -836,13 +848,24 @@ object GraphQueries {
           val relax = edges
             .join(dist.select($"node".as("f"), $"dist".as("df")), $"src" === $"f")
             .select($"dst".as("node"), ($"df" + $"w").as("dist"))
+          // persist each round's node-sized dist frame (the
+          // graph_bfs_layers discipline): dist(r) references dist(r−1)
+          // TWICE (the union carry + the relax join), so an unpersisted
+          // 3-round chain evaluates 2³−1 = 7 relax joins — each a full
+          // shuffle of the persisted edge list — instead of 3. NO
+          // build-time unpersist (the pagerank/bfs convention): this
+          // builder returns a LAZY frame, so an unpersist here would
+          // deregister every cache before the caller ever evaluates —
+          // exactly the bug the old `edges.unpersist()` on the line
+          // below the loop used to have (the edge persist was a no-op
+          // and all 7 relax joins recomputed orders⋈lineitem from
+          // scratch).
           dist = dist.union(relax).groupBy($"node").agg(min($"dist").as("dist"))
+            .persist()
         }
-        val out = dist.groupBy($"dist")
+        dist.groupBy($"dist")
           .agg(count(lit(1)).as("n_nodes"), min($"node").as("witness"))
           .orderBy($"dist")
-        edges.unpersist()
-        out
       },
       Some("""WITH pairs AS MATERIALIZED (
              |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
