@@ -2014,18 +2014,16 @@ object CoreQueries {
               $"o_orderkey", $"w")
         def tableAt(snap: Long) =
           derived(graft.ops.Snapshots.readAt(s, root, snap))
-        // each window's maintained table is MATERIALIZED before it
-        // feeds the next window (localCheckpoint of a ≤7-row frame —
-        // in production this is the stored table itself, written to
-        // disk between windows): maintain() references its `stored`
-        // input twice (merged→touched and untouched), so an unsevered
-        // two-window chain replays the window-0 aggregate and its
-        // snapshot read 4× at final evaluation — the graph_bfs_layers
-        // re-derivation disease at a smaller exponent
+        // maintain() references its `stored` input twice (merged→
+        // touched ∪ untouched), but the duplicated subtrees are
+        // identical exchanges and AQE's stage reuse computes them once
+        // — an eager localCheckpoint per window was MEASURED SLOWER
+        // here (10.6 s vs 8.4 s solo at sf0.1: two extra
+        // materialization barriers for a reuse that already happened),
+        // so the chain stays lazy
         val v0 = graft.ops.IncrementalAgg.storedAggregate(tableAt(0L), spec)
-          .localCheckpoint(true)
         val v1 = graft.ops.IncrementalAgg.maintain(
-          v0, signed(0L, 1L), tableAt(1L), spec).localCheckpoint(true)
+          v0, signed(0L, 1L), tableAt(1L), spec)
         val v2 = graft.ops.IncrementalAgg.maintain(
           v1, signed(1L, 2L), tableAt(2L), spec)
         v2.select($"g", $"n", $"sum_cents".cast("long").as("sum_cents"),

@@ -45,11 +45,62 @@ object StreamQueries {
     val o1 = firstCutDays.getOrElse(nd / 4)
     require(o1 > 0 && o1 < nd, s"first cut $o1 outside (0, $nd)")
     val offs = Seq(0L, o1, o1 + (nd - o1) / 3, o1 + 2 * (nd - o1) / 3, nd)
+    // ONE write instead of four: the old per-chunk loop re-executed the
+    // daily aggregate's whole lineage once per chunk file (4 filtered
+    // scans + 4 write jobs). The chunk id is derivable per row from the
+    // same cut offsets, so a single partitionBy write produces the same
+    // four row sets; dirs are renamed to the c0..c3 layout the replay
+    // (and pinChunkOrder, which every caller runs next) expects. Chunk
+    // contents are byte-identical per chunk — only which JOB wrote them
+    // changed, and replay order still comes from the pinned mtimes.
+    val dayOff = floor(($"day".cast("long") - lit(lo / 1000)) / lit(86400L))
+    val chunk = when(dayOff < offs(1), 0).when(dayOff < offs(2), 1)
+      .when(dayOff < offs(3), 2).otherwise(3)
+    daily.withColumn("__c", chunk)
+      .repartition($"__c")
+      .write.mode("overwrite").partitionBy("__c").parquet(s"$tmp/in_staged")
+    val hfs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(daily.sparkSession.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/in"))
     for (i <- 0 until 4) {
-      daily.filter(
-          $"day" >= lit(new java.sql.Timestamp(lo + offs(i) * dayMs)) &&
-            $"day" < lit(new java.sql.Timestamp(lo + offs(i + 1) * dayMs)))
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/c$i")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/in_staged/__c=$i")
+      val dst = new org.apache.hadoop.fs.Path(s"$tmp/in/c$i")
+      // a chunk can be legitimately empty only if cuts coincide; the
+      // replay needs the dir to exist either way
+      if (hfs.exists(src)) hfs.rename(src, dst) else hfs.mkdirs(dst)
+    }
+  }
+
+  /** Write `ev`'s view/click slices as four ascending-mtime week files
+    * per side in ONE job per side — the [[writeDayChunks]] discipline
+    * applied to the attribution replays (the old per-(side, week) loop
+    * re-scanned the filtered events slice 8×, one job per file). Week
+    * membership is derived per row from the SAME cut list the loop
+    * filtered with, so each file's row set is byte-identical; replay
+    * order comes from pinChunkOrder's explicit mtimes (base epoch far
+    * in the past, so sentinel files written afterwards always sort
+    * later). */
+  private def writeWeekSides(ev: org.apache.spark.sql.DataFrame,
+      tmp: String, weeks: Seq[String]): Unit = {
+    import ev.sparkSession.implicits._
+    def cut(i: Int) = lit(weeks(i)).cast("timestamp")
+    val wk = when($"ts" < cut(1), 0).when($"ts" < cut(2), 1)
+      .when($"ts" < cut(3), 2).otherwise(3)
+    val hfs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(ev.sparkSession.sparkContext.hadoopConfiguration)
+    for ((side, typ) <- Seq("views" -> "view", "clicks" -> "click")) {
+      ev.filter($"event_type" === typ && $"ts" >= cut(0) && $"ts" < cut(4))
+        .select($"user_id", $"event_id", $"ts")
+        .withColumn("__w", wk)
+        .repartition($"__w")
+        .write.mode("overwrite").partitionBy("__w").parquet(s"$tmp/${side}_staged")
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/$side"))
+      for (i <- 0 until 4) {
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/${side}_staged/__w=$i")
+        val dst = new org.apache.hadoop.fs.Path(s"$tmp/$side/w$i")
+        if (hfs.exists(src)) hfs.rename(src, dst) else hfs.mkdirs(dst)
+      }
+      graft.streaming.Streams.pinChunkOrder(ev.sparkSession, s"$tmp/$side", 4, "w")
     }
   }
 
@@ -127,14 +178,7 @@ object StreamQueries {
         // zero, so no valid match is ever evicted early, while matches
         // still span micro-batch boundaries at every week seam).
         val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
-        for ((side, typ) <- Seq("views" -> "view", "clicks" -> "click");
-             i <- 0 until 4) {
-          ev.filter($"event_type" === typ &&
-              $"ts" >= lit(weeks(i)).cast("timestamp") &&
-              $"ts" < lit(weeks(i + 1)).cast("timestamp"))
-            .select($"user_id", $"event_id", $"ts")
-            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$side/w$i")
-        }
+        writeWeekSides(ev, tmp, weeks)
         def src(dir: String) = s.readStream
           .schema("user_id LONG, event_id LONG, ts TIMESTAMP")
           .option("maxFilesPerTrigger", 1)
@@ -191,16 +235,10 @@ object StreamQueries {
         val ev = Tables.events(s, d).filter($"user_id" < 200)
         val tmp = graft.core.Scratch.dir("stream_ojoin", d)
         val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
-        for ((side, typ) <- Seq("views" -> "view", "clicks" -> "click");
-             i <- 0 until 4) {
-          ev.filter($"event_type" === typ &&
-              $"ts" >= lit(weeks(i)).cast("timestamp") &&
-              $"ts" < lit(weeks(i + 1)).cast("timestamp"))
-            .select($"user_id", $"event_id", $"ts")
-            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$side/w$i")
-        }
-        // sentinel files LAST on BOTH sides (ascending mod times →
-        // replayed last): after the first pair the global watermark is
+        writeWeekSides(ev, tmp, weeks)
+        // sentinel files LAST on BOTH sides (their natural mtimes sit
+        // far after the week files' pinned base epoch → replayed last):
+        // after the first pair the global watermark is
         // Mar1 − 4h (past every real expiry); the second pair's batches
         // perform the eviction-and-emit
         for ((side, st) <- Seq("views", "clicks").flatMap(sd =>

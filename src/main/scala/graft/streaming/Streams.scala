@@ -310,11 +310,12 @@ object Streams {
     * sequential writes — give `inDir/c0..c<n-1>`'s files strictly
     * increasing mtimes. The base epoch is an arbitrary constant; only
     * relative order matters to the source. */
-  def pinChunkOrder(spark: SparkSession, inDir: String, n: Int): Unit = {
+  def pinChunkOrder(spark: SparkSession, inDir: String, n: Int,
+      prefix: String = "c"): Unit = {
     val hfs = new org.apache.hadoop.fs.Path(inDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (i <- 0 until n) {
-      hfs.listStatus(new org.apache.hadoop.fs.Path(s"$inDir/c$i"))
+      hfs.listStatus(new org.apache.hadoop.fs.Path(s"$inDir/$prefix$i"))
         .filter(_.isFile)
         .foreach(st => hfs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1))
     }
